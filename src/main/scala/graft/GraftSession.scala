@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's session defaults so Verify, Bench, the
+  * streaming job, and every test agree on semantics-critical settings.
+  */
+object GraftSession {
+
+  /** Apply engine settings to a builder. Callers still pick master/app. */
+  def tuned(b: SparkSession.Builder, shufflePartitions: String): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions)
+      // oracle parity + the reference generator emits naive-UTC timestamps
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // runtime re-planning: partition coalescing + skew-join splitting —
+      // the knobs that keep shuffles healthy at 100 TB
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // driver fixtures store events.ts as parquet INT64 TIMESTAMP(NANOS);
+      // Spark's TimestampType is µs, so read nanos as Long and convert in
+      // Tables.events (nanosToTimestamp) — truncation, matching DuckDB.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def local(appName: String, cpus: String): SparkSession = {
+    val spark = tuned(
+      SparkSession.builder().master(s"local[$cpus]").appName(appName),
+      shufflePartitions = cpus
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Readers for the driver-generated parquet fixtures (TESTDATA.md).
+  *
+  * Every reader is a plain `spark.read.parquet` so Catalyst keeps full
+  * pushdown freedom: column pruning and predicate pushdown reach the
+  * parquet scan of whatever query is layered on top. Do NOT `.cache()`
+  * here — at 100 TB the tables don't fit, and caching defeats pushdown.
+  */
+object Tables {
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = t(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = t(spark, dir, "lineitem")
+  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS,false); Spark reads it as
+    * Long under `spark.sql.legacy.parquet.nanosAsLong` (TimestampType is µs
+    * precision). Normalize to TimestampType by truncating nanos → micros,
+    * matching DuckDB's ns→µs cast. Cheap: one codegen'd division, no shuffle.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      case _ => raw
+    }
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+}

@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local pre-check of SparkEntry oracles, mimicking the driver's compare:
+run each oracle_sql.json entry in DuckDB over the fixture parquet, load the
+Spark-dumped parquet, sort columns by name, compare values (float tolerance).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, os, glob, json, math
+import duckdb
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 6)
+    return v
+
+def close(a, b):
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-6)
+        except (TypeError, ValueError):
+            return False
+    return str(a) == str(b)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for f in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(f)[:-8]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for qname, sql in sorted(oracle.items()):
+        spark_dir = f"{out_dir}/{qname}"
+        if not os.path.isdir(spark_dir):
+            print(f"FAIL {qname}: no spark output dir"); n_fail += 1; continue
+        try:
+            oc = con.execute(sql)
+            ocols = [d[0] for d in oc.description]
+            orows = oc.fetchall()
+        except Exception as e:
+            print(f"FAIL {qname}: duckdb error: {e}"); n_fail += 1; continue
+        sc = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        scols = [d[0] for d in sc.description]
+        srows = sc.fetchall()
+        if sorted(ocols) != sorted(scols):
+            print(f"FAIL {qname}: cols spark={sorted(scols)} oracle={sorted(ocols)}")
+            n_fail += 1; continue
+        operm = [ocols.index(c) for c in sorted(ocols)]
+        sperm = [scols.index(c) for c in sorted(scols)]
+        og = [tuple(r[i] for i in operm) for r in orows]
+        sg = [tuple(r[i] for i in sperm) for r in srows]
+        if len(og) != len(sg):
+            print(f"FAIL {qname}: rows spark={len(sg)} oracle={len(og)}")
+            n_fail += 1; continue
+        # row order: both sides declare ORDER BY; compare in order
+        bad = None
+        for i, (a, b) in enumerate(zip(sg, og)):
+            if not all(close(x, y) for x, y in zip(a, b)):
+                bad = (i, a, b); break
+        if bad:
+            print(f"FAIL {qname}: row {bad[0]} spark={bad[1]} oracle={bad[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {qname} ({len(sg)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
