@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ingest.Json
+import graft.operators.Ecommerce
+import graft.sinks.JdbcUpsert
+import graft.sinks.JdbcUpsert.ConnConfig
+
+/** The end-to-end streaming job: the Spark-native counterpart of the
+  * reference's single Flink dataflow (`DataStreamJob.java:84-170`).
+  *
+  * Topology decision (vs SURVEY.md §3's "single read + foreachBatch
+  * fan-out" sketch): the three aggregations are RUNNING totals — state
+  * since job start — so they must live in Structured Streaming state
+  * stores (`groupBy().agg()` + `outputMode("update")`), and Spark allows
+  * one streaming aggregation per query. We therefore run FOUR queries
+  * over the same topic (raw copy + three aggs), each with its own
+  * checkpoint. This preserves the two properties the reference relies on:
+  *   - convergence: update-mode emits the full running total for every
+  *     changed key each micro-batch, so the `ON CONFLICT … SET total_sales
+  *     = EXCLUDED.total_sales` replace-upsert converges to the same DB
+  *     end-state as Flink's per-record emission;
+  *   - idempotency: replays re-write the same totals (at-least-once safe),
+  *     unlike a per-batch delta + additive upsert, which double-counts.
+  * Kafka serves multiple consumers from the page cache; the extra reads
+  * are projection-pruned to the few columns each pipeline needs. State is
+  * unwindowed and grows with key cardinality — exactly like the reference
+  * (no watermark, `DataStreamJob.java:98`); cardinality here is
+  * categories/days/months, i.e. tiny. For unbounded keys use the
+  * watermarked variants in `Windows` instead.
+  */
+object EcommerceStreamJob {
+
+  /** Config surface mirroring the reference's parameters
+    * (`DataStreamJob.java:71-78`: kafka servers, topic, group, db url/user/
+    * password — note the reference swaps user/password keys at `:108-109`;
+    * we do not reproduce that bug). */
+  final case class JobConfig(
+      kafkaServers: String = "broker:29092",
+      topic: String = "financial_transactions",
+      groupId: String = "flink-group",
+      startingOffsets: String = "latest",
+      checkpointRoot: String = "/tmp/graft-checkpoints",
+      triggerMs: Long = 200L, // reference JDBC flush cadence (DataStreamJob.java:102)
+      db: ConnConfig = ConnConfig("jdbc:postgresql://localhost:5432/postgres",
+        "postgres", "postgres"))
+
+  /** S1: Kafka source (`DataStreamJob.java:89-95`). Value-only consumption,
+    * latest offsets — matching `OffsetsInitializer.latest()`. */
+  def kafkaSource(spark: SparkSession, cfg: JobConfig): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", cfg.kafkaServers)
+      .option("subscribe", cfg.topic)
+      .option("startingOffsets", cfg.startingOffsets)
+      .option("kafka.group.id", cfg.groupId)
+      .load()
+
+  // ---- pure pipeline builders (source-agnostic: batch, Memory, Kafka) ----
+
+  /** D1: bytes → typed transactions, invalid records dropped. */
+  def parse(raw: DataFrame): DataFrame =
+    Json.validTransactions(Json.parseTransactions(raw))
+
+  /** Pipeline B: running sales per category (M1/K1/R1 semantics incl. the
+    * first-seen-date quirk). */
+  def categoryAgg(tx: DataFrame): DataFrame =
+    Ecommerce.salesPerCategoryFaithful(tx, "transactionDate",
+      "productCategory", "totalAmount")
+
+  /** Pipeline C/day. */
+  def dayAgg(tx: DataFrame): DataFrame =
+    Ecommerce.salesPerDay(tx, "transactionDate", "totalAmount")
+
+  /** Pipeline C/month (faithful month-only key, first-seen year). */
+  def monthAgg(tx: DataFrame): DataFrame =
+    Ecommerce.salesPerMonthFaithful(tx, "transactionDate", "totalAmount")
+
+  /** Raw transactions projected to the DB column names
+    * (`DataStreamJob.java:318-331`). */
+  def rawForDb(tx: DataFrame): DataFrame =
+    tx.select(
+      col("transactionId").as("transaction_id"),
+      col("productId").as("product_id"),
+      col("productName").as("product_name"),
+      col("productCategory").as("product_category"),
+      col("productPrice").as("product_price"),
+      col("productQuantity").as("product_quantity"),
+      col("productBrand").as("product_brand"),
+      col("totalAmount").as("total_amount"),
+      col("currency").as("currency"),
+      col("customerId").as("customer_id"),
+      col("transactionDate").as("transaction_date"),
+      col("paymentMethod").as("payment_method"))
+
+  // ---- wiring ----
+
+  private def upsertEachBatch(table: String, keys: Seq[String], cfg: JobConfig)(
+      batch: DataFrame, batchId: Long): Unit =
+    JdbcUpsert.upsert(batch, table, keys, cfg.db)
+
+  /** Start the full job: DDL once at startup (replacing the reference's
+    * no-op DDL "sinks" W1–W4), then four streaming queries. */
+  def startAll(spark: SparkSession, cfg: JobConfig,
+      source: Option[DataFrame] = None): Seq[StreamingQuery] = {
+    JdbcUpsert.runDdl(cfg.db)
+    val raw = source.getOrElse(kafkaSource(spark, cfg))
+    val tx = parse(raw)
+
+    def q(name: String, df: DataFrame, mode: String, table: String,
+        keys: Seq[String]): StreamingQuery =
+      df.writeStream
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", s"${cfg.checkpointRoot}/$name")
+        .trigger(Trigger.ProcessingTime(cfg.triggerMs))
+        .foreachBatch(upsertEachBatch(table, keys, cfg) _)
+        .start()
+
+    Seq(
+      q("raw_transactions", rawForDb(tx), "append",
+        "transactions", Seq("transaction_id")),
+      // conflict targets = the table PKs (DataStreamJob.java:280,293,307);
+      // the faithful aggs pin date/year per key, so the full-PK conflict
+      // target hits the same row every update.
+      q("sales_per_category", categoryAgg(tx), "update",
+        "sales_per_category", Seq("transaction_date", "category")),
+      q("sales_per_day", dayAgg(tx), "update",
+        "sales_per_day", Seq("transaction_date")),
+      q("sales_per_month", monthAgg(tx), "update",
+        "sales_per_month", Seq("year", "month"))
+    )
+  }
+}

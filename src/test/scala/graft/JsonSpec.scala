@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Json
+
+/** D1 parity: JSON → Transaction binding, incl. the generator's exact
+  * timestamp shape (reference `JSONValueDeserializationSchema.java:21-23`,
+  * `sale-transaction-generator/main.py:24`). */
+class JsonSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val generatorRecord =
+    """{"transactionId":"7e57d004-2b97-4c7a-9d3e-000000000001",
+      |"productId":"product3","productName":"tablet",
+      |"productCategory":"electronic","productPrice":499.99,
+      |"productQuantity":2,"productBrand":"samsung",
+      |"totalAmount":999.98,"currency":"USD","customerId":"jsmith",
+      |"transactionDate":"2024-11-08T12:34:56.789012",
+      |"paymentMethod":"credit_card"}""".stripMargin.replaceAll("\n", "")
+
+  test("parses the generator's record shape incl. naive-UTC micros timestamp") {
+    val parsed = Json.parseTransactions(Seq(generatorRecord).toDF("value"))
+    val row = parsed.collect().head
+    assert(row.getAs[String]("transactionId")
+      === "7e57d004-2b97-4c7a-9d3e-000000000001")
+    assert(row.getAs[Double]("productPrice") === 499.99)
+    assert(row.getAs[Int]("productQuantity") === 2)
+    assert(row.getAs[Double]("totalAmount") === 999.98)
+    // session TZ is UTC, so the naive timestamp binds verbatim
+    assert(row.getAs[java.sql.Timestamp]("transactionDate").toString
+      === "2024-11-08 12:34:56.789012")
+  }
+
+  test("typed binding yields a Dataset[Transaction]") {
+    implicit val s = spark
+    val ds = Json.parseTransactionsTyped(Seq(generatorRecord).toDF("value"))
+    val t = ds.collect().head
+    assert(t.productCategory === "electronic")
+    assert(t.totalAmount === 999.98)
+  }
+
+  test("malformed and key-less records are dropped by validTransactions") {
+    val rows = Seq(
+      generatorRecord,
+      """{"productId":"product1"}""", // parseable, no PK
+      "not json at all")
+    val valid = Json.validTransactions(
+      Json.parseTransactions(rows.toDF("value")))
+    assert(valid.count() === 1L)
+  }
+
+  test("toJsonColumn round-trips through parseTransactions (F1 parity)") {
+    val parsed = Json.parseTransactions(Seq(generatorRecord).toDF("value"))
+    val json = Json.toJsonColumn(parsed).select("json")
+    val reparsed = Json.parseTransactions(json, "json").collect().head
+    assert(reparsed.getAs[String]("transactionId")
+      === "7e57d004-2b97-4c7a-9d3e-000000000001")
+    assert(reparsed.getAs[Double]("totalAmount") === 999.98)
+  }
+}
