@@ -1,9 +1,11 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.Ecommerce
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Ecommerce, Multimodal, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -73,7 +75,131 @@ object SparkEntry {
           avg(col("l_quantity")).as("avg_qty"),
           avg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    // ----- relational scale path: multi-join with broadcast dims (Q3 shape)
+    "q3_shipping" -> ((s, dir) => {
+      val c = broadcast(Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+    // ----- relational scale path: 5-table star join (Q5 shape)
+    "q5_region_revenue" -> ((s, dir) => {
+      val dims = broadcast(
+        Tables.region(s, dir).filter(col("r_name") === "ASIA")
+          .join(Tables.nation(s, dir), col("n_regionkey") === col("r_regionkey"))
+          .join(Tables.customer(s, dir), col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey", "n_name"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(dims, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("nation"))
+    }),
+    // ----- rollup / grouping-set aggregation
+    "q_rollup_lineitem" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus")),
+    // ----- window functions: top-N per group
+    "q_top_orders_per_cust" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 100)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_custkey", "rnk")
+    }),
+    // ----- set operation: EXCEPT
+    "q_custkeys_1995_not_1996" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.filter(year(col("o_orderdate")) === 1995).select("o_custkey").distinct()
+        .except(
+          o.filter(year(col("o_orderdate")) === 1996).select("o_custkey").distinct())
+        .orderBy("o_custkey")
+    }),
+    // ===== training-data pipeline: text analysis =====
+    "q_text_stats" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("token_count"),
+          length(col("text")).as("char_count"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"))
+        .orderBy("doc_id")),
+    "q_text_quality" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+    "q_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    "q_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+    // ===== training-data pipeline: deduplication =====
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    "q_jaccard_neardup" -> ((s, dir) =>
+      Dedup.jaccardNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.6)
+        .orderBy("id_a", "id_b")),
+    "q_minhash_neardup" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, threshold = 0.6)
+        .orderBy("id_a", "id_b")),
+    "q_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+          maxDist = 3)
+        .orderBy("id_a", "id_b")),
+    // ===== training-data pipeline: similarity search =====
+    "q_embedding_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "q_ann_lsh_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "q_embedding_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+    // ===== training-data pipeline: multimodal plumbing =====
+    "q_media_features" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.extractFeatures(
+          Multimodal.assetsFromDocuments(Tables.documents(s, dir)))
+        .toDF()
+        .select(col("assetId").as("asset_id"), col("mediaType").as("media_type"),
+          col("byteLen").as("byte_len"), col("brightness"))
+        .orderBy("asset_id")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -119,6 +245,146 @@ object SparkEntry {
                 AVG(l_quantity) AS avg_qty,
                 AVG(l_discount) AS avg_disc,
                 COUNT(*) AS count_order
-         FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus"""
+         FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
+    "q3_shipping" ->
+      """SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+                SUM(l.l_extendedprice * (1.0 - l.l_discount)) AS revenue
+         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE c.c_mktsegment = 'BUILDING'
+         GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q5_region_revenue" ->
+      """SELECT n.n_name AS nation,
+                SUM(l.l_extendedprice * (1.0 - l.l_discount)) AS revenue
+         FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+         JOIN customer c ON c.c_nationkey = n.n_nationkey
+         JOIN orders o ON o.o_custkey = c.c_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE r.r_name = 'ASIA'
+         GROUP BY 1 ORDER BY revenue DESC, nation""",
+    "q_rollup_lineitem" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "q_top_orders_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+           FROM orders WHERE o_custkey < 100) t
+         WHERE rnk <= 3 ORDER BY o_custkey, rnk""",
+    "q_custkeys_1995_not_1996" ->
+      """SELECT * FROM (
+           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+           EXCEPT
+           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+         ORDER BY o_custkey""",
+    "q_text_stats" ->
+      """SELECT doc_id,
+                len(string_split_regex(trim(text), '\s+')) AS token_count,
+                length(text) AS char_count,
+                CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) / length(text)
+                END AS punct_ratio,
+                CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                  t -> t IN ('the','a','an','of','to','and','in','is','it','for'))) AS DOUBLE)
+                  / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio
+         FROM documents ORDER BY doc_id""",
+    "q_text_quality" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  string_split_regex(trim(text), '\s+') AS w,
+                  length(text) AS nc,
+                  CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) AS np
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  CAST(len(w) AS DOUBLE) AS tc,
+                  CASE WHEN nc = 0 THEN 0.0 ELSE np / nc END AS punct_ratio,
+                  CAST(len(list_filter(w, t -> t IN ('the','a','an','of','to','and','in','is','it','for'))) AS DOUBLE) / len(w) AS stop_ratio,
+                  CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w) AS avg_len
+           FROM f)
+         SELECT doc_id,
+                least(tc / 100.0, 1.0) * 0.3
+                + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3
+                + least(stop_ratio * 5.0, 1.0) * 0.2
+                + (1.0 - least(abs(avg_len - 5.0) / 5.0, 1.0)) * 0.2 AS quality
+         FROM g ORDER BY doc_id""",
+    "q_lang_id" ->
+      """WITH s AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+         c AS (SELECT doc_id,
+                 len(list_filter(w, t -> t IN ('the','a','of','and','is','to','in','it'))) AS c_en,
+                 len(list_filter(w, t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) AS c_de,
+                 len(list_filter(w, t -> t IN ('el','la','de','que','y','los','es','un'))) AS c_es,
+                 len(list_filter(w, t -> t IN ('le','la','les','et','des','est','une','dans'))) AS c_fr,
+                 len(list_filter(w, t -> t IN ('的','是','了','在','和','有','我','不'))) AS c_zh
+               FROM s)
+         SELECT doc_id,
+                CASE WHEN greatest(c_en, c_de, c_es, c_fr, c_zh) = 0 THEN 'und'
+                     WHEN c_en = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'en'
+                     WHEN c_de = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'de'
+                     WHEN c_es = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'es'
+                     WHEN c_fr = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'fr'
+                     WHEN c_zh = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'zh'
+                     ELSE 'und' END AS lang_pred
+         FROM c ORDER BY doc_id""",
+    "q_fingerprint" ->
+      """SELECT doc_id,
+                CASE WHEN length(text) = 0 THEN 0 ELSE
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+                    (acc, x) -> (acc * 31 + x) % 1000000007)
+                END AS fp
+         FROM documents ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+         ORDER BY doc_id""",
+    "q_jaccard_neardup" -> jaccardOracleSql,
+    // MinHash+LSH verifies candidates with EXACT Jaccard, so its output
+    // equals the exhaustive inverted-index result whenever LSH recall is
+    // 1 — which holds deterministically for the fixture's planted dups
+    // (J ≥ 0.87; P[miss | 16 bands × 4 rows] < 1e-8) and is re-checked
+    // here by sharing the oracle.
+    "q_minhash_neardup" -> jaccardOracleSql,
+    "q_embedding_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+         s AS (SELECT qid AS query_id, nid AS neighbor_id,
+                      list_cosine_similarity(cv, qv) AS cos
+               FROM c, q WHERE nid <> qid),
+         r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM s)
+         SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
+    "q_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+         ORDER BY id_a, id_b""",
+    "q_media_features" ->
+      """SELECT doc_id AS asset_id,
+                (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+                length(text) AS byte_len,
+                CAST(list_sum(list_transform(string_split(text, ''),
+                  c -> CAST(unicode(c) AS BIGINT))) AS DOUBLE) / length(text) / 255.0 AS brightness
+         FROM documents ORDER BY asset_id"""
   )
+
+  private val jaccardOracleSql: String =
+      """WITH tok AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN []
+                  ELSE list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                    i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')) END) AS sh
+              FROM documents),
+         sized AS (SELECT doc_id, sh, len(sh) AS n FROM tok WHERE len(sh) > 0),
+         inv AS (SELECT doc_id, n, unnest(sh) AS s FROM sized),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS shared
+                   FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4)
+         SELECT id_a, id_b, CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+         FROM pairs WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.6
+         ORDER BY id_a, id_b"""
 }

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is a pure `Column` expression built from
+  * `org.apache.spark.sql.functions` — fully whole-stage-codegen'd, no
+  * UDFs, so a 100 TB scan stays a single narrow projection stage with
+  * no shuffle and no JVM⇄interpreter boundary. Each function has an
+  * exact ANSI-SQL twin runnable in DuckDB (see SparkEntry.oracleSql),
+  * which is the correctness contract.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization — trim first so leading/trailing blanks
+    * don't produce empty tokens (matches DuckDB
+    * `string_split_regex(trim(x), '\s+')`). */
+  def tokens(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    size(tokens(text))
+
+  /** ASCII punctuation count via an explicit char class (`!-/:-@[-`{-~`)
+    * so the Java and RE2 regex dialects agree byte-for-byte. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", ""))
+
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(punctCount(text).cast("double") / length(text))
+
+  /** Small fixed English stopword list — enough for ratio features;
+    * mirrored verbatim in the oracle SQL. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "to", "and", "in", "is", "it", "for")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isInCollection(stopwords)))
+
+  def stopwordRatio(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(stopwordCount(text).cast("double") / tokenCount(text))
+
+  def avgTokenLength(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(
+        aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / tokenCount(text))
+
+  /** Heuristic document-quality score in [0,1]: rewards reasonable
+    * length, low punctuation density, the presence of function words,
+    * and word lengths in the natural-language band. Deliberately a pure
+    * arithmetic combination so the oracle can reproduce it exactly. */
+  def qualityScore(text: Column): Column = {
+    val lengthTerm   = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val punctTerm    = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val stopTerm     = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val wordLenTerm  = lit(1.0) -
+      least(abs(avgTokenLength(text) - 5.0) / 5.0, lit(1.0))
+    lengthTerm * 0.3 + punctTerm * 0.3 + stopTerm * 0.2 + wordLenTerm * 0.2
+  }
+
+  /** Marker-word tables for the n-gram/function-word language-ID
+    * heuristic. Tiny on purpose: broadcastable as literals into the
+    * expression tree, no lookup join at any scale. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不")
+  )
+
+  private def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(markers)))
+
+  /** Predicted language = argmax marker hits; ties break in `langMarkers`
+    * declaration order; zero hits everywhere → "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, ms) => lang -> markerHits(text, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val cases = scores.foldLeft(when(best === 0, lit("und"))) {
+      case (acc, (lang, s)) => acc.when(s === best, lit(lang))
+    }
+    cases.otherwise(lit("und"))
+  }
+
+  /** Rabin–Karp-style rolling fingerprint over the character stream:
+    * `h = (h*31 + codepoint) mod 1_000_000_007`. A single sequential
+    * fold per row (no shuffle); the modulus keeps every intermediate in
+    * int64 so Spark and DuckDB agree exactly. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L)
+
+  /** Word n-grams ("shingles") as an array column; n ≥ 1. Empty/short
+    * docs yield an empty array. Used by the dedup family. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1)
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+}

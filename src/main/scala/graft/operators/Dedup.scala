@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Deduplication family for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash. All operators are declarative
+  * DataFrame transforms — Catalyst keeps pushdown/pruning, and every
+  * pairwise step is an inverted-index or bucket JOIN, never an O(n²)
+  * cross join, so the shapes survive a 100 TB corpus.
+  *
+  * Scale notes per operator are on each method.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------
+  // Exact dedup
+  // ------------------------------------------------------------------
+
+  /** Exact dedup: keep the smallest id per distinct text. Grouping key
+    * is `sha2(text, 256)` — 32 bytes instead of the full document — so
+    * the shuffle moves digests, not the 100 TB of text. (Cryptographic
+    * digest ⇒ collisions are not a practical concern; the text column
+    * itself never needs to leave its input partition.) */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), sha2(col(textCol), 256).as("__digest"))
+      .groupBy(col("__digest"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+
+  /** Exact-dup groups: digest → member count + canonical (min) id,
+    * only groups with 2+ members. The "what would dedup remove" report. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), sha2(col(textCol), 256).as("digest"))
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_members"), min(col(idCol)).as("canonical_id"))
+      .filter(col("n_members") >= 2)
+
+  // ------------------------------------------------------------------
+  // N-gram Jaccard near-dup (exact, inverted-index join)
+  // ------------------------------------------------------------------
+
+  /** Exact Jaccard-similar pairs over word n-gram sets, via an
+    * inverted-index self-join: explode distinct shingles, join docs
+    * sharing a shingle, count shared shingles once per pair, then
+    * `J = shared / (|A| + |B| - shared)`.
+    *
+    * Scale: the join key is the shingle, so cost is Σ df(s)² over
+    * shingle document-frequencies — linear for natural text where most
+    * shingles are rare. `maxShingleDf` drops ultra-common shingles
+    * (they can't push a pair over a meaningful threshold on their own
+    * but dominate the join cost); at 100 TB this cap is what keeps the
+    * candidate join bounded. Pairs are emitted once with idA < idB.
+    */
+  def jaccardNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
+    // The repartition is a deliberate materialization barrier: without
+    // it, CollapseProject inlines the (interpreted-HOF) shingle
+    // expression into the size filter, the setsize projection, the
+    // explode, AND both self-join sides — ~6 evaluations per document.
+    // Behind an Exchange it is computed once, and ReuseExchange lets the
+    // self-join read the same computed exchange twice. The shuffled rows
+    // are (id, shingles) — tiny next to the pair join below.
+    val sets = df.select(
+        col(idCol).as("id"),
+        array_distinct(TextAnalysis.wordNgrams(col(textCol), n)).as("sh"))
+      .repartition(col("id"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("sh"), size(col("sh")).as("setsize"))
+
+    val inv0 = sets.select(col("id"), col("setsize"), explode(col("sh")).as("s"))
+    val inv = maxShingleDf match {
+      case Some(cap) =>
+        // document frequency per shingle; drop shingles above the cap
+        val dfreq = inv0.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap)
+          .select("s")
+        inv0.join(dfreq, "s")
+      case None => inv0
+    }
+
+    val a = inv.select(col("s"), col("id").as("id_a"), col("setsize").as("na"))
+    val b = inv.select(col("s"), col("id").as("id_b"), col("setsize").as("nb"))
+    a.join(b, Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH near-dup (approximate candidate generation)
+  // ------------------------------------------------------------------
+
+  /** MinHash signatures as 64 per-doc `min(xxhash64(i, shingle))`
+    * aggregates over the exploded shingle stream.
+    *
+    * Deliberately explode+groupBy rather than a nested `transform` over
+    * the shingle array: higher-order functions are interpreted (no
+    * whole-stage codegen), and — worse — a signature built in a
+    * `withColumn` gets INLINED by `CollapseProject` into every
+    * downstream band expression and join side, multiplying the k×|sh|
+    * hash work ~2×bands times. The aggregate both runs codegen'd and is
+    * a pipeline breaker, so signatures are computed exactly once. The
+    * shuffle is map-side-combined: one 64-long row per doc moves. */
+  def minhashSignatureCols(numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+
+  /** MinHash+LSH near-dup pairs: signature → band buckets → bucket join
+    * for candidates → exact Jaccard verification on the shingle sets.
+    *
+    * Scale: the shuffles are (i) the signature aggregation (map-side
+    * combined, one row per doc); (ii) the band-bucket join, keyed on
+    * (band index, band hash) — cardinality ≈ corpus size × bands, with
+    * bucket sizes concentrated near 1 for non-dup docs; (iii) the
+    * verification join, which touches candidate pairs only (≪ n²).
+    * This is the standard web-scale near-dedup shape (MMDS ch. 3).
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+
+    // same materialization-barrier rationale as in jaccardNearDupPairs:
+    // sets feeds the signature explode AND both verification joins
+    val sets = df.select(
+        col(idCol).as("id"),
+        array_distinct(TextAnalysis.wordNgrams(col(textCol), n)).as("sh"))
+      .repartition(col("id"))
+      .filter(size(col("sh")) > 0)
+
+    val sigCols = minhashSignatureCols(numHashes)
+    val sigs = sets.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy("id")
+      .agg(sigCols.head, sigCols.tail: _*)
+
+    // band hash straight from the signature columns — codegen'd murmur3
+    // over rowsPerBand longs, no intermediate array
+    val bandCols = (0 until bands).map { j =>
+      hash((j * rowsPerBand until (j + 1) * rowsPerBand).map(i => col(s"h$i")): _*)
+    }
+    val banded = sigs.select(col("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+
+    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    // exact verification: join the shingle sets back and compute true J
+    val withSets = cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    withSets
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Corpus after near-dup removal: drop every doc that is the larger id
+    * of some near-dup pair (keep-smallest policy, transitive enough for
+    * reporting; a full connected-components pass is the heavyweight
+    * alternative when clusters matter). */
+  def dropNearDups(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  // ------------------------------------------------------------------
+  // SimHash (64-bit) near-dup
+  // ------------------------------------------------------------------
+
+  /** 64-bit SimHash packed into ONE long, via explode + groupBy: hash
+    * each distinct token once, run 64 codegen'd `sum(±1)` aggregates
+    * (one per bit of the token hash), then collapse signs into the
+    * bits of an int64. Same rationale as the MinHash signature:
+    * aggregates are whole-stage-codegen'd AND act as a materialization
+    * barrier, where an array-HOF formulation would be interpreted and
+    * re-inlined into every downstream consumer. A packed long also
+    * keeps the downstream bucket join shuffling 8 bytes per signature
+    * instead of a 64-element array, and makes Hamming distance a
+    * single `bit_count(a XOR b)`. Output: (id, sig long). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val bitAggs = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1))
+        .as(s"b$i")
+    }
+    toks.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, lit(1L << (63 - i))).otherwise(lit(0L)))
+          .reduce(_ + _).as("sig"))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band-bucket join (pigeonhole:
+    * Hamming ≤ 3 ⇒ at least one identical 16-bit band) → exact
+    * `bit_count(sig_a XOR sig_b) ≤ maxDist` verification. Candidates
+    * travel as bare (id_a, id_b); the 8-byte signatures are joined back
+    * only for the verification — same two-shuffle shape as MinHash-LSH. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame = {
+    val sigs = simhashSignatures(df, idCol, textCol)
+
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until 4).map { j =>
+        shiftright(col("sig"), 16 * j).bitwiseAND(lit(0xFFFFL))
+      }: _*)).as(Seq("band", "bucket")))
+
+    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("hamming",
+        call_function("bit_count", col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+}

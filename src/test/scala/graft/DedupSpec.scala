@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 0
+    (3L, "completely different content about spark query engines here now"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again")  // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps the smallest id per distinct text") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept === Array(0L, 2L, 3L))
+  }
+
+  test("exactDupGroups reports groups of 2+") {
+    val g = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Long]("n_members") === 3L)
+    assert(g.head.getAs[Long]("canonical_id") === 0L)
+  }
+
+  test("jaccardNearDupPairs finds the planted near-dup, not the distinct doc") {
+    val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 0/1/4 identical (J=1); 2 near 0/1/4; 3 near nothing
+    assert(pairs.contains((0L, 2L)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard values are exact") {
+    val j02 = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.1)
+      .filter(col("id_a") === 0 && col("id_b") === 2)
+      .collect().head.getAs[Double]("jaccard")
+    // 10 trigrams each, dog vs cat breaks 3 → 7 shared, union 13
+    assert(math.abs(j02 - 7.0 / 13.0) < 1e-12)
+  }
+
+  test("maxShingleDf cap drops ubiquitous shingles from the index") {
+    // shingle present in all 5 docs would pair everything; cap 1 kills all pairs
+    val all = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 1, 0.01)
+    val capped = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 1, 0.01,
+      maxShingleDf = Some(1))
+    assert(all.count() > 0)
+    assert(capped.count() === 0)
+  }
+
+  test("minhashNearDupPairs recall equals exact jaccard on planted dups") {
+    val exact = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashNearDupPairs(docs, "doc_id", "text", 3, 64, 16, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh === exact) // exact-verify step ⇒ no false positives; high-J ⇒ no misses
+  }
+
+  test("minhash equals exact jaccard on the sf fixture (the oracle contract)") {
+    val exact = Dedup.jaccardNearDupPairs(Tables.documents(spark, sf),
+        "doc_id", "text", 3, 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashNearDupPairs(Tables.documents(spark, sf),
+        "doc_id", "text", 3, 64, 16, 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh === exact)
+    assert(exact.nonEmpty) // fixture has planted near-dups
+  }
+
+  test("simhashNearDupPairs: exact dups at distance 0, all pairs symmetric-free") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val d01 = pairs.find(p => p._1 == 0L && p._2 == 1L)
+    assert(d01.exists(_._3 == 0)) // identical text ⇒ identical simhash
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+
+  test("dropNearDups removes larger ids of pairs") {
+    val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.5)
+    val kept = Dedup.dropNearDups(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(0L, 3L)) // 1,2,4 all appear as id_b of some pair
+  }
+}

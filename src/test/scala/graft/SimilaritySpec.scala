@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),  // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)), // opposite of 0
+    (4L, Array(1.0f, 0.05f, 0.0f))  // closest to 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine is exact on known vectors") {
+    val c = vecs.filter(col("vec_id") === 0).crossJoin(
+        vecs.filter(col("vec_id") === 2).select(col("embedding").as("e2")))
+      .select(Similarity.cosine(col("embedding"), col("e2")).as("c"))
+      .collect().head.getDouble(0)
+    assert(math.abs(c) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self, breaks ties by id") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(4L, 1L, 2L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
+    assert(out.head.getAs[Double]("cos") > 0.99)
+  }
+
+  test("cosineNearDupPairs finds exactly the close pairs") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cos(0,1)=0.9939, cos(0,4)=0.9988, cos(1,4)=0.9982 — all ≥ 0.99
+    assert(pairs === Set((0L, 1L), (0L, 4L), (1L, 4L)))
+  }
+
+  test("lshTopK recall vs brute force on the fixture is usable") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    // weak fixture neighbors (cos≈0.37 ⇒ ~66°) make this a hard LSH regime;
+    // 16 tables × 4 bits should still recover most true neighbors
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+
+  test("lshNearDupPairs is a subset of exact pairs with high recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // exact cosine verify ⇒ no false positives
+    assert(exact.nonEmpty)
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall=$recall")
+  }
+}

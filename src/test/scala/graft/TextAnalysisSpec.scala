@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String) =
+    Seq(text).toDF("t").select(c.as("v")).collect().head
+
+  test("tokens trims and splits on whitespace runs") {
+    val r = Seq("  a b   c ").toDF("t")
+      .select(TextAnalysis.tokens(col("t")).as("v")).collect().head
+    assert(r.getSeq[String](0) === Seq("a", "b", "c"))
+  }
+
+  test("tokenCount / punctRatio / stopwordRatio basics") {
+    assert(one(TextAnalysis.tokenCount(col("t")), "the cat sat").getInt(0) === 3)
+    val pr = one(TextAnalysis.punctRatio(col("t")), "ab,.").getDouble(0)
+    assert(pr === 0.5)
+    val sr = one(TextAnalysis.stopwordRatio(col("t")), "the cat is here").getDouble(0)
+    assert(sr === 0.5) // "the", "is" of 4
+  }
+
+  test("qualityScore is in [0,1] on the fixture") {
+    val bad = Tables.documents(spark, sf)
+      .select(TextAnalysis.qualityScore(col("text")).as("q"))
+      .filter(col("q") < 0.0 || col("q") > 1.0)
+    assert(bad.count() === 0)
+  }
+
+  test("langId picks marker-dominant language, und when no markers") {
+    assert(one(TextAnalysis.langId(col("t")), "the cat and the dog is here")
+      .getString(0) === "en")
+    assert(one(TextAnalysis.langId(col("t")), "der hund und die katze ist")
+      .getString(0) === "de")
+    assert(one(TextAnalysis.langId(col("t")), "xyzzy qwerty").getString(0) === "und")
+  }
+
+  test("fingerprint matches the reference polynomial on a known string") {
+    // "abc": ((0*31+97)*31+98)*31+99 = 96354 (verified against DuckDB)
+    assert(one(TextAnalysis.fingerprint(col("t")), "abc").getLong(0) === 96354L)
+  }
+
+  test("fingerprint is order-sensitive (not a bag hash)") {
+    val a = one(TextAnalysis.fingerprint(col("t")), "ab").getLong(0)
+    val b = one(TextAnalysis.fingerprint(col("t")), "ba").getLong(0)
+    assert(a !== b)
+  }
+
+  test("wordNgrams produces overlapping shingles; short docs give empty") {
+    val r = Seq("a b c d").toDF("t")
+      .select(TextAnalysis.wordNgrams(col("t"), 3).as("v")).collect().head
+    assert(r.getSeq[String](0) === Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextAnalysis.wordNgrams(col("t"), 3).as("v")).collect().head
+    assert(short.getSeq[String](0) === Seq())
+  }
+}
