@@ -49,7 +49,12 @@ object EcommerceStreamJob {
         "postgres", "postgres"))
 
   /** S1: Kafka source (`DataStreamJob.java:89-95`). Value-only consumption,
-    * latest offsets — matching `OffsetsInitializer.latest()`. */
+    * latest offsets — matching `OffsetsInitializer.latest()`.
+    *
+    * NOTE: requires the `spark-sql-kafka-0-10` connector on the runtime
+    * classpath (standard on any Spark distribution with Kafka support;
+    * NOT present in this offline build environment, where tests drive
+    * the same pipelines through MemoryStream / `fileSource`). */
   def kafkaSource(spark: SparkSession, cfg: JobConfig): DataFrame =
     spark.readStream
       .format("kafka")
@@ -58,6 +63,15 @@ object EcommerceStreamJob {
       .option("startingOffsets", cfg.startingOffsets)
       .option("kafka.group.id", cfg.groupId)
       .load()
+
+  /** Connector-free source for local/offline runs: a directory of JSON
+    * lines, one transaction per line — same `value: string` contract as
+    * the Kafka source, so every downstream pipeline is source-agnostic. */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .format("text")
+      .load(dir)
+      .select(col("value"))
 
   // ---- pure pipeline builders (source-agnostic: batch, Memory, Kafka) ----
 

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Watermarked, windowed variants of the running aggregations — the
+  * scalable path the reference never takes.
+  *
+  * The reference (and `EcommerceStreamJob`) keeps UNWINDOWED running
+  * state with no watermark (`DataStreamJob.java:98`): state grows with
+  * key cardinality forever. Fine for categories/days/months; fatal for
+  * unbounded keys (users, transaction ids) on a 100 TB stream. These
+  * variants bound state with event-time watermarks: Spark drops window
+  * state once `watermark` passes the window end, so state ≈ keys ×
+  * (windowLength + lateness) regardless of stream length.
+  */
+object Windows {
+
+  /** Tumbling-window sales per category:
+    * (window_start, window_end, category, total_sales), append-capable.
+    * The streaming analogue of Pipeline B with bounded state. */
+  def salesPerCategoryWindowed(tx: DataFrame, tsCol: String, catCol: String,
+      amtCol: String, windowLength: String = "1 day",
+      watermark: String = "1 hour"): DataFrame =
+    tx.withWatermark(tsCol, watermark)
+      .groupBy(
+        window(col(tsCol), windowLength).as("w"),
+        col(catCol).as("category"))
+      .agg(sum(col(amtCol)).as("total_sales"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("category"), col("total_sales"))
+
+  /** Sliding-window revenue (e.g. 1-hour window sliding every 10 min) —
+    * the moving-aggregate shape the reference cannot express at all. */
+  def slidingRevenue(tx: DataFrame, tsCol: String, amtCol: String,
+      windowLength: String = "1 hour", slide: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    tx.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength, slide).as("w"))
+      .agg(sum(col(amtCol)).as("total_sales"), count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("total_sales"), col("n_events"))
+
+  /** Streaming exact dedup on a key with bounded state: duplicates
+    * arriving within the watermark horizon are dropped, state for older
+    * keys is reclaimed. The streaming face of `Dedup.exactDedup` —
+    * at-least-once Kafka delivery + this = effectively-once ingestion
+    * without the JDBC upsert having to absorb every replay. */
+  def dedupWithinWatermark(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+}

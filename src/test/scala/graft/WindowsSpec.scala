@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{EcommerceStreamJob, Windows}
+
+/** Watermarked-window variants: bounded-state streaming aggregation and
+  * dedup (the scale path beyond the reference's unwindowed state). */
+class WindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jsonTx(id: String, cat: String, amt: Double, ts: String): String =
+    s"""{"transactionId":"$id","productId":"p1","productName":"laptop",
+       |"productCategory":"$cat","productPrice":$amt,"productQuantity":1,
+       |"productBrand":"apple","totalAmount":$amt,"currency":"USD",
+       |"customerId":"c1","transactionDate":"$ts",
+       |"paymentMethod":"credit_card"}""".stripMargin.replaceAll("\n", "")
+
+  test("tumbling window aggregates per (day, category) with bounded state") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[String]
+    val tx = EcommerceStreamJob.parse(input.toDF())
+    val agg = Windows.salesPerCategoryWindowed(tx, "transactionDate",
+      "productCategory", "totalAmount", windowLength = "1 day",
+      watermark = "1 hour")
+
+    val q = agg.writeStream.format("memory").queryName("win_cat")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        jsonTx("t1", "electronic", 10.0, "2024-11-08T10:00:00.000000"),
+        jsonTx("t2", "electronic", 5.0, "2024-11-08T23:00:00.000000"),
+        jsonTx("t3", "electronic", 7.0, "2024-11-09T01:00:00.000000"))
+      q.processAllAvailable()
+      val out = spark.table("win_cat")
+        .groupBy($"window_start", $"category")
+        .agg(org.apache.spark.sql.functions.max($"total_sales").as("total_sales"))
+        .collect()
+        .map(r => (r.getTimestamp(0).toString.take(10), r.getDouble(2))).toMap
+      assert(out === Map("2024-11-08" -> 15.0, "2024-11-09" -> 7.0))
+    } finally q.stop()
+  }
+
+  test("sliding windows produce overlapping buckets") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[String]
+    val tx = EcommerceStreamJob.parse(input.toDF())
+    val agg = Windows.slidingRevenue(tx, "transactionDate", "totalAmount",
+      windowLength = "1 hour", slide = "30 minutes", watermark = "1 hour")
+
+    val q = agg.writeStream.format("memory").queryName("win_slide")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(jsonTx("t1", "electronic", 10.0, "2024-11-08T10:15:00.000000"))
+      q.processAllAvailable()
+      // one event at 10:15 falls into [09:30,10:30) and [10:00,11:00)
+      val windows = spark.table("win_slide")
+        .select($"window_start").collect().map(_.getTimestamp(0).toString).sorted
+      assert(windows.length === 2)
+      assert(windows(0).contains("09:30:00"))
+      assert(windows(1).contains("10:00:00"))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops duplicate ids inside the horizon") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[String]
+    val tx = EcommerceStreamJob.parse(input.toDF())
+    val deduped = Windows.dedupWithinWatermark(tx, Seq("transactionId"),
+      "transactionDate", watermark = "1 hour")
+
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        jsonTx("a", "electronic", 10.0, "2024-11-08T10:00:00.000000"),
+        jsonTx("a", "electronic", 10.0, "2024-11-08T10:00:05.000000"), // replay
+        jsonTx("b", "fashion", 4.0, "2024-11-08T10:01:00.000000"))
+      q.processAllAvailable()
+      input.addData( // replay in a later batch, still inside the horizon
+        jsonTx("a", "electronic", 10.0, "2024-11-08T10:02:00.000000"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream")
+        .select($"transactionId").collect().map(_.getString(0)).sorted
+      assert(ids === Array("a", "b"))
+    } finally q.stop()
+  }
+}
