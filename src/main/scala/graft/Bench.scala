@@ -8,6 +8,10 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
       shufflePartitions = cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warmup: exercise codegen/JIT + file listing once so the first
+    // measured query doesn't absorb JVM startup (~3 s of noise)
+    try SparkEntry.queries("q1_lineitem_agg")(spark, sfDir).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -134,14 +134,19 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
     // ===== training-data pipeline: text analysis =====
-    "q_text_stats" -> ((s, dir) =>
+    "q_text_stats" -> ((s, dir) => {
+      val st = TextAnalysis.textStats(col("text"))
       Tables.documents(s, dir).select(
           col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).as("token_count"),
-          length(col("text")).as("char_count"),
-          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
-          TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"))
-        .orderBy("doc_id")),
+          st.getField("token_count").as("token_count"),
+          st.getField("char_count").as("char_count"),
+          when(st.getField("char_count") === 0, lit(0.0))
+            .otherwise(st.getField("punct_count").cast("double")
+              / st.getField("char_count")).as("punct_ratio"),
+          (st.getField("stopword_count").cast("double")
+            / st.getField("token_count")).as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
     "q_text_quality" -> ((s, dir) =>
       Tables.documents(s, dir).select(
           col("doc_id"),

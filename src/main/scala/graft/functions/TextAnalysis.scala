@@ -51,16 +51,30 @@ object TextAnalysis {
         aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t))
           .cast("double") / tokenCount(text))
 
+  /** All scalar text features in one struct via the one-pass custom
+    * `TextStats` expression (see its Scaladoc for why the Column-only
+    * formulation tokenizes once per feature). Fields: token_count,
+    * char_count, punct_count, stopword_count, token_len_sum. */
+  def textStats(text: Column): Column =
+    graft.expressions.TextStats.stats(text, stopwords)
+
   /** Heuristic document-quality score in [0,1]: rewards reasonable
     * length, low punctuation density, the presence of function words,
     * and word lengths in the natural-language band. Deliberately a pure
-    * arithmetic combination so the oracle can reproduce it exactly. */
+    * arithmetic combination so the oracle can reproduce it exactly.
+    * Identical arithmetic to the per-feature Column functions, but fed
+    * from the single-pass stats struct. */
   def qualityScore(text: Column): Column = {
-    val lengthTerm   = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
-    val punctTerm    = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
-    val stopTerm     = least(stopwordRatio(text) * 5.0, lit(1.0))
-    val wordLenTerm  = lit(1.0) -
-      least(abs(avgTokenLength(text) - 5.0) / 5.0, lit(1.0))
+    val st = textStats(text)
+    val tc = st.getField("token_count").cast("double")
+    val pr = when(st.getField("char_count") === 0, lit(0.0))
+      .otherwise(st.getField("punct_count").cast("double") / st.getField("char_count"))
+    val sr = st.getField("stopword_count").cast("double") / tc
+    val al = st.getField("token_len_sum").cast("double") / tc
+    val lengthTerm   = least(tc / 100.0, lit(1.0))
+    val punctTerm    = lit(1.0) - least(pr * 4.0, lit(1.0))
+    val stopTerm     = least(sr * 5.0, lit(1.0))
+    val wordLenTerm  = lit(1.0) - least(abs(al - 5.0) / 5.0, lit(1.0))
     lengthTerm * 0.3 + punctTerm * 0.3 + stopTerm * 0.2 + wordLenTerm * 0.2
   }
 
@@ -100,13 +114,24 @@ object TextAnalysis {
       (acc, ch) => (acc * 31L + ascii(ch)) % 1000000007L)
 
   /** Word n-grams ("shingles") as an array column; n ≥ 1. Empty/short
-    * docs yield an empty array. Used by the dedup family. */
+    * docs yield an empty array. Used by the dedup family.
+    *
+    * Formulated as chained `zip_with` over shifted slices rather than
+    * `transform(sequence(...), i => slice(toks, i, n))`: a lambda body
+    * re-evaluates non-attribute subexpressions PER ELEMENT, so the
+    * index-based version re-runs the regex tokenizer |tokens| times per
+    * row (O(len·tokens) — measured as the dominant cost of the dedup
+    * suite), while zip_with children are evaluated once per row. The
+    * null-padding of the shorter zip side yields null tail entries
+    * (concat null-propagates), which the final slice drops. */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1)
     val toks = tokens(text)
+    val joined = (2 to n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), size(toks)),
+        (a, b) => concat(a, lit(" "), b))
+    }
     when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(slice(joined, lit(1), size(toks) - (n - 1)))
   }
 }
