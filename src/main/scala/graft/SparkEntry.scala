@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Ecommerce, Multimodal, Similarity}
+import graft.operators.{Dedup, Ecommerce, Multimodal, Scale, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -195,6 +195,19 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
           "vec_id", "embedding", threshold = 0.4)
         .orderBy("id_a", "id_b")),
+    // ===== scale management: skew-resistant agg + deterministic sampling =====
+    "q_salted_category_sales" -> ((s, dir) =>
+      Scale.saltedSum(Tables.events(s, dir), Seq("event_type"), "value",
+          "total_sales", saltFrom = "event_id", buckets = 16)
+        .select(col("event_type").as("category"), col("total_sales"))
+        .orderBy("category")),
+    "q_mod_sample" -> ((s, dir) =>
+      Scale.modSample(Tables.events(s, dir), "event_id", num = 2, den = 10)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")),
+    "q_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(Tables.embeddings(s, dir), "label", "embedding")
+        .orderBy("label", "dim")),
     // ===== training-data pipeline: multimodal plumbing =====
     "q_media_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -346,6 +359,19 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
          ORDER BY doc_id""",
+    // salting must be result-invariant: same oracle as the naive grouping
+    "q_salted_category_sales" ->
+      """SELECT event_type AS category, SUM(value) AS total_sales
+         FROM events GROUP BY 1 ORDER BY category""",
+    "q_mod_sample" ->
+      """SELECT event_id, user_id, event_type, value
+         FROM events WHERE event_id % 10 < 2 ORDER BY event_id""",
+    "q_label_centroids" ->
+      """SELECT label, dim, avg(v) AS centroid FROM (
+           SELECT label, CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,
+                  unnest(embedding) AS v
+           FROM embeddings)
+         GROUP BY 1, 2 ORDER BY label, dim""",
     "q_jaccard_neardup" -> jaccardOracleSql,
     // MinHash+LSH verifies candidates with EXACT Jaccard, so its output
     // equals the exhaustive inverted-index result whenever LSH recall is

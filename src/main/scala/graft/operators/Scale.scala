@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-management operators: skew-resistant aggregation and
+  * deterministic sampling. These don't add new query semantics — they
+  * re-shape existing ones so the plan survives hot keys and 100 TB
+  * inputs. Results are bit-identical (modulo float summation order) to
+  * their naive counterparts, which is what their oracles check.
+  */
+object Scale {
+
+  /** Two-stage "salted" sum for skewed grouping keys.
+    *
+    * A single `groupBy(keys).sum` sends every row of a hot key to one
+    * reducer; with, say, 40% of a 100 TB stream in one category, that
+    * task runs for hours while the rest idle. Salting splits each key
+    * into `buckets` sub-keys for a partial aggregate, then combines the
+    * (keys × buckets) partials — the second shuffle moves only
+    * `|keys| × buckets` rows. (Spark's map-side partial aggregation
+    * covers mild skew already; explicit salting is the escape hatch
+    * when one key exceeds what a single final-agg task can absorb, and
+    * AQE skew handling only covers joins, not aggregations.)
+    *
+    * The salt is derived from `saltFrom` (pick any spread-out column —
+    * an id, a timestamp) so the operator stays deterministic. */
+  def saltedSum(df: DataFrame, keyCols: Seq[String], valCol: String,
+      outCol: String, saltFrom: String, buckets: Int = 16): DataFrame = {
+    val keys = keyCols.map(col)
+    df.withColumn("__salt", pmod(xxhash64(col(saltFrom)), lit(buckets)))
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(sum(col(valCol)).as("__partial"))
+      .groupBy(keys: _*)
+      .agg(sum(col("__partial")).as(outCol))
+  }
+
+  /** Deterministic modulo sample: keeps rows where `id % den < num`
+    * (an exact `num/den` fraction for dense ids). Reproducible across
+    * runs and engines — the property a training-data pipeline needs so
+    * a sample can be re-materialized bit-for-bit. For non-uniform or
+    * sparse keys use `hashSample`, which decorrelates via xxhash64. */
+  def modSample(df: DataFrame, idCol: String, num: Int, den: Int): DataFrame = {
+    require(num >= 0 && num <= den && den > 0)
+    df.filter(pmod(col(idCol), lit(den)) < lit(num))
+  }
+
+  /** Hash-based deterministic sample: uniform regardless of key
+    * distribution (sparse, clustered, or adversarial ids), still fully
+    * reproducible. Not DuckDB-oracle-able (different hash function) —
+    * covered by property tests instead. */
+  def hashSample(df: DataFrame, idCol: String, num: Int, den: Int): DataFrame = {
+    require(num >= 0 && num <= den && den > 0)
+    df.filter(pmod(xxhash64(col(idCol)), lit(den)) < lit(num))
+  }
+}

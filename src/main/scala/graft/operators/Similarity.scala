@@ -120,6 +120,20 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Per-label centroid of an embedding column, one output row per
+    * (label, dimension). The explode/aggregate shape is deliberate for
+    * scale: `posexplode` widens rows 64× but keeps them 3 columns
+    * narrow, and the (label × dim) key space is tiny, so map-side
+    * partial aggregation collapses nearly everything before the single
+    * shuffle. (The array-typed alternative — aggregating whole vectors
+    * — ships full arrays through the shuffle and needs a custom
+    * aggregator for elementwise mean.) */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("v")).as("centroid"))
+
   /** Embedding near-duplicate pairs: all (a,b) with cosine ≥ threshold,
     * a < b. Exact variant = self-join (quadratic — fixture scale only);
     * the scale path reuses the LSH bucketing so only bucket-mates are

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Scale, Similarity}
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedSum equals the naive grouping result") {
+    val ev = Tables.events(spark, sf)
+    val salted = Scale.saltedSum(ev, Seq("event_type"), "value",
+        "total", saltFrom = "event_id", buckets = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val naive = ev.groupBy("event_type").agg(sum("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(salted.keySet === naive.keySet)
+    salted.foreach { case (k, v) =>
+      assert(math.abs(v - naive(k)) < 1e-6 * math.max(1.0, math.abs(v)))
+    }
+  }
+
+  test("modSample keeps exactly ids with id % den < num") {
+    val s = Scale.modSample(Tables.events(spark, sf), "event_id", 2, 10)
+      .select("event_id").collect().map(_.getLong(0))
+    assert(s.nonEmpty)
+    assert(s.forall(id => id % 10 < 2))
+  }
+
+  test("hashSample is deterministic and roughly proportional") {
+    val df = Tables.events(spark, sf)
+    val a = Scale.hashSample(df, "event_id", 3, 10).count()
+    val b = Scale.hashSample(df, "event_id", 3, 10).count()
+    assert(a === b)
+    val total = df.count()
+    assert(a > total * 0.2 && a < total * 0.4) // ~30% ± slack
+  }
+
+  test("labelCentroids: per-dimension means over a known fixture") {
+    val vecs = Seq(
+      (0, Array(1.0f, 3.0f)),
+      (0, Array(3.0f, 5.0f)),
+      (1, Array(10.0f, 20.0f))).toDF("label", "embedding")
+    val c = Similarity.labelCentroids(vecs, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(c === Map((0, 0) -> 2.0, (0, 1) -> 4.0, (1, 0) -> 10.0, (1, 1) -> 20.0))
+  }
+}
