@@ -116,36 +116,45 @@ object EcommerceStreamJob {
       batch: DataFrame, batchId: Long): Unit =
     JdbcUpsert.upsert(batch, table, keys, cfg.db)
 
-  /** Start the full job: DDL once at startup (replacing the reference's
-    * no-op DDL "sinks" W1–W4), then four streaming queries. */
-  def startAll(spark: SparkSession, cfg: JobConfig,
-      source: Option[DataFrame] = None): Seq[StreamingQuery] = {
-    JdbcUpsert.runDdl(cfg.db)
-    val raw = source.getOrElse(kafkaSource(spark, cfg))
-    val tx = parse(raw)
+  /** The four pipelines of the job as (queryName, transform, outputMode,
+    * targetTable, upsertKeys) — the single topology description both
+    * `startAll` (JDBC) and tests (captured sinks) wire up.
+    * Conflict targets = the table PKs (`DataStreamJob.java:280,293,307`);
+    * the faithful aggs pin date/year per key, so the full-PK conflict
+    * target hits the same row every update. */
+  val pipelines: Seq[(String, DataFrame => DataFrame, String, String, Seq[String])] = Seq(
+    ("raw_transactions", rawForDb _, "append", "transactions", Seq("transaction_id")),
+    ("sales_per_category", categoryAgg _, "update", "sales_per_category",
+      Seq("transaction_date", "category")),
+    ("sales_per_day", dayAgg _, "update", "sales_per_day", Seq("transaction_date")),
+    ("sales_per_month", monthAgg _, "update", "sales_per_month", Seq("year", "month"))
+  )
 
-    def q(name: String, df: DataFrame, mode: String, table: String,
-        keys: Seq[String]): StreamingQuery =
-      df.writeStream
+  /** Start the full topology with a custom per-batch sink — the test
+    * seam. `sink(table, keys)(batchDf, batchId)` is invoked per
+    * micro-batch of each pipeline. */
+  def startAllWithSink(spark: SparkSession, cfg: JobConfig, source: DataFrame)(
+      sink: (String, Seq[String]) => (DataFrame, Long) => Unit): Seq[StreamingQuery] = {
+    val tx = parse(source)
+    pipelines.map { case (name, transform, mode, table, keys) =>
+      transform(tx).writeStream
         .queryName(name)
         .outputMode(mode)
         .option("checkpointLocation", s"${cfg.checkpointRoot}/$name")
         .trigger(Trigger.ProcessingTime(cfg.triggerMs))
-        .foreachBatch(upsertEachBatch(table, keys, cfg) _)
+        .foreachBatch(sink(table, keys))
         .start()
+    }
+  }
 
-    Seq(
-      q("raw_transactions", rawForDb(tx), "append",
-        "transactions", Seq("transaction_id")),
-      // conflict targets = the table PKs (DataStreamJob.java:280,293,307);
-      // the faithful aggs pin date/year per key, so the full-PK conflict
-      // target hits the same row every update.
-      q("sales_per_category", categoryAgg(tx), "update",
-        "sales_per_category", Seq("transaction_date", "category")),
-      q("sales_per_day", dayAgg(tx), "update",
-        "sales_per_day", Seq("transaction_date")),
-      q("sales_per_month", monthAgg(tx), "update",
-        "sales_per_month", Seq("year", "month"))
-    )
+  /** Start the full job: DDL once at startup (replacing the reference's
+    * no-op DDL "sinks" W1–W4), then four streaming queries upserting
+    * into Postgres. */
+  def startAll(spark: SparkSession, cfg: JobConfig,
+      source: Option[DataFrame] = None): Seq[StreamingQuery] = {
+    JdbcUpsert.runDdl(cfg.db)
+    startAllWithSink(spark, cfg, source.getOrElse(kafkaSource(spark, cfg))) {
+      (table, keys) => upsertEachBatch(table, keys, cfg) _
+    }
   }
 }
