@@ -185,6 +185,12 @@ object SparkEntry {
           "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
+    "q_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, numCentroids = 16, nProbe = 6)
+        .orderBy("query_id", "rank")
+    }),
     "q_ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
@@ -195,6 +201,16 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
           "vec_id", "embedding", threshold = 0.4)
         .orderBy("id_a", "id_b")),
+    // ----- corpus statistics: exact interpolated percentiles per group
+    "q_corpus_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          avg(col("n_chars")).as("avg_chars"),
+          percentile(col("n_chars"), lit(0.5)).as("p50_chars"),
+          percentile(col("n_chars"), lit(0.95)).as("p95_chars"))
+        .orderBy("lang")),
     // ===== scale management: skew-resistant agg + deterministic sampling =====
     "q_salted_category_sales" -> ((s, dir) =>
       Scale.saltedSum(Tables.events(s, dir), Seq("event_type"), "value",
@@ -359,6 +375,11 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
          ORDER BY doc_id""",
+    "q_corpus_stats" ->
+      """SELECT lang, count(*) AS n_docs, avg(n_chars) AS avg_chars,
+                quantile_cont(n_chars, 0.5) AS p50_chars,
+                quantile_cont(n_chars, 0.95) AS p95_chars
+         FROM documents GROUP BY 1 ORDER BY lang""",
     // salting must be result-invariant: same oracle as the naive grouping
     "q_salted_category_sales" ->
       """SELECT event_type AS category, SUM(value) AS total_sales

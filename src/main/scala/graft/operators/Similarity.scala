@@ -120,6 +120,55 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** IVF (inverted-file) approximate top-k — the FAISS-style scale
+    * path: partition the corpus into `numCentroids` coarse cells by
+    * nearest centroid, and probe only the `nProbe` cells closest to
+    * each query.
+    *
+    * Centroids are the first `numCentroids` corpus vectors by id
+    * (Forgy initialization — deterministic, no iterative k-means;
+    * callers wanting tighter cells can pass refined centroids).
+    *
+    * Scale shape: centroids are driver-collected (C×dim floats — KBs)
+    * and broadcast; cell assignment is a broadcast nested-loop over C
+    * per vector in one scan pass (codegen'd dot products); the probe
+    * join is an equi-join on cell id touching ~nProbe/C of the corpus
+    * per query, vs 100% for brute force. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = corpus.orderBy(col(idCol)).limit(numCentroids)
+      .select(col(idCol).cast("long").as("cell"), col(vecCol).as("centv"))
+
+    def assign(df: DataFrame, keep: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(centroids))
+        .withColumn("cdist", dotProduct(col("v"), col("centv"))
+          / (col("vnorm") * l2Norm(col("centv"))))
+      val w = Window.partitionBy(col("rid")).orderBy(col("cdist").desc, col("cell"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("centv", "cdist", "crank")
+    }
+
+    val c = assign(corpus.select(col(idCol).as("rid"), col(vecCol).as("v"))
+      .withColumn("vnorm", l2Norm(col("v"))), keep = 1)
+      .select(col("rid").as("neighbor_id"), col("v").as("cv"),
+        col("vnorm").as("cnorm"), col("cell"))
+    val q = assign(queries.select(col(idCol).as("rid"), col(vecCol).as("v"))
+      .withColumn("vnorm", l2Norm(col("v"))), keep = nProbe)
+      .select(col("rid").as("query_id"), col("v").as("qv"),
+        col("vnorm").as("qnorm"), col("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        dotProduct(col("cv"), col("qv")) / (col("cnorm") * col("qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Per-label centroid of an embedding column, one output row per
     * (label, dimension). The explode/aggregate shape is deliberate for
     * scale: `posexplode` widens rows 64× but keeps them 3 columns

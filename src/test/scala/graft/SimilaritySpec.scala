@@ -54,6 +54,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("ivfTopK recall vs brute force, probing a fraction of cells") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        numCentroids = 16, nProbe = 6)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall") // weak-neighbor fixture regime
+    assert(ivf.size === exact.size)          // still returns full top-k lists
+  }
+
   test("lshNearDupPairs is a subset of exact pairs with high recall") {
     val emb = Tables.embeddings(spark, sf)
     val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
