@@ -44,10 +44,12 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qnorm", l2Norm(col("qv")))
 
+    // project the arrays away BEFORE the ranking window: only
+    // (query_id, neighbor_id, cos) shuffles into the per-query sort
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos",
-        dotProduct(col("cv"), col("qv")) / (col("cnorm") * col("qnorm")))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotProduct(col("cv"), col("qv")) / (col("cnorm") * col("qnorm"))).as("cos"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -105,16 +107,26 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qnorm", l2Norm(col("qv")))
 
-    val cand = bucketed(c, "c").join(broadcast(bucketed(q, "q")), Seq("tbl", "bkt"))
+    // candidates travel as bare id pairs through the dedup shuffle;
+    // vectors are joined back once per surviving pair, and the arrays
+    // are projected away again before the ranking window
+    val cand = bucketed(c.select("neighbor_id", "cv"), "c")
+      .select("tbl", "bkt", "neighbor_id")
+      .join(broadcast(bucketed(q.select("query_id", "qv"), "q")
+        .select("tbl", "bkt", "query_id")), Seq("tbl", "bkt"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "qnorm", "neighbor_id", "cv", "cnorm")
-      .dropDuplicates("query_id", "neighbor_id")
+      .select("query_id", "neighbor_id")
+      .distinct()
+
+    val scored = cand
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotProduct(col("cv"), col("qv")) / (col("cnorm") * col("qnorm"))).as("cos"))
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand
-      .withColumn("cos",
-        dotProduct(col("cv"), col("qv")) / (col("cnorm") * col("qnorm")))
+    scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
@@ -162,8 +174,8 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos",
-        dotProduct(col("cv"), col("qv")) / (col("cnorm") * col("qnorm")))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotProduct(col("cv"), col("qv")) / (col("cnorm") * col("qnorm"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
