@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape regression guards: the properties that make these queries
+  * scale (pushdown, pruning, broadcast) asserted against the actual
+  * physical plan, so a refactor that silently loses them fails CI. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.explainString(FormattedMode)
+
+  test("q_raw_events pushes the value filter into the parquet scan") {
+    val p = plan("q_raw_events")
+    assert(p.contains("PushedFilters: [IsNotNull(value), GreaterThanOrEqual(value,100.0)]"))
+    // column pruning: props/ts must not be read
+    assert(!p.contains("props"))
+  }
+
+  test("q3_shipping broadcasts the filtered customer dimension") {
+    val p = plan("q3_shipping")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q5_region_revenue reads only 3 lineitem columns and broadcasts dims") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"))
+  }
+
+  test("q1_lineitem_agg is a partial -> exchange -> final aggregation") {
+    val p = plan("q1_lineitem_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("hashpartitioning"))
+  }
+
+  test("aggregation queries keep whole-stage codegen on the scan side") {
+    val p = SparkEntry.queries("q1_lineitem_agg")(spark, sf)
+      .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
+    assert(p.contains("WholeStageCodegen"))
+  }
+}
