@@ -46,13 +46,21 @@ object Json {
   }
 
   /** Drop records Jackson would have thrown on (all-null struct ⇒
-    * unparseable, or missing the PK). Kept separate so callers choose
-    * dead-letter handling instead of silent drops. */
+    * unparseable, or missing the PK) AND records without a parseable
+    * event time: a null transactionDate would otherwise flow into the
+    * date-keyed aggregations as a NULL grouping key and then into a
+    * NOT NULL Postgres PK column — a poison-pill record that crash-loops
+    * the sink on every checkpoint replay. Kept separate so callers
+    * choose dead-letter handling instead of silent drops. */
   def validTransactions(parsed: DataFrame): DataFrame =
-    parsed.filter(col("transactionId").isNotNull)
+    parsed.filter(
+      col("transactionId").isNotNull && col("transactionDate").isNotNull)
 
   /** Object → JSON string (reference `JsonUtil.java:10-16`, used for the
-    * ES `_source` payload). */
+    * ES `_source` payload). Pins the same timestampFormat as the parse
+    * side so emitted JSON is re-parseable (round-trip safe). */
   def toJsonColumn(df: DataFrame): DataFrame =
-    df.withColumn("json", to_json(struct(df.columns.map(col): _*)))
+    df.withColumn("json",
+      to_json(struct(df.columns.map(col): _*),
+        Map("timestampFormat" -> generatorTimestampFormat)))
 }

@@ -112,18 +112,19 @@ object JdbcUpsert {
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
         var conn: Connection = null
-        def freshConn(): Connection = {
-          if (conn != null) { try conn.close() catch { case _: Throwable => () } }
-          conn = connect(cfg); conn.setAutoCommit(false); conn
-        }
-        conn = freshConn()
+        def closeQuietly(): Unit =
+          if (conn != null) { try conn.close() catch { case _: Throwable => () }; conn = null }
         try {
           rows.grouped(cfg.batchSize).foreach { group =>
             var attempt = 0
             var done = false
             var last: Throwable = null
             while (!done && attempt <= cfg.maxRetries) {
+              // the RECONNECT is part of the retried attempt: a refused
+              // connection during a DB outage must consume one retry
+              // (with backoff), not escape the loop and fail the task
               try {
+                if (conn == null) { conn = connect(cfg); conn.setAutoCommit(false) }
                 val ps = conn.prepareStatement(sql)
                 try {
                   group.foreach { row => bind(ps, row, schema); ps.addBatch() }
@@ -133,15 +134,18 @@ object JdbcUpsert {
               } catch {
                 case e: java.sql.SQLException =>
                   last = e; attempt += 1
-                  try conn.rollback() catch { case _: Throwable => () }
-                  if (attempt <= cfg.maxRetries) conn = freshConn()
+                  if (conn != null) { try conn.rollback() catch { case _: Throwable => () } }
+                  closeQuietly()
+                  if (attempt <= cfg.maxRetries) {
+                    // linear backoff, starting at the reference's flush
+                    // cadence (200 ms) — gives a restarting DB a window
+                    Thread.sleep(200L * attempt)
+                  }
               }
             }
             if (!done) throw last
           }
-        } finally {
-          if (conn != null) try conn.close() catch { case _: Throwable => () }
-        }
+        } finally closeQuietly()
       }
     }
   }

@@ -38,12 +38,24 @@ object EcommerceStreamJob {
     * (`DataStreamJob.java:71-78`: kafka servers, topic, group, db url/user/
     * password — note the reference swaps user/password keys at `:108-109`;
     * we do not reproduce that bug). */
+  /** `checkpointRoot` is deliberately required (no default): the
+    * running totals live in the checkpointed state store, and a
+    * non-durable location (e.g. /tmp) means a host restart resets the
+    * totals and the replace-upserts then overwrite the accumulated DB
+    * values with small restarted ones.
+    *
+    * `groupId` empty ⇒ let Spark generate a UNIQUE consumer group per
+    * query. The four concurrent queries of this job must NOT share one
+    * group id — the Spark Kafka integration warns that concurrent
+    * queries in the same group interfere and each read only part of the
+    * topic. Set it only for broker-side ACL requirements, and then run
+    * a single query per job instance. */
   final case class JobConfig(
+      checkpointRoot: String,
       kafkaServers: String = "broker:29092",
       topic: String = "financial_transactions",
-      groupId: String = "flink-group",
+      groupId: String = "",
       startingOffsets: String = "latest",
-      checkpointRoot: String = "/tmp/graft-checkpoints",
       triggerMs: Long = 200L, // reference JDBC flush cadence (DataStreamJob.java:102)
       db: ConnConfig = ConnConfig("jdbc:postgresql://localhost:5432/postgres",
         "postgres", "postgres"))
@@ -55,14 +67,15 @@ object EcommerceStreamJob {
     * classpath (standard on any Spark distribution with Kafka support;
     * NOT present in this offline build environment, where tests drive
     * the same pipelines through MemoryStream / `fileSource`). */
-  def kafkaSource(spark: SparkSession, cfg: JobConfig): DataFrame =
-    spark.readStream
+  def kafkaSource(spark: SparkSession, cfg: JobConfig): DataFrame = {
+    val base = spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", cfg.kafkaServers)
       .option("subscribe", cfg.topic)
       .option("startingOffsets", cfg.startingOffsets)
-      .option("kafka.group.id", cfg.groupId)
-      .load()
+    (if (cfg.groupId.nonEmpty) base.option("kafka.group.id", cfg.groupId)
+     else base).load()
+  }
 
   /** Connector-free source for local/offline runs: a directory of JSON
     * lines, one transaction per line — same `value: string` contract as

@@ -27,12 +27,13 @@ object Stateful {
   /** Per-key latest-record stream. Input must be pre-mapped to
     * `Keyed(key, eventTimeMs, value)`; output is the raw `value` of
     * each record that advanced its key's latest-seen event time.
-    * Use with `outputMode("update")` or `append`. */
+    * The operator declares `OutputMode.Update` internally, so the
+    * enclosing query must use `outputMode("update")` (append-output
+    * queries are rejected by Spark's unsupported-operation checker). */
   def latestPerKey[T: Encoder](ds: Dataset[Keyed[T]],
       stateTtlMs: Long = 0L): Dataset[T] = {
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
     implicit val stringEnc: Encoder[String] = Encoders.STRING
-    implicit val keyedEnc: Encoder[Keyed[T]] = ds.encoder
     val timeout =
       if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Watermarked, windowed variants of the running aggregations — the
@@ -47,7 +47,9 @@ object Windows {
     * at-least-once Kafka delivery + this = effectively-once ingestion
     * without the JDBC upsert having to absorb every replay. */
   def dedupWithinWatermark(df: DataFrame, keyCols: Seq[String], tsCol: String,
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour"): DataFrame = {
+    require(keyCols.nonEmpty, "dedupWithinWatermark needs at least one key column")
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
 }

@@ -40,22 +40,29 @@ class JsonSpec extends SparkSpec {
     assert(t.totalAmount === 999.98)
   }
 
-  test("malformed and key-less records are dropped by validTransactions") {
+  test("malformed, key-less, and date-less records are dropped by validTransactions") {
     val rows = Seq(
       generatorRecord,
       """{"productId":"product1"}""", // parseable, no PK
+      // parseable with PK but no event time: would become a NULL
+      // grouping key -> NULL PK in the sink (poison pill)
+      """{"transactionId":"t-no-date","totalAmount":1.0}""",
       "not json at all")
     val valid = Json.validTransactions(
       Json.parseTransactions(rows.toDF("value")))
     assert(valid.count() === 1L)
   }
 
-  test("toJsonColumn round-trips through parseTransactions (F1 parity)") {
+  test("toJsonColumn round-trips through parseTransactions incl. the timestamp") {
     val parsed = Json.parseTransactions(Seq(generatorRecord).toDF("value"))
     val json = Json.toJsonColumn(parsed).select("json")
     val reparsed = Json.parseTransactions(json, "json").collect().head
     assert(reparsed.getAs[String]("transactionId")
       === "7e57d004-2b97-4c7a-9d3e-000000000001")
     assert(reparsed.getAs[Double]("totalAmount") === 999.98)
+    // the round-trip must preserve the event time — emitted JSON pins
+    // the same timestampFormat the parser expects
+    assert(reparsed.getAs[java.sql.Timestamp]("transactionDate").toString
+      === "2024-11-08 12:34:56.789012")
   }
 }
