@@ -41,6 +41,24 @@ object Windows {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("total_sales"), col("n_events"))
 
+  /** Session windows: activity grouped into dynamic windows that close
+    * after `gap` of inactivity per key — e.g. revenue per customer
+    * browsing session. A session's state is dropped once the watermark
+    * passes its close, so state stays bounded by concurrent sessions.
+    * Streaming queries must use `outputMode("append")` (Spark emits a
+    * session only once the watermark closes it; update mode is
+    * unsupported for session windows). */
+  def sessionRevenue(tx: DataFrame, tsCol: String, keyCol: String,
+      amtCol: String, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    tx.withWatermark(tsCol, watermark)
+      .groupBy(
+        session_window(col(tsCol), gap).as("w"),
+        col(keyCol).as("session_key"))
+      .agg(sum(col(amtCol)).as("total_sales"), count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("session_key"), col("total_sales"), col("n_events"))
+
   /** Streaming exact dedup on a key with bounded state: duplicates
     * arriving within the watermark horizon are dropped, state for older
     * keys is reclaimed. The streaming face of `Dedup.exactDedup` —

@@ -63,6 +63,32 @@ class WindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows split on inactivity gaps per key") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[String]
+    val tx = EcommerceStreamJob.parse(input.toDF())
+    val agg = Windows.sessionRevenue(tx, "transactionDate", "customerId",
+      "totalAmount", gap = "10 minutes", watermark = "1 hour")
+
+    // session windows emit on close -> append mode + a watermark pusher
+    val q = agg.writeStream.format("memory").queryName("win_session")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        jsonTx("t1", "electronic", 10.0, "2024-11-08T10:00:00.000000"),
+        jsonTx("t2", "electronic", 5.0, "2024-11-08T10:05:00.000000"), // same session
+        jsonTx("t3", "electronic", 7.0, "2024-11-08T11:00:00.000000")) // new session
+      q.processAllAvailable()
+      // advance the watermark past both session ends so they close
+      input.addData(jsonTx("t4", "electronic", 1.0, "2024-11-08T13:00:00.000000"))
+      q.processAllAvailable()
+      val sessions = spark.table("win_session")
+        .collect().map(r => r.getTimestamp(0).toString.substring(11, 16) ->
+          r.getAs[Double]("total_sales")).toMap
+      assert(sessions === Map("10:00" -> 15.0, "11:00" -> 7.0))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops duplicate ids inside the horizon") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[String]
