@@ -21,10 +21,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * 100 TB × 6 regex passes that is the whole job's CPU bill. This
   * expression makes one allocation-light pass and returns a struct.
   *
-  * Parity contract (matches the DuckDB oracle exactly):
+  * Parity contract (matches `split(trim(text), "\s+")` and the DuckDB
+  * oracle exactly, validated by TextStatsSpec against the Column
+  * functions on the fixture):
+  *  - all counts are CODEPOINTS (Spark's and DuckDB's `length()`
+  *    semantics), so surrogate pairs count once;
+  *  - `trim` strips SPACES only (0x20) — exactly like Spark/DuckDB
+  *    `trim` — so a leading/trailing run of other whitespace (tab,
+  *    newline) yields the same empty token `split(..., -1)` produces;
   *  - token = maximal run of non-whitespace (Java regex `\s` class:
-  *    space \t \n \x0B \f \r), after trimming;
-  *  - empty/whitespace-only text ⇒ ONE empty token (both Spark's
+  *    space \t \n \x0B \f \r) in the trimmed text;
+  *  - space-only/empty text ⇒ ONE empty token (both Spark's
   *    `split("", ...)` and DuckDB's `string_split_regex('', ...)`
   *    return `['']` — we reproduce that quirk);
   *  - punctuation = ASCII `!-/ :-@ [-` {-~`;
@@ -70,47 +77,57 @@ object TextStats {
     StructField("stopword_count", IntegerType, nullable = false),
     StructField("token_len_sum", LongType, nullable = false)))
 
-  private def isWs(c: Char): Boolean = // Java regex \s
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  private def isWs(c: Int): Boolean = // Java regex \s
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
 
-  private def isPunct(c: Char): Boolean =
+  private def isPunct(c: Int): Boolean =
     (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
       (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
 
-  /** Single pass; called from both interpreted eval and generated code. */
+  /** Single pass; called from both interpreted eval and generated code.
+    * Operates on CODEPOINTS, not UTF-16 units: Spark's `length()` and
+    * DuckDB's `length()` both count codepoints, so a surrogate pair
+    * (emoji) must count as ONE char for the parity contract to hold. */
   def compute(s: String, stop: java.util.HashSet[String]): InternalRow = {
-    val len = s.length
+    val cps: Array[Int] = s.codePoints().toArray
+    val len = cps.length
     var punct = 0
     var tokens = 0
     var stopHits = 0
     var tokenLenSum = 0L
     var i = 0
-    // skip leading / trailing whitespace == trim() semantics
+    def emptyToken(): Unit = { tokens += 1; if (stop.contains("")) stopHits += 1 }
+    // trim() in Spark AND DuckDB strips SPACES only (0x20), not \s —
+    // match that, and reproduce split()'s empty tokens for leading/
+    // trailing non-space whitespace runs
     var start = 0
     var end = len
-    while (start < end && isWs(s.charAt(start))) start += 1
-    while (end > start && isWs(s.charAt(end - 1))) end -= 1
+    while (start < end && cps(start) == ' ') start += 1
+    while (end > start && cps(end - 1) == ' ') end -= 1
     i = 0
     while (i < len) { // punctuation counts over the UNtrimmed text
-      if (isPunct(s.charAt(i))) punct += 1
+      if (isPunct(cps(i))) punct += 1
       i += 1
     }
-    i = start
-    var tokStart = -1
-    while (i <= end) {
-      val atWs = i == end || isWs(s.charAt(i))
-      if (!atWs && tokStart < 0) tokStart = i
-      if (atWs && tokStart >= 0) {
-        tokens += 1
-        tokenLenSum += (i - tokStart)
-        if (stop.contains(s.substring(tokStart, i))) stopHits += 1
-        tokStart = -1
+    if (end == start) {
+      // split('', '\s+') == [''] quirk: one empty token
+      emptyToken()
+    } else {
+      if (isWs(cps(start))) emptyToken() // leading \s run ⇒ [""] prefix
+      i = start
+      var tokStart = -1
+      while (i <= end) {
+        val atWs = i == end || isWs(cps(i))
+        if (!atWs && tokStart < 0) tokStart = i
+        if (atWs && tokStart >= 0) {
+          tokens += 1
+          tokenLenSum += (i - tokStart)
+          if (stop.contains(new String(cps, tokStart, i - tokStart))) stopHits += 1
+          tokStart = -1
+        }
+        i += 1
       }
-      i += 1
-    }
-    if (tokens == 0) { // split('','\s+') == [''] quirk: one empty token
-      tokens = 1
-      if (stop.contains("")) stopHits += 1
+      if (isWs(cps(end - 1))) emptyToken() // trailing \s run ⇒ [""] suffix
     }
     new GenericInternalRow(Array[Any](tokens, len, punct, stopHits, tokenLenSum))
   }

@@ -29,12 +29,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
 case class DotProductDouble(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def supportedElem(t: DataType): Boolean = t match {
+    case FloatType | DoubleType | IntegerType | LongType => true
+    case _ => false // short/byte/decimal: no getter implemented below
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(_: NumericType, _), ArrayType(_: NumericType, _)) =>
+      case (ArrayType(l, _), ArrayType(r, _))
+          if supportedElem(l) && supportedElem(r) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires two numeric arrays, got $l and $r")
+        s"$prettyName requires two arrays of float/double/int/long, got $l and $r")
     }
 
   override def dataType: DataType = DoubleType
@@ -47,7 +53,13 @@ case class DotProductDouble(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) {
+      // silent truncation would mask dimension bugs (e.g. 64 hyperplane
+      // weights dotted against 128-dim vectors) — fail loudly instead
+      throw new IllegalArgumentException(
+        s"$prettyName: array length mismatch ${x.numElements()} vs ${y.numElements()}")
+    }
+    val n = x.numElements()
     val lt = elemType(left)
     val rt = elemType(right)
     var s = 0.0
@@ -87,7 +99,11 @@ case class DotProductDouble(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product_double: array length mismatch " + $n + " vs " + $b.numElements());
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += (${getter(elemType(left), a, i)}) * (${getter(elemType(right), b, i)});

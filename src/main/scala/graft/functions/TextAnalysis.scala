@@ -100,7 +100,10 @@ object TextAnalysis {
     val cases = scores.foldLeft(when(best === 0, lit("und"))) {
       case (acc, (lang, s)) => acc.when(s === best, lit(lang))
     }
-    cases.otherwise(lit("und"))
+    // NULL text propagates NULL (like every other function here) rather
+    // than falling through every NULL-condition when() into "und"
+    when(text.isNull, lit(null).cast("string"))
+      .otherwise(cases.otherwise(lit("und")))
   }
 
   /** Rabin–Karp-style rolling fingerprint over the character stream:
@@ -131,7 +134,11 @@ object TextAnalysis {
       zip_with(acc, slice(toks, lit(k), size(toks)),
         (a, b) => concat(a, lit(" "), b))
     }
-    when(size(toks) < n, array().cast("array<string>"))
+    // the empty-split quirk (tokens("") == [""]) must NOT leak through
+    // as a [""] 1-gram: empty docs would all become Jaccard-1.0 pairs
+    // and "" a hot inverted-index key
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .when(size(toks) < n, array().cast("array<string>"))
       .otherwise(slice(joined, lit(1), size(toks) - (n - 1)))
   }
 }

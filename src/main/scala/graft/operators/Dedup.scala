@@ -213,6 +213,11 @@ object Dedup {
     * only for the verification — same two-shuffle shape as MinHash-LSH. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int): DataFrame = {
+    // 4 bands of 16 bits guarantee a shared band only for Hamming ≤ 3
+    // (pigeonhole); a larger maxDist would silently miss qualifying
+    // pairs whose differing bits spread across all four bands
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4x16-bit banding only guarantees recall for maxDist <= 3, got $maxDist")
     val sigs = simhashSignatures(df, idCol, textCol)
 
     val banded = sigs.select(col("id"),

@@ -5,14 +5,18 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search over an `array<float>` column:
-  * brute-force cosine top-k as the exact baseline, and a random-
-  * hyperplane LSH-bucketed variant as the approximate scale path.
+  * brute-force cosine top-k as the exact baseline, and two approximate
+  * scale paths — random-hyperplane LSH and IVF (coarse-cell probing).
   *
-  * All arithmetic is `zip_with`/`aggregate` over the array columns,
-  * cast to double BEFORE multiplying so Spark and the DuckDB oracle
-  * (`::DOUBLE[]` + `list_dot_product`) accumulate identically within
-  * float tolerance. No UDFs — the dot products live inside whole-stage
-  * codegen next to the scan.
+  * All arithmetic is double precision via the custom codegen'd
+  * `DotProductDouble` Catalyst expression, accumulating in the same
+  * left-to-right order as the DuckDB oracle (`list_dot_product` on
+  * `::DOUBLE[]`), so results agree within float tolerance.
+  *
+  * Zero-norm vectors (padding rows, failed encoders) have no defined
+  * cosine; every operator here filters them out rather than letting
+  * `0/0 = NaN` — which Spark sorts as the LARGEST double — hijack rank 1
+  * of every top-k list.
   */
 object Similarity {
 
@@ -29,6 +33,29 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Corpus side as (neighbor_id, cv, cnorm), zero vectors dropped. */
+  private def corpusSide(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cnorm", l2Norm(col("cv")))
+      .filter(col("cnorm") > 0)
+
+  private def querySide(queries: DataFrame, idCol: String, vecCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qnorm", l2Norm(col("qv")))
+      .filter(col("qnorm") > 0)
+
+  /** Shared epilogue: per-query rank by cosine desc (ties on neighbor
+    * id), keep k. Input must already be projected to
+    * (query_id, neighbor_id, cos) so no arrays enter this shuffle. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * Plan shape: broadcast the (small) query set against the corpus —
@@ -39,24 +66,12 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cnorm", l2Norm(col("cv")))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qnorm", l2Norm(col("qv")))
-
-    // project the arrays away BEFORE the ranking window: only
-    // (query_id, neighbor_id, cos) shuffles into the per-query sort
-    val scored = c.crossJoin(broadcast(q))
+    val scored = corpusSide(corpus, idCol, vecCol)
+      .crossJoin(broadcast(querySide(queries, idCol, vecCol)))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dotProduct(col("cv"), col("qv")) / (col("cnorm") * col("qnorm"))).as("cos"))
-
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+    rankTopK(scored, k)
   }
 
   /** Deterministic random hyperplanes: `numPlanes × dim` entries in
@@ -77,6 +92,17 @@ object Similarity {
     bits.reduceLeft((acc, b) => acc * 2 + b)
   }
 
+  /** (tbl, bkt, id) bucket rows for one side — arrays are NOT carried;
+    * candidates travel as bare ids and vectors join back later. */
+  private def bucketRows(df: DataFrame, idName: String, vecName: String,
+      bitsPerTable: Int, numTables: Int,
+      allPlanes: Array[Array[Double]]): DataFrame =
+    df.select(col(idName),
+      posexplode(array((0 until numTables).map { t =>
+        lshBucket(col(vecName),
+          allPlanes.slice(t * bitsPerTable, (t + 1) * bitsPerTable))
+      }: _*)).as(Seq("tbl", "bkt")))
+
   /** Approximate top-k: candidates = corpus vectors sharing an LSH
     * bucket with the query in ANY of `numTables` independent tables;
     * exact cosine + top-k on the candidates only.
@@ -84,36 +110,21 @@ object Similarity {
     * Scale: each table is an equi-join on (table, bucket) — a hash
     * shuffle whose key cardinality is 2^bitsPerTable × numTables; the
     * 100 TB side is scanned once to emit numTables bucket rows per
-    * vector, and the expensive exact cosine runs on the candidate set
-    * only (expected n × bucketOccupancy ≪ n²). Recall tunes with
+    * vector (bare ids — no array traffic), and the expensive exact
+    * cosine runs on the candidate set only (≪ n²). Recall tunes with
     * numTables; bucket width with bitsPerTable.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, bitsPerTable: Int = 4, numTables: Int = 16,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
     val allPlanes = hyperplanes(bitsPerTable * numTables, dim, seed)
-    def bucketed(df: DataFrame, side: String): DataFrame = {
-      val buckets = (0 until numTables).map { t =>
-        struct(lit(t).as("tbl"),
-          lshBucket(col(s"${side}v"),
-            allPlanes.slice(t * bitsPerTable, (t + 1) * bitsPerTable)).as("bkt"))
-      }
-      df.withColumn("tb", explode(array(buckets: _*)))
-        .select(df.columns.map(col) :+ col("tb.tbl").as("tbl") :+ col("tb.bkt").as("bkt"): _*)
-    }
+    val c = corpusSide(corpus, idCol, vecCol)
+    val q = querySide(queries, idCol, vecCol)
 
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("cnorm", l2Norm(col("cv")))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qnorm", l2Norm(col("qv")))
-
-    // candidates travel as bare id pairs through the dedup shuffle;
-    // vectors are joined back once per surviving pair, and the arrays
-    // are projected away again before the ranking window
-    val cand = bucketed(c.select("neighbor_id", "cv"), "c")
-      .select("tbl", "bkt", "neighbor_id")
-      .join(broadcast(bucketed(q.select("query_id", "qv"), "q")
-        .select("tbl", "bkt", "query_id")), Seq("tbl", "bkt"))
+    val cand = bucketRows(c, "neighbor_id", "cv", bitsPerTable, numTables, allPlanes)
+      .join(broadcast(
+        bucketRows(q, "query_id", "qv", bitsPerTable, numTables, allPlanes)),
+        Seq("tbl", "bkt"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
@@ -123,13 +134,7 @@ object Similarity {
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dotProduct(col("cv"), col("qv")) / (col("cnorm") * col("qnorm"))).as("cos"))
-
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) approximate top-k — the FAISS-style scale
@@ -138,47 +143,47 @@ object Similarity {
     * each query.
     *
     * Centroids are the first `numCentroids` corpus vectors by id
-    * (Forgy initialization — deterministic, no iterative k-means;
-    * callers wanting tighter cells can pass refined centroids).
-    *
-    * Scale shape: centroids are driver-collected (C×dim floats — KBs)
-    * and broadcast; cell assignment is a broadcast nested-loop over C
-    * per vector in one scan pass (codegen'd dot products); the probe
-    * join is an equi-join on cell id touching ~nProbe/C of the corpus
-    * per query, vs 100% for brute force. */
+    * (Forgy initialization) and are COLLECTED TO THE DRIVER eagerly
+    * when this operator is built (C × dim floats — kilobytes), then
+    * embedded as literals: cell assignment is a codegen'd argmax over C
+    * literal dot products in the scan projection — no explode, no
+    * window, no shuffle on the 100 TB side beyond the probe join
+    * itself, which is an equi-join on cell id touching ~nProbe/C of the
+    * corpus per query.
+    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids = corpus.orderBy(col(idCol)).limit(numCentroids)
-      .select(col(idCol).cast("long").as("cell"), col(vecCol).as("centv"))
+    require(nProbe >= 1 && nProbe <= numCentroids)
+    // driver-side centroid collection (eager, small by construction)
+    val cents: Array[(Int, Array[Double], Double)] =
+      corpus.orderBy(col(idCol)).limit(numCentroids)
+        .select(col(vecCol)).collect()
+        .zipWithIndex.map { case (row, i) =>
+          val v = row.getSeq[Float](0).map(_.toDouble).toArray
+          (i, v, math.sqrt(v.map(x => x * x).sum))
+        }
 
-    def assign(df: DataFrame, keep: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(centroids))
-        .withColumn("cdist", dotProduct(col("v"), col("centv"))
-          / (col("vnorm") * l2Norm(col("centv"))))
-      val w = Window.partitionBy(col("rid")).orderBy(col("cdist").desc, col("cell"))
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("centv", "cdist", "crank")
-    }
+    /** struct(score, cell) per centroid — array_max/sort_array order by
+      * the first field, giving a pure-expression argmax. */
+    def cellScores(vec: Column, vnorm: Column): Column =
+      array(cents.map { case (cell, cv, cn) =>
+        struct(
+          (dotProduct(vec, array(cv.map(lit): _*)) / (vnorm * lit(cn))).as("score"),
+          lit(cell).as("cell"))
+      }: _*)
 
-    val c = assign(corpus.select(col(idCol).as("rid"), col(vecCol).as("v"))
-      .withColumn("vnorm", l2Norm(col("v"))), keep = 1)
-      .select(col("rid").as("neighbor_id"), col("v").as("cv"),
-        col("vnorm").as("cnorm"), col("cell"))
-    val q = assign(queries.select(col(idCol).as("rid"), col(vecCol).as("v"))
-      .withColumn("vnorm", l2Norm(col("v"))), keep = nProbe)
-      .select(col("rid").as("query_id"), col("v").as("qv"),
-        col("vnorm").as("qnorm"), col("cell"))
+    val c = corpusSide(corpus, idCol, vecCol)
+      .withColumn("cell", array_max(cellScores(col("cv"), col("cnorm"))).getField("cell"))
+    val q = querySide(queries, idCol, vecCol)
+      .withColumn("cell", explode(
+        slice(sort_array(cellScores(col("qv"), col("qnorm")), asc = false),
+          1, nProbe).getField("cell")))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    c.join(broadcast(q), Seq("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dotProduct(col("cv"), col("qv")) / (col("cnorm") * col("qnorm"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank", "cos")
+    rankTopK(scored, k)
   }
 
   /** Per-label centroid of an embedding column, one output row per
@@ -197,12 +202,12 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: all (a,b) with cosine ≥ threshold,
     * a < b. Exact variant = self-join (quadratic — fixture scale only);
-    * the scale path reuses the LSH bucketing so only bucket-mates are
-    * compared. */
+    * the scale path is `lshNearDupPairs`. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("norm", l2Norm(col("v")))
+      .filter(col("norm") > 0)
     val a = v.select(col("id").as("id_a"), col("v").as("va"), col("norm").as("na"))
     val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb"))
     a.crossJoin(b)
@@ -214,25 +219,29 @@ object Similarity {
 
   /** LSH-bucketed near-dup pairs — the 100 TB shape of
     * `cosineNearDupPairs`: only vectors sharing a bucket in some table
-    * are compared exactly. */
+    * are compared exactly. Candidates travel as bare id pairs; vectors
+    * join back once per surviving pair. */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bitsPerTable: Int = 4, numTables: Int = 16,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
     val allPlanes = hyperplanes(bitsPerTable * numTables, dim, seed)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("norm", l2Norm(col("v")))
-    val banded = v.select(col("id"), col("v"), col("norm"),
-      posexplode(array((0 until numTables).map { t =>
-        lshBucket(col("v"),
-          allPlanes.slice(t * bitsPerTable, (t + 1) * bitsPerTable))
-      }: _*)).as(Seq("tbl", "bkt")))
+      .filter(col("norm") > 0)
+    val banded = bucketRows(v, "id", "v", bitsPerTable, numTables, allPlanes)
 
-    banded.select(col("tbl"), col("bkt"), col("id").as("id_a"),
-        col("v").as("va"), col("norm").as("na"))
-      .join(banded.select(col("tbl"), col("bkt"), col("id").as("id_b"),
-        col("v").as("vb"), col("norm").as("nb")), Seq("tbl", "bkt"))
+    val cand = banded.select(col("tbl"), col("bkt"), col("id").as("id_a"))
+      .join(banded.select(col("tbl"), col("bkt"), col("id").as("id_b")),
+        Seq("tbl", "bkt"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .distinct()
+
+    cand
+      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("norm").as("na")),
+        Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("norm").as("nb")),
+        Seq("id_b"))
       .withColumn("cos", dotProduct(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

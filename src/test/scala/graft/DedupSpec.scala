@@ -82,6 +82,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(p => p._1 < p._2))
   }
 
+  test("simhash rejects maxDist beyond the banding guarantee") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 5)
+    }
+  }
+
+  test("empty docs produce no shingles for any n (no [''] 1-gram leak)") {
+    import graft.functions.TextAnalysis
+    for (n <- Seq(1, 2, 3)) {
+      val sh = Seq("", "   ").toDF("t")
+        .select(TextAnalysis.wordNgrams(col("t"), n).as("sh"))
+        .collect().map(_.getSeq[String](0))
+      assert(sh.forall(_.isEmpty), s"n=$n")
+    }
+  }
+
   test("dropNearDups removes larger ids of pairs") {
     val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.5)
     val kept = Dedup.dropNearDups(docs, "doc_id", pairs)

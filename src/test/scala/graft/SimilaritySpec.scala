@@ -39,6 +39,16 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs === Set((0L, 1L), (0L, 4L), (1L, 4L)))
   }
 
+  test("zero-norm vectors are excluded instead of NaN-ranking first") {
+    val withZero = vecs.union(
+      Seq((9L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val out = Similarity.bruteForceTopK(withZero,
+        withZero.filter(col("vec_id") === 0), "vec_id", "embedding", k = 3)
+      .collect()
+    assert(!out.exists(_.getAs[Long]("neighbor_id") == 9L))
+    assert(out.forall(r => !r.getAs[Double]("cos").isNaN))
+  }
+
   test("lshTopK recall vs brute force on the fixture is usable") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 10)

@@ -35,6 +35,29 @@ class TextStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("token_len_sum") === 11L) // "the","cat,","sat!"
   }
 
+  test("matches the Column functions on awkward edges: tabs, emoji, empties") {
+    val edges = Seq(
+      "\tthe cat\t",       // non-space ws survives trim -> empty tokens
+      "a \t b\n c",        // mixed internal whitespace
+      "hi 😀 x", // surrogate pair counts as ONE codepoint
+      "the",
+      "  spaced  ")
+    val both = edges.toDF("text").select(
+        TextAnalysis.textStats(col("text")).as("st"),
+        TextAnalysis.tokenCount(col("text")).as("tc"),
+        length(col("text")).as("cc"),
+        TextAnalysis.punctCount(col("text")).as("pc"),
+        TextAnalysis.stopwordCount(col("text")).as("sc"))
+      .collect()
+    both.foreach { r =>
+      val st = r.getStruct(0)
+      assert(st.getAs[Int]("token_count") === r.getAs[Int]("tc"))
+      assert(st.getAs[Int]("char_count") === r.getAs[Int]("cc"))
+      assert(st.getAs[Int]("punct_count") === r.getAs[Int]("pc"))
+      assert(st.getAs[Int]("stopword_count") === r.getAs[Int]("sc"))
+    }
+  }
+
   test("empty and whitespace-only text reproduce the [''] split quirk") {
     for (t <- Seq("", "   ")) {
       val r = stats(t)
