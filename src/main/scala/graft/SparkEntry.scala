@@ -125,11 +125,27 @@ object SparkEntry {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
         .orderBy("o_custkey", "rnk")
     }),
+    // ----- pushdown showcase: selective filter + agg (TPC-H Q6 shape)
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.06) &&
+          col("l_quantity") < 10.0)
+        .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"))),
     // ----- set operation: EXCEPT
     "q_custkeys_1995_not_1996" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       o.filter(year(col("o_orderdate")) === 1995).select("o_custkey").distinct()
         .except(
+          o.filter(year(col("o_orderdate")) === 1996).select("o_custkey").distinct())
+        .orderBy("o_custkey")
+    }),
+    // ----- set operation: INTERSECT
+    "q_custkeys_both_years" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      o.filter(year(col("o_orderdate")) === 1995).select("o_custkey").distinct()
+        .intersect(
           o.filter(year(col("o_orderdate")) === 1996).select("o_custkey").distinct())
         .orderBy("o_custkey")
     }),
@@ -313,6 +329,19 @@ object SparkEntry {
       """SELECT * FROM (
            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
            EXCEPT
+           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+         ORDER BY o_custkey""",
+    "q6_forecast_revenue" ->
+      """SELECT SUM(l_extendedprice * l_discount) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.02 AND 0.06
+           AND l_quantity < 10.0""",
+    "q_custkeys_both_years" ->
+      """SELECT * FROM (
+           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+           INTERSECT
            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
          ORDER BY o_custkey""",
     "q_text_stats" ->
