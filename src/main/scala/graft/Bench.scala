@@ -1,26 +1,39 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.DataFrame
 object Bench {
+  /** Force FULL evaluation of every output column: a `count()` lets
+    * Catalyst prune projections and sorts entirely (a projection-only
+    * query would benchmark a bare row count), while the noop sink
+    * materializes each row. */
+  private def exhaust(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.tuned(
-      SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
-      shufflePartitions = cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local("graft-bench", cpus)
     // warmup: exercise codegen/JIT + file listing once so the first
     // measured query doesn't absorb JVM startup (~3 s of noise)
-    try SparkEntry.queries("q1_lineitem_agg")(spark, sfDir).count()
+    try exhaust(SparkEntry.queries("q1_lineitem_agg")(spark, sfDir))
     catch { case _: Throwable => () }
     // two passes, min per query: damps GC/compilation jitter so the
-    // driver's 2×-of-baseline comparison tracks the engine, not noise
+    // driver's 2×-of-baseline comparison tracks the engine, not noise.
+    // Failures are loud (stderr) and recorded as -1, never as a tiny
+    // elapsed-to-failure time that would shrink the total.
     def once(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try { exhaust(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
+        }
+      name -> elapsed
     }
     val (r1, r2) = (once(), once())
-    val results = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
+    val results = r1.map { case (k, v) =>
+      k -> (if (v < 0 || r2(k) < 0) -1.0 else math.min(v, r2(k)))
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

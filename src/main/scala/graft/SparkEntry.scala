@@ -429,9 +429,14 @@ object SparkEntry {
     // (J ≥ 0.87; P[miss | 16 bands × 4 rows] < 1e-8) and is re-checked
     // here by sharing the oracle.
     "q_minhash_neardup" -> jaccardOracleSql,
+    // norm > 0 filters mirror the Spark side's zero-vector exclusion
+    // (cos is undefined for zero vectors; Spark drops them, so must we)
     "q_embedding_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
-         c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+                    WHERE vec_id < 10
+                      AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings
+               WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
          s AS (SELECT qid AS query_id, nid AS neighbor_id,
                       list_cosine_similarity(cv, qv) AS cos
                FROM c, q WHERE nid <> qid),
@@ -440,17 +445,24 @@ object SparkEntry {
          SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
          ORDER BY query_id, rank""",
     "q_embedding_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      """WITH nz AS (SELECT vec_id, embedding FROM embeddings
+                     WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                 list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         FROM nz a JOIN nz b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
          ORDER BY id_a, id_b""",
+    // byte_len = true UTF-8 byte count (octet_length of the encoded
+    // blob). brightness sums CODEPOINTS on the oracle side vs BYTES on
+    // the Spark side — equal only for ASCII text, which all driver
+    // fixtures are; a non-ASCII fixture would need a byte-level oracle.
     "q_media_features" ->
       """SELECT doc_id AS asset_id,
                 (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
-                length(text) AS byte_len,
+                CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
                 CAST(list_sum(list_transform(string_split(text, ''),
-                  c -> CAST(unicode(c) AS BIGINT))) AS DOUBLE) / length(text) / 255.0 AS brightness
+                  c -> CAST(unicode(c) AS BIGINT))) AS DOUBLE)
+                  / octet_length(encode(text)) / 255.0 AS brightness
          FROM documents ORDER BY asset_id"""
   )
 

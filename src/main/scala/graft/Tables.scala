@@ -35,7 +35,11 @@ object Tables {
     val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+        // INTEGER division, not `/`: the ns longs (~1.7e18) exceed
+        // double's 53-bit mantissa, so `col/1000` rounds ~15% of rows
+        // up by 1 µs before floor() can truncate — diverging from
+        // DuckDB's exact ns→µs truncation
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

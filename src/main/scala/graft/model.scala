@@ -33,6 +33,12 @@ final case class Transaction(
   * (reference `SalesPerCategoryDTO.java:10-14`). `transactionDate` carries the
   * first-seen date per category — the reference keys by category ONLY
   * (`DataStreamJob.java:133`) even though the target PK is (date, category).
+  *
+  * The three aggregate case classes are the documented typed contract of
+  * the reference's output DTOs; the pipelines themselves are DataFrame
+  * transforms (`operators/Ecommerce`) whose snake_case column schemas the
+  * JdbcUpsert DDL pins — these classes exist for callers wanting typed
+  * `Dataset` views, not as internal plumbing.
   */
 final case class SalesPerCategory(
     transactionDate: java.sql.Date,
