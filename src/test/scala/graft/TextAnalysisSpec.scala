@@ -39,6 +39,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one(TextAnalysis.langId(col("t")), "xyzzy qwerty").getString(0) === "und")
   }
 
+  test("single-pass langId expression matches the Column reference impl") {
+    val mismatches = Tables.documents(spark, sf)
+      .select(TextAnalysis.langId(col("text")).as("fast"),
+        TextAnalysis.langIdColumns(col("text")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(mismatches.count() === 0)
+    // overlap ("la" scores both es and fr) + tie-break order + null
+    val edge = Seq("la la la", null.asInstanceOf[String]).toDF("t")
+      .select(TextAnalysis.langId(col("t")).as("fast"),
+        TextAnalysis.langIdColumns(col("t")).as("ref"))
+      .collect()
+    edge.foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
   test("fingerprint matches the reference polynomial on a known string") {
     // "abc": ((0*31+97)*31+98)*31+99 = 96354 (verified against DuckDB)
     assert(one(TextAnalysis.fingerprint(col("t")), "abc").getLong(0) === 96354L)
