@@ -190,6 +190,13 @@ object SparkEntry {
       Dedup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
           n = 3, numHashes = 64, bands = 16, threshold = 0.6)
         .orderBy("id_a", "id_b")),
+    "q_neardup_components" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.6)
+      Dedup.nearDupComponents(docs, "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
     "q_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
           maxDist = 3)
@@ -423,6 +430,30 @@ object SparkEntry {
            FROM embeddings)
          GROUP BY 1, 2 ORDER BY label, dim""",
     "q_jaccard_neardup" -> jaccardOracleSql,
+    // transitive dedup clusters over the jaccard pair graph, expressed
+    // as min-reachable-id via a recursive CTE
+    "q_neardup_components" ->
+      """WITH RECURSIVE
+         tok AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN []
+                  ELSE list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                    i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')) END) AS sh
+              FROM documents),
+         sized AS (SELECT doc_id, sh, len(sh) AS n FROM tok WHERE len(sh) > 0),
+         inv AS (SELECT doc_id, n, unnest(sh) AS s FROM sized),
+         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS shared
+                  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, 3, 4),
+         jp AS (SELECT id_a, id_b FROM cand
+                WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.6),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+                   UNION SELECT id_b, id_a FROM jp),
+         reach(node, root) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+         SELECT node AS doc_id, min(root) AS component_id
+         FROM reach GROUP BY node ORDER BY doc_id""",
     // MinHash+LSH verifies candidates with EXACT Jaccard, so its output
     // equals the exhaustive inverted-index result whenever LSH recall is
     // 1 — which holds deterministically for the fixture's planted dups

@@ -170,11 +170,55 @@ object Dedup {
 
   /** Corpus after near-dup removal: drop every doc that is the larger id
     * of some near-dup pair (keep-smallest policy, transitive enough for
-    * reporting; a full connected-components pass is the heavyweight
-    * alternative when clusters matter). */
+    * reporting; `nearDupComponents` is the principled alternative when
+    * clusters matter). */
   def dropNearDups(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+
+  /** Connected components over near-dup pairs: every node gets
+    * `component_id` = the smallest id reachable through the pair graph
+    * (singletons map to themselves). THE canonical dedup-cluster
+    * operator — "keep one document per component" is exact transitive
+    * dedup, where pairwise keep-smallest can drop too much (a<b, b<c
+    * pairs kill c even if a~c was never asserted).
+    *
+    * Implementation: iterative min-label propagation — each round joins
+    * labels across edges and takes the min; converges in O(diameter)
+    * rounds, each a pair of shuffles. `localCheckpoint` cuts the lineage
+    * per round so plans don't grow exponentially. Near-dup graphs have
+    * tiny diameters (dup clusters are near-cliques), so rounds ≈ 2–4 at
+    * any corpus size; this is the standard large-scale CC shape
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond").
+    */
+  def nearDupComponents(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = false)
+
+    var labels = df.select(col(idCol).as("node"), col(idCol).as("component_id"))
+    var converged = false
+    var rounds = 0
+    val maxRounds = 50 // diameter bound; dup clusters converge in 2-4
+    while (!converged && rounds < maxRounds) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("component_id"))
+      val next = labels.union(viaNeighbors)
+        .groupBy("node")
+        .agg(min("component_id").as("component_id"))
+        .localCheckpoint() // cut lineage; also materializes for the check
+      val changed = next.join(labels.withColumnRenamed("component_id", "prev"), Seq("node"))
+        .filter(col("component_id") =!= col("prev"))
+        .limit(1).count()
+      converged = changed == 0
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("node").as(idCol), col("component_id"))
+  }
 
   // ------------------------------------------------------------------
   // SimHash (64-bit) near-dup

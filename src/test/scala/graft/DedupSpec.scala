@@ -98,6 +98,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("nearDupComponents labels transitive clusters with the min id") {
+    // chain 1-2, 2-3 (transitive cluster {1,2,3}); pair 5-6; singleton 4
+    val ids = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (5L, 6L, 1.0))
+      .toDF("id_a", "id_b", "jaccard")
+    val comp = Dedup.nearDupComponents(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("nearDupComponents on the fixture: components are consistent with pairs") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.6)
+    val comp = Dedup.nearDupComponents(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every pair's endpoints share a component, labels are component minima
+    pairs.collect().foreach { r =>
+      assert(comp(r.getLong(0)) === comp(r.getLong(1)))
+    }
+    comp.foreach { case (id, c) => assert(c <= id) }
+  }
+
   test("dropNearDups removes larger ids of pairs") {
     val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.5)
     val kept = Dedup.dropNearDups(docs, "doc_id", pairs)
