@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Ecommerce, Multimodal, Scale, Similarity}
+import graft.operators.{AsOf, Dedup, Ecommerce, Multimodal, Scale, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -224,6 +224,18 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
           "vec_id", "embedding", threshold = 0.4)
         .orderBy("id_a", "id_b")),
+    // ----- as-of (temporal) join: latest order at-or-before each event
+    "q_asof_last_order" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "user_id", "ts")
+      val orders = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_totalprice")).as("order_price"))
+      AsOf.asofJoin(ev, "user_id", "ts",
+          orders, "o_custkey", "o_orderdate", Seq("order_price"))
+        .select("event_id", "user_id", "order_price")
+        .orderBy("event_id")
+    }),
     // ----- corpus statistics: exact interpolated percentiles per group
     "q_corpus_stats" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -411,6 +423,14 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
          ORDER BY doc_id""",
+    "q_asof_last_order" ->
+      """WITH r AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ots,
+                          max(o_totalprice) AS order_price
+                   FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, r.order_price
+         FROM events e ASOF LEFT JOIN r
+           ON e.user_id = r.o_custkey AND e.ts >= r.ots
+         ORDER BY e.event_id""",
     "q_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs, avg(n_chars) AS avg_chars,
                 quantile_cont(n_chars, 0.5) AS p50_chars,

@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOf
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 100.0),
+    ("A", ts("2024-01-01 11:00:00"), 110.0),
+    ("A", ts("2024-01-01 12:00:00"), 120.0),
+    ("B", ts("2024-01-01 10:30:00"), 55.0)
+  ).toDF("sym", "qts", "price")
+
+  private val trades = Seq(
+    (1L, "A", ts("2024-01-01 10:30:00")), // between quotes -> 100
+    (2L, "A", ts("2024-01-01 11:00:00")), // exactly at quote -> 110 (<=)
+    (3L, "A", ts("2024-01-01 09:00:00")), // before any quote -> null
+    (4L, "B", ts("2024-01-01 23:00:00")), // long after -> 55
+    (5L, "C", ts("2024-01-01 10:00:00"))  // key with no quotes -> null
+  ).toDF("trade_id", "sym", "tts")
+
+  test("asofJoin attaches the latest right value at-or-before each left ts") {
+    val out = AsOf.asofJoin(trades, "sym", "tts", quotes, "sym", "qts", Seq("price"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out === Map(
+      1L -> Some(100.0),
+      2L -> Some(110.0),
+      3L -> None,
+      4L -> Some(55.0),
+      5L -> None))
+  }
+
+  test("left row count is preserved (no many-to-many blowup)") {
+    val out = AsOf.asofJoin(trades, "sym", "tts", quotes, "sym", "qts", Seq("price"))
+    assert(out.count() === trades.count())
+  }
+
+  test("multiple right value columns carry together") {
+    val q2 = quotes.withColumn("src", concat(lit("q-"), col("price").cast("int")))
+    val out = AsOf.asofJoin(trades, "sym", "tts", q2, "sym", "qts",
+        Seq("price", "src"))
+      .filter(col("trade_id") === 1).collect().head
+    assert(out.getDouble(3) === 100.0)
+    assert(out.getString(4) === "q-100")
+  }
+}
