@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{AsOf, Dedup, Ecommerce, Multimodal, Scale, Similarity}
+import graft.operators.{AsOf, Dedup, Ecommerce, Multimodal, RangeJoin, Scale, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -236,6 +236,11 @@ object SparkEntry {
         .select("event_id", "user_id", "order_price")
         .orderBy("event_id")
     }),
+    // ----- range join: event pairs within a time tolerance (bucketized)
+    "q_events_within_minute" -> ((s, dir) =>
+      RangeJoin.selfPairsWithin(Tables.events(s, dir), "event_id", "ts",
+          toleranceMicros = 60L * 1000 * 1000)
+        .orderBy("id_a", "id_b")),
     // ----- corpus statistics: exact interpolated percentiles per group
     "q_corpus_stats" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -431,6 +436,13 @@ object SparkEntry {
          FROM events e ASOF LEFT JOIN r
            ON e.user_id = r.o_custkey AND e.ts >= r.ots
          ORDER BY e.event_id""",
+    "q_events_within_minute" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b,
+                abs(epoch_us(a.ts) - epoch_us(b.ts)) AS delta_us
+         FROM events a JOIN events b
+           ON a.event_id < b.event_id
+          AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+         ORDER BY id_a, id_b""",
     "q_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs, avg(n_chars) AS avg_chars,
                 quantile_cont(n_chars, 0.5) AS p50_chars,
