@@ -236,6 +236,14 @@ object SparkEntry {
         .select("event_id", "user_id", "order_price")
         .orderBy("event_id")
     }),
+    // ----- distinct aggregation: exact per-group distinct counts
+    "q_distinct_users_per_type" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")),
     // ----- range join: event pairs within a time tolerance (bucketized)
     "q_events_within_minute" -> ((s, dir) =>
       RangeJoin.selfPairsWithin(Tables.events(s, dir), "event_id", "ts",
@@ -436,6 +444,10 @@ object SparkEntry {
          FROM events e ASOF LEFT JOIN r
            ON e.user_id = r.o_custkey AND e.ts >= r.ots
          ORDER BY e.event_id""",
+    "q_distinct_users_per_type" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+                COUNT(*) AS n_events
+         FROM events GROUP BY 1 ORDER BY event_type""",
     "q_events_within_minute" ->
       """SELECT a.event_id AS id_a, b.event_id AS id_b,
                 abs(epoch_us(a.ts) - epoch_us(b.ts)) AS delta_us

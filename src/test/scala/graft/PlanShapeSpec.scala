@@ -36,6 +36,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("hashpartitioning"))
   }
 
+  test("range join plans as a hash join on buckets, not a nested loop") {
+    val p = plan("q_events_within_minute")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("Join") || p.contains("join"))
+  }
+
+  test("as-of join is union + single keyed window, no join blowup") {
+    val p = plan("q_asof_last_order")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("Window"))
+  }
+
   test("aggregation queries keep whole-stage codegen on the scan side") {
     val p = SparkEntry.queries("q1_lineitem_agg")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
