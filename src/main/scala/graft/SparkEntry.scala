@@ -228,8 +228,11 @@ object SparkEntry {
     "q_asof_last_order" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select("event_id", "user_id", "ts")
+      // explicit date→timestamp cast: semantics pinned to the session tz
+      // (UTC in this engine), mirroring the oracle's naive CAST
       val orders = Tables.orders(s, dir)
-        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .groupBy(col("o_custkey"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate"))
         .agg(max(col("o_totalprice")).as("order_price"))
       AsOf.asofJoin(ev, "user_id", "ts",
           orders, "o_custkey", "o_orderdate", Seq("order_price"))

@@ -59,7 +59,9 @@ object LangId {
     val langs = markers.map(_._1).toArray
     val m = new java.util.HashMap[String, Array[Int]]()
     markers.zipWithIndex.foreach { case ((_, words), i) =>
-      words.foreach { w =>
+      // distinct: a duplicated marker word inside one language's list
+      // must count once per token occurrence, matching isInCollection
+      words.distinct.foreach { w =>
         val prev = m.get(w)
         m.put(w, if (prev == null) Array(i) else prev :+ i)
       }

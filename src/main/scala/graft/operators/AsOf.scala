@@ -34,16 +34,33 @@ object AsOf {
       rightValueCols: Seq[String]): DataFrame = {
     require(rightValueCols.nonEmpty, "asofJoin needs right value columns to carry")
     val lCols = left.columns.toSeq
+    require(rightValueCols.intersect(lCols).isEmpty,
+      s"right value columns ${rightValueCols.intersect(lCols)} collide with left columns")
+    require(!lCols.exists(_.startsWith("__")),
+      "left columns must not use the reserved __ prefix")
+    require(left.schema(leftTs).dataType == right.schema(rightTs).dataType,
+      s"timestamp types must match exactly (got ${left.schema(leftTs).dataType} vs " +
+        s"${right.schema(rightTs).dataType}) — an implicit union cast (e.g. " +
+        "date→timestamp) would silently apply the session timezone; cast explicitly")
+
+    // the right row travels as ONE struct so the matched row is attached
+    // as a unit — per-column carry would backfill a genuinely-NULL field
+    // of the latest row with a stale value from an older row
+    val rStruct = struct(rightValueCols.map(col): _*)
+    val rType = right.select(rStruct).schema.head.dataType
 
     val lSide = left.select(
       Seq(col(leftKey).as("__k"), col(leftTs).as("__ts"), lit(1).as("__isL")) ++
-        lCols.map(col) ++
-        rightValueCols.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
-    val rSide = right.select(
-      Seq(col(rightKey).as("__k"), col(rightTs).as("__ts"), lit(0).as("__isL")) ++
-        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightValueCols.map(c => col(c).as(s"__r_$c")): _*)
+        lCols.map(col) :+ lit(null).cast(rType).as("__r"): _*)
+    // NULL right keys/timestamps can never satisfy key-equality + ts<=
+    // semantics (DuckDB ASOF agrees) — and NULLS FIRST ordering would
+    // otherwise carry a null-ts row's values into every left row
+    val rSide = right
+      .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
+      .select(
+        Seq(col(rightKey).as("__k"), col(rightTs).as("__ts"), lit(0).as("__isL")) ++
+          lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          rStruct.as("__r"): _*)
 
     // right rows order BEFORE left rows at equal ts (__isL asc) ⇒ a right
     // row at exactly leftTs is visible to that left row: `<=` semantics
@@ -52,9 +69,9 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     lSide.unionByName(rSide)
-      .select(col("*") +: rightValueCols.map(c =>
-        last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"__c_$c")): _*)
+      .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__isL") === 1)
-      .select(lCols.map(col) ++ rightValueCols.map(c => col(s"__c_$c").as(c)): _*)
+      .select(lCols.map(col) ++
+        rightValueCols.map(c => col("__c").getField(c).as(c)): _*)
   }
 }

@@ -19,6 +19,10 @@ object RangeJoin {
   /** All pairs (id_a < id_b) whose timestamps lie within
     * `toleranceMicros` of each other. Output: (id_a, id_b, delta_us).
     *
+    * PRECONDITION: `idCol` values are unique — duplicate ids would both
+    * drop legitimate same-id pairs (the `id_a < id_b` dedup can't order
+    * them) and double-emit their cross pairs.
+    *
     * Skew note: a burst second concentrates its bucket, and pairs
     * WITHIN a burst are inherently quadratic (that's the output size,
     * not an implementation artifact); cap or pre-aggregate bursty keys

@@ -51,4 +51,40 @@ class AsOfSpec extends SparkSpec {
     assert(out.getDouble(3) === 100.0)
     assert(out.getString(4) === "q-100")
   }
+
+  test("matched right row is attached as a UNIT: its null fields stay null") {
+    // latest row has src=NULL; a per-column fill would backfill src from
+    // the older row — the matched row must come through whole
+    val q = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 5.0, Some("old")),
+      ("A", ts("2024-01-01 11:00:00"), 9.0, Option.empty[String])
+    ).toDF("sym", "qts", "price", "src")
+    val out = AsOf.asofJoin(
+        Seq((1L, "A", ts("2024-01-01 12:00:00"))).toDF("trade_id", "sym", "tts"),
+        "sym", "tts", q, "sym", "qts", Seq("price", "src"))
+      .collect().head
+    assert(out.getDouble(3) === 9.0)
+    assert(out.isNullAt(4)) // NOT "old"
+  }
+
+  test("null right timestamps and keys never match") {
+    val q = Seq(
+      (Some("A"), Option.empty[Timestamp], 99.0), // null ts: unmatched
+      (Option.empty[String], Some(ts("2024-01-01 00:00:00")), 77.0) // null key
+    ).toDF("sym", "qts", "price")
+    val l = Seq(
+      (1L, Some("A"), ts("2024-01-01 12:00:00")),
+      (2L, Option.empty[String], ts("2024-01-01 12:00:00"))
+    ).toDF("trade_id", "sym", "tts")
+    val out = AsOf.asofJoin(l, "sym", "tts", q, "sym", "qts", Seq("price"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(out === Map(1L -> true, 2L -> true))
+  }
+
+  test("mismatched timestamp types are rejected (no silent tz-dependent cast)") {
+    val dateRight = quotes.withColumn("qts", col("qts").cast("date"))
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoin(trades, "sym", "tts", dateRight, "sym", "qts", Seq("price"))
+    }
+  }
 }
