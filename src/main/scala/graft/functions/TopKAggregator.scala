@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed `Aggregator` for exact per-group top-k by score: keeps a
+  * bounded (score, id) buffer per group with partial merges.
+  *
+  * Why an Aggregator instead of the `row_number() OVER (PARTITION BY
+  * group ORDER BY score)` window: the window shuffles and sorts EVERY
+  * row of every group to discard all but k of them, while an aggregate
+  * combines map-side — each input partition contributes at most k rows
+  * per group to the shuffle. For top-3-per-user over a 100 TB event
+  * stream, that is the difference between shuffling the stream and
+  * shuffling ≈ k × users × partitions rows. This is exactly the
+  * "custom `Aggregator` only where perf demands" case from the design
+  * rules (SURVEY.md §7) — the window variant stays the oracle-checked
+  * reference.
+  *
+  * Determinism: ties on score break by smaller id, matching the window
+  * reference implementation `orderBy(score.desc, id.asc)`.
+  */
+object TopKAggregator {
+
+  type ScoredId = (Double, Long) // (score, id)
+
+  /** Buffer = up-to-k entries, kept sorted desc by (score, -id). Small k
+    * ⇒ insertion into a sorted array beats a heap (no boxing, cache-
+    * friendly, cheap merges). */
+  final case class TopKBuffer(entries: Seq[ScoredId])
+
+  private def better(a: ScoredId, b: ScoredId): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def insert(entries: Seq[ScoredId], e: ScoredId, k: Int): Seq[ScoredId] = {
+    if (entries.size >= k && better(entries.last, e)) entries
+    else {
+      val (front, back) = entries.span(better(_, e))
+      (front ++ (e +: back)).take(k)
+    }
+  }
+
+  def topK(k: Int): Aggregator[ScoredId, TopKBuffer, Seq[ScoredId]] = {
+    require(k >= 1)
+    new Aggregator[ScoredId, TopKBuffer, Seq[ScoredId]] {
+      override def zero: TopKBuffer = TopKBuffer(Vector.empty)
+
+      override def reduce(b: TopKBuffer, a: ScoredId): TopKBuffer =
+        TopKBuffer(insert(b.entries, a, k))
+
+      override def merge(b1: TopKBuffer, b2: TopKBuffer): TopKBuffer =
+        TopKBuffer(b2.entries.foldLeft(b1.entries)((acc, e) => insert(acc, e, k)))
+
+      override def finish(r: TopKBuffer): Seq[ScoredId] = r.entries
+
+      override def bufferEncoder: Encoder[TopKBuffer] = ExpressionEncoder()
+      override def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder()
+    }
+  }
+}
