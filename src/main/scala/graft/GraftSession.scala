@@ -22,6 +22,8 @@ object GraftSession {
       // Spark's TimestampType is µs, so read nanos as Long and convert in
       // Tables.events (nanosToTimestamp) — truncation, matching DuckDB.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep managed-table data (bucketed tables etc.) out of the repo cwd
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
 
   def local(appName: String, cpus: String): SparkSession = {
     val spark = tuned(
