@@ -151,17 +151,64 @@ object Similarity {
     * itself, which is an equi-join on cell id touching ~nProbe/C of the
     * corpus per query.
     */
+  /** Lloyd refinement for IVF coarse centroids: `iters` rounds of
+    * assign-to-nearest (codegen'd literal argmax, no shuffle) +
+    * per-cell mean (posexplode + partial aggregation, one shuffle of
+    * narrow rows). Centroids stay driver-resident between rounds —
+    * C × dim doubles. Cosine-space assignment, so means are computed on
+    * the raw vectors and re-normalized implicitly by the next round's
+    * cosine. Empty cells keep their previous centroid. */
+  def refineCentroids(corpus: DataFrame, vecCol: String,
+      init: Array[(Int, Array[Double], Double)],
+      iters: Int): Array[(Int, Array[Double], Double)] = {
+    var cents = init
+    val dim = init.head._2.length
+    for (_ <- 0 until iters) {
+      val scores = array(cents.map { case (cell, cv, cn) =>
+        struct(
+          (dotProduct(col(vecCol), array(cv.map(lit): _*))
+            / (l2Norm(col(vecCol)) * lit(cn))).as("score"),
+          lit(cell).as("cell"))
+      }: _*)
+      val means = corpus
+        .filter(l2Norm(col(vecCol)) > 0)
+        .withColumn("cell", array_max(scores).getField("cell"))
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(avg(col("v")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          val v = new Array[Double](dim)
+          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+          cell -> v
+        }
+      cents = cents.map { case (cell, oldV, oldN) =>
+        means.get(cell) match {
+          case Some(v) => (cell, v, math.sqrt(v.map(x => x * x).sum))
+          case None => (cell, oldV, oldN) // empty cell: keep previous
+        }
+      }
+    }
+    cents
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      vecCol: String, k: Int, numCentroids: Int = 16, nProbe: Int = 4,
+      refineIters: Int = 2): DataFrame = {
     require(nProbe >= 1 && nProbe <= numCentroids)
-    // driver-side centroid collection (eager, small by construction)
-    val cents: Array[(Int, Array[Double], Double)] =
+    // driver-side centroid collection (eager, small by construction):
+    // Forgy init from the first C vectors, then Lloyd refinement
+    val init: Array[(Int, Array[Double], Double)] =
       corpus.orderBy(col(idCol)).limit(numCentroids)
         .select(col(vecCol)).collect()
         .zipWithIndex.map { case (row, i) =>
           val v = row.getSeq[Float](0).map(_.toDouble).toArray
           (i, v, math.sqrt(v.map(x => x * x).sum))
         }
+    val cents =
+      if (refineIters > 0) refineCentroids(corpus, vecCol, init, refineIters)
+      else init
 
     /** struct(score, cell) per centroid — array_max/sort_array order by
       * the first field, giving a pure-expression argmax. */
