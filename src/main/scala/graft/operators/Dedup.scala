@@ -50,9 +50,14 @@ object Dedup {
     * Scale: the join key is the shingle, so cost is Σ df(s)² over
     * shingle document-frequencies — linear for natural text where most
     * shingles are rare. `maxShingleDf` drops ultra-common shingles
-    * (they can't push a pair over a meaningful threshold on their own
-    * but dominate the join cost); at 100 TB this cap is what keeps the
-    * candidate join bounded. Pairs are emitted once with idA < idB.
+    * (boilerplate: license headers, templated text) whose df² terms
+    * dominate the join cost; at 100 TB this cap is what keeps the
+    * candidate join bounded, and it is the production default
+    * (`SparkEntry` registers the capped variant). With a cap, set sizes
+    * are recomputed over the SURVIVING shingles, so the score is the
+    * exact Jaccard over the reduced universe — not a mixed estimate that
+    * silently underestimates boilerplate-heavy pairs. Pairs are emitted
+    * once with idA < idB.
     */
   def jaccardNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxShingleDf: Option[Int] = None): DataFrame = {
@@ -68,16 +73,22 @@ object Dedup {
         array_distinct(TextAnalysis.wordNgrams(col(textCol), n)).as("sh"))
       .repartition(col("id"))
       .filter(size(col("sh")) > 0)
-      .select(col("id"), col("sh"), size(col("sh")).as("setsize"))
 
-    val inv0 = sets.select(col("id"), col("setsize"), explode(col("sh")).as("s"))
+    val inv0 = sets.select(col("id"), size(col("sh")).as("setsize"),
+      explode(col("sh")).as("s"))
     val inv = maxShingleDf match {
       case Some(cap) =>
-        // document frequency per shingle; drop shingles above the cap
+        // document frequency per shingle; drop shingles above the cap.
+        // Set sizes are then re-derived from the surviving postings so
+        // |A| and |B| count the same universe as `shared` — a doc whose
+        // shingles are ALL capped drops out entirely (it has no
+        // discriminative content at this threshold).
         val dfreq = inv0.groupBy("s").agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap)
           .select("s")
-        inv0.join(dfreq, "s")
+        val kept = inv0.select("id", "s").join(dfreq, "s")
+        val sizes = kept.groupBy("id").agg(count(lit(1)).as("setsize"))
+        kept.join(sizes, Seq("id"))
       case None => inv0
     }
 
@@ -191,7 +202,8 @@ object Dedup {
     * any corpus size; this is the standard large-scale CC shape
     * (Kiveris et al., "Connected Components in MapReduce and Beyond").
     */
-  def nearDupComponents(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+  def nearDupComponents(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -200,8 +212,7 @@ object Dedup {
 
     var labels = df.select(col(idCol).as("node"), col(idCol).as("component_id"))
     var converged = false
-    var rounds = 0
-    val maxRounds = 50 // diameter bound; dup clusters converge in 2-4
+    var rounds = 0 // diameter bound; dup clusters converge in 2-4 rounds
     while (!converged && rounds < maxRounds) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
@@ -217,12 +228,32 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // fail loudly rather than return labels that LOOK like components:
+    // a graph with diameter > maxRounds (chained text drift) would
+    // otherwise silently yield split clusters
+    require(converged,
+      s"nearDupComponents did not converge within $maxRounds rounds; " +
+        "raise maxRounds for graphs with very long near-dup chains")
     labels.select(col("node").as(idCol), col("component_id"))
   }
 
   // ------------------------------------------------------------------
   // SimHash (64-bit) near-dup
   // ------------------------------------------------------------------
+
+  /** Default token hash for SimHash: codegen'd xxhash64 — the scale
+    * path (one multiply-rotate pass per token). */
+  def xxTokenHash(t: Column): Column = xxhash64(t)
+
+  /** Portable 60-bit token hash: the first 15 hex chars of sha256,
+    * folded to a long. Slower than xxhash64 (a full SHA block per
+    * token) but computable bit-for-bit in DuckDB
+    * (`sha256` + hex fold), which makes the whole SimHash pipeline
+    * oracle-checkable — this is what `SparkEntry` registers. Bits
+    * 60–63 are always 0; the sign-sum treats them as constant -1, which
+    * both engines mirror, so Hamming distances are unaffected. */
+  def portableTokenHash(t: Column): Column =
+    conv(substring(sha2(t, 256), 1, 15), 16, 10).cast("long")
 
   /** 64-bit SimHash packed into ONE long, via explode + groupBy: hash
     * each distinct token once, run 64 codegen'd `sum(±1)` aggregates
@@ -234,11 +265,12 @@ object Dedup {
     * keeps the downstream bucket join shuffling 8 bytes per signature
     * instead of a 64-element array, and makes Hamming distance a
     * single `bit_count(a XOR b)`. Output: (id, sig long). */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column = xxTokenHash): DataFrame = {
     val toks = df
       .select(col(idCol).as("id"),
         explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
+      .select(col("id"), tokenHash(col("t")).as("h"))
     val bitAggs = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) =!= 0, 1).otherwise(-1))
         .as(s"b$i")
@@ -256,13 +288,13 @@ object Dedup {
     * travel as bare (id_a, id_b); the 8-byte signatures are joined back
     * only for the verification — same two-shuffle shape as MinHash-LSH. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, tokenHash: Column => Column = xxTokenHash): DataFrame = {
     // 4 bands of 16 bits guarantee a shared band only for Hamming ≤ 3
     // (pigeonhole); a larger maxDist would silently miss qualifying
     // pairs whose differing bits spread across all four bands
     require(maxDist >= 0 && maxDist <= 3,
       s"4x16-bit banding only guarantees recall for maxDist <= 3, got $maxDist")
-    val sigs = simhashSignatures(df, idCol, textCol)
+    val sigs = simhashSignatures(df, idCol, textCol, tokenHash)
 
     val banded = sigs.select(col("id"),
       posexplode(array((0 until 4).map { j =>

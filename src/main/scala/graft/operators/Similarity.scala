@@ -198,9 +198,12 @@ object Similarity {
       refineIters: Int = 2): DataFrame = {
     require(nProbe >= 1 && nProbe <= numCentroids)
     // driver-side centroid collection (eager, small by construction):
-    // Forgy init from the first C vectors, then Lloyd refinement
+    // Forgy init from the first C NON-ZERO vectors (a zero-norm seed
+    // would make a dead cell: NULL cell score, never probed), then
+    // Lloyd refinement
     val init: Array[(Int, Array[Double], Double)] =
-      corpus.orderBy(col(idCol)).limit(numCentroids)
+      corpus.filter(l2Norm(col(vecCol)) > 0)
+        .orderBy(col(idCol)).limit(numCentroids)
         .select(col(vecCol)).collect()
         .zipWithIndex.map { case (row, i) =>
           val v = row.getSeq[Float](0).map(_.toDouble).toArray

@@ -80,10 +80,26 @@ object JdbcUpsert {
     DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
   }
 
+  /** Catalyst type → java.sql.Types, for typed NULL binding: Postgres
+    * tolerates untyped `setObject(i, null)` but several drivers (Oracle,
+    * older SQL Server) require `setNull(i, sqlType)`, and `ConnConfig
+    * .driver` invites swapping drivers. */
+  private def sqlTypeOf(dt: DataType): Int = dt match {
+    case StringType    => java.sql.Types.VARCHAR
+    case DoubleType    => java.sql.Types.DOUBLE
+    case FloatType     => java.sql.Types.FLOAT
+    case IntegerType   => java.sql.Types.INTEGER
+    case LongType      => java.sql.Types.BIGINT
+    case BooleanType   => java.sql.Types.BOOLEAN
+    case TimestampType => java.sql.Types.TIMESTAMP
+    case DateType      => java.sql.Types.DATE
+    case _             => java.sql.Types.OTHER
+  }
+
   private def bind(ps: PreparedStatement, row: Row, schema: StructType): Unit =
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       val j = i + 1
-      if (row.isNullAt(i)) ps.setObject(j, null)
+      if (row.isNullAt(i)) ps.setNull(j, sqlTypeOf(f.dataType))
       else f.dataType match {
         case StringType    => ps.setString(j, row.getString(i))
         case DoubleType    => ps.setDouble(j, row.getDouble(i))

@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{GraftSession, Tables}
+import graft.operators.Similarity
+
+/** Dev tool: grid-search ANN parameters for EXACT agreement with the
+  * brute-force baselines on the driver fixtures. The registered
+  * `q_ann_lsh_topk` / `q_ivf_topk` / `q_embedding_neardup` queries share
+  * the exhaustive DuckDB oracle, which is valid only when approximate
+  * recall is exactly 1 on the fixture — this tool finds the cheapest
+  * parameters where that holds (with margin), per scale factor.
+  *
+  * Usage: runMain graft.tools.AnnTune [sfDir ...]
+  */
+object AnnTune {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local("anntune", "32")
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+    for (dir <- dirs) {
+      val emb = Tables.embeddings(spark, dir)
+      val queries = emb.filter(col("vec_id") < 10)
+
+      def diff(approx: DataFrame, exact: DataFrame): (Long, Long, Long) = {
+        val a = approx.count(); val e = exact.count()
+        val missed = exact.exceptAll(approx).count()
+        (a, e, missed)
+      }
+
+      val exactPairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      for ((bits, tables) <- Seq((3, 32), (2, 24), (2, 32))) {
+        val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.4,
+          bitsPerTable = bits, numTables = tables)
+        val (a, e, m) = diff(lsh.select("id_a", "id_b"), exactPairs.select("id_a", "id_b"))
+        println(s"NEARDUP $dir bits=$bits tables=$tables lsh=$a exact=$e missed=$m")
+      }
+
+      val exactTopK = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      for ((bits, tables) <- Seq((3, 24), (3, 32), (2, 24), (2, 32))) {
+        val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+          bitsPerTable = bits, numTables = tables)
+        val (a, e, m) = diff(lsh, exactTopK)
+        println(s"LSHTOPK $dir bits=$bits tables=$tables lsh=$a exact=$e missed=$m")
+      }
+      for (nProbe <- Seq(12, 14, 16)) {
+        val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+          numCentroids = 16, nProbe = nProbe)
+        val (a, e, m) = diff(ivf, exactTopK)
+        println(s"IVFTOPK $dir nProbe=$nProbe ivf=$a exact=$e missed=$m")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -55,6 +55,35 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() === 0)
   }
 
+  test("capped jaccard is the exact Jaccard over the reduced shingle universe") {
+    // common1/common2 appear in all 5 docs (df=5 > cap=2) and are
+    // dropped; x,y,z,p,q,r survive (df<=2). Doc 0 = {x,y}, doc 1 = {x,z}
+    // after the cap ⇒ shared=1, J = 1/(2+2-1) = 1/3 exactly. The
+    // pre-fix behavior kept full set sizes (4,4) ⇒ 1/7 — an
+    // underestimate that silently drops boilerplate-heavy pairs.
+    val boiler = Seq(
+      (0L, "x y common1 common2"),
+      (1L, "x z common1 common2"),
+      (2L, "p common1 common2"),
+      (3L, "q common1 common2"),
+      (4L, "r common1 common2")
+    ).toDF("doc_id", "text")
+    val j = Dedup.jaccardNearDupPairs(boiler, "doc_id", "text",
+        n = 1, threshold = 0.2, maxShingleDf = Some(2))
+      .filter(col("id_a") === 0 && col("id_b") === 1)
+      .collect().head.getAs[Double]("jaccard")
+    assert(math.abs(j - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("capped jaccard drops docs whose shingles are all capped") {
+    val boiler = Seq(
+      (0L, "common common2"), (1L, "common common2"), (2L, "common common2")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardNearDupPairs(boiler, "doc_id", "text",
+      n = 1, threshold = 0.01, maxShingleDf = Some(2))
+    assert(pairs.count() === 0)
+  }
+
   test("minhashNearDupPairs recall equals exact jaccard on planted dups") {
     val exact = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -79,6 +108,26 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     val d01 = pairs.find(p => p._1 == 0L && p._2 == 1L)
     assert(d01.exists(_._3 == 0)) // identical text ⇒ identical simhash
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+
+  test("portableTokenHash matches the sha256-prefix reference value") {
+    val expected = Seq("hello", "the", "", "zh字").map { t =>
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      t -> java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val got = Seq("hello", "the", "", "zh字").toDF("t")
+      .select(col("t"), Dedup.portableTokenHash(col("t")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    expected.foreach { case (t, e) => assert(got(t) === e, s"token '$t'") }
+  }
+
+  test("simhash with the portable hash still pairs identical docs at distance 0") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3,
+        tokenHash = Dedup.portableTokenHash)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
     assert(pairs.forall(p => p._1 < p._2))
   }
 
@@ -118,6 +167,17 @@ class DedupSpec extends SparkSpec {
       assert(comp(r.getLong(0)) === comp(r.getLong(1)))
     }
     comp.foreach { case (id, c) => assert(c <= id) }
+  }
+
+  test("nearDupComponents fails loudly when maxRounds is too small to converge") {
+    // a 4-chain needs >1 min-label round; maxRounds=1 must throw, not
+    // return half-propagated labels that look like components
+    val ids = (1L to 4L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val chain = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0))
+      .toDF("id_a", "id_b", "jaccard")
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupComponents(ids, "doc_id", chain, maxRounds = 1)
+    }
   }
 
   test("dropNearDups removes larger ids of pairs") {

@@ -48,6 +48,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"))
   }
 
+  test("q_top_orders_per_cust_agg is a map-side-combined aggregate, no window sort") {
+    val p = plan("q_top_orders_per_cust_agg")
+    assert(!p.contains("Window"))
+    // typed Aggregator plans as partial + final ObjectHashAggregate
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
+  }
+
+  test("q_embedding_neardup plans as bucket joins, not a cross join") {
+    val p = plan("q_embedding_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("aggregation queries keep whole-stage codegen on the scan side") {
     val p = SparkEntry.queries("q1_lineitem_agg")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)

@@ -90,4 +90,34 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect lsh).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall=$recall")
   }
+
+  test("registered ANN parameters reach recall 1 on the fixture (oracle contract)") {
+    // the registered q_embedding_neardup / q_ann_lsh_topk / q_ivf_topk
+    // share the EXHAUSTIVE DuckDB oracle; that is only sound if the
+    // fixture-tuned parameters (graft.tools.AnnTune) keep recall at
+    // exactly 1 — pinned here at sf0.001 (the gate re-checks sf0.01)
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+
+    val exactPairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.4,
+        bitsPerTable = 3, numTables = 32)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshPairs === exactPairs)
+
+    val exactTopK = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val lshTopK = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+        bitsPerTable = 3, numTables = 32)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(lshTopK === exactTopK)
+    val ivfTopK = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        numCentroids = 16, nProbe = 14)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivfTopK === exactTopK)
+  }
 }
