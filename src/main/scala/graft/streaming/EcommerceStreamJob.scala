@@ -67,15 +67,24 @@ object EcommerceStreamJob {
     * classpath (standard on any Spark distribution with Kafka support;
     * NOT present in this offline build environment, where tests drive
     * the same pipelines through MemoryStream / `fileSource`). */
-  def kafkaSource(spark: SparkSession, cfg: JobConfig): DataFrame = {
-    val base = spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", cfg.kafkaServers)
-      .option("subscribe", cfg.topic)
-      .option("startingOffsets", cfg.startingOffsets)
-    (if (cfg.groupId.nonEmpty) base.option("kafka.group.id", cfg.groupId)
-     else base).load()
+  /** The exact reader options `kafkaSource` passes to the connector —
+    * split out as a pure function so the wiring contract is testable
+    * without a broker or the connector jar (KafkaContractSpec). What
+    * remains unverified offline is only the connector's own behavior
+    * (broker I/O, offset tracking), not our option plumbing. */
+  def kafkaSourceOptions(cfg: JobConfig): Map[String, String] = {
+    val base = Map(
+      "kafka.bootstrap.servers" -> cfg.kafkaServers,
+      "subscribe" -> cfg.topic,
+      "startingOffsets" -> cfg.startingOffsets)
+    if (cfg.groupId.nonEmpty) base + ("kafka.group.id" -> cfg.groupId) else base
   }
+
+  def kafkaSource(spark: SparkSession, cfg: JobConfig): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .options(kafkaSourceOptions(cfg))
+      .load()
 
   /** Connector-free source for local/offline runs: a directory of JSON
     * lines, one transaction per line — same `value: string` contract as
