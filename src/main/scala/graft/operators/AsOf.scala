@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   * cost ≡ a sort-merge join, with no per-row range probe and no
   * inequality-join blowup. (A naive `l JOIN r ON key AND rts <= lts`
   * + max-window is a many-to-many join that explodes on dense right
-  * histories.) Skewed hot keys concentrate one partition; for those,
-  * pre-bucket the right side by coarse time and salt within buckets.
+  * histories.) Skewed hot keys concentrate one partition; for those use
+  * [[asofJoinBucketed]], which spreads each key over coarse-time
+  * buckets (result-invariant, property-tested in AsOfSpec).
   *
   * Requirement: at most one right row per (key, ts) — pre-aggregate the
   * right side otherwise (ties inside one instant are ambiguous in any
@@ -29,9 +30,8 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
-  def asofJoin(left: DataFrame, leftKey: String, leftTs: String,
-      right: DataFrame, rightKey: String, rightTs: String,
-      rightValueCols: Seq[String]): DataFrame = {
+  private def validate(left: DataFrame, leftTs: String,
+      right: DataFrame, rightTs: String, rightValueCols: Seq[String]): Unit = {
     require(rightValueCols.nonEmpty, "asofJoin needs right value columns to carry")
     val lCols = left.columns.toSeq
     require(rightValueCols.intersect(lCols).isEmpty,
@@ -42,6 +42,13 @@ object AsOf {
       s"timestamp types must match exactly (got ${left.schema(leftTs).dataType} vs " +
         s"${right.schema(rightTs).dataType}) — an implicit union cast (e.g. " +
         "date→timestamp) would silently apply the session timezone; cast explicitly")
+  }
+
+  def asofJoin(left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String,
+      rightValueCols: Seq[String]): DataFrame = {
+    validate(left, leftTs, right, rightTs, rightValueCols)
+    val lCols = left.columns.toSeq
 
     // the right row travels as ONE struct so the matched row is attached
     // as a unit — per-column carry would backfill a genuinely-NULL field
@@ -71,6 +78,92 @@ object AsOf {
     lSide.unionByName(rSide)
       .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__isL") === 1)
+      .select(lCols.map(col) ++
+        rightValueCols.map(c => col("__c").getField(c).as(c)): _*)
+  }
+
+  /** Skew-safe as-of join: same semantics as [[asofJoin]], but each key's
+    * rows are spread over coarse-time buckets so a single pathological hot
+    * key no longer lands in ONE window partition.
+    *
+    * `bucket` maps the (non-null) timestamp column to a bucket id and MUST
+    * be monotone non-decreasing in the timestamp (e.g.
+    * `ts => floor(unix_micros(ts) / lit(3600000000L))` for hourly buckets);
+    * a non-monotone mapping silently breaks the carry-in ordering.
+    *
+    * Technique: three passes, all bounded.
+    *   1. Per (key, bucket) reduce the right side to its latest row
+    *      (`max_by`, map-side combinable) — one row per non-empty bucket.
+    *   2. Over that TINY per-bucket summary (rows = distinct buckets, not
+    *      input rows), a per-key window computes each bucket's carry-in:
+    *      the latest right row from any strictly-earlier bucket.
+    *   3. The main union+carry pass from [[asofJoin]] runs partitioned by
+    *      (key, bucket) — hot keys now split across buckets — with the
+    *      carry-in injected as a synthetic row ordered before everything
+    *      in its bucket (null ts + seq 0; right rows seq 1, left rows
+    *      seq 2, so a right row at exactly leftTs still wins: `<=`).
+    *
+    * Cost: one extra aggregation of the right side and one extra shuffle
+    * of the left's distinct (key, bucket) pairs vs [[asofJoin]]'s single
+    * shuffle — worth it only when a hot key dominates. Result-invariant
+    * w.r.t. [[asofJoin]] for any bucket width (property-tested in
+    * AsOfSpec).
+    */
+  def asofJoinBucketed(left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String,
+      rightValueCols: Seq[String], bucket: Column => Column): DataFrame = {
+    validate(left, leftTs, right, rightTs, rightValueCols)
+    val lCols = left.columns.toSeq
+    val tsType = left.schema(leftTs).dataType
+
+    val rStruct = struct(rightValueCols.map(col): _*)
+    val rType = right.select(rStruct).schema.head.dataType
+
+    val rKeyed = right
+      .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
+      .select(col(rightKey).as("__k"), col(rightTs).as("__ts"),
+        bucket(col(rightTs)).as("__b"), rStruct.as("__r"))
+
+    // 1. latest right row per (key, bucket) — the only row later buckets
+    // can ever need (requirement: unique (key, ts) makes max_by exact)
+    val bucketLatest = rKeyed.groupBy("__k", "__b")
+      .agg(max_by(col("__r"), col("__ts")).as("__r"))
+
+    // 2. carry-in per LEFT bucket from the per-bucket summary; a null left
+    // bucket (null leftTs) sorts first and so carries nothing — null-ts
+    // left rows stay unmatched, same as asofJoin
+    val leftBuckets = left
+      .select(col(leftKey).as("__k"), bucket(col(leftTs)).as("__b"))
+      .distinct()
+    val wCarry = Window.partitionBy(col("__k")).orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryRows = leftBuckets.withColumn("__hasL", lit(true))
+      .join(bucketLatest, Seq("__k", "__b"), "full_outer")
+      .withColumn("__carry", last(col("__r"), ignoreNulls = true).over(wCarry))
+      .filter(col("__hasL") && col("__carry").isNotNull)
+      .select(Seq(col("__k"), lit(null).cast(tsType).as("__ts"), col("__b"),
+          lit(0).as("__seq")) ++
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        col("__carry").as("__r"): _*)
+
+    // 3. in-bucket union+carry; carry-in (null ts, seq 0) orders before all
+    // real rows, right (seq 1) before left (seq 2) at equal ts
+    val lSide = left.select(
+      Seq(col(leftKey).as("__k"), col(leftTs).as("__ts"),
+          bucket(col(leftTs)).as("__b"), lit(2).as("__seq")) ++
+        lCols.map(col) :+ lit(null).cast(rType).as("__r"): _*)
+    val rSide = rKeyed.select(
+      Seq(col("__k"), col("__ts"), col("__b"), lit(1).as("__seq")) ++
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        col("__r"): _*)
+
+    val w = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__ts").asc_nulls_first, col("__seq").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lSide.unionByName(rSide).unionByName(carryRows)
+      .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__seq") === 2)
       .select(lCols.map(col) ++
         rightValueCols.map(c => col("__c").getField(c).as(c)): _*)
   }

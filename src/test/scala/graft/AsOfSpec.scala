@@ -87,4 +87,57 @@ class AsOfSpec extends SparkSpec {
       AsOf.asofJoin(trades, "sym", "tts", dateRight, "sym", "qts", Seq("price"))
     }
   }
+
+  test("asofJoinBucketed matches asofJoin on the timestamp fixture (hourly buckets)") {
+    val hourly = (c: org.apache.spark.sql.Column) =>
+      floor(unix_micros(c) / lit(3600L * 1000000L))
+    val out = AsOf.asofJoinBucketed(trades, "sym", "tts",
+        quotes, "sym", "qts", Seq("price"), hourly)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out === Map(
+      1L -> Some(100.0),
+      2L -> Some(110.0),
+      3L -> None,
+      4L -> Some(55.0),
+      5L -> None))
+  }
+
+  test("property: asofJoinBucketed ≡ asofJoin for any bucket width, incl. a hot key") {
+    // one pathological hot key (80% of rows) + a long tail; long timestamps
+    val rnd = new scala.util.Random(42)
+    def key(): String = if (rnd.nextInt(5) < 4) "HOT" else s"k${rnd.nextInt(20)}"
+    val leftRows = Seq.tabulate(800)(i => (i.toLong, key(), rnd.nextInt(10000).toLong))
+    val rightRaw = Seq.tabulate(600)(_ => (key(), rnd.nextInt(10000).toLong, rnd.nextDouble()))
+    // enforce the operator contract: unique (key, ts) on the right
+    val rightRows = rightRaw.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+    val l = leftRows.toDF("id", "k", "ts")
+    val r = rightRows.toDF("k", "ts", "v")
+
+    val expected = AsOf.asofJoin(l, "k", "ts", r, "k", "ts", Seq("v"))
+      .collect().map(x => (x.getLong(0), if (x.isNullAt(3)) null else x.getDouble(3)))
+      .sortBy(_._1).toSeq
+
+    // widths spanning one-bucket-per-row through everything-in-one-bucket
+    for (width <- Seq(1L, 7L, 100L, 1000L, 100000L)) {
+      val got = AsOf.asofJoinBucketed(l, "k", "ts", r, "k", "ts", Seq("v"),
+          c => floor(c / lit(width)))
+        .collect().map(x => (x.getLong(0), if (x.isNullAt(3)) null else x.getDouble(3)))
+        .sortBy(_._1).toSeq
+      assert(got === expected, s"divergence at bucket width $width")
+    }
+  }
+
+  test("asofJoinBucketed: null left ts / null left key stay unmatched") {
+    val r = Seq(("A", 10L, 1.0)).toDF("k", "ts", "v")
+    val l = Seq(
+      (1L, Some("A"), Some(50L)),
+      (2L, Some("A"), Option.empty[Long]),
+      (3L, Option.empty[String], Some(50L))
+    ).toDF("id", "k", "ts")
+    val out = AsOf.asofJoinBucketed(l, "k", "ts", r, "k", "ts", Seq("v"),
+        c => floor(c / lit(100L)))
+      .collect().map(x => x.getLong(0) -> x.isNullAt(3)).toMap
+    assert(out === Map(1L -> false, 2L -> true, 3L -> true))
+  }
 }
