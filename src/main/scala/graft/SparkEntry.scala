@@ -224,7 +224,7 @@ object SparkEntry {
     // spec'd equivalent-shape in DedupSpec
     "q_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
-          maxDist = 3, tokenHash = Dedup.portableTokenHash)
+          maxDist = 3, tokenHash = Dedup.PortableSha)
         .orderBy("id_a", "id_b")),
     // ===== training-data pipeline: similarity search =====
     "q_embedding_topk" -> ((s, dir) => {

@@ -70,12 +70,21 @@ object Dedup {
     // are (id, shingles) — tiny next to the pair join below.
     val sets = df.select(
         col(idCol).as("id"),
-        array_distinct(TextAnalysis.wordNgrams(col(textCol), n)).as("sh"))
+        graft.expressions.ShingleExpressions
+          .distinctWordNgrams(col(textCol), n).as("sh"))
       .repartition(col("id"))
       .filter(size(col("sh")) > 0)
 
+    // the inverted index is keyed on xxhash64(shingle), not the shingle
+    // text: every downstream exchange (df count, cap join, pair join)
+    // then shuffles 8-byte longs instead of ~n-word strings — the same
+    // "shuffle digests, not text" rule exactDedup applies. Distinct
+    // shingles already hold per doc, so a hash collision can only merge
+    // two DIFFERENT shingles across docs (P ≈ m²/2⁶⁵ — negligible, and
+    // bounded to a ±1 perturbation of `shared` per colliding pair).
     val inv0 = sets.select(col("id"), size(col("sh")).as("setsize"),
-      explode(col("sh")).as("s"))
+        explode(col("sh")).as("s0"))
+      .select(col("id"), col("setsize"), xxhash64(col("s0")).as("s"))
     val inv = maxShingleDf match {
       case Some(cap) =>
         // document frequency per shingle; drop shingles above the cap.
@@ -96,6 +105,13 @@ object Dedup {
     val b = inv.select(col("s"), col("id").as("id_b"), col("setsize").as("nb"))
     a.join(b, Seq("s"))
       .filter(col("id_a") < col("id_b"))
+      // size-ratio prefilter (exact, no false dismissals): J ≥ t forces
+      // |A∩B| ≥ t·max(|A|,|B|), and |A∩B| ≤ min(|A|,|B|), so any
+      // qualifying pair has min ≥ t·max. Prunes posting-join rows
+      // BEFORE the pair aggregation — the classic set-similarity size
+      // filter (Arasu et al., VLDB'06).
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")))
       .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",
@@ -142,7 +158,8 @@ object Dedup {
     // sets feeds the signature explode AND both verification joins
     val sets = df.select(
         col(idCol).as("id"),
-        array_distinct(TextAnalysis.wordNgrams(col(textCol), n)).as("sh"))
+        graft.expressions.ShingleExpressions
+          .distinctWordNgrams(col(textCol), n).as("sh"))
       .repartition(col("id"))
       .filter(size(col("sh")) > 0)
 
@@ -241,6 +258,14 @@ object Dedup {
   // SimHash (64-bit) near-dup
   // ------------------------------------------------------------------
 
+  /** Token-hash choice for the SimHash family: `XxHash` is the scale
+    * default (one multiply-rotate pass per token); `PortableSha` is a
+    * 60-bit sha256 prefix computable bit-for-bit in DuckDB, which makes
+    * the whole pipeline oracle-checkable (what `SparkEntry` registers). */
+  sealed trait TokenHash
+  case object XxHash extends TokenHash
+  case object PortableSha extends TokenHash
+
   /** Default token hash for SimHash: codegen'd xxhash64 — the scale
     * path (one multiply-rotate pass per token). */
   def xxTokenHash(t: Column): Column = xxhash64(t)
@@ -255,16 +280,36 @@ object Dedup {
   def portableTokenHash(t: Column): Column =
     conv(substring(sha2(t, 256), 1, 15), 16, 10).cast("long")
 
+  /** 64-bit SimHash per doc via the one-pass codegen `SimHash64`
+    * expression — the production signature path: no token explode, no
+    * 64-aggregate shuffle; one projected long per document. The
+    * `repartition(id)` is the same materialization-barrier idiom as in
+    * the Jaccard/MinHash pipelines: the signature feeds the band
+    * posexplode AND both verification join sides, whose differing
+    * output partitionings would otherwise each recompute it (~3× at the
+    * profiled query shape). Docs with null/empty token arrays carry a
+    * NULL sig (they can never band-match; the aggregate form simply
+    * drops them). Output: (id, sig long-or-null). */
+  def simhashSignaturesFast(df: DataFrame, idCol: String, textCol: String,
+      tokenHash: TokenHash = XxHash): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.expressions.SimHashExpressions.simhash64(
+          array_distinct(TextAnalysis.tokens(col(textCol))),
+          portable = tokenHash == PortableSha).as("sig"))
+      .repartition(col("id"))
+
   /** 64-bit SimHash packed into ONE long, via explode + groupBy: hash
     * each distinct token once, run 64 codegen'd `sum(±1)` aggregates
     * (one per bit of the token hash), then collapse signs into the
-    * bits of an int64. Same rationale as the MinHash signature:
-    * aggregates are whole-stage-codegen'd AND act as a materialization
-    * barrier, where an array-HOF formulation would be interpreted and
-    * re-inlined into every downstream consumer. A packed long also
-    * keeps the downstream bucket join shuffling 8 bytes per signature
-    * instead of a 64-element array, and makes Hamming distance a
-    * single `bit_count(a XOR b)`. Output: (id, sig long). */
+    * bits of an int64. A packed long keeps a downstream bucket join
+    * shuffling 8 bytes per signature instead of a 64-element array, and
+    * makes Hamming distance a single `bit_count(a XOR b)`.
+    *
+    * REFERENCE implementation: `simhashSignaturesFast` (the one-pass
+    * codegen expression) is the production path and is spec'd
+    * equivalent to this form for both token hashes; this stays as the
+    * independently-derived cross-check and for custom Column-level
+    * token hashes. Output: (id, sig long). */
   def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
       tokenHash: Column => Column = xxTokenHash): DataFrame = {
     val toks = df
@@ -288,13 +333,15 @@ object Dedup {
     * travel as bare (id_a, id_b); the 8-byte signatures are joined back
     * only for the verification — same two-shuffle shape as MinHash-LSH. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int, tokenHash: Column => Column = xxTokenHash): DataFrame = {
+      maxDist: Int, tokenHash: TokenHash = XxHash): DataFrame = {
     // 4 bands of 16 bits guarantee a shared band only for Hamming ≤ 3
     // (pigeonhole); a larger maxDist would silently miss qualifying
     // pairs whose differing bits spread across all four bands
     require(maxDist >= 0 && maxDist <= 3,
       s"4x16-bit banding only guarantees recall for maxDist <= 3, got $maxDist")
-    val sigs = simhashSignatures(df, idCol, textCol, tokenHash)
+    // null sigs (empty docs) need no explicit filter: a null band bucket
+    // never equi-joins, so such docs simply produce no candidates
+    val sigs = simhashSignaturesFast(df, idCol, textCol, tokenHash)
 
     val banded = sigs.select(col("id"),
       posexplode(array((0 until 4).map { j =>

@@ -83,7 +83,14 @@ object Similarity {
   }
 
   /** Sign-bucket id of a vector under one table of `planes`: bit h =
-    * sign(v · plane_h). Packed to an int. */
+    * sign(v · plane_h). Packed to an int.
+    *
+    * Compositional REFERENCE implementation (a `when`-tree over
+    * `dotProduct` calls) kept for the equivalence spec; the production
+    * path is the one-pass codegen `HyperplaneBuckets` expression — a
+    * multi-table `when`-tree is a single unsplittable expression whose
+    * generated method overflows the JIT bytecode ceiling and runs
+    * interpreted (profiled ~0.5 ms/row at 32×3 planes). */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.map { p =>
       val planeCol = array(p.map(lit): _*)
@@ -93,15 +100,17 @@ object Similarity {
   }
 
   /** (tbl, bkt, id) bucket rows for one side — arrays are NOT carried;
-    * candidates travel as bare ids and vectors join back later. */
+    * candidates travel as bare ids and vectors join back later. All
+    * table buckets come from ONE `HyperplaneBuckets` pass (codegen'd
+    * nested loop; see that expression's scaladoc for why the
+    * compositional form is off the hot path). */
   private def bucketRows(df: DataFrame, idName: String, vecName: String,
       bitsPerTable: Int, numTables: Int,
       allPlanes: Array[Array[Double]]): DataFrame =
     df.select(col(idName),
-      posexplode(array((0 until numTables).map { t =>
-        lshBucket(col(vecName),
-          allPlanes.slice(t * bitsPerTable, (t + 1) * bitsPerTable))
-      }: _*)).as(Seq("tbl", "bkt")))
+      posexplode(graft.expressions.LshExpressions.hyperplaneBuckets(
+        col(vecName), allPlanes, numTables, bitsPerTable))
+        .as(Seq("tbl", "bkt")))
 
   /** Approximate top-k: candidates = corpus vectors sharing an LSH
     * bucket with the query in ANY of `numTables` independent tables;
@@ -164,15 +173,11 @@ object Similarity {
     var cents = init
     val dim = init.head._2.length
     for (_ <- 0 until iters) {
-      val scores = array(cents.map { case (cell, cv, cn) =>
-        struct(
-          (dotProduct(col(vecCol), array(cv.map(lit): _*))
-            / (l2Norm(col(vecCol)) * lit(cn))).as("score"),
-          lit(cell).as("cell"))
-      }: _*)
       val means = corpus
-        .filter(l2Norm(col(vecCol)) > 0)
-        .withColumn("cell", array_max(scores).getField("cell"))
+        .withColumn("__vnorm", l2Norm(col(vecCol)))
+        .filter(col("__vnorm") > 0)
+        .withColumn("cell", graft.expressions.CentroidExpressions
+          .topCentroids(col(vecCol), col("__vnorm"), cents, 1).getItem(0))
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
         .groupBy("cell", "dim")
         .agg(avg(col("v")).as("m"))
@@ -213,21 +218,17 @@ object Similarity {
       if (refineIters > 0) refineCentroids(corpus, vecCol, init, refineIters)
       else init
 
-    /** struct(score, cell) per centroid — array_max/sort_array order by
-      * the first field, giving a pure-expression argmax. */
-    def cellScores(vec: Column, vnorm: Column): Column =
-      array(cents.map { case (cell, cv, cn) =>
-        struct(
-          (dotProduct(vec, array(cv.map(lit): _*)) / (vnorm * lit(cn))).as("score"),
-          lit(cell).as("cell"))
-      }: _*)
-
+    // cell assignment / probing via the one-pass codegen TopCentroids
+    // expression: a compositional array-of-struct scorer is ONE
+    // unsplittable expression of C dot products, which overflows the
+    // JIT bytecode ceiling and runs interpreted (see TopCentroids doc);
+    // ordering semantics — (score, cell) descending — are identical
     val c = corpusSide(corpus, idCol, vecCol)
-      .withColumn("cell", array_max(cellScores(col("cv"), col("cnorm"))).getField("cell"))
+      .withColumn("cell", graft.expressions.CentroidExpressions
+        .topCentroids(col("cv"), col("cnorm"), cents, 1).getItem(0))
     val q = querySide(queries, idCol, vecCol)
-      .withColumn("cell", explode(
-        slice(sort_array(cellScores(col("qv"), col("qnorm")), asc = false),
-          1, nProbe).getField("cell")))
+      .withColumn("cell", explode(graft.expressions.CentroidExpressions
+        .topCentroids(col("qv"), col("qnorm"), cents, nProbe)))
 
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -125,10 +125,41 @@ class DedupSpec extends SparkSpec {
 
   test("simhash with the portable hash still pairs identical docs at distance 0") {
     val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3,
-        tokenHash = Dedup.portableTokenHash)
+        tokenHash = Dedup.PortableSha)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0))
     assert(pairs.forall(p => p._1 < p._2))
+  }
+
+  test("one-pass SimHash64 signatures equal the aggregate reference, both hashes") {
+    val fixture = Tables.documents(spark, sf)
+    for ((kind, colFn) <- Seq(
+        (Dedup.XxHash: Dedup.TokenHash) -> Dedup.xxTokenHash _,
+        (Dedup.PortableSha: Dedup.TokenHash) -> Dedup.portableTokenHash _)) {
+      val ref = Dedup.simhashSignatures(fixture, "doc_id", "text", colFn)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fast = Dedup.simhashSignaturesFast(fixture, "doc_id", "text", kind)
+        .filter(col("sig").isNotNull)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast === ref, s"hash kind $kind")
+      assert(ref.nonEmpty)
+    }
+  }
+
+  test("SimHash64: null text yields null sig; empty docs hash identically") {
+    // tokens("") == [""] (split quirk), so empty/blank docs share the
+    // signature of the single empty token — same as the aggregate form;
+    // genuinely NULL text propagates a null sig and never pairs
+    val weird = Seq((1L, Some("")), (2L, Some("   ")), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignaturesFast(weird, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(sigs(3L) === None)
+    assert(sigs(1L).isDefined && sigs(1L) === sigs(2L))
+    val pairs = Dedup.simhashNearDupPairs(weird, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L))) // null-sig doc 3 never pairs
   }
 
   test("simhash rejects maxDist beyond the banding guarantee") {
