@@ -20,19 +20,29 @@ object Bench {
     // driver's 2×-of-baseline comparison tracks the engine, not noise.
     // Failures are loud (stderr) and recorded as -1, never as a tiny
     // elapsed-to-failure time that would shrink the total.
-    def once(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    def time(name: String, fn: (org.apache.spark.sql.SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      val elapsed =
-        try { exhaust(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
-        }
-      name -> elapsed
+      try { exhaust(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        -1.0
+      }
     }
+    def once(): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) => name -> time(name, fn) }
     val (r1, r2) = (once(), once())
+    // tie-break pass: when the two timings disagree by >2×, one of them
+    // was hit by transient load (GC, the OS, a concurrent driver task) —
+    // a third measurement stops a single outlier from surviving the min
+    // and false-flagging a regression against the baseline.
     val results = r1.map { case (k, v) =>
-      k -> (if (v < 0 || r2(k) < 0) -1.0 else math.min(v, r2(k)))
+      val best =
+        if (v < 0 || r2(k) < 0) -1.0
+        else if (math.max(v, r2(k)) > 2.0 * math.min(v, r2(k))) {
+          val v3 = time(k, SparkEntry.queries(k))
+          if (v3 < 0) -1.0 else math.min(math.min(v, r2(k)), v3)
+        } else math.min(v, r2(k))
+      k -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -63,6 +63,16 @@ object SparkEntry {
           Seq("user_id"), "ts", Seq("event_id"))
         .select("user_id", "event_id", "event_type", "value")
         .orderBy("user_id")),
+    // ----- streaming window semantics, driver-adjudicated in batch: the
+    // SAME Windows.salesPerCategoryWindowed the streaming job runs
+    // (withWatermark is a no-op on a batch frame), so the tumbling
+    // bucket boundaries/aggregation are hash-checked against DuckDB
+    // time_bucket — not just spec-covered through MemoryStream
+    "q_hourly_category_sales" -> ((s, dir) =>
+      graft.streaming.Windows.salesPerCategoryWindowed(
+          Tables.events(s, dir), "ts", "event_type", "value",
+          windowLength = "1 hour")
+        .orderBy("window_start", "category")),
     // ----- scale headliner: wide aggregate over lineitem (TPC-H Q1 shape)
     "q1_lineitem_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -245,10 +255,18 @@ object SparkEntry {
           "vec_id", "embedding", k = 5, numCentroids = 16, nProbe = 14)
         .orderBy("query_id", "rank")
     }),
+    // multi-probe (Hamming-1) halves-and-then-some the table count the
+    // weak-neighbor fixture needs for recall 1: AnnTune measures 0
+    // misses at 8 tables across sf0.001/0.01/0.1; 12 is registered for
+    // margin. Table count is the multiplier on rows emitted per corpus
+    // vector, so this is a direct ~2.7× cut in 100 TB shuffle volume.
     "q_ann_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // dim passed explicitly (fixture embeddings are 64-wide): skips
+      // the infer-from-first-row driver job; omit it to infer
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, bitsPerTable = 3, numTables = 32)
+          "vec_id", "embedding", k = 5, bitsPerTable = 3, numTables = 12,
+          multiProbe = true, dim = 64)
         .orderBy("query_id", "rank")
     }),
     // the LSH-bucketed pair generator IS the registered path — the
@@ -256,7 +274,7 @@ object SparkEntry {
     "q_embedding_neardup" -> ((s, dir) =>
       Similarity.lshNearDupPairs(Tables.embeddings(s, dir),
           "vec_id", "embedding", threshold = 0.4,
-          bitsPerTable = 3, numTables = 32)
+          bitsPerTable = 3, numTables = 12, multiProbe = true, dim = 64)
         .orderBy("id_a", "id_b")),
     // ----- as-of (temporal) join: latest order at-or-before each event
     "q_asof_last_order" -> ((s, dir) => {
@@ -356,6 +374,15 @@ object SparkEntry {
                                               event_id DESC) AS rn
            FROM events) t
          WHERE rn = 1 ORDER BY user_id""",
+    // Spark's window(ts, '1h') and DuckDB's time_bucket share the same
+    // epoch-aligned bucketing; boundaries are whole hours so µs-vs-ns
+    // precision cannot shift a row across buckets
+    "q_hourly_category_sales" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+                time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                  + INTERVAL '1 hour' AS window_end,
+                event_type AS category, SUM(value) AS total_sales
+         FROM events GROUP BY 1, 2, 3 ORDER BY window_start, category""",
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
                 SUM(l_quantity) AS sum_qty,

@@ -46,8 +46,39 @@ object Similarity {
 
   /** Shared epilogue: per-query rank by cosine desc (ties on neighbor
     * id), keep k. Input must already be projected to
-    * (query_id, neighbor_id, cos) so no arrays enter this shuffle. */
+    * (query_id, neighbor_id, cos) so no arrays enter this shuffle.
+    *
+    * Runs through the map-side-combining `TopKAggregator`, NOT a
+    * `row_number()` window: the window shuffles EVERY candidate of a
+    * query into one partition and sorts it — for the exact brute-force
+    * path that is the whole corpus per query in a single-partition sort.
+    * The aggregator contributes at most k rows per query per input
+    * partition to the shuffle, so the epilogue moves ≈ k × queries ×
+    * partitions rows no matter how large the corpus is. Ids must be
+    * long-castable (they are bare numeric ids by the time they reach
+    * this projection). Ties break identically to the window form
+    * (`orderBy(cos desc, neighbor_id asc)`), spec-asserted equivalent. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored
+      .select(col("query_id").cast("long"), col("cos").cast("double"),
+        col("neighbor_id").cast("long"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.functions.TopKAggregator.topK(k).toColumn.name("topk"))
+      .toDF("query_id", "topk")
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("col._1").as("cos"))
+  }
+
+  /** Window-function formulation of the epilogue — the oracle-shaped
+    * REFERENCE implementation `rankTopK` is spec'd equivalent to. Not on
+    * any registered path: it single-partition-sorts each query's full
+    * candidate list (every corpus row, for the exact baseline). */
+  private[graft] def rankTopKWindow(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
@@ -55,6 +86,16 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos")
   }
+
+  /** Scored-candidate projection shared by the exact and ANN top-k
+    * variants, exposed for the epilogue-equivalence spec. */
+  private[graft] def bruteForceScored(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    corpusSide(corpus, idCol, vecCol)
+      .crossJoin(broadcast(querySide(queries, idCol, vecCol)))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotProduct(col("cv"), col("qv")) / (col("cnorm") * col("qnorm"))).as("cos"))
 
   /** Exact top-k cosine neighbors for each query vector.
     *
@@ -65,14 +106,8 @@ object Similarity {
     * Deterministic: ties break on neighbor id.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int): DataFrame = {
-    val scored = corpusSide(corpus, idCol, vecCol)
-      .crossJoin(broadcast(querySide(queries, idCol, vecCol)))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dotProduct(col("cv"), col("qv")) / (col("cnorm") * col("qnorm"))).as("cos"))
-    rankTopK(scored, k)
-  }
+      vecCol: String, k: Int): DataFrame =
+    rankTopK(bruteForceScored(corpus, queries, idCol, vecCol), k)
 
   /** Deterministic random hyperplanes: `numPlanes × dim` entries in
     * {-1,+1} from a fixed-seed PRNG, embedded as a literal array — no
@@ -112,6 +147,32 @@ object Similarity {
         col(vecName), allPlanes, numTables, bitsPerTable))
         .as(Seq("tbl", "bkt")))
 
+  /** Multi-probe expansion of (tbl, bkt) rows: each row also emits its
+    * `bitsPerTable` Hamming-1 neighbor buckets (one sign-bit flip each).
+    * Probing ONE side of a bucket equi-join makes the join match any
+    * pair whose buckets agree exactly OR differ in a single bit — the
+    * classic multi-probe LSH trade (Lv et al., VLDB'07): per-table
+    * recall rises steeply (a near-miss pair usually differs in exactly
+    * the one plane whose margin was smallest), so far fewer tables are
+    * needed for the same recall, and it is TABLE COUNT that multiplies
+    * the 100 TB side's emitted rows and shuffle volume. Probes are
+    * integer XORs on an already-computed bucket — no extra dot
+    * products. */
+  private def probeHamming1(bucketed: DataFrame, idName: String,
+      bitsPerTable: Int): DataFrame = {
+    val probes = (lit(0) +: (0 until bitsPerTable).map(i => lit(1 << i)))
+    bucketed.select(col(idName), col("tbl"),
+      explode(array(probes.map(m => col("bkt").bitwiseXOR(m)): _*)).as("bkt"))
+  }
+
+  /** Vector dimension = length of the first non-empty vector (one tiny
+    * driver job; the scan prunes to the vector column). The planes must
+    * match the data's true dimension, which the schema doesn't carry. */
+  private def inferDim(df: DataFrame, vecCol: String): Int = {
+    val first = df.select(size(col(vecCol)).as("d")).filter(col("d") > 0).head()
+    first.getInt(0)
+  }
+
   /** Approximate top-k: candidates = corpus vectors sharing an LSH
     * bucket with the query in ANY of `numTables` independent tables;
     * exact cosine + top-k on the candidates only.
@@ -121,19 +182,25 @@ object Similarity {
     * 100 TB side is scanned once to emit numTables bucket rows per
     * vector (bare ids — no array traffic), and the expensive exact
     * cosine runs on the candidate set only (≪ n²). Recall tunes with
-    * numTables; bucket width with bitsPerTable.
+    * numTables; bucket width with bitsPerTable; `multiProbe` flips each
+    * sign bit on the QUERY side (tiny), matching Hamming-≤1 buckets per
+    * table — same recall with far fewer tables, i.e. far fewer emitted
+    * rows per corpus vector. `dim = 0` (default) infers the vector
+    * dimension from the data.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, bitsPerTable: Int = 4, numTables: Int = 16,
-      dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val allPlanes = hyperplanes(bitsPerTable * numTables, dim, seed)
+      multiProbe: Boolean = false, dim: Int = 0, seed: Long = 42L): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(corpus, vecCol)
+    val allPlanes = hyperplanes(bitsPerTable * numTables, d, seed)
     val c = corpusSide(corpus, idCol, vecCol)
     val q = querySide(queries, idCol, vecCol)
 
+    val qBuckets = bucketRows(q, "query_id", "qv", bitsPerTable, numTables, allPlanes)
+    val qProbed =
+      if (multiProbe) probeHamming1(qBuckets, "query_id", bitsPerTable) else qBuckets
     val cand = bucketRows(c, "neighbor_id", "cv", bitsPerTable, numTables, allPlanes)
-      .join(broadcast(
-        bucketRows(q, "query_id", "qv", bitsPerTable, numTables, allPlanes)),
-        Seq("tbl", "bkt"))
+      .join(broadcast(qProbed), Seq("tbl", "bkt"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
@@ -271,18 +338,27 @@ object Similarity {
   /** LSH-bucketed near-dup pairs — the 100 TB shape of
     * `cosineNearDupPairs`: only vectors sharing a bucket in some table
     * are compared exactly. Candidates travel as bare id pairs; vectors
-    * join back once per surviving pair. */
+    * join back once per surviving pair. With `multiProbe`, ONE side of
+    * the self-join also emits each bucket's Hamming-1 flips, so a pair
+    * is a candidate when its per-table buckets differ in ≤ 1 sign bit —
+    * flip symmetry means one probed side covers both directions. The
+    * probed rows stay bare (id, tbl, bkt) ints; the win is needing far
+    * fewer tables (the multiplier on rows emitted per corpus vector)
+    * for the same recall. `dim = 0` infers the dimension. */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bitsPerTable: Int = 4, numTables: Int = 16,
-      dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val allPlanes = hyperplanes(bitsPerTable * numTables, dim, seed)
+      multiProbe: Boolean = false, dim: Int = 0, seed: Long = 42L): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(df, vecCol)
+    val allPlanes = hyperplanes(bitsPerTable * numTables, d, seed)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("norm", l2Norm(col("v")))
       .filter(col("norm") > 0)
     val banded = bucketRows(v, "id", "v", bitsPerTable, numTables, allPlanes)
+    val probed =
+      if (multiProbe) probeHamming1(banded, "id", bitsPerTable) else banded
 
     val cand = banded.select(col("tbl"), col("bkt"), col("id").as("id_a"))
-      .join(banded.select(col("tbl"), col("bkt"), col("id").as("id_b")),
+      .join(probed.select(col("tbl"), col("bkt"), col("id").as("id_b")),
         Seq("tbl", "bkt"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")

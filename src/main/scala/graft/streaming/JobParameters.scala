@@ -44,7 +44,17 @@ object JobParameters {
   /** `ParameterTool.fromArgs`-style CLI parsing: `--key value` or
     * `-key value` pairs; a key followed by another `-`/`--` token (or
     * nothing) is a valueless flag mapped to ""; repeated keys — last one
-    * wins; a bare value with no preceding key is an error. */
+    * wins; a bare value with no preceding key is an error.
+    *
+    * A `-`-prefixed token that is a NUMBER (`-5`, `-0.25`, `-1e3`) is a
+    * value, not a key — Flink's `ParameterTool` special-cases negative
+    * numbers the same way (`NumberUtils.isNumber` probe), so
+    * `--triggerMs -5` binds -5 rather than parsing as two flags. */
+  private val NegativeNumber = "-(\\.\\d+|\\d+(\\.\\d*)?)([eE][+-]?\\d+)?".r
+
+  private def isNegativeNumber(s: String): Boolean =
+    NegativeNumber.pattern.matcher(s).matches()
+
   def fromArgs(args: Seq[String]): Map[String, String] = {
     var m = Map.empty[String, String]
     var i = 0
@@ -52,11 +62,12 @@ object JobParameters {
       val a = args(i)
       val key =
         if (a.startsWith("--")) a.drop(2)
-        else if (a.startsWith("-")) a.drop(1)
+        else if (a.startsWith("-") && !isNegativeNumber(a)) a.drop(1)
         else throw new IllegalArgumentException(
           s"Error parsing arguments: '$a' is not a --key (expected a key at position $i)")
       require(key.nonEmpty, s"empty argument key at position $i")
-      if (i + 1 < args.length && !args(i + 1).startsWith("-")) {
+      if (i + 1 < args.length &&
+          (!args(i + 1).startsWith("-") || isNegativeNumber(args(i + 1)))) {
         m += key -> args(i + 1); i += 2
       } else {
         m += key -> ""; i += 1 // valueless flag

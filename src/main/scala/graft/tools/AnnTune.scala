@@ -32,19 +32,21 @@ object AnnTune {
       }
 
       val exactPairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
-      for ((bits, tables) <- Seq((3, 32), (2, 24), (2, 32))) {
+      for ((bits, tables, mp) <- Seq((3, 32, false),
+          (3, 8, true), (3, 10, true), (3, 12, true), (3, 16, true))) {
         val lsh = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.4,
-          bitsPerTable = bits, numTables = tables)
+          bitsPerTable = bits, numTables = tables, multiProbe = mp)
         val (a, e, m) = diff(lsh.select("id_a", "id_b"), exactPairs.select("id_a", "id_b"))
-        println(s"NEARDUP $dir bits=$bits tables=$tables lsh=$a exact=$e missed=$m")
+        println(s"NEARDUP $dir bits=$bits tables=$tables mp=$mp lsh=$a exact=$e missed=$m")
       }
 
       val exactTopK = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
-      for ((bits, tables) <- Seq((3, 24), (3, 32), (2, 24), (2, 32))) {
+      for ((bits, tables, mp) <- Seq((3, 32, false),
+          (3, 8, true), (3, 10, true), (3, 12, true), (3, 16, true))) {
         val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
-          bitsPerTable = bits, numTables = tables)
+          bitsPerTable = bits, numTables = tables, multiProbe = mp)
         val (a, e, m) = diff(lsh, exactTopK)
-        println(s"LSHTOPK $dir bits=$bits tables=$tables lsh=$a exact=$e missed=$m")
+        println(s"LSHTOPK $dir bits=$bits tables=$tables mp=$mp lsh=$a exact=$e missed=$m")
       }
       for (nProbe <- Seq(12, 14, 16)) {
         val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,

@@ -30,6 +30,17 @@ class JobParametersSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { JP.fromArgs(Seq("oops")) }
   }
 
+  test("fromArgs: negative numbers are values, not keys (ParameterTool parity)") {
+    val m = JP.fromArgs(Seq("--triggerMs", "-5", "--threshold", "-0.25",
+      "--scale", "-1e3", "--flag"))
+    assert(m === Map("triggerMs" -> "-5", "threshold" -> "-0.25",
+      "scale" -> "-1e3", "flag" -> ""))
+    // a negative number with no preceding key is still an error
+    intercept[IllegalArgumentException] { JP.fromArgs(Seq("-5")) }
+    // and a non-numeric dash token after a key stays a new key
+    assert(JP.fromArgs(Seq("--a", "-b", "c")) === Map("a" -> "", "b" -> "c"))
+  }
+
   test("defaults match the reference when only checkpointRoot is given") {
     val cfg = JP.load(Seq("--checkpointRoot", "/ckpt"))
     assert(cfg.checkpointRoot === "/ckpt")

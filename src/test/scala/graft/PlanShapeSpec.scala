@@ -60,6 +60,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("top-k epilogue is a partial-combining aggregate, not a window sort") {
+    // the exact brute-force path would otherwise shuffle EVERY corpus
+    // row of a query into one window partition; the TopKAggregator
+    // epilogue shuffles ≤ k rows per query per input partition
+    for (q <- Seq("q_embedding_topk", "q_ann_lsh_topk", "q_ivf_topk")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q epilogue still plans a Window")
+      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+        s"$q epilogue is not an aggregate")
+    }
+  }
+
   test("aggregation queries keep whole-stage codegen on the scan side") {
     val p = SparkEntry.queries("q1_lineitem_agg")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)

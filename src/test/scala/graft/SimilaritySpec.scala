@@ -102,7 +102,7 @@ class SimilaritySpec extends SparkSpec {
     val exactPairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lshPairs = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.4,
-        bitsPerTable = 3, numTables = 32)
+        bitsPerTable = 3, numTables = 12, multiProbe = true)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lshPairs === exactPairs)
 
@@ -110,7 +110,7 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id", "rank")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val lshTopK = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
-        bitsPerTable = 3, numTables = 32)
+        bitsPerTable = 3, numTables = 12, multiProbe = true)
       .select("query_id", "neighbor_id", "rank")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(lshTopK === exactTopK)
@@ -119,5 +119,62 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id", "rank")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(ivfTopK === exactTopK)
+  }
+
+  test("aggregator epilogue ≡ window epilogue (ranks, ties, cos values)") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val scored = Similarity.bruteForceScored(emb, queries, "vec_id", "embedding")
+    val viaAgg = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    val viaWindow = Similarity.rankTopKWindow(scored, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    assert(viaAgg === viaWindow)
+  }
+
+  test("multi-probe finds every Hamming-1 pair a plain bucket join finds") {
+    // probing one side must be a superset of the no-probe candidates at
+    // the SAME table count, and a subset of exact (verify filters FPs)
+    val emb = Tables.embeddings(spark, sf)
+    def pairs(mp: Boolean, tables: Int) =
+      Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.4,
+          bitsPerTable = 3, numTables = tables, multiProbe = mp)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = pairs(mp = false, tables = 6)
+    val probed = pairs(mp = true, tables = 6)
+    assert(plain.subsetOf(probed))
+    val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed.subsetOf(exact))
+  }
+
+  test("LSH infers non-64 vector dimension from the data (default dim)") {
+    // 8-dim fixture: omitting dim must work (r2 hardcoded 64 threw at
+    // execution time on any other width)
+    val rng = new scala.util.Random(7)
+    val eightDim = (0L until 40L).map { i =>
+      (i, Array.fill(8)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = eightDim.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(eightDim, queries,
+        "vec_id", "embedding", 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(eightDim, queries, "vec_id", "embedding", 4,
+        bitsPerTable = 3, numTables = 24, multiProbe = true)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann.nonEmpty && ann.subsetOf(exact))
+    val pairs = Similarity.lshNearDupPairs(eightDim, "vec_id", "embedding", 0.5,
+        bitsPerTable = 3, numTables = 24, multiProbe = true)
+      .select("id_a", "id_b").collect()
+    val exactPairs = Similarity.cosineNearDupPairs(eightDim, "vec_id", "embedding", 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(exactPairs))
   }
 }
