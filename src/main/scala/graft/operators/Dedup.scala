@@ -219,6 +219,12 @@ object Dedup {
     * any corpus size; this is the standard large-scale CC shape
     * (Kiveris et al., "Connected Components in MapReduce and Beyond").
     */
+  /** Rounds the last `nearDupComponents` call took to converge —
+    * instrumentation for the round-count regression spec (the loop is
+    * the expensive part; a regression that doubles rounds should fail
+    * CI, not just slow the bench). */
+  val lastComponentsRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   def nearDupComponents(df: DataFrame, idCol: String, pairs: DataFrame,
       maxRounds: Int = 50): DataFrame = {
     // undirected edge list, both directions
@@ -227,22 +233,37 @@ object Dedup {
       .distinct()
       .localCheckpoint(eager = false)
 
-    var labels = df.select(col(idCol).as("node"), col(idCol).as("component_id"))
+    // Propagation runs over the near-dup SUBGRAPH only — nodes with at
+    // least one pair. Singletons (the overwhelming majority of a clean
+    // 100 TB corpus) never enter a round; they are stitched back with
+    // one join at the end. Per-round cost is sized by the dup graph,
+    // not the corpus.
+    val idType = df.schema(idCol).dataType
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("component_id", col("node"))
     var converged = false
     var rounds = 0 // diameter bound; dup clusters converge in 2-4 rounds
     while (!converged && rounds < maxRounds) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .select(col("src").as("node"), col("component_id"))
-      val next = labels.union(viaNeighbors)
+      // convergence detection is FOLDED into the label aggregation: own
+      // label rows carry prev = current label, neighbor rows carry null,
+      // so min(prev) recovers each node's previous label in the same
+      // shuffle that computes the new one. A node changed iff new < prev
+      // (a min over a superset can only shrink). The old separate
+      // next⋈labels probe join — one extra shuffle per round — is gone;
+      // the probe below only scans the already-materialized checkpoint.
+      val next = labels
+        .select(col("node"), col("component_id"), col("component_id").as("prev"))
+        .union(viaNeighbors.select(col("node"), col("component_id"),
+          lit(null).cast(idType).as("prev")))
         .groupBy("node")
-        .agg(min("component_id").as("component_id"))
-        .localCheckpoint() // cut lineage; also materializes for the check
-      val changed = next.join(labels.withColumnRenamed("component_id", "prev"), Seq("node"))
-        .filter(col("component_id") =!= col("prev"))
-        .limit(1).count()
-      converged = changed == 0
-      labels = next
+        .agg(min("component_id").as("component_id"), min("prev").as("prev"))
+        .localCheckpoint() // cut lineage; also materializes for the probe
+      converged =
+        next.filter(col("component_id") < col("prev")).limit(1).count() == 0
+      labels = next.select("node", "component_id")
       rounds += 1
     }
     // fail loudly rather than return labels that LOOK like components:
@@ -251,7 +272,11 @@ object Dedup {
     require(converged,
       s"nearDupComponents did not converge within $maxRounds rounds; " +
         "raise maxRounds for graphs with very long near-dup chains")
-    labels.select(col("node").as(idCol), col("component_id"))
+    lastComponentsRounds.set(rounds)
+    df.select(col(idCol))
+      .join(labels.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component_id"), col(idCol)).as("component_id"))
   }
 
   // ------------------------------------------------------------------

@@ -1,5 +1,10 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -8,12 +13,16 @@ import org.apache.spark.sql.types._
   * columns with a typed metadata struct, plus decode / feature-extract /
   * resize / frame-sample stages.
   *
-  * The media codecs themselves are NOT available in this environment, so
-  * the byte-level decode is a clearly-marked DETERMINISTIC STUB
-  * (`StubCodec`) — but everything Spark-side is real and is the part
-  * that matters at 100 TB: the schema (binary payload + metadata
-  * struct), the batched `mapPartitions` execution shape (one codec
-  * init per partition, streaming iterator, no per-row setup), the
+  * Image decode is REAL: `ImageCodec` wraps the JDK's `javax.imageio`
+  * (PNG/BMP/GIF/JPEG — no external jars), decoding payload bytes into
+  * pixels and computing true width/height/luminance features. Audio and
+  * video codecs are NOT available in this environment, so those stay on
+  * the clearly-marked DETERMINISTIC STUB (`StubCodec`), as does any
+  * image payload imageio cannot parse (the decoded/stub split is
+  * recorded per row in `MediaFeatures.decoded`). Everything Spark-side
+  * is the part that matters at 100 TB: the schema (binary payload +
+  * metadata struct), the batched `mapPartitions` execution shape (one
+  * codec init per partition, streaming iterator, no per-row setup), the
   * partitioning story (payloads stay where they were read; only
   * extracted features — a few floats per asset — ever shuffle), and the
   * column pruning (feature queries never deserialize the payload
@@ -36,11 +45,95 @@ object Multimodal {
       mediaType: String,
       byteLen: Int,
       checksum: Long,
-      brightness: Double, // stub: mean byte value / 255
-      features: Array[Float]) // stub: 8-dim byte-histogram sketch
+      brightness: Double, // decoded: mean pixel luminance/255; stub: mean byte/255
+      features: Array[Float], // decoded: 8-bin luminance histogram; stub: byte histogram
+      imgWidth: Int, // decoded pixel dims; 0 when not decoded
+      imgHeight: Int,
+      decoded: Boolean) // true = real pixel decode, false = stub fallback
 
   implicit val assetEnc: Encoder[MediaAsset] = Encoders.product[MediaAsset]
   implicit val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+
+  /** ======= REAL IMAGE CODEC (javax.imageio — in the JDK) =======
+    * Pure-JVM decode for PNG/BMP/GIF/JPEG. Deterministic: pixel access
+    * goes through `getRGB` (sRGB ints), so the same bytes produce the
+    * same features on every JVM/executor.
+    */
+  object ImageCodec {
+    // imageio's disk-backed stream cache would do a tempfile per decode
+    // inside executor tasks; keep everything on-heap
+    ImageIO.setUseCache(false)
+
+    /** Decode bytes → image; None for anything imageio can't parse
+      * (it sniffs magic bytes before reading pixels, so rejecting a
+      * non-image payload is cheap). */
+    def decode(bytes: Array[Byte]): Option[BufferedImage] =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+    /** Integer luminance in 0..255 of one packed sRGB pixel: the mean of
+      * the three channels (integer division, so tests are exact). */
+    private def lum(argb: Int): Int =
+      (((argb >> 16) & 0xff) + ((argb >> 8) & 0xff) + (argb & 0xff)) / 3
+
+    /** Mean pixel luminance / 255 — the decoded analogue of
+      * `StubCodec.brightness`. */
+    def brightness(img: BufferedImage): Double = {
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { sum += lum(img.getRGB(x, y)); x += 1 }
+        y += 1
+      }
+      sum.toDouble / (img.getWidth.toLong * img.getHeight) / 255.0
+    }
+
+    /** 8-bin luminance histogram, L1-normalized — the decoded analogue
+      * of `StubCodec.histogram8`. */
+    def histogram8(img: BufferedImage): Array[Float] = {
+      val h = new Array[Long](8)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { h(lum(img.getRGB(x, y)) >> 5) += 1; x += 1 }
+        y += 1
+      }
+      val n = img.getWidth.toLong * img.getHeight
+      h.map(v => (v.toDouble / n).toFloat)
+    }
+
+    /** Bilinear resize to exactly (w, h). */
+    def resize(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      out
+    }
+
+    /** Scale to fit within `maxDim` on the longer side, preserving
+      * aspect ratio; images already within bounds pass through. */
+    def resizeToFit(img: BufferedImage, maxDim: Int): BufferedImage = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w <= maxDim && h <= maxDim) img
+      else {
+        val scale = maxDim.toDouble / math.max(w, h)
+        resize(img, math.max(1, math.round(w * scale).toInt),
+          math.max(1, math.round(h * scale).toInt))
+      }
+    }
+
+    /** Re-encode as PNG (lossless, always-present writer). */
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+  }
 
   /** ======= STUB CODEC =======
     * Stands in for libjpeg/ffmpeg/etc., which this container lacks.
@@ -85,24 +178,64 @@ object Multimodal {
 
   /** Batched decode/feature-extract over the payload column.
     *
-    * `mapPartitions`, not `map`: codec state (here none; in production a
-    * native decoder handle) initializes once per partition, and the
-    * iterator streams — constant memory regardless of partition size.
-    * Input partitioning is preserved: no shuffle is introduced, so this
-    * pipelines directly after the parquet scan. */
+    * `mapPartitions`, not `map`: codec state (imageio's reader registry;
+    * in production also native decoder handles) initializes once per
+    * partition, and the iterator streams — constant memory regardless of
+    * partition size. Input partitioning is preserved: no shuffle is
+    * introduced, so this pipelines directly after the parquet scan.
+    *
+    * Image payloads go through the REAL `ImageCodec` (javax.imageio):
+    * true pixel dims, mean luminance, luminance histogram. Non-image
+    * media and undecodable payloads fall back to the byte-level stub,
+    * flagged `decoded = false`. */
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] =
     assets.mapPartitions { it =>
-      // per-partition codec init would go here (native lib handle, etc.)
       it.map { a =>
-        MediaFeatures(
-          assetId = a.assetId,
-          mediaType = a.mediaType,
-          byteLen = a.payload.length,
-          checksum = StubCodec.fnv64(a.payload),
-          brightness = StubCodec.brightness(a.payload),
-          features = StubCodec.histogram8(a.payload))
+        val img = if (a.mediaType == "image") ImageCodec.decode(a.payload) else None
+        img match {
+          case Some(bi) =>
+            MediaFeatures(
+              assetId = a.assetId,
+              mediaType = a.mediaType,
+              byteLen = a.payload.length,
+              checksum = StubCodec.fnv64(a.payload),
+              brightness = ImageCodec.brightness(bi),
+              features = ImageCodec.histogram8(bi),
+              imgWidth = bi.getWidth,
+              imgHeight = bi.getHeight,
+              decoded = true)
+          case None =>
+            MediaFeatures(
+              assetId = a.assetId,
+              mediaType = a.mediaType,
+              byteLen = a.payload.length,
+              checksum = StubCodec.fnv64(a.payload),
+              brightness = StubCodec.brightness(a.payload),
+              features = StubCodec.histogram8(a.payload),
+              imgWidth = 0,
+              imgHeight = 0,
+              decoded = false)
+        }
       }
     }(featEnc)
+
+  /** Real image resize stage: decode → scale to fit `maxDim` → re-encode
+    * PNG, in place on the scan partitions (the resize-BEFORE-shuffle
+    * rule of `resizeAll`, now with true pixel resampling). Payloads that
+    * aren't decodable images pass through unchanged — the stage is safe
+    * to run over a mixed media table. */
+  def resizeImages(assets: Dataset[MediaAsset], maxDim: Int): Dataset[MediaAsset] =
+    assets.mapPartitions(_.map { a =>
+      if (a.mediaType != "image") a
+      else ImageCodec.decode(a.payload) match {
+        case Some(bi) =>
+          val scaled = ImageCodec.resizeToFit(bi, maxDim)
+          if (scaled eq bi) a // already within bounds: keep original bytes
+          else a.copy(payload = ImageCodec.encodePng(scaled),
+            width = scaled.getWidth, height = scaled.getHeight)
+        case None => a
+      }
+    })(assetEnc)
 
   /** "Resize" stage: payload → bounded payload. Runs in-place on the
     * scan partitions; output rows are strictly smaller (the point of

@@ -198,6 +198,11 @@ class DedupSpec extends SparkSpec {
       assert(comp(r.getLong(0)) === comp(r.getLong(1)))
     }
     comp.foreach { case (id, c) => assert(c <= id) }
+    // round-count regression guard: the fixture's dup clusters are
+    // near-cliques — min-label propagation must settle in ≤ 3 rounds
+    // (2 to stabilize + 1 to confirm); each round is 2 shuffles
+    assert(Dedup.lastComponentsRounds.get() <= 3,
+      s"components took ${Dedup.lastComponentsRounds.get()} rounds")
   }
 
   test("nearDupComponents fails loudly when maxRounds is too small to converge") {

@@ -2,14 +2,36 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{MediaAsset, StubCodec}
+import graft.operators.Multimodal.{ImageCodec, MediaAsset, StubCodec}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
   private def asset(id: Long, bytes: Array[Byte]) =
     MediaAsset(id, "image", bytes, 640, 480, 0L)
+
+  /** Deterministic w×h test image: pixel (x,y) = the rgb triple returned
+    * by `px` — encoded losslessly so decode is bit-exact. */
+  private def makeImage(w: Int, h: Int)(px: (Int, Int) => (Int, Int, Int)): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  private def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, out), s"no $fmt writer in this JDK")
+    out.toByteArray
+  }
 
   test("StubCodec is deterministic and byte-exact") {
     val b = "hello world".getBytes("UTF-8")
@@ -20,6 +42,73 @@ class MultimodalSpec extends SparkSpec {
     // chunks of 4: "hell","o wo","rld"; stride 2 keeps indices 0 and 2
     assert(StubCodec.sampleFrames(b, 4, 2).map(_.toSeq)
       === Seq("hell".getBytes.toSeq, "rld".getBytes.toSeq))
+  }
+
+  test("ImageCodec decodes PNG and BMP bit-exactly (dims, brightness, histogram)") {
+    // 2×2 with known luminances: (0,0,0)→0, (255,255,255)→255,
+    // (30,60,90)→60, (100,150,200)→150; integer-mean luminance
+    val img = makeImage(2, 2) {
+      case (0, 0) => (0, 0, 0)
+      case (1, 0) => (255, 255, 255)
+      case (0, 1) => (30, 60, 90)
+      case (1, 1) => (100, 150, 200)
+    }
+    val expectedBrightness = (0 + 255 + 60 + 150).toDouble / 4 / 255.0
+    for (fmt <- Seq("png", "bmp")) {
+      val decoded = ImageCodec.decode(encode(img, fmt))
+      assert(decoded.isDefined, s"$fmt did not decode")
+      val bi = decoded.get
+      assert(bi.getWidth === 2 && bi.getHeight === 2)
+      assert(ImageCodec.brightness(bi) === expectedBrightness, fmt)
+      // luminances 0,60,150,255 → bins 0,1,4,7, one pixel each
+      val hist = ImageCodec.histogram8(bi)
+      assert(hist.toSeq === Seq(0.25f, 0.25f, 0f, 0f, 0.25f, 0f, 0f, 0.25f), fmt)
+    }
+  }
+
+  test("extractFeatures really decodes image payloads; stub only as fallback") {
+    implicit val sp = spark
+    val png = encode(makeImage(5, 3)((_, _) => (120, 120, 120)), "png")
+    val ds = Seq(
+      MediaAsset(1L, "image", png, 0, 0, 0L), // real decode
+      MediaAsset(2L, "image", "not an image".getBytes("UTF-8"), 0, 0, 0L),
+      MediaAsset(3L, "audio", png, 0, 0, 0L)  // media-type gated: stub
+    ).toDS()
+    val out = Multimodal.extractFeatures(ds).collect().sortBy(_.assetId)
+
+    assert(out(0).decoded && out(0).imgWidth === 5 && out(0).imgHeight === 3)
+    assert(out(0).brightness === 120.0 / 255.0) // true pixel luminance
+    assert(out(0).checksum === StubCodec.fnv64(png))
+
+    assert(!out(1).decoded && out(1).imgWidth === 0)
+    assert(out(1).brightness ===
+      StubCodec.brightness("not an image".getBytes("UTF-8")))
+
+    assert(!out(2).decoded) // audio payloads never go through imageio
+    assert(out(2).brightness === StubCodec.brightness(png))
+  }
+
+  test("JPEG decodes with correct dims (lossy: no pixel-exact assert)") {
+    val jpeg = encode(makeImage(17, 9)((_, _) => (200, 50, 50)), "jpg")
+    val bi = ImageCodec.decode(jpeg)
+    assert(bi.isDefined && bi.get.getWidth === 17 && bi.get.getHeight === 9)
+    assert(ImageCodec.brightness(bi.get) > 0.0)
+  }
+
+  test("resizeImages scales oversized images, passes small/undecodable through") {
+    implicit val sp = spark
+    val big = encode(makeImage(100, 80)((_, _) => (10, 20, 30)), "png")
+    val small = encode(makeImage(8, 8)((_, _) => (10, 20, 30)), "png")
+    val ds = Seq(
+      MediaAsset(1L, "image", big, 100, 80, 0L),
+      MediaAsset(2L, "image", small, 8, 8, 0L),
+      MediaAsset(3L, "image", Array[Byte](1, 2, 3), 0, 0, 0L)).toDS()
+    val out = Multimodal.resizeImages(ds, maxDim = 50).collect().sortBy(_.assetId)
+    val resized = ImageCodec.decode(out(0).payload).get
+    assert(resized.getWidth === 50 && resized.getHeight === 40) // aspect kept
+    assert(out(0).width === 50 && out(0).height === 40)
+    assert(out(1).payload.toSeq === small.toSeq) // within bounds: untouched
+    assert(out(2).payload.toSeq === Seq[Byte](1, 2, 3)) // undecodable: untouched
   }
 
   test("extractFeatures preserves ids and computes stub features") {
