@@ -114,6 +114,24 @@ object SparkEntry {
           .as("revenue"))
         .orderBy(col("revenue").desc, col("nation"))
     }),
+    // ----- Q9 shape: part+supplier star — two broadcast dims into the
+    // lineitem⋈orders fact join, revenue by supplier nation and year
+    "q9_supplier_nation_revenue" -> ((s, dir) => {
+      val p = broadcast(Tables.part(s, dir)
+        .filter(col("p_type") === "PROMO").select("p_partkey"))
+      val sn = broadcast(Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "n_name"))
+      Tables.lineitem(s, dir)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(sn, col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("nation", "o_year")
+    }),
     // ----- rollup / grouping-set aggregation
     "q_rollup_lineitem" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -324,6 +342,17 @@ object SparkEntry {
       Scale.modSample(Tables.events(s, dir), "event_id", num = 2, den = 10)
         .select("event_id", "user_id", "event_type", "value")
         .orderBy("event_id")),
+    // per-stratum mixing rates — the dataset-recipe knob; a pure
+    // scan-local filter (no shuffle, no per-stratum pass)
+    "q_stratified_sample" -> ((s, dir) =>
+      Scale.stratifiedModSample(Tables.events(s, dir), "event_type", "event_id",
+          rates = Map("purchase" -> ((1, 2)), "view" -> ((1, 10))),
+          defaultRate = (1, 20))
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")),
+    // vocabulary head: top-50 corpus terms by frequency
+    "q_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(Tables.documents(s, dir), "text", 50)),
     "q_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir), "label", "embedding")
         .orderBy("label", "dim")),
@@ -408,6 +437,16 @@ object SparkEntry {
          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
          WHERE r.r_name = 'ASIA'
          GROUP BY 1 ORDER BY revenue DESC, nation""",
+    "q9_supplier_nation_revenue" ->
+      """SELECT n.n_name AS nation,
+                CAST(YEAR(o.o_orderdate) AS INTEGER) AS o_year,
+                SUM(l.l_extendedprice * (1.0 - l.l_discount)) AS revenue
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE p.p_type = 'PROMO'
+         GROUP BY 1, 2 ORDER BY nation, o_year""",
     "q_rollup_lineitem" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                 coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -527,6 +566,20 @@ object SparkEntry {
     "q_mod_sample" ->
       """SELECT event_id, user_id, event_type, value
          FROM events WHERE event_id % 10 < 2 ORDER BY event_id""",
+    "q_stratified_sample" ->
+      """SELECT event_id, event_type, value FROM events
+         WHERE CASE event_type
+                 WHEN 'purchase' THEN event_id % 2 < 1
+                 WHEN 'view' THEN event_id % 10 < 1
+                 ELSE event_id % 20 < 1 END
+         ORDER BY event_id""",
+    "q_top_terms" ->
+      """SELECT term, n FROM (
+           SELECT term, count(*) AS n FROM (
+             SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+             FROM documents) t
+           WHERE length(term) > 0 GROUP BY term)
+         ORDER BY n DESC, term ASC LIMIT 50""",
     "q_label_centroids" ->
       """SELECT label, dim, avg(v) AS centroid FROM (
            SELECT label, CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,

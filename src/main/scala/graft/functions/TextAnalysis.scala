@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -147,4 +147,26 @@ object TextAnalysis {
       .when(size(toks) < n, array().cast("array<string>"))
       .otherwise(slice(joined, lit(1), size(toks) - (n - 1)))
   }
+
+  /** Corpus term frequencies — vocabulary building. Shape at 100 TB:
+    * the explode widens rows but keeps them one-word narrow, and term
+    * counting is a partial→final HashAggregate, so the shuffle moves
+    * (term, partial-count) pairs bounded by per-partition vocabulary,
+    * not by corpus tokens. Empty docs contribute nothing (the
+    * empty-split quirk `tokens("") == [""]` is filtered). */
+  def termCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term")
+      .agg(count(lit(1)).as("n"))
+
+  /** Top-`k` corpus terms by frequency (ties → lexicographically first)
+    * — the stopword/vocab-cap list a curation pipeline derives before
+    * filtering. Plans as TakeOrderedAndProject over the aggregated
+    * (vocab-sized, ≪ corpus) term counts: each partition contributes
+    * only its local top-k to the driver-side merge. */
+  def topTerms(df: DataFrame, textCol: String, k: Int): DataFrame =
+    termCounts(df, textCol)
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(k)
 }

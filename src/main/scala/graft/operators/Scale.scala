@@ -53,4 +53,26 @@ object Scale {
     require(num >= 0 && num <= den && den > 0)
     df.filter(pmod(xxhash64(col(idCol)), lit(den)) < lit(num))
   }
+
+  /** Stratified deterministic sample: a per-stratum `num/den` modulo
+    * rate — the training-data mixing knob ("keep 50% of purchases, 10%
+    * of views, 5% of the rest"). Pure scan-local filter: no shuffle, no
+    * per-stratum pass over the input (a groupBy-based sampler would
+    * shuffle the corpus once per rate change), fully reproducible across
+    * runs and engines — re-materializing the same mixture bit-for-bit
+    * is what makes a dataset recipe auditable. Strata not in `rates`
+    * fall back to `defaultRate`. */
+  def stratifiedModSample(df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, (Int, Int)],
+      defaultRate: (Int, Int) = (0, 1)): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach { case (num, den) =>
+      require(num >= 0 && num <= den && den > 0, s"bad rate $num/$den")
+    }
+    def keep(num: Int, den: Int): Column = pmod(col(idCol), lit(den)) < lit(num)
+    val pred = rates.foldLeft(when(lit(false), lit(false))) {
+      case (acc, (stratum, (num, den))) =>
+        acc.when(col(strataCol) === stratum, keep(num, den))
+    }.otherwise(keep(defaultRate._1, defaultRate._2))
+    df.filter(pred)
+  }
 }

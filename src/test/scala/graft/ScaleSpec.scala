@@ -36,6 +36,26 @@ class ScaleSpec extends SparkSpec {
     assert(a > total * 0.2 && a < total * 0.4) // ~30% ± slack
   }
 
+  test("stratifiedModSample applies per-stratum rates with a default") {
+    val df = Tables.events(spark, sf)
+    val out = Scale.stratifiedModSample(df, "event_type", "event_id",
+      rates = Map("purchase" -> ((1, 2)), "view" -> ((1, 10))),
+      defaultRate = (1, 20))
+    // per-stratum, the output must equal modSample at that stratum's rate
+    def ids(d: org.apache.spark.sql.DataFrame, et: String) =
+      d.filter(col("event_type") === et).select("event_id")
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(out, "purchase") ===
+      ids(Scale.modSample(df, "event_id", 1, 2), "purchase"))
+    assert(ids(out, "view") ===
+      ids(Scale.modSample(df, "event_id", 1, 10), "view"))
+    assert(ids(out, "click") ===
+      ids(Scale.modSample(df, "event_id", 1, 20), "click")) // default rate
+    // no shuffle: the plan is scan + filter only
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "stratified sample must not shuffle")
+  }
+
   test("labelCentroids: per-dimension means over a known fixture") {
     val vecs = Seq(
       (0, Array(1.0f, 3.0f)),

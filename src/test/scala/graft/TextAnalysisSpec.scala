@@ -72,4 +72,18 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.wordNgrams(col("t"), 3).as("v")).collect().head
     assert(short.getSeq[String](0) === Seq())
   }
+
+  test("termCounts/topTerms: exact frequencies, ties lexicographic, empty docs ignored") {
+    val docs = Seq("b a b", "a b", "  ", "c").toDF("text")
+    val counts = TextAnalysis.termCounts(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("a" -> 2L, "b" -> 3L, "c" -> 1L))
+    val top = TextAnalysis.topTerms(docs, "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top === Seq(("b", 3L), ("a", 2L)))
+    // tie at the cut: lexicographic order decides deterministically
+    val tied = TextAnalysis.topTerms(Seq("x y", "y x z").toDF("text"), "text", 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(tied === Seq("x", "y")) // x=2, y=2 — ties break on term asc
+  }
 }
