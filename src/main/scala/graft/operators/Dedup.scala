@@ -279,6 +279,84 @@ object Dedup {
         coalesce(col("component_id"), col(idCol)).as("component_id"))
   }
 
+  /** Connected components via alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the long-chain-robust alternative to
+    * `nearDupComponents`: min-label propagation needs O(diameter)
+    * rounds (bad for pathological chained-drift graphs), star
+    * contraction converges in O(log²) rounds regardless of diameter by
+    * rewiring edges toward component minima instead of carrying labels.
+    *
+    * Per round, two self-describing steps over the edge list:
+    *  - large-star: every node points its LARGER neighbors at its
+    *    current minimum (min of the neighborhood and itself);
+    *  - small-star: every node points its smaller-or-equal neighbors
+    *    (and itself) at that minimum.
+    * Fixed point = a star per component, centered on the component min.
+    * Both steps are groupBy + join on node id — the same shapes as the
+    * label loop, but each round strictly shrinks edge "height", so
+    * chains collapse doubly-logarithmically rather than linearly.
+    *
+    * Same output contract as `nearDupComponents` (property-tested
+    * equal): every `df` node labeled with its component min; singletons
+    * label themselves. Registered queries keep the min-label variant —
+    * near-dup graphs are near-cliques, where 2–3 label rounds beat the
+    * star rounds' extra joins; this operator is for edge lists whose
+    * diameter is unknown or adversarial. */
+  def nearDupComponentsStar(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    // canonical undirected edges (a < b), self-loops dropped
+    var undirected = pairs
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      // bidirectional view: (u, v) for both directions
+      val e = undirected.select(col("a").as("u"), col("b").as("v"))
+        .union(undirected.select(col("b").as("u"), col("a").as("v")))
+      // m(u) = min(N(u) ∪ {u})
+      val mins = e.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+
+      // large-star: for v ∈ N(u) with v > u, edge (v, m(u)); v > u ≥ m
+      // so no self-loops can appear
+      val large = e.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+
+      // small-star on the large-star output, keyed on the LARGER
+      // endpoint: neighbors ≤ u and u itself point at m(u)
+      val ls = large.select(col("b").as("u"), col("a").as("v")) // v < u by construction
+      val smins = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val small = ls.join(smins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .union(smins.select(col("m").as("a"), col("u").as("b")))
+        .distinct()
+        .localCheckpoint() // materialize: feeds both the probe and next round
+
+      converged = small.exceptAll(undirected).limit(1).count() == 0
+      undirected = small
+      rounds += 1
+    }
+    require(converged,
+      s"nearDupComponentsStar did not converge within $maxRounds rounds")
+
+    // fixed point is a star per component: every edge is (root, member)
+    val labels = undirected
+      .select(col("b").as("node"), col("a").as("component_id"))
+      .union(undirected.select(col("a").as("node"), col("a").as("component_id")))
+      .distinct()
+    df.select(col(idCol))
+      .join(labels.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component_id"), col(idCol)).as("component_id"))
+  }
+
   // ------------------------------------------------------------------
   // SimHash (64-bit) near-dup
   // ------------------------------------------------------------------

@@ -205,6 +205,41 @@ class DedupSpec extends SparkSpec {
       s"components took ${Dedup.lastComponentsRounds.get()} rounds")
   }
 
+  test("nearDupComponentsStar matches min-label components on chains and random graphs") {
+    // chain + pair + singleton (the min-label unit fixture)
+    val ids = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (5L, 6L, 1.0))
+      .toDF("id_a", "id_b", "jaccard")
+    val star = Dedup.nearDupComponentsStar(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+
+    // pseudo-random graph: both algorithms must agree exactly
+    val rng = new scala.util.Random(11)
+    val n = 60L
+    val randPairs = Seq.fill(70)((rng.nextLong(n), rng.nextLong(n), 1.0))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b", "jaccard")
+    val nodes = (0L until n).map(i => (i, "")).toDF("doc_id", "text")
+    val viaLabels = Dedup.nearDupComponents(nodes, "doc_id", randPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = Dedup.nearDupComponentsStar(nodes, "doc_id", randPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar === viaLabels)
+  }
+
+  test("star contraction converges on a chain too deep for that many label rounds") {
+    // 16-chain: min-label needs ~15 rounds (throws at maxRounds=8);
+    // star contraction collapses it in O(log^2) rounds
+    val ids = (1L to 16L).map(i => (i, "")).toDF("doc_id", "text")
+    val chain = (1L until 16L).map(i => (i, i + 1, 1.0)).toDF("id_a", "id_b", "jaccard")
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupComponents(ids, "doc_id", chain, maxRounds = 8)
+    }
+    val comp = Dedup.nearDupComponentsStar(ids, "doc_id", chain, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === (1L to 16L).map(_ -> 1L).toMap)
+  }
+
   test("nearDupComponents fails loudly when maxRounds is too small to converge") {
     // a 4-chain needs >1 min-label round; maxRounds=1 must throw, not
     // return half-propagated labels that look like components
