@@ -226,6 +226,33 @@ object SparkEntry {
           col("doc_id"),
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+    // LLM token-budget estimation: GPT-2-style pre-tokenizer match count
+    "q_bpe_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")),
+    // PII scrub: a synthetic email+URL suffix is appended IN the query
+    // so every row exercises both patterns cross-engine (the fixture
+    // text itself contains neither)
+    "q_scrub_pii" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.scrubPii(concat(col("text"),
+            lit(" contact admin@example.com or https://data.example.org/x?id=1 end")))
+            .as("scrubbed"))
+        .orderBy("doc_id")),
+    // composed curation pipeline: exact-dedup ∘ quality gate ∘ lang gate
+    // — the end-to-end shape a training-data recipe actually runs; each
+    // stage reuses an already-oracle-checked operator
+    "q_curated_corpus" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.join(Dedup.exactDedup(docs, "doc_id", "text"), Seq("doc_id"))
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.7 &&
+          TextAnalysis.langId(col("text")) === "en")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
     // ===== training-data pipeline: deduplication =====
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
@@ -534,6 +561,67 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+         ORDER BY doc_id""",
+    "q_bpe_token_count" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text,
+                  '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
+                  AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    // DuckDB regexp_replace needs the 'g' flag (Spark replaces all by
+    // default); URL scrub runs first on both sides
+    "q_scrub_pii" ->
+      """SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    text || ' contact admin@example.com or https://data.example.org/x?id=1 end',
+                    'https?://[^\s]+', '<URL>', 'g'),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+                  AS scrubbed
+         FROM documents ORDER BY doc_id""",
+    // exact-dedup ∘ quality ∘ lang — CTEs reuse the q_dedup_exact /
+    // q_text_quality / q_lang_id oracle formulations verbatim. The 0.7
+    // cut is float-safe: nearest fixture quality is ~7e-5 away at both
+    // sf0.01 and sf0.1, 10 orders of magnitude above double rounding.
+    "q_curated_corpus" ->
+      """WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+         f AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+                      length(text) AS nc,
+                      CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) AS np
+               FROM documents),
+         g AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS tc,
+                      CASE WHEN nc = 0 THEN 0.0 ELSE np / nc END AS punct_ratio,
+                      CAST(len(list_filter(w, t -> t IN ('the','a','an','of','to','and','in','is','it','for'))) AS DOUBLE) / len(w) AS stop_ratio,
+                      CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w) AS avg_len
+               FROM f),
+         q AS (SELECT doc_id,
+                      least(tc / 100.0, 1.0) * 0.3
+                      + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3
+                      + least(stop_ratio * 5.0, 1.0) * 0.2
+                      + (1.0 - least(abs(avg_len - 5.0) / 5.0, 1.0)) * 0.2 AS quality
+               FROM g),
+         c AS (SELECT doc_id,
+                      len(list_filter(w, t -> t IN ('the','a','of','and','is','to','in','it'))) AS c_en,
+                      len(list_filter(w, t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) AS c_de,
+                      len(list_filter(w, t -> t IN ('el','la','de','que','y','los','es','un'))) AS c_es,
+                      len(list_filter(w, t -> t IN ('le','la','les','et','des','est','une','dans'))) AS c_fr,
+                      len(list_filter(w, t -> t IN ('的','是','了','在','和','有','我','不'))) AS c_zh
+               FROM f),
+         l AS (SELECT doc_id,
+                      CASE WHEN greatest(c_en, c_de, c_es, c_fr, c_zh) = 0 THEN 'und'
+                           WHEN c_en = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'en'
+                           WHEN c_de = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'de'
+                           WHEN c_es = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'es'
+                           WHEN c_fr = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'fr'
+                           WHEN c_zh = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'zh'
+                           ELSE 'und' END AS lang_pred
+               FROM c)
+         SELECT d.doc_id, d.lang, d.n_chars
+         FROM documents d
+         JOIN keep USING (doc_id)
+         JOIN q USING (doc_id)
+         JOIN l USING (doc_id)
+         WHERE q.quality >= 0.7 AND l.lang_pred = 'en'
          ORDER BY doc_id""",
     "q_asof_last_order" ->
       """WITH r AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ots,

@@ -148,6 +148,36 @@ object TextAnalysis {
       .otherwise(slice(joined, lit(1), size(toks) - (n - 1)))
   }
 
+  /** GPT-2-style pre-tokenizer pattern: contraction suffixes, then
+    * space-prefixed letter runs / digit runs / punctuation runs, then
+    * residual whitespace. Deliberately restricted to constructs that
+    * behave identically in java.util.regex (Spark codegen) and RE2
+    * (DuckDB), so the count is cross-engine exact — the real BPE
+    * vocab-merge step is model-specific, but THIS split is what
+    * determines pre-merge token budgets. */
+  val BpeishPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** Approximate LLM token count: number of `BpeishPattern` matches —
+    * the budget estimator a training pipeline runs over every document
+    * (whitespace `tokenCount` undercounts punctuation-heavy and
+    * CJK-adjacent text badly). Codegen'd single regex scan per row. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeishPattern))
+
+  /** Scrub emails and URLs to typed placeholder tags — the minimal PII/
+    * leakage pass every training corpus gets. Patterns are dialect-
+    * portable (java.util.regex ≡ RE2) so the result is oracle-exact.
+    * Order matters: URLs first, or an email-looking userinfo inside a
+    * URL would be rewritten and break the URL match. */
+  val UrlPattern: String = "https?://[^\\s]+"
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, UrlPattern, "<URL>"),
+      EmailPattern, "<EMAIL>")
+
   /** Corpus term frequencies — vocabulary building. Shape at 100 TB:
     * the explode widens rows but keeps them one-word narrow, and term
     * counting is a partial→final HashAggregate, so the shuffle moves

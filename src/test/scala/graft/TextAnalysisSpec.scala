@@ -73,6 +73,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(short.getSeq[String](0) === Seq())
   }
 
+  test("bpeTokenCount splits like a GPT-2 pre-tokenizer") {
+    // "Hello" ","  " world" "!" " it" "'s" " 42" "x"  → 8
+    assert(one(TextAnalysis.bpeTokenCount(col("t")), "Hello, world! it's 42x")
+      .getInt(0) === 8)
+    assert(one(TextAnalysis.bpeTokenCount(col("t")), "").getInt(0) === 0)
+    // punctuation-heavy text: whitespace counting sees 1 token, BPE-ish 5
+    assert(one(TextAnalysis.bpeTokenCount(col("t")), "a.b.c").getInt(0) === 5)
+    assert(one(TextAnalysis.tokenCount(col("t")), "a.b.c").getInt(0) === 1)
+  }
+
+  test("scrubPii replaces URLs then emails with typed tags") {
+    val in = "mail bob@corp.io or see https://x.io/a?u=jo@x.io plain text"
+    val out = one(TextAnalysis.scrubPii(col("t")), in).getString(0)
+    // the URL (including its embedded email-like query param) collapses
+    // to <URL>; the standalone email to <EMAIL>
+    assert(out === "mail <EMAIL> or see <URL> plain text")
+    assert(one(TextAnalysis.scrubPii(col("t")), "no pii here").getString(0)
+      === "no pii here")
+  }
+
   test("termCounts/topTerms: exact frequencies, ties lexicographic, empty docs ignored") {
     val docs = Seq("b a b", "a b", "  ", "c").toDF("text")
     val counts = TextAnalysis.termCounts(docs, "text")
