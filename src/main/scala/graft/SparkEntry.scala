@@ -336,6 +336,33 @@ object SparkEntry {
         .select("event_id", "user_id", "order_price")
         .orderBy("event_id")
     }),
+    // same result through the skew-safe bucketed as-of join — the hot-key
+    // path (per-(key,bucket) right-side reduction + carry-in); shares the
+    // DuckDB ASOF oracle, so the rewrite is hash-adjudicated
+    "q_asof_last_order_bucketed" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "ts")
+      val orders = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"),
+          col("o_orderdate").cast("timestamp").as("o_orderdate"))
+        .agg(max(col("o_totalprice")).as("order_price"))
+      AsOf.asofJoinBucketed(ev, "user_id", "ts",
+          orders, "o_custkey", "o_orderdate", Seq("order_price"),
+          bucket = ts => year(ts) * 12 + month(ts)) // monthly time buckets
+        .select("event_id", "user_id", "order_price")
+        .orderBy("event_id")
+    }),
+    // ----- streaming sliding window, driver-adjudicated in batch (each
+    // event lands in windowLength/slide = 6 hourly windows)
+    "q_sliding_revenue" -> ((s, dir) =>
+      graft.streaming.Windows.slidingRevenue(Tables.events(s, dir), "ts", "value",
+          windowLength = "1 hour", slide = "10 minutes")
+        .orderBy("window_start")),
+    // ----- streaming session window, driver-adjudicated in batch via the
+    // gaps-and-islands formulation (lag + cumulative break sum)
+    "q_session_revenue" -> ((s, dir) =>
+      graft.streaming.Windows.sessionRevenue(Tables.events(s, dir), "ts",
+          "user_id", "value", gap = "30 minutes")
+        .orderBy("session_key", "session_start")),
     // ----- distinct aggregation: exact per-group distinct counts
     "q_distinct_users_per_type" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -623,14 +650,39 @@ object SparkEntry {
          JOIN l USING (doc_id)
          WHERE q.quality >= 0.7 AND l.lang_pred = 'en'
          ORDER BY doc_id""",
-    "q_asof_last_order" ->
-      """WITH r AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ots,
-                          max(o_totalprice) AS order_price
-                   FROM orders GROUP BY 1, 2)
-         SELECT e.event_id, e.user_id, r.order_price
-         FROM events e ASOF LEFT JOIN r
-           ON e.user_id = r.o_custkey AND e.ts >= r.ots
-         ORDER BY e.event_id""",
+    "q_asof_last_order" -> asofOracleSql,
+    "q_asof_last_order_bucketed" -> asofOracleSql,
+    // every event contributes to its 6 containing hourly windows: the
+    // slide-aligned bucket minus k slides, k = 0..5 — same epoch
+    // alignment as Spark's window(ts, '1 hour', '10 minutes')
+    "q_sliding_revenue" ->
+      """SELECT ws AS window_start, ws + INTERVAL '1 hour' AS window_end,
+                SUM(value) AS total_sales, COUNT(*) AS n_events
+         FROM (SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))
+                        - to_minutes(CAST(k * 10 AS BIGINT)) AS ws,
+                      value
+               FROM events, (SELECT unnest(range(6)) AS k) g) t
+         GROUP BY ws ORDER BY window_start""",
+    // gaps-and-islands: a session breaks where the gap to the previous
+    // event is >= 30 min (Spark merges only on STRICT overlap, so an
+    // exactly-gap-apart event starts a new session on both sides;
+    // nearest fixture gap is ~0.66 s off the boundary — no tie risk).
+    // session_end = last event + gap, Spark's session_window.end.
+    "q_session_revenue" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         s AS (SELECT user_id, ts, value,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                           THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sess FROM s)
+         SELECT min(ts) AS session_start,
+                max(ts) + INTERVAL '30 minutes' AS session_end,
+                user_id AS session_key,
+                SUM(value) AS total_sales, COUNT(*) AS n_events
+         FROM g GROUP BY user_id, sess
+         ORDER BY session_key, session_start""",
     "q_distinct_users_per_type" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
                 COUNT(*) AS n_events
@@ -765,6 +817,17 @@ object SparkEntry {
                   / octet_length(encode(text)) / 255.0 AS brightness
          FROM documents ORDER BY asset_id"""
   )
+
+  /** DuckDB-native ASOF join, shared by the plain and skew-safe bucketed
+    * as-of queries (the bucketed rewrite must be result-invariant). */
+  private val asofOracleSql: String =
+      """WITH r AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ots,
+                          max(o_totalprice) AS order_price
+                   FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, r.order_price
+         FROM events e ASOF LEFT JOIN r
+           ON e.user_id = r.o_custkey AND e.ts >= r.ots
+         ORDER BY e.event_id"""
 
   /** Top-3 orders per customer (custkey < 100), shared by the window
     * query and the typed-TopKAggregator query. */

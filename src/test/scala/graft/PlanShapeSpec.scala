@@ -72,6 +72,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q9 broadcasts both dimension sides into the fact join") {
+    val p = plan("q9_supplier_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_top_terms plans as TakeOrderedAndProject over the aggregated vocab") {
+    val p = plan("q_top_terms")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k head must merge per-partition top-k, not global-sort")
+  }
+
+  test("windowed aggregations are partial -> exchange -> final") {
+    for (q <- Seq("q_hourly_category_sales", "q_sliding_revenue")) {
+      val p = plan(q)
+      assert(p.contains("HashAggregate"), q)
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
   test("aggregation queries keep whole-stage codegen on the scan side") {
     val p = SparkEntry.queries("q1_lineitem_agg")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
