@@ -344,7 +344,16 @@ object Similarity {
     * flip symmetry means one probed side covers both directions. The
     * probed rows stay bare (id, tbl, bkt) ints; the win is needing far
     * fewer tables (the multiplier on rows emitted per corpus vector)
-    * for the same recall. `dim = 0` infers the dimension. */
+    * for the same recall. `dim = 0` infers the dimension.
+    *
+    * Tuning note: probing also widens each table's FALSE-candidate net
+    * ((1+bits)/2^bits of random pairs vs 1/2^bits), so when switching
+    * multiProbe on, raise `bitsPerTable` until per-table selectivity is
+    * back where you want it — the recall gain usually pays for 1–2
+    * extra bits. The registered fixture keeps bits=3 only because its
+    * near-dups sit at cos ≈ 0.4–0.5 (barely above the random band, the
+    * worst case for sign-LSH discrimination); corpora with real dup
+    * clusters (cos ≥ 0.8) should run bits 6–8 with probing. */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bitsPerTable: Int = 4, numTables: Int = 16,
       multiProbe: Boolean = false, dim: Int = 0, seed: Long = 42L): DataFrame = {
