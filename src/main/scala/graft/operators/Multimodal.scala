@@ -190,7 +190,10 @@ object Multimodal {
     * flagged `decoded = false`. */
   def extractFeatures(assets: Dataset[MediaAsset]): Dataset[MediaFeatures] =
     assets.mapPartitions { it =>
-      it.map { a =>
+      it.map { a0 =>
+        // a null payload (nullable parquet column) is an empty asset,
+        // not a task-killing NPE 10 hours into a 100 TB scan
+        val a = if (a0.payload == null) a0.copy(payload = Array.emptyByteArray) else a0
         val img = if (a.mediaType == "image") ImageCodec.decode(a.payload) else None
         img match {
           case Some(bi) =>

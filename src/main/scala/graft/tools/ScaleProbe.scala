@@ -38,6 +38,40 @@ object ScaleProbe {
       println(f"PROBE k=$k%d docs=${5000 * k}%d " +
         f"minhash=$tm%.1fs($nm%d pairs) jaccard=$tj%.1fs($nj%d) simhash=$ts%.1fs($ns%d)")
     }
+
+    // ANN top-k scaling: fixed 10-query set, corpus grown K× via
+    // per-replica sign-flip reflections (orthogonal ⇒ intra-replica
+    // cosines preserved; random flips decorrelate cross-replica pairs).
+    // Expected: near-linear runtime in corpus size for all three paths —
+    // corpus-side bucket rows are tables/vector, the probe join output is
+    // queries × corpus × selectivity, and exact verify is candidate-bound.
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val dim = 64
+    for (k <- Seq(1, 2, 4, 8)) {
+      val rng = new scala.util.Random(13)
+      val corpus = (0 until k).map { i =>
+        val signs = Array.fill(dim)(if (rng.nextBoolean()) 1.0f else -1.0f)
+        emb.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          zip_with(col("embedding"),
+            array(signs.map(lit): _*), (a, b) => a * b).as("embedding"))
+      }.reduce(_ unionAll _)
+      val queries = corpus.filter(col("vec_id") < 10)
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (tb, nb) = time(
+        Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5).count())
+      val (tl, nl) = time(
+        Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 5,
+          bitsPerTable = 3, numTables = 12, multiProbe = true, dim = dim).count())
+      val (ti, ni) = time(
+        Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5,
+          numCentroids = 16, nProbe = 14).count())
+      println(f"ANNPROBE k=$k%d vecs=${2000 * k}%d " +
+        f"brute=$tb%.1fs($nb%d) lsh=$tl%.1fs($nl%d) ivf=$ti%.1fs($ni%d)")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Null-robustness contract: a 100 TB corpus WILL contain null text,
+  * null embeddings, and null payloads (failed fetches, schema drift).
+  * Every operator must degrade to "row contributes nothing" — never an
+  * NPE that kills a task hours into a scan, and never a null key that
+  * hijacks a join or ranks first. */
+class NullSafetySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docsWithNulls = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "the quick brown fox jumps over the lazy dog"),
+        Row(2L, "the quick brown fox jumps over the lazy dog"),
+        Row(3L, null),
+        Row(4L, null),
+        Row(5L, ""),
+        Row(6L, "completely different content here today"))),
+      schema)
+  }
+
+  test("text functions null-propagate instead of throwing") {
+    val out = docsWithNulls.select(
+        col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe"),
+        TextAnalysis.scrubPii(col("text")).as("scrub"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id").collect()
+    assert(out.length === 6)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2)) // null text → null features
+    assert(out(4).getInt(1) === 0)                   // empty text → 0 tokens
+  }
+
+  test("termCounts skips null and empty docs") {
+    val counts = TextAnalysis.termCounts(docsWithNulls, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("the") === 4L) // only from the two real docs
+    assert(!counts.contains(null) && !counts.contains(""))
+  }
+
+  test("dedup family: null texts group together, never join-explode") {
+    // exactDedup: sha2(null) is null — all-null texts form one group
+    val kept = Dedup.exactDedup(docsWithNulls, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 5L, 6L)) // dup text 2 and null-dup 4 dropped
+    // pairwise ops: null/empty docs simply produce no pairs
+    val jp = Dedup.jaccardNearDupPairs(docsWithNulls, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jp === Set((1L, 2L)))
+    val sp = Dedup.simhashNearDupPairs(docsWithNulls, "doc_id", "text", 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sp === Set((1L, 2L)))
+    val mp = Dedup.minhashNearDupPairs(docsWithNulls, "doc_id", "text", 3, 64, 16, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mp === Set((1L, 2L)))
+  }
+
+  test("similarity: null embeddings are excluded like zero vectors") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = true)))
+    val vecs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, Seq(1.0f, 0.0f)),
+        Row(1L, Seq(0.9f, 0.1f)),
+        Row(2L, null))),
+      schema)
+    val topk = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(topk === Set(1L)) // null row neither ranks nor throws
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
+  test("multimodal: null payload is an empty asset, not an NPE") {
+    implicit val sp = spark
+    val schema = StructType(Seq(
+      StructField("assetId", LongType, nullable = false),
+      StructField("mediaType", StringType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("durationMs", LongType, nullable = false)))
+    val assets = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "image", "abc".getBytes("UTF-8"), 0, 0, 0L),
+        Row(2L, "image", null, 0, 0, 0L))),
+      schema).as[Multimodal.MediaAsset]
+    val out = Multimodal.extractFeatures(assets).collect().sortBy(_.assetId)
+    assert(out.length === 2)
+    assert(out(1).byteLen === 0 && !out(1).decoded && out(1).brightness === 0.0)
+  }
+}
