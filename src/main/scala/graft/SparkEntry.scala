@@ -181,6 +181,25 @@ object SparkEntry {
           col("l_discount").between(0.02, 0.06) &&
           col("l_quantity") < 10.0)
         .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"))),
+    // ----- pivot: day × event-type sales matrix. The value list is
+    // passed EXPLICITLY — omitting it makes Spark run a driver-side
+    // distinct collect over the pivot column before planning, a hidden
+    // full-scan job (and an unbounded-width schema) at 100 TB
+    "q_pivot_daily_sales" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("transaction_date"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .sum("value")
+        .orderBy("transaction_date")),
+    // ----- unpivot/melt: wide measures → (measure, val) long form
+    "q_unpivot_lineitem" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 1000)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_tax")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure")),
     // ----- set operation: EXCEPT
     "q_custkeys_1995_not_1996" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -510,6 +529,26 @@ object SparkEntry {
     "q_top_orders_per_cust" -> topOrdersOracleSql,
     // the typed-Aggregator path must agree with the window formulation
     "q_top_orders_per_cust_agg" -> topOrdersOracleSql,
+    // FILTER aggregations are the portable spelling of PIVOT
+    "q_pivot_daily_sales" ->
+      """SELECT CAST(ts AS DATE) AS transaction_date,
+                SUM(value) FILTER (WHERE event_type = 'click') AS click,
+                SUM(value) FILTER (WHERE event_type = 'error') AS error,
+                SUM(value) FILTER (WHERE event_type = 'purchase') AS purchase,
+                SUM(value) FILTER (WHERE event_type = 'signup') AS signup,
+                SUM(value) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY 1 ORDER BY transaction_date""",
+    "q_unpivot_lineitem" ->
+      """SELECT l_orderkey, l_linenumber, measure, val FROM (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                  l_quantity AS val FROM lineitem WHERE l_orderkey < 1000
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+           FROM lineitem WHERE l_orderkey < 1000
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+           FROM lineitem WHERE l_orderkey < 1000)
+         ORDER BY l_orderkey, l_linenumber, measure""",
     "q_custkeys_1995_not_1996" ->
       """SELECT * FROM (
            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995

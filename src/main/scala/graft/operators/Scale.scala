@@ -54,6 +54,28 @@ object Scale {
     df.filter(pmod(xxhash64(col(idCol)), lit(den)) < lit(num))
   }
 
+  /** Sketch-based corpus statistics — the 100 TB form of the exact
+    * `q_corpus_stats` aggregation. Exact `percentile` buffers every
+    * value of a group on the final reducer (memory ∝ group size — fine
+    * at fixture scale, a straight OOM for a trillion-row group);
+    * `approx_percentile` (Greenwald–Khanna) and `approx_count_distinct`
+    * (HyperLogLog++) keep bounded per-group state and combine map-side,
+    * so the shuffle carries sketches, not values. Error is tunable:
+    * `accuracy` (GK inverse-ε) and `rsd` (HLL relative SD). Not
+    * DuckDB-oracle-able — different sketch algorithms produce different
+    * approximations — so the contract is the spec's tolerance check
+    * against the exact aggregate; the exact query remains the
+    * hash-adjudicated one. */
+  def corpusStatsApprox(df: DataFrame, groupCol: String, valCol: String,
+      distinctCol: String, accuracy: Int = 10000, rsd: Double = 0.05): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        avg(col(valCol)).as("avg_val"),
+        approx_percentile(col(valCol), lit(0.5), lit(accuracy)).as("p50_val"),
+        approx_percentile(col(valCol), lit(0.95), lit(accuracy)).as("p95_val"),
+        approx_count_distinct(col(distinctCol), rsd).as("n_distinct_approx"))
+
   /** Stratified deterministic sample: a per-stratum `num/den` modulo
     * rate — the training-data mixing knob ("keep 50% of purchases, 10%
     * of views, 5% of the rest"). Pure scan-local filter: no shuffle, no

@@ -56,6 +56,29 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "stratified sample must not shuffle")
   }
 
+  test("corpusStatsApprox tracks the exact aggregation within tolerance") {
+    val docs = Tables.documents(spark, sf)
+    val exact = docs.groupBy(col("lang"))
+      .agg(percentile(col("n_chars"), lit(0.5)).as("p50"),
+        percentile(col("n_chars"), lit(0.95)).as("p95"),
+        countDistinct(col("source")).as("nd"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getLong(3))).toMap
+    val approx = Scale.corpusStatsApprox(docs, "lang", "n_chars", "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (lang, (p50, p95, nd)) =>
+      val (e50, e95, end) = exact(lang)
+      // GK returns an actual data value while exact `percentile`
+      // interpolates between the two straddling values, so the gap can
+      // be up to one local value spacing even at near-exact accuracy
+      assert(math.abs(p50 - e50) <= math.max(10.0, e50 * 0.03), s"$lang p50")
+      assert(math.abs(p95 - e95) <= math.max(10.0, e95 * 0.03), s"$lang p95")
+      assert(math.abs(nd - end) <= math.max(1.0, end * 0.1), s"$lang distinct")
+    }
+  }
+
   test("labelCentroids: per-dimension means over a known fixture") {
     val vecs = Seq(
       (0, Array(1.0f, 3.0f)),
