@@ -34,19 +34,24 @@ object Bench {
     // tie-break pass: when the two timings disagree by >2×, one of them
     // was hit by transient load (GC, the OS, a concurrent driver task) —
     // a third measurement stops a single outlier from surviving the min
-    // and false-flagging a regression against the baseline.
+    // and false-flagging a regression against the baseline. A FAILED
+    // tie-break run falls back to the two valid timings it was meant to
+    // arbitrate — it must not turn a twice-successful query into -1.
     val results = r1.map { case (k, v) =>
       val best =
         if (v < 0 || r2(k) < 0) -1.0
         else if (math.max(v, r2(k)) > 2.0 * math.min(v, r2(k))) {
           val v3 = time(k, SparkEntry.queries(k))
-          if (v3 < 0) -1.0 else math.min(math.min(v, r2(k)), v3)
+          if (v3 < 0) math.min(v, r2(k)) else math.min(math.min(v, r2(k)), v3)
         } else math.min(v, r2(k))
       k -> best
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failures stay visible as -1 per query but must INFLATE the total,
+    // not subtract from it — a broken query shrinking the total could
+    // mask a real regression in the driver's 2×-of-baseline comparison
+    val total = results.values.map(v => if (v < 0) 600.0 else v).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

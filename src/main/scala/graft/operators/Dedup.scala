@@ -273,8 +273,27 @@ object Dedup {
       s"nearDupComponents did not converge within $maxRounds rounds; " +
         "raise maxRounds for graphs with very long near-dup chains")
     lastComponentsRounds.set(rounds)
+    stitchDfLabels(df, idCol, labels)
+  }
+
+  /** Map subgraph labels back onto `df`: every component's
+    * representative is remapped to its minimum df-MEMBER id (pairs may
+    * reference ids absent from df — computed on a superset, df filtered
+    * after; foreign nodes relay connectivity in the loops above but must
+    * never BE the representative, or "keep the doc where doc_id ==
+    * component_id" would silently delete whole clusters), and df nodes
+    * with no pair label themselves. Two joins on the (tiny) subgraph
+    * label set plus the final stitch — once, not per round. */
+  private def stitchDfLabels(df: DataFrame, idCol: String,
+      labels: DataFrame): DataFrame = {
+    val reps = labels
+      .join(df.select(col(idCol).as("node")), Seq("node"))
+      .groupBy("component_id")
+      .agg(min(col("node")).as("rep"))
+    val dfLabels = labels.join(reps, Seq("component_id"))
+      .select(col("node"), col("rep").as("component_id"))
     df.select(col(idCol))
-      .join(labels.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .join(dfLabels.withColumnRenamed("node", idCol), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("component_id"), col(idCol)).as("component_id"))
   }
@@ -351,10 +370,7 @@ object Dedup {
       .select(col("b").as("node"), col("a").as("component_id"))
       .union(undirected.select(col("a").as("node"), col("a").as("component_id")))
       .distinct()
-    df.select(col(idCol))
-      .join(labels.withColumnRenamed("node", idCol), Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("component_id"), col(idCol)).as("component_id"))
+    stitchDfLabels(df, idCol, labels)
   }
 
   // ------------------------------------------------------------------

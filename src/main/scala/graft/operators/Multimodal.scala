@@ -76,31 +76,39 @@ object Multimodal {
     private def lum(argb: Int): Int =
       (((argb >> 16) & 0xff) + ((argb >> 8) & 0xff) + (argb & 0xff)) / 3
 
-    /** Mean pixel luminance / 255 — the decoded analogue of
-      * `StubCodec.brightness`. */
-    def brightness(img: BufferedImage): Double = {
+    /** One fused pass over the pixels: (luminance sum, 8-bin luminance
+      * counts). Row-bulk `getRGB` reads + a single loop — the decode
+      * stage's per-asset CPU is dominated by pixel access, so brightness
+      * and histogram share one traversal instead of two. */
+    def luminanceStats(img: BufferedImage): (Long, Array[Long]) = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val hist = new Array[Long](8)
       var sum = 0L
+      val row = new Array[Int](w)
       var y = 0
-      while (y < img.getHeight) {
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
         var x = 0
-        while (x < img.getWidth) { sum += lum(img.getRGB(x, y)); x += 1 }
+        while (x < w) {
+          val l = lum(row(x)); sum += l; hist(l >> 5) += 1; x += 1
+        }
         y += 1
       }
-      sum.toDouble / (img.getWidth.toLong * img.getHeight) / 255.0
+      (sum, hist)
     }
+
+    /** Mean pixel luminance / 255 — the decoded analogue of
+      * `StubCodec.brightness`. */
+    def brightness(img: BufferedImage): Double =
+      luminanceStats(img)._1.toDouble /
+        (img.getWidth.toLong * img.getHeight) / 255.0
 
     /** 8-bin luminance histogram, L1-normalized — the decoded analogue
       * of `StubCodec.histogram8`. */
     def histogram8(img: BufferedImage): Array[Float] = {
-      val h = new Array[Long](8)
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) { h(lum(img.getRGB(x, y)) >> 5) += 1; x += 1 }
-        y += 1
-      }
       val n = img.getWidth.toLong * img.getHeight
-      h.map(v => (v.toDouble / n).toFloat)
+      luminanceStats(img)._2.map(v => (v.toDouble / n).toFloat)
     }
 
     /** Bilinear resize to exactly (w, h). */
@@ -197,13 +205,15 @@ object Multimodal {
         val img = if (a.mediaType == "image") ImageCodec.decode(a.payload) else None
         img match {
           case Some(bi) =>
+            val n = bi.getWidth.toLong * bi.getHeight
+            val (lumSum, hist) = ImageCodec.luminanceStats(bi) // one pixel pass
             MediaFeatures(
               assetId = a.assetId,
               mediaType = a.mediaType,
               byteLen = a.payload.length,
               checksum = StubCodec.fnv64(a.payload),
-              brightness = ImageCodec.brightness(bi),
-              features = ImageCodec.histogram8(bi),
+              brightness = lumSum.toDouble / n / 255.0,
+              features = hist.map(v => (v.toDouble / n).toFloat),
               imgWidth = bi.getWidth,
               imgHeight = bi.getHeight,
               decoded = true)

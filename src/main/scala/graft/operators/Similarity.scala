@@ -167,10 +167,14 @@ object Similarity {
 
   /** Vector dimension = length of the first non-empty vector (one tiny
     * driver job; the scan prunes to the vector column). The planes must
-    * match the data's true dimension, which the schema doesn't carry. */
+    * match the data's true dimension, which the schema doesn't carry.
+    * A corpus with no usable vector (empty, all null/empty arrays —
+    * e.g. a partition of failed-encoder output) yields dim 1: the
+    * operator's result is empty either way, and degenerate input must
+    * produce an empty result, not a driver crash. */
   private def inferDim(df: DataFrame, vecCol: String): Int = {
-    val first = df.select(size(col(vecCol)).as("d")).filter(col("d") > 0).head()
-    first.getInt(0)
+    val first = df.select(size(col(vecCol)).as("d")).filter(col("d") > 0).take(1)
+    if (first.isEmpty) 1 else first(0).getInt(0)
   }
 
   /** Approximate top-k: candidates = corpus vectors sharing an LSH

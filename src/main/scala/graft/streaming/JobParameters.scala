@@ -46,11 +46,14 @@ object JobParameters {
     * nothing) is a valueless flag mapped to ""; repeated keys — last one
     * wins; a bare value with no preceding key is an error.
     *
-    * A `-`-prefixed token that is a NUMBER (`-5`, `-0.25`, `-1e3`) is a
-    * value, not a key — Flink's `ParameterTool` special-cases negative
-    * numbers the same way (`NumberUtils.isNumber` probe), so
-    * `--triggerMs -5` binds -5 rather than parsing as two flags. */
-  private val NegativeNumber = "-(\\.\\d+|\\d+(\\.\\d*)?)([eE][+-]?\\d+)?".r
+    * A `-`-prefixed token that is a NUMBER (`-5`, `-0.25`, `-1e3`,
+    * `-5L`, `-1.5f`, `-0x1A`) is a value, not a key — Flink's
+    * `ParameterTool` special-cases negative numbers the same way
+    * (`NumberUtils.isNumber` probe, which also accepts Java type
+    * qualifiers and hex), so `--triggerMs -5` binds -5 rather than
+    * parsing as two flags. */
+  private val NegativeNumber =
+    "-(0[xX][0-9a-fA-F]+|(\\.\\d+|\\d+(\\.\\d*)?)([eE][+-]?\\d+)?[lLfFdD]?)".r
 
   private def isNegativeNumber(s: String): Boolean =
     NegativeNumber.pattern.matcher(s).matches()

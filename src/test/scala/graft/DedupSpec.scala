@@ -205,6 +205,23 @@ class DedupSpec extends SparkSpec {
       s"components took ${Dedup.lastComponentsRounds.get()} rounds")
   }
 
+  test("component ids are always df ids, even when pairs reference foreign docs") {
+    // pairs computed on a superset, df filtered afterwards: doc 1 was
+    // dropped, and foreign doc 9 bridges 5 and 7. Foreign nodes must
+    // RELAY connectivity but never become the representative — else
+    // "keep doc where id == component_id" would silently delete clusters
+    val ids = Seq(3L, 5L, 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L, 1.0), (5L, 9L, 1.0), (9L, 7L, 1.0))
+      .toDF("id_a", "id_b", "jaccard")
+    for (comp <- Seq(
+        Dedup.nearDupComponents(ids, "doc_id", pairs),
+        Dedup.nearDupComponentsStar(ids, "doc_id", pairs))) {
+      val m = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m(3L) === 3L)            // foreign 1 can't be the rep
+      assert(m(5L) === 5L && m(7L) === 5L) // connected THROUGH foreign 9
+    }
+  }
+
   test("nearDupComponentsStar matches min-label components on chains and random graphs") {
     // chain + pair + singleton (the min-label unit fixture)
     val ids = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

@@ -39,6 +39,9 @@ class JobParametersSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { JP.fromArgs(Seq("-5")) }
     // and a non-numeric dash token after a key stays a new key
     assert(JP.fromArgs(Seq("--a", "-b", "c")) === Map("a" -> "", "b" -> "c"))
+    // Java type qualifiers and hex, accepted by NumberUtils.isNumber
+    assert(JP.fromArgs(Seq("--x", "-5L", "--y", "-1.5f", "--z", "-0x1A"))
+      === Map("x" -> "-5L", "y" -> "-1.5f", "z" -> "-0x1A"))
   }
 
   test("defaults match the reference when only checkpointRoot is given") {

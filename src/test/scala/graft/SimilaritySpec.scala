@@ -152,6 +152,15 @@ class SimilaritySpec extends SparkSpec {
     assert(probed.subsetOf(exact))
   }
 
+  test("LSH with inferred dim returns empty on empty/all-degenerate corpus") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.lshNearDupPairs(empty, "vec_id", "embedding", 0.5)
+      .count() === 0)
+    val degenerate = Seq((1L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.lshTopK(degenerate, degenerate, "vec_id", "embedding", 3)
+      .count() === 0) // zero-norm rows are excluded; no crash inferring dim
+  }
+
   test("LSH infers non-64 vector dimension from the data (default dim)") {
     // 8-dim fixture: omitting dim must work (r2 hardcoded 64 threw at
     // execution time on any other width)
