@@ -426,6 +426,11 @@ object SparkEntry {
     // vocabulary head: top-50 corpus terms by frequency
     "q_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(Tables.documents(s, dir), "text", 50)),
+    // context-window packing: 40-token chunks, 8-token overlap
+    "q_doc_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens = 40, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")),
     "q_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir), "label", "embedding")
         .orderBy("label", "dim")),
@@ -628,6 +633,23 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
          ORDER BY doc_id""",
+    // chunk i = tokens [i*stride, i*stride + 40), stride 32; DuckDB's
+    // 1-based inclusive slice w[a:b] clamps at the end like Spark slice
+    "q_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+                           CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+                    FROM documents),
+         c AS (SELECT doc_id, w,
+                      CASE WHEN n = 0 THEN 0
+                           ELSE greatest(1, CAST(ceil((n - 40) / 32.0) AS INTEGER) + 1)
+                      END AS nc
+               FROM t)
+         SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_idx,
+                array_to_string(w[u.i*32 + 1 : u.i*32 + 40], ' ') AS chunk_text,
+                CAST(len(w[u.i*32 + 1 : u.i*32 + 40]) AS INTEGER) AS n_tokens
+         FROM c, unnest(range(nc)) AS u(i)
+         ORDER BY doc_id, chunk_idx""",
     "q_bpe_token_count" ->
       """SELECT doc_id,
                 len(regexp_extract_all(text,

@@ -93,6 +93,26 @@ class TextAnalysisSpec extends SparkSpec {
       === "no pii here")
   }
 
+  test("chunkDocs: overlapping windows, short-doc single chunk, empty none") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than a chunk
+      (3L, "")                                        // no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocs(docs, "doc_id", "text",
+        chunkTokens = 4, overlap = 1) // stride 3
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // nChunks = 1 + ceil((10-4)/3) = 3; token starts 0, 3, 6
+    assert(doc1.map(_._3).toSeq === Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(doc1.map(_._4).toSeq === Seq(4, 4, 4))
+    // consecutive chunks share exactly `overlap` tokens
+    assert(doc1(0)._3.split(" ").last === doc1(1)._3.split(" ").head)
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0, "a b c", 3)))
+    assert(!out.exists(_._1 == 3L))
+  }
+
   test("termCounts/topTerms: exact frequencies, ties lexicographic, empty docs ignored") {
     val docs = Seq("b a b", "a b", "  ", "c").toDF("text")
     val counts = TextAnalysis.termCounts(docs, "text")
