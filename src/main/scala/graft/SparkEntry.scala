@@ -434,6 +434,11 @@ object SparkEntry {
     "q_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir), "label", "embedding")
         .orderBy("label", "dim")),
+    // int8 embedding quantization, long form (one row per dimension)
+    "q_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id", "dim")),
     // ===== training-data pipeline: multimodal plumbing =====
     "q_media_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -781,6 +786,18 @@ object SparkEntry {
              FROM documents) t
            WHERE length(term) > 0 GROUP BY term)
          ORDER BY n DESC, term ASC LIMIT 50""",
+    // floor(x + 0.5) spelled out on both sides: round() half-case
+    // conventions differ across engines, floor does not
+    "q_quantize_int8" ->
+      """WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                           list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma
+                    FROM embeddings)
+         SELECT vec_id, CAST(u.i AS INTEGER) AS dim,
+                CAST(floor(v[u.i + 1] * (127.0 / ma) + 0.5) AS INTEGER) AS q,
+                127.0 / ma AS scale
+         FROM m, unnest(range(len(v))) AS u(i)
+         WHERE ma > 0
+         ORDER BY vec_id, dim""",
     "q_label_centroids" ->
       """SELECT label, dim, avg(v) AS centroid FROM (
            SELECT label, CAST(unnest(range(len(embedding))) AS INTEGER) AS dim,

@@ -308,6 +308,32 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * step that cuts a float32 embedding store 4× (and feeds int8 SIMD
+    * distance kernels downstream). Per vector: scale = 127 / max|x|,
+    * q_d = ⌊x_d · scale + 0.5⌋ (explicit floor-plus-half, which is
+    * defined identically in every engine — `round()` half-case
+    * conventions differ across engines/dialects, so the oracle uses the
+    * same floor form). Zero vectors have no scale and are dropped, like
+    * every cosine operator here.
+    *
+    * Output long-form (id, dim, q, scale): one narrow row per
+    * dimension. Plan shape: posexplode → partial-combined max-abs
+    * aggregate → join back on id — the per-id join shuffles narrow
+    * (id, dim, val) rows; no interpreted higher-order functions in the
+    * per-element path. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      posexplode(col(vecCol)).as(Seq("dim", "v")))
+    val scales = exploded.groupBy("id")
+      .agg(max(abs(col("v"))).as("__ma"))
+      .filter(col("__ma") > 0)
+    exploded.join(scales, Seq("id"))
+      .select(col("id"), col("dim"),
+        floor(col("v") * (lit(127.0) / col("__ma")) + lit(0.5)).cast("int").as("q"),
+        (lit(127.0) / col("__ma")).as("scale"))
+  }
+
   /** Per-label centroid of an embedding column, one output row per
     * (label, dimension). The explode/aggregate shape is deliberate for
     * scale: `posexplode` widens rows 64× but keeps them 3 columns

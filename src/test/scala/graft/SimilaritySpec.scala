@@ -121,6 +121,22 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfTopK === exactTopK)
   }
 
+  test("quantizeInt8: q in [-127,127], dequantization within half a step") {
+    val emb = Tables.embeddings(spark, sf)
+    val orig = emb.select(col("vec_id").as("id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getFloat(2)).toMap
+    val rows = Similarity.quantizeInt8(emb, "vec_id", "embedding").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, dim, q, scale) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))
+      assert(q >= -127 && q <= 127, s"q=$q out of int8 symmetric range")
+      val err = math.abs(q / scale - orig((id, dim)))
+      assert(err <= 0.5 / scale + 1e-9, s"dequant error $err at ($id,$dim)")
+    }
+  }
+
   test("aggregator epilogue ≡ window epilogue (ranks, ties, cos values)") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 10)
