@@ -426,6 +426,13 @@ object SparkEntry {
     // vocabulary head: top-50 corpus terms by frequency
     "q_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(Tables.documents(s, dir), "text", 50)),
+    // domain-cap curation: at most 10 docs per source, smallest ids —
+    // quota via the map-side-combining TopKAggregator; oracle is the
+    // row_number window formulation
+    "q_domain_quota" -> ((s, dir) =>
+      Scale.groupQuota(Tables.documents(s, dir), "source", "doc_id", k = 10)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")),
     // context-window packing: 40-token chunks, 8-token overlap
     "q_doc_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
@@ -638,6 +645,12 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
          ORDER BY doc_id""",
+    "q_domain_quota" ->
+      """SELECT doc_id, source, lang FROM (
+           SELECT doc_id, source, lang,
+                  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents) t
+         WHERE rn <= 10 ORDER BY doc_id""",
     // chunk i = tokens [i*stride, i*stride + 40), stride 32; DuckDB's
     // 1-based inclusive slice w[a:b] clamps at the end like Spark slice
     "q_doc_chunks" ->

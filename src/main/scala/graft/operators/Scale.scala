@@ -54,6 +54,35 @@ object Scale {
     df.filter(pmod(xxhash64(col(idCol)), lit(den)) < lit(num))
   }
 
+  /** Per-group quota: keep the `k` smallest-id rows of each group — the
+    * domain-cap curation rule ("at most k documents per source/domain",
+    * the standard defense against a crawl where one domain is 40% of
+    * the corpus). Deterministic (id order), so the same recipe always
+    * yields the same corpus.
+    *
+    * Scale shape: the quota runs through the map-side-combining
+    * `TopKAggregator` — each input partition contributes ≤ k ids per
+    * group to the shuffle, where the row_number window formulation (the
+    * oracle) sorts every row of the hottest domain in one partition.
+    * Kept ids then semi-join back, so full rows never enter the quota
+    * shuffle. Group and id must be string-/long-castable. */
+  def groupQuota(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kept = df.select(col(groupCol).cast("string"), col(idCol).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      // TopKAggregator keeps highest score, ties by smaller id; score
+      // -id makes "smallest k ids" the kept set
+      .mapValues(t => (-t._2.toDouble, t._2))
+      .agg(graft.functions.TopKAggregator.topK(k).toColumn.name("topk"))
+      .toDF("__g", "topk")
+      .select(explode(col("topk")).as("e"))
+      .select(col("e._2").as("__quota_id"))
+    df.join(kept, col(idCol).cast("long") === col("__quota_id"), "left_semi")
+  }
+
   /** Sketch-based corpus statistics — the 100 TB form of the exact
     * `q_corpus_stats` aggregation. Exact `percentile` buffers every
     * value of a group on the final reducer (memory ∝ group size — fine

@@ -56,6 +56,21 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "stratified sample must not shuffle")
   }
 
+  test("groupQuota keeps the k smallest ids per group, full rows intact") {
+    val df = Seq(
+      (1L, "a", "x1"), (2L, "a", "x2"), (3L, "a", "x3"),
+      (10L, "b", "y1"), (11L, "b", "y2"),
+      (20L, "c", "z1")).toDF("id", "grp", "payload")
+    val out = Scale.groupQuota(df, "grp", "id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(out === Set((1L, "a", "x1"), (2L, "a", "x2"),
+      (10L, "b", "y1"), (11L, "b", "y2"), (20L, "c", "z1")))
+    // plan: the quota side aggregates, it does not window-sort
+    val plan = Scale.groupQuota(df, "grp", "id", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+  }
+
   test("corpusStatsApprox tracks the exact aggregation within tolerance") {
     val docs = Tables.documents(spark, sf)
     val exact = docs.groupBy(col("lang"))
