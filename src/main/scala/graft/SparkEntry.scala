@@ -340,6 +340,27 @@ object SparkEntry {
           "vec_id", "embedding", threshold = 0.4,
           bitsPerTable = 3, numTables = 12, multiProbe = true, dim = 64)
         .orderBy("id_a", "id_b")),
+    // embedding dedup clusters: the similarity family composed into the
+    // components operator (LSH pairs at recall 1 → transitive clusters)
+    "q_embedding_components" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.4, bitsPerTable = 3, numTables = 12,
+        multiProbe = true, dim = 64)
+      Dedup.nearDupComponents(emb, "vec_id", pairs.select("id_a", "id_b"))
+        .orderBy("vec_id")
+    }),
+    // winsorization: clip values at their group's p95 — outlier damping
+    // before averaging; per-group percentiles broadcast back
+    "q_clipped_values" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cuts = ev.groupBy(col("event_type"))
+        .agg(percentile(col("value"), lit(0.95)).as("p95"))
+      ev.join(broadcast(cuts), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          least(col("value"), col("p95")).as("value_clipped"))
+        .orderBy("event_id")
+    }),
     // ----- as-of (temporal) join: latest order at-or-before each event
     "q_asof_last_order" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -729,6 +750,30 @@ object SparkEntry {
          JOIN l USING (doc_id)
          WHERE q.quality >= 0.7 AND l.lang_pred = 'en'
          ORDER BY doc_id""",
+    // LSH pairs are recall-1 on the fixture (shared-oracle contract of
+    // q_embedding_neardup), so clusters over them equal clusters over
+    // the exhaustive pair graph, here via recursive CTE
+    "q_embedding_components" ->
+      """WITH RECURSIVE
+         nz AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         jp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM nz a JOIN nz b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+                   UNION SELECT id_b, id_a FROM jp),
+         reach(node, root) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+         SELECT node AS vec_id, min(root) AS component_id
+         FROM reach GROUP BY node ORDER BY vec_id""",
+    "q_clipped_values" ->
+      """WITH cuts AS (SELECT event_type, quantile_cont(value, 0.95) AS p95
+                      FROM events GROUP BY 1)
+         SELECT e.event_id, e.event_type, least(e.value, c.p95) AS value_clipped
+         FROM events e JOIN cuts c USING (event_type)
+         ORDER BY event_id""",
     "q_asof_last_order" -> asofOracleSql,
     "q_asof_last_order_bucketed" -> asofOracleSql,
     // every event contributes to its 6 containing hourly windows: the
