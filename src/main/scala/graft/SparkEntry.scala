@@ -159,18 +159,13 @@ object SparkEntry {
     // every row of every group. Shares the window oracle.
     "q_top_orders_per_cust_agg" -> ((s, dir) => {
       import s.implicits._
-      Tables.orders(s, dir)
-        .filter(col("o_custkey") < 100)
-        .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
-        .as[(Long, Double, Long)]
-        .groupByKey(_._1)
-        .mapValues(t => (t._2, t._3))
-        .agg(graft.functions.TopKAggregator.topK(3).toColumn.name("topk"))
-        .toDF("o_custkey", "topk")
-        .select(col("o_custkey"), posexplode(col("topk")))
-        .select(col("o_custkey"), col("col._2").as("o_orderkey"),
-          col("col._1").as("o_totalprice"),
-          (col("pos") + 1).cast("int").as("rnk"))
+      graft.functions.TopKAggregator.topKPerGroup(
+          Tables.orders(s, dir)
+            .filter(col("o_custkey") < 100)
+            .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+            .as[(Long, Double, Long)], 3)
+        .select(col("key").as("o_custkey"), col("id").as("o_orderkey"),
+          col("score").as("o_totalprice"), col("rank").as("rnk"))
         .orderBy("o_custkey", "rnk")
     }),
     // ----- pushdown showcase: selective filter + agg (TPC-H Q6 shape)
@@ -351,16 +346,14 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
     // winsorization: clip values at their group's p95 — outlier damping
-    // before averaging; per-group percentiles broadcast back
-    "q_clipped_values" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val cuts = ev.groupBy(col("event_type"))
-        .agg(percentile(col("value"), lit(0.95)).as("p95"))
-      ev.join(broadcast(cuts), Seq("event_type"))
-        .select(col("event_id"), col("event_type"),
-          least(col("value"), col("p95")).as("value_clipped"))
-        .orderBy("event_id")
-    }),
+    // before averaging. exact = the oracle-checkable form; the approx
+    // (GK sketch) variant is the registered operator's 100 TB path,
+    // spec'd within tolerance (ScaleSpec)
+    "q_clipped_values" -> ((s, dir) =>
+      Scale.winsorize(Tables.events(s, dir), "event_type", "value", 0.95,
+          "value_clipped", exact = true)
+        .select("event_id", "event_type", "value_clipped")
+        .orderBy("event_id")),
     // ----- as-of (temporal) join: latest order at-or-before each event
     "q_asof_last_order" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -465,7 +458,6 @@ object SparkEntry {
     // int8 embedding quantization, long form (one row per dimension)
     "q_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
-        .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id", "dim")),
     // ===== training-data pipeline: multimodal plumbing =====
     "q_media_features" -> ((s, dir) => {

@@ -186,36 +186,40 @@ object TextAnalysis {
     * Chunk i covers tokens [i·stride, i·stride + chunkTokens) with
     * stride = chunkTokens − overlap; the last chunk may be shorter;
     * docs shorter than one chunk yield exactly one chunk; empty/null
-    * docs yield none. Shape at 100 TB: pure per-row explode — no
+    * docs yield none. Shape at 100 TB: a typed per-row generator — no
     * shuffle, chunk rows inherit the scan partitioning, and the output
-    * row count is ≈ corpus tokens / stride. Output:
-    * (idCol, chunk_idx, chunk_text, n_tokens). */
+    * row count is ≈ corpus tokens / stride. A declarative
+    * `transform(sequence(...))` formulation was rejected: lambda bodies
+    * re-evaluate non-attribute subexpressions PER ELEMENT, so it
+    * re-tokenized the whole document once per chunk (O(len × chunks));
+    * the typed flatMap tokenizes each document exactly once and streams
+    * — this is the genuinely-imperative-generator case the design rules
+    * reserve typed functions for. Output:
+    * (idCol long, chunk_idx int, chunk_text, n_tokens). */
   def chunkDocs(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int, overlap: Int): DataFrame = {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens, got $overlap / $chunkTokens")
     val stride = chunkTokens - overlap
-    val toks = tokens(col(textCol))
-    val n = when(length(trim(col(textCol))) === 0, 0).otherwise(size(toks))
-    // number of stride steps whose window still contains a new token:
-    // 1 + ceil((n - chunkTokens) / stride) clamped below at 1 (n > 0)
-    val nChunks = when(col("__n") === 0, 0)
-      .otherwise(greatest(lit(1),
-        ceil((col("__n") - lit(chunkTokens)).cast("double") / stride)
-          .cast("int") + lit(1)))
-    df.select(col(idCol), col(textCol), n.as("__n"))
-      .select(col(idCol), col(textCol), col("__n"), nChunks.as("__nc"))
-      .select(col(idCol),
-        // sequence(0, -1) would yield a DESCENDING [0, -1] for empty
-        // docs (Spark infers step sign), so 0-chunk docs short-circuit
-        // to an empty array — posexplode then emits no rows
-        posexplode(when(col("__nc") > 0,
-          transform(sequence(lit(0), col("__nc") - 1), i =>
-            array_join(slice(tokens(col(textCol)), i * stride + 1, lit(chunkTokens)), " ")))
-          .otherwise(array().cast("array<string>"))))
-      .select(col(idCol), col("pos").cast("int").as("chunk_idx"),
-        col("col").as("chunk_text"),
-        size(split(col("col"), "\\s+")).as("n_tokens"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null || text.trim.isEmpty) Iterator.empty
+        else {
+          // same tokenization as tokens(): \s+ split of the trimmed text
+          val toks = text.trim.split("\\s+")
+          val n = toks.length
+          val nc = math.max(1,
+            math.ceil((n - chunkTokens).toDouble / stride).toInt + 1)
+          (0 until nc).iterator.map { i =>
+            val chunk = toks.slice(i * stride, i * stride + chunkTokens)
+            (id, i, chunk.mkString(" "), chunk.length)
+          }
+        }
+      }
+      .toDF(idCol, "chunk_idx", "chunk_text", "n_tokens")
   }
 
   /** Corpus term frequencies — vocabulary building. Shape at 100 TB:

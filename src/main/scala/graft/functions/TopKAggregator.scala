@@ -1,8 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.{col, posexplode}
 
 /** Typed `Aggregator` for exact per-group top-k by score: keeps a
   * bounded (score, id) buffer per group with partial merges.
@@ -57,5 +58,27 @@ object TopKAggregator {
       override def bufferEncoder: Encoder[TopKBuffer] = ExpressionEncoder()
       override def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder()
     }
+  }
+
+  /** Shared top-k-per-group epilogue over (key, score, id) rows —
+    * THE scale-safe replacement for `row_number() OVER (PARTITION BY
+    * key ORDER BY score DESC, id)` + `rank <= k`: each input partition
+    * contributes at most k rows per key to the shuffle instead of
+    * every row of every key landing in one window partition. Used by
+    * the similarity top-k family, the per-group-quota sampler, and the
+    * top-orders query. Output columns: (key, rank int 1-based, score,
+    * id), ties on score broken by smaller id — identical to the window
+    * formulation, which stays as the oracle/spec reference. */
+  def topKPerGroup[K](ds: Dataset[(K, Double, Long)], k: Int)(
+      implicit ke: Encoder[K]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(topK(k).toColumn.name("topk"))
+      .toDF("key", "topk")
+      .select(col("key"), posexplode(col("topk")))
+      .select(col("key"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").as("score"), col("col._2").as("id"))
   }
 }

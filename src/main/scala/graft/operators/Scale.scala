@@ -54,6 +54,27 @@ object Scale {
     df.filter(pmod(xxhash64(col(idCol)), lit(den)) < lit(num))
   }
 
+  /** Winsorization: clip `valCol` at its group's `p`-quantile — outlier
+    * damping before averaging. `exact = true` computes the interpolated
+    * exact percentile (DuckDB `quantile_cont` parity — the
+    * oracle-checked form, but its aggregation buffers every value of a
+    * group on one reducer: fixture-fine, OOM for a trillion-row group);
+    * `exact = false` is the 100 TB path — Greenwald–Khanna
+    * `approx_percentile` with bounded per-group sketch state, spec'd
+    * within tolerance of exact. Cuts are broadcast back onto the
+    * stream, so the data pass itself is shuffle-free either way. */
+  def winsorize(df: DataFrame, groupCol: String, valCol: String, p: Double,
+      outCol: String, exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    val cut =
+      if (exact) percentile(col(valCol), lit(p))
+      else approx_percentile(col(valCol), lit(p), lit(accuracy))
+    val cuts = df.groupBy(col(groupCol)).agg(cut.as("__cut"))
+    df.join(broadcast(cuts), Seq(groupCol))
+      .withColumn(outCol, least(col(valCol), col("__cut")))
+      .drop("__cut")
+  }
+
   /** Per-group quota: keep the `k` smallest-id rows of each group — the
     * domain-cap curation rule ("at most k documents per source/domain",
     * the standard defense against a crawl where one domain is 40% of
@@ -70,17 +91,20 @@ object Scale {
     require(k >= 1)
     val spark = df.sparkSession
     import spark.implicits._
-    val kept = df.select(col(groupCol).cast("string"), col(idCol).cast("long"))
-      .as[(String, Long)]
-      .groupByKey(_._1)
-      // TopKAggregator keeps highest score, ties by smaller id; score
-      // -id makes "smallest k ids" the kept set
-      .mapValues(t => (-t._2.toDouble, t._2))
-      .agg(graft.functions.TopKAggregator.topK(k).toColumn.name("topk"))
-      .toDF("__g", "topk")
-      .select(explode(col("topk")).as("e"))
-      .select(col("e._2").as("__quota_id"))
-    df.join(kept, col(idCol).cast("long") === col("__quota_id"), "left_semi")
+    // TopKAggregator keeps highest score, ties by smaller id; score
+    // -id makes "smallest k ids" the kept set
+    val kept = graft.functions.TopKAggregator.topKPerGroup(
+        df.select(col(groupCol).cast("string"),
+          negate(col(idCol)).cast("double"), col(idCol).cast("long"))
+          .as[(String, Double, Long)], k)
+      .select(col("key").as("__g"), col("id").as("__quota_id"))
+    // semi-join on (group, id), not id alone: with ids that repeat
+    // across groups, an id kept under one group must not smuggle the
+    // same id's rows through under another
+    df.join(kept,
+      col(groupCol).cast("string") === col("__g") &&
+        col(idCol).cast("long") === col("__quota_id"),
+      "left_semi")
   }
 
   /** Sketch-based corpus statistics — the 100 TB form of the exact

@@ -61,17 +61,11 @@ object Similarity {
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
-    scored
-      .select(col("query_id").cast("long"), col("cos").cast("double"),
-        col("neighbor_id").cast("long"))
-      .as[(Long, Double, Long)]
-      .groupByKey(_._1)
-      .mapValues(t => (t._2, t._3))
-      .agg(graft.functions.TopKAggregator.topK(k).toColumn.name("topk"))
-      .toDF("query_id", "topk")
-      .select(col("query_id"), posexplode(col("topk")))
-      .select(col("query_id"), col("col._2").as("neighbor_id"),
-        (col("pos") + 1).cast("int").as("rank"), col("col._1").as("cos"))
+    graft.functions.TopKAggregator.topKPerGroup(
+        scored.select(col("query_id").cast("long"), col("cos").cast("double"),
+          col("neighbor_id").cast("long")).as[(Long, Double, Long)], k)
+      .select(col("key").as("query_id"), col("id").as("neighbor_id"),
+        col("rank"), col("score").as("cos"))
   }
 
   /** Window-function formulation of the epilogue — the oracle-shaped
@@ -323,13 +317,13 @@ object Similarity {
     * (id, dim, val) rows; no interpreted higher-order functions in the
     * per-element path. */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
+    val exploded = df.select(col(idCol).as("__qid"),
       posexplode(col(vecCol)).as(Seq("dim", "v")))
-    val scales = exploded.groupBy("id")
+    val scales = exploded.groupBy("__qid")
       .agg(max(abs(col("v"))).as("__ma"))
       .filter(col("__ma") > 0)
-    exploded.join(scales, Seq("id"))
-      .select(col("id"), col("dim"),
+    exploded.join(scales, Seq("__qid"))
+      .select(col("__qid").as(idCol), col("dim"),
         floor(col("v") * (lit(127.0) / col("__ma")) + lit(0.5)).cast("int").as("q"),
         (lit(127.0) / col("__ma")).as("scale"))
   }

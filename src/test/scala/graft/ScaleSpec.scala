@@ -71,6 +71,21 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("winsorize: approx sketch path tracks the exact path within tolerance") {
+    val ev = Tables.events(spark, sf)
+    val exact = Scale.winsorize(ev, "event_type", "value", 0.95,
+        "clipped", exact = true)
+      .select("event_id", "clipped")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val approx = Scale.winsorize(ev, "event_type", "value", 0.95,
+        "clipped", exact = false)
+      .select("event_id", "clipped")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    val worst = exact.map { case (id, e) => math.abs(approx(id) - e) / math.max(e, 1.0) }.max
+    assert(worst <= 0.05, s"worst relative clip divergence $worst")
+  }
+
   test("corpusStatsApprox tracks the exact aggregation within tolerance") {
     val docs = Tables.documents(spark, sf)
     val exact = docs.groupBy(col("lang"))
