@@ -281,6 +281,16 @@ object SparkEntry {
       Dedup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
           n = 3, numHashes = 64, bands = 16, threshold = 0.6)
         .orderBy("id_a", "id_b")),
+    // the corpus AFTER near-dup removal (keep-smallest policy) — the
+    // dedup family's end product, previously spec-only
+    "q_drop_neardups" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.6, maxShingleDf = Some(shingleDfCap))
+      Dedup.dropNearDups(docs, "doc_id", pairs)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
     "q_neardup_components" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
@@ -855,6 +865,15 @@ object SparkEntry {
            FROM embeddings)
          GROUP BY 1, 2 ORDER BY label, dim""",
     "q_jaccard_neardup" -> cappedJaccardOracleSql,
+    // anti-join against the larger id of every capped-Jaccard pair —
+    // the WITH body is cappedJaccardOracleSql's, reused verbatim
+    "q_drop_neardups" ->
+      (cappedJaccardOracleSql.replaceFirst(
+        "(?s)SELECT id_a, id_b, jaccard FROM scored.*$",
+        """SELECT d.doc_id, d.lang, d.source FROM documents d
+           WHERE d.doc_id NOT IN (
+             SELECT id_b FROM scored WHERE jaccard >= 0.6)
+           ORDER BY doc_id""")),
     // transitive dedup clusters over the (capped) jaccard pair graph,
     // expressed as min-reachable-id via a recursive CTE
     "q_neardup_components" ->
