@@ -28,8 +28,17 @@ object Bench {
         -1.0
       }
     }
+    // local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b times a subset.
+    // The driver never sets it, so official artifacts always cover the
+    // full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
     def once(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) => name -> time(name, fn) }
+      selected.map { case (name, fn) => name -> time(name, fn) }
     val (r1, r2) = (once(), once())
     // tie-break pass: when the two timings disagree by >2×, one of them
     // was hit by transient load (GC, the OS, a concurrent driver task) —

@@ -227,11 +227,21 @@ object Dedup {
 
   def nearDupComponents(df: DataFrame, idCol: String, pairs: DataFrame,
       maxRounds: Int = 50): DataFrame = {
-    // undirected edge list, both directions
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Undirected edge list, both directions, from ONE scan of `pairs`:
+    // the naive `pairs.union(pairs.swapped)` evaluates the pair plan
+    // twice, and `pairs` is typically the expensive half of the whole
+    // job (an LSH/inverted-index derivation — 4 s at sf0.1 for the
+    // embedding graph). Exploding a 2-element struct array emits both
+    // directions from a single pass, and the EAGER localCheckpoint
+    // materializes the result once before the label loop re-reads it
+    // every round.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
 
     // Propagation runs over the near-dup SUBGRAPH only — nodes with at
     // least one pair. Singletons (the overwhelming majority of a clean
