@@ -16,10 +16,14 @@ object Bench {
     // measured query doesn't absorb JVM startup (~3 s of noise)
     try exhaust(SparkEntry.queries("q1_lineitem_agg")(spark, sfDir))
     catch { case _: Throwable => () }
-    // two passes, min per query: damps GC/compilation jitter so the
-    // driver's 2×-of-baseline comparison tracks the engine, not noise.
-    // Failures are loud (stderr) and recorded as -1, never as a tiny
-    // elapsed-to-failure time that would shrink the total.
+    // N full passes (default 3), min per query: the host this runs on
+    // drifts ±25% with ambient load (BASELINE.md documents identical
+    // code measuring 30-48 s across one day), and a single hot pass must
+    // not be able to eat the 2×-of-baseline margin on its own. Per-query
+    // minima across passes are the stable signal BASELINE.md tracks, and
+    // the reported total is the sum of those minima. Failures are loud
+    // (stderr) and recorded as -1, never as a tiny elapsed-to-failure
+    // time that would shrink the total.
     def time(name: String, fn: (org.apache.spark.sql.SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       try { exhaust(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
@@ -37,31 +41,23 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
     def once(): Map[String, Double] =
       selected.map { case (name, fn) => name -> time(name, fn) }
-    val (r1, r2) = (once(), once())
-    // tie-break pass: when the two timings disagree by >2×, one of them
-    // was hit by transient load (GC, the OS, a concurrent driver task) —
-    // a third measurement stops a single outlier from surviving the min
-    // and false-flagging a regression against the baseline. A FAILED
-    // tie-break run falls back to the two valid timings it was meant to
-    // arbitrate — it must not turn a twice-successful query into -1.
-    val results = r1.map { case (k, v) =>
-      val best =
-        if (v < 0 || r2(k) < 0) -1.0
-        else if (math.max(v, r2(k)) > 2.0 * math.min(v, r2(k))) {
-          val v3 = time(k, SparkEntry.queries(k))
-          if (v3 < 0) math.min(v, r2(k)) else math.min(math.min(v, r2(k)), v3)
-        } else math.min(v, r2(k))
-      k -> best
-    }
+    val runs = (1 to passes).map(_ => once())
+    // a query that failed in ANY pass reports -1: flakiness must surface
+    // as a failure, not hide behind a lucky pass's timing
+    val results = selected.keys.map { name =>
+      val ts = runs.map(_(name))
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failures stay visible as -1 per query but must INFLATE the total,
     // not subtract from it — a broken query shrinking the total could
     // mask a real regression in the driver's 2×-of-baseline comparison
     val total = results.values.map(v => if (v < 0) 600.0 else v).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
