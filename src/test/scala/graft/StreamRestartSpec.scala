@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+
+import graft.streaming.Windows
+
+/** Checkpoint-restart and late-data semantics for the watermarked
+  * streaming operators — the part MemoryStream specs cannot reach:
+  * MemoryStream state dies with the query, so only a replayable source
+  * (file stream) + checkpoint + a real stop/start can adjudicate that
+  *   (a) restarts restore watermark + state and never re-emit output
+  *       (the parquet sink's exactly-once contract),
+  *   (b) rows arriving behind the restored watermark are dropped, and
+  *   (c) dedup state really is evicted once the watermark passes its
+  *       horizon (bounded state is a fact, not a comment).
+  *
+  * The reference has no restart story at all (no checkpointing config —
+  * absence in `DataStreamJob.java:84-170`; at-least-once + idempotent
+  * upserts); these specs pin the stronger contract our watermarked
+  * variants add on top.
+  */
+class StreamRestartSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", StringType),
+    StructField("key", StringType),
+    StructField("amount", DoubleType),
+    StructField("ts", TimestampType)))
+
+  private def tmp(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  private var fileSeq = 0
+  /** One JSON-lines file per call — with maxFilesPerTrigger=1 each file
+    * becomes its own micro-batch, so watermark advancement between
+    * files is deterministic. */
+  private def writeFile(dir: Path, rows: Seq[(String, String, Double, String)]): Unit = {
+    fileSeq += 1
+    val lines = rows.map { case (id, key, amount, ts) =>
+      s"""{"id":"$id","key":"$key","amount":$amount,"ts":"$ts"}"""
+    }
+    Files.write(dir.resolve(f"batch_$fileSeq%04d.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  private def fileStream(dir: Path): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .json(dir.toString)
+
+  /** Run `build` over the file stream until all current input is
+    * processed (plus any watermark-commit no-data batch), then stop. */
+  private def runOnce(in: Path, out: Path, cp: Path,
+      build: DataFrame => DataFrame): Unit = {
+    val q = build(fileStream(in)).writeStream
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", cp.toString)
+      .outputMode(OutputMode.Append())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("session windows survive restart: no re-emission, late rows dropped") {
+    val (in, out, cp) = (tmp("sr_in"), tmp("sr_out"), tmp("sr_cp"))
+    def sessions(df: DataFrame): DataFrame =
+      Windows.sessionRevenue(df, "ts", "key", "amount",
+        gap = "30 minutes", watermark = "1 hour")
+
+    // u1: two events 10 min apart -> one session [10:00, 10:40);
+    // u2: one event -> session [10:00, 10:30)
+    writeFile(in, Seq(
+      ("e1", "u1", 10.0, "2024-11-08 10:00:00"),
+      ("e2", "u1", 5.0, "2024-11-08 10:10:00"),
+      ("e3", "u2", 3.0, "2024-11-08 10:00:00")))
+    // separate file = separate batch: pushes the watermark to 11:00,
+    // past both session ends, so both sessions close and emit
+    writeFile(in, Seq(("e4", "adv", 1.0, "2024-11-08 12:00:00")))
+    runOnce(in, out, cp, sessions)
+
+    val afterFirst = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getAs[String]("session_key"),
+        r.getAs[Double]("total_sales"))).toSet
+    assert(afterFirst === Set(("u1", 15.0), ("u2", 3.0)),
+      "both sessions emit exactly once before the restart")
+
+    // while the query is DOWN: a late u1 row far behind the checkpointed
+    // watermark (11:00), plus a watermark pusher that closes adv's session
+    writeFile(in, Seq(("late", "u1", 100.0, "2024-11-08 10:05:00")))
+    writeFile(in, Seq(("e5", "adv2", 1.0, "2024-11-08 14:00:00")))
+    runOnce(in, out, cp, sessions)
+
+    val rows = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getAs[String]("session_key"),
+        r.getAs[Double]("total_sales")))
+    // the late row must neither re-open u1's closed session nor create a
+    // new one; the restart must not duplicate the already-emitted rows;
+    // adv's session closes under the restored-and-advanced watermark.
+    // adv2's own session never closes (nothing later), so it is absent.
+    assert(rows.sorted === Seq(("adv", 1.0), ("u1", 15.0), ("u2", 3.0)),
+      s"exactly one row per closed session, late row dropped; got ${rows.toSeq}")
+  }
+
+  test("dedup state survives restart and is evicted past the horizon") {
+    val (in, out, cp) = (tmp("dr_in"), tmp("dr_out"), tmp("dr_cp"))
+    def dedup(df: DataFrame): DataFrame =
+      Windows.dedupWithinWatermark(df, Seq("id"), "ts", watermark = "1 hour")
+
+    writeFile(in, Seq(
+      ("A", "k", 1.0, "2024-11-08 10:00:00"),
+      ("B", "k", 2.0, "2024-11-08 10:00:00"),
+      ("A", "k", 1.0, "2024-11-08 10:01:00"))) // in-batch replay: dropped
+    runOnce(in, out, cp, dedup)
+    assert(spark.read.parquet(out.toString)
+      .collect().map(_.getAs[String]("id")).sorted === Seq("A", "B"))
+
+    // while DOWN: another A replay, still within the dedup horizon of
+    // the checkpointed state -> must be dropped by the RESTORED state;
+    // C advances the watermark to 12:00, evicting A's entry (10:01 + 1h
+    // horizon < 12:00) at the end of its batch
+    writeFile(in, Seq(("A", "k", 1.0, "2024-11-08 10:02:00")))
+    writeFile(in, Seq(("C", "k", 3.0, "2024-11-08 13:00:00")))
+    runOnce(in, out, cp, dedup)
+    assert(spark.read.parquet(out.toString)
+      .collect().map(_.getAs[String]("id")).sorted === Seq("A", "B", "C"),
+      "cross-restart replay dropped by restored state")
+
+    // A returns AFTER its state was evicted: emitted again — bounded
+    // state trades unbounded-horizon dedup for state ≈ keys within the
+    // watermark, exactly the documented contract
+    writeFile(in, Seq(("A", "k", 1.0, "2024-11-08 13:01:00")))
+    runOnce(in, out, cp, dedup)
+    val ids = spark.read.parquet(out.toString)
+      .collect().map(_.getAs[String]("id")).sorted
+    assert(ids === Seq("A", "A", "B", "C"),
+      "post-eviction arrival is a NEW observation, not a duplicate")
+  }
+}
