@@ -952,17 +952,24 @@ object SparkEntry {
          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
          ORDER BY id_a, id_b""",
     // byte_len = true UTF-8 byte count (octet_length of the encoded
-    // blob). brightness sums CODEPOINTS on the oracle side vs BYTES on
-    // the Spark side — equal only for ASCII text, which all driver
-    // fixtures are; a non-ASCII fixture would need a byte-level oracle.
+    // blob). brightness is BYTE-level on both sides: the Spark stub
+    // averages unsigned payload bytes, and the oracle recovers the same
+    // bytes by expanding the blob's hex dump two nibbles at a time — so
+    // non-ASCII text (multi-byte codepoints) hashes identically too,
+    // unlike the earlier codepoint-mean formulation that was only
+    // ASCII-equal.
     "q_media_features" ->
-      """SELECT doc_id AS asset_id,
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                           octet_length(encode(text)) AS n
+                    FROM documents)
+         SELECT doc_id AS asset_id,
                 (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
-                CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
-                CAST(list_sum(list_transform(string_split(text, ''),
-                  c -> CAST(unicode(c) AS BIGINT))) AS DOUBLE)
-                  / octet_length(encode(text)) / 255.0 AS brightness
-         FROM documents ORDER BY asset_id"""
+                CAST(n AS INTEGER) AS byte_len,
+                CAST(list_sum(list_transform(range(1, n + 1),
+                  i -> (instr('0123456789ABCDEF', substring(h, CAST(2*i - 1 AS INTEGER), 1)) - 1) * 16
+                     + (instr('0123456789ABCDEF', substring(h, CAST(2*i AS INTEGER), 1)) - 1))) AS DOUBLE)
+                  / n / 255.0 AS brightness
+         FROM b ORDER BY asset_id"""
   )
 
   /** DuckDB-native ASOF join, shared by the plain and skew-safe bucketed

@@ -37,6 +37,15 @@ class MultimodalSpec extends SparkSpec {
     val b = "hello world".getBytes("UTF-8")
     assert(StubCodec.fnv64(b) === StubCodec.fnv64(b.clone()))
     assert(StubCodec.brightness(Array[Byte](0, -1)) === (255.0 / 2 / 255.0))
+    // non-ASCII text: brightness is mean over UTF-8 BYTES (multi-byte
+    // codepoints contribute one term per byte, all with the high bit
+    // set, i.e. unsigned) — the same formulation the q_media_features
+    // oracle now computes byte-level in DuckDB, so a non-ASCII document
+    // row cannot produce a false hash mismatch
+    val nb = "héllo — 日本語".getBytes("UTF-8")
+    val expected = nb.map(_ & 0xff).map(_.toLong).sum.toDouble / nb.length / 255.0
+    assert(StubCodec.brightness(nb) === expected)
+    assert(nb.length > "héllo — 日本語".length) // really multi-byte
     assert(math.abs(StubCodec.histogram8(b).sum - 1.0f) < 1e-6)
     assert(StubCodec.resample(b, 4).length === 4)
     // chunks of 4: "hell","o wo","rld"; stride 2 keeps indices 0 and 2
