@@ -457,6 +457,13 @@ object SparkEntry {
       Scale.groupQuota(Tables.documents(s, dir), "source", "doc_id", k = 10)
         .select("doc_id", "source", "lang")
         .orderBy("doc_id")),
+    // composite-key quota: cap per (source, lang) cell — the mixing-
+    // matrix form of the domain cap ("k docs per domain per language")
+    "q_domain_quota_multi" -> ((s, dir) =>
+      Scale.groupQuota(Tables.documents(s, dir), Seq("source", "lang"),
+          "doc_id", k = 5)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")),
     // context-window packing: 40-token chunks, 8-token overlap
     "q_doc_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
@@ -674,6 +681,12 @@ object SparkEntry {
                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
            FROM documents) t
          WHERE rn <= 10 ORDER BY doc_id""",
+    "q_domain_quota_multi" ->
+      """SELECT doc_id, source, lang FROM (
+           SELECT doc_id, source, lang,
+                  ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
+           FROM documents) t
+         WHERE rn <= 5 ORDER BY doc_id""",
     // chunk i = tokens [i*stride, i*stride + 40), stride 32; DuckDB's
     // 1-based inclusive slice w[a:b] clamps at the end like Spark slice
     "q_doc_chunks" ->

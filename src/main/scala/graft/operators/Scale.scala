@@ -87,23 +87,38 @@ object Scale {
     * oracle) sorts every row of the hottest domain in one partition.
     * Kept ids then semi-join back, so full rows never enter the quota
     * shuffle. Group and id must be string-/long-castable. */
-  def groupQuota(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
-    require(k >= 1)
+  def groupQuota(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame =
+    groupQuota(df, Seq(groupCol), idCol, k)
+
+  /** Composite-key form: the quota group is the tuple of `groupCols`
+    * (e.g. (source, lang) — "at most k docs per domain per language").
+    * The aggregation key is an `array<string>` of the group columns, so
+    * any arity shares one Aggregator instantiation, and the semi-join
+    * back uses null-safe `<=>` per column: rows whose group column is
+    * NULL form their own group (capped at k like any other) rather than
+    * being silently dropped by null-rejecting equality — matching the
+    * row_number-window oracle formulation, where NULL is an ordinary
+    * partition value. */
+  def groupQuota(df: DataFrame, groupCols: Seq[String], idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && groupCols.nonEmpty)
     val spark = df.sparkSession
     import spark.implicits._
     // TopKAggregator keeps highest score, ties by smaller id; score
     // -id makes "smallest k ids" the kept set
+    val keyExpr = array(groupCols.map(c => col(c).cast("string")): _*)
     val kept = graft.functions.TopKAggregator.topKPerGroup(
-        df.select(col(groupCol).cast("string"),
+        df.select(keyExpr.as("__k"),
           negate(col(idCol)).cast("double"), col(idCol).cast("long"))
-          .as[(String, Double, Long)], k)
+          .as[(Seq[String], Double, Long)], k)
       .select(col("key").as("__g"), col("id").as("__quota_id"))
     // semi-join on (group, id), not id alone: with ids that repeat
     // across groups, an id kept under one group must not smuggle the
     // same id's rows through under another
-    df.join(kept,
-      col(groupCol).cast("string") === col("__g") &&
-        col(idCol).cast("long") === col("__quota_id"),
+    val groupMatch = groupCols.zipWithIndex
+      .map { case (c, i) => col(c).cast("string") <=> col("__g").getItem(i) }
+      .reduce(_ && _)
+    df.join(kept, groupMatch && col(idCol).cast("long") === col("__quota_id"),
       "left_semi")
   }
 

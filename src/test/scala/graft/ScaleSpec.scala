@@ -71,6 +71,36 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("groupQuota composite key: caps per (group1, group2) cell") {
+    val df = Seq(
+      (1L, "a", "en"), (2L, "a", "en"), (3L, "a", "en"),
+      (4L, "a", "de"), (5L, "a", "de"),
+      (6L, "b", "en"), (7L, "b", "en")).toDF("id", "src", "lang")
+    val out = Scale.groupQuota(df, Seq("src", "lang"), "id", k = 2)
+      .select("id").collect().map(_.getLong(0)).sorted
+    // each (src, lang) cell keeps its 2 smallest ids: (a,en)->1,2
+    // (a,de)->4,5 (b,en)->6,7 — id 3 is the only casualty
+    assert(out === Seq(1L, 2L, 4L, 5L, 6L, 7L))
+    // equivalence vs the window oracle formulation on the composite key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src"), col("lang")).orderBy(col("id"))
+    val ref = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(out === ref)
+  }
+
+  test("groupQuota: NULL group values form their own capped group") {
+    val df = Seq(
+      (1L, Option("a")), (2L, Option("a")), (3L, Option("a")),
+      (4L, None), (5L, None), (6L, None)).toDF("id", "grp")
+    val out = Scale.groupQuota(df, "grp", "id", k = 2)
+      .select("id").collect().map(_.getLong(0)).sorted
+    // the null group is an ordinary partition (row_number semantics):
+    // kept ids 4,5 — not silently dropped by null-rejecting equality
+    assert(out === Seq(1L, 2L, 4L, 5L))
+  }
+
   test("winsorize: approx sketch path tracks the exact path within tolerance") {
     val ev = Tables.events(spark, sf)
     val exact = Scale.winsorize(ev, "event_type", "value", 0.95,
