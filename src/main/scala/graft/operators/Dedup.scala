@@ -456,25 +456,58 @@ object Dedup {
           .reduce(_ + _).as("sig"))
   }
 
-  /** SimHash near-dup pairs: 4×16-bit band-bucket join (pigeonhole:
-    * Hamming ≤ 3 ⇒ at least one identical 16-bit band) → exact
+  /** Band bit-layout for a 64-bit signature split into `numBands`
+    * contiguous bands: (shift, width) per band, widths differing by at
+    * most one when numBands doesn't divide 64 (pigeonhole needs only
+    * "every bit is in exactly one band", not equal widths). */
+  private[graft] def simhashBandLayout(numBands: Int): Seq[(Int, Int)] = {
+    val base = 64 / numBands
+    val rem = 64 % numBands
+    val widths = Seq.tabulate(numBands)(j => if (j < rem) base + 1 else base)
+    widths.scanLeft(0)(_ + _).zip(widths).take(numBands)
+  }
+
+  /** SimHash near-dup pairs: band-bucket join (pigeonhole: Hamming ≤
+    * numBands - 1 ⇒ at least one identical band) → exact
     * `bit_count(sig_a XOR sig_b) ≤ maxDist` verification. Candidates
     * travel as bare (id_a, id_b); the 8-byte signatures are joined back
-    * only for the verification — same two-shuffle shape as MinHash-LSH. */
+    * only for the verification — same two-shuffle shape as MinHash-LSH.
+    *
+    * `numBands = 0` (default) picks `max(4, maxDist + 1)` — 4×16 bands
+    * for the classic maxDist ≤ 3, widening automatically (e.g. 8×8
+    * bands for maxDist 7). The trade is explicit: narrower bands match
+    * random pairs at P ≈ numBands / 2^bandWidth instead of 4/2^16, so
+    * candidate volume grows as bands narrow — that is the price of
+    * recall at larger distances, paid in the (cheap, bare-id) candidate
+    * join and bounded again by the exact verification. Bands narrower
+    * than 2 bits would candidate nearly every pair, so maxDist is
+    * capped at 31 (32×2-bit bands). */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int, tokenHash: TokenHash = XxHash): DataFrame = {
-    // 4 bands of 16 bits guarantee a shared band only for Hamming ≤ 3
-    // (pigeonhole); a larger maxDist would silently miss qualifying
-    // pairs whose differing bits spread across all four bands
-    require(maxDist >= 0 && maxDist <= 3,
-      s"4x16-bit banding only guarantees recall for maxDist <= 3, got $maxDist")
+      maxDist: Int, tokenHash: TokenHash = XxHash,
+      numBands: Int = 0): DataFrame = {
+    val bands = if (numBands > 0) numBands else math.max(4, maxDist + 1)
+    // a maxDist beyond bands - 1 would silently miss qualifying pairs
+    // whose differing bits spread across all bands — fail loudly instead
+    require(maxDist >= 0 && maxDist <= 31,
+      s"simhash banding supports maxDist in [0, 31], got $maxDist")
+    require(bands >= maxDist + 1 && bands <= 64,
+      s"$bands bands only guarantee recall for maxDist <= ${bands - 1}, " +
+        s"got maxDist = $maxDist")
     // null sigs (empty docs) need no explicit filter: a null band bucket
     // never equi-joins, so such docs simply produce no candidates
-    val sigs = simhashSignaturesFast(df, idCol, textCol, tokenHash)
+    simhashPairsFromSigs(
+      simhashSignaturesFast(df, idCol, textCol, tokenHash), maxDist, bands)
+  }
 
+  /** Pair stage over precomputed (id, sig) rows — split out so specs can
+    * plant signatures at exact Hamming distances (text fixtures can't
+    * target a distance); production entry is `simhashNearDupPairs`. */
+  private[graft] def simhashPairsFromSigs(sigs: DataFrame, maxDist: Int,
+      numBands: Int): DataFrame = {
+    val layout = simhashBandLayout(numBands)
     val banded = sigs.select(col("id"),
-      posexplode(array((0 until 4).map { j =>
-        shiftright(col("sig"), 16 * j).bitwiseAND(lit(0xFFFFL))
+      posexplode(array(layout.map { case (shift, width) =>
+        shiftright(col("sig"), shift).bitwiseAND(lit((1L << width) - 1))
       }: _*)).as(Seq("band", "bucket")))
 
     val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))

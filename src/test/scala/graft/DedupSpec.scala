@@ -162,10 +162,61 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L))) // null-sig doc 3 never pairs
   }
 
-  test("simhash rejects maxDist beyond the banding guarantee") {
+  test("simhash rejects band counts below the pigeonhole guarantee") {
+    // explicit numBands too small for the distance: must fail loudly,
+    // not silently miss pairs whose bits spread across every band
     intercept[IllegalArgumentException] {
-      Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 5)
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 5,
+        numBands = 4)
     }
+    // beyond 31 even 2-bit bands can't honor the pigeonhole bound
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 32)
+    }
+  }
+
+  test("wide banding finds planted pairs whose bits defeat the 4-band layout") {
+    // distance-5 mask with one flipped bit in EVERY 16-bit band of the
+    // classic 4×16 layout — a 4-band join would never candidate this
+    // pair; the auto-widened 6-band (maxDist 5) layout must
+    val mask5 = Seq(0, 13, 21, 37, 53).map(1L << _).reduce(_ | _)
+    val mask8 = Seq(1, 9, 17, 25, 33, 41, 49, 57).map(1L << _).reduce(_ | _)
+    val s0 = 0x5DEECE66DL * 2862933555777941757L // arbitrary fixed sig
+    val sigs = Seq((1L, s0), (2L, s0 ^ mask5), (3L, s0 ^ mask8), (4L, s0 ^ 1L))
+      .toDF("id", "sig")
+    def run(maxDist: Int): Set[(Long, Long, Int)] =
+      Dedup.simhashPairsFromSigs(sigs, maxDist, maxDist + 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force reference over the planted signatures
+    def brute(maxDist: Int): Set[(Long, Long, Int)] = {
+      val m = Map(1L -> s0, 2L -> (s0 ^ mask5), 3L -> (s0 ^ mask8), 4L -> (s0 ^ 1L))
+      (for {
+        a <- m.keys; b <- m.keys if a < b
+        d = java.lang.Long.bitCount(m(a) ^ m(b)) if d <= maxDist
+      } yield (a, b, d)).toSet
+    }
+    assert(run(5) === brute(5))
+    assert(run(5).contains((1L, 2L, 5)), "the 4-band-defeating pair is found")
+    assert(run(7) === brute(7))
+    assert(!run(7).exists(p => p._1 == 1L && p._2 == 3L), "distance 8 stays out")
+  }
+
+  test("maxDist=7 banded pairs equal exhaustive Hamming over fixture signatures") {
+    val sigMap = Dedup.simhashSignaturesFast(docs, "doc_id", "text")
+      .filter(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = sigMap.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices.iterator; j <- ((i + 1) until ids.length).iterator
+      d = java.lang.Long.bitCount(sigMap(ids(i)) ^ sigMap(ids(j))) if d <= 7
+    } yield (ids(i), ids(j), d)).toSet
+    val banded = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // distances 4-7 specifically are exercised by the planted-mask test
+    // above (this fixture's planted dups all land at ≤ 3); what this
+    // pins is completeness: the 8-band join loses NOTHING vs exhaustive
+    assert(banded === brute)
+    assert(brute.nonEmpty)
   }
 
   test("empty docs produce no shingles for any n (no [''] 1-gram leak)") {
