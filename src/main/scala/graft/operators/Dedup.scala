@@ -222,7 +222,15 @@ object Dedup {
   /** Rounds the last `nearDupComponents` call took to converge —
     * instrumentation for the round-count regression spec (the loop is
     * the expensive part; a regression that doubles rounds should fail
-    * CI, not just slow the bench). */
+    * CI, not just slow the bench).
+    *
+    * TEST-ONLY, SINGLE-THREADED instrumentation by contract: it is a
+    * process-global slot, so concurrent `nearDupComponents` calls in one
+    * JVM race on it and a reader observes whichever call finished last.
+    * Production pipelines must not branch on it; the operator's result
+    * is unaffected. (Kept global deliberately: threading a counter
+    * through the return type would complicate every call site for a
+    * value only DedupSpec reads.) */
   val lastComponentsRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
 
   def nearDupComponents(df: DataFrame, idCol: String, pairs: DataFrame,
@@ -368,7 +376,15 @@ object Dedup {
         .distinct()
         .localCheckpoint() // materialize: feeds both the probe and next round
 
-      converged = small.exceptAll(undirected).limit(1).count() == 0
+      // exact fixed-point test: small ⊆ undirected (no new edges) AND
+      // equal counts — subset plus equal cardinality implies multiset
+      // equality. The subset check alone would accept a round that
+      // strictly DROPPED edges as converged without confirming the edge
+      // set is stable, which is weaker than the edge-set-unchanged fixed
+      // point the Kiveris algorithm assumes. Both frames are
+      // localCheckpoint-materialized, so the extra count scans cache.
+      converged = small.exceptAll(undirected).limit(1).count() == 0 &&
+        small.count() == undirected.count()
       undirected = small
       rounds += 1
     }

@@ -141,6 +141,30 @@ object Multimodal {
       ImageIO.write(img, "png", out)
       out.toByteArray
     }
+
+    /** Container format of an encoded image ("png", "jpeg", "bmp",
+      * "gif", ...) via imageio's magic-byte sniffing — no pixel decode. */
+    def detectFormat(bytes: Array[Byte]): Option[String] = {
+      try {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (readers.hasNext) Some(readers.next().getFormatName.toLowerCase)
+          else None
+        } finally iis.close()
+      } catch { case _: Exception => None }
+    }
+
+    /** Re-encode in `format` when a writer exists, else lossless PNG.
+      * Keeping a JPEG photo as JPEG is what preserves the "resized
+      * payload is smaller" property — a PNG re-encode of photographic
+      * content can EXCEED the original JPEG bytes even after
+      * downscaling. */
+    def encodeAs(img: BufferedImage, format: String): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      if (!ImageIO.write(img, format, out)) return encodePng(img)
+      out.toByteArray
+    }
   }
 
   /** ======= STUB CODEC =======
@@ -233,10 +257,15 @@ object Multimodal {
     }(featEnc)
 
   /** Real image resize stage: decode → scale to fit `maxDim` → re-encode
-    * PNG, in place on the scan partitions (the resize-BEFORE-shuffle
-    * rule of `resizeAll`, now with true pixel resampling). Payloads that
-    * aren't decodable images pass through unchanged — the stage is safe
-    * to run over a mixed media table. */
+    * in the SOURCE format (JPEG stays JPEG, PNG stays PNG; PNG fallback
+    * only when no writer exists for the sniffed format), in place on the
+    * scan partitions (the resize-BEFORE-shuffle rule of `resizeAll`, now
+    * with true pixel resampling). Source-format re-encode is what keeps
+    * the "output rows are smaller before the shuffle" rationale honest:
+    * a lossless PNG of downscaled photographic content can be LARGER
+    * than the original JPEG. Payloads that aren't decodable images pass
+    * through unchanged — the stage is safe to run over a mixed media
+    * table. */
   def resizeImages(assets: Dataset[MediaAsset], maxDim: Int): Dataset[MediaAsset] =
     assets.mapPartitions(_.map { a =>
       if (a.mediaType != "image") a
@@ -244,8 +273,11 @@ object Multimodal {
         case Some(bi) =>
           val scaled = ImageCodec.resizeToFit(bi, maxDim)
           if (scaled eq bi) a // already within bounds: keep original bytes
-          else a.copy(payload = ImageCodec.encodePng(scaled),
-            width = scaled.getWidth, height = scaled.getHeight)
+          else {
+            val fmt = ImageCodec.detectFormat(a.payload).getOrElse("png")
+            a.copy(payload = ImageCodec.encodeAs(scaled, fmt),
+              width = scaled.getWidth, height = scaled.getHeight)
+          }
         case None => a
       }
     })(assetEnc)

@@ -59,13 +59,26 @@ object Similarity {
     * this projection). Ties break identically to the window form
     * (`orderBy(cos desc, neighbor_id asc)`), spec-asserted equivalent. */
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
-    val spark = scored.sparkSession
-    import spark.implicits._
-    graft.functions.TopKAggregator.topKPerGroup(
-        scored.select(col("query_id").cast("long"), col("cos").cast("double"),
-          col("neighbor_id").cast("long")).as[(Long, Double, Long)], k)
-      .select(col("key").as("query_id"), col("id").as("neighbor_id"),
-        col("rank"), col("score").as("cos"))
+    // the aggregator path requires INTEGRAL ids (its buffer is
+    // (Double, Long)-typed): a string/decimal id would cast("long") to
+    // null row-by-row and silently collapse groups. Non-integral ids
+    // fall back to the window formulation — correct for any id type,
+    // just without the map-side-combine shuffle bound.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    val idTypesOk = Seq("query_id", "neighbor_id")
+      .forall(c => integral(scored.schema(c).dataType))
+    if (!idTypesOk) rankTopKWindow(scored, k)
+    else {
+      val spark = scored.sparkSession
+      import spark.implicits._
+      graft.functions.TopKAggregator.topKPerGroup(
+          scored.select(col("query_id").cast("long"), col("cos").cast("double"),
+            col("neighbor_id").cast("long")).as[(Long, Double, Long)], k)
+        .select(col("key").as("query_id"), col("id").as("neighbor_id"),
+          col("rank"), col("score").as("cos"))
+    }
   }
 
   /** Window-function formulation of the epilogue — the oracle-shaped

@@ -120,6 +120,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).payload.toSeq === Seq[Byte](1, 2, 3)) // undecodable: untouched
   }
 
+  test("resizeImages re-encodes in the source format (JPEG stays JPEG)") {
+    implicit val sp = spark
+    val jpegIn = encode(makeImage(100, 80)((x, y) => (x * 2, y * 3, 40)), "jpg")
+    val pngIn = encode(makeImage(100, 80)((x, y) => (x * 2, y * 3, 40)), "png")
+    assert(ImageCodec.detectFormat(jpegIn) === Some("jpeg"))
+    assert(ImageCodec.detectFormat(pngIn) === Some("png"))
+    val ds = Seq(
+      MediaAsset(1L, "image", jpegIn, 100, 80, 0L),
+      MediaAsset(2L, "image", pngIn, 100, 80, 0L)).toDS()
+    val out = Multimodal.resizeImages(ds, maxDim = 50).collect().sortBy(_.assetId)
+    // a resized photo must not silently convert to lossless PNG (which
+    // can be LARGER than the JPEG input, defeating the resize-before-
+    // shuffle size rationale); each payload keeps its container format
+    assert(ImageCodec.detectFormat(out(0).payload) === Some("jpeg"))
+    assert(ImageCodec.detectFormat(out(1).payload) === Some("png"))
+    assert(out.forall(a => ImageCodec.decode(a.payload).get.getWidth === 50))
+  }
+
   test("extractFeatures preserves ids and computes stub features") {
     implicit val sp = spark
     val ds = Seq(

@@ -32,6 +32,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getAs[Double]("cos") > 0.99)
   }
 
+  test("bruteForceTopK with STRING ids falls back to the window epilogue") {
+    // the aggregator epilogue is (Double, Long)-typed; a string id used
+    // to cast("long") to null and collapse every group — now it must
+    // route through the window formulation and stay correct
+    val named = vecs.select(
+      concat(lit("doc-"), col("vec_id")).as("vec_id"), col("embedding"))
+    val out = Similarity.bruteForceTopK(named,
+        named.filter(col("vec_id") === "doc-0"), "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[String]("neighbor_id")).toSeq
+      === Seq("doc-4", "doc-1", "doc-2"))
+    assert(out.map(_.getAs[String]("query_id")).distinct.toSeq === Seq("doc-0"))
+    assert(out.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
+  }
+
   test("cosineNearDupPairs finds exactly the close pairs") {
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
