@@ -298,6 +298,27 @@ object SparkEntry {
       Dedup.nearDupComponents(docs, "doc_id", pairs)
         .orderBy("doc_id")
     }),
+    // ----- benchmark decontamination: shingle overlap vs a probe set
+    // (doc_id % 20 == 0 stands in for the benchmark suite). The probe
+    // side broadcasts as distinct shingles; corpus shingles never
+    // shuffle.
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.ngramContamination(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 20 === 0), "text", n = 3)
+        .orderBy("doc_id")
+    }),
+    // the decontaminated corpus — contamination strictly above 1/2 drops
+    // the doc (the fraction is an IEEE double division of small ints,
+    // identical bit-for-bit in both engines, so the cut is portable)
+    "q_decontaminated" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dropContaminated(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 20 === 0), "text", n = 3,
+          maxContamination = 0.5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
     // portable sha-based token hash so the whole pipeline has a DuckDB
     // oracle (brute-force Hamming); xxhash64 is the scale default and is
     // spec'd equivalent-shape in DedupSpec
@@ -941,6 +962,20 @@ object SparkEntry {
     // contributing nothing to any distance.
     "q_simhash_neardup" -> simhashOracleSql(3),
     "q_simhash_neardup_wide" -> simhashOracleSql(5, "WHERE doc_id % 4 = 0"),
+    "q_contamination" ->
+      (contaminationCtes +
+        """ SELECT z.doc_id, CAST(z.n AS INTEGER) AS n_shingles,
+                COALESCE(s.c, 0) AS shared_shingles,
+                CAST(COALESCE(s.c, 0) AS DOUBLE) / z.n AS contamination
+         FROM nz z LEFT JOIN shared s USING (doc_id) ORDER BY doc_id"""),
+    "q_decontaminated" ->
+      (contaminationCtes +
+        """, flagged AS (SELECT z.doc_id
+                 FROM nz z LEFT JOIN shared s USING (doc_id)
+                 WHERE CAST(COALESCE(s.c, 0) AS DOUBLE) / z.n > 0.5)
+         SELECT d.doc_id, d.lang, d.source FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)
+         ORDER BY doc_id"""),
     // MinHash+LSH verifies candidates with EXACT Jaccard, so its output
     // equals the exhaustive inverted-index result whenever LSH recall is
     // 1 — which holds deterministically for the fixture's planted dups
@@ -1051,6 +1086,24 @@ object SparkEntry {
     * the hottest shingles; in production it is corpus-scaled and is the
     * knob that bounds the inverted-index join under boilerplate. */
   val shingleDfCap: Int = 20
+
+  /** Shared CTE prefix for the decontamination oracles: corpus 3-gram
+    * sets (`nz`), exploded postings (`ds`), distinct probe shingles
+    * (`ps`, probe set = doc_id % 20 == 0), per-doc shared counts
+    * (`shared`). Mirrors `Dedup.ngramContamination` on raw shingle
+    * strings — no hashing on either side, so counts are exact. */
+  private val contaminationCtes: String =
+      """WITH tok AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN []
+                  ELSE list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                    i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')) END) AS sh
+              FROM documents),
+         nz AS (SELECT doc_id, sh, len(sh) AS n FROM tok WHERE len(sh) > 0),
+         ds AS (SELECT doc_id, unnest(sh) AS s FROM nz),
+         ps AS (SELECT DISTINCT unnest(sh) AS s FROM tok
+                WHERE doc_id % 20 = 0 AND len(sh) > 0),
+         shared AS (SELECT doc_id, count(*) AS c FROM ds JOIN ps USING (s)
+                    GROUP BY doc_id)"""
 
   /** Capped-df Jaccard oracle: mirrors `Dedup.jaccardNearDupPairs` with
     * `maxShingleDf` — shingles above the cap are dropped BEFORE set

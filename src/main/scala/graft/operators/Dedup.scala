@@ -196,6 +196,69 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ------------------------------------------------------------------
+  // Benchmark decontamination (n-gram overlap vs a probe set)
+  // ------------------------------------------------------------------
+
+  /** Train/test contamination report: for each corpus doc, how many of
+    * its distinct word n-gram shingles appear anywhere in `probes` (the
+    * benchmark/eval suite), plus the contaminated fraction — the
+    * standard n-gram decontamination check run before training so eval
+    * answers aren't memorized from leaked benchmark text.
+    *
+    * Scale shape: the probe side (benchmark suites — MBs, not TBs) is
+    * reduced to DISTINCT shingles and BROADCAST, so corpus shingles are
+    * matched scan-locally and never shuffle; the only exchange is the
+    * per-doc count aggregation of narrow (id, count) partials, map-side
+    * combined. Shingles join as raw strings — exactness matters here
+    * (an oracle-visible count), and with a broadcast probe side the
+    * string keys never leave their scan partition anyway. The
+    * `repartition(id)` is the same materialization-barrier idiom as in
+    * `jaccardNearDupPairs`: the shingle array feeds both the size
+    * projection and the explode, and behind one exchange it is computed
+    * once (ReuseExchange) instead of once per consumer.
+    *
+    * Docs with zero shingles (empty/blank) have no defined contamination
+    * and are omitted, like every operator in this family.
+    *
+    * Output: (id, n_shingles, shared_shingles, contamination ∈ [0,1]). */
+  def ngramContamination(docs: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeTextCol: String, n: Int): DataFrame = {
+    val sets = docs.select(
+        col(idCol).as("id"),
+        graft.expressions.ShingleExpressions
+          .distinctWordNgrams(col(textCol), n).as("sh"))
+      .repartition(col("id"))
+      .filter(size(col("sh")) > 0)
+    val probeShingles = probes.select(
+        explode(graft.expressions.ShingleExpressions
+          .distinctWordNgrams(col(probeTextCol), n)).as("s"))
+      .distinct()
+    val shared = sets.select(col("id"), explode(col("sh")).as("s"))
+      .join(broadcast(probeShingles), Seq("s"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("shared_shingles"))
+    sets.select(col("id"), size(col("sh")).as("n_shingles"))
+      .join(shared, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_shingles"),
+        coalesce(col("shared_shingles"), lit(0L)).as("shared_shingles"),
+        (coalesce(col("shared_shingles"), lit(0L)).cast("double") /
+          col("n_shingles")).as("contamination"))
+  }
+
+  /** Corpus after decontamination: drop docs whose contaminated shingle
+    * fraction EXCEEDS `maxContamination` (0.0 = drop on any overlap).
+    * Shingle-free docs carry no benchmark text by construction and are
+    * kept. */
+  def dropContaminated(docs: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeTextCol: String, n: Int,
+      maxContamination: Double): DataFrame = {
+    val flagged = ngramContamination(docs, idCol, textCol, probes, probeTextCol, n)
+      .filter(col("contamination") > maxContamination)
+      .select(col(idCol))
+    docs.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Corpus after near-dup removal: drop every doc that is the larger id
     * of some near-dup pair (keep-smallest policy, transitive enough for
     * reporting; `nearDupComponents` is the principled alternative when

@@ -103,6 +103,46 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty) // fixture has planted near-dups
   }
 
+  test("ngramContamination counts probe-shared shingles per doc") {
+    // doc 1: 3-grams {a b c, b c d, c d e}; probe shares exactly {b c d}
+    // doc 2: identical to the probe -> fully contaminated
+    // doc 3: disjoint vocabulary -> zero overlap, still reported
+    // doc 4: too short for a 3-gram -> no shingles, omitted
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "b c d x"),
+      (3L, "p q r s"),
+      (4L, "only two")).toDF("doc_id", "text")
+    val probes = Seq("b c d x").toDF("text")
+    val out = Dedup.ngramContamination(docs, "doc_id", "text", probes, "text", 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out === Map(
+      1L -> ((3, 1L, 1.0 / 3)),
+      2L -> ((2, 2L, 1.0)),
+      3L -> ((2, 0L, 0.0))))
+  }
+
+  test("dropContaminated removes docs over the threshold, keeps shingle-free docs") {
+    val docs = Seq(
+      (1L, "a b c d e"), // 1/3 contaminated: kept at 0.5
+      (2L, "b c d x"),   // 1.0: dropped
+      (3L, "p q r s"),   // clean: kept
+      (4L, "only two")). // no shingles: kept by contract
+      toDF("doc_id", "text")
+    val probes = Seq("b c d x").toDF("text")
+    val kept = Dedup.dropContaminated(docs, "doc_id", "text", probes, "text", 3,
+        maxContamination = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Seq(1L, 3L, 4L))
+    // threshold 0 = drop on ANY overlap
+    val strict = Dedup.dropContaminated(docs, "doc_id", "text", probes, "text", 3,
+        maxContamination = 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(strict === Seq(3L, 4L))
+  }
+
   test("simhashNearDupPairs: exact dups at distance 0, all pairs symmetric-free") {
     val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
