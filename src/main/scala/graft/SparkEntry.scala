@@ -298,6 +298,19 @@ object SparkEntry {
       Dedup.nearDupComponents(docs, "doc_id", pairs)
         .orderBy("doc_id")
     }),
+    // ----- Gopher-style token-repetition quality signals
+    "q_token_repetition" -> ((s, dir) =>
+      TextAnalysis.tokenRepetition(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // the repetition gate (thresholds sit inside the fixture's observed
+    // spread: dup 0 — 0.72, top 0.05 — 0.30; keeps 172/500 at sf0.01).
+    // Both cut expressions mirror the oracle SQL term-for-term, so the
+    // IEEE doubles compared against the literals are bit-identical.
+    "q_low_repetition" -> ((s, dir) =>
+      TextAnalysis.dropRepetitive(Tables.documents(s, dir), "doc_id", "text",
+          maxDupFrac = 0.55, maxTopFrac = 0.12)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
     // ----- benchmark decontamination: shingle overlap vs a probe set
     // (doc_id % 20 == 0 stands in for the benchmark suite). The probe
     // side broadcasts as distinct shingles; corpus shingles never
@@ -962,6 +975,19 @@ object SparkEntry {
     // contributing nothing to any distance.
     "q_simhash_neardup" -> simhashOracleSql(3),
     "q_simhash_neardup_wide" -> simhashOracleSql(5, "WHERE doc_id % 4 = 0"),
+    "q_token_repetition" ->
+      (tokenRepetitionCtes +
+        """ SELECT doc_id, n_tokens, n_distinct_tokens,
+                1 - CAST(n_distinct_tokens AS DOUBLE) / n_tokens AS dup_token_frac,
+                CAST(tc AS DOUBLE) / n_tokens AS top_token_frac
+         FROM agg ORDER BY doc_id"""),
+    "q_low_repetition" ->
+      (tokenRepetitionCtes +
+        """, kept AS (SELECT doc_id FROM agg
+                WHERE 1 - CAST(n_distinct_tokens AS DOUBLE) / n_tokens <= 0.55
+                  AND CAST(tc AS DOUBLE) / n_tokens <= 0.12)
+         SELECT d.doc_id, d.lang, d.source FROM documents d
+         JOIN kept USING (doc_id) ORDER BY doc_id"""),
     "q_contamination" ->
       (contaminationCtes +
         """ SELECT z.doc_id, CAST(z.n AS INTEGER) AS n_shingles,
@@ -1086,6 +1112,19 @@ object SparkEntry {
     * the hottest shingles; in production it is corpus-scaled and is the
     * knob that bounds the inverted-index join under boilerplate. */
   val shingleDfCap: Int = 20
+
+  /** Shared CTE prefix for the token-repetition oracles: per-(doc,
+    * token) counts, then per-doc totals/distincts/max — mirroring
+    * `TextAnalysis.tokenRepetition` (incl. the `['']` empty-split quirk
+    * both engines share, so blank docs report one empty token). */
+  private val tokenRepetitionCtes: String =
+      """WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS t
+              FROM documents),
+         tc AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2),
+         agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                        COUNT(*) AS n_distinct_tokens, MAX(c) AS tc
+                 FROM tc GROUP BY doc_id)"""
 
   /** Shared CTE prefix for the decontamination oracles: corpus 3-gram
     * sets (`nz`), exploded postings (`ds`), distinct probe shingles

@@ -243,4 +243,53 @@ object TextAnalysis {
     termCounts(df, textCol)
       .orderBy(col("n").desc, col("term").asc)
       .limit(k)
+
+  /** Per-doc token repetition signals — the Gopher-style repetition
+    * quality rules (Rae et al., "Scaling Language Models", §A1.1:
+    * machine-generated/boilerplate text shows up as a few tokens
+    * dominating the document):
+    *   - `n_tokens` / `n_distinct_tokens`,
+    *   - `dup_token_frac`  = 1 − distinct/total (mass in repeated use),
+    *   - `top_token_frac`  = occurrences of the most frequent token /
+    *     total (a single dominating token).
+    *
+    * Shape: explode → (doc, token) count → per-doc aggregate. Both
+    * aggregations combine map-side, and the second shuffles one narrow
+    * row per (doc, DISTINCT token) — bounded by vocabulary use, not doc
+    * length. An O(len²) per-row HOF ("count equal elements per
+    * element") would avoid the shuffle but runs interpreted and
+    * quadratic in document length — wrong trade for 100 TB docs of
+    * unbounded length. Tokens shuffle as raw strings so counts are
+    * exact and oracle-visible (the Jaccard family hashes its shingles
+    * instead because its join cost dwarfs these narrow aggregations).
+    *
+    * Blank/empty docs follow the tokens("") == [""] quirk: one empty
+    * token, so every doc is reported. */
+  def tokenRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+      .groupBy("id", "t")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        max(col("c")).as("top_token_count"))
+      .select(col("id").as(idCol),
+        col("n_tokens"), col("n_distinct_tokens"),
+        (lit(1.0) - col("n_distinct_tokens").cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        (col("top_token_count").cast("double") / col("n_tokens"))
+          .as("top_token_frac"))
+
+  /** Corpus after the repetition gate: keep docs with
+    * `dup_token_frac ≤ maxDupFrac` AND `top_token_frac ≤ maxTopFrac`.
+    * Both fractions are IEEE double divisions of small integers —
+    * bit-identical across engines, so the cuts are portable. */
+  def dropRepetitive(df: DataFrame, idCol: String, textCol: String,
+      maxDupFrac: Double, maxTopFrac: Double): DataFrame = {
+    val kept = tokenRepetition(df, idCol, textCol)
+      .filter(col("dup_token_frac") <= maxDupFrac &&
+        col("top_token_frac") <= maxTopFrac)
+      .select(col(idCol))
+    df.join(kept, Seq(idCol), "left_semi")
+  }
 }

@@ -126,4 +126,39 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(tied === Seq("x", "y")) // x=2, y=2 — ties break on term asc
   }
+
+  test("tokenRepetition: exact fractions incl. the blank-doc [''] quirk") {
+    val docs = Seq(
+      (1L, "a a a b"),   // n=4, distinct=2, dup=0.5, top=3/4
+      (2L, "w x y z"),   // all distinct: dup=0, top=1/4
+      (3L, "spam spam"), // fully repeated: dup=0.5, top=1
+      (4L, "   ")).toDF("doc_id", "text") // [''] quirk: one empty token
+    val out = TextAnalysis.tokenRepetition(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out === Map(
+      1L -> ((4L, 2L, 0.5, 0.75)),
+      2L -> ((4L, 4L, 0.0, 0.25)),
+      3L -> ((2L, 1L, 0.5, 1.0)),
+      4L -> ((1L, 1L, 0.0, 1.0))))
+  }
+
+  test("dropRepetitive gates on both fractions") {
+    val docs = Seq(
+      (1L, "a a a b"),   // top 0.75: dropped on top_token_frac
+      (2L, "w x y z"),   // clean: kept
+      (3L, "a b c c"),   // dup 0.25, top 0.5: dropped on top at 0.4
+      (4L, "p q r p")).  // dup 0.25, top 0.5: dropped too
+      toDF("doc_id", "text")
+    val kept = TextAnalysis.dropRepetitive(docs, "doc_id", "text",
+        maxDupFrac = 0.3, maxTopFrac = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Seq(2L))
+    // loosening top to 0.5 readmits the 0.5-top docs (boundary is <=)
+    val kept2 = TextAnalysis.dropRepetitive(docs, "doc_id", "text",
+        maxDupFrac = 0.3, maxTopFrac = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept2 === Seq(2L, 3L, 4L))
+  }
 }
