@@ -36,7 +36,15 @@ object Bench {
     // The driver never sets it, so official artifacts always cover the
     // full suite.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd filter must fail loudly, not print an official-looking
+    // 0.0-total artifact that would trivially pass a 2×-of-baseline gate
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+      require(names.nonEmpty, "SPARK_GRAFT_ONLY is set but names no queries")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
@@ -57,7 +65,10 @@ object Bench {
     // not subtract from it — a broken query shrinking the total could
     // mask a real regression in the driver's 2×-of-baseline comparison
     val total = results.values.map(v => if (v < 0) 600.0 else v).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"sf":"$sfDir"}""")
+    // subset runs self-identify so a filtered artifact can never be
+    // mistaken for a full-suite measurement
+    val subset = if (only.isDefined) ""","subset":true""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes$subset,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

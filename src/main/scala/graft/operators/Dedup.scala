@@ -586,7 +586,10 @@ object Dedup {
     val layout = simhashBandLayout(numBands)
     val banded = sigs.select(col("id"),
       posexplode(array(layout.map { case (shift, width) =>
-        shiftright(col("sig"), shift).bitwiseAND(lit((1L << width) - 1))
+        // mask via unsigned shift, NOT (1L << width) - 1: for a single
+        // 64-bit band `1L << 64` wraps to 1, making the mask 0 and
+        // silently bucketing every row together (an O(n²) self-join)
+        shiftright(col("sig"), shift).bitwiseAND(lit(-1L >>> (64 - width)))
       }: _*)).as(Seq("band", "bucket")))
 
     val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))

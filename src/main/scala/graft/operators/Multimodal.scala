@@ -155,15 +155,21 @@ object Multimodal {
       } catch { case _: Exception => None }
     }
 
-    /** Re-encode in `format` when a writer exists, else lossless PNG.
-      * Keeping a JPEG photo as JPEG is what preserves the "resized
-      * payload is smaller" property — a PNG re-encode of photographic
-      * content can EXCEED the original JPEG bytes even after
-      * downscaling. */
+    /** Re-encode in `format` when a writer exists AND accepts the image,
+      * else lossless PNG. Keeping a JPEG photo as JPEG is what preserves
+      * the "resized payload is smaller" property — a PNG re-encode of
+      * photographic content can EXCEED the original JPEG bytes even
+      * after downscaling. The catch matters, not just the false return:
+      * a registered writer can still throw on RGB input (the JDK's WBMP
+      * writer is bilevel-only), and one such asset must fall back, not
+      * fail the whole stage — resizeImages documents "safe over a mixed
+      * media table". */
     def encodeAs(img: BufferedImage, format: String): Array[Byte] = {
       val out = new ByteArrayOutputStream()
-      if (!ImageIO.write(img, format, out)) return encodePng(img)
-      out.toByteArray
+      val ok =
+        try ImageIO.write(img, format, out)
+        catch { case _: Exception => false }
+      if (!ok) encodePng(img) else out.toByteArray
     }
   }
 

@@ -64,6 +64,8 @@ object Similarity {
     // null row-by-row and silently collapse groups. Non-integral ids
     // fall back to the window formulation — correct for any id type,
     // just without the map-side-combine shuffle bound.
+    // (Spark's IntegralType abstraction is private[sql]; enumerate the
+    // four integral scalar types instead)
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val integral = Set[org.apache.spark.sql.types.DataType](
       ByteType, ShortType, IntegerType, LongType)

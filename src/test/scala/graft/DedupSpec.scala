@@ -241,6 +241,16 @@ class DedupSpec extends SparkSpec {
     assert(!run(7).exists(p => p._1 == 1L && p._2 == 3L), "distance 8 stays out")
   }
 
+  test("single 64-bit band masks correctly (no 1L<<64 wrap to bucket 0)") {
+    // with the old (1L << width) - 1 mask, width 64 wrapped to mask 0:
+    // every row bucketed together and the self-join went quadratic.
+    // One band = the full signature, so only EQUAL sigs may pair.
+    val sigs = Seq((1L, 7L), (2L, 7L), (3L, -7L)).toDF("id", "sig")
+    val pairs = Dedup.simhashPairsFromSigs(sigs, maxDist = 0, numBands = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
   test("maxDist=7 banded pairs equal exhaustive Hamming over fixture signatures") {
     val sigMap = Dedup.simhashSignaturesFast(docs, "doc_id", "text")
       .filter(col("sig").isNotNull)

@@ -92,6 +92,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("composite-key quota keeps the no-window aggregate shape") {
+    val p = plan("q_domain_quota_multi")
+    assert(!p.contains("Window"),
+      "composite-key groupQuota must not fall back to a window sort")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
+  }
+
+  test("contamination probe side broadcasts; corpus shingles never shuffle to match") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe shingles must broadcast against the corpus postings")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("wide simhash evaluates the mod-sample directly on the scan") {
+    // deterministic 1/4 sample: pmod is not a parquet-pushable
+    // predicate, so what must hold is that the sample Filter sits
+    // DIRECTLY on the scan leaf in the optimized plan — 3/4 of the
+    // corpus dropped before any shingle work, not hoisted above it
+    val lp = SparkEntry.queries("q_simhash_neardup_wide")(spark, sf)
+      .queryExecution.optimizedPlan
+    val onLeaf = lp.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.toLowerCase.contains("pmod") &&
+            f.child.children.isEmpty => f
+    }
+    assert(onLeaf.nonEmpty,
+      s"pmod sample filter is not adjacent to the scan leaf:\n$lp")
+  }
+
   test("aggregation queries keep whole-stage codegen on the scan side") {
     val p = SparkEntry.queries("q1_lineitem_agg")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)

@@ -40,14 +40,20 @@ class StreamRestartSpec extends SparkSpec {
   private var fileSeq = 0
   /** One JSON-lines file per call — with maxFilesPerTrigger=1 each file
     * becomes its own micro-batch, so watermark advancement between
-    * files is deterministic. */
+    * files is deterministic. FileStreamSource orders new files by
+    * modification time, and back-to-back writes can land in the same
+    * filesystem timestamp tick — so each file gets an explicit,
+    * strictly increasing mtime; without it the watermark-pusher file
+    * could race ahead of its data file and drop rows as late. */
   private def writeFile(dir: Path, rows: Seq[(String, String, Double, String)]): Unit = {
     fileSeq += 1
     val lines = rows.map { case (id, key, amount, ts) =>
       s"""{"id":"$id","key":"$key","amount":$amount,"ts":"$ts"}"""
     }
-    Files.write(dir.resolve(f"batch_$fileSeq%04d.json"),
+    val p = Files.write(dir.resolve(f"batch_$fileSeq%04d.json"),
       lines.mkString("\n").getBytes("UTF-8"))
+    Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L + fileSeq * 10000L))
   }
 
   private def fileStream(dir: Path): DataFrame =
