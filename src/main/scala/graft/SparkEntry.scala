@@ -298,6 +298,13 @@ object SparkEntry {
       Dedup.nearDupComponents(docs, "doc_id", pairs)
         .orderBy("doc_id")
     }),
+    // ----- training-sequence packing: concat-and-cut layout per source
+    // shard, budget 1024 tokens — which docs land in which pretraining
+    // sequence, deterministically
+    "q_packed_sequences" -> ((s, dir) =>
+      Scale.packSequences(Tables.documents(s, dir), "source", "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget = 1024)
+        .orderBy("doc_id")),
     // ----- Gopher-style token-repetition quality signals
     "q_token_repetition" -> ((s, dir) =>
       TextAnalysis.tokenRepetition(Tables.documents(s, dir), "doc_id", "text")
@@ -975,6 +982,24 @@ object SparkEntry {
     // contributing nothing to any distance.
     "q_simhash_neardup" -> simhashOracleSql(3),
     "q_simhash_neardup_wide" -> simhashOracleSql(5, "WHERE doc_id % 4 = 0"),
+    // exclusive prefix sum per source shard; floor-division on doubles
+    // mirrors the Spark expressions term-for-term (token streams are
+    // far below 2^53, so the double path is exact in both engines)
+    "q_packed_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+              FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+                      CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                        - n_tokens AS start_tok
+               FROM t)
+         SELECT doc_id, source, n_tokens, start_tok,
+                CAST(floor(start_tok / 1024.0) AS BIGINT) AS seq_id,
+                start_tok % 1024 AS seq_offset,
+                CAST(floor((start_tok + n_tokens - 1) / 1024.0) AS BIGINT)
+                  - CAST(floor(start_tok / 1024.0) AS BIGINT) + 1 AS n_seqs
+         FROM c ORDER BY doc_id""",
     "q_token_repetition" ->
       (tokenRepetitionCtes +
         """ SELECT doc_id, n_tokens, n_distinct_tokens,

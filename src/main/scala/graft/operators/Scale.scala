@@ -122,6 +122,44 @@ object Scale {
       "left_semi")
   }
 
+  /** Training-sequence packing assignment — the "concatenate and cut
+    * every `budget` tokens" step that turns a curated corpus into
+    * fixed-length pretraining rows. Within each `partitionCol` shard,
+    * docs are laid out in `idCol` order and the token stream is cut at
+    * multiples of `budget`; each doc gets its global layout position:
+    *   - `start_tok`: the doc's first token's offset in the shard
+    *     stream (an exclusive prefix sum),
+    *   - `seq_id` / `seq_offset`: which training sequence the doc
+    *     starts in, and where,
+    *   - `n_seqs`: how many sequences the doc spans (boundary docs
+    *     straddle two or more).
+    * Deterministic: same corpus + same budget ⇒ identical layout, the
+    * property that makes a data recipe auditable and resumable.
+    *
+    * Scale shape: one window aggregation partitioned by the shard
+    * column — state is a single running sum per shard, and the shuffle
+    * is the partitionBy hash. The sort-by-id inside each shard is the
+    * cost of ORDERED packing (inherent to the semantics, not the
+    * implementation); a shard too large for one task should be
+    * sub-sharded upstream (e.g. by doc_id range) exactly as a real
+    * packer does. */
+  def packSequences(df: DataFrame, partitionCol: String, idCol: String,
+      tokenCount: Column, budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partitionCol)).orderBy(col(idCol))
+    df.select(col(idCol), col(partitionCol),
+        tokenCount.cast("long").as("n_tokens"))
+      .withColumn("start_tok",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_id",
+        floor(col("start_tok") / lit(budget.toDouble)).cast("long"))
+      .withColumn("seq_offset", pmod(col("start_tok"), lit(budget.toLong)))
+      .withColumn("n_seqs",
+        floor((col("start_tok") + col("n_tokens") - 1) / lit(budget.toDouble))
+          .cast("long") - col("seq_id") + lit(1L))
+  }
+
   /** Sketch-based corpus statistics — the 100 TB form of the exact
     * `q_corpus_stats` aggregation. Exact `percentile` buffers every
     * value of a group on the final reducer (memory ∝ group size — fine

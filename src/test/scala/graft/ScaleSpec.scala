@@ -101,6 +101,29 @@ class ScaleSpec extends SparkSpec {
     assert(out === Seq(1L, 2L, 4L, 5L))
   }
 
+  test("packSequences: exclusive prefix layout, boundary docs span sequences") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "s1", words(4)),  // start 0,  seq 0, off 0, spans 1
+      (2L, "s1", words(5)),  // start 4,  seq 0, off 4, spans 1
+      (3L, "s1", words(3)),  // start 9,  seq 0, off 9, spans 2 (cut at 10)
+      (4L, "s1", words(9)),  // start 12, seq 1, off 2, spans 2 (ends tok 21)
+      (5L, "s2", words(12))) // own shard: start 0, seq 0, off 0, spans 2
+      .toDF("doc_id", "source", "text")
+    val out = Scale.packSequences(docs, "source", "doc_id",
+        graft.functions.TextAnalysis.tokenCount(col("text")), budget = 10)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))).toMap
+    // (n_tokens, start_tok, seq_id, seq_offset, n_seqs)
+    assert(out === Map(
+      1L -> ((4L, 0L, 0L, 0L, 1L)),
+      2L -> ((5L, 4L, 0L, 4L, 1L)),
+      3L -> ((3L, 9L, 0L, 9L, 2L)),
+      4L -> ((9L, 12L, 1L, 2L, 2L)),
+      5L -> ((12L, 0L, 0L, 0L, 2L))))
+  }
+
   test("winsorize: approx sketch path tracks the exact path within tolerance") {
     val ev = Tables.events(spark, sf)
     val exact = Scale.winsorize(ev, "event_type", "value", 0.95,
