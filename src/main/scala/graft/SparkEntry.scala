@@ -339,6 +339,26 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     }),
+    // ----- corpus-internal duplicated n-grams (cross-doc boilerplate)
+    // the top-100 most-document-frequent 3-gram shingles: the license-
+    // header/template detector, and the empirical input for setting
+    // `shingleDfCap`
+    "q_dup_ngrams" -> ((s, dir) =>
+      Dedup.duplicatedNgrams(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, minDf = 2, k = 100)),
+    // per-doc cross-doc-shared shingle fraction (the across-corpus
+    // complement of q_token_repetition's within-doc signals)
+    "q_dup_ngram_stats" -> ((s, dir) =>
+      Dedup.dupNgramStats(Tables.documents(s, dir), "doc_id", "text", n = 3)
+        .orderBy("doc_id")),
+    // the boilerplate gate: fixture dup_ngram_frac spread is wide (many
+    // docs share generator phrasing), cut at 0.8 — an IEEE double
+    // division of small ints, bit-identical across engines
+    "q_low_dupngrams" -> ((s, dir) =>
+      Dedup.dropDupNgramHeavy(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, maxFrac = 0.8)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
     // portable sha-based token hash so the whole pipeline has a DuckDB
     // oracle (brute-force Hamming); xxhash64 is the scale default and is
     // spec'd equivalent-shape in DedupSpec
@@ -1013,6 +1033,23 @@ object SparkEntry {
                   AND CAST(tc AS DOUBLE) / n_tokens <= 0.12)
          SELECT d.doc_id, d.lang, d.source FROM documents d
          JOIN kept USING (doc_id) ORDER BY doc_id"""),
+    "q_dup_ngrams" ->
+      (dupNgramCtes +
+        """ SELECT s, df FROM dfq ORDER BY df DESC, s ASC LIMIT 100"""),
+    "q_dup_ngram_stats" ->
+      (dupNgramCtes +
+        """ SELECT z.doc_id, CAST(z.n AS INTEGER) AS n_shingles,
+                COALESCE(u.c, 0) AS dup_shingles,
+                CAST(COALESCE(u.c, 0) AS DOUBLE) / z.n AS dup_ngram_frac
+         FROM nz z LEFT JOIN dup u USING (doc_id) ORDER BY doc_id"""),
+    "q_low_dupngrams" ->
+      (dupNgramCtes +
+        """, flagged AS (SELECT z.doc_id
+                 FROM nz z LEFT JOIN dup u USING (doc_id)
+                 WHERE CAST(COALESCE(u.c, 0) AS DOUBLE) / z.n > 0.8)
+         SELECT d.doc_id, d.lang, d.source FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM flagged)
+         ORDER BY doc_id"""),
     "q_contamination" ->
       (contaminationCtes +
         """ SELECT z.doc_id, CAST(z.n AS INTEGER) AS n_shingles,
@@ -1168,6 +1205,24 @@ object SparkEntry {
                 WHERE doc_id % 20 = 0 AND len(sh) > 0),
          shared AS (SELECT doc_id, count(*) AS c FROM ds JOIN ps USING (s)
                     GROUP BY doc_id)"""
+
+  /** Shared CTE prefix for the duplicated-n-gram oracles: corpus 3-gram
+    * sets (`nz`), exploded postings (`ds`), shingles with df ≥ 2
+    * (`dfq`), per-doc duplicated-shingle counts (`dup`). Mirrors
+    * `Dedup.dupNgramStats`; the Spark side joins on xxhash64(shingle)
+    * (collisions negligible and only ever merge shingles), the oracle
+    * on raw strings. */
+  private val dupNgramCtes: String =
+      """WITH tok AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN []
+                  ELSE list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                    i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')) END) AS sh
+              FROM documents),
+         nz AS (SELECT doc_id, sh, len(sh) AS n FROM tok WHERE len(sh) > 0),
+         ds AS (SELECT doc_id, unnest(sh) AS s FROM nz),
+         dfq AS (SELECT s, count(*) AS df FROM ds GROUP BY s HAVING count(*) >= 2),
+         dup AS (SELECT d.doc_id, count(*) AS c
+                 FROM ds d JOIN dfq USING (s) GROUP BY d.doc_id)"""
 
   /** Capped-df Jaccard oracle: mirrors `Dedup.jaccardNearDupPairs` with
     * `maxShingleDf` — shingles above the cap are dropped BEFORE set

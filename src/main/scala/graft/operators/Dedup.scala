@@ -259,6 +259,94 @@ object Dedup {
     docs.join(flagged, Seq(idCol), "left_anti")
   }
 
+  // ------------------------------------------------------------------
+  // Corpus-internal duplicated n-grams (Gopher-style dup_ngram_frac)
+  // ------------------------------------------------------------------
+
+  /** Corpus-wide duplicated-shingle report: the `k` word n-grams that
+    * appear in the most documents (document frequency ≥ `minDf` ≥ 2),
+    * ordered by (df desc, shingle asc). This is the boilerplate
+    * detector a curation pipeline runs to find license headers,
+    * templated navigation, and generator artifacts — the text whose df²
+    * terms also dominate the Jaccard join cost (see `jaccardNearDupPairs`'
+    * `maxShingleDf`).
+    *
+    * Scale shape: per-doc DISTINCT shingles explode to (shingle) rows,
+    * df is a partial→final HashAggregate bounded by per-partition
+    * shingle vocabulary, and the top-k plans as TakeOrderedAndProject —
+    * each partition ships only its local top-k. Shingles stay raw
+    * strings here because they ARE the output; the per-doc fraction
+    * below hashes them instead. */
+  def duplicatedNgrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Int, k: Int): DataFrame = {
+    require(minDf >= 2, s"a shingle is 'duplicated' only with df >= 2, got $minDf")
+    docs.select(col(idCol).as("id"),
+        explode(graft.expressions.ShingleExpressions
+          .distinctWordNgrams(col(textCol), n)).as("s"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("s").asc)
+      .limit(k)
+  }
+
+  /** Per-doc duplicated-n-gram stats — the Gopher repetition-rule family
+    * applied ACROSS documents (Rae et al. §A1.1 measure within-doc
+    * repetition; this measures how much of a document is text the rest
+    * of the corpus also contains):
+    *   - `n_shingles`: the doc's distinct word n-grams,
+    *   - `dup_shingles`: how many of those appear in ≥ 2 docs,
+    *   - `dup_ngram_frac` = dup/total ∈ [0,1] — near 1 means the doc is
+    *     assembled almost entirely from corpus-shared text (boilerplate,
+    *     aggregator pages) even when no single pair passes a Jaccard
+    *     threshold.
+    *
+    * Scale shape: one shingle scan feeds both the df aggregation and the
+    * postings (the `repartition(id)` materialization barrier — same
+    * idiom as `jaccardNearDupPairs`, ReuseExchange reads it twice
+    * instead of re-evaluating the HOF per consumer). Shingles shuffle as
+    * xxhash64 longs, never strings (collisions can only merge two
+    * different shingles, P ≈ m²/2⁶⁵ — the same documented trade as the
+    * Jaccard index). The duplicated-shingle set joins back as a plain
+    * shuffle join on the 8-byte key: unlike `ngramContamination`'s probe
+    * set it is corpus-sized, so NO broadcast. Docs with zero shingles
+    * are omitted, like the rest of the family. */
+  def dupNgramStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sets = docs.select(
+        col(idCol).as("id"),
+        graft.expressions.ShingleExpressions
+          .distinctWordNgrams(col(textCol), n).as("sh"))
+      .repartition(col("id"))
+      .filter(size(col("sh")) > 0)
+    val postings = sets.select(col("id"),
+        explode(col("sh")).as("s0"))
+      .select(col("id"), xxhash64(col("s0")).as("s"))
+    val dup = postings.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select("s")
+    val counts = postings.join(dup, Seq("s"), "left_semi")
+      .groupBy("id")
+      .agg(count(lit(1)).as("dup_shingles"))
+    sets.select(col("id"), size(col("sh")).as("n_shingles"))
+      .join(counts, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_shingles"),
+        coalesce(col("dup_shingles"), lit(0L)).as("dup_shingles"),
+        (coalesce(col("dup_shingles"), lit(0L)).cast("double") /
+          col("n_shingles")).as("dup_ngram_frac"))
+  }
+
+  /** Corpus after the cross-doc boilerplate gate: drop docs whose
+    * `dup_ngram_frac` EXCEEDS `maxFrac`. Shingle-free docs have no
+    * shared text by construction and are kept. */
+  def dropDupNgramHeavy(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxFrac: Double): DataFrame = {
+    val flagged = dupNgramStats(docs, idCol, textCol, n)
+      .filter(col("dup_ngram_frac") > maxFrac)
+      .select(col(idCol))
+    docs.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Corpus after near-dup removal: drop every doc that is the larger id
     * of some near-dup pair (keep-smallest policy, transitive enough for
     * reporting; `nearDupComponents` is the principled alternative when

@@ -143,6 +143,49 @@ class DedupSpec extends SparkSpec {
     assert(strict === Seq(3L, 4L))
   }
 
+  test("duplicatedNgrams reports cross-doc shingles by df, desc") {
+    // "a b c" in docs 1,2,3; "b c d" in docs 1,2; everything else df=1
+    val d = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d"),
+      (3L, "z a b c"),
+      (4L, "p q r s")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedNgrams(d, "doc_id", "text", n = 3, minDf = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out === Array(("a b c", 3L), ("b c d", 2L)))
+  }
+
+  test("dupNgramStats: per-doc shared-shingle fraction, shingle-free docs omitted") {
+    val d = Seq(
+      (1L, "a b c d"),   // shingles {a b c, b c d} — both duplicated
+      (2L, "a b c d"),   // identical
+      (3L, "z a b c"),   // {z a b, a b c} — one duplicated
+      (4L, "p q r s"),   // {p q r, q r s} — none duplicated
+      (5L, "only two")). // no 3-grams — omitted
+      toDF("doc_id", "text")
+    val out = Dedup.dupNgramStats(d, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out === Map(
+      1L -> ((2, 2L, 1.0)),
+      2L -> ((2, 2L, 1.0)),
+      3L -> ((2, 1L, 0.5)),
+      4L -> ((2, 0L, 0.0))))
+  }
+
+  test("dropDupNgramHeavy keeps low-boilerplate and shingle-free docs") {
+    val d = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d"),
+      (3L, "z a b c"),
+      (4L, "p q r s"),
+      (5L, "only two")).toDF("doc_id", "text")
+    val kept = Dedup.dropDupNgramHeavy(d, "doc_id", "text", n = 3, maxFrac = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Seq(3L, 4L, 5L)) // 1,2 fully duplicated; 3 at exactly 0.5 kept
+  }
+
   test("simhashNearDupPairs: exact dups at distance 0, all pairs symmetric-free") {
     val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
