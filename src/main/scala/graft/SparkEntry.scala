@@ -528,6 +528,21 @@ object SparkEntry {
     // vocabulary head: top-50 corpus terms by frequency
     "q_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(Tables.documents(s, dir), "text", 50)),
+    // temperature rebalancing (α=0.5): per-source survival rates — the
+    // mixture recipe derived FROM the data, vs q_stratified_sample's
+    // hand-set rates. c=5 puts every fixture source mid-range (n≈100 at
+    // sf0.01 → rate≈0.5) so the cut is non-trivial at every SF
+    "q_mixture_rates" -> ((s, dir) =>
+      Scale.headCapRates(Tables.documents(s, dir), "source", c = 5.0)
+        .orderBy("source")),
+    // the rebalanced corpus: scan-local filter against broadcast
+    // thresholds; sqrt/div/floor are all correctly-rounded IEEE ops, so
+    // thresholds are bit-identical to the oracle's
+    "q_head_cap_sample" -> ((s, dir) =>
+      Scale.headCapSample(Tables.documents(s, dir), "source", "doc_id",
+          c = 5.0)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
     // domain-cap curation: at most 10 docs per source, smallest ids —
     // quota via the map-side-combining TopKAggregator; oracle is the
     // row_number window formulation
@@ -930,6 +945,19 @@ object SparkEntry {
                  WHEN 'view' THEN event_id % 10 < 1
                  ELSE event_id % 20 < 1 END
          ORDER BY event_id""",
+    "q_mixture_rates" ->
+      """SELECT source, count(*) AS n_docs,
+                least(1.0, 5.0 / sqrt(count(*))) AS rate
+         FROM documents GROUP BY source ORDER BY source""",
+    "q_head_cap_sample" ->
+      """WITH t AS (SELECT source,
+                CAST(floor(least(1.0, 5.0 / sqrt(count(*))) * 1000000) AS BIGINT)
+                  AS thresh
+              FROM documents GROUP BY source)
+         SELECT d.doc_id, d.lang, d.source
+         FROM documents d JOIN t ON d.source = t.source
+         WHERE d.doc_id % 1000000 < t.thresh
+         ORDER BY d.doc_id""",
     "q_top_terms" ->
       """SELECT term, n FROM (
            SELECT term, count(*) AS n FROM (

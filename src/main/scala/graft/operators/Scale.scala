@@ -54,6 +54,47 @@ object Scale {
     df.filter(pmod(xxhash64(col(idCol)), lit(den)) < lit(num))
   }
 
+  /** Per-group head-cap sampling rates — temperature rebalancing at
+    * α = 0.5: `rate(g) = min(1, c / sqrt(n_g))`, so a group's EXPECTED
+    * surviving count is `min(n_g, c·sqrt(n_g))` — head domains (the
+    * crawl dump with 10⁹ docs) are damped toward sqrt growth while tail
+    * domains (the curated book corpus) survive intact. This is the
+    * standard mixture-flattening step before training (multilingual /
+    * multi-source corpora are sampled at `n^α`, α ∈ [0.2, 0.7]).
+    *
+    * α is FIXED at 0.5 deliberately: sqrt and division are correctly
+    * rounded under IEEE 754 in every engine, so the rates — and the
+    * thresholds `headCapSample` derives from them — are bit-identical
+    * in Spark and DuckDB, which makes the whole pipeline oracle-exact.
+    * A general `pow(n, α)` is NOT correctly rounded across libms; an
+    * engine-portable general-α variant would need a rational
+    * approximation and buys nothing the 0.5 family doesn't for
+    * rebalancing. Output: (group, n_docs, rate). */
+  def headCapRates(df: DataFrame, groupCol: String, c: Double): DataFrame = {
+    require(c > 0, s"need a positive rate scale, got $c")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("rate", least(lit(1.0), lit(c) / sqrt(col("n_docs"))))
+  }
+
+  /** Deterministic head-cap sample: keep a row iff
+    * `id % den < floor(rate(group) · den)`. Same dense-id uniform
+    * variate as [[modSample]] (swap in xxhash64 for sparse/clustered
+    * ids, at the cost of the DuckDB oracle). The rates frame is
+    * group-cardinality-sized — broadcast, so the data pass is one
+    * scan-local filter with no shuffle; NULL groups match null-safely
+    * and are capped like any other group (the groupQuota lesson). */
+  def headCapSample(df: DataFrame, groupCol: String, idCol: String,
+      c: Double, den: Int = 1000000): DataFrame = {
+    require(den > 0)
+    val thresh = headCapRates(df, groupCol, c)
+      .select(col(groupCol).as("__g"),
+        floor(col("rate") * den).as("__thresh"))
+    df.join(broadcast(thresh), col(groupCol) <=> col("__g"))
+      .filter(pmod(col(idCol), lit(den)) < col("__thresh"))
+      .drop("__g", "__thresh")
+  }
+
   /** Winsorization: clip `valCol` at its group's `p`-quantile — outlier
     * damping before averaging. `exact = true` computes the interpolated
     * exact percentile (DuckDB `quantile_cont` parity — the

@@ -56,6 +56,35 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), "stratified sample must not shuffle")
   }
 
+  test("headCapRates: rate = min(1, c/sqrt(n)) per group") {
+    // 100 rows of "big", 4 of "small", 2 with NULL group
+    val rows = (0L until 100L).map(i => (i, "big")) ++
+      (100L until 104L).map(i => (i, "small")) ++
+      Seq((104L, null: String), (105L, null: String))
+    val df = rows.toDF("id", "g")
+    val rates = Scale.headCapRates(df, "g", c = 5.0)
+      .collect().map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rates(Some("big")) === ((100L, 0.5)))     // 5/sqrt(100)
+    assert(rates(Some("small")) === ((4L, 1.0)))      // capped at 1
+    assert(rates(None) === ((2L, 1.0)))               // NULL group counted too
+  }
+
+  test("headCapSample: head group damped by threshold, tail and NULL groups intact") {
+    val rows = (0L until 100L).map(i => (i, "big")) ++
+      (100L until 104L).map(i => (i, "small")) ++
+      Seq((104L, null: String), (105L, null: String))
+    val df = rows.toDF("id", "g")
+    val kept = Scale.headCapSample(df, "g", "id", c = 5.0, den = 100)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    val (big, rest) = kept.partition(_._2.contains("big"))
+    // rate(big)=0.5, den=100 → keep ids with id%100 < 50 → exactly 0..49
+    assert(big.map(_._1).sorted === (0L until 50L).toArray)
+    // rate 1.0 → thresholds = den → everything survives, incl. NULL group
+    assert(rest.map(_._1).sorted === (100L to 105L).toArray)
+    // output schema unchanged (helper columns dropped)
+    assert(Scale.headCapSample(df, "g", "id", c = 5.0).columns === df.columns)
+  }
+
   test("groupQuota keeps the k smallest ids per group, full rows intact") {
     val df = Seq(
       (1L, "a", "x1"), (2L, "a", "x2"), (3L, "a", "x3"),
