@@ -528,6 +528,15 @@ object SparkEntry {
     // vocabulary head: top-50 corpus terms by frequency
     "q_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(Tables.documents(s, dir), "text", 50)),
+    // per-doc keyword extraction: top-5 terms by tf·idf with the
+    // rational RSJ idf (log-free → bit-identical scores in both
+    // engines → the rank CUT is oracle-exact, not tolerance-fuzzy);
+    // top-k via the string-payload TopKAggregator, oracle is the
+    // row_number window formulation
+    "q_tfidf_keywords" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), "doc_id",
+          "text", k = 5)
+        .orderBy("doc_id", "rank")),
     // temperature rebalancing (α=0.5): per-source survival rates — the
     // mixture recipe derived FROM the data, vs q_stratified_sample's
     // hand-set rates. c=5 puts every fixture source mid-range (n≈100 at
@@ -958,6 +967,26 @@ object SparkEntry {
          FROM documents d JOIN t ON d.source = t.source
          WHERE d.doc_id % 1000000 < t.thresh
          ORDER BY d.doc_id""",
+    "q_tfidf_keywords" ->
+      """WITH toks AS (
+           SELECT doc_id, term FROM (
+             SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             FROM documents) t
+           WHERE length(term) > 0),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+                  tf.tf * ((n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    AS score
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+         SELECT doc_id, rank, term, score FROM (
+           SELECT doc_id, term, score,
+                  CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term) AS INT) AS rank
+           FROM scored) r
+         WHERE rank <= 5 ORDER BY doc_id, rank""",
     "q_top_terms" ->
       """SELECT term, n FROM (
            SELECT term, count(*) AS n FROM (

@@ -292,4 +292,63 @@ object TextAnalysis {
       .select(col(idCol))
     df.join(kept, Seq(idCol), "left_semi")
   }
+
+  /** Per-document top-`k` keyword extraction by tf-idf — the "what is
+    * this document about" signal a curation pipeline uses for topic
+    * balancing and near-boilerplate detection.
+    *
+    * The idf is the Robertson–Sparck-Jones odds WITHOUT the log:
+    * `idf(t) = (N − df(t) + 0.5) / (df(t) + 0.5)`, score = tf · idf.
+    * Dropping the log is deliberate, for the same reason `headCapRates`
+    * pins α at 0.5: subtraction, addition, and division are correctly
+    * rounded under IEEE 754 in every engine, while `ln` is libm-
+    * dependent (HotSpot intrinsic vs glibc) — with the rational form
+    * the scores, and therefore the top-k CUT, are bit-identical in
+    * Spark and DuckDB, making the ranking oracle-exact instead of
+    * tolerance-fuzzy at rank boundaries. log is monotone, so the only
+    * semantic difference vs classic tf·ln(idf) is how tf trades
+    * against df across terms; corpus-frequent terms (df > N/2) go
+    * negative and sink, exactly as RSJ intends.
+    *
+    * Shape at 100 TB: tf = one explode + partial-combined count on
+    * (doc, term); df is derived FROM the tf frame (already one row per
+    * distinct (doc, term)) so the corpus is tokenized once — the tf
+    * frame is localCheckpoint'ed because it feeds BOTH join sides, and
+    * without the materialization barrier Catalyst re-evaluates the
+    * whole explode+aggregate subplan per consumer (the components-
+    * query lesson; a cluster deployment would persist(DISK_ONLY) the
+    * same frame); N rides in
+    * as a broadcast 1-row frame (no driver action); the tf⋈df join
+    * shuffles vocabulary-bounded rows; the top-k cut is the map-side-
+    * combining string-payload TopKAggregator — ≤ k rows per doc per
+    * partition enter the final shuffle, no window sort. tf/df are NOT
+    * re-joined onto the survivors: that would evaluate the tf subplan
+    * a second time (the exact cost-duplication the components query
+    * was dinged for) for two columns the score already encodes.
+    * Output: (doc_id, rank, term, score) — ties on score break by
+    * byte-wise-smaller term, matching the row_number oracle. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tf = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .join(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * ((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+    graft.functions.TopKAggregator.topKTermsPerGroup(
+      scored.select(col("doc_id"), col("score"), col("term"))
+        .as[(Long, Double, String)], k)
+      .select(col("key").as("doc_id"), col("rank"), col("term"),
+        col("score"))
+  }
 }

@@ -60,6 +60,81 @@ object TopKAggregator {
     }
   }
 
+  type ScoredTerm = (Double, String) // (score, term)
+
+  /** Buffer for the string-payload variant — same bounded sorted-array
+    * shape as [[TopKBuffer]]. */
+  final case class TopKTermBuffer(entries: Seq[ScoredTerm])
+
+  /** Tie-break for string payloads compares UTF-8 BYTES, not Java
+    * `String.compareTo` (UTF-16 code units): Spark's own UTF8String
+    * ordering and DuckDB's VARCHAR ordering are both binary byte-wise,
+    * and the two diverge from UTF-16 ordering for supplementary-plane
+    * text — byte comparison keeps the aggregator's tie-break identical
+    * to the `ORDER BY score DESC, term ASC` oracle in every engine. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(ab.length, bb.length)
+    while (i < n) {
+      val cmp = (ab(i) & 0xff) - (bb(i) & 0xff)
+      if (cmp != 0) return cmp < 0
+      i += 1
+    }
+    ab.length < bb.length
+  }
+
+  private def betterTerm(a: ScoredTerm, b: ScoredTerm): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && utf8Less(a._2, b._2))
+
+  private def insertTerm(entries: Seq[ScoredTerm], e: ScoredTerm, k: Int): Seq[ScoredTerm] = {
+    if (entries.size >= k && betterTerm(entries.last, e)) entries
+    else {
+      val (front, back) = entries.span(betterTerm(_, e))
+      (front ++ (e +: back)).take(k)
+    }
+  }
+
+  /** String-payload twin of [[topK]] — the second Aggregator
+    * instantiation the composite-key review item anticipated: the
+    * payload kept per group is a term, not a long id (tf-idf keyword
+    * extraction, label top-k). Same bounded-buffer merge shape. */
+  def topKTerms(k: Int): Aggregator[ScoredTerm, TopKTermBuffer, Seq[ScoredTerm]] = {
+    require(k >= 1)
+    new Aggregator[ScoredTerm, TopKTermBuffer, Seq[ScoredTerm]] {
+      override def zero: TopKTermBuffer = TopKTermBuffer(Vector.empty)
+
+      override def reduce(b: TopKTermBuffer, a: ScoredTerm): TopKTermBuffer =
+        TopKTermBuffer(insertTerm(b.entries, a, k))
+
+      override def merge(b1: TopKTermBuffer, b2: TopKTermBuffer): TopKTermBuffer =
+        TopKTermBuffer(b2.entries.foldLeft(b1.entries)((acc, e) => insertTerm(acc, e, k)))
+
+      override def finish(r: TopKTermBuffer): Seq[ScoredTerm] = r.entries
+
+      override def bufferEncoder: Encoder[TopKTermBuffer] = ExpressionEncoder()
+      override def outputEncoder: Encoder[Seq[ScoredTerm]] = ExpressionEncoder()
+    }
+  }
+
+  /** Per-group top-k over (key, score, term) rows — the string-payload
+    * epilogue. Output columns: (key, rank int 1-based, score, term),
+    * ties on score broken by byte-wise-smaller term, identical to the
+    * `row_number() OVER (ORDER BY score DESC, term)` window reference. */
+  def topKTermsPerGroup[K](ds: Dataset[(K, Double, String)], k: Int)(
+      implicit ke: Encoder[K]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(topKTerms(k).toColumn.name("topk"))
+      .toDF("key", "topk")
+      .select(col("key"), posexplode(col("topk")))
+      .select(col("key"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").as("score"), col("col._2").as("term"))
+  }
+
   /** Shared top-k-per-group epilogue over (key, score, id) rows —
     * THE scale-safe replacement for `row_number() OVER (PARTITION BY
     * key ORDER BY score DESC, id)` + `rank <= k`: each input partition

@@ -64,7 +64,8 @@ class PlanShapeSpec extends SparkSpec {
     // the exact brute-force path would otherwise shuffle EVERY corpus
     // row of a query into one window partition; the TopKAggregator
     // epilogue shuffles ≤ k rows per query per input partition
-    for (q <- Seq("q_embedding_topk", "q_ann_lsh_topk", "q_ivf_topk")) {
+    for (q <- Seq("q_embedding_topk", "q_ann_lsh_topk", "q_ivf_topk",
+        "q_tfidf_keywords")) {
       val p = plan(q)
       assert(!p.contains("Window"), s"$q epilogue still plans a Window")
       assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),

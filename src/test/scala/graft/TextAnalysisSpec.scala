@@ -161,4 +161,58 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(kept2 === Seq(2L, 3L, 4L))
   }
+
+  test("tfIdfTopTerms: hand-computed RSJ scores, rare terms outrank common") {
+    // N=3; df: apple=1 date=1 → idf 2.5/1.5; banana=2 cherry=2 → idf 1.5/2.5
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry date date date")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val rare = 2.5 / 1.5  // (3-1+0.5)/(1+0.5)
+    val common = 1.5 / 2.5
+    assert(out === Seq(
+      (1L, 1, "apple", 2 * rare), (1L, 2, "banana", common),
+      // doc 2: banana and cherry tie exactly (same tf, df) → term asc
+      (2L, 1, "banana", common), (2L, 2, "cherry", common),
+      (3L, 1, "date", 3 * rare), (3L, 2, "cherry", common)))
+  }
+
+  test("tfIdfTopTerms ≡ row_number window formulation on the fixture corpus") {
+    val docs = Tables.documents(spark, sf)
+    val agg = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 3)
+    // independent window reference over the same scored frame
+    val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.count().toDouble
+    val scored = tf.join(dfreq, "term").withColumn("score",
+      col("tf") * ((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    val ref = scored
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "score")
+    assert(agg.exceptAll(ref).isEmpty && ref.exceptAll(agg).isEmpty)
+  }
+
+  test("topKTermsPerGroup ties break on UTF-8 bytes, not UTF-16 code units") {
+    // U+FF61 (EF BD A1 in UTF-8, code unit FF61) vs U+10000 (F0 90 80 80,
+    // surrogates D800 DC00): byte order says FF61 first, Java compareTo
+    // says the opposite — Spark/DuckDB sort bytes, so bytes must win
+    val halfwidthStop = "｡"
+    val linearB = new String(Character.toChars(0x10000))
+    val ds = Seq((1L, 1.0, linearB), (1L, 1.0, halfwidthStop), (1L, 1.0, "z"))
+      .toDS()
+    val got = graft.functions.TopKAggregator.topKTermsPerGroup(ds, k = 3)
+      .orderBy("rank").collect().map(_.getString(3)).toSeq
+    assert(halfwidthStop.compareTo(linearB) > 0, "sanity: UTF-16 disagrees")
+    assert(got === Seq("z", halfwidthStop, linearB))
+  }
 }
