@@ -265,8 +265,18 @@ object TextAnalysis {
     *
     * Blank/empty docs follow the tokens("") == [""] quirk: one empty
     * token, so every doc is reported. */
-  def tokenRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def tokenRepetition(df: DataFrame, idCol: String, textCol: String,
+      hashTokens: Boolean = false): DataFrame =
     df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+      // hashTokens is the 100 TB switch: every downstream aggregate
+      // consumes only per-(doc, token) COUNTS, never the token text, so
+      // the (doc, token) shuffle key can be an 8-byte xxhash64 digest
+      // instead of a raw string — same shape the Jaccard family uses.
+      // Exact modulo 64-bit collisions WITHIN one document's tokens
+      // (~n²/2⁶⁵ per doc); the raw-string default stays oracle-exact
+      // and the spec pins hashed ≡ exact on the fixture corpus.
+      .select(col("id"),
+        (if (hashTokens) xxhash64(col("t")) else col("t")).as("t"))
       .groupBy("id", "t")
       .agg(count(lit(1)).as("c"))
       .groupBy("id")

@@ -162,6 +162,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept2 === Seq(2L, 3L, 4L))
   }
 
+  test("tokenRepetition hashed ≡ exact on the fixture corpus") {
+    val docs = Tables.documents(spark, sf)
+    val exact = TextAnalysis.tokenRepetition(docs, "doc_id", "text")
+    val hashed = TextAnalysis.tokenRepetition(docs, "doc_id", "text",
+      hashTokens = true)
+    assert(exact.exceptAll(hashed).isEmpty && hashed.exceptAll(exact).isEmpty)
+  }
+
   test("tfIdfTopTerms: hand-computed RSJ scores, rare terms outrank common") {
     // N=3; df: apple=1 date=1 → idf 2.5/1.5; banana=2 cherry=2 → idf 1.5/2.5
     val docs = Seq(
