@@ -308,6 +308,70 @@ object Multimodal {
     }.toDF("asset_id", "frame_idx", "frame_bytes", "frame_len")
   }
 
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * perceptual fingerprint for near-duplicate IMAGE detection (crawl
+    * dedup cares about re-encodes, recompressions, and brightness/
+    * contrast tweaks of the same picture, which byte checksums miss):
+    * downscale to 9×8, then bit i = [lum(x,y) > lum(x+1,y)] over the 8
+    * horizontal gradients of each row. Gradient SIGNS survive uniform
+    * brightness shifts and mild recompression, so perceptual variants
+    * land within a few Hamming bits while unrelated images are ~32
+    * bits apart (random). Deterministic: bilinear resize + integer
+    * luminance over sRGB ints, same bytes → same hash on every
+    * executor. */
+  def dHash64(img: BufferedImage): Long = {
+    val small = ImageCodec.resize(img, 9, 8)
+    def lum(argb: Int): Int =
+      (((argb >> 16) & 0xff) + ((argb >> 8) & 0xff) + (argb & 0xff)) / 3
+    var bits = 0L
+    var i = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lum(small.getRGB(x, y)) > lum(small.getRGB(x + 1, y)))
+          bits |= 1L << i
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** (asset_id, dHash) for every DECODABLE image asset — one
+    * mapPartitions pass on the scan partitions (codec init once per
+    * partition, payloads never shuffle); non-images and undecodable
+    * payloads drop out here, so the downstream join sees only real
+    * signatures. Output: (id, sig) — the (id, 64-bit signature) shape
+    * the SimHash banding join consumes. */
+  def imageDHashes(assets: Dataset[MediaAsset]): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        if (a.mediaType != "image" || a.payload == null) Iterator.empty
+        else ImageCodec.decode(a.payload).iterator.map(bi => (a.assetId, dHash64(bi)))
+      }
+    }.toDF("id", "sig")
+  }
+
+  /** Near-duplicate image pairs: dHash signatures through the SAME
+    * pigeonhole banding join the text SimHash family uses
+    * (`Dedup.simhashPairsFromSigs`) — only 8-byte (id, sig) rows ever
+    * shuffle, image bytes stay on their scan partitions, and the band
+    * count auto-widens to keep recall complete for `maxDist`. Output:
+    * (id_a, id_b, hamming), id_a < id_b. */
+  def imageNearDupPairs(assets: Dataset[MediaAsset], maxDist: Int,
+      numBands: Int = 0): DataFrame = {
+    val bands = if (numBands > 0) numBands else math.max(4, maxDist + 1)
+    require(maxDist >= 0 && maxDist <= 31,
+      s"dHash banding supports maxDist in [0, 31], got $maxDist")
+    require(bands >= maxDist + 1 && bands <= 64,
+      s"$bands bands only guarantee recall for maxDist <= ${bands - 1}, " +
+        s"got maxDist = $maxDist")
+    Dedup.simhashPairsFromSigs(imageDHashes(assets), maxDist, bands)
+  }
+
   /** Deterministic synthetic asset table derived from the `documents`
     * fixture (no binary fixture ships with the driver): payload = UTF-8
     * bytes of the text, mediaType round-robins image/audio/video. Lets

@@ -171,4 +171,54 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(medias === Set("image", "audio", "video"))
   }
+
+  /** Striped horizontal gradient, values ≤ 196 so a +30 brightness
+    * shift neither clamps at 255 nor wraps — every horizontal gradient
+    * keeps its SIGN, which is the invariant dHash keys on. */
+  private def gradientImage(delta: Int): BufferedImage =
+    makeImage(64, 64) { (x, _) =>
+      val v = x * 2 + (if ((x / 8) % 2 == 0) 40 else 0) + delta
+      (v, v, v)
+    }
+
+  private def unrelatedImage: BufferedImage =
+    makeImage(64, 64) { (x, y) =>
+      val v = (x * 7 + y * 13) % 256; (255 - v, v, (v * 3) % 256)
+    }
+
+  test("dHash64: brightness shift is near-identical, different image is far") {
+    val base = gradientImage(0)
+    val brighter = gradientImage(30)
+    val other = unrelatedImage
+    def dist(a: BufferedImage, b: BufferedImage): Int =
+      java.lang.Long.bitCount(Multimodal.dHash64(a) ^ Multimodal.dHash64(b))
+    assert(dist(base, base) === 0)
+    assert(dist(base, brighter) <= 3, "brightness shift must stay near")
+    assert(dist(base, other) > 10, "unrelated image must be far")
+    // PNG-encode round-trip (lossless) preserves the hash exactly
+    val decoded = ImageCodec.decode(encode(base, "png")).get
+    assert(Multimodal.dHash64(decoded) === Multimodal.dHash64(base))
+  }
+
+  test("imageNearDupPairs finds perceptual variants via the banding join") {
+    // 1↔2 are perceptual variants (brightness shift); 3 is its own
+    // image; 4 is audio; 5 is garbage bytes — only (1,2) should pair
+    val base = gradientImage(0)
+    val brighter = gradientImage(30)
+    val other = unrelatedImage
+    val assets = Seq(
+      asset(1L, encode(base, "png")),
+      asset(2L, encode(brighter, "png")),
+      asset(3L, encode(other, "png")),
+      MediaAsset(4L, "audio", encode(base, "png"), 0, 0, 1000L),
+      asset(5L, Array[Byte](1, 2, 3))).toDS()
+    val pairs = Multimodal.imageNearDupPairs(assets, maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+    // signatures exist only for decodable images (4 is typed audio,
+    // 5 is undecodable)
+    val sigIds = Multimodal.imageDHashes(assets)
+      .collect().map(_.getLong(0)).toSet
+    assert(sigIds === Set(1L, 2L, 3L))
+  }
 }
