@@ -256,6 +256,17 @@ object SparkEntry {
             lit(" contact admin@example.com or https://data.example.org/x?id=1 end")))
             .as("scrubbed"))
         .orderBy("doc_id")),
+    // NFC + control-strip + space-collapse + trim; the appended suffix
+    // plants a decomposed e+U+0301, a control byte, a double space, and
+    // a kept tab on EVERY row so all four cleaning stages are exercised
+    // cross-engine (the fixture text alone is mostly already-clean)
+    "q_clean_text" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.cleanText(concat(col("text"),
+            lit(" cafe\u0301\u0001  spaced\tend ")))
+            .as("clean"))
+        .orderBy("doc_id")),
     // composed curation pipeline: exact-dedup ∘ quality gate ∘ lang gate
     // — the end-to-end shape a training-data recipe actually runs; each
     // stage reuses an already-oracle-checked operator
@@ -822,6 +833,17 @@ object SparkEntry {
                     'https?://[^\s]+', '<URL>', 'g'),
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
                   AS scrubbed
+         FROM documents ORDER BY doc_id""",
+    // nfc_normalize is DuckDB's utf8proc twin of the NfcNormalize
+    // expression; the regexes and trim are spelled identically on both
+    // sides (explicit byte ranges, not \p{Cc}, for dialect parity)
+    "q_clean_text" ->
+      """SELECT doc_id,
+                trim(regexp_replace(regexp_replace(
+                  nfc_normalize(text || ' cafe' || chr(769) || chr(1) ||
+                    '  spaced' || chr(9) || 'end '),
+                  '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+                  ' {2,}', ' ', 'g')) AS clean
          FROM documents ORDER BY doc_id""",
     // exact-dedup ∘ quality ∘ lang — CTEs reuse the q_dedup_exact /
     // q_text_quality / q_lang_id oracle formulations verbatim. The 0.7

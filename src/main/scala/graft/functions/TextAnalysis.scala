@@ -303,6 +303,30 @@ object TextAnalysis {
     df.join(kept, Seq(idCol), "left_semi")
   }
 
+  /** Unicode NFC canonical composition — see
+    * [[graft.expressions.NfcNormalize]] for the expression and its
+    * DuckDB `nfc_normalize` parity contract. */
+  def nfcNormalize(text: Column): Column =
+    graft.expressions.NfcNormalize.nfc(text)
+
+  /** Standard text-cleaning pass a curation pipeline runs before any
+    * byte-keyed operator (dedup digests, shingles, term counts):
+    *  1. NFC-normalize (canonical bytes for visually-equal text),
+    *  2. strip control characters EXCEPT tab/newline (explicit byte
+    *     ranges, not `\p{Cc}`, so the Java and RE2 dialects agree;
+    *     `\r` is stripped — CRLF becomes a bare newline),
+    *  3. collapse runs of 2+ spaces to one,
+    *  4. trim spaces.
+    * Built-in `regexp_replace`/`trim` around the codegen'd NFC
+    * expression — the whole pass stays inside one whole-stage-codegen
+    * projection, no shuffle. Oracle twin: DuckDB `nfc_normalize` +
+    * identical regexes. */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfcNormalize(text),
+        "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
+      " {2,}", " "))
+
   /** Per-document top-`k` keyword extraction by tf-idf — the "what is
     * this document about" signal a curation pipeline uses for topic
     * balancing and near-boilerplate detection.

@@ -162,6 +162,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept2 === Seq(2L, 3L, 4L))
   }
 
+  test("nfcNormalize composes decomposed text; fast paths avoid allocation") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val composed = "caf\u00e9"      // \u00e9 = composed e-acute
+    val decomposed = "cafe\u0301"         // e + combining acute
+    assert(composed != decomposed, "sanity: different code units")
+    val out = Seq(decomposed).toDF("t")
+      .select(TextAnalysis.nfcNormalize(col("t")).as("v"))
+      .collect().head.getString(0)
+    assert(out === composed)
+    // ASCII fast path: the SAME UTF8String comes back, no decode
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(graft.expressions.NfcNormalize.compute(ascii) eq ascii)
+    // already-NFC non-ASCII keeps its bytes too
+    val nfc = UTF8String.fromString(composed)
+    assert(graft.expressions.NfcNormalize.compute(nfc) eq nfc)
+    // null passes through the null-safe wrapper
+    val n = Seq((1, null: String)).toDF("i", "t")
+      .select(TextAnalysis.nfcNormalize(col("t")).as("v")).collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("cleanText strips controls (keeps tab/newline), collapses spaces, trims") {
+    val dirty = " ab\r\nkeep\ttab   wide  end "
+    val out = Seq(dirty).toDF("t")
+      .select(TextAnalysis.cleanText(col("t")).as("v"))
+      .collect().head.getString(0)
+    assert(out === "ab\nkeep\ttab wide end")
+    // NFC runs first: decomposed é survives cleaning as the composed form
+    val out2 = Seq("cafe\u0301  x").toDF("t")
+      .select(TextAnalysis.cleanText(col("t")).as("v"))
+      .collect().head.getString(0)
+    assert(out2 === "caf\u00e9 x")
+  }
+
   test("tokenRepetition hashed ≡ exact on the fixture corpus") {
     val docs = Tables.documents(spark, sf)
     val exact = TextAnalysis.tokenRepetition(docs, "doc_id", "text")
