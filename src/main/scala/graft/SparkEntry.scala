@@ -186,6 +186,36 @@ object SparkEntry {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .sum("value")
         .orderBy("transaction_date")),
+    // ----- rollup: hierarchical subtotals in ONE aggregation pass
+    // (grand total + per-status + per-(status, priority)); grouping
+    // flags disambiguate subtotal NULLs, and ordering pins NULLS FIRST
+    // explicitly because Spark and DuckDB default opposite ways
+    "q_orders_rollup" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice")).as("revenue"))
+        .select(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority"),
+          col("g_status"), col("g_priority"), col("n_orders"), col("revenue"))
+        .orderBy(col("g_status"), col("g_priority"),
+          col("status").asc_nulls_first, col("priority").asc_nulls_first)),
+    // ----- running total: per-customer cumulative revenue in order-date
+    // order. The window partitions by customer — state is one partial
+    // sum per customer, and the frame order (date, orderkey) is unique,
+    // so the sequential double additions are identical cross-engine
+    "q_running_revenue" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice")).over(w).as("running_rev"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
     // ----- unpivot/melt: wide measures → (measure, val) long form
     "q_unpivot_lineitem" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -698,6 +728,23 @@ object SparkEntry {
                 SUM(value) FILTER (WHERE event_type = 'signup') AS signup,
                 SUM(value) FILTER (WHERE event_type = 'view') AS view
          FROM events GROUP BY 1 ORDER BY transaction_date""",
+    "q_orders_rollup" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+                CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+                count(*) AS n_orders, sum(o_totalprice) AS revenue
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY g_status, g_priority,
+                  status NULLS FIRST, priority NULLS FIRST""",
+    "q_running_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+                sum(o_totalprice) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS running_rev
+         FROM orders WHERE o_custkey < 200
+         ORDER BY o_custkey, o_orderkey""",
     "q_unpivot_lineitem" ->
       """SELECT l_orderkey, l_linenumber, measure, val FROM (
            SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
