@@ -619,6 +619,16 @@ object SparkEntry {
     "q_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
         .orderBy("vec_id", "dim")),
+    // JL random projection 64→16: the implicit ±1 matrix is derived
+    // from integer hashing on BOTH engines (no seed state anywhere);
+    // output exploded to narrow (vec_id, dim, val) rows so the driver
+    // compares scalars with float tolerance, like q_quantize_int8
+    "q_random_projection" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          posexplode(graft.expressions.RandomProject.project(
+            col("embedding"), 16)).as(Seq("dim", "val")))
+        .orderBy("vec_id", "dim")),
     // ===== training-data pipeline: multimodal plumbing =====
     "q_media_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -1219,6 +1229,18 @@ object SparkEntry {
     // non-ASCII text (multi-byte codepoints) hashes identically too,
     // unlike the earlier codepoint-mean formulation that was only
     // ASCII-equal.
+    // the implicit ±1 matrix entry is bit 16 of (i·64+j)·2654435761 on
+    // both sides; integer // and % reproduce Java's >>> 16 & 1 exactly
+    // for the non-negative k this query generates
+    "q_random_projection" ->
+      """SELECT vec_id, CAST(i AS INT) AS dim,
+                list_sum(list_transform(range(0, 64), j ->
+                  CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE) *
+                  (CASE WHEN ((((i*64 + j) * 2654435761) // 65536) % 2) = 0
+                        THEN 1.0 ELSE -1.0 END)))
+                / sqrt(16.0) AS val
+         FROM embeddings, range(0, 16) t(i)
+         ORDER BY vec_id, dim""",
     "q_media_features" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
                            octet_length(encode(text)) AS n
