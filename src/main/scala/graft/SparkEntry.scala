@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{AsOf, Dedup, Ecommerce, Multimodal, RangeJoin, Scale, Similarity}
+import graft.operators.{Analytics, AsOf, Dedup, Ecommerce, Multimodal, RangeJoin, Scale, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -57,6 +57,21 @@ object SparkEntry {
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .orderBy("event_id")),
+    // ----- product analytics: gap sessionization (30-min), ordered
+    // funnel, cohort retention — all grouping keys and counts are
+    // integer/timestamp-exact, so the oracles are hash-exact
+    "q_event_sessions" -> ((s, dir) =>
+      Analytics.sessionize(Tables.events(s, dir), "user_id", "ts",
+          "event_id", gapMinutes = 30)
+        .orderBy("user_id", "session_idx")),
+    "q_funnel" -> ((s, dir) =>
+      Analytics.funnel(Tables.events(s, dir), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy("step")),
+    "q_retention" -> ((s, dir) =>
+      Analytics.retention(Tables.events(s, dir), "user_id", "ts",
+          maxOffsetDays = 7)
+        .orderBy("cohort_day", "day_offset")),
     // ----- reference parity: upsert end-state = latest write per key (W5-W8)
     "q_latest_event_per_user" -> ((s, dir) =>
       Ecommerce.latestPerKey(Tables.events(s, dir),
@@ -668,6 +683,63 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
          FROM events ORDER BY event_id""",
+    // epoch_us(ts) on DuckDB's µs-truncated read ≡ Spark's `ts div
+    // 1000` ns→µs truncation, so the gap comparison is integer-exact
+    "q_event_sessions" ->
+      """WITH s AS (
+           SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev
+           FROM events),
+         t AS (
+           SELECT user_id, ts,
+                  sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                      THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_idx
+           FROM s)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                count(*) AS n_events,
+                min(ts) AS session_start, max(ts) AS session_end
+         FROM t GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+    "q_funnel" ->
+      """WITH f AS (
+           SELECT user_id,
+                  min(ts) FILTER (WHERE event_type = 'view') AS t0,
+                  min(ts) FILTER (WHERE event_type = 'click') AS t1,
+                  min(ts) FILTER (WHERE event_type = 'purchase') AS t2
+           FROM events GROUP BY user_id),
+         d AS (
+           SELECT (CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) +
+                  (CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN 1 ELSE 0 END) +
+                  (CASE WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1
+                   THEN 1 ELSE 0 END) AS depth
+           FROM f)
+         SELECT step, step_name, n_users FROM (
+           SELECT 1 AS step, 'view' AS step_name,
+                  CAST(sum(CASE WHEN depth >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_users FROM d
+           UNION ALL
+           SELECT 2, 'click',
+                  CAST(sum(CASE WHEN depth >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM d
+           UNION ALL
+           SELECT 3, 'purchase',
+                  CAST(sum(CASE WHEN depth >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM d) u
+         ORDER BY step""",
+    "q_retention" ->
+      """WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+                     FROM events GROUP BY user_id),
+         act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                 FROM events)
+         SELECT cohort_day,
+                CAST(datediff('day', cohort_day, day) AS INT) AS day_offset,
+                count(*) AS n_users
+         FROM act JOIN fd USING (user_id)
+         WHERE datediff('day', cohort_day, day) <= 7
+         GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
     "q_latest_event_per_user" ->
       """SELECT user_id, event_id, event_type, value FROM (
            SELECT user_id, event_id, event_type, value,
