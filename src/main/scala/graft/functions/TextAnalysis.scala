@@ -303,6 +303,59 @@ object TextAnalysis {
     df.join(kept, Seq(idCol), "left_semi")
   }
 
+  /** Per-document DEFLATE compression ratio — the cheap "does this
+    * text look like natural language" signal curation pipelines run
+    * alongside the token-repetition rules: boilerplate, template spam,
+    * and generated filler compress far below natural prose
+    * (`compressed/raw` ≪ natural-language ~0.3–0.6), while random or
+    * encrypted bytes sit near 1. Output: (idCol, raw_len byte length,
+    * compressed_len, compression_ratio double).
+    *
+    * `mapPartitions` with ONE `Deflater` per partition, reset per doc —
+    * native zlib state is expensive to allocate and this keeps the
+    * stage a streaming narrow map on the scan partitions (no shuffle;
+    * the text never leaves its input partition). Level 6 is pinned so
+    * ratios are stable across JVMs. Not oracle-able — DuckDB exposes
+    * no zlib — so correctness is spec'd on hand-built repetitive vs
+    * varied fixtures (the ratio ORDERING, not exact zlib bytes, is the
+    * contract). */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val raw =
+            if (text == null) Array.emptyByteArray
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished())
+            compressed += deflater.deflate(buf)
+          val ratio =
+            if (raw.isEmpty) 1.0 else compressed.toDouble / raw.length
+          (id, raw.length.toLong, compressed, ratio)
+        }
+      }
+      .toDF(idCol, "raw_len", "compressed_len", "compression_ratio")
+  }
+
+  /** Corpus after the compression gate: keep docs whose ratio is in
+    * `[minRatio, 1.0]` — below the floor the text is template/filler
+    * repetitive. Left-semi on bare ids, like the other gates. */
+  def dropIncompressible(df: DataFrame, idCol: String, textCol: String,
+      minRatio: Double): DataFrame = {
+    val kept = compressionRatio(df, idCol, textCol)
+      .filter(col("compression_ratio") >= minRatio)
+      .select(col(idCol))
+    df.join(kept, Seq(idCol), "left_semi")
+  }
+
   /** Unicode NFC canonical composition — see
     * [[graft.expressions.NfcNormalize]] for the expression and its
     * DuckDB `nfc_normalize` parity contract. */

@@ -162,6 +162,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept2 === Seq(2L, 3L, 4L))
   }
 
+  test("compressionRatio: repetitive text compresses far below varied text") {
+    val spam = "buy now " * 500
+    val prose = (1 to 500).map(i => s"word$i token${i * 7 % 301}").mkString(" ")
+    val docs = Seq((1L, spam), (2L, prose), (3L, ""), (4L, null: String))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val (spamLen, _, spamRatio) = out(1L)
+    val (_, _, proseRatio) = out(2L)
+    assert(spamLen === spam.getBytes("UTF-8").length.toLong)
+    assert(spamRatio < 0.05, s"spam should crush: $spamRatio")
+    assert(proseRatio > 2 * spamRatio, s"prose must compress worse: $proseRatio")
+    // empty and null docs report ratio 1.0 (nothing to judge), len 0
+    assert(out(3L) === ((0L, out(3L)._2, 1.0)))
+    assert(out(4L)._3 === 1.0)
+    // the gate drops the spam row only (prose ratio is above the floor)
+    val kept = TextAnalysis.dropIncompressible(docs, "doc_id", "text",
+        minRatio = spamRatio + 0.01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(1L) && kept.contains(2L))
+  }
+
   test("nfcNormalize composes decomposed text; fast paths avoid allocation") {
     import org.apache.spark.unsafe.types.UTF8String
     val composed = "caf\u00e9"      // \u00e9 = composed e-acute
