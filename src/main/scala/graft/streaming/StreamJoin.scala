@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermarked stream-stream joins — the attribution topology
+  * (impressions ⋈ clicks) the unwindowed reference job never needs but
+  * any event pipeline at scale does.
+  *
+  * Why the watermarks and the time-bound are REQUIRED, not optional: a
+  * stream-stream inner join must buffer both sides' state until no
+  * matching row can still arrive. The interval condition
+  * `click_ts ∈ [imp_ts, imp_ts + window]` plus both watermarks lets
+  * Spark evict an impression once the click watermark passes
+  * `imp_ts + window` (and vice versa), so state is
+  * ≈ rate × (window + lateness) rows per side regardless of stream
+  * length. Without the time-bound Spark would buffer BOTH STREAMS
+  * FOREVER — the unbounded-state failure mode, at 100 TB a guaranteed
+  * OOM.
+  */
+object StreamJoin {
+
+  /** Inner-join clicks to the impression of the same `keyCol` that
+    * happened at most `windowSeconds` earlier. Both inputs must carry
+    * event-time columns `impTsCol`/`clickTsCol`; output one row per
+    * (impression, qualifying click).
+    * Works identically on batch frames (watermark is a no-op there),
+    * which is how the spec cross-checks the join predicate. */
+  def clicksAfterImpressions(impressions: DataFrame, clicks: DataFrame,
+      keyCol: String, impTsCol: String, clickTsCol: String,
+      windowSeconds: Long, lateness: String = "10 seconds"): DataFrame = {
+    require(windowSeconds > 0, s"need a positive join window, got $windowSeconds")
+    val imp = impressions.withWatermark(impTsCol, lateness)
+    val clk = clicks.withWatermark(clickTsCol, lateness)
+    // equi-key plus interval bound: the equi part hash-partitions both
+    // sides (one shuffle each), the interval part bounds state lifetime
+    imp.join(clk,
+      imp(keyCol) === clk(keyCol) &&
+        clk(clickTsCol) >= imp(impTsCol) &&
+        clk(clickTsCol) <= imp(impTsCol) + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(imp(keyCol).as("key"),
+        imp(impTsCol).as("imp_ts"),
+        clk(clickTsCol).as("click_ts"),
+        (unix_micros(clk(clickTsCol)) - unix_micros(imp(impTsCol)))
+          .as("lag_us"))
+  }
+}

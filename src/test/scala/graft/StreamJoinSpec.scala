@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamJoin
+
+class StreamJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("stream-stream interval join matches clicks within the window only") {
+    implicit val sql = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clks = MemoryStream[(Long, Timestamp)]
+    val joined = StreamJoin.clicksAfterImpressions(
+      imps.toDF().toDF("ad_id", "imp_ts"),
+      clks.toDF().toDF("ad_id", "click_ts"),
+      "ad_id", "imp_ts", "click_ts", windowSeconds = 60)
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:30")))
+      // in-window click for ad 1; out-of-window (61 s) click for ad 2;
+      // click for an ad never impressed; click BEFORE its impression
+      clks.addData(
+        (1L, ts("2024-01-01 10:00:45")),
+        (2L, ts("2024-01-01 10:01:31")),
+        (9L, ts("2024-01-01 10:00:10")),
+        (1L, ts("2024-01-01 09:59:59")))
+      q.processAllAvailable()
+      val rows = spark.table("attrib")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(2), r.getLong(3)))
+      assert(rows.toSet === Set((1L, ts("2024-01-01 10:00:45"), 45000000L)))
+      // a second impression for ad 2 close to the late click DOES join —
+      // the window is per-pair, not per-key
+      imps.addData((2L, ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      val rows2 = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2))).toSet
+      assert(rows2 === Set(
+        (1L, ts("2024-01-01 10:00:45")),
+        (2L, ts("2024-01-01 10:01:31"))))
+    } finally q.stop()
+  }
+
+  test("join state is evicted once watermarks pass the interval bound") {
+    implicit val sql = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clks = MemoryStream[(Long, Timestamp)]
+    val joined = StreamJoin.clicksAfterImpressions(
+      imps.toDF().toDF("ad_id", "imp_ts"),
+      clks.toDF().toDF("ad_id", "click_ts"),
+      "ad_id", "imp_ts", "click_ts", windowSeconds = 60, lateness = "5 seconds")
+    val q = joined.writeStream.format("memory").queryName("attrib_state")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts("2024-01-01 10:00:00")))
+      clks.addData((1L, ts("2024-01-01 10:00:01")))
+      q.processAllAvailable()
+      // push both watermarks far past imp_ts + window + lateness
+      imps.addData((2L, ts("2024-01-01 12:00:00")))
+      clks.addData((2L, ts("2024-01-01 12:00:01")))
+      q.processAllAvailable()
+      // one more micro-batch so eviction driven by the new watermark runs
+      imps.addData((3L, ts("2024-01-01 12:30:00")))
+      clks.addData((3L, ts("2024-01-01 12:30:01")))
+      q.processAllAvailable()
+      val state = q.lastProgress.stateOperators(0)
+      // the 10:00 pair must be gone from the buffers; only recent rows
+      // (≤ 4 = two sides × two recent batches) may remain
+      assert(state.numRowsTotal <= 4,
+        s"state not evicted: ${state.numRowsTotal} rows buffered")
+    } finally q.stop()
+  }
+
+  test("the same predicate on batch frames gives the reference result") {
+    val imps = Seq((1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 10:00:30"))).toDF("ad_id", "imp_ts")
+    val clks = Seq((1L, ts("2024-01-01 10:00:45")),
+      (2L, ts("2024-01-01 10:01:31"))).toDF("ad_id", "click_ts")
+    val out = StreamJoin.clicksAfterImpressions(imps, clks,
+        "ad_id", "imp_ts", "click_ts", windowSeconds = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 45000000L)))
+  }
+}
