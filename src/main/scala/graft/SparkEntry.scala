@@ -248,6 +248,42 @@ object SparkEntry {
           o.filter(year(col("o_orderdate")) === 1996).select("o_custkey").distinct())
         .orderBy("o_custkey")
     }),
+    // ----- semi-join (TPC-H Q4 shape): orders with at least one bulky
+    // lineitem — left_semi keeps the probe side un-duplicated, and the
+    // filter on the big build side cuts it before the join
+    "q_priority_bulky_orders" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1995)
+      val bulky = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 45.0)
+        .select(col("l_orderkey").as("o_orderkey"))
+      o.join(bulky, Seq("o_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+    // ----- anti-join: customers with NO 1995 order (NOT EXISTS)
+    "q_customers_without_orders" -> ((s, dir) => {
+      val o95 = Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_custkey").as("c_custkey"))
+      Tables.customer(s, dir)
+        .join(o95, Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+    // ----- conditional-aggregation ratio (TPC-H Q14 shape): promo
+    // revenue share, part dimension broadcast into the lineitem scan
+    "q_promo_revenue" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .filter(year(col("l_shipdate")) === 1996)
+      val p = Tables.part(s, dir).select("p_partkey", "p_type")
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+          sum(rev)).as("promo_pct"))
+    }),
     // ----- set operation: INTERSECT
     "q_custkeys_both_years" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -844,6 +880,28 @@ object SparkEntry {
            EXCEPT
            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
          ORDER BY o_custkey""",
+    "q_priority_bulky_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders o
+         WHERE year(o_orderdate) = 1995
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_quantity >= 45.0)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_customers_without_orders" ->
+      """SELECT c_custkey, c_mktsegment
+         FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND year(o.o_orderdate) = 1995)
+         ORDER BY c_custkey""",
+    "q_promo_revenue" ->
+      """SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO'
+                  THEN l_extendedprice * (1.0 - l_discount)
+                  ELSE 0.0 END) /
+                sum(l_extendedprice * (1.0 - l_discount)) AS promo_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE year(l_shipdate) = 1996""",
     "q6_forecast_revenue" ->
       """SELECT SUM(l_extendedprice * l_discount) AS revenue
          FROM lineitem
