@@ -359,6 +359,22 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     }),
+    // v2 recipe over the round-4 stages: NFC-clean → exact-dedup ON THE
+    // CLEANED bytes (normalization makes visually-equal dups collide) →
+    // Gopher repetition gates → temperature rebalance, each stage an
+    // already-oracle-checked operator and the whole chain re-adjudicated
+    // end-to-end as composed CTEs
+    "q_curated_corpus_v2" -> ((s, dir) => {
+      val cleaned = Tables.documents(s, dir)
+        .withColumn("text", TextAnalysis.cleanText(col("text")))
+      val deduped = cleaned.join(
+        Dedup.exactDedup(cleaned, "doc_id", "text"), Seq("doc_id"), "left_semi")
+      val gated = TextAnalysis.dropRepetitive(deduped, "doc_id", "text",
+        maxDupFrac = 0.55, maxTopFrac = 0.12)
+      Scale.headCapSample(gated, "source", "doc_id", c = 5.0)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
     // ===== training-data pipeline: deduplication =====
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
@@ -975,6 +991,41 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
          ORDER BY doc_id""",
+    // each CTE is a stage oracle verbatim, rebased onto the previous
+    // stage's output: clean (q_clean_text's expression) → sha256 dedup →
+    // repetition gates (q_low_repetition's cuts) → head-cap thresholds
+    // computed on the GATED corpus (q_head_cap_sample's formulation)
+    "q_curated_corpus_v2" ->
+      """WITH cleaned AS (
+           SELECT doc_id,
+                  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                    '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+                    ' {2,}', ' ', 'g')) AS text,
+                  lang, source
+           FROM documents),
+         dd AS (SELECT min(doc_id) AS doc_id FROM cleaned
+                GROUP BY sha256(text)),
+         d2 AS (SELECT c.* FROM cleaned c JOIN dd USING (doc_id)),
+         toks AS (SELECT doc_id,
+                  unnest(string_split_regex(trim(text), '\s+')) AS t
+                  FROM d2),
+         tcnt AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2),
+         agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                        COUNT(*) AS n_distinct_tokens, MAX(c) AS tcm
+                 FROM tcnt GROUP BY doc_id),
+         kept AS (SELECT doc_id FROM agg
+                  WHERE 1 - CAST(n_distinct_tokens AS DOUBLE) / n_tokens <= 0.55
+                    AND CAST(tcm AS DOUBLE) / n_tokens <= 0.12),
+         g AS (SELECT d2.doc_id, d2.lang, d2.source
+               FROM d2 JOIN kept USING (doc_id)),
+         th AS (SELECT source,
+                  CAST(floor(least(1.0, 5.0 / sqrt(count(*))) * 1000000)
+                    AS BIGINT) AS thresh
+                FROM g GROUP BY source)
+         SELECT g.doc_id, g.lang, g.source
+         FROM g JOIN th ON g.source = th.source
+         WHERE g.doc_id % 1000000 < th.thresh
+         ORDER BY g.doc_id""",
     "q_domain_quota" ->
       """SELECT doc_id, source, lang FROM (
            SELECT doc_id, source, lang,
