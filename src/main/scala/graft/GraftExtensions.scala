@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{BooleanType, IntegerType}
+
+import graft.expressions.{LangId, NfcNormalize, RandomProject, SimHash64, TextStats}
+
+/** `SparkSessionExtensions` entry point: registers graft's custom
+  * Catalyst expressions as SQL FUNCTIONS, so `spark.sql` users get the
+  * same codegen'd operators the DataFrame API exposes —
+  *
+  * {{{
+  *   spark.conf: spark.sql.extensions=graft.GraftExtensions
+  *   SELECT nfc_normalize(text),
+  *          lang_id(text),
+  *          text_stats(text).token_count,
+  *          simhash64(split(trim(text), '\\s+')),
+  *          random_project(embedding, 16)
+  *   FROM documents
+  * }}}
+  *
+  * This is the `injectFunction` face of the extension API only: graft
+  * deliberately ships NO custom optimizer rules or physical strategies,
+  * because every operator composes from Catalyst-native plans that the
+  * built-in optimizer already handles (SURVEY.md §4 — the "custom
+  * `Rule`/`SparkStrategy`: none required" verdict). Wired into
+  * `GraftSession` so every engine session has the SQL surface.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def boolLit(e: Expression, fn: String, arg: String): Boolean = e match {
+    case Literal(v: Boolean, BooleanType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a boolean literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(str) - Unicode NFC canonical composition"),
+      { case Seq(child) => NfcNormalize(child) }))
+
+    ext.injectFunction((FunctionIdentifier("lang_id"),
+      info("lang_id", "lang_id(str) - marker-word language identification"),
+      { case Seq(child) =>
+        LangId(child, graft.functions.TextAnalysis.langMarkers) }))
+
+    ext.injectFunction((FunctionIdentifier("text_stats"),
+      info("text_stats",
+        "text_stats(str) - struct(token_count, char_count, punct_count, stopword_count, token_len_sum) in one scan"),
+      { case Seq(child) =>
+        TextStats(child, graft.functions.TextAnalysis.stopwords) }))
+
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64",
+        "simhash64(array<string>[, portable]) - 64-bit SimHash of a token array"),
+      {
+        case Seq(child) => SimHash64(child, portable = false)
+        case Seq(child, p) =>
+          SimHash64(child, boolLit(p, "simhash64", "portable"))
+      }))
+
+    ext.injectFunction((FunctionIdentifier("random_project"),
+      info("random_project",
+        "random_project(array<float>, out_dim) - JL projection with the hash-derived ±1 matrix"),
+      { case Seq(child, dim) =>
+        RandomProject(child, intLit(dim, "random_project", "out_dim")) }))
+  }
+}

@@ -10,6 +10,8 @@ object GraftSession {
   /** Apply engine settings to a builder. Callers still pick master/app. */
   def tuned(b: SparkSession.Builder, shufflePartitions: String): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions)
+      // SQL surface for graft's custom expressions (GraftExtensions)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // oracle parity + the reference generator emits naive-UTC timestamps
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** The SQL function surface injected by `GraftExtensions` must resolve
+  * in a `GraftSession` and compute exactly what the DataFrame-side
+  * Column wrappers compute. */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("injected SQL functions resolve and match the Column API") {
+    Seq((1L, "the cat is here", "café"))
+      .toDF("id", "text", "accented")
+      .createOrReplaceTempView("ext_docs")
+    val row = spark.sql(
+      """SELECT nfc_normalize(accented) AS nfc,
+                lang_id(text) AS lang,
+                text_stats(text).token_count AS tc,
+                simhash64(split(trim(text), '\\s+')) AS sig,
+                random_project(array(CAST(1.5 AS FLOAT), CAST(-2.0 AS FLOAT)), 4) AS proj
+         FROM ext_docs""").collect().head
+    assert(row.getString(0) === "caf\u00e9")
+    assert(row.getString(1) === "en")
+    assert(row.getInt(2) === 4)
+    val viaColumns = Seq("the cat is here").toDF("text")
+      .select(
+        graft.expressions.SimHashExpressions.simhash64(
+          TextAnalysis.tokens(col("text")), portable = false).as("sig"))
+      .collect().head.getLong(0)
+    assert(row.getLong(3) === viaColumns)
+    assert(row.getSeq[Double](4).length === 4)
+  }
+
+  test("literal-argument validation fails loudly, not silently") {
+    Seq(Tuple1(Array(1.0f))).toDF("v").createOrReplaceTempView("ext_vecs")
+    val e = intercept[Exception] {
+      spark.sql("SELECT random_project(v, CAST(2 AS BIGINT)) FROM ext_vecs")
+        .collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+}
