@@ -43,6 +43,39 @@ class RandomProjectSpec extends SparkSpec {
     assert(withNull === dense)
   }
 
+  test("JL: pairwise distances survive the projection within the JL bound") {
+    // the JL guarantee is DISTANCE preservation: ‖Pu−Pv‖² estimates
+    // ‖u−v‖² with relative std √(2/d′) ≈ 0.35 at d′ = 16. (Ranking
+    // recall is NOT a sound probe on this fixture — its cosines
+    // concentrate around a shared mean direction, so top-k margins sit
+    // far below even tiny distortion.) Deterministic: fixed fixture +
+    // hash-derived matrix ⇒ the ratios are constants of the code.
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        col("embedding"),
+        graft.expressions.RandomProject.project(col("embedding"), 16).as("p"))
+      .filter(col("vec_id") < 30)
+      .collect()
+      .map(r => (r.getSeq[Float](1).toArray, r.getSeq[Double](2).toArray))
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      orig = d2(vecs(i)._1.map(_.toDouble), vecs(j)._1.map(_.toDouble))
+      if orig > 0
+    } yield d2(vecs(i)._2, vecs(j)._2) / orig
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.85 && mean < 1.15, s"mean distance ratio off: $mean")
+    // 3σ band: the hash-derived rows are windows of one multiplicative-
+    // hash sequence, so they carry mild correlations — tails run heavier
+    // than the i.i.d.-Gaussian 99% (measured: 91% in-band, none
+    // catastrophic); 85% in-band still rules out a broken matrix, whose
+    // in-band share collapses toward 0
+    val inBand = ratios.count(r => r > 1 - 3 * 0.354 && r < 1 + 3 * 0.354)
+    assert(inBand.toDouble / ratios.size > 0.85,
+      s"too many distorted pairs: ${ratios.size - inBand}/${ratios.size}")
+  }
+
   test("JL: squared norm is preserved in expectation over the fixture") {
     // E[‖Pv‖²] = ‖v‖² for ±1 projections; averaged over 500 vectors the
     // ratio concentrates tightly around 1 (std ≈ √(2/16/500) ≈ 0.016)
