@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 import graft.functions.TextAnalysis
 
@@ -384,8 +385,21 @@ object Dedup {
     * value only DedupSpec reads.) */
   val lastComponentsRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
 
+  /** Default `driverEdgeLimit` for [[nearDupComponents]]: 2²⁰ canonical
+    * edges (16 MB of raw long pairs). A near-dup pair graph is minuscule
+    * next to its corpus — banding/inverted-index generation emits pairs
+    * only for actual near-dups, so even a 100 TB corpus with 1% dup rate
+    * yields edges in the millions, not billions. Under the limit the
+    * subgraph is solved with a driver union-find (exact, same min-label
+    * contract) instead of paying 2 shuffles + a checkpoint + a count
+    * action per propagation round — the same KB-scale driver-resident
+    * trade as IVF's centroids. Above it, the distributed label loop
+    * runs unchanged. */
+  val DefaultDriverEdgeLimit: Long = 1L << 20
+
   def nearDupComponents(df: DataFrame, idCol: String, pairs: DataFrame,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50,
+      driverEdgeLimit: Long = DefaultDriverEdgeLimit): DataFrame = {
     // Undirected edge list, both directions, from ONE scan of `pairs`:
     // the naive `pairs.union(pairs.swapped)` evaluates the pair plan
     // twice, and `pairs` is typically the expensive half of the whole
@@ -408,6 +422,20 @@ object Dedup {
     // one join at the end. Per-round cost is sized by the dup graph,
     // not the corpus.
     val idType = df.schema(idCol).dataType
+    val integralId = idType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    // edges is checkpoint-materialized, so the count scans cached blocks.
+    // Small integral-id graphs skip the loop entirely: a driver
+    // union-find gives the identical min-label result (spec'd ≡ the
+    // loop) without per-round scheduling. Non-integral ids (string keys
+    // etc.) stay distributed — Spark's min() on UTF8String is byte-order,
+    // which a JVM-side comparison must not silently re-define.
+    if (integralId && edges.count() <= 2 * driverEdgeLimit) {
+      lastComponentsRounds.set(0)
+      return stitchDfLabels(df, idCol, unionFindLabels(edges, idType))
+    }
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("component_id", col("node"))
     var converged = false
@@ -443,6 +471,40 @@ object Dedup {
         "raise maxRounds for graphs with very long near-dup chains")
     lastComponentsRounds.set(rounds)
     stitchDfLabels(df, idCol, labels)
+  }
+
+  /** Driver union-find over a small (≤ `driverEdgeLimit`) edge list:
+    * collect the canonical (src < dst) edges, union with the smaller
+    * root as parent — by induction the root of every set is its minimum
+    * member, exactly the min-label contract of the distributed loop.
+    * Output: the subgraph (node, component_id) labels, cast back to the
+    * id type, ready for [[stitchDfLabels]]. Nodes appearing only in
+    * self-loop pairs produce no canonical edge and no label here; the
+    * stitch labels them as themselves, same as the loop would. */
+  private def unionFindLabels(edges: DataFrame, idType: DataType): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.filter(col("src") < col("dst"))
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression: point the walked chain at the root
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val labels = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet.toSeq
+      .map((n: Long) => (n, find(n)))
+    labels.toDF("node", "component_id")
+      .select(col("node").cast(idType).as("node"),
+        col("component_id").cast(idType).as("component_id"))
   }
 
   /** Map subgraph labels back onto `df`: every component's

@@ -335,7 +335,9 @@ class DedupSpec extends SparkSpec {
   test("nearDupComponents on the fixture: components are consistent with pairs") {
     val docs = Tables.documents(spark, sf)
     val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.6)
-    val comp = Dedup.nearDupComponents(docs, "doc_id", pairs)
+    // driverEdgeLimit = 0 forces the distributed label loop — this test
+    // is the loop's round-count regression guard
+    val comp = Dedup.nearDupComponents(docs, "doc_id", pairs, driverEdgeLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // every pair's endpoints share a component, labels are component minima
     pairs.collect().foreach { r =>
@@ -358,7 +360,8 @@ class DedupSpec extends SparkSpec {
     val pairs = Seq((1L, 3L, 1.0), (5L, 9L, 1.0), (9L, 7L, 1.0))
       .toDF("id_a", "id_b", "jaccard")
     for (comp <- Seq(
-        Dedup.nearDupComponents(ids, "doc_id", pairs),
+        Dedup.nearDupComponents(ids, "doc_id", pairs), // driver union-find
+        Dedup.nearDupComponents(ids, "doc_id", pairs, driverEdgeLimit = 0),
         Dedup.nearDupComponentsStar(ids, "doc_id", pairs))) {
       val m = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(m(3L) === 3L)            // foreign 1 can't be the rep
@@ -394,7 +397,7 @@ class DedupSpec extends SparkSpec {
     val ids = (1L to 16L).map(i => (i, "")).toDF("doc_id", "text")
     val chain = (1L until 16L).map(i => (i, i + 1, 1.0)).toDF("id_a", "id_b", "jaccard")
     intercept[IllegalArgumentException] {
-      Dedup.nearDupComponents(ids, "doc_id", chain, maxRounds = 8)
+      Dedup.nearDupComponents(ids, "doc_id", chain, maxRounds = 8, driverEdgeLimit = 0)
     }
     val comp = Dedup.nearDupComponentsStar(ids, "doc_id", chain, maxRounds = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -408,8 +411,43 @@ class DedupSpec extends SparkSpec {
     val chain = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0))
       .toDF("id_a", "id_b", "jaccard")
     intercept[IllegalArgumentException] {
-      Dedup.nearDupComponents(ids, "doc_id", chain, maxRounds = 1)
+      Dedup.nearDupComponents(ids, "doc_id", chain, maxRounds = 1, driverEdgeLimit = 0)
     }
+  }
+
+  test("driver union-find path equals the distributed label loop exactly") {
+    // pseudo-random multi-component graphs: the small-graph epilogue
+    // must be result-identical to the loop (same min-label contract)
+    val rng = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val n = 40L + trial * 30
+      val pairs = Seq.fill(80)((rng.nextLong(n), rng.nextLong(n), 1.0))
+        .filter(p => p._1 != p._2).toDF("id_a", "id_b", "jaccard")
+      val nodes = (0L until n).map(i => (i, "")).toDF("doc_id", "text")
+      val viaDriver = Dedup.nearDupComponents(nodes, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Dedup.lastComponentsRounds.get() === 0,
+        "default call on a tiny graph should take the driver path")
+      val viaLoop = Dedup.nearDupComponents(nodes, "doc_id", pairs,
+          driverEdgeLimit = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Dedup.lastComponentsRounds.get() > 0,
+        "driverEdgeLimit = 0 should force the distributed loop")
+      assert(viaDriver === viaLoop, s"trial $trial")
+    }
+  }
+
+  test("non-integral ids always route to the distributed loop") {
+    // string keys: Spark's min() on UTF8String is byte-order — the
+    // driver path must not re-define it, so it declines and the loop
+    // runs even under the default edge limit
+    val ids = Seq("a", "b", "c", "d").map(s => (s, s)).toDF("doc_id", "text")
+    val pairs = Seq(("a", "b", 1.0), ("b", "c", 1.0)).toDF("id_a", "id_b", "jaccard")
+    val comp = Dedup.nearDupComponents(ids, "doc_id", pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Dedup.lastComponentsRounds.get() > 0,
+      "string ids must use the distributed loop")
+    assert(comp === Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "d"))
   }
 
   test("dropNearDups removes larger ids of pairs") {
