@@ -406,6 +406,43 @@ object SparkEntry {
       Dedup.nearDupComponents(docs, "doc_id", pairs)
         .orderBy("doc_id")
     }),
+    // cross-corpus near-dup: every 5th doc plays the NEW batch, the
+    // rest the reference corpus — the incremental-crawl dedup shape
+    // (left×right candidates only, no self-pairs on either side)
+    "q_jaccard_across" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.jaccardNearDupPairsAcross(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .orderBy("id_left", "id_right")
+    }),
+    // span-level (paragraph) dedup: the corpus is documents plus a
+    // 40-token excerpt of every 10th doc (planted at doc_id + 100000),
+    // so cross-doc duplicated spans exist at every SF. The excerpt IS
+    // the original's first span (aligned at token 0), so that span is
+    // dropped from both; originals keep their tail spans, and excerpts
+    // whose whole text was the shared span vanish entirely.
+    "q_dedup_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val excerpts = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(100000L)).as("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 40), " ")
+            .as("text"))
+      Dedup.dedupSpans(docs.unionByName(excerpts), "doc_id", "text",
+          spanTokens = 40)
+        .orderBy("doc_id")
+    }),
+    // leakage-safe split: near-dup components (minhash pair graph)
+    // decide the split, so dup clusters never straddle train/val/test
+    "q_leakage_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.6)
+      Scale.leakageSafeSplit(docs, "doc_id", pairs.select("id_a", "id_b"))
+        .orderBy("doc_id")
+    }),
     // ----- training-sequence packing: concat-and-cut layout per source
     // shard, budget 1024 tokens — which docs land in which pretraining
     // sequence, deterministically
@@ -636,6 +673,10 @@ object SparkEntry {
     // vocabulary head: top-50 corpus terms by frequency
     "q_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(Tables.documents(s, dir), "text", 50)),
+    // Zipf head curve: cumulative token coverage of the top-50 terms
+    "q_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir), "text", 50)
+        .orderBy(col("n").desc, col("term").asc)),
     // per-doc keyword extraction: top-5 terms by tf·idf with the
     // rational RSJ idf (log-free → bit-identical scores in both
     // engines → the rank CUT is oracle-exact, not tolerance-fuzzy);
@@ -1254,6 +1295,20 @@ object SparkEntry {
              FROM documents) t
            WHERE length(term) > 0 GROUP BY term)
          ORDER BY n DESC, term ASC LIMIT 50""",
+    // integer cumulative count over the k-row head, one double division
+    // per row — the cut and the shares are bit-identical cross-engine
+    "q_vocab_coverage" ->
+      """WITH tc AS (SELECT term, count(*) AS n FROM (
+                SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+                FROM documents) t
+              WHERE length(term) > 0 GROUP BY term),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM tc),
+         top AS (SELECT term, n FROM tc ORDER BY n DESC, term ASC LIMIT 50)
+         SELECT term, n,
+                CAST(sum(n) OVER (ORDER BY n DESC, term ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  / total AS coverage
+         FROM top CROSS JOIN tot ORDER BY n DESC, term ASC""",
     // floor(x + 0.5) spelled out on both sides: round() half-case
     // conventions differ across engines, floor does not
     "q_quantize_int8" ->
@@ -1387,6 +1442,91 @@ object SparkEntry {
     // (J ≥ 0.87; P[miss | 16 bands × 4 rows] < 1e-8) and is re-checked
     // here by sharing the oracle.
     "q_minhash_neardup" -> jaccardOracleSql,
+    // cross-corpus variant of the exhaustive formulation: candidates
+    // restricted to left×right (mod-5 split); the Spark side's
+    // size-ratio prefilter is exact-lossless, so outputs match
+    "q_jaccard_across" ->
+      """WITH tok AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN []
+                  ELSE list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                    i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')) END) AS sh
+              FROM documents),
+         sized AS (SELECT doc_id, sh, len(sh) AS n FROM tok WHERE len(sh) > 0),
+         inv AS (SELECT doc_id, n, unnest(sh) AS s FROM sized),
+         pairs AS (SELECT a.doc_id AS id_left, b.doc_id AS id_right,
+                          a.n AS na, b.n AS nb, count(*) AS shared
+                   FROM inv a JOIN inv b ON a.s = b.s
+                   WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+                   GROUP BY 1, 2, 3, 4)
+         SELECT id_left, id_right,
+                CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
+         FROM pairs
+         WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+         ORDER BY id_left, id_right""",
+    // span extraction mirrors the q_doc_chunks oracle at stride =
+    // chunkTokens = 40 (disjoint spans); dup spans = text in >= 2
+    // distinct docs; reassembly is ORDER BY chunk_idx with a single
+    // space, the whitespace-normalized contract of the operator
+    "q_dedup_spans" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id,
+                  array_to_string(string_split_regex(trim(text), '\s+')[1:40], ' ') AS text
+           FROM documents WHERE doc_id % 10 = 0),
+         t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+               FROM corpus),
+         c AS (SELECT doc_id, w,
+                      CASE WHEN n = 0 THEN 0
+                           ELSE greatest(1, CAST(ceil((n - 40) / 40.0) AS INTEGER) + 1)
+                      END AS nc
+               FROM t),
+         spans AS (SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_idx,
+                          array_to_string(w[u.i*40 + 1 : u.i*40 + 40], ' ') AS chunk_text
+                   FROM c, unnest(range(nc)) AS u(i)),
+         dup AS (SELECT chunk_text FROM (
+                   SELECT chunk_text, count(DISTINCT doc_id) AS d
+                   FROM spans GROUP BY 1) z
+                 WHERE d >= 2),
+         kept AS (SELECT * FROM spans
+                  WHERE chunk_text NOT IN (SELECT chunk_text FROM dup))
+         SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text,
+                count(*) AS n_spans_kept
+         FROM kept GROUP BY doc_id ORDER BY doc_id""",
+    // pair graph = the exhaustive Jaccard formulation (recall-1 contract
+    // of q_minhash_neardup), components = min-reachable-id recursive
+    // CTE (the q_neardup_components formulation), split = component
+    // mod 100 against the 80/10 boundaries
+    "q_leakage_split" ->
+      """WITH RECURSIVE
+         tok AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN []
+                  ELSE list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                    i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')) END) AS sh
+              FROM documents),
+         sized AS (SELECT doc_id, sh, len(sh) AS n FROM tok WHERE len(sh) > 0),
+         inv AS (SELECT doc_id, n, unnest(sh) AS s FROM sized),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.n AS na, b.n AS nb, count(*) AS shared
+               FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2, 3, 4),
+         jp AS (SELECT id_a, id_b FROM p
+                WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.6),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+                   UNION SELECT id_b, id_a FROM jp),
+         reach(node, root) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         comp AS (SELECT node AS doc_id, min(root) AS component_id
+                  FROM reach GROUP BY node)
+         SELECT doc_id, component_id,
+                CASE WHEN component_id % 100 < 80 THEN 'train'
+                     WHEN component_id % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM comp ORDER BY doc_id""",
     // norm > 0 filters mirror the Spark side's zero-vector exclusion
     // (cos is undefined for zero vectors; Spark drops them, so must we)
     "q_embedding_topk" -> exactTopKOracleSql,

@@ -244,6 +244,35 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("term").asc)
       .limit(k)
 
+  /** Cumulative vocabulary coverage of the top-`k` corpus terms: for
+    * each head term, the fraction of ALL corpus tokens covered by it
+    * and every more-frequent term — the Zipf head curve a tokenizer/
+    * vocab-size decision is made from ("the top 50 terms cover 38% of
+    * the stream"). Deterministic tie order (count desc, term asc).
+    *
+    * Scale shape: term counting is the `termCounts` partial→final
+    * aggregate; the top-k cut plans as TakeOrderedAndProject (each
+    * partition ships only its local top-k); the running sum then runs
+    * on exactly k rows — the single-partition window is k-bounded by
+    * construction, never corpus-bounded. The total-token count joins in
+    * as a broadcast scalar. Counts are integers, and coverage is one
+    * double division per row — bit-identical cross-engine. Output:
+    * (term, n, coverage). */
+  def vocabCoverage(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tc = termCounts(df, textCol)
+    val total = tc.agg(sum(col("n")).as("__total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("term").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    tc.orderBy(col("n").desc, col("term").asc).limit(k)
+      .crossJoin(broadcast(total))
+      .select(col("term"), col("n"),
+        (sum(col("n")).over(w).cast("double") / col("__total"))
+          .as("coverage"))
+  }
+
   /** Per-doc token repetition signals — the Gopher-style repetition
     * quality rules (Rae et al., "Scaling Language Models", §A1.1:
     * machine-generated/boilerplate text shows up as a few tokens

@@ -122,6 +122,109 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-corpus exact Jaccard near-dup pairs — the incremental-crawl
+    * dedup shape: which documents of a NEW batch near-duplicate
+    * something in an existing REFERENCE corpus. Same inverted-index
+    * join, size-ratio prefilter, and reduced-universe scoring as
+    * [[jaccardNearDupPairs]], but the postings join is across the two
+    * corpora only: no left×left or right×right candidates are ever
+    * generated, so the cost is Σ df_L(s)·df_R(s) — strictly smaller
+    * than the self-join over the union. Shingles shuffle as xxhash64
+    * longs (same digest-not-text rule; collision trade documented on
+    * the self-join). Boilerplate-heavy corpora should pre-gate with
+    * `dropDupNgramHeavy`/df-caps before pairing, exactly as with the
+    * self-join. Output: (id_left, id_right, jaccard) — no id ordering
+    * constraint, the sides are distinct corpora. */
+  def jaccardNearDupPairsAcross(left: DataFrame, leftIdCol: String,
+      leftTextCol: String, right: DataFrame, rightIdCol: String,
+      rightTextCol: String, n: Int, threshold: Double): DataFrame = {
+    def postings(df: DataFrame, idCol: String, textCol: String,
+        idOut: String, szOut: String): DataFrame = {
+      // same materialization-barrier repartition as the self-join: the
+      // shingle HOF output feeds the size filter, size projection, and
+      // explode once, not once per consumer
+      val sets = df.select(col(idCol).as(idOut),
+          graft.expressions.ShingleExpressions
+            .distinctWordNgrams(col(textCol), n).as("sh"))
+        .repartition(col(idOut))
+        .filter(size(col("sh")) > 0)
+      sets.select(col(idOut), size(col("sh")).as(szOut),
+          explode(col("sh")).as("s0"))
+        .select(col(idOut), col(szOut), xxhash64(col("s0")).as("s"))
+    }
+    val a = postings(left, leftIdCol, leftTextCol, "id_left", "na")
+    val b = postings(right, rightIdCol, rightTextCol, "id_right", "nb")
+    a.join(b, Seq("s"))
+      // size-ratio prefilter (Arasu et al.) — exact, no false dismissals
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")))
+      .groupBy(col("id_left"), col("id_right"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_left", "id_right", "jaccard")
+  }
+
+  // ------------------------------------------------------------------
+  // Span-level (paragraph) dedup — repeated-span removal
+  // ------------------------------------------------------------------
+
+  /** Remove spans of text that repeat across documents, keeping the
+    * rest of each document intact — the paragraph-level dedup step of a
+    * web-corpus pipeline (CCNet-style: boilerplate paragraphs, license
+    * headers, navigation text appear verbatim in thousands of pages;
+    * document-level near-dup cannot remove them without dropping whole
+    * documents). Spans are fixed `spanTokens` windows (disjoint
+    * `chunkDocs` chunks — the fixture corpus has no paragraph
+    * delimiters; a newline-structured corpus would split on blank lines
+    * upstream and feed the spans in directly). A span is "duplicated"
+    * when it occurs in ≥ `minDupDocs` DISTINCT documents — a span
+    * repeated only within one doc is repetition (see `tokenRepetition`),
+    * not cross-doc boilerplate, and is kept.
+    *
+    * Scale shape: span rows are generated scan-locally (typed flatMap,
+    * no shuffle), dup detection groups DISTINCT (xxhash64(span), doc)
+    * pairs — 8-byte digests shuffle, not span text (collisions can only
+    * merge two different spans, P ≈ m²/2⁶⁵, the documented family
+    * trade); surviving span text shuffles once more to reassemble per
+    * doc. Two span-text-sized exchanges total — the canonical shape of
+    * paragraph-hash dedup at corpus scale.
+    *
+    * Output: (idCol, textCol = surviving spans joined with single
+    * spaces — whitespace-normalized by construction, n_spans_kept).
+    * Documents whose EVERY span was duplicated (pure boilerplate) and
+    * empty/whitespace docs produce no output row. */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, minDupDocs: Int = 2): DataFrame = {
+    require(spanTokens > 0, s"spanTokens must be positive, got $spanTokens")
+    require(minDupDocs >= 2,
+      s"a span is 'duplicated' only in >= 2 docs, got minDupDocs = $minDupDocs")
+    val spans = TextAnalysis.chunkDocs(docs, idCol, textCol,
+        chunkTokens = spanTokens, overlap = 0)
+      // materialization barrier: the span rows feed the dup-detection
+      // aggregate AND the anti-join left side; behind one exchange the
+      // flatMap runs once (ReuseExchange), and the final reassembly
+      // groupBy(id) reuses this partitioning
+      .repartition(col(idCol))
+    val keyed = spans.select(col(idCol), col("chunk_idx"), col("chunk_text"),
+      xxhash64(col("chunk_text")).as("__s"))
+    val dup = keyed.select(col("__s"), col(idCol)).distinct()
+      .groupBy("__s").agg(count(lit(1)).as("__d"))
+      .filter(col("__d") >= minDupDocs)
+      .select("__s")
+    keyed.join(dup, Seq("__s"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+            x => x.getField("chunk_text")),
+          " ").as(textCol),
+        count(lit(1)).as("n_spans_kept"))
+  }
+
   // ------------------------------------------------------------------
   // MinHash + LSH near-dup (approximate candidate generation)
   // ------------------------------------------------------------------
@@ -258,6 +361,50 @@ object Dedup {
       .filter(col("contamination") > maxContamination)
       .select(col(idCol))
     docs.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  /** Approximate anti-join through a Bloom filter — the 100 TB form of
+    * "drop every left row whose key exists on the right" when the right
+    * side is too large to broadcast exactly and an exact shuffled
+    * anti-join (which moves BOTH sides) is not worth the pass. The
+    * right keys are folded into one Bloom filter via Spark's
+    * map-side-combining `bloom_filter_agg` (each partition builds a
+    * partial sketch; only `numBits`-sized blobs move), the final blob is
+    * embedded as a literal, and the left side is filtered scan-locally
+    * with the codegen'd `might_contain` — no shuffle touches left rows.
+    *
+    * Contract (one-sided error, spec'd): a Bloom filter has NO false
+    * negatives, so every left row whose key IS present on the right is
+    * definitely dropped — the result is always a SUBSET of the exact
+    * anti-join, short by ~fpp of the surviving rows (false positives
+    * over-drop). That direction is the safe one for decontamination
+    * and reference-corpus dedup: leakage never survives; the cost is a
+    * sliver of clean data, tunable via `numBits` (default 8 bits/item
+    * ≈ 2% fpp; 16 ≈ 0.05%). NULL left keys are kept, matching exact
+    * left_anti semantics (NULL equals nothing). Keys are xxhash64'd on
+    * both sides, so any orderable type works. */
+  def bloomAntiJoin(left: DataFrame, leftKeyCol: String,
+      right: DataFrame, rightKeyCol: String,
+      expectedItems: Long, bitsPerItem: Int = 8): DataFrame = {
+    require(expectedItems > 0 && bitsPerItem > 0)
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftglue.Bridge
+    val numBits = expectedItems * bitsPerItem
+    val buildAgg = new BloomFilterAggregate(
+      new XxHash64(Seq(Bridge.expression(right.col(rightKeyCol)))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    // the blob is the ONLY thing collected: numBits/8 bytes, the same
+    // driver-resident-sketch trade as IVF centroids (documented there)
+    val blob = right.select(Bridge.column(buildAgg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (blob == null) left // empty right side: nothing can match
+    else {
+      val might = Bridge.column(new BloomFilterMightContain(
+        Literal(blob, org.apache.spark.sql.types.BinaryType),
+        new XxHash64(Seq(Bridge.expression(left.col(leftKeyCol))))))
+      left.filter(col(leftKeyCol).isNull || !might)
+    }
   }
 
   // ------------------------------------------------------------------

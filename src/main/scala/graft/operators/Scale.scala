@@ -163,6 +163,37 @@ object Scale {
       "left_semi")
   }
 
+  /** Leakage-safe train/val/test split: every document is assigned a
+    * split by its near-dup COMPONENT id, not its own id — so two
+    * near-duplicate documents (or a whole transitive dup cluster) can
+    * never straddle splits. Plain per-doc hash splits leak: a train doc
+    * and its test near-twin let the model "memorize" eval answers, the
+    * exact failure mode dedup-aware eval protocols exist for. `pairs`
+    * is a precomputed near-dup pair frame (id_a, id_b) from any
+    * generator in the family (Jaccard, MinHash, SimHash, embedding
+    * LSH) — the same contract `dropNearDups`/`nearDupComponents` take.
+    *
+    * Assignment is `component_id mod 100` against cumulative percent
+    * boundaries — deterministic and engine-portable (component ids are
+    * the component's minimum member id; integral ids required, like the
+    * quota operator). Singleton docs are their own component, so clean
+    * docs split ~trainPct/valPct/test. Scale shape: the split adds ONE
+    * scan-local CASE on top of the components computation — the
+    * components cost (subgraph-sized loop or driver union-find) IS the
+    * cost. Output: (idCol, component_id, split ∈ train|val|test). */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct, 0 <= valPct, trainPct + valPct < 100; " +
+        s"got $trainPct/$valPct")
+    Dedup.nearDupComponents(df, idCol, pairs)
+      .withColumn("split",
+        when(pmod(col("component_id"), lit(100)) < trainPct, lit("train"))
+          .when(pmod(col("component_id"), lit(100)) < trainPct + valPct,
+            lit("val"))
+          .otherwise(lit("test")))
+  }
+
   /** Training-sequence packing assignment — the "concatenate and cut
     * every `budget` tokens" step that turns a curated corpus into
     * fixed-length pretraining rows. Within each `partitionCol` shard,

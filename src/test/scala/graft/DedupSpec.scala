@@ -456,4 +456,80 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(kept === Array(0L, 3L)) // 1,2,4 all appear as id_b of some pair
   }
+
+  test("dedupSpans removes cross-doc duplicated spans and reassembles the rest") {
+    val fixture = Seq(
+      (1L, "a b c d e f g"),  // spans: "a b c", "d e f", "g"
+      (2L, "a b c x y z"),    // shares span 0 with docs 1 and 5
+      (3L, "p q r"),          // untouched
+      (4L, "m n o m n o"),    // same span TWICE within one doc — kept
+      (5L, "a b c"),          // its only span is duplicated → vanishes
+      (6L, "   ")             // blank → no spans → absent
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(fixture, "doc_id", "text", spanTokens = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      1L -> (("d e f g", 2L)),
+      2L -> (("x y z", 1L)),
+      3L -> (("p q r", 1L)),
+      4L -> (("m n o m n o", 2L))))
+
+    // minDupDocs above the max observed df: nothing is duplicated
+    // "enough", every non-blank doc survives intact (modulo the
+    // operator's whitespace normalization, identity on these fixtures)
+    val loose = Dedup.dedupSpans(fixture, "doc_id", "text",
+        spanTokens = 3, minDupDocs = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(loose === Map(1L -> "a b c d e f g", 2L -> "a b c x y z",
+      3L -> "p q r", 4L -> "m n o m n o", 5L -> "a b c"))
+  }
+
+  test("jaccardNearDupPairsAcross equals the cross-side restriction of the self-join") {
+    val newBatch = docs.filter(col("doc_id") % 2 === 0)
+    val ref = docs.filter(col("doc_id") % 2 =!= 0)
+    val across = Dedup.jaccardNearDupPairsAcross(
+        newBatch, "doc_id", "text", ref, "doc_id", "text", n = 3, threshold = 0.3)
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toSet
+    val straddling = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.3)
+      .collect()
+      .filter(r => r.getLong(0) % 2 != r.getLong(1) % 2)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(across.nonEmpty, "fixture must produce at least one cross pair")
+    assert(across === straddling)
+  }
+
+  test("bloomAntiJoin: no false negatives, subset of exact, bounded overshoot") {
+    val left = (0L until 2000L).map(i => (i, s"row $i")).toDF("id", "payload")
+    val right = (0L until 2000L by 3).map(Tuple1(_)).toDF("id")
+    val kept = Dedup.bloomAntiJoin(left, "id", right, "id",
+        expectedItems = 700)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val rightSet = (0L until 2000L by 3).toSet
+    val exact = (0L until 2000L).toSet -- rightSet
+    // one-sided error: every right member is DEFINITELY dropped
+    assert(kept.intersect(rightSet).isEmpty)
+    // and the result is a subset of the exact anti-join...
+    assert(kept.subsetOf(exact))
+    // ...short only by false positives: >= 90% survival at 8 bits/item
+    // (expected fpp ~2%)
+    assert(kept.size >= (exact.size * 0.9).toInt,
+      s"only ${kept.size}/${exact.size} clean rows survived")
+  }
+
+  test("bloomAntiJoin keeps NULL keys and handles an empty right side") {
+    val left = Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "b")).toDF("id", "payload")
+    val out = Dedup.bloomAntiJoin(left, "id",
+        Seq(Tuple1(1L)).toDF("id"), "id", expectedItems = 10)
+      .select("payload").collect().map(_.getString(0)).toSet
+    assert(out === Set("b")) // 1 dropped, NULL kept (left_anti semantics)
+    val empty = Dedup.bloomAntiJoin(left, "id",
+        Seq.empty[Tuple1[Long]].toDF("id"), "id", expectedItems = 10)
+    assert(empty.count() === 2) // nothing can match an empty right side
+  }
 }

@@ -200,4 +200,37 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
     assert(c === Map((0, 0) -> 2.0, (0, 1) -> 4.0, (1, 0) -> 10.0, (1, 1) -> 20.0))
   }
+
+  test("leakageSafeSplit keeps whole near-dup components in one split") {
+    val docs = (0L until 300L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    // transitive cluster {7, 121, 205} plus pair {30, 31}
+    val pairs = Seq((7L, 205L), (205L, 121L), (30L, 31L)).toDF("id_a", "id_b")
+    val out = Scale.leakageSafeSplit(docs, "doc_id", pairs)
+    val m = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(m.size === 300)
+    // the cluster shares component 7 → everyone lands in 7's split
+    assert(m(7L) === ((7L, "train")))
+    assert(m(121L) === ((7L, "train")))
+    assert(m(205L) === ((7L, "train")))
+    assert(m(30L) === ((30L, "train")) && m(31L) === ((30L, "train")))
+    // singletons split by their own id mod 100: 80..89 val, 90..99 test
+    assert(m(85L) === ((85L, "val")))
+    assert(m(185L) === ((185L, "val")))
+    assert(m(99L) === ((99L, "test")))
+    assert(m(42L) === ((42L, "train")))
+    // every near-dup pair's endpoints agree on the split — the whole
+    // point of the operator
+    Seq(7L -> 205L, 205L -> 121L, 30L -> 31L).foreach { case (a, b) =>
+      assert(m(a)._2 === m(b)._2)
+    }
+  }
+
+  test("leakageSafeSplit rejects impossible percent boundaries") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Scale.leakageSafeSplit(docs, "doc_id", pairs, trainPct = 95, valPct = 10)
+    }
+  }
 }

@@ -280,4 +280,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(halfwidthStop.compareTo(linearB) > 0, "sanity: UTF-16 disagrees")
     assert(got === Seq("z", halfwidthStop, linearB))
   }
+
+  test("vocabCoverage: cumulative head coverage with deterministic tie order") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: a=2, b=2, c=1; total 5 tokens; tie a/b broken term-asc
+    val top2 = TextAnalysis.vocabCoverage(docs, "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(top2 === Seq(("a", 2L, 0.4), ("b", 2L, 0.8)))
+    // k beyond the vocabulary: the curve ends at exactly 1.0
+    val all = TextAnalysis.vocabCoverage(docs, "text", 10)
+      .orderBy(col("coverage")).collect()
+    assert(all.length === 3)
+    assert(all.last.getDouble(2) === 1.0)
+    // blank docs contribute no tokens (the [''] quirk is filtered)
+    val withBlank = TextAnalysis.vocabCoverage(
+        docs.union(Seq((3L, "   ")).toDF("doc_id", "text")), "text", 10)
+      .collect()
+    assert(withBlank.length === 3)
+  }
 }
