@@ -561,6 +561,18 @@ object SparkEntry {
           multiProbe = true, dim = 64)
         .orderBy("query_id", "rank")
     }),
+    // PQ compressed-store serving: 16 subspaces × 32 codewords (80-bit
+    // codes, 25.6× smaller than the float32 vectors) scored by ADC,
+    // top-256 shortlist re-ranked exactly. rerank=256 is AnnTune-tuned
+    // for recall 1 with margin (0 misses at 128 already at sf0.01;
+    // 0 at 256 across all SFs), so the query shares the exhaustive
+    // oracle like the other ANN paths.
+    "q_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, m = 16, ksub = 32, rerank = 256)
+        .orderBy("query_id", "rank")
+    }),
     // the LSH-bucketed pair generator IS the registered path — the
     // quadratic crossJoin variant survives only as the spec baseline
     "q_embedding_neardup" -> ((s, dir) =>
@@ -1535,6 +1547,7 @@ object SparkEntry {
     // both verify candidates with exact cosine, so output ≡ exhaustive
     "q_ann_lsh_topk" -> exactTopKOracleSql,
     "q_ivf_topk" -> exactTopKOracleSql,
+    "q_pq_topk" -> exactTopKOracleSql,
     "q_embedding_neardup" ->
       """WITH nz AS (SELECT vec_id, embedding FROM embeddings
                      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)

@@ -317,6 +317,132 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) — compressed-store ANN
+  // ------------------------------------------------------------------
+
+  /** Train PQ codebooks: `m` subspaces × `ksub` codewords, Lloyd
+    * k-means per subspace over a deterministic training sample of
+    * L2-NORMALIZED corpus vectors (PQ serves cosine here: on unit
+    * vectors cos = 1 − ‖q−x‖²/2, so L2 codebooks carry cosine order).
+    *
+    * Training is SAMPLE-based by design — exactly how production PQ
+    * trains (FAISS trains on 10⁴–10⁶ vectors regardless of corpus
+    * size): the first `maxTrainRows` non-zero vectors by id are
+    * collected to the driver (≤ maxTrainRows × dim floats — MBs, the
+    * same driver-resident trade as IVF centroids), initialized Forgy
+    * (first ksub sample subvectors) and refined `iters` rounds with
+    * ties to the smaller code. Fully deterministic: same corpus ⇒ same
+    * codebooks, the reproducibility a data recipe needs. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int = 10,
+      maxTrainRows: Int = 16384): Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 1 && iters >= 0 && maxTrainRows >= ksub)
+    val rows = corpus
+      .withColumn("__n", l2Norm(col(vecCol)))
+      .filter(col("__n") > 0)
+      .orderBy(col(idCol)).limit(maxTrainRows)
+      .select(col(vecCol), col("__n"))
+      .collect()
+    require(rows.nonEmpty, "pqCodebooks: no non-zero training vectors")
+    val dim = rows.head.getSeq[Float](0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    // normalized sample, row-major
+    val sample: Array[Array[Double]] = rows.map { r =>
+      val n = r.getDouble(1)
+      r.getSeq[Float](0).iterator.map(_.toDouble / n).toArray
+    }
+    Array.tabulate(m) { j =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      var cents = Array.tabulate(math.min(ksub, pts.length))(c => pts(c).clone())
+      if (cents.length < ksub) { // degenerate tiny corpus: pad by repetition
+        cents = Array.tabulate(ksub)(c => pts(c % pts.length).clone())
+      }
+      def nearest(p: Array[Double]): Int = {
+        var best = 0; var bestDist = Double.PositiveInfinity
+        var c = 0
+        while (c < ksub) {
+          var dist = 0.0; var i = 0
+          while (i < dsub) { val d = p(i) - cents(c)(i); dist += d * d; i += 1 }
+          if (dist < bestDist) { bestDist = dist; best = c }
+          c += 1
+        }
+        best
+      }
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Long](ksub)
+        pts.foreach { p =>
+          val c = nearest(p)
+          counts(c) += 1
+          var i = 0
+          while (i < dsub) { sums(c)(i) += p(i); i += 1 }
+        }
+        cents = Array.tabulate(ksub) { c =>
+          if (counts(c) == 0) cents(c) // empty cell keeps its codeword
+          else sums(c).map(_ / counts(c))
+        }
+      }
+      cents
+    }
+  }
+
+  /** PQ-encode the corpus: (idCol, codes array<int> of length m) — the
+    * compressed embedding store. 64 float32 dims (256 bytes + ids)
+    * become m ints (m bytes once written as int8 parquet), a 16–32×
+    * store cut, and the codes column is all a serving scan needs. One
+    * codegen'd pass, no shuffle; zero-norm vectors are dropped like the
+    * rest of the cosine family. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    corpusSide(corpus, idCol, vecCol)
+      .select(col("neighbor_id").as(idCol),
+        graft.expressions.PqExpressions
+          .pqEncode(col("cv"), col("cnorm"), codebooks).as("codes"))
+
+  /** PQ approximate top-k with exact re-rank — the compressed-store
+    * serving path: score every (query, code-row) pair with the
+    * asymmetric (ADC) distance — reading m bytes of codes per corpus
+    * vector instead of D floats, the memory-bandwidth win PQ exists
+    * for — shortlist the `rerank` best per query through the map-side-
+    * combining TopK epilogue, then re-score ONLY the shortlist with
+    * exact cosine on the raw vectors. With `rerank` covering the ADC
+    * shortlist's true top-k (fixture-tuned via `AnnTune`, like
+    * LSH/IVF), output EQUALS brute force and shares the exhaustive
+    * oracle; recall degrades gracefully as rerank shrinks.
+    *
+    * Scale shape: codes build is one codegen'd scan; ADC scoring
+    * streams the (m-byte-wide) codes once against broadcast queries —
+    * no shuffle on the corpus side; the shortlist join touches
+    * `rerank × queries` rows only. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+      rerank: Int = 64, iters: Int = 10): DataFrame = {
+    require(rerank >= k, s"rerank $rerank must cover k = $k")
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub, iters)
+    val c = corpusSide(corpus, idCol, vecCol)
+    val codes = c.select(col("neighbor_id"),
+      graft.expressions.PqExpressions
+        .pqEncode(col("cv"), col("cnorm"), cbs).as("codes"))
+    val q = querySide(queries, idCol, vecCol)
+    // approx cosine from ADC on unit vectors: cos ≈ 1 − ‖q−x̂‖²/2
+    val shortlist = rankTopK(
+      codes.crossJoin(broadcast(q))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (lit(1.0) - graft.expressions.PqExpressions
+            .pqAdcDistance(col("codes"), col("qv"), col("qnorm"), cbs) / 2)
+            .as("cos")),
+      rerank).select("query_id", "neighbor_id")
+    val rescored = shortlist
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotProduct(col("cv"), col("qv")) / (col("cnorm") * col("qnorm"))).as("cos"))
+    rankTopK(rescored, k)
+  }
+
   /** Symmetric int8 quantization of an embedding column — the storage
     * step that cuts a float32 embedding store 4× (and feeds int8 SIMD
     * distance kernels downstream). Per vector: scale = 127 / max|x|,

@@ -54,6 +54,13 @@ object AnnTune {
         val (a, e, m) = diff(ivf, exactTopK)
         println(s"IVFTOPK $dir nProbe=$nProbe ivf=$a exact=$e missed=$m")
       }
+      for ((m8, ksub, rerank) <- Seq((16, 32, 128), (16, 32, 256),
+          (16, 64, 128), (16, 64, 256), (32, 64, 128), (32, 64, 256))) {
+        val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5,
+          m = m8, ksub = ksub, rerank = rerank)
+        val (a, e, m) = diff(pq, exactTopK)
+        println(s"PQTOPK $dir m=$m8 ksub=$ksub rerank=$rerank pq=$a exact=$e missed=$m")
+      }
     }
     spark.stop()
   }

@@ -134,6 +134,74 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id", "rank")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(ivfTopK === exactTopK)
+    val pqTopK = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5,
+        m = 16, ksub = 32, rerank = 256)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pqTopK === exactTopK)
+  }
+
+  test("pqCodebooks are deterministic with the declared shape") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val b = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    assert(a.length === 8)
+    assert(a.forall(cb => cb.length === 16 && cb.forall(_.length === 8)))
+    assert(a.flatten.flatten.toSeq === b.flatten.flatten.toSeq,
+      "same corpus must train identical codebooks")
+  }
+
+  test("pqEncode: m codes per vector, all within [0, ksub)") {
+    val emb = Tables.embeddings(spark, sf)
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cbs).collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length === 8)
+      assert(cs.forall(c => c >= 0 && c < 16))
+    }
+    // the compression claim: 8 int codes (storable as 8 bytes: ksub=16
+    // fits 4 bits) vs 64 float32 dims = 256 bytes per vector
+    assert(codes.head.getSeq[Int](1).length * 1 < 64 * 4 / 8)
+  }
+
+  test("PQ expressions: exact hand-computed encode and ADC distance") {
+    // m=2 subspaces of 2 dims, ksub=2 codewords each, axis-aligned
+    val cbs: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val df = Seq((1L, Array(2.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    // normalized vector [1,0,0,0]: subspace 0 → codeword 0 (distance 0);
+    // subspace 1 is [0,0] — equidistant (dist 1) from both codewords,
+    // the tie must go to the SMALLER code
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", cbs)
+      .collect().head.getSeq[Int](1)
+    assert(codes === Seq(0, 0))
+    // ADC distance of the same (normalized) query against its own codes:
+    // subspace 0 exact (0), subspace 1 decodes to [1,0] vs query [0,0] → 1
+    val dist = df
+      .select(graft.expressions.PqExpressions.pqAdcDistance(
+        typedLit(Seq(0, 0)), col("embedding"), lit(2.0), cbs).as("d"))
+      .collect().head.getDouble(0)
+    assert(math.abs(dist - 1.0) < 1e-12)
+  }
+
+  test("pqTopK degrades gracefully: tiny rerank still returns k valid rows") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 3)
+    val out = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 5,
+        m = 8, ksub = 16, rerank = 5)
+    val rows = out.collect()
+    assert(rows.length === queries.count() * 5)
+    // the cos column is the EXACT re-ranked cosine, not the ADC proxy:
+    // every reported score must match a direct computation
+    val direct = Similarity.bruteForceScored(emb, queries, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(math.abs(r.getDouble(3) - direct(k)) < 1e-9)
+    }
   }
 
   test("quantizeInt8: q in [-127,127], dequantization within half a step") {
