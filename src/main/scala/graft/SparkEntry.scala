@@ -713,6 +713,20 @@ object SparkEntry {
           c = 5.0)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
+    // quality-decile labels + percent rank: the mixing-recipe binning
+    // ("train on deciles 7-10"); tie order (quality, doc_id) is unique,
+    // so bins and ranks are deterministic cross-engine
+    "q_quality_bins" -> ((s, dir) =>
+      Scale.rankBins(
+          Tables.documents(s, dir).select(col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("quality")),
+          "quality", "doc_id", nBins = 10)
+        .orderBy("doc_id")),
+    // per-shard export accounting: doc counts, token totals, id ranges
+    "q_shard_manifest" -> ((s, dir) =>
+      Scale.shardManifest(Tables.documents(s, dir), "doc_id", 16,
+          TextAnalysis.tokenCount(col("text")))
+        .orderBy("shard")),
     // domain-cap curation: at most 10 docs per source, smallest ids —
     // quota via the map-side-combining TopKAggregator; oracle is the
     // row_number window formulation
@@ -1079,6 +1093,39 @@ object SparkEntry {
          FROM g JOIN th ON g.source = th.source
          WHERE g.doc_id % 1000000 < th.thresh
          ORDER BY g.doc_id""",
+    // same quality formulation as q_text_quality, then standard-SQL
+    // ntile/percent_rank over the unique (quality, doc_id) order — both
+    // engines share the leading-buckets-get-the-remainder ntile rule
+    "q_quality_bins" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  string_split_regex(trim(text), '\s+') AS w,
+                  length(text) AS nc,
+                  CAST(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE) AS np
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+                  CAST(len(w) AS DOUBLE) AS tc,
+                  CASE WHEN nc = 0 THEN 0.0 ELSE np / nc END AS punct_ratio,
+                  CAST(len(list_filter(w, t -> t IN ('the','a','an','of','to','and','in','is','it','for'))) AS DOUBLE) / len(w) AS stop_ratio,
+                  CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) / len(w) AS avg_len
+           FROM f),
+         q AS (SELECT doc_id,
+                least(tc / 100.0, 1.0) * 0.3
+                + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3
+                + least(stop_ratio * 5.0, 1.0) * 0.2
+                + (1.0 - least(abs(avg_len - 5.0) / 5.0, 1.0)) * 0.2 AS quality
+               FROM g)
+         SELECT doc_id, quality,
+                CAST(ntile(10) OVER (ORDER BY quality, doc_id) AS INT) AS bin,
+                percent_rank() OVER (ORDER BY quality, doc_id) AS pct_rank
+         FROM q ORDER BY doc_id""",
+    "q_shard_manifest" ->
+      """SELECT doc_id % 16 AS shard, count(*) AS n_docs,
+                CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                  AS n_tokens,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM documents GROUP BY 1 ORDER BY shard""",
     "q_domain_quota" ->
       """SELECT doc_id, source, lang FROM (
            SELECT doc_id, source, lang,

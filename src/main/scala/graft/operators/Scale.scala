@@ -232,6 +232,58 @@ object Scale {
           .cast("long") - col("seq_id") + lit(1L))
   }
 
+  /** Global rank binning: each row gets its quantile bin (1..nBins,
+    * ntile semantics) and percent rank by `valCol`, ties broken by
+    * `idCol` so the order — and therefore every bin edge — is unique
+    * and deterministic. The curation use: quality-decile labels for
+    * mixing recipes ("train on deciles 7–10, hold 4–6 for ablations").
+    *
+    * `exact = true` is the oracle-checked form: ONE global window sort
+    * — inherently single-ordered (the semantics, not the plan, demand a
+    * total order), fine up to ~10⁸ rows per driver-sized task.
+    * `exact = false` is the 100 TB path: Greenwald–Khanna quantile cuts
+    * broadcast against the stream, bin = 1 + #cuts below the value —
+    * scan-local, no global sort, no percent_rank (a total rank is
+    * exactly what the approximation avoids materializing); spec'd
+    * within ±1 bin of exact. */
+  def rankBins(df: DataFrame, valCol: String, idCol: String, nBins: Int,
+      exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    require(nBins >= 2, s"need at least 2 bins, got $nBins")
+    if (exact) {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(valCol), col(idCol))
+      df.select(col(idCol), col(valCol),
+        ntile(nBins).over(w).as("bin"),
+        percent_rank().over(w).as("pct_rank"))
+    } else {
+      val ps = (1 until nBins).map(_.toDouble / nBins)
+      val cuts = df.agg(approx_percentile(col(valCol),
+        typedlit(ps), lit(accuracy)).as("__cuts"))
+      df.crossJoin(broadcast(cuts))
+        .select(col(idCol), col(valCol),
+          (size(filter(col("__cuts"), c => c < col(valCol))) + 1).as("bin"))
+    }
+  }
+
+  /** Shard manifest: the per-shard accounting a training-data export
+    * writes next to its shards (doc counts, token totals, id ranges —
+    * what a loader needs to plan epochs without scanning data). Shard
+    * assignment is deterministic `id mod nShards` (the engine-portable
+    * default; swap xxhash64 for clustered ids, at the cost of the
+    * DuckDB oracle — the `modSample`/`hashSample` trade). One
+    * map-side-combined aggregation; output is nShards rows. */
+  def shardManifest(df: DataFrame, idCol: String, nShards: Int,
+      tokenCount: Column): DataFrame = {
+    require(nShards >= 1)
+    df.select(pmod(col(idCol), lit(nShards)).as("shard"),
+        col(idCol).as("__id"), tokenCount.cast("long").as("__tok"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        min(col("__id")).as("min_id"),
+        max(col("__id")).as("max_id"))
+  }
+
   /** Sketch-based corpus statistics — the 100 TB form of the exact
     * `q_corpus_stats` aggregation. Exact `percentile` buffers every
     * value of a group on the final reducer (memory ∝ group size — fine

@@ -226,6 +226,44 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("rankBins exact: ntile sizes, bin monotonicity, rank endpoints") {
+    val df = (1L to 20L).map(i => (i, (i * 7 % 20).toDouble)).toDF("id", "v")
+    val out = Scale.rankBins(df, "v", "id", nBins = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getDouble(3)))
+    assert(out.length === 20)
+    // 20 rows / 4 bins: exactly 5 per bin (ntile leading-bucket rule)
+    assert(out.groupBy(_._3).view.mapValues(_.length).toMap ===
+      Map(1 -> 5, 2 -> 5, 3 -> 5, 4 -> 5))
+    // bins are monotone in the (v, id) order; pct_rank spans [0, 1]
+    val sorted = out.sortBy(r => (r._2, r._1))
+    assert(sorted.map(_._3).toSeq === sorted.map(_._3).sorted.toSeq)
+    assert(sorted.head._4 === 0.0 && sorted.last._4 === 1.0)
+  }
+
+  test("rankBins approx: within one bin of exact on the fixture") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars").cast("double").as("v"))
+    val exact = Scale.rankBins(docs, "v", "doc_id", nBins = 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val approx = Scale.rankBins(docs, "v", "doc_id", nBins = 10, exact = false)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(approx.keySet === exact.keySet)
+    val off = approx.count { case (id, b) => math.abs(b - exact(id)) > 1 }
+    assert(off === 0, s"$off rows more than one bin from exact")
+  }
+
+  test("shardManifest: counts, token totals, and id ranges per mod shard") {
+    val df = Seq((0L, "a b"), (1L, "c"), (16L, "d e f"), (17L, ""))
+      .toDF("doc_id", "text")
+    val m = Scale.shardManifest(df, "doc_id", 16,
+        graft.functions.TextAnalysis.tokenCount(col("text")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // shard 0: docs 0, 16 — 2 + 3 tokens; shard 1: docs 1, 17 — the
+    // empty doc counts 1 token (the [''] split quirk, same both engines)
+    assert(m === Map(0L -> ((2L, 5L, 0L, 16L)), 1L -> ((2L, 2L, 1L, 17L))))
+  }
+
   test("leakageSafeSplit rejects impossible percent boundaries") {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
