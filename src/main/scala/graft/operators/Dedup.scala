@@ -201,15 +201,24 @@ object Dedup {
     require(spanTokens > 0, s"spanTokens must be positive, got $spanTokens")
     require(minDupDocs >= 2,
       s"a span is 'duplicated' only in >= 2 docs, got minDupDocs = $minDupDocs")
-    val spans = TextAnalysis.chunkDocs(docs, idCol, textCol,
+    // The span rows feed the dup-detection aggregate AND the anti-join
+    // left side. A repartition barrier alone does NOT deduplicate the
+    // work here: the chunk generator is a TYPED MapPartitions node, and
+    // AQE's stage cache does not unify the two planned copies of a
+    // typed subtree (verified in the executed plan), so without the
+    // eager localCheckpoint the corpus would be tokenized and chunked
+    // once per consumer. The checkpoint materializes the keyed span
+    // rows exactly once — the same move CCNet-style pipelines make when
+    // they write the paragraph-hash table before joining against it; at
+    // cluster scale this is a corpus-sized persist(DISK_ONLY)-class
+    // materialization, priced once. (No repartition: checkpointed
+    // partitioning is opaque to the planner anyway, so downstream
+    // exchanges are planned on the keys that need them.)
+    val keyed = TextAnalysis.chunkDocs(docs, idCol, textCol,
         chunkTokens = spanTokens, overlap = 0)
-      // materialization barrier: the span rows feed the dup-detection
-      // aggregate AND the anti-join left side; behind one exchange the
-      // flatMap runs once (ReuseExchange), and the final reassembly
-      // groupBy(id) reuses this partitioning
-      .repartition(col(idCol))
-    val keyed = spans.select(col(idCol), col("chunk_idx"), col("chunk_text"),
-      xxhash64(col("chunk_text")).as("__s"))
+      .select(col(idCol), col("chunk_idx"), col("chunk_text"),
+        xxhash64(col("chunk_text")).as("__s"))
+      .localCheckpoint()
     val dup = keyed.select(col("__s"), col(idCol)).distinct()
       .groupBy("__s").agg(count(lit(1)).as("__d"))
       .filter(col("__d") >= minDupDocs)

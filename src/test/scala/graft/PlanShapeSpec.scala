@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions.col
 
 /** Plan-shape regression guards: the properties that make these queries
   * scale (pushdown, pruning, broadcast) asserted against the actual
@@ -127,5 +128,49 @@ class PlanShapeSpec extends SparkSpec {
     val p = SparkEntry.queries("q1_lineitem_agg")(spark, sf)
       .queryExecution.explainString(org.apache.spark.sql.execution.CodegenMode)
     assert(p.contains("WholeStageCodegen"))
+  }
+
+  test("q_pq_topk: both top-k stages are aggregates, queries broadcast") {
+    // the ADC shortlist and the exact re-rank both run through the
+    // map-side-combining TopKAggregator — no per-query window sort
+    val p = plan("q_pq_topk")
+    assert(!p.contains("Window"))
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side must broadcast against the streamed code scan")
+  }
+
+  test("bloomAntiJoin probes scan-locally: no join, no exchange on the left") {
+    val left = Tables.documents(spark, sf)
+    val right = Tables.documents(spark, sf).filter(col("doc_id") % 7 === 0)
+    val p = graft.operators.Dedup.bloomAntiJoin(left, "doc_id", right, "doc_id",
+        expectedItems = 1000)
+      .queryExecution.explainString(FormattedMode)
+    // the whole point: the probe is a filter on the scan, the left side
+    // never joins or shuffles
+    assert(!p.contains("Join") && !p.contains("Exchange"), p)
+    assert(p.contains("might_contain"))
+  }
+
+  test("q_dedup_spans: digest joins, and the span generator runs exactly once") {
+    val df = SparkEntry.queries("q_dedup_spans")(spark, sf)
+    val p = df.queryExecution.explainString(FormattedMode)
+    // dup detection + anti-join key on the materialized __s digest
+    // column (xxhash64(chunk_text), computed once inside the checkpoint)
+    assert(p.contains("__s"))
+    // dedupSpans eagerly localCheckpoints the span rows (AQE's stage
+    // cache does not unify two planned copies of a typed MapPartitions
+    // subtree, so a plain barrier would chunk the corpus once per
+    // consumer): both consumers must scan the SAME materialized RDD —
+    // the chunk generator ran exactly once
+    val rddRefs = "MapPartitionsRDD\\[\\d+\\]".r.findAllIn(p).toList
+    assert(rddRefs.size >= 2 && rddRefs.distinct.size === 1,
+      s"expected both consumers to share one checkpointed RDD, saw $rddRefs")
+  }
+
+  test("q_vocab_coverage: head cut is TakeOrderedAndProject, window is k-bounded") {
+    val p = plan("q_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k head must ship per-partition local top-k, not a global sort")
   }
 }
