@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Scale, Similarity}
 
 /** Null-robustness contract: a 100 TB corpus WILL contain null text,
   * null embeddings, and null payloads (failed fetches, schema drift).
@@ -104,5 +104,37 @@ class NullSafetySpec extends SparkSpec {
     val out = Multimodal.extractFeatures(assets).collect().sortBy(_.assetId)
     assert(out.length === 2)
     assert(out(1).byteLen === 0 && !out(1).decoded && out(1).brightness === 0.0)
+  }
+
+  test("dedupSpans: null and empty docs vanish silently, never NPE") {
+    val out = Dedup.dedupSpans(docsWithNulls, "doc_id", "text", spanTokens = 4)
+      .collect().map(_.getLong(0)).toSet
+    // docs 1/2 are exact dups — their single span is cross-doc
+    // duplicated, both vanish; 3/4 (null) and 5 (empty) yield no spans;
+    // 6 survives intact
+    assert(out === Set(6L))
+  }
+
+  test("cross-corpus pairs: null texts on either side contribute nothing") {
+    val pairs = Dedup.jaccardNearDupPairsAcross(
+        docsWithNulls, "doc_id", "text", docsWithNulls, "doc_id", "text",
+        n = 2, threshold = 0.5)
+      .collect()
+    // identical corpora: every shingled doc matches itself, 1 and 2
+    // match each other; nulls (3, 4) and the empty doc (5) must not
+    // join-match anything
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 1L), (2L, 2L), (1L, 2L), (2L, 1L), (6L, 6L)))
+  }
+
+  test("rankBins: null values order first (Spark default) without NPE") {
+    val df = Seq((1L, Some(2.0)), (2L, None), (3L, Some(1.0)))
+      .toDF("id", "v")
+    val out = Scale.rankBins(df, "v", "id", nBins = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out.size === 3)
+    // NULLS FIRST in Spark's default ascending order: the null row
+    // lands in bin 1
+    assert(out(2L) === 1)
   }
 }
