@@ -435,12 +435,75 @@ object Similarity {
             .pqAdcDistance(col("codes"), col("qv"), col("qnorm"), cbs) / 2)
             .as("cos")),
       rerank).select("query_id", "neighbor_id")
+    exactRerank(shortlist, c, q, k)
+  }
+
+  /** Exact-cosine re-rank of an ANN shortlist: join the raw vectors
+    * back onto the (rerank × queries)-sized candidate set and rank the
+    * true scores. Shared epilogue of the PQ family. */
+  private def exactRerank(shortlist: DataFrame, c: DataFrame, q: DataFrame,
+      k: Int): DataFrame = {
     val rescored = shortlist
-      .join(c, Seq("neighbor_id"))
+      .join(c.select("neighbor_id", "cv", "cnorm"), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dotProduct(col("cv"), col("qv")) / (col("cnorm") * col("qnorm"))).as("cos"))
     rankTopK(rescored, k)
+  }
+
+  /** IVF-PQ composed index — the full production serving shape (FAISS
+    * IndexIVFPQ): coarse cells prune the corpus to ~nProbe/C per query,
+    * PQ codes compress what remains to m bytes per vector, ADC scores
+    * the probed codes, and the shortlist is re-ranked exactly. At
+    * 100 TB both stages are load-bearing: IVF bounds how much is READ
+    * per query, PQ bounds how much is STORED (and how fast the probed
+    * cells stream). Both stages reuse their standalone recall-1-tuned
+    * machinery; the composition is spec'd ≡ brute force at the
+    * registered-parameter point (probing keeps every true neighbor, so
+    * the ADC shortlist over the probed subset can only be a superset
+    * of pure PQ's over the same neighbors). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numCentroids: Int = 16, nProbe: Int = 14,
+      m: Int = 16, ksub: Int = 32, rerank: Int = 256,
+      refineIters: Int = 2, pqIters: Int = 10): DataFrame = {
+    require(nProbe >= 1 && nProbe <= numCentroids && rerank >= k)
+    val init: Array[(Int, Array[Double], Double)] =
+      corpus.filter(l2Norm(col(vecCol)) > 0)
+        .orderBy(col(idCol)).limit(numCentroids)
+        .select(col(vecCol)).collect()
+        .zipWithIndex.map { case (row, i) =>
+          val v = row.getSeq[Float](0).map(_.toDouble).toArray
+          (i, v, math.sqrt(v.map(x => x * x).sum))
+        }
+    val cents =
+      if (refineIters > 0) refineCentroids(corpus, vecCol, init, refineIters)
+      else init
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub, pqIters)
+
+    val c = corpusSide(corpus, idCol, vecCol)
+      .withColumn("cell", graft.expressions.CentroidExpressions
+        .topCentroids(col("cv"), col("cnorm"), cents, 1).getItem(0))
+    // the serving-side table: cell id + m-byte code per vector
+    val codes = c.select(col("neighbor_id"), col("cell"),
+      graft.expressions.PqExpressions
+        .pqEncode(col("cv"), col("cnorm"), cbs).as("codes"))
+    // q0 = one row per query (the re-rank side); qProbed = one row per
+    // (query, probed cell) for the ADC scan — passing the exploded
+    // frame to the re-rank would duplicate every pair nProbe times
+    val q0 = querySide(queries, idCol, vecCol)
+    val qProbed = q0.withColumn("cell",
+      explode(graft.expressions.CentroidExpressions
+        .topCentroids(col("qv"), col("qnorm"), cents, nProbe)))
+
+    val shortlist = rankTopK(
+      codes.join(broadcast(qProbed), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (lit(1.0) - graft.expressions.PqExpressions
+            .pqAdcDistance(col("codes"), col("qv"), col("qnorm"), cbs) / 2)
+            .as("cos")),
+      rerank).select("query_id", "neighbor_id")
+    exactRerank(shortlist, c, q0, k)
   }
 
   /** Symmetric int8 quantization of an embedding column — the storage

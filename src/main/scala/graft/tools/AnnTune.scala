@@ -61,6 +61,12 @@ object AnnTune {
         val (a, e, m) = diff(pq, exactTopK)
         println(s"PQTOPK $dir m=$m8 ksub=$ksub rerank=$rerank pq=$a exact=$e missed=$m")
       }
+      for ((nProbe, rerank) <- Seq((14, 128), (14, 256), (16, 256))) {
+        val ivfpq = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", 5,
+          numCentroids = 16, nProbe = nProbe, m = 16, ksub = 32, rerank = rerank)
+        val (a, e, m) = diff(ivfpq, exactTopK)
+        println(s"IVFPQTOPK $dir nProbe=$nProbe rerank=$rerank ivfpq=$a exact=$e missed=$m")
+      }
     }
     spark.stop()
   }

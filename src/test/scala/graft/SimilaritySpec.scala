@@ -141,6 +141,23 @@ class SimilaritySpec extends SparkSpec {
     assert(pqTopK === exactTopK)
   }
 
+  test("ivfPqTopK (coarse cells + PQ codes + exact rerank) equals brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the composed index at the standalone stages' recall-1 parameters:
+    // probing keeps every true neighbor (IVF contract), and the ADC
+    // shortlist over the probed subset can only be a superset of pure
+    // PQ's over those same neighbors (PQ contract)
+    val composed = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding", 5,
+        numCentroids = 16, nProbe = 14, m = 16, ksub = 32, rerank = 256)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(composed === exact)
+  }
+
   test("pqCodebooks are deterministic with the declared shape") {
     val emb = Tables.embeddings(spark, sf)
     val a = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
