@@ -35,8 +35,20 @@ object ScaleProbe {
         Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.6).count())
       val (ts, ns) = time(
         Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3).count())
+      // span dedup: duplicated-span structure is per-replica (disjoint
+      // vocabularies), so dup volume grows linearly like the pair ops
+      val (tp, np) = time(
+        Dedup.dedupSpans(docs, "doc_id", "text", spanTokens = 40).count())
+      // cross-corpus pairs: 1/5 of the grown corpus plays the new batch
+      val (tx, nx) = time(
+        Dedup.jaccardNearDupPairsAcross(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+          3, 0.5).count())
       println(f"PROBE k=$k%d docs=${5000 * k}%d " +
-        f"minhash=$tm%.1fs($nm%d pairs) jaccard=$tj%.1fs($nj%d) simhash=$ts%.1fs($ns%d)")
+        f"minhash=$tm%.1fs($nm%d pairs) jaccard=$tj%.1fs($nj%d) " +
+        f"simhash=$ts%.1fs($ns%d) spans=$tp%.1fs($np%d docs) " +
+        f"across=$tx%.1fs($nx%d)")
     }
 
     // ANN top-k scaling: fixed 10-query set, corpus grown K× via

@@ -91,4 +91,37 @@ class PropertySpec extends SparkSpec {
       byText.foreach { case (_, hashes) => assert(hashes.size === 1) }
     }
   }
+
+  test("dedupSpans: every output is an aligned-span subsequence of its input") {
+    // random small-vocabulary corpora (small vocab forces cross-doc
+    // span collisions): each surviving doc's token stream must be the
+    // concatenation, in order, of a subset of its input's disjoint
+    // spanTokens-windows — never reordered, truncated mid-span (except
+    // the input's own tail span), or invented
+    val wordGen = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.chooseNum(1, 17).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val span = 4
+    forAllSamples(Gen.listOfN(12, docGen), 5) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val inputSpans: Map[Long, Seq[Seq[String]]] = docs.map { case (id, t) =>
+        id -> t.split("\\s+").toSeq.grouped(span).toSeq
+      }.toMap
+      val out = Dedup.dedupSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+          spanTokens = span)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      out.foreach { case (id, text, nKept) =>
+        val kept = text.split("\\s+").toSeq.grouped(span).toSeq
+        assert(kept.size === nKept)
+        // kept spans appear in the input's span list, in order
+        val input = inputSpans(id)
+        val matched = kept.foldLeft(0) { (from, sp) =>
+          val idx = input.indexOf(sp, from)
+          assert(idx >= 0, s"doc $id: span $sp not found in order in $input")
+          idx + 1
+        }
+        assert(matched <= input.size)
+      }
+    }
+  }
 }
