@@ -83,7 +83,10 @@ case class PqEncode(left: Expression, right: Expression,
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "pq_encode"
 
-  private def isFloat = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // hoisted out of the m×ksub×dsub loop: a def would re-run the
+  // dataType cast once per element read
+  @transient private lazy val isFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   def evalWithNorm(v: ArrayData, vnorm: Double): ArrayData = {
     val d = m * dsub
@@ -154,7 +157,9 @@ case class PqAdcDistance(first: Expression, second: Expression, third: Expressio
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc_distance"
 
-  private def isFloat = second.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // hoisted out of the m×dsub scoring loop (see PqEncode)
+  @transient private lazy val isFloat =
+    second.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   def evalDist(codes: ArrayData, q: ArrayData, qnorm: Double): Double = {
     if (codes.numElements() != m) {

@@ -399,7 +399,35 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftglue.Bridge
+    // XxHash64 is TYPE-sensitive (an int and a long of the same value
+    // hash differently), so a left/right key-type mismatch would probe
+    // past every present key and silently KEEP contaminated rows — the
+    // opposite of the one-sided contract. Fail loudly instead; callers
+    // cast explicitly.
+    val lt = left.schema(leftKeyCol).dataType
+    val rt = right.schema(rightKeyCol).dataType
+    require(lt == rt,
+      s"bloomAntiJoin key types must match exactly (XxHash64 is " +
+        s"type-sensitive): left $leftKeyCol is $lt, right $rightKeyCol is $rt")
     val numBits = expectedItems * bitsPerItem
+    // BloomFilterAggregate silently CLAMPS its parameters to the
+    // runtime-bloom-filter session caps (Math.min against
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits,
+    // default 4M items / 64M bits) — beyond them the filter would
+    // saturate and might_contain would over-drop most of the left side
+    // while still claiming ~fpp error. Reject loudly instead of
+    // inheriting the silent clamp; the confs are raisable per session.
+    val conf = right.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloomAntiJoin: expectedItems=$expectedItems / numBits=$numBits exceed " +
+        s"the session bloom caps ($maxItems items / $maxBits bits) and would " +
+        "be silently clamped into saturation; raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits " +
+        "or shard the right side")
     val buildAgg = new BloomFilterAggregate(
       new XxHash64(Seq(Bridge.expression(right.col(rightKeyCol)))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
@@ -588,7 +616,7 @@ object Dedup {
     // loop) without per-round scheduling. Non-integral ids (string keys
     // etc.) stay distributed — Spark's min() on UTF8String is byte-order,
     // which a JVM-side comparison must not silently re-define.
-    if (integralId && edges.count() <= 2 * driverEdgeLimit) {
+    if (integralId && edges.count() / 2 <= driverEdgeLimit) {
       lastComponentsRounds.set(0)
       return stitchDfLabels(df, idCol, unionFindLabels(edges, idType))
     }

@@ -278,22 +278,29 @@ object Similarity {
     cents
   }
 
+  /** Driver-side Forgy initialization shared by the IVF family: the
+    * first `numCentroids` NON-ZERO vectors by id (a zero-norm seed
+    * would make a dead cell: NULL cell score, never probed). Elements
+    * are read as boxed Numbers so `array<float>` and `array<double>`
+    * corpora both work — the expressions accept both, and a
+    * `getSeq[Float]` read would ClassCastException on doubles. */
+  private def forgyInit(corpus: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int): Array[(Int, Array[Double], Double)] =
+    corpus.filter(l2Norm(col(vecCol)) > 0)
+      .orderBy(col(idCol)).limit(numCentroids)
+      .select(col(vecCol)).collect()
+      .zipWithIndex.map { case (row, i) =>
+        val v = row.getSeq[Number](0).iterator.map(_.doubleValue).toArray
+        (i, v, math.sqrt(v.map(x => x * x).sum))
+      }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, numCentroids: Int = 16, nProbe: Int = 4,
       refineIters: Int = 2): DataFrame = {
     require(nProbe >= 1 && nProbe <= numCentroids)
-    // driver-side centroid collection (eager, small by construction):
-    // Forgy init from the first C NON-ZERO vectors (a zero-norm seed
-    // would make a dead cell: NULL cell score, never probed), then
-    // Lloyd refinement
-    val init: Array[(Int, Array[Double], Double)] =
-      corpus.filter(l2Norm(col(vecCol)) > 0)
-        .orderBy(col(idCol)).limit(numCentroids)
-        .select(col(vecCol)).collect()
-        .zipWithIndex.map { case (row, i) =>
-          val v = row.getSeq[Float](0).map(_.toDouble).toArray
-          (i, v, math.sqrt(v.map(x => x * x).sum))
-        }
+    // driver-side centroid collection (eager, small by construction),
+    // then Lloyd refinement
+    val init = forgyInit(corpus, idCol, vecCol, numCentroids)
     val cents =
       if (refineIters > 0) refineCentroids(corpus, vecCol, init, refineIters)
       else init
@@ -345,13 +352,14 @@ object Similarity {
       .select(col(vecCol), col("__n"))
       .collect()
     require(rows.nonEmpty, "pqCodebooks: no non-zero training vectors")
-    val dim = rows.head.getSeq[Float](0).length
+    val dim = rows.head.getSeq[Number](0).length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    // normalized sample, row-major
+    // normalized sample, row-major; boxed-Number reads so float AND
+    // double vector columns work (the expressions accept both)
     val sample: Array[Array[Double]] = rows.map { r =>
       val n = r.getDouble(1)
-      r.getSeq[Float](0).iterator.map(_.toDouble / n).toArray
+      r.getSeq[Number](0).iterator.map(_.doubleValue / n).toArray
     }
     Array.tabulate(m) { j =>
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
@@ -467,14 +475,7 @@ object Similarity {
       m: Int = 16, ksub: Int = 32, rerank: Int = 256,
       refineIters: Int = 2, pqIters: Int = 10): DataFrame = {
     require(nProbe >= 1 && nProbe <= numCentroids && rerank >= k)
-    val init: Array[(Int, Array[Double], Double)] =
-      corpus.filter(l2Norm(col(vecCol)) > 0)
-        .orderBy(col(idCol)).limit(numCentroids)
-        .select(col(vecCol)).collect()
-        .zipWithIndex.map { case (row, i) =>
-          val v = row.getSeq[Float](0).map(_.toDouble).toArray
-          (i, v, math.sqrt(v.map(x => x * x).sum))
-        }
+    val init = forgyInit(corpus, idCol, vecCol, numCentroids)
     val cents =
       if (refineIters > 0) refineCentroids(corpus, vecCol, init, refineIters)
       else init

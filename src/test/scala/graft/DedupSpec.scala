@@ -521,6 +521,22 @@ class DedupSpec extends SparkSpec {
       s"only ${kept.size}/${exact.size} clean rows survived")
   }
 
+  test("bloomAntiJoin fails loudly on key-type mismatch and cap overflow") {
+    val longs = Seq(Tuple1(1L)).toDF("id")
+    val ints = Seq(Tuple1(1)).toDF("id")
+    // XxHash64 is type-sensitive: int 1 and long 1 hash differently, so
+    // a silent mismatch would KEEP contaminated rows — must throw
+    intercept[IllegalArgumentException] {
+      Dedup.bloomAntiJoin(longs, "id", ints, "id", expectedItems = 10)
+    }
+    // beyond the session bloom caps Spark would silently clamp the
+    // filter into saturation — must throw instead
+    intercept[IllegalArgumentException] {
+      Dedup.bloomAntiJoin(longs, "id", longs, "id",
+        expectedItems = 1000000000L)
+    }
+  }
+
   test("bloomAntiJoin keeps NULL keys and handles an empty right side") {
     val left = Seq((java.lang.Long.valueOf(1L), "a"),
       (null.asInstanceOf[java.lang.Long], "b")).toDF("id", "payload")

@@ -158,6 +158,22 @@ class SimilaritySpec extends SparkSpec {
     assert(composed === exact)
   }
 
+  test("PQ family accepts array<double> corpora, not just array<float>") {
+    // codebook training reads boxed Numbers, so the double-array form
+    // the expressions declare support for must work end to end
+    val rng = new scala.util.Random(7)
+    val dvecs = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rng.nextDouble() - 0.5))).toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(dvecs, dvecs.filter(col("vec_id") < 2),
+        "vec_id", "embedding", k = 3, m = 4, ksub = 8, rerank = 40)
+    val exact = Similarity.bruteForceTopK(dvecs,
+        dvecs.filter(col("vec_id") < 2), "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out.select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet === exact)
+  }
+
   test("pqCodebooks are deterministic with the declared shape") {
     val emb = Tables.embeddings(spark, sf)
     val a = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, ksub = 16)
