@@ -359,6 +359,89 @@ object Dedup {
           col("n_shingles")).as("contamination"))
   }
 
+  /** Bloom-filter form of [[ngramContamination]] — the path for probe
+    * sets too large to broadcast as exact distinct shingles (a full
+    * eval-suite library in many languages can reach GBs of distinct
+    * n-grams; a bloom of the same set is `bitsPerItem`/8 bytes per
+    * shingle). The probe shingles fold into ONE bloom via the map-side-
+    * combining `bloom_filter_agg`, and each corpus doc counts its
+    * might-contain shingles scan-locally — no join, no shuffle beyond
+    * the per-doc count aggregation.
+    *
+    * Error is ONE-SIDED, the safe direction for decontamination: a
+    * bloom has no false negatives, so `shared_shingles` here is ≥ the
+    * exact count for every doc (never under-reports leakage) and
+    * over-reports by ~fpp of the doc's clean shingles. A gate built on
+    * this operator drops a superset of what the exact gate drops.
+    * Same caps/type contract as [[bloomAntiJoin]]; output schema
+    * matches [[ngramContamination]]. */
+  def ngramContaminationBloom(docs: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeTextCol: String, n: Int,
+      expectedProbeShingles: Long, bitsPerItem: Int = 8): DataFrame = {
+    val sets = docs.select(
+        col(idCol).as("id"),
+        graft.expressions.ShingleExpressions
+          .distinctWordNgrams(col(textCol), n).as("sh"))
+      .repartition(col("id"))
+      .filter(size(col("sh")) > 0)
+    val probeShingles = probes.select(
+        explode(graft.expressions.ShingleExpressions
+          .distinctWordNgrams(col(probeTextCol), n)).as("s"))
+    val postings = sets.select(col("id"), explode(col("sh")).as("s"))
+    val flagged = bloomMightContain(postings, "s", probeShingles, "s",
+        expectedProbeShingles, bitsPerItem)
+    val shared = postings
+      .filter(flagged)
+      .groupBy("id")
+      .agg(count(lit(1)).as("shared_shingles"))
+    sets.select(col("id"), size(col("sh")).as("n_shingles"))
+      .join(shared, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_shingles"),
+        coalesce(col("shared_shingles"), lit(0L)).as("shared_shingles"),
+        (coalesce(col("shared_shingles"), lit(0L)).cast("double") /
+          col("n_shingles")).as("contamination"))
+  }
+
+  /** Build a bloom over `right.rightKeyCol` and return the scan-local
+    * might-contain predicate on `left.leftKeyCol` — the probe primitive
+    * [[bloomAntiJoin]] and [[ngramContaminationBloom]] share. Enforces
+    * the type-match and session-cap contracts (see bloomAntiJoin docs);
+    * an empty right side yields a constant-false predicate. */
+  private def bloomMightContain(left: DataFrame, leftKeyCol: String,
+      right: DataFrame, rightKeyCol: String,
+      expectedItems: Long, bitsPerItem: Int): Column = {
+    require(expectedItems > 0 && bitsPerItem > 0)
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftglue.Bridge
+    val lt = left.schema(leftKeyCol).dataType
+    val rt = right.schema(rightKeyCol).dataType
+    require(lt == rt,
+      s"bloom key types must match exactly (XxHash64 is type-sensitive): " +
+        s"left $leftKeyCol is $lt, right $rightKeyCol is $rt")
+    val numBits = expectedItems * bitsPerItem
+    val conf = right.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloom parameters expectedItems=$expectedItems / numBits=$numBits " +
+        s"exceed the session caps ($maxItems items / $maxBits bits) and " +
+        "would be silently clamped into saturation; raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits " +
+        "or shard the build side")
+    val buildAgg = new BloomFilterAggregate(
+      new XxHash64(Seq(Bridge.expression(right.col(rightKeyCol)))),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    val blob = right.select(Bridge.column(buildAgg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (blob == null) lit(false)
+    else Bridge.column(new BloomFilterMightContain(
+      Literal(blob, org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(Bridge.expression(left.col(leftKeyCol))))))
+  }
+
   /** Corpus after decontamination: drop docs whose contaminated shingle
     * fraction EXCEEDS `maxContamination` (0.0 = drop on any overlap).
     * Shingle-free docs carry no benchmark text by construction and are
@@ -395,53 +478,17 @@ object Dedup {
   def bloomAntiJoin(left: DataFrame, leftKeyCol: String,
       right: DataFrame, rightKeyCol: String,
       expectedItems: Long, bitsPerItem: Int = 8): DataFrame = {
-    require(expectedItems > 0 && bitsPerItem > 0)
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graftglue.Bridge
-    // XxHash64 is TYPE-sensitive (an int and a long of the same value
-    // hash differently), so a left/right key-type mismatch would probe
-    // past every present key and silently KEEP contaminated rows — the
-    // opposite of the one-sided contract. Fail loudly instead; callers
-    // cast explicitly.
-    val lt = left.schema(leftKeyCol).dataType
-    val rt = right.schema(rightKeyCol).dataType
-    require(lt == rt,
-      s"bloomAntiJoin key types must match exactly (XxHash64 is " +
-        s"type-sensitive): left $leftKeyCol is $lt, right $rightKeyCol is $rt")
-    val numBits = expectedItems * bitsPerItem
-    // BloomFilterAggregate silently CLAMPS its parameters to the
-    // runtime-bloom-filter session caps (Math.min against
-    // spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits,
-    // default 4M items / 64M bits) — beyond them the filter would
-    // saturate and might_contain would over-drop most of the left side
-    // while still claiming ~fpp error. Reject loudly instead of
-    // inheriting the silent clamp; the confs are raisable per session.
-    val conf = right.sparkSession.conf
-    val maxItems = conf.get(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
-    val maxBits = conf.get(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
-    require(expectedItems <= maxItems && numBits <= maxBits,
-      s"bloomAntiJoin: expectedItems=$expectedItems / numBits=$numBits exceed " +
-        s"the session bloom caps ($maxItems items / $maxBits bits) and would " +
-        "be silently clamped into saturation; raise " +
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits " +
-        "or shard the right side")
-    val buildAgg = new BloomFilterAggregate(
-      new XxHash64(Seq(Bridge.expression(right.col(rightKeyCol)))),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
     // the blob is the ONLY thing collected: numBits/8 bytes, the same
-    // driver-resident-sketch trade as IVF centroids (documented there)
-    val blob = right.select(Bridge.column(buildAgg).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    if (blob == null) left // empty right side: nothing can match
-    else {
-      val might = Bridge.column(new BloomFilterMightContain(
-        Literal(blob, org.apache.spark.sql.types.BinaryType),
-        new XxHash64(Seq(Bridge.expression(left.col(leftKeyCol))))))
-      left.filter(col(leftKeyCol).isNull || !might)
-    }
+    // driver-resident-sketch trade as IVF centroids (documented there).
+    // Type-match and session-cap contracts live in bloomMightContain:
+    // XxHash64 is type-sensitive (a silent mismatch would KEEP
+    // contaminated rows), and BloomFilterAggregate silently Math.min-
+    // clamps oversized parameters into saturation.
+    val might = bloomMightContain(left, leftKeyCol, right, rightKeyCol,
+      expectedItems, bitsPerItem)
+    // NULL keys kept explicitly: might_contain(null) is null, and exact
+    // left_anti keeps null-keyed left rows (NULL equals nothing)
+    left.filter(col(leftKeyCol).isNull || !might)
   }
 
   // ------------------------------------------------------------------
