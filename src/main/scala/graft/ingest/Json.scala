@@ -63,4 +63,40 @@ object Json {
     df.withColumn("json",
       to_json(struct(df.columns.map(col): _*),
         Map("timestampFormat" -> generatorTimestampFormat)))
+
+  /** JSONL file source with corrupt-record quarantine — the batch/file
+    * twin of the Kafka JSON path, hardened for what a 100 TB crawl
+    * actually contains: truncated lines, encoding damage, schema drift.
+    * PERMISSIVE parsing binds good rows to `schema`; any line Jackson
+    * would throw on lands with its RAW text preserved in
+    * `_corrupt_record` and all schema fields null. The returned frame
+    * carries `is_corrupt` so callers can split good/dead-letter with
+    * two filters of ONE scan — no second pass over the files, and the
+    * quarantined raw lines keep the replay/debug story (silently
+    * dropping them would destroy the only copy of the evidence).
+    *
+    * The explicit schema is REQUIRED, not inferred: schema inference is
+    * a full extra pass over 100 TB before the real one, and it turns
+    * schema drift into silent column-type changes instead of quarantined
+    * rows.
+    *
+    * Spark restriction to know: a downstream plan whose referenced
+    * columns are ONLY `_corrupt_record` is rejected by the JSON source
+    * (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — project
+    * at least one data column alongside (a dead-letter writer keeps
+    * the whole row anyway), or cache first. */
+  def readJsonlFiles(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "the data schema must not declare _corrupt_record; it is added here")
+    val withCorrupt = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType, nullable = true)
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("timestampFormat", generatorTimestampFormat)
+      .json(path)
+      .withColumn("is_corrupt", col("_corrupt_record").isNotNull)
+  }
 }

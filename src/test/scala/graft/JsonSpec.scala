@@ -53,6 +53,35 @@ class JsonSpec extends SparkSpec {
     assert(valid.count() === 1L)
   }
 
+  test("readJsonlFiles quarantines corrupt lines with their raw text preserved") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toFile
+    val f = new java.io.File(dir, "part-0.jsonl")
+    val pw = new java.io.PrintWriter(f, "UTF-8")
+    pw.println("""{"id": 1, "text": "good row"}""")
+    pw.println("""{"id": 2, "text": "also good"}""")
+    pw.println("""{"id": 3, "text": "truncated""") // unterminated string
+    pw.println("""totally not json""")
+    pw.close()
+    val schema = new StructType()
+      .add("id", LongType).add("text", StringType)
+    val out = Json.readJsonlFiles(spark, f.getAbsolutePath, schema)
+    val good = out.filter(!col("is_corrupt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(good === Map(1L -> "good row", 2L -> "also good"))
+    // the dead-letter rows carry their RAW lines for replay/debugging.
+    // (a data column rides along: Spark disallows plans that reference
+    // ONLY the internal corrupt column — see the operator's doc note)
+    val bad = out.filter(col("is_corrupt"))
+      .select("_corrupt_record", "id").collect().map(_.getString(0)).toSet
+    assert(bad === Set("""{"id": 3, "text": "truncated""", "totally not json"))
+    // declaring _corrupt_record in the data schema is a contract error
+    intercept[IllegalArgumentException] {
+      Json.readJsonlFiles(spark, f.getAbsolutePath,
+        new StructType().add("_corrupt_record", StringType))
+    }
+  }
+
   test("toJsonColumn round-trips through parseTransactions incl. the timestamp") {
     val parsed = Json.parseTransactions(Seq(generatorRecord).toDF("value"))
     val json = Json.toJsonColumn(parsed).select("json")
