@@ -727,6 +727,16 @@ object SparkEntry {
       Scale.shardManifest(Tables.documents(s, dir), "doc_id", 16,
           TextAnalysis.tokenCount(col("text")))
         .orderBy("shard")),
+    // epoch-weight upsampling: src0 at 2.5 epochs (2 copies + the
+    // id%10<5 half gets a third), src1 at 0.25 (three quarters
+    // dropped), everything else at 1 — den=10 so the fractional cut
+    // actually bites at fixture id ranges
+    "q_upsampled_mixture" -> ((s, dir) =>
+      Scale.upsample(Tables.documents(s, dir), "source", "doc_id",
+          weights = Map("src0" -> 2.5, "src1" -> 0.25),
+          defaultWeight = 1.0, den = 10)
+        .select("doc_id", "source", "rep")
+        .orderBy("doc_id", "rep")),
     // domain-cap curation: at most 10 docs per source, smallest ids —
     // quota via the map-side-combining TopKAggregator; oracle is the
     // row_number window formulation
@@ -1120,6 +1130,16 @@ object SparkEntry {
                 CAST(ntile(10) OVER (ORDER BY quality, doc_id) AS INT) AS bin,
                 percent_rank() OVER (ORDER BY quality, doc_id) AS pct_rank
          FROM q ORDER BY doc_id""",
+    "q_upsampled_mixture" ->
+      """WITH c AS (SELECT doc_id, source,
+                CASE source
+                  WHEN 'src0' THEN 2 + CASE WHEN doc_id % 10 < 5 THEN 1 ELSE 0 END
+                  WHEN 'src1' THEN CASE WHEN doc_id % 10 < 2 THEN 1 ELSE 0 END
+                  ELSE 1 END AS copies
+              FROM documents)
+         SELECT doc_id, source, u.r AS rep
+         FROM c, unnest(range(copies)) AS u(r)
+         ORDER BY doc_id, rep""",
     "q_shard_manifest" ->
       """SELECT doc_id % 16 AS shard, count(*) AS n_docs,
                 CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)

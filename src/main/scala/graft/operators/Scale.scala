@@ -306,6 +306,41 @@ object Scale {
         approx_percentile(col(valCol), lit(0.95), lit(accuracy)).as("p95_val"),
         approx_count_distinct(col(distinctCol), rsd).as("n_distinct_approx"))
 
+  /** Deterministic per-group UPsampling — the other direction of the
+    * mixing knob from `headCapSample`/`stratifiedModSample`: a mixture
+    * recipe that weights a source ABOVE 1 ("2.5 epochs of the curated
+    * book corpus per 1 of the crawl") needs row repetition, not
+    * survival rates. Each row is emitted `⌊w⌋` times, plus once more
+    * for the deterministic `id mod den` fraction that covers the
+    * fractional part — so a group's emitted count is exactly
+    * `⌊w⌋·n + |{id : id mod den < (w−⌊w⌋)·den}|`, reproducible across
+    * runs and engines. Weights below 1 degrade to plain deterministic
+    * downsampling (0 = drop the group). The `rep ∈ [0, copies)` output
+    * column keeps (id, rep) unique for downstream shuffles/packing.
+    *
+    * Scale shape: one scan-local CASE + an explode whose output size
+    * is the recipe's own epoch total — no shuffle, no per-group pass;
+    * weights are recipe constants like `stratifiedModSample`'s rates. */
+  def upsample(df: DataFrame, groupCol: String, idCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      den: Int = 1000000): DataFrame = {
+    (weights.values.toSeq :+ defaultWeight).foreach(w =>
+      require(w >= 0 && w <= 1000, s"weight out of [0, 1000]: $w"))
+    require(den > 0)
+    def copiesFor(w: Double): Column = {
+      val ip = math.floor(w).toLong
+      val thresh = math.floor((w - ip) * den).toLong
+      lit(ip) + when(pmod(col(idCol), lit(den)) < lit(thresh), 1L).otherwise(0L)
+    }
+    val copies = weights.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (g, w)) => acc.when(col(groupCol) === g, copiesFor(w))
+    }.otherwise(copiesFor(defaultWeight))
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("rep", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   /** Stratified deterministic sample: a per-stratum `num/den` modulo
     * rate — the training-data mixing knob ("keep 50% of purchases, 10%
     * of views, 5% of the rest"). Pure scan-local filter: no shuffle, no

@@ -264,6 +264,29 @@ class ScaleSpec extends SparkSpec {
     assert(m === Map(0L -> ((2L, 5L, 0L, 16L)), 1L -> ((2L, 2L, 1L, 17L))))
   }
 
+  test("upsample: integer copies, deterministic fractional cut, zero drops") {
+    val df = (0L until 20L).map(i => (i, if (i < 10) "a" else "b"))
+      .toDF("id", "g")
+    val out = Scale.upsample(df, "g", "id",
+        Map("a" -> 2.5, "b" -> 0.0), defaultWeight = 1.0, den = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.forall(_._2 == "a"), "weight-0 group must drop entirely")
+    val byId = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // ids 0-4 (id%10 < 5): 3 copies with rep 0,1,2; ids 5-9: 2 copies
+    (0L to 4L).foreach(i => assert(byId(i) === Seq(0L, 1L, 2L)))
+    (5L to 9L).foreach(i => assert(byId(i) === Seq(0L, 1L)))
+    // defaultWeight 1.0 is the identity: one copy, rep 0
+    val ident = Scale.upsample(df, "g", "id", Map.empty, defaultWeight = 1.0)
+    assert(ident.count() === 20)
+    assert(ident.select("rep").distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(0L))
+    // fractional-only weight is plain deterministic downsampling
+    val frac = Scale.upsample(df, "g", "id", Map("a" -> 0.5, "b" -> 0.5),
+        den = 10)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(frac === Array(0L, 1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L, 14L))
+  }
+
   test("leakageSafeSplit rejects impossible percent boundaries") {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
