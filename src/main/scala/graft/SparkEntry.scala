@@ -72,6 +72,54 @@ object SparkEntry {
       Analytics.retention(Tables.events(s, dir), "user_id", "ts",
           maxOffsetDays = 7)
         .orderBy("cohort_day", "day_offset")),
+    // ----- next-event Markov transitions: integer counts over the
+    // unique (ts, event_id) order — hash-exact
+    "q_event_transitions" -> ((s, dir) =>
+      Analytics.transitionCounts(Tables.events(s, dir), "user_id", "ts",
+          "event_id", "event_type")
+        .orderBy("from_type", "to_type")),
+    // ----- 7-row moving average over the daily-sales series: a
+    // post-aggregation series op (one row per day), NOT a corpus-wide
+    // window — the unpartitioned frame is over ~30 rows by design
+    "q_moving_avg_sales" -> ((s, dir) => {
+      val daily = Ecommerce.salesPerDay(Tables.events(s, dir), "ts", "value")
+      daily.withColumn("ma7",
+          avg(col("total_sales")).over(
+            Window.orderBy(col("transaction_date")).rowsBetween(-6, 0)))
+        .orderBy("transaction_date")
+    }),
+    // ----- SCD2 history: the event log collapsed into attribute
+    // validity intervals (the warehouse dimension-table build)
+    "q_scd2_history" -> ((s, dir) =>
+      Analytics.scd2History(Tables.events(s, dir), "user_id", "event_type",
+          "ts", "event_id")
+        .orderBy("user_id", "valid_from")),
+    // ----- market-basket co-occurrence graph (parts bought together,
+    // support >= 2) + graph metrics over its edge list. The support
+    // floor is what keeps the graph sparse: the raw co-occurrence
+    // graph of this fixture is near-complete (200-part universe), the
+    // support-filtered one is the signal. Adjudicated on the mod-4
+    // order slice (same precedent as q_simhash_neardup_wide): the
+    // fixture's small part universe makes the per-order self-join the
+    // whole cost at full volume while teaching nothing extra about the
+    // operator — counts over the slice are still exact, and all three
+    // consumers read the same graph.
+    "q_copurchase_pairs" -> ((s, dir) =>
+      Analytics.coOccurrencePairs(
+          Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+          "l_orderkey", "l_partkey", minCount = 2L)
+        .orderBy("item_a", "item_b")),
+    "q_copurchase_degree" -> ((s, dir) =>
+      Analytics.degrees(
+          Analytics.coOccurrencePairs(
+            Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+            "l_orderkey", "l_partkey", minCount = 2L), "item_a", "item_b")
+        .orderBy("node")),
+    "q_copurchase_triangles" -> ((s, dir) =>
+      Analytics.triangleCount(
+        Analytics.coOccurrencePairs(
+          Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+          "l_orderkey", "l_partkey", minCount = 2L), "item_a", "item_b")),
     // ----- reference parity: upsert end-state = latest write per key (W5-W8)
     "q_latest_event_per_user" -> ((s, dir) =>
       Ecommerce.latestPerKey(Tables.events(s, dir),
@@ -528,6 +576,15 @@ object SparkEntry {
           Scale.modSample(Tables.documents(s, dir), "doc_id", 1, 4),
           "doc_id", "text", maxDist = 5, tokenHash = Dedup.PortableSha)
         .orderBy("id_a", "id_b")),
+    // ----- edit-distance (Levenshtein) near-dup pairs: PassJoin segment
+    // blocking + thresholded verify on part names — the short-string
+    // (titles, names, URLs) complement of the shingle families. The
+    // oracle is the exhaustive length-banded cross join; both sides are
+    // exact, so the pair set and distances hash-match.
+    "q_edit_distance_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.part(s, dir).select("p_name"),
+          "p_name", maxDist = 2)
+        .orderBy("str_a", "str_b")),
     // ===== training-data pipeline: similarity search =====
     "q_embedding_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -599,6 +656,37 @@ object SparkEntry {
           "value_clipped", exact = true)
         .select("event_id", "event_type", "value_clipped")
         .orderBy("event_id")),
+    // per-group exact discrete quantiles: the value AT a sorted
+    // position, so no interpolation arithmetic — hash-exact
+    "q_group_quantiles" -> ((s, dir) =>
+      Scale.groupQuantiles(Tables.events(s, dir), "event_type", "value",
+          Seq(0.5, 0.9, 0.99))
+        .orderBy("event_type", "p")),
+    // robust outliers: |v − median| > 3·1.4826·MAD, all quantities
+    // short identical IEEE chains in both engines
+    "q_mad_outliers" -> ((s, dir) =>
+      Scale.madOutliers(Tables.events(s, dir), "event_type", "value",
+          "event_id", k = 3.0)
+        .orderBy("event_id")),
+    // fixed-width 20-bin histogram of the value column
+    "q_value_histogram" -> ((s, dir) =>
+      Scale.histogram(Tables.events(s, dir), "value", nBins = 20)
+        .orderBy("bucket")),
+    // one-pass column profile: null + exact distinct counts per column
+    "q_profile_columns" -> ((s, dir) =>
+      Scale.profileColumns(Tables.events(s, dir),
+          Seq("event_id", "user_id", "event_type", "value", "props"))
+        .orderBy("column_name")),
+    // Morton keys for 2-D data layout: five shift-or-mask steps per
+    // dimension, mirrored verbatim in the oracle's CTE chain —
+    // hash-exact 64-bit keys. The layout effect (tight 2-D file tiles
+    // vs linear sort) is ZOrderSpec's contract.
+    "q_zorder_values" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.functions.ZOrder.zValue(col("l_partkey"), col("l_suppkey"))
+            .as("z_value"))
+        .orderBy("l_orderkey", "l_linenumber")),
     // ----- as-of (temporal) join: latest order at-or-before each event
     "q_asof_last_order" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -698,6 +786,22 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, dir), "doc_id",
           "text", k = 5)
         .orderBy("doc_id", "rank")),
+    // top-100 collocations by PMI odds ratio (log-free → the ranking
+    // and the top-k cut are bit-exact cross-engine); min support 5
+    // suppresses the hapax-pair pathology
+    "q_pmi_bigrams" -> ((s, dir) =>
+      TextAnalysis.pmiBigrams(Tables.documents(s, dir), "text",
+        minCount = 5L, k = 100)),
+    // Flesch-style readability: three portable regex scans per doc,
+    // formula written as the same IEEE expression tree as the oracle
+    "q_readability" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.readability(col("text")).as("r"))
+        .select(col("doc_id"), col("r.n_words").as("n_words"),
+          col("r.n_sentences").as("n_sentences"),
+          col("r.n_syllables").as("n_syllables"),
+          col("r.flesch").as("flesch"))
+        .orderBy("doc_id")),
     // temperature rebalancing (α=0.5): per-source survival rates — the
     // mixture recipe derived FROM the data, vs q_stratified_sample's
     // hand-set rates. c=5 puts every fixture source mid-range (n≈100 at
@@ -1453,6 +1557,200 @@ object SparkEntry {
     // contributing nothing to any distance.
     "q_simhash_neardup" -> simhashOracleSql(3),
     "q_simhash_neardup_wide" -> simhashOracleSql(5, "WHERE doc_id % 4 = 0"),
+    // exhaustive length-banded cross join over the distinct-name
+    // universe; both engines' levenshtein is the exact unit-cost edit
+    // distance, so pair sets and distances agree bit-for-bit
+    "q_edit_distance_pairs" ->
+      """WITH n AS (SELECT DISTINCT p_name AS s FROM part)
+         SELECT a.s AS str_a, b.s AS str_b,
+                CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+         FROM n a JOIN n b
+           ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 2
+         WHERE levenshtein(a.s, b.s) <= 2
+         ORDER BY str_a, str_b""",
+    "q_event_transitions" ->
+      """WITH s AS (SELECT event_type,
+                lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS nxt
+              FROM events)
+         SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+         FROM s WHERE nxt IS NOT NULL
+         GROUP BY 1, 2 ORDER BY from_type, to_type""",
+    "q_moving_avg_sales" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS transaction_date,
+                           SUM(value) AS total_sales
+                    FROM events GROUP BY 1)
+         SELECT transaction_date, total_sales,
+                avg(total_sales) OVER (ORDER BY transaction_date
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
+         FROM d ORDER BY transaction_date""",
+    // SCD2: change rows via null-safe lag compare, intervals via lead —
+    // the same two windows over the same unique (ts, event_id) order
+    "q_scd2_history" ->
+      """WITH s AS (
+           SELECT user_id, event_type, ts, event_id,
+                  lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS rn
+           FROM events),
+         c AS (
+           SELECT user_id, event_type, ts, event_id FROM s
+           WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+         SELECT user_id, event_type AS value, ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS valid_to,
+                CAST(row_number() OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS INTEGER) AS version,
+                (lead(ts) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) IS NULL) AS is_current
+         FROM c ORDER BY user_id, valid_from""",
+    // market-basket pairs: distinct (order, part), self-join per order,
+    // support floor 2 — integer counts, hash-exact
+    "q_copurchase_pairs" ->
+      """WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
+                    FROM lineitem WHERE l_orderkey % 4 = 0)
+         SELECT a.item AS item_a, b.item AS item_b,
+                count(*) AS n_groups
+         FROM g a JOIN g b ON a.grp = b.grp AND a.item < b.item
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY item_a, item_b""",
+    "q_copurchase_degree" ->
+      """WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
+                    FROM lineitem WHERE l_orderkey % 4 = 0),
+         e AS (SELECT a.item AS ia, b.item AS ib
+               FROM g a JOIN g b ON a.grp = b.grp AND a.item < b.item
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         d AS (SELECT ia AS node FROM e UNION ALL SELECT ib FROM e)
+         SELECT node, count(*) AS degree FROM d GROUP BY node
+         ORDER BY node""",
+    // exhaustive a<b<c triangle join — any correct counting algorithm
+    // (Spark runs the degree-ordered orientation) yields the same count
+    "q_copurchase_triangles" ->
+      """WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
+                    FROM lineitem WHERE l_orderkey % 4 = 0),
+         e AS (SELECT a.item AS ia, b.item AS ib
+               FROM g a JOIN g b ON a.grp = b.grp AND a.item < b.item
+               GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT count(*) AS n_triangles
+         FROM e e1 JOIN e e2 ON e1.ib = e2.ia
+              JOIN e e3 ON e3.ia = e1.ia AND e3.ib = e2.ib""",
+    // discrete quantiles: value AT sorted position max(1, ceil(p·n)) —
+    // tie permutations can't change the value at a fixed position
+    "q_group_quantiles" ->
+      """WITH r AS (
+           SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY value) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events WHERE value IS NOT NULL),
+         p AS (SELECT CAST(p AS DOUBLE) AS p
+               FROM (VALUES (0.5), (0.9), (0.99)) t(p))
+         SELECT event_type, p, value AS quantile
+         FROM r JOIN p ON rn = greatest(1, CAST(ceil(p * n) AS BIGINT))
+         ORDER BY event_type, p""",
+    // MAD outliers: both medians are discrete quantiles (actual data
+    // values), so dev/spread are short identical IEEE chains
+    "q_mad_outliers" ->
+      """WITH v AS (SELECT event_id, event_type, value FROM events
+                    WHERE value IS NOT NULL),
+         r AS (SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY value) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+               FROM v),
+         med AS (SELECT event_type, value AS center FROM r
+                 WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))),
+         d AS (SELECT v.event_id, v.event_type, v.value, med.center,
+                      abs(v.value - med.center) AS dev
+               FROM v JOIN med USING (event_type)),
+         r2 AS (SELECT event_type, dev,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY dev) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+                FROM d),
+         mad AS (SELECT event_type, dev AS mad FROM r2
+                 WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)))
+         SELECT d.event_id, d.event_type, d.value, d.center,
+                (3.0 * 1.4826) * mad.mad AS spread
+         FROM d JOIN mad USING (event_type)
+         WHERE d.dev > (3.0 * 1.4826) * mad.mad
+         ORDER BY event_id""",
+    // histogram: bin index and left edge are each one multiply-divide
+    // chain mirrored verbatim — bit-exact bins
+    "q_value_histogram" ->
+      """WITH b AS (SELECT CAST(min(value) AS DOUBLE) AS lo,
+                           CAST(max(value) AS DOUBLE) AS hi
+                    FROM events WHERE value IS NOT NULL),
+         x AS (SELECT CASE WHEN hi = lo THEN 0
+                      ELSE least(19, CAST(floor(((value - lo) * 20) /
+                             (hi - lo)) AS BIGINT)) END AS bucket,
+                      lo, hi
+               FROM events, b WHERE value IS NOT NULL)
+         SELECT bucket, lo + (bucket * (hi - lo)) / 20 AS bin_lo,
+                count(*) AS n
+         FROM x GROUP BY bucket, lo, hi ORDER BY bucket""",
+    "q_profile_columns" ->
+      """SELECT * FROM (
+           SELECT 'event_id' AS column_name, count(*) AS n_rows,
+                  count(*) - count(event_id) AS n_nulls,
+                  count(DISTINCT event_id) AS n_distinct FROM events
+           UNION ALL
+           SELECT 'user_id', count(*), count(*) - count(user_id),
+                  count(DISTINCT user_id) FROM events
+           UNION ALL
+           SELECT 'event_type', count(*), count(*) - count(event_type),
+                  count(DISTINCT event_type) FROM events
+           UNION ALL
+           SELECT 'value', count(*), count(*) - count(value),
+                  count(DISTINCT value) FROM events
+           UNION ALL
+           SELECT 'props', count(*), count(*) - count(props),
+                  count(DISTINCT props) FROM events) u
+         ORDER BY column_name""",
+    // PMI odds ratio (c_xy·N)/(c_x·c_y): exact integer counts into one
+    // multiply-divide chain — ranking and cut bit-exact, no log
+    "q_pmi_bigrams" ->
+      """WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS lst
+                       FROM documents WHERE length(trim(text)) > 0),
+         bgx AS (SELECT unnest(list_zip(lst[1:len(lst)-1],
+                                        lst[2:len(lst)])) AS z
+                 FROM toks WHERE len(lst) >= 2),
+         bi AS (SELECT z[1] AS w1, z[2] AS w2, count(*) AS n_pair
+                FROM bgx GROUP BY 1, 2),
+         uni AS (SELECT term, count(*) AS n FROM (
+                   SELECT unnest(string_split_regex(trim(text), '\s+'))
+                     AS term FROM documents) t
+                 WHERE length(term) > 0 GROUP BY term),
+         tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n_total FROM bi)
+         SELECT b.w1, b.w2, b.n_pair,
+                (CAST(b.n_pair AS DOUBLE) * t.n_total) /
+                  (CAST(u1.n AS DOUBLE) * u2.n) AS pmi_ratio
+         FROM bi b JOIN uni u1 ON b.w1 = u1.term
+              JOIN uni u2 ON b.w2 = u2.term CROSS JOIN tot t
+         WHERE b.n_pair >= 5
+         ORDER BY pmi_ratio DESC, w1, w2 LIMIT 100""",
+    "q_zorder_values" -> zorderOracleSql,
+    // Flesch formula written as the same IEEE expression tree as the
+    // Spark side; counts from the same portable regexes
+    "q_readability" ->
+      """WITH f AS (SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE CAST(len(string_split_regex(trim(text), '\s+'))
+                    AS BIGINT) END AS n_words,
+             CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+               AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS n_syllables
+           FROM documents)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+                CASE WHEN n_words = 0 THEN NULL
+                     ELSE 206.835 -
+                          (1.015 * (CAST(n_words AS DOUBLE) /
+                            greatest(n_sentences, 1))) -
+                          (84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+                END AS flesch
+         FROM f ORDER BY doc_id""",
     // exclusive prefix sum per source shard; floor-division on doubles
     // mirrors the Spark expressions term-for-term (token streams are
     // far below 2^53, so the double path is exact in both engines)
@@ -1655,6 +1953,27 @@ object SparkEntry {
                   / n / 255.0 AS brightness
          FROM b ORDER BY asset_id"""
   )
+
+  /** Morton-key oracle: the same five shift-or-mask spread steps as
+    * `ZOrder.spreadBits`, generated as a CTE chain so each step appears
+    * exactly once per dimension (no exponential text expansion). */
+  private def zorderOracleSql: String = {
+    val steps = Seq(
+      (16, 0x0000FFFF0000FFFFL), (8, 0x00FF00FF00FF00FFL),
+      (4, 0x0F0F0F0F0F0F0F0FL), (2, 0x3333333333333333L),
+      (1, 0x5555555555555555L))
+    val ctes = steps.zipWithIndex.map { case ((sh, m), i) =>
+      s"""s${i + 1} AS (SELECT l_orderkey, l_linenumber,
+            ((x | (x << $sh)) & $m) AS x,
+            ((y | (y << $sh)) & $m) AS y FROM s$i)"""
+    }.mkString(",\n")
+    s"""WITH s0 AS (SELECT l_orderkey, l_linenumber,
+          CAST(l_partkey AS BIGINT) & 4294967295 AS x,
+          CAST(l_suppkey AS BIGINT) & 4294967295 AS y FROM lineitem),
+        $ctes
+        SELECT l_orderkey, l_linenumber, (x | (y << 1)) AS z_value
+        FROM s5 ORDER BY l_orderkey, l_linenumber"""
+  }
 
   /** Exhaustive SimHash-Hamming oracle, parameterized by the distance
     * cutoff — banding-free on the DuckDB side, so the same SQL

@@ -467,4 +467,75 @@ object TextAnalysis {
       .select(col("key").as("doc_id"), col("rank"), col("term"),
         col("score"))
   }
+
+  /** Corpus bigram counts: adjacent whitespace-token pairs, one row per
+    * (w1, w2) with its corpus frequency. Rows leave the explode one
+    * bigram wide and aggregate partial→final, so the shuffle is bounded
+    * by per-partition bigram vocabulary — the same shape as
+    * [[termCounts]]. */
+  def bigramCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(wordNgrams(col(textCol), 2)).as("bg"))
+      .groupBy("bg")
+      .agg(count(lit(1)).as("n_pair"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"),
+        col("n_pair"))
+
+  /** Top-`k` collocations by pointwise mutual information. PMI =
+    * log( p(xy) / (p(x)·p(y)) ); log is monotone, so the ranking (and
+    * the top-k CUT) is taken on the raw odds ratio
+    * `(c_xy · N) / (c_x · c_y)` instead — a single multiply/divide
+    * chain over exact integer counts, bit-identical cross-engine,
+    * where a log would be library-dependent (the same log-free trick
+    * as tfIdfTopTerms' RSJ idf). `minCount` suppresses the classic PMI
+    * pathology (two hapaxes that co-occur once score maximal).
+    *
+    * Scale: two vocabulary-bounded aggregations + joins keyed on
+    * single words; the corpus-sized explode never shuffles wider than
+    * one bigram. Final cut is TakeOrderedAndProject over the
+    * (vocab²-bounded, minCount-pruned) scored pairs.
+    * Output: (w1, w2, n_pair, pmi_ratio), score-desc, ties by (w1, w2). */
+  def pmiBigrams(df: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1)
+    val uni = termCounts(df, textCol)
+    val bi = bigramCounts(df, textCol).filter(col("n_pair") >= minCount)
+    val nTotal = bigramCounts(df, textCol)
+      .agg(sum(col("n_pair")).as("n_total"))
+    bi
+      .join(uni.select(col("term").as("w1"), col("n").as("c1")), Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("n").as("c2")), Seq("w2"))
+      .join(broadcast(nTotal))
+      .withColumn("pmi_ratio",
+        (col("n_pair").cast("double") * col("n_total")) /
+          (col("c1").cast("double") * col("c2")))
+      .select("w1", "w2", "n_pair", "pmi_ratio")
+      .orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** Flesch-style readability signals in three portable regex scans:
+    * whitespace words, `[.!?]+` sentence breaks, `[aeiouy]+` vowel-run
+    * syllable estimate (the standard heuristic — hyphenation
+    * dictionaries don't belong in a corpus gate). The score formula is
+    * the textbook 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), written as the SAME expression tree in
+    * both engines: every operand is a double derived from exact
+    * integer counts, so the result is bit-identical, not
+    * tolerance-fuzzy. Sentence count is clamped to ≥ 1 inside the
+    * formula only (unpunctuated corpora); wordless docs get NULL. */
+  def readability(text: Column): Column = {
+    val nWords = when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(tokens(text)).cast("long"))
+    val nSentences = regexp_count(text, lit("[.!?]+")).cast("long")
+    val nSyllables = regexp_count(lower(text), lit("[aeiouy]+")).cast("long")
+    val flesch = when(nWords === 0, lit(null).cast("double"))
+      .otherwise(
+        lit(206.835) -
+          (lit(1.015) * (nWords.cast("double") /
+            greatest(nSentences, lit(1L)))) -
+          (lit(84.6) * (nSyllables.cast("double") / nWords)))
+    struct(nWords.as("n_words"), nSentences.as("n_sentences"),
+      nSyllables.as("n_syllables"), flesch.as("flesch"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scale-management operators: skew-resistant aggregation and
@@ -361,5 +362,124 @@ object Scale {
         acc.when(col(strataCol) === stratum, keep(num, den))
     }.otherwise(keep(defaultRate._1, defaultRate._2))
     df.filter(pred)
+  }
+
+  /** Exact per-group discrete quantiles: the p-quantile is the value at
+    * 1-based sorted position max(1, ceil(p·n)) — an actual group member
+    * (quantile_disc semantics), so no interpolation arithmetic can
+    * diverge cross-engine; `ceil(p·n)` is one IEEE multiply both
+    * engines round identically. Duplicate values make row_number's
+    * tie order nondeterministic, but the VALUE at a fixed sorted
+    * position is invariant under tie permutation — the output is
+    * deterministic anyway.
+    *
+    * Scale: one shuffle on the group key + an in-partition sort (the
+    * same budget as any windowed group op); each group must fit a
+    * partition — for the million-key telemetry case that holds by
+    * construction, for few giant groups use `corpusStatsApprox`'s GK
+    * sketch instead (bounded state, rank-error tolerance). This is the
+    * exact path; the approx path is its documented 100 TB escape hatch.
+    * Output: (group, p, quantile), one row per group × p. */
+  def groupQuantiles(df: DataFrame, groupCol: String, valCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"bad ps $ps")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol))
+    val ranked = df
+      .select(col(groupCol), col(valCol))
+      .na.drop(Seq(valCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col(groupCol))))
+    val wanted = ps.map(p =>
+      struct(lit(p).as("p"),
+        greatest(lit(1L), ceil(lit(p) * col("__n"))).as("idx")))
+    ranked
+      .select(col(groupCol), col(valCol),
+        col("__rn"), explode(array(wanted: _*)).as("q"))
+      .filter(col("__rn") === col("q.idx"))
+      .select(col(groupCol), col("q.p").as("p"),
+        col(valCol).as("quantile"))
+  }
+
+  /** Robust per-group outliers by median absolute deviation: flag rows
+    * with |v − median| > k · 1.4826 · MAD (1.4826 ≈ 1/Φ⁻¹(3/4) scales
+    * MAD to σ under normality). Both medians are the discrete
+    * [[groupQuantiles]] p=0.5 — actual data values — so every quantity
+    * compared is a short chain of IEEE ops written identically in the
+    * oracle: bit-exact flags, no tolerance. MAD is the production
+    * choice over z-scores because mean/stddev are themselves dragged by
+    * the outliers being hunted (and a parallel stddev is
+    * summation-order-dependent — not oracle-able bit-exactly).
+    *
+    * Scale: two grouped-quantile passes (group-keyed shuffles) + one
+    * broadcast-sized (one row per group) join back to the data.
+    * Output: the outlier rows, (id, group, value, center, spread). */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String, k: Double = 3.0): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val med = groupQuantiles(df, groupCol, valCol, Seq(0.5))
+      .select(col(groupCol), col("quantile").as("center"))
+    val withDev = df.select(col(idCol), col(groupCol), col(valCol))
+      .na.drop(Seq(valCol))
+      .join(med, Seq(groupCol))
+      .withColumn("__dev", abs(col(valCol) - col("center")))
+    val mad = groupQuantiles(withDev, groupCol, "__dev", Seq(0.5))
+      .select(col(groupCol), col("quantile").as("mad"))
+    withDev.join(mad, Seq(groupCol))
+      .withColumn("spread", (lit(k) * lit(1.4826)) * col("mad"))
+      .filter(col("__dev") > col("spread"))
+      .select(col(idCol), col(groupCol), col(valCol), col("center"),
+        col("spread"))
+  }
+
+  /** Fixed-width histogram over a numeric column: `nBins` equal bins
+    * spanning [min, max], max landing in the last bin. Bin assignment
+    * `floor(((v − lo) · nBins) / (hi − lo))` and the reported left edge
+    * `lo + (bucket · (hi − lo)) / nBins` are each one IEEE
+    * multiply-divide chain mirrored verbatim in the oracle — bit-exact
+    * bins and edges. Degenerate all-equal columns collapse to bin 0.
+    *
+    * Scale: one min/max aggregate (broadcast back as a single row) +
+    * one map-side-combinable count by bin — two scans, no wide
+    * shuffle; empty bins are absent (sparse output).
+    * Output: (bucket, bin_lo, n). */
+  def histogram(df: DataFrame, valCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"need nBins >= 1, got $nBins")
+    val bounds = df.na.drop(Seq(valCol))
+      .agg(min(col(valCol)).cast("double").as("lo"),
+        max(col(valCol)).cast("double").as("hi"))
+    df.select(col(valCol)).na.drop(Seq(valCol))
+      .join(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(lit(nBins - 1L),
+            floor(((col(valCol) - col("lo")) * lit(nBins)) /
+              (col("hi") - col("lo"))))))
+      .groupBy("bucket", "lo", "hi")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo",
+        col("lo") + (col("bucket") * (col("hi") - col("lo"))) / lit(nBins))
+      .select("bucket", "bin_lo", "n")
+  }
+
+  /** Column profile — per-column null and exact distinct counts in ONE
+    * pass over the table (Spark plans the multi-distinct aggregate via
+    * Expand: rows replicate per distinct-column, counts stay partial-
+    * aggregated; no per-column rescan of the 100 TB input). The
+    * data-quality dashboard every ingest runs before anything else.
+    * Output: (column_name, n_rows, n_nulls, n_distinct) — distinct
+    * excludes NULLs, both engines' COUNT(DISTINCT) convention. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__cnt_$c"),
+      countDistinct(col(c)).as(s"__nd_$c")))
+    val row = df.agg(count(lit(1)).as("__total"), aggs: _*)
+    row.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"),
+          col("__total").as("n_rows"),
+          (col("__total") - col(s"__cnt_$c")).as("n_nulls"),
+          col(s"__nd_$c").as("n_distinct"))): _*)).as("p"))
+      .select("p.*")
   }
 }

@@ -51,6 +51,47 @@ object ScaleProbe {
         f"across=$tx%.1fs($nx%d)")
     }
 
+    // Edit-distance PassJoin scaling: grow the distinct-string universe
+    // K× by suffixing a replica tag (disjoint universes — planted
+    // near-dup structure constant per replica, true pairs linear in K).
+    // Near-linear runtime = the (len, slot, segment) banding holds; the
+    // all-pairs verify would grow quadratically.
+    val names = Tables.part(spark, "/root/testdata/sf0.1").select("p_name")
+    for (k <- Seq(1, 2, 4, 8, 16)) {
+      val strs = (0 until k).map { i =>
+        names.select(concat(col("p_name"), lit(" v" + i)).as("s"))
+      }.reduce(_ unionAll _)
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (te, ne) = time(Dedup.editDistancePairs(strs, "s", 2).count())
+      println(f"EDITPROBE k=$k%d strings=${64 * k}%d edit=$te%.1fs($ne%d pairs)")
+    }
+
+    // Co-occurrence graph scaling: grow lineitem K× with disjoint order
+    // AND item universes per replica — edges and triangles grow
+    // linearly, the per-order self-join cost stays Σ|basket|².
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.1")
+      .select("l_orderkey", "l_partkey")
+    for (k <- Seq(1, 2, 4)) {
+      val grown = (0 until k).map { i =>
+        li.select((col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i * 10000000L)).as("l_partkey"))
+      }.reduce(_ unionAll _)
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val pairs = graft.operators.Analytics.coOccurrencePairs(
+        grown, "l_orderkey", "l_partkey", minCount = 2L)
+      val (tc, nc) = time(pairs.count())
+      val (tt, nt) = time(graft.operators.Analytics
+        .triangleCount(pairs, "item_a", "item_b").collect().head.getLong(0))
+      println(f"COOCPROBE k=$k%d rows=${600000 * k}%d " +
+        f"pairs=$tc%.1fs($nc%d) triangles=$tt%.1fs($nt%d)")
+    }
+
     // ANN top-k scaling: fixed 10-query set, corpus grown K× via
     // per-replica sign-flip reflections (orthogonal ⇒ intra-replica
     // cosines preserved; random flips decorrelate cross-replica pairs).

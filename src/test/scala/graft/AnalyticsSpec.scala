@@ -77,4 +77,154 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-01", 1) -> 2L,
       ("2024-01-05", 0) -> 1L))
   }
+
+  test("scd2History: runs collapse, intervals chain, current row open") {
+    val events = Seq(
+      // u1: A A B A → intervals A[t0,t2) B[t2,t3) A[t3,∞)
+      (1L, 10L, "A", ts("2024-01-01 10:00:00")),
+      (2L, 10L, "A", ts("2024-01-01 11:00:00")), // same value: no new version
+      (3L, 10L, "B", ts("2024-01-01 12:00:00")),
+      (4L, 10L, "A", ts("2024-01-01 13:00:00")),
+      // u2: single value → one open interval
+      (5L, 20L, "Z", ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Analytics.scd2History(events, "user_id", "event_type", "ts",
+        "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(4)) ->
+        ((r.getString(1), r.getTimestamp(2),
+          Option(r.getTimestamp(3)), r.getBoolean(5)))).toMap
+    assert(out === Map(
+      (10L, 1) -> (("A", ts("2024-01-01 10:00:00"),
+        Some(ts("2024-01-01 12:00:00")), false)),
+      (10L, 2) -> (("B", ts("2024-01-01 12:00:00"),
+        Some(ts("2024-01-01 13:00:00")), false)),
+      (10L, 3) -> (("A", ts("2024-01-01 13:00:00"), None, true)),
+      (20L, 1) -> (("Z", ts("2024-01-01 09:00:00"), None, true))))
+  }
+
+  test("scd2History: null attribute values form their own runs (null-safe compare)") {
+    val events = Seq(
+      (1L, 10L, Option.empty[String], ts("2024-01-01 10:00:00")),
+      (2L, 10L, Option.empty[String], ts("2024-01-01 11:00:00")), // same (null) run
+      (3L, 10L, Option("A"), ts("2024-01-01 12:00:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Analytics.scd2History(events, "user_id", "event_type", "ts",
+        "event_id").orderBy("version").collect()
+    assert(out.length === 2)
+    assert(out(0).isNullAt(1) && !out(0).getBoolean(5))
+    assert(out(1).getString(1) === "A" && out(1).getBoolean(5))
+  }
+
+  test("coOccurrencePairs: once per group, support floor, mega-group cap") {
+    val baskets = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"), (1L, "x"), // dup item collapses
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "y"),
+      (4L, "a"), (4L, "b"), (4L, "c"), (4L, "d") // size-4 basket
+    ).toDF("order_id", "item")
+    val all = Analytics.coOccurrencePairs(baskets, "order_id", "item")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(all(("x", "y")) === 3L) // counted once per basket despite dup x
+    assert(all(("x", "z")) === 1L)
+    val supported = Analytics.coOccurrencePairs(baskets, "order_id", "item",
+      minCount = 2L).collect()
+    assert(supported.map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set(("x", "y")))
+    // cap 3 drops basket 4 (4 distinct items) and basket 1 stays
+    val capped = Analytics.coOccurrencePairs(baskets, "order_id", "item",
+      maxGroupSize = Some(3))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped.contains(("x", "z")))
+    assert(!capped.exists(p => p._1 == "a" || p._2 == "b"))
+  }
+
+  test("degrees + triangleCount on known graphs") {
+    def tri(edges: Seq[(Long, Long)]): Long =
+      Analytics.triangleCount(edges.toDF("a", "b"), "a", "b")
+        .collect().head.getLong(0)
+    // triangle
+    assert(tri(Seq((1L, 2L), (2L, 3L), (1L, 3L))) === 1L)
+    // square: no triangles
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))) === 0L)
+    // K4: 4 triangles; edge list unnormalized + duplicated on purpose
+    assert(tri(Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (4L, 3L), (3L, 4L))) === 4L)
+    // star (hub 0): no triangles no matter the hub degree
+    assert(tri((1L to 20L).map(i => (0L, i))) === 0L)
+    // hub + one closing rim edge: exactly 1
+    assert(tri((1L to 20L).map(i => (0L, i)) :+ ((5L, 6L))) === 1L)
+
+    val deg = Analytics.degrees(
+        Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("transitionCounts: ordered next-event pairs per user, last event open") {
+    val events = Seq(
+      (1L, 10L, "view", ts("2024-01-01 10:00:00")),
+      (2L, 10L, "click", ts("2024-01-01 10:01:00")),
+      (3L, 10L, "view", ts("2024-01-01 10:02:00")),
+      (4L, 10L, "click", ts("2024-01-01 10:03:00")),
+      (5L, 20L, "view", ts("2024-01-01 10:00:00")),
+      (6L, 20L, "view", ts("2024-01-01 10:05:00"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Analytics.transitionCounts(events, "user_id", "ts",
+        "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(out === Map(
+      ("view", "click") -> 2L, ("click", "view") -> 1L,
+      ("view", "view") -> 1L))
+  }
+
+  test("pageRank ≡ driver power iteration; ranks sum to 1") {
+    def reference(edges: Seq[(Long, Long)], iters: Int,
+        d: Double): Map[Long, Double] = {
+      val und = edges.flatMap(e => Seq(e, e.swap)).filter(e => e._1 != e._2)
+        .distinct
+      val adj = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val nodes = adj.keySet.toSeq.sorted
+      val n = nodes.size
+      var r = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to iters) {
+        r = nodes.map { v =>
+          val in = adj(v).map(u => r(u) / adj(u).size).sum
+          v -> ((1.0 - d) / n + d * in)
+        }.toMap
+      }
+      r
+    }
+    // asymmetric graph: path + a hub
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L), (4L, 5L))
+    val got = Analytics.pageRank(edges.toDF("a", "b"), "a", "b",
+        iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = reference(edges, 10, 0.85)
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-10, s"$k") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // symmetric sanity: triangle → exactly uniform
+    val tri = Analytics.pageRank(
+        Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b"), "a", "b", 5)
+      .collect().map(_.getDouble(1))
+    tri.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+  }
+
+  test("triangleCount ≡ exhaustive count on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (for (_ <- 1 to 120)
+      yield (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+      .filter(e => e._1 != e._2)
+    val norm = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct.toSet
+    val nodes = norm.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val expected = (for {
+      a <- nodes; b <- nodes if a < b && norm((a, b))
+      c <- nodes if b < c && norm((b, c)) && norm((a, c))
+    } yield 1).size.toLong
+    assert(Analytics.triangleCount(edges.toDF("a", "b"), "a", "b")
+      .collect().head.getLong(0) === expected)
+  }
 }

@@ -173,4 +173,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "top-k head must ship per-partition local top-k, not a global sort")
   }
+
+  test("q_edit_distance_pairs: segment-banded equi-joins, never all-pairs") {
+    val p = plan("q_edit_distance_pairs")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the (len, slot, segment) equi-join")
+  }
+
+  test("q_copurchase_triangles: every graph join is a hash equi-join") {
+    val p = plan("q_copurchase_triangles")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_pmi_bigrams: top-k cut is TakeOrderedAndProject, N broadcasts") {
+    val p = plan("q_pmi_bigrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the k-cut must not globally sort the scored pairs")
+    // the 1-row bigram total joins in as a broadcast, like bruteForceTopK's
+    // query block — the only acceptable nested-loop shape (1 × m rows)
+    assert(p.contains("BroadcastExchange"))
+  }
+
+  test("q_group_quantiles: one exchange per grouped window, scan pruned") {
+    val p = plan("q_group_quantiles")
+    // row_number + count share the (event_type) partitioning: exactly one
+    // shuffle of the (event_type, value) projection
+    assert(p.contains("ReadSchema: struct<event_type:string,value:double>"),
+      "quantile scan must read only the group and value columns")
+  }
 }

@@ -294,4 +294,62 @@ class ScaleSpec extends SparkSpec {
       Scale.leakageSafeSplit(docs, "doc_id", pairs, trainPct = 95, valPct = 10)
     }
   }
+
+  test("groupQuantiles: discrete positions, ties, nulls dropped, p=1 is max") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)), ("a", Some(4.0)),
+      ("a", None), // null never a quantile
+      ("b", Some(7.0)), // singleton: every p → 7
+      ("c", Some(5.0)), ("c", Some(5.0)), ("c", Some(9.0)) // ties
+    ).toDF("g", "v")
+    val out = Scale.groupQuantiles(df, "g", "v", Seq(0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    // "a": n=4, ceil(.5*4)=2 → 2.0; ceil(1*4)=4 → 4.0
+    // "c": n=3, ceil(.5*3)=2 → 5.0 (tie position is value-invariant)
+    assert(out === Map(
+      ("a", 0.5) -> 2.0, ("a", 1.0) -> 4.0,
+      ("b", 0.5) -> 7.0, ("b", 1.0) -> 7.0,
+      ("c", 0.5) -> 5.0, ("c", 1.0) -> 9.0))
+  }
+
+  test("madOutliers: planted spike flagged, tight cluster untouched") {
+    val rows = (1L to 9L).map(i => (i, "g", 100.0 + i)) :+ ((99L, "g", 10000.0))
+    val out = Scale.madOutliers(rows.toDF("id", "g", "v"), "g", "v", "id")
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(99L))
+    // center is the discrete median of 101..109,10000 → 105 (pos ceil(5)=5)
+    assert(out.head.getDouble(3) === 105.0)
+    // no outliers at all in a uniform group
+    val none = Scale.madOutliers(
+      (1L to 10L).map(i => (i, "g", 50.0)).toDF("id", "g", "v"), "g", "v", "id")
+    assert(none.count() === 0L)
+  }
+
+  test("histogram: bin boundaries, max in last bin, degenerate column") {
+    val df = (0 to 100).map(_.toDouble).toDF("v")
+    val out = Scale.histogram(df, "v", nBins = 10)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // [0,100] in 10 bins: 0..9 → bin0 .. 90..99 → bin9 plus 100 clamped
+    assert(out.keySet === (0L to 9L).toSet)
+    assert(out(0L) === ((0.0, 10L)))
+    assert(out(9L) === ((90.0, 11L))) // 90..99 and the clamped max
+    val deg = Scale.histogram(Seq(5.0, 5.0, 5.0).toDF("v"), "v", 4).collect()
+    assert(deg.length === 1 && deg.head.getLong(0) === 0L &&
+      deg.head.getLong(2) === 3L)
+  }
+
+  test("profileColumns: null and exact distinct counts in one pass") {
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(2L), None), (Some(2L), Some("y")),
+      (None, Some("x"))
+    ).toDF("id", "s")
+    val out = Scale.profileColumns(df, Seq("id", "s"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out === Map(
+      "id" -> ((4L, 1L, 2L)),
+      "s" -> ((4L, 1L, 2L))))
+  }
 }

@@ -298,4 +298,56 @@ class TextAnalysisSpec extends SparkSpec {
       .collect()
     assert(withBlank.length === 3)
   }
+
+  test("bigramCounts: adjacent pairs, blank and single-token docs excluded") {
+    val docs = Seq((1L, "a b c a b"), (2L, "x"), (3L, " "), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramCounts(docs, "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got === Map(
+      ("a", "b") -> 3L, ("b", "c") -> 1L, ("c", "a") -> 1L))
+  }
+
+  test("pmiBigrams: exact odds ratio, minCount gate, deterministic cut") {
+    // corpus: "p q" ×3, "a b" ×1, fillers to pad counts
+    val docs = Seq(
+      (1L, "p q"), (2L, "p q"), (3L, "p q"), (4L, "a b"), (5L, "p a q b")
+    ).toDF("doc_id", "text")
+    // bigrams: (p,q)=3, (a,b)=1, (p,a)=1, (a,q)=1, (q,b)=1 → N=7
+    // unigrams: p=4, q=4, a=2, b=2
+    val got = TextAnalysis.pmiBigrams(docs, "text", minCount = 2L, k = 10)
+      .collect()
+    assert(got.length === 1) // only (p,q) passes minCount
+    val r = got.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) === (("p", "q", 3L)))
+    assert(r.getDouble(3) === (3.0 * 7.0) / (4.0 * 4.0))
+    // minCount 1: all five pairs, ranked by ratio desc then lexicographic
+    val all = TextAnalysis.pmiBigrams(docs, "text", minCount = 1L, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // ratios: (a,b)=7/4=1.75, (p,q)=21/16=1.3125, (p,a)=7/8, (a,q)=7/8, (q,b)=7/8
+    assert(all.take(2) === Seq(("a", "b"), ("p", "q")))
+    assert(all.drop(2) === Seq(("a", "q"), ("p", "a"), ("q", "b")))
+  }
+
+  test("readability: hand-computed Flesch, clamps and null guards") {
+    val docs = Seq(
+      (1L, "the cat sat. the dog ran!"), // 6 words, 2 sentences, 6 syllables
+      (2L, "word word word"),            // no sentence breaks → clamp to 1
+      (3L, "  ")                         // wordless → NULL flesch
+    ).toDF("doc_id", "text")
+    val rows = docs
+      .select(col("doc_id"), TextAnalysis.readability(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_words"), col("r.n_sentences"),
+        col("r.n_syllables"), col("r.flesch"))
+      .orderBy("doc_id").collect()
+    assert((rows(0).getLong(1), rows(0).getLong(2), rows(0).getLong(3)) ===
+      ((6L, 2L, 6L)))
+    assert(rows(0).getDouble(4) ===
+      206.835 - (1.015 * (6.0 / 2L)) - (84.6 * (6.0 / 6L)))
+    assert(rows(1).getLong(2) === 0L)
+    assert(rows(1).getDouble(4) ===
+      206.835 - (1.015 * (3.0 / 1L)) - (84.6 * (3.0 / 3L)))
+    assert(rows(2).getLong(1) === 0L && rows(2).isNullAt(4))
+  }
 }
