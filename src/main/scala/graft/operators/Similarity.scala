@@ -588,6 +588,15 @@ object Similarity {
       multiProbe: Boolean = false, dim: Int = 0, seed: Long = 42L): DataFrame = {
     val d = if (dim > 0) dim else inferDim(df, vecCol)
     val allPlanes = hyperplanes(bitsPerTable * numTables, d, seed)
+    // NO materialization barrier here, unlike the Jaccard/SimHash
+    // pipelines — measured (3-pass minima, sf0.1): an explicit
+    // (tbl, bkt) repartition of `banded` costs MORE than recomputing
+    // the codegen hyperplane pass per join side (+1.1 s), because the
+    // multi-probe side explodes its flips AFTER any shared exchange and
+    // must re-shuffle regardless, so the barrier only adds a shuffle.
+    // The bucket expression is arithmetic on in-partition rows; the
+    // scan+norm triple-read is three 9 MB parquet scans. Cheap to
+    // recompute, expensive to pipe through an extra exchange.
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("norm", l2Norm(col("v")))
       .filter(col("norm") > 0)
