@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): the 103-query suite localCheckpoints several
+  // frames per pass (components/tfidf/span tables) in one long-lived
+  // local[32] JVM; 24g keeps their blocks clear of old-gen pressure on
+  // this 125 GB host. (An A/B on full-bench totals was inconclusive —
+  // run-to-run host drift dominates — so this is sized for safety
+  // margin, not a claimed measured win.)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -52,7 +52,22 @@ object Bench {
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
     def once(): Map[String, Double] =
       selected.map { case (name, fn) => name -> time(name, fn) }
+    // fixed single-thread CPU calibration (deterministic integer mix,
+    // no allocation): the host drifts far more than ±25% across a day,
+    // and a total is only interpretable next to the machine speed it
+    // was measured at. Reported as the min of before/after-pass probes —
+    // BASELINE.md records the calibrated reference value.
+    def calibMs(): Double = {
+      var acc = 0L; var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 50000000L) { acc ^= (i * 0x9E3779B97F4A7C15L) >>> 23; i += 1 }
+      val ms = (System.nanoTime() - t0) / 1e6
+      if (acc == 42L) System.err.println("") // keep acc alive
+      ms
+    }
+    val calibBefore = calibMs()
     val runs = (1 to passes).map(_ => once())
+    val calib = math.min(calibBefore, calibMs())
     // a query that failed in ANY pass reports -1: flakiness must surface
     // as a failure, not hide behind a lucky pass's timing
     val results = selected.keys.map { name =>
@@ -68,7 +83,7 @@ object Bench {
     // subset runs self-identify so a filtered artifact can never be
     // mistaken for a full-suite measurement
     val subset = if (only.isDefined) ""","subset":true""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes$subset,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"calib_ms":$calib$subset,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

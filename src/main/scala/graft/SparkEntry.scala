@@ -205,6 +205,18 @@ object SparkEntry {
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("sum_qty"), col("n"))
         .orderBy("returnflag", "linestatus")),
+    // full CUBE over (category, day): all four grouping sets in one
+    // pass — the OLAP complement of the rollup above
+    "q_cube_sales" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("value"))
+        .cube(col("event_type"), col("day"))
+        .agg(sum(col("value")).as("total"), count(lit(1)).as("n"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("category"),
+          coalesce(col("day").cast("string"), lit("ALL")).as("day"),
+          col("total"), col("n"))
+        .orderBy("category", "day")),
     // ----- window functions: top-N per group
     "q_top_orders_per_cust" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -1031,6 +1043,14 @@ object SparkEntry {
                 SUM(l_quantity) AS sum_qty, COUNT(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY returnflag, linestatus""",
+    "q_cube_sales" ->
+      """SELECT coalesce(event_type, 'ALL') AS category,
+                coalesce(CAST(day AS VARCHAR), 'ALL') AS day,
+                SUM(value) AS total, COUNT(*) AS n
+         FROM (SELECT event_type, CAST(ts AS DATE) AS day, value
+               FROM events) t
+         GROUP BY CUBE(event_type, day)
+         ORDER BY category, day""",
     "q_top_orders_per_cust" -> topOrdersOracleSql,
     // the typed-Aggregator path must agree with the window formulation
     "q_top_orders_per_cust_agg" -> topOrdersOracleSql,
