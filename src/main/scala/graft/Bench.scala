@@ -65,9 +65,23 @@ object Bench {
       if (acc == 42L) System.err.println("") // keep acc alive
       ms
     }
+    // parallel calibration: a fixed all-core codegen aggregation over an
+    // in-memory range (no IO, one job). The suite's drift lives in the
+    // parallel path (single-thread calib stays flat while totals move
+    // ±30%), so this is the number a total should be read against.
+    def calibParS(): Double = {
+      // max, not sum: ANSI mode (Spark 4 default) throws on the long
+      // overflow a 2^30-row sum of hashes guarantees
+      import org.apache.spark.sql.functions.{max => fmax, xxhash64 => fxx, col => fcol}
+      val t0 = System.nanoTime()
+      spark.range(0, 1L << 30, 1, 64).select(fmax(fxx(fcol("id")))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     val calibBefore = calibMs()
+    val calibParBefore = calibParS()
     val runs = (1 to passes).map(_ => once())
     val calib = math.min(calibBefore, calibMs())
+    val calibPar = math.min(calibParBefore, calibParS())
     // a query that failed in ANY pass reports -1: flakiness must surface
     // as a failure, not hide behind a lucky pass's timing
     val results = selected.keys.map { name =>
@@ -83,7 +97,7 @@ object Bench {
     // subset runs self-identify so a filtered artifact can never be
     // mistaken for a full-suite measurement
     val subset = if (only.isDefined) ""","subset":true""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"calib_ms":$calib$subset,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"calib_ms":$calib,"calib_par_s":$calibPar$subset,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1683,7 +1683,8 @@ object SparkEntry {
                  WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))),
          d AS (SELECT v.event_id, v.event_type, v.value, med.center,
                       abs(v.value - med.center) AS dev
-               FROM v JOIN med USING (event_type)),
+               FROM v JOIN med
+                 ON v.event_type IS NOT DISTINCT FROM med.event_type),
          r2 AS (SELECT event_type, dev,
                   row_number() OVER (PARTITION BY event_type
                     ORDER BY dev) AS rn,
@@ -1693,7 +1694,8 @@ object SparkEntry {
                  WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)))
          SELECT d.event_id, d.event_type, d.value, d.center,
                 (3.0 * 1.4826) * mad.mad AS spread
-         FROM d JOIN mad USING (event_type)
+         FROM d JOIN mad
+           ON d.event_type IS NOT DISTINCT FROM mad.event_type
          WHERE d.dev > (3.0 * 1.4826) * mad.mad
          ORDER BY event_id""",
     // histogram: bin index and left edge are each one multiply-divide

@@ -417,15 +417,23 @@ object Scale {
   def madOutliers(df: DataFrame, groupCol: String, valCol: String,
       idCol: String, k: Double = 3.0): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
+    // null-safe <=> joins: a NULL group is a real partition (groupBy
+    // keeps it), so the per-group medians must join back to its rows —
+    // a null-rejecting equi-join would silently drop them (the same
+    // trap groupQuota's semi-join fixed in round 4). Note MAD = 0
+    // (≥ half the group at the median) degenerates to "any off-median
+    // value flags" — standard MAD behavior, spec-pinned.
     val med = groupQuantiles(df, groupCol, valCol, Seq(0.5))
-      .select(col(groupCol), col("quantile").as("center"))
+      .select(col(groupCol).as("__mg"), col("quantile").as("center"))
     val withDev = df.select(col(idCol), col(groupCol), col(valCol))
       .na.drop(Seq(valCol))
-      .join(med, Seq(groupCol))
+      .join(med, col(groupCol) <=> col("__mg"))
+      .drop("__mg")
       .withColumn("__dev", abs(col(valCol) - col("center")))
     val mad = groupQuantiles(withDev, groupCol, "__dev", Seq(0.5))
-      .select(col(groupCol), col("quantile").as("mad"))
-    withDev.join(mad, Seq(groupCol))
+      .select(col(groupCol).as("__mg"), col("quantile").as("mad"))
+    withDev.join(mad, col(groupCol) <=> col("__mg"))
+      .drop("__mg")
       .withColumn("spread", (lit(k) * lit(1.4826)) * col("mad"))
       .filter(col("__dev") > col("spread"))
       .select(col(idCol), col(groupCol), col(valCol), col("center"),

@@ -137,4 +137,60 @@ class NullSafetySpec extends SparkSpec {
     // lands in bin 1
     assert(out(2L) === 1)
   }
+
+  test("editDistancePairs drops null strings; empty string still pairs") {
+    val df = Seq(Some("abc"), None, Some("abd"), Some(""), Some("a"))
+      .toDF("s")
+    val got = Dedup.editDistancePairs(df, "s", 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("abc", "abd"), ("", "a")))
+  }
+
+  test("coOccurrencePairs: null items and null groups contribute nothing") {
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(1L), Some("y")), (Some(1L), None),
+      (None, Some("x")), (None, Some("y")),
+      (Some(2L), Some("x")), (Some(2L), Some("y"))
+    ).toDF("g", "i")
+    val got = graft.operators.Analytics.coOccurrencePairs(df, "g", "i")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // null item never pairs (null-rejecting <); null group never joins
+    assert(got === Map(("x", "y") -> 2L))
+  }
+
+  test("groupQuantiles/madOutliers drop null values, keep null groups") {
+    val df = Seq(
+      (1L, Some("a"), Some(1.0)), (2L, Some("a"), Some(9.0)),
+      (3L, Some("a"), None), (4L, Option.empty[String], Some(5.0)),
+      (5L, None, Some(7.0))
+    ).toDF("id", "g", "v")
+    val q = Scale.groupQuantiles(df, "g", "v", Seq(1.0))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(2)).toMap
+    // null group is a real partition (groupBy keeps nulls); null value dropped
+    assert(q === Map(Some("a") -> 9.0, None -> 7.0))
+    // both 2-element groups have MAD = 0 (lower median = the smaller
+    // value, deviations [0, d], median deviation 0) → the off-median
+    // row of EACH group flags, including the NULL group's (the
+    // null-safe <=> join keeps it; a USING-style join would silently
+    // drop null-group rows)
+    val out = Scale.madOutliers(df, "g", "v", "id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(2L, 5L))
+  }
+
+  test("scd2History: null timestamps cannot silently corrupt ordering") {
+    // ts is the interval clock; the operator assumes non-null ts (the
+    // events contract). A null-ts row orders NULLS FIRST and becomes
+    // the first version with a real valid_to — documented, not thrown.
+    val df = Seq(
+      (1L, 10L, "A", Some(java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))),
+      (2L, 10L, "B", Option.empty[java.sql.Timestamp])
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = graft.operators.Analytics
+      .scd2History(df, "user_id", "event_type", "ts", "event_id")
+      .orderBy("version").collect()
+    assert(out.length === 2)
+    assert(out(0).getString(1) === "B" && out(0).isNullAt(2))
+  }
 }
