@@ -597,6 +597,17 @@ object SparkEntry {
       Dedup.editDistancePairs(Tables.part(s, dir).select("p_name"),
           "p_name", maxDist = 2)
         .orderBy("str_a", "str_b")),
+    // cross-corpus variant: even-length names play the NEW batch,
+    // odd-length the reference — only left×right candidates exist, and
+    // dist-0 cross matches (exact contamination) are reported
+    "q_edit_distance_across" -> ((s, dir) => {
+      val names = Tables.part(s, dir).select("p_name")
+      Dedup.editDistancePairsAcross(
+          names.filter(length(col("p_name")) % 2 === 0), "p_name",
+          names.filter(length(col("p_name")) % 2 === 1), "p_name",
+          maxDist = 2)
+        .orderBy("str_left", "str_right")
+    }),
     // ===== training-data pipeline: similarity search =====
     "q_embedding_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1604,6 +1615,15 @@ object SparkEntry {
                 avg(total_sales) OVER (ORDER BY transaction_date
                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
          FROM d ORDER BY transaction_date""",
+    "q_edit_distance_across" ->
+      """WITH n AS (SELECT DISTINCT p_name AS s FROM part),
+         l AS (SELECT s FROM n WHERE length(s) % 2 = 0),
+         r AS (SELECT s FROM n WHERE length(s) % 2 = 1)
+         SELECT l.s AS str_left, r.s AS str_right,
+                CAST(levenshtein(l.s, r.s) AS INTEGER) AS dist
+         FROM l JOIN r ON abs(length(l.s) - length(r.s)) <= 2
+         WHERE levenshtein(l.s, r.s) <= 2
+         ORDER BY str_left, str_right""",
     // SCD2: change rows via null-safe lag compare, intervals via lead —
     // the same two windows over the same unique (ts, event_id) order
     "q_scd2_history" ->

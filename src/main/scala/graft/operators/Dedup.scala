@@ -1028,38 +1028,36 @@ object Dedup {
       base + (if (i < rem) 1 else 0)))
   }
 
-  def editDistancePairs(df: DataFrame, strCol: String, maxDist: Int): DataFrame = {
-    require(maxDist >= 1 && maxDist <= 8,
-      s"maxDist must be in [1, 8], got $maxDist (probe fan-out grows cubically)")
-    val k = maxDist + 1
+  /** Distinct non-null strings of `df(strCol)` as a typed Dataset. */
+  private def editStrings(df: DataFrame, strCol: String) = {
     val spark = df.sparkSession
     import spark.implicits._
+    df.select(col(strCol).cast("string").as("s")).na.drop().distinct().as[String]
+  }
 
-    // The segment/probe generators are typed flatMaps, NOT Column
-    // expression trees: a Column formulation repeats the floor(len/k)
-    // segmentation subtree inside every one of the (2t+1)²·(t+1)
-    // probe structs — measured as a multi-second codegen/compile unit
-    // at t=2 (the same O(tree²) trap wordNgrams documents for
-    // transform(sequence)). The generator runs over the DISTINCT
-    // string universe (titles/names ≪ corpus) and emits a bounded
-    // constant per string, so the JVM path costs nothing at scale.
-    // Segmentation is over CODEPOINTS to match Spark's
-    // length/levenshtein semantics beyond the BMP.
-    val strs = df.select(col(strCol).cast("string").as("s"))
-      .na.drop().distinct().as[String]
-
-    // index side: k segments per string, keyed (source length, slot, text)
-    val index = strs.flatMap { s =>
+  /** Index side: k segments per string, keyed (source length, slot,
+    * segment text). Typed flatMap — see [[editDistancePairs]] for why
+    * not a Column expression tree. */
+  private def editIndexSide(strs: org.apache.spark.sql.Dataset[String],
+      k: Int): DataFrame = {
+    val spark = strs.sparkSession
+    import spark.implicits._
+    strs.flatMap { s =>
       val cps = s.codePoints.toArray
       editSegments(cps.length, k).zipWithIndex.map { case ((p, l), i) =>
         (s, cps.length, i, new String(cps, p, l))
       }
     }.toDF("s_idx", "src_len", "slot", "seg")
+  }
 
-    // probe side: for each candidate source length |s| ∈ [|r|−t, |r|+t]
-    // and segment slot, the substrings of r in the ±t shifted window
-    val t = maxDist
-    val probes = strs.flatMap { r =>
+  /** Probe side: for each candidate source length |s| ∈ [|r|−t, |r|+t]
+    * and segment slot, the substrings of r in the ±t shifted window. */
+  private def editProbeSide(strs: org.apache.spark.sql.Dataset[String],
+      t: Int): DataFrame = {
+    val spark = strs.sparkSession
+    import spark.implicits._
+    val k = t + 1
+    strs.flatMap { r =>
       val cps = r.codePoints.toArray
       val m = cps.length
       val out = scala.collection.mutable.LinkedHashSet.empty[(String, Int, Int, String)]
@@ -1079,6 +1077,26 @@ object Dedup {
       }
       out
     }.toDF("s_probe", "src_len", "slot", "seg")
+  }
+
+  def editDistancePairs(df: DataFrame, strCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8,
+      s"maxDist must be in [1, 8], got $maxDist (probe fan-out grows cubically)")
+    val k = maxDist + 1
+
+    // The segment/probe generators are typed flatMaps, NOT Column
+    // expression trees: a Column formulation repeats the floor(len/k)
+    // segmentation subtree inside every one of the (2t+1)²·(t+1)
+    // probe structs — measured as a multi-second codegen/compile unit
+    // at t=2 (the same O(tree²) trap wordNgrams documents for
+    // transform(sequence)). The generator runs over the DISTINCT
+    // string universe (titles/names ≪ corpus) and emits a bounded
+    // constant per string, so the JVM path costs nothing at scale.
+    // Segmentation is over CODEPOINTS to match Spark's
+    // length/levenshtein semantics beyond the BMP.
+    val strs = editStrings(df, strCol)
+    val index = editIndexSide(strs, k)
+    val probes = editProbeSide(strs, maxDist)
 
     val cand = index.join(probes, Seq("src_len", "slot", "seg"))
       .filter(col("s_idx") =!= col("s_probe"))
@@ -1090,5 +1108,30 @@ object Dedup {
       .withColumn("dist", levenshtein(col("str_a"), col("str_b"), maxDist))
       .filter(col("dist") >= 0) // thresholded levenshtein returns -1 beyond maxDist
       .select("str_a", "str_b", "dist")
+  }
+
+  /** Cross-corpus edit-distance pairs — the incremental-crawl shape of
+    * [[editDistancePairs]], mirroring [[jaccardNearDupPairsAcross]]:
+    * which NEW-batch strings sit within `maxDist` edits of something in
+    * the REFERENCE corpus. The reference side is segment-indexed, the
+    * new side probed — pigeonhole needs only one side indexed, so no
+    * left×left or right×right candidates are ever generated. Identical
+    * strings across the corpora ARE reported (dist 0 — that is exact
+    * cross-contamination, the first thing this shape exists to catch).
+    * Output: (str_left, str_right, dist), dist ∈ [0, maxDist]. */
+  def editDistancePairsAcross(left: DataFrame, leftStrCol: String,
+      right: DataFrame, rightStrCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8,
+      s"maxDist must be in [1, 8], got $maxDist (probe fan-out grows cubically)")
+    val k = maxDist + 1
+    val cand = editIndexSide(editStrings(right, rightStrCol), k)
+      .join(editProbeSide(editStrings(left, leftStrCol), maxDist),
+        Seq("src_len", "slot", "seg"))
+      .select(col("s_probe").as("str_left"), col("s_idx").as("str_right"))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein(col("str_left"), col("str_right"), maxDist))
+      .filter(col("dist") >= 0)
+      .select("str_left", "str_right", "dist")
   }
 }

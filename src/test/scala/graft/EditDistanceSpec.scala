@@ -87,6 +87,41 @@ class EditDistanceSpec extends SparkSpec {
       assert(run(strs, t) === exhaustive(strs, t), s"maxDist $t")
   }
 
+  test("across: left×right candidates only, dist-0 cross matches reported") {
+    val leftS = Seq("kitten", "mitten", "shared", "lonely")
+    val rightS = Seq("sitten", "shared", "mittenX", "unrelated")
+    val got = Dedup.editDistancePairsAcross(
+        leftS.toDF("s"), "s", rightS.toDF("s"), "s", 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val expected = (for {
+      a <- leftS; b <- rightS
+      d = lev(a, b) if d <= 1
+    } yield (a, b, d)).toSet
+    assert(got === expected)
+    assert(got.contains(("shared", "shared", 0))) // exact cross-contamination
+    assert(got.contains(("kitten", "sitten", 1)))
+    assert(got.contains(("mitten", "mittenX", 1)))
+    // no within-side pairs: kitten/mitten are both LEFT, never emitted
+    assert(!got.exists { case (a, b, _) => a == "kitten" && b == "mitten" })
+  }
+
+  test("across ≡ exhaustive cross DP on random corpora, maxDist 1..3") {
+    val rnd = new scala.util.Random(99)
+    def corpus(n: Int) = Seq.fill(n)(
+      (0 until rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val l = corpus(50); val r = corpus(50)
+    for (t <- 1 to 3) {
+      val got = Dedup.editDistancePairsAcross(
+          l.toDF("s"), "s", r.toDF("s"), "s", t)
+        .collect().map(x => (x.getString(0), x.getString(1), x.getInt(2))).toSet
+      val expected = (for {
+        a <- l.distinct; b <- r.distinct
+        d = lev(a, b) if d <= t
+      } yield (a, b, d)).toSet
+      assert(got === expected, s"maxDist $t")
+    }
+  }
+
   test("part-name fixture at maxDist 2 ≡ exhaustive (the registered query's shape)") {
     val names = spark.read.parquet(s"$sf/part.parquet")
       .select("p_name").distinct().collect().map(_.getString(0)).toSeq
