@@ -124,4 +124,128 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("groupQuantiles invariants: member value, monotone in p, tie-stable") {
+    val rowGen = for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(0, 20).map(_.toDouble) // small range forces ties
+    } yield (g, v)
+    forAllSamples(Gen.listOfN(40, rowGen), 5) { rows =>
+      val ps = Seq(0.25, 0.5, 0.75, 1.0)
+      val got = graft.operators.Scale
+        .groupQuantiles(rows.toDF("g", "v"), "g", "v", ps)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+        .toMap
+      rows.groupBy(_._1).foreach { case (g, members) =>
+        val vals = members.map(_._2).sorted
+        ps.foreach { p =>
+          val q = got((g, p))
+          assert(vals.contains(q), s"$g p=$p: $q not a member value")
+          // definitional check: value at position max(1, ceil(p·n))
+          val idx = math.max(1, math.ceil(p * vals.size).toInt)
+          assert(q === vals(idx - 1), s"$g p=$p")
+        }
+        // monotone in p
+        ps.sliding(2).foreach { case Seq(p1, p2) =>
+          assert(got((g, p1)) <= got((g, p2)))
+        }
+        assert(got((g, 1.0)) === vals.max)
+      }
+    }
+  }
+
+  test("histogram invariants: counts partition the rows, edges bound values") {
+    val valGen = Gen.chooseNum(-1000, 1000).map(_ / 7.0)
+    forAllSamples(Gen.listOfN(60, valGen), 5) { vs =>
+      val nBins = 8
+      val out = graft.operators.Scale.histogram(vs.toDF("v"), "v", nBins)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      assert(out.map(_._3).sum === vs.size)
+      assert(out.forall(b => b._1 >= 0 && b._1 < nBins))
+      val (lo, hi) = (vs.min, vs.max)
+      val width = (hi - lo) / nBins
+      out.foreach { case (bucket, binLo, n) =>
+        assert(n > 0) // sparse output: empty bins absent
+        if (hi > lo) {
+          // every value of the bucket lies in [binLo, binLo + width]
+          // (right edge closed only for the clamped max)
+          val members = vs.filter { v =>
+            val b = math.min(nBins - 1L,
+              math.floor(((v - lo) * nBins) / (hi - lo)).toLong)
+            b == bucket
+          }
+          assert(members.size.toLong === n)
+          members.foreach { v =>
+            assert(v >= binLo - 1e-9 && v <= binLo + width + 1e-9)
+          }
+        }
+      }
+    }
+  }
+
+  test("scd2History invariants: intervals chain and partition each key's timeline") {
+    val evGen = for {
+      user <- Gen.chooseNum(1, 3)
+      attr <- Gen.oneOf("A", "B", "C")
+      minute <- Gen.chooseNum(0, 59)
+    } yield (user.toLong, attr, minute)
+    forAllSamples(Gen.listOfN(30, evGen), 5) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, a, m), i) =>
+        (i.toLong, u, a, Timestamp.valueOf(f"2024-01-01 10:$m%02d:00"))
+      }
+      val out = graft.operators.Analytics
+        .scd2History(rows.toDF("event_id", "user_id", "event_type", "ts"),
+          "user_id", "event_type", "ts", "event_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(4), r.getString(1),
+          r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(5)))
+      out.groupBy(_._1).foreach { case (user, versions) =>
+        val sorted = versions.sortBy(_._2)
+        // versions are 1..n dense
+        assert(sorted.map(_._2).toSeq === (1 to sorted.length))
+        // intervals chain: valid_to(k) == valid_from(k+1); only the
+        // last is open/current
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a._5.contains(b._4), s"user $user: gap between versions")
+            assert(!a._6)
+          case _ => ()
+        }
+        assert(sorted.last._5.isEmpty && sorted.last._6)
+        // consecutive versions always change value (runs collapsed)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._3 != b._3)
+          case _ => ()
+        }
+        // first interval starts at the user's earliest event
+        val userMin = rows.filter(_._2 == user).map(_._4.getTime).min
+        assert(sorted.head._4.getTime === userMin)
+      }
+    }
+  }
+
+  test("pmi ratio invariant: scores agree with exact counts on any corpus") {
+    val wordGen = Gen.oneOf("p", "q", "r", "s")
+    val docGen = Gen.chooseNum(2, 8).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    forAllSamples(Gen.listOfN(10, docGen), 5) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val toks = texts.map(_.split(" ").toSeq)
+      val bigrams = toks.flatMap(ts => ts.zip(ts.tail))
+      val uni = toks.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      val bi = bigrams.groupBy(identity).view.mapValues(_.size).toMap
+      val n = bigrams.size
+      val got = graft.functions.TextAnalysis
+        .pmiBigrams(docs.toDF("doc_id", "text"), "text", minCount = 1, k = 100)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(got.keySet === bi.keySet.map(identity))
+      got.foreach { case ((w1, w2), (cnt, ratio)) =>
+        assert(cnt === bi((w1, w2)).toLong)
+        val expected = (bi((w1, w2)).toDouble * n) / (uni(w1).toDouble * uni(w2))
+        assert(ratio === expected, s"($w1, $w2)")
+      }
+    }
+  }
 }
