@@ -75,5 +75,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "random_project(array<float>, out_dim) - JL projection with the hash-derived ±1 matrix"),
       { case Seq(child, dim) =>
         RandomProject(child, intLit(dim, "random_project", "out_dim")) }))
+
+    // zorder_key composes built-in bitwise expressions rather than a
+    // custom Expression — same codegen path either way, and SQL users
+    // get the layout key for free
+    ext.injectFunction((FunctionIdentifier("zorder_key"),
+      info("zorder_key",
+        "zorder_key(x, y) - 64-bit Morton interleave of two unsigned-32-bit keys"),
+      { case Seq(x, y) => graft.functions.ZOrder.zValueExpr(x, y) }))
   }
 }

@@ -42,6 +42,27 @@ object ZOrder {
   def zValue(x: Column, y: Column): Column =
     spreadBits(x).bitwiseOR(shiftleft(spreadBits(y), 1))
 
+  /** The same interleave as a raw Catalyst tree — what the SQL-surface
+    * `zorder_key` registration returns (a Column built from
+    * `functions._` carries unresolved lazy nodes that the
+    * `injectFunction` path cannot analyze). */
+  private[graft] def zValueExpr(
+      x: org.apache.spark.sql.catalyst.expressions.Expression,
+      y: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      BitwiseAnd, BitwiseOr, Cast, Expression, Literal, ShiftLeft}
+    import org.apache.spark.sql.types.LongType
+    def spread(e: Expression): Expression =
+      steps.foldLeft[Expression](
+        BitwiseAnd(Cast(e, LongType), Literal(0xFFFFFFFFL))) {
+        case (acc, (shift, mask)) =>
+          BitwiseAnd(BitwiseOr(acc, ShiftLeft(acc, Literal(shift))),
+            Literal(mask))
+      }
+    BitwiseOr(spread(x), ShiftLeft(spread(y), Literal(1)))
+  }
+
   /** Lay a table out in z-order: range-partition on the Morton key
     * (contiguous key ranges → one file reads a compact 2-D tile), then
     * sort within partitions so row-group stats are tight too. The key

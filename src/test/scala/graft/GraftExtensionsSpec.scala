@@ -41,4 +41,18 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("zorder_key: SQL ≡ Column API on anchors and a round trip") {
+    val rows = spark.sql(
+      """SELECT zorder_key(1, 0) AS a, zorder_key(0, 1) AS b,
+                zorder_key(3, 0) AS c, zorder_key(12345, 67890) AS d""")
+      .collect().head
+    assert(rows.getLong(0) === 1L)
+    assert(rows.getLong(1) === 2L)
+    assert(rows.getLong(2) === 5L)
+    val viaColumn = Seq((12345L, 67890L)).toDF("x", "y")
+      .select(graft.functions.ZOrder.zValue(col("x"), col("y")))
+      .collect().head.getLong(0)
+    assert(rows.getLong(3) === viaColumn)
+  }
 }
