@@ -94,10 +94,36 @@ object Bench {
     // not subtract from it — a broken query shrinking the total could
     // mask a real regression in the driver's 2×-of-baseline comparison
     val total = results.values.map(v => if (v < 0) 600.0 else v).sum
+    // like-for-like vs BASELINE.md: the suite has grown 37 → 100+
+    // queries since the round-1 baseline total was recorded, so the
+    // full-suite total is not comparable to it — each new capability
+    // adds its own cost. This field is the same-37-query total
+    // (round-1 suite, BENCH_r01.json), measured in this run: the only
+    // apples-to-apples regression signal against the 32.3 s baseline.
+    val baseline37 = Set(
+      "q1_lineitem_agg", "q3_shipping", "q5_region_revenue",
+      "q6_forecast_revenue", "q_ann_lsh_topk", "q_asof_last_order",
+      "q_corpus_stats", "q_custkeys_1995_not_1996", "q_custkeys_both_years",
+      "q_dedup_exact", "q_distinct_users_per_type", "q_embedding_neardup",
+      "q_embedding_topk", "q_events_within_minute", "q_fingerprint",
+      "q_ivf_topk", "q_jaccard_neardup", "q_json_extract",
+      "q_label_centroids", "q_lang_id", "q_latest_event_per_user",
+      "q_media_features", "q_minhash_neardup", "q_mod_sample",
+      "q_neardup_components", "q_raw_events", "q_rollup_lineitem",
+      "q_sales_per_category", "q_sales_per_category_day", "q_sales_per_day",
+      "q_sales_per_month", "q_sales_per_month_of_year",
+      "q_salted_category_sales", "q_simhash_neardup", "q_text_quality",
+      "q_text_stats", "q_top_orders_per_cust")
+    val b37 = results.collect {
+      case (name, v) if baseline37(name) => if (v < 0) 600.0 else v
+    }
+    val b37Json =
+      if (b37.isEmpty) ""
+      else s""","baseline37_total":${b37.sum},"baseline37_n":${b37.size}"""
     // subset runs self-identify so a filtered artifact can never be
     // mistaken for a full-suite measurement
     val subset = if (only.isDefined) ""","subset":true""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"calib_ms":$calib,"calib_par_s":$calibPar$subset,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"calib_ms":$calib,"calib_par_s":$calibPar$b37Json$subset,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -344,6 +344,41 @@ object SparkEntry {
           sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
           sum(rev)).as("promo_pct"))
     }),
+    // ----- correlated scalar subquery (TPC-H Q17 shape): revenue of
+    // small-quantity lineitems, threshold = 0.2×avg quantity PER PART.
+    // Written as the decorrelated join Catalyst would produce anyway:
+    // the per-part avg aggregation joins back onto the filtered scan
+    // (brand dim broadcast). Quantities are integer-valued doubles, so
+    // the avg is an exact sum / exact count — cross-engine stable.
+    "q_small_qty_revenue" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#4")
+        .select("p_partkey")
+      val branded = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val thresh = branded.groupBy("l_partkey")
+        .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_thresh"))
+      branded.join(thresh, Seq("l_partkey"))
+        .filter(col("l_quantity") < col("qty_thresh"))
+        .agg((sum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    }),
+    // ----- grouped-HAVING IN-subquery (TPC-H Q18 shape): customers
+    // with bulk orders — the order keys whose summed quantity clears a
+    // threshold, joined back to orders + customer. The aggregate runs
+    // on the fact table first; the dimension joins touch only the
+    // surviving keys (broadcast-sized at any SF).
+    "q_big_orders" -> ((s, dir) => {
+      val bigKeys = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      Tables.orders(s, dir)
+        .join(bigKeys, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy("o_orderkey")
+    }),
     // ----- set operation: INTERSECT
     "q_custkeys_both_years" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -670,6 +705,20 @@ object SparkEntry {
       Dedup.nearDupComponents(emb, "vec_id", pairs.select("id_a", "id_b"))
         .orderBy("vec_id")
     }),
+    // cross-corpus embedding near-dup (incremental-crawl shape,
+    // completing the across-variant family next to Jaccard and edit
+    // distance): vec_id % 5 == 0 plays the NEW batch, the rest the
+    // reference corpus. Same planes/seed as the self-join variant, so
+    // its recall-1 tuning carries over to the straddling pairs.
+    "q_embedding_across" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshNearDupPairsAcross(
+          emb.filter(col("vec_id") % 5 =!= 0),
+          emb.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", threshold = 0.4,
+          bitsPerTable = 3, numTables = 12, multiProbe = true, dim = 64)
+        .orderBy("id_ref", "id_new")
+    }),
     // winsorization: clip values at their group's p95 — outlier damping
     // before averaging. exact = the oracle-checkable form; the approx
     // (GK sketch) variant is the registered operator's 100 TB path,
@@ -825,6 +874,19 @@ object SparkEntry {
           col("r.n_syllables").as("n_syllables"),
           col("r.flesch").as("flesch"))
         .orderBy("doc_id")),
+    // n-gram-LM quality signal: per-doc OOV fraction against the
+    // corpus' top-1000 bigram vocabulary (count-exact cut; the log-sum
+    // of a real perplexity is library-dependent, the OOV fraction
+    // isn't)
+    "q_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(Tables.documents(s, dir), "doc_id", "text",
+          vocabK = 1000)
+        .orderBy("doc_id")),
+    // sentence segmentation: terminal-punctuation split, order kept by
+    // sent_idx; a pure per-row posexplode (no shuffle)
+    "q_sentences" -> ((s, dir) =>
+      TextAnalysis.sentences(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "sent_idx")),
     // temperature rebalancing (α=0.5): per-source survival rates — the
     // mixture recipe derived FROM the data, vs q_stratified_sample's
     // hand-set rates. c=5 puts every fixture source mid-range (n≈100 at
@@ -1137,6 +1199,27 @@ object SparkEntry {
            AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_discount BETWEEN 0.02 AND 0.06
            AND l_quantity < 10.0""",
+    // written as the same decorrelated join the Spark side declares
+    "q_small_qty_revenue" ->
+      """WITH branded AS (
+           SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+           FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+           WHERE p.p_brand = 'Brand#4'),
+         t AS (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+               FROM branded GROUP BY 1)
+         SELECT sum(b.l_extendedprice) / 7.0 AS avg_yearly
+         FROM branded b JOIN t ON b.l_partkey = t.l_partkey
+         WHERE b.l_quantity < t.qty_thresh""",
+    "q_big_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                      FROM lineitem GROUP BY 1
+                      HAVING sum(l_quantity) > 250.0)
+         SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_orderdate,
+                o.o_totalprice, b.sum_qty
+         FROM orders o
+           JOIN big b ON o.o_orderkey = b.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+         ORDER BY o_orderkey""",
     "q_custkeys_both_years" ->
       """SELECT * FROM (
            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
@@ -1793,6 +1876,43 @@ object SparkEntry {
                           (84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
                 END AS flesch
          FROM f ORDER BY doc_id""",
+    // bigram generation exactly as q_pmi_bigrams; vocabulary cut on
+    // (count desc, bigram asc) mirrors the Spark orderBy+limit
+    "q_oov_rate" ->
+      """WITH toks AS (SELECT doc_id,
+                string_split_regex(trim(text), '\s+') AS lst
+              FROM documents WHERE length(trim(text)) > 0),
+         bgx AS (SELECT doc_id, z[1] || ' ' || z[2] AS bg
+                 FROM (SELECT doc_id,
+                         unnest(list_zip(lst[1:len(lst)-1],
+                                         lst[2:len(lst)])) AS z
+                       FROM toks WHERE len(lst) >= 2)),
+         vocab AS (SELECT bg FROM (
+                     SELECT bg, count(*) AS n FROM bgx
+                     GROUP BY bg ORDER BY n DESC, bg LIMIT 1000)),
+         perdoc AS (SELECT doc_id, bg, count(*) AS c
+                    FROM bgx GROUP BY 1, 2)
+         SELECT p.doc_id,
+                CAST(sum(p.c) AS BIGINT) AS n_bigrams,
+                CAST(sum(CASE WHEN v.bg IS NULL THEN p.c ELSE 0 END)
+                  AS BIGINT) AS n_oov,
+                CAST(sum(CASE WHEN v.bg IS NULL THEN p.c ELSE 0 END)
+                  AS DOUBLE) / sum(p.c) AS oov_rate
+         FROM perdoc p LEFT JOIN vocab v ON p.bg = v.bg
+         GROUP BY 1 ORDER BY doc_id""",
+    // 1-based list index → 0-based sent_idx; empties filtered AFTER
+    // indexing on both sides, so surviving indices match posexplode's
+    "q_sentences" ->
+      """WITH s AS (SELECT doc_id,
+                string_split_regex(text, '[.!?]+\s+') AS lst
+              FROM documents),
+         e AS (SELECT doc_id,
+                      unnest(list_zip(lst, range(1, len(lst) + 1))) AS z
+               FROM s)
+         SELECT doc_id, CAST(z[2] - 1 AS INT) AS sent_idx,
+                z[1] AS sentence
+         FROM e WHERE length(trim(z[1])) > 0
+         ORDER BY doc_id, sent_idx""",
     // exclusive prefix sum per source shard; floor-division on doubles
     // mirrors the Spark expressions term-for-term (token streams are
     // far below 2^53, so the double path is exact in both engines)
@@ -1963,6 +2083,15 @@ object SparkEntry {
          FROM nz a JOIN nz b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
          ORDER BY id_a, id_b""",
+    // exhaustive cross-side cosine: sides are disjoint by the mod split
+    "q_embedding_across" ->
+      """WITH nz AS (SELECT vec_id, embedding FROM embeddings
+                     WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
+         SELECT a.vec_id AS id_ref, b.vec_id AS id_new,
+                list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+         FROM nz a JOIN nz b ON a.vec_id % 5 <> 0 AND b.vec_id % 5 = 0
+         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+         ORDER BY id_ref, id_new""",
     // byte_len = true UTF-8 byte count (octet_length of the encoded
     // blob). brightness is BYTE-level on both sides: the Spark stub
     // averages unsigned payload bytes, and the oracle recovers the same

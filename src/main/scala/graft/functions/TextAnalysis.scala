@@ -538,4 +538,52 @@ object TextAnalysis {
     struct(nWords.as("n_words"), nSentences.as("n_sentences"),
       nSyllables.as("n_syllables"), flesch.as("flesch"))
   }
+
+  /** Per-document out-of-vocabulary rate against the corpus' own top-k
+    * bigram vocabulary — the count-exact core of n-gram-LM quality
+    * scoring (a full LM perplexity is a float log-sum whose value is
+    * library-dependent; the OOV fraction is the part that is exactly
+    * reproducible cross-engine, and it is the dominant signal for
+    * boilerplate/gibberish either way: fluent text re-uses frequent
+    * collocations, junk doesn't). Deterministic vocabulary cut:
+    * (count desc, bigram asc) — exact integer counts make the k-th
+    * boundary bit-identical in any engine.
+    *
+    * Scale: the corpus-sized explode shuffles one bigram per row into
+    * two partial-combined aggregations (vocabulary + per-doc counts);
+    * the vocabulary is k rows, broadcast to the per-doc side. Docs
+    * with < 2 tokens have no bigrams and drop out (no LM evidence
+    * either way). Output: (doc_id, n_bigrams, n_oov, oov_rate). */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+      vocabK: Int): DataFrame = {
+    val bg = df.select(col(idCol).as("doc_id"),
+      explode(wordNgrams(col(textCol), 2)).as("bg"))
+    val vocab = bg.groupBy("bg").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bg")).limit(vocabK)
+      .select(col("bg"), lit(1).as("in_vocab"))
+    val perDoc = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+    perDoc.join(broadcast(vocab), Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(when(col("in_vocab").isNull, col("c")).otherwise(lit(0L)))
+          .as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_bigrams"))
+  }
+
+  /** Sentence segmentation: split on terminal-punctuation runs followed
+    * by whitespace — the preprocessing step sentence-level dedup,
+    * sentence-piece training, and alignment pipelines start from. The
+    * regex is restricted to constructs java.util.regex and RE2 treat
+    * identically (like [[BpeishPattern]]). A final sentence with no
+    * trailing whitespace keeps its punctuation (the delimiter never
+    * matched); whitespace-only fragments are dropped on both engines.
+    *
+    * Scale: posexplode of a per-row split — no shuffle at all; sentence
+    * order inside a document is preserved by `sent_idx`.
+    * Output: (doc_id, sent_idx, sentence). */
+  def sentences(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "[.!?]+\\s+")).as(Seq("sent_idx", "sentence")))
+      .filter(length(trim(col("sentence"))) > 0)
 }

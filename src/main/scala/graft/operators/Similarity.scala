@@ -620,4 +620,54 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Cross-corpus embedding near-dup pairs — the incremental-crawl
+    * shape of [[lshNearDupPairs]], completing the across-variant family
+    * (Jaccard and edit distance have the same split): which vectors of
+    * a NEW batch near-duplicate something in an existing REFERENCE
+    * corpus. Both sides are bucketed by the SAME hyperplanes (same
+    * seed), so any cross pair the self-join variant finds collides in
+    * the same tables here — recall carries over unchanged from the
+    * self-join's tuning. Only left×right candidates exist: no
+    * within-side pairs are ever generated, the property that makes
+    * re-crawl dedup linear in the new batch instead of quadratic in
+    * the union.
+    *
+    * Scale: the reference side emits `numTables` bare (tbl, bkt, id)
+    * rows per vector — the 100 TB side's multiplier — while the
+    * Hamming-1 probe expansion runs on the (small) new batch only.
+    * Output: (id_ref, id_new, cos), exact cosine ≥ threshold. */
+  def lshNearDupPairsAcross(reference: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      bitsPerTable: Int = 4, numTables: Int = 16,
+      multiProbe: Boolean = false, dim: Int = 0, seed: Long = 42L): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(reference, vecCol)
+    val allPlanes = hyperplanes(bitsPerTable * numTables, d, seed)
+    def side(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("norm", l2Norm(col("v")))
+        .filter(col("norm") > 0)
+    val ref = side(reference)
+    val nw = side(batch)
+    val refBanded = bucketRows(ref, "id", "v", bitsPerTable, numTables, allPlanes)
+    val nwBanded = bucketRows(nw, "id", "v", bitsPerTable, numTables, allPlanes)
+    val nwProbed =
+      if (multiProbe) probeHamming1(nwBanded, "id", bitsPerTable) else nwBanded
+
+    val cand = refBanded.select(col("tbl"), col("bkt"), col("id").as("id_ref"))
+      .join(nwProbed.select(col("tbl"), col("bkt"), col("id").as("id_new")),
+        Seq("tbl", "bkt"))
+      .filter(col("id_ref") =!= col("id_new"))
+      .select("id_ref", "id_new")
+      .distinct()
+
+    cand
+      .join(ref.select(col("id").as("id_ref"), col("v").as("va"), col("norm").as("na")),
+        Seq("id_ref"))
+      .join(nw.select(col("id").as("id_new"), col("v").as("vb"), col("norm").as("nb")),
+        Seq("id_new"))
+      .withColumn("cos", dotProduct(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("id_ref", "id_new", "cos")
+  }
 }

@@ -203,4 +203,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<event_type:string,value:double>"),
       "quantile scan must read only the group and value columns")
   }
+
+  test("sentence segmentation is generator-only: no exchange, pruned scan") {
+    // the operator itself (the registered query adds an output orderBy,
+    // whose range exchange is presentation, not work)
+    val df = graft.functions.TextAnalysis.sentences(
+      Tables.documents(spark, sf), "doc_id", "text")
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange"), "per-row split must not shuffle")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "sentence scan must read only id and text")
+  }
+
+  test("q_oov_rate: vocabulary broadcasts into the per-doc side") {
+    val p = plan("q_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocabulary cut must be a local-top-k, not a global sort")
+    assert(p.contains("BroadcastHashJoin"),
+      "k-row vocabulary must broadcast, not shuffle the per-doc counts")
+  }
+
+  test("q_embedding_across: candidates from bucket equi-joins, no NLJ") {
+    val p = plan("q_embedding_across")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "cross-corpus candidates must come from the (tbl, bkt) equi-join")
+  }
 }

@@ -141,6 +141,28 @@ class SimilaritySpec extends SparkSpec {
     assert(pqTopK === exactTopK)
   }
 
+  test("lshNearDupPairsAcross equals the cross-side restriction of the self-join") {
+    // same planes/seed as the self-join ⇒ straddling pairs collide in
+    // the same tables, so the registered recall-1 tuning carries over
+    val emb = Tables.embeddings(spark, sf)
+    val ref = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val across = Similarity.lshNearDupPairsAcross(ref, batch,
+        "vec_id", "embedding", 0.4,
+        bitsPerTable = 3, numTables = 12, multiProbe = true)
+      .select("id_ref", "id_new")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val straddling = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 0.4,
+        bitsPerTable = 3, numTables = 12, multiProbe = true)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b) => if (a % 5 == 0) (b, a) else (a, b) }
+      .toSet
+    assert(straddling.nonEmpty, "fixture must produce at least one cross pair")
+    assert(across === straddling)
+  }
+
   test("ivfPqTopK (coarse cells + PQ codes + exact rerank) equals brute force") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 10)

@@ -350,4 +350,54 @@ class TextAnalysisSpec extends SparkSpec {
       206.835 - (1.015 * (3.0 / 1L)) - (84.6 * (3.0 / 3L)))
     assert(rows(2).getLong(1) === 0L && rows(2).isNullAt(4))
   }
+
+  test("oovRate: hand-computed counts against a top-k bigram vocabulary") {
+    // corpus bigrams: "a b"×3 (docs 1,2,3), "b c"×2 (docs 1,2),
+    // "x y"×1 (doc 3). vocabK=2 keeps {"a b","b c"} (counts 3,2);
+    // "x y" is OOV.
+    val docs = Seq(
+      (1L, "a b c"),      // bigrams: a b, b c  → 0 OOV of 2
+      (2L, "a b c"),      // same
+      (3L, "a b x y"),    // bigrams: a b, b x, x y → "b x","x y" OOV
+      (4L, "solo"),       // < 2 tokens → no bigrams → absent
+      (5L, "")            // empty → absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, "doc_id", "text", vocabK = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val byId = out.map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(byId(1L) === ((2L, 0L, 0.0)))
+    assert(byId(2L) === ((2L, 0L, 0.0)))
+    // doc 3: 3 bigrams, "b x" and "x y" outside the top-2 vocab
+    assert(byId(3L) === ((3L, 2L, 2.0 / 3.0)))
+  }
+
+  test("oovRate vocabulary cut is deterministic under count ties") {
+    // two bigrams tie at count 1; (count desc, bigram asc) must keep
+    // the lexicographically smaller one for any partitioning
+    val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(docs, "doc_id", "text", vocabK = 1)
+      .orderBy("doc_id").collect()
+    // vocab = {"a b"}; doc 1 fully in-vocab, doc 2 fully OOV
+    assert(out(0).getLong(2) === 0L)
+    assert(out(1).getLong(2) === 1L && out(1).getDouble(3) === 1.0)
+  }
+
+  test("sentences: split on terminal runs, indices survive empty drops") {
+    val docs = Seq(
+      (1L, "One. Two! Three?"),     // final fragment keeps no tail split
+      (2L, "Tail kept."),           // no whitespace after '.' → one sentence
+      (3L, "A!!  B?! C"),           // runs collapse; C unterminated
+      (4L, ". "),                   // only an empty fragment → dropped
+      (5L, "")                      // empty text → no rows
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.sentences(docs, "doc_id", "text")
+      .orderBy("doc_id", "sent_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.toSeq === Seq(
+      (1L, 0, "One"), (1L, 1, "Two"), (1L, 2, "Three?"),
+      (2L, 0, "Tail kept."),
+      (3L, 0, "A"), (3L, 1, "B"), (3L, 2, "C")))
+  }
 }
