@@ -549,19 +549,26 @@ object TextAnalysis {
     * (count desc, bigram asc) — exact integer counts make the k-th
     * boundary bit-identical in any engine.
     *
-    * Scale: the corpus-sized explode shuffles one bigram per row into
-    * two partial-combined aggregations (vocabulary + per-doc counts);
-    * the vocabulary is k rows, broadcast to the per-doc side. Docs
-    * with < 2 tokens have no bigrams and drop out (no LM evidence
-    * either way). Output: (doc_id, n_bigrams, n_oov, oov_rate). */
+    * Scale: the corpus-sized explode is aggregated ONCE, to per-doc
+    * bigram counts; corpus totals (the vocabulary ranking) then derive
+    * from that already-reduced frame — summing per-doc counts per
+    * bigram is exactly the corpus count, and the second aggregation
+    * input is |docs|×|distinct-per-doc|, not the raw bigram stream.
+    * The localCheckpoint materializes the shared frame (same reuse
+    * barrier as tfIdfTopTerms' tf frame: without it Catalyst inlines
+    * the explode into both consumers). The vocabulary is k rows,
+    * broadcast to the per-doc side. Docs with < 2 tokens have no
+    * bigrams and drop out (no LM evidence either way).
+    * Output: (doc_id, n_bigrams, n_oov, oov_rate). */
   def oovRate(df: DataFrame, idCol: String, textCol: String,
       vocabK: Int): DataFrame = {
-    val bg = df.select(col(idCol).as("doc_id"),
-      explode(wordNgrams(col(textCol), 2)).as("bg"))
-    val vocab = bg.groupBy("bg").agg(count(lit(1)).as("n"))
+    val perDoc = df.select(col(idCol).as("doc_id"),
+        explode(wordNgrams(col(textCol), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val vocab = perDoc.groupBy("bg").agg(sum(col("c")).as("n"))
       .orderBy(desc("n"), asc("bg")).limit(vocabK)
       .select(col("bg"), lit(1).as("in_vocab"))
-    val perDoc = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
     perDoc.join(broadcast(vocab), Seq("bg"), "left")
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_bigrams"),
