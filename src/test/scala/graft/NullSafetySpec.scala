@@ -179,6 +179,42 @@ class NullSafetySpec extends SparkSpec {
     assert(out === Set(2L, 5L))
   }
 
+  test("oovRate/sentences: null and empty texts contribute nothing") {
+    val oov = TextAnalysis.oovRate(docsWithNulls, "doc_id", "text", vocabK = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(oov === Set(1L, 2L, 6L)) // null/empty docs have no bigrams
+    val sent = TextAnalysis.sentences(docsWithNulls, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(sent === Set(1L, 2L, 6L)) // null split → null → generator drops
+  }
+
+  test("embedding-across: null vectors on either side are excluded") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = true)))
+    val vecs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(0L, Seq(1.0f, 0.0f)),
+        Row(5L, Seq(0.9f, 0.1f)),  // batch side (mod 5)
+        Row(10L, null),            // batch side, null
+        Row(3L, null))),           // reference side, null
+      schema)
+    val pairs = Similarity.lshNearDupPairsAcross(
+        vecs.filter(col("vec_id") % 5 =!= 0), vecs.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", 0.5, bitsPerTable = 2, numTables = 8,
+        multiProbe = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set()) // only the null rows could cross-match; excluded
+    val vecs2 = vecs.union(Seq((8L, Seq(1.0f, 0.05f))).toDF("vec_id", "embedding"))
+    val pairs2 = Similarity.lshNearDupPairsAcross(
+        vecs2.filter(col("vec_id") % 5 =!= 0), vecs2.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", 0.5, bitsPerTable = 2, numTables = 8,
+        multiProbe = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 (reference) pairs with both non-null batch vectors 0 and 5
+    assert(pairs2 === Set((8L, 0L), (8L, 5L)))
+  }
+
   test("scd2History: null timestamps cannot silently corrupt ordering") {
     // ts is the interval clock; the operator assumes non-null ts (the
     // events contract). A null-ts row orders NULLS FIRST and becomes
