@@ -744,6 +744,19 @@ object SparkEntry {
     "q_value_histogram" -> ((s, dir) =>
       Scale.histogram(Tables.events(s, dir), "value", nBins = 20)
         .orderBy("bucket")),
+    // incremental-ETL merge: history summary + batch summary merged ≡
+    // the from-scratch aggregation (the monoid contract; the split is
+    // id-deterministic so both sides are stable at any SF)
+    "q_incremental_stats" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val history = Scale.keySummary(
+        ev.filter(col("event_id") % 10 < 8), "event_type", "value")
+      val batch = Scale.keySummary(
+        ev.filter(col("event_id") % 10 >= 8), "event_type", "value")
+      Scale.finishSummary(
+          Scale.mergeSummaries(history, batch, "event_type"))
+        .orderBy("event_type")
+    }),
     // one-pass column profile: null + exact distinct counts per column
     "q_profile_columns" -> ((s, dir) =>
       Scale.profileColumns(Tables.events(s, dir),
@@ -1815,6 +1828,13 @@ object SparkEntry {
          SELECT bucket, lo + (bucket * (hi - lo)) / 20 AS bin_lo,
                 count(*) AS n
          FROM x GROUP BY bucket, lo, hi ORDER BY bucket""",
+    // the merged two-summary path must equal the from-scratch scan
+    "q_incremental_stats" ->
+      """SELECT event_type, sum(value) AS s, count(value) AS cnt,
+                min(value) AS mn, max(value) AS mx,
+                sum(value) / count(value) AS mean
+         FROM events WHERE value IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
     "q_profile_columns" ->
       """SELECT * FROM (
            SELECT 'event_id' AS column_name, count(*) AS n_rows,

@@ -477,6 +477,42 @@ object Scale {
     * data-quality dashboard every ingest runs before anything else.
     * Output: (column_name, n_rows, n_nulls, n_distinct) — distinct
     * excludes NULLs, both engines' COUNT(DISTINCT) convention. */
+  /** Reaggregatable per-key summary — the incremental-ETL contract: a
+    * nightly pipeline does NOT rescan history, it merges yesterday's
+    * summary with today's batch. That only works for aggregates that
+    * form a commutative monoid, so the summary carries (sum, cnt, min,
+    * max) — each mergeable — and NEVER a finished mean (means don't
+    * merge; they re-derive from sum/cnt at read time via
+    * [[finishSummary]]). The same decomposition is what Spark's own
+    * partial aggregation does inside one job; this surfaces it ACROSS
+    * jobs, where the engine can't.
+    *
+    * Scale: one map-side-combined aggregation each; the merge shuffles
+    * only |keys| summary rows, never the raw corpus. */
+  def keySummary(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.filter(col(valCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sum(col(valCol)).as("s"),
+        count(lit(1)).as("cnt"),
+        min(col(valCol)).as("mn"),
+        max(col(valCol)).as("mx"))
+
+  /** Merge two summaries keyed on `keyCol`: the monoid operation.
+    * Outer union semantics — a key present in only one side keeps its
+    * summary unchanged. */
+  def mergeSummaries(a: DataFrame, b: DataFrame, keyCol: String): DataFrame =
+    a.unionByName(b)
+      .groupBy(col(keyCol))
+      .agg(sum(col("s")).as("s"),
+        sum(col("cnt")).as("cnt"),
+        min(col("mn")).as("mn"),
+        max(col("mx")).as("mx"))
+
+  /** Finish a summary for reading: derived mean from the mergeable
+    * parts. */
+  def finishSummary(s: DataFrame): DataFrame =
+    s.withColumn("mean", col("s") / col("cnt"))
+
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
     val aggs = cols.flatMap(c => Seq(

@@ -352,4 +352,31 @@ class ScaleSpec extends SparkSpec {
       "id" -> ((4L, 1L, 2L)),
       "s" -> ((4L, 1L, 2L))))
   }
+
+  test("keySummary/mergeSummaries: merged batches equal the from-scratch scan") {
+    val df = Seq(
+      ("a", Some(1.0)), ("a", Some(3.0)), ("a", None),
+      ("b", Some(-2.0)), ("b", Some(8.0)), ("c", Some(5.0))
+    ).toDF("k", "v")
+    // any split must merge to the same summary, including one where a
+    // key lives entirely on one side ("c") and one side is empty for it
+    val left = Scale.keySummary(df.limit(3), "k", "v")
+    val right = Scale.keySummary(df.except(df.limit(3)), "k", "v")
+    val merged = Scale.finishSummary(Scale.mergeSummaries(left, right, "k"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))))
+      .toMap
+    val scratch = Scale.finishSummary(Scale.keySummary(df, "k", "v"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))))
+      .toMap
+    assert(merged === scratch)
+    assert(scratch("a") === ((4.0, 2L, 1.0, 3.0, 2.0))) // null v excluded
+    assert(scratch("b") === ((6.0, 2L, -2.0, 8.0, 3.0)))
+    assert(scratch("c") === ((5.0, 1L, 5.0, 5.0, 5.0)))
+  }
 }
