@@ -45,6 +45,27 @@ class AdaptiveSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter: a selective dim filter prunes the fact side") {
+    // the optimizer's InjectRuntimeFilter: a filtered creation side
+    // (part, brand-filtered) plants a bloom probe on the application
+    // side (lineitem) of a shuffle join — rows that cannot match are
+    // dropped before the exchange, the engine-side analogue of
+    // Dedup.bloomAntiJoin's explicit bloom. Broadcast is disabled
+    // because broadcast joins already prune and get no filter.
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val l = Tables.lineitem(spark, sf)
+      val p = Tables.part(spark, sf).filter(col("p_brand") === "Brand#4")
+      val j = l.join(p, col("l_partkey") === col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"bloom probe must be injected on the lineitem side:\n$plan")
+    }
+  }
+
   test("AQE coalesces undersized shuffle partitions") {
     withConf(
       "spark.sql.adaptive.coalescePartitions.enabled" -> "true",

@@ -248,4 +248,42 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("summary merge is split-invariant: any partition of rows, same summary") {
+    // the monoid contract behind incremental ETL: however history is cut
+    // into batches, merging the batch summaries equals the full scan.
+    // cnt/mn/mx are exact; sums compare within float re-association noise.
+    val rowGen = for {
+      k <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(-10000, 10000).map(_ / 100.0)
+    } yield (k, v)
+    val splitGen = for {
+      rows <- Gen.listOfN(80, rowGen)
+      cut1 <- Gen.chooseNum(0, 80)
+      cut2 <- Gen.chooseNum(0, 80)
+    } yield (rows, math.min(cut1, cut2), math.max(cut1, cut2))
+    forAllSamples(splitGen, 5) { case (rows, lo, hi) =>
+      val df = rows.toDF("k", "v")
+      val parts = Seq(rows.take(lo), rows.slice(lo, hi), rows.drop(hi))
+        .map(p => graft.operators.Scale.keySummary(
+          if (p.isEmpty) df.limit(0) else p.toDF("k", "v"), "k", "v"))
+      val merged = parts.reduce(
+          graft.operators.Scale.mergeSummaries(_, _, "k"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+      val scratch = graft.operators.Scale.keySummary(df, "k", "v")
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+      assert(merged.keySet === scratch.keySet)
+      merged.foreach { case (k, (s, cnt, mn, mx)) =>
+        val (s2, cnt2, mn2, mx2) = scratch(k)
+        assert(math.abs(s - s2) < 1e-9 && cnt === cnt2
+          && mn === mn2 && mx === mx2, k)
+      }
+    }
+  }
 }
