@@ -470,6 +470,31 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     }),
+    // the release report a dataset ships with: corpus-level accounting
+    // in ONE aggregation pass, melted to a (metric, value) card via
+    // stack (no per-metric rescans — the same Expand shape as
+    // profileColumns). All metrics are count/sum/divide portable.
+    "q_dataset_card" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val toks = when(length(trim(col("text"))) === 0, lit(0L))
+        .otherwise(size(TextAnalysis.tokens(col("text"))).cast("long"))
+      d.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          count(col("text")).cast("double").as("n_texts"),
+          countDistinct(col("text")).cast("double").as("n_uniq_texts"),
+          countDistinct(col("source")).cast("double").as("n_sources"),
+          sum(toks).cast("double").as("total_tokens"),
+          sum(length(col("text"))).cast("double").as("total_chars"))
+        .select(expr(
+          """stack(6,
+             'n_docs', n_docs,
+             'n_exact_dup_docs', n_texts - n_uniq_texts,
+             'n_sources', n_sources,
+             'total_tokens', total_tokens,
+             'total_chars', total_chars,
+             'mean_doc_tokens', total_tokens / n_docs) AS (metric, value)"""))
+        .orderBy("metric")
+    }),
     // ===== training-data pipeline: deduplication =====
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
@@ -1303,6 +1328,27 @@ object SparkEntry {
     // stage's output: clean (q_clean_text's expression) → sha256 dedup →
     // repetition gates (q_low_repetition's cuts) → head-cap thresholds
     // computed on the GATED corpus (q_head_cap_sample's formulation)
+    // one scan in DuckDB too; token count mirrors tokenCount's
+    // trim+split, dup count = non-null texts minus distinct texts
+    "q_dataset_card" ->
+      """WITH a AS (SELECT
+             CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(count(text) AS DOUBLE) AS n_texts,
+             CAST(count(DISTINCT text) AS DOUBLE) AS n_uniq_texts,
+             CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+             CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END)
+               AS DOUBLE) AS total_tokens,
+             CAST(sum(length(text)) AS DOUBLE) AS total_chars
+           FROM documents)
+         SELECT * FROM (
+           SELECT 'n_docs' AS metric, n_docs AS value FROM a
+           UNION ALL SELECT 'n_exact_dup_docs', n_texts - n_uniq_texts FROM a
+           UNION ALL SELECT 'n_sources', n_sources FROM a
+           UNION ALL SELECT 'total_tokens', total_tokens FROM a
+           UNION ALL SELECT 'total_chars', total_chars FROM a
+           UNION ALL SELECT 'mean_doc_tokens', total_tokens / n_docs FROM a)
+         ORDER BY metric""",
     "q_curated_corpus_v2" ->
       """WITH cleaned AS (
            SELECT doc_id,
