@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
-import graft.expressions.{LangId, NfcNormalize, RandomProject, SimHash64, TextStats}
+import graft.expressions.{FoldAccents, LangId, NfcNormalize, RandomProject, SimHash64, TextStats}
 
 /** `SparkSessionExtensions` entry point: registers graft's custom
   * Catalyst expressions as SQL FUNCTIONS, so `spark.sql` users get the
@@ -49,6 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(str) - Unicode NFC canonical composition"),
       { case Seq(child) => NfcNormalize(child) }))
+
+    ext.injectFunction((FunctionIdentifier("fold_accents"),
+      info("fold_accents",
+        "fold_accents(str) - strip diacritics (NFD, drop Mn, NFC); DuckDB strip_accents twin"),
+      { case Seq(child) => FoldAccents(child) }))
 
     ext.injectFunction((FunctionIdentifier("lang_id"),
       info("lang_id", "lang_id(str) - marker-word language identification"),

@@ -443,6 +443,18 @@ object SparkEntry {
             lit(" cafe\u0301\u0001  spaced\tend ")))
             .as("clean"))
         .orderBy("doc_id")),
+    // accent folding (NFD → drop Mn → NFC). The fixture text is pure
+    // ASCII (fast-path identity), so the prefix plants composed é,
+    // DECOMPOSED e+U+0301, stroke-letter Đ (must survive — not a
+    // combining mark), and CJK 北 on every row: the fold does real work
+    // cross-engine on all 500 rows, not just in the unit spec
+    "q_fold_accents" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.foldAccents(concat(
+            lit("Çé é Đông 北 "), col("text")))
+            .as("folded"))
+        .orderBy("doc_id")),
     // composed curation pipeline: exact-dedup ∘ quality gate ∘ lang gate
     // — the end-to-end shape a training-data recipe actually runs; each
     // stage reuses an already-oracle-checked operator
@@ -1479,6 +1491,13 @@ object SparkEntry {
                     '  spaced' || chr(9) || 'end '),
                   '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
                   ' {2,}', ' ', 'g')) AS clean
+         FROM documents ORDER BY doc_id""",
+    // strip_accents is DuckDB's utf8proc twin of the FoldAccents
+    // expression (NFD → drop Mn → NFC on both sides); chr(769) is the
+    // planted DECOMPOSED combining acute
+    "q_fold_accents" ->
+      """SELECT doc_id,
+                strip_accents('Çé e' || chr(769) || ' Đông 北 ' || text) AS folded
          FROM documents ORDER BY doc_id""",
     // exact-dedup ∘ quality ∘ lang — CTEs reuse the q_dedup_exact /
     // q_text_quality / q_lang_id oracle formulations verbatim. The 0.7

@@ -391,6 +391,14 @@ object TextAnalysis {
   def nfcNormalize(text: Column): Column =
     graft.expressions.NfcNormalize.nfc(text)
 
+  /** Accent folding (NFD → drop combining marks → NFC) — see
+    * [[graft.expressions.FoldAccents]] for the expression and its
+    * DuckDB `strip_accents` parity contract. Runs in the scan
+    * projection; compose with [[nfcNormalize]]/[[cleanText]] for
+    * accent-insensitive dedup keys and term counting. */
+  def foldAccents(text: Column): Column =
+    graft.expressions.FoldAccents.fold(text)
+
   /** Standard text-cleaning pass a curation pipeline runs before any
     * byte-keyed operator (dedup digests, shingles, term counts):
     *  1. NFC-normalize (canonical bytes for visually-equal text),

@@ -206,6 +206,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("foldAccents strips diacritics, keeps strokes/CJK, fast-path identity") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val cases = Seq(
+      "café né"      -> "cafe ne",       // composed accents
+      "cafe\u0301"        -> "cafe",           // decomposed accent
+      "Ångström"     -> "Angstrom",
+      "Đường"   -> "Đuong",     // Đ has a STROKE, not a mark — survives
+      "北京 café" -> "北京 cafe", // CJK untouched
+      "øre Å"        -> "øre A",     // ø is a distinct letter, not accented o
+      "ё Ё"          -> "е Е",  // Cyrillic ё → е
+      "Φαιστός" -> "Φαιστος")
+    val out = cases.map(_._1).toDF("t")
+      .select(TextAnalysis.foldAccents(col("t")).as("v"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out === cases.map(_._2))
+    // ASCII fast path: the SAME UTF8String comes back, no decode
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(graft.expressions.FoldAccents.compute(ascii) eq ascii)
+    // mark-free already-NFC non-ASCII keeps its bytes (北京 has no Mn)
+    val cjk = UTF8String.fromString("北京")
+    assert(graft.expressions.FoldAccents.compute(cjk) eq cjk)
+    // idempotent: folding a folded string is the identity
+    val once = cases.map(_._2).toDF("t")
+      .select(TextAnalysis.foldAccents(col("t")).as("v"))
+      .collect().map(_.getString(0)).toSeq
+    assert(once === cases.map(_._2))
+    // null passes through the null-safe wrapper
+    val n = Seq((1, null: String)).toDF("i", "t")
+      .select(TextAnalysis.foldAccents(col("t")).as("v")).collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("cleanText strips controls (keeps tab/newline), collapses spaces, trims") {
     val dirty = " ab\r\nkeep\ttab   wide  end "
     val out = Seq(dirty).toDF("t")
