@@ -379,6 +379,69 @@ object SparkEntry {
           col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
         .orderBy("o_orderkey")
     }),
+    // ----- outer-join distribution (TPC-H Q13 shape): orders per
+    // customer INCLUDING the zero-order customers (the left join is the
+    // semantics — an inner join silently loses the 0 bucket), then the
+    // count-of-counts histogram. Pre-filtering orders before the join ≡
+    // Q13's ON-clause filter; all counts integer → hash-exact.
+    "q_order_count_distribution" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      Tables.customer(s, dir).select("c_custkey")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+    // ----- disjunctive join predicate (TPC-H Q19 shape): an OR of
+    // per-(brand, size, quantity) bands that can't be pushed as one
+    // conjunct. The join stays a single broadcast hash join with the
+    // disjunction evaluated post-join in codegen — NOT three unioned
+    // scans (which would read lineitem three times at 100 TB).
+    "q_disjunctive_revenue" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+      val d1 = col("p_brand") === "Brand#1" &&
+        col("p_size").between(1, 15) && col("l_quantity").between(1, 20)
+      val d2 = col("p_brand") === "Brand#2" &&
+        col("p_size").between(10, 30) && col("l_quantity").between(10, 30)
+      val d3 = col("p_brand") === "Brand#3" &&
+        col("p_size").between(20, 50) && col("l_quantity").between(20, 40)
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(d1 || d2 || d3)
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+    }),
+    // ----- scalar-subquery threshold + anti-join (TPC-H Q22 shape):
+    // high-balance customers with NO recent orders, grouped by nation.
+    // The classic "never ordered" anti-join is empty on this fixture
+    // (every customer has orders), so dormancy is the cutoff date. The
+    // avg threshold is decimal-exact: `bal * cnt > sum` over
+    // DECIMAL(18,2) avoids the order-dependent double avg that could
+    // flip a boundary customer between engines; only the REPORTED total
+    // goes back to double (tolerance-compared).
+    "q_dormant_customers" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val pos = c.filter(col("c_acctbal") > 0.0)
+        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("bal_sum"),
+          count(lit(1)).as("bal_cnt"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey").distinct()
+      c.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(pos))
+        .filter(col("c_acctbal").cast("decimal(18,2)") * col("bal_cnt")
+          > col("bal_sum"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
     // ----- set operation: INTERSECT
     "q_custkeys_both_years" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
@@ -1270,6 +1333,40 @@ object SparkEntry {
            JOIN big b ON o.o_orderkey = b.l_orderkey
            JOIN customer c ON c.c_custkey = o.o_custkey
          ORDER BY o_orderkey""",
+    // ON-clause order filter spelled as the pre-join WHERE the Spark
+    // side declares — equivalent for a LEFT join key filter on the
+    // probe side's own columns
+    "q_order_count_distribution" ->
+      """WITH co AS (
+           SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+           FROM customer c LEFT JOIN orders o
+             ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+           GROUP BY 1)
+         SELECT c_count, count(*) AS custdist FROM co GROUP BY 1
+         ORDER BY custdist DESC, c_count DESC""",
+    "q_disjunctive_revenue" ->
+      """SELECT sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                AND l_quantity BETWEEN 10 AND 30)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                AND l_quantity BETWEEN 20 AND 40)""",
+    // decimal-exact threshold (bal*cnt > sum), double only in the output
+    "q_dormant_customers" ->
+      """WITH pos AS (
+           SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_sum,
+                  count(*) AS bal_cnt
+           FROM customer WHERE c_acctbal > 0.0),
+         recent AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+         SELECT c_nationkey, count(*) AS numcust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer c, pos
+         WHERE NOT EXISTS (SELECT 1 FROM recent r WHERE r.o_custkey = c.c_custkey)
+           AND CAST(c_acctbal AS DECIMAL(18,2)) * bal_cnt > bal_sum
+         GROUP BY 1 ORDER BY 1""",
     "q_custkeys_both_years" ->
       """SELECT * FROM (
            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
