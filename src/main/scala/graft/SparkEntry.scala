@@ -94,6 +94,54 @@ object SparkEntry {
       Analytics.scd2History(Tables.events(s, dir), "user_id", "event_type",
           "ts", "event_id")
         .orderBy("user_id", "valid_from")),
+    // ----- CDC merge: snapshot (latest pre-cutoff row per user) +
+    // changelog (post-cutoff events; 'error' plays the delete op) →
+    // merged end state. Both the snapshot build and the operator's
+    // latest-change reduction are max_by aggregates (no per-key sort);
+    // every output value is copied, not computed — hash-exact.
+    "q_cdc_state" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+      val cutoff = lit("2024-01-20").cast("timestamp")
+      val snapCols = Seq("ts", "event_id", "event_type", "value")
+      val snapshot = ev.filter(col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(max_by(struct(snapCols.map(col): _*),
+          struct(col("ts"), col("event_id"))).as("__r"))
+        .select(col("user_id") +: snapCols.map(c => col(s"__r.$c").as(c)): _*)
+      val changes = ev.filter(col("ts") >= cutoff)
+        .withColumn("op",
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+      Analytics.applyChangelog(snapshot, changes, "user_id",
+          Seq("ts", "event_id"), "op")
+        .orderBy("user_id")
+    }),
+    // ----- calendar gap-fill + forward fill on per-user daily spend.
+    // The key must be a per-entity one for the gap mix to be
+    // scale-invariant: user count grows with SF while events/user/day
+    // stays ~2.2, so ~11-13% of calendar cells are gaps at EVERY SF
+    // (measured 13/12/11% at sf0.001/0.01/0.1) — a per-category key
+    // saturates at sf0.1 and fills nothing. The mod-11 user sample
+    // bounds output rows, reusing the q_mod_sample formulation, and
+    // is_gap makes the fill itself hash-adjudicated.
+    "q_gap_fill" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .filter(pmod(col("user_id"), lit(11)) === 0)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("spend"))
+      Analytics.gapFillForward(daily, "user_id", "day", "spend")
+        .orderBy("user_id", "day")
+    }),
+    // ----- sweep-line concurrency over the 30-min sessions: how many
+    // sessions are active at each boundary instant. Exact integer
+    // counts; the two-level carry-in decomposition is asserted
+    // equivalent to the oracle's single global cumsum by the hash.
+    "q_concurrency" -> ((s, dir) =>
+      Analytics.activeIntervals(
+          Analytics.sessionize(Tables.events(s, dir), "user_id", "ts",
+            "event_id", gapMinutes = 30),
+          "session_start", "session_end")
+        .orderBy("t")),
     // ----- market-basket co-occurrence graph (parts bought together,
     // support >= 2) + graph metrics over its edge list. The support
     // floor is what keeps the graph sparse: the raw co-occurrence
@@ -194,6 +242,46 @@ object SparkEntry {
         .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
         .orderBy("nation", "o_year")
+    }),
+    // ----- Q15 shape: scalar subquery over an aggregate — supplier(s)
+    // whose quarterly revenue equals the global max. The max is a 1-ROW
+    // broadcast joined back on equality, not a window over all
+    // suppliers (a global rank would sort every supplier's aggregate;
+    // the broadcast touches each row once). Revenue equality compares
+    // the engine's OWN sums, so IEEE ordering can't split the answer.
+    "q_top_revenue_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_revenue"))
+      val top = rev.agg(max(col("total_revenue")).as("__m"))
+      Tables.supplier(s, dir)
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(top), col("total_revenue") === col("__m"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+    // ----- Q20 shape: semi-join chained through an aggregate-HAVING
+    // subquery — suppliers who shipped any part whose 1995 volume
+    // exceeded the bulk threshold. Both membership tests are left_semi
+    // (no row multiplication anywhere); the bulky-part list is tiny
+    // after the HAVING cut, so AQE broadcasts it into the fact scan.
+    "q_bulk_part_suppliers" -> ((s, dir) => {
+      val li95 = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      val bulky = li95.groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("__qty"))
+        .filter(col("__qty") > 300.0)
+        .select("l_partkey")
+      val shippers = li95.join(bulky, Seq("l_partkey"), "left_semi")
+        .select(col("l_suppkey").as("s_suppkey"))
+      Tables.supplier(s, dir)
+        .join(shippers, Seq("s_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
     }),
     // ----- rollup / grouping-set aggregation
     "q_rollup_lineitem" -> ((s, dir) =>
@@ -599,6 +687,19 @@ object SparkEntry {
       val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
         n = 3, threshold = 0.6, maxShingleDf = Some(shingleDfCap))
       Dedup.nearDupComponents(docs, "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
+    // quality-aware canonical selection: one doc per jaccard component,
+    // highest n_chars wins (ties → smallest id). The keep-best policy a
+    // curation pipeline wants where dropNearDups' keep-smallest-id would
+    // discard the clean original in favor of whichever scrape crawled
+    // first.
+    "q_best_of_cluster" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.6, maxShingleDf = Some(shingleDfCap))
+      Dedup.keepBestPerComponent(docs, "doc_id", pairs, col("n_chars"))
+        .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
     // cross-corpus near-dup: every 5th doc plays the NEW batch, the
@@ -1053,6 +1154,19 @@ object SparkEntry {
           "doc_id", k = 5)
         .select("doc_id", "source", "lang")
         .orderBy("doc_id")),
+    // k-anonymity release gate: suppress docs whose (lang, source,
+    // length-band) quasi-identifier tuple has < 3 members. The banded
+    // n_chars is the pre-coarsened quasi column the operator contract
+    // asks for; ~2/3 of the quasi groups fall under k at the driver's
+    // sf0.01 (and ≥ 1 even at sf0.1), so suppression is exercised, not
+    // vacuous.
+    "q_k_anonymous" -> ((s, dir) =>
+      Scale.kAnonymize(
+          Tables.documents(s, dir)
+            .withColumn("band", expr("n_chars div 200")),
+          Seq("lang", "source", "band"), k = 3)
+        .select("doc_id", "lang", "source", "band")
+        .orderBy("doc_id")),
     // context-window packing: 40-token chunks, 8-token overlap
     "q_doc_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
@@ -1134,6 +1248,90 @@ object SparkEntry {
                 count(*) AS n_events,
                 min(ts) AS session_start, max(ts) AS session_end
          FROM t GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+    // the oracle states the merge as the row_number/NOT EXISTS
+    // formulation; the Spark side's max_by reduction + anti-join must
+    // reach the identical end state (values copied, hash-exact)
+    "q_cdc_state" ->
+      """WITH ev AS (
+           SELECT user_id, ts, event_id, event_type, value FROM events),
+         snap AS (
+           SELECT user_id, ts, event_id, event_type, value FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+             FROM ev WHERE ts < TIMESTAMP '2024-01-20') WHERE rn = 1),
+         chg AS (
+           SELECT *, CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+           FROM ev WHERE ts >= TIMESTAMP '2024-01-20'),
+         latest AS (
+           SELECT user_id, ts, event_id, event_type, value, op FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+             FROM chg) WHERE rn = 1)
+         SELECT user_id, ts, event_id, event_type, value FROM (
+           SELECT s.user_id, s.ts, s.event_id, s.event_type, s.value
+           FROM snap s
+           WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.user_id = s.user_id)
+           UNION ALL
+           SELECT user_id, ts, event_id, event_type, value
+           FROM latest WHERE op <> 'D')
+         ORDER BY user_id""",
+    // generate_series yields timestamps — cast back to DATE; rev0 keeps
+    // the pre-fill value out of the output alias's way (DuckDB allows
+    // lateral alias reuse inside one SELECT, which would mis-bind
+    // `spend IS NULL` to the FILLED value)
+    "q_gap_fill" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS spend
+           FROM events WHERE user_id % 11 = 0 GROUP BY 1, 2),
+         b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+         cal AS (
+           SELECT k.user_id, CAST(d.g AS DATE) AS day
+           FROM (SELECT DISTINCT user_id FROM daily) k,
+                (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS g
+                 FROM b) d),
+         j AS (
+           SELECT c.user_id, c.day, dd.spend AS rev0
+           FROM cal c LEFT JOIN daily dd
+             ON dd.user_id = c.user_id AND dd.day = c.day)
+         SELECT user_id, day,
+                last_value(rev0 IGNORE NULLS) OVER (PARTITION BY user_id
+                  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS spend,
+                (rev0 IS NULL) AS is_gap
+         FROM j ORDER BY user_id, day""",
+    // single global cumsum formulation; the Spark side's day-partitioned
+    // carry-in decomposition must hash-match it exactly
+    "q_concurrency" ->
+      """WITH s AS (
+           SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev
+           FROM events),
+         t AS (
+           SELECT user_id, ts,
+                  sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+                      THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_idx
+           FROM s),
+         sess AS (
+           SELECT min(ts) AS session_start, max(ts) AS session_end
+           FROM t GROUP BY user_id, session_idx),
+         bnd AS (
+           SELECT t, sum(s) AS s, sum(e) AS e FROM (
+             SELECT session_start AS t, 1 AS s, 0 AS e FROM sess
+             UNION ALL
+             SELECT session_end AS t, 0 AS s, 1 AS e FROM sess) GROUP BY 1),
+         c AS (
+           SELECT t, e,
+                  sum(s) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+                  sum(e) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce
+           FROM bnd)
+         SELECT t, CAST(cs - ce + e AS BIGINT) AS active
+         FROM c ORDER BY t""",
     "q_funnel" ->
       """WITH f AS (
            SELECT user_id,
@@ -1223,6 +1421,34 @@ object SparkEntry {
          JOIN orders o ON o.o_orderkey = l.l_orderkey
          WHERE p.p_type = 'PROMO'
          GROUP BY 1, 2 ORDER BY nation, o_year""",
+    // Q15 shape stated as the textbook correlated scalar subquery; the
+    // Spark side's broadcast-max equi-join must select the same rows
+    "q_top_revenue_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  SUM(l_extendedprice * (1.0 - l_discount)) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             AND l_shipdate < TIMESTAMP '1995-04-01'
+           GROUP BY 1)
+         SELECT s.s_suppkey, s.s_name, r.total_revenue
+         FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+         WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+         ORDER BY s_suppkey""",
+    // Q20 shape as nested IN-subqueries; Spark states the same
+    // membership chain as two left_semi joins
+    "q_bulk_part_suppliers" ->
+      """WITH li AS (
+           SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             AND l_shipdate < TIMESTAMP '1996-01-01'),
+         bulky AS (
+           SELECT l_partkey FROM li GROUP BY 1 HAVING sum(l_quantity) > 300.0)
+         SELECT s_suppkey, s_name, s_acctbal FROM supplier
+         WHERE s_suppkey IN (
+           SELECT l_suppkey FROM li
+           WHERE l_partkey IN (SELECT l_partkey FROM bulky))
+         ORDER BY s_suppkey""",
     "q_rollup_lineitem" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                 coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -1544,6 +1770,18 @@ object SparkEntry {
                   ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
            FROM documents) t
          WHERE rn <= 5 ORDER BY doc_id""",
+    // suppression = semi-join against the >= k quasi groups; DuckDB's
+    // integer // is floor division ≡ Spark's `div` on BIGINT
+    "q_k_anonymous" ->
+      """WITH q AS (
+           SELECT lang, source, n_chars // 200 AS band, count(*) AS n
+           FROM documents GROUP BY 1, 2, 3 HAVING count(*) >= 3)
+         SELECT d.doc_id, d.lang, d.source, d.n_chars // 200 AS band
+         FROM documents d
+         JOIN q ON q.lang IS NOT DISTINCT FROM d.lang
+               AND q.source IS NOT DISTINCT FROM d.source
+               AND q.band IS NOT DISTINCT FROM d.n_chars // 200
+         ORDER BY d.doc_id""",
     // chunk i = tokens [i*stride, i*stride + 40), stride 32; DuckDB's
     // 1-based inclusive slice w[a:b] clamps at the end like Spark slice
     "q_doc_chunks" ->
@@ -1837,6 +2075,41 @@ object SparkEntry {
            SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
          SELECT node AS doc_id, min(root) AS component_id
          FROM reach GROUP BY node ORDER BY doc_id""",
+    // same recursive-CTE component derivation; the winner per component
+    // is the row_number-window formulation of the Spark side's max_by
+    // (quality DESC, id ASC) reduction
+    "q_best_of_cluster" ->
+      s"""WITH RECURSIVE
+         tok AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3 THEN []
+                  ELSE list_transform(range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+                    i -> array_to_string((string_split_regex(trim(text), '\\s+'))[i:i+2], ' ')) END) AS sh
+              FROM documents),
+         inv0 AS (SELECT doc_id, unnest(sh) AS s FROM tok WHERE len(sh) > 0),
+         dfq AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) <= $shingleDfCap),
+         inv AS (SELECT i.doc_id, i.s FROM inv0 i JOIN dfq USING (s)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id),
+         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         jp AS (SELECT c.id_a, c.id_b FROM cand c
+                JOIN sizes sa ON sa.doc_id = c.id_a
+                JOIN sizes sb ON sb.doc_id = c.id_b
+                WHERE CAST(c.shared AS DOUBLE) / (sa.n + sb.n - c.shared) >= 0.6),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+                   UNION SELECT id_b, id_a FROM jp),
+         reach(node, root) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+         SELECT doc_id, lang, source, n_chars FROM (
+           SELECT d.doc_id, d.lang, d.source, d.n_chars,
+                  row_number() OVER (PARTITION BY c.component_id
+                    ORDER BY d.n_chars DESC, d.doc_id) AS rn
+           FROM documents d
+           JOIN (SELECT node, min(root) AS component_id
+                 FROM reach GROUP BY node) c ON c.node = d.doc_id)
+         WHERE rn = 1 ORDER BY doc_id""",
     // Brute-force Hamming oracle over signatures recomputed in SQL: the
     // portable token hash (sha256 prefix fold) and the per-bit sign-sums
     // are mirrored exactly, and the banding is pigeonhole-complete for

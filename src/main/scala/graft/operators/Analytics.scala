@@ -264,4 +264,113 @@ object Analytics {
       .groupBy(col("cohort_day"), col("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** CDC merge: apply an upsert/delete changelog to a snapshot — the
+    * batch MERGE a warehouse runs per load cycle. Per key, the LATEST
+    * change (by `orderCols`, which must be unique per key — e.g.
+    * (ts, event_id)) decides: `deleteOp` removes the key, anything else
+    * replaces/inserts the full row; untouched keys keep their snapshot
+    * row. A key whose latest change is a delete is gone even if earlier
+    * changes in the same batch upserted it — last-writer-wins, the
+    * standard CDC compaction contract.
+    *
+    * Scale: the latest-change reduction is `max_by(struct(payload),
+    * struct(orderCols))` — a map-side-combinable aggregate, ONE shuffle
+    * of one row per (touched key, partition), no per-key sort (the
+    * row_number formulation the oracle uses would sort every key's
+    * changes; the aggregate form is the TopKAggregator k=1 shape).
+    * The anti-join ships only touched keys. `changes` must carry the
+    * snapshot schema plus `opCol`.
+    * Output: the merged snapshot (same schema as `snapshot`). */
+  def applyChangelog(snapshot: DataFrame, changes: DataFrame,
+      keyCol: String, orderCols: Seq[String], opCol: String,
+      deleteOp: String = "D"): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one ordering column")
+    val payloadCols = changes.columns.filter(_ != keyCol).toSeq
+    val latest = changes.groupBy(col(keyCol))
+      .agg(max_by(struct(payloadCols.map(col): _*),
+        struct(orderCols.map(col): _*)).as("__r"))
+      .select(col(keyCol) +: payloadCols.map(c => col(s"__r.$c").as(c)): _*)
+    val survivors = latest.filter(col(opCol) =!= deleteOp).drop(opCol)
+    snapshot
+      .join(latest.select(keyCol), Seq(keyCol), "left_anti")
+      .unionByName(survivors.select(snapshot.columns.map(col): _*))
+  }
+
+  /** Calendar gap-fill + forward-fill over a keyed daily series: emit
+    * one row per (key, day) for EVERY day in the series' global
+    * [min, max] range, carrying the last observed value forward across
+    * the gaps (`is_gap` marks synthesized rows; days before a key's
+    * first observation stay NULL). The standard densification step
+    * before any time-series model or day-over-day comparison.
+    *
+    * Scale: the calendar is keys × days built from a BROADCAST 1-row
+    * bounds aggregate (`sequence` + explode — no driver collect); the
+    * forward-fill window partitions by key, so the big sort is one
+    * shuffle on the key, never global. Day count is bounded (it's a
+    * calendar), so per-key partitions stay small regardless of corpus
+    * size.
+    * Output: (key, day, value — filled, is_gap). */
+  def gapFillForward(df: DataFrame, keyCol: String, dayCol: String,
+      valCol: String): DataFrame = {
+    val bounds = df.agg(min(col(dayCol)).as("__lo"), max(col(dayCol)).as("__hi"))
+    val calendar = df.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"),
+          expr("interval 1 day"))).as(dayCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar.join(df, Seq(keyCol, dayCol), "left_outer")
+      .select(col(keyCol), col(dayCol),
+        last(col(valCol), ignoreNulls = true).over(w).as(valCol),
+        col(valCol).isNull.as("is_gap"))
+  }
+
+  /** Sweep-line concurrency: for every interval boundary instant, how
+    * many intervals are active (start ≤ t ≤ end, both ends inclusive —
+    * a one-event session with start = end counts at its own instant).
+    * The "peak concurrent sessions / connections / streams" question.
+    *
+    * Scale: boundaries first aggregate per distinct instant (map-side
+    * combined), then the running sum is TWO-LEVEL — a window
+    * partitioned by day plus a per-day carry-in prefix over the tiny
+    * day-totals table — so no global unpartitioned sort ever touches
+    * per-instant data (the same carry-in decomposition as the bucketed
+    * as-of join). The oracle states the equivalent single global
+    * cumsum; both count in exact integers.
+    * Output: (t, active) per distinct boundary instant, where `active`
+    * holds on [t, next boundary). */
+  def activeIntervals(intervals: DataFrame, startCol: String,
+      endCol: String): DataFrame = {
+    // a null-bounded interval has no well-defined sweep contribution —
+    // drop it whole (keeping only its non-null end would land in the
+    // null-day partition, which sorts FIRST and poisons every carry-in)
+    val closed = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull)
+    val boundaries = closed.select(col(startCol).as("t"), lit(1L).as("s"), lit(0L).as("e"))
+      .unionAll(closed.select(col(endCol).as("t"), lit(0L).as("s"), lit(1L).as("e")))
+      .groupBy("t")
+      .agg(sum(col("s")).as("s"), sum(col("e")).as("e"))
+      .withColumn("__day", to_date(col("t")))
+    // level 1: running sums within each day partition
+    val wDay = Window.partitionBy(col("__day")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // level 2: exclusive prefix over per-day totals (rows = #days, tiny)
+    val wDays = Window.orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dayPrefix = boundaries.groupBy("__day")
+      .agg(sum(col("s")).as("__ds"), sum(col("e")).as("__de"))
+      .select(col("__day"),
+        coalesce(sum(col("__ds")).over(wDays), lit(0L)).as("__ps"),
+        coalesce(sum(col("__de")).over(wDays), lit(0L)).as("__pe"))
+    boundaries
+      .withColumn("__cs", sum(col("s")).over(wDay))
+      .withColumn("__ce", sum(col("e")).over(wDay))
+      .join(broadcast(dayPrefix), Seq("__day"))
+      // active(t) = starts(≤t) − ends(<t); ends AT t still count (inclusive)
+      .select(col("t"),
+        (col("__ps") + col("__cs") - (col("__pe") + col("__ce") - col("e")))
+          .as("active"))
+  }
 }

@@ -164,6 +164,34 @@ object Scale {
       "left_semi")
   }
 
+  /** k-anonymity suppression: keep only rows whose quasi-identifier
+    * tuple is shared by at least `k` rows — the release gate a privacy
+    * review applies before shipping a dataset whose column combination
+    * (language × source × length band, zip × age × gender, …) could
+    * re-identify members of small groups. Suppression (dropping the
+    * tiny groups) is the exact, conservative half of k-anonymization;
+    * generalization (coarsening values until groups merge) is a policy
+    * choice layered on top by passing pre-coarsened quasi columns —
+    * e.g. a banded `n_chars div 200` instead of raw lengths.
+    *
+    * Scale: one map-side-combinable count per quasi tuple, then a
+    * semi-join of the (usually tiny) surviving-group list back onto the
+    * corpus. Null-safe `<=>` per column: a NULL quasi value is an
+    * ordinary group (counted and gated like any other), not silently
+    * dropped — same contract as `groupQuota`. Quasi columns may be
+    * expressions only if pre-projected; pass column NAMES here so the
+    * semi-join keys match the count keys byte-for-byte. */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1 && quasiCols.nonEmpty,
+      s"need k >= 1 and at least one quasi-identifier, got k=$k, $quasiCols")
+    val big = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= k)
+      .select(quasiCols.map(c => col(c).as(s"__q_$c")): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _)
+    df.join(big, cond, "left_semi")
+  }
+
   /** Leakage-safe train/val/test split: every document is assigned a
     * split by its near-dup COMPONENT id, not its own id — so two
     * near-duplicate documents (or a whole transitive dup cluster) can

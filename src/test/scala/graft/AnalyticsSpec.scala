@@ -227,4 +227,96 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.triangleCount(edges.toDF("a", "b"), "a", "b")
       .collect().head.getLong(0) === expected)
   }
+
+  test("applyChangelog: last-writer-wins, deletes, inserts, untouched keys") {
+    val snapshot = Seq(
+      (1L, 10, "a"), (2L, 20, "b"), (3L, 30, "c")).toDF("k", "v", "tag")
+    val changes = Seq(
+      // k=1: upsert then DELETE — latest wins, key gone
+      (1L, 11, "a2", 1L, "U"), (1L, 12, "a3", 2L, "D"),
+      // k=2: delete then re-upsert — latest wins, new value survives
+      (2L, 21, "b2", 1L, "D"), (2L, 22, "b3", 2L, "U"),
+      // k=4: pure insert (not in snapshot)
+      (4L, 40, "d", 1L, "U"),
+      // k=5: insert then delete — never materializes
+      (5L, 50, "e", 1L, "U"), (5L, 51, "e2", 2L, "D")
+    ).toDF("k", "v", "tag", "seq", "op")
+    val out = Analytics.applyChangelog(snapshot, changes, "k",
+        Seq("seq"), "op")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2))))
+      .toMap
+    assert(out === Map(
+      2L -> ((22, "b3")),   // re-upserted
+      3L -> ((30, "c")),    // untouched snapshot row
+      4L -> ((40, "d"))))   // fresh insert
+  }
+
+  test("gapFillForward: calendar completion, carry-forward, leading nulls") {
+    val d = java.sql.Date.valueOf(_: String)
+    val daily = Seq(
+      ("a", d("2024-01-01"), 1.0),
+      ("a", d("2024-01-04"), 4.0),   // 2nd/3rd are gaps carrying 1.0
+      ("b", d("2024-01-03"), 9.0)    // b starts late: 1st/2nd lead-null
+    ).toDF("k", "day", "v")
+    val out = Analytics.gapFillForward(daily, "k", "day", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getBoolean(3))))
+      .toMap
+    assert(out.size === 8) // 2 keys x 4-day global calendar
+    assert(out(("a", "2024-01-01")) === ((Some(1.0), false)))
+    assert(out(("a", "2024-01-02")) === ((Some(1.0), true)))
+    assert(out(("a", "2024-01-03")) === ((Some(1.0), true)))
+    assert(out(("a", "2024-01-04")) === ((Some(4.0), false)))
+    // before b's first observation there is nothing to carry
+    assert(out(("b", "2024-01-01")) === ((None, true)))
+    assert(out(("b", "2024-01-02")) === ((None, true)))
+    assert(out(("b", "2024-01-03")) === ((Some(9.0), false)))
+    assert(out(("b", "2024-01-04")) === ((Some(9.0), true)))
+  }
+
+  test("activeIntervals: inclusive ends, nesting, cross-day carry-in") {
+    val intervals = Seq(
+      // two overlapping, one nested, one instantaneous
+      (ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (ts("2024-01-01 10:30:00"), ts("2024-01-01 12:00:00")),
+      (ts("2024-01-01 10:40:00"), ts("2024-01-01 10:50:00")),
+      (ts("2024-01-01 10:45:00"), ts("2024-01-01 10:45:00")),
+      // spans midnight: exercises the day-partitioned carry-in
+      (ts("2024-01-01 23:00:00"), ts("2024-01-02 01:00:00")),
+      (ts("2024-01-02 00:30:00"), ts("2024-01-02 02:00:00"))
+    ).toDF("s", "e")
+    val out = Analytics.activeIntervals(intervals, "s", "e")
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(out(ts("2024-01-01 10:00:00")) === 1L)
+    assert(out(ts("2024-01-01 10:30:00")) === 2L)
+    assert(out(ts("2024-01-01 10:40:00")) === 3L)
+    assert(out(ts("2024-01-01 10:45:00")) === 4L) // instantaneous counts
+    assert(out(ts("2024-01-01 10:50:00")) === 3L) // end is inclusive AT t
+    assert(out(ts("2024-01-01 11:00:00")) === 2L)
+    assert(out(ts("2024-01-01 12:00:00")) === 1L)
+    // across midnight: the 23:00 interval is still active at 00:30
+    assert(out(ts("2024-01-01 23:00:00")) === 1L)
+    assert(out(ts("2024-01-02 00:30:00")) === 2L)
+    assert(out(ts("2024-01-02 01:00:00")) === 2L)
+    assert(out(ts("2024-01-02 02:00:00")) === 1L)
+  }
+
+  test("activeIntervals two-level decomposition ≡ naive global cumsum") {
+    val rnd = new scala.util.Random(11)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val intervals = (1 to 300).map { _ =>
+      val s = base + rnd.nextInt(5 * 24 * 3600) * 1000L
+      val e = s + rnd.nextInt(8 * 3600) * 1000L
+      (new Timestamp(s), new Timestamp(e))
+    }.toDF("s", "e")
+    val got = Analytics.activeIntervals(intervals, "s", "e")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).sortBy(_._1.getTime)
+    // naive reference: for each boundary t, count intervals with s<=t<=e
+    val ivs = intervals.collect().map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime))
+    val bounds = ivs.flatMap(i => Seq(i._1, i._2)).distinct.sorted
+    val expected = bounds.map(t =>
+      (new Timestamp(t), ivs.count(i => i._1 <= t && t <= i._2).toLong))
+    assert(got.toSeq === expected.toSeq)
+  }
 }

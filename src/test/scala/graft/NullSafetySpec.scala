@@ -229,4 +229,43 @@ class NullSafetySpec extends SparkSpec {
     assert(out.length === 2)
     assert(out(0).getString(1) === "B" && out(0).isNullAt(2))
   }
+
+  test("applyChangelog: null payload values pass through; null key is a key") {
+    import graft.operators.Analytics
+    val snap = Seq((Some(1L), Some(10))).toDF("k", "v")
+    val chg = Seq(
+      (Some(1L), Option.empty[Int], 1L, "U"),   // null payload survives as-is
+      (Option.empty[Long], Some(99), 1L, "U")   // NULL key groups/joins <=>-
+        // free here: groupBy keeps it; anti-join equality can't match it,
+        // so a null-key snapshot row would be untouchable — documented
+    ).toDF("k", "v", "seq", "op")
+    val out = Analytics.applyChangelog(snap, chg, "k", Seq("seq"), "op")
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+          (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(out === Map(Some(1L) -> None, None -> Some(99)))
+  }
+
+  test("gapFillForward/activeIntervals: null days and bounds stay sane") {
+    import graft.operators.Analytics
+    // a null day never joins a calendar cell and never extends bounds
+    val daily = Seq(
+      ("a", Some(java.sql.Date.valueOf("2024-01-01")), 1.0),
+      ("a", Option.empty[java.sql.Date], 99.0)
+    ).toDF("k", "day", "v")
+    val rows = Analytics.gapFillForward(daily, "k", "day", "v").collect()
+    assert(rows.length === 1 && rows.head.getDouble(2) === 1.0)
+    // null interval ends contribute no boundary; counts stay exact
+    val iv = Seq(
+      (Some(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+        Some(java.sql.Timestamp.valueOf("2024-01-01 11:00:00"))),
+      (Option.empty[java.sql.Timestamp],
+        Some(java.sql.Timestamp.valueOf("2024-01-01 10:30:00")))
+    ).toDF("s", "e")
+    val act = Analytics.activeIntervals(iv, "s", "e")
+      .filter(col("t").isNotNull)
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(act("2024-01-01 10:00:00.0") === 1L)
+    assert(act("2024-01-01 11:00:00.0") === 1L)
+  }
 }

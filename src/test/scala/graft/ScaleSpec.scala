@@ -379,4 +379,23 @@ class ScaleSpec extends SparkSpec {
     assert(scratch("b") === ((6.0, 2L, -2.0, 8.0, 3.0)))
     assert(scratch("c") === ((5.0, 1L, 5.0, 5.0, 5.0)))
   }
+
+  test("kAnonymize: small quasi groups suppressed, null quasi is a group") {
+    val df = Seq(
+      (1L, "en", "s1"), (2L, "en", "s1"), (3L, "en", "s1"), // size 3: kept
+      (4L, "en", "s2"), (5L, "en", "s2"),                   // size 2: dropped
+      (6L, "fr", "s1"),                                     // size 1: dropped
+      (7L, null, "s1"), (8L, null, "s1"), (9L, null, "s1")  // NULL lang: a
+        // real group of 3 — kept, not silently discarded
+    ).toDF("id", "lang", "src")
+    val kept = Scale.kAnonymize(df, Seq("lang", "src"), k = 3)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept === Seq(1L, 2L, 3L, 7L, 8L, 9L))
+    // k=1 keeps everything; k larger than any group keeps nothing
+    assert(Scale.kAnonymize(df, Seq("lang", "src"), 1).count() === 9)
+    assert(Scale.kAnonymize(df, Seq("lang", "src"), 4).count() === 0)
+    // output schema is the input schema (a suppression, not a projection)
+    assert(Scale.kAnonymize(df, Seq("lang", "src"), 3).columns.toSeq
+      === df.columns.toSeq)
+  }
 }
