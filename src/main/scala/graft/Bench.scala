@@ -77,11 +77,28 @@ object Bench {
       spark.range(0, 1L << 30, 1, 64).select(fmax(fxx(fcol("id")))).collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // per-query floor: the fixed cost EVERY suite entry pays before any
+    // operator work — job scheduling, parquet footer/listing, noop-sink
+    // commit — measured as the min of 3 timings of a minimal
+    // read-project-write query over the smallest table. The full-suite
+    // total grows by ~this × query count as coverage widens (37 → 100+
+    // queries since the round-1 baseline), so the artifact now carries
+    // the number that converts a total into a per-query work figure.
+    def floorS(): Double = {
+      def one(): Double = {
+        val t0 = System.nanoTime()
+        exhaust(spark.read.parquet(s"$sfDir/region.parquet").select("r_name"))
+        (System.nanoTime() - t0) / 1e9
+      }
+      try { one(); (1 to 3).map(_ => one()).min }
+      catch { case _: Throwable => -1.0 }
+    }
     val calibBefore = calibMs()
     val calibParBefore = calibParS()
     val runs = (1 to passes).map(_ => once())
     val calib = math.min(calibBefore, calibMs())
     val calibPar = math.min(calibParBefore, calibParS())
+    val floor = floorS()
     // a query that failed in ANY pass reports -1: flakiness must surface
     // as a failure, not hide behind a lucky pass's timing
     val results = selected.keys.map { name =>
@@ -123,7 +140,7 @@ object Bench {
     // subset runs self-identify so a filtered artifact can never be
     // mistaken for a full-suite measurement
     val subset = if (only.isDefined) ""","subset":true""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"calib_ms":$calib,"calib_par_s":$calibPar$b37Json$subset,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"calib_ms":$calib,"calib_par_s":$calibPar,"floor_s":$floor$b37Json$subset,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 import graft.functions.TextAnalysis
 
@@ -586,6 +586,36 @@ object Dedup {
   def dropNearDups(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+
+  /** Quality-aware canonical selection: ONE row per near-dup component —
+    * the member with the highest `quality` (ties → smallest id; a NULL
+    * quality loses to any non-null one). Where `dropNearDups` keeps the
+    * smallest id and `nearDupComponents` only labels, this is the policy
+    * an LLM-curation pipeline actually wants: near-dup clusters usually
+    * hold one clean original and N mangled scrapes, and "keep the
+    * best-scored member" retains the original regardless of which id
+    * crawled first. Singletons are their own component and always kept.
+    *
+    * Scale: components come from [[nearDupComponents]] (subgraph-sized
+    * work); the winner per component is a `max_by` over a
+    * (quality-present, quality, -id) struct — map-side combinable, ONE
+    * shuffle of one row per (component, partition), no per-component
+    * sort. Requires a numeric id (the tie-break negates it); the
+    * registered corpus ids are bare longs. */
+  def keepBestPerComponent(df: DataFrame, idCol: String, pairs: DataFrame,
+      quality: Column): DataFrame = {
+    require(Set[org.apache.spark.sql.types.DataType](LongType, IntegerType,
+        ShortType, ByteType, DoubleType, FloatType)(df.schema(idCol).dataType),
+      s"keepBestPerComponent needs a numeric id for the min-id tie-break; " +
+        s"$idCol is ${df.schema(idCol).dataType}")
+    val labeled = df.join(nearDupComponents(df, idCol, pairs), Seq(idCol))
+    val payload = df.columns.toSeq
+    labeled
+      .groupBy(col("component_id"))
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(quality.isNotNull, quality, -col(idCol))).as("__r"))
+      .select(payload.map(c => col(s"__r.$c").as(c)): _*)
+  }
 
   /** Connected components over near-dup pairs: every node gets
     * `component_id` = the smallest id reachable through the pair graph

@@ -332,6 +332,32 @@ class DedupSpec extends SparkSpec {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("keepBestPerComponent: max quality wins, min-id ties, nulls lose") {
+    // cluster {1,2,3}: 3 has top quality; pair {5,6}: tie on quality →
+    // min id 5; singleton 4 survives; cluster {7,8}: 8's null quality
+    // loses to 7's non-null even though 8 > 7
+    val docs = Seq(
+      (1L, Some(10.0), "a"), (2L, Some(30.0), "b"), (3L, Some(90.0), "c"),
+      (4L, Some(1.0), "d"),
+      (5L, Some(50.0), "e"), (6L, Some(50.0), "f"),
+      (7L, Some(5.0), "g"), (8L, Option.empty[Double], "h")
+    ).toDF("doc_id", "q", "tag")
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (5L, 6L, 1.0), (7L, 8L, 1.0))
+      .toDF("id_a", "id_b", "jaccard")
+    val kept = Dedup.keepBestPerComponent(docs, "doc_id", pairs, col("q"))
+      .collect().map(_.getLong(0)).sorted
+    assert(kept === Array(3L, 4L, 5L, 7L))
+    // output schema is the input schema, untouched
+    assert(Dedup.keepBestPerComponent(docs, "doc_id", pairs, col("q"))
+      .columns.toSeq === docs.columns.toSeq)
+    // non-numeric ids are rejected loudly (the tie-break negates the id)
+    val strIds = Seq(("x", 1.0)).toDF("doc_id", "q")
+    val emptyPairs = Seq.empty[(String, String, Double)].toDF("id_a", "id_b", "jaccard")
+    intercept[IllegalArgumentException] {
+      Dedup.keepBestPerComponent(strIds, "doc_id", emptyPairs, col("q"))
+    }
+  }
+
   test("nearDupComponents on the fixture: components are consistent with pairs") {
     val docs = Tables.documents(spark, sf)
     val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.6)
