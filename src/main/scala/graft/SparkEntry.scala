@@ -142,6 +142,22 @@ object SparkEntry {
             "event_id", gapMinutes = 30),
           "session_start", "session_end")
         .orderBy("t")),
+    // ----- snapshot diff: the corpus vs a simulated refreshed crawl —
+    // old misses every 7th doc (late additions), new misses every 5th
+    // (takedowns) and edits every 3rd (text appended). All four
+    // statuses occur at every SF by construction of the mod classes.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+        .select("doc_id", "text", "lang")
+      val fresh = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .select("doc_id", "text", "lang")
+      Analytics.snapshotDiff(old, fresh, "doc_id", Seq("text", "lang"))
+        .orderBy("doc_id")
+    }),
     // ----- market-basket co-occurrence graph (parts bought together,
     // support >= 2) + graph metrics over its edge list. The support
     // floor is what keeps the graph sparse: the raw co-occurrence
@@ -1332,6 +1348,24 @@ object SparkEntry {
            FROM bnd)
          SELECT t, CAST(cs - ce + e AS BIGINT) AS active
          FROM c ORDER BY t""",
+    // same full-outer classification; IS DISTINCT FROM is the SQL
+    // spelling of the Spark side's negated <=> per compare column
+    "q_snapshot_diff" ->
+      """WITH o AS (
+           SELECT doc_id, text, lang FROM documents WHERE doc_id % 7 <> 0),
+         n AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text,
+                  lang
+           FROM documents WHERE doc_id % 5 <> 0)
+         SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     WHEN o.text IS DISTINCT FROM n.text
+                       OR o.lang IS DISTINCT FROM n.lang THEN 'changed'
+                     ELSE 'unchanged' END AS status
+         FROM o FULL OUTER JOIN n ON n.doc_id = o.doc_id
+         ORDER BY doc_id""",
     "q_funnel" ->
       """WITH f AS (
            SELECT user_id,

@@ -297,6 +297,36 @@ object Analytics {
       .unionByName(survivors.select(snapshot.columns.map(col): _*))
   }
 
+  /** Snapshot diff: classify every key across two corpus snapshots as
+    * `added` (new only), `removed` (old only), `changed` (in both, some
+    * compare column differs), or `unchanged` — the release-to-release
+    * accounting a dataset card or crawl-refresh review starts from.
+    * Change detection is null-safe per column (`NOT (a <=> b)`): a
+    * value appearing or disappearing is a change, NULL→NULL is not.
+    *
+    * Scale: one full-outer shuffle join on the key, values compared in
+    * place — no digesting step, no driver state; the output is one row
+    * per distinct key across both snapshots. A NULL key never matches
+    * across sides (SQL join semantics), so a null-keyed row shows up as
+    * its side's own added/removed row — keys are expected non-null.
+    * Output: (key, status). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one compare column")
+    val o = oldDf.select(col(keyCol) +:
+      compareCols.map(c => col(c).as(s"__o_$c")) :+ lit(true).as("__in_o"): _*)
+    val n = newDf.select(col(keyCol) +:
+      compareCols.map(c => col(c).as(s"__n_$c")) :+ lit(true).as("__in_n"): _*)
+    val changed = compareCols
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c"))).reduce(_ || _)
+    o.join(n, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("__in_o").isNull, lit("added"))
+          .when(col("__in_n").isNull, lit("removed"))
+          .when(changed, lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Calendar gap-fill + forward-fill over a keyed daily series: emit
     * one row per (key, day) for EVERY day in the series' global
     * [min, max] range, carrying the last observed value forward across

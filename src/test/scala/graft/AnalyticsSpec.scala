@@ -251,6 +251,29 @@ class AnalyticsSpec extends SparkSpec {
       4L -> ((40, "d"))))   // fresh insert
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged, null-safe compares") {
+    val old = Seq(
+      (1L, Some("a"), "en"), (2L, Some("b"), "en"),
+      (3L, Option.empty[String], "en"), (4L, Some("d"), "en")
+    ).toDF("k", "txt", "lang")
+    val neu = Seq(
+      (1L, Some("a"), "en"),              // unchanged
+      (2L, Some("B"), "en"),              // changed (value)
+      (3L, Option.empty[String], "en"),   // unchanged: NULL <=> NULL
+      (5L, Some("e"), "fr"),              // added
+      (6L, Option.empty[String], "de")    // added with null payload
+    ).toDF("k", "txt", "lang")
+    val out = Analytics.snapshotDiff(old, neu, "k", Seq("txt", "lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged",
+      4L -> "removed", 5L -> "added", 6L -> "added"))
+    // null -> value on a compare column is a change, not an equality
+    val old2 = Seq((1L, Option.empty[String], "en")).toDF("k", "txt", "lang")
+    val neu2 = Seq((1L, Some("x"), "en")).toDF("k", "txt", "lang")
+    assert(Analytics.snapshotDiff(old2, neu2, "k", Seq("txt", "lang"))
+      .collect().head.getString(1) === "changed")
+  }
+
   test("gapFillForward: calendar completion, carry-forward, leading nulls") {
     val d = java.sql.Date.valueOf(_: String)
     val daily = Seq(

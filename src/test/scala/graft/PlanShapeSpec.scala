@@ -229,4 +229,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "cross-corpus candidates must come from the (tbl, bkt) equi-join")
   }
+
+  test("q_top_revenue_supplier: 1-row max broadcasts, no global window") {
+    val p = plan("q_top_revenue_supplier")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "the scalar max must broadcast back onto the aggregate")
+    assert(!p.contains("Window"),
+      "Q15 winner selection must not rank all suppliers")
+  }
+
+  test("q_bulk_part_suppliers: both membership tests stay semi-joins") {
+    val p = plan("q_bulk_part_suppliers")
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      "part-membership and supplier-membership must both be left_semi")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_snapshot_diff: one full-outer key join, values compared in place") {
+    val p = plan("q_snapshot_diff")
+    assert(p.contains("FullOuter"), "classification needs the full-outer join")
+    // tree lines only ("SortMergeJoin FullOuter (n)") — FormattedMode
+    // repeats every node name again in the details section
+    assert("""(SortMergeJoin|ShuffledHashJoin) \w+ \(""".r.findAllIn(p).size === 1,
+      "exactly one join: statuses derive from presence flags, not extra joins")
+  }
+
+  test("q_cdc_state: latest-change reduction is an aggregate, not a window") {
+    val p = plan("q_cdc_state")
+    assert(!p.contains("Window"),
+      "max_by reduction must not per-key sort the changelog")
+    assert(p.contains("LeftAnti"), "untouched keys ship through the anti-join")
+  }
 }
