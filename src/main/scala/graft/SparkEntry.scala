@@ -1170,6 +1170,15 @@ object SparkEntry {
           "doc_id", k = 5)
         .select("doc_id", "source", "lang")
         .orderBy("doc_id")),
+    // uniform domain cap: 25 per source drawn by sha256 rank — the
+    // unbiased sampling counterpart of q_domain_quota's min-id policy;
+    // the oracle re-derives the rank with the hex-fold and states the
+    // row_number window formulation
+    "q_uniform_sample" -> ((s, dir) =>
+      Scale.uniformGroupSample(Tables.documents(s, dir), "source",
+          "doc_id", k = 25)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
     // k-anonymity release gate: suppress docs whose (lang, source,
     // length-band) quasi-identifier tuple has < 3 members. The banded
     // n_chars is the pre-coarsened quasi column the operator contract
@@ -1804,6 +1813,24 @@ object SparkEntry {
                   ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
            FROM documents) t
          WHERE rn <= 5 ORDER BY doc_id""",
+    // the 13-hex-char (52-bit) sha256 prefix fold is the same integer
+    // both engines rank by; 52 bits fit a double exactly, so the Spark
+    // aggregator's score comparisons agree with this integer ORDER BY
+    "q_uniform_sample" ->
+      """WITH r AS (
+           SELECT doc_id, source,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(
+                      substring(sha256(CAST(doc_id AS VARCHAR)), 1, 13), ''),
+                      c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))),
+                    (acc, x) -> acc * 16 + x) AS rank
+           FROM documents)
+         SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY rank, doc_id) AS rn
+           FROM r)
+         WHERE rn <= 25 ORDER BY doc_id""",
     // suppression = semi-join against the >= k quasi groups; DuckDB's
     // integer // is floor division ≡ Spark's `div` on BIGINT
     "q_k_anonymous" ->

@@ -164,6 +164,36 @@ object Scale {
       "left_semi")
   }
 
+  /** Uniform per-group sample: keep `k` rows per group chosen by a
+    * deterministic sha256 rank of the id — the UNBIASED counterpart to
+    * `groupQuota`'s keep-smallest-id policy (min-id correlates with
+    * crawl order; a hash rank is exchangeable, so the kept set is a
+    * uniform draw at every k, yet stable across runs and engines).
+    * `seed` re-draws the sample without changing the recipe shape.
+    *
+    * Scale: same TopKAggregator shape as `groupQuota` — each partition
+    * contributes ≤ k (rank, id) pairs per group to the shuffle, full
+    * rows semi-join back on (group, id). The rank is the first 13 hex
+    * chars of sha256 (52 bits): exactly representable in the
+    * aggregator's double score, so Spark's comparisons and the
+    * oracle's integer ORDER BY can never disagree. */
+  def uniformGroupSample(df: DataFrame, groupCol: String, idCol: String,
+      k: Int, seed: String = ""): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rank = conv(substring(
+      sha2(concat(lit(seed), col(idCol).cast("string")), 256), 1, 13),
+      16, 10).cast("double")
+    val kept = graft.functions.TopKAggregator.topKPerGroup(
+        df.select(array(col(groupCol).cast("string")).as("__k"),
+          negate(rank), col(idCol).cast("long"))
+          .as[(Seq[String], Double, Long)], k)
+      .select(col("key").getItem(0).as("__g"), col("id").as("__samp_id"))
+    df.join(kept, col(groupCol).cast("string") <=> col("__g") &&
+      col(idCol).cast("long") === col("__samp_id"), "left_semi")
+  }
+
   /** k-anonymity suppression: keep only rows whose quasi-identifier
     * tuple is shared by at least `k` rows — the release gate a privacy
     * review applies before shipping a dataset whose column combination

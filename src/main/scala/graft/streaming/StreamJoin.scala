@@ -44,4 +44,21 @@ object StreamJoin {
         (unix_micros(clk(clickTsCol)) - unix_micros(imp(impTsCol)))
           .as("lag_us"))
   }
+
+  /** Stream-static enrichment: left-join a stream to a BROADCAST
+    * dimension table — the most common streaming-ETL shape (events ⋈
+    * product/user/geo dim) and stateless by construction: unlike a
+    * stream-stream join there is NO watermark and NO state store,
+    * because the static side is fully known every micro-batch. Rows
+    * with no dim match pass through with nulls (left join — an
+    * enrichment must never drop events).
+    *
+    * Scale: the broadcast means the stream side never shuffles — each
+    * micro-batch's tasks probe a local hash map. The static side is
+    * re-read per micro-batch by Structured Streaming's contract (which
+    * is what makes slowly-changing dims pick up updates on the next
+    * batch); keep it dim-sized, not fact-sized. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+      keyCol: String): DataFrame =
+    stream.join(broadcast(dim), Seq(keyCol), "left_outer")
 }

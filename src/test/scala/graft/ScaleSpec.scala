@@ -380,6 +380,35 @@ class ScaleSpec extends SparkSpec {
     assert(scratch("c") === ((5.0, 1L, 5.0, 5.0, 5.0)))
   }
 
+  test("uniformGroupSample: k per group by sha rank, deterministic, seeded") {
+    val df = (1L to 40L).map(i => (i, if (i <= 20) "a" else "b"))
+      .toDF("id", "grp")
+    val s1 = Scale.uniformGroupSample(df, "grp", "id", k = 5)
+      .collect().map(_.getLong(0)).sorted
+    assert(s1.length === 10) // 5 per group
+    // deterministic: same call, same sample
+    val s2 = Scale.uniformGroupSample(df, "grp", "id", k = 5)
+      .collect().map(_.getLong(0)).sorted
+    assert(s1 === s2)
+    // NOT the min-id sample (that's groupQuota's policy) — a hash rank
+    // almost surely picks a different set than ids 1-5/21-25
+    assert(s1.toSeq !== (1L to 5L) ++ (21L to 25L))
+    // a different seed re-draws
+    val s3 = Scale.uniformGroupSample(df, "grp", "id", k = 5, seed = "v2")
+      .collect().map(_.getLong(0)).sorted
+    assert(s1 !== s3)
+    // matches the window-rank reference formulation exactly
+    val rank = conv(substring(sha2(col("id").cast("string"), 256), 1, 13),
+      16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(rank, col("id"))
+    val ref = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).collect().map(_.getLong(0)).sorted
+    assert(s1 === ref)
+    // k >= group size keeps everything
+    assert(Scale.uniformGroupSample(df, "grp", "id", 50).count() === 40)
+  }
+
   test("kAnonymize: small quasi groups suppressed, null quasi is a group") {
     val df = Seq(
       (1L, "en", "s1"), (2L, "en", "s1"), (3L, "en", "s1"), // size 3: kept

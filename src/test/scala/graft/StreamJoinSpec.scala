@@ -87,4 +87,37 @@ class StreamJoinSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(3)))
     assert(out.toSeq === Seq((1L, 45000000L)))
   }
+
+  test("stream-static enrichment: left join keeps unmatched events, no state") {
+    implicit val sql = spark.sqlContext
+    val dim = Seq((1L, "electronics"), (2L, "books")).toDF("product_id", "category")
+    val events = MemoryStream[(Long, Double)]
+    val q = StreamJoin.enrichWithDim(
+        events.toDF().toDF("product_id", "amount"), dim, "product_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      events.addData((1L, 10.0), (9L, 5.0)) // 9 has no dim row
+      q.processAllAvailable()
+      events.addData((2L, 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+      assert(rows === Set(
+        (1L, Some("electronics")), (9L, None), (2L, Some("books"))))
+      // stateless by construction: a static side means no state store
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "stream-static join must not allocate streaming state")
+    } finally q.stop()
+  }
+
+  test("enrichWithDim batch plan broadcasts the dim (stream side never shuffles)") {
+    val dim = Seq((1L, "a")).toDF("k", "v")
+    val facts = spark.range(0, 1000).select(col("id").as("k"))
+    val p = StreamJoin.enrichWithDim(facts, dim, "k")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
