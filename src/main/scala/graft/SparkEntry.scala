@@ -321,6 +321,38 @@ object SparkEntry {
           coalesce(col("day").cast("string"), lit("ALL")).as("day"),
           col("total"), col("n"))
         .orderBy("category", "day")),
+    // ----- explicit GROUPING SETS: the arbitrary-sets member of the
+    // rollup/cube family — per (status, priority), per priority alone,
+    // and the grand total, WITHOUT the per-status set a rollup would
+    // force; one Expand pass, no union of re-aggregations
+    "q_grouping_sets" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("total"), col("n"))
+        .orderBy("status", "priority")),
+    // ----- RANGE interval frame: trailing-7-DAY revenue per category —
+    // value-based frame over sparse days (a ROWS frame would silently
+    // count 7 observations, not 7 days, whenever days are missing).
+    // Spark's rangeBetween is numeric, so the order key is exact
+    // days-since-epoch; the oracle states the same frame natively with
+    // RANGE BETWEEN INTERVAL 6 DAYS PRECEDING
+    "q_range_frame_revenue" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("revenue"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(unix_date(col("day")))
+        .rangeBetween(-6, 0)
+      daily.withColumn("rev7d", sum(col("revenue")).over(w))
+        .select("event_type", "day", "revenue", "rev7d")
+        .orderBy("event_type", "day")
+    }),
     // ----- window functions: top-N per group
     "q_top_orders_per_cust" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -1498,6 +1530,26 @@ object SparkEntry {
                 SUM(l_quantity) AS sum_qty, COUNT(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY returnflag, linestatus""",
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                SUM(o_totalprice) AS total, COUNT(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                 (o_orderpriority), ())
+         ORDER BY status, priority""",
+    // DuckDB's native interval RANGE frame; day count is inclusive of
+    // the current day, hence 6 PRECEDING for a 7-day trailing window
+    "q_range_frame_revenue" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  SUM(value) AS revenue
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, day, revenue,
+                SUM(revenue) OVER (PARTITION BY event_type ORDER BY day
+                  RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+                  AS rev7d
+         FROM daily ORDER BY event_type, day""",
     "q_cube_sales" ->
       """SELECT coalesce(event_type, 'ALL') AS category,
                 coalesce(CAST(day AS VARCHAR), 'ALL') AS day,
