@@ -1232,6 +1232,22 @@ object SparkEntry {
     "q_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir), "label", "embedding")
         .orderBy("label", "dim")),
+    // embedding drift: per-label centroid cosine between the even-id
+    // half (old release) and odd-id half (new release) of the corpus.
+    // The fixture's gaussian embeddings have near-zero centroids, so
+    // the cosines read as noise around 0 (not ≈1 — there is no signal
+    // to preserve); what the oracle adjudicates is the two-snapshot
+    // centroid/cosine computation itself, value-for-value. The clean
+    // ≈1-unchanged / ≈0-rotated contract is pinned in SimilaritySpec
+    // on vectors with actual direction.
+    "q_embedding_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.centroidDrift(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "label", "embedding")
+        .orderBy("label")
+    }),
     // int8 embedding quantization, long form (one row per dimension)
     "q_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
@@ -2150,6 +2166,33 @@ object SparkEntry {
                   unnest(embedding) AS v
            FROM embeddings)
          GROUP BY 1, 2 ORDER BY label, dim""",
+    // centroids per half, joined on (label, dim), cosine folded with
+    // one more aggregation — the float compare rides the driver's
+    // tolerance, as with every averaged metric
+    "q_embedding_drift" ->
+      """WITH o AS (
+           SELECT label, dim, avg(v) AS c FROM (
+             SELECT label, unnest(range(len(embedding))) AS dim,
+                    unnest(embedding) AS v
+             FROM embeddings WHERE vec_id % 2 = 0)
+           GROUP BY 1, 2),
+         n AS (
+           SELECT label, dim, avg(v) AS c FROM (
+             SELECT label, unnest(range(len(embedding))) AS dim,
+                    unnest(embedding) AS v
+             FROM embeddings WHERE vec_id % 2 = 1)
+           GROUP BY 1, 2),
+         cnt AS (
+           SELECT label,
+                  count(*) FILTER (vec_id % 2 = 0) AS n_old,
+                  count(*) FILTER (vec_id % 2 = 1) AS n_new
+           FROM embeddings GROUP BY 1)
+         SELECT o.label AS label, cnt.n_old, cnt.n_new,
+                SUM(o.c * n.c) / (sqrt(SUM(o.c * o.c)) * sqrt(SUM(n.c * n.c)))
+                  AS cos_sim
+         FROM o JOIN n ON n.label = o.label AND n.dim = o.dim
+         JOIN cnt ON cnt.label = o.label
+         GROUP BY 1, 2, 3 ORDER BY o.label""",
     "q_jaccard_neardup" -> cappedJaccardOracleSql,
     // anti-join against the larger id of every capped-Jaccard pair —
     // the WITH body is cappedJaccardOracleSql's, reused verbatim

@@ -547,6 +547,38 @@ object Similarity {
       .groupBy(col("label"), col("dim"))
       .agg(avg(col("v")).as("centroid"))
 
+  /** Centroid drift between two corpus snapshots: per label, the cosine
+    * between the old and new mean embedding (plus both member counts) —
+    * the embedding-space release check that catches a crawl refresh or
+    * pipeline change silently shifting a class's distribution, the way
+    * a schema diff never can. cos ≈ 1 means the class moved nowhere;
+    * the lower it falls, the harder the drift.
+    *
+    * Scale: both centroids are narrow-row posexplode → (label, dim)
+    * partial-combining averages — embeddings never shuffle whole, only
+    * (label, dim, sum, count)-shaped partials; the cosine folds the
+    * D-row-per-label join with one more tiny aggregation. Labels
+    * missing from either side have no drift to measure (inner join).
+    * Output: (label, n_old, n_new, cos_sim). */
+  def centroidDrift(oldDf: DataFrame, newDf: DataFrame, labelCol: String,
+      vecCol: String): DataFrame = {
+    val o = labelCentroids(oldDf, labelCol, vecCol)
+      .withColumnRenamed("centroid", "__co")
+    val n = labelCentroids(newDf, labelCol, vecCol)
+      .withColumnRenamed("centroid", "__cn")
+    val counts = oldDf.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_old"))
+      .join(newDf.groupBy(col(labelCol).as("label"))
+        .agg(count(lit(1)).as("n_new")), Seq("label"))
+    o.join(n, Seq("label", "dim"))
+      .groupBy("label")
+      .agg((sum(col("__co") * col("__cn")) /
+        (sqrt(sum(col("__co") * col("__co"))) *
+          sqrt(sum(col("__cn") * col("__cn"))))).as("cos_sim"))
+      .join(broadcast(counts), Seq("label"))
+      .select("label", "n_old", "n_new", "cos_sim")
+  }
+
   /** Embedding near-duplicate pairs: all (a,b) with cosine ≥ threshold,
     * a < b. Exact variant = self-join (quadratic — fixture scale only);
     * the scale path is `lshNearDupPairs`. */

@@ -340,4 +340,25 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(exactPairs))
   }
+
+  test("centroidDrift: identical halves cos 1, orthogonal drift cos 0, counts") {
+    val oldDf = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(1.0f, 0.0f)),
+      (1, Array(0.0f, 2.0f))
+    ).toDF("label", "embedding")
+    // label 0 unchanged; label 1 rotates fully (orthogonal centroid);
+    // label 2 exists only on the new side — no drift to measure
+    val newDf = Seq(
+      (0, Array(1.0f, 0.0f)),
+      (1, Array(3.0f, 0.0f)), (1, Array(5.0f, 0.0f)),
+      (2, Array(1.0f, 1.0f))
+    ).toDF("label", "embedding")
+    val out = Similarity.centroidDrift(oldDf, newDf, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet === Set(0, 1))
+    assert(out(0)._1 === 2L && out(0)._2 === 1L)
+    assert(math.abs(out(0)._3 - 1.0) < 1e-12, s"unchanged class must read 1, got ${out(0)._3}")
+    assert(math.abs(out(1)._3) < 1e-12, s"orthogonal drift must read 0, got ${out(1)._3}")
+  }
 }
