@@ -286,4 +286,41 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("applyChangelog ∘ snapshotDiff: the diff of a merge is exactly the effective changes") {
+    import graft.operators.Analytics
+    val rnd = new scala.util.Random(31)
+    // random snapshot over keys 0-59, random changelog over keys 0-79
+    // (some keys new, some untouched), 1-3 changes per touched key
+    val snapKeys = (0L until 60L).filter(_ => rnd.nextBoolean())
+    val snapshot = snapKeys.map(k => (k, rnd.nextInt(100), s"s$k"))
+      .toDF("k", "v", "tag")
+    val changes = (0L until 80L).flatMap { k =>
+      if (rnd.nextInt(3) == 0) {
+        val n = 1 + rnd.nextInt(3)
+        (1 to n).map(seq => (k, rnd.nextInt(100), s"c$k-$seq", seq.toLong,
+          if (rnd.nextInt(4) == 0) "D" else "U"))
+      } else Seq.empty
+    }.toDF("k", "v", "tag", "seq", "op")
+    val merged = Analytics.applyChangelog(snapshot, changes, "k", Seq("seq"), "op")
+    val diff = Analytics.snapshotDiff(snapshot, merged, "k", Seq("v", "tag"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // driver-side reference: latest op per key decides the expected status
+    val latest = changes.collect()
+      .map(r => (r.getLong(0), (r.getLong(3), r.getInt(1), r.getString(2), r.getString(4))))
+      .groupBy(_._1).map { case (k, rows) => k -> rows.map(_._2).maxBy(_._1) }
+    val snapMap = snapshot.collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    for (k <- (snapMap.keySet ++ latest.keySet)) {
+      val expected = (snapMap.get(k), latest.get(k)) match {
+        case (Some(_), Some((_, _, _, "D"))) => Some("removed")
+        case (Some(old), Some((_, v, t, _))) =>
+          Some(if ((old._1, old._2) == ((v, t))) "unchanged" else "changed")
+        case (Some(_), None) => Some("unchanged")
+        case (None, Some((_, _, _, "D"))) => None // insert+delete never lands
+        case (None, Some(_)) => Some("added")
+        case (None, None) => None
+      }
+      assert(diff.get(k) === expected, s"key $k")
+    }
+  }
 }
