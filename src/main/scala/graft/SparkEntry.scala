@@ -1076,6 +1076,21 @@ object SparkEntry {
       RangeJoin.selfPairsWithin(Tables.events(s, dir), "event_id", "ts",
           toleranceMicros = 60L * 1000 * 1000)
         .orderBy("id_a", "id_b")),
+    // ----- interval-overlap self-join: synthetic [ts, ts + value
+    // MINUTES] intervals from the mod-13 user slice (value ≤ 490 → up
+    // to ~8 h spans), bucketized hourly. End construction is integer-µs
+    // exact in both engines (floor(value·6e7) is one IEEE multiply +
+    // floor); the oracle is the quadratic formulation
+    "q_overlapping_intervals" -> ((s, dir) => {
+      val iv = Tables.events(s, dir)
+        .filter(pmod(col("user_id"), lit(13)) === 0)
+        .select(col("event_id"), col("ts").as("start_ts"),
+          timestamp_micros(unix_micros(col("ts")) +
+            floor(col("value") * lit(60000000.0)).cast("long")).as("end_ts"))
+      RangeJoin.overlappingIntervals(iv, "event_id", "start_ts", "end_ts",
+          bucketMicros = 3600L * 1000 * 1000)
+        .orderBy("id_a", "id_b")
+    }),
     // ----- corpus statistics: exact interpolated percentiles per group
     "q_corpus_stats" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -2074,6 +2089,18 @@ object SparkEntry {
          FROM events a JOIN events b
            ON a.event_id < b.event_id
           AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+         ORDER BY id_a, id_b""",
+    // quadratic overlap formulation; the bucketized join must emit the
+    // identical pair set with identical overlap durations
+    "q_overlapping_intervals" ->
+      """WITH iv AS (
+           SELECT event_id AS id, epoch_us(ts) AS s,
+                  epoch_us(ts) + CAST(floor(value * 60000000) AS BIGINT) AS e
+           FROM events WHERE user_id % 13 = 0)
+         SELECT a.id AS id_a, b.id AS id_b,
+                least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+         FROM iv a JOIN iv b
+           ON a.id < b.id AND a.s <= b.e AND b.s <= a.e
          ORDER BY id_a, id_b""",
     "q_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs, avg(n_chars) AS avg_chars,

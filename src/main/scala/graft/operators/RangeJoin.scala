@@ -46,4 +46,42 @@ object RangeJoin {
       .select(col("id_a"), col("id_b"),
         abs(col("us_a") - col("us_b")).as("delta_us"))
   }
+
+  /** Interval-overlap self-join: all pairs (id_a < id_b) whose
+    * [start, end] intervals intersect, ends inclusive (touching
+    * endpoints overlap with `overlap_us` = 0). The WHICH-pairs
+    * companion to `Analytics.activeIntervals`' how-many — double
+    * bookings, concurrent sessions, resource-contention audits.
+    *
+    * Technique: each interval replicates to every `bucketMicros`-wide
+    * bucket it touches and pairs meet by bucket equality (hash join, no
+    * NLJ). A pair sharing several buckets is emitted ONCE — only in the
+    * bucket holding the overlap's start, `greatest(s_a, s_b)`, which
+    * both intervals by definition cover. Replication factor is
+    * interval length / bucketMicros + 1: size the bucket near the
+    * typical interval length. Same skew truth as `selfPairsWithin`:
+    * pairs within a burst bucket are the OUTPUT being quadratic, not
+    * the plan. Null or inverted (start > end) intervals are dropped.
+    * PRECONDITION: unique `idCol` (as in `selfPairsWithin`).
+    * Output: (id_a, id_b, overlap_us). */
+  def overlappingIntervals(df: DataFrame, idCol: String, startCol: String,
+      endCol: String, bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, s"need a positive bucket, got $bucketMicros")
+    val iv = df.select(col(idCol).as("id"),
+        unix_micros(col(startCol)).as("s"), unix_micros(col(endCol)).as("e"))
+      .filter(col("s").isNotNull && col("e").isNotNull && col("s") <= col("e"))
+      .withColumn("bkts",
+        expr(s"sequence(s div ${bucketMicros}L, e div ${bucketMicros}L)"))
+    val a = iv.select(explode(col("bkts")).as("bkt"), col("id").as("id_a"),
+      col("s").as("s_a"), col("e").as("e_a"))
+    val b = iv.select(explode(col("bkts")).as("bkt"), col("id").as("id_b"),
+      col("s").as("s_b"), col("e").as("e_b"))
+    a.join(b, Seq("bkt"))
+      .filter(col("id_a") < col("id_b") &&
+        col("s_a") <= col("e_b") && col("s_b") <= col("e_a") &&
+        expr(s"greatest(s_a, s_b) div ${bucketMicros}L") === col("bkt"))
+      .select(col("id_a"), col("id_b"),
+        (least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")))
+          .as("overlap_us"))
+  }
 }

@@ -48,4 +48,43 @@ class RangeJoinSpec extends SparkSpec {
     assert(fast === brute)
     assert(brute.nonEmpty)
   }
+
+  test("overlappingIntervals: touching, nested, disjoint, multi-bucket once") {
+    val hour = 3600L * 1000000
+    val iv = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (2L, ts("2024-01-01 10:30:00"), ts("2024-01-01 10:40:00")), // nested in 1
+      (3L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")), // touches 1
+      (4L, ts("2024-01-01 13:00:00"), ts("2024-01-01 13:30:00")), // disjoint
+      // spans 5 buckets and overlaps 1, 2, 3 — each pair exactly once
+      (5L, ts("2024-01-01 09:30:00"), ts("2024-01-01 14:00:00"))
+    ).toDF("id", "s", "e")
+    val out = RangeJoin.overlappingIntervals(iv, "id", "s", "e", hour)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet === Set((1L, 2L), (1L, 3L), (1L, 5L), (2L, 5L),
+      (3L, 5L), (4L, 5L)))
+    assert(out((1L, 3L)) === 0L)               // touching endpoints overlap 0
+    assert(out((1L, 2L)) === 10L * 60 * 1000000) // nested: inner length
+    assert(out((1L, 5L)) === 3600L * 1000000)  // full hour shared
+  }
+
+  test("overlappingIntervals ≡ quadratic reference on random intervals") {
+    val rnd = new scala.util.Random(17)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val iv = (1L to 300L).map { i =>
+      val s = base + rnd.nextInt(3 * 24 * 3600) * 1000L
+      (i, new Timestamp(s), new Timestamp(s + rnd.nextInt(5 * 3600) * 1000L))
+    }.toDF("id", "s", "e")
+    val fast = RangeJoin.overlappingIntervals(iv, "id", "s", "e", 3600L * 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = iv.collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+      r.getTimestamp(2).getTime))
+    val brute = (for {
+      a <- rows; b <- rows
+      if a._1 < b._1 && a._2 <= b._3 && b._2 <= a._3
+    } yield (a._1, b._1, (math.min(a._3, b._3) - math.max(a._2, b._2)) * 1000L))
+      .toSet
+    assert(fast === brute)
+    assert(brute.size > 100)
+  }
 }
