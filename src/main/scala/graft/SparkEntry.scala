@@ -1226,6 +1226,14 @@ object SparkEntry {
           "doc_id", k = 25)
         .select("doc_id", "source")
         .orderBy("doc_id")),
+    // quality-weighted domain cap: 25 per source, inclusion odds ∝
+    // n_chars (Efraimidis-Spirakis u^(1/w) keys over the same sha
+    // rank); the oracle re-derives u and states the window formulation
+    "q_weighted_sample" -> ((s, dir) =>
+      Scale.weightedGroupSample(Tables.documents(s, dir), "source",
+          "doc_id", "n_chars", k = 25)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
     // k-anonymity release gate: suppress docs whose (lang, source,
     // length-band) quasi-identifier tuple has < 3 members. The banded
     // n_chars is the pre-coarsened quasi column the operator contract
@@ -1912,6 +1920,24 @@ object SparkEntry {
            SELECT doc_id, source,
                   row_number() OVER (PARTITION BY source
                     ORDER BY rank, doc_id) AS rn
+           FROM r)
+         WHERE rn <= 25 ORDER BY doc_id""",
+    // u = (sha52+1)/2^52 ∈ (0,1]; E-S key u^(1/w), largest k kept —
+    // pow differs ≤ ~1 ulp across engines, distinct keys by ≥ ~2^-26
+    "q_weighted_sample" ->
+      """WITH r AS (
+           SELECT doc_id, source, n_chars,
+                  pow((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(
+                      substring(sha256(CAST(doc_id AS VARCHAR)), 1, 13), ''),
+                      c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))),
+                    (acc, x) -> acc * 16 + x) + 1.0) / 4503599627370496.0,
+                    1.0 / n_chars) AS key
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+         SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY key DESC, doc_id) AS rn
            FROM r)
          WHERE rn <= 25 ORDER BY doc_id""",
     // suppression = semi-join against the >= k quasi groups; DuckDB's

@@ -194,6 +194,39 @@ object Scale {
       col(idCol).cast("long") === col("__samp_id"), "left_semi")
   }
 
+  /** Weighted sample without replacement: `k` rows per group with
+    * inclusion odds proportional to `weightCol` — Efraimidis–Spirakis
+    * A-ES keys: each row draws u ∈ (0,1] from the deterministic sha256
+    * rank and keeps the group's k largest u^(1/w). The quality-weighted
+    * recipe op ("sample 10k docs per source, favoring high quality")
+    * where `uniformGroupSample` treats every doc alike. Deterministic
+    * and seeded like its uniform sibling; rows with NULL or
+    * non-positive weight are excluded (E-S is defined for w > 0).
+    *
+    * Scale: identical TopKAggregator shuffle shape — ≤ k candidates per
+    * group per partition, full rows semi-join back. The u^(1/w) key is
+    * one pow() per row; pow is ~1-ulp across engines while distinct
+    * keys differ by ≥ ~2⁻²⁶ (52-bit uniforms), so the oracle's ORDER BY
+    * cannot flip the cut in practice. */
+  def weightedGroupSample(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int, seed: String = ""): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val u = (conv(substring(
+      sha2(concat(lit(seed), col(idCol).cast("string")), 256), 1, 13),
+      16, 10).cast("double") + lit(1.0)) / lit(4503599627370496.0) // 2^52
+    val key = pow(u, lit(1.0) / col(weightCol))
+    val kept = graft.functions.TopKAggregator.topKPerGroup(
+        df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+          .select(array(col(groupCol).cast("string")).as("__k"),
+            key, col(idCol).cast("long"))
+          .as[(Seq[String], Double, Long)], k)
+      .select(col("key").getItem(0).as("__g"), col("id").as("__samp_id"))
+    df.join(kept, col(groupCol).cast("string") <=> col("__g") &&
+      col(idCol).cast("long") === col("__samp_id"), "left_semi")
+  }
+
   /** k-anonymity suppression: keep only rows whose quasi-identifier
     * tuple is shared by at least `k` rows — the release gate a privacy
     * review applies before shipping a dataset whose column combination

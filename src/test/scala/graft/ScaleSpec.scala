@@ -409,6 +409,33 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.uniformGroupSample(df, "grp", "id", 50).count() === 40)
   }
 
+  test("weightedGroupSample: E-S keys, weight bias, bad weights excluded") {
+    val df = (1L to 200L).map(i =>
+      (i, "g", if (i <= 100) 1.0 else 100.0)).toDF("id", "grp", "w")
+    val kept = Scale.weightedGroupSample(df, "grp", "id", "w", k = 40)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.length === 40)
+    // 100x weight must dominate: expect the heavy half to take the
+    // overwhelming majority of slots (E[light] ≈ 40·(1/101) ≪ 10)
+    assert(kept.count(_ > 100L) >= 30, s"heavy rows took ${kept.count(_ > 100L)}/40")
+    // deterministic
+    assert(Scale.weightedGroupSample(df, "grp", "id", "w", 40)
+      .collect().map(_.getLong(0)).sorted === kept)
+    // ≡ the window-rank reference with the same key computation
+    val u = (conv(substring(sha2(col("id").cast("string"), 256), 1, 13),
+      16, 10).cast("double") + lit(1.0)) / lit(4503599627370496.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(pow(u, lit(1.0) / col("w")).desc, col("id"))
+    val ref = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 40).collect().map(_.getLong(0)).sorted
+    assert(kept === ref)
+    // null / non-positive weights never sampled
+    val bad = Seq((1L, "g", Some(0.0)), (2L, "g", Some(-3.0)),
+      (3L, "g", Option.empty[Double]), (4L, "g", Some(2.0))).toDF("id", "grp", "w")
+    assert(Scale.weightedGroupSample(bad, "grp", "id", "w", 10)
+      .collect().map(_.getLong(0)).toSeq === Seq(4L))
+  }
+
   test("kAnonymize: small quasi groups suppressed, null quasi is a group") {
     val df = Seq(
       (1L, "en", "s1"), (2L, "en", "s1"), (3L, "en", "s1"), // size 3: kept
