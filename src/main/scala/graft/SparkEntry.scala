@@ -1234,6 +1234,17 @@ object SparkEntry {
           "doc_id", "n_chars", k = 25)
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
+    // quantile normalization: each source's n_chars distribution mapped
+    // onto the global one by integer position arithmetic (⌈rs·N/ns⌉) —
+    // the Spark side ranks globally through range buckets (no corpus-
+    // wide single-partition sort); the oracle states the naive global
+    // window. Values are copied integers — hash-exact.
+    "q_quantile_normalize" -> ((s, dir) =>
+      Scale.quantileNormalize(
+          Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+          "source", "n_chars", "doc_id", outCol = "n_norm")
+        .select("doc_id", "source", "n_chars", "n_norm")
+        .orderBy("doc_id")),
     // k-anonymity release gate: suppress docs whose (lang, source,
     // length-band) quasi-identifier tuple has < 3 members. The banded
     // n_chars is the pre-coarsened quasi column the operator contract
@@ -1940,6 +1951,25 @@ object SparkEntry {
                     ORDER BY key DESC, doc_id) AS rn
            FROM r)
          WHERE rn <= 25 ORDER BY doc_id""",
+    // naive-global-window statement of the same integer position map;
+    // the bucketed Spark rank must land every row on the same value
+    "q_quantile_normalize" ->
+      """WITH s AS (SELECT doc_id, source, n_chars FROM documents
+                    WHERE n_chars IS NOT NULL),
+         r AS (SELECT doc_id, source, n_chars,
+                      row_number() OVER (PARTITION BY source
+                        ORDER BY n_chars, doc_id) AS rs,
+                      count(*) OVER (PARTITION BY source) AS ns
+               FROM s),
+         g AS (SELECT n_chars AS n_norm,
+                      row_number() OVER (ORDER BY n_chars, doc_id) AS rg
+               FROM s),
+         t AS (SELECT doc_id, source, n_chars,
+                      (rs * (SELECT count(*) FROM s) + ns - 1) // ns AS tgt
+               FROM r)
+         SELECT t.doc_id, t.source, t.n_chars, g.n_norm
+         FROM t JOIN g ON g.rg = t.tgt
+         ORDER BY doc_id""",
     // suppression = semi-join against the >= k quasi groups; DuckDB's
     // integer // is floor division ≡ Spark's `div` on BIGINT
     "q_k_anonymous" ->

@@ -194,6 +194,84 @@ object Scale {
       col(idCol).cast("long") === col("__samp_id"), "left_semi")
   }
 
+  /** Exact dense global rank 1..N by (`valCol`, `idCol`) — WITHOUT the
+    * single-partition window a naive `row_number() OVER (ORDER BY v)`
+    * plans (the whole corpus through one task). Two-level
+    * decomposition, the same carry-in idiom as `activeIntervals` and
+    * the bucketed as-of join:
+    *   1. rows land in value-range buckets cut at approximate quantiles
+    *      (one driver-resident array of ≤ `buckets` doubles — the IVF
+    *      centroid trade). Cut SKEW only unbalances partitions; rank
+    *      EXACTNESS never depends on the cuts, because buckets are
+    *      value-ordered and equal values never split across buckets.
+    *   2. a per-bucket (partitioned) row_number plus an exclusive
+    *      prefix over the B-row bucket-size table gives the offset.
+    * Rows with a NULL value have no rank and are dropped (callers that
+    * need them keep them aside). `idCol` must be unique — it is the
+    * tie-break that makes the order total and the rank dense.
+    * Output: the input columns + `rank` (long, 1-based). */
+  def globalRank(df: DataFrame, valCol: String, idCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    val clean = df.filter(col(valCol).isNotNull)
+    val cuts =
+      if (buckets == 1) Array.empty[Double]
+      else clean.select(col(valCol).cast("double").as("__v"))
+        .stat.approxQuantile("__v",
+          (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+        .distinct.sorted
+    val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col(valCol).cast("double") > lit(c), 1).otherwise(0)
+    }
+    val bucketed = clean.withColumn("__b", bucket)
+    val local = Window.partitionBy(col("__b"))
+      .orderBy(col(valCol), col(idCol))
+    // exclusive prefix over ≤ `buckets` rows — the only unpartitioned
+    // window, and it is bounded by construction
+    val wOff = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .select(col("__b"),
+        coalesce(sum(col("__n")).over(wOff), lit(0L)).as("__off"))
+    bucketed.withColumn("__rl", row_number().over(local))
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("rank", col("__off") + col("__rl"))
+      .drop("__b", "__rl", "__off")
+  }
+
+  /** Quantile normalization: replace each row's value with the GLOBAL
+    * value at its within-group quantile position — source A's p95 doc
+    * maps to the corpus-wide p95 value, so per-source score
+    * distributions become comparable (the batch-effect correction a
+    * quality-scoring pipeline needs when sources were scored by
+    * different heuristics). Position mapping is pure integer
+    * arithmetic: target = ⌈rank_in_group · N / n_group⌉ — no float
+    * quantile ever computed, so both engines agree exactly.
+    *
+    * Scale: one window shuffle per group column (partitioned), the
+    * global side through [[globalRank]] (bucketed — no corpus-wide
+    * single-partition sort), and two broadcast joins (the 1-row N and
+    * the B-row offsets). NULL values are excluded like in globalRank.
+    * Output: input columns + `outCol` (the normalized value). */
+  def quantileNormalize(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String, outCol: String = "v_norm",
+      buckets: Int = 64): DataFrame = {
+    val clean = df.filter(col(valCol).isNotNull)
+    val nFrame = clean.agg(count(lit(1)).as("__N"))
+    val wg = Window.partitionBy(col(groupCol)).orderBy(col(valCol), col(idCol))
+    val wgAll = Window.partitionBy(col(groupCol))
+    val targets = clean
+      .withColumn("__rs", row_number().over(wg).cast("long"))
+      .withColumn("__ns", count(lit(1)).over(wgAll))
+      .crossJoin(broadcast(nFrame))
+      .withColumn("__t", expr("(__rs * __N + __ns - 1) div __ns"))
+      .drop("__rs", "__ns", "__N")
+    val global = globalRank(clean.select(col(valCol), col(idCol)),
+        valCol, idCol, buckets)
+      .select(col("rank").as("__t"), col(valCol).as(outCol))
+    targets.join(global, Seq("__t")).drop("__t")
+  }
+
   /** Weighted sample without replacement: `k` rows per group with
     * inclusion odds proportional to `weightCol` — Efraimidis–Spirakis
     * A-ES keys: each row draws u ∈ (0,1] from the deterministic sha256

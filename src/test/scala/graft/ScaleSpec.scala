@@ -409,6 +409,42 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.uniformGroupSample(df, "grp", "id", 50).count() === 40)
   }
 
+  test("globalRank: dense 1..N by (val, id), ≡ single-window reference") {
+    val rnd = new scala.util.Random(23)
+    // heavy duplication so value ties straddle bucket cuts
+    val df = (1L to 500L).map(i => (i, rnd.nextInt(20).toDouble)).toDF("id", "v")
+    val got = Scale.globalRank(df, "v", "id", buckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ref = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, v) => (v, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    assert(got === ref)
+    // null values carry no rank
+    val withNull = Seq((1L, Some(1.0)), (2L, Option.empty[Double])).toDF("id", "v")
+    assert(Scale.globalRank(withNull, "v", "id").count() === 1)
+    // buckets = 1 degenerates to the plain total order
+    assert(Scale.globalRank(df, "v", "id", buckets = 1).count() === 500)
+  }
+
+  test("quantileNormalize: shifted source maps onto the global distribution") {
+    // source a: values 1-10; source b: 101-110 — after normalization
+    // each source's values are the global values at its own quantile
+    // positions: a's k-th of 10 → global position ceil(k*20/10) = 2k
+    val df = ((1L to 10L).map(i => (i, "a", i.toDouble)) ++
+      (11L to 20L).map(i => (i, "b", (i + 90).toDouble))).toDF("id", "src", "v")
+    val out = Scale.quantileNormalize(df, "src", "v", "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val globalSorted = ((1L to 10L).map(_.toDouble) ++
+      (101L to 110L).map(_.toDouble)).sorted
+    for (k <- 1 to 10) {
+      assert(out(k.toLong) === globalSorted(2 * k - 1), s"a's $k-th")
+      assert(out((k + 10).toLong) === globalSorted(2 * k - 1), s"b's $k-th")
+    }
+    // both sources normalize onto the SAME multiset
+    assert(out.filterKeys(_ <= 10).values.toSeq.sorted ===
+      out.filterKeys(_ > 10).values.toSeq.sorted)
+  }
+
   test("weightedGroupSample: E-S keys, weight bias, bad weights excluded") {
     val df = (1L to 200L).map(i =>
       (i, "g", if (i <= 100) 1.0 else 100.0)).toDF("id", "grp", "w")
