@@ -259,6 +259,43 @@ object SparkEntry {
           .as("revenue"))
         .orderBy("nation", "o_year")
     }),
+    // ----- Q7 shape: the SAME dimension joined under TWO ROLES — the
+    // supplier's nation and the customer's nation are both `nation`,
+    // aliased independently, with a symmetric two-pair predicate. Both
+    // role dims broadcast; lineitem streams once.
+    "q7_nation_volume" -> ((s, dir) => {
+      val supp = broadcast(Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val cust = broadcast(Tables.customer(s, dir)
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation")))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("o_orderdate")).as("l_year"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    // ----- Q10 shape: top-20 customers by returned-item revenue — a
+    // star join into a revenue aggregate cut by TakeOrderedAndProject
+    // (deterministic: revenue DESC then custkey)
+    "q10_returned_customers" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select("c_custkey", "c_name")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)),
     // ----- Q15 shape: scalar subquery over an aggregate — supplier(s)
     // whose quarterly revenue equals the global max. The max is a 1-ROW
     // broadcast joined back on equality, not a window over all
@@ -1546,6 +1583,29 @@ object SparkEntry {
          JOIN orders o ON o.o_orderkey = l.l_orderkey
          WHERE p.p_type = 'PROMO'
          GROUP BY 1, 2 ORDER BY nation, o_year""",
+    // the textbook two-alias formulation of the two-role nation join
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(YEAR(o.o_orderdate) AS INTEGER) AS l_year,
+                SUM(l.l_extendedprice * (1.0 - l.l_discount)) AS revenue
+         FROM lineitem l
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+         JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""",
+    "q10_returned_customers" ->
+      """SELECT c.c_custkey, c.c_name,
+                SUM(l.l_extendedprice * (1.0 - l.l_discount)) AS revenue
+         FROM lineitem l
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         WHERE l.l_returnflag = 'R'
+         GROUP BY 1, 2
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
     // Q15 shape stated as the textbook correlated scalar subquery; the
     // Spark side's broadcast-max equi-join must select the same rows
     "q_top_revenue_supplier" ->
