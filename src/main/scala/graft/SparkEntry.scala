@@ -261,21 +261,26 @@ object SparkEntry {
     }),
     // ----- Q7 shape: the SAME dimension joined under TWO ROLES — the
     // supplier's nation and the customer's nation are both `nation`,
-    // aliased independently, with a symmetric two-pair predicate. Both
-    // role dims broadcast; lineitem streams once.
+    // aliased independently, with the symmetric cross-pair predicate.
+    // The named-nation pair of the textbook query is empty at sf0.001
+    // (≈10 suppliers across 25 nations), so the two trade blocs are
+    // keyed by nationkey parity — populated at every SF, same shape.
+    // Both role dims broadcast; lineitem streams once.
     "q7_nation_volume" -> ((s, dir) => {
       val supp = broadcast(Tables.supplier(s, dir)
         .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
-        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"),
+          (col("n_nationkey") % 2).as("supp_bloc")))
       val cust = broadcast(Tables.customer(s, dir)
         .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
-        .select(col("c_custkey"), col("n_name").as("cust_nation")))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"),
+          (col("n_nationkey") % 2).as("cust_bloc")))
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .join(supp, col("l_suppkey") === col("s_suppkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
-        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .filter((col("supp_bloc") === 0 && col("cust_bloc") === 1) ||
+          (col("supp_bloc") === 1 && col("cust_bloc") === 0))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("o_orderdate")).as("l_year"))
         .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
@@ -1594,8 +1599,8 @@ object SparkEntry {
          JOIN customer c ON c.c_custkey = o.o_custkey
          JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
          JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
-         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         WHERE (n1.n_nationkey % 2 = 0 AND n2.n_nationkey % 2 = 1)
+            OR (n1.n_nationkey % 2 = 1 AND n2.n_nationkey % 2 = 0)
          GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""",
     "q10_returned_customers" ->
       """SELECT c.c_custkey, c.c_name,

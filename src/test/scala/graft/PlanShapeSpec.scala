@@ -254,6 +254,14 @@ class PlanShapeSpec extends SparkSpec {
       "exactly one join: statuses derive from presence flags, not extra joins")
   }
 
+  test("q7: both nation roles broadcast; lineitem streams through one join chain") {
+    val p = plan("q7_nation_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "supplier-nation and customer-nation role dims must both broadcast")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "the fact side must not shuffle for the role dims")
+  }
+
   test("q_cdc_state: latest-change reduction is an aggregate, not a window") {
     val p = plan("q_cdc_state")
     assert(!p.contains("Window"),
