@@ -142,6 +142,21 @@ object SparkEntry {
             "event_id", gapMinutes = 30),
           "session_start", "session_end")
         .orderBy("t")),
+    // ----- per-category revenue trend: least-squares slope of daily
+    // revenue over a day INDEX (datediff from the global first day —
+    // small x keeps the n·Σxy − Σx·Σy cancellation harmless); both
+    // engines evaluate the identical explicit-sums tree
+    "q_category_trend" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("revenue"))
+      val lo = daily.agg(min(col("day")).as("__d0"))
+      Analytics.groupTrend(
+          daily.crossJoin(broadcast(lo))
+            .withColumn("x", datediff(col("day"), col("__d0"))),
+          "event_type", "x", "revenue")
+        .orderBy("event_type")
+    }),
     // ----- snapshot diff: the corpus vs a simulated refreshed crawl —
     // old misses every 7th doc (late additions), new misses every 5th
     // (takedowns) and edits every 3rd (text appended). All four
@@ -1481,6 +1496,31 @@ object SparkEntry {
            FROM bnd)
          SELECT t, CAST(cs - ce + e AS BIGINT) AS active
          FROM c ORDER BY t""",
+    // identical explicit least-squares sums; date_diff argument order
+    // differs from Spark's (unit, start, end)
+    "q_category_trend" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  SUM(value) AS revenue
+           FROM events GROUP BY 1, 2),
+         d0 AS (SELECT min(day) AS d0 FROM daily),
+         pts AS (
+           SELECT event_type,
+                  CAST(date_diff('day', d0.d0, day) AS DOUBLE) AS x,
+                  CAST(revenue AS DOUBLE) AS y
+           FROM daily, d0),
+         sums AS (
+           SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                  SUM(x) AS sx, SUM(y) AS sy,
+                  SUM(x * x) AS sxx, SUM(x * y) AS sxy
+           FROM pts GROUP BY 1)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+                CASE WHEN n * sxx - sx * sx <> 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+                CASE WHEN n * sxx - sx * sx <> 0
+                  THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                END AS intercept
+         FROM sums ORDER BY event_type""",
     // same full-outer classification; IS DISTINCT FROM is the SQL
     // spelling of the Spark side's negated <=> per compare column
     "q_snapshot_diff" ->

@@ -297,6 +297,38 @@ object Analytics {
       .unionByName(survivors.select(snapshot.columns.map(col): _*))
   }
 
+  /** Per-group linear trend: least-squares slope + intercept of y over
+    * x — is each category's daily revenue rising or falling, and how
+    * fast? Written as the EXPLICIT textbook sums
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), not `regr_slope`, so
+    * the oracle can state the identical IEEE expression tree (the
+    * readability/Flesch portability precedent). Keep x SMALL (a day
+    * index, not a raw epoch) — the numerator subtracts near-equal
+    * products, and small x keeps the cancellation harmless. A group
+    * with one x value has no defined slope → NULL slope/intercept.
+    *
+    * Scale: one map-side-combinable aggregation — five running sums
+    * per group, nothing else. Output: (group, n, slope, intercept). */
+  def groupTrend(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * x).as("__sxx"), sum(x * y).as("__sxy"))
+      .withColumn("__den", col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("slope",
+        when(col("__den") =!= 0.0,
+          (col("__n") * col("__sxy") - col("__sx") * col("__sy")) / col("__den")))
+      .withColumn("intercept",
+        when(col("__den") =!= 0.0,
+          (col("__sy") - col("slope") * col("__sx")) / col("__n")))
+      .select(col(groupCol), col("__n").cast("long").as("n"),
+        col("slope"), col("intercept"))
+  }
+
   /** Snapshot diff: classify every key across two corpus snapshots as
     * `added` (new only), `removed` (old only), `changed` (in both, some
     * compare column differs), or `unchanged` — the release-to-release

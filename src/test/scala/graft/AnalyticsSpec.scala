@@ -251,6 +251,29 @@ class AnalyticsSpec extends SparkSpec {
       4L -> ((40, "d"))))   // fresh insert
   }
 
+  test("groupTrend: exact line recovered, degenerate groups null") {
+    val df = Seq(
+      // g1: perfect line y = 2x + 3
+      ("g1", 0.0, 3.0), ("g1", 1.0, 5.0), ("g1", 2.0, 7.0), ("g1", 3.0, 9.0),
+      // g2: flat series → slope 0, intercept = mean
+      ("g2", 0.0, 4.0), ("g2", 1.0, 4.0), ("g2", 2.0, 4.0),
+      // g3: single point → undefined
+      ("g3", 5.0, 1.0),
+      // g4: two points, same x → undefined (vertical)
+      ("g4", 2.0, 1.0), ("g4", 2.0, 9.0)
+    ).toDF("g", "x", "y")
+    val out = Analytics.groupTrend(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out("g1")._1 === 4L)
+    assert(math.abs(out("g1")._2.get.asInstanceOf[Double] - 2.0) < 1e-12)
+    assert(math.abs(out("g1")._3.get.asInstanceOf[Double] - 3.0) < 1e-12)
+    assert(math.abs(out("g2")._2.get.asInstanceOf[Double]) < 1e-12)
+    assert(math.abs(out("g2")._3.get.asInstanceOf[Double] - 4.0) < 1e-12)
+    assert(out("g3")._2.isEmpty && out("g3")._3.isEmpty)
+    assert(out("g4")._2.isEmpty && out("g4")._3.isEmpty)
+  }
+
   test("snapshotDiff: added/removed/changed/unchanged, null-safe compares") {
     val old = Seq(
       (1L, Some("a"), "en"), (2L, Some("b"), "en"),
