@@ -142,6 +142,15 @@ object SparkEntry {
             "event_id", gapMinutes = 30),
           "session_start", "session_end")
         .orderBy("t")),
+    // ----- time-weighted average event value per user (mod-7 slice):
+    // each sample weighted by the µs it stayed current — the honest
+    // mean for irregular telemetry; single-sample users are NULL and
+    // kept (the oracle states the same lead() formulation)
+    "q_time_weighted_value" -> ((s, dir) =>
+      Analytics.timeWeightedAverage(
+          Tables.events(s, dir).filter(pmod(col("user_id"), lit(7)) === 0),
+          "user_id", "ts", "event_id", "value")
+        .orderBy("user_id")),
     // ----- per-category revenue trend: least-squares slope of daily
     // revenue over a day INDEX (datediff from the global first day —
     // small x keeps the n·Σxy − Σx·Σy cancellation harmless); both
@@ -1496,6 +1505,17 @@ object SparkEntry {
            FROM bnd)
          SELECT t, CAST(cs - ce + e AS BIGINT) AS active
          FROM c ORDER BY t""",
+    // the same lead()-hold formulation; last sample per user holds
+    // nothing and single-sample users divide 0-weight to NULL
+    "q_time_weighted_value" ->
+      """WITH s AS (
+           SELECT user_id, value,
+                  epoch_us(lead(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id)) - epoch_us(ts) AS hold
+           FROM events WHERE user_id % 7 = 0)
+         SELECT user_id, count(*) AS n_samples,
+                SUM(value * hold) / SUM(hold) AS twa
+         FROM s GROUP BY 1 ORDER BY user_id""",
     // identical explicit least-squares sums; date_diff argument order
     // differs from Spark's (unit, start, end)
     "q_category_trend" ->

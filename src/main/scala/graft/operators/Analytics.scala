@@ -297,6 +297,33 @@ object Analytics {
       .unionByName(survivors.select(snapshot.columns.map(col): _*))
   }
 
+  /** Time-weighted average per key: each sample's value is weighted by
+    * how long it REMAINED CURRENT — the µs until the key's next sample
+    * (the last sample of a key carries zero weight: nothing observed
+    * after it). The honest mean for irregularly-sampled telemetry,
+    * where the arithmetic mean over-counts bursts: a sensor that
+    * reports 100 times during one hot minute and once an hour otherwise
+    * has an arithmetic mean dominated by the burst, while the TWA
+    * weights that minute as one minute. Keys with a single sample (no
+    * held interval) yield NULL.
+    *
+    * Scale: one keyed window (lead) for the hold duration — the shuffle
+    * is on the key, never global — then a map-side-combinable weighted
+    * sum. Output: (key, n_samples, twa). */
+  def timeWeightedAverage(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    // idCol totalizes the order: same-instant samples would otherwise
+    // make the lead() — and thus every hold weight — nondeterministic
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    df.filter(col(tsCol).isNotNull && col(valCol).isNotNull)
+      .withColumn("__hold",
+        (unix_micros(lead(col(tsCol), 1).over(w)) - unix_micros(col(tsCol)))
+          .cast("double"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_samples"),
+        (sum(col(valCol) * col("__hold")) / sum(col("__hold"))).as("twa"))
+  }
+
   /** Per-group linear trend: least-squares slope + intercept of y over
     * x — is each category's daily revenue rising or falling, and how
     * fast? Written as the EXPLICIT textbook sums

@@ -251,6 +251,29 @@ class AnalyticsSpec extends SparkSpec {
       4L -> ((40, "d"))))   // fresh insert
   }
 
+  test("timeWeightedAverage: hold-weighted mean, last sample weightless") {
+    val df = Seq(
+      // a: v=1 held 10 s, v=4 held 20 s, v=99 held nothing
+      ("a", ts("2024-01-01 10:00:00"), 1L, 1.0),
+      ("a", ts("2024-01-01 10:00:10"), 2L, 4.0),
+      ("a", ts("2024-01-01 10:00:30"), 3L, 99.0),
+      // b: single sample → nothing held → NULL
+      ("b", ts("2024-01-01 10:00:00"), 4L, 7.0),
+      // c: same-instant tie — id order totalizes: id 5 held 0 µs,
+      // id 6 held 10 s → twa = value of id 6
+      ("c", ts("2024-01-01 10:00:00"), 5L, 100.0),
+      ("c", ts("2024-01-01 10:00:00"), 6L, 2.0),
+      ("c", ts("2024-01-01 10:00:10"), 7L, 50.0)
+    ).toDF("k", "t", "id", "v")
+    val out = Analytics.timeWeightedAverage(df, "k", "t", "id", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(out("a")._1 === 3L)
+    assert(math.abs(out("a")._2.get - 3.0) < 1e-12) // (1*10 + 4*20) / 30
+    assert(out("b")._2.isEmpty)
+    assert(math.abs(out("c")._2.get - 2.0) < 1e-12) // id 5's 0-hold drops out
+  }
+
   test("groupTrend: exact line recovered, degenerate groups null") {
     val df = Seq(
       // g1: perfect line y = 2x + 3
