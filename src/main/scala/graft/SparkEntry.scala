@@ -938,6 +938,31 @@ object SparkEntry {
           Scale.modSample(Tables.documents(s, dir), "doc_id", 1, 4),
           "doc_id", "text", maxDist = 5, tokenHash = Dedup.PortableSha)
         .orderBy("id_a", "id_b")),
+    // ----- tiered dedup cascade: the production cost ordering — exact
+    // (one digest scan) kills identical copies first, SimHash (one
+    // codegen signature pass + band join) kills the near-identical on
+    // the survivors, and the capped-Jaccard inverted index (the
+    // dearest tier) runs LAST, over only what the cheap tiers left.
+    // Each tier's df-cap/candidate universe is computed on ITS OWN
+    // input — the oracle restates the whole chain over the same
+    // shrinking corpora. Adjudicated on the deterministic mod-2 slice
+    // (q_simhash_neardup_wide precedent): the composition is what this
+    // query proves — each tier's full-corpus cost and correctness are
+    // already carried by its own query, and the full-corpus exhaustive
+    // simhash oracle at sf0.1 exceeds local DuckDB temp disk.
+    "q_dedup_cascade" -> ((s, dir) => {
+      val docs = Scale.modSample(Tables.documents(s, dir), "doc_id", 1, 2)
+      val s1 = docs.join(Dedup.exactDedup(docs, "doc_id", "text"),
+        Seq("doc_id"), "left_semi")
+      val s2 = Dedup.dropNearDups(s1, "doc_id",
+        Dedup.simhashNearDupPairs(s1, "doc_id", "text", maxDist = 3,
+          tokenHash = Dedup.PortableSha))
+      Dedup.dropNearDups(s2, "doc_id",
+          Dedup.jaccardNearDupPairs(s2, "doc_id", "text", n = 3,
+            threshold = 0.6, maxShingleDf = Some(shingleDfCap)))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
     // ----- edit-distance (Levenshtein) near-dup pairs: PassJoin segment
     // blocking + thresholded verify on part names — the short-string
     // (titles, names, URLs) complement of the shingle families. The
@@ -2401,6 +2426,65 @@ object SparkEntry {
          FROM o JOIN n ON n.label = o.label AND n.dim = o.dim
          JOIN cnt ON cnt.label = o.label
          GROUP BY 1, 2, 3 ORDER BY o.label""",
+    // the full cascade restated as one WITH chain over the same
+    // shrinking corpora: sha-dedup survivors d1 → simhash (hex-fold
+    // portable hash, exhaustive Hamming ≤ 3) survivors d2 → capped
+    // jaccard (df-cap computed ON d2) → final anti-membership
+    "q_dedup_cascade" ->
+      s"""WITH d0 AS (SELECT doc_id, text, lang, source FROM documents
+                      WHERE doc_id % 2 = 0),
+         s1 AS (SELECT min(doc_id) AS doc_id FROM d0
+                GROUP BY sha256(text)),
+         d1 AS (SELECT d.doc_id, d.text, d.lang, d.source
+                FROM d0 d JOIN s1 USING (doc_id)),
+         toks AS (SELECT doc_id,
+                unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS t
+              FROM d1),
+         h AS (SELECT doc_id,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(substring(sha256(t), 1, 15), ''),
+                          c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))),
+                        (acc, x) -> acc * 16 + x) AS h
+               FROM toks),
+         bits AS (SELECT doc_id, i,
+                         CASE WHEN SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                              THEN 1 ELSE 0 END AS bit
+                  FROM h, (SELECT unnest(range(64)) AS i) idx
+                  GROUP BY doc_id, i),
+         sig AS (SELECT doc_id,
+                SUM(CASE WHEN i < 32 AND bit = 1
+                    THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS lo,
+                SUM(CASE WHEN i >= 32 AND bit = 1
+                    THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END) AS hi
+              FROM bits GROUP BY doc_id),
+         -- packed halves + bit_count(xor) keep the pairwise join at
+         -- one row per doc pair; the per-(doc, bit) join formulation
+         -- spills DuckDB's temp disk at sf0.1
+         ham AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.lo, b.lo))
+                     + bit_count(xor(a.hi, b.hi)) <= 3),
+         d2 AS (SELECT * FROM d1
+                WHERE doc_id NOT IN (SELECT id_b FROM ham)),
+         tok2 AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3 THEN []
+                  ELSE list_transform(range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+                    i -> array_to_string((string_split_regex(trim(text), '\\s+'))[i:i+2], ' ')) END) AS sh
+              FROM d2),
+         inv0 AS (SELECT doc_id, unnest(sh) AS s FROM tok2 WHERE len(sh) > 0),
+         dfq AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) <= $shingleDfCap),
+         inv AS (SELECT i.doc_id, i.s FROM inv0 i JOIN dfq USING (s)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id),
+         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         jp AS (SELECT c.id_a, c.id_b FROM cand c
+                JOIN sizes sa ON sa.doc_id = c.id_a
+                JOIN sizes sb ON sb.doc_id = c.id_b
+                WHERE CAST(c.shared AS DOUBLE) / (sa.n + sb.n - c.shared) >= 0.6)
+         SELECT doc_id, lang, source FROM d2
+         WHERE doc_id NOT IN (SELECT id_b FROM jp)
+         ORDER BY doc_id""",
     "q_jaccard_neardup" -> cappedJaccardOracleSql,
     // anti-join against the larger id of every capped-Jaccard pair —
     // the WITH body is cappedJaccardOracleSql's, reused verbatim
