@@ -125,6 +125,32 @@ object ScaleProbe {
       println(f"ANNPROBE k=$k%d vecs=${2000 * k}%d " +
         f"brute=$tb%.1fs($nb%d) lsh=$tl%.1fs($nl%d) ivf=$ti%.1fs($ni%d)")
     }
+    // Interval-overlap scaling: grow the interval set K× by shifting
+    // each replica into its own disjoint time range (replicas never
+    // overlap each other ⇒ true pair count exactly linear in K).
+    // Near-linear runtime = the bucket-replication join holds; a
+    // quadratic trend would mean the emit-once filter or the bucket
+    // equi-join degenerated into an all-pairs compare.
+    val ev = Tables.events(spark, "/root/testdata/sf0.1")
+      .filter(pmod(col("user_id"), lit(13)) === 0)
+      .select(col("event_id"), col("ts"),
+        timestamp_micros(unix_micros(col("ts")) +
+          floor(col("value") * lit(60000000.0)).cast("long")).as("te"))
+    for (k <- Seq(1, 2, 4, 8)) {
+      val grown = (0 until k).map { i =>
+        // shift by i years — far past any base interval
+        ev.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
+          timestamp_micros(unix_micros(col("ts")) + lit(i * 31557600000000L)).as("s"),
+          timestamp_micros(unix_micros(col("te")) + lit(i * 31557600000000L)).as("e"))
+      }.reduce(_ unionAll _)
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (to, no) = time(graft.operators.RangeJoin.overlappingIntervals(
+        grown, "event_id", "s", "e", 3600L * 1000 * 1000).count())
+      println(f"OVERLAPPROBE k=$k%d intervals=${7700 * k}%d overlap=$to%.1fs($no%d pairs)")
+    }
     spark.stop()
   }
 }
