@@ -297,6 +297,32 @@ object Analytics {
       .unionByName(survivors.select(snapshot.columns.map(col): _*))
   }
 
+  /** Schema diff between two snapshots: one row per column that was
+    * added, removed, or changed type/nullability — the metadata
+    * companion to [[snapshotDiff]]'s data diff, and the first thing a
+    * crawl-refresh review checks before any row is compared. Schemas
+    * are driver-side metadata (KB), so this builds a local DataFrame —
+    * no jobs run against either input.
+    * Output: (column, status ∈ added|removed|changed, old_type,
+    * new_type), alphabetical. */
+  def schemaDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val spark = oldDf.sparkSession
+    import spark.implicits._
+    def describe(df: DataFrame): Map[String, String] =
+      df.schema.fields.map(f =>
+        f.name -> s"${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}").toMap
+    val o = describe(oldDf); val n = describe(newDf)
+    val rows = (o.keySet ++ n.keySet).toSeq.sorted.flatMap { c =>
+      (o.get(c), n.get(c)) match {
+        case (None, Some(t)) => Some((c, "added", null: String, t))
+        case (Some(t), None) => Some((c, "removed", t, null: String))
+        case (Some(a), Some(b)) if a != b => Some((c, "changed", a, b))
+        case _ => None
+      }
+    }
+    rows.toDF("column", "status", "old_type", "new_type")
+  }
+
   /** Time-weighted average per key: each sample's value is weighted by
     * how long it REMAINED CURRENT — the µs until the key's next sample
     * (the last sample of a key carries zero weight: nothing observed

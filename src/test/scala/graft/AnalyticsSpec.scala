@@ -251,6 +251,26 @@ class AnalyticsSpec extends SparkSpec {
       4L -> ((40, "d"))))   // fresh insert
   }
 
+  test("schemaDiff: added/removed/type-change/nullability, identical = empty") {
+    val a = Seq((1L, "x", 1.0)).toDF("id", "name", "score")
+    val b = Seq((1L, 2, true)).toDF("id", "score", "flag")
+      .select(col("id"), col("score"), col("flag"))
+    val out = Analytics.schemaDiff(a, b)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), Option(r.getString(2)), Option(r.getString(3))))).toMap
+    assert(out("name")._1 === "removed")
+    assert(out("flag")._1 === "added")
+    assert(out("score")._1 === "changed") // DOUBLE -> INT
+    assert(out("score")._2 === Some("DOUBLE NOT NULL") &&
+      out("score")._3 === Some("INT NOT NULL"))
+    assert(!out.contains("id")) // unchanged columns are silent
+    assert(Analytics.schemaDiff(a, a).count() === 0)
+    // nullability change alone is a change
+    val nn = a.withColumn("name", coalesce(col("name"), lit("")))
+    val d = Analytics.schemaDiff(a, nn).collect()
+    assert(d.length === 1 && d.head.getString(1) === "changed")
+  }
+
   test("timeWeightedAverage: hold-weighted mean, last sample weightless") {
     val df = Seq(
       // a: v=1 held 10 s, v=4 held 20 s, v=99 held nothing

@@ -246,6 +246,19 @@ class NullSafetySpec extends SparkSpec {
     assert(out === Map(Some(1L) -> None, None -> Some(99)))
   }
 
+  test("uniform/weighted samplers: NULL group is a real group, not dropped") {
+    import graft.operators.Scale
+    val df = Seq(
+      (1L, Some("a"), 10.0), (2L, Some("a"), 10.0),
+      (3L, Option.empty[String], 5.0), (4L, Option.empty[String], 5.0)
+    ).toDF("id", "grp", "w")
+    // k=1 keeps exactly one row per group INCLUDING the null group
+    val u = Scale.uniformGroupSample(df, "grp", "id", 1).collect()
+    assert(u.length === 2 && u.exists(_.isNullAt(1)))
+    val w = Scale.weightedGroupSample(df, "grp", "id", "w", 1).collect()
+    assert(w.length === 2 && w.exists(_.isNullAt(1)))
+  }
+
   test("gapFillForward/activeIntervals: null days and bounds stay sane") {
     import graft.operators.Analytics
     // a null day never joins a calendar cell and never extends bounds
