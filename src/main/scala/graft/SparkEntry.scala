@@ -952,11 +952,15 @@ object SparkEntry {
     // simhash oracle at sf0.1 exceeds local DuckDB temp disk.
     "q_dedup_cascade" -> ((s, dir) => {
       val docs = Scale.modSample(Tables.documents(s, dir), "doc_id", 1, 2)
+      // each survivor frame feeds BOTH the next tier's pair derivation
+      // and its own anti-join — localCheckpoint materializes it once
+      // (the nearDupComponents edge-list idiom); without it the simhash
+      // tier's whole lineage replays inside the jaccard stage
       val s1 = docs.join(Dedup.exactDedup(docs, "doc_id", "text"),
-        Seq("doc_id"), "left_semi")
+        Seq("doc_id"), "left_semi").localCheckpoint()
       val s2 = Dedup.dropNearDups(s1, "doc_id",
         Dedup.simhashNearDupPairs(s1, "doc_id", "text", maxDist = 3,
-          tokenHash = Dedup.PortableSha))
+          tokenHash = Dedup.PortableSha)).localCheckpoint()
       Dedup.dropNearDups(s2, "doc_id",
           Dedup.jaccardNearDupPairs(s2, "doc_id", "text", n = 3,
             threshold = 0.6, maxShingleDf = Some(shingleDfCap)))
