@@ -428,15 +428,20 @@ object Analytics {
     * Output: (key, day, value — filled, is_gap). */
   def gapFillForward(df: DataFrame, keyCol: String, dayCol: String,
       valCol: String): DataFrame = {
-    val bounds = df.agg(min(col(dayCol)).as("__lo"), max(col(dayCol)).as("__hi"))
-    val calendar = df.select(col(keyCol)).distinct()
+    // the series feeds THREE consumers (bounds, key set, fill join) —
+    // materialize once so an expensive upstream (typically a daily
+    // aggregation) doesn't replay per consumer; the series is already
+    // keys × observed-days, far smaller than what produced it
+    val series = df.localCheckpoint()
+    val bounds = series.agg(min(col(dayCol)).as("__lo"), max(col(dayCol)).as("__hi"))
+    val calendar = series.select(col(keyCol)).distinct()
       .crossJoin(broadcast(bounds))
       .select(col(keyCol),
         explode(sequence(col("__lo"), col("__hi"),
           expr("interval 1 day"))).as(dayCol))
     val w = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    calendar.join(df, Seq(keyCol, dayCol), "left_outer")
+    calendar.join(series, Seq(keyCol, dayCol), "left_outer")
       .select(col(keyCol), col(dayCol),
         last(col(valCol), ignoreNulls = true).over(w).as(valCol),
         col(valCol).isNull.as("is_gap"))
@@ -463,11 +468,16 @@ object Analytics {
     // null-day partition, which sorts FIRST and poisons every carry-in)
     val closed = intervals
       .filter(col(startCol).isNotNull && col(endCol).isNotNull)
+    // boundaries feed both the day-prefix aggregation and the main
+    // running-sum path — materialize once (per-instant aggregate, far
+    // smaller than the interval source, which may itself be a window
+    // op like sessionize that would otherwise replay per consumer)
     val boundaries = closed.select(col(startCol).as("t"), lit(1L).as("s"), lit(0L).as("e"))
       .unionAll(closed.select(col(endCol).as("t"), lit(0L).as("s"), lit(1L).as("e")))
       .groupBy("t")
       .agg(sum(col("s")).as("s"), sum(col("e")).as("e"))
       .withColumn("__day", to_date(col("t")))
+      .localCheckpoint()
     // level 1: running sums within each day partition
     val wDay = Window.partitionBy(col("__day")).orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
