@@ -93,4 +93,50 @@ class ModernStateSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("state survives a checkpoint restart: second run resumes the sums") {
+    withRocksDb {
+      import java.nio.file.Files
+      val in = Files.createTempDirectory("tws_in"); in.toFile.deleteOnExit()
+      val cp = Files.createTempDirectory("tws_cp"); cp.toFile.deleteOnExit()
+      val got = scala.collection.mutable.ArrayBuffer[(Long, String, Double)]()
+      var fileSeq = 0
+      def writeFile(rows: Seq[(String, Double)]): Unit = {
+        fileSeq += 1
+        val p = Files.write(in.resolve(f"b_$fileSeq%03d.json"),
+          rows.map { case (k, a) => s"""{"key":"$k","amount":$a}""" }
+            .mkString("\n").getBytes("UTF-8"))
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+          .fromMillis(1700000000000L + fileSeq * 10000L))
+      }
+      def runOnce(): Unit = {
+        val ds = spark.readStream
+          .schema("key STRING, amount DOUBLE")
+          .json(in.toString)
+          .as[ModernState.KeyedAmount]
+        val q = ModernState.runningSumPerKey(ds).writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[ModernState.KeyedAmount], id: Long) =>
+            val rows = batch.collect()
+            got.synchronized { got ++= rows.map(r => (id, r.key, r.amount)) }
+            ()
+          }
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", cp.toString)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      writeFile(Seq(("toys", 10.0), ("toys", 5.0), ("books", 2.0)))
+      runOnce()
+      assert(got.synchronized(got.toSet.map((t: (Long, String, Double)) => (t._2, t._3)))
+        === Set(("toys", 15.0), ("books", 2.0)))
+      // second run, SAME checkpoint: the RocksDB state must be restored,
+      // so toys resumes from 15 — and books, untouched this run, must
+      // not re-emit (update mode emits touched keys only)
+      writeFile(Seq(("toys", 1.0)))
+      runOnce()
+      val second = got.synchronized(got.filter(_._1 > 0).map(t => (t._2, t._3)).toSet)
+      assert(second === Set(("toys", 16.0)),
+        s"restored state should continue the fold, got $second")
+    }
+  }
 }
