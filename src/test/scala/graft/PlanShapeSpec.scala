@@ -268,4 +268,15 @@ class PlanShapeSpec extends SparkSpec {
       "max_by reduction must not per-key sort the changelog")
     assert(p.contains("LeftAnti"), "untouched keys ship through the anti-join")
   }
+
+  test("NO registered query plans a CartesianProduct — the whole suite, forever") {
+    // 1-row broadcast crossJoins plan as BroadcastNestedLoopJoin (cheap,
+    // streamed once) and are allowed; an actual CartesianProduct means a
+    // pairwise blow-up reached a registered path — that must never ship.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      plan(name).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty,
+      s"CartesianProduct in registered plans: ${offenders.mkString(", ")}")
+  }
 }
