@@ -803,6 +803,16 @@ object SparkEntry {
       Dedup.nearDupComponents(docs, "doc_id", pairs)
         .orderBy("doc_id")
     }),
+    // the O(log²)-round star-contraction alternative over the SAME pair
+    // graph — hash-adjudicated against the same recursive-CTE oracle
+    // (previously property-spec'd ≡ min-label only)
+    "q_neardup_components_star" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.6, maxShingleDf = Some(shingleDfCap))
+      Dedup.nearDupComponentsStar(docs, "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
     // quality-aware canonical selection: one doc per jaccard component,
     // highest n_chars wins (ties → smallest id). The keep-best policy a
     // curation pipeline wants where dropNearDups' keep-smallest-id would
@@ -2501,32 +2511,11 @@ object SparkEntry {
            ORDER BY doc_id""")),
     // transitive dedup clusters over the (capped) jaccard pair graph,
     // expressed as min-reachable-id via a recursive CTE
-    "q_neardup_components" ->
-      s"""WITH RECURSIVE
-         tok AS (SELECT doc_id,
-                list_distinct(CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3 THEN []
-                  ELSE list_transform(range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
-                    i -> array_to_string((string_split_regex(trim(text), '\\s+'))[i:i+2], ' ')) END) AS sh
-              FROM documents),
-         inv0 AS (SELECT doc_id, unnest(sh) AS s FROM tok WHERE len(sh) > 0),
-         dfq AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) <= $shingleDfCap),
-         inv AS (SELECT i.doc_id, i.s FROM inv0 i JOIN dfq USING (s)),
-         sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id),
-         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-                  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2),
-         jp AS (SELECT c.id_a, c.id_b FROM cand c
-                JOIN sizes sa ON sa.doc_id = c.id_a
-                JOIN sizes sb ON sb.doc_id = c.id_b
-                WHERE CAST(c.shared AS DOUBLE) / (sa.n + sb.n - c.shared) >= 0.6),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM jp
-                   UNION SELECT id_b, id_a FROM jp),
-         reach(node, root) AS (
-           SELECT doc_id, doc_id FROM documents
-           UNION
-           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
-         SELECT node AS doc_id, min(root) AS component_id
-         FROM reach GROUP BY node ORDER BY doc_id""",
+    "q_neardup_components" -> jaccardComponentsOracleSql,
+    // the star-contraction algorithm must reach the IDENTICAL labeling
+    // — components are algorithm-independent, so the same oracle
+    // adjudicates it (previously property-spec'd ≡ min-label only)
+    "q_neardup_components_star" -> jaccardComponentsOracleSql,
     // same recursive-CTE component derivation; the winner per component
     // is the row_number-window formulation of the Spark side's max_by
     // (quality DESC, id ASC) reduction
@@ -3174,6 +3163,36 @@ object SparkEntry {
     * `maxShingleDf` — shingles above the cap are dropped BEFORE set
     * sizes are computed, so J is the exact Jaccard over the reduced
     * universe on both sides. */
+  /** Min-reachable-id components over the capped-jaccard pair graph as
+    * a recursive CTE — shared by the min-label-loop and star-contraction
+    * registrations (the labeling is algorithm-independent). */
+  private def jaccardComponentsOracleSql: String =
+      s"""WITH RECURSIVE
+         tok AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3 THEN []
+                  ELSE list_transform(range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+                    i -> array_to_string((string_split_regex(trim(text), '\\s+'))[i:i+2], ' ')) END) AS sh
+              FROM documents),
+         inv0 AS (SELECT doc_id, unnest(sh) AS s FROM tok WHERE len(sh) > 0),
+         dfq AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) <= $shingleDfCap),
+         inv AS (SELECT i.doc_id, i.s FROM inv0 i JOIN dfq USING (s)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id),
+         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         jp AS (SELECT c.id_a, c.id_b FROM cand c
+                JOIN sizes sa ON sa.doc_id = c.id_a
+                JOIN sizes sb ON sb.doc_id = c.id_b
+                WHERE CAST(c.shared AS DOUBLE) / (sa.n + sb.n - c.shared) >= 0.6),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+                   UNION SELECT id_b, id_a FROM jp),
+         reach(node, root) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+         SELECT node AS doc_id, min(root) AS component_id
+         FROM reach GROUP BY node ORDER BY doc_id"""
+
   private def cappedJaccardOracleSql: String =
       s"""WITH tok AS (SELECT doc_id,
                 list_distinct(CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3 THEN []
