@@ -1042,6 +1042,16 @@ object SparkEntry {
           "vec_id", "embedding", k = 5, m = 16, ksub = 32, rerank = 256)
         .orderBy("query_id", "rank")
     }),
+    // the composed serving index (coarse cells bound reads, PQ codes
+    // bound storage) hash-adjudicated against the same exhaustive
+    // oracle at its recall-1 parameters — previously ≡-brute spec only
+    "q_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, numCentroids = 16, nProbe = 14,
+          m = 16, ksub = 32, rerank = 256)
+        .orderBy("query_id", "rank")
+    }),
     // the LSH-bucketed pair generator IS the registered path — the
     // quadratic crossJoin variant survives only as the spec baseline
     "q_embedding_neardup" -> ((s, dir) =>
@@ -2971,6 +2981,7 @@ object SparkEntry {
     "q_ann_lsh_topk" -> exactTopKOracleSql,
     "q_ivf_topk" -> exactTopKOracleSql,
     "q_pq_topk" -> exactTopKOracleSql,
+    "q_ivfpq_topk" -> exactTopKOracleSql,
     "q_embedding_neardup" ->
       """WITH nz AS (SELECT vec_id, embedding FROM embeddings
                      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
