@@ -813,6 +813,30 @@ object SparkEntry {
       Dedup.nearDupComponentsStar(docs, "doc_id", pairs)
         .orderBy("doc_id")
     }),
+    // incremental component maintenance: every 5th doc plays the new
+    // crawl batch — base labels come from the OLD corpus only, the
+    // increment folds in through label-graph contraction, and the
+    // result must hash-match a FROM-SCRATCH recompute over the full
+    // corpus (the oracle). Pairs are UNCAPPED jaccard: the merge
+    // theorem needs a corpus-independent pair rule (a df-cap computed
+    // per corpus would differ between the increments and the recompute)
+    "q_incremental_components" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 5 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 5 === 0)
+      val baseLabels = Dedup.nearDupComponents(old, "doc_id",
+        Dedup.jaccardNearDupPairs(old, "doc_id", "text", n = 3,
+          threshold = 0.6))
+      val withinNew = Dedup.jaccardNearDupPairs(fresh, "doc_id", "text",
+        n = 3, threshold = 0.6).select("id_a", "id_b")
+      val across = Dedup.jaccardNearDupPairsAcross(
+          fresh, "doc_id", "text", old, "doc_id", "text",
+          n = 3, threshold = 0.6)
+        .select(col("id_left").as("id_a"), col("id_right").as("id_b"))
+      Dedup.mergeComponents(baseLabels, fresh, "doc_id",
+          withinNew.unionByName(across))
+        .orderBy("doc_id")
+    }),
     // quality-aware canonical selection: one doc per jaccard component,
     // highest n_chars wins (ties → smallest id). The keep-best policy a
     // curation pipeline wants where dropNearDups' keep-smallest-id would
@@ -2526,6 +2550,31 @@ object SparkEntry {
     // — components are algorithm-independent, so the same oracle
     // adjudicates it (previously property-spec'd ≡ min-label only)
     "q_neardup_components_star" -> jaccardComponentsOracleSql,
+    // from-scratch recompute over the FULL corpus with the UNCAPPED
+    // pair rule — the incremental merge must reach the identical
+    // min-reachable-id labeling
+    "q_incremental_components" ->
+      """WITH RECURSIVE
+         tok AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN []
+                  ELSE list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                    i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')) END) AS sh
+              FROM documents),
+         sized AS (SELECT doc_id, sh, len(sh) AS n FROM tok WHERE len(sh) > 0),
+         inv AS (SELECT doc_id, n, unnest(sh) AS s FROM sized),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, count(*) AS shared
+                   FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4),
+         jp AS (SELECT id_a, id_b FROM pairs
+                WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.6),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+                   UNION SELECT id_b, id_a FROM jp),
+         reach(node, root) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+         SELECT node AS doc_id, min(root) AS component_id
+         FROM reach GROUP BY node ORDER BY doc_id""",
     // same recursive-CTE component derivation; the winner per component
     // is the row_number-window formulation of the Spark side's max_by
     // (quality DESC, id ASC) reduction

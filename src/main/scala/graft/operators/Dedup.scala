@@ -587,6 +587,48 @@ object Dedup {
     df.join(pairs.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Incremental component maintenance: fold a crawl increment into an
+    * EXISTING labeling without recomputing the world. `labels` is a
+    * prior [[nearDupComponents]] output (id, component_id); `newIds`
+    * carries the increment's ids; `newPairs` holds every pair involving
+    * at least one new doc (within-increment + across, e.g. from the
+    * `...Across` operators). New ids start as their own component; the
+    * new edges are CONTRACTED through the current labels, components
+    * run over that label graph — which is smaller than the corpus by
+    * the dedup rate, and tiny next to a full recompute — and the result
+    * remaps every id.
+    *
+    * Exactness: each label is its component's MIN id, and min-labeling
+    * is associative under merging — the merged labeling is IDENTICAL to
+    * a from-scratch [[nearDupComponents]] over the full pair set, as
+    * long as the pair RULE is corpus-independent (a pure pairwise
+    * threshold like uncapped Jaccard; a df-cap computed per corpus
+    * breaks that premise and can differ from the full recompute).
+    * Scale: two shuffles to contract edges + the label-graph loop
+    * (driver union-find for the common KB-scale case) + one remap join.
+    * Output: (id, component_id) for old ∪ new ids. */
+  def mergeComponents(labels: DataFrame, newIds: DataFrame, idCol: String,
+      newPairs: DataFrame): DataFrame = {
+    val base = labels.select(col(idCol), col("component_id"))
+    val fresh = newIds.select(col(idCol)).distinct()
+      .join(base, Seq(idCol), "left_anti")
+      .select(col(idCol), col(idCol).as("component_id"))
+    // feeds the two edge-contraction joins AND the final remap
+    val all = base.unionByName(fresh).localCheckpoint()
+    val la = all.select(col(idCol).as("id_a"), col("component_id").as("__ca"))
+    val lb = all.select(col(idCol).as("id_b"), col("component_id").as("__cb"))
+    val contracted = newPairs.select("id_a", "id_b")
+      .join(la, "id_a").join(lb, "id_b")
+      .select(col("__ca").as("id_a"), col("__cb").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+    val superLabels = nearDupComponents(
+        all.select(col("component_id").as(idCol)).distinct(), idCol, contracted)
+      .select(col(idCol).as("__old"), col("component_id").as("__super"))
+    all.join(superLabels, all("component_id") === col("__old"))
+      .select(col(idCol), col("__super").as("component_id"))
+  }
+
   /** Quality-aware canonical selection: ONE row per near-dup component —
     * the member with the highest `quality` (ties → smallest id; a NULL
     * quality loses to any non-null one). Where `dropNearDups` keeps the

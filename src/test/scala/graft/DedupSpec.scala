@@ -332,6 +332,26 @@ class DedupSpec extends SparkSpec {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("mergeComponents: increment folds in, bridges merge old components") {
+    // old corpus: {1,2} one component, {3} singleton, {7} singleton
+    val oldDocs = Seq(1L, 2L, 3L, 7L).map(i => (i, s"d$i")).toDF("doc_id", "t")
+    val oldPairs = Seq((1L, 2L, 1.0)).toDF("id_a", "id_b", "jaccard")
+    val base = Dedup.nearDupComponents(oldDocs, "doc_id", oldPairs)
+    // increment: 4 joins {1,2}; 5 stays alone; 6 BRIDGES {1,2} and {3}
+    val fresh = Seq(4L, 5L, 6L).map(i => (i, s"d$i")).toDF("doc_id", "t")
+    val newPairs = Seq((4L, 2L), (6L, 3L), (6L, 1L)).toDF("id_a", "id_b")
+    val merged = Dedup.mergeComponents(base, fresh, "doc_id", newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 1L, 7L -> 7L))
+    // ≡ from-scratch over the union — the merge theorem, verbatim
+    val scratch = Dedup.nearDupComponents(
+        oldDocs.unionByName(fresh), "doc_id",
+        oldPairs.select("id_a", "id_b").unionByName(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === scratch)
+  }
+
   test("keepBestPerComponent: max quality wins, min-id ties, nulls lose") {
     // cluster {1,2,3}: 3 has top quality; pair {5,6}: tie on quality →
     // min id 5; singleton 4 survives; cluster {7,8}: 8's null quality
