@@ -68,6 +68,15 @@ object SparkEntry {
       Analytics.funnel(Tables.events(s, dir), "user_id", "ts",
           "event_type", Seq("view", "click", "purchase"))
         .orderBy("step")),
+    // strict sequential funnel: each step's anchor is the EARLIEST
+    // qualifying event within 3 days after the previous anchor — the
+    // conversion-window semantics the first-occurrence funnel can't
+    // state; the oracle walks the same min-after-previous chain
+    "q_funnel_windowed" -> ((s, dir) =>
+      Analytics.funnelWindowed(Tables.events(s, dir), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"),
+          windowSeconds = 3L * 24 * 3600)
+        .orderBy("step")),
     "q_retention" -> ((s, dir) =>
       Analytics.retention(Tables.events(s, dir), "user_id", "ts",
           maxOffsetDays = 7)
@@ -1657,6 +1666,31 @@ object SparkEntry {
            SELECT 3, 'purchase',
                   CAST(sum(CASE WHEN depth >= 3 THEN 1 ELSE 0 END) AS BIGINT)
            FROM d) u
+         ORDER BY step""",
+    // the same min-after-previous anchor walk, stated as chained CTEs
+    "q_funnel_windowed" ->
+      """WITH c0 AS (
+           SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         c1 AS (
+           SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN c0 ON c0.user_id = e.user_id
+           WHERE e.event_type = 'click' AND e.ts > c0.t
+             AND e.ts <= c0.t + INTERVAL 259200 SECONDS
+           GROUP BY 1),
+         c2 AS (
+           SELECT e.user_id, min(e.ts) AS t
+           FROM events e JOIN c1 ON c1.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > c1.t
+             AND e.ts <= c1.t + INTERVAL 259200 SECONDS
+           GROUP BY 1)
+         SELECT step, step_name, n_users FROM (
+           SELECT 1 AS step, 'view' AS step_name,
+                  (SELECT count(*) FROM c0) AS n_users
+           UNION ALL
+           SELECT 2, 'click', (SELECT count(*) FROM c1)
+           UNION ALL
+           SELECT 3, 'purchase', (SELECT count(*) FROM c2)) u
          ORDER BY step""",
     "q_retention" ->
       """WITH fd AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day

@@ -297,6 +297,45 @@ object Analytics {
       .unionByName(survivors.select(snapshot.columns.map(col): _*))
   }
 
+  /** Strict sequential funnel with conversion windows: a user advances
+    * to step k only via the EARLIEST step-k event that falls within
+    * `windowSeconds` AFTER their step-(k-1) anchor — the
+    * analytics-product semantics (GA/Amplitude-style) that [[funnel]]'s
+    * first-occurrence ordering can't express: there, a user whose only
+    * click predates their first view never converts, and no time bound
+    * exists at all. Anchors are min-after-previous, so the cursor walks
+    * forward through the user's timeline step by step.
+    *
+    * Scale: one aggregation per step over the step-filtered events,
+    * each joined to the previous anchors on the user key — k-1 keyed
+    * shuffles for k steps, no windows, no per-user sort. Each anchor
+    * frame is localCheckpoint'ed: it feeds BOTH the next step's join
+    * and the final count union, and the union would otherwise replay
+    * every prefix stage per step counted.
+    * Output: (step, step_name, n_users) — users whose anchor k exists. */
+  def funnelWindowed(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], windowSeconds: Long): DataFrame = {
+    require(steps.nonEmpty && steps.distinct == steps,
+      s"need distinct funnel steps, got $steps")
+    require(windowSeconds > 0, s"need a positive window, got $windowSeconds")
+    val anchors = steps.tail.scanLeft(
+      events.filter(col(typeCol) === steps.head)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+        .localCheckpoint()) { (prev, step) =>
+      events.filter(col(typeCol) === step)
+        .join(prev.select(col(userCol), col("__t").as("__prev")), Seq(userCol))
+        .filter(col(tsCol) > col("__prev") &&
+          col(tsCol) <= col("__prev") + expr(s"INTERVAL $windowSeconds SECONDS"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+        .localCheckpoint()
+    }
+    anchors.zip(steps).zipWithIndex.map { case ((a, name), i) =>
+      a.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(name).as("step_name"),
+          col("n_users"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Schema diff between two snapshots: one row per column that was
     * added, removed, or changed type/nullability — the metadata
     * companion to [[snapshotDiff]]'s data diff, and the first thing a

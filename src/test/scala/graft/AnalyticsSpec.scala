@@ -251,6 +251,46 @@ class AnalyticsSpec extends SparkSpec {
       4L -> ((40, "d"))))   // fresh insert
   }
 
+  test("funnelWindowed: anchor walk, window bound, late-click recovery") {
+    val ev = Seq(
+      // u1 converts fully: view 10:00 → click 10:30 → purchase 11:00
+      ("u1", ts("2024-01-01 10:00:00"), "view"),
+      ("u1", ts("2024-01-01 10:30:00"), "click"),
+      ("u1", ts("2024-01-01 11:00:00"), "purchase"),
+      // u2: click OUTSIDE the 1h window → stops at step 1
+      ("u2", ts("2024-01-01 10:00:00"), "view"),
+      ("u2", ts("2024-01-01 11:30:00"), "click"),
+      // u3: first click BEFORE the view, second after — the simple
+      // funnel's min-click (09:00) fails the t1 > t0 check, but the
+      // anchor walk finds the 10:20 click: windowed converts to step 2
+      ("u3", ts("2024-01-01 09:00:00"), "click"),
+      ("u3", ts("2024-01-01 10:00:00"), "view"),
+      ("u3", ts("2024-01-01 10:20:00"), "click"),
+      // u4: purchase before click → stops at step 2
+      ("u4", ts("2024-01-01 10:00:00"), "view"),
+      ("u4", ts("2024-01-01 10:05:00"), "purchase"),
+      ("u4", ts("2024-01-01 10:10:00"), "click")
+    ).toDF("user_id", "t", "event_type")
+    val out = Analytics.funnelWindowed(ev, "user_id", "t", "event_type",
+        Seq("view", "click", "purchase"), windowSeconds = 3600)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out === Map(1 -> 4L, 2 -> 3L, 3 -> 1L))
+    // contrast with the first-occurrence funnel: same step-2 COUNT but
+    // a different user set — it admits u2 (no window exists to exclude
+    // the 11:30 click) while denying u3 (min-click 09:00 predates the
+    // view; it never looks at the 10:20 recovery). Tightening the
+    // window to 15 min separates the counts: windowed keeps only u4's
+    // 10-min click; the windowless funnel still counts u1/u2/u4.
+    val simple = Analytics.funnel(ev, "user_id", "t", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(simple(2) === 3L)
+    val tight = Analytics.funnelWindowed(ev, "user_id", "t", "event_type",
+        Seq("view", "click", "purchase"), windowSeconds = 900)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(tight(2) === 1L && simple(2) === 3L)
+  }
+
   test("schemaDiff: added/removed/type-change/nullability, identical = empty") {
     val a = Seq((1L, "x", 1.0)).toDF("id", "name", "score")
     val b = Seq((1L, 2, true)).toDF("id", "score", "flag")
