@@ -246,6 +246,40 @@ class NullSafetySpec extends SparkSpec {
     assert(out === Map(Some(1L) -> None, None -> Some(99)))
   }
 
+  test("funnelWindowed: null ts/type rows never anchor; single-step funnel") {
+    import graft.operators.Analytics
+    val ev = Seq(
+      ("u1", Some(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")), Some("view")),
+      ("u1", Option.empty[java.sql.Timestamp], Some("click")), // null ts: no anchor
+      ("u1", Some(java.sql.Timestamp.valueOf("2024-01-01 10:30:00")), Option.empty[String]),
+      ("u2", Some(java.sql.Timestamp.valueOf("2024-01-01 09:00:00")), Some("view"))
+    ).toDF("user_id", "t", "event_type")
+    val out = Analytics.funnelWindowed(ev, "user_id", "t", "event_type",
+        Seq("view", "click"), windowSeconds = 3600)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // u1's click has a null ts (min ignores it), the null-typed row
+    // matches no step — nobody reaches step 2
+    assert(out === Map(1 -> 2L, 2 -> 0L))
+    // a one-step funnel degenerates to the step-1 count
+    val one = Analytics.funnelWindowed(ev, "user_id", "t", "event_type",
+        Seq("view"), windowSeconds = 60)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(one === Map(1 -> 2L))
+  }
+
+  test("mergeComponents: pairs naming unknown ids are ignored, not invented") {
+    import graft.operators.Dedup
+    val base = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "component_id")
+    val fresh = Seq(Tuple1(3L)).toDF("doc_id")
+    // 99 exists nowhere: the (3, 99) edge must not conjure a node or
+    // crash — 3 stays its own component (documented contract: pairs
+    // must reference known ids; unknown endpoints drop in contraction)
+    val pairs = Seq((3L, 99L)).toDF("id_a", "id_b")
+    val out = Dedup.mergeComponents(base, fresh, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
   test("uniform/weighted samplers: NULL group is a real group, not dropped") {
     import graft.operators.Scale
     val df = Seq(
