@@ -54,10 +54,17 @@ object StreamJoin {
     * enrichment must never drop events).
     *
     * Scale: the broadcast means the stream side never shuffles — each
-    * micro-batch's tasks probe a local hash map. The static side is
-    * re-read per micro-batch by Structured Streaming's contract (which
-    * is what makes slowly-changing dims pick up updates on the next
-    * batch); keep it dim-sized, not fact-sized. */
+    * micro-batch's tasks probe a local hash map. Keep the dim
+    * dim-sized, not fact-sized.
+    *
+    * SLOWLY-CHANGING DIMS — measured, not assumed: a parquet-backed
+    * static side is SNAPSHOT-PINNED at plan time, and an in-place
+    * overwrite of the dim directory mid-stream fails the next
+    * micro-batch with FILE_NOT_EXIST (probed in this environment; the
+    * file index is resolved once). To refresh a dim without restarting
+    * the query, do the join inside `foreachBatch` with a fresh
+    * `spark.read` per batch, or back the dim with a table format that
+    * supports snapshot isolation. */
   def enrichWithDim(stream: DataFrame, dim: DataFrame,
       keyCol: String): DataFrame =
     stream.join(broadcast(dim), Seq(keyCol), "left_outer")
