@@ -140,7 +140,13 @@ object Bench {
     // subset runs self-identify so a filtered artifact can never be
     // mistaken for a full-suite measurement
     val subset = if (only.isDefined) ""","subset":true""" else ""
+    // per-query detail first (a 139-entry map — the line the driver's
+    // stdout-tail capture may truncate) …
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"calib_ms":$calib,"calib_par_s":$calibPar,"floor_s":$floor$b37Json$subset,"sf":"$sfDir"}""")
+    // … then a COMPACT summary as the LAST stdout line, so the headline
+    // numbers always survive tail truncation (BENCH_r04.json lost its
+    // parsed total exactly this way)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"passes":$passes,"calib_ms":$calib,"calib_par_s":$calibPar,"floor_s":$floor$b37Json$subset,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Analytics, AsOf, Dedup, Ecommerce, Multimodal, RangeJoin, Scale, Similarity}
+import graft.operators.{Analytics, AsOf, Dedup, Ecommerce, Multimodal, PairGraph, RangeJoin, Scale, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,6 +21,40 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_sales_per_category")(spark, "/root/testdata/sf0.001")
+
+  // ----- write-once pair-graph artifacts (PairGraph) ------------------
+  // The components family (q_jaccard_neardup, q_drop_neardups,
+  // q_neardup_components(_star), q_best_of_cluster; q_minhash_neardup +
+  // q_leakage_split; q_embedding_neardup + q_embedding_components) used
+  // to re-derive its LSH/minhash pair graph inside every query — five
+  // full corpus derivations per suite (round-4 verdict task #2). Each
+  // graph is now derived ONCE per (session, corpus) and every consumer
+  // composes over the materialized edge list.
+
+  /** Capped-df Jaccard pair graph over `documents` (the production
+    * default; the cap bounds the inverted-index join under boilerplate). */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    PairGraph.of(s, s"jaccard:n3:t0.6:df$shingleDfCap:$dir") {
+      Dedup.jaccardNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.6, maxShingleDf = Some(shingleDfCap))
+    }
+
+  /** MinHash+LSH pair graph over `documents` (64 hashes / 16 bands,
+    * exact-Jaccard verified at 0.6). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    PairGraph.of(s, s"minhash:n3:h64:b16:t0.6:$dir") {
+      Dedup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.6)
+    }
+
+  /** Cosine-LSH pair graph over `embeddings` (recall-1 tuned: 3 bits ×
+    * 12 tables, multi-probe, threshold 0.4). */
+  private def embeddingPairs(s: SparkSession, dir: String): DataFrame =
+    PairGraph.of(s, s"emblsh:b3:t12:mp:th0.4:$dir") {
+      Similarity.lshNearDupPairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding", threshold = 0.4,
+        bitsPerTable = 3, numTables = 12, multiProbe = true, dim = 64)
+    }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -786,30 +820,24 @@ object SparkEntry {
       Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
     // capped df is the production default — the cap is what bounds the
-    // inverted-index join's Σ df(s)² cost under boilerplate at 100 TB
+    // inverted-index join's Σ df(s)² cost under boilerplate at 100 TB.
+    // All jaccard-family queries below read the ONE materialized
+    // jaccardPairs graph (PairGraph), not a per-query re-derivation.
     "q_jaccard_neardup" -> ((s, dir) =>
-      Dedup.jaccardNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.6, maxShingleDf = Some(shingleDfCap))
-        .orderBy("id_a", "id_b")),
+      jaccardPairs(s, dir).orderBy("id_a", "id_b")),
     "q_minhash_neardup" -> ((s, dir) =>
-      Dedup.minhashNearDupPairs(Tables.documents(s, dir), "doc_id", "text",
-          n = 3, numHashes = 64, bands = 16, threshold = 0.6)
-        .orderBy("id_a", "id_b")),
+      minhashPairs(s, dir).orderBy("id_a", "id_b")),
     // the corpus AFTER near-dup removal (keep-smallest policy) — the
     // dedup family's end product, previously spec-only
     "q_drop_neardups" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.6, maxShingleDf = Some(shingleDfCap))
-      Dedup.dropNearDups(docs, "doc_id", pairs)
+      Dedup.dropNearDups(docs, "doc_id", jaccardPairs(s, dir))
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     }),
     "q_neardup_components" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.6, maxShingleDf = Some(shingleDfCap))
-      Dedup.nearDupComponents(docs, "doc_id", pairs)
+      Dedup.nearDupComponents(docs, "doc_id", jaccardPairs(s, dir))
         .orderBy("doc_id")
     }),
     // the O(log²)-round star-contraction alternative over the SAME pair
@@ -817,9 +845,7 @@ object SparkEntry {
     // (previously property-spec'd ≡ min-label only)
     "q_neardup_components_star" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.6, maxShingleDf = Some(shingleDfCap))
-      Dedup.nearDupComponentsStar(docs, "doc_id", pairs)
+      Dedup.nearDupComponentsStar(docs, "doc_id", jaccardPairs(s, dir))
         .orderBy("doc_id")
     }),
     // incremental component maintenance: every 5th doc plays the new
@@ -853,9 +879,8 @@ object SparkEntry {
     // first.
     "q_best_of_cluster" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.6, maxShingleDf = Some(shingleDfCap))
-      Dedup.keepBestPerComponent(docs, "doc_id", pairs, col("n_chars"))
+      Dedup.keepBestPerComponent(docs, "doc_id", jaccardPairs(s, dir),
+          col("n_chars"))
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),
@@ -891,9 +916,8 @@ object SparkEntry {
     // decide the split, so dup clusters never straddle train/val/test
     "q_leakage_split" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
-        n = 3, numHashes = 64, bands = 16, threshold = 0.6)
-      Scale.leakageSafeSplit(docs, "doc_id", pairs.select("id_a", "id_b"))
+      Scale.leakageSafeSplit(docs, "doc_id",
+          minhashPairs(s, dir).select("id_a", "id_b"))
         .orderBy("doc_id")
     }),
     // ----- training-sequence packing: concat-and-cut layout per source
@@ -1088,18 +1112,13 @@ object SparkEntry {
     // the LSH-bucketed pair generator IS the registered path — the
     // quadratic crossJoin variant survives only as the spec baseline
     "q_embedding_neardup" -> ((s, dir) =>
-      Similarity.lshNearDupPairs(Tables.embeddings(s, dir),
-          "vec_id", "embedding", threshold = 0.4,
-          bitsPerTable = 3, numTables = 12, multiProbe = true, dim = 64)
-        .orderBy("id_a", "id_b")),
+      embeddingPairs(s, dir).orderBy("id_a", "id_b")),
     // embedding dedup clusters: the similarity family composed into the
     // components operator (LSH pairs at recall 1 → transitive clusters)
     "q_embedding_components" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val pairs = Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
-        threshold = 0.4, bitsPerTable = 3, numTables = 12,
-        multiProbe = true, dim = 64)
-      Dedup.nearDupComponents(emb, "vec_id", pairs.select("id_a", "id_b"))
+      Dedup.nearDupComponents(emb, "vec_id",
+          embeddingPairs(s, dir).select("id_a", "id_b"))
         .orderBy("vec_id")
     }),
     // cross-corpus embedding near-dup (incremental-crawl shape,
@@ -1588,13 +1607,18 @@ object SparkEntry {
          SELECT t, CAST(cs - ce + e AS BIGINT) AS active
          FROM c ORDER BY t""",
     // the same lead()-hold formulation; last sample per user holds
-    // nothing and single-sample users divide 0-weight to NULL
+    // nothing and single-sample users divide 0-weight to NULL. The
+    // NULL-sample exclusion is part of the operator contract (samples
+    // without a value hold nothing and don't count), so the oracle
+    // states it explicitly BEFORE the lead() window — ADVICE r4 flagged
+    // this as latent (vacuous on this fixture slice, pinned regardless)
     "q_time_weighted_value" ->
       """WITH s AS (
            SELECT user_id, value,
                   epoch_us(lead(ts) OVER (PARTITION BY user_id
                     ORDER BY ts, event_id)) - epoch_us(ts) AS hold
-           FROM events WHERE user_id % 7 = 0)
+           FROM events
+           WHERE user_id % 7 = 0 AND value IS NOT NULL AND ts IS NOT NULL)
          SELECT user_id, count(*) AS n_samples,
                 SUM(value * hold) / SUM(hold) AS twa
          FROM s GROUP BY 1 ORDER BY user_id""",
