@@ -507,9 +507,13 @@ object TextAnalysis {
       k: Int): DataFrame = {
     require(minCount >= 1 && k >= 1)
     val uni = termCounts(df, textCol)
-    val bi = bigramCounts(df, textCol).filter(col("n_pair") >= minCount)
-    val nTotal = bigramCounts(df, textCol)
-      .agg(sum(col("n_pair")).as("n_total"))
+    // ONE bigram derivation feeds both the minCount-filtered pair list
+    // and the corpus total — localCheckpoint stops the corpus-wide
+    // explode+aggregate replaying for the second consumer (the repo's
+    // multiply-consumed-frame idiom; ADVICE r4)
+    val bigrams = bigramCounts(df, textCol).localCheckpoint()
+    val bi = bigrams.filter(col("n_pair") >= minCount)
+    val nTotal = bigrams.agg(sum(col("n_pair")).as("n_total"))
     bi
       .join(uni.select(col("term").as("w1"), col("n").as("c1")), Seq("w1"))
       .join(uni.select(col("term").as("w2"), col("n").as("c2")), Seq("w2"))

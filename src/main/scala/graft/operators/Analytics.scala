@@ -119,6 +119,9 @@ object Analytics {
     val deg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
     val nodes = e.select(col("src").as("node")).distinct()
     val n = nodes.count()
+    // an empty (or all-self-loop) edge list gives n = 0 → 1.0/n would
+    // seed every rank at Infinity; fail loudly instead
+    require(n > 0, "pageRank: edge list has no non-self-loop edges")
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (i <- 1 to iterations) {
       val contribs = e

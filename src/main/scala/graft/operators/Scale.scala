@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Scale-management operators: skew-resistant aggregation and
   * deterministic sampling. These don't add new query semantics — they
@@ -11,6 +12,18 @@ import org.apache.spark.sql.functions._
   * their naive counterparts, which is what their oracles check.
   */
 object Scale {
+
+  /** The group samplers round-trip the id through `cast("long")` for
+    * the TopK semi-join back; a non-integral id would cast to NULL (or
+    * truncate and collide), silently returning an EMPTY (or wrong)
+    * sample instead of failing. Same hazard guard as
+    * `Dedup.keepBestPerComponent`, restricted to the integral types the
+    * long round-trip is lossless for. */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit =
+    require(Set[DataType](LongType, IntegerType, ShortType, ByteType)(
+        df.schema(idCol).dataType),
+      s"$op needs an integral id column for the cast-to-long semi-join; " +
+        s"$idCol is ${df.schema(idCol).dataType}")
 
   /** Two-stage "salted" sum for skewed grouping keys.
     *
@@ -144,6 +157,7 @@ object Scale {
   def groupQuota(df: DataFrame, groupCols: Seq[String], idCol: String,
       k: Int): DataFrame = {
     require(k >= 1 && groupCols.nonEmpty)
+    requireIntegralId(df, idCol, "groupQuota")
     val spark = df.sparkSession
     import spark.implicits._
     // TopKAggregator keeps highest score, ties by smaller id; score
@@ -180,6 +194,7 @@ object Scale {
   def uniformGroupSample(df: DataFrame, groupCol: String, idCol: String,
       k: Int, seed: String = ""): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
+    requireIntegralId(df, idCol, "uniformGroupSample")
     val spark = df.sparkSession
     import spark.implicits._
     val rank = conv(substring(
@@ -289,6 +304,7 @@ object Scale {
   def weightedGroupSample(df: DataFrame, groupCol: String, idCol: String,
       weightCol: String, k: Int, seed: String = ""): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
+    requireIntegralId(df, idCol, "weightedGroupSample")
     val spark = df.sparkSession
     import spark.implicits._
     val u = (conv(substring(
