@@ -68,4 +68,30 @@ object StreamJoin {
   def enrichWithDim(stream: DataFrame, dim: DataFrame,
       keyCol: String): DataFrame =
     stream.join(broadcast(dim), Seq(keyCol), "left_outer")
+
+  /** The refresh route the scaladoc above promises, as a first-class
+    * helper: a `foreachBatch` body that re-loads the dimension FRESH
+    * each micro-batch before enriching, so dim updates (including an
+    * in-place parquet overwrite, the case that kills the plan-time
+    * snapshot with FILE_NOT_EXIST) are picked up mid-stream without
+    * restarting the query.
+    *
+    * `loadDim` runs on the driver once per micro-batch — keep it a
+    * cheap dim-table read (`s.read.parquet(dimPath)`); the per-batch
+    * plan still broadcasts it, so the stream side never shuffles.
+    * Usage:
+    * {{{
+    * stream.writeStream.foreachBatch(
+    *   StreamJoin.refreshedDimEachBatch(
+    *     s => s.read.parquet(dimPath), "product_id") {
+    *     (enriched, batchId) => sink(enriched, batchId)
+    *   })
+    * }}} */
+  def refreshedDimEachBatch(
+      loadDim: org.apache.spark.sql.SparkSession => DataFrame, keyCol: String)(
+      sink: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val dim = loadDim(batch.sparkSession)
+      sink(enrichWithDim(batch, dim, keyCol), batchId)
+    }
 }

@@ -120,4 +120,44 @@ class StreamJoinSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("refreshedDimEachBatch picks up an in-place dim overwrite mid-stream") {
+    // The measured fact (commit a589dd3): a parquet dim joined as a
+    // static side is snapshot-pinned at plan time, and overwriting it
+    // mid-stream kills the query with FILE_NOT_EXIST. This test pins
+    // the SUPPORTED refresh route: a fresh spark.read inside
+    // foreachBatch sees each micro-batch's current dim contents.
+    implicit val sql = spark.sqlContext
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("graft-dim-refresh").toString + "/dim"
+    Seq((1L, "v1")).toDF("product_id", "label")
+      .repartition(1).write.mode("overwrite").parquet(dimPath)
+
+    val events = MemoryStream[(Long, Double)]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Double, Option[String])]()
+    val q = events.toDF().toDF("product_id", "amount").writeStream
+      .outputMode("append")
+      .foreachBatch(StreamJoin.refreshedDimEachBatch(
+        s => s.read.parquet(dimPath), "product_id") { (enriched, _) =>
+        seen.synchronized {
+          seen ++= enriched.collect().map(r =>
+            (r.getLong(0), r.getDouble(1), Option(r.getString(2))))
+        }
+      })
+      .start()
+    try {
+      events.addData((1L, 10.0), (2L, 5.0))
+      q.processAllAvailable()
+      // in-place overwrite: new label for 1, NEW key 2 — the exact
+      // mutation that FILE_NOT_EXISTs the static-join route
+      Seq((1L, "v2"), (2L, "b1")).toDF("product_id", "label")
+        .repartition(1).write.mode("overwrite").parquet(dimPath)
+      events.addData((1L, 20.0), (2L, 6.0))
+      q.processAllAvailable()
+      val got = seen.synchronized(seen.toSet)
+      assert(got === Set(
+        (1L, 10.0, Some("v1")), (2L, 5.0, None),   // batch 1: old dim
+        (1L, 20.0, Some("v2")), (2L, 6.0, Some("b1")))) // batch 2: refreshed
+    } finally q.stop()
+  }
 }
