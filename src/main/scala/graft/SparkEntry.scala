@@ -1464,13 +1464,19 @@ object SparkEntry {
             col("embedding"), 16)).as(Seq("dim", "val")))
         .orderBy("vec_id", "dim")),
     // ===== training-data pipeline: multimodal plumbing =====
+    // audio rows run the REAL WAV decode (planted 8-bit PCM containers,
+    // parameters pure functions of doc_id): sample_rate/channels/
+    // duration_ms come from the parsed header and brightness is the
+    // true mean |amplitude|; image/video rows keep the flagged stub
     "q_media_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.extractFeatures(
           Multimodal.assetsFromDocuments(Tables.documents(s, dir)))
         .toDF()
         .select(col("assetId").as("asset_id"), col("mediaType").as("media_type"),
-          col("byteLen").as("byte_len"), col("brightness"))
+          col("byteLen").as("byte_len"), col("brightness"),
+          col("sampleRate").as("sample_rate"), col("channels"),
+          col("audioMs").as("duration_ms"), col("decoded"))
         .orderBy("asset_id")
     })
   )
@@ -3125,18 +3131,34 @@ object SparkEntry {
                 / sqrt(16.0) AS val
          FROM embeddings, range(0, 16) t(i)
          ORDER BY vec_id, dim""",
+    // audio rows: the planted WAV's data section IS the text bytes, so
+    // the oracle recovers the same samples from the hex dump — mean
+    // |b-128|/128 amplitude for 8-bit PCM, byte_len + the 44-byte
+    // canonical header, and header params restated as the same pure
+    // functions of doc_id the Spark-side builder uses (rate 16 kHz,
+    // channels 1 + doc_id % 2, duration = data/byte-rate integer ms)
     "q_media_features" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
-                           octet_length(encode(text)) AS n
-                    FROM documents)
-         SELECT doc_id AS asset_id,
-                (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
-                CAST(n AS INTEGER) AS byte_len,
-                CAST(list_sum(list_transform(range(1, n + 1),
-                  i -> (instr('0123456789ABCDEF', substring(h, CAST(2*i - 1 AS INTEGER), 1)) - 1) * 16
-                     + (instr('0123456789ABCDEF', substring(h, CAST(2*i AS INTEGER), 1)) - 1))) AS DOUBLE)
-                  / n / 255.0 AS brightness
-         FROM b ORDER BY asset_id"""
+                           octet_length(encode(text)) AS n,
+                           (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS mt
+                    FROM documents),
+         v AS (SELECT doc_id, mt, n,
+                      list_transform(range(1, n + 1),
+                        i -> (instr('0123456789ABCDEF', substring(h, CAST(2*i - 1 AS INTEGER), 1)) - 1) * 16
+                           + (instr('0123456789ABCDEF', substring(h, CAST(2*i AS INTEGER), 1)) - 1)) AS bytes
+               FROM b)
+         SELECT doc_id AS asset_id, mt AS media_type,
+                CAST(CASE WHEN mt = 'audio' THEN n + 44 ELSE n END AS INTEGER) AS byte_len,
+                CASE WHEN mt = 'audio'
+                     THEN CAST(list_sum(list_transform(bytes, x -> abs(x - 128))) AS DOUBLE) / n / 128.0
+                     ELSE CAST(list_sum(bytes) AS DOUBLE) / n / 255.0 END AS brightness,
+                CAST(CASE WHEN mt = 'audio' THEN 16000 ELSE 0 END AS INTEGER) AS sample_rate,
+                CAST(CASE WHEN mt = 'audio' THEN 1 + doc_id % 2 ELSE 0 END AS INTEGER) AS channels,
+                CAST(CASE WHEN mt = 'audio'
+                          THEN (n * 1000) // (16000 * (1 + doc_id % 2))
+                          ELSE 0 END AS BIGINT) AS duration_ms,
+                (mt = 'audio') AS decoded
+         FROM v ORDER BY asset_id"""
   )
 
   /** Morton-key oracle: the same five shift-or-mask spread steps as

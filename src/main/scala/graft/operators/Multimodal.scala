@@ -45,11 +45,14 @@ object Multimodal {
       mediaType: String,
       byteLen: Int,
       checksum: Long,
-      brightness: Double, // decoded: mean pixel luminance/255; stub: mean byte/255
-      features: Array[Float], // decoded: 8-bin luminance histogram; stub: byte histogram
+      brightness: Double, // image: mean luminance/255; audio: mean |amplitude|; stub: mean byte/255
+      features: Array[Float], // image: luminance hist; audio: |amplitude| hist; stub: byte hist
       imgWidth: Int, // decoded pixel dims; 0 when not decoded
       imgHeight: Int,
-      decoded: Boolean) // true = real pixel decode, false = stub fallback
+      decoded: Boolean, // true = real pixel/sample decode, false = stub fallback
+      sampleRate: Int, // decoded audio: Hz; 0 otherwise
+      channels: Int, // decoded audio: channel count; 0 otherwise
+      audioMs: Long) // decoded audio: data duration; 0 otherwise
 
   implicit val assetEnc: Encoder[MediaAsset] = Encoders.product[MediaAsset]
   implicit val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
@@ -173,6 +176,112 @@ object Multimodal {
     }
   }
 
+  /** ======= REAL AUDIO CODEC (RIFF/WAVE header + PCM, pure JVM) =======
+    * WAV is a length-prefixed chunk container; parsing it needs no
+    * codec library, so — like images via imageio — audio gets a REAL
+    * decode path (round-4 verdict task #5): container metadata (sample
+    * rate, channels, bit depth, data-section duration) plus true
+    * amplitude features over the PCM samples. Compressed audio (MP3,
+    * AAC, …) still falls to the byte-level stub, flagged per row.
+    */
+  object WavCodec {
+    final case class WavInfo(
+        sampleRate: Int,
+        channels: Int,
+        bitsPerSample: Int,
+        durationMs: Long, // data bytes / byte-rate
+        meanAbsAmplitude: Double, // mean |sample| normalized to [0, 1]
+        hist8: Array[Float]) // 8-bin |amplitude| histogram, L1-normalized
+
+    private def u16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    /** Parse a PCM WAV (8-bit unsigned or 16-bit signed LE). None for
+      * anything that isn't a well-formed RIFF/WAVE PCM payload — the
+      * magic checks are cheap, so rejecting non-WAV bytes costs ~nothing
+      * (the imageio-sniff property, kept for the batch path). */
+    def decode(bytes: Array[Byte]): Option[WavInfo] = {
+      if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
+        return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // format, channels, rate, bits
+      var data: Option[(Int, Int)] = None // offset, len
+      while (off + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = tag(bytes, off)
+        val size = u32(bytes, off + 4).toInt
+        if (id == "fmt " && size >= 16 && off + 24 <= bytes.length)
+          fmt = Some((u16(bytes, off + 8), u16(bytes, off + 10),
+            u32(bytes, off + 12).toInt, u16(bytes, off + 22)))
+        else if (id == "data")
+          data = Some((off + 8, math.max(0, math.min(size, bytes.length - off - 8))))
+        off += 8 + size + (size & 1) // chunks are 16-bit aligned
+        if (size < 0) return None
+      }
+      for {
+        (format, ch, rate, bits) <- fmt
+        (dOff, dLen) <- data
+        if format == 1 && (bits == 8 || bits == 16) && ch > 0 && rate > 0
+      } yield {
+        val bytesPerSample = bits / 8
+        val n = dLen / bytesPerSample
+        val hist = new Array[Long](8)
+        var sum = 0.0
+        var i = 0
+        while (i < n) {
+          // normalized |amplitude| in [0, 1]: 8-bit PCM is unsigned
+          // around 128; 16-bit is signed LE around 0
+          val a =
+            if (bits == 8) math.abs((bytes(dOff + i) & 0xff) - 128) / 128.0
+            else {
+              val s = ((bytes(dOff + 2 * i) & 0xff) |
+                (bytes(dOff + 2 * i + 1) << 8)).toShort
+              math.abs(s.toInt) / 32768.0
+            }
+          sum += a
+          hist(math.min(7, (a * 8).toInt)) += 1
+          i += 1
+        }
+        WavInfo(
+          sampleRate = rate,
+          channels = ch,
+          bitsPerSample = bits,
+          durationMs = dLen * 1000L / (rate.toLong * ch * bytesPerSample),
+          meanAbsAmplitude = if (n == 0) 0.0 else sum / n,
+          hist8 = {
+            val tot = math.max(1L, n.toLong)
+            hist.map(v => (v.toDouble / tot).toFloat)
+          })
+      }
+    }
+
+    /** Encode raw bytes as an 8-bit unsigned PCM WAV (44-byte canonical
+      * header + data) — the planted-fixture builder for oracle-able
+      * decode tests and a real (if spartan) writer. */
+    def encodePcm8(data: Array[Byte], sampleRate: Int, channels: Int): Array[Byte] = {
+      require(sampleRate > 0 && channels > 0)
+      val out = new ByteArrayOutputStream(44 + data.length)
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Long): Unit = {
+        out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+        out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+      }
+      out.write("RIFF".getBytes("US-ASCII")); w32(36L + data.length)
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("fmt ".getBytes("US-ASCII")); w32(16L)
+      w16(1); w16(channels); w32(sampleRate.toLong)
+      w32(sampleRate.toLong * channels) // byte rate (8-bit: 1 byte/sample)
+      w16(channels); w16(8) // block align, bits per sample
+      out.write("data".getBytes("US-ASCII")); w32(data.length.toLong)
+      out.write(data)
+      out.toByteArray
+    }
+  }
+
   /** ======= STUB CODEC =======
     * Stands in for libjpeg/ffmpeg/etc., which this container lacks.
     * Deterministic pure functions of the bytes so tests are exact.
@@ -233,8 +342,9 @@ object Multimodal {
         // not a task-killing NPE 10 hours into a 100 TB scan
         val a = if (a0.payload == null) a0.copy(payload = Array.emptyByteArray) else a0
         val img = if (a.mediaType == "image") ImageCodec.decode(a.payload) else None
-        img match {
-          case Some(bi) =>
+        val wav = if (a.mediaType == "audio") WavCodec.decode(a.payload) else None
+        (img, wav) match {
+          case (Some(bi), _) =>
             val n = bi.getWidth.toLong * bi.getHeight
             val (lumSum, hist) = ImageCodec.luminanceStats(bi) // one pixel pass
             MediaFeatures(
@@ -246,8 +356,23 @@ object Multimodal {
               features = hist.map(v => (v.toDouble / n).toFloat),
               imgWidth = bi.getWidth,
               imgHeight = bi.getHeight,
-              decoded = true)
-          case None =>
+              decoded = true,
+              sampleRate = 0, channels = 0, audioMs = 0L)
+          case (_, Some(w)) =>
+            MediaFeatures(
+              assetId = a.assetId,
+              mediaType = a.mediaType,
+              byteLen = a.payload.length,
+              checksum = StubCodec.fnv64(a.payload),
+              brightness = w.meanAbsAmplitude,
+              features = w.hist8,
+              imgWidth = 0,
+              imgHeight = 0,
+              decoded = true,
+              sampleRate = w.sampleRate,
+              channels = w.channels,
+              audioMs = w.durationMs)
+          case _ =>
             MediaFeatures(
               assetId = a.assetId,
               mediaType = a.mediaType,
@@ -257,7 +382,8 @@ object Multimodal {
               features = StubCodec.histogram8(a.payload),
               imgWidth = 0,
               imgHeight = 0,
-              decoded = false)
+              decoded = false,
+              sampleRate = 0, channels = 0, audioMs = 0L)
         }
       }
     }(featEnc)
@@ -374,8 +500,13 @@ object Multimodal {
 
   /** Deterministic synthetic asset table derived from the `documents`
     * fixture (no binary fixture ships with the driver): payload = UTF-8
-    * bytes of the text, mediaType round-robins image/audio/video. Lets
-    * every stage above run against driver data with exact expectations. */
+    * bytes of the text, mediaType round-robins image/audio/video. AUDIO
+    * assets wrap those bytes in a real 8-bit PCM WAV container (rate
+    * 16 kHz, channels 1 + doc_id % 2) so the real WAV decode path runs
+    * — and is DuckDB-adjudicable, since the data section is exactly the
+    * text bytes and the header parameters are pure functions of doc_id.
+    * Lets every stage above run against driver data with exact
+    * expectations. */
   def assetsFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaAsset] = {
     import spark.implicits._
     docs.select(
@@ -387,5 +518,11 @@ object Multimodal {
         (col("n_chars") % 1080).cast("int").as("height"),
         (col("n_chars") * 10).cast("long").as("durationMs"))
       .as[MediaAsset]
+      .map { a =>
+        if (a.mediaType == "audio")
+          a.copy(payload = WavCodec.encodePcm8(a.payload,
+            sampleRate = 16000, channels = (1 + a.assetId % 2).toInt))
+        else a
+      }
   }
 }

@@ -8,7 +8,7 @@ import java.io.ByteArrayOutputStream
 import javax.imageio.ImageIO
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{ImageCodec, MediaAsset, StubCodec}
+import graft.operators.Multimodal.{ImageCodec, MediaAsset, StubCodec, WavCodec}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -170,6 +170,88 @@ class MultimodalSpec extends SparkSpec {
     val medias = feats.toDF().select("mediaType").distinct()
       .collect().map(_.getString(0)).toSet
     assert(medias === Set("image", "audio", "video"))
+  }
+
+  // ===== WAV codec (real audio decode, round-5) =====
+
+  test("WAV round-trip: encodePcm8 → decode recovers header and amplitude stats") {
+    // samples 128±{0,32,64,127}: |amplitude| = 0, 0.25, 0.5, 0.9921875
+    val data = Array[Byte](128.toByte, 160.toByte, 96.toByte, 255.toByte)
+    val wav = WavCodec.encodePcm8(data, sampleRate = 8000, channels = 2)
+    assert(wav.length === 44 + 4)
+    val w = WavCodec.decode(wav).get
+    assert(w.sampleRate === 8000 && w.channels === 2 && w.bitsPerSample === 8)
+    // 4 data bytes / (8000 Hz × 2 ch × 1 B) s → 0 ms (integer)
+    assert(w.durationMs === 0L)
+    assert(w.meanAbsAmplitude === (0.0 + 32.0 / 128 + 32.0 / 128 + 127.0 / 128) / 4)
+    // bins: 0 → bin 0, 0.25 → bin 2 (×2 samples), 0.9921875 → bin 7
+    assert(w.hist8.toSeq === Seq(0.25f, 0f, 0.5f, 0f, 0f, 0f, 0f, 0.25f))
+  }
+
+  test("WAV duration: data bytes over byte rate, integer milliseconds") {
+    val oneSecond = Array.fill[Byte](16000)(128.toByte)
+    val w = WavCodec.decode(WavCodec.encodePcm8(oneSecond, 16000, 1)).get
+    assert(w.durationMs === 1000L)
+    // stereo halves the per-channel sample count at the same byte rate
+    val stereo = WavCodec.decode(WavCodec.encodePcm8(oneSecond, 16000, 2)).get
+    assert(stereo.durationMs === 500L)
+    // silence (all 128) has zero amplitude everywhere
+    assert(w.meanAbsAmplitude === 0.0)
+    assert(w.hist8.toSeq === Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))
+  }
+
+  test("WAV 16-bit signed LE parse (hand-built): amplitudes over 32768") {
+    // fmt: PCM, mono, 1000 Hz, 16-bit; data: samples 0, +16384, -32768
+    val out = new ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >> 16) & 0xffff) }
+    out.write("RIFF".getBytes); w32(36 + 6); out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); w32(16)
+    w16(1); w16(1); w32(1000); w32(2000); w16(2); w16(16)
+    out.write("data".getBytes); w32(6)
+    w16(0); w16(16384); w16(-32768 & 0xffff)
+    val w = WavCodec.decode(out.toByteArray).get
+    assert(w.bitsPerSample === 16 && w.sampleRate === 1000 && w.channels === 1)
+    assert(w.durationMs === 3L) // 6 bytes / 2000 B/s = 3 ms
+    assert(w.meanAbsAmplitude === (0.0 + 0.5 + 1.0) / 3)
+  }
+
+  test("WAV decode rejects non-WAV, truncated, and non-PCM payloads") {
+    assert(WavCodec.decode("not audio at all".getBytes("UTF-8")).isEmpty)
+    assert(WavCodec.decode(Array.emptyByteArray).isEmpty)
+    val good = WavCodec.encodePcm8(Array[Byte](1, 2, 3, 4), 8000, 1)
+    assert(WavCodec.decode(good.take(30)).isEmpty) // truncated header
+    // flip the audioFormat field (offset 20) to 7 (µ-law): not PCM
+    val mulaw = good.clone(); mulaw(20) = 7
+    assert(WavCodec.decode(mulaw).isEmpty)
+  }
+
+  test("extractFeatures: audio WAV payloads take the real decode path") {
+    implicit val sp = spark
+    val wav = WavCodec.encodePcm8(Array[Byte](128.toByte, 0), 16000, 1)
+    val ds = Seq(
+      MediaAsset(1L, "audio", wav, 0, 0, 0L), // real WAV decode
+      MediaAsset(2L, "audio", "mp3-ish garbage".getBytes("UTF-8"), 0, 0, 0L),
+      MediaAsset(3L, "video", wav, 0, 0, 0L) // media-type gated: stub
+    ).toDS()
+    val out = Multimodal.extractFeatures(ds).collect().sortBy(_.assetId)
+    assert(out(0).decoded && out(0).sampleRate === 16000 &&
+      out(0).channels === 1 && out(0).imgWidth === 0)
+    assert(out(0).brightness === 0.5) // |128-128|/128, |0-128|/128 → mean 0.5
+    assert(!out(1).decoded && out(1).sampleRate === 0)
+    assert(out(1).brightness === StubCodec.brightness("mp3-ish garbage".getBytes("UTF-8")))
+    assert(!out(2).decoded && out(2).sampleRate === 0) // video never WAV-decodes
+  }
+
+  test("fixture audio assets decode for real with doc_id-derived parameters") {
+    implicit val sp = spark
+    val feats = Multimodal.extractFeatures(
+        Multimodal.assetsFromDocuments(Tables.documents(spark, sf)))
+      .filter(_.mediaType == "audio").collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(_.decoded))
+    assert(feats.forall(_.sampleRate === 16000))
+    assert(feats.forall(f => f.channels === (1 + f.assetId % 2).toInt))
   }
 
   /** Striped horizontal gradient, values ≤ 196 so a +30 brightness
