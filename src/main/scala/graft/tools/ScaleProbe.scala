@@ -16,9 +16,13 @@ import graft.operators.{Dedup, Similarity}
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("scaleprobe", "32")
+    // SPARK_GRAFT_PROBE=neardup,edit,cooc,ann,overlap,r5 runs a subset
+    // (unset = all families)
+    def on(name: String): Boolean =
+      sys.env.get("SPARK_GRAFT_PROBE").forall(_.split(",").contains(name))
     val base = Tables.documents(spark, "/root/testdata/sf0.1")
     val alpha = "abcdefghijklmnopqrstuvwxyz"
-    for (k <- Seq(1, 2, 4, 8)) {
+    for (k <- Seq(1, 2, 4, 8) if on("neardup")) {
       val docs = (0 until k).map { i =>
         val shifted = alpha.drop(i) + alpha.take(i)
         base.select(
@@ -57,7 +61,7 @@ object ScaleProbe {
     // Near-linear runtime = the (len, slot, segment) banding holds; the
     // all-pairs verify would grow quadratically.
     val names = Tables.part(spark, "/root/testdata/sf0.1").select("p_name")
-    for (k <- Seq(1, 2, 4, 8, 16)) {
+    for (k <- Seq(1, 2, 4, 8, 16) if on("edit")) {
       val strs = (0 until k).map { i =>
         names.select(concat(col("p_name"), lit(" v" + i)).as("s"))
       }.reduce(_ unionAll _)
@@ -74,7 +78,7 @@ object ScaleProbe {
     // linearly, the per-order self-join cost stays Σ|basket|².
     val li = Tables.lineitem(spark, "/root/testdata/sf0.1")
       .select("l_orderkey", "l_partkey")
-    for (k <- Seq(1, 2, 4)) {
+    for (k <- Seq(1, 2, 4) if on("cooc")) {
       val grown = (0 until k).map { i =>
         li.select((col("l_orderkey") + lit(i * 100000000L)).as("l_orderkey"),
           (col("l_partkey") + lit(i * 10000000L)).as("l_partkey"))
@@ -100,7 +104,7 @@ object ScaleProbe {
     // queries × corpus × selectivity, and exact verify is candidate-bound.
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val dim = 64
-    for (k <- Seq(1, 2, 4, 8)) {
+    for (k <- Seq(1, 2, 4, 8) if on("ann")) {
       val rng = new scala.util.Random(13)
       val corpus = (0 until k).map { i =>
         val signs = Array.fill(dim)(if (rng.nextBoolean()) 1.0f else -1.0f)
@@ -136,7 +140,7 @@ object ScaleProbe {
       .select(col("event_id"), col("ts"),
         timestamp_micros(unix_micros(col("ts")) +
           floor(col("value") * lit(60000000.0)).cast("long")).as("te"))
-    for (k <- Seq(1, 2, 4, 8)) {
+    for (k <- Seq(1, 2, 4, 8) if on("overlap")) {
       val grown = (0 until k).map { i =>
         // shift by i years — far past any base interval
         ev.select((col("event_id") + lit(i * 100000000L)).as("event_id"),
@@ -150,6 +154,53 @@ object ScaleProbe {
       val (to, no) = time(graft.operators.RangeJoin.overlappingIntervals(
         grown, "event_id", "s", "e", 3600L * 1000 * 1000).count())
       println(f"OVERLAPPROBE k=$k%d intervals=${7700 * k}%d overlap=$to%.1fs($no%d pairs)")
+    }
+    // Round-5 probe family: funnelWindowed / timeWeightedAverage /
+    // groupTrend / quantileNormalize. Replicas carry DISJOINT users
+    // (user shift divisible by 7, so the TWA mod-7 slice keeps exactly
+    // the same per-replica membership) on the SAME timeline — funnel
+    // step users, TWA keys and normalized rows grow exactly linearly in
+    // K while group counts (event_type) stay fixed. Near-linear runtime
+    // = the keyed windows / per-step joins / bucket decomposition hold;
+    // the only unpartitioned window (bucket counts, B=64 rows) must
+    // stay invisible at every K.
+    val ev5 = Tables.events(spark, "/root/testdata/sf0.1")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    for (k <- Seq(1, 2, 4, 8) if on("r5")) {
+      val grown = (0 until k).map { i =>
+        ev5.select(
+          (col("event_id") + lit(i * 1000000000L)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(i * 7000000L)).as("user_id"),
+          col("event_type"), col("value"))
+      }.reduce(_ unionAll _)
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (tf, nf) = time(graft.operators.Analytics.funnelWindowed(
+          grown, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), 3L * 24 * 3600)
+        .agg(sum(col("n_users"))).collect().head.getLong(0))
+      val (tw, nw) = time(graft.operators.Analytics.timeWeightedAverage(
+          grown.filter(pmod(col("user_id"), lit(7)) === 0),
+          "user_id", "ts", "event_id", "value").count())
+      val (tt, nt) = time {
+        val daily = grown
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(col("value")).as("revenue"))
+        val lo = daily.agg(min(col("day")).as("__d0"))
+        graft.operators.Analytics.groupTrend(
+          daily.crossJoin(broadcast(lo))
+            .withColumn("x", datediff(col("day"), col("__d0"))),
+          "event_type", "x", "revenue").count()
+      }
+      val (tq, nq) = time(graft.operators.Scale.quantileNormalize(
+          grown.select(col("event_id"), col("event_type"), col("value")),
+          "event_type", "value", "event_id", outCol = "v_norm").count())
+      println(f"R5PROBE k=$k%d events=${100000 * k}%d " +
+        f"funnelW=$tf%.1fs(users=$nf%d) twa=$tw%.1fs($nw%d keys) " +
+        f"trend=$tt%.1fs($nt%d groups) qnorm=$tq%.1fs($nq%d rows)")
     }
     spark.stop()
   }
