@@ -1338,6 +1338,48 @@ object SparkEntry {
     "q_mixture_rates" -> ((s, dir) =>
       Scale.headCapRates(Tables.documents(s, dir), "source", c = 5.0)
         .orderBy("source")),
+    // temperature SAMPLING DISTRIBUTION over sources (α = 3/4 via the
+    // engine-portable quarter-power sqrt chain) — the mT5-style mixing
+    // recipe next to q_mixture_rates' survival-rate form
+    "q_temperature_rates" -> ((s, dir) =>
+      Scale.temperatureRates(Tables.documents(s, dir), "source",
+          alphaQuarters = 3)
+        .orderBy("source")),
+    // Gopher rule gate (Rae et al. Table A1): every rule measurement +
+    // the combined pass, one codegen projection per row
+    "q_gopher_rules" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words"), col("g.mean_word_len"),
+          col("g.symbol_ratio"), col("g.bullet_line_frac"),
+          col("g.ellipsis_line_frac"), col("g.alpha_word_frac"),
+          col("g.stop_hits"), col("g.pass"))
+        .orderBy("doc_id")),
+    // the gate composed as a corpus filter (the q_low_repetition shape:
+    // thresholds sit inside the fixture's spread — minStopHits is 1
+    // here because the synthetic vocabulary carries only "the" from the
+    // paper's stop list; word count (min 50) does the real cutting, so
+    // the gate keeps 251/500 at sf0.01. The operator default stays the
+    // paper's 2.
+    "q_gopher_kept" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(TextAnalysis.gopherRules(col("text"), minStopHits = 1)
+          .getField("pass"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+    // HTML boilerplate strip over a deterministically HTML-wrapped
+    // corpus (script/style bodies dropped, tags to spaces, entities
+    // unescaped amp-last, whitespace collapsed) — the crawl-extract
+    // pass, RE2-safe so the oracle runs the identical regex chain
+    "q_clean_html" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.stripHtml(concat(
+          lit("<html><head><style>p{color:#888}</style></head>" +
+            "<body><h1>Doc</h1><p class=\"x\">"),
+          col("text"),
+          lit(" &amp; tail&#39;s &lt;end&gt;</p>" +
+            "<script>if(1<2){x=1;}</script></body></html>"))).as("clean"))
+        .orderBy("doc_id")),
     // the rebalanced corpus: scan-local filter against broadcast
     // thresholds; sqrt/div/floor are all correctly-rounded IEEE ops, so
     // thresholds are bit-identical to the oracle's
@@ -2443,6 +2485,50 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs,
                 least(1.0, 5.0 / sqrt(count(*))) AS rate
          FROM documents GROUP BY source ORDER BY source""",
+    // p^(3/4) stated as the SAME sqrt(p)·sqrt(sqrt(p)) chain the Spark
+    // side runs — sqrt is correctly rounded IEEE in both engines, so
+    // the unnormalized scores are bit-identical; the Σ normalizers are
+    // 20-term sums covered by the driver's float rounding
+    "q_temperature_rates" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         t AS (SELECT sum(n) AS n_tot FROM c),
+         s AS (SELECT source, n, CAST(n AS DOUBLE) / n_tot AS p,
+                      sqrt(CAST(n AS DOUBLE) / n_tot) *
+                        sqrt(sqrt(CAST(n AS DOUBLE) / n_tot)) AS q
+               FROM c, t),
+         z AS (SELECT sum(q) AS z_tot FROM s)
+         SELECT source, n, p, q / z_tot AS p_temp FROM s, z ORDER BY source""",
+    "q_gopher_rules" ->
+      s"""${gopherRulesCtes()}
+         SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+                stop_hits, pass
+         FROM rules ORDER BY doc_id""",
+    "q_gopher_kept" ->
+      s"""${gopherRulesCtes(minStopHits = 1)}
+         SELECT d.doc_id, d.lang, d.source
+         FROM documents d JOIN rules r ON d.doc_id = r.doc_id
+         WHERE r.pass ORDER BY d.doc_id""",
+    // identical regex/replace chain (RE2-safe: inline (?is), no
+    // backreferences); DuckDB regexp_replace needs the explicit 'g'
+    // flag where Spark's is global by default
+    "q_clean_html" ->
+      """SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     '<html><head><style>p{color:#888}</style></head><body><h1>Doc</h1><p class="x">'
+                       || text ||
+                       ' &amp; tail&#39;s &lt;end&gt;</p><script>if(1<2){x=1;}</script></body></html>',
+                     '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                   '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                 '<[^>]*>', ' ', 'g'),
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+               '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS clean
+         FROM documents ORDER BY doc_id""",
     "q_head_cap_sample" ->
       """WITH t AS (SELECT source,
                 CAST(floor(least(1.0, 5.0 / sqrt(count(*))) * 1000000) AS BIGINT)
@@ -3249,6 +3335,55 @@ object SparkEntry {
     * the hottest shingles; in production it is corpus-scaled and is the
     * knob that bounds the inverted-index join under boilerplate. */
   val shingleDfCap: Int = 20
+
+  /** Shared CTE prefix for the Gopher rule-gate oracles: one
+    * tokenization + one line split per doc, every rule measurement,
+    * then the combined pass — mirroring `TextAnalysis.gopherRules`
+    * term for term (incl. the empty-trim n_words = 0 guard and the
+    * ≥ 1 line count from split's never-empty result). */
+  private def gopherRulesCtes(minStopHits: Int = 2): String =
+      raw"""WITH f AS (SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE CAST(len(string_split_regex(trim(text), '\s+'))
+                       AS BIGINT) END AS n_words,
+                string_split_regex(trim(text), '\s+') AS toks,
+                string_split(text, chr(10)) AS lines,
+                CAST(len(regexp_extract_all(text, '#')) +
+                     len(regexp_extract_all(text, '(\.\.\.|…)'))
+                  AS BIGINT) AS symbols
+              FROM documents),
+         g AS (SELECT doc_id, n_words, symbols,
+                CAST(list_sum(list_transform(toks, t -> length(t)))
+                  AS BIGINT) AS len_sum,
+                CAST(len(lines) AS BIGINT) AS n_lines,
+                CAST(len(list_filter(lines,
+                  l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS bullet_lines,
+                CAST(len(list_filter(lines,
+                  l -> regexp_matches(l, '(\.\.\.|…)\s*$$'))) AS BIGINT) AS ellipsis_lines,
+                CAST(len(list_filter(toks,
+                  t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+                CAST(len(list_filter(
+                  ['the','be','to','of','and','that','have','with'],
+                  w -> list_contains(toks, w))) AS BIGINT) AS stop_hits
+              FROM f),
+         m AS (SELECT doc_id, n_words,
+                CASE WHEN n_words = 0 THEN 0.0
+                     ELSE CAST(len_sum AS DOUBLE) / n_words END AS mean_word_len,
+                CASE WHEN n_words = 0 THEN 0.0
+                     ELSE CAST(symbols AS DOUBLE) / n_words END AS symbol_ratio,
+                CAST(bullet_lines AS DOUBLE) / n_lines AS bullet_line_frac,
+                CAST(ellipsis_lines AS DOUBLE) / n_lines AS ellipsis_line_frac,
+                CASE WHEN n_words = 0 THEN 0.0
+                     ELSE CAST(alpha_words AS DOUBLE) / n_words END AS alpha_word_frac,
+                stop_hits
+              FROM g),
+         rules AS (SELECT *,
+                (n_words >= 50 AND n_words <= 100000 AND
+                 mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+                 symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9 AND
+                 ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8 AND
+                 stop_hits >= $minStopHits) AS pass
+              FROM m)"""
 
   /** Shared CTE prefix for the token-repetition oracles: per-(doc,
     * token) counts, then per-doc totals/distincts/max — mirroring

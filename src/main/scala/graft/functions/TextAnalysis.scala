@@ -417,6 +417,89 @@ object TextAnalysis {
         "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
       " {2,}", " "))
 
+  /** The Gopher stop-list (Rae et al. 2021 §A1.1): a document must
+    * contain at least two of these to pass the rule gate. Distinct
+    * from [[stopwords]] (the ratio-feature list) on purpose — the
+    * paper's own eight words, mirrored verbatim in the oracle. */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality RULE GATE (Rae et al. 2021, Table A1) — the
+    * standard pre-filter battery a web-scale curation pipeline runs
+    * before any model-based scoring, complementing the soft
+    * [[qualityScore]]: hard pass/fail on word count, mean word length,
+    * symbol-to-word ratio (# and …), bullet-started and
+    * ellipsis-ended line fractions, alphabetic-word fraction, and
+    * stop-list hits. Returns a struct with every rule's measurement
+    * plus the combined `pass` — keep the measurements, not just the
+    * verdict, so threshold tuning is a filter change, not a re-scan.
+    *
+    * One codegen projection per row (array HOFs over one tokenization
+    * + one line split), zero shuffle; every term is integer counts and
+    * correctly-rounded divisions, so the oracle reproduces it
+    * bit-for-bit. Thresholds are the paper's, exposed as defaults. */
+  def gopherRules(text: Column,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): Column = {
+    val toks = tokens(text)
+    val nWords = when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(toks).cast("long"))
+    val lenSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val meanLen = when(nWords === 0, lit(0.0))
+      .otherwise(lenSum.cast("double") / nWords)
+    // the paper's "symbol" set: hash marks and ellipses ("..." or '…')
+    val symbols = (regexp_count(text, lit("#")) +
+      regexp_count(text, lit("(\\.\\.\\.|…)"))).cast("long")
+    val symbolRatio = when(nWords === 0, lit(0.0))
+      .otherwise(symbols.cast("double") / nWords)
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long") // split never yields [], so ≥ 1
+    val bulletFrac = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
+      .cast("double") / nLines
+    val ellipsisFrac = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+      .cast("double") / nLines
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val alphaFrac = when(nWords === 0, lit(0.0))
+      .otherwise(alphaWords.cast("double") / nWords)
+    val stopHits = size(filter(
+      array(gopherStops.map(lit): _*), w => array_contains(toks, w))).cast("long")
+    val pass = nWords >= minWords && nWords <= maxWords &&
+      meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+      symbolRatio <= maxSymbolRatio && bulletFrac <= maxBulletFrac &&
+      ellipsisFrac <= maxEllipsisFrac && alphaFrac >= minAlphaFrac &&
+      stopHits >= minStopHits
+    struct(
+      nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"), alphaFrac.as("alpha_word_frac"),
+      stopHits.as("stop_hits"), pass.as("pass"))
+  }
+
+  /** HTML → text extraction (the boilerplate-strip pass a crawl
+    * pipeline runs before every text operator above): drop script and
+    * style elements WITH their contents, strip all remaining tags to
+    * spaces, unescape the six ubiquitous entities (amp last, per the
+    * standard double-escape rule), collapse whitespace, trim. Regexes
+    * are RE2-safe (no backreferences, `(?is)` only), so the DuckDB
+    * oracle runs the identical chain. A regex pass is the right tool
+    * for BULK extraction — it runs inside whole-stage codegen at
+    * GB/s/core; a DOM parser belongs in `mapPartitions` only when
+    * structure (links, tables) must survive. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val unescaped = org.apache.spark.sql.functions.replace(
+      Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+        "&nbsp;" -> " ").foldLeft(noTags) { case (c, (e, v)) =>
+        org.apache.spark.sql.functions.replace(c, lit(e), lit(v))
+      }, lit("&amp;"), lit("&"))
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** Per-document top-`k` keyword extraction by tf-idf — the "what is
     * this document about" signal a curation pipeline uses for topic
     * balancing and near-boilerplate detection.

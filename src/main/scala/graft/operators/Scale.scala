@@ -91,6 +91,45 @@ object Scale {
       .withColumn("rate", least(lit(1.0), lit(c) / sqrt(col("n_docs"))))
   }
 
+  /** Temperature-based sampling DISTRIBUTION over groups — the
+    * multilingual-mixing formula (mT5/XLM-R): sample group g with
+    * probability p_g^α / Σ_h p_h^α, flattening the head and boosting
+    * the tail as α → 0. Complements [[headCapRates]] (per-group
+    * SURVIVAL rates): this is the recipe for drawing a fixed token
+    * budget across languages/sources, not for capping a corpus.
+    *
+    * α is quantized to quarters (k/4, k ∈ 1..4) for the same
+    * engine-portability reason headCapRates pins α = 0.5: `pow` is not
+    * correctly rounded across libms, but `sqrt` is under IEEE 754
+    * everywhere, so p^(1/4) = sqrt(sqrt(p)), p^(1/2) = sqrt(p) and
+    * p^(3/4) = sqrt(p)·sqrt(sqrt(p)) are bit-identical chains in Spark
+    * and DuckDB (deterministic even where the composition isn't the
+    * correctly-rounded power).
+    *
+    * Scale: two group-cardinality-sized aggregations with broadcast
+    * scalar totals — nothing data-sized shuffles.
+    * Output: (group, n, p, p_temp). */
+  def temperatureRates(df: DataFrame, groupCol: String,
+      alphaQuarters: Int = 2): DataFrame = {
+    require(alphaQuarters >= 1 && alphaQuarters <= 4,
+      s"alpha is quantized to quarters in (0, 1]: need 1..4, got $alphaQuarters")
+    def powq(p: Column): Column = alphaQuarters match {
+      case 1 => sqrt(sqrt(p))
+      case 2 => sqrt(p)
+      case 3 => sqrt(p) * sqrt(sqrt(p))
+      case 4 => p
+    }
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__N"))
+    val scored = counts.crossJoin(broadcast(tot))
+      .withColumn("p", col("n").cast("double") / col("__N"))
+      .withColumn("__q", powq(col("p")))
+    val z = scored.agg(sum(col("__q")).as("__Z"))
+    scored.crossJoin(broadcast(z))
+      .select(col(groupCol), col("n"), col("p"),
+        (col("__q") / col("__Z")).as("p_temp"))
+  }
+
   /** Deterministic head-cap sample: keep a row iff
     * `id % den < floor(rate(group) · den)`. Same dense-id uniform
     * variate as [[modSample]] (swap in xxhash64 for sparse/clustered

@@ -490,4 +490,44 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.kAnonymize(df, Seq("lang", "src"), 3).columns.toSeq
       === df.columns.toSeq)
   }
+
+  test("temperatureRates: p^α normalization flattens the head, α=1 is identity") {
+    import spark.implicits._
+    // 80 / 16 / 4 rows → p = 0.8 / 0.16 / 0.04
+    val df = ((1 to 80).map(i => (i.toLong, "big")) ++
+      (1 to 16).map(i => (i.toLong, "mid")) ++
+      (1 to 4).map(i => (i.toLong, "small"))).toDF("id", "g")
+
+    def rates(q: Int): Map[String, (Long, Double, Double)] =
+      Scale.temperatureRates(df, "g", alphaQuarters = q).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+
+    val full = rates(4) // α = 1: p_temp ≡ p
+    assert(full("big") === ((80L, 0.8, 0.8)))
+    assert(full("small")._3 === 0.04)
+
+    val sqrtT = rates(2) // α = 1/2: exact sqrt arithmetic
+    val z = math.sqrt(0.8) + math.sqrt(0.16) + math.sqrt(0.04)
+    assert(math.abs(sqrtT("big")._3 - math.sqrt(0.8) / z) < 1e-15)
+    assert(math.abs(sqrtT("small")._3 - math.sqrt(0.04) / z) < 1e-15)
+
+    // flattening is monotone in temperature: the head's share shrinks
+    // and the tail's grows as α drops 1 → 1/4, distribution stays ~1
+    val shares = Seq(4, 3, 2, 1).map(q => rates(q))
+    assert(shares.map(_("big")._3).sliding(2).forall { case Seq(a, b) => b < a })
+    assert(shares.map(_("small")._3).sliding(2).forall { case Seq(a, b) => b > a })
+    shares.foreach(s => assert(math.abs(s.values.map(_._3).sum - 1.0) < 1e-12))
+    // quarter chain matches the real power function to double precision
+    val q3 = rates(3)
+    val z3 = Seq(0.8, 0.16, 0.04).map(p => math.pow(p, 0.75)).sum
+    assert(math.abs(q3("mid")._3 - math.pow(0.16, 0.75) / z3) < 1e-12)
+  }
+
+  test("temperatureRates rejects alpha outside the quarter grid") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "g")
+    intercept[IllegalArgumentException](Scale.temperatureRates(df, "g", 0))
+    intercept[IllegalArgumentException](Scale.temperatureRates(df, "g", 5))
+  }
 }

@@ -432,4 +432,69 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 0, "Tail kept."),
       (3L, 0, "A"), (3L, 1, "B"), (3L, 2, "C")))
   }
+
+  test("gopherRules: every rule measures and gates as the paper describes") {
+    val good = (("the of and that words " * 12) + "closing line").trim // 62 words, 4 stop hits
+    val docs = Seq(
+      (1L, good),
+      (2L, "too short but the of"),             // fails min word count only
+      (3L, good + " ### ## # # # # # #"),       // symbol-heavy (9 #'s / 69 words > 0.1)
+      (4L, "- one\n- two\n- three\n" + good),   // 3 bullet lines of 4
+      (5L, "tail...\nmore...\nender...\n" + good.replaceAll(" ", "  ")), // ellipsis lines
+      (6L, ("1 2 3 4 5 " * 12) + "the of"),     // numeric: alpha frac 2/62 < 0.8
+      (7L, "")                                  // empty: everything 0
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.gopherRules(col("text")).as("g"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+
+    assert(out(1L).getAs[Boolean]("pass"))
+    assert(out(1L).getAs[Long]("n_words") === 62L)
+    assert(out(1L).getAs[Long]("stop_hits") === 4L) // the, of, and, that
+
+    assert(!out(2L).getAs[Boolean]("pass"))
+    assert(out(2L).getAs[Long]("stop_hits") === 2L) // rule passes; count fails
+
+    assert(!out(3L).getAs[Boolean]("pass"))
+    assert(out(3L).getAs[Double]("symbol_ratio") > 0.1)
+
+    assert(out(4L).getAs[Double]("bullet_line_frac") === 0.75)
+    assert(out(4L).getAs[Boolean]("pass")) // 0.75 is under the 0.9 bullet cap
+
+    assert(out(5L).getAs[Double]("ellipsis_line_frac") === 0.75)
+    assert(!out(5L).getAs[Boolean]("pass")) // 0.75 > 0.3 cap
+
+    assert(!out(6L).getAs[Boolean]("pass"))
+    assert(out(6L).getAs[Double]("alpha_word_frac") < 0.8)
+
+    assert(out(7L).getAs[Long]("n_words") === 0L)
+    assert(!out(7L).getAs[Boolean]("pass"))
+  }
+
+  test("gopherRules thresholds are parameters (fixture gate uses minStopHits = 1)") {
+    val doc = Seq((1L, ("word " * 60 + "the").trim)).toDF("doc_id", "text")
+    def pass(minStops: Int) = doc.select(
+        TextAnalysis.gopherRules(col("text"), minStopHits = minStops)
+          .getField("pass")).head.getBoolean(0)
+    assert(!pass(2)) // only "the" present — paper default fails
+    assert(pass(1))
+  }
+
+  test("stripHtml: scripts/styles die with their bodies, entities unescape amp-last") {
+    val html = """<html><head><style>p { color: red; }</style></head>
+      |<body><h1>Title</h1><script type="text/js">if (a<b) { x("</p>"); }</script>
+      |<p class="big">Hello&nbsp;&amp;lt;world&#39;s&gt; &lt;tag&gt;</p></body></html>"""
+      .stripMargin
+    val out = Seq(Tuple1(html)).toDF("h")
+      .select(TextAnalysis.stripHtml(col("h"))).head.getString(0)
+    // &amp;lt; unescapes to &lt; (amp LAST — never double-unescaped to <)
+    assert(out === "Title Hello &lt;world's> <tag>")
+  }
+
+  test("stripHtml collapses whitespace and passes plain text through") {
+    val out = Seq(Tuple1("no   markup\n\nhere ")).toDF("h")
+      .select(TextAnalysis.stripHtml(col("h"))).head.getString(0)
+    assert(out === "no markup here")
+  }
 }
