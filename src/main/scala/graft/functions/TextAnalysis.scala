@@ -464,8 +464,14 @@ object TextAnalysis {
     val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
     val alphaFrac = when(nWords === 0, lit(0.0))
       .otherwise(alphaWords.cast("double") / nWords)
-    val stopHits = size(filter(
-      array(gopherStops.map(lit): _*), w => array_contains(toks, w))).cast("long")
+    // array_intersect, NOT a per-stop array_contains fold: these HOF
+    // trees are interpreted, and each array_contains would clone the
+    // whole tokenization subtree into the projection (8 extra split()
+    // evaluations per row — measured 1.72 → 1.36 s at sf0.1; the
+    // remaining cost is the other toks/lines references, one-pass-able
+    // via a TextStats-style expression if this ever becomes hot)
+    val stopHits = size(array_intersect(
+      array(gopherStops.map(lit): _*), toks)).cast("long")
     val pass = nWords >= minWords && nWords <= maxWords &&
       meanLen >= minMeanLen && meanLen <= maxMeanLen &&
       symbolRatio <= maxSymbolRatio && bulletFrac <= maxBulletFrac &&

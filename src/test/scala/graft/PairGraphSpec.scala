@@ -1,0 +1,70 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.operators.PairGraph
+
+/** The write-once pair-graph registry: derive exactly once per
+  * (session, key), serve the materialized frame to every consumer. */
+class PairGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("of() derives once per key and memoizes the materialized frame") {
+    PairGraph.clear()
+    val derived = new AtomicInteger(0)
+    def graph() = PairGraph.of(spark, "spec:g1") {
+      derived.incrementAndGet()
+      Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    }
+    val a = graph()
+    val b = graph()
+    assert(derived.get === 1) // second call never re-derives
+    assert(a eq b) // the SAME frame instance, not an equal copy
+    assert(a.count() === 2)
+  }
+
+  test("keys are independent; clear() forgets") {
+    PairGraph.clear()
+    val d1 = new AtomicInteger(0)
+    val d2 = new AtomicInteger(0)
+    PairGraph.of(spark, "spec:k1") { d1.incrementAndGet(); Seq((1L, 2L)).toDF("a", "b") }
+    PairGraph.of(spark, "spec:k2") { d2.incrementAndGet(); Seq((1L, 2L)).toDF("a", "b") }
+    PairGraph.of(spark, "spec:k1") { d1.incrementAndGet(); Seq((1L, 2L)).toDF("a", "b") }
+    assert(d1.get === 1 && d2.get === 1)
+    assert(PairGraph.size === 2)
+    PairGraph.clear()
+    PairGraph.of(spark, "spec:k1") { d1.incrementAndGet(); Seq((1L, 2L)).toDF("a", "b") }
+    assert(d1.get === 2)
+    PairGraph.clear()
+  }
+
+  test("the served frame is materialized: consumers plan from an RDD scan, not the derivation lineage") {
+    PairGraph.clear()
+    val g = PairGraph.of(spark, "spec:mat") {
+      // a derivation whose lineage would be expensive to replay
+      Tables.documents(spark, sf).select("doc_id")
+        .join(Tables.documents(spark, sf).select("doc_id"), Seq("doc_id"))
+    }
+    val plan = g.queryExecution.optimizedPlan
+    // localCheckpoint cuts lineage to a LogicalRDD/cached scan — the
+    // original join must be gone from every consumer's plan
+    def hasJoin(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.nonEmpty
+    assert(!hasJoin(plan), s"expected checkpointed scan, got:\n$plan")
+    assert(g.count() === Tables.documents(spark, sf).count())
+    PairGraph.clear()
+  }
+
+  test("registered family queries share one derivation per corpus (integration)") {
+    PairGraph.clear()
+    // two jaccard-family queries on the same dir: the second must hit
+    // the cache (size stays 1 for the jaccard key; minhash adds its own)
+    SparkEntry.queries("q_jaccard_neardup")(spark, sf).count()
+    val afterFirst = PairGraph.size
+    SparkEntry.queries("q_neardup_components")(spark, sf).count()
+    assert(PairGraph.size === afterFirst) // no new graph derived
+    SparkEntry.queries("q_leakage_split")(spark, sf).count()
+    assert(PairGraph.size === afterFirst + 1) // minhash graph, once
+    PairGraph.clear()
+  }
+}
