@@ -1367,6 +1367,35 @@ object SparkEntry {
           .getField("pass"))
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
+    // URL toolkit over deterministically synthesized crawl URLs
+    // (scheme/case/port/trailing-slash/tracking-param variation all
+    // keyed off doc_id): host, registered domain, path depth,
+    // canonical dedup key, tracking-param strip — every expression an
+    // RE2-safe regex chain the oracle restates verbatim
+    "q_url_parts" -> ((s, dir) => {
+      import graft.functions.UrlOps
+      val url = concat(
+        when(col("doc_id") % 7 === 0, lit("http://")).otherwise(lit("https://")),
+        when(col("doc_id") % 5 === 0, lit("Sub.")).otherwise(lit("")),
+        col("source"), lit(".example.com"),
+        when(col("doc_id") % 11 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/"), col("lang"), lit("/doc/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit("?utm_source=feed&id=1&utm_campaign=x"))
+          .when(col("doc_id") % 3 === 1, lit("?id=2&gclid=abc"))
+          .otherwise(lit("")))
+      Tables.documents(s, dir).select(col("doc_id"),
+        url.as("url"),
+        UrlOps.host(url).as("host"),
+        UrlOps.hostNoPort(url).as("host_no_port"),
+        UrlOps.registeredDomain(url).as("registered_domain"),
+        UrlOps.path(url).as("path"),
+        UrlOps.pathDepth(url).as("path_depth"),
+        UrlOps.queryString(url).as("query_string"),
+        UrlOps.canonical(url).as("canonical"),
+        UrlOps.stripTracking(url).as("clean_url"))
+        .orderBy("doc_id")
+    }),
     // HTML boilerplate strip over a deterministically HTML-wrapped
     // corpus (script/style bodies dropped, tags to spaces, entities
     // unescaped amp-last, whitespace collapsed) — the crawl-extract
@@ -2509,6 +2538,42 @@ object SparkEntry {
          SELECT d.doc_id, d.lang, d.source
          FROM documents d JOIN rules r ON d.doc_id = r.doc_id
          WHERE r.pass ORDER BY d.doc_id""",
+    // same synthesized URLs, same anchored extracts; DuckDB replacement
+    // backrefs are \1 where Spark's are $1 (pattern side is shared)
+    "q_url_parts" ->
+      """WITH u AS (SELECT doc_id,
+             (CASE WHEN doc_id % 7 = 0 THEN 'http://' ELSE 'https://' END) ||
+             (CASE WHEN doc_id % 5 = 0 THEN 'Sub.' ELSE '' END) ||
+             source || '.example.com' ||
+             (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END) ||
+             '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) ||
+             (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+             (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=1&utm_campaign=x'
+                   WHEN doc_id % 3 = 1 THEN '?id=2&gclid=abc' ELSE '' END) AS url
+           FROM documents),
+         p AS (SELECT doc_id, url,
+             regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)', 1) AS scheme,
+             regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)', 2) AS host,
+             regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)', 3) AS path
+           FROM u),
+         q AS (SELECT *, regexp_replace(host, ':[0-9]+$', '') AS host_no_port
+           FROM p)
+         SELECT doc_id, url, host, host_no_port,
+           CASE WHEN regexp_matches(host_no_port, '[^.]+\.[^.]+$')
+                THEN regexp_extract(host_no_port, '([^.]+\.[^.]+)$', 1)
+                ELSE host_no_port END AS registered_domain,
+           path,
+           CAST(len(list_filter(string_split(path, '/'),
+             s -> length(s) > 0)) AS INTEGER) AS path_depth,
+           regexp_extract(url, '\?([^#]*)', 1) AS query_string,
+           CASE WHEN host = '' THEN ''
+                ELSE lower(scheme) || '://' || lower(host) ||
+                     regexp_replace(path, '/+$', '') END AS canonical,
+           regexp_replace(regexp_replace(regexp_replace(url,
+               '&(?:utm_|gclid|fbclid)[^&#]*', '', 'g'),
+               '\?(?:utm_|gclid|fbclid)[^&#]*&', '?', 'g'),
+               '\?(?:utm_|gclid|fbclid)[^&#]*(#|$)', '\1', 'g') AS clean_url
+         FROM q ORDER BY doc_id""",
     // identical regex/replace chain (RE2-safe: inline (?is), no
     // backreferences); DuckDB regexp_replace needs the explicit 'g'
     // flag where Spark's is global by default

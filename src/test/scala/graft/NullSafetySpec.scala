@@ -44,6 +44,26 @@ class NullSafetySpec extends SparkSpec {
     assert(out(4).getInt(1) === 0)                   // empty text → 0 tokens
   }
 
+  test("gopherRules/stripHtml/UrlOps null-propagate instead of throwing") {
+    val out = docsWithNulls.select(
+        col("doc_id"),
+        TextAnalysis.gopherRules(col("text")).as("g"),
+        TextAnalysis.stripHtml(col("text")).as("h"),
+        graft.functions.UrlOps.canonical(col("text")).as("c"))
+      .orderBy("doc_id").collect()
+    // null text → null struct fields / null strings, no NPE anywhere
+    assert(out(2).getStruct(1).isNullAt(0) ||
+      out(2).getStruct(1).getAs[Any]("n_words") == null ||
+      out(2).isNullAt(1)) // engine may null the struct or its fields
+    assert(out(2).isNullAt(2))
+    assert(out(2).isNullAt(3))
+    // empty text measures as zero words and fails the gate cleanly
+    val empty = out(4).getStruct(1)
+    assert(empty.getAs[Long]("n_words") === 0L)
+    assert(!empty.getAs[Boolean]("pass"))
+    assert(out(4).getString(2) === "")
+  }
+
   test("termCounts skips null and empty docs") {
     val counts = TextAnalysis.termCounts(docsWithNulls, "text")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
