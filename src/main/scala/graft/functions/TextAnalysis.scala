@@ -444,6 +444,47 @@ object TextAnalysis {
       maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
       maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
       minStopHits: Int = 2): Column = {
+    // raw counts from ONE codegen scan (graft.expressions.GopherStats);
+    // the getField references below CSE onto a single evaluation inside
+    // whole-stage codegen — the Column formulation (kept as
+    // gopherRulesColumns for the parity spec) cloned its interpreted
+    // tokenize/line-split HOF subtrees into every feature instead
+    // (measured 2.25 s → 0.72 s for the two gopher queries at sf0.1)
+    val st = graft.expressions.GopherStats.stats(text, gopherStops)
+    val nWords = st.getField("n_words").cast("long")
+    val meanLen = when(nWords === 0, lit(0.0))
+      .otherwise(st.getField("token_len_sum").cast("double") / nWords)
+    val symbolRatio = when(nWords === 0, lit(0.0))
+      .otherwise(st.getField("symbols").cast("double") / nWords)
+    val nLines = st.getField("n_lines").cast("long") // split never yields [], so ≥ 1
+    val bulletFrac = st.getField("bullet_lines").cast("double") / nLines
+    val ellipsisFrac = st.getField("ellipsis_lines").cast("double") / nLines
+    val alphaFrac = when(nWords === 0, lit(0.0))
+      .otherwise(st.getField("alpha_words").cast("double") / nWords)
+    val stopHits = st.getField("stop_hits").cast("long")
+    val pass = nWords >= minWords && nWords <= maxWords &&
+      meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+      symbolRatio <= maxSymbolRatio && bulletFrac <= maxBulletFrac &&
+      ellipsisFrac <= maxEllipsisFrac && alphaFrac >= minAlphaFrac &&
+      stopHits >= minStopHits
+    struct(
+      nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"), alphaFrac.as("alpha_word_frac"),
+      stopHits.as("stop_hits"), pass.as("pass"))
+  }
+
+  /** The Column-built-ins reference formulation of [[gopherRules]] —
+    * semantically identical, kept for the parity spec (the LangId /
+    * TextStats discipline: every custom expression is pinned against a
+    * compositional reference). Slower by design: the interpreted HOF
+    * subtrees (tokenize ×4, line split ×2) clone into every feature. */
+  def gopherRulesColumns(text: Column,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): Column = {
     val toks = tokens(text)
     val nWords = when(length(trim(text)) === 0, lit(0L))
       .otherwise(size(toks).cast("long"))
@@ -456,7 +497,7 @@ object TextAnalysis {
     val symbolRatio = when(nWords === 0, lit(0.0))
       .otherwise(symbols.cast("double") / nWords)
     val lines = split(text, "\n")
-    val nLines = size(lines).cast("long") // split never yields [], so ≥ 1
+    val nLines = size(lines).cast("long")
     val bulletFrac = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
       .cast("double") / nLines
     val ellipsisFrac = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
@@ -464,12 +505,6 @@ object TextAnalysis {
     val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
     val alphaFrac = when(nWords === 0, lit(0.0))
       .otherwise(alphaWords.cast("double") / nWords)
-    // array_intersect, NOT a per-stop array_contains fold: these HOF
-    // trees are interpreted, and each array_contains would clone the
-    // whole tokenization subtree into the projection (8 extra split()
-    // evaluations per row — measured 1.72 → 1.36 s at sf0.1; the
-    // remaining cost is the other toks/lines references, one-pass-able
-    // via a TextStats-style expression if this ever becomes hot)
     val stopHits = size(array_intersect(
       array(gopherStops.map(lit): _*), toks)).cast("long")
     val pass = nWords >= minWords && nWords <= maxWords &&

@@ -481,6 +481,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pass(1))
   }
 
+  test("GopherStats expression ≡ the Column reference formulation (parity)") {
+    // adversarial shapes for every quirk the expression hand-codes:
+    // non-space leading/trailing whitespace (empty-token quirk), tabs,
+    // unicode ellipsis/bullets, dot runs (non-overlapping ... count),
+    // trailing newline (kept empty line), trim-empty, symbol mixes
+    val texts = Seq(
+      "the of and that words all good here and long enough to pass everything",
+      "\tleading tab", "trailing newline\n", "   ", "", "a\n\nb",
+      "• bullet\n- dash\n* star\nplain", "dots..... and .. more",
+      "end…\nend...\nno end", "# #hash words", "ONE-two three_four",
+      "the the the of of", "多语言 text mixed 内容",
+      "- \n-\n …\n...", "x\n\n\n"
+    ) ++ Tables.documents(spark, sf).select("text").limit(50)
+      .collect().map(_.getString(0)).toSeq
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val both = df.select(col("id"),
+        TextAnalysis.gopherRules(col("text")).as("e"),
+        TextAnalysis.gopherRulesColumns(col("text")).as("c"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getStruct(1) === r.getStruct(2),
+        s"id=${r.getLong(0)} text=${texts(r.getLong(0).toInt).take(60)}…")
+    }
+  }
+
   test("stripHtml: scripts/styles die with their bodies, entities unescape amp-last") {
     val html = """<html><head><style>p { color: red; }</style></head>
       |<body><h1>Title</h1><script type="text/js">if (a<b) { x("</p>"); }</script>
