@@ -1535,10 +1535,15 @@ object SparkEntry {
             col("embedding"), 16)).as(Seq("dim", "val")))
         .orderBy("vec_id", "dim")),
     // ===== training-data pipeline: multimodal plumbing =====
-    // audio rows run the REAL WAV decode (planted 8-bit PCM containers,
-    // parameters pure functions of doc_id): sample_rate/channels/
-    // duration_ms come from the parsed header and brightness is the
-    // true mean |amplitude|; image/video rows keep the flagged stub
+    // audio rows run the REAL WAV decode (planted 8-bit PCM containers)
+    // and video rows the REAL MP4 box parse (planted ISO-BMFF
+    // containers): sample_rate/channels, duration_ms, display dims and
+    // track counts all come from parsed headers whose parameters are
+    // pure functions of the doc columns; brightness is true mean
+    // |amplitude| for audio and the byte-level mdat stub for video
+    // (frame decode needs codecs; that one-function boundary is
+    // documented). Image rows keep the flagged stub (text payloads
+    // aren't images).
     "q_media_features" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.extractFeatures(
@@ -1547,7 +1552,8 @@ object SparkEntry {
         .select(col("assetId").as("asset_id"), col("mediaType").as("media_type"),
           col("byteLen").as("byte_len"), col("brightness"),
           col("sampleRate").as("sample_rate"), col("channels"),
-          col("audioMs").as("duration_ms"), col("decoded"))
+          col("imgWidth").as("width"), col("imgHeight").as("height"),
+          col("tracks"), col("mediaMs").as("duration_ms"), col("decoded"))
         .orderBy("asset_id")
     })
   )
@@ -3287,28 +3293,38 @@ object SparkEntry {
     // |b-128|/128 amplitude for 8-bit PCM, byte_len + the 44-byte
     // canonical header, and header params restated as the same pure
     // functions of doc_id the Spark-side builder uses (rate 16 kHz,
-    // channels 1 + doc_id % 2, duration = data/byte-rate integer ms)
+    // channels 1 + doc_id % 2, duration = data/byte-rate integer ms).
+    // video rows: planted MP4 (ftyp 16 + moov 116+100·tracks + mdat
+    // 8+n = 140 + 100·tracks + n bytes of header), mdat = text bytes →
+    // byte-stub brightness; duration = n_chars·6 units / 600 timescale
+    // = n_chars·10 ms; dims/tracks the builder's doc-column functions
     "q_media_features" ->
-      """WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+      """WITH b AS (SELECT doc_id, n_chars, hex(encode(text)) AS h,
                            octet_length(encode(text)) AS n,
                            (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS mt
                     FROM documents),
-         v AS (SELECT doc_id, mt, n,
+         v AS (SELECT doc_id, n_chars, mt, n,
                       list_transform(range(1, n + 1),
                         i -> (instr('0123456789ABCDEF', substring(h, CAST(2*i - 1 AS INTEGER), 1)) - 1) * 16
                            + (instr('0123456789ABCDEF', substring(h, CAST(2*i AS INTEGER), 1)) - 1)) AS bytes
                FROM b)
          SELECT doc_id AS asset_id, mt AS media_type,
-                CAST(CASE WHEN mt = 'audio' THEN n + 44 ELSE n END AS INTEGER) AS byte_len,
+                CAST(CASE WHEN mt = 'audio' THEN n + 44
+                          WHEN mt = 'video' THEN n + 140 + 100 * (1 + (doc_id // 3) % 3)
+                          ELSE n END AS INTEGER) AS byte_len,
                 CASE WHEN mt = 'audio'
                      THEN CAST(list_sum(list_transform(bytes, x -> abs(x - 128))) AS DOUBLE) / n / 128.0
                      ELSE CAST(list_sum(bytes) AS DOUBLE) / n / 255.0 END AS brightness,
                 CAST(CASE WHEN mt = 'audio' THEN 16000 ELSE 0 END AS INTEGER) AS sample_rate,
                 CAST(CASE WHEN mt = 'audio' THEN 1 + doc_id % 2 ELSE 0 END AS INTEGER) AS channels,
+                CAST(CASE WHEN mt = 'video' THEN n_chars % 1920 ELSE 0 END AS INTEGER) AS width,
+                CAST(CASE WHEN mt = 'video' THEN n_chars % 1080 ELSE 0 END AS INTEGER) AS height,
+                CAST(CASE WHEN mt = 'video' THEN 1 + (doc_id // 3) % 3 ELSE 0 END AS INTEGER) AS tracks,
                 CAST(CASE WHEN mt = 'audio'
                           THEN (n * 1000) // (16000 * (1 + doc_id % 2))
+                          WHEN mt = 'video' THEN n_chars * 10
                           ELSE 0 END AS BIGINT) AS duration_ms,
-                (mt = 'audio') AS decoded
+                (mt IN ('audio', 'video')) AS decoded
          FROM v ORDER BY asset_id"""
   )
 

@@ -243,6 +243,77 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(2).decoded && out(2).sampleRate === 0) // video never WAV-decodes
   }
 
+  // ===== MP4 container codec (real video metadata parse, round-5) =====
+
+  test("MP4 round-trip: encodeMp4 → decode recovers duration, dims, tracks, mdat") {
+    import graft.operators.Multimodal.Mp4Codec
+    val media = Array[Byte](1, 2, 3, 4, 5)
+    val mp4 = Mp4Codec.encodeMp4(media, timescale = 600L, duration = 1200L,
+      width = 640, height = 360, tracks = 2)
+    assert(mp4.length === 140 + 100 * 2 + media.length) // the documented constant
+    val v = Mp4Codec.decode(mp4).get
+    assert(v.timescale === 600L)
+    assert(v.durationMs === 2000L) // 1200 units / 600 Hz
+    assert(v.nTracks === 2)
+    assert(v.width === 640 && v.height === 360)
+    assert(java.util.Arrays.copyOfRange(mp4, v.mdatOffset,
+      v.mdatOffset + v.mdatLen).toSeq === media.toSeq)
+  }
+
+  test("MP4 v1 mvhd/tkhd (64-bit times) parse from a hand-built box tree") {
+    import graft.operators.Multimodal.Mp4Codec
+    val out = new ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Long): Unit = { w16(((v >> 16) & 0xffff).toInt); w16((v & 0xffff).toInt) }
+    def w64(v: Long): Unit = { w32(v >>> 32); w32(v & 0xffffffffL) }
+    def box(t: String, bodyLen: Int): Unit = { w32(8L + bodyLen); out.write(t.getBytes, 0, 4) }
+    box("ftyp", 8); out.write("isom".getBytes, 0, 4); w32(0L)
+    // mvhd v1 body: ver/flags + 8+8 times + ts(4) + dur(8) = 32 (+rest omitted:
+    // the parser only needs the leading fields, cLen >= 28 suffices)
+    box("moov", 8 + 32 + 8 + (8 + 96))
+    box("mvhd", 32)
+    w32(0x01000000L); w64(0L); w64(0L); w32(1000L); w64(4500L)
+    box("trak", 8 + 96)
+    box("tkhd", 96) // v1: ver/flags + 8+8 + id + res + dur8 = 36; +8 res +8 layer.. matrix 36 @52.. width@88
+    w32(0x01000000L); w64(0L); w64(0L); w32(1L); w32(0L); w64(4500L)
+    w32(0L); w32(0L); w16(0); w16(0); w16(0); w16(0)
+    (1 to 9).foreach(_ => w32(0L)) // matrix
+    w32(1280L << 16); w32(720L << 16)
+    val v = Mp4Codec.decode(out.toByteArray).get
+    assert(v.timescale === 1000L && v.durationMs === 4500L)
+    assert(v.nTracks === 1 && v.width === 1280 && v.height === 720)
+  }
+
+  test("MP4 decode rejects non-MP4, truncated, and length-corrupt payloads") {
+    import graft.operators.Multimodal.Mp4Codec
+    assert(Mp4Codec.decode("definitely not a movie".getBytes).isEmpty)
+    assert(Mp4Codec.decode(Array.emptyByteArray).isEmpty)
+    val good = Mp4Codec.encodeMp4(Array[Byte](1), 600L, 600L, 10, 10, 1)
+    assert(Mp4Codec.decode(good.take(40)).isEmpty) // truncated inside moov
+    val corrupt = good.clone()
+    corrupt(16) = 0x7f // moov size field blown past the payload end
+    assert(Mp4Codec.decode(corrupt).isEmpty)
+  }
+
+  test("extractFeatures: video MP4 payloads parse container metadata for real") {
+    implicit val sp = spark
+    import graft.operators.Multimodal.Mp4Codec
+    val media = Array.tabulate[Byte](100)(_.toByte)
+    val mp4 = Mp4Codec.encodeMp4(media, 600L, 3000L, 320, 240, 1)
+    val ds = Seq(
+      MediaAsset(1L, "video", mp4, 0, 0, 0L), // real container parse
+      MediaAsset(2L, "video", "mpeg-ish garbage".getBytes, 0, 0, 0L),
+      MediaAsset(3L, "image", mp4, 0, 0, 0L) // media-type gated: stub
+    ).toDS()
+    val out = Multimodal.extractFeatures(ds).collect().sortBy(_.assetId)
+    assert(out(0).decoded && out(0).tracks === 1)
+    assert(out(0).imgWidth === 320 && out(0).imgHeight === 240)
+    assert(out(0).mediaMs === 5000L) // 3000 units / 600
+    assert(out(0).brightness === StubCodec.brightness(media)) // mdat bytes, not container
+    assert(!out(1).decoded && out(1).tracks === 0)
+    assert(!out(2).decoded) // images never go through the MP4 parser
+  }
+
   test("fixture audio assets decode for real with doc_id-derived parameters") {
     implicit val sp = spark
     val feats = Multimodal.extractFeatures(
