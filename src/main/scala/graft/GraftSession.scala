@@ -24,6 +24,12 @@ object GraftSession {
       // Spark's TimestampType is µs, so read nanos as Long and convert in
       // Tables.events (nanosToTimestamp) — truncation, matching DuckDB.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fixture timestamps are NAIVE micros (isAdjustedToUTC=false), which
+      // Spark 4 would infer as TIMESTAMP_NTZ; read them as TimestampType
+      // instead (session TZ is UTC, so the instant is identical and DuckDB
+      // agrees). Done via reader inference — NOT a post-scan cast — so
+      // date-range filters still push down to the parquet scan.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // keep managed-table data (bucketed tables etc.) out of the repo cwd
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
 

@@ -12,8 +12,16 @@ import org.apache.spark.sql.types.LongType
   * here — at 100 TB the tables don't fit, and caching defeats pushdown.
   */
 object Tables {
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Guarded fallback mirroring GraftSession.tuned for caller-provided
+    // vanilla sessions: fixture timestamps are naive micros and must read
+    // as TimestampType (not TIMESTAMP_NTZ) — see GraftSession for why
+    // this is a reader setting, not a cast.
+    if (!spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled").contains("false")) {
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    }
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "nation")
