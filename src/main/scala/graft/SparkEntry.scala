@@ -1408,6 +1408,32 @@ object SparkEntry {
         UrlOps.stripTracking(url).as("clean_url"))
         .orderBy("doc_id")
     }),
+    // PSL registered domain: the publicsuffix.org longest-match
+    // algorithm as a broadcast suffix-rule join (plain + wildcard +
+    // exception rules) over ccTLD-shaped hosts. The last-two-labels
+    // heuristic rides along to pin exactly where it is wrong
+    // (`a.b.x.co.uk` → `x.co.uk` not `co.uk`; wildcard and exception
+    // registries; single-label hosts have NO registered domain).
+    "q_registered_domain_psl" -> ((s, dir) => {
+      import graft.functions.{PublicSuffix, UrlOps}
+      val m = col("doc_id") % 8
+      val host = concat(
+        when(m === 0, concat(col("source"), lit(".co.uk")))
+          .when(m === 1, concat(lit("www."), col("source"), lit(".com.au")))
+          .when(m === 2, concat(lit("A.B."), col("source"), lit(".co.uk")))
+          .when(m === 3, concat(col("source"), lit(".example.com")))
+          .when(m === 4, concat(lit("x."), col("source"), lit(".kawasaki.jp")))
+          .when(m === 5, lit("city.kawasaki.jp"))
+          .when(m === 6, concat(col("source"), lit(".github.io")))
+          .otherwise(lit("localhost")),
+        when(col("doc_id") % 11 === 0, lit(":8080")).otherwise(lit("")))
+      val url = concat(lit("https://"), host, lit("/p/"), col("doc_id").cast("string"))
+      val base = Tables.documents(s, dir).select(col("doc_id"), url.as("url"))
+      PublicSuffix.withRegisteredDomain(s, base, col("url"))
+        .select(col("doc_id"), col("host"), col("registered_domain"),
+          UrlOps.registeredDomain(col("url")).as("heuristic_domain"))
+        .orderBy("doc_id")
+    }),
     // HTML boilerplate strip over a deterministically HTML-wrapped
     // corpus (script/style bodies dropped, tags to spaces, entities
     // unescaped amp-last, whitespace collapsed) — the crawl-extract
@@ -2592,6 +2618,29 @@ object SparkEntry {
                '\?(?:utm_|gclid|fbclid)[^&#]*&', '?', 'g'),
                '\?(?:utm_|gclid|fbclid)[^&#]*(#|$)', '\1', 'g') AS clean_url
          FROM q ORDER BY doc_id""",
+    // the CASE chain is GENERATED from the same PSL snapshot the Spark
+    // broadcast join uses (PublicSuffix.oracleCaseSql) — rule-list
+    // drift between engine and oracle is impossible by construction
+    "q_registered_domain_psl" ->
+      s"""WITH u AS (SELECT doc_id,
+             (CASE WHEN doc_id % 8 = 0 THEN source || '.co.uk'
+                   WHEN doc_id % 8 = 1 THEN 'www.' || source || '.com.au'
+                   WHEN doc_id % 8 = 2 THEN 'A.B.' || source || '.co.uk'
+                   WHEN doc_id % 8 = 3 THEN source || '.example.com'
+                   WHEN doc_id % 8 = 4 THEN 'x.' || source || '.kawasaki.jp'
+                   WHEN doc_id % 8 = 5 THEN 'city.kawasaki.jp'
+                   WHEN doc_id % 8 = 6 THEN source || '.github.io'
+                   ELSE 'localhost' END) ||
+             (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END) AS rawhost
+           FROM documents),
+         h AS (SELECT doc_id,
+             regexp_replace(rawhost, ':[0-9]+$$', '') AS hnp FROM u)
+         SELECT doc_id, lower(hnp) AS host,
+           ${graft.functions.PublicSuffix.oracleCaseSql("hnp")} AS registered_domain,
+           CASE WHEN regexp_matches(hnp, '[^.]+\\.[^.]+$$')
+                THEN regexp_extract(hnp, '([^.]+\\.[^.]+)$$', 1)
+                ELSE hnp END AS heuristic_domain
+         FROM h ORDER BY doc_id""",
     // identical regex/replace chain (RE2-safe: inline (?is), no
     // backreferences); DuckDB regexp_replace needs the explicit 'g'
     // flag where Spark's is global by default

@@ -18,13 +18,14 @@ import org.apache.spark.sql.functions._
   * Every function is a scan-local projection inside whole-stage
   * codegen — zero shuffle at any scale.
   *
-  * Non-goals (documented, not hidden): no public-suffix list —
-  * `registeredDomain` is the last-two-labels heuristic, which is wrong
-  * for ccTLD registries like `.co.uk` (a PSL lookup is a broadcast
-  * join against a suffix table, the natural extension); no IDN/punycode
-  * handling; fragment-less URLs assumed for the final tracking-param
-  * form (RE2 has no lookahead, so the `#`-preserving branch is a
-  * capture of the terminator).
+  * `registeredDomain` here is the cheap last-two-labels heuristic —
+  * scan-local, zero shuffle, but wrong for ccTLD registries like
+  * `.co.uk`. The correct path is [[PublicSuffix.withRegisteredDomain]]:
+  * the publicsuffix.org longest-match algorithm as a broadcast
+  * suffix-rule join. Remaining non-goals: no IDN/punycode handling;
+  * fragment-less URLs assumed for the final tracking-param form (RE2
+  * has no lookahead, so the `#`-preserving branch is a capture of the
+  * terminator).
   */
 object UrlOps {
 
