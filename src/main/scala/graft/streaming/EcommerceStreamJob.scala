@@ -89,9 +89,11 @@ object EcommerceStreamJob {
   /** Connector-free source for local/offline runs: a directory of JSON
     * lines, one transaction per line — same `value: string` contract as
     * the Kafka source, so every downstream pipeline is source-agnostic. */
-  def fileSource(spark: SparkSession, dir: String): DataFrame =
+  def fileSource(spark: SparkSession, dir: String,
+      options: Map[String, String] = Map.empty): DataFrame =
     spark.readStream
       .format("text")
+      .options(options) // e.g. maxFilesPerTrigger to bound micro-batch size
       .load(dir)
       .select(col("value"))
 

@@ -1,0 +1,225 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EcommerceStreamJob
+import graft.streaming.EcommerceStreamJob.JobConfig
+
+/** Streaming THROUGHPUT evidence — the reference is a streaming job
+  * (`DataStreamJob.java:84-170`) but every other performance number in
+  * this repo is batch. This spec drives the WHOLE topology (`startAll`:
+  * DDL once + four concurrent streaming queries through the real
+  * [[graft.sinks.JdbcUpsert]] writer against the recording fake driver)
+  * at ~1M events split over many micro-batches, then
+  *
+  *   1. asserts the sink end-state is EXACTLY the batch-aggregate
+  *      semantics of `q_sales_per_category/_day/_month` on the same
+  *      events (equivalence, not just plausibility), and
+  *   2. prints one `STREAMBENCH {...}` JSON line — events/sec over the
+  *      topology, per-micro-batch latency, and state-store rows — which
+  *      BASELINE.md records as the streaming-throughput table.
+  *
+  * Scale note: the event count exercises the part that grows (rows per
+  * micro-batch, state updates, upsert batches); key cardinality stays
+  * reference-like (6 categories / 90 days / 3 months), so update-mode
+  * emission stays tiny per batch while the raw pipeline carries the
+  * full volume — the same asymmetry a production deployment has.
+  *
+  * Volume is overridable for quick local iteration:
+  * `-Dgraft.streamBench.events=100000`.
+  */
+class StreamThroughputSpec extends SparkSpec {
+
+  private val Events: Int =
+    sys.props.get("graft.streamBench.events").map(_.toInt).getOrElse(1000000)
+  private val FilesN = 40 // micro-batches = FilesN / maxFilesPerTrigger
+
+  private val categories =
+    Vector("electronic", "fashion", "grocery", "home", "beauty", "toy")
+  private val payments = Vector("credit_card", "debit_card", "online_transfer")
+
+  private val WarmupN = 1000
+
+  /** Deterministic transaction JSON, generator format (`main.py:24`:
+    * naive-UTC ISO timestamp, `%z` empty). Day i%90 spreads events over
+    * 2024-09-01..2024-11-29 → 3 month keys, 90 day keys. */
+  private def writeEvents(dir: Path, fromId: Int, count: Int, files: Int,
+      prefix: String): Unit = {
+    val perFile = (count + files - 1) / files
+    var id = fromId
+    val end = fromId + count
+    (0 until files).foreach { f =>
+      val w = Files.newBufferedWriter(dir.resolve(prefix + f"$f%03d" + ".json"))
+      try {
+        val sb = new java.lang.StringBuilder(320)
+        var i = 0
+        while (i < perFile && id < end) {
+          val day = id % 90
+          val month = 9 + day / 30
+          val dom = day % 30 + 1
+          val price = (id % 9900 + 100) / 100.0 // 1.00 .. 99.99
+          val qty = id % 10 + 1
+          sb.setLength(0)
+          sb.append("{\"transactionId\":\"t").append(id)
+            .append("\",\"productId\":\"p").append(id % 6)
+            .append("\",\"productName\":\"item").append(id % 6)
+            .append("\",\"productCategory\":\"").append(categories(id % 6))
+            .append("\",\"productPrice\":").append(price)
+            .append(",\"productQuantity\":").append(qty)
+            .append(",\"productBrand\":\"brand").append(id % 4)
+            .append("\",\"totalAmount\":").append(price * qty)
+            .append(",\"currency\":\"").append(if (id % 2 == 0) "USD" else "GBP")
+            .append("\",\"customerId\":\"c").append(id % 1000)
+            .append("\",\"transactionDate\":\"2024-")
+            .append(f"$month%02d-$dom%02d")
+            .append(f"T${id % 24}%02d:${id % 60}%02d:${(id * 7) % 60}%02d.000000")
+            .append("\",\"paymentMethod\":\"").append(payments(id % 3))
+            .append("\"}\n")
+          w.write(sb.toString)
+          id += 1; i += 1
+        }
+      } finally w.close()
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+
+  test(s"1M-event topology: throughput recorded, sink end-state == batch aggregates") {
+    val dir = Files.createTempDirectory("graft-streambench-src")
+    val ckpt = Files.createTempDirectory("graft-streambench-ckpt")
+    try {
+      // warmup slice first: the topology's first stateful micro-batch
+      // pays codegen compilation + state-store/provider setup (measured
+      // ~1min across 3 stateful queries at 32 cores) — a long-running
+      // streaming job pays it once at deploy, so it is measured apart
+      // from steady-state throughput
+      writeEvents(dir, fromId = Events, count = WarmupN, files = 1, prefix = "warm")
+      graft.sinks.FakeDb.register()
+      val db = graft.sinks.FakeDb.fresh("streambench")
+      val cfg = JobConfig(checkpointRoot = ckpt.toString, triggerMs = 50L,
+        db = graft.sinks.FakeDb.cfg("streambench"))
+      // 4 files/trigger -> ~10 micro-batches per pipeline: the latency
+      // sample is per-batch behavior, not one giant catch-up batch.
+      // maxPartitionBytes sized so each micro-batch's ~4 small files
+      // split across the host's cores instead of coalescing into ONE
+      // scan partition (default 128 MB >> batch bytes -> the whole
+      // parse+upsert would run single-threaded) — the same knob a real
+      // deployment sizes per SURVEY scale notes; Kafka sources get this
+      // parallelism from topic partitions instead.
+      val prevMpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", 1024 * 1024)
+      // State-store partition count is per-batch FIXED COST (tasks +
+      // checkpoint delta files each trigger, for every stateful query):
+      // size it to key cardinality (6/90/3 keys here), not host width.
+      // A batch-analytics session wants wide shuffles; a streaming job
+      // with small keyed state wants narrow ones.
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val source = EcommerceStreamJob.fileSource(spark, dir.toString,
+        Map("maxFilesPerTrigger" -> "4"))
+
+      val tStart = System.nanoTime()
+      val queries = EcommerceStreamJob.startAll(spark, cfg, Some(source))
+      val (warmupS, wallS, progress) =
+        try {
+          queries.foreach(_.processAllAvailable()) // consume the warmup slice
+          val warmS = (System.nanoTime() - tStart) / 1e9
+          // land the measured volume ATOMICALLY (stage + rename): the
+          // running queries poll every 50 ms and would otherwise read
+          // half-written files
+          val staging = Files.createTempDirectory("graft-streambench-staging")
+          writeEvents(staging, fromId = 0, count = Events, files = FilesN, prefix = "events")
+          val t0 = System.nanoTime()
+          import scala.jdk.CollectionConverters._
+          Files.list(staging).iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+            .foreach(p => Files.move(p, dir.resolve(p.getFileName)))
+          Files.delete(staging)
+          queries.foreach(_.processAllAvailable())
+          val w = (System.nanoTime() - t0) / 1e9
+          (warmS, w, queries.map(q => q.name -> q.recentProgress.toVector).toMap)
+        } finally {
+          queries.foreach(_.stop())
+          spark.conf.set("spark.sql.files.maxPartitionBytes", prevMpb)
+          spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        }
+
+      if (sys.props.contains("graft.streamBench.debug"))
+        progress.foreach { case (n, ps) =>
+          ps.filter(_.numInputRows > 0).foreach(p =>
+            println(s"DBG $n batch=${p.batchId} rows=${p.numInputRows} ${p.durationMs}"))
+        }
+      // ---- metrics (main batches only — the warmup slice is ≤ WarmupN
+      // rows, every measured batch is Events/10 ≈ far larger) ----
+      val perQuery = progress.map { case (name, ps) =>
+        val batches = ps.filter(_.numInputRows > WarmupN)
+        def d(key: String): Vector[Long] =
+          batches.map(p => Option(p.durationMs.get(key)).map(_.toLong).getOrElse(0L))
+        val durs = d("triggerExecution")
+        val exec = d("addBatch") // plan+execute portion of the trigger
+        val stateRows = batches.lastOption
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+        name -> ((batches.size, if (durs.isEmpty) 0L else durs.sum / durs.size,
+          if (durs.isEmpty) 0L else durs.max,
+          if (exec.isEmpty) 0L else exec.sum / exec.size, stateRows))
+      }
+      val summary = perQuery.map { case (n, (b, avg, max, ex, st)) =>
+        s""""$n":{"batches":$b,"batch_ms_avg":$avg,"batch_ms_max":$max,""" +
+          s""""exec_ms_avg":$ex,"state_rows":$st}"""
+      }.mkString(",")
+      // Topology throughput: all four pipelines each consumed every event.
+      println(f"""STREAMBENCH {"events":$Events,"pipelines":4,"wall_s":$wallS%.1f,""" +
+        f""""warmup_s":$warmupS%.1f,""" +
+        f""""events_per_sec":${(Events / wallS).toLong},""" +
+        f""""record_reads_per_sec":${(4L * Events / wallS).toLong},$summary}""")
+
+      // ---- equivalence with the batch aggregates on the same events ----
+      val batchTx = EcommerceStreamJob.parse(
+        spark.read.text(dir.toString).select(col("value")))
+      def toMapBy[K](df: DataFrame, key: String, value: String): Map[K, Double] =
+        df.collect().map(r => r.getAs[K](key) -> r.getAs[Double](value)).toMap
+      val expCat = toMapBy[String](graft.operators.Ecommerce
+        .salesPerCategory(batchTx, "productCategory", "totalAmount"),
+        "category", "total_sales")
+      val expDay = toMapBy[java.sql.Date](graft.operators.Ecommerce
+        .salesPerDay(batchTx, "transactionDate", "totalAmount"),
+        "transaction_date", "total_sales")
+      val expMonth = toMapBy[Int](graft.operators.Ecommerce
+        .salesPerMonthOfYear(batchTx, "transactionDate", "totalAmount"),
+        "month", "total_sales")
+
+      // double sums accumulate in different orders (incremental state
+      // merge vs batch partial agg) — compare at 1e-9 relative
+      def assertTotals[K](got: Map[K, Double], exp: Map[K, Double], what: String): Unit = {
+        assert(got.keySet === exp.keySet, s"$what keys")
+        got.foreach { case (k, v) =>
+          assert(math.abs(v - exp(k)) <= 1e-9 * math.max(1.0, math.abs(exp(k))),
+            s"$what[$k]: streaming $v vs batch ${exp(k)}")
+        }
+      }
+      assertTotals(db.rowsOf("sales_per_category")
+        .map(r => r("category").asInstanceOf[String] ->
+          r("total_sales").asInstanceOf[Double]).toMap, expCat, "category")
+      assertTotals(db.rowsOf("sales_per_day")
+        .map(r => r("transaction_date").asInstanceOf[java.sql.Date] ->
+          r("total_sales").asInstanceOf[Double]).toMap, expDay, "day")
+      assertTotals(db.rowsOf("sales_per_month")
+        .map(r => r("month").asInstanceOf[Int] ->
+          r("total_sales").asInstanceOf[Double]).toMap, expMonth, "month")
+      // W5 raw copy: every distinct transaction id landed exactly once
+      // (measured events + the warmup slice)
+      assert(db.rowsOf("transactions").size === Events + WarmupN)
+      // all four reference DDLs ran exactly once, at startup
+      assert(db.eventLog.count(_.startsWith("ddl:")) === 4)
+    } finally {
+      deleteRecursively(dir)
+      deleteRecursively(ckpt)
+    }
+  }
+}
