@@ -1591,7 +1591,8 @@ object SparkEntry {
           col("byteLen").as("byte_len"), col("brightness"),
           col("sampleRate").as("sample_rate"), col("channels"),
           col("imgWidth").as("width"), col("imgHeight").as("height"),
-          col("tracks"), col("mediaMs").as("duration_ms"), col("decoded"))
+          col("tracks"), col("mediaMs").as("duration_ms"), col("decoded"),
+          col("frames"))
         .orderBy("asset_id")
     })
   )
@@ -3371,10 +3372,15 @@ object SparkEntry {
                FROM b)
          SELECT doc_id AS asset_id, mt AS media_type,
                 CAST(CASE WHEN mt = 'audio' THEN n + 44
-                          WHEN mt = 'video' THEN n + 140 + 100 * (1 + (doc_id // 3) % 3)
+                          WHEN mt = 'video' THEN 140 + 100 * (1 + (doc_id // 3) % 3)
+                                                 + (2 + doc_id % 3) * 822
                           ELSE n END AS INTEGER) AS byte_len,
                 CASE WHEN mt = 'audio'
                      THEN CAST(list_sum(list_transform(bytes, x -> abs(x - 128))) AS DOUBLE) / n / 128.0
+                     WHEN mt = 'video'
+                     THEN CAST(list_sum(list_transform(range(0, 2 + doc_id % 3),
+                            k -> (doc_id * 31 + k * 17) % 256)) AS DOUBLE)
+                          / (2 + doc_id % 3) / 255.0
                      ELSE CAST(list_sum(bytes) AS DOUBLE) / n / 255.0 END AS brightness,
                 CAST(CASE WHEN mt = 'audio' THEN 16000 ELSE 0 END AS INTEGER) AS sample_rate,
                 CAST(CASE WHEN mt = 'audio' THEN 1 + doc_id % 2 ELSE 0 END AS INTEGER) AS channels,
@@ -3385,7 +3391,9 @@ object SparkEntry {
                           THEN (n * 1000) // (16000 * (1 + doc_id % 2))
                           WHEN mt = 'video' THEN n_chars * 10
                           ELSE 0 END AS BIGINT) AS duration_ms,
-                (mt IN ('audio', 'video')) AS decoded
+                (mt IN ('audio', 'video')) AS decoded,
+                CAST(CASE WHEN mt = 'video' THEN 2 + doc_id % 3 ELSE 0 END
+                     AS INTEGER) AS frames
          FROM v ORDER BY asset_id"""
   )
 

@@ -56,7 +56,8 @@ object Multimodal {
       sampleRate: Int, // decoded audio: Hz; 0 otherwise
       channels: Int, // decoded audio: channel count; 0 otherwise
       tracks: Int, // decoded video: container track count; 0 otherwise
-      mediaMs: Long) // decoded audio/video: data duration; 0 otherwise
+      mediaMs: Long, // decoded audio/video: data duration; 0 otherwise
+      frames: Int) // video: count of PIXEL-decoded frames; 0 = byte-stub
 
   implicit val assetEnc: Encoder[MediaAsset] = Encoders.product[MediaAsset]
   implicit val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
@@ -160,6 +161,40 @@ object Multimodal {
           else None
         } finally iis.close()
       } catch { case _: Exception => None }
+    }
+
+    /** Deterministic 24-bit BMP encoder: 54-byte header + bottom-up BGR
+      * rows padded to 4 bytes. Hand-rolled (not imageio's writer) so the
+      * EXACT byte length — 54 + h·(3w rounded up to a multiple of 4) —
+      * is a restatable constant for the planted-video-frame oracle. */
+    def encodeBmp24(img: BufferedImage): Array[Byte] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val rowBytes = (3 * w + 3) & ~3
+      val size = 54 + rowBytes * h
+      val out = new Array[Byte](size)
+      def w16(off: Int, v: Int): Unit = {
+        out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def w32(off: Int, v: Int): Unit = { w16(off, v & 0xffff); w16(off + 2, v >>> 16) }
+      out(0) = 'B'; out(1) = 'M'
+      w32(2, size); w32(10, 54) // file size, pixel-data offset
+      w32(14, 40); w32(18, w); w32(22, h) // BITMAPINFOHEADER, dims
+      w16(26, 1); w16(28, 24) // planes, bpp
+      var y = 0
+      while (y < h) {
+        val rowOff = 54 + (h - 1 - y) * rowBytes // bottom-up
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          out(rowOff + 3 * x) = (p & 0xff).toByte // B
+          out(rowOff + 3 * x + 1) = ((p >> 8) & 0xff).toByte // G
+          out(rowOff + 3 * x + 2) = ((p >> 16) & 0xff).toByte // R
+          x += 1
+        }
+        y += 1
+      }
+      out
     }
 
     /** Re-encode in `format` when a writer exists AND accepts the image,
@@ -383,6 +418,46 @@ object Multimodal {
         width, height, mdatOff, mdatLen))
     }
 
+    /** Split a media-data payload of CONCATENATED still-image frames
+      * into individual frame byte ranges — the container-less walk an
+      * MJPEG-style stream needs when no `stbl` sample table is present
+      * (this writer emits none):
+      *  - BMP frames: `BM` magic + the little-endian file size at
+      *    offset 2 gives an exact walk;
+      *  - JPEG frames (true MJPEG): scan SOI (FFD8) → EOI (FFD9)
+      *    marker pairs.
+      * Returns Nil when the payload starts with neither magic. */
+    def splitFrames(mdat: Array[Byte]): Seq[Array[Byte]] = {
+      val frames = Seq.newBuilder[Array[Byte]]
+      if (mdat.length >= 6 && mdat(0) == 'B' && mdat(1) == 'M') {
+        var off = 0
+        while (off + 6 <= mdat.length &&
+            mdat(off) == 'B' && mdat(off + 1) == 'M') {
+          val size = ((mdat(off + 2) & 0xff)) | ((mdat(off + 3) & 0xff) << 8) |
+            ((mdat(off + 4) & 0xff) << 16) | ((mdat(off + 5) & 0xff) << 24)
+          if (size < 54 || off + size > mdat.length) return frames.result()
+          frames += java.util.Arrays.copyOfRange(mdat, off, off + size)
+          off += size
+        }
+      } else if (mdat.length >= 4 &&
+          (mdat(0) & 0xff) == 0xff && (mdat(1) & 0xff) == 0xd8) {
+        var start = 0
+        var i = 2
+        while (i + 1 < mdat.length) {
+          if ((mdat(i) & 0xff) == 0xff && (mdat(i + 1) & 0xff) == 0xd9) {
+            frames += java.util.Arrays.copyOfRange(mdat, start, i + 2)
+            start = i + 2
+            i += 2
+            // skip anything between EOI and the next SOI
+            while (i + 1 < mdat.length &&
+                !((mdat(i) & 0xff) == 0xff && (mdat(i + 1) & 0xff) == 0xd8)) i += 1
+            start = i
+          } else i += 1
+        }
+      }
+      frames.result()
+    }
+
     /** Minimal v0 writer: ftyp + moov(mvhd + tracks × trak(tkhd)) +
       * mdat(payload). Box sizes are fixed (ftyp 16, mvhd 108, tkhd 92),
       * so total = 140 + 100·tracks + mdat.length — the constant the
@@ -504,7 +579,8 @@ object Multimodal {
               imgWidth = bi.getWidth,
               imgHeight = bi.getHeight,
               decoded = true,
-              sampleRate = 0, channels = 0, tracks = 0, mediaMs = 0L)
+              sampleRate = 0, channels = 0, tracks = 0, mediaMs = 0L,
+              frames = 0)
           case (_, Some(w), _) =>
             MediaFeatures(
               assetId = a.assetId,
@@ -519,14 +595,47 @@ object Multimodal {
               sampleRate = w.sampleRate,
               channels = w.channels,
               tracks = 0,
-              mediaMs = w.durationMs)
+              mediaMs = w.durationMs,
+              frames = 0)
           case (_, _, Some(v)) =>
-            // container metadata is REAL (duration, dims, track count);
-            // brightness/histogram are byte-level over the located mdat
-            // payload — frame decode needs codecs this container lacks
+            // container metadata is REAL (duration, dims, track count).
+            // The located mdat is walked for still-image frames (BMP or
+            // MJPEG-style JPEG) and every decodable frame goes through
+            // the REAL ImageCodec — brightness/histogram are then true
+            // pixel statistics pooled across frames. Payloads whose
+            // mdat carries a codec this JVM lacks (H.264 etc.) fall to
+            // the byte-level stub over the mdat, flagged `frames = 0`.
             val media = java.util.Arrays.copyOfRange(
               a.payload, v.mdatOffset, v.mdatOffset + v.mdatLen)
-            MediaFeatures(
+            val decodedFrames =
+              Mp4Codec.splitFrames(media).flatMap(ImageCodec.decode(_))
+            if (decodedFrames.nonEmpty) {
+              var lumSum = 0L
+              var nPix = 0L
+              val hist = new Array[Long](8)
+              decodedFrames.foreach { bi =>
+                val (s, h) = ImageCodec.luminanceStats(bi)
+                lumSum += s
+                nPix += bi.getWidth.toLong * bi.getHeight
+                var i = 0
+                while (i < 8) { hist(i) += h(i); i += 1 }
+              }
+              MediaFeatures(
+                assetId = a.assetId,
+                mediaType = a.mediaType,
+                byteLen = a.payload.length,
+                checksum = StubCodec.fnv64(a.payload),
+                brightness = lumSum.toDouble / nPix / 255.0,
+                features = hist.map(c => (c.toDouble / nPix).toFloat),
+                imgWidth = v.width, // container display dims (tkhd)
+                imgHeight = v.height,
+                decoded = true,
+                sampleRate = 0,
+                channels = 0,
+                tracks = v.nTracks,
+                mediaMs = v.durationMs,
+                frames = decodedFrames.size)
+            } else MediaFeatures(
               assetId = a.assetId,
               mediaType = a.mediaType,
               byteLen = a.payload.length,
@@ -539,7 +648,8 @@ object Multimodal {
               sampleRate = 0,
               channels = 0,
               tracks = v.nTracks,
-              mediaMs = v.durationMs)
+              mediaMs = v.durationMs,
+              frames = 0)
           case _ =>
             MediaFeatures(
               assetId = a.assetId,
@@ -551,7 +661,8 @@ object Multimodal {
               imgWidth = 0,
               imgHeight = 0,
               decoded = false,
-              sampleRate = 0, channels = 0, tracks = 0, mediaMs = 0L)
+              sampleRate = 0, channels = 0, tracks = 0, mediaMs = 0L,
+              frames = 0)
         }
       }
     }(featEnc)
@@ -673,8 +784,10 @@ object Multimodal {
     * 16 kHz, channels 1 + doc_id % 2) so the real WAV decode path runs
     * — and is DuckDB-adjudicable, since the data section is exactly the
     * text bytes and the header parameters are pure functions of doc_id.
-    * Lets every stage above run against driver data with exact
-    * expectations. */
+    * VIDEO assets carry an MP4 whose mdat holds planted BMP stills (see
+    * the video case below) so the real per-frame PIXEL decode runs with
+    * exact oracle expectations. Lets every stage above run against
+    * driver data. */
   def assetsFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaAsset] = {
     import spark.implicits._
     docs.select(
@@ -694,8 +807,26 @@ object Multimodal {
           case "video" =>
             // timescale 600, duration units = durationMs·3/5 (exact:
             // durationMs = n_chars·10), dims/tracks pure functions of
-            // the doc columns — all DuckDB-restatable
-            a.copy(payload = Mp4Codec.encodeMp4(a.payload,
+            // the doc columns — all DuckDB-restatable. mdat = K
+            // CONCATENATED 16×16 BMP frames (K = 2 + assetId % 3),
+            // frame k a constant gray (assetId·31 + k·17) % 256 —
+            // lossless stills, so the PIXEL values the real frame
+            // decode recovers are exact functions of doc_id and the
+            // oracle restates per-frame luminance in SQL (a JPEG
+            // plant would decode too, but lossily — not oracle-able).
+            // Each BMP is 54 + 16·48 = 822 bytes: byte_len is
+            // 140 + 100·tracks + K·822.
+            val k = (2 + a.assetId % 3).toInt
+            val mdat = new ByteArrayOutputStream(k * 822)
+            (0 until k).foreach { f =>
+              val g = ((a.assetId * 31 + f * 17) % 256).toInt
+              val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+              val rgb = (g << 16) | (g << 8) | g
+              (0 until 16).foreach(y => (0 until 16).foreach(x =>
+                img.setRGB(x, y, rgb)))
+              mdat.write(ImageCodec.encodeBmp24(img))
+            }
+            a.copy(payload = Mp4Codec.encodeMp4(mdat.toByteArray,
               timescale = 600L, duration = a.durationMs * 3 / 5,
               width = a.width, height = a.height,
               tracks = (1 + (a.assetId / 3) % 3).toInt))

@@ -374,4 +374,75 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(sigIds === Set(1L, 2L, 3L))
   }
+
+  // ===== real video FRAME decode (round-6): BMP stills + MJPEG =====
+
+  test("encodeBmp24 round-trips through imageio at the documented byte length") {
+    val img = makeImage(7, 5)((x, y) => (x * 30, y * 40, (x + y) * 10))
+    val bmp = ImageCodec.encodeBmp24(img)
+    assert(bmp.length === 54 + 5 * ((3 * 7 + 3) & ~3)) // padded rows
+    val back = ImageCodec.decode(bmp).get
+    assert(back.getWidth === 7 && back.getHeight === 5)
+    for (y <- 0 until 5; x <- 0 until 7)
+      assert((back.getRGB(x, y) & 0xffffff) === (img.getRGB(x, y) & 0xffffff))
+  }
+
+  test("splitFrames walks concatenated BMP stills exactly") {
+    import graft.operators.Multimodal.Mp4Codec
+    val frames = (0 until 3).map(i =>
+      ImageCodec.encodeBmp24(makeImage(4, 4)((_, _) => (i * 50, i * 50, i * 50))))
+    val mdat = frames.reduce(_ ++ _)
+    val split = Mp4Codec.splitFrames(mdat)
+    assert(split.map(_.toSeq) === frames.map(_.toSeq))
+    // trailing garbage after a valid walk stops cleanly
+    assert(Mp4Codec.splitFrames(mdat ++ Array[Byte]('B', 'M', 0, 0)).size === 3)
+    assert(Mp4Codec.splitFrames("not media".getBytes).isEmpty)
+  }
+
+  test("splitFrames walks an MJPEG stream (SOI..EOI) and frames decode for real") {
+    import graft.operators.Multimodal.Mp4Codec
+    val jpegs = (0 until 3).map(i =>
+      ImageCodec.encodeAs(makeImage(16, 16)((_, _) => (i * 60 + 40, i * 60 + 40, i * 60 + 40)), "jpeg"))
+    assert(jpegs.forall(j => (j(0) & 0xff) == 0xff && (j(1) & 0xff) == 0xd8))
+    val split = Mp4Codec.splitFrames(jpegs.reduce(_ ++ _))
+    assert(split.size === 3)
+    val decoded = split.flatMap(ImageCodec.decode(_))
+    assert(decoded.size === 3)
+    // JPEG is lossy: constant-gray frames decode NEAR their planted level
+    decoded.zipWithIndex.foreach { case (bi, i) =>
+      val b = ImageCodec.brightness(bi)
+      assert(math.abs(b - (i * 60 + 40) / 255.0) < 0.02, s"frame $i: $b")
+    }
+  }
+
+  test("extractFeatures: MP4 with planted stills decodes PIXELS, not bytes") {
+    implicit val sp = spark
+    import graft.operators.Multimodal.Mp4Codec
+    // two 16x16 frames, gray 40 and 200 -> pooled brightness (40+200)/2/255
+    val mdat = ImageCodec.encodeBmp24(makeImage(16, 16)((_, _) => (40, 40, 40))) ++
+      ImageCodec.encodeBmp24(makeImage(16, 16)((_, _) => (200, 200, 200)))
+    val mp4 = Mp4Codec.encodeMp4(mdat, 600L, 1200L, 320, 240, 2)
+    val out = Multimodal.extractFeatures(
+      Seq(MediaAsset(1L, "video", mp4, 0, 0, 0L)).toDS()).collect().head
+    assert(out.decoded && out.frames === 2)
+    assert(out.brightness === (40.0 + 200.0) / 2 / 255.0)
+    assert(out.tracks === 2 && out.imgWidth === 320 && out.imgHeight === 240)
+    // histogram: gray 40 -> bin 1, gray 200 -> bin 6, half the pixels each
+    assert(out.features(1) === 0.5f && out.features(6) === 0.5f)
+  }
+
+  test("fixture video assets frame-decode with doc_id-derived expectations") {
+    implicit val sp = spark
+    val feats = Multimodal.extractFeatures(
+        Multimodal.assetsFromDocuments(Tables.documents(spark, sf)))
+      .filter(_.mediaType == "video").collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val k = (2 + f.assetId % 3).toInt
+      assert(f.decoded && f.frames === k, s"asset ${f.assetId}")
+      val expected = (0 until k).map(i => (f.assetId * 31 + i * 17) % 256)
+        .sum.toDouble / k / 255.0
+      assert(f.brightness === expected, s"asset ${f.assetId}")
+    }
+  }
 }
