@@ -202,6 +202,52 @@ object ScaleProbe {
         f"funnelW=$tf%.1fs(users=$nf%d) twa=$tw%.1fs($nw%d keys) " +
         f"trend=$tt%.1fs($nt%d groups) qnorm=$tq%.1fs($nq%d rows)")
     }
+
+    // PairGraph derive-once vs per-query derivation as the corpus grows
+    // (round-5 verdict task #6). The registry's claim is a 100 TB
+    // claim: a K×-grown corpus should cost the components FAMILY one
+    // pair-graph derivation (the only corpus-sized pass) plus
+    // edge-list-sized consumers — so `shared4` tracks `derive` with a
+    // small additive consumer term, while `fresh4` pays ≈ 4×derive.
+    // Both modes must stay linear in K (the underlying join shape).
+    for (k <- Seq(1, 2, 4) if on("pairgraph")) {
+      val docs = (0 until k).map { i =>
+        val shifted = alpha.drop(i) + alpha.take(i)
+        base.select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          translate(col("text"), alpha, shifted).as("text"))
+      }.reduce(_ unionAll _)
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      def derive() =
+        Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.6)
+      def consumers(pairs: () => org.apache.spark.sql.DataFrame): Long = {
+        var n = 0L
+        n += Dedup.nearDupComponents(docs, "doc_id", pairs()).count()
+        n += Dedup.nearDupComponentsStar(docs, "doc_id", pairs()).count()
+        n += Dedup.dropNearDups(docs, "doc_id", pairs()).count()
+        n += graft.operators.Scale.leakageSafeSplit(docs, "doc_id", pairs()).count()
+        n
+      }
+      // min over 2 reps: single-host ambient drift swamps single-shot
+      // timings at this scale (the bench methodology note applies here)
+      def best(f: => Long): (Double, Long) =
+        Seq.fill(2)(time(f)).minBy(_._1)
+      val (td, nd) = best(derive().count())
+      val (tShared, _) = best {
+        graft.operators.PairGraph.clear()
+        val shared = graft.operators.PairGraph.of(spark, s"probe:jaccard:k$k") {
+          derive()
+        }
+        consumers(() => shared)
+      }
+      val (tFresh, _) = best(consumers(() => derive()))
+      graft.operators.PairGraph.clear()
+      println(f"PAIRGRAPHPROBE k=$k%d docs=${5000 * k}%d " +
+        f"derive=$td%.1fs($nd%d pairs) shared4=$tShared%.1fs fresh4=$tFresh%.1fs")
+    }
     spark.stop()
   }
 }
