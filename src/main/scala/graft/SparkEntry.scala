@@ -368,6 +368,88 @@ object SparkEntry {
           .as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)),
+    // ----- Q8 shape: one nation's market share within one customer
+    // region for one part type, by order year — the widest TPC-H star
+    // (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders ⋈ customer ⋈
+    // nation ⋈ region). Every dimension side is broadcast; the share is
+    // a conditional aggregate over one revenue expression, so the fact
+    // table is scanned and shuffled exactly once
+    "q8_market_share" -> ((s, dir) => {
+      val nation = Tables.nation(s, dir)
+      val suppNation = broadcast(Tables.supplier(s, dir)
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val asiaCust = broadcast(Tables.customer(s, dir)
+        .join(nation.join(
+            broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey"))
+      val stdParts = broadcast(Tables.part(s, dir)
+        .filter(col("p_type") === "STANDARD").select("p_partkey"))
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.lineitem(s, dir)
+        .join(stdParts, col("l_partkey") === col("p_partkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_7", rev)
+            .otherwise(lit(0.0))) / sum(rev)).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+    // ----- Q22 shape: above-average-balance customers with no RECENT
+    // orders (the fixture gives every customer some order, so the
+    // anti-join is date-windowed), per nation — scalar subquery (global
+    // average over a broadcast 1-row frame) + anti-join + aggregate
+    "q22_dormant_capital" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("__avg"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__avg"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("c_acctbal")).as("total_bal"))
+        .orderBy("nation")
+    }),
+    // ----- Q21 shape: suppliers who were the ONLY late supplier on a
+    // finished multi-supplier order (late = shipped >90 days after the
+    // order date; the fixture has no receipt/commit dates). The classic
+    // EXISTS/NOT-EXISTS pair decorrelates to two orderkey-keyed
+    // aggregates — per-order supplier count and per-order late-supplier
+    // count — so the fact table shuffles on orderkey, never self-joins
+    // row-to-row, and the blame test is `n_late_supp == 1`
+    "q21_lone_late_supplier" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val orderSupp = li.select("l_orderkey", "l_suppkey").distinct()
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"))
+      val lateSupp = li
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey").distinct()
+      val loneLate = lateSupp
+        .withColumn("n_late",
+          count(lit(1)).over(Window.partitionBy("l_orderkey")))
+        .filter(col("n_late") === 1)
+      loneLate
+        .join(orderSupp.filter(col("n_supp") >= 2), Seq("l_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
     // ----- Q15 shape: scalar subquery over an aggregate — supplier(s)
     // whose quarterly revenue equals the global max. The max is a 1-ROW
     // broadcast joined back on equality, not a window over all
@@ -1338,6 +1420,27 @@ object SparkEntry {
       TextAnalysis.oovRate(Tables.documents(s, dir), "doc_id", "text",
           vocabK = 1000)
         .orderBy("doc_id")),
+    // corpus-as-LM unigram cross-entropy — the CCNet/pile-style LM
+    // quality feature; token-keyed score join (NOT broadcast: a 100 TB
+    // vocabulary can exceed broadcast limits; AQE broadcasts when small)
+    "q_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramCrossEntropy(Tables.documents(s, dir),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+    // interpolated bigram LM (KenLM-shaped, CCNet-style quality
+    // score) — model tables are ngram-keyed shuffle joins, never
+    // broadcast-assumed
+    "q_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramCrossEntropy(Tables.documents(s, dir),
+          "doc_id", "text", lambda = 0.7)
+        .orderBy("doc_id")),
+    // DSIR importance weights against the English slice as the target
+    // distribution — hashed-ngram models are ≤4096 rows by
+    // construction, so the score join broadcasts at any corpus size
+    "q_dsir_weights" -> ((s, dir) =>
+      TextAnalysis.dsirLogWeights(Tables.documents(s, dir),
+          "doc_id", "text", col("lang") === "en", buckets = 4096)
+        .orderBy("doc_id")),
     // sentence segmentation: terminal-punctuation split, order kept by
     // sent_idx; a pure per-row posexplode (no shuffle)
     "q_sentences" -> ((s, dir) =>
@@ -1901,6 +2004,48 @@ object SparkEntry {
          JOIN orders o ON o.o_orderkey = l.l_orderkey
          WHERE p.p_type = 'PROMO'
          GROUP BY 1, 2 ORDER BY nation, o_year""",
+    "q8_market_share" ->
+      """SELECT CAST(YEAR(o.o_orderdate) AS INTEGER) AS o_year,
+                SUM(CASE WHEN n1.n_name = 'NATION_7'
+                         THEN l.l_extendedprice * (1.0 - l.l_discount)
+                         ELSE 0.0 END)
+                / SUM(l.l_extendedprice * (1.0 - l.l_discount)) AS mkt_share
+         FROM lineitem l
+         JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+         JOIN region r ON r.r_regionkey = n2.n_regionkey AND r.r_name = 'ASIA'
+         GROUP BY 1 ORDER BY o_year""",
+    "q21_lone_late_supplier" ->
+      """SELECT s.s_name, count(DISTINCT l1.l_orderkey) AS numwait
+         FROM lineitem l1
+         JOIN orders o ON o.o_orderkey = l1.l_orderkey
+           AND o.o_orderstatus = 'F'
+         JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+         WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate >
+                               o3.o_orderdate + INTERVAL 90 DAY)
+         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""",
+    "q22_dormant_capital" ->
+      """SELECT n.n_name AS nation, COUNT(*) AS n_cust,
+                SUM(c.c_acctbal) AS total_bal
+         FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+         WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                              WHERE c_acctbal > 0.0)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY 1 ORDER BY nation""",
     // the textbook two-alias formulation of the two-role nation join
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -3137,6 +3282,82 @@ object SparkEntry {
                 CAST(sum(CASE WHEN v.bg IS NULL THEN p.c ELSE 0 END)
                   AS DOUBLE) / sum(p.c) AS oov_rate
          FROM perdoc p LEFT JOIN vocab v ON p.bg = v.bg
+         GROUP BY 1 ORDER BY doc_id""",
+    "q_bigram_logprob" ->
+      """WITH toks AS (SELECT doc_id,
+                string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0),
+         bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                FROM toks, LATERAL unnest(generate_series(1, len(t) - 1))
+                  AS g(i)
+                WHERE len(t) >= 2),
+         perdoc AS (SELECT doc_id, w1, w2, count(*) AS c
+                    FROM bg GROUP BY 1, 2, 3),
+         bgc AS (SELECT w1, w2, sum(c) AS c_bg FROM perdoc GROUP BY 1, 2),
+         ctx AS (SELECT w1, sum(c_bg) AS c_ctx FROM bgc GROUP BY 1),
+         ugc AS (SELECT w2, count(*) AS c_ug
+                 FROM (SELECT unnest(t) AS w2 FROM toks) GROUP BY 1),
+         tot AS (SELECT sum(c_ug) AS nn FROM ugc)
+         SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_bigrams,
+                sum(p.c * -log2(
+                  0.7::DOUBLE * (b.c_bg / CAST(x.c_ctx AS DOUBLE))
+                  + (1.0::DOUBLE - 0.7::DOUBLE)
+                    * (u.c_ug / CAST(t.nn AS DOUBLE)))) / sum(p.c)
+                  AS bits_per_token
+         FROM perdoc p
+         JOIN bgc b ON b.w1 = p.w1 AND b.w2 = p.w2
+         JOIN ctx x ON x.w1 = p.w1
+         JOIN ugc u ON u.w2 = p.w2
+         CROSS JOIN tot t
+         GROUP BY 1 ORDER BY doc_id""",
+    "q_dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, lang,
+                string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0),
+         feats AS (
+           SELECT doc_id, lang, 'u:' || unnest(t) AS f FROM toks
+           UNION ALL
+           SELECT doc_id, lang, 'b:' || t[i] || ' ' || t[i + 1] AS f
+           FROM toks, LATERAL unnest(generate_series(1, len(t) - 1))
+             AS g(i)
+           WHERE len(t) >= 2),
+         fb AS (SELECT doc_id, lang,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(
+                      substring(sha256(f), 1, 13), ''),
+                      c -> CAST(instr('0123456789abcdef', c) - 1
+                        AS BIGINT))),
+                    (acc, x) -> acc * 16 + x) % 4096 AS bucket
+                FROM feats),
+         perdoc AS (SELECT doc_id, lang, bucket, count(*) AS c
+                    FROM fb GROUP BY 1, 2, 3),
+         tgt AS (SELECT bucket, sum(c) AS c_t FROM perdoc
+                 WHERE lang = 'en' GROUP BY 1),
+         raw AS (SELECT bucket, sum(c) AS c_r FROM perdoc GROUP BY 1),
+         tot AS (SELECT (SELECT sum(c_r) FROM raw) AS cr,
+                        (SELECT coalesce(sum(c_t), 0) FROM tgt) AS ct)
+         SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_feats,
+                sum(p.c * (ln((coalesce(t2.c_t, 0) + 1)
+                             / (tot.ct + 4096.0))
+                         - ln((r.c_r + 1) / (tot.cr + 4096.0))))
+                  AS log_weight
+         FROM perdoc p
+         JOIN raw r ON r.bucket = p.bucket
+         LEFT JOIN tgt t2 ON t2.bucket = p.bucket
+         CROSS JOIN tot
+         GROUP BY 1 ORDER BY doc_id""",
+    "q_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents WHERE length(trim(text)) > 0),
+         perdoc AS (SELECT doc_id, tok, count(*) AS c
+                    FROM toks GROUP BY 1, 2),
+         vocab AS (SELECT tok, sum(c) AS n FROM perdoc GROUP BY 1),
+         tot AS (SELECT sum(n) AS nn FROM vocab)
+         SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_tokens,
+                sum(p.c * -log2(CAST(v.n AS DOUBLE) / t.nn)) / sum(p.c)
+                  AS bits_per_token
+         FROM perdoc p JOIN vocab v ON v.tok = p.tok CROSS JOIN tot t
          GROUP BY 1 ORDER BY doc_id""",
     // 1-based list index → 0-based sent_idx; empties filtered AFTER
     // indexing on both sides, so surviving indices match posexplode's

@@ -714,6 +714,147 @@ object TextAnalysis {
         col("n_oov").cast("double") / col("n_bigrams"))
   }
 
+  /** Per-document unigram cross-entropy under the corpus's OWN unigram
+    * LM: bits_per_token = −(1/|d|) Σ_t log₂(count(t)/N). The CCNet/
+    * pile-style "LM quality" filter with the corpus itself as the
+    * language model — documents full of corpus-rare tokens score high
+    * (gibberish, boilerplate IDs), formulaic ones score low; both tails
+    * are cut in practice.
+    *
+    * Scale shape: one explode over tokens; token counts are a
+    * vocab-sized aggregate; the score join is token-keyed (shuffle on
+    * tokens, NOT broadcast — a 100 TB corpus's vocabulary can exceed
+    * broadcast limits, and AQE will still broadcast when it fits); the
+    * corpus total N rides a broadcast 1-row frame. Per-doc tokens are
+    * aggregated to (doc, token, count) BEFORE the vocab join, so the
+    * join fan-in is distinct tokens per doc, not raw length.
+    * Output: (doc_id, n_tokens, bits_per_token). */
+  def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perDoc = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // the vocab aggregate and the score join both read it
+    val vocab = perDoc.groupBy("tok").agg(sum(col("c")).as("n"))
+    val total = vocab.agg(sum(col("n")).as("__N"))
+    perDoc.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c").cast("double") *
+          -log2(col("n").cast("double") / col("__N"))).as("__bits"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("__bits") / col("n_tokens")).as("bits_per_token"))
+  }
+
+  /** Per-document bits-per-token under an interpolated bigram LM
+    * trained on the corpus itself: for each position i ≥ 2,
+    * p(wᵢ|wᵢ₋₁) = λ·c(wᵢ₋₁wᵢ)/c(wᵢ₋₁·) + (1−λ)·c(wᵢ)/N, score =
+    * −(1/(n−1)) Σ log₂ p. The KenLM-shaped quality filter (CCNet uses a
+    * 5-gram model; the 2-gram keeps the oracle cross-engine) — unigram
+    * interpolation rather than backoff because self-scoring never
+    * leaves the support, so a backoff branch would be dead code.
+    *
+    * Scale shape: bigrams explode once; (doc, bigram) pairs are
+    * aggregated BEFORE the model joins, so join fan-in is distinct
+    * bigrams per doc. All three model tables (bigram counts, context
+    * counts, unigram counts) are ngram-keyed shuffle joins — a 100 TB
+    * corpus's bigram vocabulary dwarfs broadcast limits, and AQE still
+    * broadcasts when small. N rides a broadcast 1-row frame.
+    * Output: (doc_id, n_bigrams, bits_per_token); docs with < 2 tokens
+    * are absent. */
+  def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"need 0 < lambda < 1, got $lambda")
+    // adjacent pairs via wordNgrams(2); tokens are whitespace-split so
+    // the single-space split back into (w1, w2) is lossless
+    val perDocBg = df
+      .select(col(idCol).as("doc_id"),
+        explode(wordNgrams(col(textCol), 2)).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"),
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"), col("c"))
+      .localCheckpoint() // feeds the model tables AND the score join
+    val bgCounts = perDocBg.groupBy("w1", "w2").agg(sum(col("c")).as("c_bg"))
+      .localCheckpoint() // context counts and the score join both read it
+    val ctxCounts = bgCounts.groupBy("w1").agg(sum(col("c_bg")).as("c_ctx"))
+    val ugCounts = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(explode(tokens(col(textCol))).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("c_ug"))
+    val total = ugCounts.agg(sum(col("c_ug")).as("__N"))
+    val p = lit(lambda) * (col("c_bg").cast("double") / col("c_ctx")) +
+      lit(1.0 - lambda) * (col("c_ug").cast("double") / col("__N"))
+    perDocBg
+      .join(bgCounts, Seq("w1", "w2"))
+      .join(ctxCounts, Seq("w1"))
+      .join(ugCounts, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c").cast("double") * -log2(p)).as("__bits"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("__bits") / col("n_bigrams")).as("bits_per_token"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): featurize each
+    * document as hashed uni+bigram counts over `buckets` buckets, fit
+    * two smoothed categorical bag-of-ngrams models — the TARGET rows
+    * (`targetPred`) and the RAW corpus (all rows) — and score every doc
+    * by log p_target(doc)/p_raw(doc) = Σ_b c_b·ln(p̂_t(b)/p̂_r(b)).
+    * Docs that look like the target distribution score high; sampling
+    * ∝ exp(weight) is the paper's selection step (see
+    * [[graft.operators.Scale.weightedGroupSample]]).
+    *
+    * Hash is the repo's portable sha52 (first 13 hex chars of sha256,
+    * exact in a double, reproducible in DuckDB) mod `buckets`, with
+    * `u:`/`b:` prefixes keeping unigram and bigram feature spaces
+    * disjoint. Add-one smoothing keeps both models strictly positive on
+    * every bucket, so the log ratio is total.
+    *
+    * Scale shape: explodes aggregate to (doc, bucket, c) before any
+    * join; both models are ≤ `buckets` rows BY CONSTRUCTION, so the
+    * score join broadcasts a bounded table no matter the corpus size —
+    * the corpus never shuffles. Output: (doc_id, n_feats, log_weight).
+    * Docs with zero tokens are absent. */
+  def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"need 2 <= buckets <= 2^20, got $buckets")
+    val feats = df.select(col(idCol).as("doc_id"), targetPred.as("__tgt"),
+        explode(concat(
+          transform(tokens(col(textCol)), t => concat(lit("u:"), t)),
+          transform(wordNgrams(col(textCol), 2),
+            g => concat(lit("b:"), g)))).as("__f"))
+      .filter(col("__f") =!= "u:") // tokens("") == [""] quirk
+      .select(col("doc_id"), col("__tgt"),
+        (conv(substring(sha2(col("__f"), 256), 1, 13), 16, 10)
+          .cast("long") % buckets).as("bucket"))
+      .groupBy("doc_id", "__tgt", "bucket").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds both models AND the score join
+    def model(in: DataFrame, cName: String): DataFrame =
+      in.groupBy("bucket").agg(sum(col("c")).as(cName))
+    val tgt = model(feats.filter(col("__tgt")), "c_t")
+    val raw = model(feats, "c_r")
+    val totals = raw.agg(sum(col("c_r")).as("__Cr")).crossJoin(
+      tgt.agg(coalesce(sum(col("c_t")), lit(0L)).as("__Ct")))
+    // log ratio of add-one-smoothed bucket probabilities
+    val logRatio =
+      log((coalesce(col("c_t"), lit(0L)) + lit(1L)).cast("double") /
+          (col("__Ct") + lit(buckets.toLong))) -
+      log((col("c_r") + lit(1L)).cast("double") /
+          (col("__Cr") + lit(buckets.toLong)))
+    feats
+      .join(broadcast(raw), Seq("bucket"))
+      .join(broadcast(tgt), Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c").cast("double") * logRatio).as("log_weight"))
+  }
+
   /** Sentence segmentation: split on terminal-punctuation runs followed
     * by whitespace — the preprocessing step sentence-level dedup,
     * sentence-piece training, and alignment pipelines start from. The

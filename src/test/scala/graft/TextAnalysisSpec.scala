@@ -416,6 +416,72 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1).getLong(2) === 1L && out(1).getDouble(3) === 1.0)
   }
 
+  test("unigramCrossEntropy: hand-computed bits under the corpus LM") {
+    // corpus tokens: a×2 (doc 1), b×2 (docs 1,2), c×1 (doc 2) → N=5
+    // p(a)=p(b)=2/5, p(c)=1/5
+    val docs = Seq(
+      (1L, "a a b"),
+      (2L, "b c"),
+      (3L, "   ")          // blank → filtered, no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramCrossEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    assert(out(0).getLong(1) === 3L)
+    // doc 1: all three tokens have p=2/5
+    assert(math.abs(out(0).getDouble(2) - -log2(0.4)) < 1e-12)
+    assert(out(1).getLong(1) === 2L)
+    // doc 2: (−log2(2/5) − log2(1/5)) / 2
+    assert(math.abs(out(1).getDouble(2) -
+      (-log2(0.4) - log2(0.2)) / 2.0) < 1e-12)
+  }
+
+  test("bigramCrossEntropy: hand-computed interpolated probabilities") {
+    // corpus bigrams: "a b"×1 (doc 1), "b a"×2 (docs 1,2)
+    // ctx counts: a→1, b→2
+    // unigrams INCLUDE the bigram-less doc 3: a=3, b=2, solo=1 → N=6
+    val docs = Seq(
+      (1L, "a b a"),
+      (2L, "b a"),
+      (3L, "solo"),        // 1 token → no bigrams → absent from output
+      (4L, "")             // empty → absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCrossEntropy(docs, "doc_id", "text",
+        lambda = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    // p("b"|"a") = 0.5·(1/1) + 0.5·(2/6) = 2/3
+    // p("a"|"b") = 0.5·(2/2) + 0.5·(3/6) = 3/4
+    assert(out(0).getLong(1) === 2L)
+    assert(math.abs(out(0).getDouble(2) -
+      (-log2(2.0 / 3.0) - log2(3.0 / 4.0)) / 2.0) < 1e-12)
+    assert(out(1).getLong(1) === 1L)
+    assert(math.abs(out(1).getDouble(2) - -log2(3.0 / 4.0)) < 1e-12)
+  }
+
+  test("dsirLogWeights: feature counts, target affinity, determinism") {
+    val docs = Seq(
+      (1L, "x x y"),       // target
+      (2L, "x y"),         // target
+      (3L, "z w"),         // raw-only tokens
+      (4L, "z w"),         // identical text → identical weight
+      (5L, "  ")           // blank → absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dsirLogWeights(docs, "doc_id", "text",
+        col("doc_id") <= 2L, buckets = 4096)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    // n_feats = tokens + bigrams
+    assert(out.map(_.getLong(1)).toSeq === Seq(5L, 3L, 3L, 3L))
+    val w = out.map(_.getDouble(2))
+    // target-looking docs outscore raw-only docs
+    assert(w(0) > w(2) && w(1) > w(2))
+    // same text, same features, same weight
+    assert(w(2) === w(3))
+  }
+
   test("sentences: split on terminal runs, indices survive empty drops") {
     val docs = Seq(
       (1L, "One. Two! Three?"),     // final fragment keeps no tail split
