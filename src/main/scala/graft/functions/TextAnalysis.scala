@@ -737,12 +737,16 @@ object TextAnalysis {
       .localCheckpoint() // the vocab aggregate and the score join both read it
     val vocab = perDoc.groupBy("tok").agg(sum(col("c")).as("n"))
     val total = vocab.agg(sum(col("n")).as("__N"))
-    perDoc.join(vocab, Seq("tok"))
-      .crossJoin(broadcast(total))
+    // −log₂ p is a function of the token TYPE alone, so it's computed
+    // once per vocab entry here — the per-doc stream then pays a single
+    // token-keyed join and a multiply, not a log per occurrence
+    val bits = vocab.crossJoin(broadcast(total))
+      .select(col("tok"),
+        (-log2(col("n").cast("double") / col("__N"))).as("__b"))
+    perDoc.join(bits, Seq("tok"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_tokens"),
-        sum(col("c").cast("double") *
-          -log2(col("n").cast("double") / col("__N"))).as("__bits"))
+        sum(col("c").cast("double") * col("__b")).as("__bits"))
       .select(col("doc_id"), col("n_tokens"),
         (col("__bits") / col("n_tokens")).as("bits_per_token"))
   }
@@ -777,7 +781,7 @@ object TextAnalysis {
         substring_index(col("bg"), " ", -1).as("w2"), col("c"))
       .localCheckpoint() // feeds the model tables AND the score join
     val bgCounts = perDocBg.groupBy("w1", "w2").agg(sum(col("c")).as("c_bg"))
-      .localCheckpoint() // context counts and the score join both read it
+      .localCheckpoint() // context counts and the bits table both read it
     val ctxCounts = bgCounts.groupBy("w1").agg(sum(col("c_bg")).as("c_ctx"))
     val ugCounts = df
       .filter(length(trim(col(textCol))) > 0)
@@ -786,14 +790,20 @@ object TextAnalysis {
     val total = ugCounts.agg(sum(col("c_ug")).as("__N"))
     val p = lit(lambda) * (col("c_bg").cast("double") / col("c_ctx")) +
       lit(1.0 - lambda) * (col("c_ug").cast("double") / col("__N"))
-    perDocBg
-      .join(bgCounts, Seq("w1", "w2"))
+    // −log₂ p is a function of the bigram TYPE alone, so the whole
+    // model (bigram ⋈ context ⋈ unigram ⋈ N) collapses to one
+    // vocab-sized bits table here; the per-doc stream pays ONE
+    // bigram-keyed join instead of three model joins + a log per row
+    val bits = bgCounts
       .join(ctxCounts, Seq("w1"))
       .join(ugCounts, Seq("w2"))
       .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), (-log2(p)).as("__b"))
+    perDocBg
+      .join(bits, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_bigrams"),
-        sum(col("c").cast("double") * -log2(p)).as("__bits"))
+        sum(col("c").cast("double") * col("__b")).as("__bits"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("__bits") / col("n_bigrams")).as("bits_per_token"))
   }
@@ -840,19 +850,24 @@ object TextAnalysis {
     val raw = model(feats, "c_r")
     val totals = raw.agg(sum(col("c_r")).as("__Cr")).crossJoin(
       tgt.agg(coalesce(sum(col("c_t")), lit(0L)).as("__Ct")))
-    // log ratio of add-one-smoothed bucket probabilities
+    // log ratio of add-one-smoothed bucket probabilities — a function
+    // of the bucket alone, so it's materialized once per bucket
+    // (≤ `buckets` rows) and the corpus-sized stream pays a single
+    // broadcast join + multiply, not two logs per feature row
     val logRatio =
       log((coalesce(col("c_t"), lit(0L)) + lit(1L)).cast("double") /
           (col("__Ct") + lit(buckets.toLong))) -
       log((col("c_r") + lit(1L)).cast("double") /
           (col("__Cr") + lit(buckets.toLong)))
+    val scores = raw
+      .join(tgt, Seq("bucket"), "left")
+      .crossJoin(totals)
+      .select(col("bucket"), logRatio.as("__lr"))
     feats
-      .join(broadcast(raw), Seq("bucket"))
-      .join(broadcast(tgt), Seq("bucket"), "left")
-      .crossJoin(broadcast(totals))
+      .join(broadcast(scores), Seq("bucket"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_feats"),
-        sum(col("c").cast("double") * logRatio).as("log_weight"))
+        sum(col("c").cast("double") * col("__lr")).as("log_weight"))
   }
 
   /** Sentence segmentation: split on terminal-punctuation runs followed
