@@ -251,6 +251,17 @@ object SparkEntry {
         Analytics.coOccurrencePairs(
           Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
           "l_orderkey", "l_partkey", minCount = 2L), "item_a", "item_b")),
+    // fixed-iteration PageRank over the same co-purchase graph; the
+    // oracle unrolls the 10 iterations as chained CTEs (generated by
+    // pageRankOracleSql so both sides agree on the exact recurrence)
+    "q_pagerank" -> ((s, dir) =>
+      Analytics.pageRank(
+          Analytics.coOccurrencePairs(
+            Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+            "l_orderkey", "l_partkey", minCount = 2L),
+          "item_a", "item_b", iterations = 10, damping = 0.85)
+        .select(col("node"), col("rank").as("pagerank"))
+        .orderBy("node")),
     // ----- reference parity: upsert end-state = latest write per key (W5-W8)
     "q_latest_event_per_user" -> ((s, dir) =>
       Ecommerce.latestPerKey(Tables.events(s, dir),
@@ -1702,7 +1713,40 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** DuckDB oracle for q_pagerank: the fixed-iteration recurrence
+    * unrolled as chained CTEs r1..rK, each reading only its
+    * predecessor — the same arithmetic (double constants included) as
+    * [[Analytics.pageRank]], so the compare is tolerance-tight. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (SELECT nodes.node,
+         (1.0::DOUBLE - 0.85::DOUBLE) / nn.n
+           + 0.85::DOUBLE * coalesce(s.i, 0.0::DOUBLE) AS pagerank
+         FROM nodes CROSS JOIN nn
+         LEFT JOIN (SELECT adj.dst AS node,
+                      sum(r.pagerank / deg.deg) AS i
+                    FROM adj JOIN deg ON deg.src = adj.src
+                    JOIN r${k - 1} r ON r.node = adj.src
+                    GROUP BY 1) s ON s.node = nodes.node)"""
+    }.mkString(",\n         ")
+    s"""WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
+               FROM lineitem WHERE l_orderkey % 4 = 0),
+         e AS (SELECT a.item AS ia, b.item AS ib
+               FROM g a JOIN g b ON a.grp = b.grp AND a.item < b.item
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         adj AS (SELECT ia AS src, ib AS dst FROM e
+                 UNION ALL SELECT ib AS src, ia AS dst FROM e),
+         deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY 1),
+         nodes AS (SELECT DISTINCT src AS node FROM adj),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         r0 AS (SELECT node, 1.0::DOUBLE / nn.n AS pagerank
+                FROM nodes CROSS JOIN nn),
+         $steps
+         SELECT node, pagerank FROM r$iters ORDER BY node"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_pagerank" -> pageRankOracleSql(10),
     "q_sales_per_category" ->
       """SELECT event_type AS category, SUM(value) AS total_sales
          FROM events GROUP BY 1 ORDER BY category""",

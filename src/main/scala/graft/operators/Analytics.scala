@@ -103,20 +103,28 @@ object Analytics {
     * node, with a periodic `localCheckpoint` to stop lineage growth
     * (the same discipline as `Dedup.nearDupComponents`' label loop).
     * Undirected edges mean no dangling-mass correction is needed
-    * (every node has degree ≥ 1). Float summation order across
-    * partitions is engine-internal, so this is spec-adjudicated
-    * (driver power iteration, 1e-10) rather than oracle-hashed — the
-    * same honesty boundary as the sketches. Output: (node, rank),
-    * ranks summing to 1. */
+    * (every node has degree ≥ 1). Oracle-registered via
+    * `SparkEntry.pageRankOracleSql`'s unrolled-CTE recurrence (same
+    * double constants both sides); cross-engine float-summation-order
+    * differences stay orders of magnitude inside the compare tolerance
+    * because the iteration count is FIXED, not convergence-tested.
+    *
+    * The adjacency is degree-pre-joined, repartitioned on `src` ONCE
+    * and localCheckpointed, so each iteration shuffles only the
+    * node-sized rank frame — never the edge list — and pays one join +
+    * one map-side-combinable aggregation. Output: (node, rank), ranks
+    * summing to 1. */
   def pageRank(edges: DataFrame, aCol: String, bCol: String,
       iterations: Int = 10, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1 && damping > 0 && damping < 1)
-    val e = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val arcs = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint() // reused every round; never recompute the input
-    val deg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val deg = arcs.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val e = arcs.join(deg, Seq("src"))
+      .repartition(col("src"))
+      .localCheckpoint() // edge-sized; shuffled once, read every round
     val nodes = e.select(col("src").as("node")).distinct()
     val n = nodes.count()
     // an empty (or all-self-loop) edge list gives n = 0 → 1.0/n would
@@ -126,14 +134,15 @@ object Analytics {
     for (i <- 1 to iterations) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("node"), (col("rank") / col("odeg")).as("c"))
-      ranks = nodes
-        .join(contribs.groupBy("node").agg(sum(col("c")).as("s")),
-          Seq("node"), "left")
+      // every node of an undirected graph has in-arcs, so the
+      // contribution aggregate already covers the full node set — no
+      // left-join-back onto `nodes` needed (it would be required for a
+      // DIRECTED graph, where sinks receive nothing)
+      ranks = contribs.groupBy("node").agg(sum(col("c")).as("s"))
         .select(col("node"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+            lit(damping) * col("s")).as("rank"))
       if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint()
     }
     ranks

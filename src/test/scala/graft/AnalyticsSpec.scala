@@ -448,4 +448,46 @@ class AnalyticsSpec extends SparkSpec {
       (new Timestamp(t), ivs.count(i => i._1 <= t && t <= i._2).toLong))
     assert(got.toSeq === expected.toSeq)
   }
+
+  test("pageRank: symmetry, mass conservation, center dominance") {
+    // path graph a–b–c: b is the center; a and c are symmetric
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("item_a", "item_b")
+    val pr = Analytics.pageRank(path, "item_a", "item_b",
+        iterations = 10, damping = 0.85)
+      .orderBy("node").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet === Set(1L, 2L, 3L))
+    // no dangling nodes → total mass exactly preserved (up to fp sum)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    assert(pr(1L) === pr(3L))
+    assert(pr(2L) > pr(1L))
+  }
+
+  test("pageRank: regular graph is uniform at every iteration count") {
+    // triangle: 2-regular → stationary from the start; any iteration
+    // count must return exactly 1/3 (the recurrence maps 1/3 → 1/3
+    // only if contributions and teleport recombine exactly)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    for (iters <- Seq(1, 7)) {
+      val pr = Analytics.pageRank(tri, "a", "b", iterations = iters)
+        .collect().map(_.getDouble(1))
+      assert(pr.length === 3)
+      pr.foreach(v => assert(math.abs(v - 1.0 / 3.0) < 1e-12))
+    }
+  }
+
+  test("pageRank: ring with pendant — hand-checked single iteration") {
+    // nodes: ring 1-2-3 plus pendant 4 attached to 1
+    // degrees: 1→3, 2→2, 3→2, 4→1; N=4, start 0.25 each, d=0.85
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val pr = Analytics.pageRank(g, "a", "b", iterations = 1)
+      .orderBy("node").collect().map(_.getDouble(1))
+    val t = 0.15 / 4
+    // in(1) = r2/2 + r3/2 + r4/1 = .125+.125+.25 = .5
+    // in(2) = r1/3 + r3/2 = .0833..+.125 ; in(3) same; in(4) = r1/3
+    val exp = Seq(t + 0.85 * 0.5,
+      t + 0.85 * (0.25 / 3 + 0.125), t + 0.85 * (0.25 / 3 + 0.125),
+      t + 0.85 * (0.25 / 3))
+    pr.zip(exp).foreach { case (g2, e) => assert(math.abs(g2 - e) < 1e-12) }
+  }
 }
