@@ -1452,6 +1452,17 @@ object SparkEntry {
       TextAnalysis.dsirLogWeights(Tables.documents(s, dir),
           "doc_id", "text", col("lang") === "en", buckets = 4096)
         .orderBy("doc_id")),
+    // within-doc line dedup (RefinedWeb boilerplate pass) — the fixture
+    // text is single-line, so the query wraps it deterministically
+    // (" the " → newline, plus a planted duplicated head line) the same
+    // way on both sides; the operator itself is scan-local, zero shuffle
+    "q_dedup_lines" -> ((s, dir) => {
+      val wrapped = Tables.documents(s, dir).select(col("doc_id"),
+        concat(regexp_replace(col("text"), " the ", "\n"), lit("\n"),
+          substring(col("text"), 1, 30), lit("\n"),
+          substring(col("text"), 1, 30)).as("text"))
+      TextAnalysis.dedupLines(wrapped, "doc_id", "text").orderBy("doc_id")
+    }),
     // sentence segmentation: terminal-punctuation split, order kept by
     // sent_idx; a pure per-row posexplode (no shuffle)
     "q_sentences" -> ((s, dir) =>
@@ -3403,6 +3414,26 @@ object SparkEntry {
                   AS bits_per_token
          FROM perdoc p JOIN vocab v ON v.tok = p.tok CROSS JOIN tot t
          GROUP BY 1 ORDER BY doc_id""",
+    "q_dedup_lines" ->
+      """WITH w AS (SELECT doc_id,
+                replace(text, ' the ', chr(10)) || chr(10)
+                  || substring(text, 1, 30) || chr(10)
+                  || substring(text, 1, 30) AS text
+              FROM documents),
+         t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM w),
+         ln AS (SELECT doc_id, ls[i] AS l, i
+                FROM t, LATERAL unnest(generate_series(1, len(ls)))
+                  AS g(i)),
+         firsts AS (SELECT doc_id, l, min(i) AS fi FROM ln GROUP BY 1, 2),
+         agg AS (SELECT doc_id,
+                   string_agg(l, chr(10) ORDER BY fi) AS text,
+                   count(*) AS n_kept
+                 FROM firsts GROUP BY 1)
+         SELECT t.doc_id AS doc_id, a.text,
+                CAST(len(t.ls) AS BIGINT) AS n_lines,
+                CAST(len(t.ls) - a.n_kept AS BIGINT) AS n_dropped
+         FROM t JOIN agg a ON a.doc_id = t.doc_id
+         ORDER BY t.doc_id""",
     // 1-based list index → 0-based sent_idx; empties filtered AFTER
     // indexing on both sides, so surviving indices match posexplode's
     "q_sentences" ->

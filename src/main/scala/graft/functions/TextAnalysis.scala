@@ -870,6 +870,26 @@ object TextAnalysis {
         sum(col("c").cast("double") * col("__lr")).as("log_weight"))
   }
 
+  /** Within-document exact line dedup (the RefinedWeb/CCNet boilerplate
+    * pass: navigation menus, cookie banners and signature blocks repeat
+    * the same line many times inside one page): keep each distinct line
+    * at its FIRST occurrence, preserving order. Blank lines dedup like
+    * any other line (a run of paragraph breaks collapses to one).
+    *
+    * Entirely scan-local — `split`/`array_distinct`/`array_join` are
+    * codegen'd per-row array ops (Spark's `array_distinct` keeps
+    * first-occurrence order), so this costs ZERO shuffles at any corpus
+    * size; it composes in front of the cross-document dedup family.
+    * Output: (doc_id, text, n_lines, n_dropped). */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        split(col(textCol), "\n", -1).as("__ls"))
+      .select(col("doc_id"),
+        array_join(array_distinct(col("__ls")), "\n").as("text"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        (size(col("__ls")) - size(array_distinct(col("__ls"))))
+          .cast("long").as("n_dropped"))
+
   /** Sentence segmentation: split on terminal-punctuation runs followed
     * by whitespace — the preprocessing step sentence-level dedup,
     * sentence-piece training, and alignment pipelines start from. The

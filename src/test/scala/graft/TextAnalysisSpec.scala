@@ -482,6 +482,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(w(2) === w(3))
   }
 
+  test("dedupLines: first occurrence kept in order, blanks collapse") {
+    val docs = Seq(
+      (1L, "menu\nbody one\nmenu\nbody two\nmenu"),  // boilerplate ×3
+      (2L, "a\n\nb\n\nc"),                           // blank dedups too
+      (3L, "unique"),                                // single line, no \n
+      (4L, "")                                       // empty → 1 empty line
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupLines(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) === ((1L, "menu\nbody one\nbody two", 5L, 2L)))
+    assert(out(1) === ((2L, "a\n\nb\nc", 5L, 1L)))
+    assert(out(2) === ((3L, "unique", 1L, 0L)))
+    assert(out(3) === ((4L, "", 1L, 0L)))
+  }
+
   test("sentences: split on terminal runs, indices survive empty drops") {
     val docs = Seq(
       (1L, "One. Two! Three?"),     // final fragment keeps no tail split
