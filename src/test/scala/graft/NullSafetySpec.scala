@@ -208,6 +208,28 @@ class NullSafetySpec extends SparkSpec {
     assert(sent === Set(1L, 2L, 6L)) // null split → null → generator drops
   }
 
+  test("LM scorers / dsir / dedupLines: null and empty texts are safe") {
+    // scorers: null/empty docs contribute nothing to the model OR the
+    // output; the non-null docs still score
+    val uni = TextAnalysis.unigramCrossEntropy(docsWithNulls, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(uni === Set(1L, 2L, 6L))
+    val bi = TextAnalysis.bigramCrossEntropy(docsWithNulls, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(bi === Set(1L, 2L, 6L))
+    val ds = TextAnalysis.dsirLogWeights(docsWithNulls, "doc_id", "text",
+        col("doc_id") <= 2L)
+      .collect().map(_.getLong(0)).toSet
+    assert(ds === Set(1L, 2L, 6L))
+    // line dedup is a projection: null text stays a null-text row
+    // (nothing to dedup), it must not throw or fabricate lines
+    val dl = TextAnalysis.dedupLines(docsWithNulls, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(dl.length === 6)
+    assert(dl(2).isNullAt(1) && dl(3).isNullAt(1))
+    assert(dl(4).getString(1) === "")
+  }
+
   test("embedding-across: null vectors on either side are excluded") {
     val schema = StructType(Seq(
       StructField("vec_id", LongType, nullable = false),
