@@ -1226,6 +1226,20 @@ object SparkEntry {
           embeddingPairs(s, dir).select("id_a", "id_b"))
         .orderBy("vec_id")
     }),
+    // SemDeDup (Abbas et al. 2023) as a composition: semantic clusters
+    // = components of the cosine-LSH pair graph (recall-1 at these
+    // params, so the oracle's exhaustive-cosine clusters are THE same
+    // clusters); keep one representative per cluster — the max-norm²
+    // member, ties to min id. Rides the cached embedding pair graph, so
+    // the marginal cost is edge-list-sized, not corpus-sized.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Dedup.keepBestPerComponent(emb, "vec_id",
+          embeddingPairs(s, dir).select("id_a", "id_b"),
+          Similarity.dotProduct(col("embedding"), col("embedding")))
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    }),
     // cross-corpus embedding near-dup (incremental-crawl shape,
     // completing the across-variant family next to Jaccard and edit
     // distance): vec_id % 5 == 0 plays the NEW batch, the rest the
@@ -2674,6 +2688,29 @@ object SparkEntry {
            SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
          SELECT node AS vec_id, min(root) AS component_id
          FROM reach GROUP BY node ORDER BY vec_id""",
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE
+         nz AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                WHERE list_dot_product(embedding::DOUBLE[],
+                  embedding::DOUBLE[]) > 0),
+         jp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM nz a JOIN nz b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+                   UNION SELECT id_b, id_a FROM jp),
+         reach(node, root) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+         SELECT vec_id, label FROM (
+           SELECT emb.vec_id, emb.label,
+                  row_number() OVER (PARTITION BY c.component_id
+                    ORDER BY list_dot_product(emb.embedding::DOUBLE[],
+                      emb.embedding::DOUBLE[]) DESC, emb.vec_id) AS rn
+           FROM embeddings emb
+           JOIN (SELECT node, min(root) AS component_id
+                 FROM reach GROUP BY node) c ON c.node = emb.vec_id)
+         WHERE rn = 1 ORDER BY vec_id""",
     "q_clipped_values" ->
       """WITH cuts AS (SELECT event_type, quantile_cont(value, 0.95) AS p95
                       FROM events GROUP BY 1)
