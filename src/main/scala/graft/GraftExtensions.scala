@@ -5,7 +5,10 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
+import org.apache.spark.sql.catalyst.{expressions => cexpr}
+
 import graft.expressions.{FoldAccents, LangId, NfcNormalize, RandomProject, SimHash64, TextStats}
+import graft.{expressions => gexpr}
 
 /** `SparkSessionExtensions` entry point: registers graft's custom
   * Catalyst expressions as SQL FUNCTIONS, so `spark.sql` users get the
@@ -88,5 +91,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("zorder_key",
         "zorder_key(x, y) - 64-bit Morton interleave of two unsigned-32-bit keys"),
       { case Seq(x, y) => graft.functions.ZOrder.zValueExpr(x, y) }))
+
+    ext.injectFunction((FunctionIdentifier("gopher_stats"),
+      info("gopher_stats",
+        "gopher_stats(str) - one-scan Gopher rule measurements struct " +
+          "(n_words, token_len_sum, symbols, n_lines, bullet_lines, " +
+          "ellipsis_lines, alpha_words, stop_hits)"),
+      { case Seq(child) =>
+        gexpr.GopherStats(child, graft.functions.TextAnalysis.gopherStops) }))
+
+    // the RefinedWeb boilerplate pass as a scalar: keep each distinct
+    // line at its first occurrence — composed from codegen'd built-ins,
+    // zero shuffle
+    ext.injectFunction((FunctionIdentifier("dedup_lines"),
+      info("dedup_lines",
+        "dedup_lines(str) - drop repeated lines, first occurrence kept in order"),
+      { case Seq(child) =>
+        cexpr.ArrayJoin(
+          cexpr.ArrayDistinct(cexpr.StringSplit(child,
+            Literal("\n"), Literal(-1))),
+          Literal("\n"), None) }))
   }
 }

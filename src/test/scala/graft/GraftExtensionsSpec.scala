@@ -55,4 +55,25 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(rows.getLong(3) === viaColumn)
   }
+
+  test("gopher_stats / dedup_lines: SQL ≡ operator semantics") {
+    Seq((1L, "menu\nThe cat sat down.\nmenu\n- item"))
+      .toDF("id", "text").createOrReplaceTempView("ext_docs2")
+    val row = spark.sql(
+      """SELECT gopher_stats(text).n_words AS nw,
+                gopher_stats(text).n_lines AS nl,
+                gopher_stats(text).bullet_lines AS bl,
+                dedup_lines(text) AS dl
+         FROM ext_docs2""").collect().head
+    assert(row.getInt(0) === 8)   // whitespace tokens across all lines
+    assert(row.getInt(1) === 4)
+    assert(row.getInt(2) === 1)   // "- item"
+    assert(row.getString(3) === "menu\nThe cat sat down.\n- item")
+    // dedup_lines(SQL) ≡ TextAnalysis.dedupLines text column
+    val viaOp = TextAnalysis.dedupLines(
+        Seq((1L, "menu\nThe cat sat down.\nmenu\n- item")).toDF("id", "t"),
+        "id", "t")
+      .collect().head.getString(1)
+    assert(row.getString(3) === viaOp)
+  }
 }

@@ -125,6 +125,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupLines invariants: idempotent, subsequence, count arithmetic") {
+    val lineGen = Gen.oneOf("menu", "body", "", "footer", "x y", "the end")
+    val docGen = Gen.chooseNum(0, 9).flatMap(n =>
+      Gen.listOfN(n, lineGen).map(_.mkString("\n")))
+    val docs = samples(docGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = TextAnalysis.dedupLines(docs, "doc_id", "text")
+    val rows = once.orderBy("doc_id").collect()
+    val input = docs.orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val in = input(r.getLong(0)).split("\n", -1).toSeq
+      val out = r.getString(1).split("\n", -1).toSeq
+      assert(out === in.distinct)                   // first-occurrence order
+      assert(r.getLong(2) === in.length.toLong)     // n_lines
+      assert(r.getLong(3) === (in.length - in.distinct.length).toLong)
+    }
+    // idempotence: a second pass changes nothing and drops nothing
+    val twice = TextAnalysis.dedupLines(
+        once.select(col("doc_id"), col("text")), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    rows.zip(twice).foreach { case (a, b) =>
+      assert(a.getString(1) === b.getString(1))
+      assert(b.getLong(3) === 0L)
+    }
+  }
+
   test("groupQuantiles invariants: member value, monotone in p, tie-stable") {
     val rowGen = for {
       g <- Gen.oneOf("a", "b", "c")
