@@ -883,6 +883,34 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     }),
+    // v3 recipe — the round-6 scorers composed into the curation
+    // pipeline: Gopher rule gate ∩ below-corpus-mean bigram perplexity
+    // (formulaic/boilerplate tail cut) ∩ above-corpus-mean per-feature
+    // DSIR weight (target-affinity cut). Mean-relative thresholds keep
+    // every stage non-degenerate at any SF; both models train on the
+    // FULL corpus (model quality should not depend on gate order), and
+    // the means ride 1-row broadcasts
+    "q_curated_corpus_v3" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val gate = docs.filter(
+        TextAnalysis.gopherRules(col("text"), minStopHits = 1)
+          .getField("pass"))
+      val ce = TextAnalysis.bigramCrossEntropy(docs, "doc_id", "text")
+      val ceMean = ce.agg(avg(col("bits_per_token")).as("__cem"))
+      val ds = TextAnalysis.dsirLogWeights(docs, "doc_id", "text",
+          col("lang") === "en")
+        .withColumn("__wpf", col("log_weight") / col("n_feats"))
+      val dsMean = ds.agg(avg(col("__wpf")).as("__dsm"))
+      gate
+        .join(ce.crossJoin(broadcast(ceMean))
+            .filter(col("bits_per_token") < col("__cem")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .join(ds.crossJoin(broadcast(dsMean))
+            .filter(col("__wpf") > col("__dsm")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
     // the release report a dataset ships with: corpus-level accounting
     // in ONE aggregation pass, melted to a (metric, value) card via
     // stack (no per-metric rescans — the same Expand shape as
@@ -2820,6 +2848,68 @@ object SparkEntry {
          SELECT d.doc_id, d.lang, d.source
          FROM documents d JOIN rules r ON d.doc_id = r.doc_id
          WHERE r.pass ORDER BY d.doc_id""",
+    "q_curated_corpus_v3" ->
+      s"""${gopherRulesCtes(minStopHits = 1)},
+         bgt AS (SELECT doc_id, lang,
+                   string_split_regex(trim(text), '\\s+') AS t
+                 FROM documents WHERE length(trim(text)) > 0),
+         bgp AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, count(*) AS c
+                 FROM bgt, LATERAL unnest(generate_series(1, len(t) - 1))
+                   AS g2(i)
+                 WHERE len(t) >= 2 GROUP BY 1, 2, 3),
+         bgc AS (SELECT w1, w2, sum(c) AS c_bg FROM bgp GROUP BY 1, 2),
+         bgx AS (SELECT w1, sum(c_bg) AS c_ctx FROM bgc GROUP BY 1),
+         bgu AS (SELECT w2, count(*) AS c_ug
+                 FROM (SELECT unnest(t) AS w2 FROM bgt) GROUP BY 1),
+         bgn AS (SELECT sum(c_ug) AS nn FROM bgu),
+         ce AS (SELECT p.doc_id,
+                  sum(p.c * -log2(
+                    0.7::DOUBLE * (b.c_bg / CAST(x.c_ctx AS DOUBLE))
+                    + (1.0::DOUBLE - 0.7::DOUBLE)
+                      * (u.c_ug / CAST(t2.nn AS DOUBLE)))) / sum(p.c) AS bpt
+                FROM bgp p
+                JOIN bgc b ON b.w1 = p.w1 AND b.w2 = p.w2
+                JOIN bgx x ON x.w1 = p.w1
+                JOIN bgu u ON u.w2 = p.w2
+                CROSS JOIN bgn t2 GROUP BY 1),
+         cem AS (SELECT avg(bpt) AS m FROM ce),
+         dsfe AS (SELECT doc_id, lang, 'u:' || unnest(t) AS f2 FROM bgt
+                  UNION ALL
+                  SELECT doc_id, lang, 'b:' || t[i] || ' ' || t[i + 1]
+                  FROM bgt, LATERAL unnest(generate_series(1, len(t) - 1))
+                    AS g3(i)
+                  WHERE len(t) >= 2),
+         dsp AS (SELECT doc_id, lang,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(
+                       substring(sha256(f2), 1, 13), ''),
+                       c -> CAST(instr('0123456789abcdef', c) - 1
+                         AS BIGINT))),
+                     (acc, x) -> acc * 16 + x) % 4096 AS bucket,
+                   count(*) AS c
+                 FROM dsfe GROUP BY 1, 2, 3),
+         dst AS (SELECT bucket, sum(c) AS c_t FROM dsp
+                 WHERE lang = 'en' GROUP BY 1),
+         dsr AS (SELECT bucket, sum(c) AS c_r FROM dsp GROUP BY 1),
+         dstt AS (SELECT (SELECT sum(c_r) FROM dsr) AS cr,
+                         (SELECT coalesce(sum(c_t), 0) FROM dst) AS ct),
+         dsw AS (SELECT p.doc_id, sum(p.c) AS nf,
+                   sum(p.c * (ln((coalesce(t3.c_t, 0) + 1)
+                                / (dstt.ct + 4096.0))
+                            - ln((r.c_r + 1) / (dstt.cr + 4096.0)))) AS w
+                 FROM dsp p
+                 JOIN dsr r ON r.bucket = p.bucket
+                 LEFT JOIN dst t3 ON t3.bucket = p.bucket
+                 CROSS JOIN dstt GROUP BY 1),
+         dswm AS (SELECT avg(w / nf) AS m FROM dsw)
+         SELECT d.doc_id, d.lang, d.source
+         FROM documents d
+         JOIN rules ru ON ru.doc_id = d.doc_id AND ru.pass
+         JOIN ce ON ce.doc_id = d.doc_id
+         JOIN cem ON ce.bpt < cem.m
+         JOIN dsw ON dsw.doc_id = d.doc_id
+         JOIN dswm ON dsw.w / dsw.nf > dswm.m
+         ORDER BY d.doc_id""",
     // same synthesized URLs, same anchored extracts; DuckDB replacement
     // backrefs are \1 where Spark's are $1 (pattern side is shared)
     "q_url_parts" ->
