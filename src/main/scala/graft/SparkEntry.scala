@@ -888,10 +888,13 @@ object SparkEntry {
     // (formulaic/boilerplate tail cut) ∩ above-corpus-mean per-feature
     // DSIR weight (target-affinity cut). Mean-relative thresholds keep
     // every stage non-degenerate at any SF; both models train on the
-    // FULL corpus (model quality should not depend on gate order), and
-    // the means ride 1-row broadcasts
+    // FULL (sliced) corpus (model quality should not depend on gate
+    // order), and the means ride 1-row broadcasts. Adjudicated on the
+    // mod-2 doc slice (the q_dedup_cascade precedent: each constituent
+    // carries its own full-corpus query; the composition re-paying both
+    // model derivations at full volume teaches nothing extra)
     "q_curated_corpus_v3" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
       val gate = docs.filter(
         TextAnalysis.gopherRules(col("text"), minStopHits = 1)
           .getField("pass"))
@@ -2849,10 +2852,12 @@ object SparkEntry {
          FROM documents d JOIN rules r ON d.doc_id = r.doc_id
          WHERE r.pass ORDER BY d.doc_id""",
     "q_curated_corpus_v3" ->
-      s"""${gopherRulesCtes(minStopHits = 1)},
+      s"""${gopherRulesCtes(minStopHits = 1,
+          from = "(SELECT * FROM documents WHERE doc_id % 2 = 0)")},
          bgt AS (SELECT doc_id, lang,
                    string_split_regex(trim(text), '\\s+') AS t
-                 FROM documents WHERE length(trim(text)) > 0),
+                 FROM documents
+                 WHERE doc_id % 2 = 0 AND length(trim(text)) > 0),
          bgp AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, count(*) AS c
                  FROM bgt, LATERAL unnest(generate_series(1, len(t) - 1))
                    AS g2(i)
@@ -3914,7 +3919,8 @@ object SparkEntry {
     * then the combined pass — mirroring `TextAnalysis.gopherRules`
     * term for term (incl. the empty-trim n_words = 0 guard and the
     * ≥ 1 line count from split's never-empty result). */
-  private def gopherRulesCtes(minStopHits: Int = 2): String =
+  private def gopherRulesCtes(minStopHits: Int = 2,
+      from: String = "documents"): String =
       raw"""WITH f AS (SELECT doc_id,
                 CASE WHEN length(trim(text)) = 0 THEN 0
                      ELSE CAST(len(string_split_regex(trim(text), '\s+'))
@@ -3924,7 +3930,7 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(text, '#')) +
                      len(regexp_extract_all(text, '(\.\.\.|…)'))
                   AS BIGINT) AS symbols
-              FROM documents),
+              FROM $from),
          g AS (SELECT doc_id, n_words, symbols,
                 CAST(list_sum(list_transform(toks, t -> length(t)))
                   AS BIGINT) AS len_sum,
