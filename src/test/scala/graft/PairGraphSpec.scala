@@ -67,4 +67,30 @@ class PairGraphSpec extends SparkSpec {
     assert(PairGraph.size === afterFirst + 1) // minhash graph, once
     PairGraph.clear()
   }
+
+  test("of() is race-safe: one derivation per key under concurrent callers") {
+    import spark.implicits._
+    PairGraph.clear()
+    val derivations = new java.util.concurrent.atomic.AtomicInteger(0)
+    def ask(key: String): org.apache.spark.sql.DataFrame =
+      PairGraph.of(spark, key) {
+        derivations.incrementAndGet()
+        // a real (if small) Spark job inside the computeIfAbsent body
+        Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+      }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 16).map { i =>
+        val key = s"race:${i % 2}" // two keys, 8 callers each
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long = ask(key).count()
+        })
+      }
+      assert(futures.map(_.get()).forall(_ === 2L))
+    } finally pool.shutdown()
+    // exactly one derivation per distinct key, no thundering herd
+    assert(derivations.get() === 2)
+    assert(PairGraph.size === 2)
+    PairGraph.clear()
+  }
 }
