@@ -892,7 +892,11 @@ object SparkEntry {
     // order), and the means ride 1-row broadcasts. Adjudicated on the
     // mod-2 doc slice (the q_dedup_cascade precedent: each constituent
     // carries its own full-corpus query; the composition re-paying both
-    // model derivations at full volume teaches nothing extra)
+    // model derivations at full volume teaches nothing extra).
+    // Both mean gates carry a 1e-9 margin (identically in the oracle):
+    // the mean is built FROM the scores, so a doc landing exactly at it
+    // is the realistic case where Spark's and DuckDB's summation orders
+    // disagree in the last ulps and strict </> would flip membership.
     "q_curated_corpus_v3" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
       val gate = docs.filter(
@@ -906,10 +910,11 @@ object SparkEntry {
       val dsMean = ds.agg(avg(col("__wpf")).as("__dsm"))
       gate
         .join(ce.crossJoin(broadcast(ceMean))
-            .filter(col("bits_per_token") < col("__cem")).select("doc_id"),
+            .filter(col("bits_per_token") < col("__cem") - lit(1e-9))
+            .select("doc_id"),
           Seq("doc_id"), "left_semi")
         .join(ds.crossJoin(broadcast(dsMean))
-            .filter(col("__wpf") > col("__dsm")).select("doc_id"),
+            .filter(col("__wpf") > col("__dsm") + lit(1e-9)).select("doc_id"),
           Seq("doc_id"), "left_semi")
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
@@ -2911,9 +2916,9 @@ object SparkEntry {
          FROM documents d
          JOIN rules ru ON ru.doc_id = d.doc_id AND ru.pass
          JOIN ce ON ce.doc_id = d.doc_id
-         JOIN cem ON ce.bpt < cem.m
+         JOIN cem ON ce.bpt < cem.m - 1e-9
          JOIN dsw ON dsw.doc_id = d.doc_id
-         JOIN dswm ON dsw.w / dsw.nf > dswm.m
+         JOIN dswm ON dsw.w / dsw.nf > dswm.m + 1e-9
          ORDER BY d.doc_id""",
     // same synthesized URLs, same anchored extracts; DuckDB replacement
     // backrefs are \1 where Spark's are $1 (pattern side is shared)

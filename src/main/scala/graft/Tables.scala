@@ -13,14 +13,12 @@ import org.apache.spark.sql.types.LongType
   */
 object Tables {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Guarded fallback mirroring GraftSession.tuned for caller-provided
-    // vanilla sessions: fixture timestamps are naive micros and must read
-    // as TimestampType (not TIMESTAMP_NTZ) — see GraftSession for why
-    // this is a reader setting, not a cast.
-    if (!spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled").contains("false")) {
-      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    }
-    spark.read.parquet(s"$dir/$name.parquet")
+    // Fixture timestamps are naive micros and must read as TimestampType
+    // (not TIMESTAMP_NTZ) — see GraftSession for why this is a reader
+    // setting, not a cast. Scoped to THIS read via the per-reader parquet
+    // option so a caller-provided session's config (and its later reads
+    // of genuine NTZ data) is left untouched; pushdown is unaffected.
+    spark.read.option("inferTimestampNTZ", "false").parquet(s"$dir/$name.parquet")
   }
 
   def region(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "region")

@@ -132,6 +132,12 @@ object PublicSuffix {
     * and let AQE pick the join. */
   def withRegisteredDomain(spark: SparkSession, df: DataFrame, url: Column,
       rules: Seq[String] = snapshotRules): DataFrame = {
+    // fail fast rather than silently overwrite caller data: both output
+    // columns are appended by THIS function and must not pre-exist
+    val clash = df.columns.toSet.intersect(Set("host", "registered_domain"))
+    require(clash.isEmpty,
+      s"withRegisteredDomain appends columns ${clash.mkString(", ")} that " +
+        "already exist in the input frame; rename or drop them first")
     val withHost = df.withColumn("host", lower(UrlOps.hostNoPort(url)))
     withHost.join(
       broadcast(domainMap(spark, withHost.select("host"), rules)),

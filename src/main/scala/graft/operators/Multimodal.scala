@@ -424,8 +424,12 @@ object Multimodal {
       * (this writer emits none):
       *  - BMP frames: `BM` magic + the little-endian file size at
       *    offset 2 gives an exact walk;
-      *  - JPEG frames (true MJPEG): scan SOI (FFD8) → EOI (FFD9)
-      *    marker pairs.
+      *  - JPEG frames (true MJPEG): a marker-SEGMENT walk — APPn/COM/
+      *    DQT/… payloads are skipped by their declared 2-byte lengths
+      *    and entropy-coded scan data by stuffed-byte rules, so an
+      *    `FF D9` INSIDE a segment payload (e.g. an EXIF thumbnail's
+      *    own EOI in APP1) cannot end the frame early; only the frame's
+      *    true top-level EOI does.
       * Returns Nil when the payload starts with neither magic. */
     def splitFrames(mdat: Array[Byte]): Seq[Array[Byte]] = {
       val frames = Seq.newBuilder[Array[Byte]]
@@ -442,20 +446,61 @@ object Multimodal {
       } else if (mdat.length >= 4 &&
           (mdat(0) & 0xff) == 0xff && (mdat(1) & 0xff) == 0xd8) {
         var start = 0
-        var i = 2
-        while (i + 1 < mdat.length) {
-          if ((mdat(i) & 0xff) == 0xff && (mdat(i + 1) & 0xff) == 0xd9) {
-            frames += java.util.Arrays.copyOfRange(mdat, start, i + 2)
-            start = i + 2
-            i += 2
-            // skip anything between EOI and the next SOI
+        var done = false
+        while (!done && start + 3 < mdat.length &&
+            (mdat(start) & 0xff) == 0xff && (mdat(start + 1) & 0xff) == 0xd8) {
+          val end = jpegFrameEnd(mdat, start)
+          if (end < 0) done = true // truncated/corrupt tail: keep whole frames only
+          else {
+            frames += java.util.Arrays.copyOfRange(mdat, start, end)
+            // skip any inter-frame padding to the next SOI
+            var i = end
             while (i + 1 < mdat.length &&
                 !((mdat(i) & 0xff) == 0xff && (mdat(i + 1) & 0xff) == 0xd8)) i += 1
             start = i
-          } else i += 1
+          }
         }
       }
       frames.result()
+    }
+
+    /** End offset (exclusive, past EOI) of the JPEG starting at `start`
+      * (which must point at SOI), or -1 if the stream is truncated or
+      * structurally invalid. Walks marker segments per ITU T.81: fill
+      * bytes (FF FF…) are skipped; TEM/RSTn are standalone; every other
+      * marker carries a 2-byte big-endian length that covers its
+      * payload; after SOS the entropy-coded data is scanned for the
+      * next REAL marker (an FF followed by anything other than 00
+      * stuffing or an RSTn restart). */
+    private def jpegFrameEnd(bytes: Array[Byte], start: Int): Int = {
+      val n = bytes.length
+      var i = start + 2 // past SOI
+      while (i + 1 < n) {
+        if ((bytes(i) & 0xff) != 0xff) return -1 // expected a marker
+        val m = bytes(i + 1) & 0xff
+        if (m == 0xff) i += 1 // fill byte before the marker
+        else if (m == 0xd9) return i + 2 // EOI — true frame end
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // TEM/RSTn
+        else {
+          if (i + 3 >= n) return -1
+          val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+          if (len < 2 || i + 2 + len > n) return -1
+          i += 2 + len
+          if (m == 0xda) { // SOS: scan entropy-coded data to the next real marker
+            var found = false
+            while (!found && i + 1 < n) {
+              if ((bytes(i) & 0xff) == 0xff) {
+                val nx = bytes(i + 1) & 0xff
+                if (nx == 0x00) i += 2 // stuffed FF in coded data
+                else if (nx >= 0xd0 && nx <= 0xd7) i += 2 // restart marker
+                else found = true // real marker: outer loop handles it
+              } else i += 1
+            }
+            if (!found) return -1
+          }
+        }
+      }
+      -1
     }
 
     /** Minimal v0 writer: ftyp + moov(mvhd + tracks × trak(tkhd)) +

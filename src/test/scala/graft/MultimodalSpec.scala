@@ -415,6 +415,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("splitFrames MJPEG: FF D9 inside an APPn payload does not end the frame") {
+    import graft.operators.Multimodal.Mp4Codec
+    // plant an EXIF-style APP1 segment right after SOI whose payload
+    // contains a COMPLETE miniature JPEG (its own SOI..EOI) — the
+    // embedded-thumbnail shape that a raw FFD9 scan mis-splits on
+    def withThumbnail(jpeg: Array[Byte]): Array[Byte] = {
+      val thumb = Array[Byte](0xff.toByte, 0xd8.toByte, 1, 2, 3,
+        0xff.toByte, 0xd9.toByte)
+      val payload = "Exif  ".getBytes("ISO-8859-1") ++ thumb
+      val len = payload.length + 2
+      jpeg.take(2) ++
+        Array(0xff.toByte, 0xe1.toByte, (len >> 8).toByte, (len & 0xff).toByte) ++
+        payload ++ jpeg.drop(2)
+    }
+    val jpegs = (0 until 3).map(i => withThumbnail(
+      ImageCodec.encodeAs(makeImage(16, 16)((_, _) =>
+        (i * 60 + 40, i * 60 + 40, i * 60 + 40)), "jpeg")))
+    val split = Mp4Codec.splitFrames(jpegs.reduce(_ ++ _))
+    assert(split.map(_.toSeq) === jpegs.map(_.toSeq)) // exact frame boundaries
+    assert(split.flatMap(ImageCodec.decode(_)).size === 3) // and they decode
+  }
+
   test("extractFeatures: MP4 with planted stills decodes PIXELS, not bytes") {
     implicit val sp = spark
     import graft.operators.Multimodal.Mp4Codec

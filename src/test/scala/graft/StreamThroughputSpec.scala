@@ -28,13 +28,15 @@ import graft.streaming.EcommerceStreamJob.JobConfig
   * emission stays tiny per batch while the raw pipeline carries the
   * full volume — the same asymmetry a production deployment has.
   *
-  * Volume is overridable for quick local iteration:
-  * `-Dgraft.streamBench.events=100000`.
+  * The suite default is a SMOKE volume (50k events — seconds, not
+  * minutes, in a routine `sbt test`); BASELINE recording runs opt into
+  * the full benchmark volume explicitly with
+  * `-Dgraft.streamBench.events=1000000`.
   */
 class StreamThroughputSpec extends SparkSpec {
 
   private val Events: Int =
-    sys.props.get("graft.streamBench.events").map(_.toInt).getOrElse(1000000)
+    sys.props.get("graft.streamBench.events").map(_.toInt).getOrElse(50000)
   private val FilesN = 40 // micro-batches = FilesN / maxFilesPerTrigger
 
   private val categories =
@@ -91,7 +93,7 @@ class StreamThroughputSpec extends SparkSpec {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
   }
 
-  test(s"1M-event topology: throughput recorded, sink end-state == batch aggregates") {
+  test(s"$Events-event topology: throughput recorded, sink end-state == batch aggregates") {
     val dir = Files.createTempDirectory("graft-streambench-src")
     val ckpt = Files.createTempDirectory("graft-streambench-ckpt")
     try {
