@@ -1214,6 +1214,19 @@ object SparkEntry {
           "vec_id", "embedding", k = 5, numCentroids = 16, nProbe = 14)
         .orderBy("query_id", "rank")
     }),
+    // big-k IVF: 256 coarse cells trained by the DISTRIBUTED mini-batch
+    // k-means (trainCentroidsMiniBatch — per-iteration cost flat in
+    // corpus size), the SemDeDup operating regime where the driver
+    // Lloyd loop stops working. nProbe=224 is AnnTune-tuned recall-1
+    // with margin (0 misses from 192 across sf0.001/0.01/0.1; the
+    // weak-neighbor fixture is coarse quantization's worst case — real
+    // dup-clustered corpora probe far fewer of their cells)
+    "q_ivf_topk_bigk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopKBig(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, numCentroids = 256, nProbe = 224)
+        .orderBy("query_id", "rank")
+    }),
     // multi-probe (Hamming-1) halves-and-then-some the table count the
     // weak-neighbor fixture needs for recall 1: AnnTune measures 0
     // misses at 8 tables across sf0.001/0.01/0.1; 12 is registered for
@@ -3745,6 +3758,7 @@ object SparkEntry {
     // both verify candidates with exact cosine, so output ≡ exhaustive
     "q_ann_lsh_topk" -> exactTopKOracleSql,
     "q_ivf_topk" -> exactTopKOracleSql,
+    "q_ivf_topk_bigk" -> exactTopKOracleSql,
     "q_pq_topk" -> exactTopKOracleSql,
     "q_ivfpq_topk" -> exactTopKOracleSql,
     "q_embedding_neardup" ->

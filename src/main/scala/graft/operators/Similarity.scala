@@ -304,12 +304,25 @@ object Similarity {
     val cents =
       if (refineIters > 0) refineCentroids(corpus, vecCol, init, refineIters)
       else init
+    ivfServe(corpus, queries, idCol, vecCol, cents, k, nProbe)
+  }
 
-    // cell assignment / probing via the one-pass codegen TopCentroids
-    // expression: a compositional array-of-struct scorer is ONE
-    // unsplittable expression of C dot products, which overflows the
-    // JIT bytecode ceiling and runs interpreted (see TopCentroids doc);
-    // ordering semantics — (score, cell) descending — are identical
+  /** Shared IVF serving path: assign corpus rows to their nearest cell,
+    * probe each query's `nProbe` nearest cells, exact-cosine the probed
+    * candidates, rank top-k.
+    *
+    * Cell assignment / probing via the one-pass codegen TopCentroids
+    * expression: a compositional array-of-struct scorer is ONE
+    * unsplittable expression of C dot products, which overflows the
+    * JIT bytecode ceiling and runs interpreted (see TopCentroids doc);
+    * ordering semantics — (score, cell) descending — are identical.
+    * The centroid array rides the expression's reference object, which
+    * Spark ships inside the stage's task binary — itself a torrent
+    * broadcast, so C × dim doubles cross the network once per stage,
+    * not once per task. */
+  private def ivfServe(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cents: Array[(Int, Array[Double], Double)], k: Int,
+      nProbe: Int): DataFrame = {
     val c = corpusSide(corpus, idCol, vecCol)
       .withColumn("cell", graft.expressions.CentroidExpressions
         .topCentroids(col("cv"), col("cnorm"), cents, 1).getItem(0))
@@ -322,6 +335,113 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         (dotProduct(col("cv"), col("qv")) / (col("cnorm") * col("qnorm"))).as("cos"))
     rankTopK(scored, k)
+  }
+
+  /** Distributed mini-batch k-means (Sculley, WWW'10) for IVF/SemDeDup
+    * coarse centroids — the k ≈ 10⁴ scale path that the driver-resident
+    * Lloyd loop ([[refineCentroids]]) cannot reach, because that loop's
+    * per-iteration cost is a full-corpus assignment pass.
+    *
+    * Everything data-sized stays in DataFrames; the ONLY driver-side
+    * state is k × dim doubles — the centroids themselves, exactly what
+    * the assignment broadcast must hold regardless of trainer:
+    *  - init: the k hash-smallest non-zero vectors (seeded xxhash64) —
+    *    a distributed TakeOrdered, k·dim rows collected;
+    *  - per iteration: a deterministic hash-slice mini-batch of
+    *    ≈ k·batchPerCell rows (the slice predicate pushes to the scan;
+    *    cost of everything downstream is BATCH-sized, not
+    *    corpus-sized), assigned by the codegen'd TopCentroids argmax,
+    *    then per-(cell, dim) sums/counts via partial-combining groupBy
+    *    — at most k·dim narrow rows cross back to the driver, the same
+    *    volume the next iteration's broadcast ships out;
+    *  - update: cumulative-count mini-batch rule
+    *    c ← (n_c·c + Σ_batch x) / (n_c + |batch|) — Sculley's
+    *    per-centroid learning rate η = 1/n_c in batched form. Cells a
+    *    batch misses keep their centroid and count.
+    *
+    * Per-iteration cost is therefore flat in corpus size (fixed batch)
+    * except the O(corpus) slice scan, whose constant is a hash + filter
+    * — the property the ScaleProbe `kmeans` mode measures. Fully
+    * deterministic given (corpus, seed): same init, same slices, same
+    * update algebra (per-cell double sums vary with partition order in
+    * the last ulps, the same tolerance every ANN path already carries).
+    *
+    * Returns (cell, centroid, norm) for [[ivfServe]]-style assignment;
+    * cells are 0..C-1 with C = min(k, non-zero corpus rows). */
+  def trainCentroidsMiniBatch(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int = 4, batchPerCell: Int = 8,
+      seed: Long = 42L): Array[(Int, Array[Double], Double)] = {
+    require(k >= 1 && iters >= 0 && batchPerCell >= 1)
+    val nz = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__n", l2Norm(col("__v")))
+      .filter(col("__n") > 0)
+    val initRows = nz
+      .orderBy(xxhash64(col("__id"), lit(seed)), col("__id"))
+      .limit(k).select("__v").collect()
+    var cents: Array[(Int, Array[Double], Double)] =
+      initRows.zipWithIndex.map { case (row, i) =>
+        val v = row.getSeq[Number](0).iterator.map(_.doubleValue).toArray
+        (i, v, math.sqrt(v.map(x => x * x).sum))
+      }
+    if (cents.isEmpty || iters == 0) return cents
+    val dim = cents.head._2.length
+    val counts = Array.fill(cents.length)(1L) // each seed has seen itself
+    val total = nz.count()
+    val targetBatch = cents.length.toLong * batchPerCell
+    val modulus = math.max(1L, total / math.max(1L, targetBatch))
+    for (it <- 0 until iters) {
+      val batch =
+        if (modulus == 1L) nz // tiny corpus: mini-batch degrades to full Lloyd
+        else nz.filter(
+          pmod(xxhash64(col("__id"), lit(seed + 1 + it)), lit(modulus)) === 0)
+      val agg = batch
+        .withColumn("cell", graft.expressions.CentroidExpressions
+          .topCentroids(col("__v"), col("__n"), cents, 1).getItem(0))
+        .select(col("cell"), posexplode(col("__v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("c"))
+        .collect() // ≤ k·dim rows — broadcast-sized by construction
+      val sums = new Array[Array[Double]](cents.length)
+      val batchCount = new Array[Long](cents.length)
+      agg.foreach { r =>
+        val cell = r.getInt(0)
+        if (sums(cell) == null) sums(cell) = new Array[Double](dim)
+        sums(cell)(r.getInt(1)) = r.getDouble(2)
+        batchCount(cell) = r.getLong(3)
+      }
+      cents = cents.map { case (cell, v, n) =>
+        if (batchCount(cell) == 0L) (cell, v, n) // cell missed this batch
+        else {
+          val nOld = counts(cell)
+          val nNew = nOld + batchCount(cell)
+          val s = sums(cell)
+          val v2 = Array.tabulate(dim)(i => (v(i) * nOld + s(i)) / nNew)
+          counts(cell) = nNew
+          (cell, v2, math.sqrt(v2.map(x => x * x).sum))
+        }
+      }
+    }
+    cents
+  }
+
+  /** IVF top-k over mini-batch-trained centroids — the big-k (≥ 256
+    * coarse cells, SemDeDup's operating regime) entry point. Identical
+    * serving shape to [[ivfTopK]]; only the trainer differs. `nProbe`
+    * is clamped to the trained cell count so a corpus smaller than `k`
+    * still serves. */
+  def ivfTopKBig(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, numCentroids: Int, nProbe: Int,
+      iters: Int = 4, batchPerCell: Int = 8, seed: Long = 42L): DataFrame = {
+    require(nProbe >= 1 && nProbe <= numCentroids)
+    val cents = trainCentroidsMiniBatch(corpus, idCol, vecCol, numCentroids,
+      iters, batchPerCell, seed)
+    if (cents.isEmpty) { // degenerate corpus (no non-zero vectors)
+      return rankTopKWindow(corpus.sparkSession.range(0)
+        .select(col("id").as("query_id"), col("id").as("neighbor_id"),
+          col("id").cast("double").as("cos")), k)
+    }
+    ivfServe(corpus, queries, idCol, vecCol, cents, k,
+      math.min(nProbe, cents.length))
   }
 
   // ------------------------------------------------------------------

@@ -67,6 +67,16 @@ object AnnTune {
         val (a, e, m) = diff(ivfpq, exactTopK)
         println(s"IVFPQTOPK $dir nProbe=$nProbe rerank=$rerank ivfpq=$a exact=$e missed=$m")
       }
+      // big-k IVF (mini-batch-trained, 256 coarse cells): the fixture's
+      // weak-neighbor embeddings are the worst case for coarse
+      // quantization, so expect a high recall-1 probe count relative
+      // to C — the interesting number is where misses hit 0
+      for (nProbe <- Seq(64, 96, 128, 160, 192, 224, 256)) {
+        val big = Similarity.ivfTopKBig(emb, queries, "vec_id", "embedding", 5,
+          numCentroids = 256, nProbe = nProbe)
+        val (a, e, m) = diff(big, exactTopK)
+        println(s"IVFBIGK $dir C=256 nProbe=$nProbe big=$a exact=$e missed=$m")
+      }
     }
     spark.stop()
   }

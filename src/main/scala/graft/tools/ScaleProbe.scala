@@ -293,6 +293,38 @@ object ScaleProbe {
         f"unigram=$tu%.1fs($nu%d) bigram=$tb%.1fs($nb%d) " +
         f"dsir=$td6%.1fs($nd6%d) pagerank=$tp6%.1fs($np6%d nodes)")
     }
+    // Mini-batch k-means trainer: per-ITERATION cost must stay ~flat as
+    // the corpus grows (the batch is k·batchPerCell rows no matter the
+    // corpus; only the slice scan and the one-off init/count are
+    // corpus-sized). Measured as (t(iters=6) − t(iters=2)) / 4 so the
+    // fixed init + count() cost cancels out of the per-iteration figure.
+    for (k <- Seq(1, 2, 4, 8, 16) if on("kmeans")) {
+      val rng = new scala.util.Random(13)
+      // materialize the grown corpus before timing: a real training
+      // corpus is a parquet table, not a lazily re-evaluated
+      // interpreted-HOF union — without this the probe times K× corpus
+      // RECONSTRUCTION once per trainer job and drowns the signal
+      val corpus = (0 until k).map { i =>
+        val signs = Array.fill(dim)(if (rng.nextBoolean()) 1.0f else -1.0f)
+        emb.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          zip_with(col("embedding"),
+            array(signs.map(lit): _*), (a, b) => a * b).as("embedding"))
+      }.reduce(_ unionAll _).persist()
+      corpus.count()
+      def timeS(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f
+        (System.nanoTime() - t0) / 1e9
+      }
+      def best(f: => Unit): Double = Seq.fill(2)(timeS(f)).min
+      val t2 = best(Similarity.trainCentroidsMiniBatch(
+        corpus, "vec_id", "embedding", k = 256, iters = 2, batchPerCell = 8))
+      val t6 = best(Similarity.trainCentroidsMiniBatch(
+        corpus, "vec_id", "embedding", k = 256, iters = 6, batchPerCell = 8))
+      corpus.unpersist()
+      println(f"KMEANSPROBE k=$k%d vecs=${2000 * k}%d " +
+        f"t2=$t2%.1fs t6=$t6%.1fs perIter=${(t6 - t2) / 4}%.2fs")
+    }
     spark.stop()
   }
 }

@@ -139,6 +139,62 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id", "rank")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(pqTopK === exactTopK)
+    // big-k path (mini-batch-trained 256 cells), registered params
+    val bigTopK = Similarity.ivfTopKBig(emb, queries, "vec_id", "embedding", 5,
+        numCentroids = 256, nProbe = 224)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(bigTopK === exactTopK)
+  }
+
+  test("trainCentroidsMiniBatch: deterministic, cumulative-count update, small-corpus clamp") {
+    // determinism: same (corpus, seed) ⇒ identical centroids
+    val emb = Tables.embeddings(spark, sf)
+    val a = Similarity.trainCentroidsMiniBatch(emb, "vec_id", "embedding",
+      k = 8, iters = 2, batchPerCell = 4, seed = 7L)
+    val b = Similarity.trainCentroidsMiniBatch(emb, "vec_id", "embedding",
+      k = 8, iters = 2, batchPerCell = 4, seed = 7L)
+    assert(a.length === 8)
+    a.zip(b).foreach { case ((ca, va, na), (cb, vb, nb)) =>
+      assert(ca === cb && na === nb && va.toSeq === vb.toSeq)
+    }
+    // different seed ⇒ different init ⇒ (almost surely) different result
+    val c = Similarity.trainCentroidsMiniBatch(emb, "vec_id", "embedding",
+      k = 8, iters = 2, batchPerCell = 4, seed = 8L)
+    assert(a.map(_._2.toSeq).toSeq !== c.map(_._2.toSeq).toSeq)
+
+    // hand-checkable update: 2 axis-orthogonal clusters, k=2. Cluster
+    // membership is assigned FROM the trainer's own seeded hash order
+    // (first two hash-smallest ids get one direction each), so the two
+    // init seeds are one per cluster by construction; the first full
+    // iteration (tiny corpus ⇒ mini-batch degrades to full Lloyd) must
+    // then land each centroid exactly on its cluster mean = its axis,
+    // and the cumulative-count update keeps it there.
+    val ids = Seq(0L, 1L, 2L, 3L)
+    val order = ids.toDF("vec_id")
+      .select(col("vec_id"), xxhash64(col("vec_id"), lit(1L)).as("h"))
+      .orderBy("h", "vec_id").collect().map(_.getLong(0))
+    val axis = Map(order(0) -> 0, order(1) -> 1, order(2) -> 0, order(3) -> 1)
+    val two = ids.map(i => (i,
+        if (axis(i) == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroidsMiniBatch(two, "vec_id", "embedding",
+      k = 2, iters = 3, batchPerCell = 8, seed = 1L)
+    assert(cents.length === 2)
+    val dirs = cents.map(_._2).map(v => v.map(x => x / math.sqrt(v.map(y => y * y).sum)).toSeq).toSet
+    assert(dirs === Set(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+
+    // corpus smaller than k: C = corpus size, serving clamps nProbe —
+    // and with every cell probed the result is exhaustive
+    val exact = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val small = Similarity.ivfTopKBig(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", 3, numCentroids = 64, nProbe = 64)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(small === exact)
   }
 
   test("lshNearDupPairsAcross equals the cross-side restriction of the self-join") {
