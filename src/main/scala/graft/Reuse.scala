@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** The engine's shared materialization / lineage-cut primitive.
+  *
+  * Several pipelines derive one frame that multiple consumers read
+  * (the near-dup pair graph, the LM model frames, iterative component
+  * /rank state). Deriving it once and materializing is the right
+  * design at any scale; HOW it is materialized is a durability /
+  * locality trade the deployment should pick, not the operator:
+  *
+  *  - `local` (default) — `localCheckpoint()`: blocks pinned to
+  *    executors, fastest, but lost on executor failure and sized to
+  *    executor local disks. Right for single-JVM and short-lived work.
+  *  - `reliable` — eager `checkpoint()` to the reliable checkpoint
+  *    dir (`spark.graft.reuse.checkpointDir`, default
+  *    `<java.io.tmpdir>/graft-checkpoints`): survives executor loss,
+  *    re-readable by any executor; the mode a 1000-executor run wants
+  *    for corpus-derived artifacts. Costs a write to shared storage.
+  *  - `persist` — `persist(DISK_ONLY)` + eager count: spill-backed
+  *    cache with locality preference. NOTE: persist does not CUT
+  *    lineage, it only caches blocks — iterative loops still grow
+  *    their plans, and recovery after executor loss recomputes from
+  *    source. The cheap middle ground for moderate reuse.
+  *
+  * Mode is read per call from the session conf
+  * (`spark.graft.reuse.mode`), falling back to the
+  * `SPARK_GRAFT_REUSE_MODE` env var (so Verify/Bench runs can select a
+  * mode without code changes), then to `local`.
+  */
+object Reuse {
+  val ModeKey = "spark.graft.reuse.mode"
+  val DirKey = "spark.graft.reuse.checkpointDir"
+
+  def mode(df: DataFrame): String =
+    df.sparkSession.conf.getOption(ModeKey)
+      .orElse(sys.env.get("SPARK_GRAFT_REUSE_MODE"))
+      .getOrElse("local")
+
+  /** Materialize `df` eagerly (all modes: consumers NEVER re-derive)
+    * and return the reusable frame. */
+  def materialize(df: DataFrame): DataFrame = mode(df) match {
+    case "local" => df.localCheckpoint()
+    case "reliable" =>
+      val sc = df.sparkSession.sparkContext
+      df.sparkSession.conf.getOption(DirKey) match {
+        // honor an explicitly configured dir (setCheckpointDir stores
+        // dir/<uuid>, so "already pointing there" is a prefix check)
+        case Some(dir) if !sc.getCheckpointDir.exists(_.startsWith(dir)) =>
+          sc.setCheckpointDir(dir)
+        case None if sc.getCheckpointDir.isEmpty =>
+          sc.setCheckpointDir(s"${sys.props("java.io.tmpdir")}/graft-checkpoints")
+        case _ => ()
+      }
+      df.checkpoint() // eager by default, like localCheckpoint
+    case "persist" =>
+      val p = df.persist(StorageLevel.DISK_ONLY)
+      p.count() // force materialization so the derivation runs once, now
+      p
+    case other => throw new IllegalArgumentException(
+      s"$ModeKey=$other (expected local | reliable | persist)")
+  }
+
+  /** `df.materialized` sugar so call sites stay chain-shaped. */
+  implicit class ReuseOps(private val df: DataFrame) extends AnyVal {
+    def materialized: DataFrame = Reuse.materialize(df)
+  }
+}

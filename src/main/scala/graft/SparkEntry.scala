@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Reuse.ReuseOps
 import graft.functions.TextAnalysis
 import graft.operators.{Analytics, AsOf, Dedup, Ecommerce, Multimodal, PairGraph, RangeJoin, Scale, Similarity}
 
@@ -1165,10 +1166,10 @@ object SparkEntry {
       // (the nearDupComponents edge-list idiom); without it the simhash
       // tier's whole lineage replays inside the jaccard stage
       val s1 = docs.join(Dedup.exactDedup(docs, "doc_id", "text"),
-        Seq("doc_id"), "left_semi").localCheckpoint()
+        Seq("doc_id"), "left_semi").materialized
       val s2 = Dedup.dropNearDups(s1, "doc_id",
         Dedup.simhashNearDupPairs(s1, "doc_id", "text", maxDist = 3,
-          tokenHash = Dedup.PortableSha)).localCheckpoint()
+          tokenHash = Dedup.PortableSha)).materialized
       Dedup.dropNearDups(s2, "doc_id",
           Dedup.jaccardNearDupPairs(s2, "doc_id", "text", n = 3,
             threshold = 0.6, maxShingleDf = Some(shingleDfCap)))

@@ -3,6 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Reuse.ReuseOps
+
 /** Text-analysis primitives for large-scale training-data pipelines:
   * tokenization, quality scoring, language ID, fingerprinting.
   *
@@ -585,7 +587,7 @@ object TextAnalysis {
       .filter(length(col("term")) > 0)
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .materialized
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, "term")
@@ -635,7 +637,7 @@ object TextAnalysis {
     // and the corpus total — localCheckpoint stops the corpus-wide
     // explode+aggregate replaying for the second consumer (the repo's
     // multiply-consumed-frame idiom; ADVICE r4)
-    val bigrams = bigramCounts(df, textCol).localCheckpoint()
+    val bigrams = bigramCounts(df, textCol).materialized
     val bi = bigrams.filter(col("n_pair") >= minCount)
     val nTotal = bigrams.agg(sum(col("n_pair")).as("n_total"))
     bi
@@ -701,7 +703,7 @@ object TextAnalysis {
     val perDoc = df.select(col(idCol).as("doc_id"),
         explode(wordNgrams(col(textCol), 2)).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .materialized
     val vocab = perDoc.groupBy("bg").agg(sum(col("c")).as("n"))
       .orderBy(desc("n"), asc("bg")).limit(vocabK)
       .select(col("bg"), lit(1).as("in_vocab"))
@@ -734,7 +736,7 @@ object TextAnalysis {
       .filter(length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .localCheckpoint() // the vocab aggregate and the score join both read it
+      .materialized // the vocab aggregate and the score join both read it
     val vocab = perDoc.groupBy("tok").agg(sum(col("c")).as("n"))
     val total = vocab.agg(sum(col("n")).as("__N"))
     // −log₂ p is a function of the token TYPE alone, so it's computed
@@ -779,9 +781,9 @@ object TextAnalysis {
       .select(col("doc_id"),
         substring_index(col("bg"), " ", 1).as("w1"),
         substring_index(col("bg"), " ", -1).as("w2"), col("c"))
-      .localCheckpoint() // feeds the model tables AND the score join
+      .materialized // feeds the model tables AND the score join
     val bgCounts = perDocBg.groupBy("w1", "w2").agg(sum(col("c")).as("c_bg"))
-      .localCheckpoint() // context counts and the bits table both read it
+      .materialized // context counts and the bits table both read it
     val ctxCounts = bgCounts.groupBy("w1").agg(sum(col("c_bg")).as("c_ctx"))
     val ugCounts = df
       .filter(length(trim(col(textCol))) > 0)
@@ -843,7 +845,7 @@ object TextAnalysis {
         (conv(substring(sha2(col("__f"), 256), 1, 13), 16, 10)
           .cast("long") % buckets).as("bucket"))
       .groupBy("doc_id", "__tgt", "bucket").agg(count(lit(1)).as("c"))
-      .localCheckpoint() // feeds both models AND the score join
+      .materialized // feeds both models AND the score join
     def model(in: DataFrame, cName: String): DataFrame =
       in.groupBy("bucket").agg(sum(col("c")).as(cName))
     val tgt = model(feats.filter(col("__tgt")), "c_t")

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Reuse.ReuseOps
+
 /** Product-analytics operators over the event stream — the batch
   * counterparts of what the reference's dashboards would ask of its
   * aggregate tables: sessionization, funnel conversion, cohort
@@ -124,7 +126,7 @@ object Analytics {
     val deg = arcs.groupBy("src").agg(count(lit(1)).as("odeg"))
     val e = arcs.join(deg, Seq("src"))
       .repartition(col("src"))
-      .localCheckpoint() // edge-sized; shuffled once, read every round
+      .materialized // edge-sized; shuffled once, read every round
     val nodes = e.select(col("src").as("node")).distinct()
     val n = nodes.count()
     // an empty (or all-self-loop) edge list gives n = 0 → 1.0/n would
@@ -143,7 +145,7 @@ object Analytics {
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * col("s")).as("rank"))
-      if (i % 3 == 0 || i == iterations) ranks = ranks.localCheckpoint()
+      if (i % 3 == 0 || i == iterations) ranks = ranks.materialized
     }
     ranks
   }
@@ -333,13 +335,13 @@ object Analytics {
     val anchors = steps.tail.scanLeft(
       events.filter(col(typeCol) === steps.head)
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
-        .localCheckpoint()) { (prev, step) =>
+        .materialized) { (prev, step) =>
       events.filter(col(typeCol) === step)
         .join(prev.select(col(userCol), col("__t").as("__prev")), Seq(userCol))
         .filter(col(tsCol) > col("__prev") &&
           col(tsCol) <= col("__prev") + expr(s"INTERVAL $windowSeconds SECONDS"))
         .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
-        .localCheckpoint()
+        .materialized
     }
     anchors.zip(steps).zipWithIndex.map { case ((a, name), i) =>
       a.agg(count(lit(1)).as("n_users"))
@@ -483,7 +485,7 @@ object Analytics {
     // materialize once so an expensive upstream (typically a daily
     // aggregation) doesn't replay per consumer; the series is already
     // keys × observed-days, far smaller than what produced it
-    val series = df.localCheckpoint()
+    val series = df.materialized
     val bounds = series.agg(min(col(dayCol)).as("__lo"), max(col(dayCol)).as("__hi"))
     val calendar = series.select(col(keyCol)).distinct()
       .crossJoin(broadcast(bounds))
@@ -528,7 +530,7 @@ object Analytics {
       .groupBy("t")
       .agg(sum(col("s")).as("s"), sum(col("e")).as("e"))
       .withColumn("__day", to_date(col("t")))
-      .localCheckpoint()
+      .materialized
     // level 1: running sums within each day partition
     val wDay = Window.partitionBy(col("__day")).orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
+import graft.Reuse.ReuseOps
 import graft.functions.TextAnalysis
 
 /** Deduplication family for training-data pipelines: exact, n-gram
@@ -218,7 +219,7 @@ object Dedup {
         chunkTokens = spanTokens, overlap = 0)
       .select(col(idCol), col("chunk_idx"), col("chunk_text"),
         xxhash64(col("chunk_text")).as("__s"))
-      .localCheckpoint()
+      .materialized
     val dup = keyed.select(col("__s"), col(idCol)).distinct()
       .groupBy("__s").agg(count(lit(1)).as("__d"))
       .filter(col("__d") >= minDupDocs)
@@ -614,7 +615,7 @@ object Dedup {
       .join(base, Seq(idCol), "left_anti")
       .select(col(idCol), col(idCol).as("component_id"))
     // feeds the two edge-contraction joins AND the final remap
-    val all = base.unionByName(fresh).localCheckpoint()
+    val all = base.unionByName(fresh).materialized
     val la = all.select(col(idCol).as("id_a"), col("component_id").as("__ca"))
     val lb = all.select(col(idCol).as("id_b"), col("component_id").as("__cb"))
     val contracted = newPairs.select("id_a", "id_b")
@@ -717,7 +718,7 @@ object Dedup {
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .materialized
 
     // Propagation runs over the near-dup SUBGRAPH only — nodes with at
     // least one pair. Singletons (the overwhelming majority of a clean
@@ -760,7 +761,7 @@ object Dedup {
           lit(null).cast(idType).as("prev")))
         .groupBy("node")
         .agg(min("component_id").as("component_id"), min("prev").as("prev"))
-        .localCheckpoint() // cut lineage; also materializes for the probe
+        .materialized // cut lineage; also materializes for the probe
       converged =
         next.filter(col("component_id") < col("prev")).limit(1).count() == 0
       labels = next.select("node", "component_id")
@@ -864,7 +865,7 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint()
+      .materialized
 
     var converged = false
     var rounds = 0
@@ -890,7 +891,7 @@ object Dedup {
         .select(col("m").as("a"), col("v").as("b"))
         .union(smins.select(col("m").as("a"), col("u").as("b")))
         .distinct()
-        .localCheckpoint() // materialize: feeds both the probe and next round
+        .materialized // materialize: feeds both the probe and next round
 
       // exact fixed-point test: small ⊆ undirected (no new edges) AND
       // equal counts — subset plus equal cardinality implies multiset

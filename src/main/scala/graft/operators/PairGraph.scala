@@ -5,6 +5,8 @@ import java.util.function.{Function => JFunction}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.Reuse.ReuseOps
+
 /** Write-once near-duplicate pair-graph artifact.
   *
   * The components family — cluster labels, star contraction,
@@ -14,8 +16,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * full LSH/minhash derivations per suite, which at 100 TB is five full
   * corpus passes instead of one plus four cheap reads).
   *
-  * `of` memoizes the derived pair list per (session, key) and cuts its
-  * lineage with an eager `localCheckpoint`, so:
+  * `of` memoizes the derived pair list per (session, key) and
+  * materializes it eagerly via [[graft.Reuse]] (mode-selectable:
+  * executor-local checkpoint, reliable checkpoint dir, or DISK_ONLY
+  * persist — see that scaladoc for the durability trade), so:
   *  - the derivation executes exactly once per session per corpus;
   *  - every consumer's plan starts from the materialized edge list
   *    (bare id pairs — tiny next to the corpus), not from the
@@ -26,7 +30,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * On a real cluster the equivalent artifact is the pair list written
   * to a table once per ingest batch ("derive once, join many"); the
   * session-scoped checkpoint is the single-JVM expression of that
-  * contract. Keys are caller-chosen and must encode every parameter
+  * contract — `reliable` mode is the long-lived-cluster form, where
+  * the edge list must survive executor loss. Keys are caller-chosen and must encode every parameter
   * that changes the graph (corpus dir, n, threshold, banding, …) —
   * [[graft.SparkEntry]] uses `"<kind>:<params>:<dir>"`.
   */
@@ -40,7 +45,7 @@ object PairGraph {
     cache.computeIfAbsent(
       s"${System.identityHashCode(spark)}:$key",
       new JFunction[String, DataFrame] {
-        override def apply(k: String): DataFrame = derive.localCheckpoint()
+        override def apply(k: String): DataFrame = derive.materialized
       })
 
   /** Test hook: forget everything (e.g. between probe corpora). */
