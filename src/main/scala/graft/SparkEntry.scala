@@ -824,6 +824,29 @@ object SparkEntry {
           col("doc_id"),
           TextAnalysis.bpeTokenCount(col("text")).as("n_tokens"))
         .orderBy("doc_id")),
+    // TRUE BPE (the real merge loop over the embedded merges table, not
+    // the pre-tokenizer estimate above). Planted text: merge-rich words
+    // chosen by doc_id arithmetic + a bounded same-pair run
+    // ('thththth' — the case that stresses the oracle's replace-pass
+    // depth), lowercase+space only so '|' is a safe symbol delimiter
+    // on the oracle side. The DuckDB twin replays the SAME table via
+    // TextAnalysis.bpeOracleCtes (generated from it — cannot drift).
+    "q_bpe_tokens" -> ((s, dir) => {
+      val planted = concat(
+        lit("the "),
+        element_at(array(lit("thing"), lit("theme"), lit("resting"),
+          lit("rats"), lit("stone")), (col("doc_id") % 5 + 1).cast("int")),
+        lit(" and "),
+        element_at(array(lit("rest"), lit("oration"), lit("intent")),
+          (col("doc_id") % 3 + 1).cast("int")),
+        lit(" thththth in the end"))
+      Tables.documents(s, dir)
+        .withColumn("__toks", TextAnalysis.bpeTokens(planted))
+        .select(col("doc_id"),
+          array_join(col("__toks"), "|").as("bpe_text"),
+          size(col("__toks")).cast("long").as("n_bpe"))
+        .orderBy("doc_id")
+    }),
     // PII scrub: a synthetic email+URL suffix is appended IN the query
     // so every row exercises both patterns cross-engine (the fixture
     // text itself contains neither)
@@ -2647,6 +2670,25 @@ object SparkEntry {
                   '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))
                   AS n_tokens
          FROM documents ORDER BY doc_id""",
+    // same planted text; the merge replay CTEs are GENERATED from the
+    // Scala merges table (TextAnalysis.bpeOracleCtes)
+    "q_bpe_tokens" ->
+      s"""WITH RECURSIVE
+         bpesrc AS (SELECT doc_id,
+             'the ' ||
+             (CASE doc_id % 5 WHEN 0 THEN 'thing' WHEN 1 THEN 'theme'
+               WHEN 2 THEN 'resting' WHEN 3 THEN 'rats' ELSE 'stone' END) ||
+             ' and ' ||
+             (CASE doc_id % 3 WHEN 0 THEN 'rest' WHEN 1 THEN 'oration'
+               ELSE 'intent' END) ||
+             ' thththth in the end' AS text
+           FROM documents),
+         ${TextAnalysis.bpeOracleCtes("bpesrc")}
+         SELECT d.doc_id,
+                string_agg(t.s, '|' ORDER BY t.i) AS bpe_text,
+                CAST(sum(len(string_split(t.s, '|'))) AS BIGINT) AS n_bpe
+         FROM documents d JOIN bpetok t ON t.doc_id = d.doc_id
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
     // DuckDB regexp_replace needs the 'g' flag (Spark replaces all by
     // default); URL scrub runs first on both sides
     "q_scrub_pii" ->

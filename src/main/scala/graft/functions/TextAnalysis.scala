@@ -163,9 +163,117 @@ object TextAnalysis {
   /** Approximate LLM token count: number of `BpeishPattern` matches —
     * the budget estimator a training pipeline runs over every document
     * (whitespace `tokenCount` undercounts punctuation-heavy and
-    * CJK-adjacent text badly). Codegen'd single regex scan per row. */
+    * CJK-adjacent text badly). Codegen'd single regex scan per row.
+    * The REAL merge loop is [[bpeTokens]]; this stays the fast
+    * estimator (one regex scan vs the per-word merge iteration). */
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit(BpeishPattern))
+
+  /** Embedded BPE merges fixture — a small char-level merges table in
+    * the shape actual BPE training produces (the GPT-2 merges file is
+    * the public-knowledge reference for the format: one ranked
+    * `a b → ab` rule per line; this toy table is English-bigram-shaped
+    * and deterministic so the oracle can replay it). Two structural
+    * invariants — validated below at class-init because the DuckDB
+    * oracle's rank-order replay is only equivalent to the true
+    * min-rank loop when they hold (see [[graft.expressions.BpeEncode]]):
+    *  1. every rule's sides are base characters or outputs of
+    *     strictly lower-rank rules (constituents precede);
+    *  2. no two rules produce the same string.
+    */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"),    // 0: th
+    ("th", "e"),   // 1: the
+    ("i", "n"),    // 2: in
+    ("a", "n"),    // 3: an
+    ("an", "d"),   // 4: and
+    ("e", "r"),    // 5: er
+    ("o", "n"),    // 6: on
+    ("r", "e"),    // 7: re
+    ("a", "t"),    // 8: at
+    ("o", "r"),    // 9: or
+    ("s", "t"),    // 10: st
+    ("e", "n"),    // 11: en
+    ("in", "g"),   // 12: ing
+    (" ", "th"),   // 13: ␣th
+    (" th", "e"),  // 14: ␣the
+    (" ", "a"),    // 15: ␣a
+    (" a", "n"),   // 16: ␣an
+    (" an", "d"),  // 17: ␣and
+    (" ", "s"),    // 18: ␣s
+    (" s", "t"),   // 19: ␣st
+    (" ", "re"),   // 20: ␣re
+    (" re", "st"), // 21: ␣rest
+    ("r", "at"),   // 22: rat
+    (" ", "rat"),  // 23: ␣rat
+    ("e", "s"),    // 24: es
+    (" ", "in")    // 25: ␣in
+  )
+  // class-init validation of the oracle-equivalence invariants
+  locally {
+    val produced = scala.collection.mutable.Set[String]()
+    BpeMerges.zipWithIndex.foreach { case ((a, b), r) =>
+      for (side <- Seq(a, b)) {
+        require(side.length == 1 || produced.contains(side),
+          s"BpeMerges rank $r side '$side' is neither a base char nor an earlier output")
+      }
+      val out = a + b
+      require(!produced.contains(out), s"BpeMerges duplicate output '$out' at rank $r")
+      produced += out
+    }
+  }
+
+  /** True BPE tokenization: [[BpeishPattern]] pre-tokens, then the real
+    * lowest-rank-pair merge loop over `merges`. One codegen'd pass per
+    * row, no shuffle — the scan-projection shape token counting needs
+    * at 100 TB. Output `array<string>`. */
+  def bpeTokens(text: Column, merges: Seq[(String, String)] = BpeMerges): Column =
+    graft.expressions.BpeEncode.bpe(text, merges)
+
+  /** DuckDB replay of the SAME merge table (UDF-free), for oracle
+    * generation — generated from `merges` so Spark and oracle cannot
+    * drift. Emits CTEs over an input CTE `<src>(doc_id, text)`:
+    *
+    *  - `bpem(r, pat, rep)`: the rules as delimiter-wrapped string
+    *    patterns (`|a|b|` → `|ab|`), '|' being safe because the
+    *    planted fixture text is lowercase letters + spaces only;
+    *  - `bpept`: pre-tokens via `regexp_extract_all` of the SHARED
+    *    [[BpeishPattern]] (deliberately java.regex ≡ RE2 portable);
+    *  - `bpenc`: recursive CTE applying rule r at step r — each step
+    *    is `replaceDepth` nested `replace()` calls, because one
+    *    left-to-right `replace` pass misses occurrences that share a
+    *    delimiter with a consumed match (…|a|b|a|b|… consumes the
+    *    middle '|'); each extra pass at least halves the misses, so
+    *    depth d is exact for same-pair runs up to 2^d — the planted
+    *    fixture keeps runs ≤ 8 and registers depth 4;
+    *  - `bpetok(doc_id, i, s)`: the final symbol string per pre-token
+    *    (leading/trailing delimiter trimmed).
+    *
+    * Rank-order-once replay equals the true min-rank loop under the
+    * class-init invariants above. */
+  def bpeOracleCtes(src: String, merges: Seq[(String, String)] = BpeMerges,
+      replaceDepth: Int = 4): String = {
+    val rules = merges.zipWithIndex.map { case ((a, b), r) =>
+      def q(s: String) = s.replace("'", "''")
+      s"($r, '|${q(a)}|${q(b)}|', '|${q(a)}${q(b)}|')"
+    }.mkString(", ")
+    val applied = (1 to replaceDepth)
+      .foldLeft("e.s") { (acc, _) => s"replace($acc, m.pat, m.rep)" }
+    s"""bpem(r, pat, rep) AS (SELECT * FROM (VALUES $rules) v(r, pat, rep)),
+       bpept AS (SELECT doc_id,
+                   regexp_extract_all(text, '${BpeishPattern.replace("'", "''")}') AS ptl
+                 FROM $src),
+       bpenc(doc_id, i, s, r) AS (
+         SELECT doc_id, i,
+                '|' || array_to_string(string_split(ptl[i], ''), '|') || '|',
+                0
+         FROM bpept, LATERAL unnest(generate_series(1, len(ptl))) g(i)
+         UNION ALL
+         SELECT e.doc_id, e.i, $applied, e.r + 1
+         FROM bpenc e JOIN bpem m ON m.r = e.r),
+       bpetok AS (SELECT doc_id, i, trim(s, '|') AS s
+                  FROM bpenc WHERE r = ${merges.length})"""
+  }
 
   /** Scrub emails and URLs to typed placeholder tags — the minimal PII/
     * leakage pass every training corpus gets. Patterns are dialect-
