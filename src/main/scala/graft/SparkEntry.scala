@@ -972,6 +972,31 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // substring-level exact dedup (Lee et al. 2022): maximal duplicated
+    // token runs via sliding k-gram anchors. The planted fixture gives
+    // every doc a VARIABLE-length unique prefix (doc_id-derived, so the
+    // shared blocks land at a different offset in every doc — the
+    // straddles-every-fixed-window-boundary case dedupSpans misses by
+    // construction), one 12-token block shared by the mod-3 class, and
+    // one 10-token block shared by the mod-4 class, separated by unique
+    // filler so they surface as distinct maximal spans.
+    "q_substring_dedup" -> ((s, dir) => {
+      val planted = concat_ws(" ",
+        array_join(transform(
+          sequence(lit(0), (col("doc_id") % 7 + 3).cast("int")),
+          j => concat(lit("u"), col("doc_id"), lit("x"), j)), " "),
+        when(col("doc_id") % 3 === 0, lit(
+          "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")),
+        concat(lit("v"), col("doc_id"), lit("y0 v"), col("doc_id"),
+          lit("y1 v"), col("doc_id"), lit("y2")),
+        when(col("doc_id") % 4 === 0, lit(
+          "one two three four five six seven eight nine ten")),
+        concat(lit("w"), col("doc_id"), lit("z")))
+      Dedup.duplicateSubstringSpans(
+          Tables.documents(s, dir).select(col("doc_id"), planted.as("text")),
+          "doc_id", "text", minTokens = 8)
+        .orderBy("doc_id", "span_start")
+    }),
     // capped df is the production default — the cap is what bounds the
     // inverted-index join's Σ df(s)² cost under boilerplate at 100 TB.
     // All jaccard-family queries below read the ONE materialized
@@ -3729,6 +3754,42 @@ object SparkEntry {
          FROM pairs
          WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
          ORDER BY id_left, id_right""",
+    // substring dedup: same planted text; sliding 8-grams keyed by the
+    // gram STRING (the Spark side's xxhash64 is identical absent a
+    // 64-bit collision — the q_dedup_spans precedent); interval merge
+    // via the same running-max gaps-and-islands window
+    "q_substring_dedup" ->
+      """WITH src AS (SELECT doc_id,
+             concat_ws(' ',
+               array_to_string(list_transform(range(0, doc_id % 7 + 4),
+                 j -> 'u' || doc_id || 'x' || j), ' '),
+               CASE WHEN doc_id % 3 = 0 THEN
+                 'alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu' END,
+               'v' || doc_id || 'y0 v' || doc_id || 'y1 v' || doc_id || 'y2',
+               CASE WHEN doc_id % 4 = 0 THEN
+                 'one two three four five six seven eight nine ten' END,
+               'w' || doc_id || 'z') AS text
+           FROM documents),
+         tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                 FROM src),
+         grams AS (SELECT doc_id, i - 1 AS pos,
+                     array_to_string(t[i:i+7], ' ') AS g
+                   FROM tok, LATERAL unnest(generate_series(1, len(t) - 7)) u(i)
+                   WHERE len(t) >= 8),
+         dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS d
+                                FROM grams GROUP BY g) WHERE d >= 2),
+         anch AS (SELECT doc_id, pos, pos + 7 AS e
+                  FROM grams WHERE g IN (SELECT g FROM dup)),
+         m AS (SELECT doc_id, pos, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+               FROM anch),
+         isl AS (SELECT doc_id, pos, e,
+                   sum(CASE WHEN pm IS NULL OR pos > pm + 1 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                 FROM m)
+         SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+         FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
     // span extraction mirrors the q_doc_chunks oracle at stride =
     // chunkTokens = 40 (disjoint spans); dup spans = text in >= 2
     // distinct docs; reassembly is ORDER BY chunk_idx with a single

@@ -236,6 +236,97 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Substring-level exact dedup (Lee et al. 2022, ExactSubstr)
+  // ------------------------------------------------------------------
+
+  /** Maximal duplicated token substrings — the substring-level exact
+    * dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"), whose reference implementation is a
+    * suffix array. The distributed shape here is hashed k-mer anchors
+    * + extension:
+    *
+    *  1. every doc emits its SLIDING token k-grams with position (one
+    *     anchor per token offset — unlike [[dedupSpans]]' fixed
+    *     non-overlapping windows, a shared run is detected at ANY
+    *     alignment, including straddling any window boundary);
+    *  2. an anchor duplicated across ≥ `minDupDocs` docs marks tokens
+    *     [pos, pos+k-1] as duplicated — any shared run of length
+    *     L ≥ k contains L−k+1 such anchors, so detection is COMPLETE
+    *     for the minimum length k and the marked union is exactly the
+    *     maximal shared run (the "bidirectional extension" of the
+    *     suffix-array formulation falls out of anchor overlap);
+    *  3. per doc, overlapping/adjacent anchor intervals merge into
+    *     maximal spans (gaps-and-islands over a per-doc window — rows
+    *     per doc = its dup anchors, so the window is narrow).
+    *
+    * Dup detection groups on `xxhash64` of the k-gram — the
+    * [[dedupSpans]] precedent: the shuffle moves 8-byte keys, never
+    * the text; the DuckDB oracle groups the gram strings themselves
+    * (collision-free), identical absent a 64-bit collision.
+    *
+    * Output: (idCol, span_start, span_end) — 0-based inclusive TOKEN
+    * intervals, one row per maximal duplicated span. Docs with no
+    * duplicated substring produce no rows. */
+  def duplicateSubstringSpans(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int, minDupDocs: Int = 2): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    require(minDupDocs >= 2, s"minDupDocs must be >= 2, got $minDupDocs")
+    val anchors = docs
+      .select(col(idCol), posexplode(
+        TextAnalysis.wordNgrams(col(textCol), minTokens)).as(Seq("pos", "g")))
+      .select(col(idCol), col("pos"), xxhash64(col("g")).as("__h"))
+      .materialized // feeds dup detection AND the anchor side of the join
+    val dup = anchors.select(col("__h"), col(idCol)).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__d"))
+      .filter(col("__d") >= minDupDocs)
+      .select("__h")
+    val marked = anchors.join(dup, Seq("__h"), "left_semi")
+      .select(col(idCol), col("pos"),
+        (col("pos") + lit(minTokens - 1)).as("__e"))
+    // gaps-and-islands: a new span starts where this anchor's interval
+    // neither overlaps nor touches everything seen so far
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevMax = max(col("__e")).over(
+      w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    marked
+      .withColumn("__new",
+        when(prevMax.isNull || col("pos") > prevMax + 1, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        max(col("__e")).cast("long").as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Remove every duplicated substring occurrence (≥ `minTokens`
+    * tokens, shared by ≥ `minDupDocs` docs) from every document — the
+    * corpus-cleaning form of [[duplicateSubstringSpans]]. Output:
+    * (idCol, textCol = surviving tokens space-joined, n_dup_tokens).
+    * Docs that were entirely duplicated text keep a row with empty
+    * text (unlike [[dedupSpans]], which drops them) so accounting
+    * stays total. The positional filter is an interpreted HOF, but it
+    * runs on the OUTPUT projection (once per doc), not in a join or
+    * shuffle path. */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int, minDupDocs: Int = 2): DataFrame = {
+    val spans = duplicateSubstringSpans(docs, idCol, textCol, minTokens, minDupDocs)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    docs.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__spans").isNull, col(textCol)).otherwise(array_join(
+          filter(TextAnalysis.tokens(col(textCol)),
+            (_, i) => !exists(col("__spans"),
+              sp => i.cast("long").between(
+                sp.getField("span_start"), sp.getField("span_end")))),
+          " ")).as(textCol),
+        coalesce(aggregate(col("__spans"), lit(0L),
+          (acc, sp) => acc + sp.getField("span_end") - sp.getField("span_start") + 1L),
+          lit(0L)).as("n_dup_tokens"))
+  }
+
+  // ------------------------------------------------------------------
   // MinHash + LSH near-dup (approximate candidate generation)
   // ------------------------------------------------------------------
 

@@ -530,6 +530,57 @@ class DedupSpec extends SparkSpec {
       3L -> "p q r", 4L -> "m n o m n o", 5L -> "a b c"))
   }
 
+  test("duplicateSubstringSpans finds shared runs at ANY alignment (the fixed-window miss)") {
+    // the shared 5-token run sits at offset 1 in doc 1 and offset 3 in
+    // doc 2 — with 3-token FIXED windows (offsets 0-2, 3-5, …) no
+    // window of doc 1 equals a window of doc 2, so dedupSpans finds
+    // NOTHING; sliding anchors must find the exact run both places
+    val fixture = Seq(
+      (1L, "p1 s1 s2 s3 s4 s5 q1 q2"),
+      (2L, "r1 r2 r3 s1 s2 s3 s4 s5"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSubstringSpans(fixture, "doc_id", "text",
+        minTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((1L, 1L, 5L), (2L, 3L, 7L)))
+    // and the fixed-window operator indeed misses it entirely
+    val windowed = Dedup.dedupSpans(fixture, "doc_id", "text", spanTokens = 3)
+      .select("n_spans_kept").collect().map(_.getLong(0)).sum
+    assert(windowed === 9L) // 3 windows per doc, none removed
+
+    // two separate shared runs in one doc stay separate maximal spans;
+    // adjacent/overlapping anchors merge into one
+    val two = Seq(
+      (10L, "a1 a2 a3 u1 u2 b1 b2 b3"),
+      (11L, "a1 a2 a3 v1 v2 b1 b2 b3"),
+      (12L, "c1 a1 a2 a3 a4 c2 c3 c4"),
+      (13L, "d1 a1 a2 a3 a4 d2 d3 d4")
+    ).toDF("doc_id", "text")
+    val s2 = Dedup.duplicateSubstringSpans(two, "doc_id", "text", minTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // docs 10/11 share a1a2a3 (span 0-2) and b1b2b3 (span 5-7);
+    // docs 12/13 share a1a2a3a4 (two overlapping anchors → ONE span 1-4)
+    assert(s2 === Set((10L, 0L, 2L), (10L, 5L, 7L), (11L, 0L, 2L),
+      (11L, 5L, 7L), (12L, 1L, 4L), (13L, 1L, 4L)))
+  }
+
+  test("substringDedup removes every duplicated occurrence, keeps accounting total") {
+    val fixture = Seq(
+      (1L, "p1 s1 s2 s3 s4 s5 q1 q2"),
+      (2L, "r1 r2 r3 s1 s2 s3 s4 s5"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8"),
+      (4L, "s1 s2 s3 s4 s5")          // entirely duplicated text
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(fixture, "doc_id", "text", minTokens = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      1L -> (("p1 q1 q2", 5L)),
+      2L -> (("r1 r2 r3", 5L)),
+      3L -> (("z1 z2 z3 z4 z5 z6 z7 z8", 0L)),
+      4L -> (("", 5L)))) // kept as a row, text emptied
+  }
+
   test("jaccardNearDupPairsAcross equals the cross-side restriction of the self-join") {
     val newBatch = docs.filter(col("doc_id") % 2 === 0)
     val ref = docs.filter(col("doc_id") % 2 =!= 0)
