@@ -1564,6 +1564,15 @@ object SparkEntry {
       TextAnalysis.dsirLogWeights(Tables.documents(s, dir),
           "doc_id", "text", col("lang") === "en", buckets = 4096)
         .orderBy("doc_id")),
+    // fastText-architecture quality classifier (hashed uni+bigram
+    // linear model) with the deterministic integer weight fixture —
+    // BIGINT scoring end-to-end, so the oracle is hash-exact with no
+    // float tolerance (the PMI/tf-idf precedent)
+    "q_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.qualityClassifier(Tables.documents(s, dir),
+          "doc_id", "text", TextAnalysis.classifierFixtureWeights(s),
+          buckets = 4096)
+        .orderBy("doc_id")),
     // within-doc line dedup (RefinedWeb boilerplate pass) — the fixture
     // text is single-line, so the query wraps it deterministically
     // (" the " → newline, plus a planted duplicated head line) the same
@@ -3619,6 +3628,37 @@ object SparkEntry {
          LEFT JOIN tgt t2 ON t2.bucket = p.bucket
          CROSS JOIN tot
          GROUP BY 1 ORDER BY doc_id""",
+    // same sha52 bucketing as DSIR; the weight is one integer
+    // expression of the bucket, so every aggregate is BIGINT-exact
+    "q_quality_classifier" ->
+      """WITH toks AS (SELECT doc_id,
+                string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0),
+         feats AS (
+           SELECT doc_id, 'u:' || unnest(t) AS f FROM toks
+           UNION ALL
+           SELECT doc_id, 'b:' || t[i] || ' ' || t[i + 1] AS f
+           FROM toks, LATERAL unnest(generate_series(1, len(t) - 1))
+             AS g(i)
+           WHERE len(t) >= 2),
+         fb AS (SELECT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(
+                      substring(sha256(f), 1, 13), ''),
+                      c -> CAST(instr('0123456789abcdef', c) - 1
+                        AS BIGINT))),
+                    (acc, x) -> acc * 16 + x) % 4096 AS bucket
+                FROM feats),
+         perdoc AS (SELECT doc_id, bucket, count(*) AS c
+                    FROM fb GROUP BY 1, 2),
+         sc AS (SELECT doc_id, sum(c) AS n_feats,
+                  sum(c * (((bucket * 2654435761 + 104729) % 2001) - 1000))
+                    AS score_sum
+                FROM perdoc GROUP BY 1)
+         SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+                CAST(score_sum AS BIGINT) AS score_sum,
+                score_sum > 0 AS label
+         FROM sc ORDER BY doc_id""",
     "q_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id,
                 unnest(string_split_regex(trim(text), '\s+')) AS tok

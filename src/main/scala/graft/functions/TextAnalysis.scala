@@ -980,6 +980,60 @@ object TextAnalysis {
         sum(col("c").cast("double") * col("__lr")).as("log_weight"))
   }
 
+  /** fastText-style quality classifier INFERENCE (Joulin et al. 2016,
+    * "Bag of Tricks for Efficient Text Classification" — the
+    * architecture of the GPT-3/CCNet quality filters): featurize each
+    * document as hashed uni+bigram counts (the same portable sha52
+    * bucketing as [[dsirLogWeights]] — fastText's feature space), then
+    * score with a linear layer over the bucket weights:
+    * score = Σ_f c_f · w[bucket(f)]. This is fastText with dim-1
+    * embeddings folded into the output layer — inference-equivalent
+    * for a binary head, and it keeps scoring EXACT: with integer
+    * weights the score is a BIGINT sum (the PMI/tf-idf integer-oracle
+    * precedent), so the oracle is hash-exact, no float tolerance. The
+    * sigmoid is monotone, so `label = score > 0` matches
+    * `σ(score/n) > 0.5` without ever computing a float.
+    *
+    * `weights` is a (bucket int, w long) table — in production the
+    * trained model, here [[classifierFixtureWeights]]. It is bounded
+    * by `buckets` BY CONSTRUCTION, so the score join broadcasts at any
+    * corpus size and the corpus never shuffles whole (the DSIR shape).
+    * Output: (doc_id, n_feats, score_sum, label); empty docs absent. */
+  def qualityClassifier(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"need 2 <= buckets <= 2^20, got $buckets")
+    val feats = df.select(col(idCol).as("doc_id"),
+        explode(concat(
+          transform(tokens(col(textCol)), t => concat(lit("u:"), t)),
+          transform(wordNgrams(col(textCol), 2),
+            g => concat(lit("b:"), g)))).as("__f"))
+      .filter(col("__f") =!= "u:") // tokens("") == [""] quirk
+      .select(col("doc_id"),
+        (conv(substring(sha2(col("__f"), 256), 1, 13), 16, 10)
+          .cast("long") % buckets).cast("int").as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+    feats
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_feats"),
+        sum(col("c") * col("w")).as("score_sum"))
+      .select(col("doc_id"), col("n_feats"), col("score_sum"),
+        (col("score_sum") > 0).as("label"))
+  }
+
+  /** Deterministic integer weight fixture for [[qualityClassifier]]:
+    * w(b) = ((b·2654435761 + 104729) mod 2001) − 1000 ∈ [−1000, 1000]
+    * (Knuth multiplicative constant + a prime offset — pseudo-random
+    * sign/magnitude per bucket, replayable in one SQL expression).
+    * Stands in for trained weights; the OPERATOR contract is the
+    * broadcast weights-table join, which is what a real model plugs
+    * into. */
+  def classifierFixtureWeights(spark: org.apache.spark.sql.SparkSession,
+      buckets: Int = 4096): DataFrame =
+    spark.range(buckets).select(col("id").cast("int").as("bucket"),
+      ((col("id") * lit(2654435761L) + lit(104729L)) % 2001L - 1000L).as("w"))
+
   /** Within-document exact line dedup (the RefinedWeb/CCNet boilerplate
     * pass: navigation menus, cookie banners and signature blocks repeat
     * the same line many times inside one page): keep each distinct line
