@@ -34,3 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // margin, not a claimed measured win.)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// forward graft.* system properties (e.g. -Dgraft.streamBench.events=1000000
+// on the sbt command line) into the forked test/run JVMs, where the
+// specs read them
+javaOptions ++= sys.props.toSeq.collect {
+  case (k, v) if k.startsWith("graft.") => s"-D$k=$v"
+}

@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 import graft.{GraftSession, Tables}
+import graft.Reuse.ReuseOps
 import graft.operators.{Dedup, Similarity}
 
 /** Scaling sanity probe (dev tool, results recorded in BASELINE.md):
@@ -293,6 +294,55 @@ object ScaleProbe {
         f"unigram=$tu%.1fs($nu%d) bigram=$tb%.1fs($nb%d) " +
         f"dsir=$td6%.1fs($nd6%d) pagerank=$tp6%.1fs($np6%d nodes)")
     }
+    // Round-7 probe family: the r6 heavies pushed to 32×/64× (the r6
+    // sweep stopped at 8×; vocab skew and banding hot buckets only
+    // show beyond that). Replicas are disjointed by SUFFIXING every
+    // token with the replica id — the Caesar construction caps at 26
+    // disjoint vocabularies, which 64× exceeds (colliding replicas
+    // would plant cross-replica dups and superlinear pair growth); the
+    // per-token tag keeps model tables, shingle streams, and planted
+    // dup structure exactly linear in K at any K. Corpus is
+    // MATERIALIZED before timing (the kmeans-probe lesson: lazy
+    // replica construction re-evaluates per consumer and drowns the
+    // operator signal at big K). Single rep per op at K ≥ 32 — at
+    // minutes per op the ambient-drift argument for minima flips
+    // against the wall-clock cost; treat the row as an upper bound.
+    for (k <- Seq(8, 16, 32, 64) if on("r7")) {
+      val docs = (0 until k).map { i =>
+        base.select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "$1" + i).as("text"),
+          col("lang"), col("source"))
+      }.reduce(_ unionAll _).persist()
+      docs.count()
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (tb, nb) = time(graft.functions.TextAnalysis
+        .bigramCrossEntropy(docs, "doc_id", "text").count())
+      val (td, nd) = time(graft.functions.TextAnalysis
+        .dsirLogWeights(docs, "doc_id", "text", col("lang") === "en").count())
+      val (ts, ns) = time(
+        Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3).count())
+      val (tc, nc) = time {
+        val half = graft.operators.Scale.modSample(docs, "doc_id", 1, 2)
+        val s1 = half.join(Dedup.exactDedup(half, "doc_id", "text"),
+          Seq("doc_id"), "left_semi").materialized
+        val s2 = Dedup.dropNearDups(s1, "doc_id",
+          Dedup.simhashNearDupPairs(s1, "doc_id", "text", maxDist = 3,
+            tokenHash = Dedup.PortableSha)).materialized
+        Dedup.dropNearDups(s2, "doc_id",
+            Dedup.jaccardNearDupPairs(s2, "doc_id", "text", n = 3,
+              threshold = 0.6, maxShingleDf = Some(20)))
+          .count()
+      }
+      docs.unpersist()
+      println(f"R7PROBE k=$k%d docs=${5000 * k}%d " +
+        f"bigram=$tb%.1fs($nb%d) dsir=$td%.1fs($nd%d) " +
+        f"simhash=$ts%.1fs($ns%d pairs) cascade=$tc%.1fs($nc%d kept)")
+    }
+
     // Mini-batch k-means trainer: per-ITERATION cost must stay ~flat as
     // the corpus grows (the batch is k·batchPerCell rows no matter the
     // corpus; only the slice scan and the one-off init/count are
