@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Reuse.ReuseOps
-import graft.functions.TextAnalysis
+import graft.functions.{Kmv, TextAnalysis}
 import graft.operators.{Analytics, AsOf, Dedup, Ecommerce, Multimodal, PairGraph, RangeJoin, Scale, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1573,6 +1573,27 @@ object SparkEntry {
           "doc_id", "text", TextAnalysis.classifierFixtureWeights(s),
           buckets = 4096)
         .orderBy("doc_id")),
+    // KMV distinct sketch: bounded-state count-distinct — each input
+    // partition ships ≤ k hashes per group to the shuffle, raw user ids
+    // never travel. k=64 < the fixture's 150 distinct users, so the
+    // oracle adjudicates the ESTIMATOR path, not just exact fallback
+    "q_distinct_kmv" -> ((s, dir) =>
+      Kmv.distinctEstimate(Tables.events(s, dir), "event_type", "user_id",
+          k = 64)
+        .orderBy("event_type")),
+    // theta-sketch set algebra: distinct 3-gram-shingle overlap of the
+    // even- and odd-doc_id corpus halves from two k=256 sketches —
+    // |A|, |B|, |A∩B|, |A∪B| and Jaccard estimated without
+    // co-shuffling the corpora (each half contributes ONE k-long array
+    // row; ~10k distinct shingles per half saturate both sketches at
+    // every SF, so the driver adjudicates the θ/estimator path)
+    "q_kmv_shingle_overlap" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.wordNgrams(col("text"), 3)).as("sh"))
+      Kmv.overlapEstimate(sh.filter(col("doc_id") % 2 === 0),
+        sh.filter(col("doc_id") % 2 =!= 0), "sh", k = 256)
+    }),
     // within-doc line dedup (RefinedWeb boilerplate pass) — the fixture
     // text is single-line, so the query wraps it deterministically
     // (" the " → newline, plus a planted duplicated head line) the same
@@ -3692,6 +3713,79 @@ object SparkEntry {
                 CAST(len(t.ls) - a.n_kept AS BIGINT) AS n_dropped
          FROM t JOIN agg a ON a.doc_id = t.doc_id
          ORDER BY t.doc_id""",
+    // KMV sketch: bottom-64 distinct sha52 hashes per group via a
+    // window (the oracle may shuffle everything; the Spark side keeps
+    // ≤ k per partition) — estimator arithmetic written in the exact
+    // association order of Kmv.estimateCol, so doubles hash-match
+    "q_distinct_kmv" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+                ${sha52Sql("CAST(user_id AS VARCHAR)")} AS h
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+         r AS (SELECT event_type, h, row_number()
+                 OVER (PARTITION BY event_type ORDER BY h) AS rn
+               FROM h),
+         k AS (SELECT event_type, count(*) AS n_kept,
+                      max(CASE WHEN rn = 64 THEN h END) AS hk
+               FROM r WHERE rn <= 64 GROUP BY 1)
+         SELECT event_type, CAST(n_kept AS INT) AS n_kept,
+                CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                     ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+                          / hk END AS est_distinct
+         FROM k ORDER BY event_type""",
+    // theta-sketch overlap: the same bottom-256 construction on each
+    // corpus half of the 3-gram shingle universe; θ = min of the two
+    // k-th minima (M when unsaturated), intersection counted below θ,
+    // union by inclusion–exclusion in the Spark side's association
+    // order. All M literals CAST to DOUBLE — a bare 4503599627370496.0
+    // is DECIMAL in DuckDB and its products overflow DECIMAL(18)
+    "q_kmv_shingle_overlap" ->
+      s"""WITH t AS (SELECT doc_id,
+                string_split_regex(trim(text), '\\s+') AS ts
+              FROM documents),
+         toks AS (SELECT doc_id, unnest(
+                CASE WHEN len(ts) < 3 THEN []
+                     ELSE list_transform(range(1, len(ts) - 1),
+                       i -> array_to_string(ts[i:i+2], ' ')) END) AS tok
+              FROM t),
+         haa AS (SELECT DISTINCT ${sha52Sql("tok")} AS h FROM toks
+                 WHERE doc_id % 2 = 0),
+         hba AS (SELECT DISTINCT ${sha52Sql("tok")} AS h FROM toks
+                 WHERE doc_id % 2 <> 0),
+         ka AS (SELECT h FROM haa ORDER BY h LIMIT 256),
+         kb AS (SELECT h FROM hba ORDER BY h LIMIT 256),
+         pa AS (SELECT count(*) AS n_a, max(h) AS hka FROM ka),
+         pb AS (SELECT count(*) AS n_b, max(h) AS hkb FROM kb),
+         th AS (SELECT n_a, n_b, hka, hkb,
+                 LEAST(CASE WHEN n_a < 256
+                            THEN CAST(4503599627370496 AS DOUBLE)
+                            ELSE CAST(hka AS DOUBLE) END,
+                       CASE WHEN n_b < 256
+                            THEN CAST(4503599627370496 AS DOUBLE)
+                            ELSE CAST(hkb AS DOUBLE) END) AS theta
+                FROM pa CROSS JOIN pb),
+         inter AS (SELECT count(*) AS n_inter
+                   FROM ka JOIN kb USING (h) CROSS JOIN th
+                   WHERE CAST(h AS DOUBLE) < th.theta),
+         est AS (SELECT CAST(t.n_a AS INT) AS n_a_kept,
+                        CAST(t.n_b AS INT) AS n_b_kept,
+                        CAST(i.n_inter AS INT) AS n_inter,
+                        CASE WHEN t.n_a < 256 THEN CAST(t.n_a AS DOUBLE)
+                             ELSE CAST(255 AS DOUBLE)
+                                  * CAST(4503599627370496 AS DOUBLE)
+                                  / t.hka END AS est_a,
+                        CASE WHEN t.n_b < 256 THEN CAST(t.n_b AS DOUBLE)
+                             ELSE CAST(255 AS DOUBLE)
+                                  * CAST(4503599627370496 AS DOUBLE)
+                                  / t.hkb END AS est_b,
+                        CAST(i.n_inter AS DOUBLE)
+                          * CAST(4503599627370496 AS DOUBLE)
+                          / t.theta AS est_inter
+                 FROM th t CROSS JOIN inter i)
+         SELECT n_a_kept, n_b_kept, n_inter, est_a, est_b, est_inter,
+                (est_a + est_b) - est_inter AS est_union,
+                est_inter / ((est_a + est_b) - est_inter) AS jaccard_est
+         FROM est""",
     // 1-based list index → 0-based sent_idx; empties filtered AFTER
     // indexing on both sides, so surviving indices match posexplode's
     "q_sentences" ->
@@ -4036,6 +4130,15 @@ object SparkEntry {
 
   /** DuckDB-native ASOF join, shared by the plain and skew-safe bucketed
     * as-of queries (the bucketed rewrite must be result-invariant). */
+  /** DuckDB rendering of the portable sha52 hash of expression `e` —
+    * the identical first-13-hex-nibbles-of-sha256 integer the Spark
+    * side computes (`Kmv.sha52`, the DSIR/classifier bucketing). */
+  private def sha52Sql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split(substring(sha256($e), 1, 13), ''),
+       |    c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))),
+       |  (acc, x) -> acc * 16 + x)""".stripMargin
+
   private val asofOracleSql: String =
       """WITH r AS (SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ots,
                           max(o_totalprice) AS order_price
