@@ -502,6 +502,102 @@ object SparkEntry {
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_suppkey")
     }),
+    // ----- Q2 shape: correlated-min subquery — the supplier(s) offering
+    // the MINIMUM price for each part of one size class, suppliers
+    // restricted to one region (the fixture has no partsupp, so
+    // lineitem supplies the (part, supplier, price) associations). The
+    // correlated `price = (SELECT min ...)` decorrelates into a
+    // partkey-keyed min aggregate re-joined on EQUALITY of the engine's
+    // own min (copied values, no arithmetic — exact in both engines);
+    // region→nation→supplier prune is broadcast all the way down, so
+    // the fact table is filtered at the scan side of one shuffle
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val asiaNations = broadcast(Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
+      val asiaSupp = Tables.supplier(s, dir)
+        .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val offers = Tables.lineitem(s, dir)
+        .join(broadcast(asiaSupp.select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+      val minCost = offers.groupBy("l_partkey")
+        .agg(min(col("l_extendedprice")).as("min_price"))
+      offers
+        .join(minCost.withColumnRenamed("l_partkey", "mk"),
+          col("l_partkey") === col("mk") &&
+            col("l_extendedprice") === col("min_price"))
+        .select("l_partkey", "l_suppkey", "min_price").distinct()
+        .join(broadcast(Tables.part(s, dir).filter(col("p_size") === 10)),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name").as("nation"),
+          col("p_partkey"), col("min_price"))
+        .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+        .limit(20)
+    }),
+    // ----- Q11 shape: group-share-of-global-total HAVING — parts whose
+    // stock (quantity shipped by even-nation suppliers; q7's parity
+    // bloc keeps every SF populated) exceeds 1.5× the per-part average
+    // (14/127/1074 rows at sf0.001/0.01/0.1 — non-degenerate at every SF).
+    // Quantities are integer-valued doubles, so both the per-part sums
+    // and the global total are EXACT and the strict threshold cut
+    // cannot flip on summation order; the global total and count ride
+    // one broadcast 1-row frame (the q22/q15 scalar-subquery shape)
+    "q11_important_stock" -> ((s, dir) => {
+      val blocSupp = Tables.supplier(s, dir)
+        .filter(col("s_nationkey") % 2 === 0).select("s_suppkey")
+      val perPart = Tables.lineitem(s, dir)
+        .join(broadcast(blocSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum(col("l_quantity")).as("stock_qty"))
+      val totals = perPart.agg(sum(col("stock_qty")).as("__t"),
+        count(lit(1)).as("__n"))
+      perPart.crossJoin(broadcast(totals))
+        .filter(col("stock_qty") > lit(1.5) * (col("__t") / col("__n")))
+        .select("l_partkey", "stock_qty")
+        .orderBy(col("stock_qty").desc, col("l_partkey"))
+    }),
+    // ----- Q12 shape: fact-to-fact join + two-class conditional counts
+    // — late-year lineitems classified by whether their order was
+    // high-priority (the fixture has no shipmode; l_returnflag is the
+    // grouping "mode"). Orders cannot broadcast at scale, so both
+    // facts shuffle on orderkey once (AQE broadcasts when small);
+    // counts are integers → hash-exact
+    "q12_priority_lines" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")),
+    // ----- Q16 shape: distinct-count per attribute group behind a
+    // NOT-IN supplier exclusion — how many distinct suppliers ship each
+    // (brand, type), excluding negative-balance suppliers (the
+    // "complaints" list). The exclusion is a broadcast anti-join BEFORE
+    // the distinct aggregation; (part, supplier) associations are
+    // deduped from lineitem first so the count-distinct input is
+    // association-sized, not fact-sized
+    "q16_supplier_diversity" -> ((s, dir) => {
+      val excluded = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0.0).select("s_suppkey")
+      Tables.lineitem(s, dir)
+        .select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+    }),
     // ----- rollup / grouping-set aggregation
     "q_rollup_lineitem" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -2243,6 +2339,64 @@ object SparkEntry {
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_orderdate >= TIMESTAMP '2000-01-01')
          GROUP BY 1 ORDER BY nation""",
+    // Q2 shape stated as the textbook correlated-min subquery; the
+    // Spark side's decorrelated min-aggregate + equality re-join must
+    // select the same (part, supplier) winners
+    "q2_min_cost_supplier" ->
+      """WITH asia AS (SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+              FROM supplier s
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+              JOIN region r ON r.r_regionkey = n.n_regionkey
+              WHERE r.r_name = 'ASIA'),
+         offers AS (SELECT DISTINCT l.l_partkey, l.l_suppkey,
+                           l.l_extendedprice
+                    FROM lineitem l
+                    JOIN asia a ON a.s_suppkey = l.l_suppkey)
+         SELECT a.s_acctbal, a.s_name, a.n_name AS nation, p.p_partkey,
+                o.l_extendedprice AS min_price
+         FROM offers o
+         JOIN part p ON p.p_partkey = o.l_partkey AND p.p_size = 10
+         JOIN asia a ON a.s_suppkey = o.l_suppkey
+         WHERE o.l_extendedprice = (SELECT min(o2.l_extendedprice)
+                                    FROM offers o2
+                                    WHERE o2.l_partkey = o.l_partkey)
+         ORDER BY a.s_acctbal DESC, a.s_name, p.p_partkey LIMIT 20""",
+    // Q11 shape as the textbook share-of-total HAVING via scalar
+    // subqueries; quantity sums are integer-exact so the strict cut
+    // is engine-stable
+    "q11_important_stock" ->
+      """WITH perpart AS (SELECT l.l_partkey,
+                SUM(l.l_quantity) AS stock_qty
+              FROM lineitem l
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              WHERE s.s_nationkey % 2 = 0
+              GROUP BY 1)
+         SELECT l_partkey, stock_qty FROM perpart
+         WHERE stock_qty > 1.5 * ((SELECT SUM(stock_qty) FROM perpart)
+                                  / (SELECT COUNT(*) FROM perpart))
+         ORDER BY stock_qty DESC, l_partkey""",
+    "q12_priority_lines" ->
+      """SELECT l.l_returnflag,
+                CAST(SUM(CASE WHEN o.o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+                  AS high_line_count,
+                CAST(SUM(CASE WHEN o.o_orderpriority IN
+                    ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+                  AS low_line_count
+         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l.l_shipdate < TIMESTAMP '1996-01-01'
+         GROUP BY 1 ORDER BY l_returnflag""",
+    // Q16 shape as the textbook NOT-IN formulation; Spark states the
+    // same exclusion as a broadcast left_anti before the distinct count
+    "q16_supplier_diversity" ->
+      """SELECT p.p_brand, p.p_type,
+                COUNT(DISTINCT a.l_suppkey) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) a
+         JOIN part p ON p.p_partkey = a.l_partkey
+         WHERE a.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                   WHERE s_acctbal < 0.0)
+         GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_type""",
     // the textbook two-alias formulation of the two-role nation join
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
