@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Reuse.ReuseOps
-import graft.functions.{Kmv, TextAnalysis}
+import graft.functions.{CountMin, Kmv, TextAnalysis}
 import graft.operators.{Analytics, AsOf, Dedup, Ecommerce, Multimodal, PairGraph, RangeJoin, Scale, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1689,6 +1689,22 @@ object SparkEntry {
           explode(TextAnalysis.wordNgrams(col("text"), 3)).as("sh"))
       Kmv.overlapEstimate(sh.filter(col("doc_id") % 2 === 0),
         sh.filter(col("doc_id") % 2 =!= 0), "sh", k = 256)
+    }),
+    // count-min sketch: token frequencies from a d=4 × w=64 table (≤
+    // 256 cells at ANY corpus size — the build is one map-side-combined
+    // aggregation, the lookup broadcasts the table). w=64 < the 31-token
+    // vocab² collision space, so some estimates EXCEED their exact
+    // counts — the one-sided error the oracle certifies cell-for-cell
+    "q_countmin_freqs" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .filter(length(trim(col("text"))) > 0)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val cm = CountMin.table(toks, "tok", d = 4, w = 64)
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_count"))
+      CountMin.pointEstimates(toks, cm, "tok", d = 4, w = 64)
+        .withColumnRenamed("value", "tok")
+        .join(exact, Seq("tok"))
+        .orderBy("tok")
     }),
     // within-doc line dedup (RefinedWeb boilerplate pass) — the fixture
     // text is single-line, so the query wraps it deterministically
@@ -3940,6 +3956,34 @@ object SparkEntry {
                 (est_a + est_b) - est_inter AS est_union,
                 est_inter / ((est_a + est_b) - est_inter) AS jaccard_est
          FROM est""",
+    // count-min: the sketch TABLE itself is replicated (same sha52 row
+    // hashes, same cells), then probed with the same min-over-rows —
+    // integer counts end-to-end, hash-exact
+    "q_countmin_freqs" ->
+      s"""WITH toks AS (SELECT unnest(
+                string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents WHERE length(trim(text)) > 0),
+         rows_ AS (SELECT unnest(generate_series(0, 3)) AS j),
+         cm AS (SELECT j, hb, count(*) AS cnt FROM (
+                  SELECT g.j,
+                    ${sha52Sql("(CAST(g.j AS VARCHAR) || ':' || t.tok)")}
+                      % 64 AS hb
+                  FROM toks t CROSS JOIN rows_ g)
+                GROUP BY 1, 2),
+         exact AS (SELECT tok, count(*) AS exact_count FROM toks
+                   GROUP BY 1),
+         probes AS (SELECT e.tok, g.j,
+                     ${sha52Sql("(CAST(g.j AS VARCHAR) || ':' || e.tok)")}
+                       % 64 AS hb
+                    FROM exact e CROSS JOIN rows_ g),
+         est AS (SELECT p.tok,
+                        min(coalesce(c.cnt, 0)) AS est_count
+                 FROM probes p
+                 LEFT JOIN cm c ON c.j = p.j AND c.hb = p.hb
+                 GROUP BY 1)
+         SELECT est.tok, CAST(est.est_count AS BIGINT) AS est_count,
+                e2.exact_count
+         FROM est JOIN exact e2 USING (tok) ORDER BY tok""",
     // 1-based list index → 0-based sent_idx; empties filtered AFTER
     // indexing on both sides, so surviving indices match posexplode's
     "q_sentences" ->

@@ -93,6 +93,35 @@ class KmvSpec extends SparkSpec {
     assert(out.getAs[Double]("jaccard_est") === 0.0)
   }
 
+  test("streaming sketch converges to the batch sketch across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    // Kmv.sketch is streaming-compatible as-is: a typed bounded-buffer
+    // aggregation is exactly what an unbounded distinct stream needs —
+    // state per group is k longs, not the key universe
+    val q = Kmv.sketch(input.toDF().toDF("g", "v"), "g", "v", k = 16)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((1 to 40).map(i => ("a", (i % 25).toLong)): _*)
+      q.processAllAvailable()
+      input.addData((1 to 40).map(i => ("a", (i % 60).toLong)): _*)
+      input.addData((1 to 10).map(i => ("b", i.toLong)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_stream")
+        .select("g", "hashes").as[(String, Seq[Long])].collect().toMap
+      val batch = Kmv.sketch(
+        ((1 to 40).map(i => ("a", (i % 25).toLong)) ++
+          (1 to 40).map(i => ("a", (i % 60).toLong)) ++
+          (1 to 10).map(i => ("b", i.toLong))).toDF("g", "v"),
+        "g", "v", k = 16)
+        .select("g", "hashes").as[(String, Seq[Long])].collect().toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("theta overlap: half-overlapping saturated corpora land near truth") {
     // A = 1..600, B = 301..900 → |A∩B| = 300, |A∪B| = 900, J = 1/3
     val a = (1 to 600).map(i => Tuple1(s"x$i")).toDF("v")
