@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Reuse.ReuseOps
 import graft.functions.{CountMin, Kmv, TextAnalysis}
-import graft.operators.{Analytics, AsOf, Dedup, Ecommerce, Multimodal, PairGraph, RangeJoin, Scale, Similarity}
+import graft.operators.{Analytics, AsOf, Dedup, Ecommerce, Multimodal, PairGraph, Pca, RangeJoin, Scale, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1690,6 +1690,16 @@ object SparkEntry {
       Kmv.overlapEstimate(sh.filter(col("doc_id") % 2 === 0),
         sh.filter(col("doc_id") % 2 =!= 0), "sh", k = 256)
     }),
+    // distributed PCA: one bounded-buffer covariance pass (each
+    // partition ships ONE d²/2-double Gram buffer — vectors never
+    // shuffle), then a driver-side 10-step power iteration (d×d = 32 KB,
+    // the k-means centroid budget) and a codegen'd per-row projection.
+    // Fixed iterations keep the construction oracle-replayable (the
+    // PageRank precedent)
+    "q_pca_top_component" -> ((s, dir) =>
+      Pca.projectTop(Tables.embeddings(s, dir), "vec_id", "embedding",
+          iters = 10)
+        .orderBy("vec_id")),
     // count-min sketch: token frequencies from a d=4 × w=64 table (≤
     // 256 cells at ANY corpus size — the build is one map-side-combined
     // aggregation, the lookup broadcasts the table). w=64 < the 31-token
@@ -3956,6 +3966,7 @@ object SparkEntry {
                 (est_a + est_b) - est_inter AS est_union,
                 est_inter / ((est_a + est_b) - est_inter) AS jaccard_est
          FROM est""",
+    "q_pca_top_component" -> pcaOracleSql(iters = 10),
     // count-min: the sketch TABLE itself is replicated (same sha52 row
     // hashes, same cells), then probed with the same min-over-rows —
     // integer counts end-to-end, hash-exact
@@ -4328,6 +4339,47 @@ object SparkEntry {
 
   /** DuckDB-native ASOF join, shared by the plain and skew-safe bucketed
     * as-of queries (the bucketed rewrite must be result-invariant). */
+  /** PCA oracle: covariance as E[xxᵀ] − μμᵀ over the unnested
+    * (vec_id, i, xi) frame, then `iters` chained power-iteration CTEs
+    * (the pageRankOracleSql fixed-recurrence pattern) from the uniform
+    * init 1/√64, then the centered projection. Dim 64 and the driver's
+    * 500·sf-row table are fixture facts, hardcoded like every other
+    * oracle's. */
+  private def pcaOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+         x AS MATERIALIZED (SELECT vec_id, ix.i AS i,
+                      CAST(embedding[ix.i] AS DOUBLE) AS xi
+               FROM embeddings, idx ix WHERE embedding IS NOT NULL),
+         nn AS (SELECT count(*) AS n FROM embeddings
+                WHERE embedding IS NOT NULL),
+         mu AS (SELECT i, avg(xi) AS m FROM x GROUP BY 1),
+         cov AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+                        sum(a.xi * b.xi) / (SELECT n FROM nn)
+                          - ma.m * mb.m AS c
+                 FROM x a JOIN x b ON b.vec_id = a.vec_id
+                 JOIN mu ma ON ma.i = a.i
+                 JOIN mu mb ON mb.i = b.i
+                 GROUP BY a.i, b.i, ma.m, mb.m),
+         v0 AS (SELECT i, 1.0 / 8.0 AS v FROM idx)"""
+    for (t <- 1 to iters) {
+      sb ++= s""",
+         w$t AS MATERIALIZED (SELECT c.i, sum(c.c * v.v) AS w
+                 FROM cov c JOIN v${t - 1} v ON v.i = c.j GROUP BY 1),
+         v$t AS MATERIALIZED (SELECT i,
+                   w / (SELECT sqrt(sum(w * w)) FROM w$t) AS v
+                 FROM w$t)"""
+    }
+    sb ++= s"""
+         SELECT x.vec_id,
+                sum(x.xi * v.v) - (SELECT sum(m.m * v2.v)
+                                   FROM mu m JOIN v$iters v2 ON v2.i = m.i)
+                  AS proj
+         FROM x JOIN v$iters v ON v.i = x.i
+         GROUP BY 1 ORDER BY vec_id"""
+    sb.toString
+  }
+
   /** DuckDB rendering of the portable sha52 hash of expression `e` —
     * the identical first-13-hex-nibbles-of-sha256 integer the Spark
     * side computes (`Kmv.sha52`, the DSIR/classifier bucketing). */
