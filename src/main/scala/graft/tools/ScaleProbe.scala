@@ -375,6 +375,58 @@ object ScaleProbe {
       println(f"KMEANSPROBE k=$k%d vecs=${2000 * k}%d " +
         f"t2=$t2%.1fs t6=$t6%.1fs perIter=${(t6 - t2) / 4}%.2fs")
     }
+    // Round-7 sketch family: KMV distinct estimate (events grown with
+    // DISJOINT user universes per replica — true distinct counts grow
+    // linearly while the sketch state stays k hashes/group), count-min
+    // build (per-token replica tags grow the vocab K× while the table
+    // stays d·w cells), and the PCA covariance pass (sign-flip replicas
+    // — the buffer stays d²/2 doubles per partition). All three must be
+    // one near-linear scan: the aggregation STATE is corpus-independent
+    // by construction, so any superlinear trend is a shape bug.
+    for (k <- Seq(1, 2, 4, 8, 16) if on("sketch")) {
+      val evG = (0 until k).map { i =>
+        ev5.select(col("event_type"),
+          (col("user_id") + lit(i * 10000000L)).as("user_id"))
+      }.reduce(_ unionAll _).persist()
+      evG.count()
+      val docsG = (0 until k).map { i =>
+        base.select(col("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "$1" + i).as("text"))
+      }.reduce(_ unionAll _).persist()
+      docsG.count()
+      val embG = {
+        val rng = new scala.util.Random(13)
+        (0 until k).map { i =>
+          val signs = Array.fill(dim)(if (rng.nextBoolean()) 1.0f else -1.0f)
+          emb.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+            zip_with(col("embedding"),
+              array(signs.map(lit): _*), (a, b) => a * b).as("embedding"))
+        }.reduce(_ unionAll _).persist()
+      }
+      embG.count()
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      def best(f: => Long): (Double, Long) =
+        Seq.fill(2)(time(f)).minBy(_._1)
+      val (tk, nk) = best(graft.functions.Kmv
+        .distinctEstimate(evG, "event_type", "user_id", 64).count())
+      val (tc, nc) = best {
+        val toks = docsG.filter(length(trim(col("text"))) > 0)
+          .select(explode(graft.functions.TextAnalysis
+            .tokens(col("text"))).as("tok"))
+        graft.functions.CountMin.table(toks, "tok", 4, 64).count()
+      }
+      val (tp, np) = best {
+        val (n, _, _) = graft.operators.Pca.covariance(embG, "embedding")
+        n
+      }
+      evG.unpersist(); docsG.unpersist(); embG.unpersist()
+      println(f"SKETCHPROBE k=$k%d events=${100000 * k}%d " +
+        f"kmv=$tk%.1fs($nk%d groups) cm=$tc%.1fs($nc%d cells) " +
+        f"pca_cov=$tp%.1fs($np%d vecs)")
+    }
     spark.stop()
   }
 }
