@@ -1101,6 +1101,23 @@ object SparkEntry {
       jaccardPairs(s, dir).orderBy("id_a", "id_b")),
     "q_minhash_neardup" -> ((s, dir) =>
       minhashPairs(s, dir).orderBy("id_a", "id_b")),
+    // cross-source duplication matrix — "how much does source X
+    // duplicate source Y": every surviving near-dup edge attributed to
+    // its unordered source pair. Corpus governance from the CACHED pair
+    // graph: marginal cost is an edge-list-sized join (sources keyed by
+    // doc_id; AQE broadcasts the edges when small), no re-derivation
+    "q_source_dup_matrix" -> ((s, dir) => {
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      jaccardPairs(s, dir)
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+          "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+          "id_b")
+        .groupBy(least(col("sa"), col("sb")).as("source_x"),
+          greatest(col("sa"), col("sb")).as("source_y"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_x", "source_y")
+    }),
     // the corpus AFTER near-dup removal (keep-smallest policy) — the
     // dedup family's end product, previously spec-only
     "q_drop_neardups" -> ((s, dir) => {
@@ -1715,6 +1732,18 @@ object SparkEntry {
         .withColumnRenamed("value", "tok")
         .join(exact, Seq("tok"))
         .orderBy("tok")
+    }),
+    // count-min join-size estimation: the self-join cardinality of
+    // lineitem on l_partkey (Σ c(k)² — the skew number to check BEFORE
+    // a self-join) upper-bounded from the 4×256-cell sketch alone, no
+    // second pass over the table; exact Σ c² alongside certifies the
+    // one-sided bound
+    "q_countmin_joinsize" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_partkey"))
+      val cm = CountMin.table(li, "l_partkey", d = 4, w = 256)
+      val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("exact_join_size"))
+      CountMin.innerProductEstimate(cm, cm).crossJoin(exact)
     }),
     // within-doc line dedup (RefinedWeb boilerplate pass) — the fixture
     // text is single-line, so the query wraps it deterministically
@@ -3445,6 +3474,7 @@ object SparkEntry {
          WHERE doc_id NOT IN (SELECT id_b FROM jp)
          ORDER BY doc_id""",
     "q_jaccard_neardup" -> cappedJaccardOracleSql,
+    "q_source_dup_matrix" -> sourceDupMatrixOracleSql,
     // anti-join against the larger id of every capped-Jaccard pair —
     // the WITH body is cappedJaccardOracleSql's, reused verbatim
     "q_drop_neardups" ->
@@ -3995,6 +4025,25 @@ object SparkEntry {
          SELECT est.tok, CAST(est.est_count AS BIGINT) AS est_count,
                 e2.exact_count
          FROM est JOIN exact e2 USING (tok) ORDER BY tok""",
+    // count-min self-join estimate: same cells, row-wise Σ cnt², min
+    // over rows — integer-exact on both sides
+    "q_countmin_joinsize" ->
+      s"""WITH rows_ AS (SELECT unnest(generate_series(0, 3)) AS j),
+         cm AS (SELECT j, hb, count(*) AS cnt FROM (
+                  SELECT g.j,
+                    ${sha52Sql("(CAST(g.j AS VARCHAR) || ':' || CAST(t.l_partkey AS VARCHAR))")}
+                      % 256 AS hb
+                  FROM lineitem t CROSS JOIN rows_ g
+                  WHERE t.l_partkey IS NOT NULL)
+                GROUP BY 1, 2),
+         re AS (SELECT j, sum(cnt * cnt) AS r FROM cm GROUP BY 1),
+         est AS (SELECT min(r) AS est_join_size FROM re),
+         exact AS (SELECT sum(c * c) AS exact_join_size FROM (
+                     SELECT count(*) AS c FROM lineitem
+                     WHERE l_partkey IS NOT NULL GROUP BY l_partkey))
+         SELECT CAST(e.est_join_size AS BIGINT) AS est_join_size,
+                CAST(x.exact_join_size AS BIGINT) AS exact_join_size
+         FROM est e CROSS JOIN exact x""",
     // 1-based list index → 0-based sent_idx; empties filtered AFTER
     // indexing on both sides, so surviving indices match posexplode's
     "q_sentences" ->
@@ -4563,7 +4612,7 @@ object SparkEntry {
          SELECT node AS doc_id, min(root) AS component_id
          FROM reach GROUP BY node ORDER BY doc_id"""
 
-  private def cappedJaccardOracleSql: String =
+  private def cappedJaccardCtes: String =
       s"""WITH tok AS (SELECT doc_id,
                 list_distinct(CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3 THEN []
                   ELSE list_transform(range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
@@ -4580,8 +4629,25 @@ object SparkEntry {
                            CAST(p.shared AS DOUBLE) / (sa.n + sb.n - p.shared) AS jaccard
                     FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a
                                  JOIN sizes sb ON sb.doc_id = p.id_b)
-         SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6
+"""
+
+  private def cappedJaccardOracleSql: String =
+    cappedJaccardCtes +
+      """ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6
          ORDER BY id_a, id_b"""
+
+  /** Cross-source duplication matrix oracle: the capped pair graph's
+    * surviving edges, each attributed to its unordered source pair. */
+  private def sourceDupMatrixOracleSql: String =
+    cappedJaccardCtes +
+      """, np AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.6)
+         SELECT least(da.source, db.source) AS source_x,
+                greatest(da.source, db.source) AS source_y,
+                count(*) AS n_pairs
+         FROM np
+         JOIN documents da ON da.doc_id = np.id_a
+         JOIN documents db ON db.doc_id = np.id_b
+         GROUP BY 1, 2 ORDER BY source_x, source_y"""
 
   private val jaccardOracleSql: String =
       """WITH tok AS (SELECT doc_id,

@@ -47,6 +47,22 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Equi-join cardinality estimate from two count-min sketches built
+    * with the SAME (d, w): |A ⋈ B| on the sketched key = Σ_k a_k·b_k,
+    * and for each row j, Σ_b CM_A[j][b]·CM_B[j][b] ≥ that inner product
+    * (collisions only ADD mass), so the min over rows is a one-sided
+    * upper bound — the AMS/CM inner-product estimate (Cormode &
+    * Muthukrishnan §4.2). The planner question "how big is this join"
+    * answered from two d·w-cell summaries without touching either
+    * table again: (cm_row, est_inner) pairs reduce to ONE row.
+    * Integer arithmetic end-to-end — oracle-able exactly. */
+  def innerProductEstimate(cmA: DataFrame, cmB: DataFrame): DataFrame =
+    cmA.join(cmB.withColumnRenamed("cnt", "cnt_b"),
+        Seq("cm_row", "cm_bucket"))
+      .groupBy("cm_row")
+      .agg(sum(col("cnt") * col("cnt_b")).as("row_est"))
+      .agg(min(col("row_est")).as("est_join_size"))
+
   /** Point estimates for each DISTINCT value of `items(valueCol)`:
     * (value, est_count) with est_count = min over the d rows of the
     * addressed cells — ≥ the true occurrence count, always. The sketch

@@ -62,6 +62,34 @@ class CountMinSpec extends SparkSpec {
     assert(tbl(1) === tbl(13))
   }
 
+  test("inner-product estimate upper-bounds the true self-join size") {
+    val exact = (1 to 100).map(i => (101L - i) * (101L - i)).sum
+    val cmN = CountMin.table(corpus, "v", 4, 32) // forced collisions
+    val est = CountMin.innerProductEstimate(cmN, cmN)
+      .head().getLong(0)
+    assert(est >= exact)
+    // collision-free width: the bound is tight
+    val cmW = CountMin.table(corpus, "v", 4, 1 << 16)
+    assert(CountMin.innerProductEstimate(cmW, cmW).head().getLong(0)
+      === exact)
+  }
+
+  test("cross-table inner product bounds the equi-join cardinality") {
+    // B holds only the even values, 3 copies each → |A ⋈ B| =
+    // Σ_{even i} (101-i)·3
+    val b = (1 to 100).filter(_ % 2 == 0)
+      .flatMap(i => Seq.fill(3)(s"v$i")).toDF("v")
+    val exact = (1 to 100).filter(_ % 2 == 0).map(i => (101L - i) * 3L).sum
+    val est = CountMin.innerProductEstimate(
+      CountMin.table(corpus, "v", 4, 64), CountMin.table(b, "v", 4, 64))
+      .head().getLong(0)
+    assert(est >= exact)
+    val tight = CountMin.innerProductEstimate(
+      CountMin.table(corpus, "v", 4, 1 << 16),
+      CountMin.table(b, "v", 4, 1 << 16)).head().getLong(0)
+    assert(tight === exact)
+  }
+
   test("null values are dropped from build and probe") {
     val df = Seq(Some("a"), Some("a"), None).toDF("v")
     val cm = CountMin.table(df, "v", 2, 8)
