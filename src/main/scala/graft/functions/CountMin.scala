@@ -57,10 +57,15 @@ object CountMin {
     * table again: (cm_row, est_inner) pairs reduce to ONE row.
     * Integer arithmetic end-to-end — oracle-able exactly. */
   def innerProductEstimate(cmA: DataFrame, cmB: DataFrame): DataFrame =
+    // LEFT join from A's cells: a row of A with NO cells in common with
+    // B must contribute row_est = 0 (the true inner product is 0), not
+    // vanish from the min — an inner join would return NULL for fully
+    // disjoint corpora instead of the exact 0. Non-matching cells add
+    // 0 to the sum either way, so overlap-bearing rows are unchanged.
     cmA.join(cmB.withColumnRenamed("cnt", "cnt_b"),
-        Seq("cm_row", "cm_bucket"))
+        Seq("cm_row", "cm_bucket"), "left")
       .groupBy("cm_row")
-      .agg(sum(col("cnt") * col("cnt_b")).as("row_est"))
+      .agg(sum(col("cnt") * coalesce(col("cnt_b"), lit(0L))).as("row_est"))
       .agg(min(col("row_est")).as("est_join_size"))
 
   /** Point estimates for each DISTINCT value of `items(valueCol)`:

@@ -90,6 +90,16 @@ class CountMinSpec extends SparkSpec {
     assert(tight === exact)
   }
 
+  test("disjoint corpora with no shared cells estimate join size 0") {
+    // two single-value corpora; w wide enough that their cells differ
+    val a = Seq.fill(5)("only-in-a").toDF("v")
+    val b = Seq.fill(7)("only-in-b").toDF("v")
+    val est = CountMin.innerProductEstimate(
+      CountMin.table(a, "v", 4, 1 << 16), CountMin.table(b, "v", 4, 1 << 16))
+      .head()
+    assert(!est.isNullAt(0) && est.getLong(0) === 0L)
+  }
+
   test("null values are dropped from build and probe") {
     val df = Seq(Some("a"), Some("a"), None).toDF("v")
     val cm = CountMin.table(df, "v", 2, 8)
