@@ -36,6 +36,42 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("streaming Misra-Gries keeps the heavy-hitter guarantees live") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.functions._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[String]
+    // the bounded-state aggregator runs unchanged as a streaming typed
+    // agg — ≤ k counters of state, the "trending terms right now" op
+    val q = input.toDS()
+      .select(HeavyHitters.misraGries(4).toColumn.name("mg"))
+      .writeStream.format("memory").queryName("mg_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // 60 a, 30 b, 6 c (interleaved across batches), 4 singletons
+      input.addData(Seq.fill(25)("a") ++ Seq.fill(20)("b") ++ Seq("c", "x1"): _*)
+      q.processAllAvailable()
+      input.addData(Seq.fill(35)("a") ++ Seq.fill(10)("b") ++
+        Seq.fill(5)("c") ++ Seq("x2", "x3", "x4"): _*)
+      q.processAllAvailable()
+      val mg = spark.table("mg_stream")
+        .select(explode(col("mg")).as(Seq("term", "w")))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = Map("a" -> 60L, "b" -> 30L, "c" -> 6L,
+        "x1" -> 1L, "x2" -> 1L, "x3" -> 1L, "x4" -> 1L)
+      val n = exact.values.sum
+      assert(mg.size <= 4)
+      // anything with true count > n/(k+1) = 100/5 must survive
+      exact.filter(_._2 > n / 5).keys.foreach(t =>
+        assert(mg.contains(t), s"heavy term $t evicted"))
+      // every surviving weight is a lower bound within n/(k+1) of truth
+      mg.foreach { case (t, w) =>
+        assert(w <= exact(t) && exact(t) - w <= n / 5)
+      }
+    } finally q.stop()
+  }
+
   test("summary is partitioning-invariant in its guarantees (mergeable)") {
     val docs = Tables.documents(spark, sf)
     val k = 10
