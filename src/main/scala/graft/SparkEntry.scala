@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Reuse.ReuseOps
-import graft.functions.{CountMin, Kmv, TextAnalysis}
+import graft.functions.{CountMin, Hll, Kmv, TextAnalysis}
 import graft.operators.{Analytics, AsOf, Dedup, Ecommerce, Multimodal, PairGraph, Pca, RangeJoin, Scale, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1744,6 +1744,51 @@ object SparkEntry {
       val exact = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
         .agg(sum(col("c") * col("c")).as("exact_join_size"))
       CountMin.innerProductEstimate(cm, cm).crossJoin(exact)
+    }),
+    // HyperLogLog distinct sketch: 64 registers per group — the
+    // smallest-state member of the sketch family (64 ints/group vs
+    // KMV's k longs) built fully relationally (two map-side-combined
+    // aggs, whole-stage codegen, no typed state). The oracle replays
+    // bucket/rho/S integer-for-integer plus exact counts alongside.
+    // The fixture's ≤150 users/group sit in linear-counting range
+    // (n < 2.5m), so this query adjudicates the REGISTER/S integers
+    // the correction is a pure function of; the deep estimator regime
+    // is adjudicated by q_hll_union's ~10⁴-distinct shingle corpora
+    "q_hll_distinct" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val exact = ev
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_distinct"))
+      Hll.distinctEstimate(ev, "event_type", "user_id", p = 6)
+        .join(exact, Seq("event_type"))
+        .orderBy("event_type")
+    }),
+    // HLL union via REGISTER MERGE: even/odd corpus halves sketched
+    // independently (the distinct 3-gram shingle universes of
+    // q_kmv_shingle_overlap), then merged as ≤64-row register tables —
+    // elementwise max over a full-outer join — without re-reading
+    // either corpus. The oracle recomputes all three register sets and
+    // certifies merge(A,B) ≡ sketch(A∪B) by hash equality; exact
+    // distinct union alongside
+    "q_hll_union" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.wordNgrams(col("text"), 3)).as("sh"))
+      def half(pred: org.apache.spark.sql.Column) =
+        sh.filter(pred).select(lit("all").as("g"), col("sh"))
+      val ra = Hll.registers(half(col("doc_id") % 2 === 0), "g", "sh", p = 6)
+      val rb = Hll.registers(half(col("doc_id") % 2 =!= 0), "g", "sh", p = 6)
+      def sc(regs: DataFrame, suffix: String) =
+        Hll.scalarize(regs, "g", p = 6).select(
+          col("n_zero").as(s"n_zero_$suffix"),
+          col("s_scaled").as(s"s_$suffix"),
+          col("est_raw").as(s"est_$suffix"))
+      val exact = sh.select(col("sh")).distinct()
+        .agg(count(lit(1)).as("exact_union"))
+      sc(ra, "a").crossJoin(sc(rb, "b"))
+        .crossJoin(sc(Hll.mergeRegisters(ra, rb, "g"), "u"))
+        .crossJoin(exact)
     }),
     // within-doc line dedup (RefinedWeb boilerplate pass) — the fixture
     // text is single-line, so the query wraps it deterministically
@@ -4044,6 +4089,90 @@ object SparkEntry {
          SELECT CAST(e.est_join_size AS BIGINT) AS est_join_size,
                 CAST(x.exact_join_size AS BIGINT) AS exact_join_size
          FROM est e CROSS JOIN exact x""",
+    // HLL: bucket = h mod 64, rho = 47 − bitlength(h div 64) via the
+    // minimal-length bin() both engines share (no float log2), register
+    // maxima per group, then the INTEGER harmonic-sum S = Σ 2^(47−rho)
+    // with empty registers contributing 2^47. est_raw =
+    // (0.709·2^59)/S — two exact factors, one shared α rounding, one
+    // division. sum(BIGINT) is HUGEINT in DuckDB → CAST back
+    "q_hll_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+                ${sha52Sql("CAST(user_id AS VARCHAR)")} AS h
+              FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+         b AS (SELECT event_type, h % 64 AS bucket,
+                      CASE WHEN h // 64 = 0 THEN 47
+                           ELSE 47 - length(bin(h // 64)) END AS rho
+               FROM h),
+         r AS (SELECT event_type, bucket, max(rho) AS rho
+               FROM b GROUP BY 1, 2),
+         s AS (SELECT event_type,
+                      CAST(64 - count(*) AS INT) AS n_zero,
+                      CAST(sum(CAST(1 AS BIGINT) << (47 - rho))
+                        + (64 - count(*)) * (CAST(1 AS BIGINT) << 47)
+                        AS BIGINT) AS s_scaled
+               FROM r GROUP BY 1),
+         ex AS (SELECT event_type,
+                       count(DISTINCT user_id) AS exact_distinct
+                FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                GROUP BY 1)
+         SELECT s.event_type, s.n_zero, s.s_scaled,
+                CAST(0.709 AS DOUBLE) * CAST(576460752303423488 AS DOUBLE)
+                  / CAST(s.s_scaled AS DOUBLE) AS est_raw,
+                ex.exact_distinct
+         FROM s JOIN ex USING (event_type) ORDER BY event_type""",
+    // HLL register merge ≡ sketch of the union: per-half register
+    // tables unioned + re-maxed (= the full-outer-join greatest the
+    // Spark side does), same scalarization as q_hll_distinct on each
+    "q_hll_union" ->
+      s"""WITH t AS (SELECT doc_id,
+                string_split_regex(trim(text), '\\s+') AS ts
+              FROM documents),
+         toks AS (SELECT doc_id, unnest(
+                CASE WHEN len(ts) < 3 THEN []
+                     ELSE list_transform(range(1, len(ts) - 1),
+                       i -> array_to_string(ts[i:i+2], ' ')) END) AS tok
+              FROM t),
+         ha AS (SELECT DISTINCT ${sha52Sql("tok")} AS h FROM toks
+                WHERE doc_id % 2 = 0),
+         hb AS (SELECT DISTINCT ${sha52Sql("tok")} AS h FROM toks
+                WHERE doc_id % 2 <> 0),
+         ra AS (SELECT h % 64 AS bucket,
+                       max(CASE WHEN h // 64 = 0 THEN 47
+                                ELSE 47 - length(bin(h // 64)) END) AS rho
+                FROM ha GROUP BY 1),
+         rb AS (SELECT h % 64 AS bucket,
+                       max(CASE WHEN h // 64 = 0 THEN 47
+                                ELSE 47 - length(bin(h // 64)) END) AS rho
+                FROM hb GROUP BY 1),
+         ru AS (SELECT bucket, max(rho) AS rho FROM (
+                  SELECT * FROM ra UNION ALL SELECT * FROM rb)
+                GROUP BY 1),
+         sa AS (SELECT CAST(64 - count(*) AS INT) AS n_zero_a,
+                       CAST(sum(CAST(1 AS BIGINT) << (47 - rho))
+                         + (64 - count(*)) * (CAST(1 AS BIGINT) << 47)
+                         AS BIGINT) AS s_a FROM ra),
+         sb AS (SELECT CAST(64 - count(*) AS INT) AS n_zero_b,
+                       CAST(sum(CAST(1 AS BIGINT) << (47 - rho))
+                         + (64 - count(*)) * (CAST(1 AS BIGINT) << 47)
+                         AS BIGINT) AS s_b FROM rb),
+         su AS (SELECT CAST(64 - count(*) AS INT) AS n_zero_u,
+                       CAST(sum(CAST(1 AS BIGINT) << (47 - rho))
+                         + (64 - count(*)) * (CAST(1 AS BIGINT) << 47)
+                         AS BIGINT) AS s_u FROM ru),
+         ex AS (SELECT count(DISTINCT tok) AS exact_union FROM toks)
+         SELECT sa.n_zero_a, sa.s_a,
+                CAST(0.709 AS DOUBLE) * CAST(576460752303423488 AS DOUBLE)
+                  / CAST(sa.s_a AS DOUBLE) AS est_a,
+                sb.n_zero_b, sb.s_b,
+                CAST(0.709 AS DOUBLE) * CAST(576460752303423488 AS DOUBLE)
+                  / CAST(sb.s_b AS DOUBLE) AS est_b,
+                su.n_zero_u, su.s_u,
+                CAST(0.709 AS DOUBLE) * CAST(576460752303423488 AS DOUBLE)
+                  / CAST(su.s_u AS DOUBLE) AS est_u,
+                ex.exact_union
+         FROM sa CROSS JOIN sb CROSS JOIN su CROSS JOIN ex""",
     // 1-based list index → 0-based sent_idx; empties filtered AFTER
     // indexing on both sides, so surviving indices match posexplode's
     "q_sentences" ->
