@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Reuse.ReuseOps
 import graft.functions.{CountMin, Hll, Kmv, TextAnalysis}
-import graft.operators.{Analytics, AsOf, Dedup, Ecommerce, Multimodal, PairGraph, Pca, RangeJoin, Scale, Similarity}
+import graft.operators.{Analytics, AsOf, Dedup, Ecommerce, JoinPrune, Multimodal, PairGraph, Pca, RangeJoin, Scale, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1789,6 +1789,25 @@ object SparkEntry {
       sc(ra, "a").crossJoin(sc(rb, "b"))
         .crossJoin(sc(Hll.mergeRegisters(ra, rb, "g"), "u"))
         .crossJoin(exact)
+    }),
+    // Bloom semi-join reduction, the runtime-filter idiom under
+    // explicit control: urgent orders' keys fold into one broadcast
+    // bloom blob, lineitem is pruned scan-side BEFORE its shuffle, and
+    // the exact join removes the ~fpp false positives — so the answer
+    // ≡ the plain join (what the oracle runs) while the fact exchange
+    // carries only ~1/5 of the rows. sum_qty is integer-valued doubles
+    // (exact under any summation order)
+    "q_bloom_pruned_join" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_shipdate", "l_quantity")
+      JoinPrune.bloomPrunedJoin(li, "l_orderkey", urgent, "o_orderkey",
+          expectedItems = 1L << 20)
+        .groupBy(year(col("l_shipdate")).cast("int").as("ship_year"))
+        .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
+        .orderBy("ship_year")
     }),
     // within-doc line dedup (RefinedWeb boilerplate pass) — the fixture
     // text is single-line, so the query wraps it deterministically
@@ -4173,6 +4192,14 @@ object SparkEntry {
                   / CAST(su.s_u AS DOUBLE) AS est_u,
                 ex.exact_union
          FROM sa CROSS JOIN sb CROSS JOIN su CROSS JOIN ex""",
+    // bloom-pruned join ≡ the plain join: the oracle runs the exact
+    // form — the bloom prune is a plan property, not a semantic one
+    "q_bloom_pruned_join" ->
+      """SELECT CAST(year(l.l_shipdate) AS INT) AS ship_year,
+                count(*) AS n_lines, sum(l.l_quantity) AS sum_qty
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_orderpriority = '1-URGENT'
+         GROUP BY 1 ORDER BY 1""",
     // 1-based list index → 0-based sent_idx; empties filtered AFTER
     // indexing on both sides, so surviving indices match posexplode's
     "q_sentences" ->

@@ -499,7 +499,7 @@ object Dedup {
     * [[bloomAntiJoin]] and [[ngramContaminationBloom]] share. Enforces
     * the type-match and session-cap contracts (see bloomAntiJoin docs);
     * an empty right side yields a constant-false predicate. */
-  private def bloomMightContain(left: DataFrame, leftKeyCol: String,
+  private[operators] def bloomMightContain(left: DataFrame, leftKeyCol: String,
       right: DataFrame, rightKeyCol: String,
       expectedItems: Long, bitsPerItem: Int): Column = {
     require(expectedItems > 0 && bitsPerItem > 0)
