@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Reuse.ReuseOps
-import graft.functions.{CountMin, Hll, Kmv, TextAnalysis}
+import graft.functions.{CountMin, HashSample, Hll, Kmv, TextAnalysis}
 import graft.operators.{Analytics, AsOf, Dedup, Ecommerce, JoinPrune, Multimodal, PairGraph, Pca, RangeJoin, Scale, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1789,6 +1789,24 @@ object SparkEntry {
       sc(ra, "a").crossJoin(sc(rb, "b"))
         .crossJoin(sc(Hll.mergeRegisters(ra, rb, "g"), "u"))
         .crossJoin(exact)
+    }),
+    // deterministic hash-rank sample quantiles: p50/p90 per event type
+    // from the bottom-256-by-sha52(event_id) row sample — bounded
+    // per-group state (≤ k pairs per partition enter the shuffle),
+    // deterministic by construction (no seed, no merge-order
+    // dependence — the GK sketch's weakness), so the oracle replays
+    // the SAMPLE itself (ORDER BY hash LIMIT k) and interpolates with
+    // quantile_cont ≡ percentile (the q_corpus_stats parity). Exact
+    // full-data quantiles alongside pin the estimate's target
+    "q_sample_quantiles" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val est = HashSample.sampleQuantiles(ev, "event_type", "event_id",
+        "value", k = 256, qs = Seq(0.5, 0.9))
+      val exact = ev.filter(col("event_type").isNotNull)
+        .groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.5)).as("p50_exact"),
+          percentile(col("value"), lit(0.9)).as("p90_exact"))
+      est.join(exact, Seq("event_type")).orderBy("event_type")
     }),
     // Bloom semi-join reduction, the runtime-filter idiom under
     // explicit control: urgent orders' keys fold into one broadcast
@@ -4192,6 +4210,31 @@ object SparkEntry {
                   / CAST(su.s_u AS DOUBLE) AS est_u,
                 ex.exact_union
          FROM sa CROSS JOIN sb CROSS JOIN su CROSS JOIN ex""",
+    // hash-rank sample quantiles: the oracle rebuilds the IDENTICAL
+    // sample (bottom-256 by (sha52(event_id), value) per group) with a
+    // window, then interpolates with quantile_cont ≡ percentile
+    "q_sample_quantiles" ->
+      s"""WITH s AS (SELECT DISTINCT event_type,
+                ${sha52Sql("CAST(event_id AS VARCHAR)")} AS h,
+                value AS v
+              FROM events
+              WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+                AND value IS NOT NULL),
+         r AS (SELECT event_type, v, row_number()
+                 OVER (PARTITION BY event_type ORDER BY h, v) AS rn
+               FROM s),
+         samp AS (SELECT event_type, v FROM r WHERE rn <= 256),
+         q AS (SELECT event_type, CAST(count(*) AS INT) AS n_sample,
+                      quantile_cont(v, 0.5) AS p50_sample,
+                      quantile_cont(v, 0.9) AS p90_sample
+               FROM samp GROUP BY 1),
+         ex AS (SELECT event_type,
+                       quantile_cont(value, 0.5) AS p50_exact,
+                       quantile_cont(value, 0.9) AS p90_exact
+                FROM events WHERE event_type IS NOT NULL GROUP BY 1)
+         SELECT q.event_type, q.n_sample, q.p50_sample, q.p90_sample,
+                ex.p50_exact, ex.p90_exact
+         FROM q JOIN ex USING (event_type) ORDER BY event_type""",
     // bloom-pruned join ≡ the plain join: the oracle runs the exact
     // form — the bloom prune is a plan property, not a semantic one
     "q_bloom_pruned_join" ->

@@ -111,6 +111,36 @@ class HllSpec extends SparkSpec {
     assert(row.getAs[Double]("est_raw") === num / expected.toDouble)
   }
 
+  test("streaming registers converge to the batch registers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    // registers() is ONE relational max-aggregation, so it runs as a
+    // live streaming agg in complete mode with 64-register state per
+    // group — the same bounded-state story as the KMV stream
+    val q = Hll.registers(input.toDF().toDF("g", "v"), "g", "v", p = 6)
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val batch1 = (1 to 300).map(i => ("a", s"u${i % 120}"))
+      val batch2 = (1 to 300).map(i => ("a", s"w$i")) ++
+        (1 to 40).map(i => ("b", s"u$i"))
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream")
+        .select("g", "bucket", "rho").as[(String, Int, Int)]
+        .collect().toSet
+      val batch = Hll.registers((batch1 ++ batch2).toDF("g", "v"),
+          "g", "v", p = 6)
+        .select("g", "bucket", "rho").as[(String, Int, Int)]
+        .collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("null groups and null values are dropped; no such groups emitted") {
     val df = Seq((null.asInstanceOf[String], "x"), ("g", null), ("g", "y"))
       .toDF("g", "v")
