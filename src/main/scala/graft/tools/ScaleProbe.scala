@@ -427,6 +427,47 @@ object ScaleProbe {
         f"kmv=$tk%.1fs($nk%d groups) cm=$tc%.1fs($nc%d cells) " +
         f"pca_cov=$tp%.1fs($np%d vecs)")
     }
+    // Round-7b sketch/prune family: HLL distinct estimate (disjoint
+    // user universes — registers stay 64 ints/group while true
+    // distincts grow K×), hash-rank sample quantiles (disjoint event
+    // ids — sample state stays 256 pairs/group), and the bloom-pruned
+    // join (fact grows K×, dim selectivity fixed at ~1/10 — build and
+    // probe must both stay one scan each). All flat-state: superlinear
+    // trend = shape bug.
+    for (k <- Seq(1, 2, 4, 8, 16) if on("sketch2")) {
+      val ev5b = Tables.events(spark, "/root/testdata/sf0.1")
+      val evG = (0 until k).map { i =>
+        ev5b.select(col("event_type"),
+          (col("user_id") + lit(i * 10000000L)).as("user_id"),
+          (col("event_id") + lit(i * 1000000000L)).as("event_id"),
+          col("value"))
+      }.reduce(_ unionAll _).persist()
+      evG.count()
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      def best(f: => Long): (Double, Long) =
+        Seq.fill(2)(time(f)).minBy(_._1)
+      val (th, nh) = best(graft.functions.Hll
+        .distinctEstimate(evG, "event_type", "user_id", p = 6).count())
+      val (tq, nq) = best(graft.functions.HashSample
+        .sampleQuantiles(evG, "event_type", "event_id", "value",
+          k = 256, qs = Seq(0.5, 0.9)).count())
+      val (tb, nb) = best {
+        // dim renamed: it derives from evG, and a same-name self-join
+        // would trip Spark's ambiguous-self-join detection
+        val dimKeys = evG.select(col("user_id").as("dk_user"))
+          .filter(col("dk_user") % 10 === 0).distinct()
+        graft.operators.JoinPrune.bloomPrunedJoin(
+          evG.select("event_id", "user_id"), "user_id",
+          dimKeys, "dk_user", expectedItems = 1L << 16).count()
+      }
+      evG.unpersist()
+      println(f"SKETCH2PROBE k=$k%d events=${100000 * k}%d " +
+        f"hll=$th%.1fs($nh%d groups) sampleq=$tq%.1fs($nq%d groups) " +
+        f"bloomjoin=$tb%.1fs($nb%d rows)")
+    }
     spark.stop()
   }
 }
