@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Reuse.ReuseOps
-import graft.functions.{CountMin, HashSample, Hll, Kmv, TextAnalysis}
+import graft.functions.{CountMin, HashSample, HeavyHitters, Hll, Kmv, TextAnalysis}
 import graft.operators.{Analytics, AsOf, Dedup, Ecommerce, JoinPrune, Multimodal, PairGraph, Pca, RangeJoin, Scale, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1827,6 +1827,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
         .orderBy("ship_year")
     }),
+    // exact frequent items at bounded memory: Misra–Gries candidate
+    // sweep (≤ k counters per partial aggregate, any partitioning) +
+    // exact recount of the ≤ k survivors. The composition's answer is
+    // EXACTLY {term : cnt·(k+1) > N} — deterministic even though the
+    // candidate set isn't — so the oracle skips the sketch and states
+    // the definition directly. k=4 over the doc-language stream: the
+    // fixture's en share (~40%) clears the 20% bar at every SF, the
+    // four ~15% langs stay below it, and the 5th distinct value forces
+    // real decrement steps through the bounded sweep
+    "q_heavy_hitters" -> ((s, dir) =>
+      HeavyHitters.exactHeavyHitters(Tables.documents(s, dir), "lang",
+        k = 4)),
     // within-doc line dedup (RefinedWeb boilerplate pass) — the fixture
     // text is single-line, so the query wraps it deterministically
     // (" the " → newline, plus a planted duplicated head line) the same
@@ -4243,6 +4255,15 @@ object SparkEntry {
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          WHERE o.o_orderpriority = '1-URGENT'
          GROUP BY 1 ORDER BY 1""",
+    // MG + exact recount ≡ the frequent-items definition itself:
+    // cnt·(k+1) > N in integer arithmetic, k = 4
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT lang AS term FROM documents
+                    WHERE lang IS NOT NULL),
+         c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+         n AS (SELECT count(*) AS n_total FROM t)
+         SELECT term, cnt, n_total FROM c CROSS JOIN n
+         WHERE cnt * 5 > n_total ORDER BY term""",
     // 1-based list index → 0-based sent_idx; empties filtered AFTER
     // indexing on both sides, so surviving indices match posexplode's
     "q_sentences" ->

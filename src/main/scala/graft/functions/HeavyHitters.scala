@@ -59,6 +59,45 @@ object HeavyHitters {
     }
   }
 
+  /** EXACT frequent items at bounded memory: the classic two-pass
+    * composition. Pass 1 is the Misra–Gries candidate sweep (≤ k
+    * counters anywhere; its guarantee means the candidate set is a
+    * SUPERSET of every term with true count · (k+1) > N, however the
+    * data is partitioned). Pass 2 recounts ONLY the ≤ k candidates
+    * exactly — one aggregation whose group-by key is
+    * candidate-or-null, so its state is ≤ k+1 counters — and applies
+    * the threshold `cnt · (k+1) > n_total` in integer arithmetic.
+    *
+    * The result is therefore EXACTLY the set of terms with frequency
+    * above N/(k+1) — deterministic and partitioning-independent even
+    * though the intermediate candidate set is neither. This is the
+    * open-vocabulary frequent-items answer a 100 TB token stream
+    * needs: two scans, nothing vocabulary-sized anywhere.
+    *
+    * Columns: (term, cnt, n_total), ordered by term. */
+  def exactHeavyHitters(df: DataFrame, termCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val terms = df.select(col(termCol).cast("string").as("term"))
+      .filter(col("term").isNotNull)
+    val candidates: Seq[String] =
+      terms.as[String].select(misraGries(k).toColumn.name("mg"))
+        .head().keys.toSeq
+    // one pass: exact candidate counts AND the total token count —
+    // non-candidates collapse into the null group, so ≤ k+1 groups
+    val counted = terms
+      .groupBy(when(col("term").isin(candidates: _*), col("term"))
+        .as("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counted.agg(sum(col("cnt")).as("n_total"))
+    counted.filter(col("term").isNotNull)
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * (k + 1) > col("n_total"))
+      .select(col("term"), col("cnt"), col("n_total"))
+      .orderBy(col("term"))
+  }
+
   /** Heavy-hitter terms of a text corpus: ≤ k (term, weight_low) rows,
     * `weight_low` the guaranteed lower bound on the term's true count.
     * One explode + one bounded-state aggregation — nothing

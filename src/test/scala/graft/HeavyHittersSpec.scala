@@ -72,6 +72,47 @@ class HeavyHittersSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exactHeavyHitters ≡ brute-force frequent items, any partitioning") {
+    // zipf-ish synthetic stream: term t_i appears ~ 3000/i times, so
+    // the frequent-items cut lands mid-distribution for several k
+    val rnd = new scala.util.Random(11)
+    val stream = rnd.shuffle(
+      (1 to 40).flatMap(i => Seq.fill(3000 / i)(s"t$i")))
+    val df = stream.toDF("term")
+    val exact = stream.groupBy(identity).map { case (t, xs) =>
+      t -> xs.size.toLong
+    }
+    val n = stream.size.toLong
+    for (k <- Seq(3, 8, 17); parts <- Seq(1, 5, 13)) {
+      val expected = exact.filter { case (_, c) => c * (k + 1) > n }
+      val got = HeavyHitters
+        .exactHeavyHitters(df.repartition(parts), "term", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected,
+        s"[k=$k parts=$parts] got ${got.keySet} want ${expected.keySet}")
+      // and the reported total is the full stream, not the candidates
+      val totals = HeavyHitters
+        .exactHeavyHitters(df.repartition(parts), "term", k)
+        .select("n_total").distinct().collect().map(_.getLong(0))
+      if (expected.nonEmpty) assert(totals.sameElements(Array(n)))
+    }
+  }
+
+  test("exactHeavyHitters: nulls excluded, empty answer is empty frame") {
+    val df = Seq(Some("a"), None, Some("a"), Some("b"), Some("c"),
+      Some("d"), Some("e")).toDF("term")
+    // n=6 non-null; k=1 → threshold 3: only a term with count ≥ 4
+    // qualifies; a has 2 → empty
+    assert(HeavyHitters.exactHeavyHitters(df, "term", 1).count() === 0L)
+    // k=2 → cnt*3 > 6 → still none (a: 6 = not >)
+    assert(HeavyHitters.exactHeavyHitters(df, "term", 2).count() === 0L)
+    val big = df.union(Seq.fill(5)(Some("a")).toDF("term"))
+    // n=11, a=7: k=1 → 14 > 11 → {a}
+    val out = HeavyHitters.exactHeavyHitters(big, "term", 1).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a"))
+    assert(out.head.getLong(1) === 7L && out.head.getLong(2) === 11L)
+  }
+
   test("summary is partitioning-invariant in its guarantees (mergeable)") {
     val docs = Tables.documents(spark, sf)
     val k = 10
