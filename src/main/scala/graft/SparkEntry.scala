@@ -943,6 +943,16 @@ object SparkEntry {
           size(col("__toks")).cast("long").as("n_bpe"))
         .orderBy("doc_id")
     }),
+    // BPE vocabulary TRAINING: learn 8 merge rules from the corpus
+    // itself (q_bpe_tokens APPLIES an embedded table; this derives
+    // one). Corpus pays one tokenize+count pass; the loop runs on the
+    // vocab-sized word table with a TakeOrdered argmax per step and a
+    // byte-order tie-break, so the learned table is a pure function of
+    // the corpus and the oracle replays the loop as unrolled
+    // MATERIALIZED CTEs generated from the same constants
+    "q_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrainMerges(Tables.documents(s, dir), "text",
+        numMerges = 8)),
     // PII scrub: a synthetic email+URL suffix is appended IN the query
     // so every row exercises both patterns cross-engine (the fixture
     // text itself contains neither)
@@ -3047,6 +3057,10 @@ object SparkEntry {
                 CAST(sum(len(string_split(t.s, '|'))) AS BIGINT) AS n_bpe
          FROM documents d JOIN bpetok t ON t.doc_id = d.doc_id
          GROUP BY d.doc_id ORDER BY d.doc_id""",
+    // training loop unrolled: 8 MATERIALIZED pair-count → argmax →
+    // replace steps generated by bpeTrainOracleSql from the same
+    // constants as the Spark loop
+    "q_bpe_train" -> TextAnalysis.bpeTrainOracleSql(8),
     // DuckDB regexp_replace needs the 'g' flag (Spark replaces all by
     // default); URL scrub runs first on both sides
     "q_scrub_pii" ->

@@ -275,6 +275,121 @@ object TextAnalysis {
                   FROM bpenc WHERE r = ${merges.length})"""
   }
 
+  /** BPE vocabulary TRAINING (Sennrich et al. 2016): learn `numMerges`
+    * merge rules from the corpus itself — the other half of the
+    * tokenizer story next to [[bpeTokens]], which APPLIES a merges
+    * table.
+    *
+    * Shape at 100 TB: the corpus pays exactly ONE tokenize+count pass
+    * ([[termCounts]], materialized via [[graft.Reuse]]); every
+    * training iteration then runs over the VOCABULARY-sized
+    * (word, count, symbol-seq) table — adjacent-pair counting is a
+    * vocab-sized aggregation, the argmax plans as TakeOrdered (ONE
+    * (pair, count) row to the driver per step — the k-means
+    * broadcast-centroid budget), and applying a merge is one codegen
+    * string replace. Nothing corpus-sized moves after the first pass,
+    * and driver state never exceeds the learned table itself.
+    *
+    * Determinism: pair-count ties break to the lexicographically
+    * smallest (lhs, rhs) — UTF-8 byte order, identical in Spark and
+    * DuckDB — so the learned table is a pure function of the corpus
+    * and [[bpeTrainOracleSql]] can replay the loop exactly.
+    *
+    * Symbol sequences keep EVERY symbol delimiter-wrapped
+    * (`␟a␟␟b␟`): adjacent occurrences of the same pair then share no
+    * characters, so ONE left-to-right `replace` pass applies a merge
+    * with exact greedy BPE run semantics (`a a a` → `aa a`) — unlike
+    * the single-delimiter encoding of [[bpeOracleCtes]], which
+    * consumes the shared separator and needs nested passes. Pair
+    * counts are overlap counts (`zip(word, word.tail)` — the
+    * reference Counter semantics). BMP text only: the char split
+    * pairs java.regex `(.)` with RE2 `(.)`.
+    *
+    * Output: (step, lhs, rhs, merged, pair_cnt), one row per learned
+    * rule; steps after pair exhaustion are dropped. The result feeds
+    * [[bpeTokens]] whenever its class-init invariants hold (true for
+    * any genuine training run without output collisions). */
+  def bpeTrainMerges(df: DataFrame, textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val S = "\u001f"
+    // the one corpus-scale pass: word counts + wrapped char sequences
+    val base = termCounts(df, textCol)
+      .withColumn("seq", regexp_replace(col("term"), "(.)", S + "$1" + S))
+      .select(col("n").as("cnt"), col("seq"))
+      .materialized
+    var words = base
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (t <- 1 to numMerges if merges.size == t - 1) {
+      val a = filter(split(col("seq"), S), x => length(x) > 0)
+      val pairsOf = transform(
+        slice(col("a"), lit(1), size(col("a")) - 1),
+        (s, i) => struct(s.as("lhs"), element_at(col("a"), i + 2).as("rhs")))
+      val top = words
+        .select(col("cnt"), a.as("a"))
+        .select(col("cnt"), explode(pairsOf).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("pair_cnt"))
+        .orderBy(col("pair_cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val l = top.head.getString(0)
+        val r = top.head.getString(1)
+        val c = top.head.getLong(2)
+        merges += ((t, l, r, c))
+        // vocab-sized chain off the materialized base — each step adds
+        // one replace, never a corpus recompute
+        words = words.withColumn("seq",
+          replace(col("seq"), lit(S + l + S + S + r + S), lit(S + l + r + S)))
+      }
+    }
+    merges.toSeq.toDF("step", "lhs", "rhs", "pair_cnt")
+      .select(col("step"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("pair_cnt"))
+      .orderBy("step")
+  }
+
+  /** DuckDB replay of [[bpeTrainMerges]] over the `documents` table:
+    * the training loop unrolled as `numMerges` MATERIALIZED CTE steps
+    * (pair counts → argmax with the same tie-break → one delimiter-
+    * wrapped replace), generated from the same constants so the two
+    * sides cannot drift. MATERIALIZED is load-bearing: each step is
+    * referenced twice (next step + final union), and DuckDB's default
+    * CTE inlining would re-expand the chain exponentially (the
+    * PageRank/PCA lesson). */
+  def bpeTrainOracleSql(numMerges: Int): String = {
+    val S = "chr(31)"
+    val steps = (1 to numMerges).map { t =>
+      s"""btp$t AS (SELECT p[1] AS lhs, p[2] AS rhs,
+             CAST(sum(cnt) AS BIGINT) AS pair_cnt
+           FROM (SELECT cnt, unnest(list_transform(range(1, len(a)),
+                   i -> [a[i], a[i+1]])) AS p
+                 FROM (SELECT cnt, list_filter(string_split(seq, $S),
+                         x -> x <> '') AS a FROM btw${t - 1}) q) u
+           GROUP BY 1, 2),
+         btm$t AS MATERIALIZED (SELECT lhs, rhs, pair_cnt FROM btp$t
+           ORDER BY pair_cnt DESC, lhs, rhs LIMIT 1),
+         btw$t AS MATERIALIZED (SELECT cnt,
+             replace(seq, $S || m.lhs || $S || $S || m.rhs || $S,
+                     $S || m.lhs || m.rhs || $S) AS seq
+           FROM btw${t - 1} CROSS JOIN btm$t m)"""
+    }.mkString(",\n         ")
+    val finalSel = (1 to numMerges).map(t =>
+      s"""SELECT CAST($t AS INTEGER) AS step, lhs, rhs,
+            lhs || rhs AS merged, pair_cnt FROM btm$t""")
+      .mkString(" UNION ALL ")
+    s"""WITH btw0 AS MATERIALIZED (
+         SELECT count(*) AS cnt,
+                regexp_replace(w, '(.)', $S || '\\1' || $S, 'g') AS seq
+         FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+               FROM documents) u
+         WHERE w <> '' GROUP BY w),
+       $steps
+       $finalSel ORDER BY step"""
+  }
+
   /** Scrub emails and URLs to typed placeholder tags — the minimal PII/
     * leakage pass every training corpus gets. Patterns are dialect-
     * portable (java.util.regex ≡ RE2) so the result is oracle-exact.
