@@ -1109,6 +1109,22 @@ object SparkEntry {
     // jaccardPairs graph (PairGraph), not a per-query re-derivation.
     "q_jaccard_neardup" -> ((s, dir) =>
       jaccardPairs(s, dir).orderBy("id_a", "id_b")),
+    // directed containment (asymmetric Jaccard): quote docs are planted
+    // IN the query (doc_id % 37 → the 15-token excerpt at tokens 6..20,
+    // id + 10M) so genuine small-inside-large pairs exist at every SF —
+    // exactly the pairs the symmetric size-ratio prefilter excludes.
+    // The excerpt's shingles are all in its source, so each planted
+    // pair must surface at containment 1.0 despite Jaccard ≈ 0.2
+    "q_containment_pairs" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select("doc_id", "text")
+      val quotes = base.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 6, 15), " ")
+            .as("text"))
+      Dedup.containmentPairs(base.unionAll(quotes), "doc_id", "text",
+          n = 3, threshold = 0.9, maxShingleDf = Some(shingleDfCap))
+        .orderBy("id_a", "id_b")
+    }),
     "q_minhash_neardup" -> ((s, dir) =>
       minhashPairs(s, dir).orderBy("id_a", "id_b")),
     // cross-source duplication matrix — "how much does source X
@@ -3582,6 +3598,33 @@ object SparkEntry {
          WHERE doc_id NOT IN (SELECT id_b FROM jp)
          ORDER BY doc_id""",
     "q_jaccard_neardup" -> cappedJaccardOracleSql,
+    // containment over the quote-augmented corpus; the capped-universe
+    // machinery mirrors cappedJaccardCtes but scores shared/|A| with
+    // the asymmetric join (a.doc_id <> b.doc_id, both directions)
+    "q_containment_pairs" ->
+      s"""WITH aug AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT doc_id + 10000000,
+                      array_to_string(
+                        (string_split_regex(trim(text), '\\s+'))[6:20], ' ')
+               FROM documents WHERE doc_id % 37 = 0),
+         tok AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3 THEN []
+                  ELSE list_transform(range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+                    i -> array_to_string((string_split_regex(trim(text), '\\s+'))[i:i+2], ' ')) END) AS sh
+              FROM aug),
+         inv0 AS (SELECT doc_id, unnest(sh) AS s FROM tok WHERE len(sh) > 0),
+         dfq AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) <= $shingleDfCap),
+         inv AS (SELECT i.doc_id, i.s FROM inv0 i JOIN dfq USING (s)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM inv GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                   FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id <> b.doc_id
+                   GROUP BY 1, 2),
+         scored AS (SELECT p.id_a, p.id_b,
+                           CAST(p.shared AS DOUBLE) / sa.n AS containment
+                    FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a)
+         SELECT id_a, id_b, containment FROM scored
+         WHERE containment >= 0.9 ORDER BY id_a, id_b""",
     "q_source_dup_matrix" -> sourceDupMatrixOracleSql,
     // anti-join against the larger id of every capped-Jaccard pair —
     // the WITH body is cappedJaccardOracleSql's, reused verbatim

@@ -168,6 +168,65 @@ object Dedup {
       .select("id_left", "id_right", "jaccard")
   }
 
+  /** Directed containment near-dup pairs: (a, b) where
+    * |shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ `threshold` — "a's
+    * content is (almost) inside b". The asymmetric complement of
+    * [[jaccardNearDupPairs]]: a 15-token quote lifted from a 10 000-
+    * token page has Jaccard ≈ 0, and the symmetric size-ratio
+    * prefilter EXCLUDES exactly these pairs by design — yet quote
+    * extraction, boilerplate wrappers, and doc-inside-doc syndication
+    * are real duplication a training corpus must see.
+    *
+    * Same inverted-index shape as the Jaccard family (distinct
+    * n-gram shingles, xxhash64 digests shuffle instead of text,
+    * optional df-cap re-deriving set sizes over the surviving
+    * universe), but the size prune is the asymmetric one:
+    * shared ≥ t·|A| and shared ≤ |B| force |B| ≥ t·|A| — the
+    * CONTAINED side must not exceed its container by more than 1/t,
+    * while the container may be arbitrarily larger. Exact, no false
+    * dismissals. Candidate volume stays Σ df(s)² like the self-join,
+    * bounded by the cap.
+    *
+    * Output: (id_a, id_b, containment), id_a ≠ id_b, directed — an
+    * exact-duplicate pair appears in BOTH directions at 1.0. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    // same materialization-barrier repartition as jaccardNearDupPairs:
+    // the shingle HOF output feeds every consumer once
+    val sets = df.select(
+        col(idCol).as("id"),
+        graft.expressions.ShingleExpressions
+          .distinctWordNgrams(col(textCol), n).as("sh"))
+      .repartition(col("id"))
+      .filter(size(col("sh")) > 0)
+    val inv0 = sets.select(col("id"), size(col("sh")).as("setsize"),
+        explode(col("sh")).as("s0"))
+      .select(col("id"), col("setsize"), xxhash64(col("s0")).as("s"))
+    val inv = maxShingleDf match {
+      case Some(cap) =>
+        val dfreq = inv0.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap)
+          .select("s")
+        val kept = inv0.select("id", "s").join(dfreq, "s")
+        val sizes = kept.groupBy("id").agg(count(lit(1)).as("setsize"))
+        kept.join(sizes, Seq("id"))
+      case None => inv0
+    }
+    val a = inv.select(col("s"), col("id").as("id_a"), col("setsize").as("na"))
+    val b = inv.select(col("s"), col("id").as("id_b"), col("setsize").as("nb"))
+    a.join(b, Seq("s"))
+      .filter(col("id_a") =!= col("id_b"))
+      // asymmetric size prune: t·|A| ≤ shared ≤ |B| ⇒ |B| ≥ t·|A|
+      .filter(col("nb").cast("double") >= lit(threshold) * col("na"))
+      .groupBy(col("id_a"), col("id_b"), col("na"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("containment",
+        col("shared").cast("double") / col("na"))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   // ------------------------------------------------------------------
   // Span-level (paragraph) dedup — repeated-span removal
   // ------------------------------------------------------------------

@@ -84,6 +84,56 @@ class DedupSpec extends SparkSpec {
     assert(pairs.count() === 0)
   }
 
+  test("containmentPairs: quote inside a long page found at 1.0, Jaccard misses it") {
+    val page = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (10 to 20).map(i => s"w$i").mkString(" ") // 11 tokens ⊂ page
+    val corpus = Seq((0L, page), (1L, quote),
+      (2L, "totally unrelated words about something else entirely")).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 1 ⊆ 0 at exactly 1.0 (9 trigrams, all in the page's 58)
+    assert(cont.toSeq == Seq((1L, 0L, 1.0)),
+      s"got ${cont.toSeq}")
+    // the symmetric operator cannot see it: J = 9/58 ≈ 0.16
+    val j = Dedup.jaccardNearDupPairs(corpus, "doc_id", "text", 3, 0.5)
+    assert(j.count() === 0L)
+  }
+
+  test("containment values are exact and directed") {
+    // doc 0 = 10 trigrams, 7 shared with doc 2 (the dog→cat edit)
+    val c = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(c((0L, 2L)) - 0.7) < 1e-12)
+    assert(math.abs(c((2L, 0L)) - 0.7) < 1e-12)
+    // exact dups appear in both directions at 1.0
+    assert(c((0L, 1L)) === 1.0 && c((1L, 0L)) === 1.0)
+  }
+
+  test("containmentPairs ≡ quadratic reference on random corpora") {
+    val rnd = new scala.util.Random(41)
+    val words = (1 to 25).map(i => s"t$i")
+    val corpus = (0 until 30).map { i =>
+      val len = 4 + rnd.nextInt(25)
+      (i.toLong, (1 to len).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    def shingles(t: String): Set[String] =
+      t.trim.split("\\s+").toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val sets = corpus.map { case (id, t) => id -> shingles(t) }
+      .filter(_._2.nonEmpty).toMap
+    val expected = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia != ib
+      c = (sa & sb).size.toDouble / sa.size if c >= 0.5
+    } yield (ia, ib, c)).toSet
+    val got = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("minhashNearDupPairs recall equals exact jaccard on planted dups") {
     val exact = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
