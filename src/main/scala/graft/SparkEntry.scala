@@ -1390,6 +1390,17 @@ object SparkEntry {
           "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
+    // hard-negative mining (contrastive training data): per anchor,
+    // the top-8 corpus vectors with cos BELOW 0.25 — the near-miss
+    // band, with the would-be-positive region excluded BEFORE the cut.
+    // The fixture's gaussian cos gaps (~1e-4 near any cut) keep both
+    // the threshold and the rank order engine-stable
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 97 === 0),
+          "vec_id", "embedding", k = 8, maxCos = 0.25)
+        .orderBy("query_id", "rank")
+    }),
     // ANN parameters below are fixture-tuned (graft.tools.AnnTune) so
     // approximate recall is exactly 1 at sf0.001/0.01/0.1 — that is what
     // lets the approximate plans share the exhaustive DuckDB oracles.
@@ -4526,6 +4537,21 @@ object SparkEntry {
     // norm > 0 filters mirror the Spark side's zero-vector exclusion
     // (cos is undefined for zero vectors; Spark drops them, so must we)
     "q_embedding_topk" -> exactTopKOracleSql,
+    // exhaustive restatement: rank only the cos < 0.25 band
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+                    WHERE vec_id % 97 = 0
+                      AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings
+               WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         s AS (SELECT qid AS query_id, nid AS neighbor_id,
+                      list_cosine_similarity(cv, qv) AS cos
+               FROM c, q WHERE nid <> qid),
+         r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+               FROM s WHERE cos < 0.25)
+         SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 8
+         ORDER BY query_id, rank""",
     // the approximate plans share the EXACT oracle: their parameters are
     // fixture-tuned for recall 1 (see the queries-side comment), and
     // both verify candidates with exact cosine, so output ≡ exhaustive

@@ -118,6 +118,21 @@ object Similarity {
       vecCol: String, k: Int): DataFrame =
     rankTopK(bruteForceScored(corpus, queries, idCol, vecCol), k)
 
+  /** Hard-negative mining for contrastive training: for each anchor,
+    * the k most-similar corpus vectors whose cosine stays BELOW
+    * `maxCos` — near misses, not near-duplicates. Vectors in
+    * [maxCos, 1] are likely paraphrases/duplicates of the anchor and
+    * would poison a negative set, so they are excluded BEFORE the
+    * top-k cut (filtering after the cut would return fewer than k and
+    * drop the next-best true negatives). Same plan shape as
+    * [[bruteForceTopK]]: anchors broadcast, corpus streamed once with
+    * no shuffle, ≤ k rows per anchor per partition into the epilogue
+    * exchange. Output: (query_id, neighbor_id, rank, cos). */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+      vecCol: String, k: Int, maxCos: Double): DataFrame =
+    rankTopK(bruteForceScored(corpus, anchors, idCol, vecCol)
+      .filter(col("cos") < maxCos), k)
+
   /** Deterministic random hyperplanes: `numPlanes × dim` entries in
     * {-1,+1} from a fixed-seed PRNG, embedded as a literal array — no
     * data, no broadcast variable, identical on every executor. */

@@ -32,6 +32,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getAs[Double]("cos") > 0.99)
   }
 
+  test("hardNegatives excludes the near-dup band BEFORE the top-k cut") {
+    // anchor 0: vecs 4 (cos≈0.999) and 1 (cos≈0.994) are would-be
+    // positives above maxCos=0.9 and MUST NOT appear; the negatives
+    // are the orthogonal 2 (cos 0) then the opposite 3 (cos −1)
+    val out = Similarity.hardNegatives(vecs,
+        vecs.filter(col("vec_id") === 0), "vec_id", "embedding",
+        k = 3, maxCos = 0.9)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(2L, 3L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2))
+    assert(out.forall(_.getAs[Double]("cos") < 0.9))
+    // filtering after the cut would have returned ONLY vec 2 (rank 3
+    // of the unfiltered top-3): the pre-cut filter keeps vec 3 too
+  }
+
   test("bruteForceTopK with STRING ids falls back to the window epilogue") {
     // the aggregator epilogue is (Double, Long)-typed; a string id used
     // to cast("long") to null and collapse every group — now it must
