@@ -81,17 +81,32 @@ object Hll {
   def registers(df: DataFrame, groupCol: String, valueCol: String,
       p: Int): DataFrame = {
     requireP(p)
-    val mm = m(p)
-    val b1 = rankBits(p) + 1
     df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"),
-        Kmv.sha52(col(valueCol).cast("string")).as("h"))
-      .select(col("g"), (col("h") % mm).cast("int").as("bucket"),
-        when(expr(s"h div $mm") === 0, lit(b1))
-          .otherwise(lit(b1) - length(bin(expr(s"h div $mm"))))
-          .cast("int").as("rho"))
+        bucketCol(col(valueCol), p).as("bucket"),
+        rhoCol(col(valueCol), p).as("rho"))
       .groupBy("g", "bucket").agg(max("rho").as("rho"))
       .withColumnRenamed("g", groupCol)
+  }
+
+  /** Scan-side register bucket of one value: h mod m. Shared by the
+    * batch [[registers]] and the windowed streaming form
+    * ([[graft.streaming.Windows.windowedDistinctRegisters]]). */
+  def bucketCol(value: Column, p: Int): Column = {
+    requireP(p)
+    (Kmv.sha52(value.cast("string")) % m(p)).cast("int")
+  }
+
+  /** Scan-side rho of one value: 1-based leftmost-1-bit position of
+    * the rank field (B+1 when all zeros). */
+  def rhoCol(value: Column, p: Int): Column = {
+    requireP(p)
+    val b1 = rankBits(p) + 1
+    // h div m ≡ h >> p for the non-negative 52-bit sha52 hash
+    val rank = shiftright(Kmv.sha52(value.cast("string")), p)
+    when(rank === 0, lit(b1))
+      .otherwise(lit(b1) - length(bin(rank)))
+      .cast("int")
   }
 
   /** Merge two register tables of the SAME precision: elementwise max,

@@ -59,6 +59,38 @@ object Windows {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("session_key"), col("total_sales"), col("n_events"))
 
+  /** Windowed distinct-count sketch: HLL registers per (event-time
+    * window, key) — "distinct users per hour per event type" over an
+    * unbounded stream with DOUBLY bounded state: the watermark drops
+    * window state once it closes (the [[salesPerCategoryWindowed]]
+    * bound) AND each open (window, key) holds at most m = 2^p
+    * register counters however many distinct values pass through (the
+    * [[graft.functions.Hll]] bound) — an exact windowed
+    * count-distinct would instead hold every value id seen in the
+    * window. Append mode emits a window's registers exactly once,
+    * when the watermark closes it; scalarization/estimation runs
+    * downstream on the emitted (closed, immutable) register rows —
+    * chaining the second stateful aggregation inside one streaming
+    * query is both unsupported and unnecessary. The emitted rows are
+    * ≡ [[graft.functions.Hll.registers]] over the window's batch
+    * slice (spec-pinned), so merged/scalarized results agree with the
+    * batch oracle path. */
+  def windowedDistinctRegisters(df: DataFrame, tsCol: String,
+      keyCol: String, valueCol: String, p: Int,
+      windowLength: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame =
+    df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(keyCol).cast("string").as("k"),
+        graft.functions.Hll.bucketCol(col(valueCol), p).as("bucket"),
+        graft.functions.Hll.rhoCol(col(valueCol), p).as("rho"))
+      .groupBy(window(col(tsCol), windowLength).as("w"), col("k"),
+        col("bucket"))
+      .agg(max("rho").as("rho"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("k").as(keyCol), col("bucket"), col("rho"))
+
   /** Streaming exact dedup on a key with bounded state: duplicates
     * arriving within the watermark horizon are dropped, state for older
     * keys is reclaimed. The streaming face of `Dedup.exactDedup` —

@@ -89,6 +89,52 @@ class WindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDistinctRegisters: append-mode HLL registers ≡ batch per window, late data dropped") {
+    import java.sql.Timestamp
+    import graft.functions.Hll
+    implicit val sql = spark.sqlContext
+    val p = 4
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val regs = Windows.windowedDistinctRegisters(
+      input.toDF().toDF("ts", "etype", "user"), "ts", "etype", "user",
+      p = p, windowLength = "1 hour", watermark = "30 minutes")
+    val q = regs.writeStream.format("memory").queryName("win_hll")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window 1 [10:00, 11:00): 40 users across two types, duplicates
+      // included (distinct evidence, not row counts)
+      val w1 = (1L to 40L).map(u =>
+        (ts(s"2024-11-08 10:${10 + (u % 40).toInt / 60}:${10 + (u % 50).toInt}"),
+          if (u % 3 == 0) "click" else "view", u)) ++
+        (1L to 10L).map(u => (ts("2024-11-08 10:30:00"), "view", u))
+      input.addData(w1: _*)
+      q.processAllAvailable()
+      // nothing emitted: watermark hasn't passed window 1's end
+      assert(spark.table("win_hll").count() === 0L)
+      // an 12:00 event pushes the watermark to 11:30 → window 1 closes
+      input.addData((ts("2024-11-08 12:00:00"), "view", 999L))
+      q.processAllAvailable()
+      val emitted = spark.table("win_hll")
+        .select($"etype", $"bucket", $"rho")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+        .toSet
+      val batch = Hll.registers(
+          w1.toDF("ts", "etype", "user"), "etype", "user", p)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+        .toSet
+      assert(emitted == batch,
+        s"missing=${batch -- emitted} extra=${emitted -- batch}")
+      // a LATE window-1 event (behind the 11:30 watermark) with a new
+      // user must NOT re-open the closed window
+      input.addData((ts("2024-11-08 10:45:00"), "view", 777L))
+      q.processAllAvailable()
+      val after = spark.table("win_hll")
+        .filter($"window_start" === ts("2024-11-08 10:00:00")).count()
+      assert(after === emitted.size.toLong)
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops duplicate ids inside the horizon") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[String]
