@@ -1049,6 +1049,33 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     }),
+    // v4 curation recipe (round-7 composition): learned-classifier
+    // gate (integer-exact fastText-style score > 0) ∩ NOT contained
+    // ≥0.9 in a LONGER doc of the slice (drop the quote/excerpt side,
+    // keep the container; equal lengths keep the smaller id). The
+    // classifier decides QUALITY; containment removes directed
+    // redundancy the symmetric near-dup recipes cannot see. Mod-2
+    // slice, the v3 cost precedent
+    "q_curated_corpus_v4" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+      val pos = TextAnalysis.qualityClassifier(docs, "doc_id", "text",
+          TextAnalysis.classifierFixtureWeights(s), buckets = 4096)
+        .filter(col("label")).select("doc_id")
+      val meta = docs.select(col("doc_id"), col("n_chars"))
+      val dropped = Dedup.containmentPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.9, maxShingleDf = Some(shingleDfCap))
+        .join(meta.select(col("doc_id").as("id_a"),
+          col("n_chars").as("len_a")), "id_a")
+        .join(meta.select(col("doc_id").as("id_b"),
+          col("n_chars").as("len_b")), "id_b")
+        .filter(col("len_b") > col("len_a") ||
+          (col("len_b") === col("len_a") && col("id_b") < col("id_a")))
+        .select(col("id_a").as("doc_id"))
+      docs.join(pos, Seq("doc_id"), "left_semi")
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
     // the release report a dataset ships with: corpus-level accounting
     // in ONE aggregation pass, melted to a (metric, value) card via
     // stack (no per-metric rescans — the same Expand shape as
@@ -3311,6 +3338,55 @@ object SparkEntry {
          SELECT d.doc_id, d.lang, d.source
          FROM documents d JOIN rules r ON d.doc_id = r.doc_id
          WHERE r.pass ORDER BY d.doc_id""",
+    // v4: classifier chain ∩ NOT (contained ≥0.9 in a longer doc) —
+    // both CTE families restated over the mod-2 slice
+    "q_curated_corpus_v4" ->
+      s"""WITH d AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                  FROM d WHERE length(trim(text)) > 0),
+         feats AS (
+           SELECT doc_id, 'u:' || unnest(t) AS f FROM toks
+           UNION ALL
+           SELECT doc_id, 'b:' || t[i] || ' ' || t[i + 1] AS f
+           FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+           WHERE len(t) >= 2),
+         fb AS (SELECT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(
+                      substring(sha256(f), 1, 13), ''),
+                      c -> CAST(instr('0123456789abcdef', c) - 1
+                        AS BIGINT))),
+                    (acc, x) -> acc * 16 + x) % 4096 AS bucket
+                FROM feats),
+         perdoc AS (SELECT doc_id, bucket, count(*) AS c
+                    FROM fb GROUP BY 1, 2),
+         pos AS (SELECT doc_id FROM perdoc GROUP BY doc_id
+                 HAVING sum(c * (((bucket * 2654435761 + 104729) % 2001)
+                   - 1000)) > 0),
+         ctok AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3 THEN []
+                  ELSE list_transform(range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+                    i -> array_to_string((string_split_regex(trim(text), '\\s+'))[i:i+2], ' ')) END) AS sh
+              FROM d),
+         cinv0 AS (SELECT doc_id, unnest(sh) AS s FROM ctok WHERE len(sh) > 0),
+         cdfq AS (SELECT s FROM cinv0 GROUP BY s HAVING count(*) <= $shingleDfCap),
+         cinv AS (SELECT i.doc_id, i.s FROM cinv0 i JOIN cdfq USING (s)),
+         csizes AS (SELECT doc_id, count(*) AS n FROM cinv GROUP BY doc_id),
+         cpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+                    FROM cinv a JOIN cinv b ON a.s = b.s AND a.doc_id <> b.doc_id
+                    GROUP BY 1, 2),
+         dropped AS (SELECT DISTINCT p.id_a AS doc_id
+                     FROM cpairs p
+                     JOIN csizes sa ON sa.doc_id = p.id_a
+                     JOIN d da ON da.doc_id = p.id_a
+                     JOIN d db ON db.doc_id = p.id_b
+                     WHERE CAST(p.shared AS DOUBLE) / sa.n >= 0.9
+                       AND (db.n_chars > da.n_chars OR
+                            (db.n_chars = da.n_chars AND db.doc_id < da.doc_id)))
+         SELECT d.doc_id, d.lang, d.source
+         FROM d JOIN pos USING (doc_id)
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+         ORDER BY d.doc_id""",
     "q_curated_corpus_v3" ->
       s"""${gopherRulesCtes(minStopHits = 1,
           from = "(SELECT * FROM documents WHERE doc_id % 2 = 0)")},
