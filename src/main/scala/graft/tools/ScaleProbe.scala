@@ -56,6 +56,33 @@ object ScaleProbe {
         f"across=$tx%.1fs($nx%d)")
     }
 
+    // Containment scaling: same shifted-alphabet replicas (disjoint
+    // shingle universes — true directed pairs linear in K) plus a
+    // planted quote per 37th doc, straddling sizes. The asymmetric
+    // prune must keep candidate volume Σ df² like the symmetric join.
+    for (k <- Seq(1, 2, 4, 8) if on("contain")) {
+      val grown = (0 until k).map { i =>
+        val shifted = alpha.drop(i) + alpha.take(i)
+        base.select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          translate(col("text"), alpha, shifted).as("text"))
+      }.reduce(_ unionAll _)
+      val quotes = grown.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + lit(100000000L)).as("doc_id"),
+          array_join(slice(graft.functions.TextAnalysis.tokens(col("text")),
+            6, 15), " ").as("text"))
+      val docs = grown.unionAll(quotes)
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (tc, nc) = time(
+        Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.9,
+          maxShingleDf = Some(20)).count())
+      println(f"CONTAINPROBE k=$k%d docs=${5135 * k}%d " +
+        f"contain=$tc%.1fs($nc%d pairs)")
+    }
+
     // Edit-distance PassJoin scaling: grow the distinct-string universe
     // K× by suffixing a replica tag (disjoint universes — planted
     // near-dup structure constant per replica, true pairs linear in K).
