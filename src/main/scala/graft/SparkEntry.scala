@@ -1251,6 +1251,22 @@ object SparkEntry {
           n = 3, threshold = 0.5)
         .orderBy("id_left", "id_right")
     }),
+    // cross-corpus containment — the document-granularity
+    // decontamination shape: a planted "benchmark" of 15-token
+    // excerpts (every 23rd doc, tokens 4..18, id + 20M) probed against
+    // the full corpus; every planted item must surface ≥0.9 contained
+    // in its source page (Jaccard ≈ 0.2 — invisible to the symmetric
+    // across-variant by design)
+    "q_containment_across" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + lit(20000000L)).as("doc_id"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 4, 15), " ")
+            .as("text"))
+      Dedup.containmentPairsAcross(bench, "doc_id", "text",
+          docs, "doc_id", "text", n = 3, threshold = 0.9)
+        .orderBy("id_left", "id_right")
+    }),
     // span-level (paragraph) dedup: the corpus is documents plus a
     // 40-token excerpt of every 10th doc (planted at doc_id + 100000),
     // so cross-doc duplicated spans exist at every SF. The excerpt IS
@@ -1850,9 +1866,9 @@ object SparkEntry {
           col("est_raw").as(s"est_$suffix"))
       val exact = sh.select(col("sh")).distinct()
         .agg(count(lit(1)).as("exact_union"))
-      sc(ra, "a").crossJoin(sc(rb, "b"))
-        .crossJoin(sc(Hll.mergeRegisters(ra, rb, "g"), "u"))
-        .crossJoin(exact)
+      sc(ra, "a").crossJoin(broadcast(sc(rb, "b")))
+        .crossJoin(broadcast(sc(Hll.mergeRegisters(ra, rb, "g"), "u")))
+        .crossJoin(broadcast(exact))
     }),
     // deterministic hash-rank sample quantiles: p50/p90 per event type
     // from the bottom-256-by-sha52(event_id) row sample — bounded
@@ -4509,6 +4525,35 @@ object SparkEntry {
                 CAST(shared AS DOUBLE) / (na + nb - shared) AS jaccard
          FROM pairs
          WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.5
+         ORDER BY id_left, id_right""",
+    // cross-corpus containment: exhaustive restatement over the
+    // planted benchmark (left) × corpus (right), shared/|left| ≥ 0.9
+    "q_containment_across" ->
+      """WITH bench AS (SELECT doc_id + 20000000 AS doc_id,
+               array_to_string(
+                 (string_split_regex(trim(text), '\s+'))[4:18], ' ') AS text
+             FROM documents WHERE doc_id % 23 = 0),
+         ltok AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN []
+                  ELSE list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                    i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')) END) AS sh
+              FROM bench),
+         rtok AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN []
+                  ELSE list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                    i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')) END) AS sh
+              FROM documents),
+         linv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s
+                  FROM ltok WHERE len(sh) > 0),
+         rinv AS (SELECT doc_id, unnest(sh) AS s
+                  FROM rtok WHERE len(sh) > 0),
+         pairs AS (SELECT a.doc_id AS id_left, b.doc_id AS id_right,
+                          a.n AS na, count(*) AS shared
+                   FROM linv a JOIN rinv b ON a.s = b.s
+                   GROUP BY 1, 2, 3)
+         SELECT id_left, id_right,
+                CAST(shared AS DOUBLE) / na AS containment
+         FROM pairs WHERE CAST(shared AS DOUBLE) / na >= 0.9
          ORDER BY id_left, id_right""",
     // substring dedup: same planted text; sliding 8-grams keyed by the
     // gram STRING (the Spark side's xxhash64 is identical absent a

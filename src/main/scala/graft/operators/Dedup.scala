@@ -227,6 +227,45 @@ object Dedup {
       .select("id_a", "id_b", "containment")
   }
 
+  /** Cross-corpus directed containment: which LEFT docs are ≥
+    * `threshold` contained in some RIGHT doc — the
+    * document-granularity decontamination shape ("is this benchmark
+    * item sitting inside the training corpus?") and the quote-
+    * attribution shape ("which page does this excerpt come from").
+    * Complements [[ngramContamination]], which counts shared shingles
+    * per corpus doc against a broadcast probe set: here the output is
+    * the PAIRING itself, and the left side may be too large to
+    * broadcast. Postings join across the two corpora only (cost
+    * Σ df_L(s)·df_R(s)), asymmetric size prune |B| ≥ t·|A| — the
+    * contained left side may be arbitrarily smaller than its
+    * container. Output: (id_left, id_right, containment) — left ⊆
+    * right only; no within-side candidates are ever generated. */
+  def containmentPairsAcross(left: DataFrame, leftIdCol: String,
+      leftTextCol: String, right: DataFrame, rightIdCol: String,
+      rightTextCol: String, n: Int, threshold: Double): DataFrame = {
+    def postings(df: DataFrame, idCol: String, textCol: String,
+        idOut: String, szOut: String): DataFrame = {
+      val sets = df.select(col(idCol).as(idOut),
+          graft.expressions.ShingleExpressions
+            .distinctWordNgrams(col(textCol), n).as("sh"))
+        .repartition(col(idOut))
+        .filter(size(col("sh")) > 0)
+      sets.select(col(idOut), size(col("sh")).as(szOut),
+          explode(col("sh")).as("s0"))
+        .select(col(idOut), col(szOut), xxhash64(col("s0")).as("s"))
+    }
+    val a = postings(left, leftIdCol, leftTextCol, "id_left", "na")
+    val b = postings(right, rightIdCol, rightTextCol, "id_right", "nb")
+    a.join(b, Seq("s"))
+      .filter(col("nb").cast("double") >= lit(threshold) * col("na"))
+      .groupBy(col("id_left"), col("id_right"), col("na"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("containment",
+        col("shared").cast("double") / col("na"))
+      .filter(col("containment") >= threshold)
+      .select("id_left", "id_right", "containment")
+  }
+
   // ------------------------------------------------------------------
   // Span-level (paragraph) dedup — repeated-span removal
   // ------------------------------------------------------------------

@@ -134,6 +134,28 @@ class DedupSpec extends SparkSpec {
       s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("containmentPairsAcross ≡ the self-join's cross-side restriction") {
+    val rnd = new scala.util.Random(59)
+    val words = (1 to 20).map(i => s"t$i")
+    def corpus(ids: Range) = ids.map { i =>
+      val len = 4 + rnd.nextInt(20)
+      (i.toLong, (1 to len).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val leftRows = corpus(0 until 15)
+    val rightRows = corpus(100 until 120)
+    val left = leftRows.toDF("doc_id", "text")
+    val right = rightRows.toDF("doc_id", "text")
+    val across = Dedup.containmentPairsAcross(left, "doc_id", "text",
+        right, "doc_id", "text", n = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val restricted = Dedup.containmentPairs(
+        left.unionAll(right), "doc_id", "text", n = 3, threshold = 0.4)
+      .filter(col("id_a") < 100 && col("id_b") >= 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(across == restricted,
+      s"missing=${restricted -- across} extra=${across -- restricted}")
+  }
+
   test("minhashNearDupPairs recall equals exact jaccard on planted dups") {
     val exact = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
