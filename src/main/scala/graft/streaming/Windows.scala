@@ -91,6 +91,41 @@ object Windows {
         col("w.end").as("window_end"),
         col("k").as(keyCol), col("bucket"), col("rho"))
 
+  /** Windowed deterministic row sample: the bottom-k-by-hash sample of
+    * [[graft.functions.HashSample]] per (event-time window, key) —
+    * "p99 value per key per hour" over an unbounded stream. Doubly
+    * bounded state like [[windowedDistinctRegisters]]: the watermark
+    * drops a window's state at close, and each open (window, key)
+    * holds ≤ k (hash, value) pairs however many rows pass through.
+    * The bounded typed Aggregator runs RELATIONALLY via
+    * `functions.udaf`, so the event-time `window()` column keeps its
+    * metadata and append mode emits each window's sample exactly once
+    * on close; quantile interpolation happens downstream on the
+    * emitted rows ([[graft.functions.HashSample.sampleQuantiles]]'s
+    * epilogue). The emitted sample ≡ the batch sample of the window's
+    * slice — hash-rank determinism is a property of the data, not of
+    * execution order (spec-pinned). */
+  def windowedSampleRows(df: DataFrame, tsCol: String, keyCol: String,
+      idCol: String, valueCol: String, k: Int,
+      windowLength: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    val bottomK = udaf(graft.functions.HashSample.bottomK(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Double)]())
+    df.filter(col(keyCol).isNotNull && col(idCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(keyCol).cast("string").as("k"),
+        graft.functions.Kmv.sha52(col(idCol).cast("string")).as("h"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy(window(col(tsCol), windowLength).as("w"), col("k"))
+      .agg(bottomK(col("h"), col("v")).as("entries"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("k").as(keyCol), explode(col("entries")).as("e"))
+      .select(col("window_start"), col("window_end"), col(keyCol),
+        col("e._1").as("hash"), col("e._2").as("value"))
+  }
+
   /** Streaming exact dedup on a key with bounded state: duplicates
     * arriving within the watermark horizon are dropped, state for older
     * keys is reclaimed. The streaming face of `Dedup.exactDedup` —

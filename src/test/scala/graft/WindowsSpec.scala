@@ -135,6 +135,44 @@ class WindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedSampleRows: append-mode bottom-k sample ≡ batch per window, state bounded by k") {
+    import java.sql.Timestamp
+    import graft.functions.HashSample
+    implicit val sql = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Timestamp, String, Long, Double)]
+    val sampled = Windows.windowedSampleRows(
+      input.toDF().toDF("ts", "etype", "event_id", "value"),
+      "ts", "etype", "event_id", "value", k = 16,
+      windowLength = "1 hour", watermark = "30 minutes")
+    val q = sampled.writeStream.format("memory").queryName("win_sample")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 120 rows in window 1 across two keys — far more than k=16
+      val w1 = (1L to 120L).map(i =>
+        (ts("2024-11-08 10:20:00"), if (i % 2 == 0) "view" else "click",
+          i, i * 1.5))
+      input.addData(w1: _*)
+      q.processAllAvailable()
+      input.addData((ts("2024-11-08 12:00:00"), "view", 999L, 1.0))
+      q.processAllAvailable()
+      val emitted = spark.table("win_sample")
+        .filter($"window_start" === ts("2024-11-08 10:00:00"))
+        .select($"etype", $"hash", $"value")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // bounded: k rows per key, never the 60 rows that passed through
+      assert(emitted.size === 32)
+      val batch = HashSample.sample(
+          w1.toDF("ts", "etype", "event_id", "value"),
+          "etype", "event_id", "value", k = 16)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(emitted == batch,
+        s"missing=${batch -- emitted} extra=${emitted -- batch}")
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops duplicate ids inside the horizon") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[String]
