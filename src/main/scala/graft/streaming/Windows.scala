@@ -126,6 +126,37 @@ object Windows {
         col("e._1").as("hash"), col("e._2").as("value"))
   }
 
+  /** Windowed trending terms: Misra–Gries heavy hitters per event-time
+    * window — "what's trending this hour" over an open vocabulary,
+    * with ≤ k counters per open window however many distinct terms
+    * stream through (an exact windowed count would hold the window's
+    * whole vocabulary). Completes the windowed-sketch trio next to
+    * [[windowedDistinctRegisters]] and [[windowedSampleRows]]; same
+    * posture: append-mode emits a window's summary once at close,
+    * carrying the MG hard bounds (every term with count > N/(k+1)
+    * present; weights are lower bounds within N/(k+1)) — the summary
+    * itself is merge-order dependent, so the contract is the bound,
+    * not a replayable value (the [[graft.functions.HeavyHitters]]
+    * contract; for an EXACT windowed answer, recount the emitted
+    * candidates against the window's rows downstream, as
+    * `exactHeavyHitters` does in batch). */
+  def windowedTrendingTerms(df: DataFrame, tsCol: String,
+      textCol: String, k: Int, windowLength: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    val mg = udaf(graft.functions.HeavyHitters.misraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    df.withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        explode(graft.functions.TextAnalysis.tokens(col(textCol)))
+          .as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(window(col(tsCol), windowLength).as("w"))
+      .agg(mg(col("term")).as("mg"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        explode(col("mg")).as(Seq("term", "weight_low")))
+  }
+
   /** Streaming exact dedup on a key with bounded state: duplicates
     * arriving within the watermark horizon are dropped, state for older
     * keys is reclaimed. The streaming face of `Dedup.exactDedup` —

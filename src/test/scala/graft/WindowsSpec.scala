@@ -173,6 +173,48 @@ class WindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedTrendingTerms: per-window MG guarantees, windows independent") {
+    import java.sql.Timestamp
+    implicit val sql = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Timestamp, String)]
+    val trending = Windows.windowedTrendingTerms(
+      input.toDF().toDF("ts", "text"), "ts", "text", k = 4,
+      windowLength = "1 hour", watermark = "30 minutes")
+    val q = trending.writeStream.format("memory").queryName("win_trend")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window 1: 'alpha' heavy (60), 'beta' medium (25), 15 singletons
+      // → N=100, k=4: anything > 20 guaranteed present
+      val w1Text = (Seq.fill(60)("alpha") ++ Seq.fill(25)("beta") ++
+        (1 to 15).map(i => s"noise$i"))
+      val w1 = w1Text.grouped(10).map(g =>
+        (ts("2024-11-08 10:15:00"), g.mkString(" "))).toSeq
+      // window 2: a DIFFERENT heavy term — windows must not bleed
+      val w2 = Seq((ts("2024-11-08 11:10:00"),
+        Seq.fill(30)("gamma").mkString(" ")))
+      input.addData(w1 ++ w2: _*)
+      q.processAllAvailable()
+      input.addData((ts("2024-11-08 13:00:00"), "tick"))
+      q.processAllAvailable()
+      val rows = spark.table("win_trend")
+        .collect().map(r => (r.getTimestamp(0).toString.substring(11, 13),
+          r.getString(2), r.getLong(3)))
+      val w1Terms = rows.filter(_._1 == "10").map(t => t._2 -> t._3).toMap
+      val w2Terms = rows.filter(_._1 == "11").map(t => t._2 -> t._3).toMap
+      // guarantee: count > N/(k+1) = 20 ⇒ present; weights are lower
+      // bounds within N/(k+1) of truth
+      assert(w1Terms.contains("alpha") && w1Terms.contains("beta"))
+      assert(w1Terms.size <= 4)
+      assert(w1Terms("alpha") <= 60 && w1Terms("alpha") >= 60 - 20)
+      assert(w1Terms("beta") <= 25 && w1Terms("beta") >= 25 - 20)
+      // window independence: gamma only in window 2, alpha absent there
+      assert(w2Terms.keySet.contains("gamma") && w2Terms("gamma") === 30L)
+      assert(!w2Terms.contains("alpha"))
+      assert(!w1Terms.contains("gamma"))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops duplicate ids inside the horizon") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[String]
