@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Reuse.ReuseOps
 import graft.functions.{CountMin, HashSample, HeavyHitters, Hll, Kmv, TextAnalysis}
-import graft.operators.{Analytics, AsOf, Dedup, Ecommerce, JoinPrune, Multimodal, PairGraph, Pca, RangeJoin, Scale, Similarity}
+import graft.operators.{Analytics, AsOf, Dedup, Ecommerce, JoinPrune, Multimodal, PairGraph, Pca, RangeJoin, RecordLinkage, Scale, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1425,6 +1425,32 @@ object SparkEntry {
           names.filter(length(col("p_name")) % 2 === 1), "p_name",
           maxDist = 2)
         .orderBy("str_left", "str_right")
+    }),
+    // entity resolution (Fellegi–Sunter deterministic-score form):
+    // blocked candidate pairs on (nation, segment) — a plain hash
+    // join, never all-pairs — scored 0.6·name-edit-sim +
+    // 0.4·balance-exact. Planted dups (every 41st customer, name
+    // leading char dropped, id + 10M) score 0.6·(17/18) + 0.4 ≈ 0.967;
+    // the best non-dup same-block pair (consecutive-digit names, d=1)
+    // reaches only 0.6·(17/18) ≈ 0.567 without the balance match —
+    // the exact field is what separates them, which is the F-S point
+    "q_record_linkage" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 2 === 0) // mod-2 slice: blocked-pair
+        // volume is Σ|block|², so the slice quarters the levenshtein
+        // bill (the v3/v4 cost precedent); planted ids stay even
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment")
+      val dups = c.filter(col("c_custkey") % 41 === 0)
+        .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+          substring(col("c_name"), 2, 40).as("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      RecordLinkage.dedupePairs(c.unionAll(dups), "c_custkey",
+          Seq("c_nationkey", "c_mktsegment"),
+          Seq(RecordLinkage.FieldSim("c_name", 0.6),
+            RecordLinkage.FieldSim("c_acctbal", 0.4, exact = true)),
+          threshold = 0.9)
+        .orderBy("id_a", "id_b")
     }),
     // ===== training-data pipeline: similarity search =====
     "q_embedding_topk" -> ((s, dir) => {
@@ -4657,6 +4683,29 @@ object SparkEntry {
          FROM comp ORDER BY doc_id""",
     // norm > 0 filters mirror the Spark side's zero-vector exclusion
     // (cos is undefined for zero vectors; Spark drops them, so must we)
+    // blocked pairs + the identical IEEE chain: (1 − d/maxlen)·0.6
+    // then + CASE·0.4, left-associated as the operator writes it
+    "q_record_linkage" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                           c_mktsegment FROM customer
+                    WHERE c_custkey % 2 = 0),
+         u AS (SELECT * FROM c
+               UNION ALL
+               SELECT c_custkey + 10000000, substring(c_name, 2, 40),
+                      c_nationkey, c_acctbal, c_mktsegment
+               FROM c WHERE c_custkey % 41 = 0),
+         p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                 (1.0 - CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE)
+                    / CAST(greatest(length(a.c_name), length(b.c_name), 1)
+                      AS DOUBLE)) * 0.6
+                 + (CASE WHEN a.c_acctbal = b.c_acctbal
+                         THEN 1.0 ELSE 0.0 END) * 0.4 AS score
+               FROM u a JOIN u b
+                 ON a.c_nationkey = b.c_nationkey
+                AND a.c_mktsegment = b.c_mktsegment
+                AND a.c_custkey < b.c_custkey)
+         SELECT id_a, id_b, score FROM p WHERE score >= 0.9
+         ORDER BY id_a, id_b""",
     "q_embedding_topk" -> exactTopKOracleSql,
     // exhaustive restatement: rank only the cos < 0.25 band
     "q_hard_negatives" ->

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RecordLinkage
+import graft.operators.RecordLinkage.FieldSim
+
+class RecordLinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (id, name, city-block, balance)
+  private val recs = Seq(
+    (1L, "alice johnson", "east", 100.0),
+    (2L, "alice jonson", "east", 100.0),   // typo'd dup of 1: lev 1
+    (3L, "alice johnsen", "east", 250.0),  // similar name, DIFFERENT entity
+    (4L, "bob smith", "east", 300.0),
+    (5L, "alice johnson", "west", 100.0)   // identical but other block
+  ).toDF("id", "name", "block", "bal")
+
+  private val fields =
+    Seq(FieldSim("name", 0.6), FieldSim("bal", 0.4, exact = true))
+
+  test("scores are the exact weighted chain; exact field disambiguates") {
+    val pairs = RecordLinkage.dedupePairs(recs, "id", Seq("block"),
+        fields, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // (1,2): lev=1, maxlen=13 → 0.6·(12/13) + 0.4
+    assert(pairs.keySet === Set((1L, 2L)))
+    assert(math.abs(pairs((1L, 2L)) - (0.6 * (12.0 / 13) + 0.4)) < 1e-12)
+    // (1,3): lev=1 but balances differ → 0.6·(12/13) ≈ 0.554 < 0.9:
+    // the exact field is what separates near-name non-dups
+    val low = RecordLinkage.dedupePairs(recs, "id", Seq("block"),
+        fields, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(low.contains((1L, 3L)) && low.contains((2L, 3L)))
+  }
+
+  test("blocking: cross-block pairs are never compared (recall owned by the key)") {
+    // id 5 is IDENTICAL to id 1 except the block — no candidate, by design
+    val all = RecordLinkage.dedupePairs(recs, "id", Seq("block"),
+      fields, threshold = 0.1)
+    assert(!all.collect().exists(r => r.getLong(1) == 5L))
+  }
+
+  test("null field values contribute 0, never null-poison the score") {
+    val withNull = Seq(
+      (1L, "alice", "east", Some(10.0)),
+      (2L, "alice", "east", None)
+    ).toDF("id", "name", "block", "bal")
+    val p = RecordLinkage.dedupePairs(withNull, "id", Seq("block"),
+        fields, threshold = 0.5)
+      .collect()
+    // name exact match: 0.6; bal null → 0
+    assert(p.length === 1 && math.abs(p.head.getDouble(2) - 0.6) < 1e-12)
+  }
+
+  test("linkAcross ≡ dedupePairs restricted to cross-side candidates") {
+    val left = recs.filter(col("id") <= 2)
+    val right = recs.filter(col("id") > 2)
+    val across = RecordLinkage.linkAcross(left, "id", right, "id",
+        Seq("block"), fields, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val restricted = RecordLinkage.dedupePairs(recs, "id", Seq("block"),
+        fields, threshold = 0.3)
+      .filter(col("id_a") <= 2 && col("id_b") > 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(across == restricted)
+  }
+
+  test("parameter validation rejects nonsense") {
+    intercept[IllegalArgumentException] {
+      RecordLinkage.dedupePairs(recs, "id", Seq("block"), fields, 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      RecordLinkage.dedupePairs(recs, "id", Seq(), fields, 0.5)
+    }
+  }
+}
