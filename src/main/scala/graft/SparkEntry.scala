@@ -1452,6 +1452,33 @@ object SparkEntry {
           threshold = 0.9)
         .orderBy("id_a", "id_b")
     }),
+    // golden-record consolidation — the ER end product: linkage pairs →
+    // connected components → ONE survivor per entity by a survivorship
+    // policy (here completeness = name length, ties min id). Half the
+    // planted dups are APPENDED variants (every 164th key) so the dup
+    // genuinely wins survivorship for them, and the truncated half
+    // loses — the policy is exercised in both directions
+    "q_golden_records" -> ((s, dir) => {
+      val base = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment")
+      val dups = base.filter(col("c_custkey") % 41 === 0)
+        .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+          when(col("c_custkey") % 164 === 0, concat(col("c_name"), lit("x")))
+            .otherwise(substring(col("c_name"), 2, 40)).as("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      val aug = base.unionAll(dups)
+      val pairs = RecordLinkage.dedupePairs(aug, "c_custkey",
+        Seq("c_nationkey", "c_mktsegment"),
+        Seq(RecordLinkage.FieldSim("c_name", 0.6),
+          RecordLinkage.FieldSim("c_acctbal", 0.4, exact = true)),
+        threshold = 0.9)
+      Dedup.keepBestPerComponent(aug, "c_custkey", pairs,
+          length(col("c_name")))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
     // ===== training-data pipeline: similarity search =====
     "q_embedding_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -4706,6 +4733,45 @@ object SparkEntry {
                 AND a.c_custkey < b.c_custkey)
          SELECT id_a, id_b, score FROM p WHERE score >= 0.9
          ORDER BY id_a, id_b""",
+    // linkage edges → recursive-CTE components → completeness-ranked
+    // survivor (row_number ORDER BY length DESC, id ≡ the max_by
+    // (present, quality, −id) struct)
+    "q_golden_records" ->
+      """WITH RECURSIVE
+         c AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                      c_mktsegment FROM customer
+               WHERE c_custkey % 2 = 0),
+         u AS (SELECT * FROM c
+               UNION ALL
+               SELECT c_custkey + 10000000,
+                      CASE WHEN c_custkey % 164 = 0 THEN c_name || 'x'
+                           ELSE substring(c_name, 2, 40) END,
+                      c_nationkey, c_acctbal, c_mktsegment
+               FROM c WHERE c_custkey % 41 = 0),
+         p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                 (1.0 - CAST(levenshtein(a.c_name, b.c_name) AS DOUBLE)
+                    / CAST(greatest(length(a.c_name), length(b.c_name), 1)
+                      AS DOUBLE)) * 0.6
+                 + (CASE WHEN a.c_acctbal = b.c_acctbal
+                         THEN 1.0 ELSE 0.0 END) * 0.4 AS score
+               FROM u a JOIN u b
+                 ON a.c_nationkey = b.c_nationkey
+                AND a.c_mktsegment = b.c_mktsegment
+                AND a.c_custkey < b.c_custkey),
+         m AS (SELECT id_a, id_b FROM p WHERE score >= 0.9),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM m
+                   UNION SELECT id_b, id_a FROM m),
+         reach(node, root) AS (
+           SELECT c_custkey, c_custkey FROM u
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         comp AS (SELECT node, min(root) AS cid FROM reach GROUP BY node)
+         SELECT c_custkey, c_name, c_acctbal FROM (
+           SELECT u.c_custkey, u.c_name, u.c_acctbal,
+                  row_number() OVER (PARTITION BY comp.cid
+                    ORDER BY length(u.c_name) DESC, u.c_custkey) AS rn
+           FROM u JOIN comp ON comp.node = u.c_custkey)
+         WHERE rn = 1 ORDER BY c_custkey""",
     "q_embedding_topk" -> exactTopKOracleSql,
     // exhaustive restatement: rank only the cos < 0.25 band
     "q_hard_negatives" ->
