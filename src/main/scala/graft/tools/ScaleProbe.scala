@@ -83,6 +83,42 @@ object ScaleProbe {
         f"contain=$tc%.1fs($nc%d pairs)")
     }
 
+    // Record-linkage scaling: replicate customers K× into disjoint
+    // nation universes — block COUNT grows K×, block SIZES stay fixed,
+    // so blocked-candidate volume (Σ|block|², the levenshtein bill)
+    // and true matches must both stay exactly linear in K.
+    for (k <- Seq(1, 2, 4, 8) if on("linkage")) {
+      val cust = Tables.customer(spark, "/root/testdata/sf0.1")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+          "c_mktsegment")
+      val grown = (0 until k).map { i =>
+        cust.select(
+          (col("c_custkey") + lit(i * 1000000L)).as("c_custkey"),
+          col("c_name"), (col("c_nationkey") + lit(i * 1000)).as("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+      }.reduce(_ unionAll _)
+      val dups = grown.filter(col("c_custkey") % 41 === 0)
+        .select((col("c_custkey") + lit(100000000L)).as("c_custkey"),
+          substring(col("c_name"), 2, 40).as("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      val aug = grown.unionAll(dups).persist()
+      aug.count()
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (tl, nl) = time(
+        graft.operators.RecordLinkage.dedupePairs(aug, "c_custkey",
+          Seq("c_nationkey", "c_mktsegment"),
+          Seq(graft.operators.RecordLinkage.FieldSim("c_name", 0.6),
+            graft.operators.RecordLinkage.FieldSim("c_acctbal", 0.4,
+              exact = true)),
+          threshold = 0.9).count())
+      aug.unpersist()
+      println(f"LINKPROBE k=$k%d customers=${15000 * k}%d " +
+        f"linkage=$tl%.1fs($nl%d matches)")
+    }
+
     // Edit-distance PassJoin scaling: grow the distinct-string universe
     // K× by suffixing a replica tag (disjoint universes — planted
     // near-dup structure constant per replica, true pairs linear in K).
