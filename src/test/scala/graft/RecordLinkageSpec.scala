@@ -68,6 +68,41 @@ class RecordLinkageSpec extends SparkSpec {
     assert(across == restricted)
   }
 
+  test("streaming linkage: incoming records match a static reference, stateless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sql = spark.sqlContext
+    val reference = recs
+    val input = MemoryStream[(Long, String, String, Double)]
+    val incoming = input.toDF().toDF("id", "name", "block", "bal")
+    // the same blocked+scored linkage, stream-static: the reference
+    // side is a broadcastable equality join, NO streaming state
+    val matched = RecordLinkage.linkAcross(incoming, "id",
+      reference, "id", Seq("block"), fields, threshold = 0.9)
+    val q = matched.writeStream.format("memory").queryName("link_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (100L, "alice jonsonn", "east", 100.0), // lev 2 vs id 1, bal match
+        (101L, "zz totally new", "east", 5.0),  // matches nothing
+        (102L, "bob smith", "west", 300.0))     // right name, WRONG block
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+        "stream-static linkage must hold no streaming state")
+      val out = spark.table("link_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      // 100→1 ("alice johnson", lev 2, bal match): 0.6·(11/13) + 0.4
+      // ≈ 0.908; 100→2 (the typo'd dup "alice jonson", lev 1 —
+      // drop the trailing n — and same balance): 0.6·(12/13) + 0.4
+      // ≈ 0.954. Both clear 0.9; nothing else does
+      assert(out.keySet === Set((100L, 1L), (100L, 2L)))
+      assert(math.abs(out((100L, 1L)) - (0.6 * (11.0 / 13) + 0.4)) < 1e-12)
+      assert(math.abs(out((100L, 2L)) - (0.6 * (12.0 / 13) + 0.4)) < 1e-12)
+    } finally q.stop()
+  }
+
   test("parameter validation rejects nonsense") {
     intercept[IllegalArgumentException] {
       RecordLinkage.dedupePairs(recs, "id", Seq("block"), fields, 1.5)
