@@ -1570,6 +1570,18 @@ object SparkEntry {
           embeddingPairs(s, dir).select("id_a", "id_b"))
         .orderBy("vec_id")
     }),
+    // DBSCAN (Ester et al. 1996) over the cached ε-pair graph: the
+    // recall-1 LSH pairs ARE the exact cosine ≥ 0.4 neighbor relation,
+    // so density classification is exact; minPts = 3 yields all three
+    // roles (core/border/noise) at every fixture SF. Marginal cost on
+    // top of the shared pair graph is edge-list-sized.
+    "q_dbscan_clusters" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.dbscan(emb, "vec_id",
+          embeddingPairs(s, dir).select("id_a", "id_b"), minPts = 3)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    }),
     // SemDeDup (Abbas et al. 2023) as a composition: semantic clusters
     // = components of the cosine-LSH pair graph (recall-1 at these
     // params, so the oracle's exhaustive-cosine clusters are THE same
@@ -4804,6 +4816,41 @@ object SparkEntry {
          FROM nz a JOIN nz b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
          ORDER BY id_a, id_b""",
+    // DBSCAN: exhaustive ε-graph (cosine ≥ 0.4), core = neighborhood
+    // incl. self ≥ 3, clusters = recursive components of the core-core
+    // subgraph labelled min core id, border = min cluster among core
+    // neighbors, rest noise (−1) — zero vectors have no cosine, so they
+    // can only be noise
+    "q_dbscan_clusters" ->
+      """WITH RECURSIVE
+         nz AS (SELECT vec_id, embedding FROM embeddings
+                WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+                FROM nz a JOIN nz b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4),
+         ed AS (SELECT ia AS src, ib AS dst FROM pr UNION SELECT ib, ia FROM pr),
+         dg AS (SELECT src AS node, count(*) AS n FROM ed GROUP BY src),
+         core AS (SELECT node FROM dg WHERE n + 1 >= 3),
+         ce AS (SELECT e.src, e.dst FROM ed e
+                JOIN core a ON e.src = a.node JOIN core b ON e.dst = b.node),
+         reach(node, root) AS (
+           SELECT node, node FROM core
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN ce e ON e.src = r.node),
+         lab AS (SELECT node, min(root) AS cid FROM reach GROUP BY node),
+         bord AS (SELECT e.src AS node, min(l.cid) AS cid
+                  FROM ed e JOIN lab l ON l.node = e.dst
+                  WHERE e.src NOT IN (SELECT node FROM core)
+                  GROUP BY e.src)
+         SELECT v.vec_id,
+                CASE WHEN l.cid IS NOT NULL THEN 'core'
+                     WHEN b.cid IS NOT NULL THEN 'border'
+                     ELSE 'noise' END AS role,
+                COALESCE(l.cid, b.cid, -1) AS cluster_id
+         FROM embeddings v
+         LEFT JOIN lab l ON l.node = v.vec_id
+         LEFT JOIN bord b ON b.node = v.vec_id
+         ORDER BY vec_id""",
     // exhaustive cross-side cosine: sides are disjoint by the mod split
     "q_embedding_across" ->
       """WITH nz AS (SELECT vec_id, embedding FROM embeddings

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Reuse.ReuseOps
+
 /** Embedding similarity search over an `array<float>` column:
   * brute-force cosine top-k as the exact baseline, and two approximate
   * scale paths — random-hyperplane LSH and IVF (coarse-cell probing).
@@ -836,5 +838,74 @@ object Similarity {
       .withColumn("cos", dotProduct(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("id_ref", "id_new", "cos")
+  }
+
+  /** DBSCAN (Ester et al. 1996) over a precomputed ε-neighbor pair
+    * graph: `pairs` holds the undirected (id_a < id_b) edges of the
+    * "within ε" relation — here cosine ≥ threshold from
+    * [[lshNearDupPairs]] at recall-1 parameters, so the neighbor sets
+    * are exact. A point is **core** when its ε-neighborhood (self
+    * included, the classic definition) has ≥ `minPts` members; clusters
+    * are the connected components of the core–core subgraph (labelled
+    * min-core-id by [[Dedup.nearDupComponents]]); a non-core point with
+    * ≥ 1 core neighbor is a **border** point assigned to the minimum
+    * cluster id among its core neighbors (the deterministic resolution
+    * of DBSCAN's order-dependent border tie); everything else — zero
+    * vectors included, they have no defined cosine — is **noise**.
+    *
+    * Scale: the quadratic work lives in the banded pair generation,
+    * which is the already-audited LSH path; everything here is sized by
+    * the edge list (degrees, one components run on the core subgraph,
+    * one join for borders), never by corpus². Output:
+    * (id, role ∈ core|border|noise, cluster_id; −1 for noise). */
+  def dbscan(df: DataFrame, idCol: String, pairs: DataFrame,
+      minPts: Int): DataFrame = {
+    // Both directions from one scan of the (expensive) pair plan, then
+    // materialize: degrees, the core filter, and the border join all
+    // re-read it.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+      .materialized
+
+    val degrees = edges.groupBy(col("src").as("node")).count()
+    val core = degrees.filter(col("count") + 1 >= minPts).select("node")
+
+    // Cluster the core subgraph only. nearDupComponents stitches every
+    // row of the df it is given, so restricting it to core ids makes an
+    // isolated core (all its ε-neighbors are non-core) its own
+    // single-point cluster — exactly DBSCAN's semantics for it.
+    val coreEdges = edges
+      .join(core.withColumnRenamed("node", "src"), Seq("src"))
+      .join(core.withColumnRenamed("node", "dst"), Seq("dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"))
+    val coreLabels = Dedup
+      .nearDupComponents(core.withColumnRenamed("node", idCol), idCol, coreEdges)
+      .select(col(idCol).as("node"), col("component_id").as("cluster_id"))
+
+    // Border assignment: non-core endpoints of edges into the core set,
+    // taking the min cluster id among their core neighbors.
+    val borderLabels = edges
+      .join(coreLabels.withColumnRenamed("node", "dst"), Seq("dst"))
+      .join(core.withColumnRenamed("node", "src"), Seq("src"), "left_anti")
+      .groupBy(col("src").as("node"))
+      .agg(min("cluster_id").as("cluster_id"))
+
+    val idT = df.schema(idCol).dataType
+    df.select(col(idCol).as("id"))
+      .join(coreLabels.select(col("node").as("id"),
+        col("cluster_id").as("core_cid")), Seq("id"), "left")
+      .join(borderLabels.select(col("node").as("id"),
+        col("cluster_id").as("border_cid")), Seq("id"), "left")
+      .select(col("id"),
+        when(col("core_cid").isNotNull, lit("core"))
+          .when(col("border_cid").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("core_cid"), col("border_cid"), lit(-1).cast(idT))
+          .as("cluster_id"))
   }
 }

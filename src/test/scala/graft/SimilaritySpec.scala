@@ -432,4 +432,54 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(out(0)._3 - 1.0) < 1e-12, s"unchanged class must read 1, got ${out(0)._3}")
     assert(math.abs(out(1)._3) < 1e-12, s"orthogonal drift must read 0, got ${out(1)._3}")
   }
+
+  test("dbscan: planted clusters, border attach, isolated core, noise") {
+    // ε-graph given directly as the pair list. minPts = 3 with self
+    // included ⇒ core needs ≥ 2 neighbors.
+    //   A: triangle 0-1-2 (core) + 3 (neighbors {0, 40} ⇒ also core)
+    //      + 40 (one core neighbor ⇒ border of A)
+    //   B: path 10-11-12 — only 11 is core (an ISOLATED core, since
+    //      its neighbors are non-core): own single-core cluster, with
+    //      10/12 as its borders. Crucially NOT merged with A.
+    //   20-21: an edge between two non-core points with no core
+    //      neighbor ⇒ both noise despite having a pair
+    //   30: no pairs at all ⇒ noise
+    val ids = Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 20L, 21L, 30L, 40L)
+      .toDF("id")
+    val pairs = Seq(
+      (0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L),
+      (10L, 11L), (11L, 12L),
+      (20L, 21L),
+      (3L, 40L)
+    ).toDF("id_a", "id_b")
+    val out = Similarity.dbscan(ids, "id", pairs, minPts = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out(0L) === ("core", 0L) && out(1L) === ("core", 0L)
+      && out(2L) === ("core", 0L) && out(3L) === ("core", 0L))
+    assert(out(40L) === ("border", 0L))
+    assert(out(11L) === ("core", 11L))
+    assert(out(10L) === ("border", 11L) && out(12L) === ("border", 11L))
+    assert(out(20L) === ("noise", -1L) && out(21L) === ("noise", -1L))
+    assert(out(30L) === ("noise", -1L))
+  }
+
+  test("dbscan: border point between two clusters takes the min cluster id") {
+    // two K4 core cliques (minPts = 4: clique nbhd = 4); 5 touches one
+    // core per clique, nbhd {5, 0, 10} = 3 < 4 ⇒ border of BOTH, and
+    // the deterministic resolution is the min cluster id. The cliques
+    // must stay separate: a border point never bridges clusters.
+    val ids = ((0L to 3L) ++ Seq(5L) ++ (10L to 13L)).toDF("id")
+    def k4(base: Long) = for {
+      a <- 0 to 3; b <- 0 to 3 if a < b
+    } yield (base + a, base + b)
+    val pairs = (k4(0) ++ k4(10) ++ Seq((0L, 5L), (10L, 5L)))
+      .toDF("id_a", "id_b")
+    val out = Similarity.dbscan(ids, "id", pairs, minPts = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    (0L to 3L).foreach(i => assert(out(i) === ("core", 0L)))
+    (10L to 13L).foreach(i => assert(out(i) === ("core", 10L)))
+    assert(out(5L) === ("border", 0L))
+  }
 }
