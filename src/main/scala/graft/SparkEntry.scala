@@ -1839,6 +1839,21 @@ object SparkEntry {
       Kmv.distinctEstimate(Tables.events(s, dir), "event_type", "user_id",
           k = 64)
         .orderBy("event_type")),
+    // MRL quantile sketch, exact regime: every customer has ≤ 25
+    // orders at every SF, far under k = 64, so NO collapse can happen
+    // under any partitioning — the sketch is the sorted group and the
+    // p25/p50/p75 cuts are the exact ceil(q·n)-th order statistics,
+    // with the carried bound pinned at its floor (err 0 + maxWeight 1).
+    // The ε-bounded regime (collapses engaged) is property-spec'd
+    // (MrlSpec), same split as KMV's estimator path.
+    "q_mrl_quantiles" -> ((s, dir) =>
+      graft.functions.Mrl.groupQuantiles(Tables.orders(s, dir),
+          "o_custkey", "o_totalprice", k = 64, Seq(0.25, 0.5, 0.75))
+        .select(col("o_custkey"), col("n"), col("err_bound"),
+          element_at(col("values"), 1).as("p25"),
+          element_at(col("values"), 2).as("p50"),
+          element_at(col("values"), 3).as("p75"))
+        .orderBy("o_custkey")),
     // theta-sketch set algebra: distinct 3-gram-shingle overlap of the
     // even- and odd-doc_id corpus halves from two k=256 sketches —
     // |A|, |B|, |A∩B|, |A∪B| and Jaccard estimated without
@@ -4262,6 +4277,25 @@ object SparkEntry {
                      ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
                           / hk END AS est_distinct
          FROM k ORDER BY event_type""",
+    // MRL exact regime: the ceil(q·n)-th order statistic per customer;
+    // q literals CAST to DOUBLE so both engines run the same IEEE
+    // multiply (a bare 0.25 is DECIMAL in DuckDB), though 0.25/0.5/0.75
+    // are exact binary fractions either way
+    "q_mrl_quantiles" ->
+      """WITH r AS (SELECT o_custkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice) AS rn,
+                count(*) OVER (PARTITION BY o_custkey) AS n
+              FROM orders)
+         SELECT o_custkey, CAST(max(n) AS BIGINT) AS n,
+                CAST(1 AS BIGINT) AS err_bound,
+                max(CASE WHEN rn = CAST(ceil(CAST(0.25 AS DOUBLE) * n) AS BIGINT)
+                         THEN o_totalprice END) AS p25,
+                max(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)
+                         THEN o_totalprice END) AS p50,
+                max(CASE WHEN rn = CAST(ceil(CAST(0.75 AS DOUBLE) * n) AS BIGINT)
+                         THEN o_totalprice END) AS p75
+         FROM r GROUP BY o_custkey ORDER BY o_custkey""",
     // theta-sketch overlap: the same bottom-256 construction on each
     // corpus half of the 3-gram shingle universe; θ = min of the two
     // k-th minima (M when unsaturated), intersection counted below θ,

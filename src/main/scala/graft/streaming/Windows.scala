@@ -157,6 +157,37 @@ object Windows {
         explode(col("mg")).as(Seq("term", "weight_low")))
   }
 
+  /** Windowed quantile sketch: MRL collapsing-buffer quantiles per
+    * (event-time window, key) — "p50/p95 latency per endpoint per
+    * hour" over an unbounded stream. Fourth member of the windowed
+    * sketch family, same doubly-bounded posture: watermark reclaims a
+    * window's state at close, and each open (window, key) holds
+    * O(k·log(n/k)) doubles however many rows stream through. The
+    * emitted answer carries the sketch's own certified rank-error
+    * bound ([[graft.functions.Mrl]]): values are exact whenever a
+    * (window, key) saw ≤ k rows, and within err_bound ranks
+    * otherwise — merge-order dependent beyond that point, so the
+    * contract is the bound, not a replayable value (the
+    * [[windowedTrendingTerms]] posture, vs the replayable
+    * [[windowedSampleRows]]). */
+  def windowedQuantiles(df: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, k: Int, qs: Seq[Double],
+      windowLength: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    val mrl = udaf(graft.functions.Mrl.quantilesAgg(k, qs),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(keyCol).cast("string").as("k"),
+        col(valueCol).cast("double").as("v"))
+      .groupBy(window(col(tsCol), windowLength).as("w"), col("k"))
+      .agg(mrl(col("v")).as("r"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("k").as(keyCol),
+        col("r.n").as("n"), col("r.err_bound").as("err_bound"),
+        col("r.values").as("values"))
+  }
+
   /** Streaming exact dedup on a key with bounded state: duplicates
     * arriving within the watermark horizon are dropped, state for older
     * keys is reclaimed. The streaming face of `Dedup.exactDedup` —

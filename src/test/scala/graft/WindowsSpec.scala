@@ -215,6 +215,57 @@ class WindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedQuantiles: exact in small windows, certified bound in big ones, windows independent") {
+    import java.sql.Timestamp
+    implicit val sql = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val quants = Windows.windowedQuantiles(
+      input.toDF().toDF("ts", "etype", "value"),
+      "ts", "etype", "value", k = 64, qs = Seq(0.5, 0.9),
+      windowLength = "1 hour", watermark = "30 minutes")
+    val q = quants.writeStream.format("memory").queryName("win_quant")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window 1 'api': 40 values (< k ⇒ exact); window 1 'web': 1000
+      // values (collapses engaged ⇒ certified bound); window 2 'api':
+      // different data — windows must not bleed
+      val w1api = (1 to 40).map(i =>
+        (ts("2024-11-08 10:05:00"), "api", i.toDouble))
+      val w1web = (1 to 1000).map(i =>
+        (ts("2024-11-08 10:25:00"), "web",
+          ((i.toLong * 2654435761L) % 997L).toDouble))
+      val w2api = (1 to 10).map(i =>
+        (ts("2024-11-08 11:10:00"), "api", 1000.0 + i))
+      input.addData(w1api ++ w1web ++ w2api: _*)
+      q.processAllAvailable()
+      input.addData((ts("2024-11-08 13:00:00"), "api", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_quant").collect().map(r =>
+        (r.getTimestamp(0).toString.substring(11, 13), r.getString(2)) ->
+          ((r.getLong(3), r.getLong(4),
+            r.getAs[scala.collection.Seq[Double]]("values").toSeq))).toMap
+      // small window exact: p50 of 1..40 = 20, p90 = 36, bound at floor
+      val (nA, bA, vA) = rows(("10", "api"))
+      assert(nA === 40L && bA === 1L && vA === Seq(20.0, 36.0))
+      // big window: bound certified vs the window's true ranks
+      val (nW, bW, vW) = rows(("10", "web"))
+      assert(nW === 1000L && bW > 1L && bW < 250L)
+      val sorted = w1web.map(_._3).sorted
+      Seq(0.5, 0.9).zip(vW).foreach { case (qq, v) =>
+        val target = math.ceil(qq * 1000).toLong
+        val lo = sorted.count(_ < v) + 1
+        val hi = sorted.count(_ <= v)
+        val dist = if (target < lo) lo - target
+          else if (target > hi) target - hi else 0L
+        assert(dist <= bW, s"q=$qq rank dist $dist > $bW")
+      }
+      // window independence
+      val (n2, b2, v2) = rows(("11", "api"))
+      assert(n2 === 10L && b2 === 1L && v2 === Seq(1005.0, 1009.0))
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark drops duplicate ids inside the horizon") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[String]
