@@ -263,6 +263,20 @@ object SparkEntry {
           "item_a", "item_b", iterations = 10, damping = 0.85)
         .select(col("node"), col("rank").as("pagerank"))
         .orderBy("node")),
+    // BFS hop distance over the same graph: min edges from the seed
+    // set (graph nodes ≡ 0 mod 13 — multi-hop structure at every SF),
+    // capped at 4 hops. Frontier expansion ≡ the oracle's recursive
+    // CTE with the same depth guard.
+    "q_bfs_hops" -> ((s, dir) => {
+      val g = Analytics.coOccurrencePairs(
+        Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+        "l_orderkey", "l_partkey", minCount = 2L)
+      val nodes = g.select(col("item_a").as("node"))
+        .unionAll(g.select(col("item_b").as("node"))).distinct()
+      Analytics.hopDistance(g, "item_a", "item_b",
+          nodes.filter(col("node") % 13 === 0), "node", maxHops = 4)
+        .orderBy("node")
+    }),
     // ----- reference parity: upsert end-state = latest write per key (W5-W8)
     "q_latest_event_per_user" -> ((s, dir) =>
       Ecommerce.latestPerKey(Tables.events(s, dir),
@@ -3981,6 +3995,24 @@ object SparkEntry {
          SELECT count(*) AS n_triangles
          FROM e e1 JOIN e e2 ON e1.ib = e2.ia
               JOIN e e3 ON e3.ia = e1.ia AND e3.ib = e2.ib""",
+    // BFS min-hop labels: the recursive CTE explores every path but
+    // the d < 4 guard bounds it; min(d) per node ≡ BFS first-entry
+    "q_bfs_hops" ->
+      """WITH RECURSIVE g AS (SELECT DISTINCT l_orderkey AS grp,
+                l_partkey AS item FROM lineitem WHERE l_orderkey % 4 = 0),
+         e AS (SELECT a.item AS ia, b.item AS ib
+               FROM g a JOIN g b ON a.grp = b.grp AND a.item < b.item
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         ed AS (SELECT ia AS src, ib AS dst FROM e
+                UNION SELECT ib, ia FROM e),
+         seeds AS (SELECT DISTINCT src AS node FROM ed WHERE src % 13 = 0),
+         reach(node, d) AS (
+           SELECT node, 0 FROM seeds
+           UNION
+           SELECT ed.dst, r.d + 1 FROM reach r JOIN ed ON ed.src = r.node
+           WHERE r.d < 4)
+         SELECT node, CAST(min(d) AS INT) AS hops
+         FROM reach GROUP BY node ORDER BY node""",
     // discrete quantiles: value AT sorted position max(1, ceil(p·n)) —
     // tie permutations can't change the value at a fixed position
     "q_group_quantiles" ->

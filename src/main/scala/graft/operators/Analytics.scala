@@ -258,6 +258,58 @@ object Analytics {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** BFS hop distance from a seed set over an undirected edge list:
+    * (node, hops int) with hops = the MINIMUM number of edges from any
+    * seed, seeds at 0, capped at `maxHops` (unreachable nodes are
+    * absent). Completes the graph surface next to degrees / triangles /
+    * PageRank / connected components.
+    *
+    * Classic distributed frontier expansion: per round, one keyed join
+    * of the frontier against the edge list plus one anti-join against
+    * the visited set — per-round shuffle is sized by frontier × degree,
+    * never by the whole graph, and the anti-join is what makes each
+    * node enter exactly once (BFS order ⇒ first entry IS the minimum).
+    * The edge list is materialized once (every round re-reads it);
+    * rounds run to `maxHops` with an early exit on an empty frontier,
+    * so diameter-bounded graphs stop in diameter rounds. The fixed cap
+    * keeps the construction oracle-replayable (the PageRank
+    * fixed-iteration precedent: DuckDB's recursive CTE carries the
+    * same `d < maxHops` guard). */
+  def hopDistance(edges: DataFrame, aCol: String, bCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val und = edges
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .materialized
+    var visited = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("hops", lit(0))
+      .materialized
+    var frontier = visited.select("node")
+    var h = 1
+    var exhausted = maxHops == 0
+    while (!exhausted) {
+      val next = und
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .materialized
+      val grew = next.limit(1).count() > 0
+      if (grew) {
+        visited = visited.unionAll(next).materialized
+        frontier = next.select("node")
+      }
+      h += 1
+      exhausted = !grew || h > maxHops
+    }
+    visited.select(col("node"), col("hops").cast("int").as("hops"))
+  }
+
   /** Cohort retention: users grouped by their first active day; for
     * each cohort and each day offset ≤ `maxOffsetDays`, how many of
     * its users were active. Two map-side-combinable aggregations plus

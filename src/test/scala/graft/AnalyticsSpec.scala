@@ -490,4 +490,29 @@ class AnalyticsSpec extends SparkSpec {
       t + 0.85 * (0.25 / 3))
     pr.zip(exp).foreach { case (g2, e) => assert(math.abs(g2 - e) < 1e-12) }
   }
+
+  test("hopDistance: min hops, cap, early exit, isolated seed, unreachable absent") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus shortcut 1-4 (4 is 1 hop via the shortcut,
+    // not 3; 5 rides it to 2), seed 1; 9-10 is a disconnected edge
+    // (unreachable); 7 is an isolated seed (no edges at all)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (9L, 10L)).toDF("a", "b")
+    val seeds = Seq(1L, 7L).toDF("node")
+    val out = Analytics.hopDistance(edges, "a", "b", seeds, "node", maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 0, 7L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+
+    // cap: maxHops = 1 stops the expansion after one round
+    val capped = Analytics.hopDistance(edges, "a", "b",
+        Seq(1L).toDF("node"), "node", maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(capped === Map(1L -> 0, 2L -> 1, 4L -> 1))
+
+    // maxHops = 0: seeds only
+    val zero = Analytics.hopDistance(edges, "a", "b",
+        Seq(1L).toDF("node"), "node", maxHops = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(zero === Map(1L -> 0))
+  }
 }
