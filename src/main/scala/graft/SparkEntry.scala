@@ -132,6 +132,24 @@ object SparkEntry {
             Window.orderBy(col("transaction_date")).rowsBetween(-6, 0)))
         .orderBy("transaction_date")
     }),
+    // EWMA-smoothed daily sales per category: the sequential
+    // recurrence replayed declaratively on the post-aggregate frame
+    // (α = 0.5 is an exact binary fraction — both engines run the
+    // identical IEEE fold, so only the daily sums carry summation
+    // -order noise, inside compare tolerance)
+    "q_ewma_daily_sales" -> ((s, dir) =>
+      Analytics.ewmaSmooth(Tables.events(s, dir), "event_type", "ts",
+          "value", alpha = 0.5)
+        .orderBy("event_type", "day")),
+    // count-spike anomaly ranking: today's count vs trailing-14-day
+    // median, top 20 by score — rank-based emission keeps the query
+    // non-degenerate at every SF (the fixture's Poisson noise shrinks
+    // with volume, so any fixed threshold would return empty at sf0.1)
+    "q_count_anomalies" -> ((s, dir) =>
+      Analytics.countAnomalyScore(Tables.events(s, dir), "event_type",
+          "ts", lookback = 14)
+        .orderBy(desc("score"), col("event_type"), col("day"))
+        .limit(20)),
     // ----- SCD2 history: the event log collapsed into attribute
     // validity intervals (the warehouse dimension-table build)
     "q_scd2_history" -> ((s, dir) =>
@@ -3935,6 +3953,40 @@ object SparkEntry {
                 avg(total_sales) OVER (ORDER BY transaction_date
                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
          FROM d ORDER BY transaction_date""",
+    // EWMA: the recurrence as a recursive CTE over per-key rn chains —
+    // each step referenced once (the pageRank chain precedent, no
+    // inlining blowup); s.ewma * 0.5 + d.x * 0.5 matches the Spark
+    // fold's operand order exactly
+    "q_ewma_daily_sales" ->
+      """WITH RECURSIVE agg AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS x
+           FROM events GROUP BY 1, 2),
+         d AS (SELECT event_type, day, x,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY day) AS rn
+               FROM agg),
+         s AS (
+           SELECT event_type, day, x, rn, x AS ewma FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.event_type, d.day, d.x, d.rn,
+                  s.ewma * CAST(0.5 AS DOUBLE) + d.x * CAST(0.5 AS DOUBLE)
+           FROM s JOIN d ON d.event_type = s.event_type
+                        AND d.rn = s.rn + 1)
+         SELECT event_type, day, x AS daily_value, ewma
+         FROM s ORDER BY event_type, day""",
+    // trailing-median spike scores: integer counts, one final double
+    // division, full deterministic order under the top-20 cut
+    "q_count_anomalies" ->
+      """WITH agg AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                count(*) AS n FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, day, n,
+                      list(n) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS tr
+               FROM agg)
+         SELECT event_type, day, n, list_sort(tr)[7] AS trail_median,
+                CAST(n AS DOUBLE) / CAST(list_sort(tr)[7] AS DOUBLE) AS score
+         FROM w WHERE len(tr) = 14
+         ORDER BY score DESC, event_type, day LIMIT 20""",
     "q_edit_distance_across" ->
       """WITH n AS (SELECT DISTINCT p_name AS s FROM part),
          l AS (SELECT s FROM n WHERE length(s) % 2 = 0),

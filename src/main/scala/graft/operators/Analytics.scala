@@ -258,6 +258,64 @@ object Analytics {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** EWMA smoothing of a per-(key, day) aggregate: s₁ = x₁,
+    * sₜ = (1−α)·sₜ₋₁ + α·xₜ over each key's day-ordered daily totals.
+    * Output: (key, day date, daily_value, ewma).
+    *
+    * EWMA is a sequential recurrence, so it runs on the POST-AGGREGATE
+    * frame (keys × days — thousands of rows at any corpus size; the
+    * corpus-sized work is the one groupBy that produces the daily
+    * totals). The fold is expressed declaratively: an ordered running
+    * window collects each row's history and `aggregate` replays the
+    * recurrence left-to-right — O(days²) per key on the tiny frame,
+    * deterministic, and bit-identical to the oracle's recursive CTE
+    * when α is an exact binary fraction (both sides compute
+    * acc·(1−α) + x·α in the same IEEE order). */
+  def ewmaSmooth(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valCol)).as("daily_value"))
+    val w = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("h", collect_list(col("daily_value")).over(w))
+      .withColumn("ewma",
+        aggregate(slice(col("h"), lit(2), greatest(size(col("h")) - 1, lit(0))),
+          element_at(col("h"), 1),
+          (acc, x) => acc * lit(1 - alpha) + x * lit(alpha)))
+      .select(col(keyCol), col("day"), col("daily_value"), col("ewma"))
+  }
+
+  /** Count-spike anomaly score per (key, day): today's event count
+    * against the MEDIAN of the trailing `lookback` observed days —
+    * score = n / trailing_median, the standard robust spike detector
+    * (a mean would let one previous spike mask the next). Only days
+    * with a FULL trailing window are eligible (no partial-history
+    * noise); median = sorted trailing counts at position
+    * ceil(lookback/2) — integer inputs, so the only double is the one
+    * final division, identical in both engines. Emitting the score
+    * (consumers threshold or top-k it) keeps the operator
+    * corpus-agnostic: a fixed multiplier returns empty on smooth data
+    * and floods on bursty data.
+    * Output: (key, day, n, trail_median, score). */
+  def countAnomalyScore(df: DataFrame, keyCol: String, tsCol: String,
+      lookback: Int = 14): DataFrame = {
+    require(lookback >= 1, s"lookback must be >= 1, got $lookback")
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(-lookback, -1)
+    daily
+      .withColumn("tr", collect_list(col("n")).over(w))
+      .filter(size(col("tr")) === lookback)
+      .withColumn("trail_median",
+        element_at(array_sort(col("tr")), (lookback + 1) / 2))
+      .select(col(keyCol), col("day"), col("n"), col("trail_median"),
+        (col("n").cast("double") / col("trail_median").cast("double"))
+          .as("score"))
+  }
+
   /** BFS hop distance from a seed set over an undirected edge list:
     * (node, hops int) with hops = the MINIMUM number of edges from any
     * seed, seeds at 0, capped at `maxHops` (unreachable nodes are

@@ -491,6 +491,48 @@ class AnalyticsSpec extends SparkSpec {
     pr.zip(exp).foreach { case (g2, e) => assert(math.abs(g2 - e) < 1e-12) }
   }
 
+  test("ewmaSmooth: hand-computed recurrence, keys independent, multi-row days summed") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "2024-01-01 09:00:00", 4.0), ("a", "2024-01-01 10:00:00", 6.0),
+      ("a", "2024-01-02 09:00:00", 20.0), ("a", "2024-01-03 09:00:00", 40.0),
+      ("a", "2024-01-04 09:00:00", 0.0),
+      ("b", "2024-01-01 09:00:00", 100.0), ("b", "2024-01-03 09:00:00", 50.0)
+    ).toDF("k", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val out = Analytics.ewmaSmooth(df, "k", "ts", "v", alpha = 0.5)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    // a: daily 10 (4+6), 20, 40, 0 → ewma 10, 15, 27.5, 13.75
+    assert(out(("a", "2024-01-01")) === ((10.0, 10.0)))
+    assert(out(("a", "2024-01-02")) === ((20.0, 15.0)))
+    assert(out(("a", "2024-01-03")) === ((40.0, 27.5)))
+    assert(out(("a", "2024-01-04")) === ((0.0, 13.75)))
+    // b: independent chain; missing days are skipped, not zero-filled
+    assert(out(("b", "2024-01-01")) === ((100.0, 100.0)))
+    assert(out(("b", "2024-01-03")) === ((50.0, 75.0)))
+  }
+
+  test("countAnomalyScore: trailing median, full-window eligibility, spike ranks high") {
+    import spark.implicits._
+    // key a: counts 1, 1, 2, 8 per day (spike on day 4); lookback 2 ⇒
+    // day 3 eligible (tr [1,1], median 1, score 2), day 4 (tr [1,2],
+    // lower median 1, score 8)
+    val rows =
+      Seq.fill(1)(("a", "2024-01-01 09:00:00")) ++
+      Seq.fill(1)(("a", "2024-01-02 09:00:00")) ++
+      Seq.fill(2)(("a", "2024-01-03 09:00:00")) ++
+      Seq.fill(8)(("a", "2024-01-04 09:00:00"))
+    val df = rows.toDF("k", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val out = Analytics.countAnomalyScore(df, "k", "ts", lookback = 2)
+      .collect()
+      .map(r => r.getDate(1).toString ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet === Set("2024-01-03", "2024-01-04"))
+    assert(out("2024-01-03") === ((2L, 1L, 2.0)))
+    assert(out("2024-01-04") === ((8L, 1L, 8.0)))
+  }
+
   test("hopDistance: min hops, cap, early exit, isolated seed, unreachable absent") {
     import spark.implicits._
     // path 1-2-3-4-5 plus shortcut 1-4 (4 is 1 hop via the shortcut,
