@@ -132,6 +132,13 @@ object SparkEntry {
             Window.orderBy(col("transaction_date")).rowsBetween(-6, 0)))
         .orderBy("transaction_date")
     }),
+    // first/last-touch attribution: purchases credited to click/view
+    // touchpoints inside a 7-day lookback, NULL for direct conversions
+    "q_attribution" -> ((s, dir) =>
+      Analytics.touchAttribution(Tables.events(s, dir), "user_id", "ts",
+          "event_type", "event_id", conversionType = "purchase",
+          touchTypes = Seq("click", "view"), lookbackDays = 7)
+        .orderBy("user_id", "conv_ts", "conv_event_id")),
     // EWMA-smoothed daily sales per category: the sequential
     // recurrence replayed declaratively on the post-aggregate frame
     // (α = 0.5 is an exact binary fraction — both engines run the
@@ -3953,6 +3960,34 @@ object SparkEntry {
                 avg(total_sales) OVER (ORDER BY transaction_date
                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
          FROM d ORDER BY transaction_date""",
+    // attribution: the window formulation replayed as a bounded
+    // conversion⋈touch join + rank-1 picks; [c.us − 7d, c.us) matches
+    // the Spark range frame exactly, (us, event_id) the struct order
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts,
+                epoch_us(ts) AS us FROM events),
+         c AS (SELECT * FROM e WHERE event_type = 'purchase'),
+         t AS (SELECT * FROM e WHERE event_type IN ('click', 'view')),
+         j AS (SELECT c.user_id, c.event_id AS conv_event_id,
+                      t.event_id AS tid, t.event_type AS ttype,
+                      row_number() OVER (
+                        PARTITION BY c.user_id, c.event_id
+                        ORDER BY t.us DESC, t.event_id DESC) AS rl,
+                      row_number() OVER (
+                        PARTITION BY c.user_id, c.event_id
+                        ORDER BY t.us ASC, t.event_id ASC) AS rf
+               FROM c JOIN t ON t.user_id = c.user_id
+                 AND t.us < c.us
+                 AND t.us >= c.us - CAST(7 AS BIGINT) * 86400 * 1000000)
+         SELECT c.user_id, c.event_id AS conv_event_id, c.ts AS conv_ts,
+                f.tid AS first_touch_id, f.ttype AS first_touch_type,
+                l.tid AS last_touch_id, l.ttype AS last_touch_type
+         FROM c
+         LEFT JOIN (SELECT * FROM j WHERE rf = 1) f
+           ON f.user_id = c.user_id AND f.conv_event_id = c.event_id
+         LEFT JOIN (SELECT * FROM j WHERE rl = 1) l
+           ON l.user_id = c.user_id AND l.conv_event_id = c.event_id
+         ORDER BY c.user_id, conv_ts, conv_event_id""",
     // EWMA: the recurrence as a recursive CTE over per-key rn chains —
     // each step referenced once (the pageRank chain precedent, no
     // inlining blowup); s.ewma * 0.5 + d.x * 0.5 matches the Spark

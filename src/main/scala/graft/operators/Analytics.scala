@@ -258,6 +258,45 @@ object Analytics {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Marketing attribution: for each conversion event, the FIRST and
+    * LAST touchpoint by the same user inside a lookback window ending
+    * strictly before the conversion. One shuffle by user, then a
+    * microsecond range-frame window — no conversion×touch join blowup:
+    * each row computes its window's min/max touch struct in the
+    * per-user sort, so cost is the user shuffle + a sort however many
+    * touches a user has (the struct min/max is a running aggregate,
+    * not a window materialization). Conversions with no touch in
+    * window keep NULL attribution (they are real rows a credit report
+    * must count as "direct"). Ties at the same microsecond break by
+    * event id (struct lexicographic order), deterministic.
+    * Output: (user, conv_event_id, conv_ts, first_touch_id,
+    * first_touch_type, last_touch_id, last_touch_type). */
+  def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, conversionType: String,
+      touchTypes: Seq[String], lookbackDays: Int = 7): DataFrame = {
+    require(touchTypes.nonEmpty, "touchAttribution needs touch types")
+    require(lookbackDays >= 1, s"lookbackDays must be >= 1, got $lookbackDays")
+    val lookbackUs = lookbackDays.toLong * 86400L * 1000000L
+    val base = events.select(col(userCol), col(tsCol),
+        col(typeCol).as("__type"), col(idCol).as("__id"))
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__touch",
+        when(col("__type").isin(touchTypes: _*),
+          struct(col("__us"), col("__id"), col("__type"))))
+    val w = Window.partitionBy(userCol).orderBy("__us")
+      .rangeBetween(-lookbackUs, -1)
+    base
+      .withColumn("__first", min(col("__touch")).over(w))
+      .withColumn("__last", max(col("__touch")).over(w))
+      .filter(col("__type") === conversionType)
+      .select(col(userCol), col("__id").as("conv_event_id"),
+        col(tsCol).as("conv_ts"),
+        col("__first.__id").as("first_touch_id"),
+        col("__first.__type").as("first_touch_type"),
+        col("__last.__id").as("last_touch_id"),
+        col("__last.__type").as("last_touch_type"))
+  }
+
   /** EWMA smoothing of a per-(key, day) aggregate: s₁ = x₁,
     * sₜ = (1−α)·sₜ₋₁ + α·xₜ over each key's day-ordered daily totals.
     * Output: (key, day date, daily_value, ewma).

@@ -491,6 +491,33 @@ class AnalyticsSpec extends SparkSpec {
     pr.zip(exp).foreach { case (g2, e) => assert(math.abs(g2 - e) < 1e-12) }
   }
 
+  test("touchAttribution: first/last picks, lookback cut, direct conversions, other users excluded") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1: click(1) → view(2) → purchase(3); an OLD view(0)
+      // outside the 7-day lookback must not win first-touch
+      (1L, "2024-01-01 10:00:00", "view", 100L),
+      (1L, "2024-01-10 09:00:00", "click", 101L),
+      (1L, "2024-01-10 10:00:00", "view", 102L),
+      (1L, "2024-01-10 11:00:00", "purchase", 103L),
+      // user 1 second purchase: the earlier purchase is NOT a touch;
+      // last touch is still view(102)
+      (1L, "2024-01-10 12:00:00", "purchase", 104L),
+      // user 2: direct conversion, no touches → NULL attribution
+      (2L, "2024-01-10 11:00:00", "purchase", 200L),
+      // user 3's touch must never credit user 2
+      (3L, "2024-01-10 10:30:00", "click", 300L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Analytics.touchAttribution(df, "user_id", "ts", "event_type",
+        "event_id", "purchase", Seq("click", "view"), lookbackDays = 7)
+      .collect().map(r => r.getLong(1) ->
+        ((Option(r.get(3)), Option(r.get(5))))).toMap
+    assert(out(103L) === ((Some(101L), Some(102L)))) // first=click, last=view
+    assert(out(104L) === ((Some(101L), Some(102L)))) // purchase 103 not a touch
+    assert(out(200L) === ((None, None)))             // direct
+  }
+
   test("ewmaSmooth: hand-computed recurrence, keys independent, multi-row days summed") {
     import spark.implicits._
     val df = Seq(
