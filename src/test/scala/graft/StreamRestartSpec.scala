@@ -150,4 +150,62 @@ class StreamRestartSpec extends SparkSpec {
     assert(ids === Seq("A", "A", "B", "C"),
       "post-eviction arrival is a NEW observation, not a duplicate")
   }
+
+  test("Trigger.AvailableNow: backfill terminates by itself in bounded batches; incremental rerun emits only new windows") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val (in, out, cp) = (tmp("an_in"), tmp("an_out"), tmp("an_cp"))
+
+    def agg(df: DataFrame): DataFrame =
+      df.withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("key"))
+        .agg(sum(col("amount")).as("total"))
+        .select(col("w.start").as("window_start"), col("key"), col("total"))
+
+    def runAvailableNow(): (Boolean, Int) = {
+      val q = agg(fileStream(in)).writeStream
+        .format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", cp.toString)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // the operational contract: the query DRAINS the backlog and
+      // stops on its own — no processAllAvailable/stop babysitting
+      val terminated = q.awaitTermination(120000)
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      (terminated, dataBatches)
+    }
+
+    // ----- backfill: two closed days + a day-3 row that stays open
+    writeFile(in, Seq(("a1", "k1", 10.0, "2024-01-01 10:00:00"),
+      ("a2", "k2", 5.0, "2024-01-01 11:00:00")))
+    writeFile(in, Seq(("b1", "k1", 7.0, "2024-01-02 10:00:00")))
+    writeFile(in, Seq(("c1", "k1", 1.0, "2024-01-03 09:00:00")))
+    val (term1, batches1) = runAvailableNow()
+    assert(term1, "AvailableNow run must terminate on its own")
+    // maxFilesPerTrigger=1 is honored (Trigger.Once would gulp all 3)
+    assert(batches1 >= 3, s"expected >= 3 bounded batches, got $batches1")
+    val afterBackfill = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getString(1), r.getDouble(2))).toSet
+    // watermark (03 09:00 − 30 min) closed days 1-2 only
+    assert(afterBackfill === Set(("2024-01-01", "k1", 10.0),
+      ("2024-01-01", "k2", 5.0), ("2024-01-02", "k1", 7.0)))
+
+    // ----- incremental rerun from the SAME checkpoint: new files only
+    writeFile(in, Seq(("c2", "k1", 2.0, "2024-01-03 10:00:00")))
+    writeFile(in, Seq(("d1", "k2", 9.0, "2024-01-04 12:00:00")))
+    val (term2, _) = runAvailableNow()
+    assert(term2)
+    val afterIncr = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getString(1), r.getDouble(2)))
+    // day 3 emitted once with BOTH its rows (state restored: c1 from
+    // the backfill run + c2 from this one); days 1-2 NOT re-emitted
+    assert(afterIncr.count(_._1 == "2024-01-01") === 2)
+    assert(afterIncr.count(_._1 == "2024-01-02") === 1)
+    assert(afterIncr.filter(_._1 == "2024-01-03").toSet ===
+      Set(("2024-01-03", "k1", 3.0)))
+  }
 }
