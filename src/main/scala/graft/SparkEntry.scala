@@ -1193,6 +1193,16 @@ object SparkEntry {
     }),
     "q_minhash_neardup" -> ((s, dir) =>
       minhashPairs(s, dir).orderBy("id_a", "id_b")),
+    // AllPairs/PPJoin prefix filtering: exact full-universe Jaccard
+    // with candidates only from each doc's rarest-token prefix — the
+    // third candidate scheme next to the df-cap (changes the universe)
+    // and minhash banding (probabilistic). Exact over the full
+    // universe ⇒ it shares the exhaustive oracle with minhash (whose
+    // banding is recall-1 at these params)
+    "q_prefix_jaccard_pairs" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.6)
+        .orderBy("id_a", "id_b")),
     // cross-source duplication matrix — "how much does source X
     // duplicate source Y": every surviving near-dup edge attributed to
     // its unordered source pair. Corpus governance from the CACHED pair
@@ -4723,6 +4733,8 @@ object SparkEntry {
     // (J ≥ 0.87; P[miss | 16 bands × 4 rows] < 1e-8) and is re-checked
     // here by sharing the oracle.
     "q_minhash_neardup" -> jaccardOracleSql,
+    // prefix filtering is exact over the same full universe
+    "q_prefix_jaccard_pairs" -> jaccardOracleSql,
     // cross-corpus variant of the exhaustive formulation: candidates
     // restricted to left×right (mod-5 split); the Spark side's
     // size-ratio prefilter is exact-lossless, so outputs match

@@ -46,6 +46,34 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j02 - 7.0 / 13.0) < 1e-12)
   }
 
+  test("prefixJaccardPairs ≡ the full inverted-index join, including the exact-threshold boundary") {
+    import spark.implicits._
+    // B's 12 tokens give 10 shingles; A's prefix-8 tokens give 6, all
+    // contained in B ⇒ J = 6/10 = 0.6 EXACTLY — the pair the ⌈t·|d|⌉
+    // and size-ratio IEEE boundaries would dismiss without the 1e-9
+    // slack (0.6·10 rounds to 6.000000000000001)
+    val ws = (1 to 12).map(i => s"w$i")
+    val corpus = Seq(
+      (1L, ws.take(8).mkString(" ")),
+      (2L, ws.mkString(" ")),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "alpha beta gamma delta epsilon eta"),
+      (5L, "totally unrelated text about nothing here")
+    ).toDF("doc_id", "text")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+        .toSet
+    val prefix = asSet(Dedup.prefixJaccardPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.6))
+    val full = asSet(Dedup.jaccardNearDupPairs(corpus, "doc_id", "text",
+      n = 3, threshold = 0.6))
+    assert(prefix === full)
+    assert(prefix.exists(p => p._1 == 1L && p._2 == 2L
+      && p._3 == BigDecimal("0.600000000")),
+      s"boundary pair missing from $prefix")
+  }
+
   test("maxShingleDf cap drops ubiquitous shingles from the index") {
     // shingle present in all 5 docs would pair everything; cap 1 kills all pairs
     val all = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", 1, 0.01)
