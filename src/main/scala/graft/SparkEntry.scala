@@ -288,6 +288,15 @@ object SparkEntry {
           "item_a", "item_b", iterations = 10, damping = 0.85)
         .select(col("node"), col("rank").as("pagerank"))
         .orderBy("node")),
+    // synchronous LPA over the same graph, 4 fixed rounds (the unroll
+    // the oracle replays); deterministic (max votes, min label) adopt
+    "q_label_propagation" -> ((s, dir) =>
+      Analytics.labelPropagation(
+          Analytics.coOccurrencePairs(
+            Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+            "l_orderkey", "l_partkey", minCount = 2L),
+          "item_a", "item_b", iterations = 4)
+        .orderBy("node")),
     // BFS hop distance over the same graph: min edges from the seed
     // set (graph nodes ≡ 0 mod 13 — multi-hop structure at every SF),
     // capped at 4 hops. Frontier expansion ≡ the oracle's recursive
@@ -2352,8 +2361,36 @@ object SparkEntry {
          SELECT node, pagerank FROM r$iters ORDER BY node"""
   }
 
+  /** Synchronous LPA unrolled: per round one vote aggregation + a
+    * (votes DESC, label ASC) rank-1 pick — the SQL restatement of the
+    * Spark side's min(struct(-votes, label)). */
+  private def labelPropagationOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""v$k AS (SELECT e.src AS node, l.community_id,
+                count(*) AS votes
+         FROM adj e JOIN l${k - 1} l ON l.node = e.dst
+         GROUP BY 1, 2),
+         l$k AS (SELECT node, community_id FROM (
+           SELECT node, community_id, row_number() OVER (
+             PARTITION BY node
+             ORDER BY votes DESC, community_id ASC) AS rn
+           FROM v$k) WHERE rn = 1)"""
+    }.mkString(",\n         ")
+    s"""WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
+               FROM lineitem WHERE l_orderkey % 4 = 0),
+         e AS (SELECT a.item AS ia, b.item AS ib
+               FROM g a JOIN g b ON a.grp = b.grp AND a.item < b.item
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         adj AS (SELECT ia AS src, ib AS dst FROM e
+                 UNION ALL SELECT ib AS src, ia AS dst FROM e),
+         l0 AS (SELECT DISTINCT src AS node, src AS community_id FROM adj),
+         $steps
+         SELECT node, community_id FROM l$iters ORDER BY node"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracleSql(10),
+    "q_label_propagation" -> labelPropagationOracleSql(4),
     "q_sales_per_category" ->
       """SELECT event_type AS category, SUM(value) AS total_sales
          FROM events GROUP BY 1 ORDER BY category""",

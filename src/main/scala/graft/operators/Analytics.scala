@@ -258,6 +258,51 @@ object Analytics {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007, public literature; deterministic variant): every node
+    * starts as its own label; each round, a node adopts the label
+    * carried by the MOST of its neighbors, ties to the smallest label
+    * — the (max count, min label) argmax expressed as
+    * `min(struct(-count, label))`, so the whole round is one
+    * edges⋈labels join + two keyed aggregations, nothing node-quadratic.
+    * Fixed `iterations` (synchronous LPA does not always converge —
+    * bipartite structures oscillate — and a fixed unroll is what the
+    * oracle can replay, the PageRank precedent). Covers the edge
+    * list's nodes (an isolated node is its own community trivially —
+    * callers union it back if they carry one). Distinct from connected
+    * components: LPA splits a connected graph along dense regions —
+    * two cliques joined by one bridge edge end as two communities
+    * where components returns one.
+    * Output: (node, community_id). */
+  def labelPropagation(edges: DataFrame, aCol: String, bCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    val und = edges
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .materialized
+    val nodes = und.select(col("src").as("node")).distinct().materialized
+    var labels = nodes.withColumn("community_id", col("node"))
+    for (_ <- 1 to iterations) {
+      val voted = und
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"), col("community_id"))
+        .agg(count(lit(1)).as("votes"))
+        .groupBy("node")
+        .agg(min(struct((-col("votes")).as("neg"),
+          col("community_id").as("l"))).as("win"))
+        .select(col("node"), col("win.l").as("community_id"))
+      // every node has ≥ 1 neighbor (isolated nodes never enter the
+      // edge list), so the vote covers all of `nodes`
+      labels = voted.materialized
+    }
+    labels
+  }
+
   /** Marketing attribution: for each conversion event, the FIRST and
     * LAST touchpoint by the same user inside a lookback window ending
     * strictly before the conversion. One shuffle by user, then a

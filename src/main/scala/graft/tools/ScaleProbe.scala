@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{GraftSession, Tables}
 import graft.Reuse.ReuseOps
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Analytics, Dedup, Similarity}
 
 /** Scaling sanity probe (dev tool, results recorded in BASELINE.md):
   * grow the sf0.1 documents corpus K× and measure near-dup runtimes.
@@ -530,6 +530,88 @@ object ScaleProbe {
       println(f"SKETCH2PROBE k=$k%d events=${100000 * k}%d " +
         f"hll=$th%.1fs($nh%d groups) sampleq=$tq%.1fs($nq%d groups) " +
         f"bloomjoin=$tb%.1fs($nb%d rows)")
+    }
+    // Round-7d family: DBSCAN (sign-flipped embedding replicas — the
+    // ε-pair graph and therefore the role/label passes grow linearly),
+    // prefix-Jaccard (shifted-alphabet replicas — disjoint shingle
+    // universes, prefix-candidate volume linear), MRL group quantiles
+    // (user-offset replicas — K× groups at FIXED per-group ladder
+    // state), BFS hop distance (orderkey/partkey-offset replicas —
+    // disjoint co-purchase graphs, frontier volume linear), and touch
+    // attribution (user-offset replicas — per-user range windows grow
+    // in count, not width). Superlinear trend on any = shape bug.
+    // SPARK_GRAFT_PROBE_KS=8 reruns a subset of growth factors (the
+    // k=8 leg has hit a transient local-mode shuffle-cleanup race)
+    val r7dKs = sys.env.get("SPARK_GRAFT_PROBE_KS")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 2, 4, 8))
+    for (k <- r7dKs if on("r7d")) {
+      val emb7 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      val rng = new scala.util.Random(29)
+      val embG = (0 until k).map { i =>
+        val signs = Array.fill(64)(if (rng.nextBoolean()) 1.0f else -1.0f)
+        emb7.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          zip_with(col("embedding"), array(signs.map(lit): _*),
+            (a, b) => a * b).as("embedding"))
+      }.reduce(_ unionAll _).persist()
+      val docsG = (0 until k).map { i =>
+        val shifted = alpha.drop(i) + alpha.take(i)
+        base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          translate(col("text"), alpha, shifted).as("text"))
+      }.reduce(_ unionAll _).persist()
+      val ord7 = Tables.orders(spark, "/root/testdata/sf0.1")
+      val ordG = (0 until k).map { i =>
+        ord7.select((col("o_custkey") + lit(i * 100000000L)).as("o_custkey"),
+          col("o_totalprice"))
+      }.reduce(_ unionAll _).persist()
+      val li7 = Tables.lineitem(spark, "/root/testdata/sf0.1")
+        .select("l_orderkey", "l_partkey")
+      val liG = (0 until k).map { i =>
+        li7.select((col("l_orderkey") + lit(i * 1000000000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i * 10000000L)).as("l_partkey"))
+      }.reduce(_ unionAll _).persist()
+      val ev7 = Tables.events(spark, "/root/testdata/sf0.1")
+      val evG = (0 until k).map { i =>
+        ev7.select((col("user_id") + lit(i * 10000000L)).as("user_id"),
+          col("ts"), col("event_type"),
+          (col("event_id") + lit(i * 1000000000L)).as("event_id"))
+      }.reduce(_ unionAll _).persist()
+      Seq(embG, docsG, ordG, liG, evG).foreach(_.count())
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      def best(f: => Long): (Double, Long) =
+        Seq.fill(2)(time(f)).minBy(_._1)
+      val (td, nd) = best {
+        val pairs = Similarity.lshNearDupPairs(embG, "vec_id", "embedding",
+          threshold = 0.4, bitsPerTable = 3, numTables = 12,
+          multiProbe = true, dim = 64)
+        Similarity.dbscan(embG, "vec_id", pairs.select("id_a", "id_b"),
+          minPts = 3).filter(col("role") =!= "noise").count()
+      }
+      val (tj, nj) = best(Dedup.prefixJaccardPairs(
+        docsG, "doc_id", "text", n = 3, threshold = 0.6).count())
+      val (tq, nq) = best(graft.functions.Mrl.groupQuantiles(
+        ordG, "o_custkey", "o_totalprice", k = 64,
+        Seq(0.25, 0.5, 0.75)).count())
+      val (tb, nb) = best {
+        val g = Analytics.coOccurrencePairs(
+          liG.filter(col("l_orderkey") % 4 === 0),
+          "l_orderkey", "l_partkey", minCount = 2L)
+        val nodes = g.select(col("item_a").as("node"))
+          .unionAll(g.select(col("item_b").as("node"))).distinct()
+        Analytics.hopDistance(g, "item_a", "item_b",
+          nodes.filter(col("node") % 13 === 0), "node", maxHops = 4).count()
+      }
+      val (ta, na) = best(Analytics.touchAttribution(evG, "user_id", "ts",
+        "event_type", "event_id", "purchase", Seq("click", "view"),
+        lookbackDays = 7).count())
+      Seq(embG, docsG, ordG, liG, evG).foreach(_.unpersist())
+      println(f"R7DPROBE k=$k%d " +
+        f"dbscan=$td%.1fs($nd%d clustered) prefixj=$tj%.1fs($nj%d pairs) " +
+        f"mrl=$tq%.1fs($nq%d groups) bfs=$tb%.1fs($nb%d nodes) " +
+        f"attrib=$ta%.1fs($na%d convs)")
     }
     spark.stop()
   }

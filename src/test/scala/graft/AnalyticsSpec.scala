@@ -491,6 +491,44 @@ class AnalyticsSpec extends SparkSpec {
     pr.zip(exp).foreach { case (g2, e) => assert(math.abs(g2 - e) < 1e-12) }
   }
 
+  test("labelPropagation: two cliques with a bridge split into two communities (CC would merge them)") {
+    import spark.implicits._
+    def clique(base: Long, n: Int) = for {
+      a <- 0 until n; b <- 0 until n if a < b
+    } yield (base + a, base + b)
+    // cliques {0..3} and {10..13} joined by ONE bridge 3-10
+    val edges = (clique(0, 4) ++ clique(10, 4) ++ Seq((3L, 10L)))
+      .toDF("a", "b")
+    val out = Analytics.labelPropagation(edges, "a", "b", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1 from identity labels: clique members adopt min clique
+    // label; later rounds are stable (0 resp. 10 dominate each
+    // neighborhood, bridge votes 1 vs 3 within-clique votes)
+    (0L to 3L).foreach(i => assert(out(i) === 0L, s"node $i"))
+    (10L to 13L).foreach(i => assert(out(i) === 10L, s"node $i"))
+    // connected components on the same graph yields ONE label — LPA's
+    // density split is the point of the operator
+    val cc = graft.operators.Dedup.nearDupComponents(
+        edges.select(col("a").as("id")).unionAll(edges.select(col("b").as("id")))
+          .distinct(), "id",
+        edges.select(col("a").as("id_a"), col("b").as("id_b")))
+      .collect().map(_.getLong(1)).distinct
+    assert(cc.length === 1)
+  }
+
+  test("labelPropagation: deterministic min-label tie-break, zero iterations = identity") {
+    import spark.implicits._
+    // triangle: every node sees two neighbors with distinct labels
+    // (one vote each) — ties MUST break to the smaller label
+    val tri = Seq((5L, 7L), (7L, 9L), (5L, 9L)).toDF("a", "b")
+    val r1 = Analytics.labelPropagation(tri, "a", "b", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === Map(5L -> 7L, 7L -> 5L, 9L -> 5L))
+    val r0 = Analytics.labelPropagation(tri, "a", "b", iterations = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r0 === Map(5L -> 5L, 7L -> 7L, 9L -> 9L))
+  }
+
   test("touchAttribution: first/last picks, lookback cut, direct conversions, other users excluded") {
     import spark.implicits._
     val df = Seq(
