@@ -132,6 +132,17 @@ object SparkEntry {
             Window.orderBy(col("transaction_date")).rowsBetween(-6, 0)))
         .orderBy("transaction_date")
     }),
+    // PSI distribution drift per event type: first half of the event
+    // month as reference, second half as current; reference-decile
+    // buckets at integer rank cuts, Laplace-smoothed proportions
+    "q_psi_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cutoff = lit("2024-01-16").cast("timestamp")
+      Analytics.psiDrift(ev.filter(col("ts") < cutoff),
+          ev.filter(col("ts") >= cutoff), "event_type", "value",
+          buckets = 10)
+        .orderBy("event_type")
+    }),
     // first/last-touch attribution: purchases credited to click/view
     // touchpoints inside a 7-day lookback, NULL for direct conversions
     "q_attribution" -> ((s, dir) =>
@@ -4007,6 +4018,47 @@ object SparkEntry {
                 avg(total_sales) OVER (ORDER BY transaction_date
                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
          FROM d ORDER BY transaction_date""",
+    // PSI: identical decile construction (integer rank cuts on the
+    // reference, v > cut bucketing, (c+1)/(N+10) smoothing); ln is the
+    // one libm call — both engines within compare tolerance
+    "q_psi_drift" ->
+      """WITH r AS (SELECT event_type AS k, CAST(value AS DOUBLE) AS v
+                FROM events WHERE ts < TIMESTAMP '2024-01-16'
+                  AND event_type IS NOT NULL AND value IS NOT NULL),
+         c AS (SELECT event_type AS k, CAST(value AS DOUBLE) AS v
+                FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+                  AND event_type IS NOT NULL AND value IS NOT NULL),
+         rk AS (SELECT k, v,
+                  row_number() OVER (PARTITION BY k ORDER BY v) AS rn,
+                  count(*) OVER (PARTITION BY k) AS n FROM r),
+         cutrows AS (SELECT k, i, v FROM rk CROSS JOIN range(1, 10) t(i)
+                     WHERE rn = (i * n + 9) // 10),
+         cutarr AS (SELECT k, list(v ORDER BY i) AS cuts
+                    FROM cutrows GROUP BY k),
+         br AS (SELECT r.k, len(list_filter(a.cuts, x -> r.v > x)) AS b,
+                       count(*) AS cnt
+                FROM r JOIN cutarr a ON a.k = r.k GROUP BY 1, 2),
+         bc AS (SELECT c.k, len(list_filter(a.cuts, x -> c.v > x)) AS b,
+                       count(*) AS cnt
+                FROM c JOIN cutarr a ON a.k = c.k GROUP BY 1, 2),
+         grid AS (SELECT k, unnest(range(0, 10)) AS b FROM cutarr),
+         w AS (SELECT g.k, g.b,
+                      coalesce(br.cnt, 0) AS cr, coalesce(bc.cnt, 0) AS cc
+               FROM grid g
+               LEFT JOIN br ON br.k = g.k AND br.b = g.b
+               LEFT JOIN bc ON bc.k = g.k AND bc.b = g.b),
+         tot AS (SELECT k, sum(cr) AS n_ref, sum(cc) AS n_cur
+                 FROM w GROUP BY k)
+         SELECT w.k AS event_type,
+                CAST(max(t.n_ref) AS BIGINT) AS n_ref,
+                CAST(max(t.n_cur) AS BIGINT) AS n_cur,
+                sum((CAST(cr + 1 AS DOUBLE) / (t.n_ref + 10)
+                     - CAST(cc + 1 AS DOUBLE) / (t.n_cur + 10))
+                    * ln((CAST(cr + 1 AS DOUBLE) / (t.n_ref + 10))
+                         / (CAST(cc + 1 AS DOUBLE) / (t.n_cur + 10))))
+                  AS psi
+         FROM w JOIN tot t ON t.k = w.k
+         GROUP BY w.k ORDER BY event_type""",
     // attribution: the window formulation replayed as a bounded
     // conversion⋈touch join + rank-1 picks; [c.us − 7d, c.us) matches
     // the Spark range frame exactly, (us, event_id) the struct order

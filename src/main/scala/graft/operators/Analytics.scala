@@ -258,6 +258,66 @@ object Analytics {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Population Stability Index between a reference and a current
+    * sample of a value column, per key — the standard drift monitor
+    * for feature/score distributions (banking scorecards; public
+    * methodology). Buckets are the reference's `buckets`-quantile cuts
+    * at INTEGER rank positions ⌈i·n/buckets⌉ (integer arithmetic, no
+    * IEEE ceil boundary), bucket assignment = how many cut values the
+    * row exceeds (cuts are actual reference data points, bitwise
+    * identical in both engines), proportions Laplace-smoothed
+    * (c+1)/(N+buckets) so empty buckets stay finite, and
+    * PSI = Σ (p−q)·ln(p/q).
+    *
+    * Scale: both inputs are scanned once; the cut table is
+    * keys×(buckets−1) rows — broadcast at any sane key count; the
+    * count frames are keys×buckets. The reference-side rank pass is
+    * one per-key window sort, the same shuffle a groupBy costs.
+    * Output: (key, n_ref, n_cur, psi). */
+  def psiDrift(ref: DataFrame, cur: DataFrame, keyCol: String,
+      valCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val r = ref.filter(col(keyCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("k"), col(valCol).cast("double").as("v"))
+    val c = cur.filter(col(keyCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol).as("k"), col(valCol).cast("double").as("v"))
+    val wk = Window.partitionBy("k").orderBy("v")
+    val ranked = r.withColumn("rn", row_number().over(wk))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("k")))
+    // cut i at integer rank ⌈i·n/buckets⌉, i = 1..buckets−1
+    // ⌈i·n/buckets⌉ = (i·n + buckets−1) floor-div buckets; the double
+    // division is exact enough to truncate safely at these magnitudes
+    // (an integer quotient is always hit exactly, a fractional one is
+    // ≥ 1/buckets away from the next integer)
+    val cuts = ranked
+      .withColumn("i", explode(sequence(lit(1), lit(buckets - 1))))
+      .filter(col("rn") ===
+        floor((col("i") * col("n") + lit(buckets - 1)) / lit(buckets))
+          .cast("long"))
+      .groupBy("k")
+      .agg(array_sort(collect_list(struct(col("i"), col("v")))).as("cs"))
+      .select(col("k"), transform(col("cs"), s => s("v")).as("cuts"))
+    def bucketed(df: DataFrame): DataFrame =
+      df.join(broadcast(cuts), Seq("k"))
+        .withColumn("b", size(filter(col("cuts"), cut => col("v") > cut)))
+        .groupBy("k", "b").agg(count(lit(1)).as("cnt"))
+    val grid = cuts.select(col("k"),
+      explode(sequence(lit(0), lit(buckets - 1))).as("b"))
+    def withCounts(df: DataFrame, name: String): DataFrame =
+      grid.join(bucketed(df), Seq("k", "b"), "left")
+        .select(col("k"), col("b"), coalesce(col("cnt"), lit(0L)).as(name))
+    val joined = withCounts(r, "cr").join(withCounts(c, "cc"), Seq("k", "b"))
+    val totals = joined.groupBy("k")
+      .agg(sum("cr").as("n_ref"), sum("cc").as("n_cur"))
+    val p = (col("cr") + 1).cast("double") / (col("n_ref") + lit(buckets))
+    val q = (col("cc") + 1).cast("double") / (col("n_cur") + lit(buckets))
+    joined.join(totals, Seq("k"))
+      .withColumn("term", (p - q) * log(p / q))
+      .groupBy(col("k"), col("n_ref"), col("n_cur"))
+      .agg(sum("term").as("psi"))
+      .select(col("k").as(keyCol), col("n_ref"), col("n_cur"), col("psi"))
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et
     * al. 2007, public literature; deterministic variant): every node
     * starts as its own label; each round, a node adopts the label

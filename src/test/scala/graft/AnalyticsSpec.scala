@@ -491,6 +491,32 @@ class AnalyticsSpec extends SparkSpec {
     pr.zip(exp).foreach { case (g2, e) => assert(math.abs(g2 - e) < 1e-12) }
   }
 
+  test("psiDrift: identical distributions read 0, a full shift reads large, ref-unknown keys dropped") {
+    import spark.implicits._
+    val ref = (1 to 100).map(i => ("a", i.toDouble)) ++
+      (1 to 50).map(i => ("b", i.toDouble))
+    val curSame = (1 to 100).map(i => ("a", i.toDouble))
+    val curShift = (1 to 100).map(i => ("a", 1000.0 + i)) ++
+      (1 to 30).map(i => ("zzz_new_key", i.toDouble))
+    val refDf = ref.toDF("k", "v")
+    val same = Analytics.psiDrift(refDf, curSame.toDF("k", "v"), "k", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // identical per-bucket counts ⇒ every term is exactly (p−p)·ln(1) = 0
+    assert(same("a") === 0.0)
+    // key b has NO current rows: Laplace smoothing makes the empty
+    // sample read as uniform — and uniform over the reference's OWN
+    // deciles is exactly the reference distribution, so PSI is 0 (an
+    // absent sample carries no drift evidence; count it via n_cur)
+    assert(same("b") === 0.0)
+    assert(same.size === 2)
+    val shifted = Analytics.psiDrift(refDf, curShift.toDF("k", "v"), "k", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // everything lands above the top reference cut — massive drift
+    assert(shifted("a") > 1.0, s"expected large PSI, got ${shifted("a")}")
+    // keys unknown to the reference have no cuts to bucket against
+    assert(!shifted.contains("zzz_new_key"))
+  }
+
   test("labelPropagation: two cliques with a bridge split into two communities (CC would merge them)") {
     import spark.implicits._
     def clique(base: Long, n: Int) = for {
