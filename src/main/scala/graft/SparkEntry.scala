@@ -1651,6 +1651,30 @@ object SparkEntry {
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id")
     }),
+    // density-aware semantic dedup: SemDeDup's keep-one-per-cluster
+    // policy applied to DBSCAN clusters instead of plain components —
+    // border points deduplicate WITH their cluster, genuine noise
+    // (sparse-region vectors, zero vectors) survives untouched instead
+    // of being its own "cluster of one" by accident of the pair graph
+    "q_semantic_dedup_density" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val roles = Similarity.dbscan(emb, "vec_id",
+        embeddingPairs(s, dir).select("id_a", "id_b"), minPts = 3)
+      val memb = roles.filter(col("role") =!= "noise")
+        .select(col("id"), col("cluster_id"))
+      val scored = memb.join(emb.select(col("vec_id").as("id"),
+        Similarity.dotProduct(col("embedding"), col("embedding")).as("n2")),
+        Seq("id"))
+      val reps = scored.groupBy("cluster_id")
+        .agg(min(struct((col("n2") * lit(-1.0)).as("neg"),
+          col("id").as("i"))).as("w"))
+        .select(col("w.i").as("vec_id"))
+      val noise = roles.filter(col("role") === "noise")
+        .select(col("id").as("vec_id"))
+      emb.join(reps.unionAll(noise), Seq("vec_id"))
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    }),
     // SemDeDup (Abbas et al. 2023) as a composition: semantic clusters
     // = components of the cosine-LSH pair graph (recall-1 at these
     // params, so the oracle's exhaustive-cosine clusters are THE same
@@ -5105,6 +5129,43 @@ object SparkEntry {
          LEFT JOIN lab l ON l.node = v.vec_id
          LEFT JOIN bord b ON b.node = v.vec_id
          ORDER BY vec_id""",
+    // density dedup: the dbscan CTEs + max-norm (ties min id) rep per
+    // cluster + noise pass-through; norms via the same left-fold dot
+    "q_semantic_dedup_density" ->
+      """WITH RECURSIVE
+         nz AS (SELECT vec_id, embedding FROM embeddings
+                WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+                FROM nz a JOIN nz b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4),
+         ed AS (SELECT ia AS src, ib AS dst FROM pr UNION SELECT ib, ia FROM pr),
+         dg AS (SELECT src AS node, count(*) AS n FROM ed GROUP BY src),
+         core AS (SELECT node FROM dg WHERE n + 1 >= 3),
+         ce AS (SELECT e.src, e.dst FROM ed e
+                JOIN core a ON e.src = a.node JOIN core b ON e.dst = b.node),
+         reach(node, root) AS (
+           SELECT node, node FROM core
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN ce e ON e.src = r.node),
+         lab AS (SELECT node, min(root) AS cid FROM reach GROUP BY node),
+         bord AS (SELECT e.src AS node, min(l.cid) AS cid
+                  FROM ed e JOIN lab l ON l.node = e.dst
+                  WHERE e.src NOT IN (SELECT node FROM core)
+                  GROUP BY e.src),
+         memb AS (SELECT node, cid FROM lab
+                  UNION ALL SELECT node, cid FROM bord),
+         scored AS (SELECT m.node, m.cid,
+                  list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS n2
+                FROM memb m JOIN embeddings e ON e.vec_id = m.node),
+         reps AS (SELECT node FROM (
+                  SELECT node, row_number() OVER (PARTITION BY cid
+                    ORDER BY n2 DESC, node ASC) AS rn FROM scored)
+                  WHERE rn = 1),
+         keep AS (SELECT vec_id FROM embeddings
+                  WHERE vec_id NOT IN (SELECT node FROM memb)
+                  UNION ALL SELECT node FROM reps)
+         SELECT e.vec_id, e.label FROM embeddings e
+         JOIN keep k ON k.vec_id = e.vec_id ORDER BY e.vec_id""",
     // exhaustive cross-side cosine: sides are disjoint by the mod split
     "q_embedding_across" ->
       """WITH nz AS (SELECT vec_id, embedding FROM embeddings
