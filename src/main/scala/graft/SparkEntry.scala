@@ -2051,6 +2051,20 @@ object SparkEntry {
     // the SAMPLE itself (ORDER BY hash LIMIT k) and interpolates with
     // quantile_cont ≡ percentile (the q_corpus_stats parity). Exact
     // full-data quantiles alongside pin the estimate's target
+    // exact global order statistics by distributed quickselect — no
+    // sort, no shuffle, log rounds of shrinking scans; integer rank
+    // formulas so both engines target the identical position
+    "q_exact_global_quantiles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).filter(col("l_extendedprice").isNotNull)
+      val n = li.count()
+      val r50 = (n + 1) / 2
+      val r90 = (9 * n + 9) / 10
+      val sel = Scale.exactRankSelect(li, "l_extendedprice",
+        Seq(r50, r90).distinct)
+      import s.implicits._
+      Seq(("p50", r50, sel(r50)), ("p90", r90, sel(r90)))
+        .toDF("q", "rank", "value").orderBy("q")
+    }),
     "q_sample_quantiles" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       val est = HashSample.sampleQuantiles(ev, "event_type", "event_id",
@@ -4723,6 +4737,17 @@ object SparkEntry {
                   / CAST(su.s_u AS DOUBLE) AS est_u,
                 ex.exact_union
          FROM sa CROSS JOIN sb CROSS JOIN su CROSS JOIN ex""",
+    // quickselect result restated as the order statistic it is
+    "q_exact_global_quantiles" ->
+      """WITH v AS (SELECT l_extendedprice AS v FROM lineitem
+                    WHERE l_extendedprice IS NOT NULL),
+         nn AS (SELECT count(*) AS n FROM v),
+         r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+         t AS (SELECT 'p50' AS q, (SELECT (n + 1) // 2 FROM nn) AS rank
+               UNION ALL
+               SELECT 'p90', (SELECT (9 * n + 9) // 10 FROM nn))
+         SELECT t.q, CAST(t.rank AS BIGINT) AS rank, r.v AS value
+         FROM t JOIN r ON r.rn = t.rank ORDER BY q""",
     // hash-rank sample quantiles: the oracle rebuilds the IDENTICAL
     // sample (bottom-256 by (sha52(event_id), value) per group) with a
     // window, then interpolates with quantile_cont ≡ percentile

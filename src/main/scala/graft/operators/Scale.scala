@@ -293,6 +293,64 @@ object Scale {
       .drop("__b", "__rl", "__off")
   }
 
+  /** Exact k-th order statistics (1-based ranks over the non-null
+    * values) by distributed QUICKSELECT — no global sort, and unlike
+    * [[globalRank]] no shuffle at all: each round is one aggregation
+    * (count/min/max + a `percentile_approx` pivot, which returns an
+    * ACTUAL element so at least one row is pinned each round) and one
+    * filter that shrinks the candidate frame geometrically; the tail
+    * is collected and sorted on the driver once it fits
+    * (`localThreshold`). Pivot choice only affects SPEED — the answer
+    * is the exact order statistic whatever pivots the sketch picks —
+    * so percentile_approx's merge-order dependence is harmless here
+    * (the one place an approx sketch strengthens an exact operator).
+    * At 100 TB this is the selection pattern: log rounds of scans over
+    * a geometrically shrinking, single-column frame vs. sorting (full
+    * shuffle) or bucketed ranking (one shuffle + window).
+    * Returns (rank → value). */
+  def exactRankSelect(df: DataFrame, valCol: String, ranks: Seq[Long],
+      localThreshold: Long = 1 << 16): Map[Long, Double] = {
+    require(ranks.nonEmpty, "exactRankSelect needs at least one rank")
+    val spark = df.sparkSession
+    val vals0 = df.filter(col(valCol).isNotNull)
+      .select(col(valCol).cast("double").as("v"))
+    ranks.map { rank =>
+      var cur = vals0.persist()
+      var n = cur.count()
+      require(rank >= 1 && rank <= n, s"rank $rank out of [1, $n]")
+      var r = rank
+      var ans = Option.empty[Double]
+      while (ans.isEmpty && n > localThreshold) {
+        val row = cur.agg(min("v"), max("v"),
+          percentile_approx(col("v"), lit(0.5), lit(100))).collect().head
+        val (mn, mx, pivot) =
+          (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+        if (mn == mx) ans = Some(mn)
+        else {
+          val below = cur.filter(col("v") < pivot).count()
+          val eq = cur.filter(col("v") === pivot).count()
+          if (r > below && r <= below + eq) ans = Some(pivot)
+          else {
+            val next =
+              (if (r <= below) cur.filter(col("v") < pivot)
+               else cur.filter(col("v") > pivot)).persist()
+            val nn = next.count() // materialize before dropping parent
+            cur.unpersist()
+            cur = next
+            n = nn
+            if (r > below + eq) r -= below + eq
+          }
+        }
+      }
+      val out = ans.getOrElse {
+        val local = cur.collect().map(_.getDouble(0)).sorted
+        local(r.toInt - 1)
+      }
+      cur.unpersist()
+      rank -> out
+    }.toMap
+  }
+
   /** Quantile normalization: replace each row's value with the GLOBAL
     * value at its within-group quantile position — source A's p95 doc
     * maps to the corpus-wide p95 value, so per-source score

@@ -530,4 +530,28 @@ class ScaleSpec extends SparkSpec {
     intercept[IllegalArgumentException](Scale.temperatureRates(df, "g", 0))
     intercept[IllegalArgumentException](Scale.temperatureRates(df, "g", 5))
   }
+
+  test("exactRankSelect: exact order statistics through the recursion path, duplicates, edges") {
+    import spark.implicits._
+    // deterministic pseudo-random values with heavy duplication (mod
+    // 97 over 5000 rows ⇒ every value ~50×), threshold 64 forces
+    // multiple quickselect rounds through the eq-pinning branch
+    val data = (1 to 5000).map(i => ((i.toLong * 2654435761L) % 97L).toDouble)
+    val sorted = data.sorted
+    val df = data.toDF("v").repartition(7)
+    val ranks = Seq(1L, 2500L, 4999L, 5000L)
+    val got = Scale.exactRankSelect(df, "v", ranks, localThreshold = 64)
+    ranks.foreach(r =>
+      assert(got(r) === sorted(r.toInt - 1), s"rank $r"))
+    // nulls are excluded before ranking
+    val withNulls = (data.map(Option(_)) ++ Seq.fill(100)(Option.empty[Double]))
+      .toDF("v")
+    assert(Scale.exactRankSelect(withNulls, "v", Seq(5000L),
+      localThreshold = 64)(5000L) === sorted.last)
+    // out-of-range ranks fail loudly
+    intercept[IllegalArgumentException](
+      Scale.exactRankSelect(df, "v", Seq(0L)))
+    intercept[IllegalArgumentException](
+      Scale.exactRankSelect(df, "v", Seq(5001L)))
+  }
 }
