@@ -132,6 +132,12 @@ object SparkEntry {
             Window.orderBy(col("transaction_date")).rowsBetween(-6, 0)))
         .orderBy("transaction_date")
     }),
+    // RAKE keyphrases: stopword-delimited runs of 2-4 tokens,
+    // deg/freq word scores; all cuts integer so the SET is exact
+    "q_keyphrases" -> ((s, dir) =>
+      TextAnalysis.keyphrases(Tables.documents(s, dir), "doc_id", "text",
+          minLen = 2, maxLen = 4, minCount = 2L)
+        .orderBy("phrase")),
     // PSI distribution drift per event type: first half of the event
     // month as reference, second half as current; reference-decile
     // buckets at integer rank cuts, Laplace-smoothed proportions
@@ -4056,6 +4062,38 @@ object SparkEntry {
                 avg(total_sales) OVER (ORDER BY transaction_date
                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
          FROM d ORDER BY transaction_date""",
+    // RAKE: identical run construction (prefix-sum islands over
+    // stopword flags), word deg/freq over the candidate set, per-
+    // occurrence score sums; scores value-compared under tolerance
+    "q_keyphrases" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+              FROM documents WHERE length(trim(text)) > 0),
+         pidx AS (SELECT doc_id, ts,
+                  unnest(range(1, len(ts) + 1)) AS pos FROM d),
+         toks AS (SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+                  ts[CAST(pos AS INTEGER)] AS tok FROM pidx),
+         flagged AS (SELECT doc_id, tok, pos,
+                CASE WHEN tok IN ('a','the','and','of','to','in','is',
+                  'on','for','with') THEN 1 ELSE 0 END AS st
+              FROM toks),
+         runs AS (SELECT doc_id, tok, pos, st,
+                sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS run
+              FROM flagged),
+         phr AS (SELECT doc_id, run, list(tok ORDER BY pos) AS ws
+                 FROM runs WHERE st = 0 GROUP BY doc_id, run),
+         cand AS (SELECT doc_id, run, ws,
+                  array_to_string(ws, ' ') AS phrase, len(ws) AS l
+                  FROM phr WHERE len(ws) BETWEEN 2 AND 4),
+         cw AS (SELECT c.doc_id, c.run, c.phrase, c.l,
+                       unnest(c.ws) AS tok FROM cand c),
+         wstat AS (SELECT tok, count(*) AS freq, sum(l) AS deg
+                   FROM cw GROUP BY 1),
+         pscore AS (SELECT cw.doc_id, cw.run, cw.phrase,
+                  sum(CAST(w.deg AS DOUBLE) / w.freq) AS score
+                FROM cw JOIN wstat w ON w.tok = cw.tok GROUP BY 1, 2, 3)
+         SELECT phrase, count(*) AS n, min(score) AS score
+         FROM pscore GROUP BY phrase HAVING count(*) >= 2
+         ORDER BY phrase""",
     // PSI: identical decile construction (integer rank cuts on the
     // reference, v > cut bucketing, (c+1)/(N+10) smoothing); ln is the
     // one libm call — both engines within compare tolerance

@@ -1184,4 +1184,58 @@ object TextAnalysis {
     df.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), "[.!?]+\\s+")).as(Seq("sent_idx", "sentence")))
       .filter(length(trim(col("sentence"))) > 0)
+
+  /** Default stopword delimiters for [[keyphrases]] — a deliberately
+    * small closed-class list (RAKE needs delimiters, not linguistic
+    * completeness; callers pass their own for other languages). */
+  val DefaultStopwords: Seq[String] = Seq("a", "the", "and", "of", "to",
+    "in", "is", "on", "for", "with")
+
+  /** RAKE-style keyphrase extraction (Rose et al. 2010, public
+    * methodology; independent implementation): candidate phrases are
+    * maximal stopword-delimited token runs of length [minLen, maxLen];
+    * each word scores deg/freq over the candidate set (freq = its
+    * occurrences in candidates, deg = Σ length of the candidates it
+    * occurs in — co-occurrence-rich words score high) and a phrase
+    * scores the sum of its word scores. Emitted with occurrence counts
+    * ≥ `minCount` and NO score-based cut: every gate is integer
+    * (lengths, counts), so the output SET is engine-exact and the
+    * score is a value under float tolerance, never a boundary.
+    *
+    * Scale: one scan to tokens, one per-doc window for run ids (the
+    * keyed-sort shuffle), then everything is sized by the CANDIDATE
+    * set (phrases ≤ docs × runs), with the word-stat table vocabulary
+    * -sized. Output: (phrase, n, score). */
+  def keyphrases(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = DefaultStopwords,
+      minLen: Int = 2, maxLen: Int = 4, minCount: Long = 1L): DataFrame = {
+    require(minLen >= 1 && maxLen >= minLen, s"bad lengths [$minLen,$maxLen]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy("__pos")
+    val runs = df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("__id"),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      .withColumn("__st",
+        when(col("__tok").isin(stopwords: _*), 1).otherwise(0))
+      .withColumn("__run", sum(col("__st")).over(w))
+    val cand = runs.filter(col("__st") === 0)
+      .groupBy("__id", "__run")
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__tok"))))
+        .as("__ps"))
+      .select(col("__id"), col("__run"),
+        transform(col("__ps"), s => s("__tok")).as("__ws"))
+      .filter(size(col("__ws")).between(minLen, maxLen))
+      .withColumn("__phrase", array_join(col("__ws"), " "))
+      .withColumn("__l", size(col("__ws")))
+    val cw = cand.select(col("__id"), col("__run"), col("__phrase"),
+      col("__l"), explode(col("__ws")).as("__tok"))
+    val wstat = cw.groupBy("__tok")
+      .agg(count(lit(1)).as("__freq"), sum("__l").as("__deg"))
+    val pscore = cw.join(wstat, Seq("__tok"))
+      .groupBy("__id", "__run", "__phrase")
+      .agg(sum(col("__deg").cast("double") / col("__freq")).as("__score"))
+    pscore.groupBy(col("__phrase").as("phrase"))
+      .agg(count(lit(1)).as("n"), min("__score").as("score"))
+      .filter(col("n") >= minCount)
+  }
 }

@@ -604,4 +604,28 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.stripHtml(col("h"))).head.getString(0)
     assert(out === "no markup here")
   }
+
+  test("keyphrases: stopword-delimited runs, hand-computed RAKE scores, integer gates") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "big data the fast query"), // runs: [big data], [fast query]
+      (2L, "big data a big data"),     // runs: [big data] ×2
+      (3L, "slow"),                    // run of 1 — under minLen
+      (4L, "the a the"),               // stopwords only — no candidates
+      (5L, "")                         // empty — dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.keyphrases(docs, "doc_id", "text",
+        minLen = 2, maxLen = 4, minCount = 1L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // candidates: "big data" ×3, "fast query" ×1
+    // big/data: freq 3, deg 6 → 2.0 each; fast/query: freq 1, deg 2 → 2.0
+    assert(out === Map("big data" -> ((3L, 4.0)),
+      "fast query" -> ((1L, 4.0))))
+    // minCount gates on occurrences
+    val freq2 = TextAnalysis.keyphrases(docs, "doc_id", "text",
+        minLen = 2, maxLen = 4, minCount = 2L)
+      .collect().map(_.getString(0))
+    assert(freq2.toSeq === Seq("big data"))
+  }
 }
