@@ -2057,6 +2057,11 @@ object SparkEntry {
     // the SAMPLE itself (ORDER BY hash LIMIT k) and interpolates with
     // quantile_cont ≡ percentile (the q_corpus_stats parity). Exact
     // full-data quantiles alongside pin the estimate's target
+    // key-skew diagnostic: the group-size histogram that decides
+    // shuffle vs salting vs AQE before a hot key burns the job
+    "q_key_skew" -> ((s, dir) =>
+      Scale.keySkewProfile(Tables.lineitem(s, dir), Seq("l_partkey"))
+        .orderBy("group_size")),
     // exact global order statistics by distributed quickselect — no
     // sort, no shuffle, log rounds of shrinking scans; integer rank
     // formulas so both engines target the identical position
@@ -4775,6 +4780,11 @@ object SparkEntry {
                   / CAST(su.s_u AS DOUBLE) AS est_u,
                 ex.exact_union
          FROM sa CROSS JOIN sb CROSS JOIN su CROSS JOIN ex""",
+    "q_key_skew" ->
+      """WITH g AS (SELECT l_partkey, count(*) AS n
+                    FROM lineitem GROUP BY 1)
+         SELECT n AS group_size, count(*) AS n_keys
+         FROM g GROUP BY 1 ORDER BY group_size""",
     // quickselect result restated as the order statistic it is
     "q_exact_global_quantiles" ->
       """WITH v AS (SELECT l_extendedprice AS v FROM lineitem

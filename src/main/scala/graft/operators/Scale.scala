@@ -293,6 +293,19 @@ object Scale {
       .drop("__b", "__rl", "__off")
   }
 
+  /** Key-skew profile: the distribution of group sizes under a key —
+    * the diagnostic that decides between a plain shuffle, salting
+    * ([[saltedSum]]), and AQE skew handling BEFORE a job burns hours on
+    * one hot partition. Two map-side-combinable aggregations; the
+    * output is ≤ distinct-group-sizes rows (tiny at any corpus size).
+    * Output: (group_size, n_keys). */
+  def keySkewProfile(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keySkewProfile needs at least one key column")
+    df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__n"))
+      .groupBy(col("__n").as("group_size"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
   /** Exact k-th order statistics (1-based ranks over the non-null
     * values) by distributed QUICKSELECT — no global sort, and unlike
     * [[globalRank]] no shuffle at all: each round is one aggregation
@@ -311,44 +324,50 @@ object Scale {
   def exactRankSelect(df: DataFrame, valCol: String, ranks: Seq[Long],
       localThreshold: Long = 1 << 16): Map[Long, Double] = {
     require(ranks.nonEmpty, "exactRankSelect needs at least one rank")
-    val spark = df.sparkSession
+    // one shared cache of the base column for every requested rank
     val vals0 = df.filter(col(valCol).isNotNull)
-      .select(col(valCol).cast("double").as("v"))
-    ranks.map { rank =>
-      var cur = vals0.persist()
-      var n = cur.count()
-      require(rank >= 1 && rank <= n, s"rank $rank out of [1, $n]")
+      .select(col(valCol).cast("double").as("v")).persist()
+    val n0 = vals0.count()
+    val out = ranks.map { rank =>
+      require(rank >= 1 && rank <= n0, s"rank $rank out of [1, $n0]")
+      var cur = vals0
+      var n = n0
       var r = rank
       var ans = Option.empty[Double]
       while (ans.isEmpty && n > localThreshold) {
+        // round = 2 jobs: (min, max, pivot), then (below, eq) fused
         val row = cur.agg(min("v"), max("v"),
           percentile_approx(col("v"), lit(0.5), lit(100))).collect().head
         val (mn, mx, pivot) =
           (row.getDouble(0), row.getDouble(1), row.getDouble(2))
         if (mn == mx) ans = Some(mn)
         else {
-          val below = cur.filter(col("v") < pivot).count()
-          val eq = cur.filter(col("v") === pivot).count()
+          val cnts = cur.agg(
+            sum(when(col("v") < pivot, 1L).otherwise(0L)),
+            sum(when(col("v") === pivot, 1L).otherwise(0L))).collect().head
+          val (below, eq) = (cnts.getLong(0), cnts.getLong(1))
           if (r > below && r <= below + eq) ans = Some(pivot)
           else {
             val next =
               (if (r <= below) cur.filter(col("v") < pivot)
                else cur.filter(col("v") > pivot)).persist()
             val nn = next.count() // materialize before dropping parent
-            cur.unpersist()
+            if (cur ne vals0) cur.unpersist()
             cur = next
             n = nn
             if (r > below + eq) r -= below + eq
           }
         }
       }
-      val out = ans.getOrElse {
+      val res = ans.getOrElse {
         val local = cur.collect().map(_.getDouble(0)).sorted
         local(r.toInt - 1)
       }
-      cur.unpersist()
-      rank -> out
+      if (cur ne vals0) cur.unpersist()
+      rank -> res
     }.toMap
+    vals0.unpersist()
+    out
   }
 
   /** Quantile normalization: replace each row's value with the GLOBAL
