@@ -132,6 +132,13 @@ object SparkEntry {
             Window.orderBy(col("transaction_date")).rowsBetween(-6, 0)))
         .orderBy("transaction_date")
     }),
+    // CEP-lite: users whose event stream contains a CONSECUTIVE
+    // click → view* → purchase run (contiguity no EXISTS-funnel can
+    // state); non-overlapping leftmost matches, (ts, id)-ordered
+    "q_event_pattern" -> ((s, dir) =>
+      Analytics.eventPattern(Tables.events(s, dir), "user_id", "ts",
+          "event_id", "event_type", pattern = "click,(view,)*purchase,")
+        .orderBy("user_id")),
     // RAKE keyphrases: stopword-delimited runs of 2-4 tokens,
     // deg/freq word scores; all cuts integer so the SET is exact
     "q_keyphrases" -> ((s, dir) =>
@@ -4067,6 +4074,21 @@ object SparkEntry {
                 avg(total_sales) OVER (ORDER BY transaction_date
                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
          FROM d ORDER BY transaction_date""",
+    // CEP-lite: string_agg ordered by (us, id) + RE2 extract-all —
+    // literal/star/group patterns behave identically to Java regex
+    "q_event_pattern" ->
+      """WITH s AS (SELECT user_id, count(*) AS n_events,
+                string_agg(event_type, ','
+                  ORDER BY epoch_us(ts), event_id) || ',' AS seq
+              FROM events GROUP BY user_id),
+         m AS (SELECT user_id, n_events,
+                      regexp_extract_all(seq, 'click,(view,)*purchase,')
+                        AS ms
+               FROM s)
+         SELECT user_id, n_events,
+                CAST(len(ms) AS INTEGER) AS n_matches,
+                ms[1] AS first_match
+         FROM m WHERE len(ms) > 0 ORDER BY user_id""",
     // RAKE: identical run construction (prefix-sum islands over
     // stopword flags), word deg/freq over the candidate set, per-
     // occurrence score sums; scores value-compared under tolerance

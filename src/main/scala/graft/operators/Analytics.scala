@@ -258,6 +258,45 @@ object Analytics {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** CEP-lite batch pattern matching over per-user event sequences —
+    * the batch restatement of what Flink users reach for in FlinkCEP
+    * (the reference's ecosystem): each user's events are ordered by
+    * (timestamp, id), their types joined into a comma-terminated
+    * string ("view,click,purchase,"), and `pattern` — a regex over
+    * that alphabet, e.g. `click,(view,)*purchase,` — is matched
+    * non-overlapping left-to-right. Contiguity is real: a match means
+    * those events were CONSECUTIVE for that user, which no
+    * EXISTS-chain funnel can express.
+    *
+    * Scale: one shuffle to group by user; each user's history is
+    * mat'd as ONE string (bounded by per-user activity, the same
+    * assumption every sessionizer makes), and the regex engine runs
+    * scan-local. Only literal/star/group patterns are sane here —
+    * both engines (Java regex, RE2) agree on them; avoid backtracking
+    * pathologies in the pattern, it runs once per user.
+    * Output: (user, n_events, n_matches, first_match), matching
+    * users only. */
+  def eventPattern(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, pattern: String): DataFrame = {
+    require(pattern.nonEmpty, "eventPattern needs a pattern")
+    val seqd = events
+      .select(col(userCol), unix_micros(col(tsCol)).as("__us"),
+        col(idCol).as("__id"), col(typeCol).as("__t"))
+      .groupBy(userCol)
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col("__us"), col("__id"),
+          col("__t")))).as("__es"))
+      .withColumn("__s",
+        concat(array_join(transform(col("__es"), e => e("__t")), ","),
+          lit(",")))
+    seqd
+      .withColumn("__m", regexp_extract_all(col("__s"), lit(pattern), lit(0)))
+      .filter(size(col("__m")) > 0)
+      .select(col(userCol), col("n_events"),
+        size(col("__m")).as("n_matches"),
+        element_at(col("__m"), 1).as("first_match"))
+  }
+
   /** Population Stability Index between a reference and a current
     * sample of a value column, per key — the standard drift monitor
     * for feature/score distributions (banking scorecards; public

@@ -491,6 +491,41 @@ class AnalyticsSpec extends SparkSpec {
     pr.zip(exp).foreach { case (g2, e) => assert(math.abs(g2 - e) < 1e-12) }
   }
 
+  test("eventPattern: contiguity matters, non-overlapping matches, tie order by id") {
+    import spark.implicits._
+    def ev(u: Long, ts: String, id: Long, t: String) = (u, ts, id, t)
+    val df = Seq(
+      // user 1: click view view purchase → ONE match spanning all 4
+      ev(1L, "2024-01-01 10:00:00", 1, "click"),
+      ev(1L, "2024-01-01 10:01:00", 2, "view"),
+      ev(1L, "2024-01-01 10:02:00", 3, "view"),
+      ev(1L, "2024-01-01 10:03:00", 4, "purchase"),
+      // user 2: click ERROR purchase — contiguity broken ⇒ NO match
+      // (an EXISTS-chain funnel would count this user)
+      ev(2L, "2024-01-01 10:00:00", 5, "click"),
+      ev(2L, "2024-01-01 10:01:00", 6, "error"),
+      ev(2L, "2024-01-01 10:02:00", 7, "purchase"),
+      // user 3: two disjoint click,purchase runs ⇒ 2 matches
+      ev(3L, "2024-01-01 10:00:00", 8, "click"),
+      ev(3L, "2024-01-01 10:01:00", 9, "purchase"),
+      ev(3L, "2024-01-01 10:02:00", 10, "click"),
+      ev(3L, "2024-01-01 10:03:00", 11, "purchase"),
+      // user 4: same-timestamp tie — id order decides (click before
+      // purchase ⇒ match)
+      ev(4L, "2024-01-01 10:00:00", 12, "click"),
+      ev(4L, "2024-01-01 10:00:00", 13, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Analytics.eventPattern(df, "user_id", "ts", "event_id",
+        "event_type", "click,(view,)*purchase,")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) === ((4L, 1, "click,view,view,purchase,")))
+    assert(!out.contains(2L))
+    assert(out(3L) === ((4L, 2, "click,purchase,")))
+    assert(out(4L) === ((2L, 1, "click,purchase,")))
+  }
+
   test("psiDrift: identical distributions read 0, a full shift reads large, ref-unknown keys dropped") {
     import spark.implicits._
     val ref = (1 to 100).map(i => ("a", i.toDouble)) ++
