@@ -1770,6 +1770,34 @@ object SparkEntry {
             .as("z_value"))
         .orderBy("l_orderkey", "l_linenumber")),
     // ----- as-of (temporal) join: latest order at-or-before each event
+    // forward as-of: each click's NEXT purchase by the same user
+    // (time-to-convert lookup); purchases pre-aggregated to unique
+    // (user, ts) per the as-of contract
+    "q_asof_next_purchase" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .agg(max("event_id").as("next_purchase_id"))
+      AsOf.asofJoinForward(clicks, "user_id", "ts",
+          purchases, "p_user", "p_ts", Seq("next_purchase_id"))
+        .select("event_id", "user_id", "next_purchase_id")
+        .orderBy("event_id")
+    }),
+    // nearest as-of: the closest purchase either side, ties backward
+    "q_asof_nearest_purchase" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .agg(max("event_id").as("nearest_purchase_id"))
+      AsOf.asofJoinNearest(clicks, "user_id", "ts",
+          purchases, "p_user", "p_ts", Seq("nearest_purchase_id"))
+        .select("event_id", "user_id", "nearest_purchase_id")
+        .orderBy("event_id")
+    }),
     "q_asof_last_order" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select("event_id", "user_id", "ts")
@@ -3486,6 +3514,36 @@ object SparkEntry {
          ORDER BY event_id""",
     "q_asof_last_order" -> asofOracleSql,
     "q_asof_last_order_bucketed" -> asofOracleSql,
+    // forward as-of restated as bounded join + rank-1 (DuckDB's ASOF
+    // is backward-only)
+    "q_asof_next_purchase" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, max(event_id) AS pid FROM events
+               WHERE event_type = 'purchase' GROUP BY 1, 2),
+         j AS (SELECT c.event_id, p.pid,
+                      row_number() OVER (PARTITION BY c.event_id
+                        ORDER BY p.ts ASC) AS rn
+               FROM c JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts)
+         SELECT c.event_id, c.user_id, f.pid AS next_purchase_id
+         FROM c LEFT JOIN (SELECT event_id, pid FROM j WHERE rn = 1) f
+           ON f.event_id = c.event_id
+         ORDER BY c.event_id""",
+    // nearest: min |Δts|, ties to the backward row
+    "q_asof_nearest_purchase" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, max(event_id) AS pid FROM events
+               WHERE event_type = 'purchase' GROUP BY 1, 2),
+         j AS (SELECT c.event_id, p.pid,
+                      row_number() OVER (PARTITION BY c.event_id
+                        ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)) ASC,
+                          CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END ASC) AS rn
+               FROM c JOIN p ON p.user_id = c.user_id)
+         SELECT c.event_id, c.user_id, f.pid AS nearest_purchase_id
+         FROM c LEFT JOIN (SELECT event_id, pid FROM j WHERE rn = 1) f
+           ON f.event_id = c.event_id
+         ORDER BY c.event_id""",
     // every event contributes to its 6 containing hourly windows: the
     // slide-aligned bucket minus k slides, k = 0..5 — same epoch
     // alignment as Spark's window(ts, '1 hour', '10 minutes')

@@ -82,6 +82,88 @@ object AsOf {
         rightValueCols.map(c => col("__c").getField(c).as(c)): _*)
   }
 
+  /** Forward as-of join: for every left row, the EARLIEST right row
+    * with the same key and `rightTs >= leftTs` — "next scheduled
+    * maintenance", "first event after the deploy", the mirror of
+    * [[asofJoin]]. Same union + one-shuffle window technique, with the
+    * carry reversed: `first(ignoreNulls) OVER (rows current →
+    * unbounded following)`, and LEFT rows ordering before right rows
+    * at equal ts so a right row at exactly leftTs is inside the
+    * frame (`>=` inclusive). Same uniqueness requirement. */
+  def asofJoinForward(left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String,
+      rightValueCols: Seq[String]): DataFrame = {
+    validate(left, leftTs, right, rightTs, rightValueCols)
+    val lCols = left.columns.toSeq
+    val rStruct = struct(rightValueCols.map(col): _*)
+    val rType = right.select(rStruct).schema.head.dataType
+    val lSide = left.select(
+      Seq(col(leftKey).as("__k"), col(leftTs).as("__ts"), lit(1).as("__isL")) ++
+        lCols.map(col) :+ lit(null).cast(rType).as("__r"): _*)
+    val rSide = right
+      .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
+      .select(
+        Seq(col(rightKey).as("__k"), col(rightTs).as("__ts"), lit(0).as("__isL")) ++
+          lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          rStruct.as("__r"): _*)
+    // left (isL 1) before right (isL 0) at equal ts, so the forward
+    // frame starting at the left row still sees an equal-ts right row
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__isL").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lSide.unionByName(rSide)
+      .withColumn("__c", first(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__isL") === 1)
+      .select(lCols.map(col) ++
+        rightValueCols.map(c => col("__c").getField(c).as(c)): _*)
+  }
+
+  /** Nearest as-of join over TIMESTAMP keys: for every left row, the
+    * right row with the same key minimizing |rightTs − leftTs|, ties
+    * to the BACKWARD (earlier-or-equal) row. Both directional carries
+    * run over ONE keyed shuffle (two in-partition sorts, same
+    * partitioning); the winner is picked per row from the two carried
+    * structs by microsecond distance. */
+  def asofJoinNearest(left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String,
+      rightValueCols: Seq[String]): DataFrame = {
+    validate(left, leftTs, right, rightTs, rightValueCols)
+    val lCols = left.columns.toSeq
+    val rStruct = struct(col(rightTs).as("__rts") +:
+      rightValueCols.map(col): _*)
+    val rType = right.select(rStruct).schema.head.dataType
+    val lSide = left.select(
+      Seq(col(leftKey).as("__k"), col(leftTs).as("__ts"), lit(1).as("__isL")) ++
+        lCols.map(col) :+ lit(null).cast(rType).as("__r"): _*)
+    val rSide = right
+      .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
+      .select(
+        Seq(col(rightKey).as("__k"), col(rightTs).as("__ts"), lit(0).as("__isL")) ++
+          lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+          rStruct.as("__r"): _*)
+    val wB = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__isL").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__isL").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val dB = abs(unix_micros(col("__ts")) -
+      unix_micros(col("__cb").getField("__rts")))
+    val dF = abs(unix_micros(col("__cf").getField("__rts")) -
+      unix_micros(col("__ts")))
+    lSide.unionByName(rSide)
+      .withColumn("__cb", last(col("__r"), ignoreNulls = true).over(wB))
+      .withColumn("__cf", first(col("__r"), ignoreNulls = true).over(wF))
+      .filter(col("__isL") === 1)
+      .withColumn("__c",
+        when(col("__cb").isNull, col("__cf"))
+          .when(col("__cf").isNull, col("__cb"))
+          .when(dB <= dF, col("__cb"))
+          .otherwise(col("__cf")))
+      .select(lCols.map(col) ++
+        rightValueCols.map(c => col("__c").getField(c).as(c)): _*)
+  }
+
   /** Skew-safe as-of join: same semantics as [[asofJoin]], but each key's
     * rows are spread over coarse-time buckets so a single pathological hot
     * key no longer lands in ONE window partition.

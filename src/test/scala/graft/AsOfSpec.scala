@@ -140,4 +140,37 @@ class AsOfSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.isNullAt(3)).toMap
     assert(out === Map(1L -> false, 2L -> true, 3L -> true))
   }
+
+  test("asofJoinForward attaches the earliest right value at-or-after each left ts") {
+    val out = AsOf.asofJoinForward(trades, "sym", "tts",
+        quotes, "sym", "qts", Seq("price"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out === Map(
+      1L -> Some(110.0), // next quote after 10:30
+      2L -> Some(110.0), // exactly at quote: >= is inclusive
+      3L -> Some(100.0), // before any quote: the first one
+      4L -> None,        // after the last quote
+      5L -> None))       // key with no quotes
+  }
+
+  test("asofJoinNearest picks the closer side, ties to backward") {
+    val q = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1.0),
+      ("A", ts("2024-01-01 12:00:00"), 2.0)
+    ).toDF("sym", "qts", "price")
+    val l = Seq(
+      (1L, "A", ts("2024-01-01 10:30:00")), // closer to 10:00 → 1.0
+      (2L, "A", ts("2024-01-01 11:30:00")), // closer to 12:00 → 2.0
+      (3L, "A", ts("2024-01-01 11:00:00")), // EQUIDISTANT → backward 1.0
+      (4L, "A", ts("2024-01-01 09:00:00")), // only forward exists → 1.0
+      (5L, "A", ts("2024-01-01 13:00:00")), // only backward exists → 2.0
+      (6L, "B", ts("2024-01-01 10:00:00"))  // no quotes → null
+    ).toDF("trade_id", "sym", "tts")
+    val out = AsOf.asofJoinNearest(l, "sym", "tts", q, "sym", "qts", Seq("price"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out === Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(1.0),
+      4L -> Some(1.0), 5L -> Some(2.0), 6L -> None))
+  }
 }
