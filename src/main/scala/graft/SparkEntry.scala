@@ -1516,6 +1516,25 @@ object SparkEntry {
     // the best non-dup same-block pair (consecutive-digit names, d=1)
     // reaches only 0.6·(17/18) ≈ 0.567 without the balance match —
     // the exact field is what separates them, which is the F-S point
+    // sorted-neighborhood linkage: the sort-key candidate scheme —
+    // APPENDED-suffix dups stay sort-adjacent to their originals (the
+    // case equality blocking needs intact block keys for); mod-2
+    // slice for the same levenshtein-bill reason as q_record_linkage
+    "q_snm_linkage" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+      val dups = c.filter(col("c_custkey") % 41 === 0)
+        .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+          concat(col("c_name"), lit(" jr")).as("c_name"),
+          col("c_acctbal"))
+      RecordLinkage.sortedNeighborhood(c.unionAll(dups), "c_custkey",
+          "c_name",
+          Seq(RecordLinkage.FieldSim("c_name", 0.6),
+            RecordLinkage.FieldSim("c_acctbal", 0.4, exact = true)),
+          threshold = 0.9, window = 10)
+        .orderBy("id_a", "id_b")
+    }),
     "q_record_linkage" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
         .filter(col("c_custkey") % 2 === 0) // mod-2 slice: blocked-pair
@@ -5155,6 +5174,32 @@ object SparkEntry {
     // (cos is undefined for zero vectors; Spark drops them, so must we)
     // blocked pairs + the identical IEEE chain: (1 − d/maxlen)·0.6
     // then + CASE·0.4, left-associated as the operator writes it
+    // SNM: global (name, id) rank, band |Δrank| ≤ 10, same score chain
+    "q_snm_linkage" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer
+                    WHERE c_custkey % 2 = 0),
+         u AS (SELECT * FROM c
+               UNION ALL
+               SELECT c_custkey + 10000000, c_name || ' jr', c_acctbal
+               FROM c WHERE c_custkey % 41 = 0),
+         rk AS (SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal,
+                       row_number() OVER (ORDER BY c_name, c_custkey)
+                         AS rank
+                FROM u WHERE c_name IS NOT NULL),
+         p AS (SELECT least(a.id, b.id) AS id_a,
+                      greatest(a.id, b.id) AS id_b,
+                 (CASE WHEN a.name IS NULL OR b.name IS NULL THEN 0.0
+                       ELSE (1.0 - CAST(levenshtein(a.name, b.name)
+                           AS DOUBLE)
+                         / CAST(greatest(length(a.name), length(b.name),
+                             1) AS DOUBLE)) * 0.6 END)
+                 + (CASE WHEN a.bal IS NULL OR b.bal IS NULL THEN 0.0
+                         WHEN a.bal = b.bal THEN 1.0 * 0.4
+                         ELSE 0.0 END) AS score
+               FROM rk a JOIN rk b
+                 ON b.rank > a.rank AND b.rank <= a.rank + 10)
+         SELECT id_a, id_b, score FROM p WHERE score >= 0.9
+         ORDER BY id_a, id_b""",
     "q_record_linkage" ->
       """WITH c AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
                            c_mktsegment FROM customer

@@ -82,6 +82,85 @@ object RecordLinkage {
       .select("id_a", "id_b", "score")
   }
 
+  /** Sorted-neighborhood method (Hernández & Stolfo 1995, public
+    * literature) — the OTHER classic candidate scheme next to equality
+    * blocking: sort all records by a key, compare only records within
+    * `window` positions. Catches near-duplicates whose block keys
+    * disagree (typo'd nation, missing segment) as long as the sort key
+    * keeps them adjacent; the recall trade is inverted vs blocking, so
+    * production ER runs both and unions candidates (both live here).
+    *
+    * Scale: the global rank is BUCKETED — approxQuantile cuts over an
+    * order-preserving numeric coarsening of the sort key's first 8
+    * bytes (UTF-8 byte order ≡ codepoint order, so same-prefix rows
+    * can never split across buckets out of order), per-bucket
+    * row_number over the full (key, id) order, broadcast bucket-count
+    * offsets — no single-partition sort anywhere (the
+    * [[graft.operators.Scale.globalRank]] construction generalized to
+    * string keys). Candidates come from a rank band join: each row
+    * lands in rank-bucket ⌊(rank−1)/window⌋, probes its own and the
+    * next bucket (any pair within `window` ranks differs by ≤ 1
+    * bucket), and the exact 0 < Δrank ≤ window filter runs on the
+    * equi-join output — candidate volume ≈ n·window, never n².
+    * Scoring and determinism as [[dedupePairs]]; output (id_a, id_b,
+    * score) with id_a < id_b. */
+  def sortedNeighborhood(df: DataFrame, idCol: String, sortKeyCol: String,
+      fields: Seq[FieldSim], threshold: Double, window: Int = 10,
+      buckets: Int = 64): DataFrame = {
+    validate(fields, Seq(sortKeyCol), threshold)
+    require(window >= 1, s"window must be >= 1, got $window")
+    val fieldCols = fields.map(_.name).distinct
+    val base = df.filter(col(sortKeyCol).isNotNull)
+      .select((col(idCol).as("__id") +: col(sortKeyCol).as("__key") +:
+        fieldCols.map(c => col(c).as(s"__f_$c"))): _*)
+    // order-preserving coarsening: first 8 bytes, big-endian
+    val key64 = (0 until 8).map(i =>
+        ascii(substring(col("__key"), i + 1, 1)).cast("long") *
+          lit(1L << (8 * (7 - i))))
+      .reduceLeft(_ + _)
+    val keyed = base.withColumn("__k64", key64)
+    val cuts =
+      if (buckets == 1) Array.empty[Double]
+      else keyed.select(col("__k64").cast("double").as("__v"))
+        .stat.approxQuantile("__v",
+          (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+        .distinct.sorted
+    val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("__k64").cast("double") > lit(c), 1).otherwise(0)
+    }
+    val bucketed = keyed.withColumn("__b", bucket)
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("__b").orderBy(col("__key"), col("__id"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .select(col("__b"),
+        coalesce(sum(col("__n")).over(wOff), lit(0L)).as("__off"))
+    val ranked = bucketed
+      .withColumn("__rl", row_number().over(wLocal))
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("__rank", col("__off") + col("__rl"))
+      .drop("__b", "__rl", "__off", "__k64", "__key")
+
+    // rank band join: a probes its own and the next rank-bucket
+    val rbkt = floor((col("__rank") - 1) / lit(window)).cast("long")
+    val aSide = ranked.withColumn("__rb0", rbkt)
+      .withColumn("__rb", explode(array(col("__rb0"), col("__rb0") + 1)))
+      .drop("__rb0")
+    val bSide = ranked.withColumn("__rb", rbkt)
+    val renamedB = bSide.columns.foldLeft(bSide) { (d, c) =>
+      if (c == "__rb") d else d.withColumnRenamed(c, c.replace("__", "__x"))
+    }
+    aSide.join(renamedB, Seq("__rb"))
+      .filter(col("__xrank") > col("__rank") &&
+        col("__xrank") <= col("__rank") + window)
+      .withColumn("score", score(fields, "__f_", "__xf_"))
+      .filter(col("score") >= threshold)
+      .select(least(col("__id"), col("__xid")).as("id_a"),
+        greatest(col("__id"), col("__xid")).as("id_b"), col("score"))
+  }
+
   /** Cross-frame linkage (the merge-two-systems shape): every LEFT
     * record against same-block RIGHT records; (id_left, id_right,
     * score ≥ threshold). */

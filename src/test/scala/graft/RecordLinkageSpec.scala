@@ -111,4 +111,55 @@ class RecordLinkageSpec extends SparkSpec {
       RecordLinkage.dedupePairs(recs, "id", Seq(), fields, 0.5)
     }
   }
+
+  test("sortedNeighborhood: sort-adjacency candidates, cross-block recall, ≡ exhaustive band") {
+    import spark.implicits._
+    // records whose BLOCK keys disagree (the blocking scheme's miss)
+    // but whose names sort adjacent: SNM must find the pair
+    val recs2 = Seq(
+      (1L, "alpha corp", 10.0, "EU"),
+      (2L, "alpha corpx", 10.0, "US"), // near-dup of 1, different block
+      (3L, "beta llc", 5.0, "EU"),
+      (4L, "zeta gmbh", 7.0, "EU")
+    ).toDF("id", "name", "bal", "region")
+    val fs = Seq(RecordLinkage.FieldSim("name", 0.6),
+      RecordLinkage.FieldSim("bal", 0.4, exact = true))
+    val snm = RecordLinkage.sortedNeighborhood(recs2, "id", "name",
+        fs, threshold = 0.9, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(snm === Set((1L, 2L)))
+    // equality blocking on region misses exactly that pair
+    val blocked = RecordLinkage.dedupePairs(recs2, "id", Seq("region"),
+        fs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked === Set.empty)
+
+    // window semantics ≡ the exhaustive rank-band reference on a
+    // bigger frame, across bucket boundaries (buckets = 4 forces them)
+    val many = (1 to 200).map { i =>
+      val base = f"name${(i * 2654435761L) % 1000}%04d"
+      (i.toLong, if (i % 17 == 0) base + " x" else base,
+        (i % 13).toDouble, "B")
+    }.toDF("id", "name", "bal", "region")
+    val got = RecordLinkage.sortedNeighborhood(many, "id", "name",
+        fs, threshold = 0.8, window = 5, buckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP)))
+      .toSet
+    val rows = many.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val ranked = rows.sortBy(t => (t._2, t._1)).zipWithIndex
+    val lev = org.apache.commons.text.similarity.LevenshteinDistance
+      .getDefaultInstance
+    val want = (for {
+      (a, ra) <- ranked; (b, rb) <- ranked
+      if rb > ra && rb <= ra + 5
+      simN = 1.0 - lev.apply(a._2, b._2).toDouble /
+        math.max(math.max(a._2.length, b._2.length), 1)
+      score = simN * 0.6 + (if (a._3 == b._3) 0.4 else 0.0)
+      if score >= 0.8
+    } yield (math.min(a._1, b._1), math.max(a._1, b._1),
+      BigDecimal(score).setScale(9, BigDecimal.RoundingMode.HALF_UP))).toSet
+    assert(got === want)
+  }
 }
