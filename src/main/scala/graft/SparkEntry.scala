@@ -163,6 +163,48 @@ object SparkEntry {
           "event_type", "event_id", conversionType = "purchase",
           touchTypes = Seq("click", "view"), lookbackDays = 7)
         .orderBy("user_id", "conv_ts", "conv_event_id")),
+    // OHLC bars: open/close by (ts, event_id) order via min_by/max_by
+    // struct keys, high/low plain extremes — every output value is
+    // copied, not computed, so the query is hash-exact
+    "q_ohlc_bars" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id")))
+            .as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id")))
+            .as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "day")),
+    // time-to-convert: per click day, how many clicks found a purchase
+    // at-or-after them (forward as-of) and the exact median delay in
+    // whole seconds (integer rank cut — engine-exact)
+    "q_time_to_convert" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .agg(max("event_id").as("p_id"))
+      val joined = AsOf.asofJoinForward(clicks, "user_id", "ts",
+          purchases, "p_user", "p_ts", Seq("p_ts", "p_id"))
+        .withColumn("delay_s",
+          ((unix_micros(col("p_ts")) - unix_micros(col("ts"))) /
+            lit(1000000L)).cast("long"))
+      joined
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_clicks"),
+          count(col("p_id")).as("n_converted"),
+          when(count(col("delay_s")) > 0,
+            element_at(array_sort(collect_list(col("delay_s"))),
+              ((count(col("delay_s")) + 1) / 2).cast("int")))
+            .as("median_delay_s"))
+        .filter(col("n_converted") > 0)
+        .orderBy("day")
+    }),
     // EWMA-smoothed daily sales per category: the sequential
     // recurrence replayed declaratively on the post-aggregate frame
     // (α = 0.5 is an exact binary fraction — both engines run the
@@ -4267,6 +4309,50 @@ object SparkEntry {
          LEFT JOIN (SELECT * FROM j WHERE rl = 1) l
            ON l.user_id = c.user_id AND l.conv_event_id = c.event_id
          ORDER BY c.user_id, conv_ts, conv_event_id""",
+    // OHLC: first/last by the same (ts, event_id) total order
+    "q_ohlc_bars" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, value,
+                           ts, event_id FROM events),
+         r AS (SELECT event_type, day, value,
+                 row_number() OVER (PARTITION BY event_type, day
+                   ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, day
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+               FROM e)
+         SELECT event_type, day,
+                max(CASE WHEN rn_a = 1 THEN value END) AS open,
+                max(value) AS high, min(value) AS low,
+                max(CASE WHEN rn_d = 1 THEN value END) AS close,
+                count(*) AS n
+         FROM r GROUP BY 1, 2 ORDER BY event_type, day""",
+    // time-to-convert: forward-as-of restated as rank-1, whole-second
+    // integer delays, median at rank (n+1)//2
+    "q_time_to_convert" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, max(event_id) AS pid FROM events
+               WHERE event_type = 'purchase' GROUP BY 1, 2),
+         j AS (SELECT c.event_id, p.pid, p.ts AS pts,
+                 row_number() OVER (PARTITION BY c.event_id
+                   ORDER BY p.ts ASC) AS rn
+               FROM c JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts),
+         f AS (SELECT c.event_id, CAST(c.ts AS DATE) AS day, j1.pid,
+                 (epoch_us(j1.pts) - epoch_us(c.ts)) // 1000000 AS delay_s
+               FROM c LEFT JOIN (SELECT event_id, pid, pts FROM j
+                                 WHERE rn = 1) j1
+                 ON j1.event_id = c.event_id),
+         g AS (SELECT day, count(*) AS n_clicks, count(pid) AS n_converted
+               FROM f GROUP BY day),
+         m AS (SELECT day, delay_s,
+                 row_number() OVER (PARTITION BY day ORDER BY delay_s) AS rn,
+                 count(*) OVER (PARTITION BY day) AS nn
+               FROM f WHERE delay_s IS NOT NULL),
+         med AS (SELECT day, max(CASE WHEN rn = (nn + 1) // 2
+                   THEN delay_s END) AS median_delay_s
+                 FROM m GROUP BY day)
+         SELECT g.day, g.n_clicks, g.n_converted, med.median_delay_s
+         FROM g JOIN med ON med.day = g.day
+         WHERE g.n_converted > 0 ORDER BY g.day""",
     // EWMA: the recurrence as a recursive CTE over per-key rn chains —
     // each step referenced once (the pageRank chain precedent, no
     // inlining blowup); s.ewma * 0.5 + d.x * 0.5 matches the Spark
