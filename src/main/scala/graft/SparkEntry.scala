@@ -163,6 +163,24 @@ object SparkEntry {
           "event_type", "event_id", conversionType = "purchase",
           touchTypes = Seq("click", "view"), lookbackDays = 7)
         .orderBy("user_id", "conv_ts", "conv_event_id")),
+    // Mann–Kendall monotone-trend test: 6-dp-rounded daily sums before
+    // the sign ⇒ S integer-exact, τ one exact division
+    "q_trend_test" -> ((s, dir) =>
+      Analytics.mannKendallTrend(Tables.events(s, dir), "event_type",
+          "ts", "value")
+        .orderBy("event_type")),
+    // Theil–Sen robust slope: median of pairwise slopes at the
+    // integer rank cut
+    "q_theilsen_trend" -> ((s, dir) =>
+      Analytics.theilSenTrend(Tables.events(s, dir), "event_type",
+          "ts", "value")
+        .orderBy("event_type")),
+    // Holt level+trend smoothing with a one-step forecast (α = β = 0.5
+    // exact binary ⇒ identical IEEE recurrence both engines)
+    "q_holt_trend" -> ((s, dir) =>
+      Analytics.holtSmooth(Tables.events(s, dir), "event_type", "ts",
+          "value", alpha = 0.5, beta = 0.5)
+        .orderBy("event_type", "day")),
     // OHLC bars: open/close by (ts, event_id) order via min_by/max_by
     // struct keys, high/low plain extremes — every output value is
     // copied, not computed, so the query is hash-exact
@@ -4309,6 +4327,66 @@ object SparkEntry {
          LEFT JOIN (SELECT * FROM j WHERE rl = 1) l
            ON l.user_id = c.user_id AND l.conv_event_id = c.event_id
          ORDER BY c.user_id, conv_ts, conv_event_id""",
+    // Mann–Kendall: identical rounded daily sums, sign pairs, τ
+    "q_trend_test" ->
+      """WITH d AS (SELECT event_type AS k, CAST(ts AS DATE) AS dy,
+                           round(sum(value), 6) AS x
+                    FROM events GROUP BY 1, 2),
+         p AS (SELECT a.k, CAST(sign(b.x - a.x) AS BIGINT) AS sgn
+               FROM d a JOIN d b ON a.k = b.k AND a.dy < b.dy),
+         s AS (SELECT k, sum(sgn) AS s_stat FROM p GROUP BY k),
+         n AS (SELECT k, count(*) AS n_days FROM d GROUP BY k)
+         SELECT n.k AS event_type, n.n_days,
+                CAST(s.s_stat AS BIGINT) AS s_stat,
+                CAST(s.s_stat AS DOUBLE)
+                  / CAST(n.n_days * (n.n_days - 1) / 2 AS DOUBLE) AS tau
+         FROM s JOIN n ON n.k = s.k ORDER BY event_type""",
+    // Theil–Sen: pairwise slopes over integer day gaps, median at
+    // rank (m+1)//2
+    "q_theilsen_trend" ->
+      """WITH d AS (SELECT event_type AS k, CAST(ts AS DATE) AS dy,
+                           round(sum(value), 6) AS x
+                    FROM events GROUP BY 1, 2),
+         p AS (SELECT a.k, (b.x - a.x)
+                 / CAST(date_diff('day', a.dy, b.dy) AS DOUBLE) AS slope
+               FROM d a JOIN d b ON a.k = b.k AND a.dy < b.dy),
+         m AS (SELECT k, slope,
+                 row_number() OVER (PARTITION BY k ORDER BY slope) AS rn,
+                 count(*) OVER (PARTITION BY k) AS m
+               FROM p),
+         med AS (SELECT k, max(CASE WHEN rn = (m + 1) // 2
+                   THEN slope END) AS slope_per_day
+                 FROM m GROUP BY k),
+         n AS (SELECT k, count(*) AS n_days FROM d GROUP BY k)
+         SELECT med.k AS event_type, n.n_days, med.slope_per_day
+         FROM med JOIN n ON n.k = med.k ORDER BY event_type""",
+    // Holt: the two-variable recurrence as a recursive CTE; sNew's
+    // expression appears twice on both sides — identical value
+    "q_holt_trend" ->
+      """WITH RECURSIVE agg AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS x
+           FROM events GROUP BY 1, 2),
+         d AS (SELECT event_type, day, x,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY day) AS rn
+               FROM agg),
+         s AS (
+           SELECT event_type, day, x, rn, x AS level,
+                  CAST(0.0 AS DOUBLE) AS trend
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.event_type, d.day, d.x, d.rn,
+                  d.x * CAST(0.5 AS DOUBLE)
+                    + (s.level + s.trend) * CAST(0.5 AS DOUBLE),
+                  ((d.x * CAST(0.5 AS DOUBLE)
+                    + (s.level + s.trend) * CAST(0.5 AS DOUBLE)) - s.level)
+                    * CAST(0.5 AS DOUBLE)
+                    + s.trend * CAST(0.5 AS DOUBLE)
+           FROM s JOIN d ON d.event_type = s.event_type
+                        AND d.rn = s.rn + 1)
+         SELECT event_type, day, x AS daily_value, level, trend,
+                level + trend AS forecast_next
+         FROM s ORDER BY event_type, day""",
     // OHLC: first/last by the same (ts, event_id) total order
     "q_ohlc_bars" ->
       """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, value,

@@ -470,6 +470,91 @@ object Analytics {
       .select(col(keyCol), col("day"), col("daily_value"), col("ewma"))
   }
 
+  /** Mann–Kendall trend test per key over the daily series:
+    * S = Σ_{i<j} sign(xⱼ − xᵢ) and Kendall's τ = S / (n(n−1)/2) — the
+    * standard nonparametric "is there a monotone trend" statistic.
+    * Daily values are rounded to 6 dp BEFORE the sign so engine
+    * summation-order noise (~1e-12) can never flip a comparison
+    * (the mean-gate-epsilon rule); S is then integer-exact and τ one
+    * exact division. The pair join is per-key over DAYS (bounded by
+    * series length, not corpus size).
+    * Output: (key, n_days, s_stat, tau). */
+  def mannKendallTrend(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("d"))
+      .agg(round(sum(col(valCol)), 6).as("x"))
+    val a = daily.select(col("k"), col("d").as("da"), col("x").as("xa"))
+    val b = daily.select(col("k"), col("d").as("db"), col("x").as("xb"))
+    val pairs = a.join(b, Seq("k")).filter(col("da") < col("db"))
+      .withColumn("sgn", signum(col("xb") - col("xa")).cast("long"))
+    val nDays = daily.groupBy("k").agg(count(lit(1)).as("n_days"))
+    pairs.groupBy("k").agg(sum("sgn").as("s_stat"))
+      .join(nDays, Seq("k"))
+      .select(col("k").as(keyCol), col("n_days"), col("s_stat"),
+        (col("s_stat").cast("double") /
+          (col("n_days") * (col("n_days") - 1) / 2).cast("double"))
+          .as("tau"))
+  }
+
+  /** Theil–Sen robust trend per key: the MEDIAN of all pairwise slopes
+    * (xⱼ − xᵢ)/(dⱼ − dᵢ) over the daily series — one outlier day
+    * cannot move it, unlike least squares ([[groupTrend]]). Slopes are
+    * computed from 6-dp-rounded daily values over integer day gaps, so
+    * both engines produce the identical slope multiset; the median is
+    * the value at rank ⌈m/2⌉ (the same integer-rank cut the quantile
+    * family uses). Pair volume is days² per key — series-bounded.
+    * Output: (key, n_days, slope_per_day). */
+  def theilSenTrend(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("d"))
+      .agg(round(sum(col(valCol)), 6).as("x"))
+    val a = daily.select(col("k"), col("d").as("da"), col("x").as("xa"))
+    val b = daily.select(col("k"), col("d").as("db"), col("x").as("xb"))
+    val slopes = a.join(b, Seq("k")).filter(col("da") < col("db"))
+      .withColumn("slope", (col("xb") - col("xa")) /
+        datediff(col("db"), col("da")).cast("double"))
+    val nDays = daily.groupBy("k").agg(count(lit(1)).as("n_days"))
+    slopes.groupBy("k")
+      .agg(when(count(lit(1)) > 0,
+        element_at(array_sort(collect_list(col("slope"))),
+          ((count(lit(1)) + 1) / 2).cast("int"))).as("slope_per_day"))
+      .join(nDays, Seq("k"))
+      .select(col("k").as(keyCol), col("n_days"), col("slope_per_day"))
+  }
+
+  /** Holt double-exponential smoothing (level + trend) of the daily
+    * series: s₁ = x₁, b₁ = 0; sₜ = α·xₜ + (1−α)(sₜ₋₁ + bₜ₋₁),
+    * bₜ = β(sₜ − sₜ₋₁) + (1−β)bₜ₋₁; one-step forecast = sₜ + bₜ.
+    * Same posture as [[ewmaSmooth]]: sequential recurrence replayed
+    * declaratively on the post-aggregate frame via an ordered window
+    * fold (struct state), bit-identical to the oracle's recursive CTE
+    * when α, β are exact binary fractions.
+    * Output: (key, day, daily_value, level, trend, forecast_next). */
+  def holtSmooth(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, alpha: Double = 0.5, beta: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta > 0 && beta <= 1,
+      s"alpha/beta must be in (0,1], got $alpha/$beta")
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valCol)).as("daily_value"))
+    val w = Window.partitionBy(keyCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("h", collect_list(col("daily_value")).over(w))
+      .withColumn("st",
+        aggregate(slice(col("h"), lit(2), greatest(size(col("h")) - 1, lit(0))),
+          struct(element_at(col("h"), 1).as("s"),
+            lit(0.0).as("b")),
+          (acc, x) => {
+            val sNew = x * lit(alpha) + (acc("s") + acc("b")) * lit(1 - alpha)
+            struct(sNew.as("s"),
+              ((sNew - acc("s")) * lit(beta) + acc("b") * lit(1 - beta))
+                .as("b"))
+          }))
+      .select(col(keyCol), col("day"), col("daily_value"),
+        col("st.s").as("level"), col("st.b").as("trend"),
+        (col("st.s") + col("st.b")).as("forecast_next"))
+  }
+
   /** Count-spike anomaly score per (key, day): today's event count
     * against the MEDIAN of the trailing `lookback` observed days —
     * score = n / trailing_median, the standard robust spike detector

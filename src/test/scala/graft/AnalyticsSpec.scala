@@ -491,6 +491,50 @@ class AnalyticsSpec extends SparkSpec {
     pr.zip(exp).foreach { case (g2, e) => assert(math.abs(g2 - e) < 1e-12) }
   }
 
+  test("mannKendall/theilSen: hand-computed monotone series, outlier robustness") {
+    import spark.implicits._
+    // key a: strictly rising 1,2,3,4 → S = 6 (all pairs +), tau = 1
+    // key b: 1,2,100,4 — the outlier: MK S = +4 −... pairs:
+    //   (1,2)+ (1,100)+ (1,4)+ (2,100)+ (2,4)+ (100,4)− → S = 4
+    //   Theil–Sen slopes: [1, 49.5, 1, 98, 1, −96] sorted →
+    //   [−96, 1, 1, 1, 49.5, 98], median rank (6+1)//2 = 3 → 1.0
+    //   (least squares would be dragged far off 1)
+    val rows = Seq(
+      ("a", "2024-01-01", 1.0), ("a", "2024-01-02", 2.0),
+      ("a", "2024-01-03", 3.0), ("a", "2024-01-04", 4.0),
+      ("b", "2024-01-01", 1.0), ("b", "2024-01-02", 2.0),
+      ("b", "2024-01-03", 100.0), ("b", "2024-01-04", 4.0)
+    ).toDF("k", "ts", "v")
+      .withColumn("ts", concat(col("ts"), lit(" 09:00:00")).cast("timestamp"))
+    val mk = Analytics.mannKendallTrend(rows, "k", "ts", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(mk("a") === ((4L, 6L, 1.0)))
+    assert(mk("b") === ((4L, 4L, 4.0 / 6.0)))
+    val tsn = Analytics.theilSenTrend(rows, "k", "ts", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(tsn("a") === 1.0)
+    assert(tsn("b") === 1.0, "median slope must shrug off the outlier")
+  }
+
+  test("holtSmooth: hand-computed level/trend recurrence and forecast") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", "2024-01-01", 10.0), ("a", "2024-01-02", 20.0),
+      ("a", "2024-01-03", 30.0)
+    ).toDF("k", "ts", "v")
+      .withColumn("ts", concat(col("ts"), lit(" 09:00:00")).cast("timestamp"))
+    val out = Analytics.holtSmooth(rows, "k", "ts", "v", 0.5, 0.5)
+      .orderBy("day").collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // t1: s=10, b=0, f=10
+    // t2: s = 20*.5 + (10+0)*.5 = 15; b = (15−10)*.5 + 0*.5 = 2.5; f=17.5
+    // t3: s = 30*.5 + 17.5*.5 = 23.75; b = (23.75−15)*.5 + 2.5*.5 = 5.625
+    assert(out(0) === ((10.0, 0.0, 10.0)))
+    assert(out(1) === ((15.0, 2.5, 17.5)))
+    assert(out(2) === ((23.75, 5.625, 29.375)))
+  }
+
   test("eventPattern: contiguity matters, non-overlapping matches, tie order by id") {
     import spark.implicits._
     def ev(u: Long, ts: String, id: Long, t: String) = (u, ts, id, t)
