@@ -163,6 +163,32 @@ object SparkEntry {
           "event_type", "event_id", conversionType = "purchase",
           touchTypes = Seq("click", "view"), lookbackDays = 7)
         .orderBy("user_id", "conv_ts", "conv_event_id")),
+    // CUSUM changepoint: the day of max |Σ(x − x̄)| per category
+    "q_changepoint" -> ((s, dir) =>
+      Analytics.changepoint(Tables.events(s, dir), "event_type", "ts",
+          "value")
+        .orderBy("event_type")),
+    // data-quality contract suite: row-local checks in ONE agg pass,
+    // exact uniqueness, broadcast referential integrity; the discount
+    // range check is a DELIBERATE partial-pass so both verdicts appear
+    "q_dq_checks" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val a = graft.operators.DataQuality.runChecks(li, Seq(
+        graft.operators.DataQuality.InRange(
+          "range_l_quantity_1_50", "l_quantity", 1, 50),
+        graft.operators.DataQuality.InRange(
+          "range_l_discount_0_005", "l_discount", 0, 0.05),
+        graft.operators.DataQuality.Completeness(
+          "complete_l_shipdate", "l_shipdate")))
+      val b = graft.operators.DataQuality.runChecks(Tables.orders(s, dir),
+        Seq(
+          graft.operators.DataQuality.Uniqueness(
+            "unique_o_orderkey", Seq("o_orderkey")),
+          graft.operators.DataQuality.ReferentialIntegrity(
+            "ref_orders_customer", "o_custkey",
+            Tables.customer(s, dir), "c_custkey")))
+      a.unionAll(b).orderBy("check")
+    }),
     // Mann–Kendall monotone-trend test: 6-dp-rounded daily sums before
     // the sign ⇒ S integer-exact, τ one exact division
     "q_trend_test" -> ((s, dir) =>
@@ -4327,6 +4353,56 @@ object SparkEntry {
          LEFT JOIN (SELECT * FROM j WHERE rl = 1) l
            ON l.user_id = c.user_id AND l.conv_event_id = c.event_id
          ORDER BY c.user_id, conv_ts, conv_event_id""",
+    // CUSUM: running sum in day order, 6-dp argmax, day tie-break
+    "q_changepoint" ->
+      """WITH d AS (SELECT event_type AS k, CAST(ts AS DATE) AS dy,
+                           round(sum(value), 6) AS x
+                    FROM events GROUP BY 1, 2),
+         mn AS (SELECT k, round(avg(x), 6) AS m FROM d GROUP BY k),
+         c AS (SELECT d.k, d.dy,
+                 sum(d.x - mn.m) OVER (PARTITION BY d.k ORDER BY d.dy
+                   ROWS UNBOUNDED PRECEDING) AS s
+               FROM d JOIN mn ON mn.k = d.k),
+         r AS (SELECT k, dy, s, row_number() OVER (PARTITION BY k
+                 ORDER BY round(abs(s), 6) DESC, dy ASC) AS rn
+               FROM c)
+         SELECT k AS event_type, dy AS changepoint_day, s AS cusum
+         FROM r WHERE rn = 1 ORDER BY event_type""",
+    // DQ suite: each metric an exact integer-count ratio; the verdict
+    // comparison can only sit on a float boundary when counts are
+    // EXACTLY equal — where both engines divide to the same 1.0
+    "q_dq_checks" ->
+      """WITH m AS (
+           SELECT 'range_l_quantity_1_50' AS chk,
+                  CAST(count(*) FILTER (WHERE l_quantity >= 1
+                    AND l_quantity <= 50) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS metric,
+                  CAST(1.0 AS DOUBLE) AS thr
+           FROM lineitem
+           UNION ALL
+           SELECT 'range_l_discount_0_005',
+                  CAST(count(*) FILTER (WHERE l_discount >= 0
+                    AND l_discount <= 0.05) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE), 1.0
+           FROM lineitem
+           UNION ALL
+           SELECT 'complete_l_shipdate',
+                  CAST(count(l_shipdate) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE), 1.0
+           FROM lineitem
+           UNION ALL
+           SELECT 'unique_o_orderkey',
+                  CAST(count(DISTINCT o_orderkey) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE), 1.0
+           FROM orders
+           UNION ALL
+           SELECT 'ref_orders_customer',
+                  CAST(count(*) FILTER (WHERE o_custkey IN
+                    (SELECT c_custkey FROM customer)) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE), 1.0
+           FROM orders WHERE o_custkey IS NOT NULL)
+         SELECT chk AS "check", metric, metric >= thr AS passed
+         FROM m ORDER BY chk""",
     // Mann–Kendall: identical rounded daily sums, sign pairs, τ
     "q_trend_test" ->
       """WITH d AS (SELECT event_type AS k, CAST(ts AS DATE) AS dy,

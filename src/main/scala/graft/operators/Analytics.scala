@@ -470,6 +470,31 @@ object Analytics {
       .select(col(keyCol), col("day"), col("daily_value"), col("ewma"))
   }
 
+  /** CUSUM changepoint locator per key: Sₜ = Σᵢ≤ₜ (xᵢ − x̄) over the
+    * day-ordered daily series; the day maximizing |Sₜ| is the classic
+    * single-changepoint estimate (where the level shift happened).
+    * Daily sums and the mean are rounded to 6 dp (summation-order
+    * armor), the running sum accumulates in day order in both engines,
+    * and the argmax compares 6-dp |Sₜ| with a day tie-break — so the
+    * LOCATED day is engine-exact while the reported cusum is a value
+    * under tolerance.
+    * Output: (key, changepoint_day, cusum). */
+  def changepoint(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol).as("k"), to_date(col(tsCol)).as("d"))
+      .agg(round(sum(col(valCol)), 6).as("x"))
+    val means = daily.groupBy("k").agg(round(avg("x"), 6).as("m"))
+    val w = Window.partitionBy("k").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(means, Seq("k"))
+      .withColumn("s", sum(col("x") - col("m")).over(w))
+      .groupBy("k")
+      .agg(min(struct((-round(abs(col("s")), 6)).as("na"),
+        col("d").as("d"), col("s").as("s"))).as("win"))
+      .select(col("k").as(keyCol), col("win.d").as("changepoint_day"),
+        col("win.s").as("cusum"))
+  }
+
   /** Mann–Kendall trend test per key over the daily series:
     * S = Σ_{i<j} sign(xⱼ − xᵢ) and Kendall's τ = S / (n(n−1)/2) — the
     * standard nonparametric "is there a monotone trend" statistic.

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality verification (the Deequ-style contract
+  * surface, public methodology; independent implementation): a check
+  * suite compiles to a handful of aggregations and emits one verdict
+  * row per check — the gate a pipeline runs BEFORE publishing a table.
+  *
+  * Scale shape: every row-local check (completeness, range,
+  * non-negativity, pattern) folds into ONE aggregation pass over the
+  * frame — adding checks adds columns to the agg, not scans.
+  * Uniqueness is its own exact two-level aggregation (distinct count),
+  * referential integrity one left-anti broadcast-able join per
+  * relation. All metrics are exact integer-count ratios, so the
+  * pass/fail comparison is engine-exact (counts divide identically),
+  * never a float boundary.
+  *
+  * Output: (check, metric, passed) — long format, one row per check.
+  */
+object DataQuality {
+
+  sealed trait Check { def name: String }
+  /** Fraction of non-null values in `column` must be ≥ `minRatio`. */
+  final case class Completeness(name: String, column: String,
+      minRatio: Double = 1.0) extends Check
+  /** Fraction of rows with `lo ≤ column ≤ hi` (nulls fail) ≥ `minRatio`. */
+  final case class InRange(name: String, column: String, lo: Double,
+      hi: Double, minRatio: Double = 1.0) extends Check
+  /** distinct(columns) / rows must equal 1 (within ≥ `minRatio`). */
+  final case class Uniqueness(name: String, columns: Seq[String],
+      minRatio: Double = 1.0) extends Check
+  /** Fraction of (non-null) `fkColumn` values present in `pk` ≥
+    * `minRatio`. The dimension side is aggregated to distinct keys
+    * before the join — broadcast at any sane dimension size. */
+  final case class ReferentialIntegrity(name: String, fkColumn: String,
+      dim: DataFrame, pkColumn: String, minRatio: Double = 1.0)
+    extends Check
+
+  def runChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "runChecks needs at least one check")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "check names must be unique")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // one aggregation pass for every row-local check
+    val rowLocal = checks.collect {
+      case Completeness(n, c, r) =>
+        (n, r, sum(when(col(c).isNotNull, 1L).otherwise(0L)))
+      case InRange(n, c, lo, hi, r) =>
+        (n, r, sum(when(col(c) >= lo && col(c) <= hi, 1L).otherwise(0L)))
+    }
+    val localVerdicts: Seq[DataFrame] =
+      if (rowLocal.isEmpty) Seq.empty
+      else {
+        val aggd = df.agg(count(lit(1)).as("__n"),
+          rowLocal.map { case (n, _, e) => e.as(s"__c_$n") }: _*)
+        rowLocal.map { case (n, minR, _) =>
+          aggd.select(lit(n).as("check"),
+            (col(s"__c_$n").cast("double") / col("__n").cast("double"))
+              .as("metric"))
+            .withColumn("passed", col("metric") >= lit(minR))
+        }
+      }
+
+    val otherVerdicts = checks.collect {
+      case Uniqueness(n, cols, minR) =>
+        df.agg(count(lit(1)).as("__n"),
+            countDistinct(cols.head, cols.tail: _*).as("__d"))
+          .select(lit(n).as("check"),
+            (col("__d").cast("double") / col("__n").cast("double"))
+              .as("metric"))
+          .withColumn("passed", col("metric") >= lit(minR))
+      case ReferentialIntegrity(n, fk, dim, pk, minR) =>
+        val keys = dim.select(col(pk).as("__pk")).distinct()
+        val nonNull = df.filter(col(fk).isNotNull)
+        val matched = nonNull
+          .join(broadcast(keys), col(fk) === col("__pk"), "left_semi")
+          .agg(count(lit(1)).as("__m"))
+        val total = nonNull.agg(count(lit(1)).as("__t"))
+        matched.crossJoin(broadcast(total))
+          .select(lit(n).as("check"),
+            (col("__m").cast("double") / col("__t").cast("double"))
+              .as("metric"))
+          .withColumn("passed", col("metric") >= lit(minR))
+    }
+
+    (localVerdicts ++ otherVerdicts).reduce(_ unionAll _)
+  }
+}

@@ -491,6 +491,19 @@ class AnalyticsSpec extends SparkSpec {
     pr.zip(exp).foreach { case (g2, e) => assert(math.abs(g2 - e) < 1e-12) }
   }
 
+  test("changepoint: CUSUM peaks at the level shift, tie to earliest day") {
+    import spark.implicits._
+    // 1,1,1 then 5,5,5: mean 3, cusum −2,−4,−6,−4,−2,0 → peak |−6| at
+    // day 3, the last day of the first regime
+    val rows = (1 to 6).map(i =>
+      ("a", f"2024-01-0$i%d", if (i <= 3) 1.0 else 5.0))
+      .toDF("k", "d", "v")
+      .withColumn("ts", concat(col("d"), lit(" 09:00:00")).cast("timestamp"))
+    val out = Analytics.changepoint(rows, "k", "ts", "v").collect().head
+    assert(out.getDate(1).toString === "2024-01-03")
+    assert(out.getDouble(2) === -6.0)
+  }
+
   test("mannKendall/theilSen: hand-computed monotone series, outlier robustness") {
     import spark.implicits._
     // key a: strictly rising 1,2,3,4 → S = 6 (all pairs +), tau = 1
