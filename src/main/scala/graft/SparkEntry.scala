@@ -163,6 +163,19 @@ object SparkEntry {
           "event_type", "event_id", conversionType = "purchase",
           touchTypes = Seq("click", "view"), lookbackDays = 7)
         .orderBy("user_id", "conv_ts", "conv_event_id")),
+    // Benford first-digit screen on order totals (integer-arithmetic
+    // digit extraction — no float log at power-of-ten boundaries)
+    "q_benford" -> ((s, dir) =>
+      Analytics.benfordProfile(Tables.orders(s, dir), "o_totalprice")
+        .orderBy("digit")),
+    // Gini concentration of per-customer revenue over bucketed global
+    // ranks (6-dp-rounded revenues: rank swaps among 1e-12-close
+    // values stay inside compare tolerance either way)
+    "q_gini_revenue" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir).groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 6).as("rev"))
+      Analytics.gini(rev, "rev", "o_custkey")
+    }),
     // CUSUM changepoint: the day of max |Σ(x − x̄)| per category
     "q_changepoint" -> ((s, dir) =>
       Analytics.changepoint(Tables.events(s, dir), "event_type", "ts",
@@ -4353,6 +4366,33 @@ object SparkEntry {
          LEFT JOIN (SELECT * FROM j WHERE rl = 1) l
            ON l.user_id = c.user_id AND l.conv_event_id = c.event_id
          ORDER BY c.user_id, conv_ts, conv_event_id""",
+    // Benford: floor-div digit (DuckDB CAST rounds, so floor explicit)
+    "q_benford" ->
+      """WITH p AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS n
+                    FROM orders WHERE o_totalprice IS NOT NULL
+                      AND o_totalprice >= 1),
+         d AS (SELECT CAST(floor(n / power(10,
+                 length(CAST(n AS VARCHAR)) - 1)) AS INTEGER) AS digit
+               FROM p),
+         c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+         t AS (SELECT count(*) AS t FROM d)
+         SELECT digit, c.n,
+                CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS observed_p,
+                log10(CAST(1.0 AS DOUBLE)
+                  + CAST(1.0 AS DOUBLE) / digit) AS benford_p
+         FROM c, t ORDER BY digit""",
+    // Gini: same rank construction, same operand order
+    "q_gini_revenue" ->
+      """WITH rev AS (SELECT o_custkey, round(sum(o_totalprice), 6) AS rev
+                      FROM orders GROUP BY 1),
+         r AS (SELECT rev, row_number() OVER (ORDER BY rev, o_custkey)
+                 AS rank FROM rev)
+         SELECT count(*) AS n, sum(rev) AS total,
+                2.0 * sum(CAST(rank AS DOUBLE) * rev)
+                  / (CAST(count(*) AS DOUBLE) * sum(rev))
+                - CAST(count(*) + 1 AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS gini
+         FROM r""",
     // CUSUM: running sum in day order, 6-dp argmax, day tie-break
     "q_changepoint" ->
       """WITH d AS (SELECT event_type AS k, CAST(ts AS DATE) AS dy,

@@ -470,6 +470,49 @@ object Analytics {
       .select(col(keyCol), col("day"), col("daily_value"), col("ewma"))
   }
 
+  /** Benford first-digit profile of a positive numeric column — the
+    * classic fabricated-data screen: natural multi-magnitude data
+    * follows P(d) = log₁₀(1 + 1/d). The first digit is taken with
+    * INTEGER arithmetic (floor to BIGINT, divide by 10^(digits−1)) —
+    * no float log10 at a power-of-ten boundary and no double→string
+    * formatting, the two places engines disagree. One aggregation.
+    * Output: (digit, n, observed_p, benford_p), digits 1-9; rows ≤ 0
+    * are excluded (no defined first digit). */
+  def benfordProfile(df: DataFrame, valCol: String): DataFrame = {
+    val pos = df.filter(col(valCol).isNotNull && col(valCol) >= 1)
+      .withColumn("__n", floor(col(valCol)).cast("long"))
+      .withColumn("__digit",
+        (col("__n") / pow(lit(10.0), length(col("__n").cast("string")) - 1))
+          .cast("int"))
+    val counts = pos.groupBy("__digit").agg(count(lit(1)).as("n"))
+    val total = pos.agg(count(lit(1)).as("__t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("__digit").as("digit"), col("n"),
+        (col("n").cast("double") / col("__t").cast("double"))
+          .as("observed_p"),
+        log10(lit(1.0) + lit(1.0) / col("__digit").cast("double"))
+          .as("benford_p"))
+  }
+
+  /** Gini coefficient of a non-negative value column: with x₍₁₎ ≤ … ≤
+    * x₍ₙ₎ (ties broken by id for a total order),
+    * G = 2·Σ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n — the revenue-concentration /
+    * inequality statistic. Ranks come from the BUCKETED global rank
+    * (no single-partition sort; [[graft.operators.Scale.globalRank]]),
+    * so the only corpus-wide structures are the rank offsets.
+    * Output: one row (n, total, gini). */
+  def gini(df: DataFrame, valCol: String, idCol: String): DataFrame = {
+    val ranked = Scale.globalRank(
+      df.filter(col(valCol).isNotNull && col(valCol) >= 0)
+        .select(col(idCol), col(valCol)), valCol, idCol)
+    ranked.agg(count(lit(1)).as("n"), sum(col(valCol)).as("total"),
+        sum(col("rank").cast("double") * col(valCol)).as("__rs"))
+      .select(col("n"), col("total"),
+        (lit(2.0) * col("__rs") / (col("n").cast("double") * col("total"))
+          - (col("n") + 1).cast("double") / col("n").cast("double"))
+          .as("gini"))
+  }
+
   /** CUSUM changepoint locator per key: Sₜ = Σᵢ≤ₜ (xᵢ − x̄) over the
     * day-ordered daily series; the day maximizing |Sₜ| is the classic
     * single-changepoint estimate (where the level shift happened).

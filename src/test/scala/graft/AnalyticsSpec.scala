@@ -491,6 +491,25 @@ class AnalyticsSpec extends SparkSpec {
     pr.zip(exp).foreach { case (g2, e) => assert(math.abs(g2 - e) < 1e-12) }
   }
 
+  test("benfordProfile: integer digit extraction incl. power-of-ten boundaries; Gini extremes") {
+    import spark.implicits._
+    // 1000 is the classic float-log10 trap (log10(1000) computing as
+    // 2.9999… would floor to digit 10); 999 → 9, 0.5/0/null excluded
+    val df = Seq(Some(1000.0), Some(999.0), Some(1.0), Some(25.5),
+      Some(0.5), Some(0.0), Option.empty[Double]).toDF("v")
+    val out = Analytics.benfordProfile(df, "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out === Map(1 -> 2L, 9 -> 1L, 2 -> 1L))
+    // Gini: perfect equality → 0; total concentration → (n−1)/n
+    val eq = (1L to 4L).map(i => (i, 10.0)).toDF("id", "v")
+    val gEq = Analytics.gini(eq, "v", "id").collect().head.getDouble(2)
+    assert(math.abs(gEq) < 1e-12)
+    val conc = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 100.0))
+      .toDF("id", "v")
+    val gC = Analytics.gini(conc, "v", "id").collect().head.getDouble(2)
+    assert(math.abs(gC - 0.75) < 1e-12) // (n−1)/n with n = 4
+  }
+
   test("changepoint: CUSUM peaks at the level shift, tie to earliest day") {
     import spark.implicits._
     // 1,1,1 then 5,5,5: mean 3, cusum −2,−4,−6,−4,−2,0 → peak |−6| at
