@@ -198,10 +198,26 @@ object Similarity {
     * e.g. a partition of failed-encoder output) yields dim 1: the
     * operator's result is empty either way, and degenerate input must
     * produce an empty result, not a driver crash. */
-  private def inferDim(df: DataFrame, vecCol: String): Int = {
+  private def inferDimOpt(df: DataFrame, vecCol: String): Option[Int] = {
     val first = df.select(size(col(vecCol)).as("d")).filter(col("d") > 0).take(1)
-    if (first.isEmpty) 1 else first(0).getInt(0)
+    first.headOption.map(_.getInt(0))
   }
+
+  private def inferDim(df: DataFrame, vecCol: String): Int =
+    inferDimOpt(df, vecCol).getOrElse(1)
+
+  /** Dim for a two-sided operator: the reference side decides, but an
+    * all-null/degenerate reference falls back to the BATCH side — a
+    * dim-1 guess would build wrong-dimension hyperplanes, and whether
+    * the batch's bucket expression (which validates dims) ever runs
+    * against them depends on an AQE stage-materialization race: the
+    * empty-side propagation can cancel the batch stage or lose the
+    * race to it (the NullSafetySpec embedding-across flake, now
+    * deterministic). */
+  private def inferDim2(reference: DataFrame, batch: DataFrame,
+      vecCol: String): Int =
+    inferDimOpt(reference, vecCol)
+      .orElse(inferDimOpt(batch, vecCol)).getOrElse(1)
 
   /** Approximate top-k: candidates = corpus vectors sharing an LSH
     * bucket with the query in ANY of `numTables` independent tables;
@@ -221,7 +237,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, bitsPerTable: Int = 4, numTables: Int = 16,
       multiProbe: Boolean = false, dim: Int = 0, seed: Long = 42L): DataFrame = {
-    val d = if (dim > 0) dim else inferDim(corpus, vecCol)
+    val d = if (dim > 0) dim else inferDim2(corpus, queries, vecCol)
     val allPlanes = hyperplanes(bitsPerTable * numTables, d, seed)
     val c = corpusSide(corpus, idCol, vecCol)
     val q = querySide(queries, idCol, vecCol)
@@ -810,7 +826,7 @@ object Similarity {
       idCol: String, vecCol: String, threshold: Double,
       bitsPerTable: Int = 4, numTables: Int = 16,
       multiProbe: Boolean = false, dim: Int = 0, seed: Long = 42L): DataFrame = {
-    val d = if (dim > 0) dim else inferDim(reference, vecCol)
+    val d = if (dim > 0) dim else inferDim2(reference, batch, vecCol)
     val allPlanes = hyperplanes(bitsPerTable * numTables, d, seed)
     def side(df: DataFrame): DataFrame =
       df.select(col(idCol).as("id"), col(vecCol).as("v"))
