@@ -163,6 +163,30 @@ object SparkEntry {
           "event_type", "event_id", conversionType = "purchase",
           touchTypes = Seq("click", "view"), lookbackDays = 7)
         .orderBy("user_id", "conv_ts", "conv_event_id")),
+    // pairwise Pearson correlations over lineitem's numeric columns,
+    // computed from explicit co-moment sums with the IDENTICAL formula
+    // both engines (builtin corr implementations differ in
+    // stabilization; raw sums + one algebraic expression do not)
+    "q_numeric_corr" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val frames = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield {
+        val (a, b) = (cols(i), cols(j))
+        li.agg(count(lit(1)).cast("double").as("n"),
+            sum(col(a)).as("sx"), sum(col(b)).as("sy"),
+            sum(col(a) * col(b)).as("sxy"),
+            sum(col(a) * col(a)).as("sxx"),
+            sum(col(b) * col(b)).as("syy"))
+          .select(lit(a).as("col_x"), lit(b).as("col_y"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                (col("n") * col("syy") - col("sy") * col("sy"))))
+              .as("pearson_r"))
+      }
+      frames.reduce(_ unionAll _).orderBy("col_x", "col_y")
+    }),
     // Benford first-digit screen on order totals (integer-arithmetic
     // digit extraction — no float log at power-of-ten boundaries)
     "q_benford" -> ((s, dir) =>
@@ -4366,6 +4390,25 @@ object SparkEntry {
          LEFT JOIN (SELECT * FROM j WHERE rl = 1) l
            ON l.user_id = c.user_id AND l.conv_event_id = c.event_id
          ORDER BY c.user_id, conv_ts, conv_event_id""",
+    // correlations from the same raw co-moment sums and formula
+    "q_numeric_corr" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val selects = (for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield {
+        val (a, b) = (cols(i), cols(j))
+        s"""SELECT '$a' AS col_x, '$b' AS col_y,
+            (CAST(count(*) AS DOUBLE) * sum($a * $b) - sum($a) * sum($b))
+              / sqrt((CAST(count(*) AS DOUBLE) * sum($a * $a)
+                        - sum($a) * sum($a))
+                     * (CAST(count(*) AS DOUBLE) * sum($b * $b)
+                        - sum($b) * sum($b))) AS pearson_r
+            FROM lineitem"""
+      }).mkString("\n           UNION ALL\n           ")
+      s"""WITH m AS (
+           $selects)
+         SELECT col_x, col_y, pearson_r FROM m ORDER BY col_x, col_y"""
+    },
     // Benford: floor-div digit (DuckDB CAST rounds, so floor explicit)
     "q_benford" ->
       """WITH p AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS n

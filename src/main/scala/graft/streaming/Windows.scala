@@ -188,6 +188,47 @@ object Windows {
         col("r.values").as("values"))
   }
 
+  /** Windowed data-quality ratios: the row-local half of
+    * [[graft.operators.DataQuality]] run per event-time window — the
+    * in-flight contract monitor ("did completeness crater this
+    * hour?"). One streaming aggregation computes every check's
+    * passing count in a single state row per window; the verdict rows
+    * are exploded from the aggregate AFTER the stateful operator, so
+    * append mode emits each window's full verdict set exactly once at
+    * close. Only row-local checks are accepted (uniqueness /
+    * referential need a second stateful pass a single streaming query
+    * cannot chain).
+    * Output: (window_start, window_end, check, metric, passed). */
+  def windowedCheckRatios(df: DataFrame, tsCol: String,
+      checks: Seq[graft.operators.DataQuality.Check],
+      windowLength: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.DataQuality.{Completeness, InRange}
+    require(checks.nonEmpty, "windowedCheckRatios needs at least one check")
+    val rowLocal = checks.map {
+      case Completeness(n, c, r) =>
+        (n, r, sum(when(col(c).isNotNull, 1L).otherwise(0L)))
+      case InRange(n, c, lo, hi, r) =>
+        (n, r, sum(when(col(c) >= lo && col(c) <= hi, 1L).otherwise(0L)))
+      case other => throw new IllegalArgumentException(
+        s"windowedCheckRatios supports row-local checks only, got $other")
+    }
+    val aggd = df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength).as("w"))
+      .agg(count(lit(1)).as("__n"),
+        rowLocal.map { case (n, _, e) => e.as(s"__c_$n") }: _*)
+    val verdicts = array(rowLocal.map { case (n, minR, _) =>
+      val metric = col(s"__c_$n").cast("double") / col("__n").cast("double")
+      struct(lit(n).as("check"), metric.as("metric"),
+        (metric >= lit(minR)).as("passed"))
+    }: _*)
+    aggd.select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), explode(verdicts).as("v"))
+      .select(col("window_start"), col("window_end"),
+        col("v.check").as("check"), col("v.metric").as("metric"),
+        col("v.passed").as("passed"))
+  }
+
   /** Streaming exact dedup on a key with bounded state: duplicates
     * arriving within the watermark horizon are dropped, state for older
     * keys is reclaimed. The streaming face of `Dedup.exactDedup` —

@@ -266,6 +266,48 @@ class WindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedCheckRatios: per-window verdicts, violation burst localized, append once") {
+    import java.sql.Timestamp
+    import graft.operators.DataQuality.{Completeness, InRange, Uniqueness}
+    implicit val sql = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Timestamp, Option[Double])]
+    val checks = Seq(Completeness("complete_v", "v"),
+      InRange("range_v", "v", 0, 100, minRatio = 0.9))
+    val q = Windows.windowedCheckRatios(
+        input.toDF().toDF("ts", "v"), "ts", checks,
+        windowLength = "1 hour", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("win_dq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window 10:00 healthy (10 rows, all present and in range);
+      // window 11:00 has a burst: 2 nulls + 1 out-of-range in 10 rows
+      val w1 = (1 to 10).map(i => (ts("2024-11-08 10:05:00"), Some(i * 1.0)))
+      val w2 = (1 to 7).map(i => (ts("2024-11-08 11:05:00"), Some(i * 1.0))) ++
+        Seq((ts("2024-11-08 11:06:00"), None),
+          (ts("2024-11-08 11:07:00"), None),
+          (ts("2024-11-08 11:08:00"), Some(500.0)))
+      input.addData(w1 ++ w2: _*)
+      q.processAllAvailable()
+      input.addData((ts("2024-11-08 13:00:00"), Some(1.0)))
+      q.processAllAvailable()
+      val rows = spark.table("win_dq").collect().map(r =>
+        (r.getTimestamp(0).toString.substring(11, 13), r.getString(2)) ->
+          ((r.getDouble(3), r.getBoolean(4)))).toMap
+      assert(rows(("10", "complete_v")) === ((1.0, true)))
+      assert(rows(("10", "range_v")) === ((1.0, true)))
+      assert(rows(("11", "complete_v")) === ((0.8, false)))
+      // 7 of 10 in range = 0.7 < 0.9 (nulls fail range too)
+      assert(rows(("11", "range_v")) === ((0.7, false)))
+    } finally q.stop()
+    // non-row-local checks are rejected loudly
+    intercept[IllegalArgumentException] {
+      Windows.windowedCheckRatios(
+        spark.readStream.format("rate").load(), "timestamp",
+        Seq(Uniqueness("u", Seq("value"))))
+    }
+  }
+
   test("dedupWithinWatermark drops duplicate ids inside the horizon") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[String]
