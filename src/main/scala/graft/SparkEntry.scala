@@ -163,6 +163,14 @@ object SparkEntry {
           "event_type", "event_id", conversionType = "purchase",
           touchTypes = Seq("click", "view"), lookbackDays = 7)
         .orderBy("user_id", "conv_ts", "conv_event_id")),
+    // sequence-gap audit: planted holes (event ids ≡ 0 mod 97 dropped)
+    // recovered as missing ranges; small bucket so the driver-gate SF
+    // exercises BOTH the in-bucket and the cross-bucket gap paths
+    "q_id_gaps" -> ((s, dir) =>
+      Analytics.sequenceGaps(
+          Tables.events(s, dir).filter(col("event_id") % 97 =!= 0),
+          "event_id", bucketSize = 512L)
+        .orderBy("gap_start")),
     // pairwise Pearson correlations over lineitem's numeric columns,
     // computed from explicit co-moment sums with the IDENTICAL formula
     // both engines (builtin corr implementations differ in
@@ -4390,6 +4398,13 @@ object SparkEntry {
          LEFT JOIN (SELECT * FROM j WHERE rl = 1) l
            ON l.user_id = c.user_id AND l.conv_event_id = c.event_id
          ORDER BY c.user_id, conv_ts, conv_event_id""",
+    // gaps via one global lead — the oracle can afford the single sort
+    "q_id_gaps" ->
+      """WITH ids AS (SELECT DISTINCT event_id AS id FROM events
+                      WHERE event_id % 97 <> 0 AND event_id IS NOT NULL),
+         l AS (SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM ids)
+         SELECT id + 1 AS gap_start, nxt - 1 AS gap_end
+         FROM l WHERE nxt > id + 1 ORDER BY gap_start""",
     // correlations from the same raw co-moment sums and formula
     "q_numeric_corr" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

@@ -470,6 +470,34 @@ object Analytics {
       .select(col(keyCol), col("day"), col("daily_value"), col("ewma"))
   }
 
+  /** Sequence-gap audit over an integral id column: every maximal run
+    * of missing ids strictly inside [min, max] — the
+    * ledger/offset/invoice completeness check. Two-level decomposition
+    * (the [[activeIntervals]] pattern) instead of one global sort:
+    * ids bucket by ⌊id/bucketSize⌋, in-bucket gaps come from a
+    * PARTITIONED lead window, and cross-bucket gaps (including whole
+    * missing buckets) from a lead over the per-bucket (min, max)
+    * summary — the only unpartitioned window, sized by bucket COUNT.
+    * Duplicates are collapsed first (a duplicate is not a gap).
+    * Output: (gap_start, gap_end) inclusive. */
+  def sequenceGaps(df: DataFrame, idCol: String,
+      bucketSize: Long = 1 << 20): DataFrame = {
+    require(bucketSize >= 2, s"bucketSize must be >= 2, got $bucketSize")
+    val ids = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("b", floor(col("id") / lit(bucketSize)).cast("long"))
+    val wIn = Window.partitionBy("b").orderBy("id")
+    val internal = ids.withColumn("nxt", lead("id", 1).over(wIn))
+      .filter(col("nxt") > col("id") + 1)
+      .select((col("id") + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"))
+    val summary = ids.groupBy("b").agg(min("id").as("mn"), max("id").as("mx"))
+    val wS = Window.orderBy("b")
+    val boundary = summary.withColumn("nmn", lead("mn", 1).over(wS))
+      .filter(col("nmn") > col("mx") + 1)
+      .select((col("mx") + 1).as("gap_start"), (col("nmn") - 1).as("gap_end"))
+    internal.unionAll(boundary)
+  }
+
   /** Benford first-digit profile of a positive numeric column — the
     * classic fabricated-data screen: natural multi-magnitude data
     * follows P(d) = log₁₀(1 + 1/d). The first digit is taken with

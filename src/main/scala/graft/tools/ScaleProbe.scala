@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{GraftSession, Tables}
 import graft.Reuse.ReuseOps
-import graft.operators.{Analytics, Dedup, Similarity}
+import graft.operators.{Analytics, Dedup, RecordLinkage, Similarity}
 
 /** Scaling sanity probe (dev tool, results recorded in BASELINE.md):
   * grow the sf0.1 documents corpus K× and measure near-dup runtimes.
@@ -612,6 +612,58 @@ object ScaleProbe {
         f"dbscan=$td%.1fs($nd%d clustered) prefixj=$tj%.1fs($nj%d pairs) " +
         f"mrl=$tq%.1fs($nq%d groups) bfs=$tb%.1fs($nb%d nodes) " +
         f"attrib=$ta%.1fs($na%d convs)")
+    }
+    // Round-7e family: SNM linkage (customer replicas suffixed into
+    // disjoint sort regions — candidates n·window, matches linear),
+    // CEP pattern matching (user-offset replicas — per-user strings
+    // fixed size, users ×K), and the DQ contract suite (lineitem ×K —
+    // one aggregation pass, scan-linear).
+    for (k <- r7dKs if on("r7e")) {
+      val cust = Tables.customer(spark, "/root/testdata/sf0.1")
+        .select("c_custkey", "c_name", "c_acctbal")
+      // PREFIX the replica tag: replicas land in DISJOINT sort regions
+      // (a suffix would keep "X r0"/"X r1" sort-adjacent and mint ~15k
+      // cross-replica matches per doubling — a construction artifact)
+      val custG = (0 until k).map { i =>
+        cust.select((col("c_custkey") + lit(i * 1000000L)).as("c_custkey"),
+          concat(lit(s"r$i "), col("c_name")).as("c_name"), col("c_acctbal"))
+      }.reduce(_ unionAll _)
+      val dupsG = custG.filter(col("c_custkey") % 41 === 0)
+        .select((col("c_custkey") + lit(100000000L)).as("c_custkey"),
+          concat(col("c_name"), lit(" jr")).as("c_name"), col("c_acctbal"))
+      val snmIn = custG.unionAll(dupsG).persist()
+      val ev7e = Tables.events(spark, "/root/testdata/sf0.1")
+      val evG = (0 until k).map { i =>
+        ev7e.select((col("user_id") + lit(i * 10000000L)).as("user_id"),
+          col("ts"), col("event_type"),
+          (col("event_id") + lit(i * 1000000000L)).as("event_id"))
+      }.reduce(_ unionAll _).persist()
+      val liG = (0 until k).map { i =>
+        Tables.lineitem(spark, "/root/testdata/sf0.1")
+          .select("l_quantity", "l_discount", "l_shipdate")
+      }.reduce(_ unionAll _).persist()
+      Seq(snmIn, evG, liG).foreach(_.count())
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      def best(f: => Long): (Double, Long) =
+        Seq.fill(2)(time(f)).minBy(_._1)
+      val (ts2, ns2) = best(RecordLinkage.sortedNeighborhood(snmIn,
+        "c_custkey", "c_name",
+        Seq(RecordLinkage.FieldSim("c_name", 0.6),
+          RecordLinkage.FieldSim("c_acctbal", 0.4, exact = true)),
+        threshold = 0.9, window = 10).count())
+      val (tc2, nc2) = best(Analytics.eventPattern(evG, "user_id", "ts",
+        "event_id", "event_type", "click,(view,)*purchase,").count())
+      val (tq2, nq2) = best(graft.operators.DataQuality.runChecks(liG, Seq(
+        graft.operators.DataQuality.InRange("rq", "l_quantity", 1, 50),
+        graft.operators.DataQuality.InRange("rd", "l_discount", 0, 0.05),
+        graft.operators.DataQuality.Completeness("cs", "l_shipdate")))
+        .filter(col("passed")).count())
+      Seq(snmIn, evG, liG).foreach(_.unpersist())
+      println(f"R7EPROBE k=$k%d snm=$ts2%.1fs($ns2%d matches) " +
+        f"cep=$tc2%.1fs($nc2%d users) dq=$tq2%.1fs($nq2%d passed)")
     }
     spark.stop()
   }

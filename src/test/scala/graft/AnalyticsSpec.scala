@@ -491,6 +491,22 @@ class AnalyticsSpec extends SparkSpec {
     pr.zip(exp).foreach { case (g2, e) => assert(math.abs(g2 - e) < 1e-12) }
   }
 
+  test("sequenceGaps: in-bucket, bucket-straddling, and whole-missing-bucket holes; duplicates collapse") {
+    import spark.implicits._
+    // bucketSize 10: present = 1..8, 12..19, 41..45, plus duplicates.
+    // Gaps: 9-11 (straddles buckets 0→1), 20-40 (covers the whole
+    // missing buckets 2 and 3). Values outside [min,max] are not gaps.
+    val ids = ((1L to 8L) ++ (12L to 19L) ++ (41L to 45L) ++ Seq(5L, 44L))
+      .toDF("id")
+    val out = Analytics.sequenceGaps(ids, "id", bucketSize = 10L)
+      .orderBy("gap_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((9L, 11L), (20L, 40L)))
+    // contiguous input → no gaps at all
+    assert(Analytics.sequenceGaps((100L to 120L).toDF("id"), "id", 10L)
+      .count() === 0L)
+  }
+
   test("benfordProfile: integer digit extraction incl. power-of-ten boundaries; Gini extremes") {
     import spark.implicits._
     // 1000 is the classic float-log10 trap (log10(1000) computing as
