@@ -452,6 +452,58 @@ object SparkEntry {
             "l_orderkey", "l_partkey", minCount = 2L),
           "item_a", "item_b", iterations = 4)
         .orderBy("node")),
+    // 2-core of the co-purchase graph: synchronous peeling to the
+    // fixpoint (converges in ≤ 7 rounds at every SF; loop fails loudly
+    // if the cap were too small)
+    "q_kcore" -> ((s, dir) =>
+      Analytics.kCore(
+          Analytics.coOccurrencePairs(
+            Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+            "l_orderkey", "l_partkey", minCount = 2L),
+          "item_a", "item_b", k = 2, rounds = 10)
+        .orderBy("node")),
+    // degree assortativity: Pearson over edge-endpoint degrees (both
+    // directions — the undirected convention), same raw-co-moment
+    // formula as q_numeric_corr
+    "q_degree_assortativity" -> ((s, dir) => {
+      val g = Analytics.coOccurrencePairs(
+        Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+        "l_orderkey", "l_partkey", minCount = 2L)
+      val deg = Analytics.degrees(g, "item_a", "item_b")
+      val und = g.select(col("item_a").as("x"), col("item_b").as("y"))
+        .unionAll(g.select(col("item_b").as("x"), col("item_a").as("y")))
+      val dd = und
+        .join(deg.select(col("node").as("x"), col("degree").as("da")), Seq("x"))
+        .join(deg.select(col("node").as("y"), col("degree").as("db")), Seq("y"))
+        .select(col("da").cast("double").as("a"),
+          col("db").cast("double").as("b"))
+      dd.agg(count(lit(1)).cast("double").as("n"),
+          sum("a").as("sx"), sum("b").as("sy"),
+          sum(col("a") * col("b")).as("sxy"),
+          sum(col("a") * col("a")).as("sxx"),
+          sum(col("b") * col("b")).as("syy"))
+        .select(((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("assortativity"))
+    }),
+    // nearest near-dup per document off the cached capped-Jaccard pair
+    // graph: per-doc argmax over both edge directions (max J, ties min
+    // neighbor id) — the "closest duplicate" report a review queue
+    // wants; only docs WITH a ≥-threshold pair appear (documented)
+    "q_nearest_doc" -> ((s, dir) => {
+      val pairs = jaccardPairs(s, dir)
+      val both = pairs.select(col("id_a").as("doc_id"),
+          col("id_b").as("nbr"), col("jaccard"))
+        .unionAll(pairs.select(col("id_b").as("doc_id"),
+          col("id_a").as("nbr"), col("jaccard")))
+      both.groupBy("doc_id")
+        .agg(min(struct((col("jaccard") * lit(-1.0)).as("nj"),
+          col("nbr").as("nbr"))).as("w"))
+        .select(col("doc_id"), col("w.nbr").as("nearest_id"),
+          (col("w.nj") * lit(-1.0)).as("jaccard"))
+        .orderBy("doc_id")
+    }),
     // BFS hop distance over the same graph: min edges from the seed
     // set (graph nodes ≡ 0 mod 13 — multi-hop structure at every SF),
     // capped at 4 hops. Frontier expansion ≡ the oracle's recursive
@@ -2633,9 +2685,65 @@ object SparkEntry {
          SELECT node, community_id FROM l$iters ORDER BY node"""
   }
 
+  /** Synchronous k-core peeling unrolled; every e/s step is referenced
+    * twice downstream, so both are AS MATERIALIZED (the recursive-CTE
+    * inlining-blowup gotcha). Extra rounds past the fixpoint are
+    * no-ops — both engines sit on the same survivor set. */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val prevE = if (r == 1) "ed" else s"e${r - 1}"
+      s"""d$r AS (SELECT src AS node, count(*) AS c FROM $prevE GROUP BY 1),
+         s$r AS MATERIALIZED (SELECT node, c FROM d$r WHERE c >= $k),
+         e$r AS MATERIALIZED (SELECT e.src, e.dst FROM $prevE e
+               JOIN s$r a ON a.node = e.src
+               JOIN s$r b ON b.node = e.dst)"""
+    }.mkString(",\n         ")
+    s"""WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
+               FROM lineitem WHERE l_orderkey % 4 = 0),
+         e AS (SELECT a.item AS ia, b.item AS ib
+               FROM g a JOIN g b ON a.grp = b.grp AND a.item < b.item
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         ed AS (SELECT ia AS src, ib AS dst FROM e
+                UNION SELECT ib, ia FROM e),
+         $steps
+         SELECT node, CAST(c AS BIGINT) AS core_degree
+         FROM s$rounds ORDER BY node"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracleSql(10),
     "q_label_propagation" -> labelPropagationOracleSql(4),
+    "q_kcore" -> kCoreOracleSql(2, 10),
+    "q_degree_assortativity" ->
+      """WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
+               FROM lineitem WHERE l_orderkey % 4 = 0),
+         e AS (SELECT a.item AS ia, b.item AS ib
+               FROM g a JOIN g b ON a.grp = b.grp AND a.item < b.item
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         ed AS (SELECT ia AS x, ib AS y FROM e
+                UNION ALL SELECT ib, ia FROM e),
+         deg AS (SELECT x AS node, count(*) AS d FROM ed GROUP BY 1),
+         dd AS (SELECT CAST(da.d AS DOUBLE) AS a, CAST(db.d AS DOUBLE) AS b
+                FROM ed JOIN deg da ON da.node = ed.x
+                        JOIN deg db ON db.node = ed.y)
+         SELECT (CAST(count(*) AS DOUBLE) * sum(a * b) - sum(a) * sum(b))
+                / sqrt((CAST(count(*) AS DOUBLE) * sum(a * a)
+                          - sum(a) * sum(a))
+                       * (CAST(count(*) AS DOUBLE) * sum(b * b)
+                          - sum(b) * sum(b))) AS assortativity
+         FROM dd""",
+    "q_nearest_doc" ->
+      (cappedJaccardCtes +
+        """, np AS (SELECT id_a, id_b, jaccard FROM scored
+                    WHERE jaccard >= 0.6),
+         bo AS (SELECT id_a AS doc_id, id_b AS nbr, jaccard FROM np
+                UNION ALL SELECT id_b, id_a, jaccard FROM np),
+         r AS (SELECT doc_id, nbr, jaccard, row_number() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY jaccard DESC, nbr ASC) AS rn
+               FROM bo)
+         SELECT doc_id, nbr AS nearest_id, jaccard
+         FROM r WHERE rn = 1 ORDER BY doc_id"""),
     "q_sales_per_category" ->
       """SELECT event_type AS category, SUM(value) AS total_sales
          FROM events GROUP BY 1 ORDER BY category""",

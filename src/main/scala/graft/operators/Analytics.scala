@@ -357,6 +357,52 @@ object Analytics {
       .select(col("k").as(keyCol), col("n_ref"), col("n_cur"), col("psi"))
   }
 
+  /** k-core of an undirected graph: the maximal subgraph where every
+    * node keeps degree ≥ k, found by iterative peeling — drop all
+    * nodes below k, recompute degrees on the survivors, repeat.
+    * Peeling is monotone (the survivor set only shrinks), so once a
+    * round removes nothing the fixpoint is reached and further rounds
+    * are no-ops — which is what makes a FIXED `rounds` unroll
+    * oracle-replayable (the LPA/PageRank precedent): give both
+    * engines enough rounds and they sit on the same fixpoint. The
+    * loop fails loudly if `rounds` was too small (the components
+    * convergence-guard precedent). Per round: one degree aggregation
+    * + one semi-join — edge-list-sized.
+    * Output: (node, degree-in-core). */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+      rounds: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und0 = edges
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .materialized
+    var und = und0
+    var lastCount = -1L
+    var survivors: DataFrame = null
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
+      val deg = und.groupBy(col("src").as("node")).count()
+      survivors = deg.filter(col("count") >= k).materialized
+      val n = survivors.count()
+      if (n == lastCount) converged = true
+      else {
+        lastCount = n
+        und = und
+          .join(survivors.select(col("node").as("src")), Seq("src"))
+          .join(survivors.select(col("node").as("dst")), Seq("dst"))
+          .materialized
+      }
+    }
+    require(converged, s"kCore did not converge in $rounds rounds — " +
+      "raise `rounds` (result would not be the fixpoint)")
+    survivors.select(col("node"), col("count").as("core_degree"))
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et
     * al. 2007, public literature; deterministic variant): every node
     * starts as its own label; each round, a node adopts the label

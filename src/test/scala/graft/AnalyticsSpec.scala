@@ -644,6 +644,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(!shifted.contains("zzz_new_key"))
   }
 
+  test("kCore: pendant chain peels away, core degrees are in-core, loud non-convergence") {
+    import spark.implicits._
+    // K4 {0,1,2,3} with a pendant path 3-10-11-12: the 2-core is the
+    // K4 alone (the path peels one layer per synchronous round —
+    // 3 rounds), and 3's core degree drops from 4 to 3 once 10 leaves
+    val edges = (for { a <- 0 to 3; b <- 0 to 3 if a < b }
+      yield (a.toLong, b.toLong)) ++ Seq((3L, 10L), (10L, 11L), (11L, 12L))
+    val out = Analytics.kCore(edges.toDF("a", "b"), "a", "b", k = 2,
+        rounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // k above the max degree → empty core, still converges
+    assert(Analytics.kCore(edges.toDF("a", "b"), "a", "b", k = 10,
+      rounds = 10).count() === 0L)
+    // a too-small round cap fails loudly instead of returning a
+    // not-yet-fixpoint survivor set
+    val chain = (0L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+    intercept[IllegalArgumentException] {
+      Analytics.kCore(chain.toDF("a", "b"), "a", "b", k = 2, rounds = 2)
+    }
+  }
+
   test("labelPropagation: two cliques with a bridge split into two communities (CC would merge them)") {
     import spark.implicits._
     def clique(base: Long, n: Int) = for {
