@@ -151,12 +151,14 @@ object Mrl {
 
   /** Per-group quantiles over a long-keyed group column:
     * (group, n, err_bound, values array aligned with `qs`). Null group
-    * keys and null values are dropped. */
+    * keys and null/NaN values are dropped — a NaN would sort to the
+    * top of every buffer and poison the upper quantiles. */
   def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       k: Int, qs: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+    df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")))
       .select(col(groupCol).cast("long").as("g"),
         col(valueCol).cast("double").as("v"))
       .as[(Long, Double)]

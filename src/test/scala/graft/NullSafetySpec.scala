@@ -357,4 +357,49 @@ class NullSafetySpec extends SparkSpec {
     assert(act("2024-01-01 10:00:00.0") === 1L)
     assert(act("2024-01-01 11:00:00.0") === 1L)
   }
+
+  test("session-4 operators: nulls and NaN degrade to nothing, never poison") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    // dbscan: an EMPTY pair frame means every point is noise
+    val pts = Seq(1L, 2L, 3L).toDF("id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val roles = Similarity.dbscan(pts, "id", noPairs, minPts = 2)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    assert(roles === Set(("noise", -1L)))
+    // MRL: null AND NaN values are dropped, not folded into quantiles
+    val vals = Seq((1L, Some(1.0)), (1L, Some(3.0)),
+      (1L, Option.empty[Double]), (1L, Some(Double.NaN))).toDF("g", "v")
+    val mrl = graft.functions.Mrl.groupQuantiles(vals, "g", "v",
+        k = 8, Seq(0.5, 1.0)).collect().head
+    assert(mrl.getAs[Long]("n") === 2L)
+    assert(mrl.getAs[scala.collection.Seq[Double]]("values").toSeq ===
+      Seq(1.0, 3.0))
+    // attribution: null user/ts rows neither convert nor credit
+    val ev = Seq(
+      (Some(1L), Some("2024-01-01 10:00:00"), "click", 1L),
+      (Some(1L), Some("2024-01-01 11:00:00"), "purchase", 2L),
+      (Option.empty[Long], Some("2024-01-01 10:30:00"), "click", 3L),
+      (Some(1L), Option.empty[String], "purchase", 4L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val att = Analytics.touchAttribution(ev, "user_id", "ts",
+        "event_type", "event_id", "purchase", Seq("click", "view"), 7)
+      .collect()
+    val credited = att.filter(!_.isNullAt(5)).map(_.getLong(1))
+    assert(credited.toSeq === Seq(2L)) // only the real conversion
+    // keyphrases: null/empty texts contribute no candidates
+    val docs = Seq((1L, "big data the big data"),
+      (2L, null.asInstanceOf[String]), (3L, "")).toDF("doc_id", "text")
+    val kp = TextAnalysis.keyphrases(docs, "doc_id", "text",
+        minLen = 2, maxLen = 4, minCount = 1L)
+      .collect().map(_.getString(0)).toSeq
+    assert(kp === Seq("big data"))
+    // sequenceGaps: null ids excluded, not a gap terminus
+    val gaps = Analytics.sequenceGaps(
+        Seq(Some(1L), Some(2L), Option.empty[Long], Some(5L)).toDF("id"),
+        "id", bucketSize = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gaps === Seq((3L, 4L)))
+  }
 }
