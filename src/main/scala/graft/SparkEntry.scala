@@ -2167,6 +2167,28 @@ object SparkEntry {
           "doc_id", "text", TextAnalysis.classifierFixtureWeights(s),
           buckets = 4096)
         .orderBy("doc_id")),
+    // reciprocal-rank fusion of two retrieval rankings (classifier
+    // quality desc, length desc) — both integer-exact so the ranks,
+    // the rrf doubles, and the top-20 cut are engine-identical;
+    // bucketed global ranks (no single-partition sort)
+    "q_rank_fusion" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clf = TextAnalysis.qualityClassifier(docs, "doc_id", "text",
+          TextAnalysis.classifierFixtureWeights(s), buckets = 4096)
+        .select(col("doc_id"), (-col("score_sum")).as("neg"))
+      val r1 = Scale.globalRank(clf, "neg", "doc_id")
+        .select(col("doc_id"), col("rank").as("r1"))
+      val r2 = Scale.globalRank(
+          docs.select(col("doc_id"), (-col("n_chars")).as("neg")),
+          "neg", "doc_id")
+        .select(col("doc_id"), col("rank").as("r2"))
+      r1.join(r2, Seq("doc_id"))
+        .withColumn("rrf",
+          lit(1.0) / (lit(60) + col("r1")) + lit(1.0) / (lit(60) + col("r2")))
+        .orderBy(desc("rrf"), col("doc_id"))
+        .limit(20)
+        .select("doc_id", "r1", "r2", "rrf")
+    }),
     // KMV distinct sketch: bounded-state count-distinct — each input
     // partition ships ≤ k hashes per group to the shuffle, raw user ids
     // never travel. k=64 < the fixture's 150 distinct users, so the
@@ -2684,6 +2706,35 @@ object SparkEntry {
          $steps
          SELECT node, community_id FROM l$iters ORDER BY node"""
   }
+
+  /** Shared classifier-score CTE prefix (`sc` = per-doc n_feats +
+    * integer score_sum), used by the classifier oracle and the RRF
+    * fusion oracle. */
+  private val classifierScoreCtes: String =
+      """WITH toks AS (SELECT doc_id,
+                string_split_regex(trim(text), '\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0),
+         feats AS (
+           SELECT doc_id, 'u:' || unnest(t) AS f FROM toks
+           UNION ALL
+           SELECT doc_id, 'b:' || t[i] || ' ' || t[i + 1] AS f
+           FROM toks, LATERAL unnest(generate_series(1, len(t) - 1))
+             AS g(i)
+           WHERE len(t) >= 2),
+         fb AS (SELECT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(
+                      substring(sha256(f), 1, 13), ''),
+                      c -> CAST(instr('0123456789abcdef', c) - 1
+                        AS BIGINT))),
+                    (acc, x) -> acc * 16 + x) % 4096 AS bucket
+                FROM feats),
+         perdoc AS (SELECT doc_id, bucket, count(*) AS c
+                    FROM fb GROUP BY 1, 2),
+         sc AS (SELECT doc_id, sum(c) AS n_feats,
+                  sum(c * (((bucket * 2654435761 + 104729) % 2001) - 1000))
+                    AS score_sum
+                FROM perdoc GROUP BY 1)"""
 
   /** Synchronous k-core peeling unrolled; every e/s step is referenced
     * twice downstream, so both are AS MATERIALIZED (the recursive-CTE
@@ -5040,34 +5091,26 @@ object SparkEntry {
     // same sha52 bucketing as DSIR; the weight is one integer
     // expression of the bucket, so every aggregate is BIGINT-exact
     "q_quality_classifier" ->
-      """WITH toks AS (SELECT doc_id,
-                string_split_regex(trim(text), '\s+') AS t
-              FROM documents WHERE length(trim(text)) > 0),
-         feats AS (
-           SELECT doc_id, 'u:' || unnest(t) AS f FROM toks
-           UNION ALL
-           SELECT doc_id, 'b:' || t[i] || ' ' || t[i + 1] AS f
-           FROM toks, LATERAL unnest(generate_series(1, len(t) - 1))
-             AS g(i)
-           WHERE len(t) >= 2),
-         fb AS (SELECT doc_id,
-                  list_reduce(list_prepend(CAST(0 AS BIGINT),
-                    list_transform(string_split(
-                      substring(sha256(f), 1, 13), ''),
-                      c -> CAST(instr('0123456789abcdef', c) - 1
-                        AS BIGINT))),
-                    (acc, x) -> acc * 16 + x) % 4096 AS bucket
-                FROM feats),
-         perdoc AS (SELECT doc_id, bucket, count(*) AS c
-                    FROM fb GROUP BY 1, 2),
-         sc AS (SELECT doc_id, sum(c) AS n_feats,
-                  sum(c * (((bucket * 2654435761 + 104729) % 2001) - 1000))
-                    AS score_sum
-                FROM perdoc GROUP BY 1)
-         SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+      (classifierScoreCtes +
+        """ SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
                 CAST(score_sum AS BIGINT) AS score_sum,
                 score_sum > 0 AS label
-         FROM sc ORDER BY doc_id""",
+         FROM sc ORDER BY doc_id"""),
+    // RRF over two integer-exact rankings (classifier score, n_chars):
+    // identical ranks both engines => identical rrf doubles, cut safe
+    "q_rank_fusion" ->
+      (classifierScoreCtes +
+        """, r1 AS (SELECT doc_id, row_number() OVER (
+                 ORDER BY score_sum DESC, doc_id) AS r1 FROM sc),
+         r2 AS (SELECT doc_id, row_number() OVER (
+                 ORDER BY n_chars DESC, doc_id) AS r2 FROM documents),
+         f AS (SELECT r1.doc_id, CAST(r1.r1 AS BIGINT) AS r1,
+                      CAST(r2.r2 AS BIGINT) AS r2,
+                      CAST(1.0 AS DOUBLE) / (60 + r1.r1)
+                        + CAST(1.0 AS DOUBLE) / (60 + r2.r2) AS rrf
+               FROM r1 JOIN r2 ON r2.doc_id = r1.doc_id)
+         SELECT doc_id, r1, r2, rrf FROM f
+         ORDER BY rrf DESC, doc_id LIMIT 20"""),
     "q_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id,
                 unnest(string_split_regex(trim(text), '\s+')) AS tok
