@@ -2173,9 +2173,13 @@ object SparkEntry {
     // bucketed global ranks (no single-partition sort)
     "q_rank_fusion" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // materialize the scored frame: globalRank reads it twice (the
+      // approxQuantile cut pass + the bucketing pass) and the sha256
+      // feature hashing is the expensive half of this query
       val clf = TextAnalysis.qualityClassifier(docs, "doc_id", "text",
           TextAnalysis.classifierFixtureWeights(s), buckets = 4096)
         .select(col("doc_id"), (-col("score_sum")).as("neg"))
+        .materialized
       val r1 = Scale.globalRank(clf, "neg", "doc_id")
         .select(col("doc_id"), col("rank").as("r1"))
       val r2 = Scale.globalRank(
