@@ -63,8 +63,20 @@ object Reuse {
       s"$ModeKey=$other (expected local | reliable | persist)")
   }
 
+  /** Release a SUPERSEDED materialized frame. Iterative loops
+    * (components, PageRank, BFS, LPA, k-core) materialize fresh state
+    * each round; in `persist` mode every superseded round would
+    * otherwise stay in the DISK_ONLY cache for the whole job — cache
+    * bloat that localCheckpoint/checkpoint never had (their blocks are
+    * reclaimed by the ContextCleaner once unreferenced). No-op in the
+    * other modes: a checkpointed frame another consumer may still read
+    * must not be torn down. Only call on frames this loop OWNS. */
+  def release(df: DataFrame): Unit =
+    if (mode(df) == "persist") { df.unpersist(); () }
+
   /** `df.materialized` sugar so call sites stay chain-shaped. */
   implicit class ReuseOps(private val df: DataFrame) extends AnyVal {
     def materialized: DataFrame = Reuse.materialize(df)
+    def released(): Unit = Reuse.release(df)
   }
 }

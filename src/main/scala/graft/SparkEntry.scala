@@ -219,6 +219,7 @@ object SparkEntry {
     "q_dq_checks" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val a = graft.operators.DataQuality.runChecks(li, Seq(
+        graft.operators.DataQuality.MinRows("min_rows_lineitem", 1000L),
         graft.operators.DataQuality.InRange(
           "range_l_quantity_1_50", "l_quantity", 1, 50),
         graft.operators.DataQuality.InRange(
@@ -4449,9 +4450,12 @@ object SparkEntry {
     // literal/star/group patterns behave identically to Java regex
     "q_event_pattern" ->
       """WITH s AS (SELECT user_id, count(*) AS n_events,
-                string_agg(event_type, ','
+                string_agg(coalesce(event_type, ''), ','
                   ORDER BY epoch_us(ts), event_id) || ',' AS seq
-              FROM events GROUP BY user_id),
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_id IS NOT NULL
+              GROUP BY user_id),
          m AS (SELECT user_id, n_events,
                       regexp_extract_all(seq, 'click,(view,)*purchase,')
                         AS ms
@@ -4532,7 +4536,13 @@ object SparkEntry {
                          / (CAST(cc + 1 AS DOUBLE) / (t.n_cur + 10))))
                   AS psi
          FROM w JOIN tot t ON t.k = w.k
-         GROUP BY w.k ORDER BY event_type""",
+         GROUP BY w.k
+         UNION ALL
+         SELECT c.k, CAST(0 AS BIGINT), CAST(count(*) AS BIGINT),
+                CAST(NULL AS DOUBLE)
+         FROM c WHERE c.k NOT IN (SELECT k FROM cutarr)
+         GROUP BY c.k
+         ORDER BY event_type""",
     // attribution: the window formulation replayed as a bounded
     // conversion⋈touch join + rank-1 picks; [c.us − 7d, c.us) matches
     // the Spark range frame exactly, (us, event_id) the struct order
@@ -4591,7 +4601,8 @@ object SparkEntry {
     "q_benford" ->
       """WITH p AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS n
                     FROM orders WHERE o_totalprice IS NOT NULL
-                      AND o_totalprice >= 1),
+                      AND o_totalprice >= 1
+                      AND o_totalprice < 9007199254740992),
          d AS (SELECT CAST(floor(n / power(10,
                  length(CAST(n AS VARCHAR)) - 1)) AS INTEGER) AS digit
                FROM p),
@@ -4634,6 +4645,11 @@ object SparkEntry {
     // EXACTLY equal — where both engines divide to the same 1.0
     "q_dq_checks" ->
       """WITH m AS (
+           SELECT 'min_rows_lineitem' AS chk,
+                  CAST(count(*) AS DOUBLE) AS metric,
+                  CAST(1000 AS DOUBLE) AS thr
+           FROM lineitem
+           UNION ALL
            SELECT 'range_l_quantity_1_50' AS chk,
                   CAST(count(*) FILTER (WHERE l_quantity >= 1
                     AND l_quantity <= 50) AS DOUBLE)

@@ -133,6 +133,7 @@ object Analytics {
     // seed every rank at Infinity; fail loudly instead
     require(n > 0, "pageRank: edge list has no non-self-loop edges")
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var prevRound: DataFrame = null
     for (i <- 1 to iterations) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
@@ -145,7 +146,14 @@ object Analytics {
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * col("s")).as("rank"))
-      if (i % 3 == 0 || i == iterations) ranks = ranks.materialized
+      if (i % 3 == 0 || i == iterations) {
+        ranks = ranks.materialized
+        // persist mode: superseded round state would otherwise sit in
+        // the DISK_ONLY cache for the whole job (no-op in local /
+        // reliable modes, whose blocks the ContextCleaner reclaims)
+        if (prevRound != null) graft.Reuse.release(prevRound)
+        prevRound = ranks
+      }
     }
     ranks
   }
@@ -280,8 +288,16 @@ object Analytics {
       idCol: String, typeCol: String, pattern: String): DataFrame = {
     require(pattern.nonEmpty, "eventPattern needs a pattern")
     val seqd = events
+      // rows with no owner or no position are droppable; a row with a
+      // NULL TYPE is a real event in a real position — array_join
+      // would silently skip it and FABRICATE contiguity across it, so
+      // it becomes a sentinel token no sane pattern matches (it still
+      // breaks runs and still counts in n_events)
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull)
       .select(col(userCol), unix_micros(col(tsCol)).as("__us"),
-        col(idCol).as("__id"), col(typeCol).as("__t"))
+        col(idCol).as("__id"),
+        coalesce(col(typeCol), lit("")).as("__t"))
       .groupBy(userCol)
       .agg(count(lit(1)).as("n_events"),
         array_sort(collect_list(struct(col("__us"), col("__id"),
@@ -350,11 +366,20 @@ object Analytics {
       .agg(sum("cr").as("n_ref"), sum("cc").as("n_cur"))
     val p = (col("cr") + 1).cast("double") / (col("n_ref") + lit(buckets))
     val q = (col("cc") + 1).cast("double") / (col("n_cur") + lit(buckets))
-    joined.join(totals, Seq("k"))
+    val scored = joined.join(totals, Seq("k"))
       .withColumn("term", (p - q) * log(p / q))
       .groupBy(col("k"), col("n_ref"), col("n_cur"))
       .agg(sum("term").as("psi"))
       .select(col("k").as(keyCol), col("n_ref"), col("n_cur"), col("psi"))
+    // a key the reference has never seen has no cuts to bucket
+    // against, but "everything here is new" is the STRONGEST drift
+    // signal a monitor can receive — emit it with n_ref = 0 and a
+    // NULL psi instead of silently dropping it
+    val newKeys = c.join(cuts.select("k"), Seq("k"), "left_anti")
+      .groupBy("k").agg(count(lit(1)).as("n_cur"))
+      .select(col("k").as(keyCol), lit(0L).as("n_ref"), col("n_cur"),
+        lit(null).cast("double").as("psi"))
+    scored.unionByName(newKeys)
   }
 
   /** k-core of an undirected graph: the maximal subgraph where every
@@ -384,18 +409,23 @@ object Analytics {
     var und = und0
     var lastCount = -1L
     var survivors: DataFrame = null
+    var prevSurv: DataFrame = null
     var converged = false
     for (_ <- 1 to rounds if !converged) {
       val deg = und.groupBy(col("src").as("node")).count()
       survivors = deg.filter(col("count") >= k).materialized
+      if (prevSurv != null) graft.Reuse.release(prevSurv)
+      prevSurv = survivors
       val n = survivors.count()
       if (n == lastCount) converged = true
       else {
         lastCount = n
-        und = und
+        val newUnd = und
           .join(survivors.select(col("node").as("src")), Seq("src"))
           .join(survivors.select(col("node").as("dst")), Seq("dst"))
           .materialized
+        if (und ne und0) graft.Reuse.release(und)
+        und = newUnd
       }
     }
     require(converged, s"kCore did not converge in $rounds rounds — " +
@@ -432,6 +462,7 @@ object Analytics {
       .materialized
     val nodes = und.select(col("src").as("node")).distinct().materialized
     var labels = nodes.withColumn("community_id", col("node"))
+    var prevRound: DataFrame = null
     for (_ <- 1 to iterations) {
       val voted = und
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
@@ -443,7 +474,10 @@ object Analytics {
         .select(col("node"), col("win.l").as("community_id"))
       // every node has ≥ 1 neighbor (isolated nodes never enter the
       // edge list), so the vote covers all of `nodes`
-      labels = voted.materialized
+      val mat = voted.materialized
+      if (prevRound != null) graft.Reuse.release(prevRound)
+      prevRound = mat
+      labels = mat
     }
     labels
   }
@@ -550,10 +584,14 @@ object Analytics {
     * INTEGER arithmetic (floor to BIGINT, divide by 10^(digits−1)) —
     * no float log10 at a power-of-ten boundary and no double→string
     * formatting, the two places engines disagree. One aggregation.
-    * Output: (digit, n, observed_p, benford_p), digits 1-9; rows ≤ 0
-    * are excluded (no defined first digit). */
+    * Domain: values in [1, 2⁵³) — below 1 the floor has no first
+    * digit under this scheme, and above 2⁵³ the double can no longer
+    * hold the integer exactly (the division could even yield "digit
+    * 10"), so both ends are excluded rather than silently wrong.
+    * Output: (digit, n, observed_p, benford_p), digits 1-9. */
   def benfordProfile(df: DataFrame, valCol: String): DataFrame = {
-    val pos = df.filter(col(valCol).isNotNull && col(valCol) >= 1)
+    val pos = df.filter(col(valCol).isNotNull && col(valCol) >= 1 &&
+        col(valCol) < lit(9007199254740992.0))
       .withColumn("__n", floor(col(valCol)).cast("long"))
       .withColumn("__digit",
         (col("__n") / pow(lit(10.0), length(col("__n").cast("string")) - 1))
@@ -758,6 +796,7 @@ object Analytics {
       .withColumn("hops", lit(0))
       .materialized
     var frontier = visited.select("node")
+    var prevNext: DataFrame = null
     var h = 1
     var exhausted = maxHops == 0
     while (!exhausted) {
@@ -769,9 +808,13 @@ object Analytics {
         .materialized
       val grew = next.limit(1).count() > 0
       if (grew) {
-        visited = visited.unionAll(next).materialized
+        val newVisited = visited.unionAll(next).materialized
+        graft.Reuse.release(visited) // superseded (persist mode only)
+        visited = newVisited
+        if (prevNext != null) graft.Reuse.release(prevNext)
+        prevNext = next // still backs `frontier` for one more round
         frontier = next.select("node")
-      }
+      } else graft.Reuse.release(next)
       h += 1
       exhausted = !grew || h > maxHops
     }

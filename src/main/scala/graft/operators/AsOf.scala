@@ -112,7 +112,12 @@ object AsOf {
       .orderBy(col("__ts").asc, col("__isL").desc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     lSide.unionByName(rSide)
-      .withColumn("__c", first(col("__r"), ignoreNulls = true).over(w))
+      // a NULL left ts sorts FIRST, so the forward frame would hand it
+      // the key's earliest right row — the mirror of the null hazard
+      // the backward join's ordering note guards; "ts >= NULL" is
+      // unknowable, so such rows stay unmatched
+      .withColumn("__c", when(col("__ts").isNull, lit(null).cast(rType))
+        .otherwise(first(col("__r"), ignoreNulls = true).over(w)))
       .filter(col("__isL") === 1)
       .select(lCols.map(col) ++
         rightValueCols.map(c => col("__c").getField(c).as(c)): _*)
@@ -156,7 +161,10 @@ object AsOf {
       .withColumn("__cf", first(col("__r"), ignoreNulls = true).over(wF))
       .filter(col("__isL") === 1)
       .withColumn("__c",
-        when(col("__cb").isNull, col("__cf"))
+        // |Δts| is unknowable for a NULL left ts (and the forward
+        // carry would otherwise claim it — nulls sort first)
+        when(col("__ts").isNull, lit(null).cast(rType))
+          .when(col("__cb").isNull, col("__cf"))
           .when(col("__cf").isNull, col("__cb"))
           .when(dB <= dF, col("__cb"))
           .otherwise(col("__cf")))

@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
 object DataQuality {
 
   sealed trait Check { def name: String }
+  /** Row count must be ≥ `minRows` — the explicit emptiness/truncation
+    * guard. The ratio checks below are VACUOUSLY TRUE on an empty
+    * frame (zero rows violate nothing); a pipeline that must not
+    * publish an empty table states that with MinRows, not by reading
+    * tea leaves from a 0/0. */
+  final case class MinRows(name: String, minRows: Long) extends Check
   /** Fraction of non-null values in `column` must be ≥ `minRatio`. */
   final case class Completeness(name: String, column: String,
       minRatio: Double = 1.0) extends Check
@@ -45,23 +51,32 @@ object DataQuality {
     val spark = df.sparkSession
     import spark.implicits._
 
-    // one aggregation pass for every row-local check
+    // one aggregation pass for every row-local check (incl. MinRows,
+    // which reads the same count). Ratio metrics coalesce to 1.0 on an
+    // empty frame — vacuously true, never a NULL verdict.
     val rowLocal = checks.collect {
       case Completeness(n, c, r) =>
         (n, r, sum(when(col(c).isNotNull, 1L).otherwise(0L)))
       case InRange(n, c, lo, hi, r) =>
         (n, r, sum(when(col(c) >= lo && col(c) <= hi, 1L).otherwise(0L)))
     }
+    val minRows = checks.collect { case MinRows(n, m) => (n, m) }
     val localVerdicts: Seq[DataFrame] =
-      if (rowLocal.isEmpty) Seq.empty
+      if (rowLocal.isEmpty && minRows.isEmpty) Seq.empty
       else {
         val aggd = df.agg(count(lit(1)).as("__n"),
           rowLocal.map { case (n, _, e) => e.as(s"__c_$n") }: _*)
         rowLocal.map { case (n, minR, _) =>
+          // 0/0 is NaN for doubles, not NULL — guard the denominator
           aggd.select(lit(n).as("check"),
-            (col(s"__c_$n").cast("double") / col("__n").cast("double"))
-              .as("metric"))
+            when(col("__n") === 0, lit(1.0))
+              .otherwise(col(s"__c_$n").cast("double") /
+                col("__n").cast("double")).as("metric"))
             .withColumn("passed", col("metric") >= lit(minR))
+        } ++ minRows.map { case (n, m) =>
+          aggd.select(lit(n).as("check"),
+            col("__n").cast("double").as("metric"))
+            .withColumn("passed", col("metric") >= lit(m.toDouble))
         }
       }
 
@@ -70,8 +85,9 @@ object DataQuality {
         df.agg(count(lit(1)).as("__n"),
             countDistinct(cols.head, cols.tail: _*).as("__d"))
           .select(lit(n).as("check"),
-            (col("__d").cast("double") / col("__n").cast("double"))
-              .as("metric"))
+            when(col("__n") === 0, lit(1.0))
+              .otherwise(col("__d").cast("double") /
+                col("__n").cast("double")).as("metric"))
           .withColumn("passed", col("metric") >= lit(minR))
       case ReferentialIntegrity(n, fk, dim, pk, minR) =>
         val keys = dim.select(col(pk).as("__pk")).distinct()
@@ -82,8 +98,9 @@ object DataQuality {
         val total = nonNull.agg(count(lit(1)).as("__t"))
         matched.crossJoin(broadcast(total))
           .select(lit(n).as("check"),
-            (col("__m").cast("double") / col("__t").cast("double"))
-              .as("metric"))
+            when(col("__t") === 0, lit(1.0))
+              .otherwise(col("__m").cast("double") /
+                col("__t").cast("double")).as("metric"))
           .withColumn("passed", col("metric") >= lit(minR))
     }
 

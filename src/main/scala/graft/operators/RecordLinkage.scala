@@ -91,7 +91,7 @@ object RecordLinkage {
     * production ER runs both and unions candidates (both live here).
     *
     * Scale: the global rank is BUCKETED — approxQuantile cuts over an
-    * order-preserving numeric coarsening of the sort key's first 8
+    * order-preserving numeric coarsening of the sort key's first 7
     * bytes (UTF-8 byte order ≡ codepoint order, so same-prefix rows
     * can never split across buckets out of order), per-bucket
     * row_number over the full (key, id) order, broadcast bucket-count
@@ -113,10 +113,18 @@ object RecordLinkage {
     val base = df.filter(col(sortKeyCol).isNotNull)
       .select((col(idCol).as("__id") +: col(sortKeyCol).as("__key") +:
         fieldCols.map(c => col(c).as(s"__f_$c"))): _*)
-    // order-preserving coarsening: first 8 bytes, big-endian
-    val key64 = (0 until 8).map(i =>
-        ascii(substring(col("__key"), i + 1, 1)).cast("long") *
-          lit(1L << (8 * (7 - i))))
+    // order-preserving coarsening: the first 7 characters, big-endian,
+    // each CLAMPED to 255. ascii() returns full codepoints, so an
+    // unclamped 8-slot packing overflows Long on the first non-ASCII
+    // character (é = 201 in slot 0 ⇒ 201·2⁵⁶ > Long.MAX) and corrupts
+    // the bucket order exactly on international-name data. Clamping is
+    // monotone non-decreasing — a valid coarsening needs nothing more
+    // (ties collapse into one bucket, where the full (key, id) sort
+    // still orders them) — and 7 × 8 bits tops out at 2⁵⁶ − 1, safely
+    // inside Long.
+    val key64 = (0 until 7).map(i =>
+        least(ascii(substring(col("__key"), i + 1, 1)), lit(255))
+          .cast("long") * lit(1L << (8 * (6 - i))))
       .reduceLeft(_ + _)
     val keyed = base.withColumn("__k64", key64)
     val cuts =

@@ -176,7 +176,10 @@ object Windows {
       watermark: String = "1 hour"): DataFrame = {
     val mrl = udaf(graft.functions.Mrl.quantilesAgg(k, qs),
       org.apache.spark.sql.Encoders.scalaDouble)
-    df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+    // same null AND NaN exclusion as the batch path (Mrl.groupQuantiles)
+    // — a NaN sorts atop every buffer and poisons the upper quantiles
+    df.filter(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")))
       .withWatermark(tsCol, watermark)
       .select(col(tsCol), col(keyCol).cast("string").as("k"),
         col(valueCol).cast("double").as("v"))

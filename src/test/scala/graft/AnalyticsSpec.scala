@@ -605,7 +605,13 @@ class AnalyticsSpec extends SparkSpec {
       // user 4: same-timestamp tie — id order decides (click before
       // purchase ⇒ match)
       ev(4L, "2024-01-01 10:00:00", 12, "click"),
-      ev(4L, "2024-01-01 10:00:00", 13, "purchase")
+      ev(4L, "2024-01-01 10:00:00", 13, "purchase"),
+      // user 5: a NULL-TYPE event between click and purchase is a real
+      // event in a real position — it must BREAK contiguity, not be
+      // silently skipped into a fabricated match
+      ev(5L, "2024-01-01 10:00:00", 14, "click"),
+      ev(5L, "2024-01-01 10:01:00", 15, null),
+      ev(5L, "2024-01-01 10:02:00", 16, "purchase")
     ).toDF("user_id", "ts", "event_id", "event_type")
       .withColumn("ts", col("ts").cast("timestamp"))
     val out = Analytics.eventPattern(df, "user_id", "ts", "event_id",
@@ -616,6 +622,7 @@ class AnalyticsSpec extends SparkSpec {
     assert(!out.contains(2L))
     assert(out(3L) === ((4L, 2, "click,purchase,")))
     assert(out(4L) === ((2L, 1, "click,purchase,")))
+    assert(!out.contains(5L), "null-type event must break contiguity")
   }
 
   test("psiDrift: identical distributions read 0, a full shift reads large, ref-unknown keys dropped") {
@@ -636,12 +643,18 @@ class AnalyticsSpec extends SparkSpec {
     // absent sample carries no drift evidence; count it via n_cur)
     assert(same("b") === 0.0)
     assert(same.size === 2)
-    val shifted = Analytics.psiDrift(refDf, curShift.toDF("k", "v"), "k", "v")
-      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val shiftedRows = Analytics
+      .psiDrift(refDf, curShift.toDF("k", "v"), "k", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
     // everything lands above the top reference cut — massive drift
-    assert(shifted("a") > 1.0, s"expected large PSI, got ${shifted("a")}")
-    // keys unknown to the reference have no cuts to bucket against
-    assert(!shifted.contains("zzz_new_key"))
+    assert(shiftedRows("a")._3.get > 1.0,
+      s"expected large PSI, got ${shiftedRows("a")}")
+    // keys unknown to the reference have no cuts to bucket against —
+    // but "everything is new" is the strongest drift signal, so the
+    // key surfaces with n_ref = 0 and a NULL psi instead of vanishing
+    assert(shiftedRows("zzz_new_key") === ((0L, 30L, None)))
   }
 
   test("kCore: pendant chain peels away, core degrees are in-core, loud non-convergence") {

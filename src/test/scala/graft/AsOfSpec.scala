@@ -173,4 +173,18 @@ class AsOfSpec extends SparkSpec {
     assert(out === Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(1.0),
       4L -> Some(1.0), 5L -> Some(2.0), 6L -> None))
   }
+
+  test("forward/nearest: a NULL left timestamp stays unmatched (nulls sort first — the frame would hand it the earliest right row)") {
+    val q = Seq(("A", ts("2024-01-01 10:00:00"), 1.0))
+      .toDF("sym", "qts", "price")
+    val l = Seq((1L, "A", Option(ts("2024-01-01 09:00:00"))),
+        (2L, "A", Option.empty[Timestamp]))
+      .toDF("trade_id", "sym", "tts")
+    def nulls(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(nulls(AsOf.asofJoinForward(l, "sym", "tts", q, "sym", "qts",
+      Seq("price"))) === Map(1L -> false, 2L -> true))
+    assert(nulls(AsOf.asofJoinNearest(l, "sym", "tts", q, "sym", "qts",
+      Seq("price"))) === Map(1L -> false, 2L -> true))
+  }
 }

@@ -42,6 +42,25 @@ class DataQualitySpec extends SparkSpec {
     assert(!out.getBoolean(2))
   }
 
+  test("empty frame: ratios pass vacuously (1.0, never NULL/NaN); MinRows is the emptiness gate") {
+    val empty = facts.filter(col("id") < 0)
+    val out = DataQuality.runChecks(empty, Seq(
+        Completeness("c", "name"), InRange("r", "v", 0, 50),
+        Uniqueness("u", Seq("id")),
+        ReferentialIntegrity("f", "id", dim, "pk"),
+        MinRows("nonempty", 1L)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getBoolean(2)))).toMap
+    // every ratio is a definite 1.0/true — no 0/0 NaN, no NULL verdict
+    assert(out("c") === ((1.0, true)) && out("r") === ((1.0, true)))
+    assert(out("u") === ((1.0, true)) && out("f") === ((1.0, true)))
+    // ...and the check that actually owns emptiness fails loudly
+    assert(out("nonempty") === ((0.0, false)))
+    val ok = DataQuality.runChecks(facts, Seq(MinRows("enough", 4L)))
+      .collect().head
+    assert(ok.getDouble(1) === 4.0 && ok.getBoolean(2))
+  }
+
   test("validation: duplicate names and empty suites rejected") {
     intercept[IllegalArgumentException](
       DataQuality.runChecks(facts, Seq.empty))
