@@ -1209,6 +1209,31 @@ object SparkEntry {
     "q_bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrainMerges(Tables.documents(s, dir), "text",
         numMerges = 8)),
+    // Unigram-LM tokenizer TRAINING (SentencePiece-style Viterbi-EM):
+    // frequent-substring seed → 2 hard-EM rounds of segment/recount/
+    // prune under whole-bit quantized scores — every quantity BIGINT,
+    // so the oracle replays the loop as unrolled MATERIALIZED CTE
+    // rounds with EXHAUSTIVE per-word path enumeration (the Spark
+    // Viterbi DP is checked against the full argmax, ties included)
+    "q_unigram_train" -> ((s, dir) =>
+      TextAnalysis.unigramTrainDf(Tables.documents(s, dir), "text",
+        rounds = 2, maxPieceLen = 4, seedSize = 64, vocabSize = 40)),
+    // ... and APPLY: corpus re-segmented under the learned table (the
+    // train→apply composition, like q_bpe_train feeding bpeTokens);
+    // per-doc pieces joined with '|' keeps the output doc-sized
+    "q_unigram_lm_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = TextAnalysis.unigramTrain(docs, "text",
+        rounds = 2, maxPieceLen = 4, seedSize = 64, vocabSize = 40)
+      docs
+        .select(col("doc_id"), graft.expressions.UnigramSegment
+          .segment(col("text"), vocab).as("__t"))
+        .filter(size(col("__t")) > 0)
+        .select(col("doc_id"),
+          array_join(col("__t"), "|").as("uni_text"),
+          size(col("__t")).cast("long").as("n_pieces"))
+        .orderBy("doc_id")
+    }),
     // PII scrub: a synthetic email+URL suffix is appended IN the query
     // so every row exercises both patterns cross-engine (the fixture
     // text itself contains neither)
@@ -3706,6 +3731,10 @@ object SparkEntry {
     // replace steps generated by bpeTrainOracleSql from the same
     // constants as the Spark loop
     "q_bpe_train" -> TextAnalysis.bpeTrainOracleSql(8),
+    // unigram-LM tokenizer: EM rounds unrolled as MATERIALIZED CTEs,
+    // generated from the same constants as the Spark queries
+    "q_unigram_train" -> TextAnalysis.unigramTrainOracleSql(2, 4, 64, 40),
+    "q_unigram_lm_tokens" -> TextAnalysis.unigramTokensOracleSql(2, 4, 64, 40),
     // DuckDB regexp_replace needs the 'g' flag (Spark replaces all by
     // default); URL scrub runs first on both sides
     "q_scrub_pii" ->

@@ -1238,4 +1238,207 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"), min("__score").as("score"))
       .filter(col("n") >= minCount)
   }
+
+  // ------- Unigram-LM tokenizer (SentencePiece-style, Kudo 2018) -------
+
+  /** Unigram-LM tokenizer TRAINING — the subword-vocabulary learner
+    * SentencePiece ships next to BPE, completing the tokenizer family
+    * ([[bpeTrainMerges]] learns merges; this learns a unigram piece
+    * table), restated for cross-engine exactness the way the repo's
+    * other learners are.
+    *
+    * Algorithm (Viterbi-EM, the "hard-EM" variant of Kudo 2018):
+    *  - seed vocabulary = the `seedSize` most frequent substrings of
+    *    length ≤ `maxPieceLen` over the corpus words (occurrences
+    *    weighted by word count, counted with multiplicity), plus every
+    *    single character — SentencePiece's frequent-substring seeding;
+    *  - each EM round: segment every DISTINCT word by Viterbi under
+    *    the current quantized piece scores
+    *    ([[graft.expressions.UnigramSegment]]: score = bitlen(count) −
+    *    bitlen(Σ counts), an integer), then re-estimate piece counts
+    *    from the chosen segmentations (E-step counts double as the
+    *    M-step — hard EM) and prune to the `vocabSize` best pieces by
+    *    (count desc, piece asc), single characters exempt from pruning
+    *    and floored at count 1 so every word stays segmentable;
+    *  - soft-EM's forward-backward expectations and float log-probs
+    *    are deliberately replaced by the best-path counts and whole-bit
+    *    scores: every quantity is a BIGINT, so the learned table is a
+    *    pure function of the corpus and the DuckDB oracle
+    *    ([[unigramTrainOracleSql]]) replays the loop exactly (the
+    *    integer-weight `qualityClassifierScore` precedent).
+    *
+    * Shape at 100 TB: the corpus pays exactly ONE tokenize+count pass
+    * ([[termCounts]], materialized); seeding is one substring explode
+    * of the DISTINCT-word table (vocab-sized, ≪ corpus); each EM round
+    * is one codegen segmentation + one aggregation over that same
+    * vocab-sized frame. Driver state never exceeds the candidate table
+    * (≤ seedSize + alphabet rows — the k-means centroid budget), which
+    * ships back into the next round's expression via `addReferenceObj`.
+    *
+    * Returns the learned (piece, count) table sorted by piece — the
+    * artifact [[graft.expressions.UnigramSegment]] applies. */
+  def unigramTrain(df: DataFrame, textCol: String, rounds: Int,
+      maxPieceLen: Int, seedSize: Int, vocabSize: Int): Seq[(String, Long)] = {
+    require(rounds >= 1 && maxPieceLen >= 1 && seedSize >= 1 && vocabSize >= 1,
+      s"need positive rounds/maxPieceLen/seedSize/vocabSize, " +
+        s"got $rounds/$maxPieceLen/$seedSize/$vocabSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the one corpus-scale pass
+    val words = termCounts(df, textCol)
+      .select(col("term").as("word"), col("n")).materialized
+    // top-k ∪ single chars, both driver-bounded reads (TakeOrdered +
+    // alphabet-sized filter); identical to the oracle's
+    // "rank ≤ k OR len(piece) = 1" selection
+    def selectVocab(counts: DataFrame, k: Int): Seq[(String, Long)] = {
+      val top = counts.orderBy(col("cnt").desc, col("piece").asc).limit(k)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val singles = counts.filter(length(col("piece")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      (top ++ singles).distinct.sortBy(_._1).toSeq
+    }
+    try {
+      // seed: every substring of every distinct word (multiplicity
+      // preserved — 'aaa' contributes 'aa' twice), weighted by count
+      val subs = flatten(transform(
+        sequence(lit(1), length(col("word"))),
+        i => transform(
+          sequence(lit(1),
+            least(lit(maxPieceLen), length(col("word")) - i + lit(1))),
+          l => col("word").substr(i, l))))
+      val seedCounts = words
+        .select(col("n"), explode(subs).as("piece"))
+        .groupBy("piece").agg(sum("n").as("cnt"))
+        .materialized
+      var vocab = selectVocab(seedCounts, seedSize)
+      seedCounts.released()
+      // the corpus alphabet — single chars never leave the vocabulary
+      val chars = vocab.collect { case (p, c) if p.length == 1 => p }
+      val charsDf = chars.toDF("piece").withColumn("cnt", lit(1L))
+      for (_ <- 1 to rounds) {
+        val segCounts = words
+          .select(col("n"), explode(graft.expressions.UnigramSegment
+            .segment(col("word"), vocab)).as("piece"))
+          .groupBy("piece").agg(sum("n").as("cnt"))
+        // char floor via max-merge: a char the E-step used keeps its
+        // real count (≥ 1); an unused char re-enters at count 1 — one
+        // candidate row per piece, exactly the oracle's ucand union
+        val cand = segCounts.unionByName(charsDf)
+          .groupBy("piece").agg(max("cnt").as("cnt"))
+          .materialized
+        vocab = selectVocab(cand, vocabSize)
+        cand.released()
+      }
+      vocab
+    } finally words.released()
+  }
+
+  /** [[unigramTrain]]'s result as a DataFrame (piece, cnt, score) for
+    * the oracle gate — score = bitlen(cnt), the quantized log-prob the
+    * segmenter uses (`length(bin(cnt))` in both engines). */
+  def unigramTrainDf(df: DataFrame, textCol: String, rounds: Int,
+      maxPieceLen: Int, seedSize: Int, vocabSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    unigramTrain(df, textCol, rounds, maxPieceLen, seedSize, vocabSize)
+      .toDF("piece", "cnt")
+      .select(col("piece"), col("cnt"),
+        length(bin(col("cnt"))).cast("int").as("score"))
+      .orderBy("piece")
+  }
+
+  /** Shared DuckDB replay of [[unigramTrain]] over the `documents`
+    * table: the EM loop unrolled as MATERIALIZED CTE rounds (the
+    * `bpeTrainOracleSql` precedent), each round = one recursive
+    * path-enumeration CTE (every segmentation of every distinct word —
+    * exhaustive, so the Spark side's Viterbi DP is checked against the
+    * full argmax, tie-break included) + the same count/floor/prune
+    * chain, generated from the same constants so the two sides cannot
+    * drift. `extraRounds = 1` appends the APPLY segmentation pass
+    * under the final vocabulary for [[unigramTokensOracleSql]]. */
+  private def unigramChainSql(rounds: Int, maxPieceLen: Int, seedSize: Int,
+      vocabSize: Int, extraRounds: Int): String = {
+    def segRound(t: Int, prev: String): String =
+      s"""ub$t AS MATERIALIZED (
+           SELECT len(bin(CAST(sum(cnt) AS BIGINT))) AS b FROM $prev),
+         upaths$t(word, n, pos, path, sc, k) AS (
+           SELECT word, n, 0, CAST([] AS VARCHAR[]), 0, 0 FROM uw
+           UNION ALL
+           SELECT p.word, p.n, p.pos + len(v.piece),
+                  list_append(p.path, v.piece),
+                  p.sc + len(bin(v.cnt)) - (SELECT b FROM ub$t), p.k + 1
+           FROM upaths$t p JOIN $prev v
+             ON substring(p.word, p.pos + 1, len(v.piece)) = v.piece
+           WHERE p.pos < len(p.word)),
+         useg$t AS MATERIALIZED (SELECT word, n, path FROM (
+           SELECT word, n, path, row_number() OVER (PARTITION BY word
+             ORDER BY sc DESC, k ASC,
+                      array_to_string(path, chr(31)) ASC) AS rk
+           FROM upaths$t WHERE pos = len(word)) q WHERE rk = 1)"""
+    def cntVocab(t: Int): String =
+      s"""ucnt$t AS MATERIALIZED (
+           SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+           FROM (SELECT n, unnest(path) AS piece FROM useg$t) e GROUP BY 1),
+         ucand$t AS (SELECT piece, cnt FROM ucnt$t
+           UNION ALL
+           SELECT c.piece, CAST(1 AS BIGINT) AS cnt FROM uchars c
+           WHERE c.piece NOT IN (SELECT piece FROM ucnt$t)),
+         uv$t AS MATERIALIZED (SELECT piece, cnt FROM (
+           SELECT piece, cnt,
+                  row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+           FROM ucand$t) q WHERE rk <= $vocabSize OR len(piece) = 1)"""
+    val emRounds = (1 to rounds)
+      .map(t => segRound(t, s"uv${t - 1}") + ",\n         " + cntVocab(t))
+    val applyRounds = (rounds + 1 to rounds + extraRounds)
+      .map(t => segRound(t, s"uv$rounds"))
+    s"""WITH RECURSIVE uw AS MATERIALIZED (
+         SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+               FROM documents) u
+         WHERE w <> '' GROUP BY w),
+       us1 AS (SELECT word, n,
+                 unnest(range(1, len(word) + 1)) AS i FROM uw),
+       us2 AS (SELECT word, n, i,
+                 unnest(range(1, least($maxPieceLen, len(word) - i + 1) + 1)) AS l
+               FROM us1),
+       usub AS MATERIALIZED (
+         SELECT substring(word, i, l) AS piece, CAST(sum(n) AS BIGINT) AS cnt
+         FROM us2 GROUP BY 1),
+       uv0 AS MATERIALIZED (SELECT piece, cnt FROM (
+         SELECT piece, cnt,
+                row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+         FROM usub) q WHERE rk <= $seedSize OR len(piece) = 1),
+       uchars AS MATERIALIZED (SELECT piece FROM uv0 WHERE len(piece) = 1),
+       ${(emRounds ++ applyRounds).mkString(",\n       ")}"""
+  }
+
+  /** Oracle for the learned vocabulary itself. */
+  def unigramTrainOracleSql(rounds: Int, maxPieceLen: Int, seedSize: Int,
+      vocabSize: Int): String =
+    unigramChainSql(rounds, maxPieceLen, seedSize, vocabSize, 0) +
+      s"""
+       SELECT piece, cnt, CAST(len(bin(cnt)) AS INT) AS score
+       FROM uv$rounds ORDER BY piece"""
+
+  /** Oracle for corpus segmentation under the learned vocabulary: one
+    * extra enumeration round against the final table, reassembled per
+    * document in word order (the zipped-unnest word index is the
+    * per-doc order key). */
+  def unigramTokensOracleSql(rounds: Int, maxPieceLen: Int, seedSize: Int,
+      vocabSize: Int): String = {
+    val f = rounds + 1
+    unigramChainSql(rounds, maxPieceLen, seedSize, vocabSize, 1) +
+      s""",
+       udw AS (SELECT doc_id, w, wi FROM (
+         SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\\s+')) AS w,
+                unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS wi
+         FROM documents) u WHERE w <> ''),
+       utok AS (SELECT doc_id, wi, unnest(path) AS token,
+                  unnest(range(1, len(path) + 1)) AS pi
+                FROM udw d JOIN useg$f s ON s.word = d.w)
+       SELECT doc_id, string_agg(token, '|' ORDER BY wi, pi) AS uni_text,
+              CAST(count(*) AS BIGINT) AS n_pieces
+       FROM utok GROUP BY doc_id ORDER BY doc_id"""
+  }
 }
