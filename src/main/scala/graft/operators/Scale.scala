@@ -306,68 +306,112 @@ object Scale {
       .agg(count(lit(1)).as("n_keys"))
   }
 
+  /** Scan rounds the last [[exactRankSelect]] call spent (one round =
+    * one pivot aggregation + one below/eq count over a candidate
+    * frame). Test-only single-threaded instrumentation, the
+    * `Dedup.lastComponentsRounds` convention — ScaleSpec pins that
+    * multi-rank calls SHARE rounds instead of multiplying them. */
+  val lastSelectRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   /** Exact k-th order statistics (1-based ranks over the non-null
-    * values) by distributed QUICKSELECT — no global sort, and unlike
-    * [[globalRank]] no shuffle at all: each round is one aggregation
-    * (count/min/max + a `percentile_approx` pivot, which returns an
-    * ACTUAL element so at least one row is pinned each round) and one
-    * filter that shrinks the candidate frame geometrically; the tail
-    * is collected and sorted on the driver once it fits
-    * (`localThreshold`). Pivot choice only affects SPEED — the answer
-    * is the exact order statistic whatever pivots the sketch picks —
-    * so percentile_approx's merge-order dependence is harmless here
-    * (the one place an approx sketch strengthens an exact operator).
-    * At 100 TB this is the selection pattern: log rounds of scans over
-    * a geometrically shrinking, single-column frame vs. sorting (full
-    * shuffle) or bucketed ranking (one shuffle + window).
-    * Returns (rank → value). */
+    * values) by distributed MULTI-PIVOT QUICKSELECT — no global sort,
+    * and unlike [[globalRank]] no shuffle at all. Each round over a
+    * candidate frame is exactly two aggregation jobs, SHARED by every
+    * rank still pending in that frame:
+    *
+    *  1. bracket pivots: `percentile_approx` at each pending rank's
+    *     own quantile position ± a margin wider than the sketch's
+    *     rank-error bound (1/accuracy), so each rank's true value is
+    *     (almost always) bracketed by two returned pivots;
+    *  2. one fused (below, eq) count per distinct pivot.
+    *
+    * Every rank then either pins on a pivot's equal-run or descends
+    * into the inter-pivot interval holding it — ~2·margin of the
+    * frame, so a frame drops under `localThreshold` (driver sort of
+    * the surviving interval) after one or two rounds, and ranks share
+    * every scan over the large early frames: k quantiles cost ≈ one
+    * rank's scans, not k×. Sketch error never affects CORRECTNESS —
+    * pivots are actual frame elements and the interval arithmetic is
+    * exact whatever the sketch returns (a mis-bracketed rank just
+    * lands in a wider interval); each child also strictly excludes its
+    * boundary pivots, so frames shrink even in the adversarial case.
+    *
+    * At 100 TB this is the selection pattern: O(1) targeted rounds of
+    * scans over geometrically shrinking, single-column frames vs.
+    * sorting (full shuffle) or bucketed ranking (one shuffle +
+    * window). Returns (rank → value). */
   def exactRankSelect(df: DataFrame, valCol: String, ranks: Seq[Long],
       localThreshold: Long = 1 << 16): Map[Long, Double] = {
     require(ranks.nonEmpty, "exactRankSelect needs at least one rank")
+    val accuracy = 100
+    val margin = 2.0 / accuracy // 2× the sketch's rank-error bound
     // one shared cache of the base column for every requested rank
     val vals0 = df.filter(col(valCol).isNotNull)
       .select(col(valCol).cast("double").as("v")).persist()
     val n0 = vals0.count()
-    val out = ranks.map { rank =>
-      require(rank >= 1 && rank <= n0, s"rank $rank out of [1, $n0]")
-      var cur = vals0
-      var n = n0
-      var r = rank
-      var ans = Option.empty[Double]
-      while (ans.isEmpty && n > localThreshold) {
-        // round = 2 jobs: (min, max, pivot), then (below, eq) fused
-        val row = cur.agg(min("v"), max("v"),
-          percentile_approx(col("v"), lit(0.5), lit(100))).collect().head
-        val (mn, mx, pivot) =
-          (row.getDouble(0), row.getDouble(1), row.getDouble(2))
-        if (mn == mx) ans = Some(mn)
-        else {
-          val cnts = cur.agg(
-            sum(when(col("v") < pivot, 1L).otherwise(0L)),
-            sum(when(col("v") === pivot, 1L).otherwise(0L))).collect().head
-          val (below, eq) = (cnts.getLong(0), cnts.getLong(1))
-          if (r > below && r <= below + eq) ans = Some(pivot)
-          else {
-            val next =
-              (if (r <= below) cur.filter(col("v") < pivot)
-               else cur.filter(col("v") > pivot)).persist()
-            val nn = next.count() // materialize before dropping parent
-            if (cur ne vals0) cur.unpersist()
-            cur = next
-            n = nn
-            if (r > below + eq) r -= below + eq
-          }
-        }
-      }
-      val res = ans.getOrElse {
+    ranks.foreach(rank =>
+      require(rank >= 1 && rank <= n0, s"rank $rank out of [1, $n0]"))
+    val out = scala.collection.mutable.Map[Long, Double]()
+    var rounds = 0
+    // (frame, its size, pending (frame-local rank, original rank))
+    var queue = List((vals0, n0, ranks.distinct.map(r => (r, r))))
+    while (queue.nonEmpty) {
+      val (cur, n, pending) = queue.head
+      queue = queue.tail
+      if (n <= localThreshold) {
         val local = cur.collect().map(_.getDouble(0)).sorted
-        local(r.toInt - 1)
+        pending.foreach { case (lr, or) => out(or) = local(lr.toInt - 1) }
+      } else {
+        rounds += 1
+        val qs = pending.flatMap { case (lr, _) =>
+          val q = lr.toDouble / n
+          Seq(math.max(q - margin, 0.0), math.min(q + margin, 1.0))
+        }.distinct.sorted
+        val pivots = cur
+          .agg(percentile_approx(col("v"),
+            array(qs.map(lit): _*), lit(accuracy)))
+          .collect().head.getSeq[Double](0).distinct.sorted
+        val cntCols = pivots.flatMap(p => Seq(
+          sum(when(col("v") < p, 1L).otherwise(0L)),
+          sum(when(col("v") === p, 1L).otherwise(0L))))
+        val cnts = cur.agg(cntCols.head, cntCols.tail: _*).collect().head
+        val below = pivots.indices.map(i => cnts.getLong(2 * i))
+        val eq = pivots.indices.map(i => cnts.getLong(2 * i + 1))
+        // per rank: pinned on a pivot's equal-run, or assigned to the
+        // open interval between adjacent pivots that holds it
+        val byInterval =
+          scala.collection.mutable.Map[Int, List[(Long, Long)]]()
+        pending.foreach { case (lr, or) =>
+          pivots.indices.find(j => lr > below(j) && lr <= below(j) + eq(j))
+            match {
+              case Some(j) => out(or) = pivots(j)
+              case None =>
+                // interval i: values strictly between pivot i−1 and i
+                // (i = 0 → below all pivots; i = m → above all)
+                val i = pivots.indices
+                  .find(j => lr <= below(j)).getOrElse(pivots.length)
+                val base = if (i == 0) 0L else below(i - 1) + eq(i - 1)
+                byInterval(i) = (lr - base, or) :: byInterval.getOrElse(i, Nil)
+            }
+        }
+        val children = byInterval.toSeq.map { case (i, rs) =>
+          val lo = if (i == 0) lit(true) else col("v") > pivots(i - 1)
+          val hi = if (i == pivots.length) lit(true) else col("v") < pivots(i)
+          val size =
+            (if (i == pivots.length) n else below(i)) -
+              (if (i == 0) 0L else below(i - 1) + eq(i - 1))
+          val child = cur.filter(lo && hi).persist()
+          child.count() // materialize before dropping parent
+          (child, size, rs)
+        }
+        queue = children.toList ++ queue
       }
+      // children (if any) are materialized — the parent cache can go
       if (cur ne vals0) cur.unpersist()
-      rank -> res
-    }.toMap
+    }
     vals0.unpersist()
-    out
+    lastSelectRounds.set(rounds)
+    ranks.map(r => r -> out(r)).toMap
   }
 
   /** Quantile normalization: replace each row's value with the GLOBAL

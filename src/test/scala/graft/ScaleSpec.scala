@@ -554,4 +554,24 @@ class ScaleSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Scale.exactRankSelect(df, "v", Seq(5001L)))
   }
+
+  test("exactRankSelect shares pivot rounds across ranks (multi-select)") {
+    import spark.implicits._
+    val data = (1 to 5000).map(i => ((i.toLong * 2654435761L) % 997L).toDouble)
+    val sorted = data.sorted
+    val df = data.toDF("v").repartition(7)
+    val ranks = Seq(1250L, 2500L, 3750L)
+    val got = Scale.exactRankSelect(df, "v", ranks, localThreshold = 16)
+    val multiRounds = Scale.lastSelectRounds.get()
+    ranks.foreach(r => assert(got(r) === sorted(r.toInt - 1)))
+    val singleRounds = ranks.map { r =>
+      assert(Scale.exactRankSelect(df, "v", Seq(r),
+        localThreshold = 16)(r) === sorted(r.toInt - 1))
+      Scale.lastSelectRounds.get()
+    }
+    // every rank starts in ONE shared frame: the three selections must
+    // cost strictly fewer rounds than running them separately
+    assert(multiRounds > 0 && multiRounds < singleRounds.sum,
+      s"multi=$multiRounds singles=$singleRounds")
+  }
 }
