@@ -1790,6 +1790,34 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
     // ===== training-data pipeline: similarity search =====
+    // full k-NN GRAPH by NN-Descent (neighbor-of-neighbor refinement
+    // from a deterministic sha-ring start): every node's top-5, the
+    // input graph-based semantic dedup consumes. NN-Descent's premise
+    // is neighborhood correlation ("a neighbor of my neighbor is my
+    // neighbor"); the raw fixture is ISOTROPIC gaussian — measured
+    // same-label fraction of true top-5 ≈ 9% ≈ chance, i.e. zero
+    // signal for ANY sub-quadratic method — so the query plants the
+    // manifold structure real embedding spaces have and the fixture
+    // lacks (the q_bpe_tokens plant-in-query precedent): nodes on a
+    // golden-angle circle, θ = 2π·frac(vec_id·φ), vectors
+    // [4cosθ, 4sinθ] ++ 0.001·raw — identical Column/SQL trees. True
+    // neighbors are angular neighbors (the down-scaled raw vector
+    // perturbs only sub-boundary orderings), so descent has gradient
+    // at every range and the EXHAUSTIVE all-pairs oracle over the same
+    // planted vectors adjudicates recall-1 convergence exactly (the
+    // ANN family convention)
+    "q_knn_graph" -> ((s, dir) => {
+      val theta = (col("vec_id") * lit(0.618033988749895)) % 1.0 *
+        lit(6.283185307179586)
+      val planted = concat(
+        array(cos(theta) * 4.0, sin(theta) * 4.0),
+        transform(col("embedding"), x => x.cast("double") * 0.001))
+      val emb2 = Tables.embeddings(s, dir)
+        .select(col("vec_id"), planted.as("pv"))
+      Similarity.knnGraph(emb2, "vec_id", "pv", k = 5, iterations = 4,
+          searchK = 12)
+        .orderBy("query_id", "rank")
+    }),
     "q_embedding_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
@@ -5799,6 +5827,26 @@ object SparkEntry {
            FROM u JOIN comp ON comp.node = u.c_custkey)
          WHERE rn = 1 ORDER BY c_custkey""",
     "q_embedding_topk" -> exactTopKOracleSql,
+    // the k-NN graph shares the exhaustive formulation — queries = ALL
+    // nodes, over the same planted golden-angle circle vectors as the
+    // Spark side ([4cosθ, 4sinθ] ++ 0.001·raw)
+    "q_knn_graph" ->
+      """WITH c AS (SELECT vec_id AS id,
+                      [4.0 * cos((vec_id * 0.618033988749895) % 1.0
+                                 * 6.283185307179586),
+                       4.0 * sin((vec_id * 0.618033988749895) % 1.0
+                                 * 6.283185307179586)]
+                        || list_transform(embedding::DOUBLE[], x -> x * 0.001) AS v
+                    FROM embeddings),
+         c2 AS (SELECT id, v FROM c
+                WHERE list_dot_product(v, v) > 0),
+         s AS (SELECT a.id AS query_id, b.id AS neighbor_id,
+                      list_cosine_similarity(b.v, a.v) AS cos
+               FROM c2 a, c2 b WHERE a.id <> b.id),
+         r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM s)
+         SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
     // exhaustive restatement: rank only the cos < 0.25 band
     "q_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings

@@ -135,6 +135,74 @@ object TopKAggregator {
         col("col._1").as("score"), col("col._2").as("term"))
   }
 
+  /** [[insert]] with per-id dedupe: the same (score, id) entry arriving
+    * from several input partitions (NN-Descent candidate pairs carry
+    * one copy per witnessing node) must occupy ONE buffer slot, or
+    * duplicates would crowd real neighbors out of the k window. If the
+    * id is already buffered with an equal-or-better score the arrival
+    * is dropped; a better arrival replaces it (general contract — the
+    * descent use case only ever re-sends equal scores). Linear scans
+    * are fine at the k this serves. */
+  private def insertDistinct(entries: Seq[ScoredId], e: ScoredId,
+      k: Int): Seq[ScoredId] = {
+    val at = entries.indexWhere(_._2 == e._2)
+    if (at < 0) insert(entries, e, k)
+    else if (!better(e, entries(at))) entries
+    else insert(entries.patch(at, Nil, 1), e, k)
+  }
+
+  /** Id-deduplicating twin of [[topK]] — exact top-k over DISTINCT ids
+    * per group, same bounded map-side-combining shape. */
+  def topKDistinct(k: Int): Aggregator[ScoredId, TopKBuffer, Seq[ScoredId]] = {
+    require(k >= 1)
+    new Aggregator[ScoredId, TopKBuffer, Seq[ScoredId]] {
+      override def zero: TopKBuffer = TopKBuffer(Vector.empty)
+
+      override def reduce(b: TopKBuffer, a: ScoredId): TopKBuffer =
+        TopKBuffer(insertDistinct(b.entries, a, k))
+
+      override def merge(b1: TopKBuffer, b2: TopKBuffer): TopKBuffer =
+        TopKBuffer(b2.entries.foldLeft(b1.entries)(
+          (acc, e) => insertDistinct(acc, e, k)))
+
+      override def finish(r: TopKBuffer): Seq[ScoredId] = r.entries
+
+      override def bufferEncoder: Encoder[TopKBuffer] = ExpressionEncoder()
+      override def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder()
+    }
+  }
+
+  /** [[topKPerGroup]] with the dedupe-aware buffer: duplicate
+    * (key, id) rows — however many, from whatever partitions — cost
+    * ONE slot and never a pre-aggregation distinct/group-by shuffle.
+    * Output: (key, rank, score, id). */
+  def topKDistinctPerGroup[K](ds: Dataset[(K, Double, Long)], k: Int)(
+      implicit ke: Encoder[K]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(topKDistinct(k).toColumn.name("topk"))
+      .toDF("key", "topk")
+      .select(col("key"), posexplode(col("topk")))
+      .select(col("key"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").as("score"), col("col._2").as("id"))
+  }
+
+  /** The per-group top-k lists as ONE ARRAY row per key — for consumers
+    * that need the whole list per key (NN-Descent's B sets): skipping
+    * the posexplode + re-collect round trip saves a full shuffle per
+    * use. Output: (key, topk array<struct<_1 score, _2 id>>). */
+  def topKDistinctArrays[K](ds: Dataset[(K, Double, Long)], k: Int)(
+      implicit ke: Encoder[K]): DataFrame = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(topKDistinct(k).toColumn.name("topk"))
+      .toDF("key", "topk")
+  }
+
   /** Shared top-k-per-group epilogue over (key, score, id) rows —
     * THE scale-safe replacement for `row_number() OVER (PARTITION BY
     * key ORDER BY score DESC, id)` + `rank <= k`: each input partition

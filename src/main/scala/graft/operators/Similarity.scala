@@ -924,4 +924,167 @@ object Similarity {
         coalesce(col("core_cid"), col("border_cid"), lit(-1).cast(idT))
           .as("cluster_id"))
   }
+
+  /** Score bare id pairs: two keyed joins fetch the vectors, one
+    * codegen dot per pair — candidates travel as ids, vectors join in
+    * only at scoring time (the repo-wide ANN discipline). When the
+    * node table provably fits an executor (`broadcastNodes`), both
+    * joins broadcast — zero shuffles on the scoring path; at corpus
+    * scale they are plain keyed shuffle joins. */
+  private def scorePairs(pairs: DataFrame, nodes: DataFrame,
+      broadcastNodes: Boolean): DataFrame = {
+    def side(n: DataFrame) = if (broadcastNodes) broadcast(n) else n
+    pairs
+      .join(side(nodes.select(col("id").as("a"), col("v").as("va"),
+        col("norm").as("na"))), Seq("a"))
+      .join(side(nodes.select(col("id").as("b"), col("v").as("vb"),
+        col("norm").as("nb"))), Seq("b"))
+      .select(col("a").as("query_id"), col("b").as("neighbor_id"),
+        (dotProduct(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+  }
+
+  /** Full k-NN GRAPH by NN-Descent (Dong, Moses & Li, WWW'11) — every
+    * node's k best cosine neighbors, the artifact graph-based semantic
+    * dedup and agglomerative clustering consume. The query-serving ANN
+    * family (LSH/IVF/PQ) answers point lookups; this builds the whole
+    * graph without the N² pass.
+    *
+    * The NN-Descent principle: a neighbor of a neighbor is likely a
+    * neighbor. State is each node's current k-best list; every
+    * iteration joins the (undirected) neighborhood with itself per
+    * node — neighbor-of-neighbor candidate pairs — scores the
+    * candidates, and folds them into the lists. With a connected
+    * deterministic start the lists converge to the exact graph on
+    * clustered data in a few rounds (registered parameters are
+    * verified recall-1 against the exhaustive oracle, the LSH/IVF
+    * precedent).
+    *
+    * Scale shape per iteration — exactly TWO keyed shuffles plus the
+    * state materialization: (1) the undirected neighborhood of every
+    * node, capped at its 2·searchK best (forward ∪ reverse in one
+    * map-side-combining dedupe-aware aggregator — Dong et al.'s
+    * reverse sampling, so hubs can't inflate any B set), lands as one
+    * id ARRAY per node; (2) candidate pairs come from a map-side
+    * double explode of those arrays (no self-join), are scored
+    * against the node table (broadcast when provably small, keyed
+    * joins at corpus scale — candidates travel as BARE id pairs), and
+    * fold straight into the per-query top-list aggregator, whose
+    * distinct buffer absorbs duplicate pairs map-side. No cartesian
+    * anywhere; every shuffle is keyed and bounded by N·searchK². Init
+    * is a deterministic TWO-RING start via the bucketed
+    * [[Scale.globalRank]] (no single-partition sort): an LSH-bucket-
+    * ordered ring (locality, so descent refines instead of searching)
+    * union a sha-ordered blind ring (global mixing) — seedless,
+    * reproducible, connected.
+    *
+    * `searchK` is the INTERNAL list width (Dong et al.'s K, emitted
+    * lists cut to `k` at the end): descent mixing is driven by
+    * neighborhood size, and small-k lists (the classic small-K
+    * failure mode) stall in sparse sub-digraphs — per-node candidate
+    * coverage per round is ≈ (2·searchK)², so searchK is the knob
+    * that makes a cluster's pair space blanket-covered in O(1)
+    * rounds while the emitted graph stays k-wide.
+    *
+    * Zero-norm vectors are excluded as both queries and neighbors
+    * (undefined cosine — the family contract). Ids must be
+    * long-castable. Output: (query_id, neighbor_id, rank, cos), ranks
+    * 1..k by (cos desc, neighbor_id asc). */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iterations: Int, searchK: Int = 0): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(iterations >= 0, s"need iterations >= 0, got $iterations")
+    val kk = if (searchK <= 0) k else searchK
+    require(kk >= k, s"searchK $kk must be >= k $k")
+    val nodes = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .filter(col("id").isNotNull)
+      .withColumn("norm", l2Norm(col("v")))
+      .filter(col("norm") > 0)
+      .materialized
+    val nTotal = nodes.count()
+    if (nTotal == 0) return nodes.select(
+      col("id").as("query_id"), col("id").as("neighbor_id"),
+      lit(0).as("rank"), lit(0.0).as("cos")).limit(0)
+    // deterministic two-ring init: an LSH-localized ring (ring order =
+    // (8-bit sign-LSH bucket, hashed within-bucket) — walks similarity
+    // buckets arc by arc, so initial lists start locality-biased and
+    // descent refines instead of searches: LSH-seeded NN-Descent) UNION
+    // a blind sha-ordered ring (global mixing — pure LSH-local starts
+    // can trap whole buckets in local optima, pure random starts cost
+    // extra rounds to FIND locality; the union buys both). Both rings
+    // are seedless and engine-independent (exact-integer combined key
+    // bucket·2^20 + sha52 mod 2^20; ties break on id in globalRank)
+    val dim = inferDim(nodes, "v")
+    val initBucket = graft.expressions.LshExpressions.hyperplaneBuckets(
+      col("v"), hyperplanes(8, dim), 1, 8)(0)
+    def ringPairs(orderCol: DataFrame => DataFrame): DataFrame = {
+      val ringRank = Scale.globalRank(orderCol(nodes), "h", "id")
+        .select(col("id"), col("rank"))
+      ringRank
+        .select(col("id").as("a"),
+          explode(array((1 to kk).map(lit): _*)).as("o"), col("rank"))
+        .select(col("a"),
+          (((col("rank") - 1 + col("o")) % nTotal) + 1).as("rank"))
+        .join(ringRank.select(col("id").as("b"), col("rank")), Seq("rank"))
+        .select(col("a"), col("b"))
+    }
+    val initPairs = ringPairs(_.select(col("id"),
+        (initBucket.cast("double") * lit(1048576.0) +
+          (graft.functions.Kmv.sha52(col("id").cast("string")) % 1048576L)
+            .cast("double")).as("h")))
+      .unionByName(ringPairs(_.select(col("id"),
+        graft.functions.Kmv.sha52(col("id").cast("string"))
+          .cast("double").as("h"))))
+    val bothDirs = initPairs
+      .unionByName(initPairs.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
+    // node tables provably executor-sized broadcast on the scoring path
+    val bcastNodes = nTotal <= 100000
+    val spark2 = df.sparkSession
+    import spark2.implicits._
+    // the fold epilogue: exact per-query top-kk over DISTINCT neighbor
+    // ids — the dedupe-aware aggregator absorbs duplicate candidate
+    // pairs (one copy per witnessing node) map-side, so no distinct or
+    // group-by shuffle ever precedes the rank
+    def rankDistinct(scored: DataFrame): DataFrame =
+      graft.functions.TopKAggregator.topKDistinctPerGroup(
+          scored.select(col("query_id").cast("long"),
+            col("cos").cast("double"), col("neighbor_id").cast("long"))
+            .as[(Long, Double, Long)], kk)
+        .select(col("key").as("query_id"), col("id").as("neighbor_id"),
+          col("rank"), col("score").as("cos"))
+    var graph = rankDistinct(scorePairs(bothDirs, nodes, bcastNodes))
+      .materialized
+    // each iteration = exactly TWO keyed shuffles (B-list aggregation,
+    // fold/rank aggregation) + the state materialization; candidates
+    // and scoring stay map-side
+    for (_ <- 1 to iterations) {
+      // undirected neighborhood, capped at the 2·searchK best per node
+      // (forward + reverse in ONE map-side-combining aggregator pass —
+      // hubs can't inflate any B set), as one id ARRAY per node
+      val undirected = graph
+        .select(col("query_id").cast("long").as("u"),
+          col("cos").cast("double"), col("neighbor_id").cast("long").as("x"))
+        .unionByName(graph.select(col("neighbor_id").cast("long").as("u"),
+          col("cos").cast("double"), col("query_id").cast("long").as("x")))
+      val bLists = graft.functions.TopKAggregator
+        .topKDistinctArrays(undirected.as[(Long, Double, Long)], 2 * kk)
+        .select(transform(col("topk"), e => e("_2")).as("arr"))
+      // neighbor-of-neighbor candidates: a map-side double explode of
+      // each B array — no self-join, no shuffle; duplicate pairs ride
+      // into the fold where the distinct buffer absorbs them
+      val cands = bLists
+        .select(explode(col("arr")).as("a"), col("arr"))
+        .select(col("a"), explode(col("arr")).as("b"))
+        .filter(col("a") =!= col("b"))
+      val folded = graph
+        .select(col("query_id"), col("neighbor_id"), col("cos"))
+        .unionByName(scorePairs(cands, nodes, bcastNodes))
+      val next = rankDistinct(folded).materialized
+      graph.released()
+      graph = next
+    }
+    nodes.released()
+    graph.filter(col("rank") <= k)
+  }
 }
