@@ -168,4 +168,157 @@ object Pca {
     project(df, idCol, vecCol, mean, Seq(v1))
       .select(col(idCol), element_at(col("proj"), 1).as("proj"))
   }
+
+  // ----- randomized range-finder PCA (Halko, Martinsson & Tropp 2011)
+
+  /** Range-pass buffer: n rows, Σx (d), Σ x·(Ωᵀx)ᵀ (d×ℓ row-major) —
+    * the per-partition state is d·ℓ doubles instead of [[GramBuf]]'s
+    * d²/2, which is what lifts the usable d from a few hundred to
+    * thousands. */
+  final case class RangeBuf(n: Long, s: Array[Double], y: Array[Double])
+
+  /** The test matrix Ω is the SAME implicit hash-derived ±1 matrix as
+    * [[graft.expressions.RandomProject]] (entry (i, j) =
+    * `RandomProject.sign(i·d + j)`): no seed state, no broadcast,
+    * every executor derives it from integer arithmetic alone. */
+  def rangeAggregator(d: Int, ell: Int): Aggregator[Seq[Double], RangeBuf, RangeBuf] =
+    new Aggregator[Seq[Double], RangeBuf, RangeBuf] {
+      override def zero: RangeBuf =
+        RangeBuf(0L, new Array[Double](d), new Array[Double](d * ell))
+      override def reduce(b: RangeBuf, x: Seq[Double]): RangeBuf = {
+        require(x.length == d,
+          s"dimension mismatch: expected $d, got ${x.length}")
+        val xa = x.toArray
+        val w = new Array[Double](ell)
+        var i = 0
+        while (i < ell) {
+          val base = i.toLong * d
+          var acc = 0.0
+          var j = 0
+          while (j < d) {
+            acc += xa(j) * graft.expressions.RandomProject.sign(base + j)
+            j += 1
+          }
+          w(i) = acc
+          i += 1
+        }
+        var j = 0
+        while (j < d) {
+          b.s(j) += xa(j)
+          val off = j * ell
+          val xj = xa(j)
+          var i2 = 0
+          while (i2 < ell) { b.y(off + i2) += xj * w(i2); i2 += 1 }
+          j += 1
+        }
+        b.copy(n = b.n + 1)
+      }
+      override def merge(a: RangeBuf, b: RangeBuf): RangeBuf = {
+        var i = 0
+        while (i < a.s.length) { a.s(i) += b.s(i); i += 1 }
+        var t = 0
+        while (t < a.y.length) { a.y(t) += b.y(t); t += 1 }
+        a.copy(n = a.n + b.n)
+      }
+      override def finish(r: RangeBuf): RangeBuf = r
+      override def bufferEncoder: Encoder[RangeBuf] = ExpressionEncoder()
+      override def outputEncoder: Encoder[RangeBuf] = ExpressionEncoder()
+    }
+
+  /** Modified Gram–Schmidt over the columns of a d×`ell` matrix given
+    * column-major; near-null columns (rank deficiency) are dropped.
+    * Driver-side: d·ell² flops on at most a few MB. */
+  private def orthonormalize(cols: Array[Array[Double]]): Seq[Array[Double]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    val eps = 1e-12
+    cols.foreach { c0 =>
+      val c = c0.clone()
+      out.foreach { q =>
+        var dot = 0.0
+        var j = 0
+        while (j < c.length) { dot += c(j) * q(j); j += 1 }
+        var j2 = 0
+        while (j2 < c.length) { c(j2) -= dot * q(j2); j2 += 1 }
+      }
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      if (nrm > eps) out += c.map(_ / nrm)
+    }
+    out.toSeq
+  }
+
+  /** Top-r principal components for LARGE d by the randomized
+    * range-finder (Halko et al. 2011, Algorithm 4.1 + Rayleigh–Ritz):
+    *
+    *  1. range pass: one streaming aggregation of Y = Σ x·(Ωᵀx)ᵀ and
+    *     Σx — centering gives Ŷ = n·(C·Ω), an ℓ-column sample of the
+    *     covariance's range; per-partition state d·ℓ doubles (the
+    *     full-Gram [[covariance]] needs d²/2, capping d at a few
+    *     hundred — this is its scale path for d in the thousands);
+    *  2. driver: orthonormalize Ŷ → Q (d×ℓ′, modified Gram–Schmidt);
+    *  3. Rayleigh–Ritz pass: rows project onto Q (ℓ′ codegen dots
+    *     against literal columns — the [[project]] machinery), and the
+    *     SMALL ℓ′×ℓ′ covariance [[covariance]] + fixed-iteration
+    *     [[topComponents]] solve the eigenproblem there;
+    *  4. lift: v = Q·u (unit — Q orthonormal), λ unchanged (Rayleigh
+    *     quotients are invariant under the isometry).
+    *
+    * Exact for any component lying in the range sample; the classic
+    * guarantee is near-optimal capture when the spectrum decays and ℓ
+    * exceeds the target rank by a margin (ℓ ≥ r + ~10). Deterministic
+    * end to end: Ω is the hash matrix, MGS and power iteration are
+    * fixed driver arithmetic (the PageRank/PCA replayability
+    * discipline — spec'd against a planted component, the
+    * [[covariance]] twin at small d).
+    * Returns (n, mean, components (vector, λ) in decreasing λ). */
+  def randomizedComponents(df: DataFrame, vecCol: String, ell: Int,
+      r: Int, iters: Int = 10): (Long, Array[Double], Seq[(Array[Double], Double)]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<double>")).as[Seq[Double]]
+    val dim = vecs.head().length
+    require(ell >= 1 && ell <= dim, s"need 1 <= ell <= $dim, got $ell")
+    require(r >= 1 && r <= ell, s"need 1 <= r <= ell, got $r")
+    val buf = vecs.select(rangeAggregator(dim, ell).toColumn).head()
+    require(buf.n > 0, "randomizedComponents of an empty frame")
+    val n = buf.n.toDouble
+    val mean = buf.s.map(_ / n)
+    // wMu = Ωᵀμ; centered range columns: Y_i = (Σ x·w_i)/n − μ·wMu_i
+    val wMu = Array.tabulate(ell) { i =>
+      val base = i.toLong * dim
+      var acc = 0.0
+      var j = 0
+      while (j < dim) {
+        acc += mean(j) * graft.expressions.RandomProject.sign(base + j)
+        j += 1
+      }
+      acc
+    }
+    val yCols = Array.tabulate(ell) { i =>
+      Array.tabulate(dim) { j => buf.y(j * ell + i) / n - mean(j) * wMu(i) }
+    }
+    val q = orthonormalize(yCols)
+    require(q.size >= r,
+      s"range sample has rank ${q.size} < r=$r (degenerate input)")
+    // Rayleigh–Ritz in the Q basis: small covariance + exact power
+    // iteration, then lift back
+    val projected = df.filter(col(vecCol).isNotNull)
+      .select(array(q.map { v =>
+        val mu = mean.zip(v).map { case (m, w) => m * w }.sum
+        Similarity.dotProduct(col(vecCol).cast("array<double>"),
+          array(v.map(lit).toIndexedSeq: _*)) - lit(mu)
+      }: _*).as("proj"))
+    val (_, _, smallCov) = covariance(projected, "proj")
+    val small = topComponents(smallCov, r, iters)
+    val lifted = small.map { case (u, lambda) =>
+      val v = Array.tabulate(dim) { j =>
+        var acc = 0.0
+        var i = 0
+        while (i < u.length) { acc += q(i)(j) * u(i); i += 1 }
+        acc
+      }
+      (v, lambda)
+    }
+    (buf.n, mean, lifted)
+  }
 }

@@ -665,6 +665,40 @@ object ScaleProbe {
       println(f"R7EPROBE k=$k%d snm=$ts2%.1fs($ns2%d matches) " +
         f"cep=$tc2%.1fs($nc2%d users) dq=$tq2%.1fs($nq2%d passed)")
     }
+
+    // Round-8: randomized range-finder PCA at d=1024 — rows grown K×
+    // by id-salted replicas while the aggregation state stays d·ℓ
+    // doubles per partition; time must track rows near-linearly with
+    // a planted component recovered at every K (cos printed)
+    for (k <- Seq(1, 2, 4, 8) if on("rpca")) {
+      val d = 1024
+      val ids = spark.range(0L, 2000L * k, 1L, 32)
+      def h(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (shiftrightunsigned(c * lit(2654435761L), 17) % 65536L)
+          .cast("double") / 65536.0 - 0.5
+      val vp = Array.tabulate(d)(j =>
+        (if ((((j.toLong * 2654435761L) >>> 17) & 0xffff) >= 32768) 1.0
+         else -1.0) / math.sqrt(d))
+      val wide = ids.select(transform(sequence(lit(0), lit(d - 1)),
+        j => (col("id") % 7 - 3).cast("double") *
+          element_at(array(vp.map(lit).toIndexedSeq: _*), j + 1) +
+          lit(0.02) * h(col("id") * d + j)).as("v")).persist()
+      wide.count()
+      def timeR(f: => Double): (Double, Double) = {
+        val t0 = System.nanoTime(); val c = f
+        ((System.nanoTime() - t0) / 1e9, c)
+      }
+      val (tr, cos) = timeR {
+        val (_, _, comps) = graft.operators.Pca
+          .randomizedComponents(wide, "v", ell = 24, r = 1)
+        val v1 = comps.head._1
+        math.abs(v1.zip(vp).map { case (a, b) => a * b }.sum /
+          math.sqrt(v1.map(x => x * x).sum))
+      }
+      wide.unpersist()
+      println(f"RPCAPROBE k=$k%d rows=${2000 * k}%d d=$d%d " +
+        f"rpca=$tr%.1fs cos=$cos%.4f")
+    }
     spark.stop()
   }
 }

@@ -79,4 +79,76 @@ class PcaSpec extends SparkSpec {
     assert(e.getMessage.contains("dimension mismatch") ||
       Option(e.getCause).exists(_.getMessage.contains("dimension mismatch")))
   }
+
+  // ----- randomized range-finder (Halko et al. 2011) -----
+
+  private def cosSim(a: Array[Double], b: Array[Double]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    dot / (na * nb)
+  }
+
+  test("randomized range-finder recovers a planted component at d = 1024") {
+    val d = 1024
+    // deterministic planted direction + small hash noise; spread
+    // factor s in -3..3 gives the component ~200x the noise variance
+    def h(k: Long): Double =
+      (((k * 2654435761L) >>> 17) & 0xffff).toDouble / 65536.0 - 0.5
+    val vp = Array.tabulate(d)(j => (if (h(j) > 0) 1.0 else -1.0) / math.sqrt(d))
+    val rows = (0 until 400).map { i =>
+      val s = (i % 7 - 3).toDouble
+      Array.tabulate(d)(j => s * vp(j) + 0.02 * h(i.toLong * d + j)).toSeq
+    }
+    val df = rows.toDF("v")
+    val (n, _, comps) = Pca.randomizedComponents(df, "v", ell = 24, r = 1)
+    assert(n === 400L)
+    val (v1, lambda1) = comps.head
+    assert(math.abs(cosSim(v1, vp)) > 0.99,
+      s"planted cos = ${cosSim(v1, vp)}")
+    // Var(s) for s uniform on -3..3 = 4
+    assert(lambda1 > 3.0 && lambda1 < 5.0, s"lambda = $lambda1")
+  }
+
+  test("randomized components agree with the exact Gram path at small d") {
+    val d = 32
+    def h(k: Long): Double =
+      (((k * 0x9e3779b97f4a7c15L) >>> 20) & 0xffff).toDouble / 65536.0 - 0.5
+    val vp = Array.tabulate(d)(j => math.sin(j + 1.0))
+    val nvp = math.sqrt(vp.map(x => x * x).sum)
+    val vpn = vp.map(_ / nvp)
+    val rows = (0 until 300).map { i =>
+      val s = (i % 5 - 2).toDouble * 2
+      Array.tabulate(d)(j => s * vpn(j) + 0.1 * h(i.toLong * d + j)).toSeq
+    }
+    val df = rows.toDF("v")
+    val (_, _, exact) = {
+      val (n, mean, cov) = (Pca.covariance(df, "v") match {
+        case (a, b, c) => (a, b, c)
+      })
+      (n, mean, Pca.topComponents(cov, 1, 30))
+    }
+    val (_, _, rand) = Pca.randomizedComponents(df, "v", ell = 12, r = 1,
+      iters = 30)
+    assert(math.abs(cosSim(exact.head._1, rand.head._1)) > 0.999)
+    assert(math.abs(exact.head._2 - rand.head._2) < 0.01 * exact.head._2)
+  }
+
+  test("randomized path is deterministic and validates its arguments") {
+    val rows = (0 until 50).map(i =>
+      Seq.tabulate(16)(j => ((i * 16 + j) % 11).toDouble))
+    val df = rows.toDF("v")
+    val a = Pca.randomizedComponents(df, "v", ell = 8, r = 2)
+    val b = Pca.randomizedComponents(df, "v", ell = 8, r = 2)
+    assert(a._3.map(_._2) === b._3.map(_._2))
+    assert(a._3.head._1.toSeq === b._3.head._1.toSeq)
+    intercept[IllegalArgumentException](
+      Pca.randomizedComponents(df, "v", ell = 17, r = 1))
+    intercept[IllegalArgumentException](
+      Pca.randomizedComponents(df, "v", ell = 8, r = 9))
+    // rank-deficient: all rows identical => zero covariance range
+    val flat = Seq.fill(20)(Seq.fill(16)(3.0)).toDF("v")
+    intercept[IllegalArgumentException](
+      Pca.randomizedComponents(flat, "v", ell = 4, r = 1))
+  }
 }
