@@ -1653,19 +1653,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
     // wide variant: Hamming ≤ 5 via 6-band (11/10-bit) banding — the
     // looser near-dup net for template-heavy corpora; same exhaustive
-    // DuckDB oracle with the wider cutoff. Adjudicated on a
-    // deterministic 1/4 mod-sample of the corpus: this fixture's
-    // vocabulary overlap packs near-identical signatures into the same
-    // wide-band buckets, so the full-corpus candidate join costs
-    // 13-22 s at sf0.1 (measured at maxDist 5 and 7) purely on fixture
-    // pair VOLUME — banding completeness is what the oracle must
-    // adjudicate and it is corpus-size-agnostic (DedupSpec additionally
-    // pins ≡-exhaustive at maxDist 7 on full sf0.001 and planted
-    // 4-band-defeating masks). maxDist up to 31 is available on the
-    // operator itself.
+    // DuckDB oracle with the wider cutoff, now FULL-CORPUS at every SF
+    // (the historical 1/4 mod-sample is gone): band rows carry the
+    // packed signature so the Hamming verify runs inside the bucket
+    // join and only true near-dups reach the distinct, and the oracle
+    // uses the packed-halves bit_count(xor) pairwise form (the cascade
+    // oracle's formulation — the per-(doc,bit) join spilled DuckDB temp
+    // disk at sf0.1). DedupSpec additionally pins ≡-exhaustive at
+    // maxDist 7 on full sf0.001 and planted 4-band-defeating masks.
+    // maxDist up to 31 is available on the operator itself.
     "q_simhash_neardup_wide" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(
-          Scale.modSample(Tables.documents(s, dir), "doc_id", 1, 4),
+          Tables.documents(s, dir),
           "doc_id", "text", maxDist = 5, tokenHash = Dedup.PortableSha)
         .orderBy("id_a", "id_b")),
     // ----- tiered dedup cascade: the production cost ordering — exact
@@ -4475,7 +4474,7 @@ object SparkEntry {
     // 60–63 of the 60-bit hash are constant 0 on both sides (sign -1),
     // contributing nothing to any distance.
     "q_simhash_neardup" -> simhashOracleSql(3),
-    "q_simhash_neardup_wide" -> simhashOracleSql(5, "WHERE doc_id % 4 = 0"),
+    "q_simhash_neardup_wide" -> simhashOracleSql(5),
     // exhaustive length-banded cross join over the distinct-name
     // universe; both engines' levenshtein is the exact unit-cost edit
     // distance, so pair sets and distances agree bit-for-bit
@@ -6064,10 +6063,21 @@ object SparkEntry {
                               THEN 1 ELSE 0 END AS bit
                   FROM h, (SELECT unnest(range(64)) AS i) idx
                   GROUP BY doc_id, i),
+         -- packed halves + bit_count(xor): one row per doc pair in the
+         -- exhaustive join (the per-(doc, bit) formulation spills
+         -- DuckDB's temp disk at full-corpus sf0.1 — the cascade
+         -- oracle's lesson, applied here so the WIDE query can run the
+         -- whole corpus instead of a mod-sample)
+         sig AS (SELECT doc_id,
+                SUM(CASE WHEN i < 32 AND bit = 1
+                    THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS lo,
+                SUM(CASE WHEN i >= 32 AND bit = 1
+                    THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END) AS hi
+              FROM bits GROUP BY doc_id),
          ham AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                        CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
-                 FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2)
+                        CAST(bit_count(xor(a.lo, b.lo))
+                           + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
+                 FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, hamming FROM ham WHERE hamming <= $maxDist
          ORDER BY id_a, id_b"""
 

@@ -1304,7 +1304,14 @@ object Dedup {
   private[graft] def simhashPairsFromSigs(sigs: DataFrame, maxDist: Int,
       numBands: Int): DataFrame = {
     val layout = simhashBandLayout(numBands)
-    val banded = sigs.select(col("id"),
+    // band rows CARRY the signature: the Hamming check runs inside the
+    // bucket join itself (one codegen bit_count per candidate) and only
+    // QUALIFYING pairs reach the dedupe — on boilerplate-heavy corpora
+    // whose bucket groups degenerate toward all-pairs, this removes the
+    // two sig re-joins and shrinks the distinct's input from every
+    // bucket collision to just the true near-dups (the packed-sig
+    // verify the cascade oracle uses, ported Spark-side)
+    val banded = sigs.select(col("id"), col("sig"),
       posexplode(array(layout.map { case (shift, width) =>
         // mask via unsigned shift, NOT (1L << width) - 1: for a single
         // 64-bit band `1L << 64` wraps to 1, making the mask 0 and
@@ -1312,20 +1319,16 @@ object Dedup {
         shiftright(col("sig"), shift).bitwiseAND(lit(-1L >>> (64 - width)))
       }: _*)).as(Seq("band", "bucket")))
 
-    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
+    banded.select(col("band"), col("bucket"), col("id").as("id_a"),
+        col("sig").as("sig_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b"),
+        col("sig").as("sig_b")), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-
-    cand
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("hamming",
         call_function("bit_count", col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
   // ------------------------------------------------------------------

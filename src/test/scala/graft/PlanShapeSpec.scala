@@ -108,20 +108,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("wide simhash evaluates the mod-sample directly on the scan") {
-    // deterministic 1/4 sample: pmod is not a parquet-pushable
-    // predicate, so what must hold is that the sample Filter sits
-    // DIRECTLY on the scan leaf in the optimized plan — 3/4 of the
-    // corpus dropped before any shingle work, not hoisted above it
+  test("wide simhash verifies Hamming inside the band join — one join, no sig re-joins") {
+    // full-corpus registration: band rows carry the packed signature,
+    // so the plan must hold exactly ONE join (the band-bucket
+    // self-join) with the bit_count Hamming filter BELOW the distinct
+    // aggregate — the two historical post-candidate sig joins (which
+    // shuffled every bucket collision twice more) must not reappear
     val lp = SparkEntry.queries("q_simhash_neardup_wide")(spark, sf)
       .queryExecution.optimizedPlan
-    val onLeaf = lp.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-          if f.condition.toString.toLowerCase.contains("pmod") &&
-            f.child.children.isEmpty => f
+    val joins = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }
-    assert(onLeaf.nonEmpty,
-      s"pmod sample filter is not adjacent to the scan leaf:\n$lp")
+    assert(joins.size === 1, s"expected exactly one join:\n$lp")
+    // Catalyst folds the Hamming predicate into the join condition
+    // itself (filter-into-join) — accept it there or as a Filter below
+    // the distinct aggregate; either way it must gate the join output
+    val hammingInJoin = joins.head.condition
+      .exists(_.toString.toLowerCase.contains("bit_count"))
+    val hammingBelowAgg = lp.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.collect {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+                if f.condition.toString.toLowerCase.contains("bit_count") => f
+          }.nonEmpty => a
+    }
+    assert(hammingInJoin || hammingBelowAgg.nonEmpty,
+      s"bit_count Hamming check gates neither the join nor a filter below the distinct:\n$lp")
   }
 
   test("aggregation queries keep whole-stage codegen on the scan side") {
