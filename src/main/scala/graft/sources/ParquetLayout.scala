@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Write-time parquet layout knobs that turn scan-side pruning on for
+  * the READ path the rest of the engine already exploits
+  * (PushedFilters / partition pruning / bucketing):
+  *
+  *  - split-block BLOOM FILTERS per column
+  *    (`parquet.bloom.filter.enabled#col`): row-group skipping for
+  *    POINT lookups on high-cardinality, unsorted columns — exactly
+  *    where min/max statistics are useless (every shuffled row group
+  *    spans the full id range, so stat pruning keeps everything; the
+  *    bloom rejects absent values per group with ~1% fpp at the
+  *    declared ndv). The 100 TB read that motivates it: "fetch these
+  *    50 doc_ids from a 10⁹-row corpus" touching only the row groups
+  *    that can contain them.
+  *  - row-group size (`parquet.block.size`): the skipping granularity
+  *    — smaller groups skip more precisely at a small metadata cost.
+  *
+  * Z-ordered / range-partitioned layouts ([[graft.functions.ZOrder
+  * .zorderLayout]]) remain the RANGE-predicate complement; blooms are
+  * the equality complement. Aggregate pushdown
+  * (`spark.sql.parquet.aggregatePushdown`, DSv2 scans) is the third
+  * scan-side lever — exercised in ParquetPushdownSpec; the registered
+  * read path stays DSv1, whose PushedFilters guards the plan specs
+  * assert.
+  */
+object ParquetLayout {
+
+  /** Writer options enabling split-block blooms for `ndvByCol`
+    * (column → expected distinct values; ndv sizes the filter — a
+    * too-small declaration inflates fpp, a huge one wastes footer
+    * bytes). */
+  def bloomOptions(ndvByCol: Map[String, Long]): Map[String, String] =
+    ndvByCol.flatMap { case (c, ndv) =>
+      require(ndv > 0, s"ndv for $c must be positive, got $ndv")
+      Seq(s"parquet.bloom.filter.enabled#$c" -> "true",
+        s"parquet.bloom.filter.expected.ndv#$c" -> ndv.toString)
+    }
+
+  /** Write `df` as parquet with blooms on `ndvByCol` and row groups of
+    * `rowGroupBytes` (default parquet's 128 MB; smaller = finer
+    * skipping). */
+  def writeWithBlooms(df: DataFrame, path: String,
+      ndvByCol: Map[String, Long],
+      rowGroupBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(rowGroupBytes >= 64 * 1024,
+      s"rowGroupBytes $rowGroupBytes below parquet's sane minimum")
+    df.write
+      .options(bloomOptions(ndvByCol))
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .mode("overwrite")
+      .parquet(path)
+  }
+}
