@@ -45,6 +45,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn: $arg must be a boolean literal, got $other")
   }
 
+  private def strLit(e: Expression, fn: String, arg: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+      org.apache.spark.sql.types.StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a string literal, got $other")
+  }
+
+  /** TVF table argument: resolved through the ACTIVE session's catalog
+    * (temp views included) — TVF arguments are expressions, so the
+    * table rides in as a name literal. */
+  private def tableOf(name: String): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.SparkSession.active.table(name)
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
@@ -111,5 +124,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           cexpr.ArrayDistinct(cexpr.StringSplit(child,
             Literal("\n"), Literal(-1))),
           Literal("\n"), None) }))
+
+    // ----- table-valued functions: the flagship TABLE-level operators,
+    // SQL-callable so a SQL-only user can drive the engine end to end
+    // (`SELECT * FROM simhash_near_dups('docs', 'doc_id', 'text', 3)`).
+    // Each TVF resolves its table-name literals against the active
+    // session's catalog, builds the SAME DataFrame pipeline the Scala
+    // API returns, and hands its analyzed plan to the resolver — one
+    // implementation, two surfaces, zero drift.
+
+    ext.injectTableFunction((FunctionIdentifier("simhash_near_dups"),
+      info("simhash_near_dups",
+        "simhash_near_dups(table, id_col, text_col, max_dist) - SimHash " +
+          "near-duplicate pairs (id_a, id_b, hamming) via banded signatures"),
+      { case Seq(t, id, text, d) =>
+        graft.operators.Dedup.simhashNearDupPairs(
+            tableOf(strLit(t, "simhash_near_dups", "table")),
+            strLit(id, "simhash_near_dups", "id_col"),
+            strLit(text, "simhash_near_dups", "text_col"),
+            intLit(d, "simhash_near_dups", "max_dist"))
+          .queryExecution.logical }))
+
+    ext.injectTableFunction((FunctionIdentifier("embedding_topk"),
+      info("embedding_topk",
+        "embedding_topk(corpus_table, queries_table, id_col, vec_col, k) - " +
+          "exact cosine top-k (query_id, neighbor_id, rank, cos)"),
+      { case Seq(c, q, id, vec, k) =>
+        graft.operators.Similarity.bruteForceTopK(
+            tableOf(strLit(c, "embedding_topk", "corpus_table")),
+            tableOf(strLit(q, "embedding_topk", "queries_table")),
+            strLit(id, "embedding_topk", "id_col"),
+            strLit(vec, "embedding_topk", "vec_col"),
+            intLit(k, "embedding_topk", "k"))
+          .queryExecution.logical }))
+
+    ext.injectTableFunction((FunctionIdentifier("asof_join"),
+      info("asof_join",
+        "asof_join(left_table, right_table, key_col, ts_col, value_col) - " +
+          "backward as-of: each left row takes value_col from the latest " +
+          "right row at-or-before its timestamp"),
+      { case Seq(l, r, key, ts, v) =>
+        val keyC = strLit(key, "asof_join", "key_col")
+        val tsC = strLit(ts, "asof_join", "ts_col")
+        graft.operators.AsOf.asofJoin(
+            tableOf(strLit(l, "asof_join", "left_table")), keyC, tsC,
+            tableOf(strLit(r, "asof_join", "right_table")), keyC, tsC,
+            Seq(strLit(v, "asof_join", "value_col")))
+          .queryExecution.logical }))
   }
 }

@@ -76,4 +76,66 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().head.getString(1)
     assert(row.getString(3) === viaOp)
   }
+
+  // ----- table-valued functions: SQL-only end-to-end drives -----
+
+  test("simhash_near_dups TVF: a SQL-only dedup run ≡ the Scala operator") {
+    Tables.documents(spark, sf).createOrReplaceTempView("tvf_docs")
+    val sqlRows = spark.sql(
+      """SELECT id_a, id_b, hamming
+         FROM simhash_near_dups('tvf_docs', 'doc_id', 'text', 3)
+         ORDER BY id_a, id_b""").collect().toSeq
+    val apiRows = graft.operators.Dedup.simhashNearDupPairs(
+        Tables.documents(spark, sf), "doc_id", "text", maxDist = 3)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(sqlRows === apiRows)
+    assert(sqlRows.nonEmpty)
+  }
+
+  test("embedding_topk TVF: a SQL-only ANN query ≡ the Scala operator") {
+    val emb = Tables.embeddings(spark, sf)
+    emb.createOrReplaceTempView("tvf_emb")
+    emb.filter(col("vec_id") < 5).createOrReplaceTempView("tvf_q")
+    val sqlRows = spark.sql(
+      """SELECT query_id, neighbor_id, rank, cos
+         FROM embedding_topk('tvf_emb', 'tvf_q', 'vec_id', 'embedding', 5)
+         ORDER BY query_id, rank""").collect().toSeq
+    val apiRows = graft.operators.Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(sqlRows === apiRows)
+    assert(sqlRows.size === 25)
+  }
+
+  test("asof_join TVF ≡ the Scala operator, composable with further SQL") {
+    import spark.implicits._
+    Seq((1L, 10L, "a1"), (1L, 20L, "a2"), (2L, 15L, "b1"))
+      .toDF("k", "ts", "obs").createOrReplaceTempView("tvf_left")
+    Seq((1L, 5L, 100.0), (1L, 18L, 200.0), (2L, 30L, 300.0))
+      .toDF("k", "ts", "px").createOrReplaceTempView("tvf_right")
+    val sqlRows = spark.sql(
+      """SELECT k, ts, obs, px
+         FROM asof_join('tvf_left', 'tvf_right', 'k', 'ts', 'px')
+         ORDER BY k, ts""").collect().toSeq
+    val apiRows = graft.operators.AsOf.asofJoin(
+        spark.table("tvf_left"), "k", "ts",
+        spark.table("tvf_right"), "k", "ts", Seq("px"))
+      .select("k", "ts", "obs", "px")
+      .orderBy("k", "ts").collect().toSeq
+    assert(sqlRows === apiRows)
+    // backward semantics spot-check: (1, 20) sees the ts=18 price;
+    // (2, 15) has no right row at-or-before → NULL
+    val byKey = sqlRows.map(r => (r.getLong(0), r.getLong(1)) -> r.get(3)).toMap
+    assert(byKey((1L, 20L)) === 200.0)
+    assert(byKey((2L, 15L)) === null)
+  }
+
+  test("TVF argument validation fails loudly") {
+    Tables.documents(spark, sf).createOrReplaceTempView("tvf_docs2")
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM simhash_near_dups('tvf_docs2', 'doc_id', 'text', 'wide')")
+      .collect())
+    assert(e.getMessage.contains("max_dist") ||
+      Option(e.getCause).exists(_.getMessage.contains("max_dist")))
+  }
 }
