@@ -79,6 +79,15 @@ class StreamThroughputSpec extends SparkSpec {
       // with small keyed state wants narrow ones.
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
       spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // RocksDB state store: the provider a long-running production
+      // deployment uses (bounded heap, incremental checkpoints) — the
+      // latency percentiles below are measured under it, completing
+      // the operational story next to StreamDurabilitySpec's restart
+      // numbers. Fresh checkpoints per run, so switching is safe.
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = spark.conf.getOption(provKey)
+      spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val source = EcommerceStreamJob.fileSource(spark, dir.toString,
         Map("maxFilesPerTrigger" -> "4"))
 
@@ -105,6 +114,10 @@ class StreamThroughputSpec extends SparkSpec {
           queries.foreach(_.stop())
           spark.conf.set("spark.sql.files.maxPartitionBytes", prevMpb)
           spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+          prevProv match {
+            case Some(p) => spark.conf.set(provKey, p)
+            case None => spark.conf.unset(provKey)
+          }
         }
 
       if (sys.props.contains("graft.streamBench.debug"))
@@ -130,11 +143,27 @@ class StreamThroughputSpec extends SparkSpec {
         s""""$n":{"batches":$b,"batch_ms_avg":$avg,"batch_ms_max":$max,""" +
           s""""exec_ms_avg":$ex,"state_rows":$st}"""
       }.mkString(",")
+      // batch-COMMIT latency percentiles across every main batch of all
+      // four pipelines (triggerExecution = the full receive→commit
+      // trigger, the number an SLO is written against), nearest-rank
+      val allDurs = progress.values.flatten
+        .filter(_.numInputRows > WarmupN)
+        .map(p => Option(p.durationMs.get("triggerExecution"))
+          .map(_.toLong).getOrElse(0L))
+        .toVector.sorted
+      def pct(q: Double): Long =
+        if (allDurs.isEmpty) 0L
+        else allDurs(math.min(allDurs.size - 1,
+          math.ceil(q * allDurs.size).toInt - 1).max(0))
+      val latency = s""""batch_ms_p50":${pct(0.50)},""" +
+        s""""batch_ms_p95":${pct(0.95)},"batch_ms_p99":${pct(0.99)},""" +
+        s""""latency_batches":${allDurs.size},"state_store":"rocksdb""""
       // Topology throughput: all four pipelines each consumed every event.
       println(f"""STREAMBENCH {"events":$Events,"pipelines":4,"wall_s":$wallS%.1f,""" +
         f""""warmup_s":$warmupS%.1f,""" +
         f""""events_per_sec":${(Events / wallS).toLong},""" +
-        f""""record_reads_per_sec":${(4L * Events / wallS).toLong},$summary}""")
+        f""""record_reads_per_sec":${(4L * Events / wallS).toLong},""" +
+        f"""$latency,$summary}""")
 
       // ---- equivalence with the batch aggregates on the same events ----
       val batchTx = EcommerceStreamJob.parse(
