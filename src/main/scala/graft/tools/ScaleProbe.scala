@@ -666,6 +666,33 @@ object ScaleProbe {
         f"cep=$tc2%.1fs($nc2%d users) dq=$tq2%.1fs($nq2%d passed)")
     }
 
+    // Round-8: NN-Descent k-NN graph — nodes grown K× on the same
+    // golden-angle circle (denser manifold, same per-node list width):
+    // per-round state is N·searchK edges and candidates N·(2·searchK)²,
+    // so runtime must track N near-linearly at FIXED rounds
+    for (k <- Seq(1, 2, 4, 8) if on("knn")) {
+      val n = 2000 * k
+      val theta = (col("id") * lit(0.618033988749895)) % 1.0 *
+        lit(6.283185307179586)
+      val nodes = spark.range(0L, n.toLong, 1L, 32)
+        .select(col("id").as("vec_id"), concat(
+          array(cos(theta) * 4.0, sin(theta) * 4.0),
+          transform(sequence(lit(0), lit(15)),
+            j => (pmod(col("id") * 37 + j * 11, lit(97)) - 48)
+              .cast("double") / 1000.0)).as("pv"))
+        .persist()
+      nodes.count()
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val c = f
+        ((System.nanoTime() - t0) / 1e9, c)
+      }
+      val (tg, ng) = time(graft.operators.Similarity
+        .knnGraph(nodes, "vec_id", "pv", k = 5, iterations = 4,
+          searchK = 12).count())
+      nodes.unpersist()
+      println(f"KNNPROBE k=$k%d nodes=$n%d graph=$tg%.1fs($ng%d edges)")
+    }
+
     // Round-8: randomized range-finder PCA at d=1024 — rows grown K×
     // by id-salted replicas while the aggregation state stays d·ℓ
     // doubles per partition; time must track rows near-linearly with
