@@ -1234,6 +1234,15 @@ object SparkEntry {
           size(col("__t")).cast("long").as("n_pieces"))
         .orderBy("doc_id")
     }),
+    // Tokenizer EVALUATION: train BOTH learners (BPE merges + unigram
+    // EM) on the corpus, segment the weighted distinct-word table
+    // under each, report fertility (pieces/word) and chars/piece —
+    // the side-by-side a pipeline runs before committing to a
+    // tokenizer. Integer totals; one double division each
+    "q_tokenizer_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(Tables.documents(s, dir), "text",
+        numMerges = 8, uniRounds = 2, maxPieceLen = 4, seedSize = 64,
+        vocabSize = 40)),
     // PII scrub: a synthetic email+URL suffix is appended IN the query
     // so every row exercises both patterns cross-engine (the fixture
     // text itself contains neither)
@@ -3762,6 +3771,10 @@ object SparkEntry {
     // generated from the same constants as the Spark queries
     "q_unigram_train" -> TextAnalysis.unigramTrainOracleSql(2, 4, 64, 40),
     "q_unigram_lm_tokens" -> TextAnalysis.unigramTokensOracleSql(2, 4, 64, 40),
+    // both tokenizer chains composed in ONE query (disjoint CTE
+    // prefixes), totals off each chain's fully-segmented word table
+    "q_tokenizer_fertility" ->
+      TextAnalysis.tokenizerFertilityOracleSql(8, 2, 4, 64, 40),
     // DuckDB regexp_replace needs the 'g' flag (Spark replaces all by
     // default); URL scrub runs first on both sides
     "q_scrub_pii" ->

@@ -359,7 +359,7 @@ object TextAnalysis {
     * referenced twice (next step + final union), and DuckDB's default
     * CTE inlining would re-expand the chain exponentially (the
     * PageRank/PCA lesson). */
-  def bpeTrainOracleSql(numMerges: Int): String = {
+  private def bpeTrainCtes(numMerges: Int): String = {
     val S = "chr(31)"
     val steps = (1 to numMerges).map { t =>
       s"""btp$t AS (SELECT p[1] AS lhs, p[2] AS rhs,
@@ -376,17 +376,21 @@ object TextAnalysis {
                      $S || m.lhs || m.rhs || $S) AS seq
            FROM btw${t - 1} CROSS JOIN btm$t m)"""
     }.mkString(",\n         ")
-    val finalSel = (1 to numMerges).map(t =>
-      s"""SELECT CAST($t AS INTEGER) AS step, lhs, rhs,
-            lhs || rhs AS merged, pair_cnt FROM btm$t""")
-      .mkString(" UNION ALL ")
-    s"""WITH btw0 AS MATERIALIZED (
+    s"""btw0 AS MATERIALIZED (
          SELECT count(*) AS cnt,
                 regexp_replace(w, '(.)', $S || '\\1' || $S, 'g') AS seq
          FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
                FROM documents) u
          WHERE w <> '' GROUP BY w),
-       $steps
+       $steps"""
+  }
+
+  def bpeTrainOracleSql(numMerges: Int): String = {
+    val finalSel = (1 to numMerges).map(t =>
+      s"""SELECT CAST($t AS INTEGER) AS step, lhs, rhs,
+            lhs || rhs AS merged, pair_cnt FROM btm$t""")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeTrainCtes(numMerges)}
        $finalSel ORDER BY step"""
   }
 
@@ -1419,6 +1423,84 @@ object TextAnalysis {
       s"""
        SELECT piece, cnt, CAST(len(bin(cnt)) AS INT) AS score
        FROM uv$rounds ORDER BY piece"""
+
+  /** Tokenizer EVALUATION — the comparison a pipeline runs before
+    * committing to a tokenizer: train BOTH learners on the corpus
+    * ([[bpeTrainMerges]] and [[unigramTrain]]), segment the corpus
+    * word table under each, and report the decision metrics —
+    * fertility (pieces per word: lower = fewer sequence positions per
+    * document = cheaper training/serving) and chars per piece
+    * (compression of the byte stream into the vocabulary).
+    *
+    * Both tokenizers are measured over the SAME whitespace-word basis
+    * (each trainer's own counting frame), so the numbers are directly
+    * comparable; integer totals + one correctly-rounded double
+    * division each keep the result engine-exact. Corpus cost: each
+    * trainer's one tokenize+count pass + vocab-sized loops, then one
+    * codegen segmentation pass per tokenizer over the DISTINCT-word
+    * table (weighted by counts — nothing corpus-sized moves).
+    *
+    * Output: (tokenizer, n_words, n_pieces, fertility,
+    * chars_per_piece), one row per tokenizer. */
+  def tokenizerFertility(df: DataFrame, textCol: String, numMerges: Int,
+      uniRounds: Int, maxPieceLen: Int, seedSize: Int,
+      vocabSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val merges = bpeTrainMerges(df, textCol, numMerges).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val uni = unigramTrain(df, textCol, uniRounds, maxPieceLen, seedSize,
+      vocabSize)
+    val words = termCounts(df, textCol)
+      .select(col("term").as("word"), col("n")).materialized
+    def measure(name: String, pieces: Column): DataFrame =
+      words.agg(
+        sum(col("n")).as("n_words"),
+        sum(col("n") * size(pieces)).as("n_pieces"),
+        sum(col("n") * length(col("word"))).as("n_chars"))
+        .select(lit(name).as("tokenizer"), col("n_words"), col("n_pieces"),
+          (col("n_pieces").cast("double") / col("n_words")).as("fertility"),
+          (col("n_chars").cast("double") / col("n_pieces"))
+            .as("chars_per_piece"))
+    val out = measure("bpe", bpeTokens(col("word"), merges))
+      .unionByName(measure("unigram",
+        graft.expressions.UnigramSegment.segment(col("word"), uni)))
+      .orderBy("tokenizer")
+    val collected = out.collect()
+    words.released()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(collected.toIndexedSeq), out.schema)
+      .orderBy("tokenizer")
+  }
+
+  /** DuckDB replay of [[tokenizerFertility]]: the unigram EM chain and
+    * the BPE merge chain composed in ONE query (disjoint CTE prefixes),
+    * totals off each chain's fully-segmented word table. */
+  def tokenizerFertilityOracleSql(numMerges: Int, uniRounds: Int,
+      maxPieceLen: Int, seedSize: Int, vocabSize: Int): String = {
+    val f = uniRounds + 1
+    unigramChainSql(uniRounds, maxPieceLen, seedSize, vocabSize, 1) +
+      s""",
+       ${bpeTrainCtes(numMerges)},
+       fb AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_words,
+                CAST(sum(cnt * len(list_filter(string_split(seq, chr(31)),
+                  x -> x <> ''))) AS BIGINT) AS n_pieces
+              FROM btw$numMerges),
+       fu AS (SELECT CAST(sum(n) AS BIGINT) AS n_words,
+                CAST(sum(n * len(path)) AS BIGINT) AS n_pieces
+              FROM useg$f),
+       fc AS (SELECT CAST(sum(n * len(word)) AS BIGINT) AS n_chars FROM uw)
+       SELECT 'bpe' AS tokenizer, fb.n_words, fb.n_pieces,
+              CAST(fb.n_pieces AS DOUBLE) / fb.n_words AS fertility,
+              CAST(fc.n_chars AS DOUBLE) / fb.n_pieces AS chars_per_piece
+       FROM fb, fc
+       UNION ALL
+       SELECT 'unigram', fu.n_words, fu.n_pieces,
+              CAST(fu.n_pieces AS DOUBLE) / fu.n_words,
+              CAST(fc.n_chars AS DOUBLE) / fu.n_pieces
+       FROM fu, fc
+       ORDER BY tokenizer"""
+  }
 
   /** Oracle for corpus segmentation under the learned vocabulary: one
     * extra enumeration round against the final table, reassembled per

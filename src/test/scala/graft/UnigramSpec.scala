@@ -153,4 +153,35 @@ class UnigramSpec extends SparkSpec {
     assert(vocab.exists(_._1.length > 1),
       "EM must learn at least one multi-char piece on this corpus")
   }
+
+  test("tokenizerFertility ≡ full-corpus per-occurrence totals") {
+    val docs = Tables.documents(spark, sf)
+    val got = TextAnalysis.tokenizerFertility(docs, "text",
+      numMerges = 8, uniRounds = 2, maxPieceLen = 4, seedSize = 64,
+      vocabSize = 40).collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4)))).toMap
+    assert(got.keySet == Set("bpe", "unigram"))
+    // independent formulation: explode EVERY word occurrence (no
+    // distinct-word weighting) and total the same segmenters over it —
+    // equality proves the weighted shortcut counts occurrences right
+    val merges = TextAnalysis.bpeTrainMerges(docs, "text", 8).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val uni = TextAnalysis.unigramTrain(docs, "text", 2, 4, 64, 40)
+    val occ = docs.select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    def naive(pieces: org.apache.spark.sql.Column) =
+      occ.agg(count(lit(1)).as("nw"), sum(size(pieces)).as("np"),
+          sum(length(col("w"))).as("nc"))
+        .as[(Long, Long, Long)].head()
+    for ((name, pieces) <- Seq(
+        "bpe" -> TextAnalysis.bpeTokens(col("w"), merges),
+        "unigram" -> UnigramSegment.segment(col("w"), uni))) {
+      val (nw, np, nc) = naive(pieces)
+      val (gw, gp, fert, cpp) = got(name)
+      assert(gw == nw && gp == np, s"$name totals")
+      assert(fert == np.toDouble / nw && cpp == nc.toDouble / np,
+        s"$name ratios")
+    }
+  }
 }
