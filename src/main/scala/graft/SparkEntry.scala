@@ -1444,6 +1444,17 @@ object SparkEntry {
     }),
     "q_minhash_neardup" -> ((s, dir) =>
       minhashPairs(s, dir).orderBy("id_a", "id_b")),
+    // banding-parameter evaluation harness: candidate-set precision/
+    // recall of 16-hash/8-band sha52 minhash vs the exhaustive J >= 0.6
+    // truth — the measurement that justifies (or rejects) a banding
+    // config before it runs at corpus scale. DELIBERATELY lossy
+    // parameters (r = 2 rows/band admits mid-similarity pairs) so both
+    // error terms are exercised; every bucket collision replays
+    // bit-for-bit in DuckDB because the signature hash is the portable
+    // sha52, not xxhash64
+    "q_minhash_pr" -> ((s, dir) =>
+      Dedup.minhashBandingReport(Tables.documents(s, dir), "doc_id",
+        "text", n = 3, numHashes = 16, bands = 8, threshold = 0.6)),
     // AllPairs/PPJoin prefix filtering: exact full-universe Jaccard
     // with candidates only from each doc's rarest-token prefix — the
     // third candidate scheme next to the df-cap (changes the universe)
@@ -1865,6 +1876,23 @@ object SparkEntry {
     "q_ivf_topk_bigk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopKBig(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, numCentroids = 256, nProbe = 224)
+        .orderBy("query_id", "rank")
+    }),
+    // index MAINTENANCE: centroids trained on the even-id HALF of the
+    // corpus (the snapshot that existed at build time), the full corpus
+    // assigned to those frozen cells and served without retraining —
+    // the FAISS add-after-train shape, in the big-k regime frozen cells
+    // actually operate in (the 16-cell coarse index has no probe margin
+    // left once training sees only half the data: 15/16 probes still
+    // missed a rank-4 neighbor at sf0.001 — measured quantization
+    // drift). 256 half-data-trained cells at q_ivf_topk_bigk's tuned
+    // nProbe = 224 serve the FULL corpus at recall 1, so the query
+    // shares the exhaustive full-corpus oracle
+    "q_ivf_extend_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopKIncremental(emb.filter(col("vec_id") % 2 === 0),
+          emb, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, numCentroids = 256, nProbe = 224)
         .orderBy("query_id", "rank")
     }),
@@ -2430,6 +2458,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
         .orderBy("ship_year")
     }),
+    // bloomed-LAYOUT round trip through the registered surface: part is
+    // SHUFFLED (so every written row group spans the full key range and
+    // min/max stat pruning keeps everything), written with a p_partkey
+    // split-block bloom + 512 KB row groups, then point-looked-up from
+    // the written files — the "fetch these ids from a shuffled corpus"
+    // read whose row-group skipping ParquetLayoutSpec proves from the
+    // same writer options. The oracle adjudicates the round trip
+    // (write→bloom→read loses nothing); the skip is a scan property
+    "q_bloom_layout_lookup" -> ((s, dir) => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bloom_layout_" + dir.replaceAll("[^0-9a-zA-Z]+", "_"))
+        .getAbsolutePath
+      graft.sources.ParquetLayout.writeWithBlooms(
+        Tables.part(s, dir).repartition(4),
+        tmp, Map("p_partkey" -> 200000L), rowGroupBytes = 512L * 1024)
+      s.read.parquet(tmp)
+        .filter(col("p_partkey").isin(1, 77, 123))
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    }),
     // exact frequent items at bounded memory: Misra–Gries candidate
     // sweep (≤ k counters per partial aggregate, any partitioning) +
     // exact recount of the ≤ k survivors. The composition's answer is
@@ -2452,6 +2500,18 @@ object SparkEntry {
           substring(col("text"), 1, 30), lit("\n"),
           substring(col("text"), 1, 30)).as("text"))
       TextAnalysis.dedupLines(wrapped, "doc_id", "text").orderBy("doc_id")
+    }),
+    // CROSS-document boilerplate line removal (the MassiveText/
+    // RefinedWeb corpus-level line pass) — same deterministic newline
+    // wrap as q_dedup_lines but no planted head line: the dup signal is
+    // organic (short between-"the" segments recur across docs; ~50
+    // occurrences cross the >= 3-doc threshold at sf0.001, ~700 at
+    // sf0.1)
+    "q_boilerplate_lines" -> ((s, dir) => {
+      val wrapped = Tables.documents(s, dir).select(col("doc_id"),
+        regexp_replace(col("text"), " the ", "\n").as("text"))
+      Dedup.boilerplateLines(wrapped, "doc_id", "text", minDupDocs = 3)
+        .orderBy("doc_id")
     }),
     // sentence segmentation: terminal-punctuation split, order kept by
     // sent_idx; a pure per-row posexplode (no shuffle)
@@ -5213,6 +5273,30 @@ object SparkEntry {
                   AS bits_per_token
          FROM perdoc p JOIN vocab v ON v.tok = p.tok CROSS JOIN tot t
          GROUP BY 1 ORDER BY doc_id""",
+    // cross-doc boilerplate: doc-frequency over distinct (line, doc),
+    // lines in >= 3 docs removed EVERYWHERE, docs reassembled in line
+    // order; all-boilerplate docs survive with text = ''
+    "q_boilerplate_lines" ->
+      """WITH w AS (SELECT doc_id,
+                replace(text, ' the ', chr(10)) AS text
+              FROM documents),
+         t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM w),
+         ln AS (SELECT doc_id, ls[i] AS l, i
+                FROM t, LATERAL unnest(generate_series(1, len(ls)))
+                  AS g(i)),
+         df AS (SELECT l, count(DISTINCT doc_id) AS d FROM ln GROUP BY 1),
+         keep AS (SELECT ln.doc_id, ln.l, ln.i
+                  FROM ln JOIN df ON df.l = ln.l WHERE df.d < 3),
+         agg AS (SELECT doc_id,
+                   string_agg(l, chr(10) ORDER BY i) AS text,
+                   count(*) AS n_kept
+                 FROM keep GROUP BY 1)
+         SELECT t.doc_id AS doc_id, coalesce(a.text, '') AS text,
+                CAST(len(t.ls) AS BIGINT) AS n_lines,
+                CAST(len(t.ls) - coalesce(a.n_kept, 0) AS BIGINT)
+                  AS n_dropped
+         FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+         ORDER BY t.doc_id""",
     "q_dedup_lines" ->
       """WITH w AS (SELECT doc_id,
                 replace(text, ' the ', chr(10)) || chr(10)
@@ -5506,6 +5590,10 @@ object SparkEntry {
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          WHERE o.o_orderpriority = '1-URGENT'
          GROUP BY 1 ORDER BY 1""",
+    // the bloomed write→read round trip ≡ reading the source directly
+    "q_bloom_layout_lookup" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+         WHERE p_partkey IN (1, 77, 123) ORDER BY p_partkey""",
     // MG + exact recount ≡ the frequent-items definition itself:
     // cnt·(k+1) > N in integer arithmetic, k = 4
     "q_heavy_hitters" ->
@@ -5596,6 +5684,45 @@ object SparkEntry {
     // (J ≥ 0.87; P[miss | 16 bands × 4 rows] < 1e-8) and is re-checked
     // here by sharing the oracle.
     "q_minhash_neardup" -> jaccardOracleSql,
+    // banding P/R report: the DELIBERATELY-lossy 16-hash/8-band sha52
+    // minhash replayed hash-for-hash (bucket strings included), full
+    // outer vs the exhaustive J >= 0.6 truth, counts + two divisions
+    "q_minhash_pr" ->
+      s"""WITH tok AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3 THEN []
+                  ELSE list_transform(range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+                    i -> array_to_string((string_split_regex(trim(text), '\\s+'))[i:i+2], ' ')) END) AS sh
+              FROM documents),
+         sized AS (SELECT doc_id, sh, len(sh) AS n FROM tok WHERE len(sh) > 0),
+         inv AS MATERIALIZED (SELECT doc_id, n, unnest(sh) AS s FROM sized),
+         truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, a.n, b.n
+                   HAVING CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) >= 0.6),
+         hi AS (SELECT doc_id, ix.i AS i,
+                  min(${sha52Sql("CAST(ix.i AS VARCHAR) || ':' || inv.s")}) AS h
+                FROM inv CROSS JOIN (SELECT unnest(range(0, 16)) AS i) ix
+                GROUP BY 1, 2),
+         bk AS (SELECT doc_id, i // 2 AS band,
+                       string_agg(CAST(h AS VARCHAR), '|' ORDER BY i) AS bucket
+                FROM hi GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.doc_id < b.doc_id),
+         fo AS (SELECT CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS c,
+                       CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS t
+                FROM cand c FULL OUTER JOIN truth t
+                  ON t.id_a = c.id_a AND t.id_b = c.id_b)
+         SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+                CAST(sum(c) AS BIGINT) AS n_candidates,
+                CAST(sum(c * t) AS BIGINT) AS tp,
+                CAST(sum(c) - sum(c * t) AS BIGINT) AS fp,
+                CAST(sum(t) - sum(c * t) AS BIGINT) AS fn,
+                CASE WHEN sum(c) > 0
+                     THEN CAST(sum(c * t) AS DOUBLE) / sum(c) END AS "precision",
+                CASE WHEN sum(t) > 0
+                     THEN CAST(sum(c * t) AS DOUBLE) / sum(t) END AS recall
+         FROM fo""",
     // prefix filtering is exact over the same full universe
     "q_prefix_jaccard_pairs" -> jaccardOracleSql,
     // cross-corpus variant of the exhaustive formulation: candidates
@@ -5879,6 +6006,8 @@ object SparkEntry {
     // both verify candidates with exact cosine, so output ≡ exhaustive
     "q_ann_lsh_topk" -> exactTopKOracleSql,
     "q_ivf_topk" -> exactTopKOracleSql,
+    // frozen-cell serving at recall-1 nProbe ⇒ same exhaustive truth
+    "q_ivf_extend_topk" -> exactTopKOracleSql,
     "q_ivf_topk_bigk" -> exactTopKOracleSql,
     "q_pq_topk" -> exactTopKOracleSql,
     "q_ivfpq_topk" -> exactTopKOracleSql,

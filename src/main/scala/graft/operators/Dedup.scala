@@ -404,6 +404,65 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Cross-document boilerplate LINE removal
+  // ------------------------------------------------------------------
+
+  /** Remove individual LINES that repeat across documents — the
+    * line-granularity member of the cross-doc dedup family
+    * (MassiveText/RefinedWeb run exactly this pass over web text:
+    * cookie banners, "subscribe" prompts and footer lines appear
+    * verbatim in thousands of pages; [[TextAnalysis.dedupLines]] is the
+    * WITHIN-doc variant, [[dedupSpans]] the fixed-token-window one —
+    * this operator keys on the corpus' own newline structure instead).
+    * A line is boilerplate when it occurs in ≥ `minDupDocs` DISTINCT
+    * documents; repetition inside one document alone never qualifies.
+    *
+    * Scale shape (mirrors [[dedupSpans]]): the line rows are generated
+    * scan-locally (per-row split + posexplode, no shuffle) and
+    * materialized once — they feed dup detection AND the anti-join.
+    * Dup detection groups DISTINCT (xxhash64(line), doc) pairs so
+    * 8-byte digests shuffle, not line text (a collision can only merge
+    * two different lines, P ≈ m²/2⁶⁵ — the documented family trade);
+    * surviving line text shuffles once more to reassemble per doc.
+    *
+    * Every input document yields an output row: a doc whose EVERY line
+    * was boilerplate comes back with text = "" and n_dropped = n_lines
+    * (the pipeline signal "this page was pure chrome" — unlike
+    * [[dedupSpans]], which drops such docs, the line pass reports
+    * them). Output: (idCol, textCol, n_lines, n_dropped). */
+  def boilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+      minDupDocs: Int): DataFrame = {
+    require(minDupDocs >= 2,
+      s"a line is boilerplate only in >= 2 docs, got minDupDocs = $minDupDocs")
+    val lines = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("__i", "__l")))
+      .withColumn("__s", xxhash64(col("__l")))
+      .materialized
+    val dup = lines.select(col("__s"), col(idCol)).distinct()
+      .groupBy("__s").agg(count(lit(1)).as("__d"))
+      .filter(col("__d") >= minDupDocs)
+      .select("__s")
+    val kept = lines.join(dup, Seq("__s"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__i"), col("__l")))),
+            x => x.getField("__l")),
+          "\n").as("__text"),
+        count(lit(1)).as("__k"))
+    docs
+      .select(col(idCol),
+        size(split(col(textCol), "\n", -1)).cast("long").as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__text"), lit("")).as(textCol),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__k"), lit(0L))).as("n_dropped"))
+  }
+
+  // ------------------------------------------------------------------
   // Substring-level exact dedup (Lee et al. 2022, ExactSubstr)
   // ------------------------------------------------------------------
 
@@ -567,6 +626,86 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Candidate-generation quality report for MinHash banding — the
+    * evaluation a pipeline runs BEFORE committing (numHashes, bands) at
+    * corpus scale: band the corpus, compare the candidate pair set
+    * against the exhaustive Jaccard-≥-threshold truth, and report
+    * precision/recall of the BANDING stage (the verify stage then pays
+    * exactly `n_candidates` set intersections, so precision is the cost
+    * knob and recall the quality knob; the s-curve promises
+    * P(candidate) = 1 − (1 − s^r)^b per pair and this measures the
+    * realized aggregate).
+    *
+    * Signatures here are PORTABLE on purpose: h_i = min over shingles
+    * of sha52(i ":" shingle) — the engine-neutral 52-bit sha prefix the
+    * sketch family uses — so the whole report (including every bucket
+    * collision) is replayable in the oracle engine bit-for-bit.
+    * [[minhashNearDupPairs]] keeps xxhash64 for production speed; the
+    * evaluation harness trades ~2× hash cost for cross-engine
+    * exactness.
+    *
+    * Scale shape: signature aggregation is map-side combined (one
+    * numHashes-long row per doc); the band join is keyed on
+    * (band, bucket string); the truth side is the exhaustive
+    * inverted-index join — corpus-quadratic in the worst case, which is
+    * WHY this runs on an evaluation slice (pass a sampled df) before
+    * the tuned parameters run on the full corpus.
+    *
+    * Output: one row — (n_truth, n_candidates, tp, fp, fn, precision,
+    * recall); precision/recall NULL when their denominator is 0. */
+  def minhashBandingReport(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    // feeds the signature explode AND the truth inverted index
+    val sets = df.select(
+        col(idCol).as("id"),
+        graft.expressions.ShingleExpressions
+          .distinctWordNgrams(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .materialized
+    val exploded = sets.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    val sigCols = (0 until numHashes).map(i =>
+      min(graft.functions.Kmv.sha52(concat(lit(s"$i:"), col("s"))))
+        .as(s"h$i"))
+    val sigs = exploded.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until bands).map { j =>
+      concat_ws("|",
+        (j * rowsPerBand until (j + 1) * rowsPerBand)
+          .map(i => col(s"h$i").cast("string")): _*)
+    }
+    val banded = sigs.select(col("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val truth = exploded.select(col("s"), col("id").as("id_a"), col("sz").as("na"))
+      .join(exploded.select(col("s"), col("id").as("id_b"), col("sz").as("nb")),
+        Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "na", "nb").agg(count(lit(1)).as("shared"))
+      .filter(col("shared").cast("double") /
+        (col("na") + col("nb") - col("shared")) >= threshold)
+      .select("id_a", "id_b")
+    val out = cand.withColumn("__c", lit(1))
+      .join(truth.withColumn("__t", lit(1)), Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("__t"), lit(0))).cast("long").as("n_truth"),
+        sum(coalesce(col("__c"), lit(0))).cast("long").as("n_candidates"),
+        sum(coalesce(col("__c"), lit(0)) * coalesce(col("__t"), lit(0)))
+          .cast("long").as("tp"))
+    out.select(col("n_truth"), col("n_candidates"), col("tp"),
+      (col("n_candidates") - col("tp")).as("fp"),
+      (col("n_truth") - col("tp")).as("fn"),
+      when(col("n_candidates") > 0,
+        col("tp").cast("double") / col("n_candidates")).as("precision"),
+      when(col("n_truth") > 0,
+        col("tp").cast("double") / col("n_truth")).as("recall"))
   }
 
   // ------------------------------------------------------------------

@@ -477,6 +477,42 @@ object Similarity {
       math.min(nProbe, cents.length))
   }
 
+  /** Incremental IVF serving — the index-MAINTENANCE shape a growing
+    * corpus needs: coarse centroids are trained ONCE (on the reference
+    * corpus that existed when the index was built) and a grown corpus —
+    * old vectors plus every batch that arrived since — is assigned to
+    * those frozen cells and served WITHOUT retraining. This is how
+    * production IVF indexes absorb inserts (FAISS `add` after `train`):
+    * retraining shifts every cell boundary and forces a full corpus
+    * re-assignment, so it is amortized to rare rebuilds while daily
+    * batches only pay their own assignment pass (one broadcast-centroid
+    * scoring scan over the NEW rows).
+    *
+    * The price of frozen cells is quantization drift: new-region
+    * vectors land in stretched cells, so recall at fixed nProbe decays
+    * as the corpus outgrows the training snapshot — the operational
+    * signal to rebuild. The registered query pins the serving contract
+    * (recall 1 at tuned nProbe with the index trained on HALF the
+    * corpus) against the exhaustive oracle over the full corpus.
+    *
+    * `trainCorpus` is typically a past snapshot or sample of `corpus`;
+    * serving cost is identical to [[ivfTopKBig]]. */
+  def ivfTopKIncremental(trainCorpus: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      numCentroids: Int, nProbe: Int, iters: Int = 4,
+      batchPerCell: Int = 8, seed: Long = 42L): DataFrame = {
+    require(nProbe >= 1 && nProbe <= numCentroids)
+    val cents = trainCentroidsMiniBatch(trainCorpus, idCol, vecCol,
+      numCentroids, iters, batchPerCell, seed)
+    if (cents.isEmpty) { // degenerate training corpus
+      return rankTopKWindow(corpus.sparkSession.range(0)
+        .select(col("id").as("query_id"), col("id").as("neighbor_id"),
+          col("id").cast("double").as("cos")), k)
+    }
+    ivfServe(corpus, queries, idCol, vecCol, cents, k,
+      math.min(nProbe, cents.length))
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (PQ) — compressed-store ANN
   // ------------------------------------------------------------------

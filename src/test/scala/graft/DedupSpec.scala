@@ -770,4 +770,105 @@ class DedupSpec extends SparkSpec {
         Seq.empty[Tuple1[Long]].toDF("id"), "id", expectedItems = 10)
     assert(empty.count() === 2) // nothing can match an empty right side
   }
+
+  test("boilerplateLines: cross-doc lines removed, within-doc repetition kept") {
+    val docs = Seq(
+      (0L, "cookie banner\nunique zero\ncookie banner"), // repeats WITHIN 0
+      (1L, "cookie banner\nunique one"),
+      (2L, "cookie banner\nunique two\ntwo docs line"),
+      (3L, "two docs line\nunique three"),
+      (4L, "cookie banner")).toDF("doc_id", "text")
+    val out = Dedup.boilerplateLines(docs, "doc_id", "text", minDupDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // "cookie banner" in docs {0,1,2,4} >= 3 → boilerplate everywhere
+    // (both copies inside doc 0); "two docs line" in 2 docs only → kept
+    assert(out(0L) === (("unique zero", 3L, 2L)))
+    assert(out(1L) === (("unique one", 2L, 1L)))
+    assert(out(2L) === (("unique two\ntwo docs line", 3L, 1L)))
+    assert(out(3L) === (("two docs line\nunique three", 2L, 0L)))
+    // the pure-chrome doc survives as an EMPTY row, not a dropped one
+    assert(out(4L) === (("", 1L, 1L)))
+  }
+
+  test("boilerplateLines ≡ naive recompute on random corpora") {
+    val rnd = new scala.util.Random(20260814L)
+    val vocabLines = Vector("alpha beta", "gamma", "delta eps", "zeta",
+      "eta theta", "iota", "", "kappa")
+    for (trial <- 0 until 4) {
+      val corpus = (0 until 30).map { id =>
+        val nLines = 1 + rnd.nextInt(6)
+        (id.toLong,
+          Seq.fill(nLines)(vocabLines(rnd.nextInt(vocabLines.length)))
+            .mkString("\n"))
+      }
+      val minDup = 2 + trial % 2
+      val got = Dedup.boilerplateLines(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", minDupDocs = minDup)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      val docFreq = corpus.flatMap { case (id, t) =>
+        t.split("\n", -1).distinct.map(l => (l, id)) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.size }
+      corpus.foreach { case (id, t) =>
+        val lines = t.split("\n", -1)
+        val kept = lines.filter(l => docFreq(l) < minDup)
+        val want = (kept.mkString("\n"), lines.length.toLong,
+          (lines.length - kept.length).toLong)
+        assert(got(id) === want, s"trial $trial doc $id")
+      }
+    }
+  }
+
+  test("minhashBandingReport ≡ exact driver replay (hashes, buckets, truth)") {
+    // small corpus with exact dups, near-dups and unrelated docs so the
+    // report has every error term available
+    val base = "a b c d e f g h i j"
+    val corpus = Seq(
+      0L -> base, 1L -> base, // J = 1
+      2L -> "a b c d e f g h i X", // near 0/1
+      3L -> "a b c d e Y f g h i", 4L -> "p q r s t u v w x y",
+      5L -> "p q r s t u v w x Z", 6L -> "m n o m n o m n o m",
+      7L -> "c d e f g h i j a b")
+    val n = 3; val numHashes = 8; val bands = 4; val threshold = 0.5
+    val got = Dedup.minhashBandingReport(corpus.toDF("id", "text"),
+      "id", "text", n, numHashes, bands, threshold).collect().head
+
+    def shingles(t: String): Vector[String] = {
+      val toks = t.trim.split("\\s+").toVector.filter(_.nonEmpty)
+      if (toks.length < n) Vector.empty
+      else toks.sliding(n).map(_.mkString(" ")).toVector.distinct
+    }
+    def sha52(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.substring(0, 13), 16)
+    }
+    val sets = corpus.map { case (id, t) => id -> shingles(t) }
+      .filter(_._2.nonEmpty)
+    val truth = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      shared = sa.toSet.intersect(sb.toSet).size
+      j = shared.toDouble / (sa.size + sb.size - shared) if j >= threshold
+    } yield (ia, ib)).toSet
+    val buckets = sets.map { case (id, sh) =>
+      val mins = (0 until numHashes)
+        .map(i => sh.map(s => sha52(s"$i:$s")).min)
+      id -> (0 until bands).map(j =>
+        (j, mins.slice(j * 2, j * 2 + 2).mkString("|")))
+    }
+    val cand = (for {
+      (ia, ba) <- buckets; (ib, bb) <- buckets
+      if ia < ib && ba.exists(bb.contains)
+    } yield (ia, ib)).toSet
+    val tp = cand.intersect(truth).size.toLong
+    assert(got.getLong(0) === truth.size.toLong, "n_truth")
+    assert(got.getLong(1) === cand.size.toLong, "n_candidates")
+    assert(got.getLong(2) === tp, "tp")
+    assert(got.getLong(3) === cand.size - tp, "fp")
+    assert(got.getLong(4) === truth.size - tp, "fn")
+    assert(got.getDouble(5) === tp.toDouble / cand.size, "precision")
+    assert(got.getDouble(6) === tp.toDouble / truth.size, "recall")
+  }
 }

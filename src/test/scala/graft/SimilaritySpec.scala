@@ -160,6 +160,32 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id", "rank")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(bigTopK === exactTopK)
+    // incremental maintenance path: cells frozen on the even-id half,
+    // the FULL corpus assigned and served — registered params, ≡ exact
+    val extTopK = Similarity.ivfTopKIncremental(
+        emb.filter(col("vec_id") % 2 === 0), emb, queries,
+        "vec_id", "embedding", 5, numCentroids = 256, nProbe = 224)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(extTopK === exactTopK)
+  }
+
+  test("ivfTopKIncremental at full probe ≡ brute force: no vector lost in assignment") {
+    // vectors ABSENT from training (odd ids) must still be assigned to
+    // some frozen cell and retrievable; probing every cell then equals
+    // the exhaustive scan regardless of how bad the frozen cells are
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 4)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Similarity.ivfTopKIncremental(
+        emb.filter(col("vec_id") % 2 === 0), emb, queries,
+        "vec_id", "embedding", 4, numCentroids = 8, nProbe = 8)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full === exact)
   }
 
   test("trainCentroidsMiniBatch: deterministic, cumulative-count update, small-corpus clamp") {
