@@ -304,6 +304,13 @@ object SparkEntry {
       Analytics.ewmaSmooth(Tables.events(s, dir), "event_type", "ts",
           "value", alpha = 0.5)
         .orderBy("event_type", "day")),
+    // weekly seasonal component of the order-revenue series (~1100
+    // daily points span every ISO weekday ≥ 150×): per-dow mean and
+    // the multiplicative seasonal index vs the grand daily mean
+    "q_seasonal_dow" -> ((s, dir) =>
+      Analytics.seasonalProfile(Tables.orders(s, dir), "o_orderdate",
+          "o_totalprice")
+        .orderBy("dow")),
     // count-spike anomaly ranking: today's count vs trailing-14-day
     // median, top 20 by score — rank-based emission keeps the query
     // non-degenerate at every SF (the fixture's Poisson noise shrinks
@@ -2532,6 +2539,20 @@ object SparkEntry {
       Scale.temperatureRates(Tables.documents(s, dir), "source",
           alphaQuarters = 3)
         .orderBy("source")),
+    // token-budget allocation: integer weight shares (derived here from
+    // the source digits so the recipe replays anywhere) over a 1M-token
+    // budget — target tokens in exact BIGINT arithmetic, epochs as the
+    // one double. The plan a loader executes via upsample/subsample
+    "q_token_budget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val weights = docs.select(col("source")).distinct()
+        .select(col("source"),
+          (regexp_extract(col("source"), "([0-9]+)", 1).cast("long") + 1)
+            .as("w_parts"))
+      Scale.tokenBudgetPlan(docs, "source", "text", weights,
+          budgetTokens = 1000000L)
+        .orderBy("source")
+    }),
     // Gopher rule gate (Rae et al. Table A1): every rule measurement +
     // the combined pass, one codegen projection per row
     "q_gopher_rules" -> ((s, dir) =>
@@ -4077,6 +4098,26 @@ object SparkEntry {
                FROM c, t),
          z AS (SELECT sum(q) AS z_tot FROM s)
          SELECT source, n, p, q / z_tot AS p_temp FROM s, z ORDER BY source""",
+    // budget · share // Σshares in BIGINT, epochs the one double
+    "q_token_budget" ->
+      """WITH w AS (SELECT source,
+                CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) + 1
+                  AS w_parts
+              FROM (SELECT DISTINCT source FROM documents)),
+         t AS (SELECT sum(w_parts) AS parts FROM w),
+         c AS (SELECT source,
+                 CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                   AS BIGINT) AS n_tokens
+               FROM documents
+               WHERE text IS NOT NULL AND length(trim(text)) > 0
+               GROUP BY 1)
+         SELECT c.source, c.n_tokens, w.w_parts,
+                (CAST(1000000 AS BIGINT) * w.w_parts) // t.parts
+                  AS target_tokens,
+                CAST((CAST(1000000 AS BIGINT) * w.w_parts) // t.parts
+                  AS DOUBLE) / c.n_tokens AS epochs
+         FROM c JOIN w ON w.source = c.source CROSS JOIN t
+         ORDER BY c.source""",
     "q_gopher_rules" ->
       s"""${gopherRulesCtes()}
          SELECT doc_id, n_words, mean_word_len, symbol_ratio,
@@ -4934,6 +4975,21 @@ object SparkEntry {
                         AND d.rn = s.rn + 1)
          SELECT event_type, day, x AS daily_value, ewma
          FROM s ORDER BY event_type, day""",
+    // dow seasonal profile: daily totals → ISO-weekday means and the
+    // index vs the grand daily mean (two divisions, tolerance-safe)
+    "q_seasonal_dow" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                sum(o_totalprice) AS day_total
+              FROM orders GROUP BY 1),
+         g AS (SELECT avg(day_total) AS gm FROM daily),
+         p AS (SELECT CAST(isodow(day) AS INT) AS dow,
+                      count(*) AS n_days,
+                      sum(day_total) AS total_sales,
+                      avg(day_total) AS mean_sales
+               FROM daily GROUP BY 1)
+         SELECT p.dow, p.n_days, p.total_sales, p.mean_sales,
+                p.mean_sales / g.gm AS seasonal_index
+         FROM p, g ORDER BY dow""",
     // trailing-median spike scores: integer counts, one final double
     // division, full deterministic order under the top-20 cut
     "q_count_anomalies" ->

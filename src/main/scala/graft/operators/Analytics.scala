@@ -650,6 +650,40 @@ object Analytics {
         col("win.s").as("cusum"))
   }
 
+  /** Day-of-week seasonal profile of a value series — the classical
+    * multiplicative decomposition's seasonal component at weekly
+    * period: daily totals first (the series), then per-ISO-weekday
+    * count/total/mean and the seasonal index mean(dow) / grand daily
+    * mean (index > 1 = the weekday runs hot). The input is raw events;
+    * the profile is what capacity planning, anomaly baselines
+    * ([[countAnomalies]]' trailing median is the trend-side complement)
+    * and sampling calendars consume.
+    *
+    * Scale: one map-side-combined daily aggregation (the series is
+    * days-sized from there on), a 7-row profile aggregation, and the
+    * grand mean as a broadcast 1-row frame. Weekday is ISO (1 = Monday
+    * .. 7 = Sunday — `weekday() + 1`, DuckDB `isodow`). The divisions
+    * are the only doubles; totals are exact sums of the input values.
+    * Output: (dow, n_days, total_sales, mean_sales, seasonal_index). */
+  def seasonalProfile(df: DataFrame, tsCol: String,
+      valCol: String): DataFrame = {
+    val daily = df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valCol)).as("day_total"))
+      .materialized // feeds the grand mean AND the dow profile
+    val grand = daily.agg(avg(col("day_total")).as("grand_mean"))
+    daily
+      .select((weekday(col("day")) + 1).cast("int").as("dow"),
+        col("day_total"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("day_total")).as("total_sales"),
+        avg(col("day_total")).as("mean_sales"))
+      .crossJoin(broadcast(grand))
+      .select(col("dow"), col("n_days"), col("total_sales"),
+        col("mean_sales"),
+        (col("mean_sales") / col("grand_mean")).as("seasonal_index"))
+  }
+
   /** Mann–Kendall trend test per key over the daily series:
     * S = Σ_{i<j} sign(xⱼ − xᵢ) and Kendall's τ = S / (n(n−1)/2) — the
     * standard nonparametric "is there a monotone trend" statistic.

@@ -130,6 +130,47 @@ object Scale {
         (col("__q") / col("__Z")).as("p_temp"))
   }
 
+  /** Token-budget allocation — the mixture-planning step between a
+    * weight recipe ([[headCapRates]] / [[temperatureRates]] produce
+    * one; DoReMi-style tuning produces another) and a training run:
+    * given integer weight SHARES per source and a total token budget,
+    * how many tokens of each source to draw and how many epochs of its
+    * corpus that is (epochs > 1 ⇒ the loader repeats the source —
+    * [[upsampleByWeight]]'s regime; ≪ 1 ⇒ it subsamples).
+    *
+    * target_tokens = budget · share / Σshares in pure BIGINT
+    * arithmetic (exact, engine-portable; the ±1-token floor remainder
+    * is the price); epochs = target / n_tokens, the one double. Token
+    * counts are whitespace-word counts ([[TextAnalysis]] conventions);
+    * swap in BPE counts upstream for model-true budgets. Sources
+    * missing from `weights` are excluded (weight 0); weighted sources
+    * absent from the corpus don't appear (nothing to draw from).
+    *
+    * Scale: ONE map-side-combined token-count aggregation over the
+    * corpus; weights and the share total are broadcast 1-row/tiny
+    * frames. Output: (source, n_tokens, w_parts, target_tokens,
+    * epochs). */
+  def tokenBudgetPlan(df: DataFrame, sourceCol: String, textCol: String,
+      weights: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    val w = weights.select(col("source"), col("w_parts").cast("long")
+      .as("w_parts"))
+    val tot = w.agg(sum(col("w_parts")).as("__parts"))
+    val counts = df
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(sourceCol).as("source"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("__n"))
+      .groupBy("source").agg(sum(col("__n")).as("n_tokens"))
+    counts.join(broadcast(w), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        expr(s"CAST($budgetTokens AS BIGINT) * w_parts DIV __parts"))
+      .select(col("source"), col("n_tokens"), col("w_parts"),
+        col("target_tokens"),
+        (col("target_tokens").cast("double") / col("n_tokens"))
+          .as("epochs"))
+  }
+
   /** Deterministic head-cap sample: keep a row iff
     * `id % den < floor(rate(group) · den)`. Same dense-id uniform
     * variate as [[modSample]] (swap in xxhash64 for sparse/clustered

@@ -513,6 +513,36 @@ object Similarity {
       math.min(nProbe, cents.length))
   }
 
+  /** ANN evaluation harness — recall@k of an approximate top-k result
+    * frame against the exact one (both in this family's
+    * (query_id, neighbor_id, rank) shape): the measurement behind every
+    * "recall-1 at tuned parameters" claim in this file, exposed as an
+    * operator so a pipeline can run the SAME tuning sweep on its own
+    * corpus before committing LSH table counts / IVF probe budgets
+    * (the [[graft.operators.Dedup.minhashBandingReport]] counterpart
+    * for the serving side).
+    *
+    * Per query: n_hit = |approx∩exact| within rank ≤ k, n_exact ≤ k
+    * (boundary queries can have fewer than k true neighbors), recall =
+    * n_hit / n_exact. Queries the approximate index returned NOTHING
+    * for still appear (n_hit 0) — silent-miss-proof. Cost: one semi
+    * join + two k-bounded aggregations over result frames (rows ≈
+    * queries × k, never corpus-sized). */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val e = exact.filter(col("rank") <= k).select("query_id", "neighbor_id")
+    val a = approx.filter(col("rank") <= k).select("query_id", "neighbor_id")
+    val hits = e.join(a, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    e.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_exact"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"))
+          .as("recall"))
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (PQ) — compressed-store ANN
   // ------------------------------------------------------------------

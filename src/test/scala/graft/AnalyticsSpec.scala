@@ -810,4 +810,23 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(zero === Map(1L -> 0))
   }
+
+  test("seasonalProfile: ISO weekdays, daily totals first, index vs grand mean") {
+    // two Monday DAYS (one split into two events — must total per day
+    // BEFORE averaging), one Tuesday, one Sunday; grand daily mean 25
+    val events = Seq(
+      ("2026-08-03 09:00:00", 4.0), ("2026-08-03 17:00:00", 6.0),
+      ("2026-08-10 12:00:00", 20.0),
+      ("2026-08-04 08:00:00", 30.0),
+      ("2026-08-09 23:00:00", 40.0))
+      .toDF("ts", "v").select(col("ts").cast("timestamp").as("ts"), col("v"))
+    val got = Analytics.seasonalProfile(events, "ts", "v")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet === Set(1, 2, 7)) // Mon, Tue, Sun — ISO numbering
+    assert(got(1) === ((2L, 30.0, 15.0, 15.0 / 25.0)))
+    assert(got(2) === ((1L, 30.0, 30.0, 30.0 / 25.0)))
+    assert(got(7) === ((1L, 40.0, 40.0, 40.0 / 25.0)))
+  }
 }

@@ -574,4 +574,24 @@ class ScaleSpec extends SparkSpec {
     assert(multiRounds > 0 && multiRounds < singleRounds.sum,
       s"multi=$multiRounds singles=$singleRounds")
   }
+
+  test("tokenBudgetPlan: exact integer targets, epochs, weight-join semantics") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", "one two three"), ("a", "four five"), // a: 5 tokens
+      ("b", "x y z w"),                           // b: 4 tokens
+      ("b", "   "), ("b", null.asInstanceOf[String]), // blank/null excluded
+      ("c", "only tokens here")                   // c: unweighted → dropped
+    ).toDF("source", "text")
+    val weights = Seq(("a", 3L), ("b", 1L), ("d", 6L)).toDF("source", "w_parts")
+    val got = Scale.tokenBudgetPlan(docs, "source", "text", weights,
+        budgetTokens = 1001L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // Σparts = 10 INCLUDING the corpus-absent source d (its share of
+    // the budget is reserved, not redistributed); floor division
+    assert(got.keySet === Set("a", "b")) // c unweighted, d has no corpus
+    assert(got("a") === ((5L, 3L, 300L, 300.0 / 5)))
+    assert(got("b") === ((4L, 1L, 100L, 100.0 / 4)))
+  }
 }

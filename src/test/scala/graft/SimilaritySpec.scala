@@ -170,6 +170,34 @@ class SimilaritySpec extends SparkSpec {
     assert(extTopK === exactTopK)
   }
 
+  test("recallAtK: per-query hits, silent-miss rows, full-probe recall 1") {
+    val exact = Seq((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3),
+      (1L, 20L, 1), (1L, 21L, 2),
+      (2L, 30L, 1)).toDF("query_id", "neighbor_id", "rank")
+    // query 0 found 2 of 3 (one of them at a different rank — recall
+    // counts membership, not rank); query 1 found a WRONG neighbor;
+    // query 2 returned nothing and must still appear with n_hit 0
+    val approx = Seq((0L, 12L, 1), (0L, 10L, 2), (0L, 99L, 3),
+      (1L, 99L, 1)).toDF("query_id", "neighbor_id", "rank")
+    val got = Similarity.recallAtK(exact, approx, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0L) === ((2L, 3L, 2.0 / 3)))
+    assert(got(1L) === ((0L, 2L, 0.0)))
+    assert(got(2L) === ((0L, 1L, 0.0)))
+    // the tuning-sweep read: registered-parameter IVF on the fixture
+    // measures recall 1 on every query (the oracle contract, measured
+    // by the harness instead of asserted by set equality)
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val ex = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      numCentroids = 16, nProbe = 14)
+    val rec = Similarity.recallAtK(ex, ivf, k = 5)
+      .collect().map(_.getDouble(3))
+    assert(rec.nonEmpty && rec.forall(_ === 1.0))
+  }
+
   test("ivfTopKIncremental at full probe ≡ brute force: no vector lost in assignment") {
     // vectors ABSENT from training (odd ids) must still be assigned to
     // some frozen cell and retrievable; probing every cell then equals
