@@ -171,5 +171,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             tableOf(strLit(r, "asof_join", "right_table")), keyC, tsC,
             Seq(strLit(v, "asof_join", "value_col")))
           .queryExecution.logical }))
+
+    ext.injectTableFunction((FunctionIdentifier("boilerplate_lines"),
+      info("boilerplate_lines",
+        "boilerplate_lines(table, id_col, text_col, min_dup_docs) - " +
+          "remove lines occurring in >= min_dup_docs distinct documents " +
+          "(id, text, n_lines, n_dropped)"),
+      { case Seq(t, id, text, m) =>
+        graft.operators.Dedup.boilerplateLines(
+            tableOf(strLit(t, "boilerplate_lines", "table")),
+            strLit(id, "boilerplate_lines", "id_col"),
+            strLit(text, "boilerplate_lines", "text_col"),
+            intLit(m, "boilerplate_lines", "min_dup_docs"))
+          .queryExecution.logical }))
   }
 }

@@ -726,6 +726,48 @@ object ScaleProbe {
       println(f"RPCAPROBE k=$k%d rows=${2000 * k}%d d=$d%d " +
         f"rpca=$tr%.1fs cos=$cos%.4f")
     }
+
+    // Round-8 session 2: cross-doc boilerplate lines, minhash banding
+    // P/R report, incremental IVF. Caesar-shifted replicas keep line /
+    // shingle universes disjoint per replica (dup & truth volumes
+    // linear in K); embeddings replicate by the ann probe's sign-flip.
+    for (k <- Seq(1, 2, 4, 8) if on("r8b")) {
+      val docs = (0 until k).map { i =>
+        val shifted = alpha.drop(i) + alpha.take(i)
+        base.select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          translate(regexp_replace(col("text"), " the ", "\n"),
+            alpha, shifted).as("text"))
+      }.reduce(_ unionAll _)
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (tb, nb) = time(
+        Dedup.boilerplateLines(docs, "doc_id", "text", minDupDocs = 3)
+          .agg(sum("n_dropped")).collect().head.getLong(0))
+      val (tm, nm) = time(
+        Dedup.minhashBandingReport(docs, "doc_id", "text", 3, 16, 8, 0.6)
+          .collect().head.getLong(1)) // n_candidates
+      val rng = new scala.util.Random(13)
+      val emb8 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      val corpus = (0 until k).map { i =>
+        val signs = Array.fill(64)(if (rng.nextBoolean()) 1.0f else -1.0f)
+        emb8.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          zip_with(col("embedding"),
+            array(signs.map(lit).toIndexedSeq: _*), (a, b) => a * b)
+            .as("embedding"))
+      }.reduce(_ unionAll _)
+      val (ti, ni) = time(
+        Similarity.ivfTopKIncremental(
+          corpus.filter(col("vec_id") % 2 === 0), corpus,
+          corpus.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+          numCentroids = 256, nProbe = 224).count())
+      println(f"R8BPROBE k=$k%d docs=${5000 * k}%d " +
+        f"boilerplate=$tb%.1fs($nb%d dropped) bandingpr=$tm%.1fs($nm%d cand) " +
+        f"ivfinc=$ti%.1fs($ni%d rows)")
+    }
     spark.stop()
   }
 }

@@ -92,6 +92,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sqlRows.nonEmpty)
   }
 
+  test("boilerplate_lines TVF ≡ the Scala operator") {
+    Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), " the ", "\n").as("text"))
+      .createOrReplaceTempView("tvf_bp_docs")
+    val sqlRows = spark.sql(
+      """SELECT doc_id, text, n_lines, n_dropped
+         FROM boilerplate_lines('tvf_bp_docs', 'doc_id', 'text', 3)
+         ORDER BY doc_id""").collect().toSeq
+    val apiRows = graft.operators.Dedup.boilerplateLines(
+        spark.table("tvf_bp_docs"), "doc_id", "text", minDupDocs = 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(sqlRows === apiRows)
+    assert(sqlRows.exists(_.getLong(3) > 0)) // real drops on the fixture
+  }
+
   test("embedding_topk TVF: a SQL-only ANN query ≡ the Scala operator") {
     val emb = Tables.embeddings(spark, sf)
     emb.createOrReplaceTempView("tvf_emb")
