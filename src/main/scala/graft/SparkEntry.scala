@@ -1353,6 +1353,30 @@ object SparkEntry {
     // classifier decides QUALITY; containment removes directed
     // redundancy the symmetric near-dup recipes cannot see. Mod-2
     // slice, the v3 cost precedent
+    // v5: the RefinedWeb ORDER — cross-doc boilerplate-line removal
+    // FIRST, then the gates run on the CLEANED text (a doc can fail a
+    // length floor only after its chrome is stripped, and the
+    // classifier must not score boilerplate tokens): line pass →
+    // ≥ 40-token floor (splits the corpus ~2:1 at every SF) →
+    // integer-exact classifier gate. Emits the cleaning accounting
+    "q_curated_corpus_v5" -> ((s, dir) => {
+      val wrapped = Tables.documents(s, dir).select(col("doc_id"),
+        regexp_replace(col("text"), " the ", "\n").as("text"))
+      val cleaned = Dedup.boilerplateLines(wrapped, "doc_id", "text",
+          minDupDocs = 3)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "\n", " ").as("text"),
+          col("n_lines"), col("n_dropped"))
+      val pos = TextAnalysis.qualityClassifier(cleaned, "doc_id", "text",
+          TextAnalysis.classifierFixtureWeights(s), buckets = 4096)
+        .filter(col("label")).select("doc_id")
+      cleaned
+        .filter(length(trim(col("text"))) > 0 &&
+          size(split(trim(col("text")), "\\s+")) >= 40)
+        .join(pos, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("n_lines"), col("n_dropped"))
+        .orderBy("doc_id")
+    }),
     "q_curated_corpus_v4" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
       val pos = TextAnalysis.qualityClassifier(docs, "doc_id", "text",
@@ -4131,6 +4155,54 @@ object SparkEntry {
          WHERE r.pass ORDER BY d.doc_id""",
     // v4: classifier chain ∩ NOT (contained ≥0.9 in a longer doc) —
     // both CTE families restated over the mod-2 slice
+    // v5: boilerplate CTEs produce the cleaned corpus, the classifier
+    // chain and the token floor then run on the CLEANED text
+    "q_curated_corpus_v5" ->
+      """WITH w AS (SELECT doc_id, replace(text, ' the ', chr(10)) AS text
+              FROM documents),
+         t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM w),
+         ln AS (SELECT doc_id, ls[i] AS l, i
+                FROM t, LATERAL unnest(generate_series(1, len(ls)))
+                  AS g(i)),
+         ldf AS (SELECT l, count(DISTINCT doc_id) AS ddf FROM ln GROUP BY 1),
+         keep AS (SELECT ln.doc_id, ln.l, ln.i
+                  FROM ln JOIN ldf ON ldf.l = ln.l WHERE ldf.ddf < 3),
+         agg AS (SELECT doc_id,
+                   string_agg(l, chr(10) ORDER BY i) AS text,
+                   count(*) AS n_kept
+                 FROM keep GROUP BY 1),
+         cl AS (SELECT t.doc_id,
+                       replace(coalesce(a.text, ''), chr(10), ' ') AS text,
+                       CAST(len(t.ls) AS BIGINT) AS n_lines,
+                       CAST(len(t.ls) - coalesce(a.n_kept, 0) AS BIGINT)
+                         AS n_dropped
+                FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id),
+         toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+                  FROM cl WHERE length(trim(text)) > 0),
+         feats AS (
+           SELECT doc_id, 'u:' || unnest(tk) AS f FROM toks
+           UNION ALL
+           SELECT doc_id, 'b:' || tk[i] || ' ' || tk[i + 1] AS f
+           FROM toks, LATERAL unnest(generate_series(1, len(tk) - 1))
+             AS g2(i)
+           WHERE len(tk) >= 2),
+         fb AS (SELECT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(
+                      substring(sha256(f), 1, 13), ''),
+                      c -> CAST(instr('0123456789abcdef', c) - 1
+                        AS BIGINT))),
+                    (acc, x) -> acc * 16 + x) % 4096 AS bucket
+                FROM feats),
+         perdoc AS (SELECT doc_id, bucket, count(*) AS c
+                    FROM fb GROUP BY 1, 2),
+         pos AS (SELECT doc_id FROM perdoc GROUP BY doc_id
+                 HAVING sum(c * (((bucket * 2654435761 + 104729) % 2001)
+                   - 1000)) > 0),
+         sized AS (SELECT doc_id FROM toks WHERE len(tk) >= 40)
+         SELECT cl.doc_id, cl.n_lines, cl.n_dropped
+         FROM cl JOIN pos USING (doc_id) JOIN sized USING (doc_id)
+         ORDER BY cl.doc_id""",
     "q_curated_corpus_v4" ->
       s"""WITH d AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
          toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
