@@ -1172,6 +1172,22 @@ object SparkEntry {
           col("doc_id"),
           TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
+    // Unicode-script routing: the fixture is pure ASCII, so a
+    // deterministic mixed-script tail is appended IN the query:
+    // doc_id%5 Cyrillic U+043F, %3 CJK U+4E2D, %2 Arabic U+0645 —
+    // every script count/fraction and the dominance tie-break
+    // exercised on every row, cross-engine. Spark side uses string
+    // literals (Spark's chr() is ASCII-mod-256, NOT DuckDB's
+    // codepoint chr — measured, not assumed)
+    "q_script_mix" -> ((s, dir) =>
+      TextAnalysis.scriptMix(
+        Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            repeat(lit("п"), pmod(col("doc_id"), lit(5)).cast("int")),
+            repeat(lit("中"), pmod(col("doc_id"), lit(3)).cast("int")),
+            repeat(lit("م"), pmod(col("doc_id"), lit(2)).cast("int")))
+            .as("text")),
+        "doc_id", "text").orderBy("doc_id")),
     "q_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(
           col("doc_id"),
@@ -3619,6 +3635,47 @@ object SparkEntry {
                 + least(stop_ratio * 5.0, 1.0) * 0.2
                 + (1.0 - least(abs(avg_len - 5.0) / 5.0, 1.0)) * 0.2 AS quality
          FROM g ORDER BY doc_id""",
+    // identical \x{...} regex classes (the RE2/java.util.regex shared
+    // spelling) over the same chr-built mixed tail
+    "q_script_mix" ->
+      """WITH d AS (SELECT doc_id,
+                text || repeat(chr(1087), CAST(doc_id % 5 AS INT))
+                     || repeat(chr(20013), CAST(doc_id % 3 AS INT))
+                     || repeat(chr(1605), CAST(doc_id % 2 AS INT)) AS text
+              FROM documents WHERE text IS NOT NULL),
+         c AS (SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   AS BIGINT) AS n_latin,
+                 CAST(length(regexp_replace(text, '[^\x{0400}-\x{04FF}]', '', 'g'))
+                   AS BIGINT) AS n_cyrillic,
+                 CAST(length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g'))
+                   AS BIGINT) AS n_cjk,
+                 CAST(length(regexp_replace(text, '[^\x{0600}-\x{06FF}]', '', 'g'))
+                   AS BIGINT) AS n_arabic
+               FROM d)
+         SELECT doc_id, n_chars, n_latin, n_cyrillic, n_cjk, n_arabic,
+                CASE WHEN n_chars > 0
+                     THEN CAST(n_latin AS DOUBLE) / n_chars ELSE 0.0 END
+                  AS latin_frac,
+                CASE WHEN n_chars > 0
+                     THEN CAST(n_cyrillic AS DOUBLE) / n_chars ELSE 0.0 END
+                  AS cyrillic_frac,
+                CASE WHEN n_chars > 0
+                     THEN CAST(n_cjk AS DOUBLE) / n_chars ELSE 0.0 END
+                  AS cjk_frac,
+                CASE WHEN n_chars > 0
+                     THEN CAST(n_arabic AS DOUBLE) / n_chars ELSE 0.0 END
+                  AS arabic_frac,
+                CASE WHEN n_latin + n_cyrillic + n_cjk + n_arabic = 0
+                       THEN 'other'
+                     WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk
+                       AND n_latin >= n_arabic THEN 'latin'
+                     WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_arabic
+                       THEN 'cyrillic'
+                     WHEN n_cjk >= n_arabic THEN 'cjk'
+                     ELSE 'arabic' END AS dominant
+         FROM c ORDER BY doc_id""",
     "q_lang_id" ->
       """WITH s AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
          c AS (SELECT doc_id,

@@ -102,6 +102,53 @@ object TextAnalysis {
   def langId(text: Column): Column =
     graft.expressions.LangId.langId(text, langMarkers)
 
+  /** Unicode-script mix profile — the routing step BEFORE any
+    * language-specific processing (marker-word [[langId]] only works on
+    * space-delimited Latin text; a multilingual crawl first needs "what
+    * script is this page even in"): per-document counts of Latin
+    * letters, Cyrillic, CJK unified ideographs and Arabic, their
+    * fractions of the total character count, and the dominant script
+    * under a fixed precedence (latin > cyrillic > cjk > arabic on
+    * ties; "other" when no counted script appears).
+    *
+    * Counting is regex-class character stripping with `\\x{...}` range
+    * spellings — the ONE class syntax java.util.regex and RE2 share, so
+    * the oracle runs the identical classes. Purely scan-local (four
+    * regex passes per row, no shuffle); docs with NULL text are
+    * omitted. Fractions are single exact divisions by the char count.
+    *
+    * Output: (id, n_chars, n_latin, n_cyrillic, n_cjk, n_arabic,
+    * latin_frac, cyrillic_frac, cjk_frac, arabic_frac, dominant). */
+  def scriptMix(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def n(cls: String): Column =
+      length(regexp_replace(col(textCol), s"[^$cls]", ""))
+    val counts = df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        n("A-Za-z").cast("long").as("n_latin"),
+        n("\\x{0400}-\\x{04FF}").cast("long").as("n_cyrillic"),
+        n("\\x{4E00}-\\x{9FFF}").cast("long").as("n_cjk"),
+        n("\\x{0600}-\\x{06FF}").cast("long").as("n_arabic"))
+    def frac(c: Column): Column =
+      when(col("n_chars") > 0, c.cast("double") / col("n_chars"))
+        .otherwise(lit(0.0))
+    counts.select(col(idCol), col("n_chars"), col("n_latin"),
+      col("n_cyrillic"), col("n_cjk"), col("n_arabic"),
+      frac(col("n_latin")).as("latin_frac"),
+      frac(col("n_cyrillic")).as("cyrillic_frac"),
+      frac(col("n_cjk")).as("cjk_frac"),
+      frac(col("n_arabic")).as("arabic_frac"),
+      when(col("n_latin") + col("n_cyrillic") + col("n_cjk") +
+          col("n_arabic") === 0, lit("other"))
+        .when(col("n_latin") >= col("n_cyrillic") &&
+          col("n_latin") >= col("n_cjk") &&
+          col("n_latin") >= col("n_arabic"), lit("latin"))
+        .when(col("n_cyrillic") >= col("n_cjk") &&
+          col("n_cyrillic") >= col("n_arabic"), lit("cyrillic"))
+        .when(col("n_cjk") >= col("n_arabic"), lit("cjk"))
+        .otherwise(lit("arabic")).as("dominant"))
+  }
+
   /** Column-only reference implementation of [[langId]], kept as the
     * parity spec for the custom expression (asserted equal in tests). */
   def langIdColumns(text: Column): Column = {

@@ -425,16 +425,19 @@ object Dedup {
     * two different lines, P ≈ m²/2⁶⁵ — the documented family trade);
     * surviving line text shuffles once more to reassemble per doc.
     *
-    * Every input document yields an output row: a doc whose EVERY line
-    * was boilerplate comes back with text = "" and n_dropped = n_lines
-    * (the pipeline signal "this page was pure chrome" — unlike
-    * [[dedupSpans]], which drops such docs, the line pass reports
-    * them). Output: (idCol, textCol, n_lines, n_dropped). */
+    * Every non-NULL-text document yields an output row (NULL text has
+    * no lines to classify and is omitted, the family convention): a doc
+    * whose EVERY line was boilerplate comes back with text = "" and
+    * n_dropped = n_lines (the pipeline signal "this page was pure
+    * chrome" — unlike [[dedupSpans]], which drops such docs, the line
+    * pass reports them). Output: (idCol, textCol, n_lines,
+    * n_dropped). */
   def boilerplateLines(docs: DataFrame, idCol: String, textCol: String,
       minDupDocs: Int): DataFrame = {
     require(minDupDocs >= 2,
       s"a line is boilerplate only in >= 2 docs, got minDupDocs = $minDupDocs")
-    val lines = docs
+    val nonNull = docs.filter(col(textCol).isNotNull)
+    val lines = nonNull
       .select(col(idCol),
         posexplode(split(col(textCol), "\n", -1)).as(Seq("__i", "__l")))
       .withColumn("__s", xxhash64(col("__l")))
@@ -452,7 +455,7 @@ object Dedup {
             x => x.getField("__l")),
           "\n").as("__text"),
         count(lit(1)).as("__k"))
-    docs
+    nonNull
       .select(col(idCol),
         size(split(col(textCol), "\n", -1)).cast("long").as("n_lines"))
       .join(kept, Seq(idCol), "left")

@@ -53,4 +53,39 @@ object ParquetLayout {
       .mode("overwrite")
       .parquet(path)
   }
+
+  /** Compact a small-files parquet directory into ~`targetBytes` files —
+    * the operational fix for the scan-killer a long-running incremental
+    * pipeline accretes (every micro-batch/task writes its own file;
+    * 10⁶ 100 KB files cost 10⁶ opens + footer reads and starve the
+    * scheduler with single-row-group splits). File count is computed
+    * from the INPUT's on-disk bytes (compressed size is the only
+    * reliable estimator for its own re-write), then one round-robin
+    * repartition → write. Returns (input files, input bytes, output
+    * files).
+    *
+    * Deliberately NOT coalesce(): coalesce would chain input partitions
+    * without a shuffle, keeping any input skew; compaction is a
+    * once-per-era maintenance pass whose single shuffle buys evenly
+    * sized output. Sort/cluster the data first (zorderLayout,
+    * repartitionByRange) if scan locality matters — compact preserves
+    * rows, not order. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long): (Int, Long, Int) = {
+    require(targetBytes >= 1024 * 1024,
+      s"targetBytes $targetBytes below any sane parquet file size")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && n.endsWith(".parquet") && !n.startsWith("_")
+    }
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+      .min(Int.MaxValue).toInt
+    spark.read.parquet(inPath)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    (files.length, totalBytes, nOut)
+  }
 }

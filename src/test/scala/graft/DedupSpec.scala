@@ -789,6 +789,15 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === (("two docs line\nunique three", 2L, 0L)))
     // the pure-chrome doc survives as an EMPTY row, not a dropped one
     assert(out(4L) === (("", 1L, 1L)))
+    // NULL text is omitted (no lines to classify), and its absence
+    // must not perturb any doc-frequency count
+    val withNull = docs.unionByName(
+      Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val out2 = Dedup.boilerplateLines(withNull, "doc_id", "text",
+        minDupDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out2 === out)
   }
 
   test("boilerplateLines ≡ naive recompute on random corpora") {

@@ -123,4 +123,31 @@ class ParquetPushdownSpec extends SparkSpec {
       spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
     }
   }
+
+  test("compact: small-files directory rewritten to the computed file count, rows preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // 64 tiny files (one per partition)
+    spark.range(0, 100000, 1, 64)
+      .select(col("id"), sha2(col("id").cast("string"), 256).as("payload"))
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val inFiles = new java.io.File(s"$dir/in").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(inFiles === 64)
+    val inBytes = new java.io.File(s"$dir/in").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val target = math.max(1024L * 1024, inBytes / 3) // expect ~3 files
+    val (nIn, bytes, nOut) = graft.sources.ParquetLayout.compact(
+      spark, s"$dir/in", s"$dir/out", target)
+    assert(nIn === 64 && bytes === inBytes)
+    assert(nOut === ((inBytes + target - 1) / target).toInt)
+    val outFiles = new java.io.File(s"$dir/out").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(outFiles === nOut, s"expected $nOut output files, got $outFiles")
+    assert(outFiles < 8, s"compaction must actually shrink: $outFiles")
+    // contents preserved exactly (count + full checksum)
+    val chk = (p: String) => spark.read.parquet(p)
+      .agg(count(lit(1)), sum(col("id")),
+        expr("bit_xor(xxhash64(id, payload))")).collect().head
+    assert(chk(s"$dir/in") === chk(s"$dir/out"))
+  }
 }

@@ -628,4 +628,34 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(freq2.toSeq === Seq("big data"))
   }
+
+  test("scriptMix: planted scripts, tie precedence, empty and null text") {
+    val cyr = "Абв" // Абв
+    val cjk = "中文"       // 中文
+    val ara = "مر"       // مر
+    val docs = Seq(
+      (0L, "plain ascii"),
+      (1L, cyr + cjk),          // 3 cyr vs 2 cjk → cyrillic
+      (2L, "ab" + cyr.take(2)), // 2 vs 2 tie → latin precedence
+      (3L, ara + "!!"),         // arabic only
+      (4L, "1234 !!"),          // no counted script → other
+      (5L, ""),                 // empty: fractions 0, other
+      (6L, null.asInstanceOf[String])) // omitted
+      .toDF("id", "text")
+    val got = TextAnalysis.scriptMix(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getString(10)))).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(got(0L) === ((11L, 10L, 0L, 0L, 0L, "latin")))
+    assert(got(1L) === ((5L, 0L, 3L, 2L, 0L, "cyrillic")))
+    assert(got(2L) === ((4L, 2L, 2L, 0L, 0L, "latin")))
+    assert(got(3L) === ((4L, 0L, 0L, 0L, 2L, "arabic")))
+    assert(got(4L) === ((7L, 0L, 0L, 0L, 0L, "other")))
+    assert(got(5L) === ((0L, 0L, 0L, 0L, 0L, "other")))
+    val fr = TextAnalysis.scriptMix(docs, "id", "text")
+      .filter(col("id") === 1).collect().head
+    assert(fr.getDouble(6) === 0.0 && fr.getDouble(7) === 3.0 / 5 &&
+      fr.getDouble(8) === 2.0 / 5 && fr.getDouble(9) === 0.0)
+  }
 }
