@@ -1542,6 +1542,15 @@ object SparkEntry {
       Dedup.nearDupComponents(docs, "doc_id", jaccardPairs(s, dir))
         .orderBy("doc_id")
     }),
+    // cluster-SIZE histogram over the same labeling: the governance
+    // read ("is dedup a 2% trim or a 40% cut") — rides the cached pair
+    // graph, marginal cost two label-sized aggregations
+    "q_dup_cluster_sizes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.componentSizeProfile(
+          Dedup.nearDupComponents(docs, "doc_id", jaccardPairs(s, dir)))
+        .orderBy("cluster_size")
+    }),
     // the O(log²)-round star-contraction alternative over the SAME pair
     // graph — hash-adjudicated against the same recursive-CTE oracle
     // (previously property-spec'd ≡ min-label only)
@@ -4645,6 +4654,13 @@ object SparkEntry {
     // transitive dedup clusters over the (capped) jaccard pair graph,
     // expressed as min-reachable-id via a recursive CTE
     "q_neardup_components" -> jaccardComponentsOracleSql,
+    // same component chain, histogrammed
+    "q_dup_cluster_sizes" -> (jaccardComponentsCtes +
+      """, cs AS (SELECT component_id, count(*) AS cluster_size
+                  FROM comp GROUP BY 1)
+         SELECT cluster_size, count(*) AS n_clusters,
+                CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         FROM cs GROUP BY 1 ORDER BY cluster_size"""),
     // the star-contraction algorithm must reach the IDENTICAL labeling
     // — components are algorithm-independent, so the same oracle
     // adjudicates it (previously property-spec'd ≡ min-label only)
@@ -6607,7 +6623,7 @@ object SparkEntry {
   /** Min-reachable-id components over the capped-jaccard pair graph as
     * a recursive CTE — shared by the min-label-loop and star-contraction
     * registrations (the labeling is algorithm-independent). */
-  private def jaccardComponentsOracleSql: String =
+  private def jaccardComponentsCtes: String =
       s"""WITH RECURSIVE
          tok AS (SELECT doc_id,
                 list_distinct(CASE WHEN len(string_split_regex(trim(text), '\\s+')) < 3 THEN []
@@ -6630,9 +6646,13 @@ object SparkEntry {
          reach(node, root) AS (
            SELECT doc_id, doc_id FROM documents
            UNION
-           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
-         SELECT node AS doc_id, min(root) AS component_id
-         FROM reach GROUP BY node ORDER BY doc_id"""
+           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         comp AS (SELECT node AS doc_id, min(root) AS component_id
+                  FROM reach GROUP BY node)"""
+
+  private def jaccardComponentsOracleSql: String =
+    jaccardComponentsCtes +
+      """ SELECT doc_id, component_id FROM comp ORDER BY doc_id"""
 
   private def cappedJaccardCtes: String =
       s"""WITH tok AS (SELECT doc_id,

@@ -403,6 +403,24 @@ object Dedup {
         count(lit(1)).as("n_spans_kept"))
   }
 
+  /** Duplication-cluster size profile — the corpus-governance read on
+    * a components labeling ([[nearDupComponents]] output, or any
+    * (id, label) frame): how many clusters of each size exist and how
+    * many documents they hold. The size-1 row is the unduplicated
+    * mass; the tail rows are template farms / mirror sites — the
+    * histogram that decides whether keep-one-per-cluster dedup is a
+    * 2% trim or a 40% cut BEFORE running it. Two tiny aggregations
+    * over the labeling (components-sized, not corpus-sized).
+    * Output: (cluster_size, n_clusters, n_docs). */
+  def componentSizeProfile(components: DataFrame,
+      labelCol: String = "component_id"): DataFrame =
+    components.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
   // ------------------------------------------------------------------
   // Cross-document boilerplate LINE removal
   // ------------------------------------------------------------------

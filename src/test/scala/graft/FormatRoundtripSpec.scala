@@ -70,4 +70,33 @@ class FormatRoundtripSpec extends SparkSpec {
       .option("multiLine", "true").schema(fixture.schema).csv(p3)
     assert(canon(back) === canon(fixture))
   }
+
+  test("corrupt parquet file: loud by default, quarantined under ignoreCorruptFiles") {
+    // a 100 TB lake WILL accrete truncated/garbage files (killed
+    // writers, partial uploads); both failure responses must be
+    // deliberate — loud abort (default: silent data loss is worse than
+    // a failed job) or explicit skip-and-continue for the reads that
+    // prefer availability. The JSONL source solves this with a
+    // per-ROW quarantine (Json.readJsonlFiles); parquet's unit of
+    // corruption is the FILE.
+    val dir = tmp("fmt_corrupt")
+    spark.range(0, 100).select(col("id")).write
+      .mode("overwrite").parquet(s"$dir/t")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/t/part-99999-garbage.parquet"),
+      "this is not a parquet file".getBytes("UTF-8"))
+    val ex = intercept[Exception] {
+      spark.read.schema("id BIGINT").parquet(s"$dir/t").count()
+    }
+    assert(ex.getMessage != null)
+    val prev = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try {
+      val n = spark.read.schema("id BIGINT").parquet(s"$dir/t").count()
+      assert(n === 100L) // every valid row survives, garbage skipped
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", v)
+      case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+    }
+  }
 }
