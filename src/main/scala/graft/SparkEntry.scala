@@ -1188,6 +1188,13 @@ object SparkEntry {
             repeat(lit("م"), pmod(col("doc_id"), lit(2)).cast("int")))
             .as("text")),
         "doc_id", "text").orderBy("doc_id")),
+    // Okapi BM25 top-25 for a 3-term query — the sparse-retrieval
+    // complement to the dense ANN family (rank_fusion is the hybrid
+    // glue). k1 = 5/4, b = 3/4: exact binary constants cross-engine
+    "q_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+          Seq("spark", "query", "vector"), k = 25)
+        .select(col("id").as("doc_id"), col("n_matched"), col("bm25"))),
     "q_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(
           col("doc_id"),
@@ -3685,6 +3692,31 @@ object SparkEntry {
                      WHEN n_cjk >= n_arabic THEN 'cjk'
                      ELSE 'arabic' END AS dominant
          FROM c ORDER BY doc_id""",
+    // identical Okapi arithmetic tree, same association order
+    "q_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS t
+              FROM documents WHERE length(trim(text)) > 0),
+         lens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         na AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+         tf AS (SELECT doc_id, t, count(*) AS tf FROM toks
+                WHERE t IN ('spark', 'query', 'vector') GROUP BY 1, 2),
+         dfr AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+         s AS (SELECT tf.doc_id,
+                 ln((na.n_docs - dfr.df + CAST(0.5 AS DOUBLE))
+                      / (dfr.df + CAST(0.5 AS DOUBLE))
+                    + CAST(1.0 AS DOUBLE))
+                   * tf.tf * CAST(2.25 AS DOUBLE)
+                   / (tf.tf + CAST(1.25 AS DOUBLE)
+                        * (CAST(0.25 AS DOUBLE)
+                           + CAST(0.75 AS DOUBLE) * lens.dl / na.avgdl))
+                   AS s
+               FROM tf JOIN dfr USING (t)
+               JOIN lens ON lens.doc_id = tf.doc_id
+               CROSS JOIN na)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+                sum(s) AS bm25
+         FROM s GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 25""",
     "q_lang_id" ->
       """WITH s AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
          c AS (SELECT doc_id,

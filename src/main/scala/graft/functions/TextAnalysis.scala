@@ -102,6 +102,56 @@ object TextAnalysis {
   def langId(text: Column): Column =
     graft.expressions.LangId.langId(text, langMarkers)
 
+  /** BM25 document scoring for a bag-of-terms query (Robertson &
+    * Zaragoza 2009) — the SPARSE-retrieval complement to the dense ANN
+    * family ([[graft.operators.Similarity]]): production retrieval runs
+    * both and fuses ranks (`Analytics.rankFusion` is the fusion side).
+    * Standard Okapi form: idf = ln((N − df + 0.5)/(df + 0.5) + 1),
+    * score = Σ_t idf·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    * k1/b arrive in QUARTERS (5 → 1.25, 3 → 0.75) so the constants are
+    * exact binary cross-engine.
+    *
+    * Scale shape: ONE corpus tokenize pass serves doc lengths and term
+    * frequencies (the tf side filters to the broadcast query terms
+    * scan-side, so only matching (doc, term) rows aggregate); df and
+    * (N, avgdl) are term-count- and 1-row-sized broadcasts. No shuffle
+    * is corpus-wide except the per-doc length aggregation — the same
+    * bill every per-doc text stat pays.
+    *
+    * Output: top-k (id, n_matched, bm25), score desc, id tiebreak. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, k1Quarters: Int = 5,
+      bQuarters: Int = 3): DataFrame = {
+    require(queryTerms.nonEmpty && k >= 1 && k1Quarters >= 0 &&
+      bQuarters >= 0 && bQuarters <= 4)
+    val k1 = k1Quarters / 4.0
+    val b = bQuarters / 4.0
+    val toks = df
+      .select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0)
+      .materialized // serves lengths AND term frequencies
+    val lens = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val nAvg = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = toks.filter(col("t").isInCollection(queryTerms.distinct))
+      .groupBy("id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("t"))
+      .join(lens, Seq("id"))
+      .crossJoin(broadcast(nAvg))
+      .select(col("id"),
+        (log((col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)) *
+          col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl") / col("avgdl")))).as("s"))
+      .groupBy("id")
+      .agg(sum(col("s")).as("bm25"), count(lit(1)).as("n_matched"))
+      .orderBy(col("bm25").desc, col("id"))
+      .limit(k)
+      .select("id", "n_matched", "bm25")
+  }
+
   /** Unicode-script mix profile — the routing step BEFORE any
     * language-specific processing (marker-word [[langId]] only works on
     * space-delimited Latin text; a multilingual crawl first needs "what

@@ -629,6 +629,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(freq2.toSeq === Seq("big data"))
   }
 
+  test("bm25TopK: hand-computed Okapi scores, tie order, term filter") {
+    val docs = Seq(
+      (0L, "spark spark fast"),   // tf(spark)=2, dl=3
+      (1L, "spark slow slow slow"), // tf(spark)=1, dl=4
+      (2L, "query engine"),       // tf(query)=1, dl=2
+      (3L, "nothing relevant here x")) // no match → absent
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "query"), k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // N = 4 docs, avgdl = (3+4+2+4)/4 = 3.25; k1 = 1.25, b = 0.75
+    val avgdl = 3.25
+    def idf(df: Int) = math.log((4.0 - df + 0.5) / (df + 0.5) + 1.0)
+    def term(tf: Long, df: Int, dl: Long) =
+      idf(df) * tf * 2.25 / (tf + 1.25 * (0.25 + 0.75 * dl / avgdl))
+    assert(got.keySet === Set(0L, 1L, 2L))
+    assert(got(0L)._1 === 1L)
+    assert(math.abs(got(0L)._2 - term(2, 2, 3)) < 1e-12)
+    assert(math.abs(got(1L)._2 - term(1, 2, 4)) < 1e-12)
+    assert(math.abs(got(2L)._2 - term(1, 1, 2)) < 1e-12)
+    // longer doc with the same tf scores LOWER (length normalization)
+    assert(got(0L)._2 > got(1L)._2)
+  }
+
   test("scriptMix: planted scripts, tie precedence, empty and null text") {
     val cyr = "Абв" // Абв
     val cjk = "中文"       // 中文
