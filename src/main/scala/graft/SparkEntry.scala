@@ -1195,6 +1195,13 @@ object SparkEntry {
       TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
           Seq("spark", "query", "vector"), k = 25)
         .select(col("id").as("doc_id"), col("n_matched"), col("bm25"))),
+    // positional refinement: spark NEAR/5 query — pair counts and the
+    // closest gap, integer-exact
+    "q_proximity_match" -> ((s, dir) =>
+      TextAnalysis.proximityMatch(Tables.documents(s, dir), "doc_id",
+          "text", "spark", "query", window = 5)
+        .select(col("id").as("doc_id"), col("n_pairs"), col("min_gap"))
+        .orderBy("doc_id")),
     "q_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(
           col("doc_id"),
@@ -3692,6 +3699,22 @@ object SparkEntry {
                      WHEN n_cjk >= n_arabic THEN 'cjk'
                      ELSE 'arabic' END AS dominant
          FROM c ORDER BY doc_id""",
+    // positions are 1-based here, 0-based Spark-side — gaps and pair
+    // counts are base-invariant
+    "q_proximity_match" ->
+      """WITH toks AS (SELECT doc_id, w[i] AS t, i
+              FROM (SELECT doc_id,
+                      string_split_regex(trim(text), '\s+') AS w
+                    FROM documents WHERE length(trim(text)) > 0) u,
+              LATERAL unnest(generate_series(1, len(w))) AS g(i)),
+         a AS (SELECT doc_id, i AS pa FROM toks WHERE t = 'spark'),
+         b AS (SELECT doc_id, i AS pb FROM toks WHERE t = 'query'),
+         p AS (SELECT a.doc_id, abs(a.pa - b.pb) AS gap
+               FROM a JOIN b ON b.doc_id = a.doc_id
+               WHERE abs(a.pa - b.pb) <= 5 AND a.pa <> b.pb)
+         SELECT doc_id, count(*) AS n_pairs,
+                CAST(min(gap) AS BIGINT) AS min_gap
+         FROM p GROUP BY 1 ORDER BY doc_id""",
     // identical Okapi arithmetic tree, same association order
     "q_bm25_topk" ->
       """WITH toks AS (SELECT doc_id,

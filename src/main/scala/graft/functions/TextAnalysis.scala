@@ -152,6 +152,41 @@ object TextAnalysis {
       .select("id", "n_matched", "bm25")
   }
 
+  /** Term-proximity match — the positional-index query next to
+    * [[bm25TopK]]'s bag-of-words scoring ("spark NEAR/5 query"):
+    * documents where `termA` and `termB` co-occur within `window`
+    * token positions, with the pair count and the closest gap. BM25
+    * ranks topical match; proximity separates "both words somewhere in
+    * 10 pages" from "the phrase you meant" — the classic relevance
+    * refinement a retrieval stack layers on.
+    *
+    * Scale shape: one tokenize+posexplode scan; each term's position
+    * list is per-doc-term-frequency-sized, so the per-doc position
+    * join is bounded by tf(A)·tf(B) per document, never corpus². The
+    * one shuffle keys on the doc id. Same-term queries count each
+    * unordered position pair once.
+    * Output: (id, n_pairs, min_gap), matched docs only. */
+  def proximityMatch(df: DataFrame, idCol: String, textCol: String,
+      termA: String, termB: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = df
+      .select(col(idCol).as("id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "t")))
+      .filter(length(col("t")) > 0)
+      .materialized // both term scans read one tokenization
+    val a = toks.filter(col("t") === termA)
+      .select(col("id"), col("pos").as("pa"))
+    val b = toks.filter(col("t") === termB)
+      .select(col("id"), col("pos").as("pb"))
+    val pairs = a.join(b, Seq("id"))
+      .filter(abs(col("pa") - col("pb")) <= window &&
+        (if (termA == termB) col("pa") < col("pb")
+         else col("pa") =!= col("pb")))
+    pairs.groupBy("id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("pa") - col("pb"))).cast("long").as("min_gap"))
+  }
+
   /** Unicode-script mix profile — the routing step BEFORE any
     * language-specific processing (marker-word [[langId]] only works on
     * space-delimited Latin text; a multilingual crawl first needs "what

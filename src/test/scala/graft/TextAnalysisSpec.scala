@@ -654,6 +654,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(0L)._2 > got(1L)._2)
   }
 
+  test("proximityMatch: window gate, pair counts, same-term dedupe") {
+    val docs = Seq(
+      (0L, "spark is a query engine"),      // gap 3 → in window 3
+      (1L, "spark a b c d e f g h query"),  // gap 9 → out at 3
+      (2L, "query spark query"),            // gaps 1 and 1 → 2 pairs
+      (3L, "spark only"),                   // no partner → absent
+      (4L, "x spark y spark z"))            // same-term case below
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.proximityMatch(docs, "doc_id", "text",
+        "spark", "query", window = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === Map(0L -> ((1L, 3L)), 2L -> ((2L, 1L))))
+    // same-term: each unordered position pair counted once
+    val same = TextAnalysis.proximityMatch(docs, "doc_id", "text",
+        "spark", "spark", window = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(same === Map(4L -> ((1L, 2L))))
+  }
+
   test("scriptMix: planted scripts, tie precedence, empty and null text") {
     val cyr = "Абв" // Абв
     val cjk = "中文"       // 中文
