@@ -311,6 +311,25 @@ object SparkEntry {
       Analytics.seasonalProfile(Tables.orders(s, dir), "o_orderdate",
           "o_totalprice")
         .orderBy("dow")),
+    // seasonally-ADJUSTED spike scores: daily event counts against the
+    // same-weekday mean (the dow profile composed as the baseline —
+    // q_count_anomalies' trailing median is the trend-side baseline;
+    // this one survives "every Saturday looks like a spike")
+    "q_seasonal_anomalies" -> ((s, dir) => {
+      val prof = Analytics.seasonalProfile(
+          Tables.events(s, dir).select(col("ts"), lit(1.0).as("one")),
+          "ts", "one")
+        .select(col("dow"), col("mean_sales").as("dow_mean"))
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("day"), (weekday(col("day")) + 1).cast("int").as("dow"),
+          col("n_events"))
+        .join(broadcast(prof), Seq("dow"))
+        .select(col("day"), col("dow"), col("n_events"),
+          (col("n_events").cast("double") / col("dow_mean")).as("ratio"))
+        .orderBy(col("ratio").desc, col("day")).limit(20)
+    }),
     // count-spike anomaly ranking: today's count vs trailing-14-day
     // median, top 20 by score — rank-based emission keeps the query
     // non-degenerate at every SF (the fixture's Poisson noise shrinks
@@ -1201,6 +1220,12 @@ object SparkEntry {
       TextAnalysis.proximityMatch(Tables.documents(s, dir), "doc_id",
           "text", "spark", "query", window = 5)
         .select(col("id").as("doc_id"), col("n_pairs"), col("min_gap"))
+        .orderBy("doc_id")),
+    // hit display: first "vector" occurrence ±12 chars
+    "q_kwic" -> ((s, dir) =>
+      TextAnalysis.kwicSnippets(Tables.documents(s, dir), "doc_id",
+          "text", "vector", context = 12)
+        .select(col("id").as("doc_id"), col("pos"), col("snippet"))
         .orderBy("doc_id")),
     "q_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -2793,6 +2818,15 @@ object SparkEntry {
           Seq("lang", "source", "band"), k = 3)
         .select("doc_id", "lang", "source", "band")
         .orderBy("doc_id")),
+    // the homogeneity-attack check on top of k-anonymity: per
+    // (event_type, day) bucket, how many DISTINCT users — buckets where
+    // everyone is the same user leak despite any row-count floor
+    "q_l_diversity" -> ((s, dir) =>
+      Scale.lDiversityProfile(
+          Tables.events(s, dir)
+            .withColumn("day", to_date(col("ts"))),
+          Seq("event_type", "day"), "user_id", l = 3)
+        .orderBy("event_type", "day")),
     // context-window packing: 40-token chunks, 8-token overlap
     "q_doc_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
@@ -3699,6 +3733,15 @@ object SparkEntry {
                      WHEN n_cjk >= n_arabic THEN 'cjk'
                      ELSE 'arabic' END AS dominant
          FROM c ORDER BY doc_id""",
+    // strpos ≡ instr (1-based, 0 absent); substring clamps identically
+    "q_kwic" ->
+      """SELECT doc_id, CAST(strpos(text, 'vector') AS BIGINT) AS pos,
+                substring(text, greatest(1, strpos(text, 'vector') - 12),
+                  strpos(text, 'vector') + 18
+                    - greatest(1, strpos(text, 'vector') - 12)) AS snippet
+         FROM documents
+         WHERE text IS NOT NULL AND strpos(text, 'vector') > 0
+         ORDER BY doc_id""",
     // positions are 1-based here, 0-based Spark-side — gaps and pair
     // counts are base-invariant
     "q_proximity_match" ->
@@ -3937,6 +3980,13 @@ object SparkEntry {
          ORDER BY doc_id""",
     // suppression = semi-join against the >= k quasi groups; DuckDB's
     // integer // is floor division ≡ Spark's `div` on BIGINT
+    "q_l_diversity" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+                count(*) AS n_rows,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive,
+                count(DISTINCT user_id) >= 3 AS diverse
+         FROM events WHERE user_id IS NOT NULL
+         GROUP BY 1, 2 ORDER BY event_type, day""",
     "q_k_anonymous" ->
       """WITH q AS (
            SELECT lang, source, n_chars // 200 AS band, count(*) AS n
@@ -5190,6 +5240,18 @@ object SparkEntry {
          SELECT p.dow, p.n_days, p.total_sales, p.mean_sales,
                 p.mean_sales / g.gm AS seasonal_index
          FROM p, g ORDER BY dow""",
+    // avg(BIGINT) here ≡ Spark's avg over exact-integer doubles
+    "q_seasonal_anomalies" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                count(*) AS n_events
+              FROM events GROUP BY 1),
+         p AS (SELECT CAST(isodow(day) AS INT) AS dow,
+                      avg(n_events) AS dow_mean
+               FROM daily GROUP BY 1)
+         SELECT daily.day, p.dow, daily.n_events,
+                CAST(daily.n_events AS DOUBLE) / p.dow_mean AS ratio
+         FROM daily JOIN p ON p.dow = CAST(isodow(daily.day) AS INT)
+         ORDER BY ratio DESC, day LIMIT 20""",
     // trailing-median spike scores: integer counts, one final double
     // division, full deterministic order under the top-20 cut
     "q_count_anomalies" ->

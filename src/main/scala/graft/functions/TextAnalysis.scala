@@ -187,6 +187,25 @@ object TextAnalysis {
         min(abs(col("pa") - col("pb"))).cast("long").as("min_gap"))
   }
 
+  /** KWIC (keyword-in-context) snippet extraction — the display step
+    * of the retrieval trio ([[bm25TopK]] ranks, [[proximityMatch]]
+    * refines, this shows the hit): the first occurrence position of
+    * `term` and a ±`context`-char window around it. Character-level by
+    * design (word-boundary snippeting is a UI policy layered on top);
+    * docs without the term produce no row. Entirely scan-local — one
+    * instr + one substring per row, zero shuffle.
+    * Output: (id, pos [1-based], snippet). */
+  def kwicSnippets(df: DataFrame, idCol: String, textCol: String,
+      term: String, context: Int): DataFrame = {
+    require(term.nonEmpty && context >= 0)
+    val p = instr(col(textCol), term)
+    val start = greatest(lit(1), p - context)
+    df.filter(col(textCol).isNotNull && p > 0)
+      .select(col(idCol).as("id"), p.cast("long").as("pos"),
+        col(textCol).substr(start,
+          p + lit(term.length + context) - start).as("snippet"))
+  }
+
   /** Unicode-script mix profile — the routing step BEFORE any
     * language-specific processing (marker-word [[langId]] only works on
     * space-delimited Latin text; a multilingual crawl first needs "what

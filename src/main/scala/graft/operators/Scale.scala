@@ -550,6 +550,31 @@ object Scale {
     df.join(big, cond, "left_semi")
   }
 
+  /** l-diversity profile — [[kAnonymize]]'s partner check: a group can
+    * be k-anonymous yet still leak when everyone in it shares the SAME
+    * sensitive value (the homogeneity attack: "all 12 users in that
+    * zip-age bucket have the diagnosis"). Per quasi-identifier tuple,
+    * the row count, the number of DISTINCT sensitive values, and the
+    * ≥-l verdict; the release gate drops or re-coarsens the
+    * non-diverse groups. NULL sensitive values carry no information
+    * and are excluded before counting; NULL quasi values are ordinary
+    * groups (the [[kAnonymize]] contract).
+    *
+    * Scale: one aggregation — Spark plans exact count-distinct as the
+    * two-level Expand/partial-agg pipeline, map-side combined; output
+    * is group-sized. Output: (quasiCols..., n_rows, n_sensitive,
+    * diverse). */
+  def lDiversityProfile(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(l >= 2 && quasiCols.nonEmpty,
+      s"need l >= 2 and at least one quasi-identifier, got l=$l, $quasiCols")
+    df.filter(col(sensitiveCol).isNotNull)
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+  }
+
   /** Leakage-safe train/val/test split: every document is assigned a
     * split by its near-dup COMPONENT id, not its own id — so two
     * near-duplicate documents (or a whole transitive dup cluster) can

@@ -654,6 +654,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(0L)._2 > got(1L)._2)
   }
 
+  test("kwicSnippets: first occurrence, start clamp, absent and null text") {
+    val docs = Seq(
+      (0L, "needle at the very start"),        // clamp to pos 1
+      (1L, "some long prefix then needle then suffix text"),
+      (2L, "no match here"),
+      (3L, "needle early and needle again"),   // FIRST occurrence only
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.kwicSnippets(docs, "doc_id", "text",
+        "needle", context = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(got.keySet === Set(0L, 1L, 3L))
+    assert(got(0L) === ((1L, "needle at t")))      // no chars before pos 1
+    assert(got(1L) === ((23L, "then needle then")))
+    assert(got(3L) === ((1L, "needle earl")))
+  }
+
   test("proximityMatch: window gate, pair counts, same-term dedupe") {
     val docs = Seq(
       (0L, "spark is a query engine"),      // gap 3 → in window 3
