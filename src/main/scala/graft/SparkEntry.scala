@@ -1932,6 +1932,37 @@ object SparkEntry {
           searchK = 12)
         .orderBy("query_id", "rank")
     }),
+    // the k-NN graph CONSUMED: mutual-kNN edges → connected components
+    // = graph-based semantic clustering (the SemDeDup-at-scale shape
+    // the NN-Descent graph exists to feed). Planted corpus quantizes
+    // ids onto 16 circle anchors + per-id jitter, so the true clusters
+    // are exactly the 16 anchor groups; the exhaustive oracle replays
+    // top-5 → mutual → components. The within-cluster metric is the
+    // raw-embedding jitter — near-ISOTROPIC at 125 nodes/cluster, a
+    // harder mixing regime than q_knn_graph's circle: searchK 12 loses
+    // mutual edges at sf0.1, and at searchK 20 the rounds knife-edge is
+    // 3 (2 fails) — registered 4/20 with the +1 margin
+    "q_knn_components" -> ((s, dir) => {
+      val theta = (col("vec_id") % 16).cast("double") *
+        lit(0.39269908169872414)
+      val planted = concat(
+        array(cos(theta) * 4.0, sin(theta) * 4.0),
+        transform(col("embedding"), x => x.cast("double") * 0.001))
+      val emb2 = Tables.embeddings(s, dir)
+        .select(col("vec_id"), planted.as("pv"))
+      val e = Similarity.knnGraph(emb2, "vec_id", "pv", k = 5,
+          iterations = 4, searchK = 20)
+        .select("query_id", "neighbor_id")
+      val mutual = e.join(
+          e.select(col("query_id").as("neighbor_id"),
+            col("neighbor_id").as("query_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .filter(col("query_id") < col("neighbor_id"))
+        .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+      Dedup.nearDupComponents(
+          emb2.select(col("vec_id").as("doc_id")), "doc_id", mutual)
+        .orderBy("doc_id")
+    }),
     "q_embedding_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
@@ -6304,6 +6335,33 @@ object SparkEntry {
                  ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM s)
          SELECT query_id, neighbor_id, rank, cos FROM r WHERE rank <= 5
          ORDER BY query_id, rank""",
+    // exhaustive top-5 → mutual edges → recursive components over the
+    // 16-anchor planted corpus
+    "q_knn_components" ->
+      """WITH RECURSIVE
+         c AS (SELECT vec_id AS id,
+                 [4.0 * cos(CAST(vec_id % 16 AS DOUBLE) * 0.39269908169872414),
+                  4.0 * sin(CAST(vec_id % 16 AS DOUBLE) * 0.39269908169872414)]
+                   || list_transform(embedding::DOUBLE[], x -> x * 0.001) AS v
+               FROM embeddings),
+         c2 AS (SELECT id, v FROM c WHERE list_dot_product(v, v) > 0),
+         s AS (SELECT a.id AS qa, b.id AS qb,
+                      list_cosine_similarity(b.v, a.v) AS cos
+               FROM c2 a, c2 b WHERE a.id <> b.id),
+         r AS (SELECT qa, qb, ROW_NUMBER() OVER (PARTITION BY qa
+                 ORDER BY cos DESC, qb) AS rank FROM s),
+         t AS (SELECT qa, qb FROM r WHERE rank <= 5),
+         m AS (SELECT t.qa AS id_a, t.qb AS id_b FROM t
+               JOIN t t2 ON t2.qa = t.qb AND t2.qb = t.qa
+               WHERE t.qa < t.qb),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM m
+                   UNION SELECT id_b, id_a FROM m),
+         reach(node, root) AS (
+           SELECT id, id FROM c2
+           UNION
+           SELECT e.dst, r2.root FROM reach r2 JOIN edges e ON e.src = r2.node)
+         SELECT node AS doc_id, min(root) AS component_id
+         FROM reach GROUP BY node ORDER BY doc_id""",
     // exhaustive restatement: rank only the cos < 0.25 band
     "q_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
