@@ -1422,6 +1422,7 @@ object SparkEntry {
         .select(col("doc_id"),
           regexp_replace(col("text"), "\n", " ").as("text"),
           col("n_lines"), col("n_dropped"))
+        .materialized // feeds the classifier AND the final gate
       val pos = TextAnalysis.qualityClassifier(cleaned, "doc_id", "text",
           TextAnalysis.classifierFixtureWeights(s), buckets = 4096)
         .filter(col("label")).select("doc_id")
@@ -4327,8 +4328,8 @@ object SparkEntry {
     // budget · share // Σshares in BIGINT, epochs the one double
     "q_token_budget" ->
       """WITH w AS (SELECT source,
-                CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) + 1
-                  AS w_parts
+                TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
+                  + 1 AS w_parts
               FROM (SELECT DISTINCT source FROM documents)),
          t AS (SELECT sum(w_parts) AS parts FROM w),
          c AS (SELECT source,
@@ -5628,7 +5629,7 @@ object SparkEntry {
     "q_boilerplate_lines" ->
       """WITH w AS (SELECT doc_id,
                 replace(text, ' the ', chr(10)) AS text
-              FROM documents),
+              FROM documents WHERE text IS NOT NULL),
          t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM w),
          ln AS (SELECT doc_id, ls[i] AS l, i
                 FROM t, LATERAL unnest(generate_series(1, len(ls)))

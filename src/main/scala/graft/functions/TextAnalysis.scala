@@ -127,8 +127,7 @@ object TextAnalysis {
     val k1 = k1Quarters / 4.0
     val b = bQuarters / 4.0
     val toks = df
-      .select(col(idCol).as("id"),
-        explode(split(trim(col(textCol)), "\\s+")).as("t"))
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
       .filter(length(col("t")) > 0)
       .materialized // serves lengths AND term frequencies
     val lens = toks.groupBy("id").agg(count(lit(1)).as("dl"))
@@ -171,7 +170,7 @@ object TextAnalysis {
     require(window >= 1, s"window must be >= 1, got $window")
     val toks = df
       .select(col(idCol).as("id"),
-        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "t")))
+        posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
       .filter(length(col("t")) > 0)
       .materialized // both term scans read one tokenization
     val a = toks.filter(col("t") === termA)

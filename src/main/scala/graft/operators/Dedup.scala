@@ -692,6 +692,14 @@ object Dedup {
     val sigCols = (0 until numHashes).map(i =>
       min(graft.functions.Kmv.sha52(concat(lit(s"$i:"), col("s"))))
         .as(s"h$i"))
+    // NO materialization on sigs: the aggregation is a pipeline breaker
+    // whose exchange ReuseExchange already unifies across the candidate
+    // self-join's two sides — an A/B (3-pass minima, same session)
+    // measured the checkpointed variant SLOWER (5.2 s vs 3.9 s at
+    // sf0.1: the sha-min agg is not re-evaluated, so the checkpoint
+    // write is pure overhead). The `sets` checkpoint above remains the
+    // real sharing point (typed shingle subtrees are what AQE fails to
+    // unify — the dedupSpans lesson).
     val sigs = exploded.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until bands).map { j =>
       concat_ws("|",

@@ -159,7 +159,8 @@ object Scale {
     val counts = df
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
       .select(col(sourceCol).as("source"),
-        size(split(trim(col(textCol)), "\\s+")).cast("long").as("__n"))
+        graft.functions.TextAnalysis.tokenCount(col(textCol)).cast("long")
+          .as("__n"))
       .groupBy("source").agg(sum(col("__n")).as("n_tokens"))
     counts.join(broadcast(w), Seq("source"))
       .crossJoin(broadcast(tot))

@@ -504,11 +504,14 @@ object Similarity {
     require(nProbe >= 1 && nProbe <= numCentroids)
     val cents = trainCentroidsMiniBatch(trainCorpus, idCol, vecCol,
       numCentroids, iters, batchPerCell, seed)
-    if (cents.isEmpty) { // degenerate training corpus
-      return rankTopKWindow(corpus.sparkSession.range(0)
-        .select(col("id").as("query_id"), col("id").as("neighbor_id"),
-          col("id").cast("double").as("cos")), k)
-    }
+    // unlike ivfTopKBig (where an empty result is the honest answer for
+    // a degenerate corpus), here train and serve corpora are DISTINCT:
+    // an empty training snapshot means the caller's snapshot predicate
+    // matched nothing — "no neighbors for anyone" would silently bury
+    // that mistake
+    require(cents.nonEmpty,
+      "trainCorpus has no non-zero vectors — cannot build an IVF index " +
+        "(check the snapshot predicate)")
     ivfServe(corpus, queries, idCol, vecCol, cents, k,
       math.min(nProbe, cents.length))
   }

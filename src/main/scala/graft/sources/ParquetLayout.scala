@@ -76,16 +76,31 @@ object ParquetLayout {
       s"targetBytes $targetBytes below any sane parquet file size")
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter { s =>
+    // overwrite-into-the-source would delete the files the (lazy) read
+    // plan resolves at execution — refuse, don't destroy
+    val outQ = fs.makeQualified(new org.apache.hadoop.fs.Path(outPath))
+    require(fs.makeQualified(p) != outQ,
+      s"compact cannot write over its own input ($outQ); use a fresh dir + rename")
+    // RECURSIVE listing: partitioned layouts (day=*/part-*.parquet)
+    // keep their files below the top level, and a top-level-only count
+    // would plan nOut from zero bytes while the read still ingests
+    // everything
+    val it = fs.listFiles(p, true)
+    var nFiles = 0
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val s = it.next()
       val n = s.getPath.getName
-      s.isFile && n.endsWith(".parquet") && !n.startsWith("_")
+      if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_")) {
+        nFiles += 1; totalBytes += s.getLen
+      }
     }
-    val totalBytes = files.map(_.getLen).sum
+    require(nFiles > 0, s"no parquet data files found under $inPath")
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
       .min(Int.MaxValue).toInt
     spark.read.parquet(inPath)
       .repartition(nOut)
       .write.mode("overwrite").parquet(outPath)
-    (files.length, totalBytes, nOut)
+    (nFiles, totalBytes, nOut)
   }
 }

@@ -149,5 +149,20 @@ class ParquetPushdownSpec extends SparkSpec {
       .agg(count(lit(1)), sum(col("id")),
         expr("bit_xor(xxhash64(id, payload))")).collect().head
     assert(chk(s"$dir/in") === chk(s"$dir/out"))
+    // in-place compaction would delete the input under the lazy read —
+    // refused loudly
+    intercept[IllegalArgumentException] {
+      graft.sources.ParquetLayout.compact(spark, s"$dir/in", s"$dir/in",
+        target)
+    }
+    // partitioned layouts keep files BELOW the top level: the
+    // recursive listing must count them (a top-level-only count would
+    // plan from zero bytes)
+    spark.range(0, 1000).select(col("id"), (col("id") % 4).as("part"))
+      .write.partitionBy("part").mode("overwrite").parquet(s"$dir/pin")
+    val (pn, pb, pOut) = graft.sources.ParquetLayout.compact(
+      spark, s"$dir/pin", s"$dir/pout", 1024L * 1024)
+    assert(pn >= 4 && pb > 0 && pOut === 1, s"($pn, $pb, $pOut)")
+    assert(spark.read.parquet(s"$dir/pout").count() === 1000L)
   }
 }
