@@ -2150,6 +2150,12 @@ object SparkEntry {
       Scale.groupQuantiles(Tables.events(s, dir), "event_type", "value",
           Seq(0.5, 0.9, 0.99))
         .orderBy("event_type", "p")),
+    // 10%-each-side trimmed mean: integer rank cuts, boundary ties
+    // value-neutral, one double division
+    "q_trimmed_mean" -> ((s, dir) =>
+      Scale.trimmedMean(Tables.events(s, dir), "event_type", "value",
+          trimTenths = 1)
+        .orderBy("event_type")),
     // robust outliers: |v − median| > 3·1.4826·MAD, all quantities
     // short identical IEEE chains in both engines
     "q_mad_outliers" -> ((s, dir) =>
@@ -5389,6 +5395,19 @@ object SparkEntry {
          SELECT event_type, p, value AS quantile
          FROM r JOIN p ON rn = greatest(1, CAST(ceil(p * n) AS BIGINT))
          ORDER BY event_type, p""",
+    "q_trimmed_mean" ->
+      """WITH r AS (
+           SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY value) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events WHERE value IS NOT NULL),
+         k AS (SELECT event_type, value, n FROM r
+               WHERE rn > n * 1 // 10 AND rn <= n - n * 1 // 10)
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n_total,
+                count(*) AS n_kept,
+                sum(value) / count(*) AS trimmed_mean
+         FROM k GROUP BY 1 ORDER BY event_type""",
     // MAD outliers: both medians are discrete quantiles (actual data
     // values), so dev/spread are short identical IEEE chains
     "q_mad_outliers" ->

@@ -813,6 +813,40 @@ object Scale {
         col(valCol).as("quantile"))
   }
 
+  /** Exact per-group trimmed mean — the robust-location member between
+    * the mean (outlier-dragged) and the median ([[groupQuantiles]]
+    * p=0.5): drop the lowest and highest ⌊n·trimTenths/10⌋ values by
+    * rank, average the rest. Rank cuts are pure integer arithmetic;
+    * value ties at a cut boundary cannot change the answer (whichever
+    * tied row is kept contributes the same value), so the row_number
+    * tie order needs no tiebreak column. The one double is the final
+    * sum/count — within cross-engine summation tolerance like every
+    * grouped mean.
+    *
+    * Scale: one per-group ranking window (the [[groupQuantiles]]
+    * shuffle) + one grouped aggregation.
+    * Output: (group, n_total, n_kept, trimmed_mean). */
+  def trimmedMean(df: DataFrame, groupCol: String, valCol: String,
+      trimTenths: Int = 1): DataFrame = {
+    require(trimTenths >= 0 && trimTenths <= 4,
+      s"trim fraction is tenths per side in [0, 4], got $trimTenths")
+    val ranked = df
+      .select(col(groupCol), col(valCol))
+      .na.drop(Seq(valCol))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col(valCol))))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col(groupCol))))
+      .withColumn("__cut", expr(s"(__n * $trimTenths) DIV 10"))
+    ranked
+      .filter(col("__rn") > col("__cut") &&
+        col("__rn") <= col("__n") - col("__cut"))
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n_total"),
+        count(lit(1)).as("n_kept"),
+        (sum(col(valCol)) / count(lit(1))).as("trimmed_mean"))
+  }
+
   /** Robust per-group outliers by median absolute deviation: flag rows
     * with |v − median| > k · 1.4826 · MAD (1.4826 ≈ 1/Φ⁻¹(3/4) scales
     * MAD to σ under normality). Both medians are the discrete

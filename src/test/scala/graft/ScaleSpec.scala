@@ -575,6 +575,27 @@ class ScaleSpec extends SparkSpec {
       s"multi=$multiRounds singles=$singleRounds")
   }
 
+  test("trimmedMean: exact rank cuts, boundary-tie neutrality, tiny groups") {
+    import spark.implicits._
+    // group a: 10 values, 10% trim drops min (0) and max (1000)
+    val a = (Seq(0.0, 1000.0) ++ (1 to 8).map(_.toDouble)).map(("a", _))
+    // group b: 5 values → cut = floor(5/10) = 0, nothing trimmed
+    val b = Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(("b", _))
+    // group c: duplicate values straddling the cut — answer unchanged
+    // whichever tied copy the rank order keeps
+    val c = Seq(1.0, 1.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 9.0, 9.0, 9.0)
+      .map(("c", _))
+    val got = Scale.trimmedMean((a ++ b ++ c).toDF("g", "v"), "g", "v",
+        trimTenths = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("a") === ((10L, 8L, (1 to 8).sum / 8.0)))
+    assert(got("b") === ((5L, 5L, 3.0)))
+    // c: n=12, cut=1 → drop one 1.0 and one 9.0 (ties value-neutral)
+    assert(got("c") === ((12L, 10L,
+      (1.0 + 1.0 + 2 + 3 + 4 + 5 + 6 + 7 + 9 + 9) / 10.0)))
+  }
+
   test("tokenBudgetPlan: exact integer targets, epochs, weight-join semantics") {
     import spark.implicits._
     val docs = Seq(
