@@ -1531,6 +1531,21 @@ object SparkEntry {
     }),
     "q_minhash_neardup" -> ((s, dir) =>
       minhashPairs(s, dir).orderBy("id_a", "id_b")),
+    // MOSS winnowing: min-in-window fingerprint selection over the
+    // ordered trigram sha52 sequence (guarantee: shared runs of >= 6
+    // tokens share a print; density ~2/5 of the gram stream)
+    "q_winnowing" -> ((s, dir) =>
+      Dedup.winnowedFingerprints(Tables.documents(s, dir), "doc_id",
+          "text", n = 3, window = 4)
+        .select(col("id").as("doc_id"), col("pos"), col("print"))
+        .orderBy("doc_id", "pos")),
+    // the detection join over winnowed prints — 24 mirror-ish pairs at
+    // minShared = 5 on the fixture, ~3x sparser index than raw shingles
+    "q_winnow_overlap" -> ((s, dir) =>
+      Dedup.winnowedOverlapPairs(Tables.documents(s, dir), "doc_id",
+          "text", n = 3, window = 4, minShared = 5L)
+        .select(col("id_a"), col("id_b"), col("shared"))
+        .orderBy("id_a", "id_b")),
     // banding-parameter evaluation harness: candidate-set precision/
     // recall of 16-hash/8-band sha52 minhash vs the exhaustive J >= 0.6
     // truth — the measurement that justifies (or rejects) a banding
@@ -6053,6 +6068,20 @@ object SparkEntry {
     // (J ≥ 0.87; P[miss | 16 bands × 4 rows] < 1e-8) and is re-checked
     // here by sharing the oracle.
     "q_minhash_neardup" -> jaccardOracleSql,
+    // winnowing selection replayed hash-for-hash: ordered trigram
+    // sha52 stream, min-in-window with leftmost-tie list_position
+    "q_winnowing" -> (winnowingCtes +
+      """ SELECT doc_id, pos, h[pos] AS print
+         FROM e ORDER BY doc_id, pos"""),
+    "q_winnow_overlap" -> (winnowingCtes +
+      """, inv AS (SELECT DISTINCT doc_id, h[pos] AS pr FROM e),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          count(*) AS shared
+                   FROM inv a JOIN inv b ON a.pr = b.pr
+                     AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id_a, id_b, shared FROM pairs
+         WHERE shared >= 5 ORDER BY id_a, id_b"""),
     // banding P/R report: the DELIBERATELY-lossy 16-hash/8-band sha52
     // minhash replayed hash-for-hash (bucket strings included), full
     // outer vs the exhaustive J >= 0.6 truth, counts + two divisions
@@ -6661,6 +6690,25 @@ object SparkEntry {
          GROUP BY 1 ORDER BY vec_id"""
     sb.toString
   }
+
+  /** Shared winnowing CTE prefix: ordered trigram sha52 hashes, the
+    * min-in-window (leftmost tie) selected positions, exploded —
+    * mirrors `Dedup.winnowedFingerprints(n = 3, window = 4)` step for
+    * step (the len ≥ 6 gate is n + window − 1). */
+  private def winnowingCtes: String =
+    s"""WITH w AS (SELECT doc_id,
+              string_split_regex(trim(text), '\\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0),
+       g AS (SELECT doc_id,
+               list_transform(range(1, len(t) - 1),
+                 i -> ${sha52Sql("array_to_string(t[i:i+2], ' ')")}) AS h
+             FROM w WHERE len(t) >= 6),
+       f AS (SELECT doc_id, h,
+               list_distinct(list_transform(range(0, len(h) - 3),
+                 p -> p + list_position(h[p+1:p+4],
+                   list_min(h[p+1:p+4])))) AS selpos
+             FROM g),
+       e AS (SELECT doc_id, h, unnest(selpos) AS pos FROM f)"""
 
   /** DuckDB rendering of the portable sha52 hash of expression `e` —
     * the identical first-13-hex-nibbles-of-sha256 integer the Spark

@@ -403,6 +403,67 @@ object Dedup {
         count(lit(1)).as("n_spans_kept"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the MOSS local fingerprinting scheme; public methodology,
+    * independent implementation): over the ORDERED word-n-gram hash
+    * sequence, every window of `window` consecutive hashes selects its
+    * minimum (leftmost on ties), and the distinct selected positions
+    * are the document's fingerprints. The winnowing guarantee: any
+    * shared substring of ≥ window+n−1 tokens yields at least one
+    * SHARED fingerprint, at expected density 2/(window+1) — position-
+    * robust local dedup at a fraction of the full shingle volume
+    * ([[duplicateSubstringSpans]] is the exhaustive counterpart;
+    * [[exactDedup]]'s whole-doc digest the global one).
+    *
+    * Hashes are the portable sha52 so the selection replays exactly in
+    * the oracle engine. The min/argmin pair evaluates its window slice
+    * twice inside an interpreted higher-order transform — acceptable
+    * because the whole computation is scan-local (zero shuffle); a
+    * codegen expression is the optimization path if fingerprinting
+    * ever dominates a profile. Docs shorter than window+n−1 tokens
+    * have no complete window and emit nothing.
+    * Output: (id, pos [1-based gram index], print). */
+  def winnowedFingerprints(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, window: Int = 4): DataFrame = {
+    require(n >= 1 && window >= 2, s"need n >= 1, window >= 2; got $n, $window")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val withH = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .filter(size(toks) >= n + window - 1)
+      .select(col(idCol).as("id"),
+        transform(sequence(lit(0), size(toks) - lit(n)),
+          i => graft.functions.Kmv.sha52(
+            concat_ws(" ", slice(toks, i + lit(1), lit(n))))).as("__h"))
+    withH
+      .select(col("id"), col("__h"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("__h")) - lit(window)),
+          p => p + array_position(
+            slice(col("__h"), p + lit(1), lit(window)),
+            array_min(slice(col("__h"), p + lit(1), lit(window)))))))
+          .as("pos"))
+      .select(col("id"), col("pos"),
+        element_at(col("__h"), col("pos").cast("int")).as("print"))
+  }
+
+  /** Document pairs sharing ≥ `minShared` winnowed fingerprints — the
+    * plagiarism/mirror-detection join at winnowed density (each doc
+    * contributes ~2·m/(window+1) prints instead of m shingles, so the
+    * inverted index is ~3× sparser at window 4 with the winnowing
+    * guarantee intact for runs of ≥ window+n−1 tokens).
+    * Output: (id_a, id_b, shared). */
+  def winnowedOverlapPairs(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, window: Int = 4,
+      minShared: Long = 2L): DataFrame = {
+    val fp = winnowedFingerprints(docs, idCol, textCol, n, window)
+      .select(col("id"), col("print")).distinct()
+    fp.select(col("print"), col("id").as("id_a"))
+      .join(fp.select(col("print"), col("id").as("id_b")), Seq("print"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Duplication-cluster size profile — the corpus-governance read on
     * a components labeling ([[nearDupComponents]] output, or any
     * (id, label) frame): how many clusters of each size exist and how

@@ -829,6 +829,53 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("winnowedFingerprints ≡ driver reference; the winnowing guarantee holds") {
+    def sha52(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.substring(0, 13), 16)
+    }
+    def reference(text: String, n: Int, w: Int): Seq[(Long, Long)] = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < n + w - 1) return Seq.empty
+      val h = toks.sliding(n).map(g => sha52(g.mkString(" "))).toVector
+      (0 to h.length - w).map { p =>
+        val win = h.slice(p, p + w)
+        val m = win.min
+        (p + win.indexOf(m) + 1L, m) // leftmost tie, 1-based
+      }.distinct
+    }
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val corpus = (0 until 20).map(id => (id.toLong,
+      Seq.fill(6 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")))
+    val got = Dedup.winnowedFingerprints(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, window = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
+    corpus.foreach { case (id, t) =>
+      val want = reference(t, 3, 4).toSet
+      assert(got.getOrElse(id, Set.empty) === want, s"doc $id")
+    }
+    // the GUARANTEE: two docs sharing a >= window+n-1 = 6-token run
+    // share at least one fingerprint VALUE, wherever the run sits
+    val run = "p q r s t u"
+    val pair = Seq((100L, s"x y z $run m n o"), (101L, s"$run k l"))
+      .toDF("doc_id", "text")
+    val prints = Dedup.winnowedFingerprints(pair, "doc_id", "text", 3, 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)).toSet }
+    assert(prints(100L).intersect(prints(101L)).nonEmpty)
+    // and the detection join surfaces exactly that pair
+    val overlap = Dedup.winnowedOverlapPairs(pair, "doc_id", "text",
+        3, 4, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(overlap.toSeq === Seq((100L, 101L)))
+  }
+
   test("minhashBandingReport ≡ exact driver replay (hashes, buckets, truth)") {
     // small corpus with exact dups, near-dups and unrelated docs so the
     // report has every error term available
