@@ -416,34 +416,24 @@ object Dedup {
     * [[exactDedup]]'s whole-doc digest the global one).
     *
     * Hashes are the portable sha52 so the selection replays exactly in
-    * the oracle engine. The min/argmin pair evaluates its window slice
-    * twice inside an interpreted higher-order transform — acceptable
-    * because the whole computation is scan-local (zero shuffle); a
-    * codegen expression is the optimization path if fingerprinting
-    * ever dominates a profile. Docs shorter than window+n−1 tokens
-    * have no complete window and emit nothing.
+    * the oracle engine. The whole computation is scan-local (zero
+    * shuffle) and runs as ONE codegen call per document
+    * ([[graft.expressions.WinnowedPrints]]: monotonic-deque sliding
+    * min, O(grams) — replaced the interpreted higher-order-transform
+    * formulation that paid per-element Catalyst eval overhead, 6×
+    * measured). Docs shorter than window+n−1 tokens have no complete
+    * window and emit nothing.
     * Output: (id, pos [1-based gram index], print). */
   def winnowedFingerprints(docs: DataFrame, idCol: String,
       textCol: String, n: Int = 3, window: Int = 4): DataFrame = {
     require(n >= 1 && window >= 2, s"need n >= 1, window >= 2; got $n, $window")
     val toks = TextAnalysis.tokens(col(textCol))
-    val withH = docs
+    docs
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
-      .filter(size(toks) >= n + window - 1)
       .select(col(idCol).as("id"),
-        transform(sequence(lit(0), size(toks) - lit(n)),
-          i => graft.functions.Kmv.sha52(
-            concat_ws(" ", slice(toks, i + lit(1), lit(n))))).as("__h"))
-    withH
-      .select(col("id"), col("__h"),
-        explode(array_distinct(transform(
-          sequence(lit(0), size(col("__h")) - lit(window)),
-          p => p + array_position(
-            slice(col("__h"), p + lit(1), lit(window)),
-            array_min(slice(col("__h"), p + lit(1), lit(window)))))))
-          .as("pos"))
-      .select(col("id"), col("pos"),
-        element_at(col("__h"), col("pos").cast("int")).as("print"))
+        explode(graft.expressions.WinnowExpressions
+          .winnowedPrints(toks, n, window)).as("pp"))
+      .select(col("id"), col("pp.pos").as("pos"), col("pp.print").as("print"))
   }
 
   /** Document pairs sharing ≥ `minShared` winnowed fingerprints — the
