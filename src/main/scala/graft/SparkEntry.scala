@@ -1296,6 +1296,17 @@ object SparkEntry {
           size(col("__t")).cast("long").as("n_pieces"))
         .orderBy("doc_id")
     }),
+    // ... and the PRODUCTION apply shape: segmentation under a SHIPPED
+    // artifact table (train once, deploy the table — no retraining in
+    // the apply pass; closes the "apply path retrains per query" edge).
+    // The fixed piece table stands in for a stored unigramTrain output;
+    // the oracle replays Viterbi exhaustively against the same literal
+    "q_unigram_apply" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.unigramApplyTable(Tables.documents(s, dir), "doc_id",
+          "text", unigramArtifact.toDF("piece", "cnt"))
+        .orderBy("doc_id")
+    }),
     // Tokenizer EVALUATION: train BOTH learners (BPE merges + unigram
     // EM) on the corpus, segment the weighted distinct-word table
     // under each, report fertility (pieces/word) and chars/piece —
@@ -4100,6 +4111,7 @@ object SparkEntry {
     // generated from the same constants as the Spark queries
     "q_unigram_train" -> TextAnalysis.unigramTrainOracleSql(2, 4, 64, 40),
     "q_unigram_lm_tokens" -> TextAnalysis.unigramTokensOracleSql(2, 4, 64, 40),
+    "q_unigram_apply" -> TextAnalysis.unigramApplyOracleSql(unigramArtifact),
     // both tokenizer chains composed in ONE query (disjoint CTE
     // prefixes), totals off each chain's fully-segmented word table
     "q_tokenizer_fertility" ->
@@ -6690,6 +6702,21 @@ object SparkEntry {
          GROUP BY 1 ORDER BY vec_id"""
     sb.toString
   }
+
+  /** The shipped tokenizer artifact for q_unigram_apply — a FIXED
+    * (piece, cnt) table standing in for a stored [[TextAnalysis
+    * .unigramTrain]] output (multi-char pieces over the fixture's
+    * vocabulary plus the full single-char alphabet, so the <unk>
+    * fallback stays a contract rather than a fixture dependency).
+    * Shared verbatim by the Spark query and the oracle's VALUES
+    * literal — the two sides cannot drift. */
+  private val unigramArtifact: Seq[(String, Long)] = Seq(
+    "table" -> 900L, "value" -> 760L, "row" -> 600L, "scan" -> 520L,
+    "fast" -> 450L, "part" -> 420L, "data" -> 410L, "the" -> 390L,
+    "qu" -> 300L, "ery" -> 280L, "er" -> 260L, "an" -> 240L,
+    "in" -> 230L, "ow" -> 210L, "merge" -> 205L, "ba" -> 150L,
+    "tch" -> 140L) ++
+    ('a' to 'z').map(c => c.toString -> (40L + (c - 'a')))
 
   /** Shared winnowing CTE prefix: ordered trigram sha52 hashes, the
     * min-in-window (leftmost tie) selected positions, exploded —

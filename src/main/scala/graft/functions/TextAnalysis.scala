@@ -1673,4 +1673,103 @@ object TextAnalysis {
               CAST(count(*) AS BIGINT) AS n_pieces
        FROM utok GROUP BY doc_id ORDER BY doc_id"""
   }
+
+  /** APPLY-ONLY segmentation under a SHIPPED piece table — the
+    * production deployment shape: [[unigramTrain]] runs once, the
+    * learned (piece, cnt) table is stored as an artifact, and every
+    * downstream corpus pass applies it WITHOUT retraining
+    * (q_unigram_lm_tokens composes train→apply inside one query under
+    * the no-cross-query-cache policy; this is the half a pipeline
+    * actually deploys at 100 TB — the train pass touches the corpus
+    * once ever, the apply pass is a plain projected column).
+    *
+    * `pieces` must be vocab-sized: it is collected to the driver
+    * (hard `maxVocab` cap with a loud failure — an accidentally
+    * corpus-sized frame must not silently become driver state) and
+    * ships to executors inside the codegen'd
+    * [[graft.expressions.UnigramSegment]] reference object — the
+    * IVF-centroid / BPE-merges budget. Corpus cost: ONE codegen
+    * segmentation pass, zero shuffle.
+    * Output: (idCol, uni_text '|'-joined, n_pieces) — the
+    * q_unigram_lm_tokens shape; docs segmenting to zero pieces
+    * (null/whitespace-only text) are omitted like there. */
+  def unigramApplyTable(docs: DataFrame, idCol: String, textCol: String,
+      pieces: DataFrame, maxVocab: Int = 1 << 20): DataFrame = {
+    require(Set("piece", "cnt").subsetOf(pieces.columns.toSet),
+      s"pieces needs (piece, cnt) columns, got ${pieces.columns.mkString(", ")}")
+    val vocab = pieces
+      .select(col("piece").cast("string"), col("cnt").cast("long"))
+      .limit(maxVocab + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(vocab.nonEmpty, "unigramApplyTable: empty piece table")
+    require(vocab.size <= maxVocab,
+      s"piece table exceeds maxVocab=$maxVocab rows — not a vocab-sized artifact")
+    require(vocab.map(_._1).distinct.size == vocab.size,
+      "unigramApplyTable: duplicate pieces in the artifact")
+    docs
+      .select(col(idCol), graft.expressions.UnigramSegment
+        .segment(col(textCol), vocab).as("__t"))
+      .filter(size(col("__t")) > 0)
+      .select(col(idCol),
+        array_join(col("__t"), "|").as("uni_text"),
+        size(col("__t")).cast("long").as("n_pieces"))
+  }
+
+  /** DuckDB replay of [[unigramApplyTable]] under a LITERAL artifact:
+    * the same exhaustive recursive path enumeration per distinct word
+    * as [[unigramChainSql]]'s segment rounds (full argmax incl. the
+    * 3-level tie-break), with the vocabulary a VALUES table instead of
+    * a trained CTE, plus the <unk> single-char fallback edge
+    * ([[graft.expressions.UnigramSegment]]: unknown chars cost
+    * bitlen(0) − B = −B; spelled `+ 0 − b` here because DuckDB's
+    * `len(bin(0))` is 1, not 0). */
+  def unigramApplyOracleSql(pieces: Seq[(String, Long)]): String = {
+    require(pieces.nonEmpty, "empty artifact")
+    val values = pieces
+      .map { case (p, c) =>
+        require(!p.contains("'"), s"piece '$p' needs escaping")
+        s"('$p', CAST($c AS BIGINT))"
+      }.mkString(", ")
+    s"""WITH RECURSIVE uv AS MATERIALIZED (
+         SELECT piece, cnt FROM (VALUES $values) t(piece, cnt)),
+       ub AS MATERIALIZED (
+         SELECT len(bin(CAST(sum(cnt) AS BIGINT))) AS b FROM uv),
+       uw AS MATERIALIZED (
+         SELECT DISTINCT w AS word
+         FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+               FROM documents) u WHERE w <> ''),
+       upaths(word, pos, path, sc, k) AS (
+         SELECT word, 0, CAST([] AS VARCHAR[]), 0, 0 FROM uw
+         UNION ALL
+         (SELECT p.word, p.pos + len(v.piece),
+                 list_append(p.path, v.piece),
+                 p.sc + len(bin(v.cnt)) - (SELECT b FROM ub), p.k + 1
+          FROM upaths p JOIN uv v
+            ON substring(p.word, p.pos + 1, len(v.piece)) = v.piece
+          WHERE p.pos < len(p.word)
+          UNION ALL
+          SELECT p.word, p.pos + 1,
+                 list_append(p.path, substring(p.word, p.pos + 1, 1)),
+                 p.sc + 0 - (SELECT b FROM ub), p.k + 1
+          FROM upaths p
+          WHERE p.pos < len(p.word)
+            AND substring(p.word, p.pos + 1, 1) NOT IN
+                (SELECT piece FROM uv))),
+       useg AS MATERIALIZED (SELECT word, path FROM (
+         SELECT word, path, row_number() OVER (PARTITION BY word
+           ORDER BY sc DESC, k ASC,
+                    array_to_string(path, chr(31)) ASC) AS rk
+         FROM upaths WHERE pos = len(word)) q WHERE rk = 1),
+       udw AS (SELECT doc_id, w, wi FROM (
+         SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\\s+')) AS w,
+                unnest(range(1, len(string_split_regex(trim(text), '\\s+')) + 1)) AS wi
+         FROM documents) u WHERE w <> ''),
+       utok AS (SELECT doc_id, wi, unnest(path) AS token,
+                  unnest(range(1, len(path) + 1)) AS pi
+                FROM udw d JOIN useg s ON s.word = d.w)
+       SELECT doc_id, string_agg(token, '|' ORDER BY wi, pi) AS uni_text,
+              CAST(count(*) AS BIGINT) AS n_pieces
+       FROM utok GROUP BY doc_id ORDER BY doc_id"""
+  }
 }

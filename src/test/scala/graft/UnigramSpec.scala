@@ -154,6 +154,41 @@ class UnigramSpec extends SparkSpec {
       "EM must learn at least one multi-char piece on this corpus")
   }
 
+  test("unigramApplyTable: shipped artifact ≡ direct segmentation; guards fire") {
+    import spark.implicits._
+    val docs = Seq((1L, "table value scan"), (2L, "  "), (3L, "zebra qux"))
+      .toDF("doc_id", "text")
+    val artifact = Seq(("table", 900L), ("val", 700L), ("ue", 650L),
+      ("scan", 520L)) ++ ('a' to 'z').map(c => c.toString -> 40L)
+    // the table-shipped path ≡ segmenting with the same vocab directly
+    val got = TextAnalysis.unigramApplyTable(docs, "doc_id", "text",
+        artifact.toDF("piece", "cnt")).orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    val direct = docs
+      .select(col("doc_id"),
+        UnigramSegment.segment(col("text"), artifact).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), array_join(col("t"), "|"),
+        size(col("t")).cast("long"))
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got === direct)
+    assert(got.map(_._1) === Seq(1L, 3L)) // whitespace-only doc omitted
+    assert(got.head._2 === "table|val|ue|scan")
+    // corpus-sized frame must fail loudly, not become driver state
+    val big = spark.range(0, 100).select(
+      concat(lit("p"), col("id")).as("piece"), lit(1L).as("cnt"))
+    val e1 = intercept[IllegalArgumentException] {
+      TextAnalysis.unigramApplyTable(docs, "doc_id", "text", big,
+        maxVocab = 50)
+    }
+    assert(e1.getMessage.contains("maxVocab"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.unigramApplyTable(docs, "doc_id", "text",
+        Seq(("a", 1L), ("a", 2L)).toDF("piece", "cnt"))
+    }
+    assert(e2.getMessage.contains("duplicate"))
+  }
+
   test("tokenizerFertility ≡ full-corpus per-occurrence totals") {
     val docs = Tables.documents(spark, sf)
     val got = TextAnalysis.tokenizerFertility(docs, "text",
