@@ -1732,6 +1732,20 @@ object SparkEntry {
       Scale.packSequences(Tables.documents(s, dir), "source", "doc_id",
           TextAnalysis.tokenCount(col("text")), budget = 1024)
         .orderBy("doc_id")),
+    // padding-layout complement of packing: 16-token length buckets cut
+    // into batches of 8, each batch priced by its padded-token waste
+    "q_length_batches" -> ((s, dir) =>
+      Scale.lengthBucketBatches(Tables.documents(s, dir), "doc_id",
+          TextAnalysis.tokenCount(col("text")), bucketWidth = 16,
+          batchSize = 8)
+        .orderBy("bucket", "batch_id")),
+    // deterministic round-robin dataloader order across sources — the
+    // ordinal is ANALYTIC (per-source counts, no global window); the
+    // oracle recomputes it with the global row_number the operator
+    // exists to avoid, so the formula is adjudicated exactly
+    "q_interleave_order" -> ((s, dir) =>
+      Scale.interleaveOrder(Tables.documents(s, dir), "source", "doc_id")
+        .orderBy("ordinal")),
     // ----- Gopher-style token-repetition quality signals
     "q_token_repetition" -> ((s, dir) =>
       TextAnalysis.tokenRepetition(Tables.documents(s, dir), "doc_id", "text")
@@ -2891,6 +2905,16 @@ object SparkEntry {
             .withColumn("day", to_date(col("ts"))),
           Seq("event_type", "day"), "user_id", l = 3)
         .orderBy("event_type", "day")),
+    // the skewness-attack check completing the privacy trio: per
+    // (lang, size-band) group, total-variation distance of the group's
+    // SOURCE distribution from the global one — integer numerator, one
+    // division, so the double is engine-identical
+    "q_t_closeness" -> ((s, dir) =>
+      Scale.tClosenessProfile(
+          Tables.documents(s, dir)
+            .withColumn("band", expr("n_chars div 200")),
+          Seq("lang", "band"), "source", t = 0.2)
+        .orderBy("lang", "band")),
     // context-window packing: 40-token chunks, 8-token overlap
     "q_doc_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocs(Tables.documents(s, dir), "doc_id", "text",
@@ -4051,6 +4075,31 @@ object SparkEntry {
                 count(DISTINCT user_id) >= 3 AS diverse
          FROM events WHERE user_id IS NOT NULL
          GROUP BY 1, 2 ORDER BY event_type, day""",
+    // total-variation distance replayed with the same group-present
+    // restatement: Σ_domain |ngv·N − nv·ng| = ng·N + Σ_group(|…| − nv·ng);
+    // BIGINT numerator, ONE double division ⇒ bit-identical tvd
+    "q_t_closeness" ->
+      """WITH cells AS (
+           SELECT lang, n_chars // 200 AS band, source, count(*) AS ngv
+           FROM documents WHERE source IS NOT NULL GROUP BY 1, 2, 3),
+         gv AS (SELECT source, count(*) AS nv
+                FROM documents WHERE source IS NOT NULL GROUP BY 1),
+         tot AS (SELECT CAST(sum(nv) AS BIGINT) AS N FROM gv),
+         j AS (SELECT c.lang, c.band, c.ngv, g.nv,
+                      CAST(sum(c.ngv) OVER (PARTITION BY c.lang, c.band)
+                        AS BIGINT) AS ng
+               FROM cells c JOIN gv g USING (source)),
+         agg AS (SELECT lang, band, max(ng) AS n_rows,
+                        CAST(sum(abs(ngv * (SELECT N FROM tot) - nv * ng)
+                          - nv * ng) AS BIGINT) AS part
+                 FROM j GROUP BY 1, 2),
+         res AS (SELECT lang, band, n_rows,
+                        CAST(n_rows * (SELECT N FROM tot) + part AS DOUBLE)
+                          / CAST(2 * n_rows * (SELECT N FROM tot) AS DOUBLE)
+                          AS tvd
+                 FROM agg)
+         SELECT lang, band, n_rows, tvd, tvd <= 0.2 AS close
+         FROM res ORDER BY lang NULLS FIRST, band NULLS FIRST""",
     "q_k_anonymous" ->
       """WITH q AS (
            SELECT lang, source, n_chars // 200 AS band, count(*) AS n
@@ -6030,6 +6079,34 @@ object SparkEntry {
                 CAST(floor((start_tok + n_tokens - 1) / 1024.0) AS BIGINT)
                   - CAST(floor(start_tok / 1024.0) AS BIGINT) + 1 AS n_seqs
          FROM c ORDER BY doc_id""",
+    // (n−1)//16 length buckets, batches of 8 in doc_id order; DuckDB's
+    // integer // is floor division ≡ Spark DIV on BIGINT
+    "q_length_batches" ->
+      """WITH t AS (SELECT doc_id,
+                CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+              FROM documents),
+         f AS (SELECT doc_id, n, (n - 1) // 16 AS bucket
+               FROM t WHERE n > 0),
+         r AS (SELECT doc_id, n, bucket,
+                      ((row_number() OVER (PARTITION BY bucket
+                          ORDER BY doc_id)) - 1) // 8 AS batch_id
+               FROM f)
+         SELECT bucket, batch_id, count(*) AS n_docs,
+                min(n) AS min_tokens, max(n) AS max_tokens,
+                CAST(sum(n) AS BIGINT) AS n_tokens,
+                max(n) * count(*) - CAST(sum(n) AS BIGINT) AS padding_waste
+         FROM r GROUP BY 1, 2 ORDER BY bucket, batch_id""",
+    // the global window the Spark operator analytically avoids — run
+    // here ON PURPOSE as the adjudicator of the counts-table formula
+    "q_interleave_order" ->
+      """WITH p AS (SELECT doc_id, source,
+                CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY doc_id) AS BIGINT) AS pos
+              FROM documents)
+         SELECT doc_id, source, pos,
+                CAST(row_number() OVER (ORDER BY pos, source) - 1
+                  AS BIGINT) AS ordinal
+         FROM p ORDER BY ordinal""",
     "q_token_repetition" ->
       (tokenRepetitionCtes +
         """ SELECT doc_id, n_tokens, n_distinct_tokens,

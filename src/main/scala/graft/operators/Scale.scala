@@ -576,6 +576,57 @@ object Scale {
       .withColumn("diverse", col("n_sensitive") >= l)
   }
 
+  /** t-closeness profile — the third member of the release-gate trio
+    * ([[kAnonymize]] floors group SIZE, [[lDiversityProfile]] floors
+    * distinct sensitive VALUES; this bounds how far a group's
+    * sensitive-value DISTRIBUTION drifts from the global one — the
+    * skewness attack l-diversity misses: a group can hold l distinct
+    * diagnoses yet be 95% "positive" against a 2% base rate).
+    *
+    * Distance = total variation (the equal-ground-distance EMD for
+    * categorical attributes): ½·Σᵥ |p_g(v) − p(v)|. Restated over the
+    * group-PRESENT values only via
+    *   Σ_{v∈domain} |n_gv·N − n_v·n_g| =
+    *     n_g·N + Σ_{v∈group} (|n_gv·N − n_v·n_g| − n_v·n_g)
+    * (absent values contribute n_v·n_g, and Σᵥ n_v = N), so the whole
+    * numerator is BIGINT-exact and the single final division is the
+    * only float op — cross-engine-identical. NULL sensitive values are
+    * excluded before counting (the [[lDiversityProfile]] contract).
+    *
+    * Scale: one (quasi, v) aggregation, one broadcast join against the
+    * domain-sized global value counts, one per-group re-aggregation —
+    * map-side combinable throughout; nothing is ever domain × groups.
+    * Output: (quasiCols..., n_rows, tvd, close = tvd ≤ t). */
+  def tClosenessProfile(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, t: Double): DataFrame = {
+    require(t > 0 && t < 1 && quasiCols.nonEmpty,
+      s"need 0 < t < 1 and at least one quasi-identifier, got t=$t, $quasiCols")
+    val clean = df.filter(col(sensitiveCol).isNotNull)
+    val cells = clean
+      .groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__ngv"))
+    val globalCounts = clean.groupBy(col(sensitiveCol))
+      .agg(count(lit(1)).as("__nv"))
+    val total = globalCounts.agg(sum("__nv").as("__N"))
+    // group totals via a window over the CELLS frame (group-sized,
+    // partitioned by the quasi keys — reuses the cells shuffle)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    cells
+      .join(broadcast(globalCounts), Seq(sensitiveCol))
+      .crossJoin(broadcast(total))
+      .withColumn("__ng", sum(col("__ngv")).over(wq))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max(col("__ng")).as("n_rows"), max(col("__N")).as("__N"),
+        sum(abs(col("__ngv") * col("__N") - col("__nv") * col("__ng"))
+          - col("__nv") * col("__ng")).as("__part"))
+      .select(quasiCols.map(col) ++ Seq(
+        col("n_rows"),
+        ((col("n_rows") * col("__N") + col("__part")).cast("double")
+          / (lit(2L) * col("n_rows") * col("__N")).cast("double")).as("tvd")): _*)
+      .withColumn("close", col("tvd") <= t)
+  }
+
   /** Leakage-safe train/val/test split: every document is assigned a
     * split by its near-dup COMPONENT id, not its own id — so two
     * near-duplicate documents (or a whole transitive dup cluster) can
@@ -643,6 +694,87 @@ object Scale {
       .withColumn("n_seqs",
         floor((col("start_tok") + col("n_tokens") - 1) / lit(budget.toDouble))
           .cast("long") - col("seq_id") + lit(1L))
+  }
+
+  /** Length-bucketed batch planning — the padding-efficiency layout for
+    * VARIABLE-length training (fine-tuning, reranking, embedding jobs
+    * that pad to the batch max instead of packing): docs land in token-
+    * length buckets of `bucketWidth`, each bucket is cut into batches
+    * of `batchSize` in `idCol` order, and every batch reports its
+    * padded cost — `padding_waste` = max_tokens·n_docs − n_tokens, the
+    * number the layout exists to minimize (batching UNbucketed pads
+    * every short doc to the global max).
+    *
+    * Deterministic: same corpus ⇒ identical batches (the
+    * [[packSequences]] auditability property). Scale shape: one window
+    * partitioned by bucket (running row count only) + one (bucket,
+    * batch) aggregation — no global sort, no single-partition stage;
+    * bucket skew is bounded by `bucketWidth`, and a bucket too large
+    * for one task sub-shards upstream exactly like a packer shard.
+    * Output: (bucket, batch_id, n_docs, min_tokens, max_tokens,
+    * n_tokens, padding_waste). */
+  def lengthBucketBatches(df: DataFrame, idCol: String,
+      tokenCount: Column, bucketWidth: Int, batchSize: Int): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1,
+      s"need bucketWidth >= 1 and batchSize >= 1, got $bucketWidth/$batchSize")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col(idCol))
+    df.select(col(idCol), tokenCount.cast("long").as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("bucket", expr(s"(__n - 1) DIV $bucketWidth"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("batch_id", expr(s"(__rn - 1) DIV $batchSize"))
+      .groupBy("bucket", "batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("__n")).as("min_tokens"),
+        max(col("__n")).as("max_tokens"),
+        sum(col("__n")).as("n_tokens"))
+      .withColumn("padding_waste",
+        col("max_tokens") * col("n_docs") - col("n_tokens"))
+  }
+
+  /** Deterministic source-interleaved dataloader order: the row at
+    * per-source position p of source s gets global ordinal
+    * rank-of(p, s) under (p asc, s asc) — round-robin across sources,
+    * so consecutive training rows cycle through the corpus mix instead
+    * of clumping source-by-source (the order-sensitivity failure mode
+    * mixture weights don't fix; once a source exhausts, the remaining
+    * sources keep cycling).
+    *
+    * The ordinal is computed ANALYTICALLY, not with a global window —
+    * `row_number() OVER (ORDER BY pos, source)` would pull the whole
+    * corpus through one task. With per-source counts c(s') (a
+    * source-cardinality table, collected driver-side like a vocab):
+    *   ordinal(p, s) = Σ_{s'} min(p−1, c(s')) + |{s' < s : c(s') ≥ p}|
+    * — rows strictly before position p across all sources, plus
+    * same-position rows of lexicographically earlier sources. The
+    * per-row cost is one O(#sources) scan-local expression; the only
+    * shuffle is the per-source row_number window (partitioned). Source
+    * cardinality is registry-sized (a corpus has tens of sources, not
+    * millions) — `maxSources` guards the expression loudly.
+    * Output: (idCol, sourceCol, pos [1-based within source], ordinal
+    * [0-based global]). */
+  def interleaveOrder(df: DataFrame, sourceCol: String, idCol: String,
+      maxSources: Int = 4096): DataFrame = {
+    val src = df.select(col(idCol), col(sourceCol).cast("string").as(sourceCol))
+    val counts = src.groupBy(col(sourceCol)).agg(count(lit(1)).as("__c"))
+      .limit(maxSources + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(counts.nonEmpty, "interleaveOrder: empty input")
+    require(counts.length <= maxSources,
+      s"more than maxSources=$maxSources sources — not a registry-sized mix")
+    require(counts.forall(_._1 != null),
+      "interleaveOrder: null source — fill a sentinel upstream")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col(idCol))
+    val before = counts.map { case (_, c) =>
+      least(col("pos") - 1L, lit(c)) }.reduce(_ + _)
+    val sameRow = counts.map { case (s, c) =>
+      when(lit(s) < col(sourceCol) && lit(c) >= col("pos"), 1L)
+        .otherwise(0L) }.reduce(_ + _)
+    src
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("ordinal", (before + sameRow).cast("long"))
   }
 
   /** Global rank binning: each row gets its quantile bin (1..nBins,

@@ -615,4 +615,86 @@ class ScaleSpec extends SparkSpec {
     assert(got("a") === ((5L, 3L, 300L, 300.0 / 5)))
     assert(got("b") === ((4L, 1L, 100L, 100.0 / 4)))
   }
+
+  test("tClosenessProfile ≡ driver TVD over the FULL domain; edge groups") {
+    // group g1: matches the global mix exactly -> tvd 0;
+    // group g2: homogeneous (all 'x') -> large tvd
+    // global mix 16x:4y = 4:1; g1 matches it exactly, g2 is
+    // homogeneous, g3 is y-heavy (and carries the excluded null)
+    val rows = Seq.fill(8)(("g1", "x")) ++ Seq.fill(2)(("g1", "y")) ++
+      Seq.fill(6)(("g2", "x")) ++
+      Seq.fill(2)(("g3", "x")) ++ Seq.fill(2)(("g3", "y")) ++
+      Seq(("g3", null))
+    val df = rows.toDF("grp", "v")
+    val got = Scale.tClosenessProfile(df, Seq("grp"), "v", t = 0.1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // driver reference: TVD over the full sensitive domain, absent
+    // values included — validates the group-present restatement
+    val clean = rows.filter(_._2 != null)
+    val n = clean.size.toDouble
+    val global = clean.groupBy(_._2).view.mapValues(_.size / n).toMap
+    def tvd(g: String): Double = {
+      val mem = clean.filter(_._1 == g)
+      val p = mem.groupBy(_._2).view.mapValues(_.size.toDouble / mem.size).toMap
+      global.keySet.union(p.keySet).toSeq
+        .map(v => math.abs(p.getOrElse(v, 0.0) - global.getOrElse(v, 0.0)))
+        .sum / 2
+    }
+    for (g <- Seq("g1", "g2", "g3")) {
+      assert(math.abs(got(g)._2 - tvd(g)) < 1e-12, s"group $g")
+      assert(got(g)._3 === (tvd(g) <= 0.1), s"close flag $g")
+    }
+    assert(got("g1")._2 === 0.0) // proportional group
+    assert(got("g2")._2 > 0.1) // homogeneous group fails the gate
+    assert(got("g3")._1 === 4L) // null sensitive row excluded from n_rows
+  }
+
+  test("lengthBucketBatches ≡ driver reference; batch-size and waste invariants") {
+    val docs = (1L to 57L).map(id => (id, Seq.fill(3 + (id % 40).toInt)("t")
+      .mkString(" "))).toDF("id", "text")
+    val got = Scale.lengthBucketBatches(docs, "id",
+        graft.functions.TextAnalysis.tokenCount(col("text")),
+        bucketWidth = 8, batchSize = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    val ref = (1L to 57L).map(id => (id, 3L + id % 40))
+      .groupBy { case (_, tk) => (tk - 1) / 8 }
+      .flatMap { case (b, mem) =>
+        mem.sortBy(_._1).grouped(4).zipWithIndex.map { case (batch, i) =>
+          val ls = batch.map(_._2)
+          ((b, i.toLong),
+            (batch.size.toLong, ls.min, ls.max, ls.sum,
+              ls.max * batch.size - ls.sum))
+        }
+      }
+    assert(got === ref)
+    assert(got.values.forall(_._1 <= 4)) // batch cap
+    assert(got.keys.groupBy(_._1).values // batch ids dense from 0
+      .forall(ks => ks.map(_._2).toSeq.sorted == (0L until ks.size).toSeq))
+  }
+
+  test("interleaveOrder: permutation ≡ (pos, source) order; exhausted sources drop out") {
+    val docs = (Seq.tabulate(7)(i => (i * 10L, "a")) ++
+      Seq.tabulate(3)(i => (i * 10L + 1, "b")) ++
+      Seq.tabulate(5)(i => (i * 10L + 2, "c"))).toDF("id", "src")
+    val got = Scale.interleaveOrder(docs, "src", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.map(_._4).sorted.toSeq === (0L until 15L)) // permutation
+    val byOrd = got.sortBy(_._4).map(t => (t._3, t._2)).toSeq
+    assert(byOrd === byOrd.sorted) // ordinal order IS (pos, source) order
+    // first full cycle hits every source; after b exhausts (pos > 3)
+    // only a and c alternate
+    assert(byOrd.take(3).map(_._2) === Seq("a", "b", "c"))
+    assert(byOrd.filter(_._1 > 3).map(_._2).distinct.sorted === Seq("a", "c"))
+    // guard: more sources than maxSources fails loudly
+    val many = spark.range(0, 20)
+      .select(col("id"), concat(lit("s"), col("id")).as("src"))
+    val e = intercept[IllegalArgumentException] {
+      Scale.interleaveOrder(many, "src", "id", maxSources = 10)
+    }
+    assert(e.getMessage.contains("maxSources"))
+  }
 }
