@@ -1970,7 +1970,7 @@ object SparkEntry {
       val emb2 = Tables.embeddings(s, dir)
         .select(col("vec_id"), planted.as("pv"))
       Similarity.knnGraph(emb2, "vec_id", "pv", k = 5, iterations = 4,
-          searchK = 12)
+          searchK = 12, requireConverged = true)
         .orderBy("query_id", "rank")
     }),
     // the k-NN graph CONSUMED: mutual-kNN edges → connected components
@@ -1982,7 +1982,10 @@ object SparkEntry {
     // raw-embedding jitter — near-ISOTROPIC at 125 nodes/cluster, a
     // harder mixing regime than q_knn_graph's circle: searchK 12 loses
     // mutual edges at sf0.1, and at searchK 20 the rounds knife-edge is
-    // 3 (2 fails) — registered 4/20 with the +1 margin
+    // 3 (2 fails) — registered 4/20 with the +1 margin, and
+    // requireConverged CERTIFIES the fixpoint was reached (r9: the
+    // knife-edge margin is now a loud failure, not a silent wrong
+    // answer; the early-stop makes the certified extra round free)
     "q_knn_components" -> ((s, dir) => {
       val theta = (col("vec_id") % 16).cast("double") *
         lit(0.39269908169872414)
@@ -1992,7 +1995,7 @@ object SparkEntry {
       val emb2 = Tables.embeddings(s, dir)
         .select(col("vec_id"), planted.as("pv"))
       val e = Similarity.knnGraph(emb2, "vec_id", "pv", k = 5,
-          iterations = 4, searchK = 20)
+          iterations = 4, searchK = 20, requireConverged = true)
         .select("query_id", "neighbor_id")
       val mutual = e.join(
           e.select(col("query_id").as("neighbor_id"),
@@ -2707,8 +2710,10 @@ object SparkEntry {
         .orderBy("source")),
     // token-budget allocation: integer weight shares (derived here from
     // the source digits so the recipe replays anywhere) over a 1M-token
-    // budget — target tokens in exact BIGINT arithmetic, epochs as the
-    // one double. The plan a loader executes via upsample/subsample
+    // budget — target tokens AND micro-epochs in exact BIGINT
+    // arithmetic (r8's DOUBLE epochs was the registry's one
+    // hash-fragile column). The plan a loader executes via
+    // upsample/subsample
     "q_token_budget" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val weights = docs.select(col("source")).distinct()
@@ -4407,7 +4412,8 @@ object SparkEntry {
                FROM c, t),
          z AS (SELECT sum(q) AS z_tot FROM s)
          SELECT source, n, p, q / z_tot AS p_temp FROM s, z ORDER BY source""",
-    // budget · share // Σshares in BIGINT, epochs the one double
+    // budget · share // Σshares in BIGINT; micro-epochs = target·10⁶
+    // // n_tokens, ALSO BIGINT — the whole row is integer-exact
     "q_token_budget" ->
       """WITH w AS (SELECT source,
                 TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
@@ -4423,8 +4429,8 @@ object SparkEntry {
          SELECT c.source, c.n_tokens, w.w_parts,
                 (CAST(1000000 AS BIGINT) * w.w_parts) // t.parts
                   AS target_tokens,
-                CAST((CAST(1000000 AS BIGINT) * w.w_parts) // t.parts
-                  AS DOUBLE) / c.n_tokens AS epochs
+                ((CAST(1000000 AS BIGINT) * w.w_parts) // t.parts)
+                  * CAST(1000000 AS BIGINT) // c.n_tokens AS epochs_micro
          FROM c JOIN w ON w.source = c.source CROSS JOIN t
          ORDER BY c.source""",
     "q_gopher_rules" ->

@@ -35,9 +35,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Tie-break, matching the oracle's path enumeration exactly:
   * maximal score, then fewest pieces, then lexicographically smallest
   * token sequence — compared as the US(0x1f)-joined string, which for
-  * equal piece counts equals element-wise sequence order whenever
-  * text contains no chars ≤ 0x1f (whitespace is already split away;
-  * the BPE delimiter assumption).
+  * equal piece counts equals element-wise sequence order because no
+  * word can contain chars ≤ 0x1f: the pre-tokenizer splits on
+  * `[\s\x00-\x1f]+`, not bare `\s+` (Java `\s` misses
+  * U+0000–U+0008/U+000E–U+001F, so a literal US/NUL in the text would
+  * otherwise corrupt the joined-path compare and the final split —
+  * control chars are delimiters here, same as whitespace).
   *
   * Chars absent from the vocabulary segment as single-char pieces of
   * count 0 (bitlen 0) — the <unk> fallback; a trained vocabulary
@@ -84,10 +87,12 @@ case class UnigramSegment(child: Expression, pieces: Seq[(String, Long)])
   @transient private lazy val maxPieceLen: Int = pieces.map(_._1.length).max
 
   def segment(u: UTF8String): ArrayData = {
-    val text = u.toString.trim
+    // control chars ≤ 0x1f are delimiters like whitespace (see class
+    // doc) — keeps the US(0x1f) path-join reserved inside viterbi
+    val text = u.toString.replaceAll("[\\s\\x00-\\x1f]+", " ").trim
     val out = new ArrayBuffer[UTF8String]()
     if (text.nonEmpty) {
-      text.split("\\s+").foreach { w => if (w.nonEmpty) viterbi(w, out) }
+      text.split(" ").foreach { w => if (w.nonEmpty) viterbi(w, out) }
     }
     new GenericArrayData(out.toArray[Any])
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -72,6 +72,13 @@ object Pca {
       override def outputEncoder: Encoder[GramBuf] = ExpressionEncoder()
     }
 
+  /** Dimension from the first row — loud empty-frame message instead of
+    * head()'s bare NoSuchElementException (the require(buf.n > 0) check
+    * downstream never fires if dim-sniffing throws first). */
+  private def sniffDim(vecs: Dataset[Seq[Double]], op: String): Int =
+    vecs.take(1).headOption.getOrElse(throw new IllegalArgumentException(
+      s"$op of an empty frame")).length
+
   /** One pass over `df(vecCol)` (array<numeric>): (n, mean, covariance)
     * with cov = E[xxᵀ] − μμᵀ, driver-resident (d×d). Null vectors are
     * dropped; inconsistent dimensions throw. */
@@ -80,7 +87,7 @@ object Pca {
     import spark.implicits._
     val vecs = df.filter(col(vecCol).isNotNull)
       .select(col(vecCol).cast("array<double>")).as[Seq[Double]]
-    val dim = vecs.head().length
+    val dim = sniffDim(vecs, "covariance")
     val buf = vecs.select(gramAggregator(dim).toColumn).head()
     require(buf.n > 0, "covariance of an empty frame")
     val n = buf.n.toDouble
@@ -276,7 +283,7 @@ object Pca {
     import spark.implicits._
     val vecs = df.filter(col(vecCol).isNotNull)
       .select(col(vecCol).cast("array<double>")).as[Seq[Double]]
-    val dim = vecs.head().length
+    val dim = sniffDim(vecs, "randomizedComponents")
     require(ell >= 1 && ell <= dim, s"need 1 <= ell <= $dim, got $ell")
     require(r >= 1 && r <= ell, s"need 1 <= r <= ell, got $r")
     val buf = vecs.select(rangeAggregator(dim, ell).toColumn).head()

@@ -140,16 +140,21 @@ object Scale {
     *
     * target_tokens = budget · share / Σshares in pure BIGINT
     * arithmetic (exact, engine-portable; the ±1-token floor remainder
-    * is the price); epochs = target / n_tokens, the one double. Token
-    * counts are whitespace-word counts ([[TextAnalysis]] conventions);
-    * swap in BPE counts upstream for model-true budgets. Sources
-    * missing from `weights` are excluded (weight 0); weighted sources
-    * absent from the corpus don't appear (nothing to draw from).
+    * is the price); epochs_micro = target · 10⁶ / n_tokens, ALSO pure
+    * BIGINT — the whole row is integer-exact and hash-portable across
+    * engines (r8's DOUBLE epochs was the registry's one hash-fragile
+    * column; micro-epochs carry the same information at fixed
+    * precision). Token counts are whitespace-word counts
+    * ([[TextAnalysis]] conventions); swap in BPE counts upstream for
+    * model-true budgets. Sources missing from `weights` are excluded
+    * (weight 0); weighted sources absent from the corpus don't appear
+    * (nothing to draw from). Overflow bound: target_tokens · 10⁶ must
+    * fit in an Int64, i.e. budgets up to ~9.2 Pt are fine.
     *
     * Scale: ONE map-side-combined token-count aggregation over the
     * corpus; weights and the share total are broadcast 1-row/tiny
     * frames. Output: (source, n_tokens, w_parts, target_tokens,
-    * epochs). */
+    * epochs_micro). */
   def tokenBudgetPlan(df: DataFrame, sourceCol: String, textCol: String,
       weights: DataFrame, budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
@@ -168,8 +173,8 @@ object Scale {
         expr(s"CAST($budgetTokens AS BIGINT) * w_parts DIV __parts"))
       .select(col("source"), col("n_tokens"), col("w_parts"),
         col("target_tokens"),
-        (col("target_tokens").cast("double") / col("n_tokens"))
-          .as("epochs"))
+        expr("target_tokens * CAST(1000000 AS BIGINT) DIV n_tokens")
+          .as("epochs_micro"))
   }
 
   /** Deterministic head-cap sample: keep a row iff

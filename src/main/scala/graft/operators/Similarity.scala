@@ -1054,12 +1054,27 @@ object Similarity {
     * that makes a cluster's pair space blanket-covered in O(1)
     * rounds while the emitted graph stays k-wide.
     *
+    * Convergence: after each round the new graph's order-independent
+    * fingerprint ((count, xor of row hashes) — one map-side aggregation
+    * over the already-materialized state, no join) is compared to the
+    * previous round's; an unchanged fingerprint means the round moved
+    * nothing, and since each round is a deterministic function of the
+    * graph, every later round is identical — the loop STOPS EARLY at
+    * the fixpoint (remaining rounds are free). With
+    * `requireConverged = true` (the registered-query setting) a loop
+    * that exhausts `iterations` WITHOUT reaching the fixpoint fails
+    * loudly, kCore-style, instead of returning a silently-unfinished
+    * graph — `iterations` becomes a certified bound, not a hope. The
+    * fingerprint is w.h.p. exact (a missed change needs an xxhash64
+    * xor collision).
+    *
     * Zero-norm vectors are excluded as both queries and neighbors
     * (undefined cosine — the family contract). Ids must be
     * long-castable. Output: (query_id, neighbor_id, rank, cos), ranks
     * 1..k by (cos desc, neighbor_id asc). */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      iterations: Int, searchK: Int = 0): DataFrame = {
+      iterations: Int, searchK: Int = 0,
+      requireConverged: Boolean = false): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(iterations >= 0, s"need iterations >= 0, got $iterations")
     val kk = if (searchK <= 0) k else searchK
@@ -1071,9 +1086,17 @@ object Similarity {
       .filter(col("norm") > 0)
       .materialized
     val nTotal = nodes.count()
-    if (nTotal == 0) return nodes.select(
-      col("id").as("query_id"), col("id").as("neighbor_id"),
-      lit(0).as("rank"), lit(0.0).as("cos")).limit(0)
+    if (nTotal == 0) {
+      // release before the early return — the empty path must not leak
+      // a persisted frame in reuse.mode=persist
+      val empty = nodes.select(
+        col("id").as("query_id"), col("id").as("neighbor_id"),
+        lit(0).as("rank"), lit(0.0).as("cos")).limit(0)
+      val out = df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), empty.schema)
+      nodes.released()
+      return out
+    }
     // deterministic two-ring init: an LSH-localized ring (ring order =
     // (8-bit sign-LSH bucket, hashed within-bucket) — walks similarity
     // buckets arc by arc, so initial lists start locality-biased and
@@ -1124,10 +1147,24 @@ object Similarity {
           col("rank"), col("score").as("cos"))
     var graph = rankDistinct(scorePairs(bothDirs, nodes, bcastNodes))
       .materialized
+    // order-independent state fingerprint: one scan of the materialized
+    // frame (map-side xor/count aggregation, zero shuffle beyond the
+    // 32-partial reduce); cos is a pure function of the (query,
+    // neighbor) pair, so (ids, rank) pins the structure
+    def fingerprint(g: DataFrame): (Long, Long) = {
+      val r = g.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(query_id, neighbor_id, rank))"),
+          lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prevFp = fingerprint(graph)
+    var converged = false
+    var round = 0
     // each iteration = exactly TWO keyed shuffles (B-list aggregation,
     // fold/rank aggregation) + the state materialization; candidates
     // and scoring stay map-side
-    for (_ <- 1 to iterations) {
+    while (round < iterations && !converged) {
       // undirected neighborhood, capped at the 2·searchK best per node
       // (forward + reverse in ONE map-side-combining aggregator pass —
       // hubs can't inflate any B set), as one id ARRAY per node
@@ -1152,8 +1189,15 @@ object Similarity {
       val next = rankDistinct(folded).materialized
       graph.released()
       graph = next
+      val fp = fingerprint(graph)
+      if (fp == prevFp) converged = true else prevFp = fp
+      round += 1
     }
     nodes.released()
+    require(!requireConverged || converged || iterations == 0,
+      s"knnGraph did not reach a neighbor-list fixpoint in $iterations " +
+        "rounds — raise `iterations` or `searchK` (the emitted graph " +
+        "would be a silently-unfinished descent state)")
     graph.filter(col("rank") <= k)
   }
 }

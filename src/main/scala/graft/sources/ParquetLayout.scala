@@ -77,10 +77,17 @@ object ParquetLayout {
     val p = new org.apache.hadoop.fs.Path(inPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // overwrite-into-the-source would delete the files the (lazy) read
-    // plan resolves at execution — refuse, don't destroy
+    // plan resolves at execution — refuse, don't destroy. Nesting is
+    // just as fatal: out under in writes into the tree the read is
+    // still resolving (and future reads of in double-count); in under
+    // out gets deleted by the overwrite. Refuse any ancestry.
+    val inQ = fs.makeQualified(p)
     val outQ = fs.makeQualified(new org.apache.hadoop.fs.Path(outPath))
-    require(fs.makeQualified(p) != outQ,
-      s"compact cannot write over its own input ($outQ); use a fresh dir + rename")
+    def pfx(x: org.apache.hadoop.fs.Path) = x.toUri.getPath.stripSuffix("/") + "/"
+    require(inQ != outQ && !pfx(outQ).startsWith(pfx(inQ)) &&
+        !pfx(inQ).startsWith(pfx(outQ)),
+      s"compact input ($inQ) and output ($outQ) must be disjoint " +
+        "directories (neither equal nor nested); use a fresh dir + rename")
     // RECURSIVE listing: partitioned layouts (day=*/part-*.parquet)
     // keep their files below the top level, and a top-level-only count
     // would plan nOut from zero bytes while the read still ingests

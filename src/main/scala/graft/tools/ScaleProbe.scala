@@ -669,8 +669,10 @@ object ScaleProbe {
     // Round-8: NN-Descent k-NN graph — nodes grown K× on the same
     // golden-angle circle (denser manifold, same per-node list width):
     // per-round state is N·searchK edges and candidates N·(2·searchK)²,
-    // so runtime must track N near-linearly at FIXED rounds
-    for (k <- Seq(1, 2, 4, 8) if on("knn")) {
+    // so runtime must track N near-linearly at FIXED rounds. r9 extends
+    // to 32×/64× (64k/128k nodes) — 64× crosses the 100k broadcast
+    // cutoff, so the keyed-join scoring path is probed too
+    for (k <- Seq(1, 2, 4, 8, 32, 64) if on("knn")) {
       val n = 2000 * k
       val theta = (col("id") * lit(0.618033988749895)) % 1.0 *
         lit(6.283185307179586)

@@ -76,4 +76,39 @@ class KnnGraphSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
     assert(Similarity.knnGraph(empty, "id", "v", 3, 2).count() === 0L)
   }
+
+  test("requireConverged: certified fixpoint passes; starved budget fails loudly") {
+    // enough rounds + mixing → fixpoint reached and certified; result
+    // unchanged vs the unguarded call
+    val ok = Similarity.knnGraph(clusteredDf, "id", "v", k = 3,
+      iterations = 6, searchK = 8, requireConverged = true)
+    assert(pairs(ok) === pairs(Similarity.knnGraph(clusteredDf, "id", "v",
+      3, 3, 8)))
+    // 1 round from the ring start cannot be a PROVEN fixpoint on the
+    // circle (proof needs an unchanged round, and round 1 changes the
+    // init lists) → the guard must throw, not return a partial graph
+    val n = 120
+    val pts = (0 until n).map { i =>
+      val th = 2 * math.Pi * ((i * 0.618033988749895) % 1.0)
+      (i.toLong, Seq(4 * math.cos(th), 4 * math.sin(th), 0.001 * (i % 7)))
+    }
+    val df = pts.toDF("id", "v")
+    val e = intercept[IllegalArgumentException](
+      Similarity.knnGraph(df, "id", "v", k = 5, iterations = 1,
+        searchK = 16, requireConverged = true).count())
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
+  test("early-stop at fixpoint: extra budget is free and result-identical") {
+    // iterations=3 reaches the fixpoint on the clustered fixture;
+    // iterations=50 must early-stop there, not run 50 rounds (wall
+    // clock would explode) and must emit the identical graph
+    val t0 = System.nanoTime()
+    val big = pairs(Similarity.knnGraph(clusteredDf, "id", "v", k = 3,
+      iterations = 50, searchK = 8, requireConverged = true))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(big === pairs(Similarity.knnGraph(clusteredDf, "id", "v",
+      3, 3, 8)))
+    assert(secs < 60.0, s"50-round budget took ${secs}s — early-stop broken?")
+  }
 }

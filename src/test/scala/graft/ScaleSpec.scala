@@ -608,12 +608,13 @@ class ScaleSpec extends SparkSpec {
     val got = Scale.tokenBudgetPlan(docs, "source", "text", weights,
         budgetTokens = 1001L)
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     // Σparts = 10 INCLUDING the corpus-absent source d (its share of
-    // the budget is reserved, not redistributed); floor division
+    // the budget is reserved, not redistributed); floor division.
+    // epochs_micro = target·10⁶ DIV n_tokens (pure BIGINT, hash-stable)
     assert(got.keySet === Set("a", "b")) // c unweighted, d has no corpus
-    assert(got("a") === ((5L, 3L, 300L, 300.0 / 5)))
-    assert(got("b") === ((4L, 1L, 100L, 100.0 / 4)))
+    assert(got("a") === ((5L, 3L, 300L, 300L * 1000000L / 5)))
+    assert(got("b") === ((4L, 1L, 100L, 100L * 1000000L / 4)))
   }
 
   test("tClosenessProfile ≡ driver TVD over the FULL domain; edge groups") {
