@@ -1732,6 +1732,19 @@ object SparkEntry {
       Scale.packSequences(Tables.documents(s, dir), "source", "doc_id",
           TextAnalysis.tokenCount(col("text")), budget = 1024)
         .orderBy("doc_id")),
+    // no-split dual of q_packed_sequences: whole docs first-fit-
+    // decreasing into 96-token windows (1 EOS charged per doc;
+    // capacity sits inside the fixture's 10–99 token spread so the
+    // truncation path fires), exact FFD within rank-blocks of 128 —
+    // the oracle replays the packing as a recursive CTE carrying the
+    // open-bin load list
+    "q_sequence_packing" -> ((s, dir) =>
+      Scale.ffdPack(
+          Tables.documents(s, dir)
+            .filter(col("text").isNotNull && length(trim(col("text"))) > 0),
+          "doc_id", TextAnalysis.tokenCount(col("text")),
+          capacity = 96, eosTokens = 1, blockDocs = 128)
+        .orderBy("doc_id")),
     // padding-layout complement of packing: 16-token length buckets cut
     // into batches of 8, each batch priced by its padded-token waste
     "q_length_batches" -> ((s, dir) =>
@@ -6085,6 +6098,48 @@ object SparkEntry {
                 CAST(floor((start_tok + n_tokens - 1) / 1024.0) AS BIGINT)
                   - CAST(floor(start_tok / 1024.0) AS BIGINT) + 1 AS n_seqs
          FROM c ORDER BY doc_id""",
+    // block-local first-fit-decreasing replayed EXACTLY: ranks by
+    // (cost desc, doc_id), blocks of 128, and a recursive CTE walks
+    // each block in rank order carrying the open-bin load list —
+    // list_position of the first fitting bin IS first-fit (NULLIF:
+    // DuckDB returns 0, not NULL, for not-found)
+    "q_sequence_packing" ->
+      """WITH RECURSIVE c AS (
+           SELECT doc_id,
+                  least(CAST(len(string_split_regex(trim(text), '\s+'))
+                    AS BIGINT) + 1, 96) AS n,
+                  CAST(len(string_split_regex(trim(text), '\s+'))
+                    AS BIGINT) + 1 > 96 AS truncated
+           FROM documents
+           WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         r AS (SELECT doc_id, n, truncated,
+                      row_number() OVER (ORDER BY n DESC, doc_id) - 1 AS rk
+               FROM c),
+         b AS (SELECT doc_id, n, truncated, rk // 128 AS block,
+                      CAST(rk % 128 AS INTEGER) AS seq
+               FROM r),
+         s AS (
+           SELECT block, seq, doc_id, n, truncated,
+                  CAST(1 AS BIGINT) AS bin, [n] AS bins
+           FROM b WHERE seq = 0
+           UNION ALL
+           SELECT b.block, b.seq, b.doc_id, b.n, b.truncated,
+                  CAST(COALESCE(NULLIF(list_position(
+                      list_transform(s.bins, x -> x + b.n <= 96), true), 0),
+                    len(s.bins) + 1) AS BIGINT) AS bin,
+                  CASE WHEN NULLIF(list_position(
+                      list_transform(s.bins, x -> x + b.n <= 96), true), 0)
+                      IS NULL
+                    THEN list_append(s.bins, b.n)
+                    ELSE list_transform(s.bins, (x, i) ->
+                      CASE WHEN i = list_position(
+                          list_transform(s.bins, y -> y + b.n <= 96), true)
+                        THEN x + b.n ELSE x END)
+                    END AS bins
+           FROM s JOIN b ON b.block = s.block AND b.seq = s.seq + 1)
+         SELECT doc_id, n AS n_tokens, truncated, block, bin,
+                block * 128 + bin AS window_id
+         FROM s ORDER BY doc_id""",
     // (n−1)//16 length buckets, batches of 8 in doc_id order; DuckDB's
     // integer // is floor division ≡ Spark DIV on BIGINT
     "q_length_batches" ->

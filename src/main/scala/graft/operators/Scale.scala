@@ -738,6 +738,77 @@ object Scale {
         col("max_tokens") * col("n_docs") - col("n_tokens"))
   }
 
+  /** First-fit-decreasing WHOLE-DOC packing into fixed `capacity`-token
+    * context windows — the no-split dual of [[packSequences]]
+    * (which concatenates and lets docs straddle window boundaries):
+    * SFT/reranker-style training keeps each document intact in exactly
+    * one window, so the loader question becomes bin packing. Greedy
+    * FFD (Johnson '73, ≤ 11/9·OPT + 6/9): docs in (tokens desc, id asc)
+    * order, each into the FIRST window with room, else a new window.
+    * `eosTokens` separator overhead is charged per doc; docs longer
+    * than `capacity` get a singleton window with `truncated = true`
+    * (cost capped at `capacity` — the loader truncates, the plan says
+    * so loudly).
+    *
+    * Scale shape — FFD is sequential, so the corpus is cut into BLOCKS
+    * of `blockDocs` consecutive ranks of the global (tokens desc, id)
+    * order ([[globalRank]], no single-partition sort) and packing is
+    * exact FFD within each block: per-task state is ≤ `blockDocs`
+    * (seq, id, n) triples + open-bin loads, blocks pack in parallel,
+    * and determinism survives any executor count — same corpus ⇒ same
+    * windows, the [[packSequences]] auditability property. Block-local
+    * FFD is how a distributed packer really runs (a global first-fit
+    * scan of 10¹¹ docs is not a thing); the efficiency loss vs global
+    * FFD is bounded by one underfull window per block. Emitted
+    * `window_id` = block·blockDocs + bin is globally unique (bins per
+    * block ≤ docs per block).
+    *
+    * Output: (idCol, n_tokens [charged cost incl. EOS, capped],
+    * truncated, block, bin [1-based within block], window_id). Ids
+    * must be long-castable and unique; null token counts are dropped. */
+  def ffdPack(df: DataFrame, idCol: String, tokenCount: Column,
+      capacity: Int, eosTokens: Int = 1, blockDocs: Int = 512): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(eosTokens >= 0, s"eosTokens must be >= 0, got $eosTokens")
+    require(eosTokens < capacity,
+      s"eosTokens $eosTokens leaves no room in capacity $capacity")
+    require(blockDocs >= 1 && blockDocs <= (1 << 20),
+      s"blockDocs must be in [1, 2^20], got $blockDocs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cap = capacity.toLong
+    val sized = df
+      .select(col(idCol).cast("long").as("__id"),
+        (tokenCount.cast("long") + lit(eosTokens.toLong)).as("__raw"))
+      .filter(col("__id").isNotNull && col("__raw").isNotNull)
+      .select(col("__id"), least(col("__raw"), lit(cap)).as("__n"),
+        (col("__raw") > cap).as("__tr"))
+    val ranked = Scale.globalRank(
+      sized.withColumn("__negn", -col("__n").cast("double")),
+      "__negn", "__id")
+    val blocked = ranked.select(
+        expr(s"(rank - 1) DIV $blockDocs").as("__blk"),
+        ((col("rank") - 1) % blockDocs).cast("int").as("__seq"),
+        col("__id"), col("__n"), col("__tr"))
+      .as[(Long, Int, Long, Long, Boolean)]
+    val packed = blocked.groupByKey(_._1).flatMapGroups { (blk, it) =>
+      val docs = it.toArray.sortBy(_._2)
+      val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+      docs.iterator.map { case (_, _, id, n, tr) =>
+        var pos = -1
+        var j = 0
+        while (pos < 0 && j < bins.length) {
+          if (bins(j) + n <= cap) pos = j
+          j += 1
+        }
+        if (pos < 0) { bins += n; pos = bins.length - 1 }
+        else bins(pos) += n
+        (id, n, tr, blk, (pos + 1).toLong, blk * blockDocs + pos + 1)
+      }
+    }
+    packed.toDF(idCol, "n_tokens", "truncated", "block", "bin", "window_id")
+  }
+
   /** Deterministic source-interleaved dataloader order: the row at
     * per-source position p of source s gets global ordinal
     * rank-of(p, s) under (p asc, s asc) — round-robin across sources,

@@ -698,4 +698,62 @@ class ScaleSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxSources"))
   }
+
+  test("ffdPack ≡ reference FFD; capacity respected; truncation loud") {
+    import spark.implicits._
+    // lengths chosen so first-fit differs from next-fit: after 10 and
+    // 7 open bins [10][7], the 5 must land in bin 2 (7+5=12), the 4 in
+    // a new bin — next-fit would have closed bin 1 forever
+    val docs = Seq(
+      (1L, 9L), (2L, 6L), (3L, 4L), (4L, 3L), (5L, 1L),
+      (6L, 25L) // oversize: 25+1 > 12 → singleton truncated window
+    ).toDF("doc_id", "toks")
+    val got = Scale.ffdPack(docs, "doc_id", col("toks"), capacity = 12,
+        eosTokens = 1, blockDocs = 512)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getBoolean(2), r.getLong(5)))).toMap
+    // charged costs desc: 12*(trunc), 10, 7, 5, 4, 2 — FFD at cap 12:
+    // [12] [10,2] [7,5] [4] — ranks: 12→bin1, 10→bin2, 7→bin3,
+    // 5→bin3(7+5=12), 4→bin4, 2→bin2(10+2=12)
+    assert(got(6L) === ((12L, true, 1L)))
+    assert(got(1L) === ((10L, false, 2L)))
+    assert(got(2L) === ((7L, false, 3L)))
+    assert(got(3L) === ((5L, false, 3L)))
+    assert(got(4L) === ((4L, false, 4L)))
+    assert(got(5L) === ((2L, false, 2L)))
+    // reference FFD on random lengths across MULTIPLE blocks: block
+    // boundaries at rank multiples of blockDocs, exact FFD within
+    val rnd = (1 to 200).map(i => (i.toLong, ((i * 37) % 50 + 1).toLong))
+    val big = Scale.ffdPack(rnd.toDF("doc_id", "toks"), "doc_id",
+        col("toks"), capacity = 64, eosTokens = 1, blockDocs = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // reference: sort by (cost desc, id), cut into rank-blocks of 64,
+    // FFD per block
+    val sorted = rnd.map { case (id, t) => (id, t + 1) }
+      .sortBy { case (id, n) => (-n, id) }
+    val want = sorted.zipWithIndex.groupBy(_._2 / 64).flatMap {
+      case (blk, ds) =>
+        val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+        ds.sortBy(_._2).map { case ((id, n), _) =>
+          val pos = bins.indexWhere(_ + n <= 64)
+          val b = if (pos < 0) { bins += n; bins.length } else {
+            bins(pos) += n; pos + 1 }
+          id -> ((n, blk.toLong, b.toLong))
+        }
+    }.toMap
+    assert(big.length === 200)
+    big.foreach { case (id, n, blk, bin, wid) =>
+      assert(want(id) === ((n, blk, bin)), s"doc $id")
+      assert(wid === blk * 64 + bin)
+    }
+    // every window's fill respects capacity
+    val fills = big.groupBy(_._5).map { case (_, ds) => ds.map(_._2).sum }
+    assert(fills.forall(_ <= 64))
+    // guards
+    intercept[IllegalArgumentException](
+      Scale.ffdPack(docs, "doc_id", col("toks"), capacity = 1, eosTokens = 1))
+    intercept[IllegalArgumentException](
+      Scale.ffdPack(docs, "doc_id", col("toks"), capacity = 0))
+  }
 }
