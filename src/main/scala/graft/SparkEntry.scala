@@ -2446,6 +2446,16 @@ object SparkEntry {
           "doc_id", "text", TextAnalysis.classifierFixtureWeights(s),
           buckets = 4096)
         .orderBy("doc_id")),
+    // the SHIPPED-ARTIFACT apply path (the q_unigram_apply precedent
+    // for the classifier): the dense 512-bucket weight table rides the
+    // codegen'd ClassifierScore expression — one scan-local pass, zero
+    // shuffles — and the oracle gets the SAME artifact as a VALUES
+    // literal, so a trained gate replays anywhere without retraining
+    "q_classifier_apply" -> ((s, dir) =>
+      TextAnalysis.classifierApplyTable(Tables.documents(s, dir),
+          "doc_id", "text", TextAnalysis.classifierFixtureWeights(s, 512),
+          buckets = 512)
+        .orderBy("doc_id")),
     // reciprocal-rank fusion of two retrieval rankings (classifier
     // quality desc, length desc) — both integer-exact so the ranks,
     // the rrf doubles, and the top-20 cut are engine-identical;
@@ -3085,6 +3095,44 @@ object SparkEntry {
                   sum(c * (((bucket * 2654435761 + 104729) % 2001) - 1000))
                     AS score_sum
                 FROM perdoc GROUP BY 1)"""
+
+  /** [[classifierScoreCtes]] with the weight table as a VALUES LITERAL
+    * artifact instead of the inline bucket formula — the oracle half of
+    * the shipped-artifact apply path (q_classifier_apply). The literal
+    * rows are the same fixture weights the Spark side collects, so a
+    * real trained model slots in by swapping the artifact on both
+    * sides. */
+  private def classifierApplyCtes(buckets: Int): String = {
+    val values = (0 until buckets).map { b =>
+      s"($b, ${(b.toLong * 2654435761L + 104729L) % 2001L - 1000L})"
+    }.mkString(", ")
+    s"""WITH wts AS MATERIALIZED (
+           SELECT bucket, CAST(w AS BIGINT) AS w
+           FROM (VALUES $values) t(bucket, w)),
+         toks AS (SELECT doc_id,
+                string_split_regex(trim(text), '\\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0),
+         feats AS (
+           SELECT doc_id, 'u:' || unnest(t) AS f FROM toks
+           UNION ALL
+           SELECT doc_id, 'b:' || t[i] || ' ' || t[i + 1] AS f
+           FROM toks, LATERAL unnest(generate_series(1, len(t) - 1))
+             AS g(i)
+           WHERE len(t) >= 2),
+         fb AS (SELECT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(
+                      substring(sha256(f), 1, 13), ''),
+                      c -> CAST(instr('0123456789abcdef', c) - 1
+                        AS BIGINT))),
+                    (acc, x) -> acc * 16 + x) % $buckets AS bucket
+                FROM feats WHERE f <> 'u:'),
+         perdoc AS (SELECT doc_id, bucket, count(*) AS c
+                    FROM fb GROUP BY 1, 2),
+         sc AS (SELECT doc_id, sum(c) AS n_feats,
+                  sum(c * w) AS score_sum
+                FROM perdoc JOIN wts USING (bucket) GROUP BY 1)"""
+  }
 
   /** Synchronous k-core peeling unrolled; every e/s step is referenced
     * twice downstream, so both are AS MATERIALIZED (the recursive-CTE
@@ -5705,6 +5753,15 @@ object SparkEntry {
     // expression of the bucket, so every aggregate is BIGINT-exact
     "q_quality_classifier" ->
       (classifierScoreCtes +
+        """ SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+                CAST(score_sum AS BIGINT) AS score_sum,
+                score_sum > 0 AS label
+         FROM sc ORDER BY doc_id"""),
+    // the shipped-artifact apply path: identical scoring pipeline, but
+    // the weights come from a 512-row VALUES literal (the artifact)
+    // joined in, not an inline formula — BIGINT-exact end to end
+    "q_classifier_apply" ->
+      (classifierApplyCtes(512) +
         """ SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
                 CAST(score_sum AS BIGINT) AS score_sum,
                 score_sum > 0 AS label

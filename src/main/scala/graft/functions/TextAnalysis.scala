@@ -1303,6 +1303,49 @@ object TextAnalysis {
     spark.range(buckets).select(col("id").cast("int").as("bucket"),
       ((col("id") * lit(2654435761L) + lit(104729L)) % 2001L - 1000L).as("w"))
 
+  /** APPLY-ONLY classifier gate under a SHIPPED weight artifact — the
+    * [[unigramApplyTable]] deployment shape for [[qualityClassifier]]:
+    * the trained (bucket, w) table is stored once as an artifact and
+    * every downstream corpus pass scores WITHOUT the trainable-table
+    * machinery. The artifact must be DENSE (exactly one weight per
+    * bucket in [0, buckets)) — that is what a trained fastText head is,
+    * and it is what makes this path score-identical to the
+    * weights-table join (a sparse table would silently drop features
+    * from `n_feats` via the inner join).
+    *
+    * The table is collected to the driver (hard `buckets` cap by
+    * construction — bucket count is model-sized, never corpus-sized)
+    * and ships to executors inside the codegen'd
+    * [[graft.expressions.ClassifierScore]] reference object. Corpus
+    * cost: ONE scan-local featurize+score pass, ZERO shuffles — vs the
+    * explode + 2 keyed aggregations + broadcast join the trainable form
+    * pays. Output ≡ [[qualityClassifier]]: (doc_id, n_feats, score_sum,
+    * label); featureless docs absent. */
+  def classifierApplyTable(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"need 2 <= buckets <= 2^20, got $buckets")
+    require(Set("bucket", "w").subsetOf(weights.columns.toSet),
+      s"weights needs (bucket, w) columns, got ${weights.columns.mkString(", ")}")
+    val rows = weights
+      .select(col("bucket").cast("int"), col("w").cast("long"))
+      .limit(buckets + 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    require(rows.length == buckets &&
+        rows.map(_._1).sorted.sameElements(0 until buckets),
+      s"weight artifact must be dense over [0, $buckets) — got " +
+        s"${rows.length} rows; a sparse table would silently drop features")
+    val arr = new Array[Long](buckets)
+    rows.foreach { case (b, w) => arr(b) = w }
+    docs
+      .select(col(idCol).as("doc_id"), graft.expressions.ClassifierScore
+        .score(col(textCol), arr.toSeq).as("__s"))
+      .filter(col("__s").isNotNull && col("__s.n_feats") > 0)
+      .select(col("doc_id"), col("__s.n_feats").as("n_feats"),
+        col("__s.score_sum").as("score_sum"),
+        (col("__s.score_sum") > 0).as("label"))
+  }
+
   /** Within-document exact line dedup (the RefinedWeb/CCNet boilerplate
     * pass: navigation menus, cookie banners and signature blocks repeat
     * the same line many times inside one page): keep each distinct line

@@ -58,4 +58,36 @@ class QualityClassifierSpec extends SparkSpec {
       .agg(min("w"), max("w")).collect().head
     assert(mm.getLong(0) >= -1000L && mm.getLong(1) <= 1000L)
   }
+
+  test("classifierApplyTable ≡ qualityClassifier under the same dense artifact") {
+    // adversarial strings: tabs/newlines inside, space-only trim edges,
+    // multi-space runs, empty/null — the split/trim quirk surface
+    val texts = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "  leading and trailing  "),
+      (3L, "tab\tseparated\ttokens"),
+      (4L, "newline\ninside text"),
+      (5L, "multi   space    runs"),
+      (6L, "single"),
+      (7L, ""),
+      (8L, "   "),
+      (9L, null.asInstanceOf[String]),
+      (10L, "\ttab-led text")) // space-trim keeps the tab → empty token
+    val df = texts.toDF("doc_id", "text")
+    val w = TextAnalysis.classifierFixtureWeights(spark, 512)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val trained = rows(TextAnalysis.qualityClassifier(df, "doc_id", "text",
+      w, buckets = 512))
+    val applied = rows(TextAnalysis.classifierApplyTable(df, "doc_id",
+      "text", w, buckets = 512))
+    assert(applied === trained)
+    assert(!applied.keySet.exists(Set(7L, 8L, 9L))) // featureless absent
+    // sparse artifact rejected loudly — it would silently drop features
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.classifierApplyTable(df, "doc_id", "text",
+        w.filter(col("bucket") =!= 7), buckets = 512))
+    assert(e.getMessage.contains("dense"))
+  }
 }
