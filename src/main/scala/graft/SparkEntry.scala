@@ -2837,6 +2837,28 @@ object SparkEntry {
           lit(" &amp; tail&#39;s &lt;end&gt;</p>" +
             "<script>if(1<2){x=1;}</script></body></html>"))).as("clean"))
         .orderBy("doc_id")),
+    // the tier above stripHtml: block-level main-content extraction
+    // (Boilerpipe-shaped text-density + link-density classifier) over a
+    // deterministically-wrapped page — nav (3 words, short), heading
+    // (2 words), all-anchor related-links block (link density 1.0) and
+    // the copyright footer are dropped; the body paragraph with its
+    // small inline link survives. Entirely scan-local, zero shuffles.
+    "q_main_content" -> ((s, dir) =>
+      TextAnalysis.mainContent(
+          Tables.documents(s, dir).select(col("doc_id"), concat(
+            lit("<html><head><title>d</title>" +
+              "<style>p{color:#888}</style></head><body>" +
+              "<div class=\"nav\"><a href=\"/\">Home</a> " +
+              "<a href=\"/a\">About</a> <a href=\"/c\">Contact</a></div>" +
+              "<h1>Doc "), col("doc_id").cast("string"),
+            lit("</h1><p>"), col("text"),
+            lit(" See <a href=\"/m\">more here</a></p>" +
+              "<div class=\"rel\"><a href=\"/1\">doc one</a> " +
+              "<a href=\"/2\">doc two</a> <a href=\"/3\">doc three</a>" +
+              "</div><footer>Copyright 2026 Example</footer>" +
+              "<script>if(1<2){x=1;}</script></body></html>")).as("html")),
+          "doc_id", "html")
+        .orderBy("doc_id")),
     // the rebalanced corpus: scan-local filter against broadcast
     // thresholds; sqrt/div/floor are all correctly-rounded IEEE ops, so
     // thresholds are bit-identical to the oracle's
@@ -4745,6 +4767,63 @@ object SparkEntry {
                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
              '\s+', ' ', 'g')) AS clean
          FROM documents ORDER BY doc_id""",
+    // block split at block-level tags → per-block text + anchor-text
+    // word counts → minWords/maxLinkDensity gate → kept blocks
+    // reassembled in order; the regex/unescape chain is mainContent's
+    // verbatim
+    "q_main_content" ->
+      """WITH page AS (SELECT doc_id,
+             '<html><head><title>d</title><style>p{color:#888}</style></head><body><div class="nav"><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div><h1>Doc '
+               || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+               ' See <a href="/m">more here</a></p><div class="rel"><a href="/1">doc one</a> <a href="/2">doc two</a> <a href="/3">doc three</a></div><footer>Copyright 2026 Example</footer><script>if(1<2){x=1;}</script></body></html>'
+               AS html
+           FROM documents),
+         ns AS (SELECT doc_id,
+                  regexp_replace(regexp_replace(html,
+                    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                    '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h
+                FROM page),
+         bl AS (SELECT doc_id,
+                  string_split(regexp_replace(
+                    regexp_replace(h, '\s+', ' ', 'g'),
+                    '(?is)</?(p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|section|article|header|footer|nav|blockquote|pre)\b[^>]*>',
+                    chr(10), 'g'), chr(10)) AS bs
+                FROM ns),
+         b AS (SELECT doc_id, i, bs[i] AS raw
+               FROM bl, LATERAL unnest(generate_series(1, len(bs)))
+                 AS g(i)),
+         c AS (SELECT doc_id, i,
+                 trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                     regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                   '\s+', ' ', 'g')) AS txt,
+                 trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                     regexp_replace(array_to_string(
+                       regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1),
+                       ' '), '<[^>]*>', ' ', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                   '\s+', ' ', 'g')) AS ltxt
+               FROM b),
+         k AS (SELECT doc_id, i, txt,
+                 CASE WHEN txt = '' THEN 0
+                      ELSE len(string_split(txt, ' ')) END AS w,
+                 CASE WHEN ltxt = '' THEN 0
+                      ELSE len(string_split(ltxt, ' ')) END AS lw
+               FROM c),
+         kk AS (SELECT doc_id, i, txt, w,
+                  w >= 5 AND CAST(lw AS DOUBLE) <= 0.33 * w AS kept
+                FROM k)
+         SELECT doc_id,
+                coalesce(string_agg(txt, chr(10) ORDER BY i)
+                  FILTER (WHERE kept), '') AS main_text,
+                CAST(count(*) FILTER (WHERE txt <> '') AS BIGINT)
+                  AS n_blocks,
+                CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept
+         FROM kk GROUP BY doc_id ORDER BY doc_id""",
     "q_head_cap_sample" ->
       """WITH t AS (SELECT source,
                 CAST(floor(least(1.0, 5.0 / sqrt(count(*))) * 1000000) AS BIGINT)

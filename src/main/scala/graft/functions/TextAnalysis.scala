@@ -912,12 +912,79 @@ object TextAnalysis {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
-    val unescaped = org.apache.spark.sql.functions.replace(
+    trim(regexp_replace(unescapeEntities(noTags), "\\s+", " "))
+  }
+
+  /** Entity unescape chain shared by [[stripHtml]] and [[mainContent]]
+    * — amp LAST, so "&amp;lt;" becomes "&lt;" (one level), not "<". */
+  private def unescapeEntities(c: Column): Column =
+    org.apache.spark.sql.functions.replace(
       Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
-        "&nbsp;" -> " ").foldLeft(noTags) { case (c, (e, v)) =>
-        org.apache.spark.sql.functions.replace(c, lit(e), lit(v))
+        "&nbsp;" -> " ").foldLeft(c) { case (acc, (e, v)) =>
+        org.apache.spark.sql.functions.replace(acc, lit(e), lit(v))
       }, lit("&amp;"), lit("&"))
-    trim(regexp_replace(unescaped, "\\s+", " "))
+
+  /** Block-level HTML tags that delimit text blocks for [[mainContent]]
+    * — RE2-portable (no backrefs/lookarounds), shared with the oracle
+    * verbatim. */
+  val BlockTagPattern: String =
+    "(?is)</?(p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|section|article|" +
+      "header|footer|nav|blockquote|pre)\\b[^>]*>"
+
+  /** Main-content extraction — the tier ABOVE [[stripHtml]] (which
+    * keeps every word on the page, nav and footer included): the
+    * Boilerpipe/trafilatura-shaped line classifier (Kohlschütter et
+    * al., WSDM'10) that a crawl pipeline runs before any quality gate.
+    * The page is cut into text BLOCKS at block-level tag boundaries;
+    * each block is scored by
+    *   - text density: its word count (`minWords` floor — nav bars,
+    *     headings, copyright lines are short), and
+    *   - link density: words inside `<a>` anchors / total words
+    *     (`maxLinkDensity` ceiling — related-links and menu blocks are
+    *     all anchor text),
+    * and the surviving blocks are reassembled in document order.
+    * Same RE2-portable regex discipline as [[stripHtml]] (flags-only
+    * constructs, no backrefs), so the oracle replays the identical
+    * chain.
+    *
+    * Scale shape: ENTIRELY scan-local — split/transform/filter/
+    * array_join are codegen'd per-row array ops, zero shuffles at any
+    * corpus size (the [[dedupLines]] property); it composes in front
+    * of the dedup/quality family. Output: (doc_id, main_text
+    * [kept blocks joined with \n, '' when nothing survives], n_blocks
+    * [nonempty-text blocks], n_kept). */
+  def mainContent(df: DataFrame, idCol: String, htmlCol: String,
+      minWords: Int = 5, maxLinkDensity: Double = 0.33): DataFrame = {
+    require(minWords >= 1, s"minWords must be >= 1, got $minWords")
+    require(maxLinkDensity >= 0 && maxLinkDensity <= 1,
+      s"maxLinkDensity must be in [0,1], got $maxLinkDensity")
+    def cleanText(c: Column): Column =
+      trim(regexp_replace(
+        unescapeEntities(regexp_replace(c, "<[^>]*>", " ")), "\\s+", " "))
+    def words(c: Column): Column =
+      when(c === "", lit(0)).otherwise(size(split(c, " ")))
+    val noScript = regexp_replace(col(htmlCol),
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    // HTML is newline-insensitive: flatten source whitespace FIRST so
+    // only block-level tags cut blocks (a wrapped paragraph is one
+    // block, not one block per physical line)
+    val flat = regexp_replace(noStyle, "\\s+", " ")
+    val blocks = split(regexp_replace(flat, BlockTagPattern, "\n"), "\n", -1)
+    val scored = transform(blocks, b => struct(
+      cleanText(b).as("t"),
+      cleanText(array_join(
+        regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+        " ")).as("l")))
+    val kept = filter(scored, s =>
+      words(s.getField("t")) >= minWords &&
+        words(s.getField("l")).cast("double") <=
+          lit(maxLinkDensity) * words(s.getField("t")).cast("double"))
+    df.select(col(idCol).as("doc_id"),
+      array_join(transform(kept, s => s.getField("t")), "\n").as("main_text"),
+      size(filter(scored, s => s.getField("t") =!= ""))
+        .cast("long").as("n_blocks"),
+      size(kept).cast("long").as("n_kept"))
   }
 
   /** Per-document top-`k` keyword extraction by tf-idf — the "what is

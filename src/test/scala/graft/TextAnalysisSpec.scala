@@ -605,6 +605,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === "no markup here")
   }
 
+  test("mainContent: density gates drop nav/related/footer, keep the body") {
+    val html = """<html><head><style>p{x}</style></head><body>
+      |<div class="nav"><a href="/">Home</a> <a href="/a">About</a></div>
+      |<h1>Short Title</h1>
+      |<p>This paragraph has plenty of real words to clear the floor,
+      |including one small <a href="/m">inline link</a> inside.</p>
+      |<ul><li><a href="/1">first related article</a></li>
+      |<li><a href="/2">second related article</a></li></ul>
+      |<p>Another long content paragraph with enough words to be kept
+      |and no anchors at all in it.</p>
+      |<footer>Copyright 2026</footer>
+      |<script>if(1<2){boil("</p>");}</script></body></html>"""
+      .stripMargin
+    val out = TextAnalysis.mainContent(
+        Seq((1L, html)).toDF("id", "h"), "id", "h").collect().head
+    val mainText = out.getString(1)
+    // body paragraphs kept WHOLE (source newlines are not block cuts),
+    // in order, nothing else
+    assert(mainText.startsWith("This paragraph has plenty"))
+    assert(mainText.split("\n")(0).endsWith("inline link inside."))
+    assert(mainText.split("\n").length === 2)
+    assert(mainText.split("\n")(1).startsWith("Another long content"))
+    assert(mainText.split("\n")(1).endsWith("no anchors at all in it."))
+    assert(!mainText.contains("Home") && !mainText.contains("related") &&
+      !mainText.contains("Copyright") && !mainText.contains("Short Title"))
+    assert(out.getLong(3) === 2L) // n_kept
+    assert(out.getLong(2) >= 6L) // nonempty blocks incl. the dropped ones
+    // all-boilerplate page → empty main_text, zero kept
+    val boiler = TextAnalysis.mainContent(
+        Seq((1L, "<div><a href=\"/\">Home</a></div><footer>c</footer>"))
+          .toDF("id", "h"), "id", "h").collect().head
+    assert(boiler.getString(1) === "" && boiler.getLong(3) === 0L)
+    // link-density boundary: 2 anchor words of 6 total = 0.333… > 0.33
+    // ceiling → dropped; 2 of 7 = 0.286 → kept
+    val six = "<p>one two three four <a href=\"/x\">five six</a></p>"
+    val seven = "<p>one two three four five <a href=\"/x\">six seven</a></p>"
+    val d = TextAnalysis.mainContent(
+        Seq((1L, six), (2L, seven)).toDF("id", "h"), "id", "h")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(d(1L) === 0L && d(2L) === 1L)
+  }
+
   test("keyphrases: stopword-delimited runs, hand-computed RAKE scores, integer gates") {
     import spark.implicits._
     val docs = Seq(
