@@ -45,6 +45,41 @@ object StreamJoin {
           .as("lag_us"))
   }
 
+  /** LEFT-OUTER form of [[clicksAfterImpressions]] — the attribution
+    * query a funnel report actually needs: every impression emits,
+    * matched ones with their click(s), UNMATCHED ones exactly once
+    * with a null click. The null row for an impression cannot be
+    * emitted when the impression arrives (a qualifying click may still
+    * come); Spark holds it in the join state and emits the null-padded
+    * row only when the CLICK-side watermark passes
+    * `imp_ts + window + lateness` — i.e. null emission is
+    * watermark-driven state EVICTION, so outer results trail the data
+    * by the bound, and a stalled click stream stalls null emission
+    * (the documented outer-join caveat, not a bug). State stays
+    * ≈ rate × (window + lateness) per side, same as the inner form.
+    *
+    * On batch frames the identical predicate emits null rows
+    * immediately (no watermark) — how the spec cross-checks the
+    * semantics. Output: (key, imp_ts, click_ts [null ⇔ unmatched],
+    * lag_us [null ⇔ unmatched]). */
+  def clicksAfterImpressionsOuter(impressions: DataFrame, clicks: DataFrame,
+      keyCol: String, impTsCol: String, clickTsCol: String,
+      windowSeconds: Long, lateness: String = "10 seconds"): DataFrame = {
+    require(windowSeconds > 0, s"need a positive join window, got $windowSeconds")
+    val imp = impressions.withWatermark(impTsCol, lateness)
+    val clk = clicks.withWatermark(clickTsCol, lateness)
+    imp.join(clk,
+      imp(keyCol) === clk(keyCol) &&
+        clk(clickTsCol) >= imp(impTsCol) &&
+        clk(clickTsCol) <= imp(impTsCol) + expr(s"INTERVAL $windowSeconds SECONDS"),
+      "left_outer")
+      .select(imp(keyCol).as("key"),
+        imp(impTsCol).as("imp_ts"),
+        clk(clickTsCol).as("click_ts"),
+        (unix_micros(clk(clickTsCol)) - unix_micros(imp(impTsCol)))
+          .as("lag_us"))
+  }
+
   /** Stream-static enrichment: left-join a stream to a BROADCAST
     * dimension table — the most common streaming-ETL shape (events ⋈
     * product/user/geo dim) and stateless by construction: unlike a

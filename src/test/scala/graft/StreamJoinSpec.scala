@@ -77,6 +77,64 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join: nulls emit exactly at watermark eviction") {
+    implicit val sql = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clks = MemoryStream[(Long, Timestamp)]
+    val joined = StreamJoin.clicksAfterImpressionsOuter(
+      imps.toDF().toDF("ad_id", "imp_ts"),
+      clks.toDF().toDF("ad_id", "click_ts"),
+      "ad_id", "imp_ts", "click_ts", windowSeconds = 60,
+      lateness = "5 seconds")
+    val q = joined.writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    try {
+      // ad 1 gets an in-window click; ad 2 never gets one
+      imps.addData((1L, ts("2024-01-01 10:00:00")),
+        (2L, ts("2024-01-01 10:00:30")))
+      clks.addData((1L, ts("2024-01-01 10:00:45")))
+      q.processAllAvailable()
+      def rows() = spark.table("attrib_outer").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(2)) null else r.getTimestamp(2))).toSet
+      // before the click watermark passes imp_ts+window+lateness, the
+      // unmatched impression must NOT have emitted its null row
+      assert(rows() === Set((1L, ts("2024-01-01 10:00:45"))),
+        "null row emitted before watermark eviction")
+      val buffered = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(buffered >= 2, s"impression 2 not held in state: $buffered")
+      // advance BOTH watermarks far past the bound → eviction emits the
+      // null-padded row for ad 2 exactly once
+      imps.addData((7L, ts("2024-01-01 12:00:00")))
+      clks.addData((7L, ts("2024-01-01 12:00:01")))
+      q.processAllAvailable()
+      imps.addData((8L, ts("2024-01-01 12:30:00")))
+      clks.addData((8L, ts("2024-01-01 12:30:01")))
+      q.processAllAvailable()
+      val got = rows()
+      assert(got.contains((2L, null)), s"missing evicted null row: $got")
+      assert(got.count(_._1 == 2L) === 1, "null row must emit exactly once")
+      // lag_us is null exactly on the unmatched row
+      val lagNulls = spark.table("attrib_outer").collect()
+        .filter(_.getLong(0) == 2L).map(_.isNullAt(3)).toSeq
+      assert(lagNulls === Seq(true))
+    } finally q.stop()
+  }
+
+  test("left-outer batch form ≡ streaming predicate (nulls immediate)") {
+    val imps = Seq((1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 10:00:30"))).toDF("ad_id", "imp_ts")
+    val clks = Seq((1L, ts("2024-01-01 10:00:45")),
+      (2L, ts("2024-01-01 10:01:31"))).toDF("ad_id", "click_ts")
+    val out = StreamJoin.clicksAfterImpressionsOuter(imps, clks,
+        "ad_id", "imp_ts", "click_ts", windowSeconds = 60)
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSet
+    // ad 2's only click is out-of-window → null row in batch too
+    assert(out === Set((1L, 45000000L), (2L, -1L)))
+  }
+
   test("the same predicate on batch frames gives the reference result") {
     val imps = Seq((1L, ts("2024-01-01 10:00:00")),
       (2L, ts("2024-01-01 10:00:30"))).toDF("ad_id", "imp_ts")
