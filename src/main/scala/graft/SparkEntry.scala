@@ -1191,6 +1191,24 @@ object SparkEntry {
           col("doc_id"),
           TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
+    // classifier-grade upgrade: hashed char-2/3-gram integer heads
+    // (Cavnar–Trenkle profiles of the marker lexicons), BIGINT scores
+    // with the routing margin, PLUS the v1 marker prediction and an
+    // agree flag — the parity/delta report in the same row. Fixture
+    // delta (sf0.01): agree 11.8% — the SYNTHETIC SQL-word corpus
+    // trips the de/fr heads on substrings ("order" ⊃ "der"), which is
+    // exactly what the delta report exists to expose; real deployments
+    // swap in heads trained on real corpora (the artifact is the knob,
+    // the machinery is the deliverable)
+    "q_lang_id_v2" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.langIdV2(col("text")).as("__v2"),
+          TextAnalysis.langId(col("text")).as("lang_v1"))
+        .select(col("doc_id"), col("__v2.lang").as("lang_v2"),
+          col("__v2.score").as("score"), col("__v2.margin").as("margin"),
+          col("lang_v1"), (col("__v2.lang") === col("lang_v1")).as("agree"))
+        .orderBy("doc_id")),
     // Unicode-script routing: the fixture is pure ASCII, so a
     // deterministic mixed-script tail is appended IN the query:
     // doc_id%5 Cyrillic U+043F, %3 CJK U+4E2D, %2 Arabic U+0645 —
@@ -3156,6 +3174,19 @@ object SparkEntry {
                 FROM perdoc JOIN wts USING (bucket) GROUP BY 1)"""
   }
 
+  /** q_lang_id_v2's head artifact as a VALUES literal: the SAME
+    * (lang, ord, bucket, w) triples the Spark expression ships (built
+    * by the one shared profile builder, so the two sides cannot
+    * drift). */
+  private def langIdV2HeadsValues: String = {
+    val ordOf = graft.functions.TextAnalysis.langMarkers
+      .map(_._1).zipWithIndex.toMap
+    graft.expressions.LangIdScores
+      .headTriples(graft.functions.TextAnalysis.langMarkers, 1024)
+      .map { case (l, b, w) => s"('$l', ${ordOf(l)}, $b, $w)" }
+      .mkString(", ")
+  }
+
   /** Synchronous k-core peeling unrolled; every e/s step is referenced
     * twice downstream, so both are AS MATERIALIZED (the recursive-CTE
     * inlining-blowup gotcha). Extra rounds past the fixpoint are
@@ -3977,6 +4008,77 @@ object SparkEntry {
                      WHEN c_zh = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'zh'
                      ELSE 'und' END AS lang_pred
          FROM c ORDER BY doc_id""",
+    // hashed char-2/3-gram heads from a VALUES artifact; scores, argmax
+    // (ties by declaration ord), margin = best − rn2, all BIGINT; the
+    // v1 marker CASE rides along for the agree flag
+    "q_lang_id_v2" ->
+      (s"""WITH heads AS MATERIALIZED (
+           SELECT lang, ord, bucket, CAST(w AS BIGINT) AS w
+           FROM (VALUES ${langIdV2HeadsValues}) t(lang, ord, bucket, w)),""" +
+        """
+         toks AS (SELECT doc_id,
+                    unnest(string_split_regex(trim(text), '\s+')) AS tok
+                  FROM documents),
+         pads AS (SELECT doc_id, '_' || tok || '_' AS p
+                  FROM toks WHERE tok <> ''),
+         grams AS (SELECT doc_id, substring(p, i, n) AS g
+                   FROM pads, (VALUES (2), (3)) nn(n),
+                        LATERAL unnest(generate_series(1, len(p) - n + 1))
+                          AS gi(i)),
+         fb AS (SELECT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(
+                      substring(sha256(g), 1, 13), ''),
+                      c -> CAST(instr('0123456789abcdef', c) - 1
+                        AS BIGINT))),
+                    (acc, x) -> acc * 16 + x) % 1024 AS bucket
+                FROM grams),
+         perdoc AS (SELECT doc_id, bucket, count(*) AS c
+                    FROM fb GROUP BY 1, 2),
+         langsod AS (SELECT DISTINCT lang, ord FROM heads),
+         sc0 AS (SELECT p.doc_id, h.lang, sum(p.c * h.w) AS sc
+                 FROM perdoc p JOIN heads h USING (bucket)
+                 GROUP BY 1, 2),
+         allsc AS (SELECT d.doc_id, l.lang, l.ord,
+                     coalesce(s.sc, 0) AS sc
+                   FROM (SELECT doc_id FROM documents) d
+                   CROSS JOIN langsod l
+                   LEFT JOIN sc0 s ON s.doc_id = d.doc_id
+                     AND s.lang = l.lang),
+         rk AS (SELECT doc_id, lang, sc,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY sc DESC, ord ASC) AS rn
+                FROM allsc),
+         v2 AS (SELECT b.doc_id,
+                  CASE WHEN b.sc = 0 THEN 'und' ELSE b.lang END AS lang_v2,
+                  CAST(b.sc AS BIGINT) AS score,
+                  CAST(b.sc - coalesce(s2.sc, 0) AS BIGINT) AS margin
+                FROM rk b LEFT JOIN rk s2 ON s2.doc_id = b.doc_id
+                  AND s2.rn = 2
+                WHERE b.rn = 1),
+         s1 AS (SELECT doc_id,
+                  string_split_regex(trim(text), '\s+') AS w
+                FROM documents),
+         c1 AS (SELECT doc_id,
+                 len(list_filter(w, t -> t IN ('the','a','of','and','is','to','in','it'))) AS c_en,
+                 len(list_filter(w, t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) AS c_de,
+                 len(list_filter(w, t -> t IN ('el','la','de','que','y','los','es','un'))) AS c_es,
+                 len(list_filter(w, t -> t IN ('le','la','les','et','des','est','une','dans'))) AS c_fr,
+                 len(list_filter(w, t -> t IN ('的','是','了','在','和','有','我','不'))) AS c_zh
+               FROM s1),
+         v1 AS (SELECT doc_id,
+                  CASE WHEN greatest(c_en, c_de, c_es, c_fr, c_zh) = 0 THEN 'und'
+                       WHEN c_en = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'en'
+                       WHEN c_de = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'de'
+                       WHEN c_es = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'es'
+                       WHEN c_fr = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'fr'
+                       WHEN c_zh = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'zh'
+                       ELSE 'und' END AS lang_v1
+                FROM c1)
+         SELECT v2.doc_id, v2.lang_v2, v2.score, v2.margin, v1.lang_v1,
+                v2.lang_v2 = v1.lang_v1 AS agree
+         FROM v2 JOIN v1 ON v1.doc_id = v2.doc_id
+         ORDER BY v2.doc_id"""),
     "q_fingerprint" ->
       """SELECT doc_id,
                 CASE WHEN length(text) = 0 THEN 0 ELSE

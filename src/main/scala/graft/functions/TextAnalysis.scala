@@ -102,6 +102,13 @@ object TextAnalysis {
   def langId(text: Column): Column =
     graft.expressions.LangId.langId(text, langMarkers)
 
+  /** Classifier-grade language ID (see
+    * [[graft.expressions.LangIdScores]]): hashed char-2/3-gram integer
+    * heads built from [[langMarkers]], scored in one codegen pass.
+    * Returns struct (lang, score, margin) — BIGINT-exact. */
+  def langIdV2(text: Column, buckets: Int = 1024): Column =
+    graft.expressions.LangIdScores.score(text, langMarkers, buckets)
+
   /** BM25 document scoring for a bag-of-terms query (Robertson &
     * Zaragoza 2009) — the SPARSE-retrieval complement to the dense ANN
     * family ([[graft.operators.Similarity]]): production retrieval runs
