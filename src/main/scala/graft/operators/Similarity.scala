@@ -1054,19 +1054,25 @@ object Similarity {
     * that makes a cluster's pair space blanket-covered in O(1)
     * rounds while the emitted graph stays k-wide.
     *
-    * Convergence: after each round the new graph's order-independent
-    * fingerprint ((count, xor of row hashes) — one map-side aggregation
-    * over the already-materialized state, no join) is compared to the
-    * previous round's; an unchanged fingerprint means the round moved
-    * nothing, and since each round is a deterministic function of the
-    * graph, every later round is identical — the loop STOPS EARLY at
-    * the fixpoint (remaining rounds are free). With
-    * `requireConverged = true` (the registered-query setting) a loop
-    * that exhausts `iterations` WITHOUT reaching the fixpoint fails
-    * loudly, kCore-style, instead of returning a silently-unfinished
-    * graph — `iterations` becomes a certified bound, not a hope. The
-    * fingerprint is w.h.p. exact (a missed change needs an xxhash64
-    * xor collision).
+    * Convergence: after each round the EMITTED k-wide graph's
+    * order-independent fingerprint ((count, xor of row hashes) — one
+    * map-side aggregation over the already-materialized state, no
+    * join) is compared to the previous round's; an unchanged
+    * fingerprint means a full round of neighbor-of-neighbor mixing
+    * moved nothing in the output — Dong et al.'s update-count stopping
+    * criterion at δ = 0 on the emitted width — and the loop STOPS
+    * EARLY there (remaining rounds are free). The fingerprint
+    * deliberately covers rank ≤ k, NOT the internal searchK tails:
+    * tail entries keep churning rounds after the emitted lists are
+    * exact (measured on the registered corpora), and since per-query
+    * lists only improve (the fold keeps the best-k distinct), a
+    * stagnant emitted round is the standard stop signal — the +1-round
+    * registration margin covers the theoretical stall-then-improve
+    * case. With `requireConverged = true` (the registered-query
+    * setting) a loop that exhausts `iterations` with the output STILL
+    * MOVING fails loudly, kCore-style, instead of returning a
+    * silently-unfinished graph. The fingerprint is w.h.p. exact (a
+    * missed change needs an xxhash64 xor collision).
     *
     * Zero-norm vectors are excluded as both queries and neighbors
     * (undefined cosine — the family contract). Ids must be
@@ -1147,12 +1153,13 @@ object Similarity {
           col("rank"), col("score").as("cos"))
     var graph = rankDistinct(scorePairs(bothDirs, nodes, bcastNodes))
       .materialized
-    // order-independent state fingerprint: one scan of the materialized
-    // frame (map-side xor/count aggregation, zero shuffle beyond the
-    // 32-partial reduce); cos is a pure function of the (query,
-    // neighbor) pair, so (ids, rank) pins the structure
+    // order-independent EMITTED-graph fingerprint (rank ≤ k — the
+    // output, not the churning searchK tails): one scan of the
+    // materialized frame (map-side xor/count aggregation, zero shuffle
+    // beyond the 32-partial reduce); cos is a pure function of the
+    // (query, neighbor) pair, so (ids, rank) pins the structure
     def fingerprint(g: DataFrame): (Long, Long) = {
-      val r = g.agg(
+      val r = g.filter(col("rank") <= k).agg(
         count(lit(1)),
         coalesce(expr("bit_xor(xxhash64(query_id, neighbor_id, rank))"),
           lit(0L))).head()
@@ -1195,9 +1202,9 @@ object Similarity {
     }
     nodes.released()
     require(!requireConverged || converged || iterations == 0,
-      s"knnGraph did not reach a neighbor-list fixpoint in $iterations " +
-        "rounds — raise `iterations` or `searchK` (the emitted graph " +
-        "would be a silently-unfinished descent state)")
+      s"knnGraph's emitted top-$k lists were still moving after " +
+        s"$iterations rounds — raise `iterations` or `searchK` (the " +
+        "output would be a silently-unfinished descent state)")
     graph.filter(col("rank") <= k)
   }
 }

@@ -84,9 +84,10 @@ class KnnGraphSpec extends SparkSpec {
       iterations = 6, searchK = 8, requireConverged = true)
     assert(pairs(ok) === pairs(Similarity.knnGraph(clusteredDf, "id", "v",
       3, 3, 8)))
-    // 1 round from the ring start cannot be a PROVEN fixpoint on the
-    // circle (proof needs an unchanged round, and round 1 changes the
-    // init lists) → the guard must throw, not return a partial graph
+    // 1 round from the ring start cannot certify a stable output on
+    // the circle (certification needs an unchanged round, and round 1
+    // changes the init lists) → the guard must throw, not return a
+    // partial graph
     val n = 120
     val pts = (0 until n).map { i =>
       val th = 2 * math.Pi * ((i * 0.618033988749895) % 1.0)
@@ -96,7 +97,7 @@ class KnnGraphSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Similarity.knnGraph(df, "id", "v", k = 5, iterations = 1,
         searchK = 16, requireConverged = true).count())
-    assert(e.getMessage.contains("fixpoint"))
+    assert(e.getMessage.contains("still moving"))
   }
 
   test("early-stop at fixpoint: extra budget is free and result-identical") {
