@@ -40,6 +40,24 @@ object SparkEntry {
         n = 3, threshold = 0.6, maxShingleDf = Some(shingleDfCap))
     }
 
+  /** The deterministically HTML-wrapped corpus q_main_content and
+    * q_curated_corpus_v6 extract from: nav bar, short heading,
+    * body paragraph (doc text + a small inline link), all-anchor
+    * related-links block, copyright footer, script. */
+  private def wrappedPages(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), concat(
+      lit("<html><head><title>d</title>" +
+        "<style>p{color:#888}</style></head><body>" +
+        "<div class=\"nav\"><a href=\"/\">Home</a> " +
+        "<a href=\"/a\">About</a> <a href=\"/c\">Contact</a></div>" +
+        "<h1>Doc "), col("doc_id").cast("string"),
+      lit("</h1><p>"), col("text"),
+      lit(" See <a href=\"/m\">more here</a></p>" +
+        "<div class=\"rel\"><a href=\"/1\">doc one</a> " +
+        "<a href=\"/2\">doc two</a> <a href=\"/3\">doc three</a>" +
+        "</div><footer>Copyright 2026 Example</footer>" +
+        "<script>if(1<2){x=1;}</script></body></html>")).as("html"))
+
   /** MinHash+LSH pair graph over `documents` (64 hashes / 16 bands,
     * exact-Jaccard verified at 0.6). */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
@@ -1344,6 +1362,18 @@ object SparkEntry {
             lit(" contact admin@example.com or https://data.example.org/x?id=1 end")))
             .as("scrubbed"))
         .orderBy("doc_id")),
+    // v2 scrub adds phones (all three conservative shapes) + IPv4; the
+    // suffix fires every pattern on every row, incl. the ordering
+    // traps (IP inside a URL must come out <URL>, not half-<IP>)
+    "q_scrub_pii_v2" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.scrubPiiV2(concat(col("text"),
+            lit(" call +1 (212) 555-0100 or (415) 555-0123 or" +
+              " 555-123-4567, server 10.0.42.7, see" +
+              " http://10.0.0.1/admin and admin@example.com end")))
+            .as("scrubbed"))
+        .orderBy("doc_id")),
     // NFC + control-strip + space-collapse + trim; the appended suffix
     // plants a decomposed e+U+0301, a control byte, a double space, and
     // a kept tab on EVERY row so all four cleaning stages are exercised
@@ -1460,6 +1490,26 @@ object SparkEntry {
           size(split(trim(col("text")), "\\s+")) >= 40)
         .join(pos, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("n_lines"), col("n_dropped"))
+        .orderBy("doc_id")
+    }),
+    // v6: the EXTRACTION tier composed (round-9 operators end-to-end):
+    // crawl pages → mainContent block classifier → ≥ 40-token floor on
+    // the EXTRACTED text → shipped-artifact classifier gate on the
+    // extracted text (a page can fail length only after its chrome is
+    // gone; the classifier never scores nav/footer/link-list tokens)
+    "q_curated_corpus_v6" -> ((s, dir) => {
+      val mc = TextAnalysis.mainContent(wrappedPages(s, dir),
+          "doc_id", "html")
+        .materialized // feeds the classifier AND the final gate
+      val pos = TextAnalysis.classifierApplyTable(
+          mc.select(col("doc_id"), col("main_text")),
+          "doc_id", "main_text",
+          TextAnalysis.classifierFixtureWeights(s, 512), buckets = 512)
+        .filter(col("label")).select("doc_id")
+      mc.filter(col("n_kept") > 0 &&
+          size(split(trim(col("main_text")), "\\s+")) >= 40)
+        .join(pos, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("n_blocks"), col("n_kept"))
         .orderBy("doc_id")
     }),
     "q_curated_corpus_v4" -> ((s, dir) => {
@@ -2862,20 +2912,7 @@ object SparkEntry {
     // the copyright footer are dropped; the body paragraph with its
     // small inline link survives. Entirely scan-local, zero shuffles.
     "q_main_content" -> ((s, dir) =>
-      TextAnalysis.mainContent(
-          Tables.documents(s, dir).select(col("doc_id"), concat(
-            lit("<html><head><title>d</title>" +
-              "<style>p{color:#888}</style></head><body>" +
-              "<div class=\"nav\"><a href=\"/\">Home</a> " +
-              "<a href=\"/a\">About</a> <a href=\"/c\">Contact</a></div>" +
-              "<h1>Doc "), col("doc_id").cast("string"),
-            lit("</h1><p>"), col("text"),
-            lit(" See <a href=\"/m\">more here</a></p>" +
-              "<div class=\"rel\"><a href=\"/1\">doc one</a> " +
-              "<a href=\"/2\">doc two</a> <a href=\"/3\">doc three</a>" +
-              "</div><footer>Copyright 2026 Example</footer>" +
-              "<script>if(1<2){x=1;}</script></body></html>")).as("html")),
-          "doc_id", "html")
+      TextAnalysis.mainContent(wrappedPages(s, dir), "doc_id", "html")
         .orderBy("doc_id")),
     // the rebalanced corpus: scan-local filter against broadcast
     // thresholds; sqrt/div/floor are all correctly-rounded IEEE ops, so
@@ -3142,10 +3179,15 @@ object SparkEntry {
     * rows are the same fixture weights the Spark side collects, so a
     * real trained model slots in by swapping the artifact on both
     * sides. */
-  private def classifierApplyCtes(buckets: Int): String = {
-    val values = (0 until buckets).map { b =>
+  /** The fixture weight table as VALUES rows — the artifact both apply
+    * oracles (q_classifier_apply, q_curated_corpus_v6) ship. */
+  private def classifierFixtureValues(buckets: Int): String =
+    (0 until buckets).map { b =>
       s"($b, ${(b.toLong * 2654435761L + 104729L) % 2001L - 1000L})"
     }.mkString(", ")
+
+  private def classifierApplyCtes(buckets: Int): String = {
+    val values = classifierFixtureValues(buckets)
     s"""WITH wts AS MATERIALIZED (
            SELECT bucket, CAST(w AS BIGINT) AS w
            FROM (VALUES $values) t(bucket, w)),
@@ -3173,6 +3215,64 @@ object SparkEntry {
                   sum(c * w) AS score_sum
                 FROM perdoc JOIN wts USING (bucket) GROUP BY 1)"""
   }
+
+  /** The q_main_content extraction pipeline as CTE definitions (no
+    * leading WITH, ends at `mc` = per-doc (main_text, n_blocks,
+    * n_kept)) — shared by q_main_content and q_curated_corpus_v6 so
+    * the wrapper and the regex chain cannot drift between them. */
+  private val mainContentCtes: String =
+    """page AS (SELECT doc_id,
+             '<html><head><title>d</title><style>p{color:#888}</style></head><body><div class="nav"><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div><h1>Doc '
+               || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
+               ' See <a href="/m">more here</a></p><div class="rel"><a href="/1">doc one</a> <a href="/2">doc two</a> <a href="/3">doc three</a></div><footer>Copyright 2026 Example</footer><script>if(1<2){x=1;}</script></body></html>'
+               AS html
+           FROM documents),
+         ns AS (SELECT doc_id,
+                  regexp_replace(regexp_replace(html,
+                    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                    '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h
+                FROM page),
+         bl AS (SELECT doc_id,
+                  string_split(regexp_replace(
+                    regexp_replace(h, '\s+', ' ', 'g'),
+                    '(?is)</?(p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|section|article|header|footer|nav|blockquote|pre)\b[^>]*>',
+                    chr(10), 'g'), chr(10)) AS bs
+                FROM ns),
+         b AS (SELECT doc_id, i, bs[i] AS raw
+               FROM bl, LATERAL unnest(generate_series(1, len(bs)))
+                 AS g(i)),
+         c AS (SELECT doc_id, i,
+                 trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                     regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                   '\s+', ' ', 'g')) AS txt,
+                 trim(regexp_replace(
+                   replace(replace(replace(replace(replace(replace(
+                     regexp_replace(array_to_string(
+                       regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1),
+                       ' '), '<[^>]*>', ' ', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                   '\s+', ' ', 'g')) AS ltxt
+               FROM b),
+         k AS (SELECT doc_id, i, txt,
+                 CASE WHEN txt = '' THEN 0
+                      ELSE len(string_split(txt, ' ')) END AS w,
+                 CASE WHEN ltxt = '' THEN 0
+                      ELSE len(string_split(ltxt, ' ')) END AS lw
+               FROM c),
+         kk AS (SELECT doc_id, i, txt, w,
+                  w >= 5 AND CAST(lw AS DOUBLE) <= 0.33 * w AS kept
+                FROM k),
+         mc AS (SELECT doc_id,
+                coalesce(string_agg(txt, chr(10) ORDER BY i)
+                  FILTER (WHERE kept), '') AS main_text,
+                CAST(count(*) FILTER (WHERE txt <> '') AS BIGINT)
+                  AS n_blocks,
+                CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept
+         FROM kk GROUP BY doc_id)"""
 
   /** q_lang_id_v2's head artifact as a VALUES literal: the SAME
     * (lang, ord, bucket, w) triples the Spark expression ships (built
@@ -4366,6 +4466,20 @@ object SparkEntry {
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
                   AS scrubbed
          FROM documents ORDER BY doc_id""",
+    // URL → email → phone → IP, same pinned order; patterns verbatim
+    "q_scrub_pii_v2" ->
+      """SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        text || ' call +1 (212) 555-0100 or (415) 555-0123 or 555-123-4567, server 10.0.42.7, see http://10.0.0.1/admin and admin@example.com end',
+                        'https?://[^\s]+', '<URL>', 'g'),
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\+[0-9]{1,3}[- ]?(\([0-9]{1,4}\)[- ]?)?[0-9]{2,4}([- ][0-9]{2,4}){1,3}|\([0-9]{3}\) [0-9]{3}-[0-9]{4}|[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+                  AS scrubbed
+         FROM documents ORDER BY doc_id""",
     // nfc_normalize is DuckDB's utf8proc twin of the NfcNormalize
     // expression; the regexes and trim are spelled identically on both
     // sides (explicit byte ranges, not \p{Cc}, for dialect parity)
@@ -4872,60 +4986,48 @@ object SparkEntry {
     // block split at block-level tags → per-block text + anchor-text
     // word counts → minWords/maxLinkDensity gate → kept blocks
     // reassembled in order; the regex/unescape chain is mainContent's
-    // verbatim
+    // verbatim (CTE chain shared with q_curated_corpus_v6)
     "q_main_content" ->
-      """WITH page AS (SELECT doc_id,
-             '<html><head><title>d</title><style>p{color:#888}</style></head><body><div class="nav"><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div><h1>Doc '
-               || CAST(doc_id AS VARCHAR) || '</h1><p>' || text ||
-               ' See <a href="/m">more here</a></p><div class="rel"><a href="/1">doc one</a> <a href="/2">doc two</a> <a href="/3">doc three</a></div><footer>Copyright 2026 Example</footer><script>if(1<2){x=1;}</script></body></html>'
-               AS html
-           FROM documents),
-         ns AS (SELECT doc_id,
-                  regexp_replace(regexp_replace(html,
-                    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-                    '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS h
-                FROM page),
-         bl AS (SELECT doc_id,
-                  string_split(regexp_replace(
-                    regexp_replace(h, '\s+', ' ', 'g'),
-                    '(?is)</?(p|div|br|h[1-6]|li|ul|ol|table|tr|td|th|section|article|header|footer|nav|blockquote|pre)\b[^>]*>',
-                    chr(10), 'g'), chr(10)) AS bs
-                FROM ns),
-         b AS (SELECT doc_id, i, bs[i] AS raw
-               FROM bl, LATERAL unnest(generate_series(1, len(bs)))
-                 AS g(i)),
-         c AS (SELECT doc_id, i,
-                 trim(regexp_replace(
-                   replace(replace(replace(replace(replace(replace(
-                     regexp_replace(raw, '<[^>]*>', ' ', 'g'),
-                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                   '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-                   '\s+', ' ', 'g')) AS txt,
-                 trim(regexp_replace(
-                   replace(replace(replace(replace(replace(replace(
-                     regexp_replace(array_to_string(
-                       regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1),
-                       ' '), '<[^>]*>', ' ', 'g'),
-                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                   '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-                   '\s+', ' ', 'g')) AS ltxt
-               FROM b),
-         k AS (SELECT doc_id, i, txt,
-                 CASE WHEN txt = '' THEN 0
-                      ELSE len(string_split(txt, ' ')) END AS w,
-                 CASE WHEN ltxt = '' THEN 0
-                      ELSE len(string_split(ltxt, ' ')) END AS lw
-               FROM c),
-         kk AS (SELECT doc_id, i, txt, w,
-                  w >= 5 AND CAST(lw AS DOUBLE) <= 0.33 * w AS kept
-                FROM k)
-         SELECT doc_id,
-                coalesce(string_agg(txt, chr(10) ORDER BY i)
-                  FILTER (WHERE kept), '') AS main_text,
-                CAST(count(*) FILTER (WHERE txt <> '') AS BIGINT)
-                  AS n_blocks,
-                CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept
-         FROM kk GROUP BY doc_id ORDER BY doc_id""",
+      (s"WITH $mainContentCtes" +
+        """ SELECT doc_id, main_text, n_blocks, n_kept
+         FROM mc ORDER BY doc_id"""),
+    // v6: extraction tier composed — main-content CTEs → ≥ 40-token
+    // floor on the EXTRACTED text → classifier chain over main_text
+    // with the 512-row VALUES artifact
+    "q_curated_corpus_v6" ->
+      (s"WITH $mainContentCtes," +
+        s""" wts AS MATERIALIZED (
+           SELECT bucket, CAST(w AS BIGINT) AS w
+           FROM (VALUES ${classifierFixtureValues(512)}) t(bucket, w)),""" +
+        """
+         mtoks AS (SELECT doc_id,
+                string_split_regex(trim(main_text), '\s+') AS t
+              FROM mc WHERE length(trim(main_text)) > 0),
+         mfeats AS (
+           SELECT doc_id, 'u:' || unnest(t) AS f FROM mtoks
+           UNION ALL
+           SELECT doc_id, 'b:' || t[i] || ' ' || t[i + 1] AS f
+           FROM mtoks, LATERAL unnest(generate_series(1, len(t) - 1))
+             AS g(i)
+           WHERE len(t) >= 2),
+         mfb AS (SELECT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(
+                      substring(sha256(f), 1, 13), ''),
+                      c -> CAST(instr('0123456789abcdef', c) - 1
+                        AS BIGINT))),
+                    (acc, x) -> acc * 16 + x) % 512 AS bucket
+                FROM mfeats WHERE f <> 'u:'),
+         mperdoc AS (SELECT doc_id, bucket, count(*) AS c
+                     FROM mfb GROUP BY 1, 2),
+         msc AS (SELECT doc_id, sum(c * w) AS score_sum
+                 FROM mperdoc JOIN wts USING (bucket) GROUP BY 1)
+         SELECT m.doc_id, m.n_blocks, m.n_kept
+         FROM mc m JOIN msc ON msc.doc_id = m.doc_id
+         WHERE m.n_kept > 0
+           AND len(string_split_regex(trim(m.main_text), '\s+')) >= 40
+           AND msc.score_sum > 0
+         ORDER BY m.doc_id"""),
     "q_head_cap_sample" ->
       """WITH t AS (SELECT source,
                 CAST(floor(least(1.0, 5.0 / sqrt(count(*))) * 1000000) AS BIGINT)

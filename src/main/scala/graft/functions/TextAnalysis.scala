@@ -564,6 +564,35 @@ object TextAnalysis {
       regexp_replace(text, UrlPattern, "<URL>"),
       EmailPattern, "<EMAIL>")
 
+  /** Phone patterns deliberately CONSERVATIVE and dialect-portable (no
+    * lookarounds/backrefs — java.util.regex ≡ RE2): plus-prefixed
+    * international runs, parenthesized-area US style, and plain
+    * ddd-ddd-dddd. A greedy "any 10 digits" rule would eat ids,
+    * timestamps and order numbers — in a curation pipeline false
+    * positives destroy data, so the gate errs narrow. */
+  val PhonePattern: String =
+    "\\+[0-9]{1,3}[- ]?(\\([0-9]{1,4}\\)[- ]?)?[0-9]{2,4}([- ][0-9]{2,4}){1,3}" +
+      "|\\([0-9]{3}\\) [0-9]{3}-[0-9]{4}" +
+      "|[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Dotted-quad IPv4. `[0-9]{1,3}` (not value-exact octets) keeps the
+    * pattern identical across dialects; over-matching 999.… "addresses"
+    * is the standard scrubber trade. */
+  val Ipv4Pattern: String =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** [[scrubPii]] extended with phone numbers and IPv4 addresses —
+    * order matters and is pinned: URL first (an IP inside a URL is
+    * already gone as `<URL>`), then email, then phone, then IP (a
+    * phone match must not leave digit runs an IP rule could half-eat).
+    * All four passes scan-local codegen'd regexes — zero shuffle. */
+  def scrubPiiV2(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        scrubPii(text),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
+
   /** Split documents into fixed-size token windows with overlap — the
     * context-window packing stage of a training pipeline (long docs
     * become `chunkTokens`-sized training rows; `overlap` tokens of

@@ -605,6 +605,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === "no markup here")
   }
 
+  test("scrubPiiV2: phones and IPs scrub; order pins URL-wrapped IPs; narrow gate") {
+    def scrub(s: String): String =
+      Seq(Tuple1(s)).toDF("t")
+        .select(TextAnalysis.scrubPiiV2(col("t"))).head.getString(0)
+    assert(scrub("call +1 (212) 555-0100 now") === "call <PHONE> now")
+    assert(scrub("call +44 20 7946 0958 now") === "call <PHONE> now")
+    assert(scrub("at (415) 555-0123.") === "at <PHONE>.")
+    assert(scrub("fax 555-123-4567,") === "fax <PHONE>,")
+    assert(scrub("host 192.168.1.254 up") === "host <IP> up")
+    // ordering: an IP inside a URL is <URL>, never a half-eaten <IP>
+    assert(scrub("see http://10.0.0.1/admin page") === "see <URL> page")
+    // email before phone: digits in a local-part stay <EMAIL>
+    assert(scrub("a 555-123-4567@x.example.com b") === "a <EMAIL> b")
+    // the narrow gate: dates, order ids, version strings pass through
+    assert(scrub("on 2026-08-15 order 1234567890 v1.2.3 x") ===
+      "on 2026-08-15 order 1234567890 v1.2.3 x")
+  }
+
   test("mainContent: density gates drop nav/related/footer, keep the body") {
     val html = """<html><head><style>p{x}</style></head><body>
       |<div class="nav"><a href="/">Home</a> <a href="/a">About</a></div>
