@@ -1385,6 +1385,19 @@ object SparkEntry {
             lit(" cafe\u0301\u0001  spaced\tend ")))
             .as("clean"))
         .orderBy("doc_id")),
+    // v2 adds the invisible class (\x{...} dialect-intersection
+    // spelling): a ZWSP splitting a word that must rejoin, an RLO/PDF
+    // bidi pair (the Trojan-Source shape), a soft hyphen, plus v1's
+    // decomposed accent + control + double space — every stage fires
+    // on every row
+    "q_clean_text_v2" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.cleanTextV2(concat(col("text"),
+            lit(" zero\u200Bwidth bidi\u202Eevil\u202C soft\u00ADhyphen" +
+              " cafe\u0301\u0001  end ")))
+            .as("clean"))
+        .orderBy("doc_id")),
     // accent folding (NFD → drop Mn → NFC). The fixture text is pure
     // ASCII (fast-path identity), so the prefix plants composed é,
     // DECOMPOSED e+U+0301, stroke-letter Đ (must survive — not a
@@ -4488,6 +4501,21 @@ object SparkEntry {
                 trim(regexp_replace(regexp_replace(
                   nfc_normalize(text || ' cafe' || chr(769) || chr(1) ||
                     '  spaced' || chr(9) || 'end '),
+                  '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+                  ' {2,}', ' ', 'g')) AS clean
+         FROM documents ORDER BY doc_id""",
+    // invisibles stripped BEFORE NFC, then the v1 chain; chr() plants
+    // ZWSP(8203)/RLO(8238)/PDF(8236)/SHY(173) + the v1 accent/control
+    "q_clean_text_v2" ->
+      """SELECT doc_id,
+                trim(regexp_replace(regexp_replace(
+                  nfc_normalize(regexp_replace(
+                    text || ' zero' || chr(8203) || 'width bidi' ||
+                      chr(8238) || 'evil' || chr(8236) || ' soft' ||
+                      chr(173) || 'hyphen cafe' || chr(769) || chr(1) ||
+                      '  end ',
+                    '[\x{00AD}\x{200B}-\x{200F}\x{202A}-\x{202E}\x{2060}\x{2066}-\x{2069}\x{FEFF}]',
+                    '', 'g')),
                   '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
                   ' {2,}', ' ', 'g')) AS clean
          FROM documents ORDER BY doc_id""",

@@ -832,6 +832,28 @@ object TextAnalysis {
         "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""),
       " {2,}", " "))
 
+  /** Invisible-codepoint class [[cleanTextV2]] strips beyond
+    * [[cleanText]]'s control bytes — the characters a web corpus is
+    * actually full of and `[\x00-\x1F]` misses: zero-widths
+    * (U+200B–U+200D, U+2060, U+FEFF — ZWSP/ZWNJ/ZWJ/word-joiner/BOM),
+    * bidi controls (U+200E/U+200F, U+202A–U+202E, U+2066–U+2069 — the
+    * Trojan-Source class), and the soft hyphen (U+00AD). The `\x{…}`
+    * spelling is the java.util.regex ∩ RE2 dialect intersection. */
+  val InvisiblePattern: String =
+    "[\\x{00AD}\\x{200B}-\\x{200F}\\x{202A}-\\x{202E}" +
+      "\\x{2060}\\x{2066}-\\x{2069}\\x{FEFF}]"
+
+  /** [[cleanText]] plus invisible-codepoint stripping — zero-width and
+    * bidi-control characters break byte-keyed dedup (two visually
+    * identical documents hash apart on an invisible ZWSP) and token
+    * counts, and bidi overrides are the Trojan-Source display attack;
+    * a crawl pipeline strips them before any digest. Strip order:
+    * invisibles BEFORE NFC so a soft-hyphen/ZWJ can't survive inside a
+    * recomposition, then the cleanText chain unchanged. Same
+    * single-projection zero-shuffle shape. */
+  def cleanTextV2(text: Column): Column =
+    cleanText(regexp_replace(text, InvisiblePattern, ""))
+
   /** The Gopher stop-list (Rae et al. 2021 §A1.1): a document must
     * contain at least two of these to pass the rule gate. Distinct
     * from [[stopwords]] (the ratio-feature list) on purpose — the

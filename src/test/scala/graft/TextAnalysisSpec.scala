@@ -605,6 +605,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === "no markup here")
   }
 
+  test("cleanTextV2: invisibles stripped before NFC; v1 chain preserved") {
+    def clean(s: String): String =
+      Seq(Tuple1(s)).toDF("t")
+        .select(TextAnalysis.cleanTextV2(col("t"))).head.getString(0)
+    // ZWSP rejoins the word; RLO/PDF bidi pair vanishes; soft hyphen
+    // vanishes; ZWJ/BOM/word-joiner vanish; v1 control/space/trim hold
+    assert(clean("zero​width") === "zerowidth")
+    assert(clean("bidi \u202Eevil\u202C x") === "bidi evil x")
+    assert(clean("soft­hyphen") === "softhyphen")
+    assert(clean("a‍﻿⁠b") === "ab")
+    assert(clean(" café  end ") === "café end")
+    // strip-before-NFC: an invisible between base and combining mark
+    // must not block recomposition
+    assert(clean("cafe​́") === "café")
+    assert(clean("plain text stays") === "plain text stays")
+  }
+
   test("scrubPiiV2: phones and IPs scrub; order pins URL-wrapped IPs; narrow gate") {
     def scrub(s: String): String =
       Seq(Tuple1(s)).toDF("t")
