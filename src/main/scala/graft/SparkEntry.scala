@@ -2855,6 +2855,42 @@ object SparkEntry {
     // keyed off doc_id): host, registered domain, path depth,
     // canonical dedup key, tracking-param strip — every expression an
     // RE2-safe regex chain the oracle restates verbatim
+    // robots.txt-shaped crawl-policy gate (RFC 9309 precedence):
+    // longest matching prefix decides, equal-length ties prefer allow,
+    // unknown hosts default-allow; rules collapse to one broadcast row
+    // per host and the decision is a scan-local array fold. The rule
+    // fixture exercises every precedence branch: blanket-disallow with
+    // a longer allow carve-out (src1 /en/), section disallow (src2
+    // /de/), subdomain-only blanket (sub.src3), nested overrides where
+    // the carve-out cuts MID-SEGMENT (src4 /en/doc/1 re-allows ids
+    // starting with digit 1 — byte-prefix semantics, the RFC's), and
+    // an exact-tie allow-wins pair (src5 /en/)
+    "q_url_policy" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.UrlOps
+      val url = concat(
+        when(col("doc_id") % 7 === 0, lit("http://")).otherwise(lit("https://")),
+        when(col("doc_id") % 5 === 0, lit("Sub.")).otherwise(lit("")),
+        col("source"), lit(".example.com"),
+        when(col("doc_id") % 11 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/"), col("lang"), lit("/doc/"), col("doc_id").cast("string"))
+      val rules = Seq(
+        ("src1.example.com", "/", false),
+        ("src1.example.com", "/en/", true),
+        ("src2.example.com", "/de/", false),
+        ("sub.src3.example.com", "/", false),
+        ("src4.example.com", "/en/doc/", false),
+        ("src4.example.com", "/en/doc/1", true),
+        ("src5.example.com", "/en/", true),
+        ("src5.example.com", "/en/", false)
+      ).toDF("host", "path_prefix", "allow")
+      UrlOps.urlPolicy(
+          Tables.documents(s, dir).select(col("doc_id"), url.as("url")),
+          "url", rules)
+        .select(col("doc_id"), col("host"), col("path"), col("rule_len"),
+          col("allowed"))
+        .orderBy("doc_id")
+    }),
     "q_url_parts" -> ((s, dir) => {
       import graft.functions.UrlOps
       val url = concat(
@@ -4934,6 +4970,51 @@ object SparkEntry {
          ORDER BY d.doc_id""",
     // same synthesized URLs, same anchored extracts; DuckDB replacement
     // backrefs are \1 where Spark's are $1 (pattern side is shared)
+    // rn=1 under (prefix-len desc, allow desc) IS the RFC precedence;
+    // unmatched docs left-join to default allow with rule_len -1
+    "q_url_policy" ->
+      """WITH u AS (SELECT doc_id,
+             (CASE WHEN doc_id % 7 = 0 THEN 'http://' ELSE 'https://' END) ||
+             (CASE WHEN doc_id % 5 = 0 THEN 'Sub.' ELSE '' END) ||
+             source || '.example.com' ||
+             (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END) ||
+             '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+         p AS (SELECT doc_id,
+             lower(regexp_replace(regexp_extract(url,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)', 2),
+               ':[0-9]+$', '')) AS host,
+             CASE WHEN regexp_extract(url,
+                 '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)', 3) = ''
+               THEN '/'
+               ELSE regexp_extract(url,
+                 '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)', 3) END
+               AS path
+           FROM u),
+         r AS (SELECT lower(host) AS host, path_prefix, allow
+               FROM (VALUES
+                 ('src1.example.com', '/', false),
+                 ('src1.example.com', '/en/', true),
+                 ('src2.example.com', '/de/', false),
+                 ('sub.src3.example.com', '/', false),
+                 ('src4.example.com', '/en/doc/', false),
+                 ('src4.example.com', '/en/doc/1', true),
+                 ('src5.example.com', '/en/', true),
+                 ('src5.example.com', '/en/', false))
+                 t(host, path_prefix, allow)),
+         m AS (SELECT p.doc_id, len(r.path_prefix) AS l, r.allow,
+                 row_number() OVER (PARTITION BY p.doc_id
+                   ORDER BY len(r.path_prefix) DESC,
+                            CAST(r.allow AS INT) DESC) AS rn
+               FROM p JOIN r ON r.host = p.host
+                 AND substring(p.path, 1, len(r.path_prefix))
+                   = r.path_prefix)
+         SELECT p.doc_id, p.host, p.path,
+                CAST(coalesce(b.l, -1) AS INTEGER) AS rule_len,
+                coalesce(b.allow, true) AS allowed
+         FROM p LEFT JOIN (SELECT doc_id, l, allow FROM m WHERE rn = 1) b
+           USING (doc_id)
+         ORDER BY p.doc_id""",
     "q_url_parts" ->
       """WITH u AS (SELECT doc_id,
              (CASE WHEN doc_id % 7 = 0 THEN 'http://' ELSE 'https://' END) ||

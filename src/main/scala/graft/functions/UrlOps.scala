@@ -77,6 +77,58 @@ object UrlOps {
     * mirrored verbatim in the oracle. */
   val trackingPrefixes: Seq[String] = Seq("utm_", "gclid", "fbclid")
 
+  /** Crawl-policy URL filter — the robots.txt-shaped gate (RFC 9309
+    * precedence) a compliant pipeline runs before fetching or keeping a
+    * page: `rules` is a (host, path_prefix, allow) table; for each URL
+    * the matching rule (same lowercased port-less host, rule prefix is
+    * a byte prefix of the path) with the LONGEST prefix decides, an
+    * equal-length tie prefers allow, and no matching rule — including
+    * unknown hosts — defaults to allow. The empty path is matched as
+    * "/" (the RFC's empty-Disallow convention).
+    *
+    * Scale shape: policy tables are registry-sized, so rules collapse
+    * to ONE broadcast row per host (`collect_list` of (prefix, allow)
+    * structs) and the decision is a scan-local array fold — the
+    * max-by-(prefix-length, allow) reduction is order-independent, so
+    * `collect_list`'s nondeterministic order is harmless. ZERO
+    * shuffles on the URL stream at any corpus size. Output: input
+    * columns + (host [lowercased, port-less], path [normalized],
+    * rule_len [-1 = default], allowed). */
+  def urlPolicy(df: org.apache.spark.sql.DataFrame, urlCol: String,
+      rules: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    require(Set("host", "path_prefix", "allow")
+      .subsetOf(rules.columns.toSet),
+      s"rules needs (host, path_prefix, allow), got ${rules.columns.mkString(", ")}")
+    val r = rules.select(lower(col("host")).as("__h"),
+      struct(col("path_prefix").cast("string").as("p"),
+        col("allow").cast("boolean").as("a")).as("__r"))
+    val hostRules = r.groupBy("__h")
+      .agg(collect_list(col("__r")).as("__rules"))
+    df
+      .withColumn("host", lower(hostNoPort(col(urlCol))))
+      .withColumn("path",
+        when(path(col(urlCol)) === "", lit("/"))
+          .otherwise(path(col(urlCol))))
+      .join(broadcast(hostRules), col("host") === col("__h"), "left")
+      .withColumn("__best", aggregate(
+        filter(coalesce(col("__rules"),
+            array().cast("array<struct<p:string,a:boolean>>")),
+          rl => col("path").substr(lit(1), length(rl.getField("p")))
+            === rl.getField("p")),
+        struct(lit(-1).cast("int").as("l"), lit(true).as("a")),
+        (acc, rl) => {
+          val l = length(rl.getField("p")).cast("int")
+          val better = l > acc.getField("l") ||
+            (l === acc.getField("l") && rl.getField("a") &&
+              !acc.getField("a"))
+          when(better, struct(l.as("l"), rl.getField("a").as("a")))
+            .otherwise(acc)
+        }))
+      .withColumn("rule_len", col("__best.l"))
+      .withColumn("allowed", col("__best.a"))
+      .drop("__h", "__rules", "__best")
+  }
+
   /** Remove utm_* / gclid / fbclid query parameters while preserving the
     * rest of the query string, in three RE2-safe passes:
     *  1. drop `&tracking=...` (non-leading params),

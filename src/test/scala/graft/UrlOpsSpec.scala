@@ -60,6 +60,36 @@ class UrlOpsSpec extends SparkSpec {
       === "https://e.com/p?id=1&z=2")
   }
 
+  test("urlPolicy: RFC 9309 precedence — longest prefix, allow ties, default allow") {
+    val rules = Seq(
+      ("Ex.com", "/", false),          // rule hosts lowercase on entry
+      ("ex.com", "/blog/", true),      // longer allow carve-out
+      ("ex.com", "/blog/priv", false), // even longer re-disallow
+      ("tie.com", "/a/", true),
+      ("tie.com", "/a/", false)        // exact tie → allow wins
+    ).toDF("host", "path_prefix", "allow")
+    val urls = Seq(
+      (1L, "https://ex.com/blog/post"),     // /blog/ allow (len 6 > 1)
+      (2L, "https://EX.com:8443/shop/x"),   // '/' disallow (host casing+port)
+      (3L, "https://ex.com/blog/private"),  // /blog/priv disallow (len 10)
+      (4L, "https://other.com/anything"),   // unknown host → default allow
+      (5L, "https://ex.com"),               // empty path ≡ '/' → disallow
+      (6L, "https://tie.com/a/b")           // tie → allow
+    ).toDF("id", "url")
+    val got = UrlOps.urlPolicy(urls, "url", rules)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Boolean]("allowed"), r.getAs[Int]("rule_len")))).toMap
+    assert(got(1L) === ((true, 6)))
+    assert(got(2L) === ((false, 1)))
+    assert(got(3L) === ((false, 10)))
+    assert(got(4L) === ((true, -1)))
+    assert(got(5L) === ((false, 1)))
+    assert(got(6L) === ((true, 3)))
+    // missing columns fail loudly
+    intercept[IllegalArgumentException](
+      UrlOps.urlPolicy(urls, "url", Seq(("h", "/")).toDF("host", "prefix")))
+  }
+
   test("non-URL inputs degrade to empty parts, never throw") {
     for (bad <- Seq("", "no scheme here", "mailto:x@y.z")) {
       assert(eval(bad, UrlOps.host) === "")
