@@ -1649,6 +1649,17 @@ object SparkEntry {
     "q_minhash_pr" -> ((s, dir) =>
       Dedup.minhashBandingReport(Tables.documents(s, dir), "doc_id",
         "text", n = 3, numHashes = 16, bands = 8, threshold = 0.6)),
+    // the Hamming-family twin: candidate P/R of a DELIBERATELY lossy
+    // 4-band SimHash config at maxDist 5 — the regime
+    // simhashNearDupPairs refuses loudly (pigeonhole needs 6 bands);
+    // this report is how the refusal's price is QUANTIFIED before
+    // choosing band count. Truth via the complete 6-band generator
+    // Spark-side (a theorem, spec'd on planted band-defeating masks),
+    // exhaustive packed-halves pairwise in the oracle
+    "q_simhash_pr" -> ((s, dir) =>
+      Dedup.simhashBandingReport(Tables.documents(s, dir), "doc_id",
+        "text", maxDist = 5, evalBands = 4,
+        tokenHash = Dedup.PortableSha)),
     // AllPairs/PPJoin prefix filtering: exact full-universe Jaccard
     // with candidates only from each doc's rarest-token prefix — the
     // third candidate scheme next to the df-cap (changes the universe)
@@ -6720,6 +6731,50 @@ object SparkEntry {
                 CASE WHEN sum(t) > 0
                      THEN CAST(sum(c * t) AS DOUBLE) / sum(t) END AS recall
          FROM fo""",
+    // the simhash twin: sig CTEs are simhashOracleSql's verbatim;
+    // 4×16-bit candidate bands from the packed halves, truth = the
+    // exhaustive pairwise Hamming cutoff
+    "q_simhash_pr" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS t
+              FROM documents),
+         h AS (SELECT doc_id,
+                      list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(string_split(substring(sha256(t), 1, 15), ''),
+                          c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))),
+                        (acc, x) -> acc * 16 + x) AS h
+               FROM toks),
+         bits AS (SELECT doc_id, i,
+                         CASE WHEN SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                              THEN 1 ELSE 0 END AS bit
+                  FROM h, (SELECT unnest(range(64)) AS i) idx
+                  GROUP BY doc_id, i),
+         sig AS MATERIALIZED (SELECT doc_id,
+                SUM(CASE WHEN i < 32 AND bit = 1
+                    THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS lo,
+                SUM(CASE WHEN i >= 32 AND bit = 1
+                    THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END) AS hi
+              FROM bits GROUP BY doc_id),
+         pair AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.lo, b.lo))
+                    + bit_count(xor(a.hi, b.hi)) AS INTEGER) <= 5 AS t,
+                 ((a.lo & 65535) = (b.lo & 65535)
+                   OR ((a.lo >> 16) & 65535) = ((b.lo >> 16) & 65535)
+                   OR (a.hi & 65535) = (b.hi & 65535)
+                   OR ((a.hi >> 16) & 65535) = ((b.hi >> 16) & 65535)) AS c
+                 FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         SELECT CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+                CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+                CAST(sum(CASE WHEN c AND t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN c AND NOT t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN t AND NOT c THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                CASE WHEN sum(CASE WHEN c THEN 1 ELSE 0 END) > 0
+                     THEN CAST(sum(CASE WHEN c AND t THEN 1 ELSE 0 END) AS DOUBLE)
+                          / sum(CASE WHEN c THEN 1 ELSE 0 END) END AS "precision",
+                CASE WHEN sum(CASE WHEN t THEN 1 ELSE 0 END) > 0
+                     THEN CAST(sum(CASE WHEN c AND t THEN 1 ELSE 0 END) AS DOUBLE)
+                          / sum(CASE WHEN t THEN 1 ELSE 0 END) END AS recall
+         FROM pair""",
     // prefix filtering is exact over the same full universe
     "q_prefix_jaccard_pairs" -> jaccardOracleSql,
     // cross-corpus variant of the exhaustive formulation: candidates

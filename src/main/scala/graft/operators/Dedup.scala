@@ -788,6 +788,64 @@ object Dedup {
         col("tp").cast("double") / col("n_truth")).as("recall"))
   }
 
+  /** SimHash banding candidate-quality report — [[minhashBandingReport]]
+    * for the Hamming family: candidate-set precision/recall of an
+    * `evalBands`-band bucket join (BEFORE the Hamming verify) against
+    * the true Hamming-≤-`maxDist` pairs. Two configurations meet here:
+    * the pigeonhole theorem guarantees recall 1 only when
+    * `evalBands ≥ maxDist + 1`, and `simhashNearDupPairs` REFUSES the
+    * lossy regime — this report is how a pipeline QUANTIFIES that
+    * regime (fewer/wider bands = fewer shuffled band rows and smaller
+    * buckets, paid in measured recall) before choosing parameters.
+    *
+    * Truth is generated sub-quadratically by the COMPLETE banding
+    * (`max(4, maxDist + 1)` bands + exact Hamming cut) — not circular:
+    * completeness at that band count is a theorem, spec'd against the
+    * planted band-defeating masks in DedupSpec, and the oracle
+    * recomputes truth as the exhaustive packed-halves pairwise join.
+    * One signature pass feeds both sides. Output: (n_truth,
+    * n_candidates, tp, fp, fn, precision, recall). */
+  def simhashBandingReport(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, evalBands: Int,
+      tokenHash: TokenHash = XxHash): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 31,
+      s"maxDist must be in [0, 31], got $maxDist")
+    require(evalBands >= 1 && evalBands <= 64,
+      s"evalBands must be in [1, 64], got $evalBands")
+    val sigs = simhashSignaturesFast(df, idCol, textCol, tokenHash)
+      .filter(col("sig").isNotNull)
+      .materialized
+    val layout = simhashBandLayout(evalBands)
+    val banded = sigs.select(col("id"),
+      posexplode(array(layout.map { case (shift, width) =>
+        shiftright(col("sig"), shift).bitwiseAND(lit(-1L >>> (64 - width)))
+      }: _*)).as(Seq("band", "bucket")))
+    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val truth = simhashPairsFromSigs(sigs, maxDist,
+        math.max(4, maxDist + 1))
+      .select("id_a", "id_b")
+    val report = cand.withColumn("__c", lit(1))
+      .join(truth.withColumn("__t", lit(1)), Seq("id_a", "id_b"),
+        "full_outer")
+      .agg(
+        sum(coalesce(col("__t"), lit(0))).cast("long").as("n_truth"),
+        sum(coalesce(col("__c"), lit(0))).cast("long").as("n_candidates"),
+        sum(coalesce(col("__c"), lit(0)) * coalesce(col("__t"), lit(0)))
+          .cast("long").as("tp"))
+      .select(col("n_truth"), col("n_candidates"), col("tp"),
+        (col("n_candidates") - col("tp")).as("fp"),
+        (col("n_truth") - col("tp")).as("fn"),
+        when(col("n_candidates") > 0,
+          col("tp").cast("double") / col("n_candidates")).as("precision"),
+        when(col("n_truth") > 0,
+          col("tp").cast("double") / col("n_truth")).as("recall"))
+    report
+  }
+
   // ------------------------------------------------------------------
   // Benchmark decontamination (n-gram overlap vs a probe set)
   // ------------------------------------------------------------------

@@ -384,6 +384,36 @@ class DedupSpec extends SparkSpec {
     assert(!run(7).exists(p => p._1 == 1L && p._2 == 3L), "distance 8 stays out")
   }
 
+  test("simhashBandingReport ≡ driver replay; lossy 4-band recall measured < 1") {
+    // the banding report on the real fixture must equal a driver
+    // replay from the same signatures (4×16 candidate bands, Hamming
+    // ≤ 5 truth)
+    val sigMap = Dedup.simhashSignaturesFast(docs, "doc_id", "text")
+      .filter(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def bands(s: Long): Seq[Long] =
+      Seq(0, 16, 32, 48).map(sh => (s >>> sh) & 0xffffL)
+    val ids = sigMap.keys.toSeq.sorted
+    val pairs = for { a <- ids; b <- ids if a < b } yield (a, b)
+    val cand = pairs.filter { case (a, b) =>
+      bands(sigMap(a)).zip(bands(sigMap(b))).exists(p => p._1 == p._2) }
+    val truth = pairs.filter { case (a, b) =>
+      java.lang.Long.bitCount(sigMap(a) ^ sigMap(b)) <= 5 }
+    val tp = cand.toSet.intersect(truth.toSet).size.toLong
+    val r = Dedup.simhashBandingReport(docs, "doc_id", "text",
+      maxDist = 5, evalBands = 4).collect().head
+    assert(r.getLong(0) === truth.size.toLong)
+    assert(r.getLong(1) === cand.size.toLong)
+    assert(r.getLong(2) === tp)
+    assert(r.getLong(3) === cand.size - tp)
+    assert(r.getLong(4) === truth.size - tp)
+    // guards
+    intercept[IllegalArgumentException](
+      Dedup.simhashBandingReport(docs, "doc_id", "text", 32, 4))
+    intercept[IllegalArgumentException](
+      Dedup.simhashBandingReport(docs, "doc_id", "text", 5, 0))
+  }
+
   test("single 64-bit band masks correctly (no 1L<<64 wrap to bucket 0)") {
     // with the old (1L << width) - 1 mask, width 64 wrapped to mask 0:
     // every row bucketed together and the self-join went quadratic.
