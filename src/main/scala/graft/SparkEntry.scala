@@ -2548,6 +2548,26 @@ object SparkEntry {
           "doc_id", "text", TextAnalysis.classifierFixtureWeights(s, 512),
           buckets = 512)
         .orderBy("doc_id")),
+    // per-source governance profile — the "which sources are pulling
+    // the corpus down" read a curation run makes before adjusting
+    // mixture weights: docs, tokens, summed classifier score, gate
+    // pass-count per source, every column BIGINT (consumers derive the
+    // ratios). One scan-local scoring pass + one map-side-combined
+    // source aggregation
+    "q_source_profile" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clf = TextAnalysis.classifierApplyTable(docs, "doc_id", "text",
+        TextAnalysis.classifierFixtureWeights(s, 512), buckets = 512)
+      docs.select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("__tok"))
+        .join(clf, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__tok")).as("n_tokens"),
+          sum(col("score_sum")).as("sum_score"),
+          sum(col("label").cast("long")).as("n_pass"))
+        .orderBy("source")
+    }),
     // reciprocal-rank fusion of two retrieval rankings (classifier
     // quality desc, length desc) — both integer-exact so the ranks,
     // the rrf doubles, and the top-20 cut are engine-identical;
@@ -6169,6 +6189,19 @@ object SparkEntry {
                 CAST(score_sum AS BIGINT) AS score_sum,
                 score_sum > 0 AS label
          FROM sc ORDER BY doc_id"""),
+    // classifier chain + whitespace token counts grouped per source —
+    // every output column BIGINT
+    "q_source_profile" ->
+      (classifierApplyCtes(512) +
+        """ SELECT d.source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(string_split_regex(trim(d.text), '\s+')))
+                  AS BIGINT) AS n_tokens,
+                CAST(sum(sc.score_sum) AS BIGINT) AS sum_score,
+                CAST(sum(CASE WHEN sc.score_sum > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pass
+         FROM documents d JOIN sc ON sc.doc_id = d.doc_id
+         GROUP BY d.source ORDER BY d.source"""),
     // RRF over two integer-exact rankings (classifier score, n_chars):
     // identical ranks both engines => identical rrf doubles, cut safe
     "q_rank_fusion" ->

@@ -770,6 +770,69 @@ object ScaleProbe {
         f"boilerplate=$tb%.1fs($nb%d dropped) bandingpr=$tm%.1fs($nm%d cand) " +
         f"ivfinc=$ti%.1fs($ni%d rows)")
     }
+
+    // Round-9 operators on K×-grown documents (Caesar-shifted replicas
+    // per the r8b pattern — disjoint vocabularies, so classifier/lang
+    // feature spaces and packing cost distributions replicate cleanly):
+    // FFD packing (globalRank + block-local fold — must track N via the
+    // rank shuffle, never quadratically), main-content extraction +
+    // lang-id v2 + classifier apply (all scan-local — must be FLAT per
+    // row), URL policy (broadcast rules + scan-local fold).
+    for (k <- Seq(1, 2, 4, 8) if on("r9")) {
+      val docs = (0 until k).map { i =>
+        val shifted = alpha.drop(i) + alpha.take(i)
+        base.select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          translate(col("text"), alpha, shifted).as("text"),
+          col("source"), col("lang"))
+      }.reduce(_ unionAll _).persist()
+      docs.count()
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (tf, nf) = time(
+        graft.operators.Scale.ffdPack(docs, "doc_id",
+            graft.functions.TextAnalysis.tokenCount(col("text")),
+            capacity = 96, eosTokens = 1, blockDocs = 128)
+          .agg(countDistinct(col("window_id"))).collect().head.getLong(0))
+      val wrapped = docs.select(col("doc_id"), concat(
+        lit("<html><body><div class=\"nav\"><a href=\"/\">Home</a></div><p>"),
+        col("text"),
+        lit("</p><footer>Copyright</footer></body></html>")).as("html"))
+      val (tm2, nm2) = time(
+        graft.functions.TextAnalysis.mainContent(wrapped, "doc_id", "html")
+          .filter(col("n_kept") > 0).count())
+      val (tl, nl) = time(
+        docs.select(graft.functions.TextAnalysis.langIdV2(col("text"))
+            .getField("lang").as("l"))
+          .groupBy("l").count().count())
+      val (tc, nc) = time(
+        graft.functions.TextAnalysis.classifierApplyTable(docs, "doc_id",
+            "text", graft.functions.TextAnalysis
+              .classifierFixtureWeights(spark, 512), buckets = 512)
+          .filter(col("label")).count())
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/"), col("lang"), lit("/doc/"),
+        col("doc_id").cast("string"))
+      val rules = {
+        import spark.implicits._
+        Seq(
+          ("src1.example.com", "/", false),
+          ("src1.example.com", "/en/", true),
+          ("src2.example.com", "/de/", false))
+          .toDF("host", "path_prefix", "allow")
+      }
+      val (tu, nu) = time(
+        graft.functions.UrlOps.urlPolicy(
+            docs.select(col("doc_id"), url.as("url")), "url", rules)
+          .filter(col("allowed")).count())
+      docs.unpersist()
+      println(f"R9PROBE k=$k%d docs=${5000 * k}%d " +
+        f"ffd=$tf%.1fs($nf%d win) maincontent=$tm2%.1fs($nm2%d kept) " +
+        f"langid=$tl%.1fs($nl%d langs) clf=$tc%.1fs($nc%d pos) " +
+        f"urlpolicy=$tu%.1fs($nu%d allowed)")
+    }
     spark.stop()
   }
 }
