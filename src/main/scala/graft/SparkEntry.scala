@@ -1837,6 +1837,23 @@ object SparkEntry {
           "doc_id", TextAnalysis.tokenCount(col("text")),
           capacity = 96, eosTokens = 1, blockDocs = 128)
         .orderBy("doc_id")),
+    // the packing priced as one row: loader-planning efficiency read
+    // (windows, tokens, padded waste, truncations) — q_length_batches'
+    // padding_waste axis applied to the FFD layout
+    "q_packing_efficiency" -> ((s, dir) =>
+      Scale.ffdPack(
+          Tables.documents(s, dir)
+            .filter(col("text").isNotNull && length(trim(col("text"))) > 0),
+          "doc_id", TextAnalysis.tokenCount(col("text")),
+          capacity = 96, eosTokens = 1, blockDocs = 128)
+        .agg(countDistinct(col("window_id")).as("n_windows"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("truncated").cast("long")).as("n_truncated"))
+        .select(col("n_windows"), col("n_docs"), col("n_tokens"),
+          col("n_truncated"),
+          (lit(96L) * col("n_windows") - col("n_tokens"))
+            .as("padding_waste"))),
     // padding-layout complement of packing: 16-token length buckets cut
     // into batches of 8, each batch priced by its padded-token waste
     "q_length_batches" -> ((s, dir) =>
@@ -3295,6 +3312,45 @@ object SparkEntry {
                   sum(c * w) AS score_sum
                 FROM perdoc JOIN wts USING (bucket) GROUP BY 1)"""
   }
+
+  /** q_sequence_packing's block-local FFD as CTE definitions (usable
+    * after `WITH RECURSIVE`, ends at `s` = per-doc (block, bin, n,
+    * truncated)) — shared by the packing and packing-efficiency
+    * oracles. */
+  private val ffdPackCtes: String =
+    """c AS (
+           SELECT doc_id,
+                  least(CAST(len(string_split_regex(trim(text), '\s+'))
+                    AS BIGINT) + 1, 96) AS n,
+                  CAST(len(string_split_regex(trim(text), '\s+'))
+                    AS BIGINT) + 1 > 96 AS truncated
+           FROM documents
+           WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         r AS (SELECT doc_id, n, truncated,
+                      row_number() OVER (ORDER BY n DESC, doc_id) - 1 AS rk
+               FROM c),
+         b AS (SELECT doc_id, n, truncated, rk // 128 AS block,
+                      CAST(rk % 128 AS INTEGER) AS seq
+               FROM r),
+         s AS (
+           SELECT block, seq, doc_id, n, truncated,
+                  CAST(1 AS BIGINT) AS bin, [n] AS bins
+           FROM b WHERE seq = 0
+           UNION ALL
+           SELECT b.block, b.seq, b.doc_id, b.n, b.truncated,
+                  CAST(COALESCE(NULLIF(list_position(
+                      list_transform(s.bins, x -> x + b.n <= 96), true), 0),
+                    len(s.bins) + 1) AS BIGINT) AS bin,
+                  CASE WHEN NULLIF(list_position(
+                      list_transform(s.bins, x -> x + b.n <= 96), true), 0)
+                      IS NULL
+                    THEN list_append(s.bins, b.n)
+                    ELSE list_transform(s.bins, (x, i) ->
+                      CASE WHEN i = list_position(
+                          list_transform(s.bins, y -> y + b.n <= 96), true)
+                        THEN x + b.n ELSE x END)
+                    END AS bins
+           FROM s JOIN b ON b.block = s.block AND b.seq = s.seq + 1)"""
 
   /** The q_main_content extraction pipeline as CTE definitions (no
     * leading WITH, ends at `mc` = per-doc (main_text, n_blocks,
@@ -6597,42 +6653,25 @@ object SparkEntry {
     // list_position of the first fitting bin IS first-fit (NULLIF:
     // DuckDB returns 0, not NULL, for not-found)
     "q_sequence_packing" ->
-      """WITH RECURSIVE c AS (
-           SELECT doc_id,
-                  least(CAST(len(string_split_regex(trim(text), '\s+'))
-                    AS BIGINT) + 1, 96) AS n,
-                  CAST(len(string_split_regex(trim(text), '\s+'))
-                    AS BIGINT) + 1 > 96 AS truncated
-           FROM documents
-           WHERE text IS NOT NULL AND length(trim(text)) > 0),
-         r AS (SELECT doc_id, n, truncated,
-                      row_number() OVER (ORDER BY n DESC, doc_id) - 1 AS rk
-               FROM c),
-         b AS (SELECT doc_id, n, truncated, rk // 128 AS block,
-                      CAST(rk % 128 AS INTEGER) AS seq
-               FROM r),
-         s AS (
-           SELECT block, seq, doc_id, n, truncated,
-                  CAST(1 AS BIGINT) AS bin, [n] AS bins
-           FROM b WHERE seq = 0
-           UNION ALL
-           SELECT b.block, b.seq, b.doc_id, b.n, b.truncated,
-                  CAST(COALESCE(NULLIF(list_position(
-                      list_transform(s.bins, x -> x + b.n <= 96), true), 0),
-                    len(s.bins) + 1) AS BIGINT) AS bin,
-                  CASE WHEN NULLIF(list_position(
-                      list_transform(s.bins, x -> x + b.n <= 96), true), 0)
-                      IS NULL
-                    THEN list_append(s.bins, b.n)
-                    ELSE list_transform(s.bins, (x, i) ->
-                      CASE WHEN i = list_position(
-                          list_transform(s.bins, y -> y + b.n <= 96), true)
-                        THEN x + b.n ELSE x END)
-                    END AS bins
-           FROM s JOIN b ON b.block = s.block AND b.seq = s.seq + 1)
-         SELECT doc_id, n AS n_tokens, truncated, block, bin,
+      (s"WITH RECURSIVE $ffdPackCtes" +
+        """ SELECT doc_id, n AS n_tokens, truncated, block, bin,
                 block * 128 + bin AS window_id
-         FROM s ORDER BY doc_id""",
+         FROM s ORDER BY doc_id"""),
+    // the packing priced: windows, packed tokens, padded waste
+    // (capacity·windows − tokens), docs, truncations — all BIGINT, the
+    // single-row efficiency read next to q_length_batches'
+    // padding_waste (the two loader layouts compared on one axis)
+    "q_packing_efficiency" ->
+      (s"WITH RECURSIVE $ffdPackCtes" +
+        """ SELECT CAST(count(DISTINCT block * 128 + bin) AS BIGINT)
+                  AS n_windows,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN truncated THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_truncated,
+                CAST(96 * count(DISTINCT block * 128 + bin) - sum(n)
+                  AS BIGINT) AS padding_waste
+         FROM s"""),
     // (n−1)//16 length buckets, batches of 8 in doc_id order; DuckDB's
     // integer // is floor division ≡ Spark DIV on BIGINT
     "q_length_batches" ->
