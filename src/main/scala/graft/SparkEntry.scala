@@ -2876,6 +2876,27 @@ object SparkEntry {
           budgetTokens = 1000000L)
         .orderBy("source")
     }),
+    // the CONSTRAINED allocator: tokenBudgetPlan under per-source
+    // epoch caps (Muennighoff data-constrained regime) — deterministic
+    // integer waterfill, fixed 24-round unroll ≥ the 20-source mix so
+    // the fixpoint is certified. Budget 50k at maxEpochs 2 straddles
+    // the fixture's total cap (~56k at sf0.01): most sources saturate
+    // there, few do at sf0.1's ~560k cap — both regimes replayed
+    "q_capped_budget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val avail = docs
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("__n"))
+        .groupBy("source").agg(sum(col("__n")).as("n_tokens"))
+      val weights = docs.select(col("source")).distinct()
+        .select(col("source"),
+          (regexp_extract(col("source"), "([0-9]+)", 1).cast("long") + 1)
+            .as("w_parts"))
+      Scale.cappedBudgetPlan(avail, weights, budgetTokens = 50000L,
+          maxEpochs = 2, rounds = 24)
+        .orderBy("source")
+    }),
     // Gopher rule gate (Rae et al. Table A1): every rule measurement +
     // the combined pass, one codegen projection per row
     "q_gopher_rules" -> ((s, dir) =>
@@ -3311,6 +3332,49 @@ object SparkEntry {
          sc AS (SELECT doc_id, sum(c) AS n_feats,
                   sum(c * w) AS score_sum
                 FROM perdoc JOIN wts USING (bucket) GROUP BY 1)"""
+  }
+
+  /** q_capped_budget's waterfill unrolled: `rounds` chained
+    * (give → clip → pool-return) CTE rounds over the source table —
+    * the kCore/pageRank fixed-recurrence pattern; HUGEINT for the
+    * rem·w product the operator computes in BigInt. */
+  private def cappedBudgetOracleSql(budget: Long, maxEpochs: Int,
+      rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH wsrc AS (SELECT source,
+        TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) + 1 AS w
+      FROM (SELECT DISTINCT source FROM documents)),
+     avail AS (SELECT source,
+        CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+          AS n_tokens
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+      GROUP BY 1),
+     a0 AS MATERIALIZED (SELECT a.source, a.n_tokens, w.w,
+        a.n_tokens * $maxEpochs AS cap, CAST(0 AS BIGINT) AS alloc
+      FROM avail a JOIN wsrc w USING (source)),
+     rem0 AS (SELECT CAST($budget AS BIGINT) AS rem)"""
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      val wsum = s"(SELECT COALESCE(SUM(CASE WHEN alloc < cap AND w > 0" +
+        s" THEN w END), 0) FROM a$p)"
+      sb ++= s""",
+     g$r AS MATERIALIZED (SELECT source, n_tokens, w, cap, alloc,
+        CASE WHEN alloc < cap AND w > 0 AND $wsum > 0
+             THEN CAST(CAST((SELECT rem FROM rem$p) AS HUGEINT) * w
+               // $wsum AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS give
+      FROM a$p),
+     a$r AS MATERIALIZED (SELECT source, n_tokens, w, cap,
+        CAST(least(alloc + give, cap) AS BIGINT) AS alloc FROM g$r),
+     rem$r AS (SELECT CAST((SELECT rem FROM rem$p) - COALESCE(SUM(give), 0)
+        + COALESCE(SUM(greatest(alloc + give - cap, 0)), 0) AS BIGINT)
+          AS rem FROM g$r)"""
+    }
+    sb ++= s"""
+     SELECT source, n_tokens, w AS w_parts, cap AS cap_tokens,
+            alloc AS alloc_tokens, alloc = cap AS saturated
+     FROM a$rounds ORDER BY source"""
+    sb.toString
   }
 
   /** q_sequence_packing's block-local FFD as CTE definitions (usable
@@ -4883,6 +4947,8 @@ object SparkEntry {
                   * CAST(1000000 AS BIGINT) // c.n_tokens AS epochs_micro
          FROM c JOIN w ON w.source = c.source CROSS JOIN t
          ORDER BY c.source""",
+    // waterfill fixed-unroll; see cappedBudgetOracleSql
+    "q_capped_budget" -> cappedBudgetOracleSql(50000L, 2, 24),
     "q_gopher_rules" ->
       s"""${gopherRulesCtes()}
          SELECT doc_id, n_words, mean_word_len, symbol_ratio,

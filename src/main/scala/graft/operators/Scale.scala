@@ -177,6 +177,87 @@ object Scale {
           .as("epochs_micro"))
   }
 
+  /** Capacity-constrained token-budget allocation — [[tokenBudgetPlan]]
+    * with the constraint a real mixture hits first: a source can only
+    * supply `n_tokens · maxEpochs` tokens before repetition passes the
+    * epoch cap (the Muennighoff "data-constrained scaling" regime). The
+    * allocator is deterministic integer WATERFILL: each round gives
+    * every unsaturated source `rem · w DIV W_unsat`, clips at its cap,
+    * returns the overflow (plus the floor residue) to the pool, and
+    * repeats for exactly `rounds` rounds — a FIXED unroll (the
+    * labelPropagation/pageRank oracle pattern) because each round
+    * either saturates a source or changes nothing, so
+    * `rounds ≥ #sources` certifies the true fixpoint. Undistributed
+    * budget (everything saturated, or a sub-`|unsat|` residue) is
+    * `budget − Σ alloc`, derivable from the output.
+    *
+    * Weights/caps are registry-sized (a mixture has tens of sources):
+    * both tables collect to the driver under a hard `maxSources` cap
+    * (the interleaveOrder budget) and the arithmetic runs in BigInt
+    * (rem·w overflows an Int64 at large budgets). Sources missing from
+    * `weights` are excluded; weighted sources missing from `avail`
+    * don't appear. Output: (source, n_tokens, w_parts, cap_tokens,
+    * alloc_tokens, saturated). */
+  def cappedBudgetPlan(avail: DataFrame, weights: DataFrame,
+      budgetTokens: Long, maxEpochs: Int, rounds: Int = 24,
+      maxSources: Int = 4096): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0, got $budgetTokens")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = avail.sparkSession
+    val av = avail
+      .select(col("source").cast("string"), col("n_tokens").cast("long"))
+      .limit(maxSources + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(av.length <= maxSources,
+      s"more than maxSources=$maxSources sources — not a registry-sized mix")
+    require(av.map(_._1).distinct.length == av.length,
+      "duplicate sources in avail")
+    val wm = weights
+      .select(col("source").cast("string"), col("w_parts").cast("long"))
+      .limit(maxSources + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val rows = av.filter(r => wm.contains(r._1)).sortBy(_._1)
+    val n = rows.length
+    val cap = rows.map(r => math.multiplyExact(r._2, maxEpochs.toLong))
+    val w = rows.map(r => wm(r._1))
+    val alloc = new Array[Long](n)
+    var rem = budgetTokens
+    var round = 0
+    while (round < rounds && rem > 0) {
+      var wSum = BigInt(0)
+      var i = 0
+      while (i < n) {
+        if (alloc(i) < cap(i) && w(i) > 0) wSum += w(i)
+        i += 1
+      }
+      if (wSum > 0) {
+        var given = 0L
+        var returned = 0L
+        i = 0
+        while (i < n) {
+          if (alloc(i) < cap(i) && w(i) > 0) {
+            val give = (BigInt(rem) * w(i) / wSum).toLong
+            val room = cap(i) - alloc(i)
+            val take = math.min(give, room)
+            alloc(i) += take
+            given += give
+            returned += give - take
+          }
+          i += 1
+        }
+        rem = rem - given + returned
+        if (given == 0) round = rounds // sub-|unsat| residue: fixpoint
+      } else round = rounds // everything saturated or weightless
+      round += 1
+    }
+    import spark.implicits._
+    rows.indices.map { i =>
+      (rows(i)._1, rows(i)._2, w(i), cap(i), alloc(i), alloc(i) == cap(i))
+    }.toDF("source", "n_tokens", "w_parts", "cap_tokens", "alloc_tokens",
+      "saturated")
+  }
+
   /** Deterministic head-cap sample: keep a row iff
     * `id % den < floor(rate(group) · den)`. Same dense-id uniform
     * variate as [[modSample]] (swap in xxhash64 for sparse/clustered

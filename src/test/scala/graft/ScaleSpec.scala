@@ -699,6 +699,49 @@ class ScaleSpec extends SparkSpec {
     assert(e.getMessage.contains("maxSources"))
   }
 
+  test("cappedBudgetPlan: hand-computed waterfill, saturation, invariants") {
+    import spark.implicits._
+    // avail: a=100 tokens, b=1000, c=1000; weights 1:1:2; budget 1000;
+    // maxEpochs 1 → caps 100/1000/1000.
+    // round 1: W=4 → give 250/250/500; a clips at 100, returns 150
+    // round 2: unsat {b,c}, W=3 → give 50/100 → b=300, c=600
+    // round 3: rem 0 → fixpoint. Σalloc = 1000, none else saturated
+    val avail = Seq(("a", 100L), ("b", 1000L), ("c", 1000L), ("d", 5L))
+      .toDF("source", "n_tokens")
+    val weights = Seq(("a", 1L), ("b", 1L), ("c", 2L), ("x", 9L))
+      .toDF("source", "w_parts") // d unweighted → excluded; x no corpus
+    val got = Scale.cappedBudgetPlan(avail, weights, budgetTokens = 1000L,
+        maxEpochs = 1, rounds = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got.keySet === Set("a", "b", "c"))
+    assert(got("a") === ((100L, 100L, true)))
+    assert(got("b") === ((1000L, 300L, false)))
+    assert(got("c") === ((1000L, 600L, false)))
+    // infeasible budget: everything saturates, leftover = budget − Σcap
+    val tight = Scale.cappedBudgetPlan(avail, weights, budgetTokens = 99999L,
+        maxEpochs = 1, rounds = 8)
+      .collect().map(r => (r.getLong(4), r.getBoolean(5)))
+    assert(tight.forall(_._2) && tight.map(_._1).sum === 2100L)
+    // reference-loop property on a randomized mix: invariants hold and
+    // rounds ≥ #sources reaches the fixpoint (one more round is a no-op)
+    val rnd = new scala.util.Random(7)
+    val srcs = (0 until 12).map(i =>
+      (s"s$i", (rnd.nextInt(5000) + 1).toLong, (rnd.nextInt(9) + 1).toLong))
+    val av2 = srcs.map(t => (t._1, t._2)).toDF("source", "n_tokens")
+    val w2 = srcs.map(t => (t._1, t._3)).toDF("source", "w_parts")
+    def run(rounds: Int): Map[String, Long] =
+      Scale.cappedBudgetPlan(av2, w2, budgetTokens = 20000L,
+          maxEpochs = 3, rounds = rounds)
+        .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val a12 = run(12)
+    val a13 = run(13)
+    assert(a12 === a13, "rounds ≥ #sources must be the fixpoint")
+    val caps = srcs.map(t => t._1 -> t._2 * 3).toMap
+    assert(a12.forall { case (s, v) => v >= 0 && v <= caps(s) })
+    assert(a12.values.sum <= 20000L)
+  }
+
   test("ffdPack ≡ reference FFD; capacity respected; truncation loud") {
     import spark.implicits._
     // lengths chosen so first-fit differs from next-fit: after 10 and
