@@ -2876,6 +2876,42 @@ object SparkEntry {
           budgetTokens = 1000000L)
         .orderBy("source")
     }),
+    // corpus-version vocabulary drift: PSI over hashed-token buckets
+    // between the even- and odd-id halves (two releases of one corpus)
+    // — bucket state bounded at 256 for open vocabularies; the text
+    // counterpart of q_psi_drift's numeric deciles
+    "q_token_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.tokenDriftPsi(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "text", buckets = 256)
+    }),
+    // normalization-gain dedup report: how many MORE duplicates the
+    // normalized key (lower ∘ cleanTextV2 ∘ foldAccents → sha256)
+    // finds than the raw byte key, over a corpus with planted
+    // case-flipped (id%3=0) and ZWSP-injected (id%3=1) variants —
+    // the governance read that justifies the normalization pass
+    "q_normalized_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val upperVariants = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          upper(col("text")).as("text"))
+      val zwspVariants = docs.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 1), lit("\u200B"),
+            expr("substring(text, 2)")).as("text"))
+      val corpus = docs.select("doc_id", "text")
+        .unionByName(upperVariants).unionByName(zwspVariants)
+      corpus.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(sha2(col("text"), 256)).as("distinct_raw"),
+        countDistinct(sha2(TextAnalysis.foldAccents(
+          TextAnalysis.cleanTextV2(lower(col("text")))), 256))
+          .as("distinct_norm"))
+        .select(col("n_docs"), col("distinct_raw"), col("distinct_norm"),
+          (col("distinct_raw") - col("distinct_norm"))
+            .as("extra_dups_found"))
+    }),
     // the CONSTRAINED allocator: tokenBudgetPlan under per-source
     // epoch caps (Muennighoff data-constrained regime) — deterministic
     // integer waterfill, fixed 24-round unroll ≥ the 20-source mix so
@@ -4949,6 +4985,69 @@ object SparkEntry {
          ORDER BY c.source""",
     // waterfill fixed-unroll; see cappedBudgetOracleSql
     "q_capped_budget" -> cappedBudgetOracleSql(50000L, 2, 24),
+    // hashed-token PSI between corpus halves; smoothing keeps ln total,
+    // term sums under the driver's float tolerance
+    "q_token_drift" ->
+      """WITH rt AS (SELECT
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(substring(sha256(tok), 1, 13), ''),
+                 c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))),
+               (acc, x) -> acc * 16 + x) % 256 AS b
+           FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                 FROM documents
+                 WHERE doc_id % 2 = 0 AND length(trim(text)) > 0) u
+           WHERE tok <> ''),
+         ct AS (SELECT
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(substring(sha256(tok), 1, 13), ''),
+                 c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))),
+               (acc, x) -> acc * 16 + x) % 256 AS b
+           FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                 FROM documents
+                 WHERE doc_id % 2 = 1 AND length(trim(text)) > 0) u
+           WHERE tok <> ''),
+         rc AS (SELECT b, count(*) AS cr FROM rt GROUP BY 1),
+         cc AS (SELECT b, count(*) AS cc FROM ct GROUP BY 1),
+         grid AS (SELECT unnest(range(256)) AS b),
+         j AS (SELECT g.b, coalesce(rc.cr, 0) AS cr,
+                      coalesce(cc.cc, 0) AS cc
+               FROM grid g LEFT JOIN rc ON rc.b = g.b
+               LEFT JOIN cc ON cc.b = g.b),
+         t AS (SELECT sum(cr) AS nr, sum(cc) AS nc FROM j)
+         SELECT CAST(nr AS BIGINT) AS n_ref_tokens,
+                CAST(nc AS BIGINT) AS n_cur_tokens,
+                sum(((cr + 1.0) / (nr + 256) - (cc + 1.0) / (nc + 256))
+                  * ln(((cr + 1.0) / (nr + 256))
+                     / ((cc + 1.0) / (nc + 256)))) AS psi
+         FROM j, t GROUP BY nr, nc""",
+    // planted case/ZWSP variants; normalized key = strip_accents over
+    // the cleanTextV2 chain over lower() — sha256 both keys, count
+    // distinct
+    "q_normalized_dedup" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 10000000, upper(text) FROM documents
+           WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 20000000,
+                  substring(text, 1, 1) || chr(8203) || substring(text, 2)
+           FROM documents WHERE doc_id % 3 = 1),
+         keyed AS (SELECT
+             sha256(text) AS raw_key,
+             sha256(strip_accents(trim(regexp_replace(regexp_replace(
+               nfc_normalize(regexp_replace(lower(text),
+                 '[\x{00AD}\x{200B}-\x{200F}\x{202A}-\x{202E}\x{2060}\x{2066}-\x{2069}\x{FEFF}]',
+                 '', 'g')),
+               '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+               ' {2,}', ' ', 'g')))) AS norm_key
+           FROM corpus)
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(DISTINCT raw_key) AS BIGINT) AS distinct_raw,
+                CAST(count(DISTINCT norm_key) AS BIGINT) AS distinct_norm,
+                CAST(count(DISTINCT raw_key) - count(DISTINCT norm_key)
+                  AS BIGINT) AS extra_dups_found
+         FROM keyed""",
     "q_gopher_rules" ->
       s"""${gopherRulesCtes()}
          SELECT doc_id, n_words, mean_word_len, symbol_ratio,

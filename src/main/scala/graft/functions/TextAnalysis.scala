@@ -1374,6 +1374,53 @@ object TextAnalysis {
         sum(col("c").cast("double") * col("__lr")).as("log_weight"))
   }
 
+  /** Token-distribution drift between two corpus snapshots — the TEXT
+    * counterpart of [[graft.operators.Analytics.psiDrift]] (which
+    * buckets a NUMERIC column): tokens hash to `buckets` via the
+    * portable sha52, each side's bucket counts become Laplace-smoothed
+    * proportions, and PSI = Σ (p−q)·ln(p/q) prices how far the new
+    * crawl's vocabulary mix has moved from the reference release
+    * (> 0.25 is the conventional "retrain/investigate" line). Hashing
+    * makes state `buckets`-bounded for open vocabularies — the drift
+    * monitor must not carry a vocabulary-sized table per snapshot.
+    *
+    * Scale shape: one map-side-combined (bucket, count) aggregation per
+    * side (≤ `buckets` rows each at ANY corpus size), a bucket-grid
+    * full join, one sum. Output: ONE row (n_ref_tokens, n_cur_tokens,
+    * psi). Smoothing keeps both proportions strictly positive, so the
+    * log is total; identical corpora give psi = 0 exactly (p = q
+    * term-for-term). */
+  def tokenDriftPsi(ref: DataFrame, cur: DataFrame, textCol: String,
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"need 2 <= buckets <= 2^20, got $buckets")
+    def counts(df: DataFrame, name: String): DataFrame =
+      df.filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+        .select(explode(tokens(col(textCol))).as("__t"))
+        .filter(col("__t") =!= "")
+        .select((conv(substring(sha2(col("__t"), 256), 1, 13), 16, 10)
+          .cast("long") % buckets).as("b"))
+        .groupBy("b").agg(count(lit(1)).as(name))
+    val spark = ref.sparkSession
+    val grid = spark.range(buckets).select(col("id").as("b"))
+    val joined = grid
+      .join(counts(ref, "cr"), Seq("b"), "left")
+      .join(counts(cur, "cc"), Seq("b"), "left")
+      .select(col("b"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+    val totals = joined.agg(sum("cr").as("n_ref_tokens"),
+      sum("cc").as("n_cur_tokens"))
+    val p = (col("cr") + 1).cast("double") /
+      (col("n_ref_tokens") + lit(buckets.toLong))
+    val q = (col("cc") + 1).cast("double") /
+      (col("n_cur_tokens") + lit(buckets.toLong))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("term", (p - q) * log(p / q))
+      .groupBy(col("n_ref_tokens"), col("n_cur_tokens"))
+      .agg(sum("term").as("psi"))
+      .select(col("n_ref_tokens"), col("n_cur_tokens"), col("psi"))
+  }
+
   /** fastText-style quality classifier INFERENCE (Joulin et al. 2016,
     * "Bag of Tricks for Efficient Text Classification" — the
     * architecture of the GPT-3/CCNet quality filters): featurize each

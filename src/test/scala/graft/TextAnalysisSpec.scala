@@ -605,6 +605,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === "no markup here")
   }
 
+  test("tokenDriftPsi: identical corpora score exactly 0, disjoint vocab large") {
+    val a = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"))
+      .toDF("id", "text")
+    val same = TextAnalysis.tokenDriftPsi(a, a, "text", buckets = 64)
+      .collect().head
+    assert(same.getLong(0) === 6L && same.getLong(1) === 6L)
+    assert(same.getDouble(2) === 0.0) // p = q term-for-term
+    // volume matters: Laplace smoothing dampens PSI when counts ~ 1,
+    // so the disjoint-vocab case uses enough tokens for counts to
+    // dominate the +1 (the regime the monitor actually runs in)
+    val aBig = Seq.tabulate(50)(i =>
+      (i.toLong, "alpha beta gamma delta")).toDF("id", "text")
+    val bBig = Seq.tabulate(50)(i =>
+      (i.toLong, "zeta eta theta iota")).toDF("id", "text")
+    val moved = TextAnalysis.tokenDriftPsi(aBig, bBig, "text", buckets = 64)
+      .collect().head.getDouble(2)
+    assert(moved > 0.25, s"disjoint vocabularies must cross the line: $moved")
+    // nulls/blank docs excluded; one side empty still total (smoothing)
+    val withNull = a.unionByName(
+      Seq((3L, null.asInstanceOf[String]), (4L, " ")).toDF("id", "text"))
+    assert(TextAnalysis.tokenDriftPsi(withNull, a, "text", 64)
+      .collect().head.getDouble(2) === 0.0)
+    intercept[IllegalArgumentException](
+      TextAnalysis.tokenDriftPsi(a, aBig, "text", buckets = 1))
+  }
+
   test("cleanTextV2: invisibles stripped before NFC; v1 chain preserved") {
     def clean(s: String): String =
       Seq(Tuple1(s)).toDF("t")
