@@ -1868,6 +1868,18 @@ object SparkEntry {
     "q_interleave_order" -> ((s, dir) =>
       Scale.interleaveOrder(Tables.documents(s, dir), "source", "doc_id")
         .orderBy("ordinal")),
+    // the interleave staged by a LENGTH curriculum (short → long, bins
+    // of 32 tokens capped at 4): every stage streams fully before the
+    // next, sources round-robin within each stage; same
+    // analytic-vs-global-window adjudication as q_interleave_order
+    "q_curriculum_order" -> ((s, dir) =>
+      Scale.curriculumOrder(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"),
+            (least(lit(3),
+              floor((TextAnalysis.tokenCount(col("text")) - 1)
+                / lit(32.0)).cast("int")) + 1).as("bin")),
+          "bin", "source", "doc_id")
+        .orderBy("ordinal")),
     // ----- Gopher-style token-repetition quality signals
     "q_token_repetition" -> ((s, dir) =>
       TextAnalysis.tokenRepetition(Tables.documents(s, dir), "doc_id", "text")
@@ -6863,6 +6875,21 @@ object SparkEntry {
               FROM documents)
          SELECT doc_id, source, pos,
                 CAST(row_number() OVER (ORDER BY pos, source) - 1
+                  AS BIGINT) AS ordinal
+         FROM p ORDER BY ordinal""",
+    // bin-major global row_number — the window the analytic formula
+    // exists to avoid, used here to adjudicate it
+    "q_curriculum_order" ->
+      """WITH t AS (SELECT doc_id, source,
+                least(3, (len(string_split_regex(trim(text), '\s+')) - 1)
+                  // 32) + 1 AS bin
+              FROM documents),
+         p AS (SELECT doc_id, source, CAST(bin AS BIGINT) AS bin,
+                CAST(row_number() OVER (PARTITION BY bin, source
+                  ORDER BY doc_id) AS BIGINT) AS pos
+              FROM t)
+         SELECT doc_id, bin, source, pos,
+                CAST(row_number() OVER (ORDER BY bin, pos, source) - 1
                   AS BIGINT) AS ordinal
          FROM p ORDER BY ordinal""",
     "q_token_repetition" ->

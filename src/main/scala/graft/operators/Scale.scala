@@ -934,6 +934,62 @@ object Scale {
       .withColumn("ordinal", (before + sameRow).cast("long"))
   }
 
+  /** Curriculum dataloader order — [[interleaveOrder]] staged by a
+    * difficulty bin: all of bin 1 streams before any of bin 2 (easy →
+    * hard, e.g. short → long or high-quality-decile first via
+    * [[rankBins]]), and WITHIN each bin rows round-robin across
+    * sources so the mix stays balanced at every curriculum stage.
+    *
+    * Ordinal is ANALYTIC, like interleaveOrder's: with per-(bin,
+    * source) counts c(b, s) (a cells-sized table collected like a
+    * vocab),
+    *   ordinal(b, s, p) = Σ_{b' < b} total(b')            (stage offset)
+    *                    + Σ_{s'} min(p−1, c(b, s'))        (earlier laps)
+    *                    + |{s' < s : c(b, s') ≥ p}|        (same lap)
+    * — no corpus-wide `row_number() OVER (ORDER BY bin, pos, source)`
+    * single-partition window. The only shuffle is the (bin, source)-
+    * partitioned position window; the per-row expression is
+    * O(sources-in-bin), guarded by `maxCells` (codegen size is the
+    * binding constraint, not driver memory). Null bins/sources must be
+    * filled upstream. Output: (idCol, sourceCol, bin, pos [1-based
+    * within (bin, source)], ordinal [0-based global]). */
+  def curriculumOrder(df: DataFrame, binCol: String, sourceCol: String,
+      idCol: String, maxCells: Int = 1024): DataFrame = {
+    val src = df.select(col(idCol),
+      col(binCol).cast("long").as("bin"),
+      col(sourceCol).cast("string").as(sourceCol))
+    val cells = src.groupBy("bin", sourceCol).agg(count(lit(1)).as("__c"))
+      .limit(maxCells + 1)
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+    require(cells.nonEmpty, "curriculumOrder: empty input")
+    require(cells.length <= maxCells,
+      s"more than maxCells=$maxCells (bin, source) cells — the per-row " +
+        "expression would not codegen; coarsen bins or sources")
+    require(cells.forall { case ((b, s), _) => s != null },
+      "curriculumOrder: null source — fill a sentinel upstream")
+    val binTotals = cells.groupBy(_._1._1).view.mapValues(_.map(_._2).sum)
+      .toMap
+    val bins = binTotals.keys.toSeq.sorted
+    val offsets = bins.zip(bins.scanLeft(0L)((acc, b) =>
+      acc + binTotals(b)).dropRight(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bin"), col(sourceCol)).orderBy(col(idCol))
+    val withPos = src.withColumn("pos", row_number().over(w).cast("long"))
+    val ordinal = bins.map { b =>
+      val inBin = cells.filter(_._1._1 == b).map { case ((_, s), c) => (s, c) }
+        .sortBy(_._1)
+      val before = inBin.map { case (_, c) =>
+        least(col("pos") - 1L, lit(c)) }.reduce(_ + _)
+      val sameLap = inBin.map { case (s, c) =>
+        when(lit(s) < col(sourceCol) && lit(c) >= col("pos"), 1L)
+          .otherwise(0L) }.reduce(_ + _)
+      (b, lit(offsets(b)) + before + sameLap)
+    }.foldLeft(lit(null).cast("long")) { case (acc, (b, e)) =>
+      when(col("bin") === b, e).otherwise(acc)
+    }
+    withPos.withColumn("ordinal", ordinal.cast("long"))
+  }
+
   /** Global rank binning: each row gets its quantile bin (1..nBins,
     * ntile semantics) and percent rank by `valCol`, ties broken by
     * `idCol` so the order — and therefore every bin edge — is unique

@@ -699,6 +699,37 @@ class ScaleSpec extends SparkSpec {
     assert(e.getMessage.contains("maxSources"))
   }
 
+  test("curriculumOrder: stage-major, round-robin within stage, ≡ window form") {
+    import spark.implicits._
+    // bin 1: a×2, b×1; bin 2: a×1, c×2 — stages must not interleave
+    val rows = Seq(
+      (1L, "a", 1L), (2L, "a", 1L), (3L, "b", 1L),
+      (4L, "a", 2L), (5L, "c", 2L), (6L, "c", 2L))
+    val df = rows.toDF("id", "src", "bin")
+    val got = Scale.curriculumOrder(df, "bin", "src", "id")
+      .collect().map(r => r.getAs[Long]("ordinal") ->
+        ((r.getAs[Long]("id"), r.getAs[Long]("bin")))).toMap
+    // window reference: row_number over (bin, pos, source)
+    val want = rows.groupBy(t => (t._3, t._2)).toSeq
+      .flatMap { case ((b, s), ts) =>
+        ts.map(_._1).sorted.zipWithIndex.map { case (id, p) =>
+          (b, p + 1, s, id) } }
+      .sortBy { case (b, p, s, _) => (b, p, s) }
+      .zipWithIndex.map { case ((b, _, _, id), o) => o.toLong -> ((id, b)) }
+      .toMap
+    assert(got === want)
+    // all of stage 1 precedes all of stage 2
+    assert(got.filter(_._2._2 == 1L).keys.max <
+      got.filter(_._2._2 == 2L).keys.min)
+    // guards: cells cap + null source
+    intercept[IllegalArgumentException](
+      Scale.curriculumOrder(df, "bin", "src", "id", maxCells = 3))
+    intercept[IllegalArgumentException](
+      Scale.curriculumOrder(
+        Seq((1L, null.asInstanceOf[String], 1L)).toDF("id", "src", "bin"),
+        "bin", "src", "id"))
+  }
+
   test("cappedBudgetPlan: hand-computed waterfill, saturation, invariants") {
     import spark.implicits._
     // avail: a=100 tokens, b=1000, c=1000; weights 1:1:2; budget 1000;
