@@ -3119,6 +3119,21 @@ object SparkEntry {
       Scale.groupQuota(Tables.documents(s, dir), "source", "doc_id", k = 10)
         .select("doc_id", "source", "lang")
         .orderBy("doc_id")),
+    // quality-preferenced quota: top-8 per source by INTEGER classifier
+    // score (ties min id) — "at most k per domain, and make them the
+    // good ones" where q_domain_quota keeps whatever crawled first;
+    // same TopKAggregator shuffle shape, no per-domain window
+    "q_domain_quota_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = docs.join(
+        TextAnalysis.classifierApplyTable(docs, "doc_id", "text",
+            TextAnalysis.classifierFixtureWeights(s, 512), buckets = 512)
+          .select(col("doc_id"), col("score_sum")),
+        Seq("doc_id"), "left")
+      Scale.groupQuotaBest(scored, "source", "doc_id", "score_sum", k = 8)
+        .select("doc_id", "source", "score_sum")
+        .orderBy("doc_id")
+    }),
     // composite-key quota: cap per (source, lang) cell — the mixing-
     // matrix form of the domain cap ("k docs per domain per language")
     "q_domain_quota_multi" -> ((s, dir) =>
@@ -6422,6 +6437,17 @@ object SparkEntry {
                 CAST(score_sum AS BIGINT) AS score_sum,
                 score_sum > 0 AS label
          FROM sc ORDER BY doc_id"""),
+    // classifier scores ranked per source: rn ≤ 8 under
+    // (score desc, id) ≡ the TopKAggregator policy
+    "q_domain_quota_best" ->
+      (classifierApplyCtes(512) +
+        """ SELECT doc_id, source, score_sum FROM (
+           SELECT d.doc_id, d.source,
+                  CAST(sc.score_sum AS BIGINT) AS score_sum,
+                  row_number() OVER (PARTITION BY d.source
+                    ORDER BY sc.score_sum DESC, d.doc_id) AS rn
+           FROM documents d JOIN sc ON sc.doc_id = d.doc_id) q
+         WHERE rn <= 8 ORDER BY doc_id"""),
     // classifier chain + whitespace token counts grouped per source —
     // every output column BIGINT
     "q_source_profile" ->

@@ -345,6 +345,38 @@ object Scale {
       "left_semi")
   }
 
+  /** Quality-preferenced per-group quota: keep the `k` BEST rows of
+    * each group by `scoreCol` (ties to the smaller id — total order,
+    * deterministic corpus) — the curation rule "at most k docs per
+    * domain, and make them the good ones", where [[groupQuota]]'s
+    * min-id policy keeps whatever crawled first. NULL scores lose to
+    * every non-null score (a doc the scorer skipped must not beat a
+    * scored one), tie-broken by id among themselves.
+    *
+    * Same scale shape as groupQuota: the map-side-combining
+    * [[graft.functions.TopKAggregator]] admits ≤ k (group, score, id)
+    * rows per partition into the shuffle — no per-domain window sort —
+    * and kept ids semi-join back so full rows never enter the quota
+    * shuffle. Scores must be double-castable; ids integral. */
+  def groupQuotaBest(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    requireIntegralId(df, idCol, "groupQuotaBest")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // aggregator keeps highest score, ties by smaller id; null scores
+    // map to -Infinity so they lose to every real score
+    val score = coalesce(col(scoreCol).cast("double"),
+      lit(Double.NegativeInfinity))
+    val kept = graft.functions.TopKAggregator.topKPerGroup(
+        df.select(array(col(groupCol).cast("string")).as("__k"),
+          score, col(idCol).cast("long"))
+          .as[(Seq[String], Double, Long)], k)
+      .select(col("key").getItem(0).as("__g"), col("id").as("__quota_id"))
+    df.join(kept, col(groupCol).cast("string") <=> col("__g") &&
+      col(idCol).cast("long") === col("__quota_id"), "left_semi")
+  }
+
   /** Uniform per-group sample: keep `k` rows per group chosen by a
     * deterministic sha256 rank of the id — the UNBIASED counterpart to
     * `groupQuota`'s keep-smallest-id policy (min-id correlates with

@@ -699,6 +699,35 @@ class ScaleSpec extends SparkSpec {
     assert(e.getMessage.contains("maxSources"))
   }
 
+  test("groupQuotaBest: top-k by score, null scores lose, ≡ window form") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "g1", Some(5.0)), (2L, "g1", Some(9.0)), (3L, "g1", Some(9.0)),
+      (4L, "g1", None), (5L, "g1", Some(1.0)),
+      (6L, "g2", None), (7L, "g2", None), // all-null group: ids decide
+      (8L, "g3", Some(2.0)))
+    val df = rows.map(t => (t._1, t._2, t._3.map(Double.box).orNull))
+      .toDF("id", "grp", "score")
+    val kept = Scale.groupQuotaBest(df, "grp", "id", "score", k = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // g1: 9.0 tie → ids 2,3 (5.0 and null lose); g2: null-only → min
+    // ids 6,7; g3: its lone row
+    assert(kept === Set(2L, 3L, 6L, 7L, 8L))
+    // ≡ window reference on a randomized frame
+    val rnd = new scala.util.Random(11)
+    val big = (1 to 300).map(i =>
+      (i.toLong, s"g${i % 7}", rnd.nextInt(20).toDouble))
+      .toDF("id", "grp", "score")
+    val got = Scale.groupQuotaBest(big, "grp", "id", "score", k = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("score").desc, col("id"))
+    val want = big.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === want)
+  }
+
   test("curriculumOrder: stage-major, round-robin within stage, ≡ window form") {
     import spark.implicits._
     // bin 1: a×2, b×1; bin 2: a×1, c×2 — stages must not interleave
