@@ -184,5 +184,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             strLit(text, "boilerplate_lines", "text_col"),
             intLit(m, "boilerplate_lines", "min_dup_docs"))
           .queryExecution.logical }))
+
+    ext.injectTableFunction((FunctionIdentifier("main_content"),
+      info("main_content",
+        "main_content(table, id_col, html_col, min_words) - block-level " +
+          "main-content extraction (text-density + link-density gates); " +
+          "(doc_id, main_text, n_blocks, n_kept)"),
+      { case Seq(t, id, html, mw) =>
+        graft.functions.TextAnalysis.mainContent(
+            tableOf(strLit(t, "main_content", "table")),
+            strLit(id, "main_content", "id_col"),
+            strLit(html, "main_content", "html_col"),
+            minWords = intLit(mw, "main_content", "min_words"))
+          .queryExecution.logical }))
   }
 }

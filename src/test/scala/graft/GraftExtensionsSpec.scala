@@ -108,6 +108,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sqlRows.exists(_.getLong(3) > 0)) // real drops on the fixture
   }
 
+  test("main_content TVF ≡ the Scala operator") {
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), concat(
+        lit("<html><body><div class=\"nav\"><a href=\"/\">Home</a></div><p>"),
+        col("text"),
+        lit("</p><footer>Copyright</footer></body></html>")).as("html"))
+      .createOrReplaceTempView("tvf_mc_docs")
+    val sqlRows = spark.sql(
+      """SELECT doc_id, main_text, n_blocks, n_kept
+         FROM main_content('tvf_mc_docs', 'doc_id', 'html', 5)
+         ORDER BY doc_id""").collect().toSeq
+    val apiRows = graft.functions.TextAnalysis.mainContent(
+        spark.table("tvf_mc_docs"), "doc_id", "html", minWords = 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(sqlRows === apiRows)
+    assert(sqlRows.forall(_.getLong(3) >= 1)) // body paragraph survives
+    assert(sqlRows.forall(!_.getString(1).contains("Home"))) // nav gone
+  }
+
   test("embedding_topk TVF: a SQL-only ANN query ≡ the Scala operator") {
     val emb = Tables.embeddings(spark, sf)
     emb.createOrReplaceTempView("tvf_emb")
