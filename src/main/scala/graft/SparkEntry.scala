@@ -4996,7 +4996,7 @@ object SparkEntry {
                 TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
                   + 1 AS w_parts
               FROM (SELECT DISTINCT source FROM documents)),
-         t AS (SELECT sum(w_parts) AS parts FROM w),
+         t AS (SELECT CAST(sum(w_parts) AS BIGINT) AS parts FROM w),
          c AS (SELECT source,
                  CAST(sum(len(string_split_regex(trim(text), '\s+')))
                    AS BIGINT) AS n_tokens

@@ -16,7 +16,10 @@ def norm(v):
 def close(a, b):
     if isinstance(a, float) or isinstance(b, float):
         try:
-            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-6)
+            fa, fb = float(a), float(b)
+            if math.isnan(fa) and math.isnan(fb):
+                return True  # fetchdf renders SQL NULL as NaN on both sides
+            return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-6)
         except (TypeError, ValueError):
             return False
     return str(a) == str(b)
@@ -28,19 +31,46 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # DuckDB types whose pandas rendering (fetchdf) diverges from the
+    # matching Spark/parquet type — HUGEINT renders as float64, DECIMAL as
+    # object/float. The driver hashes fetchdf output, so these silently
+    # break the driver hash even when values are numerically equal
+    # (round-8/9 q_token_budget). Fail them loudly here, pre-driver.
+    BAD_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
     for qname, sql in sorted(oracle.items()):
         spark_dir = f"{out_dir}/{qname}"
-        if not os.path.isdir(spark_dir):
-            print(f"FAIL {qname}: no spark output dir"); n_fail += 1; continue
         try:
+            # Type sweep runs before the dump check so subset runs
+            # (SPARK_GRAFT_ONLY) still type-audit every oracle.
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+            badcols = [(c, t) for c, t, *_ in desc
+                       if any(b in t.upper() for b in BAD_TYPES)]
+            if badcols:
+                print(f"FAIL {qname}: oracle output type(s) {badcols} — "
+                      f"HUGEINT/DECIMAL render as float64/object in fetchdf "
+                      f"and break the driver hash; CAST to BIGINT/DOUBLE")
+                n_fail += 1; continue
+            if not os.path.isdir(spark_dir):
+                print(f"FAIL {qname}: no spark output dir"); n_fail += 1; continue
             oc = con.execute(sql)
             ocols = [d[0] for d in oc.description]
-            orows = oc.fetchall()
+            odf = oc.fetchdf()
+            orows = list(odf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL {qname}: duckdb error: {e}"); n_fail += 1; continue
         sc = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
         scols = [d[0] for d in sc.description]
-        srows = sc.fetchall()
+        sdf = sc.fetchdf()
+        srows = list(sdf.itertuples(index=False, name=None))
+        # dtype parity: the driver compares pandas-rendered frames, so an
+        # int64 vs float64 mismatch per column is a hash mismatch even
+        # when every value compares numerically equal.
+        dmis = [(c, str(sdf[c].dtype), str(odf[c].dtype)) for c in scols
+                if c in odf.columns and str(sdf[c].dtype) != str(odf[c].dtype)
+                and not (sdf[c].dtype.kind == "O" and odf[c].dtype.kind == "O")]
+        if dmis:
+            print(f"FAIL {qname}: dtype mismatch (col, spark, oracle): {dmis}")
+            n_fail += 1; continue
         if sorted(ocols) != sorted(scols):
             print(f"FAIL {qname}: cols spark={sorted(scols)} oracle={sorted(ocols)}")
             n_fail += 1; continue
