@@ -2094,7 +2094,10 @@ object SparkEntry {
     // perturbs only sub-boundary orderings), so descent has gradient
     // at every range and the EXHAUSTIVE all-pairs oracle over the same
     // planted vectors adjudicates recall-1 convergence exactly (the
-    // ANN family convention)
+    // ANN family convention). The descent output is a write-once
+    // PairGraph artifact (distinct key from q_knn_components' — the
+    // two plants differ: frac(id·φ) circle vs %16 anchors — so each
+    // graph derives once per session, not once per consumer run)
     "q_knn_graph" -> ((s, dir) => {
       val theta = (col("vec_id") * lit(0.618033988749895)) % 1.0 *
         lit(6.283185307179586)
@@ -2103,9 +2106,10 @@ object SparkEntry {
         transform(col("embedding"), x => x.cast("double") * 0.001))
       val emb2 = Tables.embeddings(s, dir)
         .select(col("vec_id"), planted.as("pv"))
-      Similarity.knnGraph(emb2, "vec_id", "pv", k = 5, iterations = 4,
+      PairGraph.of(s, s"knngraph:circle:k5:i4:s12:$dir") {
+        Similarity.knnGraph(emb2, "vec_id", "pv", k = 5, iterations = 4,
           searchK = 12, requireConverged = true)
-        .orderBy("query_id", "rank")
+      }.orderBy("query_id", "rank")
     }),
     // the k-NN graph CONSUMED: mutual-kNN edges → connected components
     // = graph-based semantic clustering (the SemDeDup-at-scale shape
@@ -2128,9 +2132,10 @@ object SparkEntry {
         transform(col("embedding"), x => x.cast("double") * 0.001))
       val emb2 = Tables.embeddings(s, dir)
         .select(col("vec_id"), planted.as("pv"))
-      val e = Similarity.knnGraph(emb2, "vec_id", "pv", k = 5,
+      val e = PairGraph.of(s, s"knngraph:anchor16:k5:i4:s20:$dir") {
+        Similarity.knnGraph(emb2, "vec_id", "pv", k = 5,
           iterations = 4, searchK = 20, requireConverged = true)
-        .select("query_id", "neighbor_id")
+      }.select("query_id", "neighbor_id")
       val mutual = e.join(
           e.select(col("query_id").as("neighbor_id"),
             col("neighbor_id").as("query_id")),
@@ -2622,6 +2627,32 @@ object SparkEntry {
         .orderBy(desc("rrf"), col("doc_id"))
         .limit(20)
         .select("doc_id", "r1", "r2", "rrf")
+    }),
+    // HYBRID retrieval — the full production stack: BM25 top-50
+    // (sparse) fused with dense cosine top-50 for the vec_id-0 query
+    // vector (doc_id ≡ vec_id: the embeddings table is the documents'
+    // embedding column, same ids/cardinality) via Analytics.rankFusion
+    // RRF. Fusion inputs are the k-sized HEADS each retriever already
+    // bounds, so the fusion joins are list-sized at any corpus scale;
+    // absent ranks surface as 0 and contribute nothing. Both rankings
+    // are engine-exact (BM25's arithmetic tree is q_bm25_topk's; the
+    // cosine is the ANN family's), so the integer ranks and the rrf
+    // doubles are cross-engine identical and the top-20 cut is stable
+    "q_hybrid_retrieval" -> ((s, dir) => {
+      val lex = TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id",
+          "text", Seq("spark", "query", "vector"), k = 50)
+        // rank over the already-cut 50-row head: the one unpartitioned
+        // window, bounded by the limit upstream of it by construction
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("id"))))
+        .select(col("id").as("doc_id"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val dense = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Analytics.rankFusion("doc_id",
+          Seq("lex" -> lex, "dense" -> dense), topK = 20)
+        .orderBy(desc("rrf"), col("doc_id"))
     }),
     // KMV distinct sketch: bounded-state count-distinct — each input
     // partition ships ≤ k hashes per group to the shuffle, raw user ids
@@ -6476,6 +6507,60 @@ object SparkEntry {
                FROM r1 JOIN r2 ON r2.doc_id = r1.doc_id)
          SELECT doc_id, r1, r2, rrf FROM f
          ORDER BY rrf DESC, doc_id LIMIT 20"""),
+    // hybrid RRF: the q_bm25_topk arithmetic tree cut at 50 fused with
+    // the exactTopK cosine formulation for query vec 0; absent ranks
+    // are 0 and contribute nothing
+    "q_hybrid_retrieval" ->
+      """WITH toks AS (SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS t
+              FROM documents WHERE length(trim(text)) > 0),
+         lens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         na AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+         tf AS (SELECT doc_id, t, count(*) AS tf FROM toks
+                WHERE t IN ('spark', 'query', 'vector') GROUP BY 1, 2),
+         dfr AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+         s AS (SELECT tf.doc_id,
+                 ln((na.n_docs - dfr.df + CAST(0.5 AS DOUBLE))
+                      / (dfr.df + CAST(0.5 AS DOUBLE))
+                    + CAST(1.0 AS DOUBLE))
+                   * tf.tf * CAST(2.25 AS DOUBLE)
+                   / (tf.tf + CAST(1.25 AS DOUBLE)
+                        * (CAST(0.25 AS DOUBLE)
+                           + CAST(0.75 AS DOUBLE) * lens.dl / na.avgdl))
+                   AS s
+               FROM tf JOIN dfr USING (t)
+               JOIN lens ON lens.doc_id = tf.doc_id
+               CROSS JOIN na),
+         bm AS (SELECT doc_id, sum(s) AS bm25 FROM s GROUP BY 1
+                ORDER BY bm25 DESC, doc_id LIMIT 50),
+         lex AS (SELECT doc_id, CAST(row_number() OVER (
+                   ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_lex
+                 FROM bm),
+         q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = 0
+                 AND list_dot_product(embedding::DOUBLE[],
+                       embedding::DOUBLE[]) > 0),
+         c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv
+               FROM embeddings
+               WHERE list_dot_product(embedding::DOUBLE[],
+                       embedding::DOUBLE[]) > 0),
+         dsc AS (SELECT nid, list_cosine_similarity(cv, qv) AS cos
+                 FROM c, q WHERE nid <> 0),
+         dr AS (SELECT nid AS doc_id, CAST(row_number() OVER (
+                  ORDER BY cos DESC, nid) AS BIGINT) AS r_dense
+                FROM dsc ORDER BY cos DESC, nid LIMIT 50),
+         f AS (SELECT coalesce(lex.doc_id, dr.doc_id) AS doc_id,
+                      coalesce(lex.r_lex, 0) AS r_lex,
+                      coalesce(dr.r_dense, 0) AS r_dense
+               FROM lex FULL OUTER JOIN dr ON dr.doc_id = lex.doc_id)
+         SELECT doc_id, r_lex, r_dense,
+                (CASE WHEN r_lex > 0
+                      THEN CAST(1.0 AS DOUBLE) / (60 + r_lex)
+                      ELSE CAST(0.0 AS DOUBLE) END
+                 + CASE WHEN r_dense > 0
+                        THEN CAST(1.0 AS DOUBLE) / (60 + r_dense)
+                        ELSE CAST(0.0 AS DOUBLE) END) AS rrf
+         FROM f ORDER BY rrf DESC, doc_id LIMIT 20""",
     "q_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id,
                 unnest(string_split_regex(trim(text), '\s+')) AS tok

@@ -1148,4 +1148,46 @@ object Analytics {
         (col("__ps") + col("__cs") - (col("__pe") + col("__ce") - col("e")))
           .as("active"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    * of N retrieval rankings — the hybrid-retrieval glue between the
+    * sparse side ([[graft.functions.TextAnalysis.bm25TopK]]) and the
+    * dense side ([[Similarity.bruteForceTopK]] / the ANN family):
+    * rrf(d) = Σ_i 1/(rrfK + rank_i(d)) over the rankings that contain
+    * d, then the global top-`topK` by fused score.
+    *
+    * Each input is a (name, frame) pair where the frame carries
+    * (`idCol`, `rank`) — a top-N LIST, not a corpus-wide ranking.
+    * That is the scale contract: fusion inputs are the k-sized heads
+    * each retriever already bounds (BM25's limit, the ANN epilogue's
+    * per-query k), so every join here is list-sized no matter the
+    * corpus; the corpus-wide work stays inside the retrievers, which
+    * carry their own scale posture. Absent ranks surface as 0 in the
+    * output (`r_<name>` BIGINT; real ranks are 1-based) and contribute
+    * nothing to the fused score — standard RRF over the union.
+    *
+    * Determinism: ranks are integer-exact, so the rrf doubles are the
+    * same IEEE sums cross-engine and the (rrf desc, id) cut is stable.
+    * Output: (idCol, r_<name>..., rrf), top-`topK` by rrf desc, id. */
+  def rankFusion(idCol: String, rankings: Seq[(String, DataFrame)],
+      topK: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.size >= 2, s"need >= 2 rankings, got ${rankings.size}")
+    require(topK >= 1 && rrfK >= 1, s"need topK/rrfK >= 1, got $topK/$rrfK")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      "ranking names must be unique")
+    val sides = rankings.map { case (name, df) =>
+      df.select(col(idCol), col("rank").cast("long").as(s"r_$name"))
+    }
+    val joined = sides.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val filled = rankings.foldLeft(joined) { case (d, (name, _)) =>
+      d.withColumn(s"r_$name", coalesce(col(s"r_$name"), lit(0L)))
+    }
+    val rrf = rankings.map { case (name, _) =>
+      when(col(s"r_$name") > 0,
+        lit(1.0) / (lit(rrfK) + col(s"r_$name"))).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    filled.withColumn("rrf", rrf)
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(topK)
+  }
 }
