@@ -1753,6 +1753,61 @@ object SparkEntry {
           withinNew.unionByName(across))
         .orderBy("doc_id")
     }),
+    // the nightly-crawl-increment pipeline END-TO-END: per-doc hygiene
+    // (cleanTextV2 over planted-dirty pages, the q_clean_text_v2
+    // suffix) → ≥20-token floor → shipped-artifact classifier gate →
+    // near-dup components maintained INCREMENTALLY (base labels from
+    // the standing mod-5≠0 corpus only; the mod-5=0 increment folds in
+    // through within + across pairs and mergeComponents' label-graph
+    // contraction) → keep-canonical (min id per component). The oracle
+    // is a FROM-SCRATCH recompute of the same curation over the full
+    // corpus: hash equality IS the merge theorem extended to the whole
+    // composed chain — valid because every pre-dedup stage is per-doc
+    // and the pair rule is uncapped jaccard, both corpus-independent.
+    // (The operational file-manifest + exactly-once-commit form of the
+    // same composition is IncrementalCurationSpec over
+    // IncrementalFiles.readNewParquet.)
+    "q_incremental_curation" -> ((s, dir) => {
+      val dirty = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit(" zero\u200Bwidth bidi\u202Eevil\u202C" +
+          " soft\u00ADhyphen cafe\u0301\u0001  end ")).as("raw"))
+      val cleaned = dirty
+        .select(col("doc_id"),
+          TextAnalysis.cleanTextV2(col("raw")).as("text"))
+        .filter(size(split(trim(col("text")), "\\s+")) >= 20)
+        .materialized // feeds the classifier chain AND the gate join
+      val pos = TextAnalysis.classifierApplyTable(cleaned, "doc_id",
+          "text", TextAnalysis.classifierFixtureWeights(s, 512),
+          buckets = 512)
+        .filter(col("label")).select("doc_id")
+      // three pair derivations + the final remap all read the gated
+      // survivors; without the barrier the clean+classify chain would
+      // re-execute per consumer
+      val surv = cleaned.join(pos, Seq("doc_id"), "left_semi").materialized
+      val old = surv.filter(col("doc_id") % 5 =!= 0)
+      val fresh = surv.filter(col("doc_id") % 5 === 0)
+      val oldWithin = PairGraph.of(s, s"jaccard:cur:n3:t0.6:old:$dir") {
+        Dedup.jaccardNearDupPairs(old, "doc_id", "text", n = 3,
+          threshold = 0.6)
+      }
+      val baseLabels = Dedup.nearDupComponents(old, "doc_id", oldWithin)
+      val withinNew = PairGraph.of(s, s"jaccard:cur:n3:t0.6:new:$dir") {
+        Dedup.jaccardNearDupPairs(fresh, "doc_id", "text", n = 3,
+          threshold = 0.6)
+      }.select("id_a", "id_b")
+      val across = PairGraph.of(s, s"jaccard:cur:n3:t0.6:across:$dir") {
+        Dedup.jaccardNearDupPairsAcross(fresh, "doc_id", "text",
+          old, "doc_id", "text", n = 3, threshold = 0.6)
+      }.select(col("id_left").as("id_a"), col("id_right").as("id_b"))
+      Dedup.mergeComponents(baseLabels, fresh, "doc_id",
+          withinNew.unionByName(across))
+        .join(surv, Seq("doc_id"))
+        .select(col("doc_id"), col("component_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long")
+            .as("n_tokens"),
+          (col("component_id") === col("doc_id")).as("keep"))
+        .orderBy("doc_id")
+    }),
     // quality-aware canonical selection: one doc per jaccard component,
     // highest n_chars wins (ties → smallest id). The keep-best policy a
     // curation pipeline wants where dropNearDups' keep-smallest-id would
@@ -5678,6 +5733,80 @@ object SparkEntry {
            SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
          SELECT node AS doc_id, min(root) AS component_id
          FROM reach GROUP BY node ORDER BY doc_id""",
+    // FROM-SCRATCH recompute of the whole incremental curation chain:
+    // cleanTextV2 (q_clean_text_v2's expression) → ≥20-token floor →
+    // classifier gate (512-bucket VALUES artifact) → uncapped jaccard
+    // components over the gated survivors → keep = min-id canonical
+    "q_incremental_curation" ->
+      ("""WITH RECURSIVE
+         cl AS (SELECT doc_id,
+                trim(regexp_replace(regexp_replace(
+                  nfc_normalize(regexp_replace(
+                    text || ' zero' || chr(8203) || 'width bidi' ||
+                      chr(8238) || 'evil' || chr(8236) || ' soft' ||
+                      chr(173) || 'hyphen cafe' || chr(769) || chr(1) ||
+                      '  end ',
+                    '[\x{00AD}\x{200B}-\x{200F}\x{202A}-\x{202E}\x{2060}\x{2066}-\x{2069}\x{FEFF}]',
+                    '', 'g')),
+                  '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+                  ' {2,}', ' ', 'g')) AS t
+              FROM documents),
+         fl AS (SELECT doc_id, t, string_split_regex(trim(t), '\s+') AS w
+                FROM cl
+                WHERE len(string_split_regex(trim(t), '\s+')) >= 20),""" +
+        s"""
+         wts AS MATERIALIZED (
+           SELECT bucket, CAST(w AS BIGINT) AS w
+           FROM (VALUES ${classifierFixtureValues(512)}) tt(bucket, w)),""" +
+        """
+         feats AS (
+           SELECT doc_id, 'u:' || unnest(w) AS f FROM fl
+           UNION ALL
+           SELECT doc_id, 'b:' || w[i] || ' ' || w[i + 1] AS f
+           FROM fl, LATERAL unnest(generate_series(1, len(w) - 1)) AS g(i)
+           WHERE len(w) >= 2),
+         fb AS (SELECT doc_id,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(
+                      substring(sha256(f), 1, 13), ''),
+                      c -> CAST(instr('0123456789abcdef', c) - 1
+                        AS BIGINT))),
+                    (acc, x) -> acc * 16 + x) % 512 AS bucket
+                FROM feats WHERE f <> 'u:'),
+         perdoc AS (SELECT doc_id, bucket, count(*) AS c
+                    FROM fb GROUP BY 1, 2),
+         sc AS (SELECT doc_id, sum(c * w) AS score_sum
+                FROM perdoc JOIN wts USING (bucket) GROUP BY 1),
+         surv AS (SELECT fl.doc_id, fl.w FROM fl
+                  JOIN sc ON sc.doc_id = fl.doc_id AND sc.score_sum > 0),
+         tok AS (SELECT doc_id,
+                  list_distinct(CASE WHEN len(w) < 3 THEN []
+                    ELSE list_transform(range(1, len(w) - 1),
+                      i -> array_to_string(w[i:i+2], ' ')) END) AS sh
+                FROM surv),
+         sized AS (SELECT doc_id, sh, len(sh) AS n FROM tok
+                   WHERE len(sh) > 0),
+         inv AS (SELECT doc_id, n, unnest(sh) AS s FROM sized),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.n AS na, b.n AS nb, count(*) AS shared
+                   FROM inv a JOIN inv b
+                     ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4),
+         jp AS (SELECT id_a, id_b FROM pairs
+                WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.6),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+                   UNION SELECT id_b, id_a FROM jp),
+         reach(node, root) AS (
+           SELECT doc_id, doc_id FROM surv
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         comp AS (SELECT node AS doc_id, min(root) AS component_id
+                  FROM reach GROUP BY node)
+         SELECT c.doc_id, c.component_id,
+                CAST(len(s.w) AS BIGINT) AS n_tokens,
+                c.component_id = c.doc_id AS keep
+         FROM comp c JOIN surv s ON s.doc_id = c.doc_id
+         ORDER BY c.doc_id"""),
     // same recursive-CTE component derivation; the winner per component
     // is the row_number-window formulation of the Spark side's max_by
     // (quality DESC, id ASC) reduction
