@@ -1574,6 +1574,30 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // homoglyph-spoofed duplicates (the SEO-spam dedup-evasion shape):
+    // every mod-7 doc gets a spoofed copy (id + 300000) whose a/e/o/c/p
+    // are swapped for their Cyrillic lookalikes — byte-exact dedup
+    // hashes them apart; the confusable-skeleton fold (UTS #39 subset)
+    // collapses them back onto the original. Grouping key is
+    // sha2(skeleton), so the dedup shuffle still moves digests, never
+    // text; n_confusables is the per-doc spoofing signal
+    "q_homoglyph_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val spoof = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(300000L)).as("doc_id"),
+          translate(col("text"), "aeocp", cyrSpoof).as("text"))
+      val sk = docs.unionByName(spoof).select(col("doc_id"),
+        sha2(TextAnalysis.confusableSkeleton(col("text")), 256)
+          .as("__digest"),
+        TextAnalysis.confusableCount(col("text")).as("n_confusables"))
+      val canon = sk.groupBy("__digest").agg(min("doc_id").as("__keep"))
+      sk.join(canon, Seq("__digest"))
+        .select(col("doc_id"), col("n_confusables"),
+          (col("doc_id") === col("__keep")).as("keep"))
+        .orderBy("doc_id")
+    }),
     // substring-level exact dedup (Lee et al. 2022): maximal duplicated
     // token runs via sliding k-gram anchors. The planted fixture gives
     // every doc a VARIABLE-length unique prefix (doc_id-derived, so the
@@ -4539,6 +4563,27 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
          ORDER BY doc_id""",
+    // the confusable fold and spoof construction share their char
+    // tables with the Spark side via the TextAnalysis constants, so a
+    // mapping edit cannot desynchronize the two engines
+    "q_homoglyph_dedup" ->
+      (s"""WITH spoof AS (SELECT doc_id + 300000 AS doc_id,
+                translate(text, 'aeocp', '$cyrSpoof') AS text
+              FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0),
+         corpus AS (SELECT doc_id, text FROM documents
+                    WHERE text IS NOT NULL
+                    UNION ALL SELECT doc_id, text FROM spoof),
+         sk AS (SELECT doc_id,
+                  sha256(translate(text,
+                    '${TextAnalysis.ConfusableFrom}',
+                    '${TextAnalysis.ConfusableTo}')) AS dg,
+                  CAST(length(text) - length(translate(text,
+                    '${TextAnalysis.ConfusableFrom}', ''))
+                    AS BIGINT) AS n_confusables
+                FROM corpus)
+         SELECT doc_id, n_confusables,
+                doc_id = min(doc_id) OVER (PARTITION BY dg) AS keep
+         FROM sk ORDER BY doc_id"""),
     // each CTE is a stage oracle verbatim, rebased onto the previous
     // stage's output: clean (q_clean_text's expression) → sha256 dedup →
     // repetition gates (q_low_repetition's cuts) → head-cap thresholds
@@ -7932,6 +7977,12 @@ object SparkEntry {
     * the hottest shingles; in production it is corpus-scaled and is the
     * knob that bounds the inverted-index join under boilerplate. */
   val shingleDfCap: Int = 20
+
+  /** Cyrillic lookalikes for 'aeocp' in that order (a→а e→е o→о c→с
+    * p→р) — the planted spoofing map for q_homoglyph_dedup, shared by
+    * the Spark query and its oracle. */
+  private val cyrSpoof: String =
+    "\u0430\u0435\u043E\u0441\u0440"
 
   /** Shared CTE prefix for the Gopher rule-gate oracles: one
     * tokenization + one line split per doc, every rule measurement,

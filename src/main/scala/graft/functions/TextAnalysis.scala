@@ -854,6 +854,59 @@ object TextAnalysis {
   def cleanTextV2(text: Column): Column =
     cleanText(regexp_replace(text, InvisiblePattern, ""))
 
+  /** Homoglyph confusable table (a curated subset of Unicode UTS #39
+    * confusables — the codepoints spoofed-duplicate spam actually
+    * uses): Cyrillic and Greek Latin-lookalikes plus the fullwidth
+    * ASCII block, each mapped to its Latin/ASCII skeleton char. All
+    * single BMP codepoints, so the fold is a `translate` — one
+    * codegen'd char-map pass, zero shuffles, and the identical
+    * `translate` exists in every SQL engine for the oracle. Written
+    * as \\u escapes: a Cyrillic А in source is indistinguishable from
+    * the Latin A it maps to — the exact failure mode this operator
+    * exists to catch. */
+  val ConfusablePairs: Seq[(Char, Char)] = {
+    val named = Seq(
+      // Cyrillic lowercase lookalikes
+      '\u0430' -> 'a', '\u0435' -> 'e', '\u043E' -> 'o', '\u0440' -> 'p',
+      '\u0441' -> 'c', '\u0443' -> 'y', '\u0445' -> 'x', '\u0456' -> 'i',
+      '\u0455' -> 's', '\u0458' -> 'j',
+      // Cyrillic uppercase lookalikes
+      '\u0410' -> 'A', '\u0412' -> 'B', '\u0415' -> 'E', '\u041A' -> 'K',
+      '\u041C' -> 'M', '\u041D' -> 'H', '\u041E' -> 'O', '\u0420' -> 'P',
+      '\u0421' -> 'C', '\u0422' -> 'T', '\u0423' -> 'Y', '\u0425' -> 'X',
+      // Greek uppercase lookalikes
+      '\u0391' -> 'A', '\u0392' -> 'B', '\u0395' -> 'E', '\u0396' -> 'Z',
+      '\u0397' -> 'H', '\u0399' -> 'I', '\u039A' -> 'K', '\u039C' -> 'M',
+      '\u039D' -> 'N', '\u039F' -> 'O', '\u03A1' -> 'P', '\u03A4' -> 'T',
+      '\u03A5' -> 'Y', '\u03A7' -> 'X',
+      // Greek lowercase lookalikes
+      '\u03BF' -> 'o', '\u03BD' -> 'v')
+    val fullwidth =
+      (0 until 26).map(i => (('\uFF21' + i).toChar, ('A' + i).toChar)) ++
+        (0 until 26).map(i => (('\uFF41' + i).toChar, ('a' + i).toChar)) ++
+        (0 until 10).map(i => (('\uFF10' + i).toChar, ('0' + i).toChar))
+    named ++ fullwidth
+  }
+  val ConfusableFrom: String = ConfusablePairs.map(_._1).mkString
+  val ConfusableTo: String = ConfusablePairs.map(_._2).mkString
+
+  /** Confusable-skeleton fold: collapse [[ConfusablePairs]] onto their
+    * Latin skeletons so visually-identical spoofed duplicates (SEO
+    * spam, adversarial dedup evasion) share one dedup key. Compose in
+    * front of the digest: `sha2(confusableSkeleton(text), 256)` — the
+    * shuffle still moves 32-byte digests, never text. */
+  def confusableSkeleton(text: Column): Column =
+    translate(text, ConfusableFrom, ConfusableTo)
+
+  /** Count of confusable codepoints in `text` — the spoofing signal
+    * itself (a high count on a "Latin-script" page is an adversarial
+    * marker even before dedup). Both Spark and SQL `translate` DELETE
+    * matched chars when the replacement string is exhausted, so the
+    * count is a length difference — still one scan-local pass. */
+  def confusableCount(text: Column): Column =
+    (length(text) - length(translate(text, ConfusableFrom, "")))
+      .cast("long")
+
   /** The Gopher stop-list (Rae et al. 2021 §A1.1): a document must
     * contain at least two of these to pass the rule gate. Distinct
     * from [[stopwords]] (the ratio-feature list) on purpose — the
