@@ -2231,6 +2231,15 @@ object SparkEntry {
           "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
+    // diversity coreset: exact k-center greedy over the embedding
+    // corpus (selection order + coverage-radius curve). The oracle is
+    // the same greedy unrolled as k CTE rounds — identical cosine
+    // tree, identical (best, id) argmin, so the whole selection
+    // SEQUENCE is hash-exact, not just the final set
+    "q_kcenter_coreset" -> ((s, dir) =>
+      Similarity.kCenterGreedy(Tables.embeddings(s, dir), "vec_id",
+          "embedding", k = 8)
+        .orderBy("rank")),
     // hard-negative mining (contrastive training data): per anchor,
     // the top-8 corpus vectors with cos BELOW 0.25 — the near-miss
     // band, with the would-be-positive region excluded BEFORE the cut.
@@ -7567,6 +7576,7 @@ object SparkEntry {
            FROM u JOIN comp ON comp.node = u.c_custkey)
          WHERE rn = 1 ORDER BY c_custkey""",
     "q_embedding_topk" -> exactTopKOracleSql,
+    "q_kcenter_coreset" -> kCenterOracleSql(8),
     // the k-NN graph shares the exhaustive formulation — queries = ALL
     // nodes, over the same planted golden-angle circle vectors as the
     // Spark side ([4cosθ, 4sinθ] ++ 0.001·raw)
@@ -7958,6 +7968,38 @@ object SparkEntry {
 
   /** Exhaustive top-k-by-cosine oracle (k=5, queries = vec_id < 10),
     * shared by the exact query and the recall-1-tuned ANN variants. */
+  /** k-center greedy unrolled: round r picks argmin of (best, id) from
+    * the running state, then folds the new center's cosine into every
+    * point's best via `greatest` — the cappedBudget fixed-unroll
+    * pattern. Centers are never excluded (their best pins at ~1.0),
+    * mirroring the operator's argmin rule exactly. */
+  private def kCenterOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH cands AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+          FROM embeddings
+          WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+       sel1 AS (SELECT id, v FROM cands ORDER BY id LIMIT 1),
+       st1 AS (SELECT c.id, c.v, list_cosine_similarity(c.v, s.v) AS best
+               FROM cands c, sel1 s)"""
+    for (r <- 2 to k) {
+      val p = r - 1
+      sb ++= s""",
+       sel$r AS (SELECT id, v, best FROM st$p ORDER BY best, id LIMIT 1)"""
+      if (r < k) sb ++= s""",
+       st$r AS (SELECT c.id, c.v,
+                greatest(c.best, list_cosine_similarity(c.v, s.v)) AS best
+                FROM st$p c, sel$r s)"""
+    }
+    sb ++= """
+       SELECT * FROM (
+         SELECT CAST(1 AS BIGINT) AS rank, id AS center_id,
+                CAST(1.0 AS DOUBLE) AS sim_at_selection FROM sel1"""
+    for (r <- 2 to k) sb ++= s"""
+         UNION ALL SELECT CAST($r AS BIGINT), id, best FROM sel$r"""
+    sb ++= ") ORDER BY rank"
+    sb.toString
+  }
+
   private val exactTopKOracleSql: String =
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
                     WHERE vec_id < 10

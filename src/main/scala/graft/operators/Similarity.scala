@@ -1207,4 +1207,75 @@ object Similarity {
         "output would be a silently-unfinished descent state)")
     graph.filter(col("rank") <= k)
   }
+
+  /** k-center greedy coreset (Gonzalez 1985 2-approximation; the
+    * diversity-sampling seed selection of Sener & Savarese 2018): pick
+    * `k` maximally-spread representatives in cosine space — seed = the
+    * smallest nonzero-vector id, then repeatedly the point LEAST
+    * similar to its nearest chosen center (ties → smallest id). The
+    * dual of dedup in a curation stack: dedup removes redundancy,
+    * this SELECTS for coverage — eval-set seeding, annotation-budget
+    * triage, and diversity-constrained subsampling under a token
+    * budget all start from exactly this selection.
+    *
+    * Scale shape: `k` driver-paced rounds. Each round the new center
+    * (ONE row) is collected and re-enters as a literal vector, the
+    * per-point running best-similarity updates scan-locally
+    * (`greatest(best, cos(v, center))` — no join, no shuffle), and the
+    * round's argmin is a map-side-combining `min_by` — one row per
+    * partition into a 1-row exchange. Vectors never shuffle; the
+    * corpus-sized state (id, v, best) re-materializes once per round
+    * (the NN-Descent "state re-reads locally" bill). Driver memory is
+    * k vectors. Centers stay IN the state (their best pins at ~1.0 so
+    * they are never re-picked while k ≪ n) — exclusion would change
+    * the argmin rule and the oracle mirrors this exactly.
+    *
+    * Output: (rank 1-based BIGINT, center_id, sim_at_selection) —
+    * `sim_at_selection` is the selected point's best-center cosine at
+    * pick time (non-decreasing over rounds; the coverage-radius curve
+    * a budget decision reads). Seed row carries 1.0 by definition. */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 1024,
+      s"k-center greedy is k driver-paced rounds; need 1 <= k <= 1024, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(dotProduct(col("v"), col("v")) > 0)
+    val seed = base
+      .agg(min_by(struct(col("id"), col("v")), col("id")).as("s"))
+      .select("s.*").collect()
+    require(seed.nonEmpty && !seed(0).isNullAt(0),
+      "kCenterGreedy: no nonzero vectors to select from")
+    def vecLit(a: Seq[Double]): Column = array(a.map(lit): _*)
+    var centers = Vector[(Long, Double)](
+      (seed(0).getLong(0), 1.0))
+    var state = base
+      .withColumn("best",
+        cosine(col("v"), vecLit(seed(0).getSeq[Double](1))))
+      .materialized
+    var r = 2
+    while (r <= k) {
+      val pick = state
+        .agg(min_by(struct(col("id"), col("v"), col("best")),
+          struct(col("best"), col("id"))).as("s"))
+        .select("s.*").collect()(0)
+      centers :+= ((pick.getLong(0), pick.getDouble(2)))
+      if (r < k) {
+        val next = state
+          .withColumn("best", greatest(col("best"),
+            cosine(col("v"), vecLit(pick.getSeq[Double](1)))))
+          .materialized
+        state.released()
+        state = next
+      }
+      r += 1
+    }
+    state.released()
+    centers.zipWithIndex
+      .map { case ((id, sim), i) => (i + 1L, id, sim) }
+      .toDF("rank", "center_id", "sim_at_selection")
+  }
 }

@@ -536,4 +536,39 @@ class SimilaritySpec extends SparkSpec {
     (10L to 13L).foreach(i => assert(out(i) === ("core", 10L)))
     assert(out(5L) === ("border", 0L))
   }
+
+  test("k-center greedy: one center per well-separated cluster, in greedy order") {
+    // three tight clusters near the axes + jitter; k=3 must pick one
+    // representative per cluster, seed = the smallest id (cluster X)
+    val pts = Seq(
+      (0L, Array(1.0f, 0.01f, 0.0f)), (1L, Array(1.0f, 0.02f, 0.0f)),
+      (10L, Array(0.01f, 1.0f, 0.0f)), (11L, Array(0.02f, 1.0f, 0.0f)),
+      (20L, Array(0.0f, 0.01f, 1.0f)), (21L, Array(0.0f, 0.02f, 1.0f)),
+      (30L, Array(0.0f, 0.0f, 0.0f)) // zero vector: excluded
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kCenterGreedy(pts, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.head === ((1L, 0L, 1.0))) // seed: min id, sim 1.0 by def
+    val clusters = out.map(_._2 / 10L).toSet
+    assert(clusters === Set(0L, 1L, 2L),
+      s"expected one center per cluster, got ${out.mkString(", ")}")
+    // coverage curve: each later pick is closer to an existing center
+    // (the seed's definitional 1.0 sits outside the curve)
+    assert(out.drop(1).map(_._3).sliding(2).forall(w => w(0) <= w(1)))
+    assert(!out.map(_._2).contains(30L))
+  }
+
+  test("k-center greedy: selection is deterministic and ids are distinct") {
+    val pts = (0L until 40L)
+      .map(i => (i, Array.tabulate(4)(j =>
+        (((i * 31 + j * 17) % 19).toFloat - 9f) / 9f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.kCenterGreedy(pts, "vec_id", "embedding", k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = Similarity.kCenterGreedy(pts, "vec_id", "embedding", k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a.sameElements(b))
+    assert(a.map(_._2).distinct.length === 6)
+  }
 }
