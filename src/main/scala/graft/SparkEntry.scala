@@ -66,6 +66,21 @@ object SparkEntry {
         n = 3, numHashes = 64, bands = 16, threshold = 0.6)
     }
 
+  /** Benchmark-contamination pair graph: the planted mod-23 15-token
+    * "benchmark" excerpts (id + 20M) probed against the corpus at
+    * containment ≥ 0.9 — shared by q_containment_across (the pair
+    * list) and q_contamination_by_source (the governance rollup). */
+  private def contaminationPairs(s: SparkSession, dir: String): DataFrame =
+    PairGraph.of(s, s"containacross:bench23:n3:t0.9:$dir") {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + lit(20000000L)).as("doc_id"),
+          array_join(slice(TextAnalysis.tokens(col("text")), 4, 15), " ")
+            .as("text"))
+      Dedup.containmentPairsAcross(bench, "doc_id", "text",
+        docs, "doc_id", "text", n = 3, threshold = 0.9)
+    }
+
   /** Cosine-LSH pair graph over `embeddings` (recall-1 tuned: 3 bits ×
     * 12 tables, multi-probe, threshold 0.4). */
   private def embeddingPairs(s: SparkSession, dir: String): DataFrame =
@@ -1861,15 +1876,28 @@ object SparkEntry {
     // the full corpus; every planted item must surface ≥0.9 contained
     // in its source page (Jaccard ≈ 0.2 — invisible to the symmetric
     // across-variant by design)
-    "q_containment_across" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val bench = docs.filter(col("doc_id") % 23 === 0)
-        .select((col("doc_id") + lit(20000000L)).as("doc_id"),
-          array_join(slice(TextAnalysis.tokens(col("text")), 4, 15), " ")
-            .as("text"))
-      Dedup.containmentPairsAcross(bench, "doc_id", "text",
-          docs, "doc_id", "text", n = 3, threshold = 0.9)
-        .orderBy("id_left", "id_right")
+    "q_containment_across" -> ((s, dir) =>
+      contaminationPairs(s, dir).orderBy("id_left", "id_right")),
+    // decontamination GOVERNANCE: the q_containment_across pair graph
+    // rolled up per source — which corpus slices carry benchmark
+    // leakage, and how much. Rides the same write-once PairGraph
+    // artifact as the pair query (one containment derivation per
+    // session serves both); marginal cost is two label-sized
+    // aggregations. The release-report read next to q_source_profile
+    "q_contamination_by_source" -> ((s, dir) => {
+      val hits = contaminationPairs(s, dir)
+        .select(col("id_right").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("__hits"))
+      Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        .join(hits, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__hits").isNotNull, 1L).otherwise(0L))
+            .as("n_contaminated"),
+          sum(coalesce(col("__hits"), lit(0L))).as("n_bench_hits"),
+          (sum(when(col("__hits").isNotNull, 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("frac_contaminated"))
+        .orderBy("source")
     }),
     // span-level (paragraph) dedup: the corpus is documents plus a
     // 40-token excerpt of every 10th doc (planted at doc_id + 100000),
@@ -7385,6 +7413,44 @@ object SparkEntry {
                 CAST(shared AS DOUBLE) / na AS containment
          FROM pairs WHERE CAST(shared AS DOUBLE) / na >= 0.9
          ORDER BY id_left, id_right""",
+    // same containment CTEs, rolled up per source
+    "q_contamination_by_source" ->
+      """WITH bench AS (SELECT doc_id + 20000000 AS doc_id,
+               array_to_string(
+                 (string_split_regex(trim(text), '\s+'))[4:18], ' ') AS text
+             FROM documents WHERE doc_id % 23 = 0),
+         ltok AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN []
+                  ELSE list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                    i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')) END) AS sh
+              FROM bench),
+         rtok AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN []
+                  ELSE list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                    i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')) END) AS sh
+              FROM documents),
+         linv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s
+                  FROM ltok WHERE len(sh) > 0),
+         rinv AS (SELECT doc_id, unnest(sh) AS s
+                  FROM rtok WHERE len(sh) > 0),
+         pairs AS (SELECT a.doc_id AS id_left, b.doc_id AS id_right,
+                          a.n AS na, count(*) AS shared
+                   FROM linv a JOIN rinv b ON a.s = b.s
+                   GROUP BY 1, 2, 3),
+         hits AS (SELECT id_right AS doc_id, count(*) AS h
+                  FROM pairs WHERE CAST(shared AS DOUBLE) / na >= 0.9
+                  GROUP BY 1),
+         agg AS (SELECT d.source,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN h.h IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_contaminated,
+                   CAST(sum(coalesce(h.h, 0)) AS BIGINT) AS n_bench_hits
+                 FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+                 GROUP BY 1)
+         SELECT source, n_docs, n_contaminated, n_bench_hits,
+                CAST(n_contaminated AS DOUBLE) / n_docs
+                  AS frac_contaminated
+         FROM agg ORDER BY source""",
     // substring dedup: same planted text; sliding 8-grams keyed by the
     // gram STRING (the Spark side's xxhash64 is identical absent a
     // 64-bit collision — the q_dedup_spans precedent); interval merge
