@@ -3035,6 +3035,19 @@ object SparkEntry {
           budgetTokens = 1000000L)
         .orderBy("source")
     }),
+    // budget FILL: after allocation decides how many tokens each
+    // source gets, this decides WHICH docs fill it — hash-ordered
+    // greedy with a strict inclusive-cumsum cut, so kept sources never
+    // exceed budget and the selection is crawl-order-unbiased. One
+    // (source)-partitioned window, the loader-family shuffle
+    "q_budget_fill" -> ((s, dir) =>
+      Scale.budgetFill(
+        Tables.documents(s, dir)
+          .filter(col("text").isNotNull && length(trim(col("text"))) > 0),
+        "source", "doc_id",
+        size(split(trim(col("text")), "\\s+")).cast("long"),
+        budgetPerSource = 3000L)
+        .orderBy("doc_id")),
     // corpus-version vocabulary drift: PSI over hashed-token buckets
     // between the even- and odd-id halves (two releases of one corpus)
     // — bucket state bounded at 256 for open vocabularies; the text
@@ -5180,6 +5193,30 @@ object SparkEntry {
          ORDER BY c.source""",
     // waterfill fixed-unroll; see cappedBudgetOracleSql
     "q_capped_budget" -> cappedBudgetOracleSql(50000L, 2, 24),
+    // hash-ordered greedy fill; the sha52 rank is the q_uniform_sample
+    // hex fold, the running sum CAST to BIGINT (HUGEINT lesson)
+    "q_budget_fill" ->
+      """WITH c AS (SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(
+                   substring(sha256(CAST(doc_id AS VARCHAR)), 1, 13), ''),
+                   x -> CAST(instr('0123456789abcdef', x) - 1 AS BIGINT))),
+                 (acc, x) -> acc * 16 + x) AS h
+             FROM documents
+             WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         r AS (SELECT doc_id, source, n_tokens,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY h, doc_id) AS BIGINT) AS fill_rank,
+                 CAST(sum(n_tokens) OVER (PARTITION BY source
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens
+               FROM c)
+         SELECT doc_id, source, n_tokens, fill_rank, cum_tokens,
+                cum_tokens <= 3000 AS keep
+         FROM r ORDER BY doc_id""",
     // hashed-token PSI between corpus halves; smoothing keeps ln total,
     // term sums under the driver's float tolerance
     "q_token_drift" ->

@@ -1022,6 +1022,40 @@ object Scale {
     withPos.withColumn("ordinal", ordinal.cast("long"))
   }
 
+  /** Greedy per-source token-budget FILL — the selection step after
+    * budget ALLOCATION (q_token_budget's proportional shares, the
+    * capped waterfill): given a per-source token budget, choose WHICH
+    * documents fill it. Docs are taken in sha-hash order (the
+    * [[graft.functions.HashSample]] rank — a deterministic unbiased
+    * sample order, immune to crawl/id ordering bias), and a doc is
+    * kept iff its inclusive running token sum stays within the budget
+    * (strict rule: the boundary doc that would overflow is cut, so
+    * kept sources never exceed budget).
+    *
+    * Scale: ONE shuffle — the (source)-partitioned position window the
+    * whole loader-planning family pays (interleaveOrder /
+    * curriculumOrder precedent); per-source window length is the
+    * source's doc count, the same bill those operators carry.
+    * Output: (idCol, sourceCol, n_tokens, fill_rank [1-based hash
+    * order], cum_tokens, keep). */
+  def budgetFill(df: DataFrame, sourceCol: String, idCol: String,
+      tokenCount: Column, budgetPerSource: Long): DataFrame = {
+    require(budgetPerSource >= 0,
+      s"need a non-negative budget, got $budgetPerSource")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col("__h"), col(idCol))
+    df.select(col(idCol), col(sourceCol),
+        tokenCount.cast("long").as("n_tokens"),
+        graft.functions.Kmv.sha52(col(idCol).cast("string")).as("__h"))
+      .withColumn("fill_rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("keep", col("cum_tokens") <= budgetPerSource)
+      .drop("__h")
+  }
+
   /** Global rank binning: each row gets its quantile bin (1..nBins,
     * ntile semantics) and percent rank by `valCol`, ties broken by
     * `idCol` so the order — and therefore every bin edge — is unique
