@@ -64,10 +64,14 @@ def main(sf_dir, out_dir):
         srows = list(sdf.itertuples(index=False, name=None))
         # dtype parity: the driver compares pandas-rendered frames, so an
         # int64 vs float64 mismatch per column is a hash mismatch even
-        # when every value compares numerically equal.
+        # when every value compares numerically equal. Width differences
+        # (int32 vs int64) render identically — compare dtype KIND, with
+        # unsigned folded into signed.
+        def kind(d):
+            return {"u": "i"}.get(d.kind, d.kind)
         dmis = [(c, str(sdf[c].dtype), str(odf[c].dtype)) for c in scols
-                if c in odf.columns and str(sdf[c].dtype) != str(odf[c].dtype)
-                and not (sdf[c].dtype.kind == "O" and odf[c].dtype.kind == "O")]
+                if c in odf.columns
+                and kind(sdf[c].dtype) != kind(odf[c].dtype)]
         if dmis:
             print(f"FAIL {qname}: dtype mismatch (col, spark, oracle): {dmis}")
             n_fail += 1; continue
