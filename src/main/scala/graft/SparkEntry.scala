@@ -2259,6 +2259,19 @@ object SparkEntry {
           "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
     }),
+    // binary-quantization funnel at recall-1 params on the fixture:
+    // 256-bit signatures, rerank-512 shortlist for k=5 over the
+    // near-orthogonal gaussian corpus — the HARD regime for 1-bit
+    // codes (true-neighbor cos ≈ 0.35 vs noise ≈ 0 gives ~4σ of
+    // Hamming separation at 256 bits; measured true-neighbor hamming
+    // rank ≈ 25 at sf0.1, so 512 carries a 20× margin). Shares the
+    // exhaustive oracle like the rest of the ANN family
+    "q_binary_quant_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.binaryQuantTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, rerank = 512, numBits = 256)
+        .orderBy("query_id", "rank")
+    }),
     // diversity coreset: exact k-center greedy over the embedding
     // corpus (selection order + coverage-radius curve). The oracle is
     // the same greedy unrolled as k CTE rounds — identical cosine
@@ -7680,6 +7693,7 @@ object SparkEntry {
          WHERE rn = 1 ORDER BY c_custkey""",
     "q_embedding_topk" -> exactTopKOracleSql,
     "q_kcenter_coreset" -> kCenterOracleSql(8),
+    "q_binary_quant_topk" -> exactTopKOracleSql,
     // the k-NN graph shares the exhaustive formulation — queries = ALL
     // nodes, over the same planted golden-angle circle vectors as the
     // Spark side ([4cosθ, 4sinθ] ++ 0.001·raw)

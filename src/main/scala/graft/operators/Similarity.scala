@@ -1208,6 +1208,69 @@ object Similarity {
     graph.filter(col("rank") <= k)
   }
 
+  /** Binary-quantization serving funnel — the modern vector-DB serving
+    * shape (1-bit sign quantization, Hamming shortlist, exact rerank):
+    * every vector is packed to `numBits` sign bits under the shared
+    * deterministic hyperplanes ([[hyperplanes]]), stage 1 ranks the
+    * corpus per query by Hamming distance over the packed words
+    * (XOR + popcount — codegen'd integer ops, ~numBits/64 instructions
+    * per pair instead of a `dim`-length float dot), stage 2 re-scores
+    * only the top-`rerank` shortlist with exact cosine and cuts to k.
+    *
+    * Scale shape: the corpus is STREAMED twice and shuffled never —
+    * stage 1 broadcasts the (small) query signatures and keeps ≤
+    * `rerank` rows per query per partition via the TopKAggregator
+    * epilogue; stage 2 broadcasts the (queries × rerank)-sized
+    * shortlist back against the corpus for the exact rescore. Memory
+    * per corpus row in stage 1 is `numBits/8` bytes of signature, not
+    * the vector. Recall is fixture-tuned like the rest of the ANN
+    * family: `rerank` must cover the true top-k's Hamming spread
+    * (binary resolution on near-orthogonal corpora needs a deep
+    * shortlist — tune against the exhaustive oracle, then keep a
+    * margin). Ties break on (distance, id) in stage 1 and
+    * (cos desc, id) in stage 2 — deterministic end to end. */
+  def binaryQuantTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, rerank: Int, numBits: Int = 64,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    require(k >= 1 && rerank >= k,
+      s"need rerank >= k >= 1, got k=$k rerank=$rerank")
+    require(numBits > 0 && numBits % 32 == 0 && numBits <= 512,
+      s"numBits must be a positive multiple of 32 <= 512, got $numBits")
+    val tables = numBits / 32
+    val planes = hyperplanes(numBits, dim, seed)
+    val c = corpusSide(corpus, idCol, vecCol)
+    val q = querySide(queries, idCol, vecCol)
+    val cSig = c.select(col("neighbor_id"),
+      graft.expressions.LshExpressions
+        .hyperplaneBuckets(col("cv"), planes, tables, 32).as("csig"))
+    val qSig = q.select(col("query_id"),
+      graft.expressions.LshExpressions
+        .hyperplaneBuckets(col("qv"), planes, tables, 32).as("qsig"))
+    // bit_count promotes int -> long with SIGN EXTENSION, so a word
+    // whose xor has the top bit set would count 32 phantom ones — mask
+    // to the unsigned 32-bit value first (measured, not assumed: the
+    // unmasked form scrambled the shortlist enough to drop a
+    // hamming-rank-25 true neighbor out of a 512-deep funnel)
+    val ham = (0 until tables).map(i =>
+        bit_count(element_at(col("csig"), i + 1)
+          .bitwiseXOR(element_at(col("qsig"), i + 1))
+          .cast("long").bitwiseAND(lit(0xFFFFFFFFL))))
+      .reduce(_ + _)
+    val shortlist = rankTopK(
+        cSig.crossJoin(broadcast(qSig))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            (-ham.cast("double")).as("cos")), // fewest differing bits
+        rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = c.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotProduct(col("cv"), col("qv")) / (col("cnorm") * col("qnorm")))
+          .as("cos"))
+    rankTopK(rescored, k)
+  }
+
   /** k-center greedy coreset (Gonzalez 1985 2-approximation; the
     * diversity-sampling seed selection of Sener & Savarese 2018): pick
     * `k` maximally-spread representatives in cosine space — seed = the
