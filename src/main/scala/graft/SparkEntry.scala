@@ -2634,6 +2634,23 @@ object SparkEntry {
     // vocabulary head: top-50 corpus terms by frequency
     "q_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(Tables.documents(s, dir), "text", 50)),
+    // Zipf slope/r² over the exact top-100 head: corpus-health number
+    // (template-heavy corpora bend away from s ≈ −1). Doubles are
+    // tolerance-grade; the head cut is integer-exact
+    "q_zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(Tables.documents(s, dir), "text", 100)),
+    // SOFT dedup: keep every copy, weight 1e6 // |dup group| micro —
+    // the loss-reweighting alternative to dropping (training sees each
+    // distinct text with total weight ~1); digest-keyed like exactDedup
+    "q_dup_weights" -> ((s, dir) => {
+      val g = Tables.documents(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), sha2(col("text"), 256).as("__d"))
+      val sizes = g.groupBy("__d").agg(count(lit(1)).as("n_members"))
+      g.join(sizes, Seq("__d"))
+        .select(col("doc_id"), col("n_members"),
+          expr("CAST(1000000 AS BIGINT) div n_members").as("weight_micro"))
+        .orderBy("doc_id")
+    }),
     // Zipf head curve: cumulative token coverage of the top-50 terms
     "q_vocab_coverage" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, dir), "text", 50)
@@ -5670,6 +5687,37 @@ object SparkEntry {
              FROM documents) t
            WHERE length(term) > 0 GROUP BY term)
          ORDER BY n DESC, term ASC LIMIT 50""",
+    // same head formulation, OLS of ln(n) on ln(rank) over 100 rows
+    "q_zipf_fit" ->
+      """WITH top AS (SELECT term, n,
+               CAST(row_number() OVER (ORDER BY n DESC, term)
+                 AS DOUBLE) AS rank
+             FROM (SELECT term, count(*) AS n FROM (
+                 SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+                 FROM documents) t
+               WHERE length(term) > 0 GROUP BY term)
+             ORDER BY n DESC, term LIMIT 100),
+         xy AS (SELECT ln(rank) AS x, ln(CAST(n AS DOUBLE)) AS y FROM top),
+         a AS (SELECT CAST(count(*) AS DOUBLE) AS k,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                 sum(y * y) AS syy, sum(x * y) AS sxy
+               FROM xy)
+         SELECT CAST(k AS BIGINT) AS n_terms,
+                (sxy - sx * sy / k) / (sxx - sx * sx / k) AS slope,
+                sy / k - ((sxy - sx * sy / k) / (sxx - sx * sx / k))
+                  * sx / k AS intercept,
+                ((k * sxy - sx * sy) * (k * sxy - sx * sy))
+                  / ((k * sxx - sx * sx) * (k * syy - sy * sy)) AS r2
+         FROM a""",
+    // digest-group sizes -> integer micro weights
+    "q_dup_weights" ->
+      """WITH g AS (SELECT doc_id, sha256(text) AS d FROM documents
+                    WHERE text IS NOT NULL),
+         s AS (SELECT d, count(*) AS n_members FROM g GROUP BY 1)
+         SELECT g.doc_id, s.n_members,
+                CAST(CAST(1000000 AS BIGINT) // s.n_members AS BIGINT)
+                  AS weight_micro
+         FROM g JOIN s USING (d) ORDER BY g.doc_id""",
     // integer cumulative count over the k-row head, one double division
     // per row — the cut and the shares are bit-identical cross-engine
     "q_vocab_coverage" ->

@@ -1571,6 +1571,46 @@ object TextAnalysis {
         (col("__s.score_sum") > 0).as("label"))
   }
 
+  /** Zipf power-law fit over the top-`k` vocabulary head — the corpus-
+    * health diagnostic next to [[vocabCoverage]]: natural text follows
+    * freq ∝ rank^(−s) with s ≈ 1; a slope far from −1 (or a weak r²)
+    * flags template/boilerplate-dominated or truncated-vocabulary
+    * corpora before any model sees them. OLS of ln(freq) on ln(rank)
+    * over the exact (freq desc, term) head.
+    *
+    * Scale: term counts are one map-side-combined aggregation; the
+    * top-k cut is TakeOrdered; the regression runs over k rows (the
+    * one unpartitioned window is bounded by the limit above it). The
+    * sums are doubles, so cross-engine equality is tolerance-grade,
+    * not bit-grade — the rank CUT itself stays integer-exact.
+    * Output: one row (n_terms, slope, intercept, r2). */
+  def zipfFit(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 3, s"need at least 3 head terms to fit, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("term"))
+    val top = termCounts(df, textCol)
+      .orderBy(col("n").desc, col("term")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("double"))
+    val xy = top.select(log(col("rank")).as("x"),
+      log(col("n").cast("double")).as("y"))
+    xy.agg(count(lit(1)).cast("double").as("k"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("k").cast("long").as("n_terms"),
+        ((col("sxy") - col("sx") * col("sy") / col("k")) /
+          (col("sxx") - col("sx") * col("sx") / col("k"))).as("slope"),
+        (col("sy") / col("k") -
+          ((col("sxy") - col("sx") * col("sy") / col("k")) /
+            (col("sxx") - col("sx") * col("sx") / col("k"))) *
+            col("sx") / col("k")).as("intercept"),
+        (((col("k") * col("sxy") - col("sx") * col("sy")) *
+          (col("k") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("k") * col("sxx") - col("sx") * col("sx")) *
+            (col("k") * col("syy") - col("sy") * col("sy")))).as("r2"))
+  }
+
   /** Within-document exact line dedup (the RefinedWeb/CCNet boilerplate
     * pass: navigation menus, cookie banners and signature blocks repeat
     * the same line many times inside one page): keep each distinct line
