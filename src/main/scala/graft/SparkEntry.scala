@@ -3157,6 +3157,47 @@ object SparkEntry {
           .getField("pass"))
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
+    // per-doc gate EXPLAINABILITY — "why was this doc dropped": every
+    // curation gate as its own boolean (exact-dup canonical, token
+    // floor, lang-id, gopher rules, classifier), keep = all pass, and
+    // a pinned-precedence first-fail reason. The debugging read a
+    // curation pipeline needs before touching any threshold — a recipe
+    // that only emits survivors can't tell you WHICH gate is eating a
+    // source. All gates are per-doc scan-local except the dedup
+    // digest-group (the exactDedup shuffle) and the gate joins
+    "q_drop_reasons" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val dg = docs.select(col("doc_id"), sha2(col("text"), 256).as("__d"))
+      val canon = dg.join(
+          dg.groupBy("__d").agg(min("doc_id").as("__kid")), Seq("__d"))
+        .select(col("doc_id"), (col("doc_id") === col("__kid"))
+          .as("is_canonical"))
+      val clf = TextAnalysis.classifierApplyTable(docs, "doc_id", "text",
+          TextAnalysis.classifierFixtureWeights(s, 512), buckets = 512)
+        .select(col("doc_id"), col("label").as("quality_ok"))
+      docs
+        .join(canon, Seq("doc_id"))
+        .withColumn("len_ok",
+          size(split(trim(col("text")), "\\s+")) >= 20)
+        .withColumn("lang_ok", TextAnalysis.langId(col("text")) === "en")
+        .withColumn("gopher_ok",
+          TextAnalysis.gopherRules(col("text"), minStopHits = 1)
+            .getField("pass"))
+        .join(clf, Seq("doc_id"), "left")
+        .withColumn("quality_ok", coalesce(col("quality_ok"), lit(false)))
+        .withColumn("keep", col("is_canonical") && col("len_ok") &&
+          col("lang_ok") && col("gopher_ok") && col("quality_ok"))
+        .withColumn("drop_reason",
+          when(!col("is_canonical"), "duplicate")
+            .when(!col("len_ok"), "too_short")
+            .when(!col("lang_ok"), "lang")
+            .when(!col("gopher_ok"), "gopher")
+            .when(!col("quality_ok"), "classifier")
+            .otherwise("none"))
+        .select("doc_id", "is_canonical", "len_ok", "lang_ok",
+          "gopher_ok", "quality_ok", "keep", "drop_reason")
+        .orderBy("doc_id")
+    }),
     // URL toolkit over deterministically synthesized crawl URLs
     // (scheme/case/port/trailing-slash/tracking-param variation all
     // keyed off doc_id): host, registered domain, path depth,
@@ -5316,6 +5357,54 @@ object SparkEntry {
                 bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
                 stop_hits, pass
          FROM rules ORDER BY doc_id""",
+    // gate CTEs composed: gopher rules + classifier chain (WITH-prefix
+    // stripped to append) + dedup digest groups + the q_lang_id CASE
+    "q_drop_reasons" ->
+      (gopherRulesCtes(minStopHits = 1) + "," +
+        classifierApplyCtes(512).trim.stripPrefix("WITH") + """,
+         dg AS (SELECT doc_id, sha256(text) AS d FROM documents
+                WHERE text IS NOT NULL),
+         keepers AS (SELECT d, min(doc_id) AS kid FROM dg GROUP BY 1),
+         lw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                FROM documents WHERE text IS NOT NULL),
+         lc AS (SELECT doc_id, len(w) AS n_toks,
+                  len(list_filter(w, t -> t IN ('the','a','of','and','is','to','in','it'))) AS c_en,
+                  len(list_filter(w, t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) AS c_de,
+                  len(list_filter(w, t -> t IN ('el','la','de','que','y','los','es','un'))) AS c_es,
+                  len(list_filter(w, t -> t IN ('le','la','les','et','des','est','une','dans'))) AS c_fr,
+                  len(list_filter(w, t -> t IN ('的','是','了','在','和','有','我','不'))) AS c_zh
+                FROM lw),
+         lang AS (SELECT doc_id, n_toks,
+                  CASE WHEN greatest(c_en, c_de, c_es, c_fr, c_zh) = 0 THEN 'und'
+                       WHEN c_en = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'en'
+                       WHEN c_de = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'de'
+                       WHEN c_es = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'es'
+                       WHEN c_fr = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'fr'
+                       WHEN c_zh = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'zh'
+                       ELSE 'und' END AS lang_pred
+                FROM lc),
+         flags AS (SELECT dg.doc_id,
+                  dg.doc_id = k.kid AS is_canonical,
+                  lang.n_toks >= 20 AS len_ok,
+                  lang.lang_pred = 'en' AS lang_ok,
+                  r.pass AS gopher_ok,
+                  coalesce(sc.score_sum > 0, false) AS quality_ok
+               FROM dg
+               JOIN keepers k ON k.d = dg.d
+               JOIN lang ON lang.doc_id = dg.doc_id
+               JOIN rules r ON r.doc_id = dg.doc_id
+               LEFT JOIN sc ON sc.doc_id = dg.doc_id)
+         SELECT doc_id, is_canonical, len_ok, lang_ok, gopher_ok,
+                quality_ok,
+                (is_canonical AND len_ok AND lang_ok AND gopher_ok
+                  AND quality_ok) AS keep,
+                CASE WHEN NOT is_canonical THEN 'duplicate'
+                     WHEN NOT len_ok THEN 'too_short'
+                     WHEN NOT lang_ok THEN 'lang'
+                     WHEN NOT gopher_ok THEN 'gopher'
+                     WHEN NOT quality_ok THEN 'classifier'
+                     ELSE 'none' END AS drop_reason
+         FROM flags ORDER BY doc_id"""),
     "q_gopher_kept" ->
       s"""${gopherRulesCtes(minStopHits = 1)}
          SELECT d.doc_id, d.lang, d.source
