@@ -833,6 +833,59 @@ object ScaleProbe {
         f"langid=$tl%.1fs($nl%d langs) clf=$tc%.1fs($nc%d pos) " +
         f"urlpolicy=$tu%.1fs($nu%d allowed)")
     }
+
+    // Round-10 operators. Embedding side grows by sign-flip reflections
+    // (the ann-probe trick: intra-replica geometry preserved, replicas
+    // decorrelated); text side by shifted-alphabet replicas. Expected:
+    // binary-quant funnel linear in corpus (fixed query set, shortlist
+    // bound per query); k-center linear per round × fixed k rounds;
+    // budget-fill linear (one source-keyed window; sources constant so
+    // per-source windows grow linearly); homoglyph dedup linear
+    // (translate scan + digest groupBy).
+    for (k <- Seq(1, 2, 4, 8) if on("r10")) {
+      val rng = new scala.util.Random(13)
+      val dim10 = 64
+      val emb10 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      val corpus = (0 until k).map { i =>
+        val signs = Array.fill(dim10)(if (rng.nextBoolean()) 1.0f else -1.0f)
+        emb10.select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          zip_with(col("embedding"),
+            array(signs.map(lit): _*), (a, b) => a * b).as("embedding"))
+      }.reduce(_ unionAll _).materialized
+      val queries = corpus.filter(col("vec_id") < 10)
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (tb, nb) = time(Similarity.binaryQuantTopK(corpus, queries,
+        "vec_id", "embedding", k = 5, rerank = 512, numBits = 256).count())
+      val (tk, nk) = time(Similarity.kCenterGreedy(corpus, "vec_id",
+        "embedding", k = 8).count())
+      val docs10 = (0 until k).map { i =>
+        val shifted = alpha.drop(i) + alpha.take(i)
+        base.select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          col("source"),
+          translate(col("text"), alpha, shifted).as("text"))
+      }.reduce(_ unionAll _).materialized
+      val (tf2, nf2) = time(graft.operators.Scale.budgetFill(
+          docs10.filter(length(trim(col("text"))) > 0), "source",
+          "doc_id", size(split(trim(col("text")), "\\s+")).cast("long"),
+          budgetPerSource = 3000L)
+        .filter(col("keep")).count())
+      val (th, nh) = time {
+        val g = docs10.select(col("doc_id"),
+          sha2(graft.functions.TextAnalysis
+            .confusableSkeleton(col("text")), 256).as("d"))
+        g.join(g.groupBy("d").agg(min("doc_id").as("kid")), Seq("d"))
+          .filter(col("doc_id") === col("kid")).count()
+      }
+      corpus.released(); docs10.released()
+      println(f"R10PROBE k=$k%d vecs=${2000 * k}%d docs=${5000 * k}%d " +
+        f"binquant=$tb%.1fs($nb%d rows) kcenter=$tk%.1fs($nk%d) " +
+        f"budgetfill=$tf2%.1fs($nf2%d kept) homoglyph=$th%.1fs($nh%d canon)")
+    }
     spark.stop()
   }
 }
