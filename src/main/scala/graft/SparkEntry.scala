@@ -3065,6 +3065,24 @@ object SparkEntry {
           budgetTokens = 1000000L)
         .orderBy("source")
     }),
+    // two decorrelated reproducible epoch orders from the sha52 of
+    // "e:id" — bucketed global ranks, no corpus-wide sort
+    "q_epoch_shuffle" -> ((s, dir) =>
+      Scale.epochShuffle(Tables.documents(s, dir).select("doc_id"),
+          "doc_id", Seq(1, 2))
+        .orderBy("doc_id")),
+    // subsample plan matching the w_parts target mixture — bit-exact
+    // integer plan (min over cross-multiplied rationals), the
+    // "reproduce published dataset weights" knob next to the
+    // temperature/head-cap flattening
+    "q_target_mixture" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val weights = docs.select(col("source")).distinct()
+        .select(col("source"),
+          (regexp_extract(col("source"), "([0-9]+)", 1).cast("long") + 1)
+            .as("w"))
+      Scale.matchMixture(docs, "source", weights).orderBy("source")
+    }),
     // budget FILL: after allocation decides how many tokens each
     // source gets, this decides WHICH docs fill it — hash-ordered
     // greedy with a strict inclusive-cumsum cut, so kept sources never
@@ -5264,6 +5282,44 @@ object SparkEntry {
          ORDER BY c.source""",
     // waterfill fixed-unroll; see cappedBudgetOracleSql
     "q_capped_budget" -> cappedBudgetOracleSql(50000L, 2, 24),
+    // two epoch permutations: row_number over the sha52 fold of "e:id"
+    "q_epoch_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(
+                   substring(sha256('1:' || CAST(doc_id AS VARCHAR)), 1, 13), ''),
+                   x -> CAST(instr('0123456789abcdef', x) - 1 AS BIGINT))),
+                 (acc, x) -> acc * 16 + x) AS h1,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(
+                   substring(sha256('2:' || CAST(doc_id AS VARCHAR)), 1, 13), ''),
+                   x -> CAST(instr('0123456789abcdef', x) - 1 AS BIGINT))),
+                 (acc, x) -> acc * 16 + x) AS h2
+             FROM documents)
+         SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY h1, doc_id) AS BIGINT)
+                  AS ord_e1,
+                CAST(row_number() OVER (ORDER BY h2, doc_id) AS BIGINT)
+                  AS ord_e2
+         FROM h ORDER BY doc_id""",
+    // integer mixture-matching plan: kept_s = min over s' of
+    // (n_s' * w_s) // w_s'
+    "q_target_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs
+             FROM documents GROUP BY 1),
+         w AS (SELECT source,
+                 TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
+                   + 1 AS w
+               FROM (SELECT DISTINCT source FROM documents)),
+         cw AS (SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs, w.w
+                FROM c JOIN w USING (source)),
+         k AS (SELECT a.source,
+                 CAST(min((b.n_docs * a.w) // b.w) AS BIGINT) AS kept
+               FROM cw a CROSS JOIN cw b GROUP BY 1)
+         SELECT cw.source, cw.n_docs, cw.w, k.kept,
+                CAST((CAST(1000000 AS BIGINT) * k.kept) // cw.n_docs
+                  AS BIGINT) AS rate_micro
+         FROM cw JOIN k USING (source) ORDER BY cw.source""",
     // hash-ordered greedy fill; the sha52 rank is the q_uniform_sample
     // hex fold, the running sum CAST to BIGINT (HUGEINT lesson)
     "q_budget_fill" ->

@@ -1022,6 +1022,63 @@ object Scale {
     withPos.withColumn("ordinal", ordinal.cast("long"))
   }
 
+  /** Deterministic per-epoch dataloader shuffles: epoch e's global
+    * order is the rank of the portable sha52 hash of "e:id" — a fresh,
+    * reproducible, seed-free permutation per epoch (the property a
+    * multi-epoch training run needs: epoch orders decorrelated from
+    * each other AND from crawl/id order, yet bit-reproducible across
+    * reruns and engines). Ranks come from the bucketed [[globalRank]]
+    * — approximate quantile cuts shape only the buckets, the rank
+    * itself is exact — so there is no corpus-wide single-partition
+    * sort at any epoch count.
+    * Output: (idCol, ord_e<N> for each epoch), 1-based. */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Seq[Int]): DataFrame = {
+    require(epochs.nonEmpty && epochs.distinct.size == epochs.size,
+      s"need distinct epochs, got $epochs")
+    epochs.map { e =>
+      globalRank(df.select(col(idCol),
+          graft.functions.Kmv.sha52(
+            concat(lit(s"$e:"), col(idCol).cast("string"))).as("__h")),
+        "__h", idCol)
+        .select(col(idCol), col("rank").cast("long").as(s"ord_e$e"))
+    }.reduce(_.join(_, Seq(idCol)))
+  }
+
+  /** Subsample plan that MATCHES a target mixture (the "reproduce the
+    * published dataset weights" knob, vs [[headCapRates]]' flattening):
+    * given per-source target weights w_s, the largest corpus whose
+    * source shares equal w_s/W exactly is bounded by the scarcest
+    * source — kept_s = floor(w_s · min_{s'} n_{s'}/w_{s'}). Computed
+    * entirely in INTEGER arithmetic as min over s' of
+    * (n_{s'}·w_s) div w_{s'} (floor of a min of rationals = min of the
+    * floors of the cross-multiplied forms), so the plan is bit-exact
+    * cross-engine — no double ratio ever forms. The sources² cross
+    * join is registry-sized and broadcast.
+    * Output: (sourceCol, n_docs, w, kept, rate_micro), where the
+    * actual row selection composes via [[budgetFill]]-style hash-order
+    * cuts downstream. */
+  def matchMixture(df: DataFrame, sourceCol: String,
+      weights: DataFrame): DataFrame = {
+    require(Set(sourceCol, "w").subsetOf(weights.columns.toSet),
+      s"weights needs ($sourceCol, w) columns, got " +
+        weights.columns.mkString(", "))
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+    val cw = counts.join(
+      weights.select(col(sourceCol), col("w").cast("long").as("w")),
+      Seq(sourceCol))
+    val b = cw.select(col(sourceCol).as("__s2"),
+      col("n_docs").as("__n2"), col("w").as("__w2"))
+    val kept = cw.crossJoin(broadcast(b))
+      .select(col(sourceCol),
+        expr("(__n2 * w) div __w2").as("__k"))
+      .groupBy(col(sourceCol)).agg(min(col("__k")).as("kept"))
+    cw.join(kept, Seq(sourceCol))
+      .select(col(sourceCol), col("n_docs"), col("w"), col("kept"),
+        expr("(CAST(1000000 AS BIGINT) * kept) div n_docs")
+          .as("rate_micro"))
+  }
+
   /** Greedy per-source token-budget FILL — the selection step after
     * budget ALLOCATION (q_token_budget's proportional shares, the
     * capped waterfill): given a per-source token budget, choose WHICH
