@@ -939,6 +939,45 @@ object Dedup {
           col("n_shingles")).as("contamination"))
   }
 
+  /** Per-ROW form of [[ngramContaminationBloom]] — the STREAMING
+    * decontamination gate: no explode, no per-doc aggregation, no
+    * join; each row counts its might-contain shingles inside one
+    * higher-order `filter` against the plan-time bloom literal. A pure
+    * projection, so the same plan runs over a batch frame and inside
+    * an append-mode stream with NO watermark — benchmark text is
+    * filtered in-flight, before it ever lands. Two deliberate
+    * deviations from the join-form family, both for stream
+    * composability: shingle-free docs are EMITTED (n_shingles 0,
+    * contamination 0.0 — recovering them would need a join the stream
+    * cannot do), and the shingle filter is an interpreted HOF (off the
+    * batch hot path by design; per-row cost is shingles × bloom
+    * probes). Error stays one-sided: `shared_shingles` ≥ the exact
+    * count, a gate on this drops a superset.
+    * Output: (idCol, n_shingles, shared_shingles, contamination). */
+  def ngramContaminationInline(docs: DataFrame, idCol: String,
+      textCol: String, probes: DataFrame, probeTextCol: String, n: Int,
+      expectedProbeShingles: Long, bitsPerItem: Int = 8): DataFrame = {
+    val probeShingles = probes.select(
+      explode(graft.expressions.ShingleExpressions
+        .distinctWordNgrams(col(probeTextCol), n)).as("s"))
+    val blob = bloomBlob(probeShingles, "s", expectedProbeShingles,
+      bitsPerItem)
+    val sh = graft.expressions.ShingleExpressions
+      .distinctWordNgrams(col(textCol), n)
+    val shared =
+      if (blob == null) lit(0L)
+      else size(filter(col("__sh"), s => mightContainBlob(blob, s)))
+        .cast("long")
+    docs.select(col(idCol), sh.as("__sh"))
+      .select(col(idCol),
+        size(col("__sh")).as("n_shingles"),
+        shared.as("shared_shingles"))
+      .withColumn("contamination",
+        when(col("n_shingles") > 0,
+          col("shared_shingles").cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Build a bloom over `right.rightKeyCol` and return the scan-local
     * might-contain predicate on `left.leftKeyCol` — the probe primitive
     * [[bloomAntiJoin]] and [[ngramContaminationBloom]] share. Enforces
@@ -947,15 +986,27 @@ object Dedup {
   private[operators] def bloomMightContain(left: DataFrame, leftKeyCol: String,
       right: DataFrame, rightKeyCol: String,
       expectedItems: Long, bitsPerItem: Int): Column = {
-    require(expectedItems > 0 && bitsPerItem > 0)
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graftglue.Bridge
     val lt = left.schema(leftKeyCol).dataType
     val rt = right.schema(rightKeyCol).dataType
     require(lt == rt,
       s"bloom key types must match exactly (XxHash64 is type-sensitive): " +
         s"left $leftKeyCol is $lt, right $rightKeyCol is $rt")
+    val blob = bloomBlob(right, rightKeyCol, expectedItems, bitsPerItem)
+    if (blob == null) lit(false)
+    else mightContainBlob(blob, left.col(leftKeyCol))
+  }
+
+  /** Materialize the bloom over `right.rightKeyCol` as a byte blob
+    * (null for an empty build side). Session-cap contract as
+    * [[bloomAntiJoin]]; the blob is computed ONCE at plan-build time,
+    * so predicates derived from it are plain literals — usable inside
+    * streaming plans where a runtime subquery would not be. */
+  private[operators] def bloomBlob(right: DataFrame, rightKeyCol: String,
+      expectedItems: Long, bitsPerItem: Int): Array[Byte] = {
+    require(expectedItems > 0 && bitsPerItem > 0)
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftglue.Bridge
     val numBits = expectedItems * bitsPerItem
     val conf = right.sparkSession.conf
     val maxItems = conf.get(
@@ -971,12 +1022,22 @@ object Dedup {
     val buildAgg = new BloomFilterAggregate(
       new XxHash64(Seq(Bridge.expression(right.col(rightKeyCol)))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    val blob = right.select(Bridge.column(buildAgg).as("bf"))
+    right.select(Bridge.column(buildAgg).as("bf"))
       .head().getAs[Array[Byte]](0)
-    if (blob == null) lit(false)
-    else Bridge.column(new BloomFilterMightContain(
+  }
+
+  /** Might-contain predicate against an already-materialized bloom
+    * blob — usable on ANY column expression, including a lambda
+    * variable inside a higher-order `filter` (what the scan-local
+    * streaming gate needs; `bloomMightContain` only probes a frame's
+    * own column). */
+  private[operators] def mightContainBlob(blob: Array[Byte],
+      key: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graftglue.Bridge
+    Bridge.column(new BloomFilterMightContain(
       Literal(blob, org.apache.spark.sql.types.BinaryType),
-      new XxHash64(Seq(Bridge.expression(left.col(leftKeyCol))))))
+      new XxHash64(Seq(Bridge.expression(key)))))
   }
 
   /** Corpus after decontamination: drop docs whose contaminated shingle
