@@ -71,6 +71,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "fold_accents(str) - strip diacritics (NFD, drop Mn, NFC); DuckDB strip_accents twin"),
       { case Seq(child) => FoldAccents(child) }))
 
+    ext.injectFunction((FunctionIdentifier("confusable_skeleton"),
+      info("confusable_skeleton",
+        "confusable_skeleton(str) - fold UTS #39 homoglyph confusables " +
+          "(Cyrillic/Greek Latin-lookalikes, fullwidth block) onto " +
+          "their Latin skeletons"),
+      { case Seq(child) =>
+        cexpr.StringTranslate(child,
+          Literal(graft.functions.TextAnalysis.ConfusableFrom),
+          Literal(graft.functions.TextAnalysis.ConfusableTo)) }))
+
+    ext.injectFunction((FunctionIdentifier("confusable_count"),
+      info("confusable_count",
+        "confusable_count(str) - number of confusable codepoints in " +
+          "str (the spoofing signal)"),
+      { case Seq(child) =>
+        cexpr.Cast(cexpr.Subtract(
+          cexpr.Length(child),
+          cexpr.Length(cexpr.StringTranslate(child,
+            Literal(graft.functions.TextAnalysis.ConfusableFrom),
+            Literal("")))),
+          org.apache.spark.sql.types.LongType) }))
+
     ext.injectFunction((FunctionIdentifier("lang_id"),
       info("lang_id", "lang_id(str) - marker-word language identification"),
       { case Seq(child) =>

@@ -33,6 +33,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getSeq[Double](4).length === 4)
   }
 
+  test("confusable_skeleton / confusable_count: SQL ≡ Column API") {
+    // "pаypаl" with Cyrillic а (U+0430) twice + a fullwidth Ａ
+    Seq(Tuple1("pаypаl ＡBC plain")).toDF("text")
+      .createOrReplaceTempView("ext_conf")
+    val row = spark.sql(
+      """SELECT confusable_skeleton(text) AS skel,
+                confusable_count(text) AS n
+         FROM ext_conf""").collect().head
+    assert(row.getString(0) === "paypal ABC plain")
+    assert(row.getLong(1) === 3L)
+    val viaColumns = Seq(Tuple1("pаypаl ＡBC plain"))
+      .toDF("text")
+      .select(TextAnalysis.confusableSkeleton(col("text")).as("s"),
+        TextAnalysis.confusableCount(col("text")).as("n"))
+      .collect().head
+    assert(row.getString(0) === viaColumns.getString(0))
+    assert(row.getLong(1) === viaColumns.getLong(1))
+  }
+
   test("literal-argument validation fails loudly, not silently") {
     Seq(Tuple1(Array(1.0f))).toDF("v").createOrReplaceTempView("ext_vecs")
     val e = intercept[Exception] {
