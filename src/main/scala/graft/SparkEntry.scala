@@ -3175,6 +3175,42 @@ object SparkEntry {
           .getField("pass"))
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
+    // v7: the round-10 operators composed — ADVERSARIAL dedup tier
+    // (confusable-skeleton canonical over a corpus with planted
+    // Cyrillic-spoofed copies) → the q_drop_reasons gate battery
+    // (floor, lang, gopher, classifier) → hash-ordered per-source
+    // budget fill. The recipe a spam-exposed crawl actually needs:
+    // spoofed duplicates die FIRST (they would each pass every
+    // per-doc gate), then quality, then the mixture-shaped selection
+    "q_curated_corpus_v7" -> ((s, dir) => {
+      val docs0 = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val spoof = docs0.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(300000L)).as("doc_id"), col("source"),
+          translate(col("text"), "aeocp", cyrSpoof).as("text"))
+      val corpus = docs0.select(col("doc_id"), col("source"), col("text"))
+        .unionByName(spoof)
+      val dg = corpus.select(col("doc_id"),
+        sha2(TextAnalysis.confusableSkeleton(col("text")), 256).as("__d"))
+      val canon = dg
+        .join(dg.groupBy("__d").agg(min("doc_id").as("__kid")), Seq("__d"))
+        .filter(col("doc_id") === col("__kid")).select("doc_id")
+      val surv0 = corpus.join(canon, Seq("doc_id"), "left_semi")
+        .filter(size(split(trim(col("text")), "\\s+")) >= 20 &&
+          TextAnalysis.langId(col("text")) === "en" &&
+          TextAnalysis.gopherRules(col("text"), minStopHits = 1)
+            .getField("pass"))
+        .materialized // feeds the classifier chain AND the fill
+      val pos = TextAnalysis.classifierApplyTable(surv0, "doc_id", "text",
+          TextAnalysis.classifierFixtureWeights(s, 512), buckets = 512)
+        .filter(col("label")).select("doc_id")
+      Scale.budgetFill(surv0.join(pos, Seq("doc_id"), "left_semi"),
+          "source", "doc_id",
+          size(split(trim(col("text")), "\\s+")).cast("long"),
+          budgetPerSource = 2000L)
+        .filter(col("keep"))
+        .select("doc_id", "source", "n_tokens", "fill_rank")
+        .orderBy("doc_id")
+    }),
     // per-doc gate EXPLAINABILITY — "why was this doc dropped": every
     // curation gate as its own boolean (exact-dup canonical, token
     // floor, lang-id, gopher rules, classifier), keep = all pass, and
@@ -5413,6 +5449,68 @@ object SparkEntry {
                 bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
                 stop_hits, pass
          FROM rules ORDER BY doc_id""",
+    // v7: the drop-reasons gate CTEs + the homoglyph canon over the
+    // spoof-planted corpus + the budget-fill window, composed
+    "q_curated_corpus_v7" ->
+      (gopherRulesCtes(minStopHits = 1) + "," +
+        classifierApplyCtes(512).trim.stripPrefix("WITH") + s""",
+         spoof AS (SELECT doc_id + 300000 AS doc_id,
+                translate(text, 'aeocp', '$cyrSpoof') AS text
+              FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0),
+         corpus AS (SELECT doc_id, text FROM documents
+                    WHERE text IS NOT NULL
+                    UNION ALL SELECT doc_id, text FROM spoof),
+         skv AS (SELECT doc_id,
+                  sha256(translate(text,
+                    '${TextAnalysis.ConfusableFrom}',
+                    '${TextAnalysis.ConfusableTo}')) AS dgk
+                FROM corpus),
+         canon AS (SELECT min(doc_id) AS doc_id FROM skv GROUP BY dgk),""" +
+        """
+         lw AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                FROM documents WHERE text IS NOT NULL),
+         lc AS (SELECT doc_id, len(w) AS n_toks,
+                  len(list_filter(w, t -> t IN ('the','a','of','and','is','to','in','it'))) AS c_en,
+                  len(list_filter(w, t -> t IN ('der','die','das','und','ist','nicht','ein','zu'))) AS c_de,
+                  len(list_filter(w, t -> t IN ('el','la','de','que','y','los','es','un'))) AS c_es,
+                  len(list_filter(w, t -> t IN ('le','la','les','et','des','est','une','dans'))) AS c_fr,
+                  len(list_filter(w, t -> t IN ('的','是','了','在','和','有','我','不'))) AS c_zh
+                FROM lw),
+         lang AS (SELECT doc_id, n_toks,
+                  CASE WHEN greatest(c_en, c_de, c_es, c_fr, c_zh) = 0 THEN 'und'
+                       WHEN c_en = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'en'
+                       WHEN c_de = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'de'
+                       WHEN c_es = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'es'
+                       WHEN c_fr = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'fr'
+                       WHEN c_zh = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'zh'
+                       ELSE 'und' END AS lang_pred
+                FROM lc),
+         surv AS (SELECT d.doc_id, d.source,
+                  CAST(lang.n_toks AS BIGINT) AS n_tokens
+               FROM documents d
+               JOIN canon c ON c.doc_id = d.doc_id
+               JOIN lang ON lang.doc_id = d.doc_id
+                 AND lang.n_toks >= 20 AND lang.lang_pred = 'en'
+               JOIN rules r ON r.doc_id = d.doc_id AND r.pass
+               JOIN sc ON sc.doc_id = d.doc_id AND sc.score_sum > 0
+               WHERE d.text IS NOT NULL),
+         withh AS (SELECT doc_id, source, n_tokens,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(
+                     substring(sha256(CAST(doc_id AS VARCHAR)), 1, 13), ''),
+                     x -> CAST(instr('0123456789abcdef', x) - 1 AS BIGINT))),
+                   (acc, x) -> acc * 16 + x) AS h
+               FROM surv),
+         fill AS (SELECT doc_id, source, n_tokens,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY h, doc_id) AS BIGINT) AS fill_rank,
+                 CAST(sum(n_tokens) OVER (PARTITION BY source
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+               FROM withh)
+         SELECT doc_id, source, n_tokens, fill_rank
+         FROM fill WHERE cum <= 2000 ORDER BY doc_id"""),
     // gate CTEs composed: gopher rules + classifier chain (WITH-prefix
     // stripped to append) + dedup digest groups + the q_lang_id CASE
     "q_drop_reasons" ->
