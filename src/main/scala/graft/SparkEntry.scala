@@ -2262,10 +2262,11 @@ object SparkEntry {
     // binary-quantization funnel at recall-1 params on the fixture:
     // 256-bit signatures, rerank-512 shortlist for k=5 over the
     // near-orthogonal gaussian corpus — the HARD regime for 1-bit
-    // codes (true-neighbor cos ≈ 0.35 vs noise ≈ 0 gives ~4σ of
-    // Hamming separation at 256 bits; measured true-neighbor hamming
-    // rank ≈ 25 at sf0.1, so 512 carries a 20× margin). Shares the
-    // exhaustive oracle like the rest of the ANN family
+    // codes. AnnTune's BINQUANT sweep (sf0.1): 64-bit misses 25-38 of
+    // 50 even at rerank 256; 128-bit still misses 4 at 512; 256-bit
+    // reaches recall 1 first at rerank 128 — the registered 512 is a
+    // 4× margin on that knife-edge. Shares the exhaustive oracle like
+    // the rest of the ANN family
     "q_binary_quant_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.binaryQuantTopK(emb, emb.filter(col("vec_id") < 10),

@@ -77,6 +77,17 @@ object AnnTune {
         val (a, e, m) = diff(big, exactTopK)
         println(s"IVFBIGK $dir C=256 nProbe=$nProbe big=$a exact=$e missed=$m")
       }
+      // binary-quantization funnel: recall vs (bits, rerank depth) —
+      // the near-orthogonal fixture is the hard regime for 1-bit codes
+      // (shallow shortlists measurably miss; the registered 256/512
+      // carries the margin this sweep maps out)
+      for ((bits, rerank) <- Seq((64, 64), (64, 256), (128, 64),
+          (128, 192), (128, 512), (256, 64), (256, 128), (256, 512))) {
+        val bq = Similarity.binaryQuantTopK(emb, queries, "vec_id",
+          "embedding", 5, rerank = rerank, numBits = bits)
+        val (a, e, m) = diff(bq, exactTopK)
+        println(s"BINQUANT $dir bits=$bits rerank=$rerank bq=$a exact=$e missed=$m")
+      }
     }
     spark.stop()
   }
