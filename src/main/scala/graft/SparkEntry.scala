@@ -3176,6 +3176,41 @@ object SparkEntry {
           .getField("pass"))
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
+    // agreement between two quality gates (gopher rules vs the shipped
+    // classifier) as a contingency table + Cohen's kappa — the
+    // validation read before swapping one gate for another ("does the
+    // new filter agree with the old beyond chance, and where not").
+    // Counts are integer-exact; kappa's doubles derive from the same
+    // integer operands on both engines
+    "q_gate_agreement" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      val g = docs.select(col("doc_id"),
+        TextAnalysis.gopherRules(col("text"), minStopHits = 1)
+          .getField("pass").as("gp"))
+      val c = TextAnalysis.classifierApplyTable(docs, "doc_id", "text",
+          TextAnalysis.classifierFixtureWeights(s, 512), buckets = 512)
+        .select(col("doc_id"), col("label").as("cp"))
+      val j = g.join(c, Seq("doc_id"), "left")
+        .select(col("gp"), coalesce(col("cp"), lit(false)).as("cp"))
+      val agg = j.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("gp") && col("cp"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(!col("gp") && !col("cp"), 1L).otherwise(0L))
+          .as("n_neither"),
+        sum(when(col("gp") && !col("cp"), 1L).otherwise(0L))
+          .as("n_gopher_only"),
+        sum(when(!col("gp") && col("cp"), 1L).otherwise(0L))
+          .as("n_classifier_only"))
+      val po = (col("n_both") + col("n_neither")).cast("double") / col("n")
+      val pe = ((col("n_both") + col("n_gopher_only")).cast("double") *
+          (col("n_both") + col("n_classifier_only")) +
+        (col("n_neither") + col("n_classifier_only")).cast("double") *
+          (col("n_neither") + col("n_gopher_only"))) /
+        (col("n").cast("double") * col("n"))
+      agg.select(col("n"), col("n_both"), col("n_neither"),
+        col("n_gopher_only"), col("n_classifier_only"),
+        ((po - pe) / (lit(1.0) - pe)).as("kappa"))
+    }),
     // v7: the round-10 operators composed — ADVERSARIAL dedup tier
     // (confusable-skeleton canonical over a corpus with planted
     // Cyrillic-spoofed copies) → the q_drop_reasons gate battery
@@ -5450,6 +5485,41 @@ object SparkEntry {
                 bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
                 stop_hits, pass
          FROM rules ORDER BY doc_id""",
+    // contingency counts from the same gate CTEs; kappa from the
+    // integer counts
+    "q_gate_agreement" ->
+      (gopherRulesCtes(minStopHits = 1) + "," +
+        classifierApplyCtes(512).trim.stripPrefix("WITH") + """,
+         j AS (SELECT r.pass AS gp,
+                      coalesce(sc.score_sum > 0, false) AS cp
+               FROM documents d
+               JOIN rules r ON r.doc_id = d.doc_id
+               LEFT JOIN sc ON sc.doc_id = d.doc_id
+               WHERE d.text IS NOT NULL),
+         a AS (SELECT count(*) AS n,
+                 CAST(sum(CASE WHEN gp AND cp THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_both,
+                 CAST(sum(CASE WHEN NOT gp AND NOT cp THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_neither,
+                 CAST(sum(CASE WHEN gp AND NOT cp THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_gopher_only,
+                 CAST(sum(CASE WHEN NOT gp AND cp THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_classifier_only
+               FROM j)
+         SELECT n, n_both, n_neither, n_gopher_only, n_classifier_only,
+                ((CAST(n_both + n_neither AS DOUBLE) / n)
+                  - ((CAST(n_both + n_gopher_only AS DOUBLE)
+                        * (n_both + n_classifier_only)
+                      + CAST(n_neither + n_classifier_only AS DOUBLE)
+                        * (n_neither + n_gopher_only))
+                     / (CAST(n AS DOUBLE) * n)))
+                / (CAST(1.0 AS DOUBLE)
+                   - ((CAST(n_both + n_gopher_only AS DOUBLE)
+                         * (n_both + n_classifier_only)
+                       + CAST(n_neither + n_classifier_only AS DOUBLE)
+                         * (n_neither + n_gopher_only))
+                      / (CAST(n AS DOUBLE) * n))) AS kappa
+         FROM a"""),
     // v7: the drop-reasons gate CTEs + the homoglyph canon over the
     // spoof-planted corpus + the budget-fill window, composed
     "q_curated_corpus_v7" ->
