@@ -859,4 +859,66 @@ class ScaleSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Scale.ffdPack(docs, "doc_id", col("toks"), capacity = 0))
   }
+
+  test("budgetFill: strict inclusive cut, hash order, per-source independence") {
+    // source A: three 10-token docs, budget 25 -> exactly the first
+    // two in HASH order are kept (30 > 25 cuts the third); source B's
+    // single doc fits alone
+    val docs = Seq(
+      (1L, "A", 10L), (2L, "A", 10L), (3L, "A", 10L),
+      (4L, "B", 20L)).toDF("id", "src", "toks")
+    val out = Scale.budgetFill(docs, "src", "id", col("toks"), 25L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    val a = out.filter(_._2 == "A").sortBy(_._3)
+    assert(a.map(_._5).toSeq === Seq(true, true, false),
+      s"strict cut violated: ${a.mkString(", ")}")
+    assert(a.map(_._4).toSeq === Seq(10L, 20L, 30L)) // inclusive cumsum
+    // hash order, not id order: ranks are a permutation determined by
+    // sha52, identical across reruns
+    val rerun = Scale.budgetFill(docs, "src", "id", col("toks"), 25L)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(rerun.toSet === out.map(t => (t._1, t._3)).toSet)
+    assert(out.filter(_._2 == "B").map(_._5).toSeq === Seq(true))
+    // zero budget keeps nothing but still ranks
+    val zero = Scale.budgetFill(docs, "src", "id", col("toks"), 0L)
+      .collect().map(_.getBoolean(5))
+    assert(zero.forall(!_))
+  }
+
+  test("matchMixture: exact integer plan matches the rational optimum") {
+    // weights 1:2:5 over counts 100:50:75 — ratios n/w are
+    // a:100, b:25, c:15, so c binds at 15 and
+    // kept = floor(w_s * 15) = (15, 30, 75)
+    val docs = (1L to 100L).map(i => (i, "a")) ++
+      (101L to 150L).map(i => (i, "b")) ++
+      (151L to 225L).map(i => (i, "c"))
+    val weights = Seq(("a", 1L), ("b", 2L), ("c", 5L)).toDF("src", "w")
+    val out = Scale.matchMixture(docs.toDF("id", "src"), "src", weights)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") === ((100L, 1L, 15L, 150000L)))
+    assert(out("b") === ((50L, 2L, 30L, 600000L)))
+    assert(out("c") === ((75L, 5L, 75L, 1000000L)))
+    // the kept mix is EXACTLY proportional to the weights
+    assert(out("b")._3 === 2 * out("a")._3)
+    assert(out("c")._3 === 5 * out("a")._3)
+  }
+
+  test("epochShuffle: each epoch is a permutation, epochs decorrelate") {
+    val docs = (1L to 200L).toDF("id")
+    val out = Scale.epochShuffle(docs, "id", Seq(1, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._2).sorted.toSeq === (1L to 200L))
+    assert(out.map(_._3).sorted.toSeq === (1L to 200L))
+    // not the identity, not id order, and the two epochs differ
+    assert(out.count { case (id, o1, _) => id == o1 } < 20)
+    assert(out.count { case (_, o1, o2) => o1 == o2 } < 20)
+    // reproducible
+    val rerun = Scale.epochShuffle(docs, "id", Seq(1, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rerun.toSet === out.toSet)
+  }
 }
