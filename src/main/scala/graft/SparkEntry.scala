@@ -1589,6 +1589,30 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // the spoof-group REPORT over the same planted corpus: which
+    // skeleton groups collapsed (2+ members), their canonical id and
+    // the spoofed-member count — the governance read next to
+    // q_homoglyph_dedup's per-doc verdicts
+    "q_skeleton_dup_groups" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"))
+      val spoof = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(300000L)).as("doc_id"),
+          translate(col("text"), "aeocp", cyrSpoof).as("text"))
+      docs.unionByName(spoof)
+        .select(col("doc_id"),
+          sha2(TextAnalysis.confusableSkeleton(col("text")), 256)
+            .as("__d"))
+        .groupBy("__d")
+        .agg(count(lit(1)).as("n_members"),
+          min("doc_id").as("canonical_id"),
+          sum(when(col("doc_id") >= 300000L, 1L).otherwise(0L))
+            .as("n_spoofed"))
+        .filter(col("n_members") >= 2)
+        .select("canonical_id", "n_members", "n_spoofed")
+        .orderBy("canonical_id")
+    }),
     // homoglyph-spoofed duplicates (the SEO-spam dedup-evasion shape):
     // every mod-7 doc gets a spoofed copy (id + 300000) whose a/e/o/c/p
     // are swapped for their Cyrillic lookalikes — byte-exact dedup
@@ -3084,6 +3108,24 @@ object SparkEntry {
             .as("w"))
       Scale.matchMixture(docs, "source", weights).orderBy("source")
     }),
+    // the fill priced per source (q_packing_efficiency's read for the
+    // budget fill): kept docs/tokens and budget utilization in micro
+    // units — integer-exact
+    "q_fill_efficiency" -> ((s, dir) =>
+      Scale.budgetFill(
+        Tables.documents(s, dir)
+          .filter(col("text").isNotNull && length(trim(col("text"))) > 0),
+        "source", "doc_id",
+        size(split(trim(col("text")), "\\s+")).cast("long"),
+        budgetPerSource = 3000L)
+        .filter(col("keep"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("kept_tokens"))
+        .select(col("source"), col("n_kept"), col("kept_tokens"),
+          expr("(CAST(1000000 AS BIGINT) * kept_tokens) div 3000")
+            .as("util_micro"))
+        .orderBy("source")),
     // budget FILL: after allocation decides how many tokens each
     // source gets, this decides WHICH docs fill it — hash-ordered
     // greedy with a strict inclusive-cumsum cut, so kept sources never
@@ -5354,6 +5396,51 @@ object SparkEntry {
          ORDER BY c.source""",
     // waterfill fixed-unroll; see cappedBudgetOracleSql
     "q_capped_budget" -> cappedBudgetOracleSql(50000L, 2, 24),
+    // per-source fill rollup on the same window formulation
+    "q_fill_efficiency" ->
+      """WITH c AS (SELECT doc_id, source,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(
+                   substring(sha256(CAST(doc_id AS VARCHAR)), 1, 13), ''),
+                   x -> CAST(instr('0123456789abcdef', x) - 1 AS BIGINT))),
+                 (acc, x) -> acc * 16 + x) AS h
+             FROM documents
+             WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         r AS (SELECT doc_id, source, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY source
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens
+               FROM c)
+         SELECT source, count(*) AS n_kept,
+                CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+                CAST((CAST(1000000 AS BIGINT)
+                  * CAST(sum(n_tokens) AS BIGINT)) // 3000 AS BIGINT)
+                  AS util_micro
+         FROM r WHERE cum_tokens <= 3000
+         GROUP BY source ORDER BY source""",
+    // the 2+-member skeleton groups with spoof accounting
+    "q_skeleton_dup_groups" ->
+      (s"""WITH spoof AS (SELECT doc_id + 300000 AS doc_id,
+                translate(text, 'aeocp', '$cyrSpoof') AS text
+              FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0),
+         corpus AS (SELECT doc_id, text FROM documents
+                    WHERE text IS NOT NULL
+                    UNION ALL SELECT doc_id, text FROM spoof),
+         sk AS (SELECT doc_id,
+                  sha256(translate(text,
+                    '${TextAnalysis.ConfusableFrom}',
+                    '${TextAnalysis.ConfusableTo}')) AS dg
+                FROM corpus),
+         g AS (SELECT dg, count(*) AS n_members,
+                 min(doc_id) AS canonical_id,
+                 CAST(sum(CASE WHEN doc_id >= 300000 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_spoofed
+               FROM sk GROUP BY 1)
+         SELECT canonical_id, n_members, n_spoofed
+         FROM g WHERE n_members >= 2 ORDER BY canonical_id"""),
     // two epoch permutations: row_number over the sha52 fold of "e:id"
     "q_epoch_shuffle" ->
       """WITH h AS (SELECT doc_id,
