@@ -962,8 +962,13 @@ object Dedup {
         .distinctWordNgrams(col(probeTextCol), n)).as("s"))
     val blob = bloomBlob(probeShingles, "s", expectedProbeShingles,
       bitsPerItem)
-    val sh = graft.expressions.ShingleExpressions
-      .distinctWordNgrams(col(textCol), n)
+    // NULL text would make distinctWordNgrams null, and size(null) is
+    // -1 under Spark's default legacy sizeOfNull — emitting
+    // n_shingles=-1 / contamination=0.0 would silently pass a gate, so
+    // fold nulls into the documented shingle-free contract (n_shingles
+    // 0, contamination 0.0) instead
+    val sh = coalesce(graft.expressions.ShingleExpressions
+      .distinctWordNgrams(col(textCol), n), array().cast("array<string>"))
     val shared =
       if (blob == null) lit(0L)
       else size(filter(col("__sh"), s => mightContainBlob(blob, s)))

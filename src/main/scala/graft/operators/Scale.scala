@@ -1056,7 +1056,13 @@ object Scale {
     * join is registry-sized and broadcast.
     * Output: (sourceCol, n_docs, w, kept, rate_micro), where the
     * actual row selection composes via [[budgetFill]]-style hash-order
-    * cuts downstream. */
+    * cuts downstream.
+    *
+    * Contract: `weights` must cover every observed source with w > 0 —
+    * a silent inner-join drop (source vanishes from the plan) or a
+    * NULL/zero w (nulls propagate through the integer div into the
+    * min) would corrupt the mixture without an error, so both fail
+    * loudly at execution via an in-plan check (no extra jobs). */
   def matchMixture(df: DataFrame, sourceCol: String,
       weights: DataFrame): DataFrame = {
     require(Set(sourceCol, "w").subsetOf(weights.columns.toSet),
@@ -1065,8 +1071,15 @@ object Scale {
     val counts = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"))
     val cw = counts.join(
-      weights.select(col(sourceCol), col("w").cast("long").as("w")),
-      Seq(sourceCol))
+        weights.select(col(sourceCol), col("w").cast("long").as("__w0")),
+        Seq(sourceCol), "left")
+      .select(col(sourceCol), col("n_docs"),
+        when(col("__w0").isNull || col("__w0") <= 0,
+          raise_error(concat(lit("matchMixture: source '"),
+            col(sourceCol),
+            lit("' has no positive weight — weights must cover every " +
+              "observed source with w > 0"))))
+          .otherwise(col("__w0")).as("w"))
     val b = cw.select(col(sourceCol).as("__s2"),
       col("n_docs").as("__n2"), col("w").as("__w2"))
     val kept = cw.crossJoin(broadcast(b))
@@ -1089,28 +1102,73 @@ object Scale {
     * (strict rule: the boundary doc that would overflow is cut, so
     * kept sources never exceed budget).
     *
-    * Scale: ONE shuffle — the (source)-partitioned position window the
-    * whole loader-planning family pays (interleaveOrder /
-    * curriculumOrder precedent); per-source window length is the
-    * source's doc count, the same bill those operators carry.
+    * Scale: a plain (source)-partitioned running-sum window serializes
+    * each source onto ONE task — at 100 TB with a dominant web-crawl
+    * source that is a single-task sort of most of the corpus. Instead
+    * the hash domain is cut into `buckets` ranges by global
+    * approx-quantile cuts on the sha52 (the hash is uniform, so one
+    * global cut set balances EVERY source's buckets simultaneously),
+    * the running sum is a per-(source, bucket) window, and a broadcast
+    * carry-in prefix over per-(source, bucket) totals (sources ×
+    * buckets rows — registry-sized) lifts local ranks/sums to exact
+    * per-source ones: the [[globalRank]] /
+    * `Analytics.activeIntervals` two-level-prefix pattern. The bucket
+    * is a pure function of the hash value, so (bucket, hash, id) order
+    * ≡ the per-source (hash, id) order and the result is bit-identical
+    * to the single-window form (ScaleSpec pins the equivalence).
     * Output: (idCol, sourceCol, n_tokens, fill_rank [1-based hash
     * order], cum_tokens, keep). */
   def budgetFill(df: DataFrame, sourceCol: String, idCol: String,
-      tokenCount: Column, budgetPerSource: Long): DataFrame = {
+      tokenCount: Column, budgetPerSource: Long,
+      buckets: Int = 64): DataFrame = {
     require(budgetPerSource >= 0,
       s"need a non-negative budget, got $budgetPerSource")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(sourceCol)).orderBy(col("__h"), col(idCol))
-    df.select(col(idCol), col(sourceCol),
-        tokenCount.cast("long").as("n_tokens"),
-        graft.functions.Kmv.sha52(col(idCol).cast("string")).as("__h"))
-      .withColumn("fill_rank", row_number().over(w).cast("long"))
-      .withColumn("cum_tokens",
-        sum(col("n_tokens")).over(w.rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)))
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    val base = df.select(col(idCol), col(sourceCol),
+      tokenCount.cast("long").as("n_tokens"),
+      graft.functions.Kmv.sha52(col(idCol).cast("string")).as("__h"))
+    val cuts =
+      if (buckets == 1) Array.empty[Double]
+      else base.select(col("__h").cast("double").as("__v"))
+        .stat.approxQuantile("__v",
+          (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+        .distinct.sorted
+    // sha52 fits a double exactly (52 bits), so the > against a cut is
+    // exact and equal hashes always land in one bucket
+    val bucket = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col("__h").cast("double") > lit(c), 1).otherwise(0)
+    }
+    val bucketed = base.withColumn("__b", bucket)
+    val wLoc = Window.partitionBy(col(sourceCol), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+    // exclusive per-source prefix over bucket totals: ≤ buckets rows
+    // per source — bounded by construction
+    val wOff = Window.partitionBy(col("__osrc")).orderBy(col("__ob"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed
+      .groupBy(col(sourceCol).as("__osrc"), col("__b").as("__ob"))
+      .agg(count(lit(1)).as("__n"), sum(col("n_tokens")).as("__t"),
+        count(col("n_tokens")).as("__nn"))
+      .select(col("__osrc"), col("__ob"),
+        coalesce(sum(col("__n")).over(wOff), lit(0L)).as("__roff"),
+        coalesce(sum(col("__t")).over(wOff), lit(0L)).as("__coff"),
+        coalesce(sum(col("__nn")).over(wOff), lit(0L)).as("__nnoff"))
+    bucketed
+      .withColumn("__rl", row_number().over(wLoc).cast("long"))
+      .withColumn("__cl",
+        sum(col("n_tokens")).over(wLoc.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsets),
+        col(sourceCol) <=> col("__osrc") && col("__b") === col("__ob"))
+      .select(col(idCol), col(sourceCol), col("n_tokens"),
+        (col("__roff") + col("__rl")).as("fill_rank"),
+        // single-window sum is null IFF every token in the per-source
+        // prefix is null — replicate via the carry-in non-null count
+        when(col("__cl").isNull && col("__nnoff") === 0L,
+          lit(null).cast("long"))
+          .otherwise(col("__coff") + coalesce(col("__cl"), lit(0L)))
+          .as("cum_tokens"))
       .withColumn("keep", col("cum_tokens") <= budgetPerSource)
-      .drop("__h")
   }
 
   /** Global rank binning: each row gets its quantile bin (1..nBins,

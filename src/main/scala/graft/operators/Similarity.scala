@@ -1307,6 +1307,13 @@ object Similarity {
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .filter(dotProduct(col("v"), col("v")) > 0)
+    // k > n would re-pick already-covered centers (their best pins at
+    // ~1.0) and silently emit duplicate center_ids — fail loudly; one
+    // count is in-family for a k-round driver-paced loop
+    val nPoints = base.count()
+    require(k <= nPoints,
+      s"kCenterGreedy: k=$k exceeds the $nPoints nonzero vectors — " +
+        "duplicate centers would be selected")
     val seed = base
       .agg(min_by(struct(col("id"), col("v")), col("id")).as("s"))
       .select("s.*").collect()

@@ -886,6 +886,36 @@ object ScaleProbe {
         f"binquant=$tb%.1fs($nb%d rows) kcenter=$tk%.1fs($nk%d) " +
         f"budgetfill=$tf2%.1fs($nf2%d kept) homoglyph=$th%.1fs($nh%d canon)")
     }
+
+    // r11: budgetFill under a DOMINANT source — one source holds ~90%
+    // of the grown corpus (the realistic 100 TB shape: one web crawl
+    // dwarfing everything). The bucketed two-level prefix must stay
+    // ~linear in K; the old per-source single window would serialize
+    // 90% of all rows onto ONE task and grow superlinearly with a hard
+    // parallelism ceiling.
+    for (k <- Seq(1, 2, 4, 8) if on("r11")) {
+      val docs11 = (0 until k).map { i =>
+        val shifted = alpha.drop(i) + alpha.take(i)
+        base.select(
+          (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          when(col("doc_id") % 10 === 0, col("source"))
+            .otherwise(lit("crawl_main")).as("source"),
+          translate(col("text"), alpha, shifted).as("text"))
+      }.reduce(_ unionAll _).materialized
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (tf, nf) = time(graft.operators.Scale.budgetFill(
+          docs11.filter(length(trim(col("text"))) > 0), "source",
+          "doc_id", size(split(trim(col("text")), "\\s+")).cast("long"),
+          budgetPerSource = 100000L * k)
+        .filter(col("keep")).count())
+      val dom = docs11.filter(col("source") === "crawl_main").count()
+      docs11.released()
+      println(f"R11PROBE k=$k%d docs=${5000 * k}%d dom=$dom%d " +
+        f"budgetfill_dom=$tf%.1fs($nf%d kept)")
+    }
     spark.stop()
   }
 }

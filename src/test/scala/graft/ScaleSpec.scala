@@ -887,6 +887,54 @@ class ScaleSpec extends SparkSpec {
     assert(zero.forall(!_))
   }
 
+  test("budgetFill: bucketed two-level prefix ≡ the single-window form") {
+    // randomized-ish frame (deterministic LCG): 3 sources with one
+    // DOMINANT source holding ~90% of docs — the 100 TB shape the
+    // bucketing exists for — plus null tokens and a null source
+    val rows = (1L to 400L).map { i =>
+      val src = if (i % 10 == 0) { if (i % 20 == 0) "b" else "c" } else "a"
+      val toks: java.lang.Long =
+        if (i % 37 == 0) null else java.lang.Long.valueOf((i * 2654435761L) % 50 + 1)
+      (i, src, toks)
+    } :+ ((401L, null.asInstanceOf[String], java.lang.Long.valueOf(7L)))
+    val df = rows.toDF("id", "src", "toks")
+    def run(buckets: Int) =
+      Scale.budgetFill(df, "src", "id", col("toks"), 500L, buckets)
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Long.MinValue else r.getLong(4),
+          r.getBoolean(5)))
+        .sortBy(_._1)
+    // buckets=1 IS the single per-source window; 8 exercises the
+    // carry-in prefix across non-trivial bucket boundaries
+    val single = run(1)
+    val bucketed = run(8)
+    assert(bucketed.toSeq === single.toSeq)
+    assert(single.length === 401)
+    // ranks within each source are a contiguous 1..n permutation
+    single.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq === (1L to g.length))
+    }
+  }
+
+  test("matchMixture fails loudly on uncovered sources and w <= 0") {
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("id", "src")
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse(""))
+      .mkString("|")
+    // missing source b
+    val missing = Scale.matchMixture(docs, "src",
+      Seq(("a", 1L)).toDF("src", "w"))
+    val e1 = intercept[Exception](missing.collect())
+    assert(chain(e1).contains("no positive weight"), chain(e1))
+    // zero weight
+    val zero = Scale.matchMixture(docs, "src",
+      Seq(("a", 1L), ("b", 0L)).toDF("src", "w"))
+    val e2 = intercept[Exception](zero.collect())
+    assert(chain(e2).contains("no positive weight"), chain(e2))
+  }
+
   test("matchMixture: exact integer plan matches the rational optimum") {
     // weights 1:2:5 over counts 100:50:75 — ratios n/w are
     // a:100, b:25, c:15, so c binds at 15 and

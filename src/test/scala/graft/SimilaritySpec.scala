@@ -571,4 +571,19 @@ class SimilaritySpec extends SparkSpec {
     assert(a.sameElements(b))
     assert(a.map(_._2).distinct.length === 6)
   }
+
+  test("k-center greedy: k beyond the nonzero-vector count fails loudly") {
+    // 2 nonzero vectors + 1 zero vector; k=3 would re-pick a covered
+    // center and emit duplicate center_ids — must fail instead
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Similarity.kCenterGreedy(pts, "vec_id", "embedding", k = 3))
+    assert(e.getMessage.contains("exceeds the 2 nonzero vectors"))
+    // k == n is the boundary: all points become centers, all distinct
+    val ok = Similarity.kCenterGreedy(pts, "vec_id", "embedding", k = 2)
+      .collect().map(_.getLong(1))
+    assert(ok.toSet === Set(0L, 1L))
+  }
 }

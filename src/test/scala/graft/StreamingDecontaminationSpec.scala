@@ -69,6 +69,17 @@ class StreamingDecontaminationSpec extends SparkSpec {
     assert(keptInline === keptExact)
   }
 
+  test("NULL text folds into the shingle-free contract, not size(null)=-1") {
+    val df = (docs :+ (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val row = Dedup.ngramContaminationInline(df, "doc_id", "text",
+        probes, "text", n = 3, expectedProbeShingles = 64)
+      .filter(col("doc_id") === 6L)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // a -1 here would let a NULL-text row silently pass a
+    // contamination<=x gate with a nonsense count
+    assert(row.toSeq === Seq((0, 0L, 0.0)))
+  }
+
   test("the same gate runs in an append-mode stream with no watermark") {
     val in = Files.createTempDirectory("decontam_in")
     val out = Files.createTempDirectory("decontam_out")

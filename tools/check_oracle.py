@@ -14,11 +14,17 @@ def norm(v):
     return v
 
 def close(a, b):
+    # values come from fetchall(), where SQL NULL is None and a genuine
+    # float NaN stays nan — so NULL-vs-NaN divergence FAILS here (the
+    # driver hash would catch it) instead of hiding behind fetchdf's
+    # NaN rendering of NULL
+    if a is None or b is None:
+        return a is None and b is None
     if isinstance(a, float) or isinstance(b, float):
         try:
             fa, fb = float(a), float(b)
             if math.isnan(fa) and math.isnan(fb):
-                return True  # fetchdf renders SQL NULL as NaN on both sides
+                return True  # both genuinely NaN in the source
             return math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-6)
         except (TypeError, ValueError):
             return False
@@ -54,14 +60,15 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {qname}: no spark output dir"); n_fail += 1; continue
             oc = con.execute(sql)
             ocols = [d[0] for d in oc.description]
-            odf = oc.fetchdf()
-            orows = list(odf.itertuples(index=False, name=None))
+            odf = oc.fetchdf()  # dtype parity only — values from fetchall
+            orows = con.execute(sql).fetchall()
         except Exception as e:
             print(f"FAIL {qname}: duckdb error: {e}"); n_fail += 1; continue
-        sc = con.execute(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+        ssel = f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')"
+        sc = con.execute(ssel)
         scols = [d[0] for d in sc.description]
-        sdf = sc.fetchdf()
-        srows = list(sdf.itertuples(index=False, name=None))
+        sdf = sc.fetchdf()  # dtype parity only — values from fetchall
+        srows = con.execute(ssel).fetchall()
         # dtype parity: the driver compares pandas-rendered frames, so an
         # int64 vs float64 mismatch per column is a hash mismatch even
         # when every value compares numerically equal. Width differences
