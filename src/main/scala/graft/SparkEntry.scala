@@ -3371,6 +3371,34 @@ object SparkEntry {
           col("allowed"))
         .orderBy("doc_id")
     }),
+    // WARC/WET ingestion end-to-end: a deterministic two-file crawl
+    // segment (one plain .warc with CRLF-CRLF-embedding payloads, one
+    // multi-member .warc.gz — the Common Crawl shipping convention) is
+    // planted in tmpdir, read back through sources.Warc, and
+    // adjudicated on record count, per-record target URI, and payload
+    // sha256 — the digest only matches if the Content-Length slice
+    // recovered the exact payload bytes through the codec
+    "q_warc_extract" -> ((s, dir) => {
+      val recs = warcFixture
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_warc_" + dir.replaceAll("[^0-9a-zA-Z]+", "_"))
+      tmp.mkdirs()
+      def rec(t: (String, String, Array[Byte])): Array[Byte] =
+        graft.sources.Warc.buildRecord("WARC/1.0",
+          Seq("WARC-Type" -> t._1) ++
+            Option(t._2).map("WARC-Target-URI" -> _).toSeq ++
+            Seq("WARC-Date" -> "2026-08-15T00:00:00Z"), t._3)
+      val plain = recs.take(7).map(rec).reduce(_ ++ _)
+      val gz = recs.drop(7).map(r => graft.sources.Warc.gzip(rec(r)))
+        .reduce(_ ++ _)
+      java.nio.file.Files.write(tmp.toPath.resolve("seg-00000.warc"), plain)
+      java.nio.file.Files.write(tmp.toPath.resolve("seg-00001.warc.gz"), gz)
+      graft.sources.Warc.readWarcFiles(s, tmp.getAbsolutePath)
+        .select(col("record_idx"), col("warc_type"), col("target_uri"),
+          col("content_length"),
+          sha2(col("payload"), 256).as("payload_sha256"))
+        .orderBy(asc_nulls_first("target_uri"), col("record_idx"))
+    }),
     "q_url_parts" -> ((s, dir) => {
       import graft.functions.UrlOps
       val url = concat(
@@ -3633,6 +3661,46 @@ object SparkEntry {
     * unrolled as chained CTEs r1..rK, each reading only its
     * predecessor — the same arithmetic (double constants included) as
     * [[Analytics.pageRank]], so the compare is tolerance-tight. */
+  /** Deterministic WARC fixture shared by q_warc_extract's file side
+    * (serialized to tmpdir, read back through [[graft.sources.Warc]])
+    * and its oracle (payload digests computed directly over the same
+    * bytes) — the adjudicated path is serialize → codec → parse →
+    * Content-Length slice → digest. Payloads embed CRLF CRLF and
+    * multi-byte UTF-8 so delimiter-scanning or charset-lossy parsing
+    * fails the hash. (warc_type, target_uri, payload). */
+  private def warcFixture: Seq[(String, String, Array[Byte])] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val info = ("warcinfo", null: String,
+      "software: graft-fixture/1.0\r\nformat: WARC/1.0\r\n".getBytes(utf8))
+    val pages = (0 until 12).map { i =>
+      val body = s"HTTP/1.1 200 OK\r\nX-Doc: $i\r\n\r\n" +
+        s"<html><body>doc $i é世 " + ("lorem ipsum " * (i + 1)) +
+        "</body></html>"
+      ("response", f"http://warc.example.com/page/$i%02d",
+        body.getBytes(utf8))
+    }
+    info +: pages
+  }
+
+  /** VALUES-literal oracle for q_warc_extract: expected rows derived
+    * from the SAME fixture bytes but bypassing the file/parse path
+    * entirely (digest straight over the payload arrays). record_idx
+    * replays the per-file counter (plain file carries the first 7
+    * records, the gz file the rest). */
+  private def warcExtractOracleSql: String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+    val rows = warcFixture.zipWithIndex.map { case ((t, uri, payload), i) =>
+      val idx = if (i < 7) i else i - 7
+      val u = if (uri == null) "CAST(NULL AS VARCHAR)" else s"'$uri'"
+      s"(CAST($idx AS BIGINT), '$t', $u, " +
+        s"CAST(${payload.length} AS BIGINT), '${hex(md.digest(payload))}')"
+    }
+    "SELECT * FROM (VALUES " + rows.mkString(", ") +
+      ") t(record_idx, warc_type, target_uri, content_length, " +
+      "payload_sha256) ORDER BY target_uri NULLS FIRST, record_idx"
+  }
+
   private def pageRankOracleSql(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""r$k AS (SELECT nodes.node,
@@ -5930,6 +5998,9 @@ object SparkEntry {
          FROM p LEFT JOIN (SELECT doc_id, l, allow FROM m WHERE rn = 1) b
            USING (doc_id)
          ORDER BY p.doc_id""",
+    // expected rows as literals derived from the shared fixture bytes
+    // (no file/parse path on the oracle side); see warcExtractOracleSql
+    "q_warc_extract" -> warcExtractOracleSql,
     "q_url_parts" ->
       """WITH u AS (SELECT doc_id,
              (CASE WHEN doc_id % 7 = 0 THEN 'http://' ELSE 'https://' END) ||

@@ -1,0 +1,248 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, EOFException}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** WARC/WET ingestion: the format a production curation run actually
+  * starts from (Common-Crawl-style crawl archives), parsed with the
+  * same quarantine semantics as [[graft.ingest.Json.readJsonlFiles]] —
+  * a malformed record becomes a quarantined ROW (error set, raw bytes
+  * kept), never a failed task, and the parser resynchronizes on the
+  * next record marker so one corrupt record cannot eat a 1 GB file.
+  *
+  * Format (public spec, ISO 28500 / WARC 1.1; also the reference for
+  * Common Crawl WET "conversion" records, which are plain WARC): each
+  * record is `WARC/1.x CRLF`, header lines `Name: value CRLF`, a blank
+  * CRLF, exactly `Content-Length` payload BYTES, then CRLF CRLF. The
+  * payload is sliced by Content-Length — never by delimiter scanning —
+  * so binary payloads containing `CRLF CRLF` round-trip bit-exactly.
+  *
+  * Scale shape: WARC.gz members are not splittable, so the unit of
+  * parallelism is the FILE — exactly how Common Crawl ships (segments
+  * of ~1 GB gzip files; a 100 TB crawl is ~10⁵ files = ample tasks for
+  * 1000 executors). Each task decodes one file streaming through the
+  * gzip codec (multi-member per the gzip RFC 1952 — Java's
+  * GZIPInputStream concatenates members) and emits records; payload
+  * bytes stay in the task that read them — downstream projections
+  * (text extraction, digests) should run before any shuffle.
+  * `binaryFile` caps a single file at Int.MaxValue bytes, which is the
+  * crawl-segment contract anyway. */
+object Warc {
+
+  /** One parsed record (or one quarantined byte range, `error` set).
+    * `payload` for a quarantined range is the raw unparsed bytes up to
+    * the next record marker — the dead-letter content. */
+  final case class WarcRecord(
+      path: String,
+      record_idx: Long,
+      warc_version: String,
+      warc_type: String,
+      target_uri: String,
+      record_id: String,
+      warc_date: String,
+      content_type: String,
+      content_length: Long,
+      headers: Map[String, String],
+      payload: Array[Byte],
+      error: String)
+
+  private val Marker = "WARC/".getBytes(UTF_8)
+
+  private def isGzip(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
+
+  /** Fully decode a (possibly multi-member) gzip buffer. Truncated or
+    * garbage trailing members surface as ONE quarantine record by the
+    * caller, not an exception out of the task. */
+  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
+    val out = new ByteArrayOutputStream(bytes.length * 4)
+    val buf = new Array[Byte](1 << 16)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  /** Index of the next `WARC/` marker at or after `from` that sits at
+    * a record boundary (start of buffer or right after a CRLF) — the
+    * resynchronization point after a malformed record. */
+  private def nextMarker(b: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    while (i <= b.length - Marker.length) {
+      var j = 0
+      while (j < Marker.length && b(i + j) == Marker(j)) j += 1
+      if (j == Marker.length &&
+        (i == 0 || (i >= 2 && b(i - 2) == '\r' && b(i - 1) == '\n')))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Read one CRLF-terminated header line starting at `i`; returns
+    * (line without CRLF, index after CRLF) or null if no CRLF before
+    * EOF (truncation). Header lines are ASCII per spec; decoded UTF-8
+    * for tolerance. */
+  private def readLine(b: Array[Byte], i: Int): (String, Int) = {
+    var j = i
+    while (j < b.length - 1 && !(b(j) == '\r' && b(j + 1) == '\n')) j += 1
+    if (j >= b.length - 1) null
+    else (new String(b, i, j - i, UTF_8), j + 2)
+  }
+
+  /** Parse a whole (decoded) WARC buffer into records + quarantines. */
+  def parseBuffer(path: String,
+      bytes: Array[Byte]): Seq[WarcRecord] = {
+    val out = Vector.newBuilder[WarcRecord]
+    var idx = 0L
+    def quarantine(from: Int, until: Int, err: String): Unit = {
+      out += WarcRecord(path, idx, null, null, null, null, null, null,
+        -1L, Map.empty, java.util.Arrays.copyOfRange(bytes, from, until),
+        err)
+      idx += 1
+    }
+    var pos = 0
+    // leading garbage before the first marker is quarantined once
+    val first = nextMarker(bytes, 0)
+    if (first < 0) {
+      if (bytes.nonEmpty) quarantine(0, bytes.length, "no WARC record marker")
+      return out.result()
+    }
+    if (first > 0) quarantine(0, first, "leading bytes before first record")
+    pos = first
+    while (pos >= 0 && pos < bytes.length) {
+      val recStart = pos
+      def fail(err: String): Unit = {
+        val next = nextMarker(bytes, recStart + Marker.length)
+        val until = if (next < 0) bytes.length else next
+        quarantine(recStart, until, err)
+        pos = next
+      }
+      readLine(bytes, pos) match {
+        case null => fail("truncated version line")
+        case (version, afterVersion) if !version.startsWith("WARC/") =>
+          fail(s"bad version line: $version")
+        case (version, afterVersion) =>
+          // header block until the blank CRLF line
+          var hdrs = Map.empty[String, String]
+          var i = afterVersion
+          var done = false
+          var broken: String = null
+          while (!done && broken == null) {
+            readLine(bytes, i) match {
+              case null => broken = "truncated header block"
+              case ("", after) => i = after; done = true
+              case (line, after) =>
+                val c = line.indexOf(':')
+                if (c <= 0) broken = s"malformed header line: $line"
+                else {
+                  hdrs += (line.substring(0, c).trim -> line.substring(c + 1).trim)
+                  i = after
+                }
+            }
+          }
+          if (broken != null) fail(broken)
+          else hdrs.get("Content-Length").flatMap(_.toLongOption) match {
+            case None => fail("missing or non-numeric Content-Length")
+            case Some(len) if len < 0 => fail("negative Content-Length")
+            case Some(len) if len > Int.MaxValue - 8 =>
+              fail(s"Content-Length $len exceeds the per-record buffer cap")
+            case Some(len) if i + len > bytes.length =>
+              fail(s"truncated payload: need $len bytes, have ${bytes.length - i}")
+            case Some(len) =>
+              val payload =
+                java.util.Arrays.copyOfRange(bytes, i, i + len.toInt)
+              out += WarcRecord(path, idx, version,
+                hdrs.getOrElse("WARC-Type", null),
+                hdrs.getOrElse("WARC-Target-URI", null),
+                hdrs.getOrElse("WARC-Record-ID", null),
+                hdrs.getOrElse("WARC-Date", null),
+                hdrs.getOrElse("Content-Type", null),
+                len, hdrs, payload, null)
+              idx += 1
+              // spec: CRLF CRLF after the payload; tolerate EOF (last
+              // record) and resync otherwise
+              val after = i + len.toInt
+              val tail = nextMarker(bytes, after)
+              if (after >= bytes.length) pos = -1
+              else if (tail < 0) {
+                // trailing bytes after last record that never reach a
+                // marker: the record separator (up to 4 CRLF bytes) is
+                // expected framing; anything more is quarantined
+                if (bytes.length - after > 4)
+                  quarantine(after, bytes.length, "trailing bytes after last record")
+                pos = -1
+              } else {
+                if (tail - after > 4)
+                  quarantine(after, tail, "inter-record garbage")
+                pos = tail
+              }
+          }
+      }
+    }
+    out.result()
+  }
+
+  /** Parse one file's raw bytes (gzip auto-detected by magic, so
+    * `.warc`, `.warc.gz` and `.wet.gz` all work); a gzip decode
+    * failure quarantines the FILE as one record. */
+  def parseFile(path: String,
+      bytes: Array[Byte]): Seq[WarcRecord] =
+    if (!isGzip(bytes)) parseBuffer(path, bytes)
+    else {
+      val decoded =
+        try Right(gunzip(bytes))
+        catch {
+          case e: java.util.zip.ZipException => Left(s"gzip decode failed: ${e.getMessage}")
+          case e: EOFException => Left(s"gzip truncated: ${e.getMessage}")
+        }
+      decoded match {
+        case Right(b) => parseBuffer(path, b)
+        case Left(err) => Seq(WarcRecord(path, 0L, null, null, null, null,
+          null, null, -1L, Map.empty, bytes, err))
+      }
+    }
+
+  /** Read a directory (or glob) of WARC/WET files into a DataFrame:
+    * (path, record_idx, warc_version, warc_type, target_uri,
+    * record_id, warc_date, content_type, content_length, headers,
+    * payload, error) — `error` IS NULL for clean records, set for
+    * quarantined byte ranges (the JSONL dead-letter posture). One task
+    * per file (gzip is not splittable); see the object doc for why
+    * that is the right 100 TB shape. */
+  def readWarcFiles(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) => parseFile(p, bytes) }
+      .toDF()
+  }
+
+  // ---- fixture/writer side (tests and deterministic oracles) ----
+
+  /** Serialize one record with correct Content-Length framing. */
+  def buildRecord(version: String, headers: Seq[(String, String)],
+      payload: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append(version).append("\r\n")
+    headers.foreach { case (k, v) => sb.append(k).append(": ").append(v).append("\r\n") }
+    sb.append("Content-Length: ").append(payload.length).append("\r\n\r\n")
+    val head = sb.toString.getBytes(UTF_8)
+    val out = new ByteArrayOutputStream(head.length + payload.length + 4)
+    out.write(head); out.write(payload); out.write("\r\n\r\n".getBytes(UTF_8))
+    out.toByteArray
+  }
+
+  /** Gzip a buffer (single member). */
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new GZIPOutputStream(out)
+    gz.write(bytes); gz.close()
+    out.toByteArray
+  }
+}

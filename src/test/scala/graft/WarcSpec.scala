@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Warc
+
+class WarcSpec extends SparkSpec {
+
+  // a hand-written WARC (NOT via buildRecord — the parser must not be
+  // tested against its own writer): response record whose payload
+  // embeds CRLF CRLF, proving Content-Length slicing over delimiter
+  // scanning, followed by a WET-style conversion record
+  private val handWritten: Array[Byte] =
+    ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Target-URI: http://example.com/a\r\n" +
+      "WARC-Record-ID: <urn:uuid:0001>\r\n" +
+      "WARC-Date: 2026-08-15T00:00:00Z\r\n" +
+      "Content-Type: application/http\r\n" +
+      "Content-Length: 20\r\n" +
+      "\r\n" +
+      "AB\r\n\r\nCD binary-ish!" + // exactly 20 payload bytes incl CRLFCRLF
+      "\r\n\r\n" +
+      "WARC/1.1\r\n" +
+      "WARC-Type: conversion\r\n" +
+      "WARC-Target-URI: http://example.com/b\r\n" +
+      "Content-Length: 5\r\n" +
+      "\r\n" +
+      "hello" +
+      "\r\n\r\n").getBytes(UTF_8)
+
+  test("hand-written WARC parses bit-exactly (headers + payload)") {
+    val recs = Warc.parseBuffer("f", handWritten)
+    assert(recs.length === 2)
+    val r0 = recs(0)
+    assert(r0.error === null)
+    assert(r0.warc_version === "WARC/1.0")
+    assert(r0.warc_type === "response")
+    assert(r0.target_uri === "http://example.com/a")
+    assert(r0.record_id === "<urn:uuid:0001>")
+    assert(r0.warc_date === "2026-08-15T00:00:00Z")
+    assert(r0.content_type === "application/http")
+    assert(r0.content_length === 20L)
+    assert(new String(r0.payload, UTF_8) === "AB\r\n\r\nCD binary-ish!")
+    assert(r0.headers("WARC-Type") === "response")
+    val r1 = recs(1)
+    assert(r1.warc_version === "WARC/1.1")
+    assert(r1.warc_type === "conversion")
+    assert(new String(r1.payload, UTF_8) === "hello")
+  }
+
+  test("buildRecord round-trips through the parser, plain and gzip") {
+    val a = Warc.buildRecord("WARC/1.0",
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://x/1"),
+      Array.tabulate[Byte](257)(i => (i % 251).toByte)) // binary payload
+    val b = Warc.buildRecord("WARC/1.0",
+      Seq("WARC-Type" -> "conversion", "WARC-Target-URI" -> "http://x/2"),
+      "text body".getBytes(UTF_8))
+    val buf = a ++ b
+    for (bytes <- Seq(buf, Warc.gzip(buf))) {
+      val recs = Warc.parseFile("f", bytes)
+      assert(recs.length === 2, recs.map(_.error).mkString("|"))
+      assert(recs.forall(_.error == null))
+      assert(recs(0).payload.toSeq ===
+        Array.tabulate[Byte](257)(i => (i % 251).toByte).toSeq)
+      assert(recs(1).target_uri === "http://x/2")
+    }
+  }
+
+  test("multi-member gzip (the .warc.gz convention) decodes fully") {
+    val a = Warc.gzip(Warc.buildRecord("WARC/1.0",
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://x/1"),
+      "one".getBytes(UTF_8)))
+    val b = Warc.gzip(Warc.buildRecord("WARC/1.0",
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://x/2"),
+      "two".getBytes(UTF_8)))
+    val recs = Warc.parseFile("f", a ++ b)
+    assert(recs.length === 2)
+    assert(recs.map(_.target_uri).toSeq === Seq("http://x/1", "http://x/2"))
+  }
+
+  test("malformed records quarantine and the parser resynchronizes") {
+    val good = Warc.buildRecord("WARC/1.0",
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://x/ok"),
+      "fine".getBytes(UTF_8))
+    // bad Content-Length (non-numeric), then garbage, then a good record
+    val bad = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "Content-Length: NOT_A_NUMBER\r\n\r\nxx\r\n\r\n").getBytes(UTF_8)
+    val leading = "not a warc file at all\r\n".getBytes(UTF_8)
+    val recs = Warc.parseBuffer("f", leading ++ bad ++ good)
+    val errs = recs.filter(_.error != null)
+    val oks = recs.filter(_.error == null)
+    assert(oks.length === 1 && oks.head.target_uri === "http://x/ok")
+    assert(errs.exists(_.error.contains("leading bytes")))
+    assert(errs.exists(_.error.contains("Content-Length")))
+    // quarantined ranges keep the raw bytes (dead-letter content)
+    assert(errs.forall(_.payload.nonEmpty))
+
+    // truncated payload at EOF
+    val trunc = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 100\r\n\r\nonly a few bytes").getBytes(UTF_8)
+    val t = Warc.parseBuffer("f", trunc)
+    assert(t.length === 1 && t.head.error.contains("truncated payload"))
+
+    // garbage gzip: one quarantine record for the file
+    val gz = Warc.gzip(good).take(10)
+    val g = Warc.parseFile("f", gz)
+    assert(g.length === 1 && g.head.error != null)
+  }
+
+  test("readWarcFiles: end-to-end over a planted directory") {
+    val dir = Files.createTempDirectory("warc_spec")
+    dir.toFile.deleteOnExit()
+    val f1 = Warc.buildRecord("WARC/1.0",
+      Seq("WARC-Type" -> "warcinfo"), "software: graft\r\n".getBytes(UTF_8)) ++
+      Warc.buildRecord("WARC/1.0",
+        Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://a/1"),
+        "alpha".getBytes(UTF_8))
+    val f2 = Warc.gzip(Warc.buildRecord("WARC/1.1",
+      Seq("WARC-Type" -> "conversion", "WARC-Target-URI" -> "http://b/2"),
+      "beta".getBytes(UTF_8)))
+    Files.write(dir.resolve("seg-00001.warc"), f1)
+    Files.write(dir.resolve("seg-00002.warc.gz"), f2)
+    val df = Warc.readWarcFiles(spark, dir.toString)
+    val rows = df.select(col("warc_type"), col("target_uri"),
+        col("content_length"), col("error"))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).orNull, r.getLong(2),
+        r.getString(3)))
+    assert(rows.length === 3)
+    assert(rows.forall(_._4 == null))
+    assert(rows.map(_._1).sorted.toSeq ===
+      Seq("conversion", "response", "warcinfo"))
+    assert(rows.find(_._1 == "response").get._2 === "http://a/1")
+    // payload digest survives the DataFrame hop bit-exactly
+    val dig = df.filter(col("target_uri") === "http://b/2")
+      .select(sha2(col("payload"), 256)).collect()(0).getString(0)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val want = md.digest("beta".getBytes(UTF_8))
+      .map(b => f"$b%02x").mkString
+    assert(dig === want)
+  }
+}
