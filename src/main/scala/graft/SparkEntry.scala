@@ -3399,6 +3399,45 @@ object SparkEntry {
           sha2(col("payload"), 256).as("payload_sha256"))
         .orderBy(asc_nulls_first("target_uri"), col("record_idx"))
     }),
+    // robots.txt TEXT parsing (RFC 9309): raw planted bodies → the
+    // (host, path_prefix, allow) rule table. The fixture exercises
+    // group selection by longest agent (src1), case-insensitive fields
+    // + merge of equally specific groups + conservative */$ folding
+    // (src2), blank-line/orphan-rule/empty-pattern edges (src3), and a
+    // rule-free body that must yield NO rows (src4). The oracle states
+    // the RFC-derived expectations as literals — adjudicating the
+    // parser against the spec, not a parallel implementation
+    "q_robots_rules" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.UrlOps.robotsRules(
+          robotsFixture.toDF("host", "text"), "host", "text", "graftbot")
+        .orderBy("host", "path_prefix")
+    }),
+    // the parsed rules composed straight into the urlPolicy gate over
+    // synthesized crawl URLs — the full text → rules → decision chain;
+    // the oracle recomputes the RFC precedence independently in SQL
+    // from the expected rule literals
+    "q_robots_policy" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.UrlOps
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com"),
+        when(col("doc_id") % 6 === 0, lit("/private/pub/p"))
+          .when(col("doc_id") % 6 === 1, lit("/private/p"))
+          .when(col("doc_id") % 6 === 2, lit("/gb/p"))
+          .when(col("doc_id") % 6 === 3, lit("/gb2/mid/p"))
+          .when(col("doc_id") % 6 === 4, lit("/a"))
+          .otherwise(lit("/b")),
+        col("doc_id").cast("string"))
+      val rules = UrlOps.robotsRules(
+        robotsFixture.toDF("host", "text"), "host", "text", "graftbot")
+      UrlOps.urlPolicy(
+          Tables.documents(s, dir).select(col("doc_id"), url.as("url")),
+          "url", rules)
+        .select(col("doc_id"), col("host"), col("path"), col("rule_len"),
+          col("allowed"))
+        .orderBy("doc_id")
+    }),
     "q_url_parts" -> ((s, dir) => {
       import graft.functions.UrlOps
       val url = concat(
@@ -3661,6 +3700,44 @@ object SparkEntry {
     * unrolled as chained CTEs r1..rK, each reading only its
     * predecessor — the same arithmetic (double constants included) as
     * [[Analytics.pageRank]], so the compare is tolerance-tight. */
+  /** Planted robots.txt bodies for q_robots_rules / q_robots_policy —
+    * each host exercises a different RFC 9309 surface (see the query
+    * comments). Kept as raw text: the PARSER is what's adjudicated. */
+  private val robotsFixture: Seq[(String, String)] = Seq(
+    ("src1.example.com",
+      "# site policy\nUser-agent: graftbot\nDisallow: /private/\n" +
+        "Allow: /private/pub/\n\nUser-agent: *\nDisallow: /\n"),
+    ("src2.example.com",
+      "USER-AGENT: *\nDISALLOW: /all/\n\nuser-agent: graft\n" +
+        "disallow: /g/\n\nUser-Agent: graftbot\nUser-Agent: otherbot\n" +
+        "Disallow: /gb/\nAllow: /gb/ok$\n\nUser-agent: GraftBot\n" +
+        "Disallow: /gb2/*/x\n"),
+    ("src3.example.com",
+      "Disallow: /orphan/\n\nUser-agent: specificbot\nDisallow: /s/\n\n" +
+        "User-agent: *\n\nDisallow:\nAllow: /a*\nDisallow: /b$\n" +
+        "Sitemap: https://src3.example.com/sitemap.xml\n"),
+    ("src4.example.com",
+      "# nothing restricted\nSitemap: https://src4.example.com/s.xml\n"))
+
+  /** The RFC-derived expected rule rows for [[robotsFixture]] under
+    * product token `graftbot` — hand-derived from RFC 9309, shared by
+    * both robots oracles so they cannot drift apart.
+    * (host, path_prefix, allow, from_pattern, widened). */
+  private val robotsExpectedRules: Seq[(String, String, Boolean, String, Boolean)] = Seq(
+    ("src1.example.com", "/private/", false, "/private/", false),
+    ("src1.example.com", "/private/pub/", true, "/private/pub/", false),
+    ("src2.example.com", "/gb/", false, "/gb/", false),
+    ("src2.example.com", "/gb2/", false, "/gb2/*/x", true),
+    ("src3.example.com", "/a", true, "/a*", false),
+    ("src3.example.com", "/b", false, "/b$", true))
+
+  private def robotsRulesOracleSql: String =
+    "SELECT * FROM (VALUES " + robotsExpectedRules.map {
+      case (h, p, a, f, w) => s"('$h', '$p', $a, '$f', $w)"
+    }.mkString(", ") +
+      ") t(host, path_prefix, allow, from_pattern, widened) " +
+      "ORDER BY host, path_prefix"
+
   /** Deterministic WARC fixture shared by q_warc_extract's file side
     * (serialized to tmpdir, read back through [[graft.sources.Warc]])
     * and its oracle (payload digests computed directly over the same
@@ -6001,6 +6078,49 @@ object SparkEntry {
     // expected rows as literals derived from the shared fixture bytes
     // (no file/parse path on the oracle side); see warcExtractOracleSql
     "q_warc_extract" -> warcExtractOracleSql,
+    // RFC-derived expected rules as literals (hand-derived from RFC
+    // 9309 — the parser is judged against the spec, not a twin parser)
+    "q_robots_rules" -> robotsRulesOracleSql,
+    // parsed-rules gate: DuckDB recomputes the longest-prefix /
+    // allow-wins precedence independently from the expected rule
+    // literals over the same synthesized URLs (q_url_policy skeleton)
+    "q_robots_policy" ->
+      ("""WITH u AS (SELECT doc_id,
+             'https://' || source || '.example.com' ||
+             (CASE CAST(doc_id % 6 AS INT)
+                WHEN 0 THEN '/private/pub/p' WHEN 1 THEN '/private/p'
+                WHEN 2 THEN '/gb/p' WHEN 3 THEN '/gb2/mid/p'
+                WHEN 4 THEN '/a' ELSE '/b' END) ||
+             CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+         p AS (SELECT doc_id,
+             lower(regexp_replace(regexp_extract(url,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)', 2),
+               ':[0-9]+$', '')) AS host,
+             CASE WHEN regexp_extract(url,
+                 '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)', 3) = ''
+               THEN '/'
+               ELSE regexp_extract(url,
+                 '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)', 3) END
+               AS path
+           FROM u),
+         r AS (SELECT host, path_prefix, allow FROM (VALUES """ +
+        robotsExpectedRules.map { case (h, p, a, _, _) =>
+          s"('$h', '$p', $a)" }.mkString(", ") +
+        """) t(host, path_prefix, allow)),
+         m AS (SELECT p.doc_id, len(r.path_prefix) AS l, r.allow,
+                 row_number() OVER (PARTITION BY p.doc_id
+                   ORDER BY len(r.path_prefix) DESC,
+                            CAST(r.allow AS INT) DESC) AS rn
+               FROM p JOIN r ON r.host = p.host
+                 AND substring(p.path, 1, len(r.path_prefix))
+                   = r.path_prefix)
+         SELECT p.doc_id, p.host, p.path,
+                CAST(coalesce(b.l, -1) AS INTEGER) AS rule_len,
+                coalesce(b.allow, true) AS allowed
+         FROM p LEFT JOIN (SELECT doc_id, l, allow FROM m WHERE rn = 1) b
+           USING (doc_id)
+         ORDER BY p.doc_id"""),
     "q_url_parts" ->
       """WITH u AS (SELECT doc_id,
              (CASE WHEN doc_id % 7 = 0 THEN 'http://' ELSE 'https://' END) ||

@@ -129,6 +129,101 @@ object UrlOps {
       .drop("__h", "__rules", "__best")
   }
 
+  /** Parse raw robots.txt TEXTS into the (host, path_prefix, allow)
+    * rule table [[urlPolicy]] consumes — the missing front half of the
+    * crawl-policy gate (a production run fetches robots bodies; it
+    * does not receive a pre-built rule table). RFC 9309 semantics:
+    *
+    *  - lines are `field: value`, `#` comments stripped, fields
+    *    case-insensitive; unknown fields (Sitemap, Crawl-delay) are
+    *    skipped and blank lines never terminate a group (RFC 9309
+    *    §2.2 — groups end only at the next user-agent line);
+    *  - consecutive `User-agent` lines accumulate into ONE group's
+    *    agent set; the first allow/disallow closes accumulation;
+    *  - group selection: case-insensitive LONGEST-AGENT match — an
+    *    agent matches when it equals `*` (specificity 0) or is a
+    *    prefix of the crawler's product token (specificity = agent
+    *    length, the reference-implementation rule); every group at
+    *    the per-host maximum specificity is selected and their rules
+    *    MERGE (RFC 9309 §2.2.1);
+    *  - rules with an empty pattern carry no restriction and rules
+    *    before any user-agent line belong to no group: both dropped;
+    *  - hosts whose text yields no selected rules are absent from the
+    *    output — [[urlPolicy]] default-allows them (RFC §2.3.1.4).
+    *
+    * Wildcard folding — the documented CONSERVATIVE literal-prefix
+    * subset of `*`/`$` (RFC 9309 §2.2.3): a trailing `*` is exactly
+    * prefix semantics and is stripped (as is the prefix-equivalent
+    * `*$` tail); a DISALLOW with an interior `*` or exact-match `$`
+    * folds to the prefix before the wildcard — it may over-BLOCK,
+    * never under-block — while an ALLOW that folding would WIDEN is
+    * dropped outright (a widened allow carve-out would over-crawl).
+    * A curation pipeline erring on the side of discarding documents
+    * is correct; one erring toward fetching disallowed content is not.
+    *
+    * Scale: one posexplode over robots bodies (RFC caps a body at
+    * 500 KiB, so per-host line counts are bounded), per-HOST windows
+    * for group numbering (host-keyed shuffle — millions of hosts
+    * partition evenly), two bounded aggregations. Output:
+    * (host, path_prefix, allow, from_pattern, widened). */
+  def robotsRules(robots: org.apache.spark.sql.DataFrame, hostCol: String,
+      textCol: String, userAgent: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val token = userAgent.toLowerCase(java.util.Locale.ROOT)
+    require(token.nonEmpty && !token.contains("*"),
+      s"need a concrete product token, got '$userAgent'")
+    val lines = robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(textCol), "\r?\n")).as(Seq("line_no", "raw")))
+      .select(col("host"), col("line_no"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(col("line") =!= "")
+      .select(col("host"), col("line_no"),
+        lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))).as("field"),
+        trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("value"))
+      .filter(col("field").isin("user-agent", "allow", "disallow"))
+    val wHost = Window.partitionBy("host").orderBy("line_no")
+    val grouped = lines
+      .withColumn("__prev", lag(col("field"), 1).over(wHost))
+      .withColumn("__newgrp",
+        when(col("field") === "user-agent" &&
+          (col("__prev").isNull || col("__prev") =!= "user-agent"), 1)
+          .otherwise(0))
+      .withColumn("grp", sum(col("__newgrp")).over(
+        wHost.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("grp") >= 1) // rules before any user-agent line: no group
+    val agentSpec = grouped.filter(col("field") === "user-agent")
+      .withColumn("__agent", lower(col("value")))
+      .withColumn("__spec",
+        when(col("__agent") === "*", 0)
+          .when(lit(token).startsWith(col("__agent")),
+            length(col("__agent")).cast("int"))
+          .otherwise(lit(null).cast("int")))
+      .groupBy("host", "grp").agg(max(col("__spec")).as("grp_spec"))
+      .filter(col("grp_spec").isNotNull)
+    val best = agentSpec.groupBy("host")
+      .agg(max(col("grp_spec")).as("best_spec"))
+    val selected = agentSpec.join(best, Seq("host"))
+      .filter(col("grp_spec") === col("best_spec"))
+      .select("host", "grp")
+    grouped.filter(col("field").isin("allow", "disallow"))
+      .join(selected, Seq("host", "grp"))
+      .filter(col("value") =!= "")
+      .select(col("host"), col("value").as("from_pattern"),
+        (col("field") === "allow").as("allow"))
+      // conservative literal-prefix fold of */$ (see scaladoc)
+      .withColumn("__dollar", col("from_pattern").endsWith("$"))
+      .withColumn("__d1", regexp_replace(col("from_pattern"), "\\$$", ""))
+      .withColumn("__starTail", col("__d1").rlike("\\*$"))
+      .withColumn("__d2", regexp_replace(col("__d1"), "\\*+$", ""))
+      .withColumn("path_prefix", regexp_extract(col("__d2"), "^([^*]*)", 1))
+      .withColumn("widened",
+        (col("__dollar") && !col("__starTail")) ||
+          col("path_prefix") =!= col("__d2"))
+      .filter(col("allow") === false || !col("widened"))
+      .select("host", "path_prefix", "allow", "from_pattern", "widened")
+  }
+
   /** Remove utm_* / gclid / fbclid query parameters while preserving the
     * rest of the query string, in three RE2-safe passes:
     *  1. drop `&tracking=...` (non-leading params),

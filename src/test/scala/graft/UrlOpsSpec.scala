@@ -97,4 +97,99 @@ class UrlOpsSpec extends SparkSpec {
       assert(eval(bad, UrlOps.canonical) === "")
     }
   }
+
+  private def rules(host: String, text: String, agent: String = "graftbot") =
+    UrlOps.robotsRules(Seq((host, text)).toDF("host", "text"),
+        "host", "text", agent)
+      .select("path_prefix", "allow").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).sortBy(_._1).toSeq
+
+  test("robotsRules: group selection picks the longest matching agent") {
+    val txt = """# policy
+      |User-agent: graftbot
+      |Disallow: /private/
+      |Allow: /private/pub/
+      |
+      |User-agent: *
+      |Disallow: /
+      |""".stripMargin
+    assert(rules("h", txt) ===
+      Seq(("/private/", false), ("/private/pub/", true)))
+    // an unrelated token falls through to the * group
+    assert(rules("h", txt, agent = "otherbot") === Seq(("/", false)))
+  }
+
+  test("robotsRules: case-insensitive fields, merge of equally specific groups") {
+    val txt = """USER-AGENT: *
+      |DISALLOW: /all/
+      |user-agent: graft
+      |disallow: /g/
+      |User-Agent: graftbot
+      |User-Agent: otherbot
+      |Disallow: /gb/
+      |User-agent: GraftBot
+      |Disallow: /gb2/
+      |""".stripMargin
+    // both spec-8 groups merge; the spec-5 "graft" and spec-0 * lose
+    assert(rules("h", txt) === Seq(("/gb/", false), ("/gb2/", false)))
+    // shared-group membership: otherbot gets the same merged... no —
+    // otherbot's best is the exact spec-8 group only
+    assert(rules("h", txt, agent = "otherbot") === Seq(("/gb/", false)))
+  }
+
+  test("robotsRules: blank lines don't end groups; orphan rules dropped; empty pattern = no rule") {
+    val txt = """Disallow: /orphan/
+      |
+      |User-agent: specificbot
+      |Disallow: /s/
+      |
+      |User-agent: *
+      |
+      |Disallow:
+      |Allow: /a*
+      |Disallow: /b$
+      |Sitemap: https://h/sitemap.xml
+      |""".stripMargin
+    // graftbot selects *: empty Disallow dropped, trailing * is plain
+    // prefix, $-exact disallow folds conservatively to the prefix
+    assert(rules("h", txt) === Seq(("/a", true), ("/b", false)))
+  }
+
+  test("robotsRules: conservative wildcard folding") {
+    val txt = """User-agent: graftbot
+      |Disallow: /x/*/secret
+      |Disallow: /exact$
+      |Allow: /ok/*
+      |Allow: /widened/*/deep
+      |Allow: /alsoexact$
+      |Allow: /pfx*$
+      |""".stripMargin
+    // disallows fold (over-block); widened allows are dropped; the
+    // prefix-equivalent tails * and *$ survive on allows
+    assert(rules("h", txt) === Seq(
+      ("/exact", false), ("/ok/", true), ("/pfx", true), ("/x/", false)))
+    val widened = UrlOps.robotsRules(
+        Seq(("h", txt)).toDF("host", "text"), "host", "text", "graftbot")
+      .filter(col("widened")).select("from_pattern").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(widened === Seq("/exact$", "/x/*/secret"))
+  }
+
+  test("robotsRules composes with urlPolicy (parsed rules gate URLs)") {
+    val robots = Seq(
+      ("src1.example.com", "User-agent: graftbot\nDisallow: /private/\nAllow: /private/pub/"),
+      ("src2.example.com", "User-agent: *\nDisallow: /")).toDF("host", "text")
+    val r = UrlOps.robotsRules(robots, "host", "text", "graftbot")
+    val urls = Seq(
+      (1L, "https://src1.example.com/private/x"),
+      (2L, "https://src1.example.com/private/pub/x"),
+      (3L, "https://src1.example.com/open/x"),
+      (4L, "https://src2.example.com/anything"),
+      (5L, "https://unknown.example.com/x")).toDF("id", "url")
+    val out = UrlOps.urlPolicy(urls, "url", r)
+      .select("id", "allowed").collect()
+      .map(x => x.getLong(0) -> x.getBoolean(1)).toMap
+    assert(out === Map(1L -> false, 2L -> true, 3L -> true,
+      4L -> false, 5L -> true))
+  }
 }
