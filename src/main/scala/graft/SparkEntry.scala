@@ -1968,6 +1968,19 @@ object SparkEntry {
           "doc_id", TextAnalysis.tokenCount(col("text")),
           capacity = 96, eosTokens = 1, blockDocs = 128)
         .orderBy("doc_id")),
+    // the end product a training run reads: FFD windows (same config
+    // as q_sequence_packing) + the epoch-1 reproducible window order,
+    // one row per window with its docs in pack-insertion order as a
+    // comma list (engine-portable, hash-stable), token fill, and epoch
+    // position. Windows-sized aggregation + bucketed epoch ranks — no
+    // corpus-wide sort
+    "q_epoch_manifest" -> ((s, dir) =>
+      Scale.epochManifest(
+          Tables.documents(s, dir)
+            .filter(col("text").isNotNull && length(trim(col("text"))) > 0),
+          "doc_id", TextAnalysis.tokenCount(col("text")),
+          capacity = 96, epochs = Seq(1), eosTokens = 1, blockDocs = 128)
+        .orderBy("ord_e1")),
     // the packing priced as one row: loader-planning efficiency read
     // (windows, tokens, padded waste, truncations) — q_length_batches'
     // padding_waste axis applied to the FFD layout
@@ -3139,6 +3152,55 @@ object SparkEntry {
         size(split(trim(col("text")), "\\s+")).cast("long"),
         budgetPerSource = 3000L)
         .orderBy("doc_id")),
+    // measurement → loader manifest in ONE chain: recommended
+    // per-source weights = quality-scaled temperature rates
+    // (floor(p_temp·10⁶) × per-source mean classifier score, all-
+    // integer after the portable sqrt-chain doubles, floored at 1 so
+    // the plan stays total) feeding matchMixture (kept/rate),
+    // tokenBudgetPlan (targets), and the per-source budgetFillPlan
+    // rollup. Every column BIGINT except none — the whole row is
+    // integer-exact. The scan-heavy stages (classifier scoring, token
+    // counts) each run once; weights are registry-sized and reused
+    // across the three plan stages via one materialization
+    "q_recommended_mixture" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      val clf = TextAnalysis.classifierApplyTable(docs, "doc_id", "text",
+        TextAnalysis.classifierFixtureWeights(s, 512), buckets = 512)
+      val prof = docs.select(col("doc_id"), col("source"))
+        .join(clf, Seq("doc_id"))
+        .groupBy("source").agg(sum(col("score_sum")).as("sum_score"))
+      val weights = Scale.temperatureRates(docs, "source",
+          alphaQuarters = 3)
+        .join(prof, Seq("source"))
+        .select(col("source"), col("n").as("n_docs"),
+          expr("greatest(CAST(1 AS BIGINT), " +
+            "(CAST(floor(p_temp * 1000000) AS BIGINT) * " +
+            "greatest(sum_score, CAST(0 AS BIGINT))) div n)").as("w"))
+        .materialized
+      val mm = Scale.matchMixture(docs, "source", weights)
+        .select(col("source"), col("kept"), col("rate_micro"))
+      val tbp = Scale.tokenBudgetPlan(docs, "source", "text",
+        weights.select(col("source"), col("w").as("w_parts")),
+        budgetTokens = 1000000L)
+      val fill = Scale.budgetFillPlan(docs, "source", "doc_id",
+        TextAnalysis.tokenCount(col("text")).cast("long"),
+        tbp.select(col("source"),
+          col("target_tokens").as("budget_tokens")))
+      val fillAgg = fill.filter(col("keep")).groupBy("source")
+        .agg(count(lit(1)).as("fill_docs"),
+          sum(col("n_tokens")).as("fill_tokens"))
+      weights.join(mm, Seq("source"))
+        .join(tbp.select("source", "n_tokens", "target_tokens",
+          "epochs_micro"), Seq("source"))
+        .join(fillAgg, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("w"), col("kept"),
+          col("rate_micro"), col("n_tokens"), col("target_tokens"),
+          col("epochs_micro"),
+          coalesce(col("fill_docs"), lit(0L)).as("fill_docs"),
+          coalesce(col("fill_tokens"), lit(0L)).as("fill_tokens"))
+        .orderBy("source")
+    }),
     // corpus-version vocabulary drift: PSI over hashed-token buckets
     // between the even- and odd-id halves (two releases of one corpus)
     // — bucket state bounded at 256 for open vocabularies; the text
@@ -5648,6 +5710,85 @@ object SparkEntry {
          SELECT doc_id, source, n_tokens, fill_rank, cum_tokens,
                 cum_tokens <= 3000 AS keep
          FROM r ORDER BY doc_id""",
+    // the full measurement→manifest chain: classifier CTEs → per-source
+    // profile → portable sqrt-chain temperature → integer weight →
+    // mixture match / token plan / hash-order fill, composed as CTEs.
+    // Every output column BIGINT; the only doubles live inside the
+    // floor() of the already-oracle-validated temperature chain
+    "q_recommended_mixture" ->
+      (classifierApplyCtes(512) +
+        """, prof AS (SELECT d.source,
+                 CAST(sum(sc.score_sum) AS BIGINT) AS sum_score
+               FROM documents d JOIN sc ON sc.doc_id = d.doc_id
+               GROUP BY 1),
+         c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents
+               WHERE text IS NOT NULL AND length(trim(text)) > 0
+               GROUP BY 1),
+         tn AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_tot FROM c),
+         s0 AS (SELECT source, n_docs,
+                  sqrt(CAST(n_docs AS DOUBLE) / n_tot) *
+                    sqrt(sqrt(CAST(n_docs AS DOUBLE) / n_tot)) AS q
+                FROM c CROSS JOIN tn),
+         z AS (SELECT sum(q) AS z_tot FROM s0),
+         w AS (SELECT s0.source, s0.n_docs,
+                 greatest(CAST(1 AS BIGINT),
+                   (CAST(floor(q / z_tot * 1000000) AS BIGINT) *
+                     greatest(prof.sum_score, CAST(0 AS BIGINT)))
+                     // s0.n_docs) AS w
+               FROM s0 CROSS JOIN z
+               JOIN prof ON prof.source = s0.source),
+         k AS (SELECT a.source,
+                 CAST(min((b.n_docs * a.w) // b.w) AS BIGINT) AS kept
+               FROM w a CROSS JOIN w b GROUP BY 1),
+         rm AS (SELECT w.source, k.kept,
+                  CAST((CAST(1000000 AS BIGINT) * k.kept) // w.n_docs
+                    AS BIGINT) AS rate_micro
+                FROM w JOIN k USING (source)),
+         tc AS (SELECT source,
+                  CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                    AS BIGINT) AS n_tokens
+                FROM documents
+                WHERE text IS NOT NULL AND length(trim(text)) > 0
+                GROUP BY 1),
+         parts AS (SELECT CAST(sum(w) AS BIGINT) AS p FROM w),
+         tp AS (SELECT tc.source, tc.n_tokens,
+                  CAST((CAST(1000000 AS BIGINT) * w.w) // parts.p
+                    AS BIGINT) AS target_tokens
+                FROM tc JOIN w USING (source) CROSS JOIN parts),
+         tp2 AS (SELECT source, n_tokens, target_tokens,
+                  CAST(target_tokens * CAST(1000000 AS BIGINT)
+                    // n_tokens AS BIGINT) AS epochs_micro
+                 FROM tp),
+         fh AS (SELECT doc_id, source,
+                  CAST(len(string_split_regex(trim(text), '\s+'))
+                    AS BIGINT) AS n_toks,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(
+                      substring(sha256(CAST(doc_id AS VARCHAR)), 1, 13), ''),
+                      x -> CAST(instr('0123456789abcdef', x) - 1
+                        AS BIGINT))),
+                    (acc, x) -> acc * 16 + x) AS h
+                FROM documents
+                WHERE text IS NOT NULL AND length(trim(text)) > 0),
+         fr AS (SELECT doc_id, source, n_toks,
+                  CAST(sum(n_toks) OVER (PARTITION BY source
+                    ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+                FROM fh),
+         fa AS (SELECT fr.source, CAST(count(*) AS BIGINT) AS fill_docs,
+                  CAST(sum(fr.n_toks) AS BIGINT) AS fill_tokens
+                FROM fr JOIN tp2 ON tp2.source = fr.source
+                  AND fr.cum <= tp2.target_tokens
+                GROUP BY 1)
+         SELECT w.source, w.n_docs, w.w, rm.kept, rm.rate_micro,
+                tp2.n_tokens, tp2.target_tokens, tp2.epochs_micro,
+                coalesce(fa.fill_docs, CAST(0 AS BIGINT)) AS fill_docs,
+                coalesce(fa.fill_tokens, CAST(0 AS BIGINT)) AS fill_tokens
+         FROM w JOIN rm USING (source) JOIN tp2 USING (source)
+         LEFT JOIN fa USING (source)
+         ORDER BY w.source"""),
     // hashed-token PSI between corpus halves; smoothing keeps ln total,
     // term sums under the driver's float tolerance
     "q_token_drift" ->
@@ -7846,6 +7987,29 @@ object SparkEntry {
         """ SELECT doc_id, n AS n_tokens, truncated, block, bin,
                 block * 128 + bin AS window_id
          FROM s ORDER BY doc_id"""),
+    // FFD CTEs + per-window rollup (docs as an ORDER BY'd string_agg —
+    // the pack-insertion order) + the sha52 epoch-1 rank over windows
+    "q_epoch_manifest" ->
+      (s"WITH RECURSIVE $ffdPackCtes" +
+        """, w AS (SELECT block * 128 + bin AS window_id,
+                  CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n) AS BIGINT) AS fill_tokens,
+                  string_agg(CAST(doc_id AS VARCHAR), ','
+                    ORDER BY n DESC, doc_id) AS doc_list
+               FROM s GROUP BY 1),
+         he AS (SELECT window_id, n_docs, fill_tokens, doc_list,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(
+                      substring(sha256('1:' ||
+                        CAST(window_id AS VARCHAR)), 1, 13), ''),
+                      x -> CAST(instr('0123456789abcdef', x) - 1
+                        AS BIGINT))),
+                    (acc, x) -> acc * 16 + x) AS h1
+                FROM w)
+         SELECT window_id, n_docs, fill_tokens, doc_list,
+                CAST(row_number() OVER (ORDER BY h1, window_id)
+                  AS BIGINT) AS ord_e1
+         FROM he ORDER BY ord_e1"""),
     // the packing priced: windows, packed tokens, padded waste
     // (capacity·windows − tokens), docs, truncations — all BIGINT, the
     // single-row efficiency read next to q_length_batches'

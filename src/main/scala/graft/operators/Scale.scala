@@ -1044,6 +1044,40 @@ object Scale {
     }.reduce(_.join(_, Seq(idCol)))
   }
 
+  /** Per-epoch dataloader MANIFEST — the artifact a training run
+    * actually reads: [[ffdPack]] windows (whole-doc FFD into fixed
+    * `capacity`-token contexts) crossed with [[epochShuffle]]'s
+    * reproducible per-epoch window order. One row per window:
+    * its docs in pack-insertion order (FFD rank order: tokens desc,
+    * id asc — joined to a comma list so the row is engine-portable and
+    * hash-stable), the token fill, and one `ord_e<N>` position per
+    * requested epoch. A loader seeks epoch e's window stream by
+    * ordering on ord_e<N>; re-running any engine reproduces the byte-
+    * identical manifest.
+    *
+    * Scale: ffdPack's block-local packing + a per-window aggregation
+    * (windows ≈ docs/avg-fill rows) + the bucketed epoch ranks — no
+    * corpus-wide single-partition sort anywhere.
+    * Output: (window_id, n_docs, fill_tokens, doc_list, ord_e<N>...). */
+  def epochManifest(df: DataFrame, idCol: String, tokenCount: Column,
+      capacity: Int, epochs: Seq[Int], eosTokens: Int = 1,
+      blockDocs: Int = 512): DataFrame = {
+    val packed = ffdPack(df, idCol, tokenCount, capacity, eosTokens,
+      blockDocs)
+    val windows = packed.groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("fill_tokens"),
+        concat_ws(",", transform(
+          sort_array(collect_list(struct((-col("n_tokens")).as("o"),
+            col(idCol).cast("long").as("i")))),
+          x => x.getField("i").cast("string"))).as("doc_list"))
+    val orders = epochShuffle(windows.select("window_id"), "window_id",
+      epochs)
+    windows.join(orders, Seq("window_id"))
+      .select(col("window_id") +: col("n_docs") +: col("fill_tokens") +:
+        col("doc_list") +: epochs.map(e => col(s"ord_e$e")): _*)
+  }
+
   /** Subsample plan that MATCHES a target mixture (the "reproduce the
     * published dataset weights" knob, vs [[headCapRates]]' flattening):
     * given per-source target weights w_s, the largest corpus whose
@@ -1123,6 +1157,39 @@ object Scale {
       buckets: Int = 64): DataFrame = {
     require(budgetPerSource >= 0,
       s"need a non-negative budget, got $budgetPerSource")
+    fillRanked(df, sourceCol, idCol, tokenCount, buckets)
+      .withColumn("keep", col("cum_tokens") <= budgetPerSource)
+  }
+
+  /** [[budgetFill]] with PER-SOURCE budgets — the form the full
+    * mixture chain needs ([[tokenBudgetPlan]]'s target_tokens differ
+    * by source). `budgets` must carry (`sourceCol`, budget_tokens);
+    * it is registry-sized and broadcast. Sources absent from
+    * `budgets` get budget 0 (ranked, kept = false) — the plan stays
+    * total over the corpus. Same bucketed two-level prefix and output
+    * shape as [[budgetFill]]. */
+  def budgetFillPlan(df: DataFrame, sourceCol: String, idCol: String,
+      tokenCount: Column, budgets: DataFrame,
+      buckets: Int = 64): DataFrame = {
+    require(Set(sourceCol, "budget_tokens").subsetOf(budgets.columns.toSet),
+      s"budgets needs ($sourceCol, budget_tokens), got " +
+        budgets.columns.mkString(", "))
+    fillRanked(df, sourceCol, idCol, tokenCount, buckets)
+      .join(broadcast(budgets.select(col(sourceCol),
+        col("budget_tokens").cast("long").as("__budget"))),
+        Seq(sourceCol), "left")
+      .withColumn("keep",
+        col("cum_tokens") <= coalesce(col("__budget"), lit(0L)))
+      .select(col(idCol), col(sourceCol), col("n_tokens"),
+        col("fill_rank"), col("cum_tokens"), col("keep"))
+  }
+
+  /** Shared core of [[budgetFill]] / [[budgetFillPlan]]: hash order,
+    * per-source rank and inclusive running token sum via the bucketed
+    * two-level prefix. Output: (idCol, sourceCol, n_tokens, fill_rank,
+    * cum_tokens). */
+  private def fillRanked(df: DataFrame, sourceCol: String, idCol: String,
+      tokenCount: Column, buckets: Int): DataFrame = {
     require(buckets >= 1, s"need buckets >= 1, got $buckets")
     val base = df.select(col(idCol), col(sourceCol),
       tokenCount.cast("long").as("n_tokens"),
@@ -1168,7 +1235,6 @@ object Scale {
           lit(null).cast("long"))
           .otherwise(col("__coff") + coalesce(col("__cl"), lit(0L)))
           .as("cum_tokens"))
-      .withColumn("keep", col("cum_tokens") <= budgetPerSource)
   }
 
   /** Global rank binning: each row gets its quantile bin (1..nBins,

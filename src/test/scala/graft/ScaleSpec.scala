@@ -918,6 +918,58 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("budgetFillPlan: per-source budgets; absent source keeps nothing") {
+    val docs = Seq(
+      (1L, "A", 10L), (2L, "A", 10L), (3L, "A", 10L),
+      (4L, "B", 20L), (5L, "C", 5L)).toDF("id", "src", "toks")
+    val budgets = Seq(("A", 25L), ("B", 20L)).toDF("src", "budget_tokens")
+    val out = Scale.budgetFillPlan(docs, "src", "id", col("toks"), budgets)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getBoolean(5)))
+    // A: 2 of 3 docs fit the 25-token budget; B: exact fit; C: no
+    // budget row -> ranked but kept=false
+    assert(out.filter(_._2 == "A").count(_._4) === 2)
+    assert(out.filter(_._2 == "B").map(_._4).toSeq === Seq(true))
+    assert(out.filter(_._2 == "C").map(_._4).toSeq === Seq(false))
+    assert(out.filter(_._2 == "C").map(_._3).toSeq === Seq(1L)) // still ranked
+    // flat-budget equivalence: budgetFillPlan with a constant budget
+    // table == budgetFill with that constant
+    val flatB = Seq(("A", 25L), ("B", 25L), ("C", 25L))
+      .toDF("src", "budget_tokens")
+    val a = Scale.budgetFillPlan(docs, "src", "id", col("toks"), flatB)
+      .collect().map(r => (r.getLong(0), r.getBoolean(5))).sortBy(_._1)
+    val b = Scale.budgetFill(docs, "src", "id", col("toks"), 25L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(5))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("epochManifest: windows partition the docs; deterministic across partitionings") {
+    val docs = (1L to 300L)
+      .map(i => (i, ((i * 2654435761L) % 40 + 1).toString))
+      .map { case (i, n) => (i, ("w " * n.toInt).trim) }
+      .toDF("doc_id", "text")
+    def run(parts: Int) =
+      Scale.epochManifest(docs.repartition(parts), "doc_id",
+          size(split(col("text"), " ")).cast("long"),
+          capacity = 64, epochs = Seq(1, 2), eosTokens = 1, blockDocs = 32)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getLong(4), r.getLong(5)))
+        .sortBy(_._1)
+    val one = run(1)
+    assert(run(7).toSeq === one.toSeq, "manifest depends on partitioning")
+    // every doc appears in exactly one window's list
+    val all = one.flatMap(_._4.split(",")).map(_.toLong)
+    assert(all.sorted.toSeq === (1L to 300L))
+    assert(one.map(_._2).sum === 300L)
+    // fills respect capacity and equal the doc-list token sums + eos
+    assert(one.forall(_._3 <= 64L))
+    // both epoch orders are permutations of the windows and differ
+    assert(one.map(_._5).sorted.toSeq === (1L to one.length))
+    assert(one.map(_._6).sorted.toSeq === (1L to one.length))
+    assert(one.count(w => w._5 == w._6) < one.length / 2)
+  }
+
   test("matchMixture fails loudly on uncovered sources and w <= 0") {
     val docs = Seq((1L, "a"), (2L, "b")).toDF("id", "src")
     def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
