@@ -3440,26 +3440,24 @@ object SparkEntry {
     // adjudicated on record count, per-record target URI, and payload
     // sha256 — the digest only matches if the Content-Length slice
     // recovered the exact payload bytes through the codec
-    "q_warc_extract" -> ((s, dir) => {
-      val recs = warcFixture
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_warc_" + dir.replaceAll("[^0-9a-zA-Z]+", "_"))
-      tmp.mkdirs()
-      def rec(t: (String, String, Array[Byte])): Array[Byte] =
-        graft.sources.Warc.buildRecord("WARC/1.0",
-          Seq("WARC-Type" -> t._1) ++
-            Option(t._2).map("WARC-Target-URI" -> _).toSeq ++
-            Seq("WARC-Date" -> "2026-08-15T00:00:00Z"), t._3)
-      val plain = recs.take(7).map(rec).reduce(_ ++ _)
-      val gz = recs.drop(7).map(r => graft.sources.Warc.gzip(rec(r)))
-        .reduce(_ ++ _)
-      java.nio.file.Files.write(tmp.toPath.resolve("seg-00000.warc"), plain)
-      java.nio.file.Files.write(tmp.toPath.resolve("seg-00001.warc.gz"), gz)
-      graft.sources.Warc.readWarcFiles(s, tmp.getAbsolutePath)
+    "q_warc_extract" -> ((s, dir) =>
+      graft.sources.Warc.readWarcFiles(s, warcFixtureDir(dir))
         .select(col("record_idx"), col("warc_type"), col("target_uri"),
           col("content_length"),
           sha2(col("payload"), 256).as("payload_sha256"))
-        .orderBy(asc_nulls_first("target_uri"), col("record_idx"))
+        .orderBy(asc_nulls_first("target_uri"), col("record_idx"))),
+    // crawl bytes → curation-tier text in one hop: documentsFrame over
+    // the same fixture segment recovers the HTTP body (after the first
+    // CRLF CRLF) from response records and the plain WET payload from
+    // conversion records; adjudicated on per-URL char/token counts and
+    // the body sha256 (a mis-sliced body fails the digest)
+    "q_wet_text" -> ((s, dir) => {
+      val txt = graft.sources.Warc.documentsFrame(
+        graft.sources.Warc.readWarcFiles(s, warcFixtureDir(dir)))
+      txt.select(col("url"), length(col("text")).cast("long").as("n_chars"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          sha2(col("text"), 256).as("body_sha256"))
+        .orderBy("url")
     }),
     // robots.txt TEXT parsing (RFC 9309): raw planted bodies → the
     // (host, path_prefix, allow) rule table. The fixture exercises
@@ -3807,18 +3805,62 @@ object SparkEntry {
     * Content-Length slice → digest. Payloads embed CRLF CRLF and
     * multi-byte UTF-8 so delimiter-scanning or charset-lossy parsing
     * fails the hash. (warc_type, target_uri, payload). */
-  private def warcFixture: Seq[(String, String, Array[Byte])] = {
+  private def warcFixture: Seq[(Int, String, String, Array[Byte])] = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
-    val info = ("warcinfo", null: String,
+    val info = (0, "warcinfo", null: String,
       "software: graft-fixture/1.0\r\nformat: WARC/1.0\r\n".getBytes(utf8))
+    // responses: HTTP message payloads (headers + CRLF CRLF + body)
     val pages = (0 until 12).map { i =>
       val body = s"HTTP/1.1 200 OK\r\nX-Doc: $i\r\n\r\n" +
         s"<html><body>doc $i é世 " + ("lorem ipsum " * (i + 1)) +
         "</body></html>"
-      ("response", f"http://warc.example.com/page/$i%02d",
-        body.getBytes(utf8))
+      (if (i < 6) 0 else 1, "response",
+        f"http://warc.example.com/page/$i%02d", body.getBytes(utf8))
     }
-    info +: pages
+    // WET conversion records: plain-text payloads (file 2, .wet.gz)
+    val wets = (0 until 4).map { i =>
+      (2, "conversion", f"http://warc.example.com/wet/$i%02d",
+        (s"doc $i é世 " + ("lorem ipsum " * (i + 1))).trim.getBytes(utf8))
+    }
+    (info +: pages) ++ wets
+  }
+
+  /** Serialize [[warcFixture]] into its three-file crawl segment
+    * (plain .warc, multi-member .warc.gz, single-member .wet.gz) under
+    * tmpdir, keyed by the fixture dir so SFs don't collide; returns
+    * the directory path. Shared by q_warc_extract and q_wet_text. */
+  private def warcFixtureDir(dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_warc_" + dir.replaceAll("[^0-9a-zA-Z]+", "_"))
+    tmp.mkdirs()
+    def rec(t: (Int, String, String, Array[Byte])): Array[Byte] =
+      graft.sources.Warc.buildRecord("WARC/1.0",
+        Seq("WARC-Type" -> t._2) ++
+          Option(t._3).map("WARC-Target-URI" -> _).toSeq ++
+          Seq("WARC-Date" -> "2026-08-15T00:00:00Z"), t._4)
+    def ofFile(k: Int): Seq[Array[Byte]] =
+      warcFixture.filter(_._1 == k).map(rec)
+    java.nio.file.Files.write(tmp.toPath.resolve("seg-00000.warc"),
+      ofFile(0).reduce(_ ++ _))
+    java.nio.file.Files.write(tmp.toPath.resolve("seg-00001.warc.gz"),
+      ofFile(1).map(graft.sources.Warc.gzip).reduce(_ ++ _))
+    java.nio.file.Files.write(tmp.toPath.resolve("seg-00002.wet.gz"),
+      graft.sources.Warc.gzip(ofFile(2).reduce(_ ++ _)))
+    tmp.getAbsolutePath
+  }
+
+  /** The HTTP/WET body text [[graft.sources.Warc.documentsFrame]] must
+    * recover for each fixture record — responses: after the first
+    * CRLF CRLF; conversions: the whole payload. */
+  private def warcFixtureBodies: Seq[(String, String)] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    warcFixture.collect {
+      case (_, "response", uri, payload) =>
+        val s = new String(payload, utf8)
+        (uri, s.substring(s.indexOf("\r\n\r\n") + 4))
+      case (_, "conversion", uri, payload) =>
+        (uri, new String(payload, utf8))
+    }
   }
 
   /** VALUES-literal oracle for q_warc_extract: expected rows derived
@@ -3829,15 +3871,31 @@ object SparkEntry {
   private def warcExtractOracleSql: String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
-    val rows = warcFixture.zipWithIndex.map { case ((t, uri, payload), i) =>
-      val idx = if (i < 7) i else i - 7
-      val u = if (uri == null) "CAST(NULL AS VARCHAR)" else s"'$uri'"
-      s"(CAST($idx AS BIGINT), '$t', $u, " +
-        s"CAST(${payload.length} AS BIGINT), '${hex(md.digest(payload))}')"
+    val rows = warcFixture.groupBy(_._1).toSeq.flatMap { case (_, recs) =>
+      recs.zipWithIndex.map { case ((_, t, uri, payload), idx) =>
+        val u = if (uri == null) "CAST(NULL AS VARCHAR)" else s"'$uri'"
+        s"(CAST($idx AS BIGINT), '$t', $u, " +
+          s"CAST(${payload.length} AS BIGINT), '${hex(md.digest(payload))}')"
+      }
     }
     "SELECT * FROM (VALUES " + rows.mkString(", ") +
       ") t(record_idx, warc_type, target_uri, content_length, " +
       "payload_sha256) ORDER BY target_uri NULLS FIRST, record_idx"
+  }
+
+  /** VALUES-literal oracle for q_wet_text: per-record recovered body
+    * text stats + digest, computed straight from [[warcFixtureBodies]]
+    * (no file/parse/slice path on the oracle side). */
+  private def wetTextOracleSql: String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+    val rows = warcFixtureBodies.map { case (uri, body) =>
+      val toks = body.trim.split("\\s+").length
+      s"('$uri', CAST(${body.length} AS BIGINT), CAST($toks AS BIGINT), " +
+        s"'${hex(md.digest(body.getBytes(java.nio.charset.StandardCharsets.UTF_8)))}')"
+    }
+    "SELECT * FROM (VALUES " + rows.mkString(", ") +
+      ") t(url, n_chars, n_tokens, body_sha256) ORDER BY url"
   }
 
   private def pageRankOracleSql(iters: Int): String = {
@@ -6219,6 +6277,8 @@ object SparkEntry {
     // expected rows as literals derived from the shared fixture bytes
     // (no file/parse path on the oracle side); see warcExtractOracleSql
     "q_warc_extract" -> warcExtractOracleSql,
+    // recovered body text stats straight from the fixture bytes
+    "q_wet_text" -> wetTextOracleSql,
     // RFC-derived expected rules as literals (hand-derived from RFC
     // 9309 — the parser is judged against the spec, not a twin parser)
     "q_robots_rules" -> robotsRulesOracleSql,

@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** WARC/WET ingestion: the format a production curation run actually
   * starts from (Common-Crawl-style crawl archives), parsed with the
@@ -221,6 +221,49 @@ object Warc {
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) => parseFile(p, bytes) }
       .toDF()
+  }
+
+  /** Parsed crawl records → the documents-shaped frame the curation
+    * tier ingests (url, record_id, warc_date, text): WET `conversion`
+    * payloads ARE plain UTF-8 text (the Common Crawl WET convention);
+    * `response` payloads carry an HTTP message, whose body starts
+    * after the first CRLF CRLF (status line + headers are dropped —
+    * HTTP header PARSING is deliberately out of scope; the body is
+    * what the text pipeline consumes). Quarantined and non-document
+    * record types (warcinfo, request, metadata) are filtered.
+    *
+    * A pure projection over the record frame — the decode and the
+    * body slice run in the task that parsed the file, before any
+    * shuffle; compose [[graft.functions.TextAnalysis]] gates directly
+    * downstream. */
+  def documentsFrame(records: DataFrame): DataFrame = {
+    val txt = decode(col("payload"), "UTF-8")
+    val bodyPos = locate("\r\n\r\n", txt)
+    val isResp = col("warc_type") === "response"
+    // HTTP envelope signals a crawl gate reads (status != 200 and
+    // non-text content-type rows are dropped before the text tier):
+    // RE2-safe extracts over the HEADER BLOCK only — a Content-Type
+    // string inside the body must not match
+    val hdr = when(bodyPos > 0, txt.substr(lit(1), bodyPos - 1))
+      .otherwise(txt)
+    val status = regexp_extract(hdr, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    val ctype = regexp_extract(hdr,
+      "(?i)(?:^|\r\n)content-type:\\s*([^\r\n;]+)", 1)
+    records
+      .filter(col("error").isNull &&
+        col("warc_type").isin("conversion", "response"))
+      .select(col("target_uri").as("url"), col("record_id"),
+        col("warc_date"),
+        when(isResp && status =!= "", status.cast("int"))
+          .otherwise(lit(null).cast("int")).as("http_status"),
+        when(isResp && ctype =!= "", lower(trim(ctype)))
+          .otherwise(lit(null).cast("string")).as("http_content_type"),
+        when(isResp,
+          // body = everything after the FIRST CRLF CRLF (bodies may
+          // themselves contain CRLF CRLF); header-only messages → ""
+          when(bodyPos > 0, txt.substr(bodyPos + 4, lit(Int.MaxValue)))
+            .otherwise(lit("")))
+          .otherwise(txt).as("text"))
   }
 
   // ---- fixture/writer side (tests and deterministic oracles) ----

@@ -916,6 +916,43 @@ object ScaleProbe {
       println(f"R11PROBE k=$k%d docs=${5000 * k}%d dom=$dom%d " +
         f"budgetfill_dom=$tf%.1fs($nf%d kept)")
     }
+
+    // r11b: WARC ingestion throughput — the sf0.1 corpus serialized as
+    // K×8 single-member .warc.gz conversion segments (Common-Crawl
+    // shape: parallelism = files), parsed back and body-decoded.
+    // Linear growth = the one-task-per-file design holds; the
+    // serialization happens driver-side (probe tool, not product path).
+    for (k <- Seq(1, 2, 4, 8) if on("warc")) {
+      val docs = base.select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_warcprobe_$k")
+      dir.toFile.deleteOnExit()
+      val chunks = docs.grouped(math.max(1, docs.length / 8)).toSeq
+      var fi = 0
+      for (rep <- 0 until k; chunk <- chunks) {
+        val bytes = chunk.map { case (id, t) =>
+          graft.sources.Warc.buildRecord("WARC/1.0",
+            Seq("WARC-Type" -> "conversion",
+              "WARC-Target-URI" -> s"http://probe.example.com/$rep/$id"),
+            t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }.reduce(_ ++ _)
+        java.nio.file.Files.write(dir.resolve(f"seg-$fi%05d.warc.gz"),
+          graft.sources.Warc.gzip(bytes))
+        fi += 1
+      }
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (tw, nw) = time(graft.sources.Warc
+        .readWarcFiles(spark, dir.toString)
+        .filter(col("error").isNull).count())
+      val (td, nd) = time(graft.sources.Warc.documentsFrame(
+          graft.sources.Warc.readWarcFiles(spark, dir.toString))
+        .agg(sum(length(col("text")))).collect()(0).getLong(0))
+      println(f"R11WARC k=$k%d files=$fi%d parse=$tw%.1fs($nw%d recs) " +
+        f"doctext=$td%.1fs($nd%d chars)")
+    }
     spark.stop()
   }
 }

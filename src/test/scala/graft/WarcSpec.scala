@@ -112,6 +112,45 @@ class WarcSpec extends SparkSpec {
     assert(g.length === 1 && g.head.error != null)
   }
 
+  test("documentsFrame: response bodies sliced at the FIRST CRLFCRLF, WET passthrough") {
+    val dir = Files.createTempDirectory("warc_docs")
+    dir.toFile.deleteOnExit()
+    val resp = Warc.buildRecord("WARC/1.0",
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://x/r"),
+      // body itself contains CRLF CRLF — must stay intact
+      "HTTP/1.1 200 OK\r\nServer: t\r\n\r\nbody part1\r\n\r\nbody part2"
+        .getBytes(UTF_8))
+    val wet = Warc.buildRecord("WARC/1.0",
+      Seq("WARC-Type" -> "conversion", "WARC-Target-URI" -> "http://x/w"),
+      "plain wet text é世".getBytes(UTF_8))
+    val headerOnly = Warc.buildRecord("WARC/1.0",
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://x/h"),
+      "HTTP/1.1 304 Not Modified\r\nServer: t".getBytes(UTF_8))
+    val typed = Warc.buildRecord("WARC/1.0",
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://x/t"),
+      // Content-Type with charset param + a DECOY content-type in the
+      // body that must not be extracted
+      ("HTTP/1.1 404 Not Found\r\nContent-Type: Text/HTML; charset=utf-8\r\n\r\n" +
+        "body says Content-Type: application/pdf here").getBytes(UTF_8))
+    val info = Warc.buildRecord("WARC/1.0",
+      Seq("WARC-Type" -> "warcinfo"), "software: x\r\n".getBytes(UTF_8))
+    Files.write(dir.resolve("a.warc"),
+      info ++ resp ++ wet ++ headerOnly ++ typed)
+    val out = Warc.documentsFrame(Warc.readWarcFiles(spark, dir.toString))
+      .select("url", "http_status", "http_content_type", "text")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) -1 else r.getInt(1)),
+          Option(r.getString(2)).orNull, r.getString(3)))
+      .toMap
+    assert(out("http://x/r") ===
+      ((200, null, "body part1\r\n\r\nbody part2")))
+    assert(out("http://x/w") === ((-1, null, "plain wet text é世")))
+    assert(out("http://x/h") === ((304, null, ""))) // header-only: kept
+    assert(out("http://x/t") === ((404, "text/html",
+      "body says Content-Type: application/pdf here")))
+  }
+
   test("readWarcFiles: end-to-end over a planted directory") {
     val dir = Files.createTempDirectory("warc_spec")
     dir.toFile.deleteOnExit()
