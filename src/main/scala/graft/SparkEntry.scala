@@ -3498,6 +3498,45 @@ object SparkEntry {
           col("allowed"))
         .orderBy("doc_id")
     }),
+    // crawl-frontier planning — the fetch-side loop closed: candidate
+    // URLs minus the SEEN set (exact anti-join here; bloomAntiJoin is
+    // the adjudicated 100 TB path), through the parsed-robots policy
+    // gate, a per-host politeness quota (TopKAggregator shape — no
+    // per-host window over the full frontier), and a hash-ordered
+    // fetch position within each host (bounded ≤ k-row windows)
+    "q_crawl_frontier" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.UrlOps
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com"),
+        when(col("doc_id") % 6 === 0, lit("/private/pub/p"))
+          .when(col("doc_id") % 6 === 1, lit("/private/p"))
+          .when(col("doc_id") % 6 === 2, lit("/gb/p"))
+          .when(col("doc_id") % 6 === 3, lit("/gb2/mid/p"))
+          .when(col("doc_id") % 6 === 4, lit("/a"))
+          .otherwise(lit("/b")),
+        col("doc_id").cast("string"))
+      val cands = Tables.documents(s, dir)
+        .select(col("doc_id"), url.as("url"))
+      val seen = cands.filter(col("doc_id") % 3 === 0)
+        .select(col("url").as("__seen"))
+      val fresh = cands.join(seen, col("url") === col("__seen"),
+        "left_anti")
+      val rules = UrlOps.robotsRules(
+        robotsFixture.toDF("host", "text"), "host", "text", "graftbot")
+      val gated = UrlOps.urlPolicy(fresh, "url", rules)
+        .filter(col("allowed"))
+        .select("doc_id", "host", "path")
+      val quota = Scale.groupQuota(gated, "host", "doc_id", k = 7)
+      val w = Window.partitionBy(col("host"))
+        .orderBy(col("__h"), col("doc_id"))
+      quota
+        .withColumn("__h",
+          Kmv.sha52(col("doc_id").cast("string")))
+        .withColumn("frontier_rank", row_number().over(w).cast("long"))
+        .select("doc_id", "host", "path", "frontier_rank")
+        .orderBy("doc_id")
+    }),
     "q_url_parts" -> ((s, dir) => {
       import graft.functions.UrlOps
       val url = concat(
@@ -6322,6 +6361,60 @@ object SparkEntry {
          FROM p LEFT JOIN (SELECT doc_id, l, allow FROM m WHERE rn = 1) b
            USING (doc_id)
          ORDER BY p.doc_id"""),
+    // seen-set anti-join + expected-rules gate + min-id politeness
+    // quota (row_number formulation) + sha52 fetch order per host
+    "q_crawl_frontier" ->
+      ("""WITH u AS (SELECT doc_id,
+             'https://' || source || '.example.com' ||
+             (CASE CAST(doc_id % 6 AS INT)
+                WHEN 0 THEN '/private/pub/p' WHEN 1 THEN '/private/p'
+                WHEN 2 THEN '/gb/p' WHEN 3 THEN '/gb2/mid/p'
+                WHEN 4 THEN '/a' ELSE '/b' END) ||
+             CAST(doc_id AS VARCHAR) AS url
+           FROM documents
+           WHERE doc_id % 3 <> 0),
+         p AS (SELECT doc_id,
+             lower(regexp_replace(regexp_extract(url,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)', 2),
+               ':[0-9]+$', '')) AS host,
+             CASE WHEN regexp_extract(url,
+                 '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)', 3) = ''
+               THEN '/'
+               ELSE regexp_extract(url,
+                 '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)', 3) END
+               AS path
+           FROM u),
+         r AS (SELECT host, path_prefix, allow FROM (VALUES """ +
+        robotsExpectedRules.map { case (h, pfx, a, _, _) =>
+          s"('$h', '$pfx', $a)" }.mkString(", ") +
+        """) t(host, path_prefix, allow)),
+         m AS (SELECT p.doc_id, len(r.path_prefix) AS l, r.allow,
+                 row_number() OVER (PARTITION BY p.doc_id
+                   ORDER BY len(r.path_prefix) DESC,
+                            CAST(r.allow AS INT) DESC) AS rn
+               FROM p JOIN r ON r.host = p.host
+                 AND substring(p.path, 1, len(r.path_prefix))
+                   = r.path_prefix),
+         g AS (SELECT p.doc_id, p.host, p.path
+               FROM p LEFT JOIN (SELECT doc_id, allow FROM m WHERE rn = 1) b
+                 USING (doc_id)
+               WHERE coalesce(b.allow, true)),
+         q AS (SELECT doc_id, host, path, row_number() OVER (
+                 PARTITION BY host ORDER BY doc_id) AS rn
+               FROM g),
+         k AS (SELECT doc_id, host, path FROM q WHERE rn <= 7),
+         h AS (SELECT doc_id, host, path,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(
+                     substring(sha256(CAST(doc_id AS VARCHAR)), 1, 13), ''),
+                     x -> CAST(instr('0123456789abcdef', x) - 1
+                       AS BIGINT))),
+                   (acc, x) -> acc * 16 + x) AS hv
+               FROM k)
+         SELECT doc_id, host, path,
+                CAST(row_number() OVER (PARTITION BY host
+                  ORDER BY hv, doc_id) AS BIGINT) AS frontier_rank
+         FROM h ORDER BY doc_id"""),
     "q_url_parts" ->
       """WITH u AS (SELECT doc_id,
              (CASE WHEN doc_id % 7 = 0 THEN 'http://' ELSE 'https://' END) ||
