@@ -3473,6 +3473,15 @@ object SparkEntry {
           robotsFixture.toDF("host", "text"), "host", "text", "graftbot")
         .orderBy("host", "path_prefix")
     }),
+    // sitemap discovery from the same robots bodies — group-independent
+    // Sitemap: lines, scheme colon preserved (only the field colon
+    // splits); the crawl-seed input next to the rule gate
+    "q_robots_sitemaps" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.UrlOps.robotsSitemaps(
+          robotsFixture.toDF("host", "text"), "host", "text")
+        .orderBy("host", "sitemap_url")
+    }),
     // the parsed rules composed straight into the urlPolicy gate over
     // synthesized crawl URLs — the full text → rules → decision chain;
     // the oracle recomputes the RFC precedence independently in SQL
@@ -6321,6 +6330,13 @@ object SparkEntry {
     // RFC-derived expected rules as literals (hand-derived from RFC
     // 9309 — the parser is judged against the spec, not a twin parser)
     "q_robots_rules" -> robotsRulesOracleSql,
+    // the fixture's two Sitemap lines, hand-derived
+    "q_robots_sitemaps" ->
+      """SELECT * FROM (VALUES
+           ('src3.example.com', 'https://src3.example.com/sitemap.xml'),
+           ('src4.example.com', 'https://src4.example.com/s.xml'))
+           t(host, sitemap_url)
+         ORDER BY host, sitemap_url""",
     // parsed-rules gate: DuckDB recomputes the longest-prefix /
     // allow-wins precedence independently from the expected rule
     // literals over the same synthesized URLs (q_url_policy skeleton)

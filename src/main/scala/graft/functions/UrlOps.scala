@@ -224,6 +224,26 @@ object UrlOps {
       .select("host", "path_prefix", "allow", "from_pattern", "widened")
   }
 
+  /** Sitemap discovery from robots.txt bodies — the crawl-seed side of
+    * [[robotsRules]]: `Sitemap:` lines are GROUP-INDEPENDENT (RFC 9309
+    * treats them as "other records"; sitemaps.org defines the field),
+    * so this is a plain per-line extract with the same comment/trim
+    * handling as the rule parser. The value keeps its scheme colon —
+    * only the first field colon splits. Scan-local projection after
+    * the line explode; output (host, sitemap_url). */
+  def robotsSitemaps(robots: org.apache.spark.sql.DataFrame,
+      hostCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    robots
+      .select(col(hostCol).as("host"),
+        explode(split(col(textCol), "\r?\n")).as("raw"))
+      .select(col("host"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(lower(col("line")).rlike("^sitemap\\s*:"))
+      .select(col("host"),
+        trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1))
+          .as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+
   /** Remove utm_* / gclid / fbclid query parameters while preserving the
     * rest of the query string, in three RE2-safe passes:
     *  1. drop `&tracking=...` (non-leading params),

@@ -175,6 +175,21 @@ class UrlOpsSpec extends SparkSpec {
     assert(widened === Seq("/exact$", "/x/*/secret"))
   }
 
+  test("robotsSitemaps: group-independent, scheme colon preserved, comments stripped") {
+    val txt = """User-agent: graftbot
+      |Disallow: /x/
+      |Sitemap: https://h/a.xml
+      |# Sitemap: https://h/commented.xml
+      |User-agent: other
+      |SITEMAP:   https://h/b.xml   # trailing comment
+      |Sitemap:
+      |""".stripMargin
+    val out = UrlOps.robotsSitemaps(
+        Seq(("h", txt)).toDF("host", "text"), "host", "text")
+      .collect().map(_.getString(1)).sorted.toSeq
+    assert(out === Seq("https://h/a.xml", "https://h/b.xml"))
+  }
+
   test("robotsRules composes with urlPolicy (parsed rules gate URLs)") {
     val robots = Seq(
       ("src1.example.com", "User-agent: graftbot\nDisallow: /private/\nAllow: /private/pub/"),
