@@ -79,4 +79,21 @@ object IncrementalFiles {
       Some((spark.read.parquet(paths: _*), nf))
     }
   }
+
+  /** [[readNewParquet]] for WARC/WET crawl segments — the nightly
+    * "parse only the new segments" shape ([[Warc]]'s unit of
+    * parallelism is already the file, so the increment IS the task
+    * set). Returns None when no new segments, else Some((records,
+    * manifestRows)); compose [[Warc.documentsFrame]] + the curation
+    * tier downstream and persist `manifestRows` with the outputs. */
+  def readNewWarc(spark: SparkSession, dir: String, manifest: DataFrame,
+      maxFiles: Int = Int.MaxValue): Option[(DataFrame, DataFrame)] = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    val nf = newFiles(spark, dir, manifest)
+      .orderBy(col("mtime_ms"), col("path"))
+      .limit(maxFiles)
+    val rows = nf.collect()
+    if (rows.isEmpty) None
+    else Some((Warc.readWarcFiles(spark, rows.map(_.getString(0)).toSeq), nf))
+  }
 }

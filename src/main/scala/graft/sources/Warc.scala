@@ -214,9 +214,14 @@ object Warc {
     * quarantined byte ranges (the JSONL dead-letter posture). One task
     * per file (gzip is not splittable); see the object doc for why
     * that is the right 100 TB shape. */
-  def readWarcFiles(spark: SparkSession, path: String): DataFrame = {
+  def readWarcFiles(spark: SparkSession, path: String): DataFrame =
+    readWarcFiles(spark, Seq(path))
+
+  /** Multi-path form — the [[IncrementalFiles.readNewWarc]] entry
+    * point (an increment is an explicit file list, not a glob). */
+  def readWarcFiles(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
+    spark.read.format("binaryFile").load(paths: _*)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) => parseFile(p, bytes) }

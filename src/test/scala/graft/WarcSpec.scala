@@ -151,6 +151,35 @@ class WarcSpec extends SparkSpec {
       "body says Content-Type: application/pdf here")))
   }
 
+  test("readNewWarc: nightly increment parses only unseen segments") {
+    import graft.sources.IncrementalFiles
+    val dir = Files.createTempDirectory("warc_inc")
+    dir.toFile.deleteOnExit()
+    def seg(name: String, uri: String): Unit =
+      Files.write(dir.resolve(name), Warc.gzip(Warc.buildRecord("WARC/1.0",
+        Seq("WARC-Type" -> "conversion", "WARC-Target-URI" -> uri),
+        s"text of $uri".getBytes(UTF_8))))
+    seg("seg-1.warc.gz", "http://x/1")
+    seg("seg-2.warc.gz", "http://x/2")
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("path")
+    val Some((recs1, man1)) = IncrementalFiles.readNewWarc(spark,
+      dir.toString, empty)
+    assert(recs1.select("target_uri").collect().map(_.getString(0)).sorted
+      .toSeq === Seq("http://x/1", "http://x/2"))
+    val persisted = man1.select("path").collect().map(_.getString(0))
+      .toSeq.toDF("path")
+    // no new segments -> None, never a re-parse
+    assert(IncrementalFiles.readNewWarc(spark, dir.toString,
+      persisted).isEmpty)
+    // a third segment lands: ONLY it is parsed
+    seg("seg-3.warc.gz", "http://x/3")
+    val Some((recs2, _)) = IncrementalFiles.readNewWarc(spark,
+      dir.toString, persisted)
+    assert(recs2.select("target_uri").collect().map(_.getString(0))
+      .toSeq === Seq("http://x/3"))
+  }
+
   test("readWarcFiles: end-to-end over a planted directory") {
     val dir = Files.createTempDirectory("warc_spec")
     dir.toFile.deleteOnExit()
