@@ -3068,6 +3068,13 @@ object SparkEntry {
       Dedup.boilerplateLines(wrapped, "doc_id", "text", minDupDocs = 3)
         .orderBy("doc_id")
     }),
+    // overlapping token-window chunking (RAG / strided pretraining
+    // windows): chunk 32 / stride 24 → 8-token overlaps, last chunks
+    // ragged; zero-shuffle posexplode, the q_sentences shape
+    "q_chunk_windows" -> ((s, dir) =>
+      TextAnalysis.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens = 32, strideTokens = 24)
+        .orderBy("doc_id", "chunk_idx")),
     // sentence segmentation: terminal-punctuation split, order kept by
     // sent_idx; a pure per-row posexplode (no shuffle)
     "q_sentences" -> ((s, dir) =>
@@ -8115,6 +8122,23 @@ object SparkEntry {
          n AS (SELECT count(*) AS n_total FROM t)
          SELECT term, cnt, n_total FROM c CROSS JOIN n
          WHERE cnt * 5 > n_total ORDER BY term""",
+    // strided token windows: generate_series starts + clamped list
+    // slices restate the posexplode-of-slice term-for-term
+    "q_chunk_windows" ->
+      """WITH t AS (SELECT doc_id,
+                string_split_regex(trim(text), '\s+') AS t
+              FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0)
+         SELECT doc_id,
+                CAST(g.s // 24 AS BIGINT) AS chunk_idx,
+                CAST(g.s AS BIGINT) AS start_tok,
+                CAST(len(t[g.s + 1 : least(g.s + 32, len(t))])
+                  AS BIGINT) AS n_chunk_tokens,
+                array_to_string(t[g.s + 1 : least(g.s + 32, len(t))], ' ')
+                  AS chunk_text
+         FROM t, LATERAL unnest(generate_series(0, len(t) - 1, 24))
+           AS g(s)
+         ORDER BY doc_id, chunk_idx""",
     // 1-based list index → 0-based sent_idx; empties filtered AFTER
     // indexing on both sides, so surviving indices match posexplode's
     "q_sentences" ->

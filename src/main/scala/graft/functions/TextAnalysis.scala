@@ -1647,6 +1647,37 @@ object TextAnalysis {
         posexplode(split(col(textCol), "[.!?]+\\s+")).as(Seq("sent_idx", "sentence")))
       .filter(length(trim(col("sentence"))) > 0)
 
+  /** Overlapping token-window chunking — the context chunker a RAG
+    * index or a pretraining window with stride reads: chunk c starts
+    * at token c·stride and spans `chunkTokens` tokens (the last
+    * chunk(s) may be shorter; a doc shorter than one chunk emits one
+    * chunk). stride < chunkTokens ⇒ consecutive chunks overlap by
+    * chunkTokens − stride tokens — the boundary-context-loss defense;
+    * stride = chunkTokens ⇒ disjoint windows. Empty/blank docs emit
+    * nothing.
+    *
+    * Scale: posexplode of a per-row token slice — zero shuffle, the
+    * [[sentences]] shape; chunk order is `chunk_idx`.
+    * Output: (doc_id, chunk_idx, start_tok, n_chunk_tokens,
+    * chunk_text). */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"need chunkTokens >= 1, got $chunkTokens")
+    require(strideTokens >= 1 && strideTokens <= chunkTokens,
+      s"need 1 <= stride <= chunk, got stride=$strideTokens chunk=$chunkTokens")
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) > 0 && col("__t") =!= array(lit("")))
+      .select(col("doc_id"), col("__t"),
+        posexplode(sequence(lit(0), size(col("__t")) - 1,
+          lit(strideTokens))).as(Seq("chunk_idx", "start_tok")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        size(slice(col("__t"), col("start_tok") + 1, lit(chunkTokens)))
+          .cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("__t"), col("start_tok") + 1,
+          lit(chunkTokens)), " ").as("chunk_text"))
+  }
+
   /** Default stopword delimiters for [[keyphrases]] — a deliberately
     * small closed-class list (RAKE needs delimiters, not linguistic
     * completeness; callers pass their own for other languages). */

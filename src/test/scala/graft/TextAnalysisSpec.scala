@@ -515,6 +515,39 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 0, "A"), (3L, 1, "B"), (3L, 2, "C")))
   }
 
+  test("chunkTokens: strided overlap, ragged tail, full coverage") {
+    val docs = Seq(
+      (1L, (1 to 25).map(i => s"t$i").mkString(" ")), // 25 toks: 3 chunks
+      (2L, "a b c"),                                  // shorter than one chunk
+      (3L, ""), (4L, null.asInstanceOf[String])       // emit nothing
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(docs, "doc_id", "text",
+        chunkTokens = 10, strideTokens = 8)
+      .orderBy("doc_id", "chunk_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val d1 = out.filter(_._1 == 1L)
+    // starts 0,8,16,24; spans 10,10,9,1
+    assert(d1.map(x => (x._2, x._3, x._4)).toSeq === Seq(
+      (0L, 0L, 10L), (1L, 8L, 10L), (2L, 16L, 9L), (3L, 24L, 1L)))
+    assert(d1(0)._5 === (1 to 10).map(i => s"t$i").mkString(" "))
+    assert(d1(1)._5.startsWith("t9 t10 t11")) // 2-token overlap
+    assert(d1(3)._5 === "t25")
+    // every token appears in at least one chunk
+    assert(d1.flatMap(_._5.split(" ")).toSet === (1 to 25).map(i => s"t$i").toSet)
+    assert(out.filter(_._1 == 2L).map(x => (x._2, x._4, x._5)).toSeq ===
+      Seq((0L, 3L, "a b c")))
+    assert(!out.exists(x => x._1 == 3L || x._1 == 4L))
+    // stride == chunk: disjoint exact partition
+    val disjoint = TextAnalysis.chunkTokens(docs, "doc_id", "text", 5, 5)
+      .filter(col("doc_id") === 1L).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(disjoint.map(_._2).sum === 25L)
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkTokens(docs, "doc_id", "text", 5, 6))
+  }
+
   test("gopherRules: every rule measures and gates as the paper describes") {
     val good = (("the of and that words " * 12) + "closing line").trim // 62 words, 4 stop hits
     val docs = Seq(
