@@ -3179,7 +3179,7 @@ object SparkEntry {
         .groupBy("source").agg(sum(col("score_sum")).as("sum_score"))
       val weights = Scale.temperatureRates(docs, "source",
           alphaQuarters = 3)
-        .join(prof, Seq("source"))
+        .join(broadcast(prof), Seq("source"))
         .select(col("source"), col("n").as("n_docs"),
           expr("greatest(CAST(1 AS BIGINT), " +
             "(CAST(floor(p_temp * 1000000) AS BIGINT) * " +
@@ -3197,10 +3197,11 @@ object SparkEntry {
       val fillAgg = fill.filter(col("keep")).groupBy("source")
         .agg(count(lit(1)).as("fill_docs"),
           sum(col("n_tokens")).as("fill_tokens"))
-      weights.join(mm, Seq("source"))
-        .join(tbp.select("source", "n_tokens", "target_tokens",
-          "epochs_micro"), Seq("source"))
-        .join(fillAgg, Seq("source"), "left")
+      // every joined frame here is registry-sized (one row per source)
+      weights.join(broadcast(mm), Seq("source"))
+        .join(broadcast(tbp.select("source", "n_tokens", "target_tokens",
+          "epochs_micro")), Seq("source"))
+        .join(broadcast(fillAgg), Seq("source"), "left")
         .select(col("source"), col("n_docs"), col("w"), col("kept"),
           col("rate_micro"), col("n_tokens"), col("target_tokens"),
           col("epochs_micro"),

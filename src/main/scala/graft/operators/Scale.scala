@@ -1104,8 +1104,11 @@ object Scale {
         weights.columns.mkString(", "))
     val counts = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"))
+    // weights and the kept table are registry-sized — broadcast, never
+    // a sort-merge shuffle of 20-row frames across 1000 executors
     val cw = counts.join(
-        weights.select(col(sourceCol), col("w").cast("long").as("__w0")),
+        broadcast(weights.select(col(sourceCol),
+          col("w").cast("long").as("__w0"))),
         Seq(sourceCol), "left")
       .select(col(sourceCol), col("n_docs"),
         when(col("__w0").isNull || col("__w0") <= 0,
@@ -1120,7 +1123,7 @@ object Scale {
       .select(col(sourceCol),
         expr("(__n2 * w) div __w2").as("__k"))
       .groupBy(col(sourceCol)).agg(min(col("__k")).as("kept"))
-    cw.join(kept, Seq(sourceCol))
+    cw.join(broadcast(kept), Seq(sourceCol))
       .select(col(sourceCol), col("n_docs"), col("w"), col("kept"),
         expr("(CAST(1000000 AS BIGINT) * kept) div n_docs")
           .as("rate_micro"))
