@@ -4,14 +4,15 @@ run each oracle_sql.json entry in DuckDB over the fixture parquet, load the
 Spark-dumped parquet, sort columns by name, compare values (float tolerance).
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Each side executes ONCE (fetchall): values compare with real NULLs (None),
+so SQL NULL never equates to a genuine float NaN, and the pandas dtype-KIND
+parity the driver hash depends on is MODELED from the DESCRIBE type plus the
+observed nulls (pandas renders a nullable int column as float64 and a
+nullable bool as object) instead of paying a second fetchdf execution.
 """
 import sys, os, glob, json, math
 import duckdb
-
-def norm(v):
-    if isinstance(v, float):
-        return round(v, 6)
-    return v
 
 def close(a, b):
     # values come from fetchall(), where SQL NULL is None and a genuine
@@ -29,6 +30,33 @@ def close(a, b):
         except (TypeError, ValueError):
             return False
     return str(a) == str(b)
+
+def base_kind(duck_type):
+    """pandas dtype KIND a non-null column of this DuckDB type renders as
+    (unsigned folded into signed, widths ignored — they render alike)."""
+    t = duck_type.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT"):
+        return "i"
+    if t in ("DOUBLE", "FLOAT", "REAL") or t.startswith("DECIMAL"):
+        return "f"
+    if t == "BOOLEAN":
+        return "b"
+    if t.startswith("TIMESTAMP") or t == "DATE":
+        return "M"
+    return "O"
+
+def rendered_kinds(cols, desc, rows):
+    """Model fetchdf's per-column dtype kind: ints with any NULL render
+    float64, bools with any NULL render object; others keep their kind."""
+    types = {c: t for c, t, *_ in desc}
+    kinds = {}
+    for j, c in enumerate(cols):
+        k = base_kind(types[c])
+        if k in ("i", "b") and any(r[j] is None for r in rows):
+            k = {"i": "f", "b": "O"}[k]
+        kinds[c] = k
+    return kinds
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -48,8 +76,8 @@ def main(sf_dir, out_dir):
         try:
             # Type sweep runs before the dump check so subset runs
             # (SPARK_GRAFT_ONLY) still type-audit every oracle.
-            desc = con.execute(f"DESCRIBE {sql}").fetchall()
-            badcols = [(c, t) for c, t, *_ in desc
+            odesc = con.execute(f"DESCRIBE {sql}").fetchall()
+            badcols = [(c, t) for c, t, *_ in odesc
                        if any(b in t.upper() for b in BAD_TYPES)]
             if badcols:
                 print(f"FAIL {qname}: oracle output type(s) {badcols} — "
@@ -60,25 +88,22 @@ def main(sf_dir, out_dir):
                 print(f"FAIL {qname}: no spark output dir"); n_fail += 1; continue
             oc = con.execute(sql)
             ocols = [d[0] for d in oc.description]
-            odf = oc.fetchdf()  # dtype parity only — values from fetchall
-            orows = con.execute(sql).fetchall()
+            orows = oc.fetchall()
         except Exception as e:
             print(f"FAIL {qname}: duckdb error: {e}"); n_fail += 1; continue
         ssel = f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')"
+        sdesc = con.execute(f"DESCRIBE {ssel}").fetchall()
         sc = con.execute(ssel)
         scols = [d[0] for d in sc.description]
-        sdf = sc.fetchdf()  # dtype parity only — values from fetchall
-        srows = con.execute(ssel).fetchall()
+        srows = sc.fetchall()
         # dtype parity: the driver compares pandas-rendered frames, so an
         # int64 vs float64 mismatch per column is a hash mismatch even
-        # when every value compares numerically equal. Width differences
-        # (int32 vs int64) render identically — compare dtype KIND, with
-        # unsigned folded into signed.
-        def kind(d):
-            return {"u": "i"}.get(d.kind, d.kind)
-        dmis = [(c, str(sdf[c].dtype), str(odf[c].dtype)) for c in scols
-                if c in odf.columns
-                and kind(sdf[c].dtype) != kind(odf[c].dtype)]
+        # when every value compares numerically equal — modeled from the
+        # DESCRIBE type + observed nulls (see module doc), one execution.
+        okinds = rendered_kinds(ocols, odesc, orows)
+        skinds = rendered_kinds(scols, sdesc, srows)
+        dmis = [(c, skinds[c], okinds[c]) for c in scols
+                if c in okinds and skinds[c] != okinds[c]]
         if dmis:
             print(f"FAIL {qname}: dtype mismatch (col, spark, oracle): {dmis}")
             n_fail += 1; continue
