@@ -548,6 +548,40 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.chunkTokens(docs, "doc_id", "text", 5, 6))
   }
 
+  test("chunkTokens is a pure projection: the same plan runs in an append-mode stream") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val in = Files.createTempDirectory("chunk_in")
+    val out = Files.createTempDirectory("chunk_out")
+    val cp = Files.createTempDirectory("chunk_cp")
+    Seq(in, out, cp).foreach(_.toFile.deleteOnExit())
+    val docs = Seq((1L, (1 to 25).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"))
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").json(in.toString)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).json(in.toString)
+    val q = TextAnalysis.chunkTokens(stream, "doc_id", "text",
+        chunkTokens = 10, strideTokens = 8)
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", cp.toString)
+      .outputMode(OutputMode.Append())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
+      .sortBy(x => (x._1, x._2))
+    val batch = TextAnalysis.chunkTokens(docs.toDF("doc_id", "text"),
+        "doc_id", "text", 10, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
+      .sortBy(x => (x._1, x._2))
+    assert(streamed.toSeq === batch.toSeq,
+      "streamed chunking differs from the batch plan")
+  }
+
   test("gopherRules: every rule measures and gates as the paper describes") {
     val good = (("the of and that words " * 12) + "closing line").trim // 62 words, 4 stop hits
     val docs = Seq(
