@@ -3515,6 +3515,35 @@ object SparkEntry {
           col("allowed"))
         .orderBy("doc_id")
     }),
+    // the FULL-WILDCARD policy gate (RFC 9309 §2.2.3): raw */$
+    // patterns from robotsRulesExact compiled to anchored regexes
+    // inside the plan, longest-raw-pattern precedence — URLs
+    // synthesized to make every wildcard decide something ($ anchor
+    // holding vs failing, interior * spanning a segment, trailing *
+    // as prefix). The oracle carries HAND-DERIVED regexes + lengths
+    // and lets DuckDB's RE2 do the matching independently
+    "q_robots_policy_exact" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.UrlOps
+      val id = col("doc_id").cast("string")
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com"),
+        when(col("doc_id") % 8 === 0, concat(lit("/private/pub/p"), id))
+          .when(col("doc_id") % 8 === 1, concat(lit("/private/p"), id))
+          .when(col("doc_id") % 8 === 2, lit("/gb/ok"))
+          .when(col("doc_id") % 8 === 3, concat(lit("/gb/ok"), id))
+          .when(col("doc_id") % 8 === 4, concat(lit("/gb2/m"), id, lit("/x5")))
+          .when(col("doc_id") % 8 === 5, concat(lit("/gb2/m"), id, lit("/y")))
+          .when(col("doc_id") % 8 === 6, concat(lit("/a"), id))
+          .otherwise(lit("/b")))
+      val rules = UrlOps.robotsRulesExact(
+        robotsFixture.toDF("host", "text"), "host", "text", "graftbot")
+      UrlOps.urlPolicyPatterns(
+          Tables.documents(s, dir).select(col("doc_id"), url.as("url")),
+          "url", rules)
+        .select("doc_id", "host", "path", "rule_len", "allowed")
+        .orderBy("doc_id")
+    }),
     // crawl-frontier planning — the fetch-side loop closed: candidate
     // URLs minus the SEEN set (exact anti-join here; bloomAntiJoin is
     // the adjudicated 100 TB path), through the parsed-robots policy
@@ -6385,6 +6414,53 @@ object SparkEntry {
          FROM p LEFT JOIN (SELECT doc_id, l, allow FROM m WHERE rn = 1) b
            USING (doc_id)
          ORDER BY p.doc_id"""),
+    // hand-derived anchored regexes + raw-pattern lengths; DuckDB's
+    // RE2 matches them independently, row_number (l desc, allow desc)
+    // restates the longest-raw-pattern precedence
+    "q_robots_policy_exact" ->
+      """WITH u AS (SELECT doc_id,
+             'https://' || source || '.example.com' ||
+             (CASE CAST(doc_id % 8 AS INT)
+                WHEN 0 THEN '/private/pub/p' || CAST(doc_id AS VARCHAR)
+                WHEN 1 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+                WHEN 2 THEN '/gb/ok'
+                WHEN 3 THEN '/gb/ok' || CAST(doc_id AS VARCHAR)
+                WHEN 4 THEN '/gb2/m' || CAST(doc_id AS VARCHAR) || '/x5'
+                WHEN 5 THEN '/gb2/m' || CAST(doc_id AS VARCHAR) || '/y'
+                WHEN 6 THEN '/a' || CAST(doc_id AS VARCHAR)
+                ELSE '/b' END) AS url
+           FROM documents),
+         p AS (SELECT doc_id,
+             lower(regexp_replace(regexp_extract(url,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)', 2),
+               ':[0-9]+$', '')) AS host,
+             CASE WHEN regexp_extract(url,
+                 '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)', 3) = ''
+               THEN '/'
+               ELSE regexp_extract(url,
+                 '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)', 3) END
+               AS path
+           FROM u),
+         r AS (SELECT * FROM (VALUES
+             ('src1.example.com', '^/private/', 9, false),
+             ('src1.example.com', '^/private/pub/', 13, true),
+             ('src2.example.com', '^/gb/', 4, false),
+             ('src2.example.com', '^/gb/ok$', 7, true),
+             ('src2.example.com', '^/gb2/.*/x', 9, false),
+             ('src3.example.com', '^/a.*', 3, true),
+             ('src3.example.com', '^/b$', 3, false))
+             t(host, rx, l, allow)),
+         m AS (SELECT p.doc_id, r.l, r.allow,
+                 row_number() OVER (PARTITION BY p.doc_id
+                   ORDER BY r.l DESC, CAST(r.allow AS INT) DESC) AS rn
+               FROM p JOIN r ON r.host = p.host
+                 AND regexp_matches(p.path, r.rx))
+         SELECT p.doc_id, p.host, p.path,
+                CAST(coalesce(b.l, -1) AS INTEGER) AS rule_len,
+                coalesce(b.allow, true) AS allowed
+         FROM p LEFT JOIN (SELECT doc_id, l, allow FROM m WHERE rn = 1) b
+           USING (doc_id)
+         ORDER BY p.doc_id""",
     // seen-set anti-join + expected-rules gate + min-id politeness
     // quota (row_number formulation) + sha52 fetch order per host
     "q_crawl_frontier" ->

@@ -167,7 +167,37 @@ object UrlOps {
     * partition evenly), two bounded aggregations. Output:
     * (host, path_prefix, allow, from_pattern, widened). */
   def robotsRules(robots: org.apache.spark.sql.DataFrame, hostCol: String,
-      textCol: String, userAgent: String): org.apache.spark.sql.DataFrame = {
+      textCol: String, userAgent: String): org.apache.spark.sql.DataFrame =
+    robotsSelectedRules(robots, hostCol, textCol, userAgent)
+      // conservative literal-prefix fold of */$ (see scaladoc)
+      .select(col("host"), col("pattern").as("from_pattern"),
+        col("allow"))
+      .withColumn("__dollar", col("from_pattern").endsWith("$"))
+      .withColumn("__d1", regexp_replace(col("from_pattern"), "\\$$", ""))
+      .withColumn("__starTail", col("__d1").rlike("\\*$"))
+      .withColumn("__d2", regexp_replace(col("__d1"), "\\*+$", ""))
+      .withColumn("path_prefix", regexp_extract(col("__d2"), "^([^*]*)", 1))
+      .withColumn("widened",
+        (col("__dollar") && !col("__starTail")) ||
+          col("path_prefix") =!= col("__d2"))
+      .filter(col("allow") === false || !col("widened"))
+      .select("host", "path_prefix", "allow", "from_pattern", "widened")
+
+  /** The EXACT-pattern form of [[robotsRules]]: same RFC 9309 group
+    * selection and merge, but rules keep their raw `*`/`$` patterns —
+    * feed [[urlPolicyPatterns]] for full-wildcard matching instead of
+    * the conservative prefix fold. Output: (host, pattern, allow). */
+  def robotsRulesExact(robots: org.apache.spark.sql.DataFrame,
+      hostCol: String, textCol: String,
+      userAgent: String): org.apache.spark.sql.DataFrame =
+    robotsSelectedRules(robots, hostCol, textCol, userAgent)
+
+  /** Shared front half of [[robotsRules]] / [[robotsRulesExact]]:
+    * parse lines, number groups, select by longest agent, merge, drop
+    * orphan/empty-pattern rules. (host, pattern, allow). */
+  private def robotsSelectedRules(robots: org.apache.spark.sql.DataFrame,
+      hostCol: String, textCol: String,
+      userAgent: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val token = userAgent.toLowerCase(java.util.Locale.ROOT)
     require(token.nonEmpty && !token.contains("*"),
@@ -209,19 +239,67 @@ object UrlOps {
     grouped.filter(col("field").isin("allow", "disallow"))
       .join(selected, Seq("host", "grp"))
       .filter(col("value") =!= "")
-      .select(col("host"), col("value").as("from_pattern"),
+      .select(col("host"), col("value").as("pattern"),
         (col("field") === "allow").as("allow"))
-      // conservative literal-prefix fold of */$ (see scaladoc)
-      .withColumn("__dollar", col("from_pattern").endsWith("$"))
-      .withColumn("__d1", regexp_replace(col("from_pattern"), "\\$$", ""))
-      .withColumn("__starTail", col("__d1").rlike("\\*$"))
-      .withColumn("__d2", regexp_replace(col("__d1"), "\\*+$", ""))
-      .withColumn("path_prefix", regexp_extract(col("__d2"), "^([^*]*)", 1))
-      .withColumn("widened",
-        (col("__dollar") && !col("__starTail")) ||
-          col("path_prefix") =!= col("__d2"))
-      .filter(col("allow") === false || !col("widened"))
-      .select("host", "path_prefix", "allow", "from_pattern", "widened")
+  }
+
+  /** Full `*`/`$` wildcard form of [[urlPolicy]] (RFC 9309 §2.2.3):
+    * rules carry RAW robots patterns ([[robotsRulesExact]] output) —
+    * `*` matches any octet sequence, a trailing `$` anchors the end
+    * of the path, and an unanchored pattern matches any PATH PREFIX.
+    * Precedence: the matching rule with the longest RAW pattern wins
+    * (the reference-implementation rule), equal lengths prefer allow,
+    * unknown hosts / no match default-allow.
+    *
+    * Each pattern is compiled to an anchored regex INSIDE the plan
+    * (escape regex metachars in the literal parts, `*`-runs → `.*`,
+    * `^` start anchor, `$` kept iff the pattern ends with it) — the
+    * generated subset (`^`, `.*`, escaped literals, optional `$`) has
+    * identical semantics in Java regex and RE2, so the DuckDB oracle
+    * matches the same strings. Rules collapse to one broadcast row
+    * per host like urlPolicy; the decision is the same scan-local
+    * max-by-(len, allow) fold with `regexp_like` per candidate rule
+    * (per-row pattern compile — rule arrays are registry-sized).
+    * Output: df + (host, path, rule_len [raw pattern length, −1
+    * default], allowed). */
+  def urlPolicyPatterns(df: org.apache.spark.sql.DataFrame, urlCol: String,
+      rules: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    require(Set("host", "pattern", "allow").subsetOf(rules.columns.toSet),
+      s"rules needs (host, pattern, allow), got ${rules.columns.mkString(", ")}")
+    val dollar = col("pattern").endsWith("$")
+    val core = regexp_replace(col("pattern"), "\\$$", "")
+    // escape every regex metachar EXCEPT '*' (the robots wildcard)
+    val esc = regexp_replace(core, "([.^$+?(){}\\[\\]|\\\\])", "\\\\$1")
+    val rx = concat(lit("^"), regexp_replace(esc, "\\*+", ".*"),
+      when(dollar, lit("$")).otherwise(lit("")))
+    val r = rules.select(lower(col("host")).as("__h"),
+      struct(rx.as("rx"),
+        length(col("pattern")).cast("int").as("l"),
+        col("allow").cast("boolean").as("a")).as("__r"))
+    val hostRules = r.groupBy("__h")
+      .agg(collect_list(col("__r")).as("__rules"))
+    df
+      .withColumn("host", lower(hostNoPort(col(urlCol))))
+      .withColumn("path",
+        when(path(col(urlCol)) === "", lit("/"))
+          .otherwise(path(col(urlCol))))
+      .join(broadcast(hostRules), col("host") === col("__h"), "left")
+      .withColumn("__best", aggregate(
+        filter(coalesce(col("__rules"),
+            array().cast("array<struct<rx:string,l:int,a:boolean>>")),
+          rl => regexp_like(col("path"), rl.getField("rx"))),
+        struct(lit(-1).cast("int").as("l"), lit(true).as("a")),
+        (acc, rl) => {
+          val l = rl.getField("l")
+          val better = l > acc.getField("l") ||
+            (l === acc.getField("l") && rl.getField("a") &&
+              !acc.getField("a"))
+          when(better, struct(l.as("l"), rl.getField("a").as("a")))
+            .otherwise(acc)
+        }))
+      .withColumn("rule_len", col("__best.l"))
+      .withColumn("allowed", col("__best.a"))
+      .drop("__h", "__rules", "__best")
   }
 
   /** Sitemap discovery from robots.txt bodies — the crawl-seed side of

@@ -190,6 +190,58 @@ class UrlOpsSpec extends SparkSpec {
     assert(out === Seq("https://h/a.xml", "https://h/b.xml"))
   }
 
+  test("urlPolicyPatterns: RFC 9309 full */$ semantics") {
+    val rules = Seq(
+      ("h.com", "/gb/", false),
+      ("h.com", "/gb/ok$", true),      // exact-path allow carve-out
+      ("h.com", "/x/*/secret", false), // interior wildcard
+      ("h.com", "/a*", true),
+      ("h.com", "/lit.+()[]{}|", false) // regex metachars are literal
+    ).toDF("host", "pattern", "allow")
+    val urls = Seq(
+      (1L, "https://h.com/gb/ok"),        // $ anchor holds: allow (len 7)
+      (2L, "https://h.com/gb/okay"),      // $ fails: /gb/ disallow
+      (3L, "https://h.com/x/mid/secret"), // * spans a segment: disallow
+      (4L, "https://h.com/x/mid/safe"),   // no /secret: default allow
+      (5L, "https://h.com/x/a/b/secretX"),// * greedy across segments
+      (6L, "https://h.com/a-anything"),   // trailing *: prefix allow
+      (7L, "https://h.com/lit.+()[]{}|rest"), // literal metachars match
+      (8L, "https://h.com/litX"),         // and only literally
+      (9L, "https://other.com/x"))        // unknown host: default allow
+      .toDF("id", "url")
+    val out = UrlOps.urlPolicyPatterns(urls, "url", rules)
+      .select("id", "rule_len", "allowed").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === ((7, true)))
+    assert(out(2L) === ((4, false)))
+    assert(out(3L) === ((11, false)))
+    assert(out(4L) === ((-1, true)))
+    assert(out(5L) === ((11, false)))
+    assert(out(6L) === ((3, true)))
+    assert(out(7L) === ((13, false)))
+    assert(out(8L) === ((-1, true)))
+    assert(out(9L) === ((-1, true)))
+  }
+
+  test("robotsRulesExact + urlPolicyPatterns ≡ conservative fold where the fold is exact") {
+    val robots = Seq(("h.com",
+      "User-agent: graftbot\nDisallow: /private/\nAllow: /private/pub/\nDisallow: /tmp*"))
+      .toDF("host", "text")
+    val urls = Seq(
+      (1L, "https://h.com/private/x"), (2L, "https://h.com/private/pub/x"),
+      (3L, "https://h.com/tmp-file"), (4L, "https://h.com/ok"))
+      .toDF("id", "url")
+    def decisions(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "allowed").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val exact = decisions(UrlOps.urlPolicyPatterns(urls, "url",
+      UrlOps.robotsRulesExact(robots, "host", "text", "graftbot")))
+    val folded = decisions(UrlOps.urlPolicy(urls, "url",
+      UrlOps.robotsRules(robots, "host", "text", "graftbot")))
+    assert(exact === folded) // no widened rules in this body
+    assert(exact === Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
+  }
+
   test("robotsRules composes with urlPolicy (parsed rules gate URLs)") {
     val robots = Seq(
       ("src1.example.com", "User-agent: graftbot\nDisallow: /private/\nAllow: /private/pub/"),
