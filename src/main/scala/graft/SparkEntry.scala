@@ -3550,37 +3550,45 @@ object SparkEntry {
     // gate, a per-host politeness quota (TopKAggregator shape — no
     // per-host window over the full frontier), and a hash-ordered
     // fetch position within each host (bounded ≤ k-row windows)
-    "q_crawl_frontier" -> ((s, dir) => {
+    "q_crawl_frontier" -> ((s, dir) =>
+      crawlFrontier(s, dir).orderBy("doc_id")),
+    // per-host politeness delays parsed from the planted crawl-delay
+    // bodies: graftbot group beats *, equal-specificity groups merge
+    // to the MAX delay, junk values ignored (try_cast), delay-less
+    // hosts absent
+    "q_crawl_delays" -> ((s, dir) => {
       import s.implicits._
-      import graft.functions.UrlOps
-      val url = concat(lit("https://"), col("source"),
-        lit(".example.com"),
-        when(col("doc_id") % 6 === 0, lit("/private/pub/p"))
-          .when(col("doc_id") % 6 === 1, lit("/private/p"))
-          .when(col("doc_id") % 6 === 2, lit("/gb/p"))
-          .when(col("doc_id") % 6 === 3, lit("/gb2/mid/p"))
-          .when(col("doc_id") % 6 === 4, lit("/a"))
-          .otherwise(lit("/b")),
-        col("doc_id").cast("string"))
-      val cands = Tables.documents(s, dir)
-        .select(col("doc_id"), url.as("url"))
-      val seen = cands.filter(col("doc_id") % 3 === 0)
-        .select(col("url").as("__seen"))
-      val fresh = cands.join(seen, col("url") === col("__seen"),
-        "left_anti")
-      val rules = UrlOps.robotsRules(
-        robotsFixture.toDF("host", "text"), "host", "text", "graftbot")
-      val gated = UrlOps.urlPolicy(fresh, "url", rules)
-        .filter(col("allowed"))
-        .select("doc_id", "host", "path")
-      val quota = Scale.groupQuota(gated, "host", "doc_id", k = 7)
-      val w = Window.partitionBy(col("host"))
-        .orderBy(col("__h"), col("doc_id"))
-      quota
-        .withColumn("__h",
-          Kmv.sha52(col("doc_id").cast("string")))
-        .withColumn("frontier_rank", row_number().over(w).cast("long"))
-        .select("doc_id", "host", "path", "frontier_rank")
+      graft.functions.UrlOps.robotsCrawlDelays(
+          crawlDelayFixture.toDF("host", "text"), "host", "text",
+          "graftbot")
+        .orderBy("host")
+    }),
+    // sitemap XML parsing (sitemaps.org): urlset url entries + nested
+    // sitemapindex entries, loc required, lastmod NULL when absent —
+    // the discovery step between q_robots_sitemaps and the frontier
+    "q_sitemap_urls" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.UrlOps.sitemapUrls(
+          sitemapFixture.toDF("host", "text"), "host", "text")
+        .orderBy("host", "loc")
+    }),
+    // the frontier priced into an actual FETCH SCHEDULE: per-host
+    // politeness delays parsed from crawl-delay lines (graftbot group
+    // beats *, max-of-merged, junk ignored, absent host → 1 s
+    // default), fetch offset = (rank − 1) × delay — the artifact a
+    // polite fetcher executes. Delay doubles are exact binary
+    // fractions so the ms offsets are engine-exact
+    "q_fetch_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val delays = graft.functions.UrlOps.robotsCrawlDelays(
+        crawlDelayFixture.toDF("host", "text"), "host", "text",
+        "graftbot")
+      crawlFrontier(s, dir)
+        .join(broadcast(delays), Seq("host"), "left")
+        .select(col("doc_id"), col("host"), col("frontier_rank"),
+          ((col("frontier_rank") - 1) *
+            coalesce(col("crawl_delay_s"), lit(1.0)) * 1000)
+            .cast("long").as("fetch_offset_ms"))
         .orderBy("doc_id")
     }),
     "q_url_parts" -> ((s, dir) => {
@@ -3845,6 +3853,69 @@ object SparkEntry {
     * unrolled as chained CTEs r1..rK, each reading only its
     * predecessor — the same arithmetic (double constants included) as
     * [[Analytics.pageRank]], so the compare is tolerance-tight. */
+  /** The q_crawl_frontier pipeline (shared with q_fetch_schedule):
+    * candidates minus the seen set, parsed-robots gate, per-host
+    * politeness quota, sha52 fetch order within host. */
+  private def crawlFrontier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.UrlOps
+    val url = concat(lit("https://"), col("source"),
+      lit(".example.com"),
+      when(col("doc_id") % 6 === 0, lit("/private/pub/p"))
+        .when(col("doc_id") % 6 === 1, lit("/private/p"))
+        .when(col("doc_id") % 6 === 2, lit("/gb/p"))
+        .when(col("doc_id") % 6 === 3, lit("/gb2/mid/p"))
+        .when(col("doc_id") % 6 === 4, lit("/a"))
+        .otherwise(lit("/b")),
+      col("doc_id").cast("string"))
+    val cands = Tables.documents(s, dir)
+      .select(col("doc_id"), url.as("url"))
+    val seen = cands.filter(col("doc_id") % 3 === 0)
+      .select(col("url").as("__seen"))
+    val fresh = cands.join(seen, col("url") === col("__seen"),
+      "left_anti")
+    val rules = UrlOps.robotsRules(
+      robotsFixture.toDF("host", "text"), "host", "text", "graftbot")
+    val gated = UrlOps.urlPolicy(fresh, "url", rules)
+      .filter(col("allowed"))
+      .select("doc_id", "host", "path")
+    val quota = Scale.groupQuota(gated, "host", "doc_id", k = 7)
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("__h"), col("doc_id"))
+    quota
+      .withColumn("__h", Kmv.sha52(col("doc_id").cast("string")))
+      .withColumn("frontier_rank", row_number().over(w).cast("long"))
+      .select("doc_id", "host", "path", "frontier_rank")
+  }
+
+  /** Planted sitemap bodies for q_sitemap_urls: a urlset with
+    * whitespace-padded loc, a lastmod-less entry, and a loc-less entry
+    * (dropped); a sitemapindex with nested sitemap entries. */
+  private val sitemapFixture: Seq[(String, String)] = Seq(
+    ("src1.example.com",
+      "<?xml version=\"1.0\"?>\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        " <url><loc> https://src1.example.com/a </loc>" +
+        "<lastmod>2026-08-01</lastmod></url>\n" +
+        " <url><loc>https://src1.example.com/b</loc></url>\n" +
+        " <url><lastmod>2026-08-02</lastmod></url>\n</urlset>\n"),
+    ("src2.example.com",
+      "<sitemapindex>\n <sitemap><loc>https://src2.example.com/s1.xml" +
+        "</loc><lastmod>2026-07-01</lastmod></sitemap>\n" +
+        " <sitemap><loc>https://src2.example.com/s2.xml</loc>" +
+        "</sitemap>\n</sitemapindex>\n"))
+
+  /** Planted crawl-delay robots bodies for q_crawl_delays /
+    * q_fetch_schedule — group-scoped delays (graftbot beats *),
+    * max-of-merged, a junk value, and delays chosen as exact binary
+    * fractions so downstream ms arithmetic is engine-exact. */
+  private val crawlDelayFixture: Seq[(String, String)] = Seq(
+    ("src1.example.com",
+      "User-agent: *\nCrawl-delay: 10\n\nUser-agent: graftbot\n" +
+        "Crawl-delay: 2\nDisallow: /none/\n"),
+    ("src3.example.com", "User-agent: *\nCrawl-delay: 0.5\n"),
+    ("src5.example.com", "User-agent: graftbot\nCrawl-delay: soon\n"))
+
   /** Planted robots.txt bodies for q_robots_rules / q_robots_policy —
     * each host exercises a different RFC 9309 surface (see the query
     * comments). Kept as raw text: the PARSER is what's adjudicated. */
@@ -3875,6 +3946,62 @@ object SparkEntry {
     ("src2.example.com", "/gb2/", false, "/gb2/*/x", true),
     ("src3.example.com", "/a", true, "/a*", false),
     ("src3.example.com", "/b", false, "/b$", true))
+
+  /** The q_crawl_frontier chain as CTE definitions ending at `f` =
+    * (doc_id, host, path, frontier_rank) — shared by the frontier and
+    * fetch-schedule oracles so the two cannot drift. */
+  private def crawlFrontierOracleCtes: String =
+    """WITH u AS (SELECT doc_id,
+             'https://' || source || '.example.com' ||
+             (CASE CAST(doc_id % 6 AS INT)
+                WHEN 0 THEN '/private/pub/p' WHEN 1 THEN '/private/p'
+                WHEN 2 THEN '/gb/p' WHEN 3 THEN '/gb2/mid/p'
+                WHEN 4 THEN '/a' ELSE '/b' END) ||
+             CAST(doc_id AS VARCHAR) AS url
+           FROM documents
+           WHERE doc_id % 3 <> 0),
+         p AS (SELECT doc_id,
+             lower(regexp_replace(regexp_extract(url,
+               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)', 2),
+               ':[0-9]+$', '')) AS host,
+             CASE WHEN regexp_extract(url,
+                 '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)', 3) = ''
+               THEN '/'
+               ELSE regexp_extract(url,
+                 '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)', 3) END
+               AS path
+           FROM u),
+         r AS (SELECT host, path_prefix, allow FROM (VALUES """ +
+      robotsExpectedRules.map { case (h, pfx, a, _, _) =>
+        s"('$h', '$pfx', $a)" }.mkString(", ") +
+      """) t(host, path_prefix, allow)),
+         m AS (SELECT p.doc_id, len(r.path_prefix) AS l, r.allow,
+                 row_number() OVER (PARTITION BY p.doc_id
+                   ORDER BY len(r.path_prefix) DESC,
+                            CAST(r.allow AS INT) DESC) AS rn
+               FROM p JOIN r ON r.host = p.host
+                 AND substring(p.path, 1, len(r.path_prefix))
+                   = r.path_prefix),
+         g AS (SELECT p.doc_id, p.host, p.path
+               FROM p LEFT JOIN (SELECT doc_id, allow FROM m WHERE rn = 1) b
+                 USING (doc_id)
+               WHERE coalesce(b.allow, true)),
+         q AS (SELECT doc_id, host, path, row_number() OVER (
+                 PARTITION BY host ORDER BY doc_id) AS rn
+               FROM g),
+         k AS (SELECT doc_id, host, path FROM q WHERE rn <= 7),
+         h AS (SELECT doc_id, host, path,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(
+                     substring(sha256(CAST(doc_id AS VARCHAR)), 1, 13), ''),
+                     x -> CAST(instr('0123456789abcdef', x) - 1
+                       AS BIGINT))),
+                   (acc, x) -> acc * 16 + x) AS hv
+               FROM k),
+         f AS (SELECT doc_id, host, path,
+                 CAST(row_number() OVER (PARTITION BY host
+                   ORDER BY hv, doc_id) AS BIGINT) AS frontier_rank
+               FROM h)"""
 
   private def robotsRulesOracleSql: String =
     "SELECT * FROM (VALUES " + robotsExpectedRules.map {
@@ -6462,59 +6589,49 @@ object SparkEntry {
            USING (doc_id)
          ORDER BY p.doc_id""",
     // seen-set anti-join + expected-rules gate + min-id politeness
-    // quota (row_number formulation) + sha52 fetch order per host
+    // quota (row_number formulation) + sha52 fetch order per host —
+    // chain factored into crawlFrontierOracleCtes (shared with the
+    // fetch schedule)
     "q_crawl_frontier" ->
-      ("""WITH u AS (SELECT doc_id,
-             'https://' || source || '.example.com' ||
-             (CASE CAST(doc_id % 6 AS INT)
-                WHEN 0 THEN '/private/pub/p' WHEN 1 THEN '/private/p'
-                WHEN 2 THEN '/gb/p' WHEN 3 THEN '/gb2/mid/p'
-                WHEN 4 THEN '/a' ELSE '/b' END) ||
-             CAST(doc_id AS VARCHAR) AS url
-           FROM documents
-           WHERE doc_id % 3 <> 0),
-         p AS (SELECT doc_id,
-             lower(regexp_replace(regexp_extract(url,
-               '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)', 2),
-               ':[0-9]+$', '')) AS host,
-             CASE WHEN regexp_extract(url,
-                 '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)', 3) = ''
-               THEN '/'
-               ELSE regexp_extract(url,
-                 '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)', 3) END
-               AS path
-           FROM u),
-         r AS (SELECT host, path_prefix, allow FROM (VALUES """ +
-        robotsExpectedRules.map { case (h, pfx, a, _, _) =>
-          s"('$h', '$pfx', $a)" }.mkString(", ") +
-        """) t(host, path_prefix, allow)),
-         m AS (SELECT p.doc_id, len(r.path_prefix) AS l, r.allow,
-                 row_number() OVER (PARTITION BY p.doc_id
-                   ORDER BY len(r.path_prefix) DESC,
-                            CAST(r.allow AS INT) DESC) AS rn
-               FROM p JOIN r ON r.host = p.host
-                 AND substring(p.path, 1, len(r.path_prefix))
-                   = r.path_prefix),
-         g AS (SELECT p.doc_id, p.host, p.path
-               FROM p LEFT JOIN (SELECT doc_id, allow FROM m WHERE rn = 1) b
-                 USING (doc_id)
-               WHERE coalesce(b.allow, true)),
-         q AS (SELECT doc_id, host, path, row_number() OVER (
-                 PARTITION BY host ORDER BY doc_id) AS rn
-               FROM g),
-         k AS (SELECT doc_id, host, path FROM q WHERE rn <= 7),
-         h AS (SELECT doc_id, host, path,
-                 list_reduce(list_prepend(CAST(0 AS BIGINT),
-                   list_transform(string_split(
-                     substring(sha256(CAST(doc_id AS VARCHAR)), 1, 13), ''),
-                     x -> CAST(instr('0123456789abcdef', x) - 1
-                       AS BIGINT))),
-                   (acc, x) -> acc * 16 + x) AS hv
-               FROM k)
-         SELECT doc_id, host, path,
-                CAST(row_number() OVER (PARTITION BY host
-                  ORDER BY hv, doc_id) AS BIGINT) AS frontier_rank
-         FROM h ORDER BY doc_id"""),
+      (crawlFrontierOracleCtes +
+        """ SELECT doc_id, host, path, frontier_rank
+         FROM f ORDER BY doc_id"""),
+    // the frontier joined to the parsed per-host delays (graftbot 2.0
+    // on src1, * 0.5 on src3, junk src5 absent -> 1 s default); exact
+    // binary-fraction delays keep the ms arithmetic engine-exact
+    "q_fetch_schedule" ->
+      (crawlFrontierOracleCtes +
+        """, d AS (SELECT * FROM (VALUES
+             ('src1.example.com', CAST(2.0 AS DOUBLE)),
+             ('src3.example.com', CAST(0.5 AS DOUBLE)))
+             t(host, delay_s))
+         SELECT f.doc_id, f.host, f.frontier_rank,
+                CAST((f.frontier_rank - 1) * coalesce(d.delay_s, 1.0)
+                  * 1000 AS BIGINT) AS fetch_offset_ms
+         FROM f LEFT JOIN d USING (host)
+         ORDER BY f.doc_id"""),
+    // hand-derived group-scoped delays: graftbot group beats *,
+    // merged groups take the max, junk host absent
+    "q_crawl_delays" ->
+      """SELECT * FROM (VALUES
+           ('src1.example.com', CAST(2.0 AS DOUBLE)),
+           ('src3.example.com', CAST(0.5 AS DOUBLE)))
+           t(host, crawl_delay_s)
+         ORDER BY host""",
+    // hand-derived sitemap entries: trimmed loc, NULL lastmod when
+    // absent, loc-less entry dropped, index entries kind=sitemap
+    "q_sitemap_urls" ->
+      """SELECT * FROM (VALUES
+           ('src1.example.com', 'url', 'https://src1.example.com/a',
+            '2026-08-01'),
+           ('src1.example.com', 'url', 'https://src1.example.com/b',
+            CAST(NULL AS VARCHAR)),
+           ('src2.example.com', 'sitemap',
+            'https://src2.example.com/s1.xml', '2026-07-01'),
+           ('src2.example.com', 'sitemap',
+            'https://src2.example.com/s2.xml', CAST(NULL AS VARCHAR)))
+           t(host, kind, loc, lastmod)
+         ORDER BY host, loc""",
     "q_url_parts" ->
       """WITH u AS (SELECT doc_id,
              (CASE WHEN doc_id % 7 = 0 THEN 'http://' ELSE 'https://' END) ||

@@ -197,6 +197,21 @@ object UrlOps {
     * orphan/empty-pattern rules. (host, pattern, allow). */
   private def robotsSelectedRules(robots: org.apache.spark.sql.DataFrame,
       hostCol: String, textCol: String,
+      userAgent: String): org.apache.spark.sql.DataFrame =
+    robotsSelectedLines(robots, hostCol, textCol, userAgent)
+      .filter(col("field").isin("allow", "disallow"))
+      .filter(col("value") =!= "")
+      .select(col("host"), col("value").as("pattern"),
+        (col("field") === "allow").as("allow"))
+
+  /** Line-level core: every non-user-agent directive line (allow,
+    * disallow, crawl-delay) of the SELECTED groups, after RFC 9309
+    * group numbering and longest-agent selection with merge. A
+    * directive line closes a group's agent accumulation (so
+    * `crawl-delay` between two user-agent lines separates groups —
+    * the reference-parser behavior). (host, field, value). */
+  private def robotsSelectedLines(robots: org.apache.spark.sql.DataFrame,
+      hostCol: String, textCol: String,
       userAgent: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val token = userAgent.toLowerCase(java.util.Locale.ROOT)
@@ -211,7 +226,8 @@ object UrlOps {
       .select(col("host"), col("line_no"),
         lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))).as("field"),
         trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("value"))
-      .filter(col("field").isin("user-agent", "allow", "disallow"))
+      .filter(col("field").isin("user-agent", "allow", "disallow",
+        "crawl-delay"))
     val wHost = Window.partitionBy("host").orderBy("line_no")
     val grouped = lines
       .withColumn("__prev", lag(col("field"), 1).over(wHost))
@@ -236,11 +252,9 @@ object UrlOps {
     val selected = agentSpec.join(best, Seq("host"))
       .filter(col("grp_spec") === col("best_spec"))
       .select("host", "grp")
-    grouped.filter(col("field").isin("allow", "disallow"))
+    grouped.filter(col("field") =!= "user-agent")
       .join(selected, Seq("host", "grp"))
-      .filter(col("value") =!= "")
-      .select(col("host"), col("value").as("pattern"),
-        (col("field") === "allow").as("allow"))
+      .select("host", "field", "value")
   }
 
   /** Full `*`/`$` wildcard form of [[urlPolicy]] (RFC 9309 §2.2.3):
@@ -321,6 +335,55 @@ object UrlOps {
         trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1))
           .as("sitemap_url"))
       .filter(col("sitemap_url") =!= "")
+
+  /** Sitemap XML parsing (sitemaps.org protocol) — the discovery step
+    * after [[robotsSitemaps]]: a `<urlset>` body yields its `<url>`
+    * entries (kind `url`), a `<sitemapindex>` its nested `<sitemap>`
+    * entries (kind `sitemap` — feed back into the fetcher). Per entry:
+    * `loc` (required; entries without one are dropped) and `lastmod`
+    * (optional, NULL when absent — the recrawl-scheduling signal).
+    * Entry blocks extract with (?s) non-greedy regexes — RE2-safe, so
+    * the oracle runs the identical patterns; no XML library, which is
+    * the right trade for the sitemaps.org subset (flat elements, no
+    * attributes needed) on untrusted multi-GB crawl payloads. Pure
+    * per-row explode of block matches — zero shuffle. */
+  def sitemapUrls(df: org.apache.spark.sql.DataFrame, hostCol: String,
+      xmlCol: String): org.apache.spark.sql.DataFrame = {
+    def blocks(tag: String, kind: String) =
+      transform(
+        regexp_extract_all(col(xmlCol),
+          lit(s"(?s)<$tag>(.*?)</$tag>"), lit(1)),
+        b => struct(lit(kind).as("kind"), b.as("b")))
+    df.select(col(hostCol).as("host"),
+        explode(concat(blocks("url", "url"), blocks("sitemap", "sitemap")))
+          .as("e"))
+      .select(col("host"), col("e.kind").as("kind"),
+        trim(regexp_extract(col("e.b"),
+          "(?s)<loc>\\s*([^<]*?)\\s*</loc>", 1)).as("loc"),
+        nullif(trim(regexp_extract(col("e.b"),
+          "(?s)<lastmod>\\s*([^<]*?)\\s*</lastmod>", 1)), lit(""))
+          .as("lastmod"))
+      .filter(col("loc") =!= "")
+  }
+
+  /** Crawl-delay extraction from robots bodies — not in RFC 9309 but
+    * honored by major non-Google crawlers and ubiquitous in the wild:
+    * same group selection as [[robotsRules]] (longest agent, merge at
+    * equal specificity), value = the MAX delay among the selected
+    * groups' parseable `Crawl-delay` values (the conservative
+    * politeness read); non-numeric values are ignored, hosts with no
+    * parseable delay are absent (caller applies its default). Output:
+    * (host, crawl_delay_s DOUBLE). */
+  def robotsCrawlDelays(robots: org.apache.spark.sql.DataFrame,
+      hostCol: String, textCol: String,
+      userAgent: String): org.apache.spark.sql.DataFrame =
+    robotsSelectedLines(robots, hostCol, textCol, userAgent)
+      .filter(col("field") === "crawl-delay")
+      // try_cast, not cast: a junk value must be ignored, not an ANSI
+      // runtime error out of a corpus-wide parse
+      .select(col("host"), expr("try_cast(value AS double)").as("__d"))
+      .filter(col("__d").isNotNull && col("__d") >= 0)
+      .groupBy("host").agg(max(col("__d")).as("crawl_delay_s"))
 
   /** Remove utm_* / gclid / fbclid query parameters while preserving the
     * rest of the query string, in three RE2-safe passes:

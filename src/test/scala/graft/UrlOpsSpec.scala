@@ -242,6 +242,62 @@ class UrlOpsSpec extends SparkSpec {
     assert(exact === Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
   }
 
+  test("sitemapUrls: urlset + sitemapindex, lastmod optional, junk dropped") {
+    val xml = """<?xml version="1.0"?>
+      |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      | <url><loc> https://h/a </loc><lastmod>2026-08-01</lastmod></url>
+      | <url><loc>https://h/b</loc></url>
+      | <url><lastmod>2026-08-02</lastmod></url>
+      |</urlset>""".stripMargin
+    val idx = """<sitemapindex>
+      | <sitemap><loc>https://h/s1.xml</loc><lastmod>2026-07-01</lastmod></sitemap>
+      | <sitemap><loc>https://h/s2.xml</loc></sitemap>
+      |</sitemapindex>""".stripMargin
+    val out = UrlOps.sitemapUrls(
+        Seq(("h", xml), ("i", idx)).toDF("host", "text"), "host", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)).orNull))
+      .sortBy(x => (x._1, x._3))
+    assert(out.toSeq === Seq(
+      ("h", "url", "https://h/a", "2026-08-01"),
+      ("h", "url", "https://h/b", null), // loc-less entry dropped
+      ("i", "sitemap", "https://h/s1.xml", "2026-07-01"),
+      ("i", "sitemap", "https://h/s2.xml", null)))
+  }
+
+  test("robotsCrawlDelays: group-scoped, max-of-merged, junk ignored") {
+    val txt = """User-agent: *
+      |Crawl-delay: 10
+      |Disallow: /x/
+      |
+      |User-agent: graftbot
+      |Crawl-delay: 2
+      |Disallow: /y/
+      |User-agent: graftbot
+      |Crawl-delay: 3.5
+      |
+      |User-agent: junkbot
+      |Crawl-delay: soon
+      |""".stripMargin
+    def delays(agent: String) =
+      UrlOps.robotsCrawlDelays(Seq(("h", txt)).toDF("host", "text"),
+          "host", "text", agent)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // graftbot: two spec-8 groups merge -> max(2, 3.5)
+    assert(delays("graftbot") === Map("h" -> 3.5))
+    // unmatched token falls to *: 10
+    assert(delays("otherbot") === Map("h" -> 10.0))
+    // junkbot's own group has no parseable delay -> absent
+    assert(delays("junkbot") === Map.empty)
+    // the crawl-delay line between the two graftbot user-agent lines
+    // SEPARATES them into two groups: /y/ belongs to the first only
+    val rules = UrlOps.robotsRules(Seq(("h", txt)).toDF("host", "text"),
+        "host", "text", "graftbot")
+      .select("path_prefix").collect().map(_.getString(0)).sorted.toSeq
+    assert(rules === Seq("/y/"))
+  }
+
   test("robotsRules composes with urlPolicy (parsed rules gate URLs)") {
     val robots = Seq(
       ("src1.example.com", "User-agent: graftbot\nDisallow: /private/\nAllow: /private/pub/"),
