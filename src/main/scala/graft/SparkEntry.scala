@@ -3937,15 +3937,17 @@ object SparkEntry {
 
   /** The RFC-derived expected rule rows for [[robotsFixture]] under
     * product token `graftbot` — hand-derived from RFC 9309, shared by
-    * both robots oracles so they cannot drift apart.
-    * (host, path_prefix, allow, from_pattern, widened). */
-  private val robotsExpectedRules: Seq[(String, String, Boolean, String, Boolean)] = Seq(
-    ("src1.example.com", "/private/", false, "/private/", false),
-    ("src1.example.com", "/private/pub/", true, "/private/pub/", false),
-    ("src2.example.com", "/gb/", false, "/gb/", false),
-    ("src2.example.com", "/gb2/", false, "/gb2/*/x", true),
-    ("src3.example.com", "/a", true, "/a*", false),
-    ("src3.example.com", "/b", false, "/b$", true))
+    * both robots oracles so they cannot drift apart. `match_len` is
+    * the RAW pattern length (the RFC precedence key urlPolicy ranks
+    * on — counted by hand from from_pattern).
+    * (host, path_prefix, allow, from_pattern, match_len, widened). */
+  private val robotsExpectedRules: Seq[(String, String, Boolean, String, Int, Boolean)] = Seq(
+    ("src1.example.com", "/private/", false, "/private/", 9, false),
+    ("src1.example.com", "/private/pub/", true, "/private/pub/", 13, false),
+    ("src2.example.com", "/gb/", false, "/gb/", 4, false),
+    ("src2.example.com", "/gb2/", false, "/gb2/*/x", 8, true),
+    ("src3.example.com", "/a", true, "/a*", 3, false),
+    ("src3.example.com", "/b", false, "/b$", 3, true))
 
   /** The q_crawl_frontier chain as CTE definitions ending at `f` =
     * (doc_id, host, path, frontier_rank) — shared by the frontier and
@@ -3971,13 +3973,13 @@ object SparkEntry {
                  '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)', 3) END
                AS path
            FROM u),
-         r AS (SELECT host, path_prefix, allow FROM (VALUES """ +
-      robotsExpectedRules.map { case (h, pfx, a, _, _) =>
-        s"('$h', '$pfx', $a)" }.mkString(", ") +
-      """) t(host, path_prefix, allow)),
-         m AS (SELECT p.doc_id, len(r.path_prefix) AS l, r.allow,
+         r AS (SELECT host, path_prefix, match_len, allow FROM (VALUES """ +
+      robotsExpectedRules.map { case (h, pfx, a, _, l, _) =>
+        s"('$h', '$pfx', $l, $a)" }.mkString(", ") +
+      """) t(host, path_prefix, match_len, allow)),
+         m AS (SELECT p.doc_id, r.match_len AS l, r.allow,
                  row_number() OVER (PARTITION BY p.doc_id
-                   ORDER BY len(r.path_prefix) DESC,
+                   ORDER BY r.match_len DESC,
                             CAST(r.allow AS INT) DESC) AS rn
                FROM p JOIN r ON r.host = p.host
                  AND substring(p.path, 1, len(r.path_prefix))
@@ -4005,9 +4007,10 @@ object SparkEntry {
 
   private def robotsRulesOracleSql: String =
     "SELECT * FROM (VALUES " + robotsExpectedRules.map {
-      case (h, p, a, f, w) => s"('$h', '$p', $a, '$f', $w)"
+      case (h, p, a, f, l, w) =>
+        s"('$h', '$p', $a, '$f', CAST($l AS INTEGER), $w)"
     }.mkString(", ") +
-      ") t(host, path_prefix, allow, from_pattern, widened) " +
+      ") t(host, path_prefix, allow, from_pattern, match_len, widened) " +
       "ORDER BY host, path_prefix"
 
   /** Deterministic WARC fixture shared by q_warc_extract's file side
@@ -6524,13 +6527,13 @@ object SparkEntry {
                  '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)', 3) END
                AS path
            FROM u),
-         r AS (SELECT host, path_prefix, allow FROM (VALUES """ +
-        robotsExpectedRules.map { case (h, p, a, _, _) =>
-          s"('$h', '$p', $a)" }.mkString(", ") +
-        """) t(host, path_prefix, allow)),
-         m AS (SELECT p.doc_id, len(r.path_prefix) AS l, r.allow,
+         r AS (SELECT host, path_prefix, match_len, allow FROM (VALUES """ +
+        robotsExpectedRules.map { case (h, p, a, _, l, _) =>
+          s"('$h', '$p', $l, $a)" }.mkString(", ") +
+        """) t(host, path_prefix, match_len, allow)),
+         m AS (SELECT p.doc_id, r.match_len AS l, r.allow,
                  row_number() OVER (PARTITION BY p.doc_id
-                   ORDER BY len(r.path_prefix) DESC,
+                   ORDER BY r.match_len DESC,
                             CAST(r.allow AS INT) DESC) AS rn
                FROM p JOIN r ON r.host = p.host
                  AND substring(p.path, 1, len(r.path_prefix))

@@ -86,10 +86,22 @@ object UrlOps {
     * unknown hosts — defaults to allow. The empty path is matched as
     * "/" (the RFC's empty-Disallow convention).
     *
+    * Precedence length: when the rules frame carries a `match_len`
+    * column (as [[robotsRules]] emits — the RAW robots-pattern length,
+    * the reference-implementation ranking key), rules rank on IT, not
+    * on the folded prefix length. This is what keeps the conservative
+    * wildcard fold never-under-blocking: a widened disallow matches a
+    * SUPERSET of its RFC match set but ranks at its RFC length, so an
+    * allow outranks it here only where the allow would also outrank it
+    * under RFC 9309 (allows are only kept where the fold is exact, so
+    * their match sets and lengths are already RFC-faithful). Without
+    * `match_len` (hand-built rule tables) the prefix length ranks, as
+    * before. Ties prefer allow in both modes (the RFC rule).
+    *
     * Scale shape: policy tables are registry-sized, so rules collapse
-    * to ONE broadcast row per host (`collect_list` of (prefix, allow)
-    * structs) and the decision is a scan-local array fold — the
-    * max-by-(prefix-length, allow) reduction is order-independent, so
+    * to ONE broadcast row per host (`collect_list` of (prefix, len,
+    * allow) structs) and the decision is a scan-local array fold — the
+    * max-by-(match-length, allow) reduction is order-independent, so
     * `collect_list`'s nondeterministic order is harmless. ZERO
     * shuffles on the URL stream at any corpus size. Output: input
     * columns + (host [lowercased, port-less], path [normalized],
@@ -99,8 +111,12 @@ object UrlOps {
     require(Set("host", "path_prefix", "allow")
       .subsetOf(rules.columns.toSet),
       s"rules needs (host, path_prefix, allow), got ${rules.columns.mkString(", ")}")
+    val rankLen =
+      if (rules.columns.contains("match_len")) col("match_len").cast("int")
+      else length(col("path_prefix")).cast("int")
     val r = rules.select(lower(col("host")).as("__h"),
       struct(col("path_prefix").cast("string").as("p"),
+        rankLen.as("l"),
         col("allow").cast("boolean").as("a")).as("__r"))
     val hostRules = r.groupBy("__h")
       .agg(collect_list(col("__r")).as("__rules"))
@@ -112,12 +128,12 @@ object UrlOps {
       .join(broadcast(hostRules), col("host") === col("__h"), "left")
       .withColumn("__best", aggregate(
         filter(coalesce(col("__rules"),
-            array().cast("array<struct<p:string,a:boolean>>")),
+            array().cast("array<struct<p:string,l:int,a:boolean>>")),
           rl => col("path").substr(lit(1), length(rl.getField("p")))
             === rl.getField("p")),
         struct(lit(-1).cast("int").as("l"), lit(true).as("a")),
         (acc, rl) => {
-          val l = length(rl.getField("p")).cast("int")
+          val l = rl.getField("l")
           val better = l > acc.getField("l") ||
             (l === acc.getField("l") && rl.getField("a") &&
               !acc.getField("a"))
@@ -161,11 +177,23 @@ object UrlOps {
     * A curation pipeline erring on the side of discarding documents
     * is correct; one erring toward fetching disallowed content is not.
     *
+    * `match_len` carries the RAW pattern length (the RFC precedence
+    * key — the reference implementation ranks rules by pattern
+    * length, wildcards included), and [[urlPolicy]] ranks on it. The
+    * folded prefix alone would UNDER-block: a Disallow of
+    * `/x/`+star+`/secret` folds to prefix `/x/` (3), and a
+    * shorter-than-raw Allow like `/x/pub/` (7) would outrank it —
+    * fetching robots-disallowed URLs. Ranked at the raw length (12)
+    * the widened disallow keeps its RFC precedence; since its folded
+    * match set is a superset of the RFC set and kept allows are
+    * fold-exact, every decision flip vs RFC is a block, never a
+    * fetch.
+    *
     * Scale: one posexplode over robots bodies (RFC caps a body at
     * 500 KiB, so per-host line counts are bounded), per-HOST windows
     * for group numbering (host-keyed shuffle — millions of hosts
     * partition evenly), two bounded aggregations. Output:
-    * (host, path_prefix, allow, from_pattern, widened). */
+    * (host, path_prefix, allow, from_pattern, match_len, widened). */
   def robotsRules(robots: org.apache.spark.sql.DataFrame, hostCol: String,
       textCol: String, userAgent: String): org.apache.spark.sql.DataFrame =
     robotsSelectedRules(robots, hostCol, textCol, userAgent)
@@ -181,7 +209,9 @@ object UrlOps {
         (col("__dollar") && !col("__starTail")) ||
           col("path_prefix") =!= col("__d2"))
       .filter(col("allow") === false || !col("widened"))
-      .select("host", "path_prefix", "allow", "from_pattern", "widened")
+      .withColumn("match_len", length(col("from_pattern")).cast("int"))
+      .select("host", "path_prefix", "allow", "from_pattern", "match_len",
+        "widened")
 
   /** The EXACT-pattern form of [[robotsRules]]: same RFC 9309 group
     * selection and merge, but rules keep their raw `*`/`$` patterns —

@@ -1062,6 +1062,14 @@ object Scale {
   def epochManifest(df: DataFrame, idCol: String, tokenCount: Column,
       capacity: Int, epochs: Seq[Int], eosTokens: Int = 1,
       blockDocs: Int = 512): DataFrame = {
+    // doc_list renders ids via cast("long"); a non-integral id column
+    // would silently render NULL entries into the loader artifact —
+    // fail loudly up front instead
+    val idType = df.schema(idCol).dataType
+    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+      .contains(idType),
+      s"epochManifest: id column '$idCol' must be an integral type " +
+        s"(doc_list renders ids as longs), got $idType")
     val packed = ffdPack(df, idCol, tokenCount, capacity, eosTokens,
       blockDocs)
     val windows = packed.groupBy(col("window_id"))

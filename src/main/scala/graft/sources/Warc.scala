@@ -1,8 +1,8 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, EOFException}
+import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.util.zip.GZIPOutputStream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -55,16 +55,90 @@ object Warc {
   private def isGzip(bytes: Array[Byte]): Boolean =
     bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
 
-  /** Fully decode a (possibly multi-member) gzip buffer. Truncated or
-    * garbage trailing members surface as ONE quarantine record by the
-    * caller, not an exception out of the task. */
-  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
-    val in = new GZIPInputStream(new ByteArrayInputStream(bytes), 1 << 16)
+  /** Decoded prefix of a gzip buffer: `data` = the concatenation of
+    * every VALID member, `consumed` = exact input bytes those members
+    * span, `error` = null iff the whole buffer decoded. A non-null
+    * error means bytes [consumed, length) are an undecodable remainder
+    * the caller must quarantine — NOT silently drop. */
+  private final case class Gunzipped(data: Array[Byte], consumed: Int,
+      error: String)
+
+  /** Fully decode a (possibly multi-member) gzip buffer, MEMBER BY
+    * MEMBER with exact byte accounting (RFC 1952 framing + raw-deflate
+    * Inflater + CRC32/ISIZE trailer check). `GZIPInputStream` over a
+    * concatenated buffer treats a garbage member header after a valid
+    * member as clean EOF — silent record loss; here a garbage,
+    * truncated, or CRC-failing member stops the decode with the
+    * remainder reported so the caller can quarantine it. */
+  private def gunzipMembers(bytes: Array[Byte]): Gunzipped = {
     val out = new ByteArrayOutputStream(bytes.length * 4)
-    val buf = new Array[Byte](1 << 16)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
+    var pos = 0
+    var err: String = null
+    while (err == null && pos < bytes.length) {
+      if (!(pos + 2 <= bytes.length && (bytes(pos) & 0xff) == 0x1f &&
+          (bytes(pos + 1) & 0xff) == 0x8b))
+        err = s"not a gzip member header at offset $pos"
+      else decodeMember(bytes, pos) match {
+        case Right((data, next)) => out.write(data, 0, data.length); pos = next
+        case Left(e) => err = e
+      }
+    }
+    Gunzipped(out.toByteArray, pos, err)
+  }
+
+  /** Decode ONE gzip member starting at `pos`: parse the RFC 1952
+    * header (FEXTRA/FNAME/FCOMMENT/FHCRC honored), inflate the raw
+    * deflate stream, verify the CRC32 + ISIZE trailer. Returns the
+    * member's decoded bytes and the offset just past its trailer, or
+    * an error (nothing consumed). */
+  private def decodeMember(bytes: Array[Byte],
+      pos: Int): Either[String, (Array[Byte], Int)] = {
+    def fail(m: String) = Left(s"gzip member at offset $pos: $m")
+    if (pos + 10 > bytes.length) return fail("truncated header")
+    if ((bytes(pos + 2) & 0xff) != 8)
+      return fail(s"unknown compression method ${bytes(pos + 2) & 0xff}")
+    val flg = bytes(pos + 3) & 0xff
+    var i = pos + 10
+    if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
+      if (i + 2 > bytes.length) return fail("truncated FEXTRA length")
+      i += 2 + ((bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8))
+      if (i > bytes.length) return fail("truncated FEXTRA payload")
+    }
+    for (bit <- Seq(8, 16)) if ((flg & bit) != 0) { // FNAME / FCOMMENT
+      while (i < bytes.length && bytes(i) != 0) i += 1
+      if (i >= bytes.length) return fail("unterminated FNAME/FCOMMENT")
+      i += 1
+    }
+    if ((flg & 2) != 0) { // FHCRC
+      if (i + 2 > bytes.length) return fail("truncated FHCRC")
+      i += 2
+    }
+    val inf = new java.util.zip.Inflater(true)
+    val out = new ByteArrayOutputStream((bytes.length - i) * 4)
+    val crc = new java.util.zip.CRC32
+    try {
+      inf.setInput(bytes, i, bytes.length - i)
+      val buf = new Array[Byte](1 << 16)
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case e: java.util.zip.DataFormatException =>
+            return fail(s"corrupt deflate stream: ${e.getMessage}") }
+        if (n > 0) { out.write(buf, 0, n); crc.update(buf, 0, n) }
+        else if (!inf.finished())
+          return fail("truncated deflate stream")
+      }
+      val trailer = i + inf.getBytesRead.toInt
+      if (trailer + 8 > bytes.length) return fail("truncated trailer")
+      def le32(o: Int): Long =
+        ((bytes(o) & 0xffL)) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      if (le32(trailer) != crc.getValue)
+        return fail("CRC32 mismatch")
+      if (le32(trailer + 4) != (out.size().toLong & 0xffffffffL))
+        return fail("ISIZE mismatch")
+      Right((out.toByteArray, trailer + 8))
+    } finally inf.end()
   }
 
   /** Index of the next `WARC/` marker at or after `from` that sits at
@@ -146,7 +220,13 @@ object Warc {
             }
           }
           if (broken != null) fail(broken)
-          else hdrs.get("Content-Length").flatMap(_.toLongOption) match {
+          else {
+          // ISO 28500 field names are case-insensitive: look up via a
+          // lowercased key map; `hdrs` keeps the raw casing for the
+          // headers column
+          val lk = hdrs.map { case (k, v) =>
+            k.toLowerCase(java.util.Locale.ROOT) -> v }
+          lk.get("content-length").flatMap(_.toLongOption) match {
             case None => fail("missing or non-numeric Content-Length")
             case Some(len) if len < 0 => fail("negative Content-Length")
             case Some(len) if len > Int.MaxValue - 8 =>
@@ -157,11 +237,11 @@ object Warc {
               val payload =
                 java.util.Arrays.copyOfRange(bytes, i, i + len.toInt)
               out += WarcRecord(path, idx, version,
-                hdrs.getOrElse("WARC-Type", null),
-                hdrs.getOrElse("WARC-Target-URI", null),
-                hdrs.getOrElse("WARC-Record-ID", null),
-                hdrs.getOrElse("WARC-Date", null),
-                hdrs.getOrElse("Content-Type", null),
+                lk.getOrElse("warc-type", null),
+                lk.getOrElse("warc-target-uri", null),
+                lk.getOrElse("warc-record-id", null),
+                lk.getOrElse("warc-date", null),
+                lk.getOrElse("content-type", null),
                 len, hdrs, payload, null)
               idx += 1
               // spec: CRLF CRLF after the payload; tolerate EOF (last
@@ -182,28 +262,36 @@ object Warc {
                 pos = tail
               }
           }
+          }
       }
     }
     out.result()
   }
 
   /** Parse one file's raw bytes (gzip auto-detected by magic, so
-    * `.warc`, `.warc.gz` and `.wet.gz` all work); a gzip decode
-    * failure quarantines the FILE as one record. */
+    * `.warc`, `.warc.gz` and `.wet.gz` all work). Gzip decode is
+    * member-by-member with byte accounting: valid members parse
+    * normally and an undecodable REMAINDER (garbage member header
+    * after a valid member, truncation, CRC failure) becomes one
+    * quarantine record carrying the raw undecoded bytes — never a
+    * silent drop, never a failed task. A file whose very first member
+    * is undecodable quarantines as one record, as before. */
   def parseFile(path: String,
       bytes: Array[Byte]): Seq[WarcRecord] =
     if (!isGzip(bytes)) parseBuffer(path, bytes)
     else {
-      val decoded =
-        try Right(gunzip(bytes))
-        catch {
-          case e: java.util.zip.ZipException => Left(s"gzip decode failed: ${e.getMessage}")
-          case e: EOFException => Left(s"gzip truncated: ${e.getMessage}")
-        }
-      decoded match {
-        case Right(b) => parseBuffer(path, b)
-        case Left(err) => Seq(WarcRecord(path, 0L, null, null, null, null,
-          null, null, -1L, Map.empty, bytes, err))
+      val g = gunzipMembers(bytes)
+      if (g.consumed == 0)
+        Seq(WarcRecord(path, 0L, null, null, null, null,
+          null, null, -1L, Map.empty, bytes, g.error))
+      else {
+        val recs = parseBuffer(path, g.data)
+        if (g.error == null) recs
+        else recs :+ WarcRecord(path, recs.length.toLong, null, null,
+          null, null, null, null, -1L, Map.empty,
+          java.util.Arrays.copyOfRange(bytes, g.consumed, bytes.length),
+          s"undecoded gzip remainder (${bytes.length - g.consumed} " +
+            s"bytes): ${g.error}")
       }
     }
 

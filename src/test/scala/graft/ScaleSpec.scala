@@ -968,6 +968,13 @@ class ScaleSpec extends SparkSpec {
     assert(one.map(_._5).sorted.toSeq === (1L to one.length))
     assert(one.map(_._6).sorted.toSeq === (1L to one.length))
     assert(one.count(w => w._5 == w._6) < one.length / 2)
+    // non-integral id column fails LOUDLY (a string id would render
+    // NULL entries into doc_list via cast)
+    val strIds = Seq(("doc-a", 3L), ("doc-b", 4L)).toDF("doc_id", "toks")
+    val e = intercept[IllegalArgumentException](
+      Scale.epochManifest(strIds, "doc_id", col("toks"),
+        capacity = 8, epochs = Seq(1)))
+    assert(e.getMessage.contains("integral"), e.getMessage)
   }
 
   test("matchMixture fails loudly on uncovered sources and w <= 0") {

@@ -168,11 +168,45 @@ class UrlOpsSpec extends SparkSpec {
     // prefix-equivalent tails * and *$ survive on allows
     assert(rules("h", txt) === Seq(
       ("/exact", false), ("/ok/", true), ("/pfx", true), ("/x/", false)))
-    val widened = UrlOps.robotsRules(
+    val parsed = UrlOps.robotsRules(
         Seq(("h", txt)).toDF("host", "text"), "host", "text", "graftbot")
+    val widened = parsed
       .filter(col("widened")).select("from_pattern").collect()
       .map(_.getString(0)).sorted.toSeq
     assert(widened === Seq("/exact$", "/x/*/secret"))
+    // match_len carries the RAW pattern length (the RFC precedence
+    // key), not the folded prefix length
+    val lens = parsed.select("from_pattern", "match_len").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(lens === Map("/x/*/secret" -> 11, "/exact$" -> 7,
+      "/ok/*" -> 5, "/pfx*$" -> 6))
+  }
+
+  test("widened disallow is not outranked by a shorter allow (raw-length precedence)") {
+    // the under-block regression: /x/*/secret folds to prefix /x/
+    // (len 3); a len-7 allow carve-out must NOT outrank it — RFC 9309
+    // raw-length precedence blocks /x/pub/secret (disallow len 12)
+    val robots = Seq(("h.com",
+      "User-agent: graftbot\nDisallow: /x/*/secret\nAllow: /x/pub/"))
+      .toDF("host", "text")
+    val urls = Seq(
+      (1L, "https://h.com/x/pub/secret"), // RFC: disallow 12 > allow 7
+      (2L, "https://h.com/x/pub/ok"),     // RFC: only allow matches — but
+                                          // the fold over-blocks (documented)
+      (3L, "https://h.com/y/free"))       // no match: default allow
+      .toDF("id", "url")
+    def decisions(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "allowed").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val folded = decisions(UrlOps.urlPolicy(urls, "url",
+      UrlOps.robotsRules(robots, "host", "text", "graftbot")))
+    val exact = decisions(UrlOps.urlPolicyPatterns(urls, "url",
+      UrlOps.robotsRulesExact(robots, "host", "text", "graftbot")))
+    // the RFC-exact gate: blocked, allowed, allowed
+    assert(exact === Map(1L -> false, 2L -> true, 3L -> true))
+    // the conservative fold: never under-blocks (1 stays blocked);
+    // 2 over-blocks — the documented safe direction
+    assert(folded === Map(1L -> false, 2L -> false, 3L -> true))
   }
 
   test("robotsSitemaps: group-independent, scheme colon preserved, comments stripped") {

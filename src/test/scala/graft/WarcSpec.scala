@@ -112,6 +112,65 @@ class WarcSpec extends SparkSpec {
     assert(g.length === 1 && g.head.error != null)
   }
 
+  test("gzip remainder after a valid member quarantines — no silent truncation") {
+    val good = Warc.buildRecord("WARC/1.0",
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://x/ok"),
+      "fine".getBytes(UTF_8))
+    val member = Warc.gzip(good)
+    // garbage that STARTS like a gzip member header (the case
+    // GZIPInputStream silently swallows as EOF)
+    val garbage = Array[Byte](0x1f, 0x8b.toByte, 8, 0, 1, 2, 3, 4, 5, 6,
+      99, 98, 97)
+    val recs = Warc.parseFile("f", member ++ garbage)
+    assert(recs.count(_.error == null) === 1)
+    assert(recs.filter(_.error == null).head.target_uri === "http://x/ok")
+    val q = recs.filter(_.error != null)
+    assert(q.length === 1, recs.map(_.error).mkString("|"))
+    assert(q.head.error.contains("undecoded gzip remainder"))
+    assert(q.head.payload.toSeq === garbage.toSeq) // dead-letter bytes kept
+    // arbitrary trailing junk (not even a gzip magic) also quarantines
+    val junk = "NOT GZIP".getBytes(UTF_8)
+    val r2 = Warc.parseFile("f", member ++ junk)
+    assert(r2.count(_.error == null) === 1)
+    assert(r2.exists(r => r.error != null && r.payload.toSeq === junk.toSeq))
+    // a TRUNCATED second member: first member's records survive,
+    // remainder quarantined
+    val second = Warc.gzip(Warc.buildRecord("WARC/1.0",
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://x/2"),
+      "two".getBytes(UTF_8)))
+    val r3 = Warc.parseFile("f", member ++ second.dropRight(3))
+    assert(r3.count(_.error == null) === 1)
+    assert(r3.exists(_.error != null))
+    // and a fully valid two-member file still has ZERO quarantines
+    val r4 = Warc.parseFile("f", member ++ second)
+    assert(r4.length === 2 && r4.forall(_.error == null))
+  }
+
+  test("WARC header field names match case-insensitively (ISO 28500)") {
+    val odd = ("WARC/1.0\r\n" +
+      "warc-type: response\r\n" +
+      "WARC-TARGET-URI: http://example.com/ci\r\n" +
+      "Warc-Record-Id: <urn:uuid:0002>\r\n" +
+      "warc-DATE: 2026-08-16T00:00:00Z\r\n" +
+      "CONTENT-TYPE: application/http\r\n" +
+      "content-length: 4\r\n" +
+      "\r\n" +
+      "body" +
+      "\r\n\r\n").getBytes(UTF_8)
+    val recs = Warc.parseBuffer("f", odd)
+    assert(recs.length === 1)
+    val r = recs.head
+    assert(r.error === null)
+    assert(r.warc_type === "response")
+    assert(r.target_uri === "http://example.com/ci")
+    assert(r.record_id === "<urn:uuid:0002>")
+    assert(r.warc_date === "2026-08-16T00:00:00Z")
+    assert(r.content_type === "application/http")
+    assert(new String(r.payload, UTF_8) === "body")
+    // the headers column keeps the RAW casing
+    assert(r.headers.contains("WARC-TARGET-URI"))
+  }
+
   test("documentsFrame: response bodies sliced at the FIRST CRLFCRLF, WET passthrough") {
     val dir = Files.createTempDirectory("warc_docs")
     dir.toFile.deleteOnExit()
