@@ -3591,6 +3591,42 @@ object SparkEntry {
             .cast("long").as("fetch_offset_ms"))
         .orderBy("doc_id")
     }),
+    // HTML outlink extraction + RFC 3986 absolutization — the link-
+    // discovery edge of the crawl loop: deterministically synthesized
+    // pages carry one link of every resolution shape (relative,
+    // absolute-path [single-quoted], dot-segments+fragment,
+    // protocol-relative, img src, absolute-with-query, plus a
+    // fragment-only and a mailto: that must DROP), and every fifth
+    // page a <base href> that rebases the relative ones. The oracle
+    // states the hand-derived RFC 3986 resolution of each link as SQL
+    // string arms — extraction AND resolution are adjudicated, ×3 SFs
+    "q_outlinks" -> ((s, dir) => {
+      import graft.functions.UrlOps
+      val id = col("doc_id").cast("string")
+      val hostc = concat(col("source"), lit(".example.com"))
+      val url = concat(lit("https://"), hostc, lit("/sec"),
+        (col("doc_id") % 4).cast("string"), lit("/index"), id,
+        lit(".html"))
+      val baseTag = when(col("doc_id") % 5 === 0,
+        lit("<base href=\"/based/deep/\">")).otherwise(lit(""))
+      val html = concat(lit("<html><head>"), baseTag,
+        lit("</head><body>"),
+        lit("<a href=\"rel/p"), id, lit(".html\">r</a>"),
+        lit("<a href='/abs/q"), id, lit("'>a</a>"),
+        lit("<a href=\"../up"), id, lit(".html#frag\">u</a>"),
+        lit("<a href=\"//cdn.example.org/lib"), id, lit(".js\">c</a>"),
+        lit("<img src='img"), id, lit(".png'>"),
+        lit("<a href=\"https://ext.example.net/e"), id,
+        lit("?x=1#y\">e</a>"),
+        lit("<a href=\"#top\">t</a><a href=\"mailto:a@b\">m</a>"),
+        lit("</body></html>"))
+      UrlOps.extractOutlinks(
+          Tables.documents(s, dir).select(col("doc_id"), url.as("url"),
+            html.as("html")),
+          "url", "html")
+        .select(col("doc_id"), col("outlink"))
+        .orderBy("doc_id", "outlink")
+    }),
     "q_url_parts" -> ((s, dir) => {
       import graft.functions.UrlOps
       val url = concat(
@@ -3854,22 +3890,35 @@ object SparkEntry {
     * predecessor — the same arithmetic (double constants included) as
     * [[Analytics.pageRank]], so the compare is tolerance-tight. */
   /** The q_crawl_frontier pipeline (shared with q_fetch_schedule):
-    * candidates minus the seen set, parsed-robots gate, per-host
-    * politeness quota, sha52 fetch order within host. */
+    * candidate URLs EXTRACTED from synthesized HTML pages (the link-
+    * discovery edge — one link per page, cycling through relative,
+    * absolute-path, protocol-relative, absolute, dot-segment+fragment,
+    * and ./-relative shapes so [[UrlOps.extractOutlinks]] resolution
+    * is on the adjudicated path), minus the seen set, parsed-robots
+    * gate, per-host politeness quota, sha52 fetch order within host.
+    * The oracle states the hand-derived RFC 3986 resolutions of the
+    * same links as its candidate CTE. */
   private def crawlFrontier(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.UrlOps
-    val url = concat(lit("https://"), col("source"),
-      lit(".example.com"),
-      when(col("doc_id") % 6 === 0, lit("/private/pub/p"))
-        .when(col("doc_id") % 6 === 1, lit("/private/p"))
-        .when(col("doc_id") % 6 === 2, lit("/gb/p"))
-        .when(col("doc_id") % 6 === 3, lit("/gb2/mid/p"))
-        .when(col("doc_id") % 6 === 4, lit("/a"))
-        .otherwise(lit("/b")),
-      col("doc_id").cast("string"))
-    val cands = Tables.documents(s, dir)
-      .select(col("doc_id"), url.as("url"))
+    val id = col("doc_id").cast("string")
+    val hostc = concat(col("source"), lit(".example.com"))
+    val pageUrl = concat(lit("https://"), hostc, lit("/index"), id)
+    val link = when(col("doc_id") % 6 === 0,
+        concat(lit("private/pub/p"), id))
+      .when(col("doc_id") % 6 === 1, concat(lit("/private/p"), id))
+      .when(col("doc_id") % 6 === 2, concat(lit("//"), hostc,
+        lit("/gb/p"), id))
+      .when(col("doc_id") % 6 === 3, concat(lit("https://"), hostc,
+        lit("/gb2/mid/p"), id))
+      .when(col("doc_id") % 6 === 4, concat(lit("../a"), id, lit("#sec")))
+      .otherwise(concat(lit("./b"), id))
+    val pages = Tables.documents(s, dir).select(col("doc_id"),
+      pageUrl.as("url"),
+      concat(lit("<html><body><a href=\""), link,
+        lit("\">l</a></body></html>")).as("html"))
+    val cands = UrlOps.extractOutlinks(pages, "url", "html")
+      .select(col("doc_id"), col("outlink").as("url"))
     val seen = cands.filter(col("doc_id") % 3 === 0)
       .select(col("url").as("__seen"))
     val fresh = cands.join(seen, col("url") === col("__seen"),
@@ -6613,6 +6662,33 @@ object SparkEntry {
                   * 1000 AS BIGINT) AS fetch_offset_ms
          FROM f LEFT JOIN d USING (host)
          ORDER BY f.doc_id"""),
+    // hand-derived RFC 3986 resolutions of the six planted link
+    // shapes (the two unfetchable refs are simply absent); the
+    // <base href="/based/deep/"> pages (doc_id%5=0) rebase the three
+    // relative links, hand-resolved per arm
+    "q_outlinks" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS id,
+             'https://' || source || '.example.com' AS h,
+             CAST(doc_id % 4 AS VARCHAR) AS m,
+             (doc_id % 5 = 0) AS b
+           FROM documents)
+         SELECT doc_id, outlink FROM (
+           SELECT doc_id, CASE WHEN b
+               THEN h || '/based/deep/rel/p' || id || '.html'
+               ELSE h || '/sec' || m || '/rel/p' || id || '.html' END
+             AS outlink FROM d
+           UNION ALL SELECT doc_id, h || '/abs/q' || id FROM d
+           UNION ALL SELECT doc_id, CASE WHEN b
+               THEN h || '/based/up' || id || '.html'
+               ELSE h || '/up' || id || '.html' END FROM d
+           UNION ALL SELECT doc_id,
+             'https://cdn.example.org/lib' || id || '.js' FROM d
+           UNION ALL SELECT doc_id, CASE WHEN b
+               THEN h || '/based/deep/img' || id || '.png'
+               ELSE h || '/sec' || m || '/img' || id || '.png' END FROM d
+           UNION ALL SELECT doc_id,
+             'https://ext.example.net/e' || id || '?x=1' FROM d)
+         ORDER BY doc_id, outlink""",
     // hand-derived group-scoped delays: graftbot group beats *,
     // merged groups take the max, junk host absent
     "q_crawl_delays" ->

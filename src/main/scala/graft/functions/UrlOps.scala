@@ -415,6 +415,97 @@ object UrlOps {
       .filter(col("__d").isNotNull && col("__d") >= 0)
       .groupBy("host").agg(max(col("__d")).as("crawl_delay_s"))
 
+  /** RFC 3986 §5.2.4 remove_dot_segments over an ABSOLUTE path, as a
+    * scan-local array fold: split on '/', skip `.` and empty segments
+    * (collapsing `//` runs — a deliberate crawl normalization), pop on
+    * `..` without ever popping above root, re-join, and restore the
+    * directory-reference trailing slash (`/a/b/.` → `/a/b/`,
+    * `/a/b/..` → `/a/`). Leading `..` above root is removed, per the
+    * RFC's loop. */
+  private def removeDotSegments(p: Column): Column = {
+    val folded = aggregate(split(p, "/"),
+      array(lit("")),
+      (acc, s) =>
+        when(s === "" || s === ".", acc)
+          .when(s === "..",
+            when(size(acc) > 1, slice(acc, lit(1), size(acc) - 1))
+              .otherwise(acc))
+          .otherwise(concat(acc, array(s))))
+    val joined = array_join(folded, "/")
+    val base = when(joined === "", lit("/")).otherwise(joined)
+    // a reference ending in '/', '/.', or '/..' denotes a directory
+    when(p.rlike("/(\\.|\\.\\.)?$") && !base.endsWith("/"),
+      concat(base, lit("/"))).otherwise(base)
+  }
+
+  /** RFC 3986 §5.2 reference resolution: absolutize `ref` against the
+    * absolute URL `base`. Fragments are stripped first (a crawl
+    * frontier never distinguishes same-document references); NULL for
+    * refs a crawler cannot fetch — empty/fragment-only refs and
+    * non-http(s) schemes (mailto:, javascript:, data:). http(s)
+    * absolute refs pass through untouched; protocol-relative `//h/p`
+    * inherits the base scheme; absolute paths replace the base path;
+    * relative paths merge with the base directory (RFC §5.2.3) and
+    * run [[removeDotSegments]]; a query-only ref keeps the base path.
+    * Pure scan-local column algebra — composes with [[canonical]] /
+    * [[stripTracking]] downstream. */
+  def resolveRef(base: Column, ref: Column): Column = {
+    val r = regexp_replace(ref, "#.*$", "")
+    val sch = lower(scheme(base))
+    val hostPart = host(base)
+    val bPath = path(base)
+    val rPath = regexp_extract(r, "^([^?]*)", 1)
+    val rQuery = regexp_extract(r, "(\\?.*)$", 1)
+    // base directory per §5.2.3: everything up to the last '/'; an
+    // authority-backed empty base path merges as root
+    val baseDir = regexp_extract(bPath, "^(.*/)", 1)
+    val merged = when(baseDir === "", concat(lit("/"), rPath))
+      .otherwise(concat(baseDir, rPath))
+    when(trim(r) === "", lit(null).cast("string"))
+      .when(r.rlike("^(?i)https?://"), r)
+      .when(r.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), lit(null).cast("string"))
+      .when(r.startsWith("//"), concat(sch, lit(":"), r))
+      .when(r.startsWith("/"),
+        concat(sch, lit("://"), hostPart, removeDotSegments(rPath), rQuery))
+      .when(rPath === "", // query-only ref: keep the base path
+        concat(sch, lit("://"), hostPart,
+          when(bPath === "", lit("/")).otherwise(bPath), rQuery))
+      .otherwise(
+        concat(sch, lit("://"), hostPart, removeDotSegments(merged), rQuery))
+  }
+
+  /** HTML outlink extraction — the link-discovery edge of the crawl
+    * loop (fetched page → candidate URLs for the frontier): pull every
+    * quoted `href`/`src` attribute value from `htmlCol`, resolve it
+    * against the page URL (honoring a `<base href=...>` tag, itself
+    * resolved against the page URL first, per HTML semantics) via
+    * [[resolveRef]], and explode to one row per link. Unfetchable refs
+    * (fragment-only, mailto:/javascript:) are dropped; `<base>` tags
+    * are removed before extraction so their href never leaks in as an
+    * outlink. Double- and single-quoted attributes extract in two
+    * RE2-safe passes (RE2 has no backreference to match the opening
+    * quote). Scan-local projection + explode — payload bytes never
+    * shuffle; compose [[canonical]] / [[stripTracking]] and the seen-
+    * set anti-join downstream. Output: input columns + `outlink`. */
+  def extractOutlinks(df: org.apache.spark.sql.DataFrame, urlCol: String,
+      htmlCol: String): org.apache.spark.sql.DataFrame = {
+    val noBase = regexp_replace(col(htmlCol), "(?i)<base[^>]*>", "")
+    val baseHref = regexp_extract(col(htmlCol),
+      "(?i)<base[^>]+href\\s*=\\s*[\"']([^\"']+)[\"']", 1)
+    val effBase = when(baseHref === "", col(urlCol))
+      .otherwise(coalesce(resolveRef(col(urlCol), baseHref), col(urlCol)))
+    val refs = concat(
+      regexp_extract_all(noBase,
+        lit("(?i)(?:href|src)\\s*=\\s*\"([^\"]*)\""), lit(1)),
+      regexp_extract_all(noBase,
+        lit("(?i)(?:href|src)\\s*=\\s*'([^']*)'"), lit(1)))
+    df.withColumn("__base", effBase)
+      .withColumn("__ref", explode(refs))
+      .withColumn("outlink", resolveRef(col("__base"), col("__ref")))
+      .filter(col("outlink").isNotNull)
+      .drop("__base", "__ref")
+  }
+
   /** Remove utm_* / gclid / fbclid query parameters while preserving the
     * rest of the query string, in three RE2-safe passes:
     *  1. drop `&tracking=...` (non-leading params),

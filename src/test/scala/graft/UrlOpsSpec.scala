@@ -332,6 +332,71 @@ class UrlOpsSpec extends SparkSpec {
     assert(rules === Seq("/y/"))
   }
 
+  test("resolveRef: RFC 3986 reference resolution") {
+    val base = "https://h.com/a/b/index.html?old=1"
+    def res(ref: String): Any =
+      Seq((base, ref)).toDF("b", "r")
+        .select(UrlOps.resolveRef(col("b"), col("r"))).head.get(0)
+    // RFC 3986 §5.4 normal examples (adapted to the http base)
+    assert(res("g") === "https://h.com/a/b/g")
+    assert(res("./g") === "https://h.com/a/b/g")
+    assert(res("g/") === "https://h.com/a/b/g/")
+    assert(res("/g") === "https://h.com/g")
+    assert(res("//cdn.com/x.js") === "https://cdn.com/x.js")
+    assert(res("?y=2") === "https://h.com/a/b/index.html?y=2")
+    assert(res("g?y=2") === "https://h.com/a/b/g?y=2")
+    assert(res("..") === "https://h.com/a/")
+    assert(res("../") === "https://h.com/a/")
+    assert(res("../g") === "https://h.com/a/g")
+    assert(res("../../g") === "https://h.com/g")
+    // abnormal: .. above root is removed, not kept
+    assert(res("../../../g") === "https://h.com/g")
+    assert(res(".") === "https://h.com/a/b/")
+    // fragments strip; fragment-only and non-http schemes drop
+    assert(res("g#frag") === "https://h.com/a/b/g")
+    assert(res("#top") === null)
+    assert(res("") === null)
+    assert(res("mailto:a@b.c") === null)
+    assert(res("javascript:void(0)") === null)
+    // absolute http(s) passes through (minus fragment)
+    assert(res("http://other.com/p?q=1#f") === "http://other.com/p?q=1")
+    // bare-domain base merges at root
+    val bare = Seq(("https://h.com", "x/y")).toDF("b", "r")
+      .select(UrlOps.resolveRef(col("b"), col("r"))).head.getString(0)
+    assert(bare === "https://h.com/x/y")
+  }
+
+  test("extractOutlinks: quoted href/src, base tag honored and excluded, explode") {
+    val html = """<html><head><base href="/based/deep/"></head><body>
+      |<a href="rel/p.html">r</a>
+      |<a href='/abs/q'>a</a>
+      |<img src='img.png'>
+      |<a href="../up.html#frag">u</a>
+      |<a href="https://ext.net/e?x=1#y">e</a>
+      |<a href="#top">skip</a>
+      |<a href="mailto:a@b">skip</a>
+      |</body></html>""".stripMargin
+    val out = UrlOps.extractOutlinks(
+        Seq((7L, "https://h.com/sec/index.html", html))
+          .toDF("id", "url", "html"), "url", "html")
+      .select("outlink").collect().map(_.getString(0)).sorted.toSeq
+    assert(out === Seq(
+      "https://ext.net/e?x=1",          // absolute, fragment stripped
+      "https://h.com/abs/q",            // absolute path: base tag's host
+      "https://h.com/based/deep/img.png", // relative vs <base>
+      "https://h.com/based/deep/rel/p.html",
+      "https://h.com/based/up.html"))   // ../ against the <base> dir
+    // no base tag: resolution is against the page URL; the base-less
+    // page also proves the <base> href itself never leaks as a link
+    val plain = UrlOps.extractOutlinks(
+        Seq((8L, "https://h.com/sec/index.html",
+          """<a href="rel/p.html">r</a><a href="../up.html">u</a>"""))
+          .toDF("id", "url", "html"), "url", "html")
+      .select("outlink").collect().map(_.getString(0)).sorted.toSeq
+    assert(plain === Seq("https://h.com/sec/rel/p.html",
+      "https://h.com/up.html"))
+  }
+
   test("robotsRules composes with urlPolicy (parsed rules gate URLs)") {
     val robots = Seq(
       ("src1.example.com", "User-agent: graftbot\nDisallow: /private/\nAllow: /private/pub/"),
