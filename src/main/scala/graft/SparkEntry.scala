@@ -3462,9 +3462,31 @@ object SparkEntry {
     "q_wet_text" -> ((s, dir) => {
       val txt = graft.sources.Warc.documentsFrame(
         graft.sources.Warc.readWarcFiles(s, warcFixtureDir(dir)))
-      txt.select(col("url"), length(col("text")).cast("long").as("n_chars"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      txt.select(col("url"),
+          when(col("text").isNotNull, length(col("text")).cast("long"))
+            .as("n_chars"),
+          when(col("text").isNotNull,
+            TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"),
           sha2(col("text"), 256).as("body_sha256"))
+        .orderBy("url")
+    }),
+    // charset + Content-Encoding decode adjudicated over fixture file
+    // 3: declared ISO-8859-1/GBK, meta-sniffed windows-1252, gzip and
+    // deflate bodies, the UTF-8-strict-else-1252 default, a declared-
+    // but-wrong charset and an unsupported coding (NULL text + error
+    // — the quarantine posture). Expected rows are the PLANTED
+    // literals; the digest only matches if the byte → decompress →
+    // charset chain recovered the exact planted text
+    "q_warc_charset" -> ((s, dir) => {
+      val recs = graft.sources.Warc.readWarcFiles(s, warcFixtureDir(dir))
+        .filter(col("path").contains("seg-00003"))
+      graft.sources.Warc.documentsFrame(recs)
+        .select(col("url"), col("charset"), col("content_encoding"),
+          when(col("text").isNotNull, length(col("text")).cast("long"))
+            .as("n_chars"),
+          sha2(col("text"), 256).as("body_sha256"),
+          col("decode_error"))
         .orderBy("url")
     }),
     // robots.txt TEXT parsing (RFC 9309): raw planted bodies → the
@@ -4086,7 +4108,65 @@ object SparkEntry {
       (2, "conversion", f"http://warc.example.com/wet/$i%02d",
         (s"doc $i é世 " + ("lorem ipsum " * (i + 1))).trim.getBytes(utf8))
     }
-    (info +: pages) ++ wets
+    // charset / Content-Encoding cases (file 3, plain .warc): payload
+    // = HTTP message built from the planted body bytes
+    val charsets = warcCharsetFixture.map { case (uri, hdrs, body, _, _, _, _) =>
+      (3, "response", uri,
+        ("HTTP/1.1 200 OK\r\n" + hdrs.map(_ + "\r\n").mkString + "\r\n")
+          .getBytes(utf8) ++ body)
+    }
+    (info +: pages) ++ wets ++ charsets
+  }
+
+  /** Charset/Content-Encoding cases for q_warc_charset (fixture file
+    * 3): (uri, extra HTTP headers, raw body bytes, expected text
+    * [null = undecodable], expected charset, expected
+    * content_encoding, expected decode_error). The TEXT is planted and
+    * the payload bytes are built FROM it in the stated charset/coding,
+    * so the oracle derives from the same literals with no twin
+    * decoder: declared-charset (ISO-8859-1, GBK), meta-sniffed
+    * windows-1252, gzip and deflate Content-Encoding, the
+    * UTF-8-strict-else-windows-1252 default, a declared-but-wrong
+    * charset (NULL text + error), and an unsupported coding. */
+  private def warcCharsetFixture: Seq[(String, Seq[String], Array[Byte], String, String, String, String)] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def cs(s: String, charset: String): Array[Byte] =
+      s.getBytes(java.nio.charset.Charset.forName(charset))
+    val latin1 = "<html>café au lait</html>"
+    val meta = "<html><meta charset=\"windows-1252\">“q” — d</html>"
+    val gbk = "<html>中文文档</html>"
+    val gz = "<html>gzipped é世 body</html>"
+    val dfl = "deflated body text"
+    val fb = "naïve résumé"
+    Seq(
+      ("http://warc.example.com/cs/latin1",
+        Seq("Content-Type: text/html; charset=ISO-8859-1"),
+        cs(latin1, "ISO-8859-1"), latin1, "iso-8859-1", null, null),
+      ("http://warc.example.com/cs/meta",
+        Seq("Content-Type: text/html"),
+        cs(meta, "windows-1252"), meta, "windows-1252", null, null),
+      ("http://warc.example.com/cs/gbk",
+        Seq("Content-Type: text/html; charset=GBK"),
+        cs(gbk, "GBK"), gbk, "gbk", null, null),
+      ("http://warc.example.com/cs/gzip",
+        Seq("Content-Type: text/html; charset=UTF-8",
+          "Content-Encoding: gzip"),
+        graft.sources.Warc.gzip(cs(gz, "UTF-8")), gz, "utf-8", "gzip", null),
+      ("http://warc.example.com/cs/deflate",
+        Seq("Content-Type: text/plain", "Content-Encoding: deflate"),
+        graft.sources.Warc.deflate(cs(dfl, "UTF-8")), dfl, "utf-8",
+        "deflate", null),
+      ("http://warc.example.com/cs/fb1252",
+        Seq("Content-Type: text/html"),
+        cs(fb, "windows-1252"), fb, "windows-1252", null, null),
+      ("http://warc.example.com/cs/badcs",
+        Seq("Content-Type: text/html; charset=UTF-8"),
+        Array[Byte](0x3c, 'x'.toByte, 0xff.toByte, 0xfe.toByte, 0x3e),
+        null, "utf-8", null, "charset decode failed: utf-8"),
+      ("http://warc.example.com/cs/br",
+        Seq("Content-Type: text/html", "Content-Encoding: br"),
+        "opaque".getBytes(utf8), null, null, "br",
+        "unsupported content-encoding: br"))
   }
 
   /** Serialize [[warcFixture]] into its three-file crawl segment
@@ -4110,20 +4190,25 @@ object SparkEntry {
       ofFile(1).map(graft.sources.Warc.gzip).reduce(_ ++ _))
     java.nio.file.Files.write(tmp.toPath.resolve("seg-00002.wet.gz"),
       graft.sources.Warc.gzip(ofFile(2).reduce(_ ++ _)))
+    java.nio.file.Files.write(tmp.toPath.resolve("seg-00003.warc"),
+      ofFile(3).reduce(_ ++ _))
     tmp.getAbsolutePath
   }
 
   /** The HTTP/WET body text [[graft.sources.Warc.documentsFrame]] must
-    * recover for each fixture record — responses: after the first
-    * CRLF CRLF; conversions: the whole payload. */
+    * recover for each fixture record — files 0–2 responses: after the
+    * first CRLF CRLF (UTF-8 bodies); conversions: the whole payload;
+    * file 3: the PLANTED charset-fixture texts (null = undecodable). */
   private def warcFixtureBodies: Seq[(String, String)] = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
-    warcFixture.collect {
+    warcFixture.filter(_._1 <= 2).collect {
       case (_, "response", uri, payload) =>
         val s = new String(payload, utf8)
         (uri, s.substring(s.indexOf("\r\n\r\n") + 4))
       case (_, "conversion", uri, payload) =>
         (uri, new String(payload, utf8))
+    } ++ warcCharsetFixture.map { case (uri, _, _, text, _, _, _) =>
+      (uri, text)
     }
   }
 
@@ -4149,17 +4234,43 @@ object SparkEntry {
 
   /** VALUES-literal oracle for q_wet_text: per-record recovered body
     * text stats + digest, computed straight from [[warcFixtureBodies]]
-    * (no file/parse/slice path on the oracle side). */
+    * (no file/parse/slice path on the oracle side). Undecodable
+    * charset-fixture rows carry NULL stats — the quarantine posture
+    * adjudicated, not filtered away. */
   private def wetTextOracleSql: String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
-    val rows = warcFixtureBodies.map { case (uri, body) =>
-      val toks = body.trim.split("\\s+").length
-      s"('$uri', CAST(${body.length} AS BIGINT), CAST($toks AS BIGINT), " +
-        s"'${hex(md.digest(body.getBytes(java.nio.charset.StandardCharsets.UTF_8)))}')"
+    val rows = warcFixtureBodies.map {
+      case (uri, null) =>
+        s"('$uri', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), " +
+          "CAST(NULL AS VARCHAR))"
+      case (uri, body) =>
+        val toks = body.trim.split("\\s+").length
+        s"('$uri', CAST(${body.length} AS BIGINT), CAST($toks AS BIGINT), " +
+          s"'${hex(md.digest(body.getBytes(java.nio.charset.StandardCharsets.UTF_8)))}')"
     }
     "SELECT * FROM (VALUES " + rows.mkString(", ") +
       ") t(url, n_chars, n_tokens, body_sha256) ORDER BY url"
+  }
+
+  /** VALUES-literal oracle for q_warc_charset: expected decode
+    * metadata + text digest straight from the planted
+    * [[warcCharsetFixture]] literals. */
+  private def warcCharsetOracleSql: String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def hex(b: Array[Byte]): String = b.map(x => f"$x%02x").mkString
+    def str(x: String): String =
+      if (x == null) "CAST(NULL AS VARCHAR)" else s"'$x'"
+    val rows = warcCharsetFixture.map { case (uri, _, _, text, cs, ce, err) =>
+      val nChars = if (text == null) "CAST(NULL AS BIGINT)"
+        else s"CAST(${text.length} AS BIGINT)"
+      val sha = if (text == null) "CAST(NULL AS VARCHAR)"
+        else s"'${hex(md.digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))}'"
+      s"(${str(uri)}, ${str(cs)}, ${str(ce)}, $nChars, $sha, ${str(err)})"
+    }
+    "SELECT * FROM (VALUES " + rows.mkString(", ") +
+      ") t(url, charset, content_encoding, n_chars, body_sha256, " +
+      "decode_error) ORDER BY url"
   }
 
   private def pageRankOracleSql(iters: Int): String = {
@@ -6543,6 +6654,8 @@ object SparkEntry {
     "q_warc_extract" -> warcExtractOracleSql,
     // recovered body text stats straight from the fixture bytes
     "q_wet_text" -> wetTextOracleSql,
+    // planted charset/encoding expectations (no twin decoder)
+    "q_warc_charset" -> warcCharsetOracleSql,
     // RFC-derived expected rules as literals (hand-derived from RFC
     // 9309 — the parser is judged against the spec, not a twin parser)
     "q_robots_rules" -> robotsRulesOracleSql,

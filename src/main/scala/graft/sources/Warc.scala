@@ -60,7 +60,7 @@ object Warc {
     * span, `error` = null iff the whole buffer decoded. A non-null
     * error means bytes [consumed, length) are an undecodable remainder
     * the caller must quarantine — NOT silently drop. */
-  private final case class Gunzipped(data: Array[Byte], consumed: Int,
+  private[graft] final case class Gunzipped(data: Array[Byte], consumed: Int,
       error: String)
 
   /** Fully decode a (possibly multi-member) gzip buffer, MEMBER BY
@@ -70,7 +70,7 @@ object Warc {
     * member as clean EOF — silent record loss; here a garbage,
     * truncated, or CRC-failing member stops the decode with the
     * remainder reported so the caller can quarantine it. */
-  private def gunzipMembers(bytes: Array[Byte]): Gunzipped = {
+  private[graft] def gunzipMembers(bytes: Array[Byte]): Gunzipped = {
     val out = new ByteArrayOutputStream(bytes.length * 4)
     var pos = 0
     var err: String = null
@@ -317,20 +317,28 @@ object Warc {
   }
 
   /** Parsed crawl records → the documents-shaped frame the curation
-    * tier ingests (url, record_id, warc_date, text): WET `conversion`
-    * payloads ARE plain UTF-8 text (the Common Crawl WET convention);
-    * `response` payloads carry an HTTP message, whose body starts
-    * after the first CRLF CRLF (status line + headers are dropped —
-    * HTTP header PARSING is deliberately out of scope; the body is
-    * what the text pipeline consumes). Quarantined and non-document
-    * record types (warcinfo, request, metadata) are filtered.
+    * tier ingests (url, record_id, warc_date, text + envelope/decode
+    * columns): WET `conversion` payloads ARE plain UTF-8 text (the
+    * Common Crawl WET convention); `response` payloads carry an HTTP
+    * message, decoded byte-exactly by
+    * [[graft.expressions.HttpBodyDecode]] — body after the first CRLF
+    * CRLF, `Content-Encoding: gzip/deflate` honored, charset resolved
+    * Content-Type param → meta sniff → UTF-8-strict-else-windows-1252.
+    * An undecodable body yields a NULL text with `decode_error` set
+    * (the quarantine posture). Quarantined and non-document record
+    * types (warcinfo, request, metadata) are filtered.
     *
-    * A pure projection over the record frame — the decode and the
-    * body slice run in the task that parsed the file, before any
-    * shuffle; compose [[graft.functions.TextAnalysis]] gates directly
-    * downstream. */
+    * A pure projection over the record frame — decompression, charset
+    * trial, and the body slice run in the task that parsed the file,
+    * before any shuffle; compose [[graft.functions.TextAnalysis]]
+    * gates directly downstream. Output: (url, record_id, warc_date,
+    * http_status, http_content_type, text, charset, content_encoding,
+    * decode_error). */
   def documentsFrame(records: DataFrame): DataFrame = {
-    val txt = decode(col("payload"), "UTF-8")
+    import org.apache.spark.sql.graftglue.Bridge
+    // ISO-8859-1 decode for the ENVELOPE extracts: byte-position-exact
+    // (headers are ASCII per spec; a binary body cannot shift offsets)
+    val txt = decode(col("payload"), "ISO-8859-1")
     val bodyPos = locate("\r\n\r\n", txt)
     val isResp = col("warc_type") === "response"
     // HTTP envelope signals a crawl gate reads (status != 200 and
@@ -342,21 +350,26 @@ object Warc {
     val status = regexp_extract(hdr, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
     val ctype = regexp_extract(hdr,
       "(?i)(?:^|\r\n)content-type:\\s*([^\r\n;]+)", 1)
+    val dec = Bridge.column(
+      graft.expressions.HttpBodyDecode(Bridge.expression(col("payload"))))
     records
       .filter(col("error").isNull &&
         col("warc_type").isin("conversion", "response"))
+      .withColumn("__dec", dec)
       .select(col("target_uri").as("url"), col("record_id"),
         col("warc_date"),
         when(isResp && status =!= "", status.cast("int"))
           .otherwise(lit(null).cast("int")).as("http_status"),
         when(isResp && ctype =!= "", lower(trim(ctype)))
           .otherwise(lit(null).cast("string")).as("http_content_type"),
-        when(isResp,
-          // body = everything after the FIRST CRLF CRLF (bodies may
-          // themselves contain CRLF CRLF); header-only messages → ""
-          when(bodyPos > 0, txt.substr(bodyPos + 4, lit(Int.MaxValue)))
-            .otherwise(lit("")))
-          .otherwise(txt).as("text"))
+        when(isResp, col("__dec.text"))
+          .otherwise(decode(col("payload"), "UTF-8")).as("text"),
+        when(isResp, col("__dec.charset"))
+          .otherwise(lit("utf-8")).as("charset"),
+        when(isResp, col("__dec.content_encoding"))
+          .otherwise(lit(null).cast("string")).as("content_encoding"),
+        when(isResp, col("__dec.error"))
+          .otherwise(lit(null).cast("string")).as("decode_error"))
   }
 
   // ---- fixture/writer side (tests and deterministic oracles) ----
@@ -379,6 +392,17 @@ object Warc {
     val out = new ByteArrayOutputStream(bytes.length / 2 + 64)
     val gz = new GZIPOutputStream(out)
     gz.write(bytes); gz.close()
+    out.toByteArray
+  }
+
+  /** zlib-deflate a buffer (the HTTP `deflate` content coding). */
+  def deflate(bytes: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(bytes); d.finish()
+    val out = new ByteArrayOutputStream(bytes.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
+    d.end()
     out.toByteArray
   }
 }

@@ -210,6 +210,63 @@ class WarcSpec extends SparkSpec {
       "body says Content-Type: application/pdf here")))
   }
 
+  test("documentsFrame: charset + Content-Encoding aware body decode") {
+    val dir = Files.createTempDirectory("warc_cs")
+    dir.toFile.deleteOnExit()
+    def msg(headers: Seq[String], body: Array[Byte]): Array[Byte] =
+      ("HTTP/1.1 200 OK\r\n" + headers.map(_ + "\r\n").mkString + "\r\n")
+        .getBytes(UTF_8) ++ body
+    def resp(uri: String, headers: Seq[String], body: Array[Byte]) =
+      Warc.buildRecord("WARC/1.0",
+        Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri),
+        msg(headers, body))
+    def cs(s: String, charset: String): Array[Byte] =
+      s.getBytes(java.nio.charset.Charset.forName(charset))
+    val latin1Text = "<html>café au lait</html>"
+    val metaText = "<html><meta charset=\"windows-1252\">“q” — d</html>"
+    val gbkText = "<html>中文文档</html>"
+    val gzText = "<html>gzipped é世 body</html>"
+    val dfText = "deflated body text"
+    val fbText = "naïve résumé" // invalid as UTF-8 in 1252 bytes
+    val recs =
+      resp("http://x/latin1", Seq("Content-Type: text/html; charset=ISO-8859-1"),
+        cs(latin1Text, "ISO-8859-1")) ++
+      resp("http://x/meta", Seq("Content-Type: text/html"),
+        cs(metaText, "windows-1252")) ++
+      resp("http://x/gbk", Seq("Content-Type: text/html; charset=GBK"),
+        cs(gbkText, "GBK")) ++
+      resp("http://x/gzip", Seq("Content-Type: text/html; charset=UTF-8",
+        "Content-Encoding: gzip"), Warc.gzip(cs(gzText, "UTF-8"))) ++
+      resp("http://x/deflate", Seq("Content-Type: text/plain",
+        "Content-Encoding: deflate"), Warc.deflate(cs(dfText, "UTF-8"))) ++
+      resp("http://x/fb1252", Seq("Content-Type: text/html"),
+        cs(fbText, "windows-1252")) ++
+      resp("http://x/badcs", Seq("Content-Type: text/html; charset=UTF-8"),
+        Array[Byte](0x3c, 'x'.toByte, 0xff.toByte, 0xfe.toByte, 0x3e)) ++
+      resp("http://x/br", Seq("Content-Type: text/html",
+        "Content-Encoding: br"), "whatever".getBytes(UTF_8))
+    Files.write(dir.resolve("cs.warc"), recs)
+    val out = Warc.documentsFrame(Warc.readWarcFiles(spark, dir.toString))
+      .select("url", "text", "charset", "content_encoding", "decode_error")
+      .collect()
+      .map(r => r.getString(0) -> ((Option(r.getString(1)).orNull,
+        Option(r.getString(2)).orNull, Option(r.getString(3)).orNull,
+        Option(r.getString(4)).orNull)))
+      .toMap
+    assert(out("http://x/latin1") === ((latin1Text, "iso-8859-1", null, null)))
+    assert(out("http://x/meta") === ((metaText, "windows-1252", null, null)))
+    assert(out("http://x/gbk") === ((gbkText, "gbk", null, null)))
+    assert(out("http://x/gzip") === ((gzText, "utf-8", "gzip", null)))
+    // deflate body is ASCII with no declaration: utf-8 strict succeeds
+    assert(out("http://x/deflate") === ((dfText, "utf-8", "deflate", null)))
+    assert(out("http://x/fb1252") === ((fbText, "windows-1252", null, null)))
+    // declared charset that fails: NULL text, error set (never mojibake)
+    assert(out("http://x/badcs") ===
+      ((null, "utf-8", null, "charset decode failed: utf-8")))
+    assert(out("http://x/br") ===
+      ((null, null, "br", "unsupported content-encoding: br")))
+  }
+
   test("readNewWarc: nightly increment parses only unseen segments") {
     import graft.sources.IncrementalFiles
     val dir = Files.createTempDirectory("warc_inc")
