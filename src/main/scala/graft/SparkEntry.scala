@@ -3471,6 +3471,31 @@ object SparkEntry {
           sha2(col("text"), 256).as("body_sha256"))
         .orderBy("url")
     }),
+    // URL-level crawl dedup: recrawls planted as canonical-URL
+    // collision groups of 3 (case/trailing-slash variant, tracking-
+    // param variant, plain), each with a distinct warc_date — the
+    // keep-latest-per-canonical-URL pass that must run before the text
+    // tiers. The oracle recomputes the winner per group with a window
+    // over the SAME hand-derived canonical key and date rule
+    "q_crawl_dedup" -> ((s, dir) => {
+      val g = floor(col("doc_id") / 3).cast("long").cast("string")
+      val day = lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0")
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("HTTP://Crawl.Example.com/p/"), g, lit("/")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("http://crawl.example.com/p/"), g,
+            lit("?utm_source=x")))
+        .otherwise(concat(lit("http://crawl.example.com/p/"), g))
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        url.as("url"),
+        concat(lit("rec-"), lpad(col("doc_id").cast("string"), 8, "0"))
+          .as("record_id"),
+        concat(lit("2026-08-"), day, lit("T00:00:00Z")).as("warc_date"))
+      graft.sources.Warc.latestByUrl(docs)
+        .select(col("canonical_url"), col("doc_id"), col("record_id"),
+          col("warc_date"))
+        .orderBy("canonical_url")
+    }),
     // charset + Content-Encoding decode adjudicated over fixture file
     // 3: declared ISO-8859-1/GBK, meta-sniffed windows-1252, gzip and
     // deflate bodies, the UTF-8-strict-else-1252 default, a declared-
@@ -6656,6 +6681,25 @@ object SparkEntry {
     "q_wet_text" -> wetTextOracleSql,
     // planted charset/encoding expectations (no twin decoder)
     "q_warc_charset" -> warcCharsetOracleSql,
+    // keep-latest winner per hand-derived canonical key: the three URL
+    // variants of group g all canonicalize to .../p/g; winner = max
+    // (warc_date, record_id) restated as a window
+    "q_crawl_dedup" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(doc_id // 3 AS VARCHAR) AS g,
+             lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0') AS day
+           FROM documents),
+         rows0 AS (SELECT doc_id,
+             'http://crawl.example.com/p/' || g AS canonical_url,
+             'rec-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS record_id,
+             '2026-08-' || day || 'T00:00:00Z' AS warc_date
+           FROM d),
+         r AS (SELECT *, row_number() OVER (PARTITION BY canonical_url
+                 ORDER BY warc_date DESC, record_id DESC) AS rn
+               FROM rows0)
+         SELECT canonical_url, doc_id, record_id, warc_date
+         FROM r WHERE rn = 1
+         ORDER BY canonical_url""",
     // RFC-derived expected rules as literals (hand-derived from RFC
     // 9309 — the parser is judged against the spec, not a twin parser)
     "q_robots_rules" -> robotsRulesOracleSql,

@@ -372,6 +372,40 @@ object Warc {
           .otherwise(lit(null).cast("string")).as("decode_error"))
   }
 
+  /** URL-level crawl dedup — the keep-latest-per-URL pass between WARC
+    * ingestion and the text tiers: the same page re-crawled across
+    * segments (or reached via casing/trailing-slash/tracking-param URL
+    * variants) must enter dedup/quality gates ONCE, as its latest
+    * capture. Keys on [[graft.functions.UrlOps.canonical]] of `urlCol`
+    * and keeps the row with the max (`dateCol`, `tieCol`) — WARC dates
+    * are ISO 8601, so lexicographic max IS chronological; `tieCol`
+    * (record_id) makes same-instant recrawls deterministic. NULL dates
+    * lose to any dated capture (coalesced to "").
+    *
+    * Scale shape: ONE hash aggregation (`max_by` of the whole row) on
+    * the canonical key — the CDC keep-latest shape
+    * ([[graft.operators.Analytics]] `applyChangelog`), no window over
+    * the corpus. Partial aggregation collapses same-key recrawls
+    * map-side, so at Common-Crawl recrawl rates the shuffle carries
+    * barely more than one row per URL. Output: `canonical_url` + the
+    * input columns of the kept row. */
+  def latestByUrl(docs: DataFrame, urlCol: String = "url",
+      dateCol: String = "warc_date",
+      tieCol: String = "record_id"): DataFrame = {
+    require(Seq(urlCol, dateCol, tieCol).forall(docs.columns.contains),
+      s"latestByUrl needs ($urlCol, $dateCol, $tieCol), got " +
+        docs.columns.mkString(", "))
+    val others = docs.columns.toSeq
+    docs
+      .withColumn("__canon", graft.functions.UrlOps.canonical(col(urlCol)))
+      .groupBy(col("__canon"))
+      .agg(max_by(struct(others.map(col): _*),
+        struct(coalesce(col(dateCol).cast("string"), lit("")),
+          col(tieCol))).as("__r"))
+      .select(col("__canon").as("canonical_url") +:
+        others.map(c => col(s"__r.`$c`").as(c)): _*)
+  }
+
   // ---- fixture/writer side (tests and deterministic oracles) ----
 
   /** Serialize one record with correct Content-Length framing. */

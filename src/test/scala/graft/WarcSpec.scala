@@ -267,6 +267,37 @@ class WarcSpec extends SparkSpec {
       ((null, null, "br", "unsupported content-encoding: br")))
   }
 
+  test("latestByUrl: keep-latest per canonical URL, record_id tiebreak, null dates lose") {
+    import spark.implicits._
+    val docs = Seq(
+      // one page, three URL variants + three dates: latest wins
+      (1L, "http://E.com/a/", "r1", "2026-08-01T00:00:00Z"),
+      (2L, "http://e.com/a?utm_source=x", "r2", "2026-08-03T00:00:00Z"),
+      (3L, "http://e.com/a", "r3", "2026-08-02T00:00:00Z"),
+      // same-instant recrawl: record_id breaks the tie
+      (4L, "http://e.com/b", "r4", "2026-08-01T00:00:00Z"),
+      (5L, "http://e.com/b", "r5", "2026-08-01T00:00:00Z"),
+      // a NULL date loses to any dated capture
+      (6L, "http://e.com/c", "r6", null),
+      (7L, "http://e.com/c", "r7", "2026-08-01T00:00:00Z"),
+      // singleton passes through
+      (8L, "http://e.com/d", "r8", "2026-08-01T00:00:00Z"))
+      .toDF("doc_id", "url", "record_id", "warc_date")
+    val out = graft.sources.Warc.latestByUrl(docs)
+      .select("canonical_url", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      "http://e.com/a" -> 2L, "http://e.com/b" -> 5L,
+      "http://e.com/c" -> 7L, "http://e.com/d" -> 8L))
+    // all input columns survive on the kept row
+    val kept = graft.sources.Warc.latestByUrl(docs)
+      .filter(col("canonical_url") === "http://e.com/a").collect()(0)
+    assert(kept.getAs[String]("record_id") === "r2")
+    assert(kept.getAs[String]("warc_date") === "2026-08-03T00:00:00Z")
+    intercept[IllegalArgumentException](
+      graft.sources.Warc.latestByUrl(docs.drop("warc_date")))
+  }
+
   test("readNewWarc: nightly increment parses only unseen segments") {
     import graft.sources.IncrementalFiles
     val dir = Files.createTempDirectory("warc_inc")
