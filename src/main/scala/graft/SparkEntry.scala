@@ -3674,6 +3674,74 @@ object SparkEntry {
         .select(col("doc_id"), col("outlink"))
         .orderBy("doc_id", "outlink")
     }),
+    // the WHOLE discovery chain as one adjudicated query: robots
+    // bodies declare sitemaps (robotsSitemaps — src1's synthesized XML
+    // is dropped because its robots never declares one), sitemap XML
+    // synthesized per host from the documents table parses through
+    // sitemapUrls (lastmod riding along), seeds flow seen-anti-join →
+    // parsed-robots urlPolicy gate (src3 blocks /b*, allows /a*; src4
+    // default-allows) → per-host politeness quota → sha52 fetch order
+    // → crawl-delay-priced offsets. The oracle restates each stage
+    // hand-derived from the fixtures
+    "q_seeded_frontier" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.UrlOps
+      val id = col("doc_id").cast("string")
+      val day = lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0")
+      val loc = concat(lit("https://"), col("source"),
+        lit(".example.com"),
+        when(col("doc_id") % 3 === 0, lit("/b")).otherwise(lit("/a")), id)
+      val entry = concat(lit("<url><loc>"), loc, lit("</loc>"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<lastmod>2026-07-"), day, lit("</lastmod>")))
+          .otherwise(lit("")),
+        lit("</url>"))
+      val xml = Tables.documents(s, dir)
+        .filter(col("source").isin("src1", "src3", "src4"))
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          col("doc_id"), entry.as("e"))
+        .groupBy("host")
+        .agg(concat(lit("<urlset>"),
+          concat_ws("", transform(
+            sort_array(collect_list(struct(col("doc_id").as("i"),
+              col("e").as("e")))),
+            x => x.getField("e"))),
+          lit("</urlset>")).as("xml"))
+      val refs = UrlOps.robotsSitemaps(
+        robotsFixture.toDF("host", "text"), "host", "text")
+      val seeds = UrlOps.sitemapUrls(
+          refs.select("host").distinct.join(xml, Seq("host")),
+          "host", "xml")
+        .filter(col("kind") === "url")
+        .select(col("loc"), col("lastmod"),
+          regexp_extract(col("loc"), "([0-9]+)$", 1).cast("long")
+            .as("doc_id"))
+      val seen = seeds.filter(col("doc_id") % 5 === 0)
+        .select(col("loc").as("__seen"))
+      val fresh = seeds.join(seen, col("loc") === col("__seen"),
+        "left_anti")
+      val rules = UrlOps.robotsRules(
+        robotsFixture.toDF("host", "text"), "host", "text", "graftbot")
+      val gated = UrlOps.urlPolicy(fresh, "loc", rules)
+        .filter(col("allowed"))
+        .select("doc_id", "host", "loc", "lastmod")
+      val quota = Scale.groupQuota(gated, "host", "doc_id", k = 7)
+      val delays = UrlOps.robotsCrawlDelays(
+        crawlDelayFixture.toDF("host", "text"), "host", "text",
+        "graftbot")
+      val w = Window.partitionBy(col("host"))
+        .orderBy(col("__h"), col("doc_id"))
+      quota
+        .withColumn("__h", Kmv.sha52(col("doc_id").cast("string")))
+        .withColumn("frontier_rank", row_number().over(w).cast("long"))
+        .join(broadcast(delays), Seq("host"), "left")
+        .select(col("host"), col("loc"), col("lastmod"),
+          col("frontier_rank"),
+          ((col("frontier_rank") - 1) *
+            coalesce(col("crawl_delay_s"), lit(1.0)) * 1000)
+            .cast("long").as("fetch_offset_ms"))
+        .orderBy("host", "loc")
+    }),
     "q_url_parts" -> ((s, dir) => {
       import graft.functions.UrlOps
       val url = concat(
@@ -6846,6 +6914,49 @@ object SparkEntry {
            UNION ALL SELECT doc_id,
              'https://ext.example.net/e' || id || '?x=1' FROM d)
          ORDER BY doc_id, outlink""",
+    // every stage hand-derived: seeds = src3/src4 locs (src1 has no
+    // Sitemap line), seen = doc_id%5, gate = src3 blocks the /b arm
+    // (rules /a allow len 3 / /b disallow len 3; src4 ruleless →
+    // default allow), min-7-per-host quota, sha52 order, delay-priced
+    // offsets (src3 0.5 s from *, src4 the 1 s default)
+    "q_seeded_frontier" ->
+      """WITH s AS (SELECT doc_id, source || '.example.com' AS host,
+             'https://' || source || '.example.com' ||
+               (CASE WHEN doc_id % 3 = 0 THEN '/b' ELSE '/a' END) ||
+               CAST(doc_id AS VARCHAR) AS loc,
+             (CASE WHEN doc_id % 3 = 0 THEN '/b' ELSE '/a' END) ||
+               CAST(doc_id AS VARCHAR) AS path,
+             CASE WHEN doc_id % 2 = 0
+               THEN '2026-07-' ||
+                 lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+               ELSE NULL END AS lastmod
+           FROM documents WHERE source IN ('src3', 'src4')),
+         fresh AS (SELECT * FROM s WHERE doc_id % 5 <> 0),
+         g AS (SELECT * FROM fresh
+               WHERE NOT (host = 'src3.example.com'
+                 AND path LIKE '/b%')),
+         q AS (SELECT *, row_number() OVER (PARTITION BY host
+                 ORDER BY doc_id) AS rn FROM g),
+         k AS (SELECT * FROM q WHERE rn <= 7),
+         h AS (SELECT doc_id, host, loc, lastmod,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(
+                     substring(sha256(CAST(doc_id AS VARCHAR)), 1, 13), ''),
+                     x -> CAST(instr('0123456789abcdef', x) - 1
+                       AS BIGINT))),
+                   (acc, x) -> acc * 16 + x) AS hv
+               FROM k),
+         f AS (SELECT *, CAST(row_number() OVER (PARTITION BY host
+                 ORDER BY hv, doc_id) AS BIGINT) AS frontier_rank
+               FROM h),
+         d AS (SELECT * FROM (VALUES
+             ('src3.example.com', CAST(0.5 AS DOUBLE)))
+             t(host, delay_s))
+         SELECT f.host, f.loc, f.lastmod, f.frontier_rank,
+                CAST((f.frontier_rank - 1) * coalesce(d.delay_s, 1.0)
+                  * 1000 AS BIGINT) AS fetch_offset_ms
+         FROM f LEFT JOIN d USING (host)
+         ORDER BY f.host, f.loc""",
     // hand-derived group-scoped delays: graftbot group beats *,
     // merged groups take the max, junk host absent
     "q_crawl_delays" ->
