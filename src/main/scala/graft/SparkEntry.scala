@@ -1871,6 +1871,54 @@ object SparkEntry {
           (col("component_id") === col("doc_id")).as("keep"))
         .orderBy("doc_id")
     }),
+    // the incremental-curation chain ROOTED AT WARC BYTES: two planted
+    // crawl nights (WET segments whose texts ARE documents.text) read
+    // as increments (readNewWarc; manifest-driven newness itself is
+    // adjudicated by IncrementalFilesSpec/IncrementalCurationSpec),
+    // each deduped keep-latest-per-canonical-URL (night 1 plants a
+    // same-text recrawl of every %10==0 page — its kept warc_date
+    // PROVES latestByUrl ran), token-floored, then folded into the
+    // standing near-dup labeling via within + across pairs and
+    // mergeComponents. Oracle = FROM-SCRATCH recompute over the
+    // parquet documents table (floor → uncapped jaccard → recursive
+    // min-reachable-id) with the hand-derived per-parity warc_date —
+    // the merge theorem extended through the WARC root
+    "q_warc_incremental_curation" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.{IncrementalFiles, Warc}
+      val (n1, n2) = warcIncFixtureDirs(s, dir)
+      val empty = Seq.empty[String].toDF("path")
+      val recs1 = IncrementalFiles.readNewWarc(s, n1, empty).get._1
+      val recs2 = IncrementalFiles.readNewWarc(s, n2, empty).get._1
+      def docsOf(recs: DataFrame): DataFrame =
+        Warc.latestByUrl(Warc.documentsFrame(recs))
+          .select(regexp_extract(col("url"), "([0-9]+)$", 1).cast("long")
+            .as("doc_id"), col("text"), col("warc_date"))
+          .filter(size(split(trim(col("text")), "\\s+")) >= 20)
+      val old = docsOf(recs1).materialized
+      val fresh = docsOf(recs2).materialized
+      val oldWithin = PairGraph.of(s, s"jaccard:warcinc:n3:t0.6:old:$dir") {
+        Dedup.jaccardNearDupPairs(old, "doc_id", "text", n = 3,
+          threshold = 0.6)
+      }
+      val baseLabels = Dedup.nearDupComponents(old, "doc_id", oldWithin)
+      val withinNew = PairGraph.of(s, s"jaccard:warcinc:n3:t0.6:new:$dir") {
+        Dedup.jaccardNearDupPairs(fresh, "doc_id", "text", n = 3,
+          threshold = 0.6)
+      }.select("id_a", "id_b")
+      val across = PairGraph.of(s, s"jaccard:warcinc:n3:t0.6:across:$dir") {
+        Dedup.jaccardNearDupPairsAcross(fresh, "doc_id", "text",
+          old, "doc_id", "text", n = 3, threshold = 0.6)
+      }.select(col("id_left").as("id_a"), col("id_right").as("id_b"))
+      val all = old.unionByName(fresh)
+      Dedup.mergeComponents(baseLabels, fresh, "doc_id",
+          withinNew.unionByName(across))
+        .join(all, Seq("doc_id"))
+        .select(col("doc_id"), col("component_id"),
+          (col("component_id") === col("doc_id")).as("keep"),
+          col("warc_date"))
+        .orderBy("doc_id")
+    }),
     // quality-aware canonical selection: one doc per jaccard component,
     // highest n_chars wins (ties → smallest id). The keep-best policy a
     // curation pipeline wants where dropNearDups' keep-smallest-id would
@@ -4286,6 +4334,51 @@ object SparkEntry {
     java.nio.file.Files.write(tmp.toPath.resolve("seg-00003.warc"),
       ofFile(3).reduce(_ ++ _))
     tmp.getAbsolutePath
+  }
+
+  /** Two "nights" of WARC crawl segments DERIVED FROM the documents
+    * table (collected once per SF at fixture build, then cached behind
+    * a done-marker): night 1 = even doc_ids as WET conversion records
+    * (2026-08-01) plus a same-text RECRAWL of every doc_id%10==0 page
+    * (2026-08-02) — exercising [[graft.sources.Warc.latestByUrl]]
+    * without perturbing the downstream text math; night 2 = odd
+    * doc_ids (2026-08-03). Because record texts ARE documents.text,
+    * the DuckDB oracle recomputes the whole chain from the parquet
+    * table. Returns (night1Dir, night2Dir). */
+  private def warcIncFixtureDirs(s: SparkSession, dir: String): (String, String) = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_warcinc_v1_" + dir.replaceAll("[^0-9a-zA-Z]+", "_"))
+    val n1 = new java.io.File(root, "night1")
+    val n2 = new java.io.File(root, "night2")
+    val done = new java.io.File(root, "_done")
+    if (!done.exists()) {
+      n1.mkdirs(); n2.mkdirs()
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1)
+      def rec(id: Long, src: String, text: String, date: String) =
+        graft.sources.Warc.buildRecord("WARC/1.0",
+          Seq("WARC-Type" -> "conversion",
+            "WARC-Target-URI" -> s"https://$src.example.com/d/$id",
+            "WARC-Record-ID" -> s"<urn:graft:$id>",
+            "WARC-Date" -> date),
+          text.getBytes(utf8))
+      val night1 = docs.filter(_._1 % 2 == 0).flatMap { case (i, sr, t) =>
+        Seq(rec(i, sr, t, "2026-08-01T00:00:00Z")) ++
+          (if (i % 10 == 0) Seq(rec(i, sr, t, "2026-08-02T00:00:00Z"))
+           else Nil)
+      }
+      val night2 = docs.filter(_._1 % 2 == 1)
+        .map { case (i, sr, t) => rec(i, sr, t, "2026-08-03T00:00:00Z") }
+      java.nio.file.Files.write(n1.toPath.resolve("seg-n1.warc.gz"),
+        graft.sources.Warc.gzip(night1.reduce(_ ++ _)))
+      java.nio.file.Files.write(n2.toPath.resolve("seg-n2.warc.gz"),
+        graft.sources.Warc.gzip(night2.reduce(_ ++ _)))
+      done.createNewFile()
+    }
+    (n1.getAbsolutePath, n2.getAbsolutePath)
   }
 
   /** The HTTP/WET body text [[graft.sources.Warc.documentsFrame]] must
@@ -7363,6 +7456,45 @@ object SparkEntry {
            SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
          SELECT node AS doc_id, min(root) AS component_id
          FROM reach GROUP BY node ORDER BY doc_id""",
+    // FROM-SCRATCH recompute of the WARC-rooted chain over the parquet
+    // documents table: the WARC fixture's texts ARE documents.text and
+    // keep-latest-per-URL collapses the planted recrawls back to one
+    // capture per doc, so the effective corpus is exactly the
+    // floor-filtered table; warc_date is the hand-derived per-parity
+    // date (08-02 for the %10==0 recrawls night 1 must keep)
+    "q_warc_incremental_curation" ->
+      """WITH RECURSIVE
+         base AS (SELECT doc_id, text,
+                CASE WHEN doc_id % 10 = 0 THEN '2026-08-02T00:00:00Z'
+                     WHEN doc_id % 2 = 0 THEN '2026-08-01T00:00:00Z'
+                     ELSE '2026-08-03T00:00:00Z' END AS warc_date
+              FROM documents
+              WHERE len(string_split_regex(trim(text), '\s+')) >= 20),
+         tok AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(string_split_regex(trim(text), '\s+')) < 3 THEN []
+                  ELSE list_transform(range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                    i -> array_to_string((string_split_regex(trim(text), '\s+'))[i:i+2], ' ')) END) AS sh
+              FROM base),
+         sized AS (SELECT doc_id, sh, len(sh) AS n FROM tok WHERE len(sh) > 0),
+         inv AS (SELECT doc_id, n, unnest(sh) AS s FROM sized),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na,
+                     b.n AS nb, count(*) AS shared
+                   FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2, 3, 4),
+         jp AS (SELECT id_a, id_b FROM pairs
+                WHERE CAST(shared AS DOUBLE) / (na + nb - shared) >= 0.6),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+                   UNION SELECT id_b, id_a FROM jp),
+         reach(node, root) AS (
+           SELECT doc_id, doc_id FROM base
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         comp AS (SELECT node AS doc_id, min(root) AS component_id
+                  FROM reach GROUP BY node)
+         SELECT c.doc_id, c.component_id,
+                (c.component_id = c.doc_id) AS keep, b.warc_date
+         FROM comp c JOIN base b USING (doc_id)
+         ORDER BY c.doc_id""",
     // FROM-SCRATCH recompute of the whole incremental curation chain:
     // cleanTextV2 (q_clean_text_v2's expression) → ≥20-token floor →
     // classifier gate (512-bucket VALUES artifact) → uncapped jaccard

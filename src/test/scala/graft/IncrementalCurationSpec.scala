@@ -109,6 +109,61 @@ class IncrementalCurationSpec extends SparkSpec {
     // below the token floor: must be gated out, never labeled
     doc(105L, "too short to survive"))
 
+  test("WARC-rooted nights: readNewWarc → latestByUrl → gates → merge ≡ from-scratch") {
+    import graft.sources.Warc
+    val landing = Files.createTempDirectory("inc-warc").toString
+    def rec(id: Long, text: String, date: String): Array[Byte] =
+      Warc.buildRecord("WARC/1.0", Seq(
+        "WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> s"https://h.example.com/d/$id",
+        "WARC-Record-ID" -> s"<urn:x:$id:$date>",
+        "WARC-Date" -> date),
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def wdocs(recs: DataFrame): DataFrame =
+      Warc.latestByUrl(Warc.documentsFrame(recs))
+        .select(regexp_extract(col("url"), "([0-9]+)$", 1).cast("long")
+          .as("doc_id"), col("text"), col("warc_date"))
+    // night 1: batch1 as WET records + a same-text RECRAWL of doc 1
+    val n1 = batch1.flatMap { case (id, t) =>
+      Seq(rec(id, t, "2026-08-01T00:00:00Z")) ++
+        (if (id == 1L) Seq(rec(id, t, "2026-08-02T00:00:00Z")) else Nil)
+    }
+    Files.write(java.nio.file.Paths.get(landing, "n1.warc.gz"),
+      Warc.gzip(n1.reduce(_ ++ _)))
+    val (recs1, man1) = IncrementalFiles.readNewWarc(spark, landing,
+      Seq.empty[String].toDF("path")).get
+    val docs1 = wdocs(recs1)
+    // latestByUrl collapsed the recrawl and kept the LATER capture
+    assert(docs1.count() === batch1.size.toLong)
+    assert(docs1.filter(col("doc_id") === 1L)
+      .select("warc_date").head.getString(0) === "2026-08-02T00:00:00Z")
+    val surv1 = curate(docs1.select("doc_id", "text"))
+    val labels1 = Dedup.nearDupComponents(surv1, "doc_id",
+      pairsWithin(surv1))
+    val manifest1 = man1.select("path").collect().map(_.getString(0))
+      .toSeq.toDF("path")
+    // night 2 lands in the SAME directory; only its file is parsed
+    val n2 = batch2.map { case (id, t) => rec(id, t, "2026-08-03T00:00:00Z") }
+    Files.write(java.nio.file.Paths.get(landing, "n2.warc.gz"),
+      Warc.gzip(n2.reduce(_ ++ _)))
+    val (recs2, _) = IncrementalFiles.readNewWarc(spark, landing,
+      manifest1).get
+    val docs2 = wdocs(recs2)
+    assert(docs2.select("doc_id").collect().map(_.getLong(0))
+      .forall(_ >= 100L), "night 2 re-read night-1 records")
+    val surv2 = curate(docs2.select("doc_id", "text"))
+    val labels2 = Dedup.mergeComponents(labels1, surv2.select("doc_id"),
+      "doc_id",
+      pairsWithin(surv2).unionByName(pairsAcross(surv2, surv1)))
+    // the merge theorem through the WARC root: ≡ from-scratch over
+    // everything landed so far
+    val all = (batch1 ++ batch2).toDF("doc_id", "text")
+    val scratchSurv = curate(all)
+    val scratch = Dedup.nearDupComponents(scratchSurv, "doc_id",
+      pairsWithin(scratchSurv))
+    assert(labelSet(labels2) === labelSet(scratch))
+  }
+
   test("incremental rounds over a landing dir ≡ from-scratch recompute") {
     val landing = Files.createTempDirectory("inc-curation").toString
     batch1.toDF("doc_id", "text").coalesce(1)
