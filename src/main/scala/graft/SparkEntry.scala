@@ -3722,6 +3722,35 @@ object SparkEntry {
         .select(col("doc_id"), col("outlink"))
         .orderBy("doc_id", "outlink")
     }),
+    // the crawl loop LOOPING: 4-hop BFS over a deterministic link
+    // graph (page d links to (2d+1) mod N [relative href] and
+    // (3d+2) mod N [absolute path] — real HTML extraction +
+    // RFC 3986 resolution on every hop), seeds = doc_id%97==0.
+    // The oracle recomputes min-hop reachability with a recursive CTE
+    // over the same arithmetic edges
+    "q_crawl_bfs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id")
+      val base = docs.crossJoin(
+        broadcast(docs.agg(count(lit(1)).as("__n"))))
+      def purl(c: org.apache.spark.sql.Column) =
+        concat(lit("https://bfs.example.com/d/p"), c.cast("string"),
+          lit(".html"))
+      val a1 = (col("doc_id") * 2 + 1) % col("__n")
+      val a2 = (col("doc_id") * 3 + 2) % col("__n")
+      val html = concat(
+        lit("<html><body><a href=\"p"), a1.cast("string"),
+        lit(".html\">x</a><a href=\"/d/p"), a2.cast("string"),
+        lit(".html\">y</a></body></html>"))
+      val pages = base.select(purl(col("doc_id")).as("url"),
+        html.as("html"))
+      val seeds = docs.filter(col("doc_id") % 97 === 0)
+        .select(purl(col("doc_id")).as("url"))
+      graft.operators.Crawl.bfs(pages, "url", "html", seeds, "url",
+          hops = 4)
+        .select(regexp_extract(col("url"), "p([0-9]+)\\.html$", 1)
+          .cast("long").as("doc_id"), col("hop"))
+        .orderBy("doc_id")
+    }),
     // the WHOLE discovery chain as one adjudicated query: robots
     // bodies declare sitemaps (robotsSitemaps — src1's synthesized XML
     // is dropped because its robots never declares one), sitemap XML
@@ -7007,6 +7036,26 @@ object SparkEntry {
            UNION ALL SELECT doc_id,
              'https://ext.example.net/e' || id || '?x=1' FROM d)
          ORDER BY doc_id, outlink""",
+    // recursive-CTE min-hop reachability over the arithmetic edge rule
+    // — the hop<4 bound keeps the UNION ALL recursion finite; min(hop)
+    // over all paths IS the BFS first-reach label
+    "q_crawl_bfs" ->
+      """WITH RECURSIVE
+         nn AS (SELECT count(*) AS n FROM documents),
+         e AS (SELECT d.doc_id AS src,
+                 CAST((d.doc_id * 2 + 1) % nn.n AS BIGINT) AS dst
+               FROM documents d, nn
+               UNION ALL
+               SELECT d.doc_id,
+                 CAST((d.doc_id * 3 + 2) % nn.n AS BIGINT)
+               FROM documents d, nn),
+         bfs(doc_id, hop) AS (
+           SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
+           UNION ALL
+           SELECT e.dst, b.hop + 1 FROM bfs b
+           JOIN e ON e.src = b.doc_id WHERE b.hop < 4)
+         SELECT doc_id, CAST(min(hop) AS INTEGER) AS hop
+         FROM bfs GROUP BY doc_id ORDER BY doc_id""",
     // every stage hand-derived: seeds = src3/src4 locs (src1 has no
     // Sitemap line), seen = doc_id%5, gate = src3 blocks the /b arm
     // (rules /a allow len 3 / /b disallow len 3; src4 ruleless →

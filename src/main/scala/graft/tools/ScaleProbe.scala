@@ -953,6 +953,52 @@ object ScaleProbe {
       println(f"R11WARC k=$k%d files=$fi%d parse=$tw%.1fs($nw%d recs) " +
         f"doctext=$td%.1fs($nd%d chars)")
     }
+
+    // R12: outlink extraction (scan-local projection+explode — must be
+    // linear) and URL-level keep-latest dedup (one max_by aggregation;
+    // the skew variant collapses 10% of all rows onto ONE url, which
+    // map-side partial aggregation must absorb without a hot reducer)
+    for (k <- Seq(1, 2, 4, 8) if on("r12")) {
+      val docs = (0 until k).map { i =>
+        base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+          col("source"), col("text"))
+      }.reduce(_ unionAll _)
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><body><a href=\"rel/p"), id, lit(".html\">r</a>"),
+        lit("<a href='/abs/q"), id, lit("'>a</a>"),
+        lit("<a href=\"../up"), id, lit(".html#f\">u</a>"),
+        lit("<img src='img"), id, lit(".png'>"),
+        lit("<p>"), col("text"), lit("</p></body></html>"))
+      val pages = docs.select(col("doc_id"),
+        concat(lit("https://"), col("source"),
+          lit(".example.com/sec/index"), id, lit(".html")).as("url"),
+        html.as("html"))
+      val (to, no) = time(graft.functions.UrlOps
+        .extractOutlinks(pages, "url", "html").count())
+      // uniform recrawls: every canonical URL captured ~3 times
+      val day = lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0")
+      def crawls(urlCol: org.apache.spark.sql.Column) = docs.select(
+        urlCol.as("url"),
+        concat(lit("r"), id).as("record_id"),
+        concat(lit("2026-08-"), day, lit("T00:00:00Z")).as("warc_date"),
+        col("text"))
+      val (tl, nl) = time(graft.sources.Warc.latestByUrl(crawls(
+        concat(lit("https://probe.example.com/p/"),
+          floor(col("doc_id") / 3).cast("long").cast("string")))).count())
+      // skew: 10% of ALL captures are the same hot URL
+      val (tsk, nsk) = time(graft.sources.Warc.latestByUrl(crawls(
+        when(col("doc_id") % 10 === 0, lit("https://probe.example.com/hot"))
+          .otherwise(concat(lit("https://probe.example.com/p/"), id))))
+        .count())
+      println(f"R12PROBE k=$k%d docs=${5000 * k}%d " +
+        f"outlinks=$to%.1fs($no%d links) latest=$tl%.1fs($nl%d urls) " +
+        f"latest_skew=$tsk%.1fs($nsk%d urls)")
+    }
     spark.stop()
   }
 }

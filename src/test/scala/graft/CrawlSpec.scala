@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Crawl
+
+class CrawlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def page(u: String, links: String*): (String, String) =
+    (u, links.map(l => s"""<a href="$l">x</a>""")
+      .mkString("<html><body>", "", "</body></html>"))
+
+  // chain a → b → c → d with a back-edge d → a (cycle) and an
+  // unreachable island e → f; b's link is RELATIVE (resolution is on
+  // the adjudicated path every hop)
+  private lazy val pages = Seq(
+    page("https://h.com/a", "/b"),
+    page("https://h.com/b", "c"),
+    page("https://h.com/c", "/d"),
+    page("https://h.com/d", "/a"),
+    page("https://h.com/e", "/f")).toDF("url", "html")
+
+  private def run(seed: String, hops: Int): Map[String, Int] =
+    Crawl.bfs(pages, "url", "html", Seq(seed).toDF("u"), "u", hops)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+
+  test("bfs: min-hop labels, cycle absorbed, island unreached, early exit") {
+    // hops=10 but the component drains at hop 3 — early exit, and the
+    // d→a back-edge never re-labels a
+    val out = run("https://h.com/a", hops = 10)
+    assert(out === Map("https://h.com/a" -> 0, "https://h.com/b" -> 1,
+      "https://h.com/c" -> 2, "https://h.com/d" -> 3))
+  }
+
+  test("bfs: hop cap truncates the expansion") {
+    val out = run("https://h.com/a", hops = 2)
+    assert(out === Map("https://h.com/a" -> 0, "https://h.com/b" -> 1,
+      "https://h.com/c" -> 2))
+    assert(run("https://h.com/a", hops = 0)
+      === Map("https://h.com/a" -> 0))
+  }
+
+  test("bfs: discovered-but-unfetchable URLs are reported, fetch nothing") {
+    // /f has no page row: discovered at hop 1, contributes no links
+    assert(run("https://h.com/e", hops = 5)
+      === Map("https://h.com/e" -> 0, "https://h.com/f" -> 1))
+    // a seed with no page row is still hop 0
+    assert(run("https://h.com/nope", hops = 3)
+      === Map("https://h.com/nope" -> 0))
+  }
+
+  test("bfs: multiple seeds take the min hop across seeds") {
+    val out = Crawl.bfs(pages, "url", "html",
+        Seq("https://h.com/a", "https://h.com/c").toDF("u"), "u", 10)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // c is a seed (0), d reached from c at 1 — not from a at 3
+    assert(out === Map("https://h.com/a" -> 0, "https://h.com/b" -> 1,
+      "https://h.com/c" -> 0, "https://h.com/d" -> 1))
+  }
+}

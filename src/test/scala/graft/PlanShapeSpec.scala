@@ -281,6 +281,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), "untouched keys ship through the anti-join")
   }
 
+  test("q_outlinks: extraction+resolution is scan-local — no join, no hash shuffle") {
+    val p = plan("q_outlinks")
+    assert(p.contains("Generate"), "explode of extracted refs must plan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      "outlink extraction must not join anything")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "resolution is a projection — only the final orderBy may exchange")
+  }
+
+  test("q_crawl_dedup: keep-latest is ONE aggregation, no window over the corpus") {
+    val p = plan("q_crawl_dedup")
+    assert(!p.contains("Window"),
+      "max_by reduction must not per-key window-sort the recrawl stream")
+    // max_by of a whole-row struct is not hash-aggregable (struct agg
+    // buffer), so Spark plans partial -> exchange -> final
+    // SortAggregate — map-side collapse of recrawls before the shuffle
+    // is the property that matters at scale
+    assert("(Sort|Hash)Aggregate".r.findAllIn(p).size >= 2,
+      "partial -> final max_by aggregation expected (map-side collapse " +
+        "of recrawls before the shuffle)")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "keep-latest must not join")
+  }
+
   test("NO registered query plans a CartesianProduct — the whole suite, forever") {
     // 1-row broadcast crossJoins plan as BroadcastNestedLoopJoin (cheap,
     // streamed once) and are allowed; an actual CartesianProduct means a

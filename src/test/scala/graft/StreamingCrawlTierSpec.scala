@@ -166,4 +166,45 @@ class StreamingCrawlTierSpec extends SparkSpec {
     runOnce(in, out, cp)
     assert(sinkIds() === Seq(1L, 2L, 4L))
   }
+
+  test("outlink extraction runs unchanged in an append-mode stream") {
+    // extractOutlinks is a stateless projection + explode, so the SAME
+    // operator serves the continuous crawl job: pages stream in, link
+    // candidates stream out, batch ≡ stream end-state. pageHtml's nav/
+    // list/footer anchors are the links under test.
+    import graft.functions.UrlOps
+    val (in, out, cp) = (tmp("ol_in"), tmp("ol_out"), tmp("ol_cp"))
+    val t0 = "2026-08-15 10:00:00"
+    val pages = Seq(
+      (1L, pageHtml(1L, body1), t0),
+      (2L, pageHtml(2L, body2), t0),
+      (4L, pageHtml(4L, body4), t0))
+    landPages(in, pages.take(2))
+    landPages(in, pages.drop(2))
+    def withUrl(df: DataFrame): DataFrame = df.withColumn("url",
+      concat(lit("https://h.com/d/"), col("doc_id").cast("string"),
+        lit("/index.html")))
+    val stream = spark.readStream.schema(pageSchema)
+      .option("maxFilesPerTrigger", "1").json(in.toString)
+    val q = UrlOps.extractOutlinks(withUrl(stream), "url", "html")
+      .select("doc_id", "outlink")
+      .writeStream.format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", cp.toString)
+      .outputMode(OutputMode.Append())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = UrlOps.extractOutlinks(
+        withUrl(pages.toDF("doc_id", "html", "ts")), "url", "html")
+      .select("doc_id", "outlink")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed === batch)
+    // absolutization really happened: root-relative nav links resolve
+    // against each page's own URL
+    assert(batch.contains((1L, "https://h.com/a")))
+    assert(batch.contains((4L, "https://h.com/m")))
+    assert(batch.size === pages.size * 7) // 7 anchors per planted page
+  }
 }
