@@ -3751,6 +3751,46 @@ object SparkEntry {
           .cast("long").as("doc_id"), col("hop"))
         .orderBy("doc_id")
     }),
+    // web-graph analytics FROM crawl bytes: synthesized pages whose
+    // anchors point at other hosts (targets (d+1) mod N and (7d+3)
+    // mod N, looked up for their source names) → extractOutlinks →
+    // host-level undirected edge set → the existing fixed-iteration
+    // PageRank. The domain-authority signal a curation pipeline feeds
+    // into source weighting; the oracle rebuilds the same host edges
+    // relationally and replays the shared unrolled recurrence
+    "q_outlink_pagerank" -> ((s, dir) => {
+      import graft.functions.UrlOps
+      val docs = Tables.documents(s, dir).select("doc_id", "source")
+      val base = docs.crossJoin(
+        broadcast(docs.agg(count(lit(1)).as("__n"))))
+      val ta = docs.select(col("doc_id").as("__ia"),
+        col("source").as("__sa"))
+      val tb = docs.select(col("doc_id").as("__ib"),
+        col("source").as("__sb"))
+      val linked = base
+        .join(ta, (col("doc_id") + 1) % col("__n") === col("__ia"))
+        .join(tb, (col("doc_id") * 7 + 3) % col("__n") === col("__ib"))
+      val html = concat(
+        lit("<html><body><a href=\"https://"), col("__sa"),
+        lit(".example.com/x\">a</a><a href=\"https://"), col("__sb"),
+        lit(".example.com/y\">b</a></body></html>"))
+      val pages = linked.select(
+        concat(lit("https://"), col("source"), lit(".example.com/p"),
+          col("doc_id").cast("string")).as("url"),
+        html.as("html"))
+      val links = UrlOps.extractOutlinks(pages, "url", "html")
+      val edges = links.select(
+          UrlOps.hostNoPort(col("url")).as("h1"),
+          UrlOps.hostNoPort(col("outlink")).as("h2"))
+        .filter(col("h1") =!= col("h2"))
+        .select(least(col("h1"), col("h2")).as("ha"),
+          greatest(col("h1"), col("h2")).as("hb"))
+        .distinct
+      Analytics.pageRank(edges, "ha", "hb", iterations = 10,
+          damping = 0.85)
+        .select(col("node"), col("rank").as("pagerank"))
+        .orderBy("node")
+    }),
     // the WHOLE discovery chain as one adjudicated query: robots
     // bodies declare sitemaps (robotsSitemaps — src1's synthesized XML
     // is dropped because its robots never declares one), sitemap XML
@@ -4488,7 +4528,10 @@ object SparkEntry {
       "decode_error) ORDER BY url"
   }
 
-  private def pageRankOracleSql(iters: Int): String = {
+  /** The adj/deg/r0 + unrolled-iteration tail of the PageRank oracle,
+    * shared by every graph instance: `graphCtes` must define
+    * `e(ia, ib)`, the undirected edge set. */
+  private def pageRankOracleTail(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""r$k AS (SELECT nodes.node,
          (1.0::DOUBLE - 0.85::DOUBLE) / nn.n
@@ -4500,12 +4543,7 @@ object SparkEntry {
                     JOIN r${k - 1} r ON r.node = adj.src
                     GROUP BY 1) s ON s.node = nodes.node)"""
     }.mkString(",\n         ")
-    s"""WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
-               FROM lineitem WHERE l_orderkey % 4 = 0),
-         e AS (SELECT a.item AS ia, b.item AS ib
-               FROM g a JOIN g b ON a.grp = b.grp AND a.item < b.item
-               GROUP BY 1, 2 HAVING count(*) >= 2),
-         adj AS (SELECT ia AS src, ib AS dst FROM e
+    s"""adj AS (SELECT ia AS src, ib AS dst FROM e
                  UNION ALL SELECT ib AS src, ia AS dst FROM e),
          deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY 1),
          nodes AS (SELECT DISTINCT src AS node FROM adj),
@@ -4515,6 +4553,14 @@ object SparkEntry {
          $steps
          SELECT node, pagerank FROM r$iters ORDER BY node"""
   }
+
+  private def pageRankOracleSql(iters: Int): String =
+    s"""WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
+               FROM lineitem WHERE l_orderkey % 4 = 0),
+         e AS (SELECT a.item AS ia, b.item AS ib
+               FROM g a JOIN g b ON a.grp = b.grp AND a.item < b.item
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         """ + pageRankOracleTail(iters)
 
   /** Synchronous LPA unrolled: per round one vote aggregation + a
     * (votes DESC, label ASC) rank-1 pick — the SQL restatement of the
@@ -7036,6 +7082,26 @@ object SparkEntry {
            UNION ALL SELECT doc_id,
              'https://ext.example.net/e' || id || '?x=1' FROM d)
          ORDER BY doc_id, outlink""",
+    // the same host edges rebuilt relationally (two modular-target
+    // joins for the linked sources) + the SHARED unrolled PageRank
+    // recurrence — both sides run the identical arithmetic
+    "q_outlink_pagerank" ->
+      ("""WITH nn0 AS (SELECT count(*) AS n FROM documents),
+         t AS (SELECT d.source,
+                 CAST((d.doc_id + 1) % nn0.n AS BIGINT) AS a1,
+                 CAST((d.doc_id * 7 + 3) % nn0.n AS BIGINT) AS a2
+               FROM documents d, nn0),
+         l AS (SELECT t.source AS s0, d2.source AS sa, d3.source AS sb
+               FROM t JOIN documents d2 ON d2.doc_id = t.a1
+                      JOIN documents d3 ON d3.doc_id = t.a2),
+         e0 AS (SELECT s0 || '.example.com' AS h1,
+                  sa || '.example.com' AS h2 FROM l
+                UNION ALL
+                SELECT s0 || '.example.com', sb || '.example.com' FROM l),
+         e AS (SELECT DISTINCT least(h1, h2) AS ia,
+                 greatest(h1, h2) AS ib
+               FROM e0 WHERE h1 <> h2),
+         """ + pageRankOracleTail(10)),
     // recursive-CTE min-hop reachability over the arithmetic edge rule
     // — the hop<4 bound keeps the UNION ALL recursion finite; min(hop)
     // over all paths IS the BFS first-reach label
