@@ -3751,6 +3751,31 @@ object SparkEntry {
           .cast("long").as("doc_id"), col("hop"))
         .orderBy("doc_id")
     }),
+    // anchor-text extraction — the per-link label source (anchor
+    // corpora for target-page quality/relevance): every <a> yields its
+    // absolutized target + inner text with markup stripped and
+    // whitespace collapsed; fragment-only anchors drop, img src is not
+    // an anchor. Oracle = hand-derived rows per planted anchor shape
+    "q_anchor_text" -> ((s, dir) => {
+      import graft.functions.UrlOps
+      val id = col("doc_id").cast("string")
+      val hostc = concat(col("source"), lit(".example.com"))
+      val url = concat(lit("https://"), hostc, lit("/dir/page"), id,
+        lit(".html"))
+      val html = concat(
+        lit("<html><body><a href=\"/p"), id, lit("\">Doc <b>"), id,
+        lit("</b>  reference</a>"),
+        lit("<a href='rel"), id, lit("' class=\"x\">see  also "), id,
+        lit("</a>"),
+        lit("<a href=\"#top\">skip</a><img src='i"), id, lit(".png'>"),
+        lit("</body></html>"))
+      UrlOps.extractAnchors(
+          Tables.documents(s, dir).select(col("doc_id"), url.as("url"),
+            html.as("html")),
+          "url", "html")
+        .select(col("doc_id"), col("outlink"), col("anchor"))
+        .orderBy("doc_id", "outlink")
+    }),
     // web-graph analytics FROM crawl bytes: synthesized pages whose
     // anchors point at other hosts (targets (d+1) mod N and (7d+3)
     // mod N, looked up for their source names) → extractOutlinks →
@@ -7081,6 +7106,19 @@ object SparkEntry {
                ELSE h || '/sec' || m || '/img' || id || '.png' END FROM d
            UNION ALL SELECT doc_id,
              'https://ext.example.net/e' || id || '?x=1' FROM d)
+         ORDER BY doc_id, outlink""",
+    // two hand-derived anchor rows per doc: markup stripped, runs of
+    // whitespace collapsed, fragment-only anchor and img src absent
+    "q_anchor_text" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS id,
+             'https://' || source || '.example.com' AS h
+           FROM documents)
+         SELECT doc_id, outlink, anchor FROM (
+           SELECT doc_id, h || '/p' || id AS outlink,
+                  'Doc ' || id || ' reference' AS anchor FROM d
+           UNION ALL
+           SELECT doc_id, h || '/dir/rel' || id,
+                  'see also ' || id FROM d)
          ORDER BY doc_id, outlink""",
     // the same host edges rebuilt relationally (two modular-target
     // joins for the linked sources) + the SHARED unrolled PageRank

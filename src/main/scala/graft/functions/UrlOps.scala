@@ -506,6 +506,37 @@ object UrlOps {
       .drop("__base", "__ref")
   }
 
+  /** Anchor-TEXT extraction — the per-link supervision signal next to
+    * [[extractOutlinks]]: for every `<a href=...>text</a>`, emit the
+    * absolutized target AND its anchor text (inner markup stripped,
+    * whitespace collapsed) — the classic web-scale label source for
+    * target-page quality/relevance models (anchor corpora). Matching
+    * is the same two-pass quoted-href discipline as extractOutlinks,
+    * restricted to `<a>` tags (src attributes carry no text); `<base>`
+    * handled identically. Unfetchable refs drop. Scan-local projection
+    * + explode. Output: input columns + (outlink, anchor). */
+  def extractAnchors(df: org.apache.spark.sql.DataFrame, urlCol: String,
+      htmlCol: String): org.apache.spark.sql.DataFrame = {
+    val noBase = regexp_replace(col(htmlCol), "(?i)<base[^>]*>", "")
+    val baseHref = regexp_extract(col(htmlCol),
+      "(?i)<base[^>]+href\\s*=\\s*[\"']([^\"']+)[\"']", 1)
+    val effBase = when(baseHref === "", col(urlCol))
+      .otherwise(coalesce(resolveRef(col(urlCol), baseHref), col(urlCol)))
+    def pairs(pat: String) = zip_with(
+      regexp_extract_all(noBase, lit(pat), lit(1)),
+      regexp_extract_all(noBase, lit(pat), lit(2)),
+      (r, t) => struct(r.as("r"), t.as("t")))
+    val patD = "(?is)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>"
+    val patS = "(?is)<a\\s[^>]*href\\s*=\\s*'([^']*)'[^>]*>(.*?)</a>"
+    df.withColumn("__base", effBase)
+      .withColumn("__p", explode(concat(pairs(patD), pairs(patS))))
+      .withColumn("outlink", resolveRef(col("__base"), col("__p.r")))
+      .withColumn("anchor", trim(regexp_replace(
+        regexp_replace(col("__p.t"), "<[^>]*>", " "), "\\s+", " ")))
+      .filter(col("outlink").isNotNull)
+      .drop("__base", "__p")
+  }
+
   /** Remove utm_* / gclid / fbclid query parameters while preserving the
     * rest of the query string, in three RE2-safe passes:
     *  1. drop `&tracking=...` (non-leading params),

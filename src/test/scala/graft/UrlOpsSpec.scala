@@ -397,6 +397,30 @@ class UrlOpsSpec extends SparkSpec {
       "https://h.com/up.html"))
   }
 
+  test("extractAnchors: absolutized target + cleaned anchor text") {
+    val html = "<a href=\"/p1\">Doc <b>one</b>  title</a>\n" +
+      "<a href='rel2' class=\"x\">second\nlink</a>\n" +
+      "<a href=\"#f\">skip</a><img src=\"i.png\">" +
+      "<a href=\"mailto:a@b\">skip too</a>"
+    val out = UrlOps.extractAnchors(
+        Seq((1L, "https://h.com/d/x.html", html)).toDF("id", "url", "html"),
+        "url", "html")
+      .select("outlink", "anchor").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // inner markup stripped, whitespace (incl. newline) collapsed;
+    // fragment-only and mailto anchors dropped; img src is NOT an anchor
+    assert(out === Set(
+      ("https://h.com/p1", "Doc one title"),
+      ("https://h.com/d/rel2", "second link")))
+    // base tag rebases relative targets, exactly like extractOutlinks
+    val based = UrlOps.extractAnchors(
+        Seq((2L, "https://h.com/d/x.html",
+          "<base href=\"/b/\"><a href='rel2'>t</a>")).toDF("id", "url", "html"),
+        "url", "html")
+      .select("outlink").collect().map(_.getString(0)).toSeq
+    assert(based === Seq("https://h.com/b/rel2"))
+  }
+
   test("robotsRules composes with urlPolicy (parsed rules gate URLs)") {
     val robots = Seq(
       ("src1.example.com", "User-agent: graftbot\nDisallow: /private/\nAllow: /private/pub/"),
