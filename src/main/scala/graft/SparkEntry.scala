@@ -3519,6 +3519,23 @@ object SparkEntry {
           sha2(col("text"), 256).as("body_sha256"))
         .orderBy("url")
     }),
+    // WARC revisit records as freshness signals (the Common Crawl
+    // dedupe convention): keep-latest still selects the latest CAPTURE
+    // per canonical URL (revisits carry no body), but last_seen
+    // advances to the newest revisit — /rv/a's revisit postdates its
+    // capture (last_seen moves), /rv/b's predates its second capture
+    // (last_seen stays), /rv/c was only revisited (dropped). The
+    // capture side also collapses a tracking-param URL variant
+    "q_crawl_revisit" -> ((s, dir) => {
+      val recs = graft.sources.Warc.readWarcFiles(s, warcFixtureDir(dir))
+        .filter(col("path").contains("seg-00004"))
+      val docs = graft.sources.Warc.documentsFrame(recs)
+      val rv = graft.sources.Warc.revisitFrame(recs)
+      graft.sources.Warc.latestWithRevisits(docs, rv)
+        .select(col("canonical_url"), col("record_id"), col("warc_date"),
+          col("last_seen"), sha2(col("text"), 256).as("body_sha256"))
+        .orderBy("canonical_url")
+    }),
     // URL-level crawl dedup: recrawls planted as canonical-URL
     // collision groups of 3 (case/trailing-slash variant, tracking-
     // param variant, plain), each with a distinct warc_date — the
@@ -3775,6 +3792,35 @@ object SparkEntry {
           "url", "html")
         .select(col("doc_id"), col("outlink"), col("anchor"))
         .orderBy("doc_id", "outlink")
+    }),
+    // the anchor CORPUS — the artifact a target-page relevance model
+    // trains on: anchors rolled up per canonical target URL (first
+    // link target is doc_id%53, so targets collect anchors from many
+    // source pages), n_anchors + the sorted distinct anchor texts as
+    // one engine-portable string
+    "q_anchor_corpus" -> ((s, dir) => {
+      import graft.functions.UrlOps
+      val id = col("doc_id").cast("string")
+      val m = (col("doc_id") % 53).cast("string")
+      val hostc = concat(col("source"), lit(".example.com"))
+      val url = concat(lit("https://"), hostc, lit("/dir/page"), id,
+        lit(".html"))
+      val html = concat(
+        lit("<html><body><a href=\"/p"), m, lit("\">Doc <b>"), id,
+        lit("</b>  reference</a>"),
+        lit("<a href='rel"), id, lit("'>see  also "), id, lit("</a>"),
+        lit("</body></html>"))
+      UrlOps.extractAnchors(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"),
+            url.as("url"), html.as("html")),
+          "url", "html")
+        .select(UrlOps.canonical(col("outlink")).as("target"),
+          col("anchor"))
+        .groupBy("target")
+        .agg(count(lit(1)).cast("long").as("n_anchors"),
+          concat_ws("|", array_sort(collect_set(col("anchor"))))
+            .as("anchor_texts"))
+        .orderBy("target")
     }),
     // web-graph analytics FROM crawl bytes: synthesized pages whose
     // anchors point at other hosts (targets (d+1) mod N and (7d+3)
@@ -4154,8 +4200,14 @@ object SparkEntry {
     * is on the adjudicated path), minus the seen set, parsed-robots
     * gate, per-host politeness quota, sha52 fetch order within host.
     * The oracle states the hand-derived RFC 3986 resolutions of the
-    * same links as its candidate CTE. */
-  private def crawlFrontier(s: SparkSession, dir: String): DataFrame = {
+    * same links as its candidate CTE. Memoized write-once per session
+    * ([[PairGraph.of]] — q_crawl_frontier and q_fetch_schedule share
+    * ONE extraction+gate derivation, the "derive once, join many"
+    * contract every multi-consumer artifact here follows). */
+  private def crawlFrontier(s: SparkSession, dir: String): DataFrame =
+    PairGraph.of(s, s"crawlfrontier:v2:$dir")(crawlFrontierDerive(s, dir))
+
+  private def crawlFrontierDerive(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.UrlOps
     val id = col("doc_id").cast("string")
@@ -4350,7 +4402,38 @@ object SparkEntry {
         ("HTTP/1.1 200 OK\r\n" + hdrs.map(_ + "\r\n").mkString + "\r\n")
           .getBytes(utf8) ++ body)
     }
-    (info +: pages) ++ wets ++ charsets
+    // revisit cases (file 4, plain .warc) — dates/record ids carried
+    // by warcRevisitFixture; only (type, uri, payload) matter here
+    val revisits = warcRevisitFixture.map { case (t, uri, _, payload, _) =>
+      (4, t, uri, payload)
+    }
+    (info +: pages) ++ wets ++ charsets ++ revisits
+  }
+
+  /** Revisit-record cases for q_crawl_revisit (fixture file 4):
+    * (warc_type, uri, warc_date, payload, record_id). Planted shape:
+    * /rv/a captured once then REVISITED later (last_seen must advance
+    * past the capture date); /rv/b captured twice (second via a
+    * tracking-param URL variant — canonical collapse on the capture
+    * side) plus an OLDER revisit (last_seen stays the capture date);
+    * /rv/c only revisited, never captured (dropped — nothing to keep). */
+  private def warcRevisitFixture: Seq[(String, String, String, Array[Byte], String)] = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def msg(body: String): Array[Byte] =
+      ("HTTP/1.1 200 OK\r\n\r\n" + body).getBytes(utf8)
+    Seq(
+      ("response", "http://warc.example.com/rv/a",
+        "2026-08-01T00:00:00Z", msg("alpha v1"), "<urn:rv:a1>"),
+      ("revisit", "http://warc.example.com/rv/a",
+        "2026-08-05T00:00:00Z", Array.emptyByteArray, "<urn:rv:a2>"),
+      ("response", "http://warc.example.com/rv/b",
+        "2026-08-02T00:00:00Z", msg("bravo v1"), "<urn:rv:b1>"),
+      ("response", "http://warc.example.com/rv/b?utm_source=x",
+        "2026-08-03T00:00:00Z", msg("bravo v2"), "<urn:rv:b2>"),
+      ("revisit", "http://warc.example.com/rv/b",
+        "2026-08-02T06:00:00Z", Array.emptyByteArray, "<urn:rv:b3>"),
+      ("revisit", "http://warc.example.com/rv/c",
+        "2026-08-04T00:00:00Z", Array.emptyByteArray, "<urn:rv:c1>"))
   }
 
   /** Charset/Content-Encoding cases for q_warc_charset (fixture file
@@ -4427,6 +4510,18 @@ object SparkEntry {
       graft.sources.Warc.gzip(ofFile(2).reduce(_ ++ _)))
     java.nio.file.Files.write(tmp.toPath.resolve("seg-00003.warc"),
       ofFile(3).reduce(_ ++ _))
+    // file 4 needs per-record dates/ids (+ a refers-to header on
+    // revisits) — its own builder, same fixture list as the oracle
+    val rec4 = warcRevisitFixture.map { case (t, uri, date, payload, rid) =>
+      graft.sources.Warc.buildRecord("WARC/1.0",
+        Seq("WARC-Type" -> t, "WARC-Target-URI" -> uri,
+          "WARC-Date" -> date, "WARC-Record-ID" -> rid) ++
+          (if (t == "revisit") Seq("WARC-Refers-To" -> "<urn:rv:orig>")
+           else Nil),
+        payload)
+    }
+    java.nio.file.Files.write(tmp.toPath.resolve("seg-00004.warc"),
+      rec4.reduce(_ ++ _))
     tmp.getAbsolutePath
   }
 
@@ -4489,6 +4584,9 @@ object SparkEntry {
         (uri, new String(payload, utf8))
     } ++ warcCharsetFixture.map { case (uri, _, _, text, _, _, _) =>
       (uri, text)
+    } ++ warcRevisitFixture.collect { case ("response", uri, _, payload, _) =>
+      val s = new String(payload, utf8)
+      (uri, s.substring(s.indexOf("\r\n\r\n") + 4))
     }
   }
 
@@ -4531,6 +4629,26 @@ object SparkEntry {
     }
     "SELECT * FROM (VALUES " + rows.mkString(", ") +
       ") t(url, n_chars, n_tokens, body_sha256) ORDER BY url"
+  }
+
+  /** VALUES-literal oracle for q_crawl_revisit: the hand-derived kept
+    * capture + last_seen per canonical URL (digests over the planted
+    * body strings). */
+  private def warcRevisitOracleSql: String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def hex(s: String): String =
+      md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(x => f"$x%02x").mkString
+    "SELECT * FROM (VALUES " +
+      Seq(
+        s"('http://warc.example.com/rv/a', '<urn:rv:a1>', " +
+          s"'2026-08-01T00:00:00Z', '2026-08-05T00:00:00Z', " +
+          s"'${hex("alpha v1")}')",
+        s"('http://warc.example.com/rv/b', '<urn:rv:b2>', " +
+          s"'2026-08-03T00:00:00Z', '2026-08-03T00:00:00Z', " +
+          s"'${hex("bravo v2")}')").mkString(", ") +
+      ") t(canonical_url, record_id, warc_date, last_seen, body_sha256) " +
+      "ORDER BY canonical_url"
   }
 
   /** VALUES-literal oracle for q_warc_charset: expected decode
@@ -6942,6 +7060,10 @@ object SparkEntry {
     "q_wet_text" -> wetTextOracleSql,
     // planted charset/encoding expectations (no twin decoder)
     "q_warc_charset" -> warcCharsetOracleSql,
+    // hand-derived winners from the revisit fixture: /rv/a keeps its
+    // only capture with last_seen = the later revisit; /rv/b keeps the
+    // 08-03 variant capture with last_seen unchanged; /rv/c absent
+    "q_crawl_revisit" -> warcRevisitOracleSql,
     // keep-latest winner per hand-derived canonical key: the three URL
     // variants of group g all canonicalize to .../p/g; winner = max
     // (warc_date, record_id) restated as a window
@@ -7107,6 +7229,26 @@ object SparkEntry {
            UNION ALL SELECT doc_id,
              'https://ext.example.net/e' || id || '?x=1' FROM d)
          ORDER BY doc_id, outlink""",
+    // the same two anchor rows per doc, grouped per hand-derived
+    // canonical target; sorted-distinct join restated as an ordered
+    // string_agg over a DISTINCT subquery
+    "q_anchor_corpus" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS id,
+             CAST(doc_id % 53 AS VARCHAR) AS m,
+             'https://' || source || '.example.com' AS h
+           FROM documents),
+         a AS (SELECT h || '/p' || m AS target,
+                 'Doc ' || id || ' reference' AS anchor FROM d
+               UNION ALL
+               SELECT h || '/dir/rel' || id, 'see also ' || id FROM d),
+         g1 AS (SELECT target, CAST(count(*) AS BIGINT) AS n_anchors
+                FROM a GROUP BY 1),
+         g2 AS (SELECT target,
+                  string_agg(anchor, '|' ORDER BY anchor) AS anchor_texts
+                FROM (SELECT DISTINCT target, anchor FROM a)
+                GROUP BY 1)
+         SELECT g1.target, g1.n_anchors, g2.anchor_texts
+         FROM g1 JOIN g2 USING (target) ORDER BY g1.target""",
     // two hand-derived anchor rows per doc: markup stripped, runs of
     // whitespace collapsed, fragment-only anchor and img src absent
     "q_anchor_text" ->

@@ -406,6 +406,52 @@ object Warc {
         others.map(c => col(s"__r.`$c`").as(c)): _*)
   }
 
+  /** WARC `revisit` records (ISO 28500; the Common Crawl dedupe
+    * convention): a revisit marks "this URL was fetched again and the
+    * content was unchanged" — it carries no body worth the text tier,
+    * but its `warc_date` is a FRESHNESS signal the URL-dedup tier
+    * should absorb instead of dropping. Scan-local projection; the
+    * refers-to headers are looked up case-insensitively (the parser
+    * keeps raw casing in the headers column). Output: (url, record_id,
+    * warc_date, refers_to, refers_to_date). */
+  def revisitFrame(records: DataFrame): DataFrame = {
+    val lk = map_from_entries(transform(map_entries(col("headers")),
+      e => struct(lower(e.getField("key")).as("k"),
+        e.getField("value").as("v"))))
+    records
+      .filter(col("error").isNull && col("warc_type") === "revisit")
+      .select(col("target_uri").as("url"), col("record_id"),
+        col("warc_date"),
+        lk.getItem("warc-refers-to").as("refers_to"),
+        lk.getItem("warc-refers-to-date").as("refers_to_date"))
+  }
+
+  /** [[latestByUrl]] with revisit freshness folded in: the kept row
+    * per canonical URL is still the latest CAPTURE (revisits carry no
+    * body), and `last_seen` = max(kept capture date, any revisit date
+    * for the URL) — the signal a recrawl scheduler reads (a page whose
+    * last_seen is a recent revisit need not be refetched even though
+    * its body capture is old). Revisits for URLs with no capture are
+    * dropped — there is nothing to keep. One extra registry-shaped
+    * aggregation + one join on the canonical key; text still shuffles
+    * at most once, in latestByUrl. */
+  def latestWithRevisits(docs: DataFrame, revisits: DataFrame,
+      urlCol: String = "url", dateCol: String = "warc_date",
+      tieCol: String = "record_id"): DataFrame = {
+    val kept = latestByUrl(docs, urlCol, dateCol, tieCol)
+    val rv = revisits
+      .select(graft.functions.UrlOps.canonical(col(urlCol))
+        .as("canonical_url"),
+        col(dateCol).cast("string").as("__rd"))
+      .filter(col("__rd").isNotNull)
+      .groupBy("canonical_url").agg(max(col("__rd")).as("__rv_max"))
+    kept.join(rv, Seq("canonical_url"), "left")
+      .withColumn("last_seen",
+        greatest(coalesce(col(dateCol).cast("string"), lit("")),
+          coalesce(col("__rv_max"), lit(""))))
+      .drop("__rv_max")
+  }
+
   // ---- fixture/writer side (tests and deterministic oracles) ----
 
   /** Serialize one record with correct Content-Length framing. */

@@ -298,6 +298,46 @@ class WarcSpec extends SparkSpec {
       graft.sources.Warc.latestByUrl(docs.drop("warc_date")))
   }
 
+  test("revisitFrame + latestWithRevisits: freshness advances, captures keep bodies") {
+    import spark.implicits._
+    // revisitFrame reads refers-to headers case-insensitively off the
+    // parsed record frame
+    val dir = Files.createTempDirectory("warc_rv")
+    dir.toFile.deleteOnExit()
+    Files.write(dir.resolve("rv.warc"),
+      Warc.buildRecord("WARC/1.0",
+        Seq("WARC-Type" -> "revisit", "WARC-Target-URI" -> "http://x/r",
+          "WARC-Date" -> "2026-08-04T00:00:00Z",
+          "warc-refers-to" -> "<urn:o>",
+          "WARC-REFERS-TO-DATE" -> "2026-08-01T00:00:00Z"),
+        Array.emptyByteArray))
+    val rvp = Warc.revisitFrame(Warc.readWarcFiles(spark, dir.toString))
+      .collect()
+    assert(rvp.length === 1)
+    assert(rvp(0).getAs[String]("url") === "http://x/r")
+    assert(rvp(0).getAs[String]("refers_to") === "<urn:o>")
+    assert(rvp(0).getAs[String]("refers_to_date") === "2026-08-01T00:00:00Z")
+
+    val docs = Seq(
+      (1L, "http://e.com/a", "r-a1", "2026-08-01T00:00:00Z", "alpha"),
+      (2L, "http://e.com/b", "r-b1", "2026-08-02T00:00:00Z", "bravo v1"),
+      (3L, "http://e.com/b?utm_source=x", "r-b2", "2026-08-03T00:00:00Z",
+        "bravo v2"))
+      .toDF("doc_id", "url", "record_id", "warc_date", "text")
+    val rv = Seq(
+      ("http://e.com/a", "rv-1", "2026-08-05T00:00:00Z"), // advances
+      ("http://e.com/b", "rv-2", "2026-08-02T06:00:00Z"), // older: no-op
+      ("http://e.com/c", "rv-3", "2026-08-04T00:00:00Z")) // no capture
+      .toDF("url", "record_id", "warc_date")
+    val out = Warc.latestWithRevisits(docs, rv).collect().map(r =>
+      r.getAs[String]("canonical_url") ->
+        ((r.getAs[String]("record_id"), r.getAs[String]("last_seen"),
+          r.getAs[String]("text")))).toMap
+    assert(out === Map(
+      "http://e.com/a" -> (("r-a1", "2026-08-05T00:00:00Z", "alpha")),
+      "http://e.com/b" -> (("r-b2", "2026-08-03T00:00:00Z", "bravo v2"))))
+  }
+
   test("readNewWarc: nightly increment parses only unseen segments") {
     import graft.sources.IncrementalFiles
     val dir = Files.createTempDirectory("warc_inc")
