@@ -77,6 +77,20 @@ object UrlOps {
     * mirrored verbatim in the oracle. */
   val trackingPrefixes: Seq[String] = Seq("utm_", "gclid", "fbclid")
 
+  /** Query-PRESERVING canonical key: [[canonical]] (lowercased
+    * scheme+host, trailing-slash-trimmed path, fragment dropped) plus
+    * the query string with only the TRACKING params removed. The key
+    * URL-level crawl dedup wants: `?utm_source=x` variants collapse,
+    * but `watch?v=A` and `watch?v=B` — distinct pages — stay distinct
+    * ([[canonical]] alone drops every query and would silently keep
+    * one of them). */
+  def canonicalWithQuery(url: Column): Column = {
+    val q = queryString(stripTracking(url))
+    when(canonical(url) === "", lit(""))
+      .otherwise(concat(canonical(url),
+        when(q === "", lit("")).otherwise(concat(lit("?"), q))))
+  }
+
   /** Crawl-policy URL filter — the robots.txt-shaped gate (RFC 9309
     * precedence) a compliant pipeline runs before fetching or keeping a
     * page: `rules` is a (host, path_prefix, allow) table; for each URL
@@ -461,10 +475,23 @@ object UrlOps {
     val baseDir = regexp_extract(bPath, "^(.*/)", 1)
     val merged = when(baseDir === "", concat(lit("/"), rPath))
       .otherwise(concat(baseDir, rPath))
+    // §5.2.2 applies remove_dot_segments to EVERY reference, absolute
+    // ones included — an un-normalized /public/../private/x would both
+    // evade a prefix-matched robots Disallow (the under-block
+    // direction) and miss the seen set. Scheme/host casing is left
+    // untouched (canonical() owns case folding); empty paths pass
+    // through (a bare-domain URL has nothing to normalize).
+    def normAbs(u: Column): Column = {
+      val p = path(u)
+      when(p === "", u).otherwise(concat(
+        regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)", 1), lit("://"),
+        host(u), removeDotSegments(p),
+        regexp_extract(u, "(\\?.*)$", 1)))
+    }
     when(trim(r) === "", lit(null).cast("string"))
-      .when(r.rlike("^(?i)https?://"), r)
+      .when(r.rlike("^(?i)https?://"), normAbs(r))
       .when(r.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), lit(null).cast("string"))
-      .when(r.startsWith("//"), concat(sch, lit(":"), r))
+      .when(r.startsWith("//"), normAbs(concat(sch, lit(":"), r)))
       .when(r.startsWith("/"),
         concat(sch, lit("://"), hostPart, removeDotSegments(rPath), rQuery))
       .when(rPath === "", // query-only ref: keep the base path
@@ -487,19 +514,35 @@ object UrlOps {
     * quote). Scan-local projection + explode — payload bytes never
     * shuffle; compose [[canonical]] / [[stripTracking]] and the seen-
     * set anti-join downstream. Output: input columns + `outlink`. */
+  /** HTML with `<base>` tags removed (their href must never leak in as
+    * a link) — shared by [[extractOutlinks]] / [[extractAnchors]]. */
+  private def htmlSansBase(htmlCol: String): Column =
+    regexp_replace(col(htmlCol), "(?i)<base[^>]*>", "")
+
+  /** The effective resolution base per HTML semantics: a `<base href>`
+    * (itself resolved against the page URL) when present — href must
+    * be a REAL attribute (whitespace-or-tag-start boundary, so
+    * data-href never hijacks the base) — else the page URL. */
+  private def effectiveBase(urlCol: String, htmlCol: String): Column = {
+    val baseHref = regexp_extract(col(htmlCol),
+      "(?i)<base\\s+(?:[^>]*\\s)?href\\s*=\\s*[\"']([^\"']+)[\"']", 1)
+    when(baseHref === "", col(urlCol))
+      .otherwise(coalesce(resolveRef(col(urlCol), baseHref), col(urlCol)))
+  }
+
   def extractOutlinks(df: org.apache.spark.sql.DataFrame, urlCol: String,
       htmlCol: String): org.apache.spark.sql.DataFrame = {
-    val noBase = regexp_replace(col(htmlCol), "(?i)<base[^>]*>", "")
-    val baseHref = regexp_extract(col(htmlCol),
-      "(?i)<base[^>]+href\\s*=\\s*[\"']([^\"']+)[\"']", 1)
-    val effBase = when(baseHref === "", col(urlCol))
-      .otherwise(coalesce(resolveRef(col(urlCol), baseHref), col(urlCol)))
+    val noBase = htmlSansBase(htmlCol)
+    // the attribute name must start at a whitespace/quote/tag
+    // boundary: data-href, ng-src, lazy-data-src etc. are NOT links
     val refs = concat(
       regexp_extract_all(noBase,
-        lit("(?i)(?:href|src)\\s*=\\s*\"([^\"]*)\""), lit(1)),
+        lit("(?i)(?:^|[\\s\"'<])(?:href|src)\\s*=\\s*\"([^\"]*)\""),
+        lit(1)),
       regexp_extract_all(noBase,
-        lit("(?i)(?:href|src)\\s*=\\s*'([^']*)'"), lit(1)))
-    df.withColumn("__base", effBase)
+        lit("(?i)(?:^|[\\s\"'<])(?:href|src)\\s*=\\s*'([^']*)'"),
+        lit(1)))
+    df.withColumn("__base", effectiveBase(urlCol, htmlCol))
       .withColumn("__ref", explode(refs))
       .withColumn("outlink", resolveRef(col("__base"), col("__ref")))
       .filter(col("outlink").isNotNull)
@@ -517,18 +560,16 @@ object UrlOps {
     * + explode. Output: input columns + (outlink, anchor). */
   def extractAnchors(df: org.apache.spark.sql.DataFrame, urlCol: String,
       htmlCol: String): org.apache.spark.sql.DataFrame = {
-    val noBase = regexp_replace(col(htmlCol), "(?i)<base[^>]*>", "")
-    val baseHref = regexp_extract(col(htmlCol),
-      "(?i)<base[^>]+href\\s*=\\s*[\"']([^\"']+)[\"']", 1)
-    val effBase = when(baseHref === "", col(urlCol))
-      .otherwise(coalesce(resolveRef(col(urlCol), baseHref), col(urlCol)))
+    val noBase = htmlSansBase(htmlCol)
     def pairs(pat: String) = zip_with(
       regexp_extract_all(noBase, lit(pat), lit(1)),
       regexp_extract_all(noBase, lit(pat), lit(2)),
       (r, t) => struct(r.as("r"), t.as("t")))
-    val patD = "(?is)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>"
-    val patS = "(?is)<a\\s[^>]*href\\s*=\\s*'([^']*)'[^>]*>(.*?)</a>"
-    df.withColumn("__base", effBase)
+    // href must sit at an attribute boundary inside the <a> tag —
+    // `<a data-href=...>` is not a link
+    val patD = "(?is)<a\\s+(?:[^>]*\\s)?href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>"
+    val patS = "(?is)<a\\s+(?:[^>]*\\s)?href\\s*=\\s*'([^']*)'[^>]*>(.*?)</a>"
+    df.withColumn("__base", effectiveBase(urlCol, htmlCol))
       .withColumn("__p", explode(concat(pairs(patD), pairs(patS))))
       .withColumn("outlink", resolveRef(col("__base"), col("__p.r")))
       .withColumn("anchor", trim(regexp_replace(

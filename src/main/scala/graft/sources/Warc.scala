@@ -71,7 +71,10 @@ object Warc {
     * truncated, or CRC-failing member stops the decode with the
     * remainder reported so the caller can quarantine it. */
   private[graft] def gunzipMembers(bytes: Array[Byte]): Gunzipped = {
-    val out = new ByteArrayOutputStream(bytes.length * 4)
+    // initial-capacity HINT only — clamped so a ~1 GB segment cannot
+    // overflow Int (negative size throws) or eagerly grab 4 GB
+    val out = new ByteArrayOutputStream(
+      math.min(bytes.length.toLong * 4, 1L << 26).toInt max 64)
     var pos = 0
     var err: String = null
     while (err == null && pos < bytes.length) {
@@ -114,7 +117,8 @@ object Warc {
       i += 2
     }
     val inf = new java.util.zip.Inflater(true)
-    val out = new ByteArrayOutputStream((bytes.length - i) * 4)
+    val out = new ByteArrayOutputStream(
+      math.min((bytes.length - i).toLong * 4, 1L << 26).toInt max 64)
     val crc = new java.util.zip.CRC32
     try {
       inf.setInput(bytes, i, bytes.length - i)
@@ -355,7 +359,9 @@ object Warc {
     records
       .filter(col("error").isNull &&
         col("warc_type").isin("conversion", "response"))
-      .withColumn("__dec", dec)
+      // CaseWhen is lazy per row: WET conversion records never pay the
+      // HTTP envelope scan/decompress/charset trial
+      .withColumn("__dec", when(isResp, dec))
       .select(col("target_uri").as("url"), col("record_id"),
         col("warc_date"),
         when(isResp && status =!= "", status.cast("int"))
@@ -397,7 +403,8 @@ object Warc {
         docs.columns.mkString(", "))
     val others = docs.columns.toSeq
     docs
-      .withColumn("__canon", graft.functions.UrlOps.canonical(col(urlCol)))
+      .withColumn("__canon",
+        graft.functions.UrlOps.canonicalWithQuery(col(urlCol)))
       .groupBy(col("__canon"))
       .agg(max_by(struct(others.map(col): _*),
         struct(coalesce(col(dateCol).cast("string"), lit("")),
@@ -415,15 +422,18 @@ object Warc {
     * keeps raw casing in the headers column). Output: (url, record_id,
     * warc_date, refers_to, refers_to_date). */
   def revisitFrame(records: DataFrame): DataFrame = {
-    val lk = map_from_entries(transform(map_entries(col("headers")),
-      e => struct(lower(e.getField("key")).as("k"),
-        e.getField("value").as("v"))))
+    // FIRST case-insensitive match per field — a map_from_entries of
+    // lowercased keys would THROW on case-variant duplicate headers
+    // (mapKeyDedupPolicy=EXCEPTION), violating the never-fail posture
+    def hdr(name: String) = element_at(filter(
+      map_entries(col("headers")),
+      e => lower(e.getField("key")) === name), 1).getField("value")
     records
       .filter(col("error").isNull && col("warc_type") === "revisit")
       .select(col("target_uri").as("url"), col("record_id"),
         col("warc_date"),
-        lk.getItem("warc-refers-to").as("refers_to"),
-        lk.getItem("warc-refers-to-date").as("refers_to_date"))
+        hdr("warc-refers-to").as("refers_to"),
+        hdr("warc-refers-to-date").as("refers_to_date"))
   }
 
   /** [[latestByUrl]] with revisit freshness folded in: the kept row
@@ -440,7 +450,7 @@ object Warc {
       tieCol: String = "record_id"): DataFrame = {
     val kept = latestByUrl(docs, urlCol, dateCol, tieCol)
     val rv = revisits
-      .select(graft.functions.UrlOps.canonical(col(urlCol))
+      .select(graft.functions.UrlOps.canonicalWithQuery(col(urlCol))
         .as("canonical_url"),
         col(dateCol).cast("string").as("__rd"))
       .filter(col("__rd").isNotNull)

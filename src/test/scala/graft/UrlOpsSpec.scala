@@ -360,10 +360,29 @@ class UrlOpsSpec extends SparkSpec {
     assert(res("javascript:void(0)") === null)
     // absolute http(s) passes through (minus fragment)
     assert(res("http://other.com/p?q=1#f") === "http://other.com/p?q=1")
+    // §5.2.2: dot segments are removed from ABSOLUTE references too —
+    // an un-normalized path would evade prefix-matched robots rules
+    assert(res("https://x.com/public/../private/p?q=1")
+      === "https://x.com/private/p?q=1")
+    assert(res("//cdn.com/a/./b/../c.js") === "https://cdn.com/a/c.js")
+    // bare-domain absolute ref: nothing to normalize, passes through
+    assert(res("https://x.com") === "https://x.com")
     // bare-domain base merges at root
     val bare = Seq(("https://h.com", "x/y")).toDF("b", "r")
       .select(UrlOps.resolveRef(col("b"), col("r"))).head.getString(0)
     assert(bare === "https://h.com/x/y")
+  }
+
+  test("canonicalWithQuery: tracking params collapse, meaningful queries stay") {
+    assert(eval("HTTP://E.com/watch/?v=A&utm_source=x#f",
+      UrlOps.canonicalWithQuery) === "http://e.com/watch?v=A")
+    assert(eval("http://e.com/watch?v=B", UrlOps.canonicalWithQuery)
+      === "http://e.com/watch?v=B") // ≠ the v=A key
+    assert(eval("http://e.com/a?utm_source=x", UrlOps.canonicalWithQuery)
+      === "http://e.com/a")
+    assert(eval("http://e.com/a", UrlOps.canonicalWithQuery)
+      === "http://e.com/a") // ≡ the tracking-only variant
+    assert(eval("not a url", UrlOps.canonicalWithQuery) === "")
   }
 
   test("extractOutlinks: quoted href/src, base tag honored and excluded, explode") {
@@ -395,6 +414,15 @@ class UrlOpsSpec extends SparkSpec {
       .select("outlink").collect().map(_.getString(0)).sorted.toSeq
     assert(plain === Seq("https://h.com/sec/rel/p.html",
       "https://h.com/up.html"))
+    // data-href / data-src / ng-src are NOT links (attribute boundary)
+    val decoys = UrlOps.extractOutlinks(
+        Seq((9L, "https://h.com/p",
+          "<div data-href=\"/ad/click\">x</div>" +
+            "<img data-src='/spinner.gif' src=\"/real.png\">" +
+            "<a ng-href='/ng' href=\"/ok\">y</a>"))
+          .toDF("id", "url", "html"), "url", "html")
+      .select("outlink").collect().map(_.getString(0)).sorted.toSeq
+    assert(decoys === Seq("https://h.com/ok", "https://h.com/real.png"))
   }
 
   test("extractAnchors: absolutized target + cleaned anchor text") {
@@ -419,6 +447,14 @@ class UrlOpsSpec extends SparkSpec {
         "url", "html")
       .select("outlink").collect().map(_.getString(0)).toSeq
     assert(based === Seq("https://h.com/b/rel2"))
+    // <a data-href=...> is not a link; href elsewhere in the tag still is
+    val decoy = UrlOps.extractAnchors(
+        Seq((3L, "https://h.com/p",
+          "<a data-href=\"/ad\">no</a><a class='k' href=\"/yes\">ok</a>"))
+          .toDF("id", "url", "html"), "url", "html")
+      .select("outlink", "anchor").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(decoy === Set(("https://h.com/yes", "ok")))
   }
 
   test("robotsRules composes with urlPolicy (parsed rules gate URLs)") {

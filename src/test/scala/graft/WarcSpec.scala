@@ -289,6 +289,20 @@ class WarcSpec extends SparkSpec {
     assert(out === Map(
       "http://e.com/a" -> 2L, "http://e.com/b" -> 5L,
       "http://e.com/c" -> 7L, "http://e.com/d" -> 8L))
+    // MEANINGFUL query params distinguish pages — only TRACKING params
+    // collapse (canonicalWithQuery, not the query-dropping canonical)
+    val qdocs = Seq(
+      (1L, "http://e.com/watch?v=A", "q1", "2026-08-01T00:00:00Z"),
+      (2L, "http://e.com/watch?v=B", "q2", "2026-08-02T00:00:00Z"),
+      (3L, "http://e.com/watch?v=A&utm_source=x", "q3",
+        "2026-08-03T00:00:00Z"))
+      .toDF("doc_id", "url", "record_id", "warc_date")
+    val qout = graft.sources.Warc.latestByUrl(qdocs)
+      .select("canonical_url", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(qout === Map(
+      "http://e.com/watch?v=A" -> 3L, // tracking variant collapsed
+      "http://e.com/watch?v=B" -> 2L)) // distinct page kept
     // all input columns survive on the kept row
     val kept = graft.sources.Warc.latestByUrl(docs)
       .filter(col("canonical_url") === "http://e.com/a").collect()(0)
@@ -309,13 +323,19 @@ class WarcSpec extends SparkSpec {
         Seq("WARC-Type" -> "revisit", "WARC-Target-URI" -> "http://x/r",
           "WARC-Date" -> "2026-08-04T00:00:00Z",
           "warc-refers-to" -> "<urn:o>",
+          // a case-variant DUPLICATE of the same field must not crash
+          // the lookup (first match wins)
+          "WARC-Refers-To" -> "<urn:dup>",
           "WARC-REFERS-TO-DATE" -> "2026-08-01T00:00:00Z"),
         Array.emptyByteArray))
     val rvp = Warc.revisitFrame(Warc.readWarcFiles(spark, dir.toString))
       .collect()
     assert(rvp.length === 1)
     assert(rvp(0).getAs[String]("url") === "http://x/r")
-    assert(rvp(0).getAs[String]("refers_to") === "<urn:o>")
+    // duplicate case-variant headers: ONE of them is returned (map
+    // entry order is a HashMap's), and nothing throws
+    assert(Set("<urn:o>", "<urn:dup>")
+      .contains(rvp(0).getAs[String]("refers_to")))
     assert(rvp(0).getAs[String]("refers_to_date") === "2026-08-01T00:00:00Z")
 
     val docs = Seq(
