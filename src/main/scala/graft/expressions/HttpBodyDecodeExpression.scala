@@ -197,4 +197,53 @@ object HttpBodyDecode {
     else row(lenientDecode(body, Charset.forName("windows-1252")),
       "windows-1252", cenc, null)
   }
+
+  val plainSchema: StructType = StructType(Seq(
+    StructField("text", StringType, nullable = true),
+    StructField("charset", StringType, nullable = false)))
+
+  /** The SAME no-declaration charset heuristic for a PLAIN text
+    * payload (no HTTP envelope — WET `conversion` records): strict
+    * UTF-8 trial, windows-1252 lenient fallback, charset reporting
+    * which path decoded. Called from [[PlainTextDecode]]'s interpreted
+    * eval and generated code. */
+  def computePlain(payload: Array[Byte]): InternalRow = {
+    val t8 = strictDecode(payload, java.nio.charset.StandardCharsets.UTF_8)
+    val (t, cs) =
+      if (t8 != null) (t8, "utf-8")
+      else (lenientDecode(payload, Charset.forName("windows-1252")),
+        "windows-1252")
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(t), UTF8String.fromString(cs)))
+  }
+}
+
+/** Strict charset resolution for plain-text payloads — the WET
+  * `conversion` counterpart of [[HttpBodyDecode]]'s no-declaration
+  * path. Spark's lenient `decode(payload, 'UTF-8')` silently replaces
+  * malformed bytes with U+FFFD while reporting charset='utf-8' —
+  * mojibake feeding dedup digests and quality gates; here UTF-8 is
+  * TRIED strictly (it is self-validating) and a failing payload falls
+  * back to windows-1252 with the charset column saying so, matching
+  * the response path's posture. Output struct: (text, charset). */
+case class PlainTextDecode(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName needs binary, got $t")
+  }
+
+  override def dataType: DataType = HttpBodyDecode.plainSchema
+
+  override def prettyName: String = "plain_text_decode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HttpBodyDecode.computePlain(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.expressions.HttpBodyDecode.computePlain($input);")
+
+  override protected def withNewChildInternal(newChild: Expression): PlainTextDecode =
+    copy(child = newChild)
 }

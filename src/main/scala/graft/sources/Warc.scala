@@ -322,8 +322,11 @@ object Warc {
 
   /** Parsed crawl records → the documents-shaped frame the curation
     * tier ingests (url, record_id, warc_date, text + envelope/decode
-    * columns): WET `conversion` payloads ARE plain UTF-8 text (the
-    * Common Crawl WET convention); `response` payloads carry an HTTP
+    * columns): WET `conversion` payloads are plain text — UTF-8 by the
+    * Common Crawl WET convention, decoded STRICTLY with a windows-1252
+    * fallback ([[graft.expressions.PlainTextDecode]]) so a corrupt
+    * payload reports its real charset instead of silent U+FFFD
+    * mojibake; `response` payloads carry an HTTP
     * message, decoded byte-exactly by
     * [[graft.expressions.HttpBodyDecode]] — body after the first CRLF
     * CRLF, `Content-Encoding: gzip/deflate` honored, charset resolved
@@ -356,12 +359,20 @@ object Warc {
       "(?i)(?:^|\r\n)content-type:\\s*([^\r\n;]+)", 1)
     val dec = Bridge.column(
       graft.expressions.HttpBodyDecode(Bridge.expression(col("payload"))))
+    // conversion payloads take the SAME strict-UTF-8-else-windows-1252
+    // trial as an undeclared response body — Spark's lenient decode
+    // would report charset='utf-8' while silently replacing malformed
+    // bytes with U+FFFD (mojibake into dedup digests/quality gates)
+    val pdec = Bridge.column(
+      graft.expressions.PlainTextDecode(Bridge.expression(col("payload"))))
     records
       .filter(col("error").isNull &&
         col("warc_type").isin("conversion", "response"))
       // CaseWhen is lazy per row: WET conversion records never pay the
-      // HTTP envelope scan/decompress/charset trial
+      // HTTP envelope scan/decompress/charset trial and response
+      // records never pay the plain trial
       .withColumn("__dec", when(isResp, dec))
+      .withColumn("__pdec", when(!isResp, pdec))
       .select(col("target_uri").as("url"), col("record_id"),
         col("warc_date"),
         when(isResp && status =!= "", status.cast("int"))
@@ -369,9 +380,9 @@ object Warc {
         when(isResp && ctype =!= "", lower(trim(ctype)))
           .otherwise(lit(null).cast("string")).as("http_content_type"),
         when(isResp, col("__dec.text"))
-          .otherwise(decode(col("payload"), "UTF-8")).as("text"),
+          .otherwise(col("__pdec.text")).as("text"),
         when(isResp, col("__dec.charset"))
-          .otherwise(lit("utf-8")).as("charset"),
+          .otherwise(col("__pdec.charset")).as("charset"),
         when(isResp, col("__dec.content_encoding"))
           .otherwise(lit(null).cast("string")).as("content_encoding"),
         when(isResp, col("__dec.error"))
@@ -402,16 +413,35 @@ object Warc {
       s"latestByUrl needs ($urlCol, $dateCol, $tieCol), got " +
         docs.columns.mkString(", "))
     val others = docs.columns.toSeq
+    // canonical() maps an unparseable target URI (no scheme://host —
+    // e.g. angle-bracket-wrapped URIs some WARC writers emit) to ""
+    // and a NULL url to NULL; keying on that verbatim would collapse
+    // EVERY such record into one group and max_by would silently keep
+    // exactly one. Fall back to the RAW url (each distinct unparseable
+    // string stays its own group — no data loss), and give url-less
+    // records a per-record surrogate key (tieCol) so none is dropped;
+    // their canonical_url reads back as NULL.
+    val canon = graft.functions.UrlOps.canonicalWithQuery(col(urlCol))
+    val key = when(col(urlCol).isNull,
+        concat(lit(NoUrlKeyPrefix), col(tieCol).cast("string")))
+      .when(canon === "", col(urlCol).cast("string"))
+      .otherwise(canon)
     docs
-      .withColumn("__canon",
-        graft.functions.UrlOps.canonicalWithQuery(col(urlCol)))
+      .withColumn("__canon", key)
       .groupBy(col("__canon"))
       .agg(max_by(struct(others.map(col): _*),
         struct(coalesce(col(dateCol).cast("string"), lit("")),
           col(tieCol))).as("__r"))
-      .select(col("__canon").as("canonical_url") +:
+      .select(when(col("__canon").startsWith(NoUrlKeyPrefix),
+          lit(null).cast("string"))
+          .otherwise(col("__canon")).as("canonical_url") +:
         others.map(c => col(s"__r.`$c`").as(c)): _*)
   }
+
+  /** Surrogate group-key prefix for url-less records in
+    * [[latestByUrl]] — U+0000 cannot appear in a real URL, so the
+    * prefix cannot collide with a canonical key. */
+  private val NoUrlKeyPrefix = "\u0000nourl:"
 
   /** WARC `revisit` records (ISO 28500; the Common Crawl dedupe
     * convention): a revisit marks "this URL was fetched again and the
@@ -424,10 +454,14 @@ object Warc {
   def revisitFrame(records: DataFrame): DataFrame = {
     // FIRST case-insensitive match per field — a map_from_entries of
     // lowercased keys would THROW on case-variant duplicate headers
-    // (mapKeyDedupPolicy=EXCEPTION), violating the never-fail posture
-    def hdr(name: String) = element_at(filter(
+    // (mapKeyDedupPolicy=EXCEPTION), violating the never-fail posture.
+    // `get` (0-based) returns NULL on an empty filter result where
+    // element_at would throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT under
+    // ANSI mode — WARC-Refers-To-Date is a WARC 1.1 OPTIONAL header,
+    // so a revisit without it must yield NULL, not a failed task
+    def hdr(name: String) = get(filter(
       map_entries(col("headers")),
-      e => lower(e.getField("key")) === name), 1).getField("value")
+      e => lower(e.getField("key")) === name), lit(0)).getField("value")
     records
       .filter(col("error").isNull && col("warc_type") === "revisit")
       .select(col("target_uri").as("url"), col("record_id"),

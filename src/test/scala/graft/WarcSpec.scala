@@ -358,6 +358,76 @@ class WarcSpec extends SparkSpec {
       "http://e.com/b" -> (("r-b2", "2026-08-03T00:00:00Z", "bravo v2"))))
   }
 
+  test("revisitFrame: OPTIONAL refers-to headers missing yield NULL, never a throw") {
+    // WARC-Refers-To-Date is a WARC 1.1 addition — a 1.0 revisit
+    // legitimately omits both headers; under ANSI mode an element_at
+    // over the empty filtered array would fail the task
+    val dir = Files.createTempDirectory("warc_rv_min")
+    dir.toFile.deleteOnExit()
+    Files.write(dir.resolve("rv.warc"),
+      Warc.buildRecord("WARC/1.0",
+        Seq("WARC-Type" -> "revisit", "WARC-Target-URI" -> "http://x/m",
+          "WARC-Date" -> "2026-08-04T00:00:00Z"),
+        Array.emptyByteArray))
+    val out = Warc.revisitFrame(Warc.readWarcFiles(spark, dir.toString))
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("refers_to") === null)
+    assert(out(0).getAs[String]("refers_to_date") === null)
+  }
+
+  test("latestByUrl: unparseable and NULL urls never silently collapse") {
+    import spark.implicits._
+    val docs = Seq(
+      // two DIFFERENT unparseable targets (the angle-bracket convention
+      // some WARC writers emit): canonical folds both to "" — each must
+      // keep its own group on the raw-url fallback key
+      (1L, "<http://e.com/a>", "r1", "2026-08-01T00:00:00Z"),
+      (2L, "<http://e.com/b>", "r2", "2026-08-02T00:00:00Z"),
+      (3L, "<http://e.com/a>", "r3", "2026-08-03T00:00:00Z"),
+      // two url-less records: per-record surrogate keys — BOTH survive
+      (4L, null, "r4", "2026-08-01T00:00:00Z"),
+      (5L, null, "r5", "2026-08-02T00:00:00Z"),
+      // a normal URL rides along untouched
+      (6L, "http://e.com/ok", "r6", "2026-08-01T00:00:00Z"))
+      .toDF("doc_id", "url", "record_id", "warc_date")
+    val out = graft.sources.Warc.latestByUrl(docs)
+      .select("canonical_url", "doc_id", "url").collect()
+    val byDoc = out.map(r => r.getLong(1) ->
+      ((Option(r.getString(0)).orNull, r.getString(2)))).toMap
+    // <...a> dedups to its latest (doc 3), <...b> stays, both NULL-url
+    // rows survive with a NULL canonical_url
+    assert(byDoc.keySet === Set(2L, 3L, 4L, 5L, 6L))
+    assert(byDoc(3L) === (("<http://e.com/a>", "<http://e.com/a>")))
+    assert(byDoc(2L) === (("<http://e.com/b>", "<http://e.com/b>")))
+    assert(byDoc(4L)._1 === null)
+    assert(byDoc(5L)._1 === null)
+    assert(byDoc(6L)._1 === "http://e.com/ok")
+  }
+
+  test("documentsFrame: WET conversion decode is strict — malformed UTF-8 reports windows-1252") {
+    val dir = Files.createTempDirectory("warc_wet_strict")
+    dir.toFile.deleteOnExit()
+    // 'café' in ISO-8859-1/windows-1252: 0xE9 is NOT valid UTF-8
+    val bytes1252 = Array[Byte]('c', 'a', 'f', 0xe9.toByte)
+    Files.write(dir.resolve("w.wet"),
+      Warc.buildRecord("WARC/1.0",
+        Seq("WARC-Type" -> "conversion", "WARC-Target-URI" -> "http://x/w1"),
+        bytes1252) ++
+      Warc.buildRecord("WARC/1.0",
+        Seq("WARC-Type" -> "conversion", "WARC-Target-URI" -> "http://x/w2"),
+        "plain utf-8 é世".getBytes(UTF_8)))
+    val out = Warc.documentsFrame(Warc.readWarcFiles(spark, dir.toString))
+      .select("url", "text", "charset", "decode_error").collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    // the malformed payload decodes via the 1252 fallback and SAYS so —
+    // no U+FFFD mojibake labeled utf-8
+    assert(out("http://x/w1") === (("café", "windows-1252", null)))
+    assert(!out("http://x/w1")._1.contains('�'))
+    assert(out("http://x/w2") === (("plain utf-8 é世", "utf-8", null)))
+  }
+
   test("readNewWarc: nightly increment parses only unseen segments") {
     import graft.sources.IncrementalFiles
     val dir = Files.createTempDirectory("warc_inc")
