@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.Reuse.ReuseOps
 import graft.functions.UrlOps
 
 /** The crawl loop actually LOOPING: multi-hop breadth-first frontier
@@ -17,8 +18,12 @@ import graft.functions.UrlOps
 object Crawl {
 
   /** Fixed-hop BFS (the [[Analytics.pageRank]] fixed-iteration
-    * discipline — bounded hops, `localCheckpoint` per hop so iterative
-    * lineage never grows): returns (url, hop) with `hop` = the FIRST
+    * discipline — bounded hops, a [[graft.Reuse]] cut per hop so
+    * iterative lineage never grows AND the deployment's reuse mode
+    * governs durability: a 1000-executor run selecting `reliable`
+    * keeps the seen set recoverable after executor loss instead of
+    * pinned to the executors that computed it): returns (url, hop)
+    * with `hop` = the FIRST
     * hop each URL was reached at (0 = seed). A seed or link without a
     * matching page row is still reported (it was discovered) — it
     * just fetches nothing, so it contributes no further links.
@@ -36,7 +41,7 @@ object Crawl {
     require(hops >= 0, s"hops must be >= 0, got $hops")
     var seen = seeds.select(col(seedUrlCol).cast("string").as("url"))
       .distinct
-      .withColumn("hop", lit(0)).localCheckpoint()
+      .withColumn("hop", lit(0)).materialized
     var frontier = seen
     var h = 1
     while (h <= hops && !frontier.isEmpty) {
@@ -45,11 +50,18 @@ object Crawl {
         pages(urlCol) === col("__f"), "left_semi")
       val links = UrlOps.extractOutlinks(fetched, urlCol, htmlCol)
         .select(col("outlink").as("url")).distinct
+      val prevFrontier = frontier
+      val prevSeen = seen
       frontier = links.join(seen.select("url"), Seq("url"), "left_anti")
-        .withColumn("hop", lit(h)).localCheckpoint()
-      seen = seen.unionByName(frontier).localCheckpoint()
+        .withColumn("hop", lit(h)).materialized
+      seen = seen.unionByName(frontier).materialized
+      // superseded round state: reclaim eagerly in persist mode (the
+      // Reuse loop discipline — no-op in local/reliable)
+      prevSeen.released()
+      if (prevFrontier ne prevSeen) prevFrontier.released()
       h += 1
     }
+    if (frontier ne seen) frontier.released()
     seen
   }
 }

@@ -25,8 +25,21 @@ import org.apache.spark.sql.functions._
   * The listing itself is driver-side and file-count-sized (the same
   * budget every Spark file source pays at planning time); paths of new
   * files are collected to the driver to build the read — bounded by
-  * the per-increment file count, not the corpus. */
+  * the per-increment file count, not the corpus. The per-increment
+  * count is CAPPED by default ([[DefaultMaxFiles]], the
+  * `maxFilesPerTrigger` analog): a first backfill over a multi-
+  * million-file lake must drain in bounded rounds — commit each
+  * round's manifest with its outputs and call again — never land the
+  * whole listing in one driver array and one million-path plan. */
 object IncrementalFiles {
+
+  /** Default per-increment file cap. 100k paths ≈ a few tens of MB of
+    * driver strings and a plan Spark handles comfortably; a NIGHTLY
+    * increment is far smaller, so only first backfills ever hit it —
+    * and they drain deterministically ((mtime, path)-ordered) across
+    * repeated capped calls. Raise explicitly if a deployment has the
+    * driver memory for more. */
+  val DefaultMaxFiles: Int = 100000
 
   /** Recursive (path, bytes, mtime_ms) listing of data files under
     * `dir` — `_`-prefixed (e.g. _SUCCESS) and dot-files excluded, the
@@ -64,10 +77,11 @@ object IncrementalFiles {
     * Some((data, manifestRows)) where `manifestRows` is the (path,
     * bytes, mtime_ms) frame the caller must persist together with its
     * outputs. `maxFiles` bounds one increment (the AvailableNow
-    * `maxFilesPerTrigger` analog) — ordered by (mtime, path) so
-    * repeated capped runs drain the backlog deterministically. */
+    * `maxFilesPerTrigger` analog; default [[DefaultMaxFiles]]) —
+    * ordered by (mtime, path) so repeated capped runs drain the
+    * backlog deterministically. */
   def readNewParquet(spark: SparkSession, dir: String, manifest: DataFrame,
-      maxFiles: Int = Int.MaxValue): Option[(DataFrame, DataFrame)] = {
+      maxFiles: Int = DefaultMaxFiles): Option[(DataFrame, DataFrame)] = {
     require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
     val nf = newFiles(spark, dir, manifest)
       .orderBy(col("mtime_ms"), col("path"))
@@ -87,7 +101,7 @@ object IncrementalFiles {
     * manifestRows)); compose [[Warc.documentsFrame]] + the curation
     * tier downstream and persist `manifestRows` with the outputs. */
   def readNewWarc(spark: SparkSession, dir: String, manifest: DataFrame,
-      maxFiles: Int = Int.MaxValue): Option[(DataFrame, DataFrame)] = {
+      maxFiles: Int = DefaultMaxFiles): Option[(DataFrame, DataFrame)] = {
     require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
     val nf = newFiles(spark, dir, manifest)
       .orderBy(col("mtime_ms"), col("path"))

@@ -68,4 +68,19 @@ class IncrementalFilesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       IncrementalFiles.newFiles(spark, dir, Seq("x").toDF("not_path")))
   }
+
+  test("the DEFAULT increment is capped — a first backfill cannot land an unbounded driver list") {
+    // the no-maxFiles call path must go through a FINITE cap (the
+    // maxFilesPerTrigger analog), not Int.MaxValue: a multi-million-
+    // file lake's first backfill otherwise lands the whole listing on
+    // the driver and in one plan
+    assert(IncrementalFiles.DefaultMaxFiles === 100000)
+    val dir = Files.createTempDirectory("inc3").toString
+    Seq((1L, "a")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(dir)
+    // default-cap call works end to end for the common (small) case
+    val Some((d, m)) = IncrementalFiles.readNewParquet(spark, dir,
+      emptyManifest)
+    assert(d.count() === 1L && m.count() >= 1L)
+  }
 }
