@@ -24,13 +24,18 @@ import org.apache.spark.sql.functions._
   * Scale shape: WARC.gz members are not splittable, so the unit of
   * parallelism is the FILE — exactly how Common Crawl ships (segments
   * of ~1 GB gzip files; a 100 TB crawl is ~10⁵ files = ample tasks for
-  * 1000 executors). Each task decodes one file streaming through the
-  * gzip codec (multi-member per the gzip RFC 1952 — Java's
-  * GZIPInputStream concatenates members) and emits records; payload
-  * bytes stay in the task that read them — downstream projections
-  * (text extraction, digests) should run before any shuffle.
-  * `binaryFile` caps a single file at Int.MaxValue bytes, which is the
-  * crawl-segment contract anyway. */
+  * 1000 executors). Each task STREAMS one file: gzip members decode
+  * incrementally off a bounded window ([[ByteFeed]]) and records parse
+  * as bytes are consumed ([[WarcStreamParser]]), so task memory is
+  * proportional to the largest RECORD (for `.warc.gz`, the largest
+  * member — Common Crawl writes one record per member), never the
+  * file: a real ~1 GiB segment (~3–5 GiB decoded, past the 2 GiB JVM
+  * array limit) parses in a few tens of MB. Payload bytes stay in the
+  * task that read them — downstream projections (text extraction,
+  * digests) should run before any shuffle. Garbage spans longer than
+  * [[QuarantineCap]] quarantine in capped CHUNKS (multiple records)
+  * instead of one unbounded record — the one deliberate divergence
+  * from the former whole-buffer parser. */
 object Warc {
 
   /** One parsed record (or one quarantined byte range, `error` set).
@@ -50,10 +55,24 @@ object Warc {
       payload: Array[Byte],
       error: String)
 
-  private val Marker = "WARC/".getBytes(UTF_8)
+  /** Cap on ONE quarantine record's payload and on the parser window
+    * while scanning a garbage span: a span longer than this emits
+    * multiple capped quarantine records (all bytes kept, memory
+    * bounded) instead of one unbounded record. 64 MiB — far above any
+    * real header block or inter-record gap. */
+  private[graft] val QuarantineCap: Int = 1 << 26
 
-  private def isGzip(bytes: Array[Byte]): Boolean =
-    bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
+  /** Header-block scan bound per record (a WARC header block is a few
+    * hundred bytes in practice; 1 MiB of header without a blank line
+    * is corruption and quarantines as "truncated header block"). */
+  private val HeaderCap: Int = 1 << 20
+
+  /** Peak-memory instrumentation for [[streamFile]] (test evidence
+    * that task memory tracks record size, not file size). */
+  private[graft] final class StreamStats {
+    @volatile var windowPeak: Long = 0L
+    @volatile var memberPeak: Long = 0L
+  }
 
   /** Decoded prefix of a gzip buffer: `data` = the concatenation of
     * every VALID member, `consumed` = exact input bytes those members
@@ -145,75 +164,308 @@ object Warc {
     } finally inf.end()
   }
 
-  /** Index of the next `WARC/` marker at or after `from` that sits at
-    * a record boundary (start of buffer or right after a CRLF) — the
-    * resynchronization point after a malformed record. */
-  private def nextMarker(b: Array[Byte], from: Int): Int = {
-    var i = math.max(from, 0)
-    while (i <= b.length - Marker.length) {
-      var j = 0
-      while (j < Marker.length && b(i + j) == Marker(j)) j += 1
-      if (j == Marker.length &&
-        (i == 0 || (i >= 2 && b(i - 2) == '\r' && b(i - 1) == '\n')))
-        return i
-      i += 1
+  // ---- bounded-memory streaming decode ----
+
+  /** Pull-based buffered reader over an InputStream — the parser
+    * window. The buffer grows to the largest `ensure` span (≈ the
+    * largest record) and is the ONLY record-sized allocation in the
+    * pipeline besides the payloads themselves; `prevByte` keeps the
+    * two bytes just before the window so record-marker CRLF context
+    * survives a `skip`. */
+  private[sources] final class ByteFeed(in: java.io.InputStream,
+      stats: StreamStats = null) {
+    private var buf = new Array[Byte](1 << 16)
+    private var s = 0
+    private var e = 0
+    private var sawEof = false
+    private var p1 = -1 // byte at absPos - 1
+    private var p2 = -1 // byte at absPos - 2
+    /** absolute stream offset of the window start */
+    var absPos: Long = 0L
+
+    def available: Int = e - s
+
+    /** Make at least `n` bytes available (growing/compacting the
+      * window as needed); returns the available count, < n only at
+      * EOF. */
+    def ensure(n: Int): Int = {
+      if (e - s >= n || sawEof) return e - s
+      if (buf.length - s < n) { // compact to make room from offset 0
+        System.arraycopy(buf, s, buf, 0, e - s); e -= s; s = 0
+      }
+      if (buf.length < n) { // grow to the next power of two >= n
+        var cap = buf.length.toLong
+        while (cap < n) cap <<= 1
+        val nb = new Array[Byte](math.min(cap, (Int.MaxValue - 8).toLong).toInt)
+        System.arraycopy(buf, s, nb, 0, e - s)
+        buf = nb
+        if (stats != null && buf.length > stats.windowPeak)
+          stats.windowPeak = buf.length.toLong
+      }
+      while (e - s < n && !sawEof) {
+        val r = in.read(buf, e, buf.length - e)
+        if (r < 0) sawEof = true else e += r
+      }
+      e - s
     }
-    -1
+
+    def apply(i: Int): Int = buf(s + i) & 0xff
+    /** Byte just before the window: i = -1 or -2; -1 when unknown. */
+    def prevByte(i: Int): Int = if (i == -1) p1 else p2
+    def skip(n: Int): Unit = {
+      if (n >= 2) { p2 = buf(s + n - 2) & 0xff; p1 = buf(s + n - 1) & 0xff }
+      else if (n == 1) { p2 = p1; p1 = buf(s) & 0xff }
+      s += n; absPos += n
+    }
+    def take(from: Int, until: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(buf, s + from, s + until)
+    def array: Array[Byte] = buf
+    def offset: Int = s
   }
 
-  /** Read one CRLF-terminated header line starting at `i`; returns
-    * (line without CRLF, index after CRLF) or null if no CRLF before
-    * EOF (truncation). Header lines are ASCII per spec; decoded UTF-8
-    * for tolerance. */
-  private def readLine(b: Array[Byte], i: Int): (String, Int) = {
-    var j = i
-    while (j < b.length - 1 && !(b(j) == '\r' && b(j + 1) == '\n')) j += 1
-    if (j >= b.length - 1) null
-    else (new String(b, i, j - i, UTF_8), j + 2)
+  /** Streaming member-by-member gzip decode over a raw [[ByteFeed]]:
+    * whole members or nothing (header + CRC32/ISIZE trailer verified
+    * before a single byte is exposed — exactly [[gunzipMembers]]'s
+    * batch contract, so a mid-member failure never leaks a partial
+    * member downstream). Raw window memory is inflater-chunk-sized;
+    * decoded memory is ONE member (Common Crawl writes one record per
+    * member, so member ≈ record). On failure `error`/`errorOffset`
+    * report the failed member's message and raw start offset — the
+    * caller quarantines the raw remainder from there. */
+  private final class MemberDecoder(raw: ByteFeed, stats: StreamStats = null) {
+    var error: String = null
+    var errorOffset: Long = -1L
+    private var finished = false
+
+    /** Next member's decoded bytes; null at end (clean iff error == null). */
+    def next(): Array[Byte] = {
+      if (finished) return null
+      if (raw.ensure(1) == 0) { finished = true; return null } // clean EOF
+      val memberStart = raw.absPos
+      def fail(m: String): Array[Byte] = {
+        error = s"gzip member at offset $memberStart: $m"
+        errorOffset = memberStart; finished = true; null
+      }
+      if (raw.ensure(2) < 2 || raw(0) != 0x1f || raw(1) != 0x8b) {
+        error = s"not a gzip member header at offset $memberStart"
+        errorOffset = memberStart; finished = true; return null
+      }
+      if (raw.ensure(10) < 10) return fail("truncated header")
+      if (raw(2) != 8)
+        return fail(s"unknown compression method ${raw(2)}")
+      val flg = raw(3)
+      raw.skip(10)
+      if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
+        if (raw.ensure(2) < 2) return fail("truncated FEXTRA length")
+        val xlen = raw(0) | (raw(1) << 8)
+        raw.skip(2)
+        if (raw.ensure(xlen) < xlen) return fail("truncated FEXTRA payload")
+        raw.skip(xlen)
+      }
+      var bit = 8
+      while (bit <= 16) { // FNAME / FCOMMENT: NUL-terminated, skip as scanned
+        if ((flg & bit) != 0) {
+          var term = false
+          while (!term) {
+            if (raw.ensure(1) < 1) return fail("unterminated FNAME/FCOMMENT")
+            term = raw(0) == 0
+            raw.skip(1)
+          }
+        }
+        bit <<= 1
+      }
+      if ((flg & 2) != 0) { // FHCRC
+        if (raw.ensure(2) < 2) return fail("truncated FHCRC")
+        raw.skip(2)
+      }
+      val inf = new java.util.zip.Inflater(true)
+      val out = new ByteArrayOutputStream(1 << 16)
+      val crc = new java.util.zip.CRC32
+      val chunk = new Array[Byte](1 << 16)
+      var supplied = 0
+      try {
+        while (!inf.finished()) {
+          if (inf.needsInput()) {
+            raw.skip(supplied); supplied = 0
+            if (raw.ensure(1) == 0) return fail("truncated deflate stream")
+            inf.setInput(raw.array, raw.offset, raw.available)
+            supplied = raw.available
+          }
+          val n =
+            try inf.inflate(chunk)
+            catch { case e: java.util.zip.DataFormatException =>
+              return fail(s"corrupt deflate stream: ${e.getMessage}") }
+          if (n > 0) { out.write(chunk, 0, n); crc.update(chunk, 0, n) }
+          else if (!inf.finished() && !inf.needsInput())
+            return fail("truncated deflate stream")
+        }
+        raw.skip(supplied - inf.getRemaining); supplied = 0
+        if (raw.ensure(8) < 8) return fail("truncated trailer")
+        def le32(o: Int): Long =
+          (raw(o).toLong) | (raw(o + 1).toLong << 8) |
+            (raw(o + 2).toLong << 16) | (raw(o + 3).toLong << 24)
+        if (le32(0) != crc.getValue) return fail("CRC32 mismatch")
+        if (le32(4) != (out.size().toLong & 0xffffffffL))
+          return fail("ISIZE mismatch")
+        raw.skip(8)
+        if (stats != null && out.size().toLong > stats.memberPeak)
+          stats.memberPeak = out.size().toLong
+        out.toByteArray
+      } finally inf.end()
+    }
   }
 
-  /** Parse a whole (decoded) WARC buffer into records + quarantines. */
-  def parseBuffer(path: String,
-      bytes: Array[Byte]): Seq[WarcRecord] = {
-    val out = Vector.newBuilder[WarcRecord]
-    var idx = 0L
-    def quarantine(from: Int, until: Int, err: String): Unit = {
-      out += WarcRecord(path, idx, null, null, null, null, null, null,
-        -1L, Map.empty, java.util.Arrays.copyOfRange(bytes, from, until),
-        err)
+  /** The decoded-bytes view of a [[MemberDecoder]] as an InputStream
+    * (holds at most one member at a time). */
+  private final class MemberStream(d: MemberDecoder) extends java.io.InputStream {
+    private var cur: Array[Byte] = null
+    private var pos = 0
+    override def read(): Int = {
+      val b = new Array[Byte](1)
+      if (read(b, 0, 1) < 0) -1 else b(0) & 0xff
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      while (cur == null || pos >= cur.length) {
+        cur = d.next(); pos = 0
+        if (cur == null) return -1
+      }
+      val n = math.min(len, cur.length - pos)
+      System.arraycopy(cur, pos, b, off, n); pos += n
+      n
+    }
+  }
+
+  /** Incremental WARC parser over a DECODED [[ByteFeed]] — one record
+    * (or quarantined span) at a time, window memory ∝ the current
+    * record. Semantics match the former whole-buffer parser on every
+    * fixture, including quarantine-resync on the next `WARC/`-after-
+    * CRLF marker; the one divergence is the [[QuarantineCap]] chunking
+    * of over-long garbage spans. */
+  private final class WarcStreamParser(path: String, feed: ByteFeed,
+      onExhausted: () => Unit) extends Iterator[WarcRecord] {
+
+    private val q = new scala.collection.mutable.Queue[WarcRecord]()
+    private var idx = 0L
+    private var finished = false
+    private var closed = false
+    private var beforeFirst = true
+
+    /** total records emitted (the gzip tail record's record_idx). */
+    def emitted: Long = idx
+
+    override def hasNext: Boolean = {
+      while (q.isEmpty && !finished) step()
+      if (q.isEmpty && !closed) {
+        closed = true
+        try onExhausted() catch { case _: Exception => () }
+      }
+      q.nonEmpty
+    }
+    override def next(): WarcRecord = {
+      if (!hasNext) throw new NoSuchElementException("WarcStreamParser")
+      q.dequeue()
+    }
+
+    private def quarantine(payload: Array[Byte], err: String): Unit = {
+      q += WarcRecord(path, idx, null, null, null, null, null, null,
+        -1L, Map.empty, payload, err)
       idx += 1
     }
-    var pos = 0
-    // leading garbage before the first marker is quarantined once
-    val first = nextMarker(bytes, 0)
-    if (first < 0) {
-      if (bytes.nonEmpty) quarantine(0, bytes.length, "no WARC record marker")
-      return out.result()
-    }
-    if (first > 0) quarantine(0, first, "leading bytes before first record")
-    pos = first
-    while (pos >= 0 && pos < bytes.length) {
-      val recStart = pos
-      def fail(err: String): Unit = {
-        val next = nextMarker(bytes, recStart + Marker.length)
-        val until = if (next < 0) bytes.length else next
-        quarantine(recStart, until, err)
-        pos = next
+
+    private def step(): Unit =
+      if (beforeFirst) scanFirst() else parseRecord()
+
+    /** Is there a valid record marker at relative offset `i`? Valid =
+      * `WARC/` at the absolute start of input or right after a CRLF
+      * (the CRLF may be the previous record's payload tail — matched
+      * via the feed's prev-byte memory). */
+    private def markerAt(i: Int): Boolean =
+      feed(i) == 'W' && feed(i + 1) == 'A' && feed(i + 2) == 'R' &&
+        feed(i + 3) == 'C' && feed(i + 4) == '/' &&
+        ((feed.absPos + i == 0L) ||
+          (byteAt(i - 2) == '\r' && byteAt(i - 1) == '\n'))
+
+    private def byteAt(i: Int): Int =
+      if (i >= 0) feed(i) else feed.prevByte(i)
+
+    /** Scan for the next valid marker from relative offset `from`;
+      * returns its relative offset or -1 at EOF. Spans longer than
+      * [[QuarantineCap]] flush as `overflowLabel` quarantine chunks
+      * (the window is then shifted — the returned offset is relative
+      * to the CURRENT window start). */
+    private def scanForMarker(from: Int, overflowLabel: String): Int = {
+      var i = from
+      while (feed.ensure(i + 5) >= i + 5) {
+        if (markerAt(i)) return i
+        i += 1
+        if (i > QuarantineCap) {
+          val keep = 6
+          quarantine(feed.take(0, i - keep), overflowLabel)
+          feed.skip(i - keep)
+          i = keep
+        }
       }
-      readLine(bytes, pos) match {
-        case null => fail("truncated version line")
-        case (version, afterVersion) if !version.startsWith("WARC/") =>
-          fail(s"bad version line: $version")
+      -1
+    }
+
+    /** One CRLF-terminated line starting at relative `i`: (line,
+      * offset-after-CRLF), or null when EOF (or [[HeaderCap]]) arrives
+      * first. Header lines are ASCII per spec; decoded UTF-8 for
+      * tolerance. */
+    private def readLine(i: Int): (String, Int) = {
+      var j = i
+      while (feed.ensure(j + 2) >= j + 2 && j - i <= HeaderCap) {
+        if (feed(j) == '\r' && feed(j + 1) == '\n')
+          return (new String(feed.array, feed.offset + i, j - i, UTF_8), j + 2)
+        j += 1
+      }
+      null
+    }
+
+    private def scanFirst(): Unit = {
+      if (feed.ensure(1) == 0) { finished = true; return } // empty input
+      val m = scanForMarker(0, "leading bytes before first record")
+      if (m < 0) {
+        quarantine(feed.take(0, feed.available), "no WARC record marker")
+        feed.skip(feed.available)
+        finished = true
+      } else {
+        if (m > 0)
+          quarantine(feed.take(0, m), "leading bytes before first record")
+        feed.skip(m)
+        beforeFirst = false
+      }
+    }
+
+    /** Quarantine [record start, next marker | EOF) as `err` and leave
+      * the window at the resync point. */
+    private def failResync(err: String): Unit = {
+      val m = scanForMarker(5, err)
+      if (m < 0) {
+        quarantine(feed.take(0, feed.available), err)
+        feed.skip(feed.available)
+        finished = true
+      } else {
+        quarantine(feed.take(0, m), err)
+        feed.skip(m)
+      }
+    }
+
+    /** Parse the record whose marker sits at window offset 0. */
+    private def parseRecord(): Unit = {
+      readLine(0) match {
+        case null => failResync("truncated version line")
         case (version, afterVersion) =>
           // header block until the blank CRLF line
           var hdrs = Map.empty[String, String]
           var i = afterVersion
-          var done = false
+          var blank = false
           var broken: String = null
-          while (!done && broken == null) {
-            readLine(bytes, i) match {
+          while (!blank && broken == null) {
+            readLine(i) match {
               case null => broken = "truncated header block"
-              case ("", after) => i = after; done = true
+              case ("", after) => i = after; blank = true
               case (line, after) =>
                 val c = line.indexOf(':')
                 if (c <= 0) broken = s"malformed header line: $line"
@@ -223,100 +475,184 @@ object Warc {
                 }
             }
           }
-          if (broken != null) fail(broken)
-          else {
+          if (broken != null) { failResync(broken); return }
           // ISO 28500 field names are case-insensitive: look up via a
           // lowercased key map; `hdrs` keeps the raw casing for the
           // headers column
           val lk = hdrs.map { case (k, v) =>
             k.toLowerCase(java.util.Locale.ROOT) -> v }
           lk.get("content-length").flatMap(_.toLongOption) match {
-            case None => fail("missing or non-numeric Content-Length")
-            case Some(len) if len < 0 => fail("negative Content-Length")
+            case None => failResync("missing or non-numeric Content-Length")
+            case Some(len) if len < 0 => failResync("negative Content-Length")
             case Some(len) if len > Int.MaxValue - 8 =>
-              fail(s"Content-Length $len exceeds the per-record buffer cap")
-            case Some(len) if i + len > bytes.length =>
-              fail(s"truncated payload: need $len bytes, have ${bytes.length - i}")
+              failResync(s"Content-Length $len exceeds the per-record buffer cap")
             case Some(len) =>
-              val payload =
-                java.util.Arrays.copyOfRange(bytes, i, i + len.toInt)
-              out += WarcRecord(path, idx, version,
-                lk.getOrElse("warc-type", null),
-                lk.getOrElse("warc-target-uri", null),
-                lk.getOrElse("warc-record-id", null),
-                lk.getOrElse("warc-date", null),
-                lk.getOrElse("content-type", null),
-                len, hdrs, payload, null)
-              idx += 1
-              // spec: CRLF CRLF after the payload; tolerate EOF (last
-              // record) and resync otherwise
-              val after = i + len.toInt
-              val tail = nextMarker(bytes, after)
-              if (after >= bytes.length) pos = -1
-              else if (tail < 0) {
-                // trailing bytes after last record that never reach a
-                // marker: the record separator (up to 4 CRLF bytes) is
-                // expected framing; anything more is quarantined
-                if (bytes.length - after > 4)
-                  quarantine(after, bytes.length, "trailing bytes after last record")
-                pos = -1
+              val need = i + len.toInt
+              val avail = feed.ensure(need)
+              if (avail < need) {
+                // truncation: every remaining input byte is now in the
+                // window, so the resync scan (a marker may hide inside
+                // the partial payload) behaves exactly like the batch
+                // parser's did
+                failResync(
+                  s"truncated payload: need $len bytes, have ${avail - i}")
               } else {
-                if (tail - after > 4)
-                  quarantine(after, tail, "inter-record garbage")
-                pos = tail
+                val payload = feed.take(i, need)
+                q += WarcRecord(path, idx, version,
+                  lk.getOrElse("warc-type", null),
+                  lk.getOrElse("warc-target-uri", null),
+                  lk.getOrElse("warc-record-id", null),
+                  lk.getOrElse("warc-date", null),
+                  lk.getOrElse("content-type", null),
+                  len, hdrs, payload, null)
+                idx += 1
+                feed.skip(need)
+                afterPayload()
               }
           }
-          }
       }
     }
-    out.result()
+
+    /** After a payload: spec says CRLF CRLF; tolerate EOF (last
+      * record), quarantine gaps longer than the 4 framing bytes, and
+      * resync on the next marker. */
+    private def afterPayload(): Unit = {
+      if (feed.ensure(1) == 0) { finished = true; return }
+      val m = scanForMarker(0, "inter-record garbage")
+      if (m < 0) {
+        val rem = feed.available
+        if (rem > 4)
+          quarantine(feed.take(0, rem), "trailing bytes after last record")
+        feed.skip(rem)
+        finished = true
+      } else {
+        if (m > 4) quarantine(feed.take(0, m), "inter-record garbage")
+        feed.skip(m)
+      }
+    }
   }
 
-  /** Parse one file's raw bytes (gzip auto-detected by magic, so
-    * `.warc`, `.warc.gz` and `.wet.gz` all work). Gzip decode is
-    * member-by-member with byte accounting: valid members parse
-    * normally and an undecodable REMAINDER (garbage member header
-    * after a valid member, truncation, CRC failure) becomes one
-    * quarantine record carrying the raw undecoded bytes — never a
-    * silent drop, never a failed task. A file whose very first member
-    * is undecodable quarantines as one record, as before. */
-  def parseFile(path: String,
-      bytes: Array[Byte]): Seq[WarcRecord] =
-    if (!isGzip(bytes)) parseBuffer(path, bytes)
+  /** Re-open the input to recover the raw bytes from `from` to EOF for
+    * the gzip-remainder quarantine record: (first [[QuarantineCap]]
+    * bytes, total remainder length). Error path only. */
+  private def readRemainder(open: () => java.io.InputStream,
+      from: Long): (Array[Byte], Long) = {
+    val in = open()
+    try {
+      var toSkip = from
+      var eof = false
+      while (toSkip > 0 && !eof) {
+        val s = in.skip(toSkip)
+        if (s > 0) toSkip -= s
+        else if (in.read() >= 0) toSkip -= 1
+        else eof = true
+      }
+      val head = new ByteArrayOutputStream(1 << 16)
+      var total = 0L
+      val buf = new Array[Byte](1 << 16)
+      var r = if (eof) -1 else in.read(buf)
+      while (r >= 0) {
+        val keep = math.min(r.toLong, QuarantineCap.toLong - head.size()).toInt
+        if (keep > 0) head.write(buf, 0, keep)
+        total += r
+        r = in.read(buf)
+      }
+      (head.toByteArray, total)
+    } finally in.close()
+  }
+
+  /** Stream-parse one WARC/WET file (gzip auto-detected by magic, so
+    * `.warc`, `.warc.gz` and `.wet.gz` all work) with BOUNDED memory:
+    * window ∝ the largest record / gzip member, never the file. Gzip
+    * decode is member-by-member with byte accounting: valid members
+    * parse normally and an undecodable REMAINDER (garbage member
+    * header after a valid member, truncation, CRC failure) becomes one
+    * quarantine record carrying the raw undecoded bytes (re-read via
+    * `open`, capped at [[QuarantineCap]]) — never a silent drop, never
+    * a failed task. A file whose very first member is undecodable
+    * quarantines as one record, as before. `open` must produce a fresh
+    * stream per call. */
+  private[graft] def streamFile(path: String,
+      open: () => java.io.InputStream,
+      stats: StreamStats = null): Iterator[WarcRecord] = {
+    val in = open()
+    // backstop for a non-drained iterator (a downstream limit()): the
+    // task-completion listener reclaims the stream; exhaustion closes
+    // eagerly via the parser's onExhausted
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ =>
+        try in.close() catch { case _: Exception => () }))
+    val raw = new ByteFeed(in, stats)
+    val gz = raw.ensure(2) >= 2 && raw(0) == 0x1f && raw(1) == 0x8b
+    if (!gz) new WarcStreamParser(path, raw, () => in.close())
     else {
-      val g = gunzipMembers(bytes)
-      if (g.consumed == 0)
-        Seq(WarcRecord(path, 0L, null, null, null, null,
-          null, null, -1L, Map.empty, bytes, g.error))
-      else {
-        val recs = parseBuffer(path, g.data)
-        if (g.error == null) recs
-        else recs :+ WarcRecord(path, recs.length.toLong, null, null,
-          null, null, null, null, -1L, Map.empty,
-          java.util.Arrays.copyOfRange(bytes, g.consumed, bytes.length),
-          s"undecoded gzip remainder (${bytes.length - g.consumed} " +
-            s"bytes): ${g.error}")
+      val dec = new MemberDecoder(raw, stats)
+      val parser = new WarcStreamParser(path,
+        new ByteFeed(new MemberStream(dec), stats), () => in.close())
+      // the tail is evaluated only after the parser exhausts — by then
+      // the decoder's error state is final
+      parser ++ {
+        if (dec.error == null) Iterator.empty[WarcRecord]
+        else {
+          val (bytes, total) = readRemainder(open, dec.errorOffset)
+          if (dec.errorOffset == 0L)
+            Iterator.single(WarcRecord(path, 0L, null, null, null, null,
+              null, null, -1L, Map.empty, bytes, dec.error))
+          else
+            Iterator.single(WarcRecord(path, parser.emitted, null, null,
+              null, null, null, null, -1L, Map.empty, bytes,
+              s"undecoded gzip remainder ($total bytes): ${dec.error}"))
+        }
       }
     }
+  }
+
+  /** Parse a whole (decoded) WARC buffer into records + quarantines —
+    * the array form of [[WarcStreamParser]] (tests and small
+    * fixtures; production reads go through [[readWarcFiles]]'s
+    * streams). */
+  def parseBuffer(path: String, bytes: Array[Byte]): Seq[WarcRecord] =
+    new WarcStreamParser(path,
+      new ByteFeed(new java.io.ByteArrayInputStream(bytes)), () => ())
+      .toVector
+
+  /** Parse one file's raw bytes — [[streamFile]] over an in-memory
+    * buffer (gzip auto-detected; identical record/quarantine
+    * semantics). */
+  def parseFile(path: String, bytes: Array[Byte]): Seq[WarcRecord] =
+    streamFile(path, () => new java.io.ByteArrayInputStream(bytes)).toVector
 
   /** Read a directory (or glob) of WARC/WET files into a DataFrame:
     * (path, record_idx, warc_version, warc_type, target_uri,
-    * record_id, warc_date, content_type, content_length, headers,
-    * payload, error) — `error` IS NULL for clean records, set for
-    * quarantined byte ranges (the JSONL dead-letter posture). One task
-    * per file (gzip is not splittable); see the object doc for why
-    * that is the right 100 TB shape. */
+    * record_id, warc_date, content_length, headers, payload, error) —
+    * `error` IS NULL for clean records, set for quarantined byte
+    * ranges (the JSONL dead-letter posture). One task per file (gzip
+    * is not splittable); see the object doc for why that is the right
+    * 100 TB shape. */
   def readWarcFiles(spark: SparkSession, path: String): DataFrame =
     readWarcFiles(spark, Seq(path))
 
   /** Multi-path form — the [[IncrementalFiles.readNewWarc]] entry
-    * point (an increment is an explicit file list, not a glob). */
+    * point (an increment is an explicit file list, not a glob).
+    *
+    * Listing/packing rides the binaryFile source (size-aware file
+    * packing, glob/dir semantics) with ONLY the path column — content
+    * is NOT materialized into rows (that would cap files at the 2 GiB
+    * array limit and hold compressed + decoded + records at once);
+    * each task opens its files as Hadoop streams and runs the bounded
+    * [[streamFile]] pipeline. */
   def readWarcFiles(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     spark.read.format("binaryFile").load(paths: _*)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) => parseFile(p, bytes) }
+      .select(col("path"))
+      .as[String]
+      .flatMap { p =>
+        val hp = new org.apache.hadoop.fs.Path(new java.net.URI(p))
+        val fs = hp.getFileSystem(conf.value)
+        streamFile(p, () => fs.open(hp))
+      }
       .toDF()
   }
 

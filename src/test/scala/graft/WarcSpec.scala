@@ -457,6 +457,89 @@ class WarcSpec extends SparkSpec {
       .toSeq === Seq("http://x/3"))
   }
 
+  /** Serves `template` repeated `n` times — a multi-GiB synthetic
+    * segment with no multi-GiB allocation on the generator side. */
+  private final class RepeatingStream(template: Array[Byte], n: Long)
+      extends java.io.InputStream {
+    private var served = 0L
+    private val total = template.length.toLong * n
+    override def read(): Int =
+      if (served >= total) -1
+      else {
+        val b = template((served % template.length).toInt); served += 1
+        b & 0xff
+      }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (served >= total) return -1
+      val m = math.min(len.toLong, total - served).toInt
+      var i = 0
+      while (i < m) {
+        b(off + i) = template(((served + i) % template.length).toInt)
+        i += 1
+      }
+      served += m
+      m
+    }
+  }
+
+  test("a segment DECODING past the 2 GiB array limit streams with record-sized memory") {
+    // 1100 members x 2 MiB payload ≈ 2.26 GiB decoded — STRICTLY more
+    // than any single JVM array can hold, so completing at all proves
+    // the pipeline never materializes the decoded file; the
+    // instrumentation pins the actual working set to record scale
+    val payload = Array.fill[Byte](2 << 20)('a')
+    val member = Warc.gzip(Warc.buildRecord("WARC/1.0",
+      Seq("WARC-Type" -> "conversion",
+        "WARC-Target-URI" -> "http://big.example.com/doc"), payload))
+    val members = 1100L
+    val stats = new Warc.StreamStats
+    val it = Warc.streamFile("synthetic-big.warc.gz",
+      () => new RepeatingStream(member, members), stats)
+    var count = 0L
+    var badPayload = 0L
+    while (it.hasNext) {
+      val r = it.next()
+      assert(r.error === null, s"record $count quarantined: ${r.error}")
+      assert(r.content_length === (2 << 20).toLong)
+      val p = r.payload
+      if (p.length != (2 << 20) || p(0) != 'a' || p(p.length - 1) != 'a')
+        badPayload += 1
+      count += 1
+    }
+    assert(count === members)
+    assert(badPayload === 0L)
+    // decoded total ≈ 2.26 GiB; the working set stayed record-sized:
+    // one decoded member (~2 MiB) + the parser window (~4 MiB pow2)
+    assert(stats.memberPeak < (4L << 20),
+      s"decoded-member peak ${stats.memberPeak} not record-sized")
+    assert(stats.windowPeak < (16L << 20),
+      s"window peak ${stats.windowPeak} not record-sized")
+  }
+
+  test("garbage spans beyond the quarantine cap chunk — all bytes kept, memory bounded") {
+    val cap = Warc.QuarantineCap
+    val rec = Warc.buildRecord("WARC/1.0",
+      Seq("WARC-Type" -> "conversion", "WARC-Target-URI" -> "http://x/1"),
+      "hello".getBytes(UTF_8))
+    // a 64 MiB + 8 MiB garbage run between two records, CRLF-terminated
+    // so the second record's marker is valid
+    val garbage = Array.fill[Byte](cap + (8 << 20))('x')
+    garbage(garbage.length - 2) = '\r'
+    garbage(garbage.length - 1) = '\n'
+    val recs = Warc.parseFile("f", rec ++ garbage ++ rec)
+    val clean = recs.filter(_.error == null)
+    val quar = recs.filter(_.error != null)
+    assert(clean.length === 2)
+    assert(clean.forall(r => new String(r.payload, UTF_8) == "hello"))
+    // batch would have emitted ONE unbounded record; streaming chunks,
+    // keeping every byte (the record separator CRLFs ride along in the
+    // quarantined span, exactly like the batch > 4 rule)
+    assert(quar.length > 1)
+    assert(quar.forall(_.error == "inter-record garbage"))
+    assert(quar.map(_.payload.length.toLong).sum === garbage.length.toLong + 4)
+    assert(quar.forall(_.payload.length <= cap))
+  }
+
   test("readWarcFiles: end-to-end over a planted directory") {
     val dir = Files.createTempDirectory("warc_spec")
     dir.toFile.deleteOnExit()
