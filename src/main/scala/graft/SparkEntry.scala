@@ -3709,9 +3709,14 @@ object SparkEntry {
     // absolute-path [single-quoted], dot-segments+fragment,
     // protocol-relative, img src, absolute-with-query, plus a
     // fragment-only and a mailto: that must DROP), and every fifth
-    // page a <base href> that rebases the relative ones. The oracle
-    // states the hand-derived RFC 3986 resolution of each link as SQL
-    // string arms — extraction AND resolution are adjudicated, ×3 SFs
+    // page a <base href> that rebases the relative ones. Each page
+    // also plants tag-context NOISE that must extract NOTHING: a
+    // commented-out link + base, an href inside a script body, and an
+    // href in visible prose (the single-pass scanner's discipline —
+    // the oracle stays noise-free because none of it is a link). The
+    // oracle states the hand-derived RFC 3986 resolution of each link
+    // as SQL string arms — extraction AND resolution are adjudicated,
+    // ×3 SFs
     "q_outlinks" -> ((s, dir) => {
       import graft.functions.UrlOps
       val id = col("doc_id").cast("string")
@@ -3722,7 +3727,10 @@ object SparkEntry {
       val baseTag = when(col("doc_id") % 5 === 0,
         lit("<base href=\"/based/deep/\">")).otherwise(lit(""))
       val html = concat(lit("<html><head>"), baseTag,
+        lit("<!-- <base href=\"/hijack/\"><a href=\"/phantom1\">x</a> -->"),
+        lit("<script>var u = ' href=\"/phantom2\" ';</script>"),
         lit("</head><body>"),
+        lit("<p>docs mention href=\"/phantom3\" as an attribute</p>"),
         lit("<a href=\"rel/p"), id, lit(".html\">r</a>"),
         lit("<a href='/abs/q"), id, lit("'>a</a>"),
         lit("<a href=\"../up"), id, lit(".html#frag\">u</a>"),

@@ -501,82 +501,64 @@ object UrlOps {
         concat(sch, lit("://"), hostPart, removeDotSegments(merged), rQuery))
   }
 
+  /** The [[graft.expressions.HtmlLinks]] scan + effective-base column
+    * shared by [[extractOutlinks]] / [[extractAnchors]]: ONE pass over
+    * the document (replacing the former stack of whole-document regex
+    * passes) with tag-context discipline — `href=` text inside
+    * comments, `<script>`/`<style>` bodies, or visible prose is NOT a
+    * link, and a commented-out `<base>` cannot hijack resolution. The
+    * effective base per HTML semantics is the first real `<base href>`
+    * (itself resolved against the page URL), else the page URL. */
+  private def withHtmlLinks(df: org.apache.spark.sql.DataFrame,
+      urlCol: String, htmlCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftglue.Bridge
+    val links = Bridge.column(graft.expressions.HtmlLinks(
+      Bridge.expression(col(htmlCol))))
+    df.withColumn("__hl", links)
+      .withColumn("__base",
+        when(col("__hl.base").isNull, col(urlCol))
+          .otherwise(coalesce(resolveRef(col(urlCol), col("__hl.base")),
+            col(urlCol))))
+  }
+
   /** HTML outlink extraction — the link-discovery edge of the crawl
-    * loop (fetched page → candidate URLs for the frontier): pull every
-    * quoted `href`/`src` attribute value from `htmlCol`, resolve it
-    * against the page URL (honoring a `<base href=...>` tag, itself
-    * resolved against the page URL first, per HTML semantics) via
-    * [[resolveRef]], and explode to one row per link. Unfetchable refs
-    * (fragment-only, mailto:/javascript:) are dropped; `<base>` tags
-    * are removed before extraction so their href never leaks in as an
-    * outlink. Double- and single-quoted attributes extract in two
-    * RE2-safe passes (RE2 has no backreference to match the opening
-    * quote). Scan-local projection + explode — payload bytes never
-    * shuffle; compose [[canonical]] / [[stripTracking]] and the seen-
-    * set anti-join downstream. Output: input columns + `outlink`. */
-  /** HTML with `<base>` tags removed (their href must never leak in as
-    * a link) — shared by [[extractOutlinks]] / [[extractAnchors]]. */
-  private def htmlSansBase(htmlCol: String): Column =
-    regexp_replace(col(htmlCol), "(?i)<base[^>]*>", "")
-
-  /** The effective resolution base per HTML semantics: a `<base href>`
-    * (itself resolved against the page URL) when present — href must
-    * be a REAL attribute (whitespace-or-tag-start boundary, so
-    * data-href never hijacks the base) — else the page URL. */
-  private def effectiveBase(urlCol: String, htmlCol: String): Column = {
-    val baseHref = regexp_extract(col(htmlCol),
-      "(?i)<base\\s+(?:[^>]*\\s)?href\\s*=\\s*[\"']([^\"']+)[\"']", 1)
-    when(baseHref === "", col(urlCol))
-      .otherwise(coalesce(resolveRef(col(urlCol), baseHref), col(urlCol)))
-  }
-
+    * loop (fetched page → candidate URLs for the frontier): every
+    * quoted `href`/`src` attribute value of a REAL tag (single-pass
+    * scanner — see [[withHtmlLinks]]; `data-href` etc. are not links,
+    * comment/script-body/plain-text matches are not links), resolved
+    * against the effective base via [[resolveRef]], one row per link.
+    * Unfetchable refs (fragment-only, mailto:/javascript:) are
+    * dropped; the `<base>` href itself never leaks in as an outlink.
+    * Scan-local projection + explode — payload bytes never shuffle;
+    * compose [[canonical]] / [[stripTracking]] and the seen-set
+    * anti-join downstream. Output: input columns + `outlink`. */
   def extractOutlinks(df: org.apache.spark.sql.DataFrame, urlCol: String,
-      htmlCol: String): org.apache.spark.sql.DataFrame = {
-    val noBase = htmlSansBase(htmlCol)
-    // the attribute name must start at a whitespace/quote/tag
-    // boundary: data-href, ng-src, lazy-data-src etc. are NOT links
-    val refs = concat(
-      regexp_extract_all(noBase,
-        lit("(?i)(?:^|[\\s\"'<])(?:href|src)\\s*=\\s*\"([^\"]*)\""),
-        lit(1)),
-      regexp_extract_all(noBase,
-        lit("(?i)(?:^|[\\s\"'<])(?:href|src)\\s*=\\s*'([^']*)'"),
-        lit(1)))
-    df.withColumn("__base", effectiveBase(urlCol, htmlCol))
-      .withColumn("__ref", explode(refs))
-      .withColumn("outlink", resolveRef(col("__base"), col("__ref")))
+      htmlCol: String): org.apache.spark.sql.DataFrame =
+    withHtmlLinks(df, urlCol, htmlCol)
+      .withColumn("__p", explode(col("__hl.refs")))
+      .withColumn("outlink", resolveRef(col("__base"), col("__p.ref")))
       .filter(col("outlink").isNotNull)
-      .drop("__base", "__ref")
-  }
+      .drop("__hl", "__base", "__p")
 
   /** Anchor-TEXT extraction — the per-link supervision signal next to
     * [[extractOutlinks]]: for every `<a href=...>text</a>`, emit the
-    * absolutized target AND its anchor text (inner markup stripped,
-    * whitespace collapsed) — the classic web-scale label source for
-    * target-page quality/relevance models (anchor corpora). Matching
-    * is the same two-pass quoted-href discipline as extractOutlinks,
-    * restricted to `<a>` tags (src attributes carry no text); `<base>`
-    * handled identically. Unfetchable refs drop. Scan-local projection
-    * + explode. Output: input columns + (outlink, anchor). */
+    * absolutized target AND its anchor text (inner markup → space,
+    * whitespace collapsed — normalized inside the single-pass scan) —
+    * the classic web-scale label source for target-page quality/
+    * relevance models (anchor corpora). Restricted to `<a>` tags (src
+    * attributes carry no text); an `<a>` never closed yields no anchor
+    * row; `<base>` handled identically. Unfetchable refs drop.
+    * Scan-local projection + explode. Output: input columns +
+    * (outlink, anchor). */
   def extractAnchors(df: org.apache.spark.sql.DataFrame, urlCol: String,
-      htmlCol: String): org.apache.spark.sql.DataFrame = {
-    val noBase = htmlSansBase(htmlCol)
-    def pairs(pat: String) = zip_with(
-      regexp_extract_all(noBase, lit(pat), lit(1)),
-      regexp_extract_all(noBase, lit(pat), lit(2)),
-      (r, t) => struct(r.as("r"), t.as("t")))
-    // href must sit at an attribute boundary inside the <a> tag —
-    // `<a data-href=...>` is not a link
-    val patD = "(?is)<a\\s+(?:[^>]*\\s)?href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a>"
-    val patS = "(?is)<a\\s+(?:[^>]*\\s)?href\\s*=\\s*'([^']*)'[^>]*>(.*?)</a>"
-    df.withColumn("__base", effectiveBase(urlCol, htmlCol))
-      .withColumn("__p", explode(concat(pairs(patD), pairs(patS))))
-      .withColumn("outlink", resolveRef(col("__base"), col("__p.r")))
-      .withColumn("anchor", trim(regexp_replace(
-        regexp_replace(col("__p.t"), "<[^>]*>", " "), "\\s+", " ")))
+      htmlCol: String): org.apache.spark.sql.DataFrame =
+    withHtmlLinks(df, urlCol, htmlCol)
+      .withColumn("__p", explode(col("__hl.refs")))
+      .filter(col("__p.anchor").isNotNull)
+      .withColumn("outlink", resolveRef(col("__base"), col("__p.ref")))
+      .withColumn("anchor", col("__p.anchor"))
       .filter(col("outlink").isNotNull)
-      .drop("__base", "__p")
-  }
+      .drop("__hl", "__base", "__p")
 
   /** Remove utm_* / gclid / fbclid query parameters while preserving the
     * rest of the query string, in three RE2-safe passes:

@@ -457,6 +457,34 @@ class UrlOpsSpec extends SparkSpec {
     assert(decoy === Set(("https://h.com/yes", "ok")))
   }
 
+  test("extraction is tag-context aware: comments, script/style bodies, prose are not links") {
+    val html =
+      """<html><head>
+        |<!-- <base href="/hijack/"> <a href="/phantom-comment">c</a> -->
+        |<script>var u = ' href="/phantom-script" '; // src="/p2"
+        |</script>
+        |<style>.x { background: url("bg.png"); } /* href="/p3" */</style>
+        |<script src="/real.js"></script>
+        |</head><body>
+        |<p>see the attribute href="/phantom-prose" in docs</p>
+        |<a href="/ok">anchor <!-- hidden --> text</a>
+        |</body></html>""".stripMargin
+    val out = UrlOps.extractOutlinks(
+        Seq((1L, "https://h.com/d/x.html", html)).toDF("id", "url", "html"),
+        "url", "html")
+      .select("outlink").collect().map(_.getString(0)).sorted.toSeq
+    // the commented-out <base> must NOT rebase /ok; the script TAG's
+    // own src is a real link, its body is not
+    assert(out === Seq("https://h.com/ok", "https://h.com/real.js"))
+    val anchors = UrlOps.extractAnchors(
+        Seq((1L, "https://h.com/d/x.html", html)).toDF("id", "url", "html"),
+        "url", "html")
+      .select("outlink", "anchor").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // comment content inside the anchor body is not anchor text
+    assert(anchors === Set(("https://h.com/ok", "anchor text")))
+  }
+
   test("robotsRules composes with urlPolicy (parsed rules gate URLs)") {
     val robots = Seq(
       ("src1.example.com", "User-agent: graftbot\nDisallow: /private/\nAllow: /private/pub/"),
