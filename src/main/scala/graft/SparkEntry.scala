@@ -3536,6 +3536,20 @@ object SparkEntry {
           col("last_seen"), sha2(col("text"), 256).as("body_sha256"))
         .orderBy("canonical_url")
     }),
+    // WARC-Payload-Digest revisit chains (the Common Crawl dedupe
+    // convention at its most common): revisits WITHOUT a
+    // WARC-Refers-To header resolve to the duplicated capture by
+    // (canonical URL, payload digest), across segments, picking the
+    // latest capture at or before the revisit; explicit references
+    // pass through; digest mismatches and foreign-URL digests stay
+    // unresolved (never dropped). Oracle = the hand-derived resolution
+    // of every planted case
+    "q_revisit_chains" -> ((s, dir) => {
+      val recs = graft.sources.Warc.readWarcFiles(s,
+        warcDigestFixtureDir(dir))
+      graft.sources.Warc.resolveRevisits(recs)
+        .orderBy("record_id")
+    }),
     // URL-level crawl dedup: recrawls planted as canonical-URL
     // collision groups of 3 (case/trailing-slash variant, tracking-
     // param variant, plain), each with a distinct warc_date — the
@@ -4531,6 +4545,88 @@ object SparkEntry {
     java.nio.file.Files.write(tmp.toPath.resolve("seg-00004.warc"),
       rec4.reduce(_ ++ _))
     tmp.getAbsolutePath
+  }
+
+  /** Digest-revisit fixture: two crawl segments under their own tmp
+    * dir (separate from [[warcFixtureDir]] so the extract/wet oracles
+    * are untouched). Segment A carries the captures — /dg/a captured
+    * TWICE with the same digest (08-01, 08-03), /dg/b and /dg/c once —
+    * segment B the revisits: R1 (/dg/a, 08-04, digest, no refers-to →
+    * resolves to the 08-03 capture), R5 (/dg/a, 08-02 → only the 08-01
+    * capture is at-or-before), R2 (/dg/b with an explicit refers-to →
+    * passes through), R3 (/dg/c, digest mismatch → unresolved), R4
+    * (/dg/d, a digest that exists only under /dg/a → unresolved; the
+    * resolution is URL-scoped). */
+  private def warcDigestFixtureDir(dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_warcdg_" + dir.replaceAll("[^0-9a-zA-Z]+", "_"))
+    tmp.mkdirs()
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def cap(uri: String, date: String, rid: String, digest: String,
+        body: String) =
+      graft.sources.Warc.buildRecord("WARC/1.0",
+        Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+          "WARC-Date" -> date, "WARC-Record-ID" -> rid,
+          "WARC-Payload-Digest" -> digest),
+        ("HTTP/1.1 200 OK\r\n\r\n" + body).getBytes(utf8))
+    def rv(uri: String, date: String, rid: String, digest: String,
+        extra: Seq[(String, String)] = Nil) =
+      graft.sources.Warc.buildRecord("WARC/1.0",
+        Seq("WARC-Type" -> "revisit", "WARC-Target-URI" -> uri,
+          "WARC-Date" -> date, "WARC-Record-ID" -> rid,
+          "WARC-Payload-Digest" -> digest) ++ extra,
+        Array.emptyByteArray)
+    val segA = Seq(
+      cap("http://dg.example.com/dg/a", "2026-08-01T00:00:00Z",
+        "<urn:dg:a1>", "sha1:AAA", "alpha"),
+      cap("http://dg.example.com/dg/a", "2026-08-03T00:00:00Z",
+        "<urn:dg:a2>", "sha1:AAA", "alpha"),
+      cap("http://dg.example.com/dg/b", "2026-08-01T00:00:00Z",
+        "<urn:dg:b1>", "sha1:BBB", "bravo"),
+      cap("http://dg.example.com/dg/c", "2026-08-01T00:00:00Z",
+        "<urn:dg:c1>", "sha1:CCC", "charlie")).reduce(_ ++ _)
+    val segB = Seq(
+      rv("http://dg.example.com/dg/a", "2026-08-04T00:00:00Z",
+        "<urn:dg:r1>", "sha1:AAA"),
+      rv("http://dg.example.com/dg/b", "2026-08-05T00:00:00Z",
+        "<urn:dg:r2>", "sha1:BBB",
+        Seq("WARC-Refers-To" -> "<urn:dg:b1>",
+          "WARC-Refers-To-Date" -> "2026-08-01T00:00:00Z")),
+      rv("http://dg.example.com/dg/c", "2026-08-02T00:00:00Z",
+        "<urn:dg:r3>", "sha1:XXX"),
+      rv("http://dg.example.com/dg/d", "2026-08-04T00:00:00Z",
+        "<urn:dg:r4>", "sha1:AAA"),
+      rv("http://dg.example.com/dg/a", "2026-08-02T00:00:00Z",
+        "<urn:dg:r5>", "sha1:AAA")).reduce(_ ++ _)
+    java.nio.file.Files.write(tmp.toPath.resolve("seg-dg-a.warc.gz"),
+      graft.sources.Warc.gzip(segA))
+    java.nio.file.Files.write(tmp.toPath.resolve("seg-dg-b.warc.gz"),
+      graft.sources.Warc.gzip(segB))
+    tmp.getAbsolutePath
+  }
+
+  /** VALUES-literal oracle for q_revisit_chains: the hand-derived
+    * resolution of every planted revisit. */
+  private def revisitChainsOracleSql: String = {
+    def s(x: String) = if (x == null) "CAST(NULL AS VARCHAR)" else s"'$x'"
+    val rows = Seq(
+      // (url, record_id, warc_date, digest, refers_to, refers_to_date, via)
+      ("http://dg.example.com/dg/a", "<urn:dg:r1>", "2026-08-04T00:00:00Z",
+        "sha1:AAA", "<urn:dg:a2>", "2026-08-03T00:00:00Z", "digest"),
+      ("http://dg.example.com/dg/b", "<urn:dg:r2>", "2026-08-05T00:00:00Z",
+        "sha1:BBB", "<urn:dg:b1>", "2026-08-01T00:00:00Z", "header"),
+      ("http://dg.example.com/dg/c", "<urn:dg:r3>", "2026-08-02T00:00:00Z",
+        "sha1:XXX", null, null, null),
+      ("http://dg.example.com/dg/d", "<urn:dg:r4>", "2026-08-04T00:00:00Z",
+        "sha1:AAA", null, null, null),
+      ("http://dg.example.com/dg/a", "<urn:dg:r5>", "2026-08-02T00:00:00Z",
+        "sha1:AAA", "<urn:dg:a1>", "2026-08-01T00:00:00Z", "digest"))
+      .map { case (u, rid, d, dg, rt, rtd, via) =>
+        s"(${s(u)}, ${s(rid)}, ${s(d)}, ${s(dg)}, ${s(rt)}, ${s(rtd)}, ${s(via)})"
+      }
+    "SELECT * FROM (VALUES " + rows.mkString(", ") +
+      ") t(url, record_id, warc_date, payload_digest, refers_to, " +
+      "refers_to_date, resolved_via) ORDER BY record_id"
   }
 
   /** Two "nights" of WARC crawl segments DERIVED FROM the documents
@@ -7072,6 +7168,10 @@ object SparkEntry {
     // only capture with last_seen = the later revisit; /rv/b keeps the
     // 08-03 variant capture with last_seen unchanged; /rv/c absent
     "q_crawl_revisit" -> warcRevisitOracleSql,
+    // hand-derived digest-chain resolution per planted case: latest
+    // at-or-before capture per (canonical URL, digest), header
+    // passthrough, URL-scoped misses unresolved
+    "q_revisit_chains" -> revisitChainsOracleSql,
     // keep-latest winner per hand-derived canonical key: the three URL
     // variants of group g all canonicalize to .../p/g; winner = max
     // (warc_date, record_id) restated as a window

@@ -806,6 +806,71 @@ object Warc {
         hdr("warc-refers-to-date").as("refers_to_date"))
   }
 
+  /** Resolve revisit records to the capture they duplicate — the
+    * WARC-Payload-Digest convention (Common Crawl): a `revisit` may
+    * name its original via `WARC-Refers-To` (+ the optional 1.1
+    * `WARC-Refers-To-Date`), but in the wild the reference is often
+    * ABSENT and only the payload digest identifies the duplicated
+    * capture, possibly in another segment. For each revisit:
+    * explicitly-referenced ones pass through (`resolved_via =
+    * 'header'`); reference-less ones with a digest join to the LATEST
+    * capture of the same canonical URL carrying the same
+    * `WARC-Payload-Digest` dated at or before the revisit
+    * (`resolved_via = 'digest'` — URL-scoped, so a same-digest capture
+    * of a different page never claims the chain); the rest stay
+    * unresolved (NULL refers_to, NULL resolved_via) — never dropped.
+    * Digests compare as opaque strings (the writer's `sha1:B32`
+    * labels), exactly like the reference resolution tools.
+    *
+    * Scale shape: one equi-join on the (canonical URL, digest) key —
+    * revisits and the capture REGISTRY (four registry-sized columns,
+    * never payload bytes) shuffle on it — plus one max_by per revisit
+    * (partial-aggregated). Output: (url, record_id, warc_date,
+    * payload_digest, refers_to, refers_to_date, resolved_via). */
+  def resolveRevisits(records: DataFrame): DataFrame = {
+    def hdr(name: String) = get(filter(
+      map_entries(col("headers")),
+      e => lower(e.getField("key")) === name), lit(0)).getField("value")
+    val canon = graft.functions.UrlOps.canonicalWithQuery(col("target_uri"))
+    val rv = records
+      .filter(col("error").isNull && col("warc_type") === "revisit")
+      .select(col("target_uri").as("url"), col("record_id"),
+        col("warc_date"),
+        hdr("warc-refers-to").as("__hdr_ref"),
+        hdr("warc-refers-to-date").as("__hdr_ref_date"),
+        hdr("warc-payload-digest").as("payload_digest"),
+        canon.as("__cu"))
+    val caps = records
+      .filter(col("error").isNull &&
+        col("warc_type").isin("response", "conversion"))
+      .select(canon.as("__ccu"),
+        hdr("warc-payload-digest").as("__cdigest"),
+        col("record_id").as("__cap_id"),
+        col("warc_date").cast("string").as("__cap_date"))
+      .filter(col("__cdigest").isNotNull && col("__cap_date").isNotNull)
+    val need = rv.filter(col("__hdr_ref").isNull &&
+      col("payload_digest").isNotNull)
+    val resolved = need
+      .join(caps,
+        need("__cu") === caps("__ccu") &&
+          need("payload_digest") === caps("__cdigest") &&
+          caps("__cap_date") <= need("warc_date").cast("string"))
+      .groupBy(need("record_id").as("__rid"))
+      .agg(max_by(struct(col("__cap_id"), col("__cap_date")),
+        struct(col("__cap_date"), col("__cap_id"))).as("__c"))
+      .select(col("__rid"), col("__c.__cap_id").as("__res_id"),
+        col("__c.__cap_date").as("__res_date"))
+    rv.join(resolved, rv("record_id") === resolved("__rid"), "left")
+      .select(col("url"), rv("record_id"), col("warc_date"),
+        col("payload_digest"),
+        coalesce(col("__hdr_ref"), col("__res_id")).as("refers_to"),
+        coalesce(col("__hdr_ref_date"), col("__res_date"))
+          .as("refers_to_date"),
+        when(col("__hdr_ref").isNotNull, lit("header"))
+          .when(col("__res_id").isNotNull, lit("digest"))
+          .otherwise(lit(null).cast("string")).as("resolved_via"))
+  }
+
   /** [[latestByUrl]] with revisit freshness folded in: the kept row
     * per canonical URL is still the latest CAPTURE (revisits carry no
     * body), and `last_seen` = max(kept capture date, any revisit date

@@ -428,6 +428,32 @@ class WarcSpec extends SparkSpec {
     assert(out("http://x/w2") === (("plain utf-8 é世", "utf-8", null)))
   }
 
+  test("resolveRevisits: conversion captures resolve too; URL variants share a chain") {
+    val dir = Files.createTempDirectory("warc_dg")
+    dir.toFile.deleteOnExit()
+    def rec(t: String, uri: String, date: String, rid: String,
+        digest: String, body: String) =
+      Warc.buildRecord("WARC/1.0",
+        Seq("WARC-Type" -> t, "WARC-Target-URI" -> uri,
+          "WARC-Date" -> date, "WARC-Record-ID" -> rid,
+          "WARC-Payload-Digest" -> digest),
+        body.getBytes(UTF_8))
+    Files.write(dir.resolve("s.warc"),
+      // a WET conversion capture is a valid chain target
+      rec("conversion", "http://x/w", "2026-08-01T00:00:00Z",
+        "<urn:w1>", "sha1:WWW", "wet text") ++
+      // the revisit reaches it through a tracking-param URL variant
+      // (canonical keying)
+      rec("revisit", "http://x/w?utm_source=z", "2026-08-02T00:00:00Z",
+        "<urn:wr>", "sha1:WWW", ""))
+    val out = Warc.resolveRevisits(Warc.readWarcFiles(spark, dir.toString))
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("refers_to") === "<urn:w1>")
+    assert(out(0).getAs[String]("refers_to_date") === "2026-08-01T00:00:00Z")
+    assert(out(0).getAs[String]("resolved_via") === "digest")
+  }
+
   test("readNewWarc: nightly increment parses only unseen segments") {
     import graft.sources.IncrementalFiles
     val dir = Files.createTempDirectory("warc_inc")
