@@ -3884,6 +3884,53 @@ object SparkEntry {
         .select(col("node"), col("rank").as("pagerank"))
         .orderBy("node")
     }),
+    // INCREMENTAL host-graph PageRank — the nightly-increment analog
+    // of q_warc_incremental_curation for rank: the standing edge set
+    // (night 1 = even doc_ids' pages, extracted and materialized once)
+    // absorbs the increment's edges (night 2 = odd pages — extraction
+    // runs ONLY on them) via Crawl.mergeHostEdges, and the fixed-
+    // iteration recurrence re-runs on the merged, edge-registry-sized
+    // adjacency. The oracle is the FROM-SCRATCH recompute over all
+    // pages (the same modular link rule as q_outlink_pagerank) — the
+    // incremental fold must land on exactly the from-scratch answer
+    "q_incremental_pagerank" -> ((s, dir) => {
+      import graft.functions.UrlOps
+      val docs = Tables.documents(s, dir).select("doc_id", "source")
+      val base = docs.crossJoin(
+        broadcast(docs.agg(count(lit(1)).as("__n"))))
+      val ta = docs.select(col("doc_id").as("__ia"),
+        col("source").as("__sa"))
+      val tb = docs.select(col("doc_id").as("__ib"),
+        col("source").as("__sb"))
+      val linked = base
+        .join(ta, (col("doc_id") + 1) % col("__n") === col("__ia"))
+        .join(tb, (col("doc_id") * 7 + 3) % col("__n") === col("__ib"))
+      val html = concat(
+        lit("<html><body><a href=\"https://"), col("__sa"),
+        lit(".example.com/x\">a</a><a href=\"https://"), col("__sb"),
+        lit(".example.com/y\">b</a></body></html>"))
+      val pages = linked.select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.com/p"),
+          col("doc_id").cast("string")).as("url"),
+        html.as("html"))
+      def edges(p: DataFrame) = {
+        val links = UrlOps.extractOutlinks(p, "url", "html")
+        links.select(
+            UrlOps.hostNoPort(col("url")).as("ha"),
+            UrlOps.hostNoPort(col("outlink")).as("hb"))
+          .filter(col("ha") =!= col("hb"))
+      }
+      val standing = edges(pages.filter(col("doc_id") % 2 === 0))
+        .select(least(col("ha"), col("hb")).as("ha"),
+          greatest(col("ha"), col("hb")).as("hb"))
+        .distinct.materialized
+      val merged = graft.operators.Crawl.mergeHostEdges(standing,
+        edges(pages.filter(col("doc_id") % 2 === 1)))
+      Analytics.pageRank(merged, "ha", "hb", iterations = 10,
+          damping = 0.85)
+        .select(col("node"), col("rank").as("pagerank"))
+        .orderBy("node")
+    }),
     // the WHOLE discovery chain as one adjudicated query: robots
     // bodies declare sitemaps (robotsSitemaps — src1's synthesized XML
     // is dropped because its robots never declares one), sitemap XML
@@ -7374,6 +7421,27 @@ object SparkEntry {
     // joins for the linked sources) + the SHARED unrolled PageRank
     // recurrence — both sides run the identical arithmetic
     "q_outlink_pagerank" ->
+      ("""WITH nn0 AS (SELECT count(*) AS n FROM documents),
+         t AS (SELECT d.source,
+                 CAST((d.doc_id + 1) % nn0.n AS BIGINT) AS a1,
+                 CAST((d.doc_id * 7 + 3) % nn0.n AS BIGINT) AS a2
+               FROM documents d, nn0),
+         l AS (SELECT t.source AS s0, d2.source AS sa, d3.source AS sb
+               FROM t JOIN documents d2 ON d2.doc_id = t.a1
+                      JOIN documents d3 ON d3.doc_id = t.a2),
+         e0 AS (SELECT s0 || '.example.com' AS h1,
+                  sa || '.example.com' AS h2 FROM l
+                UNION ALL
+                SELECT s0 || '.example.com', sb || '.example.com' FROM l),
+         e AS (SELECT DISTINCT least(h1, h2) AS ia,
+                 greatest(h1, h2) AS ib
+               FROM e0 WHERE h1 <> h2),
+         """ + pageRankOracleTail(10)),
+    // the FROM-SCRATCH recompute over every page — night split absent
+    // on purpose: the Spark side folds night 2's edges into the
+    // materialized night-1 graph, and the theorem under adjudication
+    // is merged ≡ from-scratch (same CTE family as q_outlink_pagerank)
+    "q_incremental_pagerank" ->
       ("""WITH nn0 AS (SELECT count(*) AS n FROM documents),
          t AS (SELECT d.source,
                  CAST((d.doc_id + 1) % nn0.n AS BIGINT) AS a1,

@@ -64,4 +64,26 @@ object Crawl {
     if (frontier ne seen) frontier.released()
     seen
   }
+
+  /** Nightly host-graph maintenance — the rank analog of the standing
+    * dedup registry's `mergeComponents`: fold a crawl increment's new
+    * edges into the standing undirected edge set (set union, the EXACT
+    * merge). Rank itself is not exactly incrementally maintainable
+    * (one new edge perturbs every score), so the consumer re-runs the
+    * fixed-iteration recurrence ([[Analytics.pageRank]]) on the merged
+    * adjacency — which is EDGE-registry-sized, not crawl-sized: the
+    * expensive stage (outlink extraction from raw HTML) runs only on
+    * the increment, and the merged result is provably ≡ the
+    * from-scratch recompute (union is associative/idempotent; the
+    * recurrence is a pure function of the edge set — the
+    * q_incremental_pagerank oracle restates exactly that theorem).
+    * Both inputs are (aCol, bCol) undirected pairs in any orientation;
+    * output is (least, greatest)-normalized distinct. */
+  def mergeHostEdges(standing: DataFrame, increment: DataFrame,
+      aCol: String = "ha", bCol: String = "hb"): DataFrame = {
+    def norm(df: DataFrame) = df.select(
+      least(col(aCol), col(bCol)).as(aCol),
+      greatest(col(aCol), col(bCol)).as(bCol))
+    norm(standing).unionByName(norm(increment)).distinct
+  }
 }

@@ -56,4 +56,22 @@ class CrawlSpec extends SparkSpec {
     assert(out === Map("https://h.com/a" -> 0, "https://h.com/b" -> 1,
       "https://h.com/c" -> 0, "https://h.com/d" -> 1))
   }
+
+  test("mergeHostEdges: orientation-normalized set union, idempotent") {
+    val standing = Seq(("a.com", "b.com"), ("c.com", "b.com"))
+      .toDF("ha", "hb")
+    // the increment re-reports (b,a) in the OTHER orientation plus one
+    // genuinely new edge
+    val inc = Seq(("b.com", "a.com"), ("a.com", "d.com")).toDF("ha", "hb")
+    val merged = Crawl.mergeHostEdges(standing, inc)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(merged === Set(("a.com", "b.com"), ("b.com", "c.com"),
+      ("a.com", "d.com")))
+    // folding the same increment again changes nothing (set semantics —
+    // a re-parsed segment cannot double-count an edge)
+    val again = Crawl.mergeHostEdges(
+      Crawl.mergeHostEdges(standing, inc), inc)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(again === merged)
+  }
 }
