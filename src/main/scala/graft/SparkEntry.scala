@@ -3931,6 +3931,74 @@ object SparkEntry {
         .select(col("node"), col("rank").as("pagerank"))
         .orderBy("node")
     }),
+    // the FULL "crawl bytes → authority-weighted training mixture"
+    // story as ONE adjudicated query: anchors extracted from
+    // synthesized cross-host pages (the q_outlink_pagerank link rule,
+    // now with anchor TEXT) roll up into per-target-host authority
+    // (n_anchors, distinct linking hosts — the anchor-corpus signal),
+    // which drives the INTEGER source weight feeding matchMixture
+    // (kept/rate); host PageRank over the same extracted links rides
+    // along per source as the double-valued authority score. The
+    // weight stays integer-exact on purpose: deriving ints from the
+    // double rank (floor(rank·10⁶)) would gamble the exact compare on
+    // a floor boundary — rank is adjudicated under float tolerance in
+    // its own column instead. Oracle: the anchor rollup, weight, and
+    // min-ratio mixture restated relationally + the shared unrolled
+    // PageRank recurrence
+    "q_curated_corpus_v8" -> ((s, dir) => {
+      import graft.functions.UrlOps
+      val docs = Tables.documents(s, dir).select("doc_id", "source")
+      val base = docs.crossJoin(
+        broadcast(docs.agg(count(lit(1)).as("__n"))))
+      val ta = docs.select(col("doc_id").as("__ia"),
+        col("source").as("__sa"))
+      val tb = docs.select(col("doc_id").as("__ib"),
+        col("source").as("__sb"))
+      val linked = base
+        .join(ta, (col("doc_id") + 1) % col("__n") === col("__ia"))
+        .join(tb, (col("doc_id") * 7 + 3) % col("__n") === col("__ib"))
+      val html = concat(
+        lit("<html><body><a href=\"https://"), col("__sa"),
+        lit(".example.com/x\">link "), col("__sa"),
+        lit("</a><a href=\"https://"), col("__sb"),
+        lit(".example.com/y\">see "), col("__sb"),
+        lit("</a></body></html>"))
+      val pages = linked.select(
+        concat(lit("https://"), col("source"), lit(".example.com/p"),
+          col("doc_id").cast("string")).as("url"),
+        html.as("html"))
+      val anchors = UrlOps.extractAnchors(pages, "url", "html")
+        .select(UrlOps.hostNoPort(col("url")).as("src_host"),
+          UrlOps.hostNoPort(col("outlink")).as("dst_host"))
+        .filter(col("src_host") =!= col("dst_host"))
+        .materialized // one extraction feeds authority AND the graph
+      val auth = anchors.groupBy(col("dst_host").as("host"))
+        .agg(count(lit(1)).cast("long").as("n_anchors"),
+          countDistinct(col("src_host")).cast("long")
+            .as("n_link_sources"))
+      val edges = anchors.select(
+          least(col("src_host"), col("dst_host")).as("ha"),
+          greatest(col("src_host"), col("dst_host")).as("hb"))
+        .distinct
+      val pr = Analytics.pageRank(edges, "ha", "hb", iterations = 10,
+          damping = 0.85)
+        .select(col("node").as("host"), col("rank").as("pagerank"))
+      val weights = docs.select(col("source")).distinct()
+        .withColumn("host", concat(col("source"), lit(".example.com")))
+        .join(broadcast(auth), Seq("host"), "left")
+        .select(col("source"), col("host"),
+          coalesce(col("n_anchors"), lit(0L)).as("n_anchors"),
+          coalesce(col("n_link_sources"), lit(0L)).as("n_link_sources"),
+          greatest(lit(1L), coalesce(col("n_anchors"), lit(0L)) * 10L +
+            coalesce(col("n_link_sources"), lit(0L))).as("w"))
+      Scale.matchMixture(docs, "source", weights.select("source", "w"))
+        .join(broadcast(weights.drop("w")), Seq("source"))
+        .join(broadcast(pr), Seq("host"))
+        .select(col("source"), col("n_docs"), col("n_anchors"),
+          col("n_link_sources"), col("w"), col("kept"),
+          col("rate_micro"), col("pagerank"))
+        .orderBy("source")
+    }),
     // the WHOLE discovery chain as one adjudicated query: robots
     // bodies declare sitemaps (robotsSitemaps — src1's synthesized XML
     // is dropped because its robots never declares one), sitemap XML
@@ -4822,10 +4890,11 @@ object SparkEntry {
       "decode_error) ORDER BY url"
   }
 
-  /** The adj/deg/r0 + unrolled-iteration tail of the PageRank oracle,
-    * shared by every graph instance: `graphCtes` must define
-    * `e(ia, ib)`, the undirected edge set. */
-  private def pageRankOracleTail(iters: Int): String = {
+  /** The adj/deg/r0 + unrolled-iteration CTE chain of the PageRank
+    * oracle, shared by every graph instance: the preceding CTEs must
+    * define `e(ia, ib)`, the undirected edge set; the final rank
+    * relation is `r<iters>(node, pagerank)`. */
+  private def pageRankOracleCtes(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""r$k AS (SELECT nodes.node,
          (1.0::DOUBLE - 0.85::DOUBLE) / nn.n
@@ -4844,9 +4913,14 @@ object SparkEntry {
          nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
          r0 AS (SELECT node, 1.0::DOUBLE / nn.n AS pagerank
                 FROM nodes CROSS JOIN nn),
-         $steps
-         SELECT node, pagerank FROM r$iters ORDER BY node"""
+         $steps"""
   }
+
+  /** [[pageRankOracleCtes]] + the standard final projection. */
+  private def pageRankOracleTail(iters: Int): String =
+    pageRankOracleCtes(iters) +
+      s"""
+         SELECT node, pagerank FROM r$iters ORDER BY node"""
 
   private def pageRankOracleSql(iters: Int): String =
     s"""WITH g AS (SELECT DISTINCT l_orderkey AS grp, l_partkey AS item
@@ -7437,6 +7511,52 @@ object SparkEntry {
                  greatest(h1, h2) AS ib
                FROM e0 WHERE h1 <> h2),
          """ + pageRankOracleTail(10)),
+    // anchors → per-target authority → integer weight → min-ratio
+    // mixture, + the shared unrolled PageRank recurrence joined per
+    // source host (double, tolerance-compared)
+    "q_curated_corpus_v8" ->
+      ("""WITH nn0 AS (SELECT count(*) AS n FROM documents),
+         t AS (SELECT d.source,
+                 CAST((d.doc_id + 1) % nn0.n AS BIGINT) AS a1,
+                 CAST((d.doc_id * 7 + 3) % nn0.n AS BIGINT) AS a2
+               FROM documents d, nn0),
+         l AS (SELECT t.source AS s0, d2.source AS sa, d3.source AS sb
+               FROM t JOIN documents d2 ON d2.doc_id = t.a1
+                      JOIN documents d3 ON d3.doc_id = t.a2),
+         an0 AS (SELECT s0 || '.example.com' AS src,
+                   sa || '.example.com' AS dst FROM l
+                 UNION ALL
+                 SELECT s0 || '.example.com', sb || '.example.com' FROM l),
+         an AS (SELECT src, dst FROM an0 WHERE src <> dst),
+         auth AS (SELECT dst AS host, CAST(count(*) AS BIGINT) AS n_anchors,
+                    CAST(count(DISTINCT src) AS BIGINT) AS n_link_sources
+                  FROM an GROUP BY 1),
+         c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY 1),
+         w AS (SELECT c.source, c.n_docs,
+                 coalesce(auth.n_anchors, CAST(0 AS BIGINT)) AS n_anchors,
+                 coalesce(auth.n_link_sources, CAST(0 AS BIGINT))
+                   AS n_link_sources,
+                 greatest(CAST(1 AS BIGINT),
+                   coalesce(auth.n_anchors, CAST(0 AS BIGINT)) * 10 +
+                     coalesce(auth.n_link_sources, CAST(0 AS BIGINT)))
+                   AS w
+               FROM c LEFT JOIN auth
+                 ON auth.host = c.source || '.example.com'),
+         k AS (SELECT a.source,
+                 CAST(min((b.n_docs * a.w) // b.w) AS BIGINT) AS kept
+               FROM w a CROSS JOIN w b GROUP BY 1),
+         e AS (SELECT DISTINCT least(src, dst) AS ia,
+                 greatest(src, dst) AS ib FROM an),
+         """ + pageRankOracleCtes(10) + """
+         SELECT w.source, w.n_docs, w.n_anchors, w.n_link_sources, w.w,
+                k.kept,
+                CAST((CAST(1000000 AS BIGINT) * k.kept) // w.n_docs
+                  AS BIGINT) AS rate_micro,
+                r10.pagerank AS pagerank
+         FROM w JOIN k USING (source)
+         JOIN r10 ON r10.node = w.source || '.example.com'
+         ORDER BY w.source"""),
     // the FROM-SCRATCH recompute over every page — night split absent
     // on purpose: the Spark side folds night 2's edges into the
     // materialized night-1 graph, and the theorem under adjudication
