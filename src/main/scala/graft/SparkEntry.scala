@@ -4762,6 +4762,11 @@ object SparkEntry {
     if (!done.exists()) {
       n1.mkdirs(); n2.mkdirs()
       val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      // TEST-FIXTURE ONLY: collects the full document text to the
+      // driver to write the planted segments — fine for a once-per-SF
+      // fixture build behind the _done marker, NOT a pattern for
+      // corpus-scale code (production WARC writing would stream
+      // per-partition)
       val docs = Tables.documents(s, dir)
         .select("doc_id", "source", "text").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2)))

@@ -999,6 +999,54 @@ object ScaleProbe {
         f"outlinks=$to%.1fs($no%d links) latest=$tl%.1fs($nl%d urls) " +
         f"latest_skew=$tsk%.1fs($nsk%d urls)")
     }
+
+    // R13: (a) the STREAMING WARC reader over growing single-file
+    // segments — time must be linear in decoded bytes (the reader is
+    // one pass) while the former whole-file decode held compressed +
+    // decoded + records simultaneously; (b) HtmlLinks single-pass
+    // extraction over LARGE pages (fixture pages are ~200 B; real
+    // pages are 10–500 KB, where a 6-regex-pass stack pays 6 scans) —
+    // MB/s must hold flat as page size grows 64×
+    for (k <- Seq(1, 2, 4, 8) if on("r13")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"r13warc$k")
+      dir.toFile.deleteOnExit()
+      val payload = ("lorem ipsum dolor sit amet " * 180).trim // ~4.8 KB
+      val members = 2000 * k
+      val member = graft.sources.Warc.gzip(graft.sources.Warc.buildRecord(
+        "WARC/1.0", Seq("WARC-Type" -> "conversion",
+          "WARC-Target-URI" -> "http://probe.example.com/d"),
+        payload.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      val out = new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(dir.resolve("seg-0.warc.gz")))
+      try (0 until members).foreach(_ => out.write(member))
+      finally out.close()
+      val decodedMb = members.toLong * (payload.length + 150) / 1e6
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (tw, nw) = time(graft.sources.Warc
+        .readWarcFiles(spark, dir.toString)
+        .filter(col("error").isNull).count())
+      // big-page extraction: same link set, page body grows with k
+      val body = ("filler prose with no links whatsoever " * (400 * k))
+      val bigHtml = concat(
+        lit("<html><head><!-- " + body.take(2000) + " --></head><body>"),
+        lit("<a href=\"rel/p"), col("doc_id").cast("string"),
+        lit(".html\">r</a><script>var x = 1;</script><p>" + body +
+          "</p><img src='i.png'></body></html>"))
+      val pages = base.limit(2000).select(col("doc_id"),
+        concat(lit("https://probe.example.com/p"),
+          col("doc_id").cast("string")).as("url"), bigHtml.as("html"))
+      val pageKb = (body.length + 2300) / 1000.0
+      val (te, ne) = time(graft.functions.UrlOps
+        .extractOutlinks(pages, "url", "html").count())
+      val scannedMb = 2000L * (body.length + 2300) / 1e6
+      println(f"R13PROBE k=$k%d warc_members=$members%d " +
+        f"parse=$tw%.1fs($nw%d recs, ${decodedMb / tw}%.0f MB/s) " +
+        f"bigpage=${pageKb}%.0fKB extract=$te%.1fs($ne%d links, " +
+        f"${scannedMb / te}%.0f MB/s)")
+    }
     spark.stop()
   }
 }
