@@ -3536,6 +3536,17 @@ object SparkEntry {
           col("last_seen"), sha2(col("text"), 256).as("body_sha256"))
         .orderBy("canonical_url")
     }),
+    // WAT-style crawl metadata (the third Common Crawl artifact format
+    // next to WARC/WET): per response record — envelope (status, mime,
+    // redirect Location), decode (charset/encoding), and the HTML link
+    // rollup (title, base, link/anchor counts, sorted distinct
+    // RESOLVED outlink hosts — per-ref RFC 3986 resolution in-array,
+    // no explode, no shuffle). Responses only; non-HTML bodies report
+    // zero links. Oracle = hand-derived literals per planted record
+    "q_warc_wat" -> ((s, dir) =>
+      graft.sources.Warc.watFrame(
+        graft.sources.Warc.readWarcFiles(s, warcWatFixtureDir(dir)))
+        .orderBy("record_id")),
     // WARC-Payload-Digest revisit chains (the Common Crawl dedupe
     // convention at its most common): revisits WITHOUT a
     // WARC-Refers-To header resolve to the duplicated capture by
@@ -4742,6 +4753,96 @@ object SparkEntry {
     "SELECT * FROM (VALUES " + rows.mkString(", ") +
       ") t(url, record_id, warc_date, payload_digest, refers_to, " +
       "refers_to_date, resolved_via) ORDER BY record_id"
+  }
+
+  /** WAT fixture: one segment of planted `response` records exercising
+    * every watFrame column — an HTML page (title with markup-adjacent
+    * whitespace, absolute/relative/img/single-quoted links + a comment
+    * phantom that must NOT count), a 301 redirect with a Location
+    * header and an empty body, a PNG (non-HTML: zero links, NULL
+    * title), an HTML page under a `<base href>` (host resolution must
+    * follow the base), plus a conversion record that must be EXCLUDED
+    * (responses only). */
+  private def warcWatFixtureDir(dir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_warcwat_" + dir.replaceAll("[^0-9a-zA-Z]+", "_"))
+    tmp.mkdirs()
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def resp(uri: String, rid: String, httpHdrs: Seq[String],
+        body: Array[Byte]) =
+      graft.sources.Warc.buildRecord("WARC/1.0",
+        Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+          "WARC-Date" -> "2026-08-10T00:00:00Z", "WARC-Record-ID" -> rid),
+        ("HTTP/1.1 " + httpHdrs.head + "\r\n" +
+          httpHdrs.tail.map(_ + "\r\n").mkString + "\r\n").getBytes(utf8)
+          ++ body)
+    val page1 = ("<html><head><title>  Alpha &amp;\n Beta  </title></head>" +
+      "<body><a href=\"https://ext.example.net/x\">ext</a>" +
+      "<a href='rel/p.html'>rel</a><img src=\"/img/i.png\">" +
+      "<!-- <a href=\"https://phantom.example.org/\">no</a> -->" +
+      "</body></html>").getBytes(utf8)
+    val page2 = ("<html><head><base href=\"https://cdn.example.org/lib/\">" +
+      "</head><body><a href=\"util.js\">u</a></body></html>").getBytes(utf8)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    val recs = Seq(
+      resp("http://wat.example.com/p1", "<urn:wat:1>",
+        Seq("200 OK", "Content-Type: text/html; charset=UTF-8"), page1),
+      resp("http://wat.example.com/old", "<urn:wat:2>",
+        Seq("301 Moved Permanently", "Content-Type: text/html",
+          "Location: http://wat.example.com/new"), Array.emptyByteArray),
+      resp("http://wat.example.com/i.png", "<urn:wat:3>",
+        Seq("200 OK", "Content-Type: image/png"), png),
+      resp("http://wat.example.com/p2", "<urn:wat:4>",
+        Seq("200 OK", "Content-Type: text/html"), page2),
+      graft.sources.Warc.buildRecord("WARC/1.0",
+        Seq("WARC-Type" -> "conversion",
+          "WARC-Target-URI" -> "http://wat.example.com/wet",
+          "WARC-Date" -> "2026-08-10T00:00:00Z",
+          "WARC-Record-ID" -> "<urn:wat:5>"),
+        "plain text".getBytes(utf8)))
+    java.nio.file.Files.write(tmp.toPath.resolve("seg-wat.warc.gz"),
+      graft.sources.Warc.gzip(recs.reduce(_ ++ _)))
+    tmp.getAbsolutePath
+  }
+
+  /** VALUES-literal oracle for q_warc_wat — every column hand-derived
+    * from the planted records. */
+  private def warcWatOracleSql: String = {
+    def s(x: String) = if (x == null) "CAST(NULL AS VARCHAR)" else s"'$x'"
+    def i(x: java.lang.Integer) =
+      if (x == null) "CAST(NULL AS INTEGER)" else s"CAST($x AS INTEGER)"
+    val rows = Seq(
+      // p1: ext link + rel link + img src count (comment phantom does
+      // not); hosts of resolved links = ext.example.net + wat host
+      ("http://wat.example.com/p1", "<urn:wat:1>",
+        Int.box(200), "text/html", null, "utf-8",
+        "Alpha &amp; Beta", null, 3L, 2L, 2L,
+        "ext.example.net|wat.example.com"),
+      // 301: Location reported; empty body → no <title>, no links
+      ("http://wat.example.com/old", "<urn:wat:2>",
+        Int.box(301), "text/html", "http://wat.example.com/new",
+        "utf-8", null, null, 0L, 0L, 0L, ""),
+      // PNG: non-HTML — no link scan at all; the binary body fails the
+      // strict UTF-8 trial so the decode heuristic reports its 1252
+      // fallback (the body text is never consumed here)
+      ("http://wat.example.com/i.png", "<urn:wat:3>",
+        Int.box(200), "image/png", null, "windows-1252", null, null,
+        0L, 0L, 0L, ""),
+      // p2: base-relative link resolves to the base's host
+      ("http://wat.example.com/p2", "<urn:wat:4>",
+        Int.box(200), "text/html", null, "utf-8", null,
+        "https://cdn.example.org/lib/", 1L, 1L, 1L, "cdn.example.org"))
+      .map { case (u, rid, st, mime, loc, cs, title, base, nl, na, nh, lh) =>
+        s"(${s(u)}, ${s(rid)}, '2026-08-10T00:00:00Z', ${i(st)}, " +
+          s"${s(mime)}, ${s(loc)}, ${s(cs)}, CAST(NULL AS VARCHAR), " +
+          s"${s(title)}, ${s(base)}, CAST($nl AS BIGINT), " +
+          s"CAST($na AS BIGINT), CAST($nh AS BIGINT), ${s(lh)})"
+      }
+    "SELECT * FROM (VALUES " + rows.mkString(", ") +
+      ") t(url, record_id, warc_date, http_status, mime, " +
+      "redirect_location, charset, content_encoding, title, base_href, " +
+      "n_links, n_anchor_links, n_link_hosts, link_hosts) " +
+      "ORDER BY record_id"
   }
 
   /** Two "nights" of WARC crawl segments DERIVED FROM the documents
@@ -7298,6 +7399,8 @@ object SparkEntry {
     // at-or-before capture per (canonical URL, digest), header
     // passthrough, URL-scoped misses unresolved
     "q_revisit_chains" -> revisitChainsOracleSql,
+    // hand-derived WAT metadata literals per planted response
+    "q_warc_wat" -> warcWatOracleSql,
     // keep-latest winner per hand-derived canonical key: the three URL
     // variants of group g all canonicalize to .../p/g; winner = max
     // (warc_date, record_id) restated as a window

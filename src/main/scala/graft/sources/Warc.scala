@@ -806,6 +806,85 @@ object Warc {
         hdr("warc-refers-to-date").as("refers_to_date"))
   }
 
+  /** WAT-style metadata frame — the third Common Crawl artifact
+    * format next to WARC (raw) and WET (text): per `response` record,
+    * the crawl METADATA a link-graph / frontier / indexing pipeline
+    * consumes without ever touching bodies downstream. Envelope
+    * fields (status, mime, redirect `Location` — the header a
+    * redirect-chain resolver follows), decode fields (charset,
+    * content_encoding via [[graft.expressions.HttpBodyDecode]]), and
+    * for HTML bodies a [[graft.expressions.HtmlLinks]] single-pass
+    * rollup: title (whitespace-collapsed), the effective `<base
+    * href>`, link/anchor counts, and the sorted distinct RESOLVED
+    * outlink hosts (RFC 3986 resolution per ref, in-array — no
+    * explode, no shuffle). Non-HTML and undecodable bodies report
+    * zero links with NULL title/base. Pure scan-local projection over
+    * the record frame: payload bytes stay in the task that parsed the
+    * file; the output is metadata-sized. Output: (url, record_id,
+    * warc_date, http_status, mime, redirect_location, charset,
+    * content_encoding, title, base_href, n_links, n_anchor_links,
+    * n_link_hosts, link_hosts). */
+  def watFrame(records: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftglue.Bridge
+    import graft.functions.UrlOps
+    // envelope extracts over the latin1 header block (byte-exact, the
+    // documentsFrame discipline)
+    val txt = decode(col("payload"), "ISO-8859-1")
+    val bodyPos = locate("\r\n\r\n", txt)
+    val hdrBlock = when(bodyPos > 0, txt.substr(lit(1), bodyPos - 1))
+      .otherwise(txt)
+    val status = regexp_extract(hdrBlock, "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+    val ctype = regexp_extract(hdrBlock,
+      "(?i)(?:^|\r\n)content-type:\\s*([^\r\n;]+)", 1)
+    val location = regexp_extract(hdrBlock,
+      "(?i)(?:^|\r\n)location:\\s*([^\r\n]+)", 1)
+    val dec = Bridge.column(
+      graft.expressions.HttpBodyDecode(Bridge.expression(col("payload"))))
+    val base0 = records
+      .filter(col("error").isNull && col("warc_type") === "response")
+      .withColumn("__dec", dec)
+      .select(col("target_uri").as("url"), col("record_id"),
+        col("warc_date"),
+        when(status =!= "", status.cast("int")).as("http_status"),
+        when(ctype =!= "", lower(trim(ctype))).as("mime"),
+        when(location =!= "", trim(location)).as("redirect_location"),
+        col("__dec.charset").as("charset"),
+        col("__dec.content_encoding").as("content_encoding"),
+        col("__dec.text").as("__text"))
+    val isHtml = (col("mime").isNull || col("mime").contains("html")) &&
+      col("__text").isNotNull
+    val hl = Bridge.column(
+      graft.expressions.HtmlLinks(Bridge.expression(col("__text"))))
+    val withHl = base0.withColumn("__hl", when(isHtml, hl))
+    val effBase = when(col("__hl.base").isNull, col("url"))
+      .otherwise(coalesce(UrlOps.resolveRef(col("url"), col("__hl.base")),
+        col("url")))
+    val resolvedHosts = array_sort(array_distinct(filter(
+      transform(col("__hl.refs"),
+        r => UrlOps.hostNoPort(
+          UrlOps.resolveRef(col("__base"), r.getField("ref")))),
+      h => h.isNotNull && h =!= "")))
+    val title = regexp_extract(col("__text"),
+      "(?is)<title[^>]*>(.*?)</title>", 1)
+    withHl
+      .withColumn("__base", when(col("__hl").isNotNull, effBase))
+      .select(col("url"), col("record_id"), col("warc_date"),
+        col("http_status"), col("mime"), col("redirect_location"),
+        col("charset"), col("content_encoding"),
+        when(col("__hl").isNotNull && title =!= "",
+          trim(regexp_replace(title, "\\s+", " "))).as("title"),
+        col("__hl.base").as("base_href"),
+        coalesce(size(col("__hl.refs")), lit(0)).cast("long")
+          .as("n_links"),
+        coalesce(size(filter(col("__hl.refs"),
+          r => r.getField("anchor").isNotNull)), lit(0)).cast("long")
+          .as("n_anchor_links"),
+        coalesce(size(when(col("__hl").isNotNull, resolvedHosts)), lit(0))
+          .cast("long").as("n_link_hosts"),
+        concat_ws("|", when(col("__hl").isNotNull, resolvedHosts))
+          .as("link_hosts"))
+  }
+
   /** Resolve revisit records to the capture they duplicate — the
     * WARC-Payload-Digest convention (Common Crawl): a `revisit` may
     * name its original via `WARC-Refers-To` (+ the optional 1.1

@@ -428,6 +428,34 @@ class WarcSpec extends SparkSpec {
     assert(out("http://x/w2") === (("plain utf-8 é世", "utf-8", null)))
   }
 
+  test("watFrame: metadata-only rollup — gzip body, mime gate, anchors inside bodies") {
+    val dir = Files.createTempDirectory("warc_wat")
+    dir.toFile.deleteOnExit()
+    // a gzip-encoded HTML body: the WAT rollup must decode through
+    // Content-Encoding exactly like the text tier
+    val html = "<html><head><title>T</title></head><body>" +
+      "<a href=\"https://a.example.com/x\">a</a>" +
+      "<a href=\"https://a.example.com/y\">b</a></body></html>"
+    val body = Warc.gzip(html.getBytes(UTF_8))
+    Files.write(dir.resolve("w.warc"),
+      Warc.buildRecord("WARC/1.0",
+        Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://x/gz",
+          "WARC-Date" -> "2026-08-10T00:00:00Z",
+          "WARC-Record-ID" -> "<urn:wat:gz>"),
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n" +
+          "Content-Encoding: gzip\r\n\r\n").getBytes(UTF_8) ++ body))
+    val out = Warc.watFrame(Warc.readWarcFiles(spark, dir.toString))
+      .collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[String]("content_encoding") === "gzip")
+    assert(r.getAs[String]("title") === "T")
+    assert(r.getAs[Long]("n_links") === 2L)
+    assert(r.getAs[Long]("n_anchor_links") === 2L)
+    assert(r.getAs[Long]("n_link_hosts") === 1L)
+    assert(r.getAs[String]("link_hosts") === "a.example.com")
+  }
+
   test("resolveRevisits: conversion captures resolve too; URL variants share a chain") {
     val dir = Files.createTempDirectory("warc_dg")
     dir.toFile.deleteOnExit()
