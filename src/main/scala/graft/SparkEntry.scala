@@ -3547,6 +3547,26 @@ object SparkEntry {
       graft.sources.Warc.watFrame(
         graft.sources.Warc.readWarcFiles(s, warcWatFixtureDir(dir)))
         .orderBy("record_id")),
+    // redirect-chain resolution: a deterministic functional graph over
+    // document urls (d%3!=0 redirects u(d) → u((2d+1) mod N); d%3==0
+    // is terminal) resolved by POINTER DOUBLING — 4 registry-sized
+    // self-joins cover 16 hops. The oracle walks the same graph with a
+    // recursive CTE bounded at 16 steps: final node, exact hop count,
+    // and resolved ⟺ the final node no longer redirects (cycles and
+    // >16-hop chains surface as unresolved on BOTH sides)
+    "q_redirect_chains" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id")
+      val n = broadcast(docs.agg(count(lit(1)).as("__n")))
+      def u(c: org.apache.spark.sql.Column) =
+        concat(lit("http://r.example.com/u"), c.cast("string"))
+      val edges = docs.crossJoin(n)
+        .filter(col("doc_id") % 3 =!= 0)
+        .select(u(col("doc_id")).as("src"),
+          u((col("doc_id") * 2 + 1) % col("__n")).as("dst"))
+      graft.operators.Crawl.resolveRedirects(edges, "src", "dst",
+          maxHops = 16)
+        .orderBy("url")
+    }),
     // WARC-Payload-Digest revisit chains (the Common Crawl dedupe
     // convention at its most common): revisits WITHOUT a
     // WARC-Refers-To header resolve to the duplicated capture by
@@ -7401,6 +7421,33 @@ object SparkEntry {
     "q_revisit_chains" -> revisitChainsOracleSql,
     // hand-derived WAT metadata literals per planted response
     "q_warc_wat" -> warcWatOracleSql,
+    // the same functional graph walked step-by-step (recursive CTE,
+    // 16-hop bound): last reached node per source, exact hops,
+    // resolved ⟺ final is not itself a source — must equal the
+    // pointer-doubled composition exactly
+    "q_redirect_chains" ->
+      """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+         e AS (SELECT 'http://r.example.com/u' || CAST(doc_id AS VARCHAR)
+                 AS src,
+                 'http://r.example.com/u' ||
+                   CAST((doc_id * 2 + 1) % nn.n AS VARCHAR) AS dst
+               FROM documents, nn WHERE doc_id % 3 <> 0),
+         walk(src, cur, hop) AS (
+           SELECT src, dst, 1 FROM e
+           UNION ALL
+           SELECT w.src, e.dst, w.hop + 1
+           FROM walk w JOIN e ON e.src = w.cur
+           WHERE w.hop < 16),
+         last AS (SELECT src, cur, hop FROM (
+             SELECT src, cur, hop, row_number() OVER (
+               PARTITION BY src ORDER BY hop DESC) AS rn
+             FROM walk) WHERE rn = 1)
+         SELECT l.src AS url, l.cur AS final_url,
+                CAST(l.hop AS BIGINT) AS hops,
+                (s.src IS NULL) AS resolved
+         FROM last l LEFT JOIN (SELECT DISTINCT src FROM e) s
+           ON s.src = l.cur
+         ORDER BY url""",
     // keep-latest winner per hand-derived canonical key: the three URL
     // variants of group g all canonicalize to .../p/g; winner = max
     // (warc_date, record_id) restated as a window

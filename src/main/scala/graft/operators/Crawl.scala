@@ -65,6 +65,53 @@ object Crawl {
     seen
   }
 
+  /** Redirect-chain resolution — map every redirecting URL to its
+    * final target (the canonicalization step between the WAT tier's
+    * `redirect_location` column and URL-keyed dedup: a page reached
+    * via 301 chains must key under its FINAL url). POINTER DOUBLING
+    * over the functional graph instead of hop-by-hop iteration: each
+    * round composes the mapping with itself (m′(u) = m(m(u)), hops
+    * adding), so chains up to 2^r hops collapse in r registry-sized
+    * self-joins — ceil(log2(maxHops)) rounds, not maxHops. Terminals
+    * absorb (a url with no outgoing redirect stays fixed); cycles and
+    * over-long chains surface as `resolved = false` (the final url
+    * still redirects) — never dropped, never an infinite loop.
+    * Duplicate sources (two Locations recorded for one url) collapse
+    * deterministically to max(dst) — run [[graft.sources.Warc
+    * .latestByUrl]] upstream for date-aware selection. Effective hop
+    * bound = the next power of two ≥ `maxHops` (exactly 2^rounds —
+    * state it in oracles). Each round's frame is cut through
+    * [[graft.Reuse]]. Output: one row per REDIRECTING url —
+    * (url, final_url, hops, resolved). */
+  def resolveRedirects(redirects: DataFrame, srcCol: String,
+      dstCol: String, maxHops: Int = 16): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    var rounds = 0
+    var reach = 1L
+    while (reach < maxHops) { reach <<= 1; rounds += 1 }
+    var m = redirects
+      .groupBy(col(srcCol).cast("string").as("src"))
+      .agg(max(col(dstCol).cast("string")).as("dst"))
+      .withColumn("hops", lit(1L)).materialized
+    for (_ <- 0 until rounds) {
+      val b = m.select(col("src").as("__bs"), col("dst").as("__bd"),
+        col("hops").as("__bh"))
+      val prev = m
+      m = m.join(b, m("dst") === b("__bs"), "left")
+        .select(col("src"), coalesce(col("__bd"), col("dst")).as("dst"),
+          (col("hops") + coalesce(col("__bh"), lit(0L))).as("hops"))
+        .materialized
+      prev.released()
+    }
+    // resolved ⟺ the final url no longer redirects (not a source).
+    // m is NOT released: both sides of this join read it (the Reuse
+    // discipline releases only superseded round frames)
+    val srcs = m.select(col("src").as("__t")).distinct
+    m.join(srcs, m("dst") === col("__t"), "left")
+      .select(col("src").as("url"), col("dst").as("final_url"),
+        col("hops"), col("__t").isNull.as("resolved"))
+  }
+
   /** Nightly host-graph maintenance — the rank analog of the standing
     * dedup registry's `mergeComponents`: fold a crawl increment's new
     * edges into the standing undirected edge set (set union, the EXACT

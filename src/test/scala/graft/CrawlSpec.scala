@@ -57,6 +57,34 @@ class CrawlSpec extends SparkSpec {
       "https://h.com/c" -> 0, "https://h.com/d" -> 1))
   }
 
+  test("resolveRedirects: chains collapse, cycles surface, duplicates dedup deterministically") {
+    val edges = Seq(
+      // 3-hop chain into a terminal
+      ("http://x/a", "http://x/b"), ("http://x/b", "http://x/c"),
+      ("http://x/c", "http://x/final"),
+      // 2-cycle
+      ("http://x/p", "http://x/q"), ("http://x/q", "http://x/p"),
+      // self-redirect
+      ("http://x/s", "http://x/s"),
+      // duplicate source: max(dst) wins deterministically
+      ("http://x/d", "http://x/t1"), ("http://x/d", "http://x/t2"))
+      .toDF("src", "dst")
+    val out = Crawl.resolveRedirects(edges, "src", "dst", maxHops = 16)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("http://x/a") === (("http://x/final", 3L, true)))
+    assert(out("http://x/b") === (("http://x/final", 2L, true)))
+    assert(out("http://x/c") === (("http://x/final", 1L, true)))
+    // cycle members compose to themselves at the 16-hop bound, still
+    // redirecting → unresolved, never an infinite loop
+    assert(out("http://x/p") === (("http://x/p", 16L, false)))
+    assert(out("http://x/q") === (("http://x/q", 16L, false)))
+    assert(out("http://x/s") === (("http://x/s", 16L, false)))
+    assert(out("http://x/d") === (("http://x/t2", 1L, true)))
+    intercept[IllegalArgumentException](
+      Crawl.resolveRedirects(edges, "src", "dst", maxHops = 0))
+  }
+
   test("mergeHostEdges: orientation-normalized set union, idempotent") {
     val standing = Seq(("a.com", "b.com"), ("c.com", "b.com"))
       .toDF("ha", "hb")
