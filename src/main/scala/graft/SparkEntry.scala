@@ -3567,6 +3567,49 @@ object SparkEntry {
           maxHops = 16)
         .orderBy("url")
     }),
+    // redirect-aware URL dedup — resolveRedirects composed INTO
+    // latestByUrl (the "what it's for" chain): captures recorded under
+    // old urls (d%5==0 once-moved at /old, d%10==0 twice-moved at
+    // /older → /old → /p) re-key under their redirect-resolved FINAL
+    // url before keep-latest. Load-bearing by construction: the
+    // once-moved pages' OLD-url capture is the NEWEST (2026-09-01), so
+    // it must WIN its merged group — and without the rewrite the old
+    // captures would surface as extra canonical groups (row-count
+    // mismatch). Oracle: the per-doc winner derived literally
+    "q_redirected_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id")
+      val id = col("doc_id").cast("string")
+      val day = lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0")
+      def cu(p: String) = concat(lit(s"http://rd.example.com/$p"), id)
+      val cur = docs.select(cu("p").as("url"),
+        concat(lit("rc-"), id).as("record_id"),
+        concat(lit("2026-08-"), day, lit("T00:00:00Z")).as("warc_date"))
+      val old1 = docs.filter(col("doc_id") % 5 === 0)
+        .select(cu("old").as("url"), concat(lit("ro-"), id).as("record_id"),
+          lit("2026-09-01T00:00:00Z").as("warc_date"))
+      val old2 = docs.filter(col("doc_id") % 10 === 0)
+        .select(cu("older").as("url"), concat(lit("rq-"), id).as("record_id"),
+          lit("2026-07-01T00:00:00Z").as("warc_date"))
+      val caps = cur.unionByName(old1).unionByName(old2)
+      val edges = docs.filter(col("doc_id") % 5 === 0)
+        .select(cu("old").as("src"), cu("p").as("dst"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select(cu("older").as("src"), cu("old").as("dst")))
+      val rd = graft.operators.Crawl.resolveRedirects(edges, "src", "dst",
+          maxHops = 16)
+        .filter(col("resolved"))
+        .select(col("url").as("__ru"), col("final_url"))
+      // NOT broadcast: a web-scale redirect map is url-count-sized
+      // (10⁸ rows at 100 TB) — a plain equi-join on the url key, AQE
+      // picks the strategy at actual sizes
+      val rewritten = caps
+        .join(rd, caps("url") === col("__ru"), "left")
+        .select(coalesce(col("final_url"), caps("url")).as("url"),
+          col("record_id"), col("warc_date"))
+      graft.sources.Warc.latestByUrl(rewritten)
+        .select(col("canonical_url"), col("record_id"), col("warc_date"))
+        .orderBy("canonical_url")
+    }),
     // WARC-Payload-Digest revisit chains (the Common Crawl dedupe
     // convention at its most common): revisits WITHOUT a
     // WARC-Refers-To header resolve to the duplicated capture by
@@ -7421,6 +7464,22 @@ object SparkEntry {
     "q_revisit_chains" -> revisitChainsOracleSql,
     // hand-derived WAT metadata literals per planted response
     "q_warc_wat" -> warcWatOracleSql,
+    // the per-doc winner derived literally: once-moved pages' newest
+    // capture is the OLD-url one (ro-, 2026-09-01) — it must appear
+    // under the FINAL url; everyone else keeps the current capture.
+    // Exactly one row per doc: any un-rewritten old capture would
+    // surface as an extra canonical group and fail the row count
+    "q_redirected_dedup" ->
+      """SELECT 'http://rd.example.com/p' || CAST(doc_id AS VARCHAR)
+             AS canonical_url,
+           CASE WHEN doc_id % 5 = 0
+             THEN 'ro-' || CAST(doc_id AS VARCHAR)
+             ELSE 'rc-' || CAST(doc_id AS VARCHAR) END AS record_id,
+           CASE WHEN doc_id % 5 = 0 THEN '2026-09-01T00:00:00Z'
+             ELSE '2026-08-' ||
+               lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0') ||
+               'T00:00:00Z' END AS warc_date
+         FROM documents ORDER BY canonical_url""",
     // the same functional graph walked step-by-step (recursive CTE,
     // 16-hop bound): last reached node per source, exact hops,
     // resolved ⟺ final is not itself a source — must equal the
