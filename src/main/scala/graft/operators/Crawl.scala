@@ -128,9 +128,15 @@ object Crawl {
     * output is (least, greatest)-normalized distinct. */
   def mergeHostEdges(standing: DataFrame, increment: DataFrame,
       aCol: String = "ha", bCol: String = "hb"): DataFrame = {
-    def norm(df: DataFrame) = df.select(
-      least(col(aCol), col(bCol)).as(aCol),
-      greatest(col(aCol), col(bCol)).as(bCol))
+    // least/greatest skip NULLs in Spark, so an edge with one NULL
+    // endpoint would silently normalize to a (host, host) self-loop —
+    // drop incomplete edges instead (an extractor that couldn't
+    // resolve a host never produced a real edge)
+    def norm(df: DataFrame) = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(
+        least(col(aCol), col(bCol)).as(aCol),
+        greatest(col(aCol), col(bCol)).as(bCol))
     norm(standing).unionByName(norm(increment)).distinct
   }
 }

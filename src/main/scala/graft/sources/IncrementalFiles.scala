@@ -41,6 +41,16 @@ object IncrementalFiles {
     * driver memory for more. */
   val DefaultMaxFiles: Int = 100000
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** A full-to-the-cap increment almost certainly means the backlog
+    * exceeds `maxFiles` — tell the caller so a once-per-night job
+    * doesn't silently fall behind; drain by looping until None. */
+  private def warnIfTruncated(n: Int, maxFiles: Int, dir: String): Unit =
+    if (n == maxFiles) log.warn(
+      s"increment from $dir hit the maxFiles=$maxFiles cap — files likely " +
+        "remain; call again (loop until None) to drain the backlog")
+
   /** Recursive (path, bytes, mtime_ms) listing of data files under
     * `dir` — `_`-prefixed (e.g. _SUCCESS) and dot-files excluded, the
     * Spark file-source convention. */
@@ -87,6 +97,7 @@ object IncrementalFiles {
       .orderBy(col("mtime_ms"), col("path"))
       .limit(maxFiles)
     val rows = nf.collect()
+    warnIfTruncated(rows.length, maxFiles, dir)
     if (rows.isEmpty) None
     else {
       val paths = rows.map(_.getString(0))
@@ -107,6 +118,7 @@ object IncrementalFiles {
       .orderBy(col("mtime_ms"), col("path"))
       .limit(maxFiles)
     val rows = nf.collect()
+    warnIfTruncated(rows.length, maxFiles, dir)
     if (rows.isEmpty) None
     else Some((Warc.readWarcFiles(spark, rows.map(_.getString(0)).toSeq), nf))
   }

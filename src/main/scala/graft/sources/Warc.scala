@@ -203,6 +203,10 @@ object Warc {
           stats.windowPeak = buf.length.toLong
       }
       while (e - s < n && !sawEof) {
+        // window already at the max array cap and still short of n:
+        // return short (callers treat < n as truncation/quarantine)
+        // instead of spinning on zero-length reads forever
+        if (buf.length == e) return e - s
         val r = in.read(buf, e, buf.length - e)
         if (r < 0) sawEof = true else e += r
       }
@@ -394,7 +398,14 @@ object Warc {
       * [[QuarantineCap]] flush as `overflowLabel` quarantine chunks
       * (the window is then shifted — the returned offset is relative
       * to the CURRENT window start). */
+    /** Did the last [[scanForMarker]] call flush overflow chunks (i.e.
+      * shift the window)? When true, the returned offset is NOT
+      * relative to the span start, so positional tolerances (the CRLF
+      * CRLF framing allowance in [[afterPayload]]) must not apply. */
+    private var lastScanOverflowed = false
+
     private def scanForMarker(from: Int, overflowLabel: String): Int = {
+      lastScanOverflowed = false
       var i = from
       while (feed.ensure(i + 5) >= i + 5) {
         if (markerAt(i)) return i
@@ -404,6 +415,7 @@ object Warc {
           quarantine(feed.take(0, i - keep), overflowLabel)
           feed.skip(i - keep)
           i = keep
+          lastScanOverflowed = true
         }
       }
       -1
@@ -484,7 +496,13 @@ object Warc {
           lk.get("content-length").flatMap(_.toLongOption) match {
             case None => failResync("missing or non-numeric Content-Length")
             case Some(len) if len < 0 => failResync("negative Content-Length")
-            case Some(len) if len > Int.MaxValue - 8 =>
+            // the header offset `i` participates in the window size, so
+            // the cap check MUST bound i + len in Long — a len just
+            // under Int.MaxValue would otherwise wrap `need` negative
+            // (skipping the truncation branch into a take() throw) or
+            // land in the (MaxValue-8, MaxValue] window where ensure()
+            // can never satisfy the request
+            case Some(len) if i.toLong + len > Int.MaxValue - 8 =>
               failResync(s"Content-Length $len exceeds the per-record buffer cap")
             case Some(len) =>
               val need = i + len.toInt
@@ -519,14 +537,18 @@ object Warc {
     private def afterPayload(): Unit = {
       if (feed.ensure(1) == 0) { finished = true; return }
       val m = scanForMarker(0, "inter-record garbage")
+      // the 4-byte tolerance is for the spec's CRLF CRLF framing right
+      // after the payload; once overflow chunks shifted the window the
+      // tail span is mid-garbage, not framing — keep EVERY byte
+      val tol = if (lastScanOverflowed) 0 else 4
       if (m < 0) {
         val rem = feed.available
-        if (rem > 4)
+        if (rem > tol)
           quarantine(feed.take(0, rem), "trailing bytes after last record")
         feed.skip(rem)
         finished = true
       } else {
-        if (m > 4) quarantine(feed.take(0, m), "inter-record garbage")
+        if (m > tol) quarantine(feed.take(0, m), "inter-record garbage")
         feed.skip(m)
       }
     }
@@ -649,7 +671,10 @@ object Warc {
       .select(col("path"))
       .as[String]
       .flatMap { p =>
-        val hp = new org.apache.hadoop.fs.Path(new java.net.URI(p))
+        // Path's String constructor tolerates URI-illegal characters
+        // (spaces etc.) that Hadoop may emit unescaped in the
+        // binaryFile path column; `new java.net.URI(p)` would throw
+        val hp = new org.apache.hadoop.fs.Path(p)
         val fs = hp.getFileSystem(conf.value)
         streamFile(p, () => fs.open(hp))
       }

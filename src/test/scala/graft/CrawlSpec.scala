@@ -102,4 +102,16 @@ class CrawlSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(again === merged)
   }
+
+  test("mergeHostEdges: NULL-endpoint edges drop — never become self-loops") {
+    // least/greatest skip NULLs in Spark: without the filter an edge
+    // (a.com, NULL) would normalize to the self-loop (a.com, a.com)
+    // and silently perturb downstream PageRank
+    val standing = Seq(("a.com", "b.com")).toDF("ha", "hb")
+    val inc = Seq((null, "a.com"), ("c.com", null), (null, null),
+      ("a.com", "c.com")).toDF("ha", "hb")
+    val merged = Crawl.mergeHostEdges(standing, inc)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(merged === Set(("a.com", "b.com"), ("a.com", "c.com")))
+  }
 }

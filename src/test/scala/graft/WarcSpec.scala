@@ -626,4 +626,28 @@ class WarcSpec extends SparkSpec {
       .map(b => f"$b%02x").mkString
     assert(dig === want)
   }
+
+  test("adversarial Content-Length near Int.MaxValue quarantines — never throws or loops") {
+    val good = Warc.buildRecord("WARC/1.0",
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://x/ok"),
+      "fine".getBytes(UTF_8))
+    // len alone under the cap, but header offset pushes i + len past
+    // Int.MaxValue - 8: an Int `i + len.toInt` would wrap negative
+    // (ArrayIndexOutOfBounds in take) or land in the un-ensurable
+    // (MaxValue-8, MaxValue] window (zero-read spin) — both must
+    // instead quarantine-and-resync like any other corrupt length
+    for (len <- Seq(Int.MaxValue - 20L, Int.MaxValue.toLong,
+        Int.MaxValue - 8L, 4294967296L /* 2^32: Long, wraps Int to 0 */)) {
+      val bad = ("WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        s"Content-Length: $len\r\n\r\nxx\r\n\r\n").getBytes(UTF_8)
+      val recs = Warc.parseBuffer("f", bad ++ good)
+      val oks = recs.filter(_.error == null)
+      val errs = recs.filter(_.error != null)
+      assert(oks.length === 1 && oks.head.target_uri === "http://x/ok",
+        s"len=$len: good record lost")
+      assert(errs.exists(_.error.contains("buffer cap")),
+        s"len=$len: expected a buffer-cap quarantine, got ${errs.map(_.error)}")
+    }
+  }
 }
