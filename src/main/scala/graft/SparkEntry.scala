@@ -3958,6 +3958,46 @@ object SparkEntry {
         .select(col("node"), col("rank").as("pagerank"))
         .orderBy("node")
     }),
+    // DIRECTED host PageRank with dangling-mass redistribution — the
+    // web-authority form over the crawl tier's natural (src_host →
+    // dst_host) edge direction (q_outlink_pagerank collapses it to
+    // undirected; real authority flows one way). Only hosts with
+    // suffix % 3 != 0 publish pages here, so src0/src3/… appear ONLY
+    // as link targets: genuine dangling sinks whose rank mass must
+    // redistribute each round (D/n term) for Σ rank = 1 to hold. The
+    // oracle unrolls the directed recurrence including the per-round
+    // dangling aggregate (pageRankDirectedOracleCtes)
+    "q_directed_pagerank" -> ((s, dir) => {
+      import graft.functions.UrlOps
+      val docs = Tables.documents(s, dir).select("doc_id", "source")
+      val base = docs.crossJoin(
+        broadcast(docs.agg(count(lit(1)).as("__n"))))
+      val ta = docs.select(col("doc_id").as("__ia"),
+        col("source").as("__sa"))
+      val tb = docs.select(col("doc_id").as("__ib"),
+        col("source").as("__sb"))
+      val linked = base
+        .join(ta, (col("doc_id") + 1) % col("__n") === col("__ia"))
+        .join(tb, (col("doc_id") * 7 + 3) % col("__n") === col("__ib"))
+        .filter(substring(col("source"), 4, 10).cast("int") % 3 =!= 0)
+      val html = concat(
+        lit("<html><body><a href=\"https://"), col("__sa"),
+        lit(".example.com/x\">a</a><a href=\"https://"), col("__sb"),
+        lit(".example.com/y\">b</a></body></html>"))
+      val pages = linked.select(
+        concat(lit("https://"), col("source"), lit(".example.com/p"),
+          col("doc_id").cast("string")).as("url"),
+        html.as("html"))
+      val links = UrlOps.extractOutlinks(pages, "url", "html")
+      val edges = links.select(
+          UrlOps.hostNoPort(col("url")).as("src_host"),
+          UrlOps.hostNoPort(col("outlink")).as("dst_host"))
+        .filter(col("src_host") =!= col("dst_host"))
+      Analytics.pageRankDirected(edges, "src_host", "dst_host",
+          iterations = 10, damping = 0.85)
+        .select(col("node"), col("rank").as("pagerank"))
+        .orderBy("node")
+    }),
     // INCREMENTAL host-graph PageRank — the nightly-increment analog
     // of q_warc_incremental_curation for rank: the standing edge set
     // (night 1 = even doc_ids' pages, extracted and materialized once)
@@ -4057,20 +4097,32 @@ object SparkEntry {
       val pr = Analytics.pageRank(edges, "ha", "hb", iterations = 10,
           damping = 0.85)
         .select(col("node").as("host"), col("rank").as("pagerank"))
+      // the authority score in BOTH variants: undirected (mutual-link
+      // strength) and directed with dangling-mass redistribution (the
+      // web form — anchors already carry the src→dst direction)
+      val prd = Analytics.pageRankDirected(anchors, "src_host",
+          "dst_host", iterations = 10, damping = 0.85)
+        .select(col("node").as("host"), col("rank").as("pagerank_directed"))
+      // auth / pr / prd are per-HOST aggregates — registry-sized at
+      // fixture scale but corpus-derived (a web-scale host registry is
+      // ~10⁸ rows), so NOT broadcast: plain equi-joins, AQE picks the
+      // strategy from measured sizes (same discipline as
+      // q_redirected_dedup)
       val weights = docs.select(col("source")).distinct()
         .withColumn("host", concat(col("source"), lit(".example.com")))
-        .join(broadcast(auth), Seq("host"), "left")
+        .join(auth, Seq("host"), "left")
         .select(col("source"), col("host"),
           coalesce(col("n_anchors"), lit(0L)).as("n_anchors"),
           coalesce(col("n_link_sources"), lit(0L)).as("n_link_sources"),
           greatest(lit(1L), coalesce(col("n_anchors"), lit(0L)) * 10L +
             coalesce(col("n_link_sources"), lit(0L))).as("w"))
       Scale.matchMixture(docs, "source", weights.select("source", "w"))
-        .join(broadcast(weights.drop("w")), Seq("source"))
-        .join(broadcast(pr), Seq("host"))
+        .join(weights.drop("w"), Seq("source"))
+        .join(pr, Seq("host"))
+        .join(prd, Seq("host"))
         .select(col("source"), col("n_docs"), col("n_anchors"),
           col("n_link_sources"), col("w"), col("kept"),
-          col("rate_micro"), col("pagerank"))
+          col("rate_micro"), col("pagerank"), col("pagerank_directed"))
         .orderBy("source")
     }),
     // the WHOLE discovery chain as one adjudicated query: robots
@@ -5082,6 +5134,45 @@ object SparkEntry {
          nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
          r0 AS (SELECT node, 1.0::DOUBLE / nn.n AS pagerank
                 FROM nodes CROSS JOIN nn),
+         $steps"""
+  }
+
+  /** DuckDB restatement of [[graft.operators.Analytics.pageRankDirected]]:
+    * the DIRECTED recurrence with per-round dangling-mass
+    * redistribution, unrolled. Expects a CTE `e` of DISTINCT directed
+    * (src, dst) edges (no self-loops). Every CTE name takes prefix `p`
+    * so the directed and undirected families can coexist in one query
+    * (q_curated_corpus_v8 runs both). */
+  private def pageRankDirectedOracleCtes(iters: Int,
+      p: String = ""): String = {
+    // each step reads r_{k-1} TWICE (dangling aggregate + contribution
+    // join): MATERIALIZED stops DuckDB's CTE inlining from expanding
+    // the unrolled recurrence exponentially (2^iters base scans would
+    // exhaust fds before it exhausted time)
+    val steps = (1 to iters).map { k =>
+      s"""${p}d$k AS (SELECT coalesce(sum(r.pagerank), 0.0::DOUBLE) AS m
+           FROM ${p}r${k - 1} r LEFT JOIN ${p}deg g ON g.src = r.node
+           WHERE g.src IS NULL),
+         ${p}r$k AS MATERIALIZED (SELECT nodes.node,
+         (1.0::DOUBLE - 0.85::DOUBLE) / nn.n
+           + 0.85::DOUBLE * (coalesce(s.i, 0.0::DOUBLE) + dm.m / nn.n)
+           AS pagerank
+         FROM ${p}nodes nodes CROSS JOIN ${p}nn nn CROSS JOIN ${p}d$k dm
+         LEFT JOIN (SELECT adj.dst AS node,
+                      sum(r.pagerank / deg.deg) AS i
+                    FROM ${p}adj adj JOIN ${p}deg deg ON deg.src = adj.src
+                    JOIN ${p}r${k - 1} r ON r.node = adj.src
+                    GROUP BY 1) s ON s.node = nodes.node)"""
+    }.mkString(",\n         ")
+    s"""${p}adj AS MATERIALIZED (SELECT src, dst FROM ${p}e),
+         ${p}deg AS MATERIALIZED (
+           SELECT src, count(*) AS deg FROM ${p}adj GROUP BY 1),
+         ${p}nodes AS MATERIALIZED (SELECT src AS node FROM ${p}adj
+                       UNION SELECT dst FROM ${p}adj),
+         ${p}nn AS MATERIALIZED (
+           SELECT CAST(count(*) AS DOUBLE) AS n FROM ${p}nodes),
+         ${p}r0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE / nn.n AS pagerank
+                FROM ${p}nodes nodes CROSS JOIN ${p}nn nn),
          $steps"""
   }
 
@@ -7725,6 +7816,26 @@ object SparkEntry {
                  greatest(h1, h2) AS ib
                FROM e0 WHERE h1 <> h2),
          """ + pageRankOracleTail(10)),
+    // the directed recurrence with dangling-mass redistribution; the
+    // % 3 filter keeps src0/src3/… out of the publishing set so they
+    // are genuine sinks — the D/n term is load-bearing, not zero
+    "q_directed_pagerank" ->
+      ("""WITH nn0 AS (SELECT count(*) AS n FROM documents),
+         t AS (SELECT d.source,
+                 CAST((d.doc_id + 1) % nn0.n AS BIGINT) AS a1,
+                 CAST((d.doc_id * 7 + 3) % nn0.n AS BIGINT) AS a2
+               FROM documents d, nn0
+               WHERE CAST(substring(d.source, 4) AS INT) % 3 <> 0),
+         l AS (SELECT t.source AS s0, d2.source AS sa, d3.source AS sb
+               FROM t JOIN documents d2 ON d2.doc_id = t.a1
+                      JOIN documents d3 ON d3.doc_id = t.a2),
+         e0 AS (SELECT s0 || '.example.com' AS src,
+                  sa || '.example.com' AS dst FROM l
+                UNION ALL
+                SELECT s0 || '.example.com', sb || '.example.com' FROM l),
+         e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         """ + pageRankDirectedOracleCtes(10) + """
+         SELECT node, pagerank FROM r10 ORDER BY node"""),
     // anchors → per-target authority → integer weight → min-ratio
     // mixture, + the shared unrolled PageRank recurrence joined per
     // source host (double, tolerance-compared)
@@ -7762,14 +7873,18 @@ object SparkEntry {
                FROM w a CROSS JOIN w b GROUP BY 1),
          e AS (SELECT DISTINCT least(src, dst) AS ia,
                  greatest(src, dst) AS ib FROM an),
-         """ + pageRankOracleCtes(10) + """
+         ze AS (SELECT DISTINCT src, dst FROM an),
+         """ + pageRankOracleCtes(10) + ",\n         " +
+        pageRankDirectedOracleCtes(10, "z") + """
          SELECT w.source, w.n_docs, w.n_anchors, w.n_link_sources, w.w,
                 k.kept,
                 CAST((CAST(1000000 AS BIGINT) * k.kept) // w.n_docs
                   AS BIGINT) AS rate_micro,
-                r10.pagerank AS pagerank
+                r10.pagerank AS pagerank,
+                zr10.pagerank AS pagerank_directed
          FROM w JOIN k USING (source)
          JOIN r10 ON r10.node = w.source || '.example.com'
+         JOIN zr10 ON zr10.node = w.source || '.example.com'
          ORDER BY w.source"""),
     // the FROM-SCRATCH recompute over every page — night split absent
     // on purpose: the Spark side folds night 2's edges into the

@@ -126,10 +126,12 @@ object PublicSuffix {
   }
 
   /** Append `host` (lowercased, port-stripped) and `registered_domain`
-    * to `df`. The host→domain map is distinct-host-sized and joined
-    * back with `broadcast` — right for the common corpus where hosts
-    * repeat heavily; for a corpus with ~all-unique hosts drop the hint
-    * and let AQE pick the join. */
+    * to `df`. The host→domain map is distinct-host-sized — NOT hinted:
+    * a web-scale corpus has ~10⁸ distinct hosts, and a forced
+    * `broadcast()` there OOMs the driver where a plain equi-join lets
+    * AQE broadcast exactly when the measured map is actually small
+    * (the q_redirected_dedup discipline, enforced by PlanShapeSpec's
+    * registry-hint guard). */
   def withRegisteredDomain(spark: SparkSession, df: DataFrame, url: Column,
       rules: Seq[String] = snapshotRules): DataFrame = {
     // fail fast rather than silently overwrite caller data: both output
@@ -140,7 +142,7 @@ object PublicSuffix {
         "already exist in the input frame; rename or drop them first")
     val withHost = df.withColumn("host", lower(UrlOps.hostNoPort(url)))
     withHost.join(
-      broadcast(domainMap(spark, withHost.select("host"), rules)),
+      domainMap(spark, withHost.select("host"), rules),
       Seq("host"), "left")
   }
 

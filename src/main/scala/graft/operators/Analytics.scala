@@ -158,6 +158,77 @@ object Analytics {
     ranks
   }
 
+  /** Damped PageRank over a DIRECTED edge list with per-iteration
+    * dangling-mass redistribution — the web-authority form
+    * ([[pageRank]] is the undirected variant, where every node has
+    * out-degree ≥ 1 by construction and no correction exists). Sinks
+    * (nodes with no outlinks — crawl-frontier leaves, 404 targets)
+    * hold rank they can pass to no one; the standard fix (Page et al.
+    * '99 §2.7 / the "teleport from dangling nodes" form) redistributes
+    * their aggregate mass uniformly each round:
+    *
+    *   r'(v) = (1-d)/n + d * ( Σ_{u→v} r(u)/odeg(u)  +  D/n ),
+    *   D = Σ_{odeg(u)=0} r(u)
+    *
+    * which keeps Σ r = 1 exactly (spec'd as an invariant).
+    *
+    * Scale shape: the adjacency is degree-pre-joined, repartitioned on
+    * `src` once and materialized, so each of the fixed iterations
+    * shuffles only the node-sized rank frame. The dangling mass D is a
+    * ONE-ROW aggregate of the rank frame, attached via a broadcast
+    * cross join (bounded by construction — the PlanShapeSpec-sanctioned
+    * 1-row pattern); sinks receive contributions via a left join back
+    * onto the node registry, which the undirected form provably never
+    * needs. Output: (node, rank), ranks summing to 1. */
+  def pageRankDirected(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && damping > 0 && damping < 1)
+    val arcs = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val deg = arcs.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val e = arcs.join(deg, Seq("src"))
+      .repartition(col("src"))
+      .materialized // edge-sized; shuffled once, read every round
+    // directed node set = sources ∪ targets; odeg 0 marks a sink
+    val nodes = arcs.select(col("src").as("node"))
+      .unionAll(arcs.select(col("dst").as("node")))
+      .distinct()
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("odeg"), lit(0L)).as("odeg"))
+      .repartition(col("node"))
+      .materialized // node-registry-sized; read every round
+    val n = nodes.count()
+    require(n > 0, "pageRankDirected: edge list has no non-self-loop edges")
+    var ranks = nodes.select(col("node"), col("odeg"),
+      lit(1.0 / n).as("rank"))
+    var prevRound: DataFrame = null
+    for (i <- 1 to iterations) {
+      // D: one row, node-frame scan — broadcast onto the update below
+      val dangling = ranks.filter(col("odeg") === 0L)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+      val contribs = e
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .select(col("dst").as("node"), (col("rank") / col("odeg")).as("c"))
+      // left join back onto the registry: sinks (and link-only
+      // sources) receive no in-contributions but still hold rank
+      ranks = nodes
+        .join(contribs.groupBy("node").agg(sum(col("c")).as("s")),
+          Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("odeg"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("s"), lit(0.0)) + col("__dm") / n)).as("rank"))
+      if (i % 3 == 0 || i == iterations) {
+        ranks = ranks.materialized
+        if (prevRound != null) graft.Reuse.release(prevRound)
+        prevRound = ranks
+      }
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
   /** SCD2 (slowly-changing-dimension, type 2) history: collapse an
     * append-only event log into attribute validity intervals — one row
     * per (key, attribute-value run) with [valid_from, valid_to) bounds,

@@ -212,6 +212,50 @@ class AnalyticsSpec extends SparkSpec {
     tri.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
   }
 
+  test("pageRankDirected ≡ driver power iteration with dangling mass; Σ rank = 1") {
+    def reference(edges: Seq[(Long, Long)], iters: Int,
+        d: Double): Map[Long, Double] = {
+      val arcs = edges.filter(e => e._1 != e._2).distinct
+      val out = arcs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val in = arcs.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+      val nodes = (arcs.map(_._1) ++ arcs.map(_._2)).distinct.sorted
+      val n = nodes.size
+      var r = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to iters) {
+        val dm = nodes.filter(v => !out.contains(v)).map(r).sum
+        r = nodes.map { v =>
+          val s = in.getOrElse(v, Seq.empty).map(u => r(u) / out(u).size).sum
+          v -> ((1.0 - d) / n + d * (s + dm / n))
+        }.toMap
+      }
+      r
+    }
+    // 5 is a SINK (no outlinks) and 6 links only out — both directed-
+    // only shapes the undirected form can't produce
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 5L),
+      (6L, 5L), (6L, 1L))
+    val got = Analytics.pageRankDirected(edges.toDF("s", "t"), "s", "t",
+        iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = reference(edges, 10, 0.85)
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-10, s"$k") }
+    // the dangling-mass term is exactly what keeps Σ = 1 with a sink
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // theorem: on a SYMMETRIZED edge set (no sinks, in ≡ out) the
+    // directed recurrence degenerates to the undirected one
+    val sym = edges.flatMap(e => Seq(e, e.swap))
+    val dirOnSym = Analytics.pageRankDirected(sym.toDF("s", "t"), "s", "t",
+        iterations = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val und = Analytics.pageRank(edges.toDF("a", "b"), "a", "b",
+        iterations = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dirOnSym.keySet === und.keySet)
+    dirOnSym.foreach { case (k, v) =>
+      assert(math.abs(v - und(k)) < 1e-12, s"node $k") }
+  }
+
   test("triangleCount ≡ exhaustive count on a random graph") {
     val rnd = new scala.util.Random(7)
     val edges = (for (_ <- 1 to 120)

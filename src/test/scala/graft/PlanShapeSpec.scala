@@ -316,4 +316,74 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"CartesianProduct in registered plans: ${offenders.mkString(", ")}")
   }
+
+  test("no broadcast hint on a corpus-derived host/url registry — the whole registry, forever") {
+    // A broadcast() HINT is a claim the side fits in executor memory at
+    // ANY corpus scale. Probe sets, mixture-source taxonomies, and
+    // k/C-bounded centroid frames are bounded by API CONTRACT — the
+    // plan can't show that, so they stay exempt. What the plan CAN
+    // show, and what actually OOMs a driver at 100 TB, is a hint over a
+    // registry aggregated from the corpus on host/url-like keys (a
+    // web-scale host registry is ~10⁸ rows; url registries are
+    // corpus-sized). Rule: inside a broadcast-hinted subtree, descending
+    // only through nodes that preserve unboundedness (a 1-row aggregate
+    // or a limit re-bounds and stops the walk), no Aggregate/Deduplicate
+    // may key on a host/url-named column while reading a real table
+    // (fixture LocalRelations are exempt — robots/delay fixtures group
+    // on host legitimately). This is the q_redirected_dedup discipline
+    // ("NOT broadcast … AQE picks the strategy"), enforced.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val registryKeys = Set("host", "url", "src_host", "dst_host", "ha",
+      "hb", "final_url", "node", "outlink", "registered_domain",
+      "target_uri")
+    def keyed(names: Seq[String]): Boolean =
+      names.exists(n => registryKeys(n.toLowerCase(java.util.Locale.ROOT)))
+    def scansRealTable(p: LogicalPlan): Boolean = p.collectLeaves().exists {
+      case _: LocalRelation | _: OneRowRelation | _: Range => false
+      case _ => true
+    }
+    // taxonomy-bounded: grouping/dedup keyed on curated-list columns
+    // (the mixture `source` list is an operator-supplied design choice
+    // of tens of entries; `dow` is 7). A join with a taxonomy-bounded
+    // side is re-bounded under the repo's join idioms (per-source
+    // enrichment joins: one match per key), so the walk stops there.
+    val taxonomyCols = Set("source", "dow", "__grp")
+    def taxonomyKeyed(names: Seq[String]): Boolean =
+      names.nonEmpty && names.forall(taxonomyCols)
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case a: Aggregate => a.groupingExpressions.isEmpty ||
+        taxonomyKeyed(a.groupingExpressions
+          .flatMap(_.references.map(_.name).toSeq))
+      case d: Deduplicate =>
+        taxonomyKeyed(d.keys.map(_.name)) || bounded(d.child)
+      case _: GlobalLimit | _: LocalLimit => true
+      case _: LocalRelation | _: OneRowRelation | _: Range => true
+      case j: Join => bounded(j.left) || bounded(j.right)
+      case other =>
+        other.children.nonEmpty && other.children.forall(bounded)
+    }
+    def offendersIn(p: LogicalPlan): Seq[String] = p match {
+      case a: Aggregate if a.groupingExpressions.isEmpty => Nil // 1 row
+      case _: GlobalLimit | _: LocalLimit => Nil // k rows
+      case j: Join if bounded(j.left) || bounded(j.right) => Nil
+      case a: Aggregate if keyed(a.groupingExpressions
+            .flatMap(_.references.map(_.name).toSeq)) && scansRealTable(a) =>
+        Seq(s"Aggregate[${a.groupingExpressions.mkString(",").take(60)}]")
+      case d: Deduplicate
+          if keyed(d.keys.map(_.name)) && scansRealTable(d) =>
+        Seq(s"Deduplicate[${d.keys.mkString(",").take(60)}]")
+      case other => other.children.flatMap(offendersIn)
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val analyzed =
+        SparkEntry.queries(name)(spark, sf).queryExecution.analyzed
+      val bad = analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+          offendersIn(h.child)
+      }.flatten
+      if (bad.isEmpty) Nil else Seq(s"$name (${bad.mkString("; ")})")
+    }
+    assert(offenders.isEmpty,
+      s"broadcast hints over host/url registries: ${offenders.mkString(", ")}")
+  }
 }

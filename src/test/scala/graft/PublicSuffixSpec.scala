@@ -77,12 +77,18 @@ class PublicSuffixSpec extends SparkSpec {
     assert(out(3L) === (("", None)))
   }
 
-  test("scale shape: broadcast joins only — no SortMergeJoin, no cartesian") {
+  test("scale shape: PSL rules broadcast, map-back stays an unhinted equi-join") {
     val q = SparkEntry.queries("q_registered_domain_psl")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), "rule/map-back joins must broadcast")
-    assert(!plan.contains("SortMergeJoin"), plan.linesIterator.take(40).mkString("\n"))
+    // the ~9k-rule PSL table is literal-bounded — always broadcast
+    assert(plan.contains("BroadcastHashJoin"), "the PSL rules join must broadcast")
     assert(!plan.contains("CartesianProduct"))
+    // the host→domain map-back is deliberately UNHINTED (a web corpus
+    // has ~10⁸ distinct hosts; a forced broadcast would OOM the driver
+    // there) — AQE broadcasts at runtime when the map measures small,
+    // so the INITIAL plan may show SortMergeJoin. Assert the join is
+    // still a host-keyed equi-join, not a nested loop.
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
   test("oracleCaseSql is generated from the same snapshot (smoke: mentions every rule kind)") {
