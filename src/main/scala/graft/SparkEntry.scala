@@ -4125,6 +4125,121 @@ object SparkEntry {
           col("rate_micro"), col("pagerank"), col("pagerank_directed"))
         .orderBy("source")
     }),
+    // v9 — the full Common Crawl TRIPTYCH as ONE adjudicated recipe:
+    // WARC bytes → WAT lane (watFrame: link graph + 301 redirect map)
+    // + WET lane (documentsFrame: text tier) + revisit lane
+    // (resolveRevisits / latestWithRevisits freshness) → redirect-
+    // rewritten keep-latest → exact-text dedup cascade → Gopher +
+    // classifier gates → directed-PageRank/anchor-weighted mixture.
+    // Scale shape: raw TEXT never shuffles — every per-document signal
+    // (content digest, gopher verdict, classifier features) is
+    // computed in the parse task and only the registry-shaped columns
+    // ride the shuffles; link/redirect/revisit lanes carry hosts, urls
+    // and digests only. The oracle restates every stage relationally
+    // from the documents table (the fixture is a pure function of it)
+    "q_curated_corpus_v9" -> ((s, dir) => {
+      import graft.sources.Warc
+      import graft.operators.{Crawl, Scale}
+      import graft.functions.{TextAnalysis, UrlOps}
+      val recs = Warc.readWarcFiles(s, warcV9FixtureDir(s, dir))
+      // WAT lane: registry-sized metadata; no payload bytes past here
+      val wat = Warc.watFrame(recs).materialized
+      val rd = Crawl.resolveRedirects(
+          wat.filter(col("redirect_location").isNotNull)
+            .select(col("url").as("src"),
+              col("redirect_location").as("dst")),
+          "src", "dst", maxHops = 16)
+        .filter(col("resolved"))
+        .select(col("url").as("__ru"), col("final_url"))
+      // WET lane: row-local verdicts at parse time — the raw text is
+      // projected away before any join/aggregation touches the rows
+      val wet = Warc.documentsFrame(
+        recs.filter(col("warc_type") === "conversion"))
+      val capt = wet.select(col("url"), col("record_id"),
+        col("warc_date"), sha2(col("text"), 256).as("__tsha"),
+        TextAnalysis.gopherRules(col("text"), minStopHits = 1)
+          .getField("pass").as("__gopher"))
+      val pos = TextAnalysis.qualityClassifier(
+          wet.select(col("record_id"), col("text")), "record_id", "text",
+          TextAnalysis.classifierFixtureWeights(s), buckets = 4096)
+        .filter(col("label"))
+        .select(col("doc_id").as("__pid"))
+      val scored = capt.join(pos, capt("record_id") === col("__pid"),
+          "left")
+        .select(col("url"), col("record_id"), col("warc_date"),
+          col("__tsha"),
+          (col("__gopher") && col("__pid").isNotNull).as("__pass"))
+      // redirect rewrite: url-registry-sized map — NOT broadcast, AQE
+      // picks the strategy (the q_redirected_dedup discipline)
+      val rewritten = scored.join(rd, scored("url") === col("__ru"),
+          "left")
+        .select(coalesce(col("final_url"), scored("url")).as("url"),
+          col("record_id"), col("warc_date"), col("__tsha"),
+          col("__pass"))
+      val rv = recs.filter(col("warc_type") === "revisit")
+        .select(col("target_uri").as("url"), col("record_id"),
+          col("warc_date"))
+      val kept = Warc.latestWithRevisits(rewritten, rv)
+      // exact-dup cascade on the content digest (registry columns only)
+      val dd = kept.groupBy(col("__tsha"))
+        .agg(min_by(struct(kept.columns.map(col): _*),
+          col("canonical_url")).as("__r"))
+        .select(kept.columns.map(c => col(s"__r.`$c`").as(c)): _*)
+      val cur = dd.filter(col("__pass"))
+        .withColumn("source", regexp_extract(col("canonical_url"),
+          "https://([a-z0-9]+)\\.example\\.com/", 1))
+        .materialized // curated registry feeds counts AND the mixture
+      val srcs = cur.groupBy("source")
+        .agg(count(lit(1)).as("n_curated"),
+          max(col("last_seen")).as("last_seen_max"))
+      // authority lane straight from WAT's resolved link-host rollup
+      val lk = wat.filter(col("link_hosts") =!= "")
+        .select(UrlOps.hostNoPort(col("url")).as("src_host"),
+          explode(split(col("link_hosts"), "\\|")).as("dst_host"))
+        .filter(col("src_host") =!= col("dst_host"))
+      val auth = lk.groupBy(col("dst_host").as("host"))
+        .agg(count(lit(1)).cast("long").as("n_linking_pages"),
+          countDistinct(col("src_host")).cast("long")
+            .as("n_link_sources"))
+      val prd = Analytics.pageRankDirected(lk, "src_host", "dst_host",
+          iterations = 10, damping = 0.85)
+        .select(col("node").as("host"),
+          col("rank").as("pagerank_directed"))
+      // per-host frames are corpus-derived — unhinted equi-joins, AQE
+      val weights = srcs
+        .withColumn("host", concat(col("source"), lit(".example.com")))
+        .join(auth, Seq("host"), "left")
+        .select(col("host"), col("source"), col("n_curated"),
+          col("last_seen_max"),
+          coalesce(col("n_linking_pages"), lit(0L)).as("n_linking_pages"),
+          coalesce(col("n_link_sources"), lit(0L)).as("n_link_sources"),
+          greatest(lit(1L),
+            coalesce(col("n_linking_pages"), lit(0L)) * 10L +
+              coalesce(col("n_link_sources"), lit(0L))).as("w"))
+      val mm = Scale.matchMixture(cur, "source",
+        weights.select("source", "w"))
+      val rvs = Warc.resolveRevisits(recs)
+        .select(regexp_extract(col("url"),
+          "https://([a-z0-9]+)\\.example\\.com/", 1).as("source"),
+          col("resolved_via"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_revisits"),
+          sum(when(col("resolved_via").isNotNull, 1L).otherwise(0L))
+            .as("n_revisits_resolved"))
+      weights
+        .join(mm.select(col("source"), col("kept"), col("rate_micro")),
+          Seq("source"))
+        .join(prd, Seq("host"))
+        .join(rvs, Seq("source"), "left")
+        .select(col("source"), col("n_curated"), col("n_linking_pages"),
+          col("n_link_sources"), col("w"), col("kept"),
+          col("rate_micro"),
+          coalesce(col("n_revisits"), lit(0L)).as("n_revisits"),
+          coalesce(col("n_revisits_resolved"), lit(0L))
+            .as("n_revisits_resolved"),
+          col("last_seen_max"), col("pagerank_directed"))
+        .orderBy("source")
+    }),
     // the WHOLE discovery chain as one adjudicated query: robots
     // bodies declare sitemaps (robotsSitemaps — src1's synthesized XML
     // is dropped because its robots never declares one), sitemap XML
@@ -5008,6 +5123,97 @@ object SparkEntry {
       done.createNewFile()
     }
     (n1.getAbsolutePath, n2.getAbsolutePath)
+  }
+
+  /** The full Common Crawl TRIPTYCH fixture for q_curated_corpus_v9,
+    * derived from the documents table (collected once per SF — the
+    * sanctioned fixture-build collect — cached behind a done-marker).
+    * Per doc d (N dense ids, source s(d), text t(d), capture day
+    * cd(d) = 2026-08-{(d%28)+1}):
+    *
+    * WARC lane (segment A, `response` records — feeds watFrame +
+    * resolveRevisits' capture registry):
+    *   - /p{d}: 200 HTML page linking sa=s((d+1)%N), sb=s((7d+3)%N)
+    *     and the never-publishing sink.example.net (so the directed
+    *     PageRank has a GENUINE dangling host), with
+    *     WARC-Payload-Digest sha1:D{d} — the revisit join key;
+    *   - d%5==0: /old{d} 301 → /p{d} (Location header, empty body) —
+    *     the redirect map WAT exposes.
+    * WET lane (segment A, `conversion` records — the text tier):
+    *   - /p{d}: text t(d) at cd(d);
+    *   - d%5==0: /old{d}, text t(d), 2026-09-01 — re-keys to /p{d}
+    *     through the redirect map and WINS keep-latest (newest);
+    *   - d%11==0: /zdup{d}, text t(d), 2026-08-30 — survives
+    *     keep-latest (own URL) and dies in the exact-text dedup
+    *     ('p' < 'z' on the canonical key).
+    * Revisit lane (segment B, `revisit` records):
+    *   - d%7==0: revisit of /p{d} at 2026-09-10 with digest sha1:D{d}
+    *     — except d%21==0, planted as the MISMATCH sha1:X{d} that must
+    *     stay unresolved; no WARC-Refers-To, so resolution is by the
+    *     (canonical URL, digest) join. */
+  private def warcV9FixtureDir(s: SparkSession, dir: String): String = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_warcv9_" + dir.replaceAll("[^0-9a-zA-Z]+", "_"))
+    val done = new java.io.File(root, "_done")
+    if (!done.exists()) {
+      root.mkdirs()
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1)
+      val n = docs.length.toLong
+      val srcOf = docs.map(d => d._1 -> d._2).toMap
+      def cd(d: Long) = f"2026-08-${(d % 28) + 1}%02dT00:00:00Z"
+      def purl(src: String, d: Long) = s"https://$src.example.com/p$d"
+      def rec(typ: String, uri: String, date: String, rid: String,
+          extra: Seq[(String, String)], payload: Array[Byte]) =
+        graft.sources.Warc.buildRecord("WARC/1.0",
+          Seq("WARC-Type" -> typ, "WARC-Target-URI" -> uri,
+            "WARC-Date" -> date, "WARC-Record-ID" -> rid) ++ extra,
+          payload)
+      val segA = docs.flatMap { case (d, src, text) =>
+        val sa = srcOf((d + 1) % n)
+        val sb = srcOf((d * 7 + 3) % n)
+        val body = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+          "charset=UTF-8\r\n\r\n<html><body>" +
+          s"""<a href="https://$sa.example.com/x">a</a>""" +
+          s"""<a href="https://$sb.example.com/y">b</a>""" +
+          s"""<a href="https://sink.example.net/r">s</a>""" +
+          "</body></html>").getBytes(utf8)
+        val page = rec("response", purl(src, d), cd(d), s"<urn:v9:p:$d>",
+          Seq("WARC-Payload-Digest" -> s"sha1:D$d"), body)
+        val redir = if (d % 5 == 0) Seq(rec("response",
+          s"https://$src.example.com/old$d", "2026-09-02T00:00:00Z",
+          s"<urn:v9:r:$d>", Nil,
+          ("HTTP/1.1 301 Moved Permanently\r\nContent-Type: text/html\r\n" +
+            s"Location: ${purl(src, d)}\r\n\r\n").getBytes(utf8)))
+        else Nil
+        val wet = rec("conversion", purl(src, d), cd(d), s"<urn:v9:c:$d>",
+          Nil, text.getBytes(utf8))
+        val wetOld = if (d % 5 == 0) Seq(rec("conversion",
+          s"https://$src.example.com/old$d", "2026-09-01T00:00:00Z",
+          s"<urn:v9:o:$d>", Nil, text.getBytes(utf8)))
+        else Nil
+        val wetDup = if (d % 11 == 0) Seq(rec("conversion",
+          s"https://$src.example.com/zdup$d", "2026-08-30T00:00:00Z",
+          s"<urn:v9:z:$d>", Nil, text.getBytes(utf8)))
+        else Nil
+        Seq(page) ++ redir ++ Seq(wet) ++ wetOld ++ wetDup
+      }
+      val segB = docs.collect { case (d, src, _) if d % 7 == 0 =>
+        val dg = if (d % 21 == 0) s"sha1:X$d" else s"sha1:D$d"
+        rec("revisit", purl(src, d), "2026-09-10T00:00:00Z",
+          s"<urn:v9:v:$d>", Seq("WARC-Payload-Digest" -> dg),
+          Array.emptyByteArray)
+      }
+      java.nio.file.Files.write(root.toPath.resolve("seg-v9-a.warc.gz"),
+        graft.sources.Warc.gzip(segA.reduce(_ ++ _)))
+      java.nio.file.Files.write(root.toPath.resolve("seg-v9-b.warc.gz"),
+        graft.sources.Warc.gzip(segB.reduce(_ ++ _)))
+      done.createNewFile()
+    }
+    root.getAbsolutePath
   }
 
   /** The HTTP/WET body text [[graft.sources.Warc.documentsFrame]] must
@@ -7886,6 +8092,120 @@ object SparkEntry {
          JOIN r10 ON r10.node = w.source || '.example.com'
          JOIN zr10 ON zr10.node = w.source || '.example.com'
          ORDER BY w.source"""),
+    // v9: the triptych restated relationally — the fixture is a pure
+    // function of documents, so every stage (capture set with the
+    // redirect rewrite baked in, keep-latest window, revisit
+    // freshness, exact-text dedup, gopher + classifier gates, link
+    // rollup, directed recurrence, mixture) re-derives from the table
+    "q_curated_corpus_v9" ->
+      (gopherRulesCtes(minStopHits = 1) + ",\n         " +
+        classifierScoreCtes.replaceFirst("^WITH\\s+", "") + ",\n         " +
+        raw"""nn0 AS (SELECT count(*) AS n FROM documents),
+         srcx AS (SELECT d.doc_id, d.source, d.text,
+                 '2026-08-' || lpad(CAST((d.doc_id % 28) + 1 AS VARCHAR),
+                   2, '0') || 'T00:00:00Z' AS cdate
+               FROM documents d),
+         caps AS (
+           SELECT 'https://' || source || '.example.com/p' ||
+                    CAST(doc_id AS VARCHAR) AS url,
+                  doc_id,
+                  '<urn:v9:c:' || CAST(doc_id AS VARCHAR) || '>'
+                    AS record_id,
+                  cdate AS warc_date
+           FROM srcx
+           UNION ALL
+           SELECT 'https://' || source || '.example.com/p' ||
+                    CAST(doc_id AS VARCHAR),
+                  doc_id,
+                  '<urn:v9:o:' || CAST(doc_id AS VARCHAR) || '>',
+                  '2026-09-01T00:00:00Z'
+           FROM srcx WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT 'https://' || source || '.example.com/zdup' ||
+                    CAST(doc_id AS VARCHAR),
+                  doc_id,
+                  '<urn:v9:z:' || CAST(doc_id AS VARCHAR) || '>',
+                  '2026-08-30T00:00:00Z'
+           FROM srcx WHERE doc_id % 11 = 0),
+         kl AS (SELECT url, doc_id, record_id, warc_date FROM (
+                  SELECT *, row_number() OVER (PARTITION BY url
+                    ORDER BY warc_date DESC, record_id DESC) AS rn
+                  FROM caps)
+                WHERE rn = 1),
+         rvd AS (SELECT 'https://' || source || '.example.com/p' ||
+                   CAST(doc_id AS VARCHAR) AS url,
+                   '2026-09-10T00:00:00Z' AS rdate
+                 FROM srcx WHERE doc_id % 7 = 0),
+         ls AS (SELECT kl.url, kl.doc_id, kl.record_id, kl.warc_date,
+                  greatest(kl.warc_date, coalesce(r2.rdate, ''))
+                    AS last_seen
+                FROM kl LEFT JOIN rvd r2 ON r2.url = kl.url),
+         dd AS (SELECT url, doc_id, last_seen FROM (
+                  SELECT ls.*, row_number() OVER (PARTITION BY s2.text
+                    ORDER BY ls.url) AS rn2
+                  FROM ls JOIN srcx s2 ON s2.doc_id = ls.doc_id)
+                WHERE rn2 = 1),
+         cur AS (SELECT dd.doc_id, dd.url, dd.last_seen, s3.source
+                 FROM dd JOIN srcx s3 ON s3.doc_id = dd.doc_id
+                 JOIN rules ru ON ru.doc_id = dd.doc_id
+                 WHERE ru.pass AND dd.doc_id IN
+                   (SELECT doc_id FROM sc WHERE score_sum > 0)),
+         c2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_curated,
+                  max(last_seen) AS last_seen_max
+                FROM cur GROUP BY 1),
+         t2 AS (SELECT d.doc_id, d.source,
+                  CAST((d.doc_id + 1) % nn0.n AS BIGINT) AS a1,
+                  CAST((d.doc_id * 7 + 3) % nn0.n AS BIGINT) AS a2
+                FROM documents d, nn0),
+         lk0 AS (
+           SELECT t2.doc_id, t2.source || '.example.com' AS src,
+                  d2.source || '.example.com' AS dst
+           FROM t2 JOIN documents d2 ON d2.doc_id = t2.a1
+           UNION
+           SELECT t2.doc_id, t2.source || '.example.com',
+                  d3.source || '.example.com'
+           FROM t2 JOIN documents d3 ON d3.doc_id = t2.a2
+           UNION
+           SELECT doc_id, source || '.example.com', 'sink.example.net'
+           FROM t2),
+         lk AS (SELECT * FROM lk0 WHERE src <> dst),
+         auth AS (SELECT dst AS host,
+                    CAST(count(*) AS BIGINT) AS n_linking_pages,
+                    CAST(count(DISTINCT src) AS BIGINT) AS n_link_sources
+                  FROM lk GROUP BY 1),
+         ze AS (SELECT DISTINCT src, dst FROM lk),
+         """ + pageRankDirectedOracleCtes(10, "z") + raw""",
+         w2 AS (SELECT c2.source, c2.n_curated, c2.last_seen_max,
+                  coalesce(a.n_linking_pages, CAST(0 AS BIGINT))
+                    AS n_linking_pages,
+                  coalesce(a.n_link_sources, CAST(0 AS BIGINT))
+                    AS n_link_sources,
+                  greatest(CAST(1 AS BIGINT),
+                    coalesce(a.n_linking_pages, CAST(0 AS BIGINT)) * 10 +
+                      coalesce(a.n_link_sources, CAST(0 AS BIGINT))) AS w
+                FROM c2 LEFT JOIN auth a
+                  ON a.host = c2.source || '.example.com'),
+         k2 AS (SELECT a.source,
+                  CAST(min((b.n_curated * a.w) // b.w) AS BIGINT) AS kept
+                FROM w2 a CROSS JOIN w2 b GROUP BY 1),
+         rvs AS (SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_revisits,
+                   CAST(sum(CASE WHEN doc_id % 21 <> 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_revisits_resolved
+                 FROM srcx WHERE doc_id % 7 = 0 GROUP BY 1)
+         SELECT w2.source, w2.n_curated, w2.n_linking_pages,
+                w2.n_link_sources, w2.w, k2.kept,
+                CAST((CAST(1000000 AS BIGINT) * k2.kept) // w2.n_curated
+                  AS BIGINT) AS rate_micro,
+                coalesce(rvs.n_revisits, CAST(0 AS BIGINT)) AS n_revisits,
+                coalesce(rvs.n_revisits_resolved, CAST(0 AS BIGINT))
+                  AS n_revisits_resolved,
+                w2.last_seen_max,
+                zr10.pagerank AS pagerank_directed
+         FROM w2 JOIN k2 USING (source)
+         JOIN zr10 ON zr10.node = w2.source || '.example.com'
+         LEFT JOIN rvs USING (source)
+         ORDER BY w2.source"""),
     // the FROM-SCRATCH recompute over every page — night split absent
     // on purpose: the Spark side folds night 2's edges into the
     // materialized night-1 graph, and the theorem under adjudication
