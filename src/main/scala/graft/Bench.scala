@@ -143,6 +143,19 @@ object Bench {
     // per-query detail first (a 139-entry map — the line the driver's
     // stdout-tail capture may truncate) …
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"calib_ms":$calib,"calib_par_s":$calibPar,"floor_s":$floor$b37Json$subset,"sf":"$sfDir"}""")
+    // … the FULL per-query minima map also lands as a FILE (the
+    // driver's stdout tail truncates ~250 of 300 entries), so
+    // round-over-round regression checks diff two artifacts instead of
+    // reconstructing from BASELINE.md prose. Overwritten per run;
+    // subset runs write a suffixed file so they never shadow a
+    // full-suite artifact.
+    val perQueryPath = if (only.isDefined) "bench_perquery_subset.json"
+      else "bench_perquery.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(perQueryPath),
+      s"""{"queries":$qs,"passes":$passes,"calib_ms":$calib,"calib_par_s":$calibPar,"floor_s":$floor$b37Json$subset,"sf":"$sfDir"}
+""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] per-query artifact write failed: $e") }
     // … then a COMPACT summary as the LAST stdout line, so the headline
     // numbers always survive tail truncation (BENCH_r04.json lost its
     // parsed total exactly this way)

@@ -1001,6 +1001,84 @@ object Warc {
       .drop("__rv_max")
   }
 
+  /** Write a record frame as WARC segments — the production write half
+    * of [[readWarcFiles]]: one `.warc.gz` file per PARTITION, one gzip
+    * member per RECORD (the Common Crawl layout [[MemberDecoder]]
+    * reads back with member-sized memory), streamed per-partition
+    * through Hadoop output streams — no driver collect, memory ∝ one
+    * record. Rows quarantined by the reader (`error` non-null, when the
+    * column exists) are SKIPPED — a dead-letter span is not a record.
+    *
+    * Header reconstruction: the `headers` map (when present) carries
+    * the record's raw header block minus Content-Length (re-framed
+    * from the actual payload — the one header a writer must never
+    * trust); otherwise the typed columns (warc_type, target_uri,
+    * record_id, warc_date, content_type) synthesize a minimal block.
+    * Expected columns: payload (binary, required); warc_version,
+    * warc_type, target_uri, record_id, warc_date, content_type,
+    * headers, error (each optional).
+    *
+    * File naming is `part-{partitionId}.warc.gz` — deterministic for a
+    * given partitioning; empty partitions write nothing. Returns the
+    * written file count. */
+  def writeWarcFiles(records: DataFrame, outDir: String): Long = {
+    val spark = records.sparkSession
+    val cols = records.columns.toSet
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val hasHeaders = cols.contains("headers")
+    val opt = Seq("warc_version", "warc_type", "target_uri", "record_id",
+      "warc_date", "content_type").filter(cols.contains)
+    val withError = cols.contains("error")
+    val proj = records.select(
+      (opt.map(col) ++
+        (if (hasHeaders) Seq(col("headers")) else Nil) ++
+        (if (withError) Seq(col("error")) else Nil) :+
+        col("payload")): _*)
+    val written = spark.sparkContext.longAccumulator("warc_files_written")
+    proj.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val p = new org.apache.hadoop.fs.Path(outDir,
+          f"part-$pid%05d.warc.gz")
+        val fs = p.getFileSystem(conf.value)
+        val out = fs.create(p, true)
+        try {
+          it.foreach { row =>
+            def str(c: String): String =
+              if (row.schema.fieldNames.contains(c)) {
+                val i = row.fieldIndex(c)
+                if (row.isNullAt(i)) null else row.getString(i)
+              } else null
+            if (!withError || str("error") == null) {
+              val pi = row.fieldIndex("payload")
+              val payload = if (row.isNullAt(pi)) Array.emptyByteArray
+                else row.getAs[Array[Byte]](pi)
+              val hdrs: Seq[(String, String)] =
+                if (hasHeaders && !row.isNullAt(row.fieldIndex("headers"))) {
+                  row.getAs[Map[String, String]]("headers").toSeq
+                    .filterNot(_._1.equalsIgnoreCase("content-length"))
+                    .sortBy(_._1)
+                } else {
+                  Seq("WARC-Type" -> str("warc_type"),
+                    "WARC-Target-URI" -> str("target_uri"),
+                    "WARC-Record-ID" -> str("record_id"),
+                    "WARC-Date" -> str("warc_date"),
+                    "Content-Type" -> str("content_type"))
+                    .filter(_._2 != null)
+                }
+              val version = Option(str("warc_version")).getOrElse("WARC/1.0")
+              // member-sized buffer: build + gzip ONE record, stream it
+              out.write(gzip(buildRecord(version, hdrs, payload)))
+            }
+          }
+        } finally out.close()
+        written.add(1L)
+      }
+    }
+    written.value
+  }
+
   // ---- fixture/writer side (tests and deterministic oracles) ----
 
   /** Serialize one record with correct Content-Length framing. */

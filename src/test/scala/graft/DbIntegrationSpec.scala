@@ -20,7 +20,22 @@ import graft.sinks.JdbcUpsert.ConnConfig
   *
   * Deployment: `GRAFT_DATABASE_URL=jdbc:postgresql://host/db`
   * `GRAFT_DATABASE_USER`/`GRAFT_DATABASE_PASSWORD` as needed, with
-  * `postgresql.jar` on the test classpath. */
+  * `postgresql.jar` on the test classpath.
+  *
+  * One-command CI recipe for any environment with Docker (closes the
+  * "never hit a real Postgres" gap the moment it runs):
+  * {{{
+  * docker run -d --name graft-pg -e POSTGRES_PASSWORD=graft \
+  *   -e POSTGRES_DB=graft -p 5432:5432 postgres:16
+  * curl -fLo lib/postgresql.jar https://jdbc.postgresql.org/download/postgresql-42.7.4.jar
+  * GRAFT_DATABASE_URL=jdbc:postgresql://localhost:5432/graft \
+  *   GRAFT_DATABASE_USER=postgres GRAFT_DATABASE_PASSWORD=graft \
+  *   sbt "testOnly graft.DbIntegrationSpec"
+  * docker rm -f graft-pg
+  * }}}
+  * (`lib/` is sbt's default unmanaged classpath, so the driver jar is
+  * picked up without a build change; this sandbox has neither Docker
+  * nor network egress, hence the guard below.) */
 class DbIntegrationSpec extends SparkSpec {
 
   private def driverPresent: Boolean =

@@ -207,4 +207,85 @@ class StreamingCrawlTierSpec extends SparkSpec {
     assert(batch.contains((4L, "https://h.com/m")))
     assert(batch.size === pages.size * 7) // 7 anchors per planted page
   }
+
+  test("streaming frontier ≡ Crawl.bfs per hop, across batches and a checkpoint restart") {
+    import graft.streaming.StreamingFrontier
+    // hand-checkable corpus: seeds {a,b}; a→{c,d}, b→{d,e}, c→{f,a},
+    // d→{g}, f→{h}, g→{h}; e and h have no pages (dangling discoveries)
+    def u(s: String) = s"http://s.example.com/$s"
+    def page(links: String*): String =
+      "<html><body>" +
+        links.map(l => s"""<a href="${u(l)}">x</a>""").mkString +
+        "</body></html>"
+    val corpus = Map(
+      "a" -> page("c", "d"), "b" -> page("d", "e"),
+      "c" -> page("f", "a"), "d" -> page("g"),
+      "f" -> page("h"), "g" -> page("h"))
+    val pagesDf = corpus.toSeq.map { case (k, h) => (u(k), h) }
+      .toDF("url", "html")
+    val seeds = Seq(u("a"), u("b")).toDF("url")
+    // the batch contract: first-reach hops over the same corpus
+    val bfs = graft.operators.Crawl
+      .bfs(pagesDf, "url", "html", seeds, "url", hops = 3)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    def hop(k: Int): Set[String] =
+      bfs.collect { case (url, h) if h == k => url }.toSet
+    assert(hop(1) === Set(u("c"), u("d"), u("e")))
+    assert(hop(2) === Set(u("f"), u("g")))
+    assert(hop(3) === Set(u("h")))
+
+    val (in, out, cp) = (tmp("sf_in"), tmp("sf_out"), tmp("sf_cp"))
+    val pageSchema2 = StructType(Seq(
+      StructField("url", StringType), StructField("html", StringType)))
+    var landed = 0
+    def land(names: Seq[String]): Unit = {
+      landed += 1
+      val staging = Files.createTempDirectory("sf_stage").toString
+      names.map(k => (u(k), corpus(k))).toDF("url", "html")
+        .coalesce(1).write.mode("overwrite").json(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".json")).head
+      val target = in.resolve(f"cap_$landed%04d.json")
+      Files.move(part.toPath, target)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1700000000000L + landed * 10000L))
+    }
+    def runOnceF(): Unit = {
+      val stream = spark.readStream.schema(pageSchema2)
+        .option("maxFilesPerTrigger", "1").json(in.toString)
+      val q = StreamingFrontier.frontierDeltas(stream, "url", "html")
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", cp.toString)
+        .outputMode(OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def sinkUrls(): Set[String] =
+      spark.read.parquet(out.toString).collect()
+        .map(_.getString(0)).toSet
+
+    // hop-by-hop: land the fetched frontier, read the emitted delta
+    land(Seq("a", "b")) // the seeds are batch-one captures
+    runOnceF()
+    val d1 = sinkUrls()
+    assert(d1 === hop(1), "delta after seeds must be the hop-1 frontier")
+    land(Seq("c", "d")) // e has no page: discovered, never fetchable
+    runOnceF()
+    val d2 = sinkUrls() -- d1
+    assert(d2 === hop(2))
+    // checkpoint restart BEFORE the last hop: the seen registry must
+    // survive — a restart that forgot it would re-emit c/d/e/f/g here
+    land(Seq("f", "g"))
+    runOnceF()
+    val d3 = sinkUrls() -- d1 -- d2
+    assert(d3 === hop(3))
+    // convergence: the accumulated deltas are exactly bfs's discovered
+    // set minus the hop-0 seeds; re-landing a page emits nothing new
+    assert(sinkUrls() === bfs.keySet -- Set(u("a"), u("b")))
+    land(Seq("a"))
+    runOnceF()
+    assert(sinkUrls() === bfs.keySet -- Set(u("a"), u("b")))
+  }
 }

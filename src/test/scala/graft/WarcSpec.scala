@@ -627,6 +627,66 @@ class WarcSpec extends SparkSpec {
     assert(dig === want)
   }
 
+  test("writeWarcFiles round-trip ≡ input at multi-hundred-MB scale — no driver collect") {
+    // ~330 MB of payload across 8 partitions: far past driver-collect
+    // comfort; one gzip member per record so the reader gets it back
+    // with member-sized memory
+    val n = 3000L
+    val dir = Files.createTempDirectory("warc_write").toString
+    val df = spark.range(n).repartition(8)
+      .select(
+        concat(lit("https://w.example.com/p"), col("id")).as("target_uri"),
+        lit("response").as("warc_type"),
+        concat(lit("<urn:w:"), col("id"), lit(">")).as("record_id"),
+        lit("2026-08-16T00:00:00Z").as("warc_date"),
+        lit("application/octet-stream").as("content_type"),
+        encode(repeat(concat(col("id").cast("string"), lit("-abcdefgh")),
+          10000), "UTF-8").as("payload"))
+    val files = Warc.writeWarcFiles(df, dir)
+    assert(files === 8L)
+    val back = Warc.readWarcFiles(spark, dir)
+    // bad rows, counts, and byte-exactness in ONE distributed compare:
+    // anti-join the read-back digests against the expected digests
+    assert(back.filter(col("error").isNotNull).count() === 0L)
+    assert(back.count() === n)
+    val expect = df.select(col("target_uri"),
+      sha2(col("payload"), 256).as("sha"))
+    val got = back.select(col("target_uri"),
+      sha2(col("payload"), 256).as("sha"))
+    assert(got.join(expect, Seq("target_uri", "sha"), "left_anti")
+      .count() === 0L)
+    assert(back.select(col("warc_type"), col("warc_date")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("response", "2026-08-16T00:00:00Z")))
+  }
+
+  test("writeWarcFiles preserves parsed headers (minus re-framed Content-Length); quarantined rows skipped") {
+    val dir = Files.createTempDirectory("warc_write_hdr").toString
+    val r1 = Warc.buildRecord("WARC/1.1",
+      Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://h/1",
+        "WARC-Date" -> "2026-08-01T00:00:00Z",
+        "WARC-Record-ID" -> "<urn:h:1>",
+        "X-Custom" -> "kept-verbatim"),
+      "payload one".getBytes(UTF_8))
+    val garbage = "not a warc record at all\r\n".getBytes(UTF_8)
+    val parsed = Warc.parseBuffer("f", garbage ++ r1)
+    assert(parsed.count(_.error != null) === 1)
+    import spark.implicits._
+    val frame = spark.createDataFrame(
+      spark.sparkContext.parallelize(parsed, 1))
+    assert(Warc.writeWarcFiles(frame, dir) === 1L)
+    val back = Warc.readWarcFiles(spark, dir).collect()
+    // the quarantined leading-garbage row was skipped, the record
+    // round-trips byte-exactly with its custom header and version
+    assert(back.length === 1 && back.head.getAs[String]("error") == null)
+    val hdrs = back.head.getAs[Map[String, String]]("headers")
+    assert(back.head.getAs[String]("warc_version") === "WARC/1.1")
+    assert(hdrs("X-Custom") === "kept-verbatim")
+    assert(hdrs("Content-Length") === "11")
+    assert(new String(back.head.getAs[Array[Byte]]("payload"), UTF_8) ===
+      "payload one")
+  }
+
   test("adversarial Content-Length near Int.MaxValue quarantines — never throws or loops") {
     val good = Warc.buildRecord("WARC/1.0",
       Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://x/ok"),
