@@ -3998,6 +3998,80 @@ object SparkEntry {
         .select(col("node"), col("rank").as("pagerank"))
         .orderBy("node")
     }),
+    // PERSONALIZED PageRank over the same directed host graph —
+    // restarts land only on the trusted-seed hosts (suffix % 4 == 1),
+    // so rank reads "authority as seen from my seed list" (the
+    // TrustRank / frontier-prioritization signal). Same sink structure
+    // as q_directed_pagerank, so the dangling mass (teleporting to the
+    // SEEDS here, not uniformly) is load-bearing on both sides
+    "q_personalized_pagerank" -> ((s, dir) => {
+      import graft.functions.UrlOps
+      val docs = Tables.documents(s, dir).select("doc_id", "source")
+      val base = docs.crossJoin(
+        broadcast(docs.agg(count(lit(1)).as("__n"))))
+      val ta = docs.select(col("doc_id").as("__ia"),
+        col("source").as("__sa"))
+      val tb = docs.select(col("doc_id").as("__ib"),
+        col("source").as("__sb"))
+      val linked = base
+        .join(ta, (col("doc_id") + 1) % col("__n") === col("__ia"))
+        .join(tb, (col("doc_id") * 7 + 3) % col("__n") === col("__ib"))
+        .filter(substring(col("source"), 4, 10).cast("int") % 3 =!= 0)
+      val html = concat(
+        lit("<html><body><a href=\"https://"), col("__sa"),
+        lit(".example.com/x\">a</a><a href=\"https://"), col("__sb"),
+        lit(".example.com/y\">b</a></body></html>"))
+      val pages = linked.select(
+        concat(lit("https://"), col("source"), lit(".example.com/p"),
+          col("doc_id").cast("string")).as("url"),
+        html.as("html"))
+      val links = UrlOps.extractOutlinks(pages, "url", "html")
+      val edges = links.select(
+          UrlOps.hostNoPort(col("url")).as("src_host"),
+          UrlOps.hostNoPort(col("outlink")).as("dst_host"))
+        .filter(col("src_host") =!= col("dst_host"))
+      val seeds = docs.select(col("source")).distinct()
+        .filter(substring(col("source"), 4, 10).cast("int") % 4 === 1)
+        .select(concat(col("source"), lit(".example.com")).as("seed"))
+      Analytics.personalizedPageRank(edges, "src_host", "dst_host",
+          seeds, "seed", iterations = 10, damping = 0.85)
+        .select(col("node"), col("rank").as("pagerank"))
+        .orderBy("node")
+    }),
+    // HITS hubs-and-authorities over the directed host graph — the
+    // anchor-authority companion read: %3!=0 publishers are the hub
+    // candidates, %3==0 hosts (link targets that never publish) must
+    // surface with hub EXACTLY 0, and sources nobody links with
+    // authority 0. Oracle unrolls the L2-normalized double recursion
+    "q_hits_authority" -> ((s, dir) => {
+      import graft.functions.UrlOps
+      val docs = Tables.documents(s, dir).select("doc_id", "source")
+      val base = docs.crossJoin(
+        broadcast(docs.agg(count(lit(1)).as("__n"))))
+      val ta = docs.select(col("doc_id").as("__ia"),
+        col("source").as("__sa"))
+      val tb = docs.select(col("doc_id").as("__ib"),
+        col("source").as("__sb"))
+      val linked = base
+        .join(ta, (col("doc_id") + 1) % col("__n") === col("__ia"))
+        .join(tb, (col("doc_id") * 7 + 3) % col("__n") === col("__ib"))
+        .filter(substring(col("source"), 4, 10).cast("int") % 3 =!= 0)
+      val html = concat(
+        lit("<html><body><a href=\"https://"), col("__sa"),
+        lit(".example.com/x\">a</a><a href=\"https://"), col("__sb"),
+        lit(".example.com/y\">b</a></body></html>"))
+      val pages = linked.select(
+        concat(lit("https://"), col("source"), lit(".example.com/p"),
+          col("doc_id").cast("string")).as("url"),
+        html.as("html"))
+      val links = UrlOps.extractOutlinks(pages, "url", "html")
+      val edges = links.select(
+          UrlOps.hostNoPort(col("url")).as("src_host"),
+          UrlOps.hostNoPort(col("outlink")).as("dst_host"))
+        .filter(col("src_host") =!= col("dst_host"))
+      Analytics.hits(edges, "src_host", "dst_host", iterations = 8)
+        .orderBy("node")
+    }),
     // INCREMENTAL host-graph PageRank — the nightly-increment analog
     // of q_warc_incremental_curation for rank: the standing edge set
     // (night 1 = even doc_ids' pages, extracted and materialized once)
@@ -5379,6 +5453,72 @@ object SparkEntry {
            SELECT CAST(count(*) AS DOUBLE) AS n FROM ${p}nodes),
          ${p}r0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE / nn.n AS pagerank
                 FROM ${p}nodes nodes CROSS JOIN ${p}nn nn),
+         $steps"""
+  }
+
+  /** DuckDB restatement of [[graft.operators.Analytics.personalizedPageRank]]:
+    * the directed recurrence with the teleport vector replaced by the
+    * seed distribution. Expects CTEs `e` (DISTINCT directed (src, dst))
+    * and `sd` (seed node strings, column `s`). Same MATERIALIZED
+    * discipline as the directed family (r_{k-1} read twice per step). */
+  private def pprOracleCtes(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""qd$k AS (SELECT coalesce(sum(r.pagerank), 0.0::DOUBLE) AS m
+           FROM qr${k - 1} r LEFT JOIN qdeg g ON g.src = r.node
+           WHERE g.src IS NULL),
+         qr$k AS MATERIALIZED (SELECT pp.node,
+         (1.0::DOUBLE - 0.85::DOUBLE) * pp.p
+           + 0.85::DOUBLE * (coalesce(s.i, 0.0::DOUBLE) + dm.m * pp.p)
+           AS pagerank
+         FROM qp pp CROSS JOIN qd$k dm
+         LEFT JOIN (SELECT adj.dst AS node,
+                      sum(r.pagerank / deg.deg) AS i
+                    FROM qadj adj JOIN qdeg deg ON deg.src = adj.src
+                    JOIN qr${k - 1} r ON r.node = adj.src
+                    GROUP BY 1) s ON s.node = pp.node)"""
+    }.mkString(",\n         ")
+    s"""qadj AS MATERIALIZED (SELECT src, dst FROM e),
+         qdeg AS MATERIALIZED (
+           SELECT src, count(*) AS deg FROM qadj GROUP BY 1),
+         qnodes AS MATERIALIZED (SELECT src AS node FROM qadj
+                       UNION SELECT dst FROM qadj),
+         qns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS k
+               FROM sd JOIN qnodes ON qnodes.node = sd.s),
+         qp AS MATERIALIZED (SELECT n.node,
+                 CASE WHEN x.s IS NOT NULL THEN 1.0::DOUBLE / qns.k
+                      ELSE 0.0::DOUBLE END AS p
+               FROM qnodes n LEFT JOIN sd x ON x.s = n.node
+               CROSS JOIN qns),
+         qr0 AS MATERIALIZED (SELECT node, p AS pagerank FROM qp),
+         $steps"""
+  }
+
+  /** DuckDB restatement of [[graft.operators.Analytics.hits]]: the
+    * L2-normalized hub/authority double recursion unrolled. Expects a
+    * CTE `he` of DISTINCT directed (src, dst). */
+  private def hitsOracleCtes(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""ha${k}r AS MATERIALIZED (SELECT adj.dst AS node,
+             sum(h.h) AS a0
+           FROM hadj adj JOIN hh${k - 1} h ON h.node = adj.src
+           GROUP BY 1),
+         ha$k AS MATERIALIZED (SELECT n.node,
+             coalesce(r.a0, 0.0::DOUBLE) /
+               (SELECT sqrt(sum(a0 * a0)) FROM ha${k}r) AS a
+           FROM hnodes n LEFT JOIN ha${k}r r ON r.node = n.node),
+         hh${k}r AS MATERIALIZED (SELECT adj.src AS node,
+             sum(a.a) AS h0
+           FROM hadj adj JOIN ha$k a ON a.node = adj.dst
+           GROUP BY 1),
+         hh$k AS MATERIALIZED (SELECT n.node,
+             coalesce(r.h0, 0.0::DOUBLE) /
+               (SELECT sqrt(sum(h0 * h0)) FROM hh${k}r) AS h
+           FROM hnodes n LEFT JOIN hh${k}r r ON r.node = n.node)"""
+    }.mkString(",\n         ")
+    s"""hadj AS MATERIALIZED (SELECT src, dst FROM he),
+         hnodes AS MATERIALIZED (SELECT src AS node FROM hadj
+                       UNION SELECT dst FROM hadj),
+         hh0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE AS h FROM hnodes),
          $steps"""
   }
 
@@ -8042,6 +8182,49 @@ object SparkEntry {
          e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
          """ + pageRankDirectedOracleCtes(10) + """
          SELECT node, pagerank FROM r10 ORDER BY node"""),
+    // personalized form: same directed prelude, teleport restricted to
+    // the % 4 == 1 seed hosts (the dangling mass lands on seeds too)
+    "q_personalized_pagerank" ->
+      ("""WITH nn0 AS (SELECT count(*) AS n FROM documents),
+         t AS (SELECT d.source,
+                 CAST((d.doc_id + 1) % nn0.n AS BIGINT) AS a1,
+                 CAST((d.doc_id * 7 + 3) % nn0.n AS BIGINT) AS a2
+               FROM documents d, nn0
+               WHERE CAST(substring(d.source, 4) AS INT) % 3 <> 0),
+         l AS (SELECT t.source AS s0, d2.source AS sa, d3.source AS sb
+               FROM t JOIN documents d2 ON d2.doc_id = t.a1
+                      JOIN documents d3 ON d3.doc_id = t.a2),
+         e0 AS (SELECT s0 || '.example.com' AS src,
+                  sa || '.example.com' AS dst FROM l
+                UNION ALL
+                SELECT s0 || '.example.com', sb || '.example.com' FROM l),
+         e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         sd AS (SELECT DISTINCT source || '.example.com' AS s
+                FROM documents
+                WHERE CAST(substring(source, 4) AS INT) % 4 = 1),
+         """ + pprOracleCtes(10) + """
+         SELECT node, pagerank FROM qr10 ORDER BY node"""),
+    // HITS: the L2-normalized hub/authority recursion over the same
+    // directed host graph, 8 unrolled double-steps
+    "q_hits_authority" ->
+      ("""WITH nn0 AS (SELECT count(*) AS n FROM documents),
+         t AS (SELECT d.source,
+                 CAST((d.doc_id + 1) % nn0.n AS BIGINT) AS a1,
+                 CAST((d.doc_id * 7 + 3) % nn0.n AS BIGINT) AS a2
+               FROM documents d, nn0
+               WHERE CAST(substring(d.source, 4) AS INT) % 3 <> 0),
+         l AS (SELECT t.source AS s0, d2.source AS sa, d3.source AS sb
+               FROM t JOIN documents d2 ON d2.doc_id = t.a1
+                      JOIN documents d3 ON d3.doc_id = t.a2),
+         e0 AS (SELECT s0 || '.example.com' AS src,
+                  sa || '.example.com' AS dst FROM l
+                UNION ALL
+                SELECT s0 || '.example.com', sb || '.example.com' FROM l),
+         he AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         """ + hitsOracleCtes(8) + """
+         SELECT hh8.node, hh8.h AS hub, ha8.a AS authority
+         FROM hh8 JOIN ha8 ON ha8.node = hh8.node
+         ORDER BY hh8.node"""),
     // anchors → per-target authority → integer weight → min-ratio
     // mixture, + the shared unrolled PageRank recurrence joined per
     // source host (double, tolerance-compared)

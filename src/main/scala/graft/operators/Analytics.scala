@@ -229,6 +229,135 @@ object Analytics {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** PERSONALIZED PageRank over a directed edge list — [[pageRankDirected]]
+    * with the uniform teleport replaced by a seed-set distribution
+    * (Haveliwala '02 topic-sensitive form): restarts land only on the
+    * seeds, so rank measures authority AS SEEN FROM the seed set — the
+    * crawl-frontier prioritization signal ("how close is this host to
+    * my trusted seeds"), and the TrustRank shape when seeds are a
+    * whitelist.
+    *
+    *   r'(v) = (1-d)·p(v) + d·( Σ_{u→v} r(u)/odeg(u) + D·p(v) ),
+    *   p = 1/|S∩nodes| on the seeds, 0 elsewhere; r₀ = p
+    *
+    * Dangling mass D also teleports to the seeds (the standard
+    * strongly-preferential form), so Σ r = 1 holds exactly. Seeds
+    * outside the graph are ignored (require ≥ 1 inside). Scale shape
+    * identical to [[pageRankDirected]]: adjacency shuffled once, D a
+    * 1-row broadcast, the seed indicator a node-registry column.
+    * Output: (node, rank). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String,
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && damping > 0 && damping < 1)
+    val arcs = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val deg = arcs.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val e = arcs.join(deg, Seq("src"))
+      .repartition(col("src"))
+      .materialized
+    val sd = seeds.select(col(seedCol).cast("string").as("node"))
+      .filter(col("node").isNotNull).distinct()
+    val nodes = arcs.select(col("src").as("node"))
+      .unionAll(arcs.select(col("dst").as("node")))
+      .distinct()
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .join(sd.withColumn("__s", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("odeg"), lit(0L)).as("odeg"),
+        coalesce(col("__s"), lit(0L)).as("is_seed"))
+      .repartition(col("node"))
+      .materialized
+    val nSeeds = nodes.filter(col("is_seed") === 1L).count()
+    require(nSeeds > 0,
+      "personalizedPageRank: no seed is a node of the edge graph")
+    val p = col("is_seed").cast("double") / nSeeds
+    var ranks = nodes.select(col("node"), col("odeg"), col("is_seed"),
+      p.as("rank"))
+    var prevRound: DataFrame = null
+    for (i <- 1 to iterations) {
+      val dangling = ranks.filter(col("odeg") === 0L)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+      val contribs = e
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .select(col("dst").as("node"), (col("rank") / col("odeg")).as("c"))
+      ranks = nodes
+        .join(contribs.groupBy("node").agg(sum(col("c")).as("s")),
+          Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("odeg"), col("is_seed"),
+          (lit(1.0 - damping) * p + lit(damping) *
+            (coalesce(col("s"), lit(0.0)) + col("__dm") * p)).as("rank"))
+      if (i % 3 == 0 || i == iterations) {
+        ranks = ranks.materialized
+        if (prevRound != null) graft.Reuse.release(prevRound)
+        prevRound = ranks
+      }
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
+  /** HITS hubs-and-authorities (Kleinberg '99) over a directed edge
+    * list, fixed iteration count with L2 normalization per half-step —
+    * the anchor-authority companion to PageRank: a good HUB links many
+    * good authorities (a directory/sitemap page), a good AUTHORITY is
+    * linked by many good hubs (the page worth keeping). Initialization
+    * h₀ = 1; each iteration a = Aᵀh / ‖Aᵀh‖₂ then h = Aa / ‖Aa‖₂.
+    * Nodes with no in-links report authority 0, no out-links hub 0 —
+    * kept, never dropped.
+    *
+    * Scale shape: the edge list is shuffled once per DIRECTION
+    * (repartitioned on src and dst respectively — each iteration's two
+    * joins then co-locate), scores are node-registry frames, the L2
+    * norms are 1-row broadcast aggregates. Output: (node, hub,
+    * authority). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 8): DataFrame = {
+    require(iterations >= 1)
+    val arcs = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val eBySrc = arcs.repartition(col("src")).materialized
+    val eByDst = arcs.repartition(col("dst")).materialized
+    val nodes = arcs.select(col("src").as("node"))
+      .unionAll(arcs.select(col("dst").as("node")))
+      .distinct().materialized
+    require(!nodes.isEmpty, "hits: edge list has no non-self-loop edges")
+    var hub = nodes.withColumn("h", lit(1.0))
+    var auth: DataFrame = null
+    var prevH: DataFrame = null
+    var prevA: DataFrame = null
+    for (i <- 1 to iterations) {
+      val aRaw = eByDst
+        .join(hub.select(col("node").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a0"))
+      val aNorm = aRaw.agg(sqrt(sum(col("a0") * col("a0"))).as("__na"))
+      auth = nodes.join(aRaw, Seq("node"), "left")
+        .crossJoin(broadcast(aNorm))
+        .select(col("node"),
+          (coalesce(col("a0"), lit(0.0)) / col("__na")).as("a"))
+      val hRaw = eBySrc
+        .join(auth.select(col("node").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("h0"))
+      val hNorm = hRaw.agg(sqrt(sum(col("h0") * col("h0"))).as("__nh"))
+      hub = nodes.join(hRaw, Seq("node"), "left")
+        .crossJoin(broadcast(hNorm))
+        .select(col("node"),
+          (coalesce(col("h0"), lit(0.0)) / col("__nh")).as("h"))
+      if (i % 3 == 0 || i == iterations) {
+        hub = hub.materialized
+        auth = auth.materialized
+        if (prevH != null) graft.Reuse.release(prevH)
+        if (prevA != null) graft.Reuse.release(prevA)
+        prevH = hub; prevA = auth
+      }
+    }
+    nodes.join(hub, Seq("node")).join(auth, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+  }
+
   /** SCD2 (slowly-changing-dimension, type 2) history: collapse an
     * append-only event log into attribute validity intervals — one row
     * per (key, attribute-value run) with [valid_from, valid_to) bounds,

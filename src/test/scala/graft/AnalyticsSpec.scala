@@ -256,6 +256,86 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(v - und(k)) < 1e-12, s"node $k") }
   }
 
+  test("personalizedPageRank ≡ driver power iteration; uniform seeds ≡ pageRankDirected") {
+    def reference(edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int,
+        d: Double): Map[Long, Double] = {
+      val arcs = edges.filter(e => e._1 != e._2).distinct
+      val out = arcs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val in = arcs.groupBy(_._2).map { case (k, v) => k -> v.map(_._1) }
+      val nodes = (arcs.map(_._1) ++ arcs.map(_._2)).distinct.sorted
+      val s = seeds.intersect(nodes.toSet)
+      def p(v: Long) = if (s(v)) 1.0 / s.size else 0.0
+      var r = nodes.map(v => v -> p(v)).toMap
+      for (_ <- 1 to iters) {
+        val dm = nodes.filter(v => !out.contains(v)).map(r).sum
+        r = nodes.map { v =>
+          val c = in.getOrElse(v, Seq.empty).map(u => r(u) / out(u).size).sum
+          v -> ((1.0 - d) * p(v) + d * (c + dm * p(v)))
+        }.toMap
+      }
+      r
+    }
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 5L),
+      (6L, 5L), (6L, 1L))
+    val seeds = Seq(1L, 6L, 99L) // 99 is outside the graph: ignored
+    val got = Analytics.personalizedPageRank(edges.toDF("s", "t"), "s", "t",
+        seeds.toDF("n"), "n", iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = reference(edges, Set(1L, 6L), 10, 0.85)
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-10, s"$k") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // restarts bias rank toward the seed neighborhood: the seed-fed 2
+    // outranks the symmetric-but-unseeded 4
+    assert(got(2L) > got(4L))
+    // seeding EVERY node is the uniform teleport — degenerates to
+    // pageRankDirected exactly
+    val all = (1L to 6L).toDF("n")
+    val ppr = Analytics.personalizedPageRank(edges.toDF("s", "t"), "s", "t",
+        all, "n", iterations = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prd = Analytics.pageRankDirected(edges.toDF("s", "t"), "s", "t",
+        iterations = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ppr.foreach { case (k, v) => assert(math.abs(v - prd(k)) < 1e-12, s"$k") }
+  }
+
+  test("hits ≡ driver power iteration; hub/authority zeros land where links don't") {
+    def reference(edges: Seq[(Long, Long)],
+        iters: Int): Map[Long, (Double, Double)] = {
+      val arcs = edges.filter(e => e._1 != e._2).distinct
+      val nodes = (arcs.map(_._1) ++ arcs.map(_._2)).distinct.sorted
+      var h = nodes.map(_ -> 1.0).toMap
+      var a = nodes.map(_ -> 0.0).toMap
+      for (_ <- 1 to iters) {
+        val a0 = nodes.map(v =>
+          v -> arcs.filter(_._2 == v).map(e => h(e._1)).sum).toMap
+        val na = math.sqrt(a0.values.map(x => x * x).sum)
+        a = a0.map { case (k, v) => k -> v / na }
+        val h0 = nodes.map(v =>
+          v -> arcs.filter(_._1 == v).map(e => a(e._2)).sum).toMap
+        val nh = math.sqrt(h0.values.map(x => x * x).sum)
+        h = h0.map { case (k, v) => k -> v / nh }
+      }
+      nodes.map(v => v -> (h(v), a(v))).toMap
+    }
+    // 1 is a pure hub (out-only), 5 a pure authority (in-only)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 5L), (2L, 5L), (3L, 5L),
+      (4L, 2L), (2L, 3L))
+    val got = Analytics.hits(edges.toDF("s", "t"), "s", "t", iterations = 8)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val ref = reference(edges, 8)
+    assert(got.keySet === ref.keySet)
+    got.foreach { case (k, (hv, av)) =>
+      assert(math.abs(hv - ref(k)._1) < 1e-10, s"hub $k")
+      assert(math.abs(av - ref(k)._2) < 1e-10, s"auth $k")
+    }
+    assert(got(1L)._2 === 0.0) // no in-links → zero authority
+    assert(got(5L)._1 === 0.0) // no out-links → zero hub
+    assert(got(5L)._2 > got(2L)._2) // everyone's target is top authority
+  }
+
   test("triangleCount ≡ exhaustive count on a random graph") {
     val rnd = new scala.util.Random(7)
     val edges = (for (_ <- 1 to 120)
