@@ -58,10 +58,32 @@ object Reuse {
     case "persist" =>
       val p = df.persist(StorageLevel.DISK_ONLY)
       p.count() // force materialization so the derivation runs once, now
-      p
+      // Cut the LOGICAL lineage (a LogicalRDD leaf over the cached
+      // physical plan, the same cut localCheckpoint makes): without
+      // it, iterative loops nest one AQE/InMemoryRelation layer per
+      // round and Spark's per-action plan stringification
+      // (SparkListenerSQLExecutionStart's physicalPlanDescription)
+      // walks the nested tree EXPONENTIALLY — a 10-round directed
+      // PageRank spent minutes in generateTreeString alone. Reads
+      // still hit the persisted blocks (the wrapped RDD is the cached
+      // scan); recovery semantics are unchanged — executor loss falls
+      // back to the RDD lineage, recomputing from source exactly like
+      // persist always did.
+      val wrapped = org.apache.spark.sql.graftglue.Bridge.fromRows(
+        df.sparkSession, p.queryExecution.toRdd, p.schema)
+      persistOriginals.put(wrapped, p)
+      wrapped
     case other => throw new IllegalArgumentException(
       s"$ModeKey=$other (expected local | reliable | persist)")
   }
+
+  /** wrapped frame → the persisted original its [[release]] must
+    * unpersist (weak keys: an unreleased frame's entry clears with the
+    * frame itself; its cache entry then lives until session end, the
+    * pre-wrap behavior). */
+  private val persistOriginals =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, DataFrame]())
 
   /** Release a SUPERSEDED materialized frame. Iterative loops
     * (components, PageRank, BFS, LPA, k-core) materialize fresh state
@@ -72,7 +94,13 @@ object Reuse {
     * other modes: a checkpointed frame another consumer may still read
     * must not be torn down. Only call on frames this loop OWNS. */
   def release(df: DataFrame): Unit =
-    if (mode(df) == "persist") { df.unpersist(); () }
+    if (mode(df) == "persist") {
+      // unpersist the ORIGINAL cached frame — the wrapped LogicalRDD
+      // frame's plan no longer matches any CacheManager entry
+      val orig = persistOriginals.remove(df)
+      (if (orig != null) orig else df).unpersist()
+      ()
+    }
 
   /** `df.materialized` sugar so call sites stay chain-shaped. */
   implicit class ReuseOps(private val df: DataFrame) extends AnyVal {

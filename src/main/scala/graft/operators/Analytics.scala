@@ -202,12 +202,17 @@ object Analytics {
     val n = nodes.count()
     require(n > 0, "pageRankDirected: edge list has no non-self-loop edges")
     var ranks = nodes.select(col("node"), col("odeg"),
-      lit(1.0 / n).as("rank"))
-    var prevRound: DataFrame = null
+      lit(1.0 / n).as("rank")).materialized
+    var prevRound: DataFrame = ranks
     for (i <- 1 to iterations) {
-      // D: one row, node-frame scan — broadcast onto the update below
-      val dangling = ranks.filter(col("odeg") === 0L)
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+      // D as a DRIVER-SIDE scalar over the materialized round state —
+      // a second in-plan reference to `ranks` would double the
+      // analyzed tree every iteration, which persist mode (no lineage
+      // cut) turns into a 2^iterations analyzer blow-up; the scalar
+      // keeps each round's plan single-branch like the undirected
+      // form's, at the cost of one registry-scan job per iteration
+      val dm = ranks.filter(col("odeg") === 0L)
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
       val contribs = e
         .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
         .select(col("dst").as("node"), (col("rank") / col("odeg")).as("c"))
@@ -216,15 +221,12 @@ object Analytics {
       ranks = nodes
         .join(contribs.groupBy("node").agg(sum(col("c")).as("s")),
           Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
         .select(col("node"), col("odeg"),
           (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("s"), lit(0.0)) + col("__dm") / n)).as("rank"))
-      if (i % 3 == 0 || i == iterations) {
-        ranks = ranks.materialized
-        if (prevRound != null) graft.Reuse.release(prevRound)
-        prevRound = ranks
-      }
+            (coalesce(col("s"), lit(0.0)) + lit(dm / n))).as("rank"))
+        .materialized // every round: the dangling scan forces it anyway
+      graft.Reuse.release(prevRound)
+      prevRound = ranks
     }
     ranks.select(col("node"), col("rank"))
   }
@@ -274,26 +276,25 @@ object Analytics {
       "personalizedPageRank: no seed is a node of the edge graph")
     val p = col("is_seed").cast("double") / nSeeds
     var ranks = nodes.select(col("node"), col("odeg"), col("is_seed"),
-      p.as("rank"))
-    var prevRound: DataFrame = null
+      p.as("rank")).materialized
+    var prevRound: DataFrame = ranks
     for (i <- 1 to iterations) {
-      val dangling = ranks.filter(col("odeg") === 0L)
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+      // driver-side dangling scalar — same single-branch-per-round
+      // discipline as pageRankDirected (persist mode cuts no lineage)
+      val dm = ranks.filter(col("odeg") === 0L)
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
       val contribs = e
         .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
         .select(col("dst").as("node"), (col("rank") / col("odeg")).as("c"))
       ranks = nodes
         .join(contribs.groupBy("node").agg(sum(col("c")).as("s")),
           Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
         .select(col("node"), col("odeg"), col("is_seed"),
           (lit(1.0 - damping) * p + lit(damping) *
-            (coalesce(col("s"), lit(0.0)) + col("__dm") * p)).as("rank"))
-      if (i % 3 == 0 || i == iterations) {
-        ranks = ranks.materialized
-        if (prevRound != null) graft.Reuse.release(prevRound)
-        prevRound = ranks
-      }
+            (coalesce(col("s"), lit(0.0)) + lit(dm) * p)).as("rank"))
+        .materialized
+      graft.Reuse.release(prevRound)
+      prevRound = ranks
     }
     ranks.select(col("node"), col("rank"))
   }
@@ -325,34 +326,39 @@ object Analytics {
       .unionAll(arcs.select(col("dst").as("node")))
       .distinct().materialized
     require(!nodes.isEmpty, "hits: edge list has no non-self-loop edges")
-    var hub = nodes.withColumn("h", lit(1.0))
+    var hub = nodes.withColumn("h", lit(1.0)).materialized
     var auth: DataFrame = null
-    var prevH: DataFrame = null
+    var prevH: DataFrame = hub
     var prevA: DataFrame = null
     for (i <- 1 to iterations) {
+      // each half-step: materialize the raw sums ONCE, read the L2
+      // norm back as a driver scalar, divide by the literal. The
+      // in-plan norm (crossJoin of an aggregate over the same frame)
+      // would reference the half-step twice — persist mode cuts no
+      // lineage, so that doubles the analyzed tree per half-step
+      // (4^iterations for the pair): the scalar keeps the whole
+      // recursion a single-branch chain
       val aRaw = eByDst
         .join(hub.select(col("node").as("src"), col("h")), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a0"))
-      val aNorm = aRaw.agg(sqrt(sum(col("a0") * col("a0"))).as("__na"))
+        .materialized
+      val na = aRaw.agg(sqrt(sum(col("a0") * col("a0"))))
+        .head().getDouble(0)
       auth = nodes.join(aRaw, Seq("node"), "left")
-        .crossJoin(broadcast(aNorm))
         .select(col("node"),
-          (coalesce(col("a0"), lit(0.0)) / col("__na")).as("a"))
+          (coalesce(col("a0"), lit(0.0)) / na).as("a"))
       val hRaw = eBySrc
         .join(auth.select(col("node").as("dst"), col("a")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("h0"))
-      val hNorm = hRaw.agg(sqrt(sum(col("h0") * col("h0"))).as("__nh"))
+        .materialized
+      val nh = hRaw.agg(sqrt(sum(col("h0") * col("h0"))))
+        .head().getDouble(0)
       hub = nodes.join(hRaw, Seq("node"), "left")
-        .crossJoin(broadcast(hNorm))
         .select(col("node"),
-          (coalesce(col("h0"), lit(0.0)) / col("__nh")).as("h"))
-      if (i % 3 == 0 || i == iterations) {
-        hub = hub.materialized
-        auth = auth.materialized
-        if (prevH != null) graft.Reuse.release(prevH)
-        if (prevA != null) graft.Reuse.release(prevA)
-        prevH = hub; prevA = auth
-      }
+          (coalesce(col("h0"), lit(0.0)) / nh).as("h"))
+      graft.Reuse.release(prevH)
+      if (prevA != null) graft.Reuse.release(prevA)
+      prevH = hRaw; prevA = aRaw
     }
     nodes.join(hub, Seq("node")).join(auth, Seq("node"))
       .select(col("node"), col("h").as("hub"), col("a").as("authority"))

@@ -1020,7 +1020,15 @@ object Warc {
     *
     * File naming is `part-{partitionId}.warc.gz` — deterministic for a
     * given partitioning; empty partitions write nothing. Returns the
-    * written file count. */
+    * written file count.
+    *
+    * Atomicity: `fs.create(overwrite=true)` makes task RETRIES
+    * idempotent (the retry rewrites the same path), but there is no
+    * output committer — a job that dies mid-write leaves whichever
+    * part files finished. Write to a staging directory and rename on
+    * success (the manifest-commit discipline of
+    * [[IncrementalFiles.readNewParquet]]) when the output feeds a
+    * standing corpus. */
   def writeWarcFiles(records: DataFrame, outDir: String): Long = {
     val spark = records.sparkSession
     val cols = records.columns.toSet

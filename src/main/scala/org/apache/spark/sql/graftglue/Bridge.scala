@@ -13,4 +13,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** A DataFrame whose LOGICAL plan is a leaf (`LogicalRDD`) over the
+    * given InternalRow RDD — the lineage cut `localCheckpoint` performs,
+    * exposed for [[graft.Reuse]]'s persist mode (where the cache must
+    * keep serving reads but the logical plan must stop nesting).
+    * `internalCreateDataFrame` is `private[sql]`; this shim lives under
+    * `org.apache.spark.sql` solely to re-export it. */
+  def fromRows(spark: org.apache.spark.sql.SparkSession,
+      rows: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rows, schema)
 }

@@ -51,11 +51,27 @@ class ReuseSpec extends SparkSpec {
     } finally spark.conf.unset(Reuse.DirKey)
   }
 
-  test("mode=persist uses DISK_ONLY storage") {
+  test("mode=persist caches DISK_ONLY, cuts logical lineage, release frees the cache") {
     withMode("persist") {
+      val before = spark.sparkContext.getPersistentRDDs.size
       val mat = Reuse.materialize(spark.range(10).toDF("id"))
-      assert(mat.storageLevel === StorageLevel.DISK_ONLY)
-      mat.unpersist()
+      // the cache is real and DISK_ONLY …
+      val added = spark.sparkContext.getPersistentRDDs.size - before
+      assert(added === 1)
+      assert(spark.sparkContext.getPersistentRDDs.values
+        .exists(_.getStorageLevel === StorageLevel.DISK_ONLY))
+      // … and the returned frame is a LEAF plan (LogicalRDD), so
+      // iterative loops stop nesting one AQE/InMemoryRelation layer
+      // per round (per-action plan stringification walked that nest
+      // exponentially — the r14 persist-mode stall)
+      assert(mat.queryExecution.analyzed
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+        mat.queryExecution.analyzed.nodeName)
+      assert(mat.count() === 10L)
+      // release unpersists the ORIGINAL cached frame through the
+      // wrapped handle
+      Reuse.release(mat)
+      assert(spark.sparkContext.getPersistentRDDs.size === before)
     }
   }
 
