@@ -149,13 +149,26 @@ object Bench {
     // reconstructing from BASELINE.md prose. Overwritten per run;
     // subset runs write a suffixed file so they never shadow a
     // full-suite artifact.
-    val perQueryPath = if (only.isDefined) "bench_perquery_subset.json"
-      else "bench_perquery.json"
-    try java.nio.file.Files.write(java.nio.file.Paths.get(perQueryPath),
-      s"""{"queries":$qs,"passes":$passes,"calib_ms":$calib,"calib_par_s":$calibPar,"floor_s":$floor$b37Json$subset,"sf":"$sfDir"}
+    // resolved against an EXPLICIT base (env var, falling back to the
+    // launch dir), never the bare process CWD — in cluster/container
+    // deployments the driver's CWD is a scratch dir and the artifact
+    // would land somewhere unexpected; the absolute path is echoed so
+    // a misplaced artifact is at least findable
+    val artifactBase = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR",
+        sys.props.getOrElse("user.dir", ".")))
+    val perQueryPath = artifactBase.resolve(
+      if (only.isDefined) "bench_perquery_subset.json"
+      else "bench_perquery.json")
+    try {
+      java.nio.file.Files.write(perQueryPath,
+        s"""{"queries":$qs,"passes":$passes,"calib_ms":$calib,"calib_par_s":$calibPar,"floor_s":$floor$b37Json$subset,"sf":"$sfDir"}
 """.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Exception =>
-      System.err.println(s"[bench] per-query artifact write failed: $e") }
+      System.err.println(
+        s"[bench] per-query artifact: ${perQueryPath.toAbsolutePath}")
+    } catch { case e: Exception =>
+      System.err.println(
+        s"[bench] per-query artifact write failed (${perQueryPath.toAbsolutePath}): $e") }
     // … then a COMPACT summary as the LAST stdout line, so the headline
     // numbers always survive tail truncation (BENCH_r04.json lost its
     // parsed total exactly this way)

@@ -66,11 +66,15 @@ object Reuse {
       // walks the nested tree EXPONENTIALLY — a 10-round directed
       // PageRank spent minutes in generateTreeString alone. Reads
       // still hit the persisted blocks (the wrapped RDD is the cached
-      // scan); recovery semantics are unchanged — executor loss falls
-      // back to the RDD lineage, recomputing from source exactly like
-      // persist always did.
-      val wrapped = org.apache.spark.sql.graftglue.Bridge.fromRows(
-        df.sparkSession, p.queryExecution.toRdd, p.schema)
+      // scan, resolved through a FRESH QueryExecution so the cache
+      // lookup applies even if `df`'s own execution was forced before
+      // persist() ran); the leaf keeps the executed plan's
+      // outputPartitioning/outputOrdering (checkpoint-style), so
+      // repartition(col).materialized frames stay co-partitioned.
+      // Recovery semantics are unchanged — executor loss falls back to
+      // the RDD lineage, recomputing from source exactly like persist
+      // always did.
+      val wrapped = org.apache.spark.sql.graftglue.Bridge.lineageCut(p)
       persistOriginals.put(wrapped, p)
       wrapped
     case other => throw new IllegalArgumentException(

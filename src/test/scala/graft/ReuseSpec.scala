@@ -75,6 +75,61 @@ class ReuseSpec extends SparkSpec {
     }
   }
 
+  test("mode=persist keeps outputPartitioning: no re-shuffle of a " +
+      "repartition(col).materialized frame (ADVICE r14)") {
+    // the iterative operators repartition their edge frame on the join
+    // key ONCE and read it every round — the lineage-cut leaf must
+    // carry that HashPartitioning (checkpoint-style fromDataset), else
+    // every round's join re-shuffles the edge-sized frame
+    withMode("persist") {
+      val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val a = Reuse.materialize(
+          spark.range(1000).toDF("id").repartition(col("id")))
+        val b = spark.range(1000).toDF("id")
+        val j = a.join(b, "id")
+        val exchanges = j.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(exchanges.size === 1,
+          s"expected ONE exchange (the unpartitioned side only):\n" +
+            j.queryExecution.executedPlan)
+        assert(j.count() === 1000L)
+        Reuse.release(a)
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      }
+    }
+  }
+
+  test("mode=persist serves reads from the cache even when the frame's " +
+      "QueryExecution was forced before materialize (ADVICE r14)") {
+    // reusing a pre-forced QueryExecution would bypass the CacheManager
+    // (withCachedData is lazy) and silently recompute from source on
+    // every read — proven here by deleting the source files and reading
+    withMode("persist") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-reuse-preforce")
+      spark.range(50).toDF("id").write.mode("overwrite")
+        .parquet(dir.toString)
+      val df = spark.read.parquet(dir.toString)
+      // force THIS instance's QueryExecution before materialize
+      df.queryExecution.executedPlan
+      val mat = Reuse.materialize(df)
+      // source gone: only a cache-backed read can still answer
+      val walked = java.nio.file.Files.walk(dir)
+      try walked.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.delete(p); () })
+      finally walked.close()
+      assert(mat.agg(sum("id")).collect().head.getLong(0) === 1225L,
+        "materialized frame recomputed from (deleted) source — cache bypassed")
+      Reuse.release(mat)
+    }
+  }
+
   test("unknown mode fails loudly") {
     withMode("cloud9") {
       intercept[IllegalArgumentException](
