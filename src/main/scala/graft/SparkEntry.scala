@@ -90,6 +90,48 @@ object SparkEntry {
         bitsPerTable = 3, numTables = 12, multiProbe = true, dim = 64)
     }
 
+  // ----- write-once RANK registry (the PairGraph pattern extended to
+  // host-graph authority, round-15 verdict #2). Edge frames and rank
+  // frames are both registry entries, keyed on the DERIVATION RULE plus
+  // every parameter that changes the result (iterations, damping, seed
+  // rule). At 100 TB this is "extract the link graph and derive each
+  // rank ONCE per corpus snapshot; every authority consumer reads the
+  // artifact" — locally it stops q_directed_pagerank /
+  // q_personalized_pagerank / q_hits_authority re-extracting the same
+  // host graph three times, and v8/v9 re-deriving ranks per pass.
+
+  /** The directed host graph of the web-authority trio: pages
+    * synthesized from `documents` under the modular link rule
+    * ((d+1) mod N, (7·d+3) mod N) with the %3 publisher gate, outlinks
+    * extracted by the real scanner, host-level (src, dst) arcs. */
+  private def directedHostEdges(s: SparkSession, dir: String): DataFrame =
+    PairGraph.of(s, s"hostedges:mod3out:$dir") {
+      import graft.functions.UrlOps
+      val docs = Tables.documents(s, dir).select("doc_id", "source")
+      val base = docs.crossJoin(
+        broadcast(docs.agg(count(lit(1)).as("__n"))))
+      val ta = docs.select(col("doc_id").as("__ia"),
+        col("source").as("__sa"))
+      val tb = docs.select(col("doc_id").as("__ib"),
+        col("source").as("__sb"))
+      val linked = base
+        .join(ta, (col("doc_id") + 1) % col("__n") === col("__ia"))
+        .join(tb, (col("doc_id") * 7 + 3) % col("__n") === col("__ib"))
+        .filter(substring(col("source"), 4, 10).cast("int") % 3 =!= 0)
+      val html = concat(
+        lit("<html><body><a href=\"https://"), col("__sa"),
+        lit(".example.com/x\">a</a><a href=\"https://"), col("__sb"),
+        lit(".example.com/y\">b</a></body></html>"))
+      val pages = linked.select(
+        concat(lit("https://"), col("source"), lit(".example.com/p"),
+          col("doc_id").cast("string")).as("url"),
+        html.as("html"))
+      UrlOps.extractOutlinks(pages, "url", "html").select(
+          UrlOps.hostNoPort(col("url")).as("src_host"),
+          UrlOps.hostNoPort(col("outlink")).as("dst_host"))
+        .filter(col("src_host") =!= col("dst_host"))
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- reference parity: Pipeline B (M1/K1/R1, DataStreamJob.java:123-136)
@@ -3953,8 +3995,11 @@ object SparkEntry {
         .select(least(col("h1"), col("h2")).as("ha"),
           greatest(col("h1"), col("h2")).as("hb"))
         .distinct
-      Analytics.pageRank(edges, "ha", "hb", iterations = 10,
-          damping = 0.85)
+      PairGraph.of(s,
+          s"rank:undirected:i10:d0.85:outlinkedges-modall:$dir") {
+          Analytics.pageRank(edges, "ha", "hb", iterations = 10,
+            damping = 0.85)
+        }
         .select(col("node"), col("rank").as("pagerank"))
         .orderBy("node")
     }),
@@ -3968,33 +4013,27 @@ object SparkEntry {
     // oracle unrolls the directed recurrence including the per-round
     // dangling aggregate (pageRankDirectedOracleCtes)
     "q_directed_pagerank" -> ((s, dir) => {
-      import graft.functions.UrlOps
-      val docs = Tables.documents(s, dir).select("doc_id", "source")
-      val base = docs.crossJoin(
-        broadcast(docs.agg(count(lit(1)).as("__n"))))
-      val ta = docs.select(col("doc_id").as("__ia"),
-        col("source").as("__sa"))
-      val tb = docs.select(col("doc_id").as("__ib"),
-        col("source").as("__sb"))
-      val linked = base
-        .join(ta, (col("doc_id") + 1) % col("__n") === col("__ia"))
-        .join(tb, (col("doc_id") * 7 + 3) % col("__n") === col("__ib"))
-        .filter(substring(col("source"), 4, 10).cast("int") % 3 =!= 0)
-      val html = concat(
-        lit("<html><body><a href=\"https://"), col("__sa"),
-        lit(".example.com/x\">a</a><a href=\"https://"), col("__sb"),
-        lit(".example.com/y\">b</a></body></html>"))
-      val pages = linked.select(
-        concat(lit("https://"), col("source"), lit(".example.com/p"),
-          col("doc_id").cast("string")).as("url"),
-        html.as("html"))
-      val links = UrlOps.extractOutlinks(pages, "url", "html")
-      val edges = links.select(
-          UrlOps.hostNoPort(col("url")).as("src_host"),
-          UrlOps.hostNoPort(col("outlink")).as("dst_host"))
-        .filter(col("src_host") =!= col("dst_host"))
-      Analytics.pageRankDirected(edges, "src_host", "dst_host",
-          iterations = 10, damping = 0.85)
+      PairGraph.of(s, s"rank:directed:i10:d0.85:hostedges-mod3out:$dir") {
+          Analytics.pageRankDirected(directedHostEdges(s, dir),
+            "src_host", "dst_host", iterations = 10, damping = 0.85)
+        }
+        .select(col("node"), col("rank").as("pagerank"))
+        .orderBy("node")
+    }),
+    // WEIGHTED directed PageRank over the same host graph — edge
+    // weight = link count per (src, dst) host pair (the anchor-count
+    // signal: how often one host links another), each source's rank
+    // split ∝ w/Σw instead of uniformly. Same sink structure, so the
+    // dangling term stays load-bearing; the oracle unrolls the
+    // weighted recurrence (pageRankWeightedOracleCtes)
+    "q_weighted_pagerank" -> ((s, dir) => {
+      PairGraph.of(s, s"rank:weighted:i10:d0.85:hostedges-mod3out:$dir") {
+          Analytics.pageRankDirectedWeighted(
+            directedHostEdges(s, dir)
+              .groupBy("src_host", "dst_host")
+              .agg(count(lit(1)).cast("double").as("w")),
+            "src_host", "dst_host", "w", iterations = 10, damping = 0.85)
+        }
         .select(col("node"), col("rank").as("pagerank"))
         .orderBy("node")
     }),
@@ -4005,36 +4044,16 @@ object SparkEntry {
     // as q_directed_pagerank, so the dangling mass (teleporting to the
     // SEEDS here, not uniformly) is load-bearing on both sides
     "q_personalized_pagerank" -> ((s, dir) => {
-      import graft.functions.UrlOps
-      val docs = Tables.documents(s, dir).select("doc_id", "source")
-      val base = docs.crossJoin(
-        broadcast(docs.agg(count(lit(1)).as("__n"))))
-      val ta = docs.select(col("doc_id").as("__ia"),
-        col("source").as("__sa"))
-      val tb = docs.select(col("doc_id").as("__ib"),
-        col("source").as("__sb"))
-      val linked = base
-        .join(ta, (col("doc_id") + 1) % col("__n") === col("__ia"))
-        .join(tb, (col("doc_id") * 7 + 3) % col("__n") === col("__ib"))
-        .filter(substring(col("source"), 4, 10).cast("int") % 3 =!= 0)
-      val html = concat(
-        lit("<html><body><a href=\"https://"), col("__sa"),
-        lit(".example.com/x\">a</a><a href=\"https://"), col("__sb"),
-        lit(".example.com/y\">b</a></body></html>"))
-      val pages = linked.select(
-        concat(lit("https://"), col("source"), lit(".example.com/p"),
-          col("doc_id").cast("string")).as("url"),
-        html.as("html"))
-      val links = UrlOps.extractOutlinks(pages, "url", "html")
-      val edges = links.select(
-          UrlOps.hostNoPort(col("url")).as("src_host"),
-          UrlOps.hostNoPort(col("outlink")).as("dst_host"))
-        .filter(col("src_host") =!= col("dst_host"))
-      val seeds = docs.select(col("source")).distinct()
-        .filter(substring(col("source"), 4, 10).cast("int") % 4 === 1)
-        .select(concat(col("source"), lit(".example.com")).as("seed"))
-      Analytics.personalizedPageRank(edges, "src_host", "dst_host",
-          seeds, "seed", iterations = 10, damping = 0.85)
+      PairGraph.of(s,
+          s"rank:ppr:i10:d0.85:seeds-mod4eq1:hostedges-mod3out:$dir") {
+          val seeds = Tables.documents(s, dir).select(col("source"))
+            .distinct()
+            .filter(substring(col("source"), 4, 10).cast("int") % 4 === 1)
+            .select(concat(col("source"), lit(".example.com")).as("seed"))
+          Analytics.personalizedPageRank(directedHostEdges(s, dir),
+            "src_host", "dst_host", seeds, "seed", iterations = 10,
+            damping = 0.85)
+        }
         .select(col("node"), col("rank").as("pagerank"))
         .orderBy("node")
     }),
@@ -4044,32 +4063,10 @@ object SparkEntry {
     // surface with hub EXACTLY 0, and sources nobody links with
     // authority 0. Oracle unrolls the L2-normalized double recursion
     "q_hits_authority" -> ((s, dir) => {
-      import graft.functions.UrlOps
-      val docs = Tables.documents(s, dir).select("doc_id", "source")
-      val base = docs.crossJoin(
-        broadcast(docs.agg(count(lit(1)).as("__n"))))
-      val ta = docs.select(col("doc_id").as("__ia"),
-        col("source").as("__sa"))
-      val tb = docs.select(col("doc_id").as("__ib"),
-        col("source").as("__sb"))
-      val linked = base
-        .join(ta, (col("doc_id") + 1) % col("__n") === col("__ia"))
-        .join(tb, (col("doc_id") * 7 + 3) % col("__n") === col("__ib"))
-        .filter(substring(col("source"), 4, 10).cast("int") % 3 =!= 0)
-      val html = concat(
-        lit("<html><body><a href=\"https://"), col("__sa"),
-        lit(".example.com/x\">a</a><a href=\"https://"), col("__sb"),
-        lit(".example.com/y\">b</a></body></html>"))
-      val pages = linked.select(
-        concat(lit("https://"), col("source"), lit(".example.com/p"),
-          col("doc_id").cast("string")).as("url"),
-        html.as("html"))
-      val links = UrlOps.extractOutlinks(pages, "url", "html")
-      val edges = links.select(
-          UrlOps.hostNoPort(col("url")).as("src_host"),
-          UrlOps.hostNoPort(col("outlink")).as("dst_host"))
-        .filter(col("src_host") =!= col("dst_host"))
-      Analytics.hits(edges, "src_host", "dst_host", iterations = 8)
+      PairGraph.of(s, s"rank:hits:i8:hostedges-mod3out:$dir") {
+          Analytics.hits(directedHostEdges(s, dir),
+            "src_host", "dst_host", iterations = 8)
+        }
         .orderBy("node")
     }),
     // INCREMENTAL host-graph PageRank — the nightly-increment analog
@@ -4155,11 +4152,14 @@ object SparkEntry {
         concat(lit("https://"), col("source"), lit(".example.com/p"),
           col("doc_id").cast("string")).as("url"),
         html.as("html"))
-      val anchors = UrlOps.extractAnchors(pages, "url", "html")
-        .select(UrlOps.hostNoPort(col("url")).as("src_host"),
-          UrlOps.hostNoPort(col("outlink")).as("dst_host"))
-        .filter(col("src_host") =!= col("dst_host"))
-        .materialized // one extraction feeds authority AND the graph
+      // one extraction feeds authority AND the graph — registry-shared
+      // so bench/verify passes after the first read the artifact
+      val anchors = PairGraph.of(s, s"anchoredges:modall:$dir") {
+        UrlOps.extractAnchors(pages, "url", "html")
+          .select(UrlOps.hostNoPort(col("url")).as("src_host"),
+            UrlOps.hostNoPort(col("outlink")).as("dst_host"))
+          .filter(col("src_host") =!= col("dst_host"))
+      }
       val auth = anchors.groupBy(col("dst_host").as("host"))
         .agg(count(lit(1)).cast("long").as("n_anchors"),
           countDistinct(col("src_host")).cast("long")
@@ -4168,14 +4168,21 @@ object SparkEntry {
           least(col("src_host"), col("dst_host")).as("ha"),
           greatest(col("src_host"), col("dst_host")).as("hb"))
         .distinct
-      val pr = Analytics.pageRank(edges, "ha", "hb", iterations = 10,
-          damping = 0.85)
+      val pr = PairGraph.of(s,
+          s"rank:undirected:i10:d0.85:anchoredges-modall:$dir") {
+          Analytics.pageRank(edges, "ha", "hb", iterations = 10,
+            damping = 0.85)
+        }
         .select(col("node").as("host"), col("rank").as("pagerank"))
       // the authority score in BOTH variants: undirected (mutual-link
       // strength) and directed with dangling-mass redistribution (the
-      // web form — anchors already carry the src→dst direction)
-      val prd = Analytics.pageRankDirected(anchors, "src_host",
-          "dst_host", iterations = 10, damping = 0.85)
+      // web form — anchors already carry the src→dst direction); both
+      // rank frames are write-once registry artifacts
+      val prd = PairGraph.of(s,
+          s"rank:directed:i10:d0.85:anchoredges-modall:$dir") {
+          Analytics.pageRankDirected(anchors, "src_host",
+            "dst_host", iterations = 10, damping = 0.85)
+        }
         .select(col("node").as("host"), col("rank").as("pagerank_directed"))
       // auth / pr / prd are per-HOST aggregates — registry-sized at
       // fixture scale but corpus-derived (a web-scale host registry is
@@ -4216,8 +4223,12 @@ object SparkEntry {
       import graft.operators.{Crawl, Scale}
       import graft.functions.{TextAnalysis, UrlOps}
       val recs = Warc.readWarcFiles(s, warcV9FixtureDir(s, dir))
-      // WAT lane: registry-sized metadata; no payload bytes past here
-      val wat = Warc.watFrame(recs).materialized
+      // WAT lane: registry-sized metadata; no payload bytes past here.
+      // Write-once registry entry — the WAT pass over the segment runs
+      // once per (session, corpus), every later consumer reads it
+      val wat = PairGraph.of(s, s"watframe:v9:$dir") {
+        Warc.watFrame(recs)
+      }
       val rd = Crawl.resolveRedirects(
           wat.filter(col("redirect_location").isNotNull)
             .select(col("url").as("src"),
@@ -4275,10 +4286,24 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_linking_pages"),
           countDistinct(col("src_host")).cast("long")
             .as("n_link_sources"))
-      val prd = Analytics.pageRankDirected(lk, "src_host", "dst_host",
-          iterations = 10, damping = 0.85)
+      val prd = PairGraph.of(s,
+          s"rank:directed:i10:d0.85:watlinks-v9:$dir") {
+          Analytics.pageRankDirected(lk, "src_host", "dst_host",
+            iterations = 10, damping = 0.85)
+        }
         .select(col("node").as("host"),
           col("rank").as("pagerank_directed"))
+      // weighted variant: edge weight = linking-page count per host
+      // pair — the anchor-count authority signal, same registry shape
+      val prw = PairGraph.of(s,
+          s"rank:weighted:i10:d0.85:watlinks-v9:$dir") {
+          Analytics.pageRankDirectedWeighted(
+            lk.groupBy("src_host", "dst_host")
+              .agg(count(lit(1)).cast("double").as("w")),
+            "src_host", "dst_host", "w", iterations = 10, damping = 0.85)
+        }
+        .select(col("node").as("host"),
+          col("rank").as("pagerank_weighted"))
       // per-host frames are corpus-derived — unhinted equi-joins, AQE
       val weights = srcs
         .withColumn("host", concat(col("source"), lit(".example.com")))
@@ -4304,6 +4329,7 @@ object SparkEntry {
         .join(mm.select(col("source"), col("kept"), col("rate_micro")),
           Seq("source"))
         .join(prd, Seq("host"))
+        .join(prw, Seq("host"))
         .join(rvs, Seq("source"), "left")
         .select(col("source"), col("n_curated"), col("n_linking_pages"),
           col("n_link_sources"), col("w"), col("kept"),
@@ -4311,7 +4337,8 @@ object SparkEntry {
           coalesce(col("n_revisits"), lit(0L)).as("n_revisits"),
           coalesce(col("n_revisits_resolved"), lit(0L))
             .as("n_revisits_resolved"),
-          col("last_seen_max"), col("pagerank_directed"))
+          col("last_seen_max"), col("pagerank_directed"),
+          col("pagerank_weighted"))
         .orderBy("source")
     }),
     // the WHOLE discovery chain as one adjudicated query: robots
@@ -5453,6 +5480,41 @@ object SparkEntry {
            SELECT CAST(count(*) AS DOUBLE) AS n FROM ${p}nodes),
          ${p}r0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE / nn.n AS pagerank
                 FROM ${p}nodes nodes CROSS JOIN ${p}nn nn),
+         $steps"""
+  }
+
+  /** DuckDB restatement of
+    * [[graft.operators.Analytics.pageRankDirectedWeighted]]: the
+    * weighted recurrence with per-round dangling-mass redistribution,
+    * unrolled. Expects a CTE `${p}we` of AGGREGATED directed
+    * (src, dst, w DOUBLE) edges — one row per pair, w > 0, no
+    * self-loops. Same MATERIALIZED discipline as the directed family. */
+  private def pageRankWeightedOracleCtes(iters: Int,
+      p: String = ""): String = {
+    val steps = (1 to iters).map { k =>
+      s"""${p}wd$k AS (SELECT coalesce(sum(r.pagerank), 0.0::DOUBLE) AS m
+           FROM ${p}wr${k - 1} r LEFT JOIN ${p}wz z ON z.src = r.node
+           WHERE z.src IS NULL),
+         ${p}wr$k AS MATERIALIZED (SELECT nodes.node,
+         (1.0::DOUBLE - 0.85::DOUBLE) / nn.n
+           + 0.85::DOUBLE * (coalesce(s.i, 0.0::DOUBLE) + dm.m / nn.n)
+           AS pagerank
+         FROM ${p}wn nodes CROSS JOIN ${p}wnn nn CROSS JOIN ${p}wd$k dm
+         LEFT JOIN (SELECT adj.dst AS node,
+                      sum(r.pagerank * adj.w / z.wout) AS i
+                    FROM ${p}we adj JOIN ${p}wz z ON z.src = adj.src
+                    JOIN ${p}wr${k - 1} r ON r.node = adj.src
+                    GROUP BY 1) s ON s.node = nodes.node)"""
+    }.mkString(",\n         ")
+    s"""${p}wz AS MATERIALIZED (
+           SELECT src, sum(w) AS wout FROM ${p}we GROUP BY 1),
+         ${p}wn AS MATERIALIZED (SELECT src AS node FROM ${p}we
+                       UNION SELECT dst FROM ${p}we),
+         ${p}wnn AS MATERIALIZED (
+           SELECT CAST(count(*) AS DOUBLE) AS n FROM ${p}wn),
+         ${p}wr0 AS MATERIALIZED (
+           SELECT node, 1.0::DOUBLE / nn.n AS pagerank
+           FROM ${p}wn nodes CROSS JOIN ${p}wnn nn),
          $steps"""
   }
 
@@ -8182,6 +8244,26 @@ object SparkEntry {
          e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
          """ + pageRankDirectedOracleCtes(10) + """
          SELECT node, pagerank FROM r10 ORDER BY node"""),
+    // weighted form: same directed prelude, edges aggregated to
+    // (src, dst, w = link count), contributions ∝ w/Σw
+    "q_weighted_pagerank" ->
+      ("""WITH nn0 AS (SELECT count(*) AS n FROM documents),
+         t AS (SELECT d.source,
+                 CAST((d.doc_id + 1) % nn0.n AS BIGINT) AS a1,
+                 CAST((d.doc_id * 7 + 3) % nn0.n AS BIGINT) AS a2
+               FROM documents d, nn0
+               WHERE CAST(substring(d.source, 4) AS INT) % 3 <> 0),
+         l AS (SELECT t.source AS s0, d2.source AS sa, d3.source AS sb
+               FROM t JOIN documents d2 ON d2.doc_id = t.a1
+                      JOIN documents d3 ON d3.doc_id = t.a2),
+         e0 AS (SELECT s0 || '.example.com' AS src,
+                  sa || '.example.com' AS dst FROM l
+                UNION ALL
+                SELECT s0 || '.example.com', sb || '.example.com' FROM l),
+         we AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+                FROM e0 WHERE src <> dst GROUP BY 1, 2),
+         """ + pageRankWeightedOracleCtes(10) + """
+         SELECT node, pagerank FROM wr10 ORDER BY node"""),
     // personalized form: same directed prelude, teleport restricted to
     // the % 4 == 1 seed hosts (the dangling mass lands on seeds too)
     "q_personalized_pagerank" ->
@@ -8357,7 +8439,10 @@ object SparkEntry {
                     CAST(count(DISTINCT src) AS BIGINT) AS n_link_sources
                   FROM lk GROUP BY 1),
          ze AS (SELECT DISTINCT src, dst FROM lk),
-         """ + pageRankDirectedOracleCtes(10, "z") + raw""",
+         ywe AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+                 FROM lk GROUP BY 1, 2),
+         """ + pageRankDirectedOracleCtes(10, "z") + ",\n         " +
+        pageRankWeightedOracleCtes(10, "y") + raw""",
          w2 AS (SELECT c2.source, c2.n_curated, c2.last_seen_max,
                   coalesce(a.n_linking_pages, CAST(0 AS BIGINT))
                     AS n_linking_pages,
@@ -8384,9 +8469,11 @@ object SparkEntry {
                 coalesce(rvs.n_revisits_resolved, CAST(0 AS BIGINT))
                   AS n_revisits_resolved,
                 w2.last_seen_max,
-                zr10.pagerank AS pagerank_directed
+                zr10.pagerank AS pagerank_directed,
+                ywr10.pagerank AS pagerank_weighted
          FROM w2 JOIN k2 USING (source)
          JOIN zr10 ON zr10.node = w2.source || '.example.com'
+         JOIN ywr10 ON ywr10.node = w2.source || '.example.com'
          LEFT JOIN rvs USING (source)
          ORDER BY w2.source"""),
     // the FROM-SCRATCH recompute over every page — night split absent

@@ -205,14 +205,17 @@ object Analytics {
       lit(1.0 / n).as("rank")).materialized
     var prevRound: DataFrame = ranks
     for (i <- 1 to iterations) {
-      // D as a DRIVER-SIDE scalar over the materialized round state —
-      // a second in-plan reference to `ranks` would double the
-      // analyzed tree every iteration, which persist mode (no lineage
-      // cut) turns into a 2^iterations analyzer blow-up; the scalar
-      // keeps each round's plan single-branch like the undirected
-      // form's, at the cost of one registry-scan job per iteration
-      val dm = ranks.filter(col("odeg") === 0L)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      // D as an IN-PLAN 1-row broadcast over the previous round's
+      // materialized state. `ranks` is a LogicalRDD LEAF in every
+      // reuse mode (Reuse.materialize cuts the logical lineage even in
+      // persist mode since r14), so referencing it twice — dangling
+      // aggregate + contribution join — duplicates an O(1) leaf, not a
+      // growing subtree; the aggregate rides the SAME action as the
+      // round's materialize instead of paying its own per-iteration
+      // driver job (the r14 head() form — one extra scheduling floor
+      // per round, the top cost of the whole rank family at local[32])
+      val dmDf = ranks.filter(col("odeg") === 0L)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
       val contribs = e
         .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
         .select(col("dst").as("node"), (col("rank") / col("odeg")).as("c"))
@@ -221,10 +224,82 @@ object Analytics {
       ranks = nodes
         .join(contribs.groupBy("node").agg(sum(col("c")).as("s")),
           Seq("node"), "left")
+        .crossJoin(broadcast(dmDf)) // 1 row by construction
         .select(col("node"), col("odeg"),
           (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("s"), lit(0.0)) + lit(dm / n))).as("rank"))
-        .materialized // every round: the dangling scan forces it anyway
+            (coalesce(col("s"), lit(0.0)) + col("__dm") / n)).as("rank"))
+        .materialized // one action per round, dangling agg included
+      graft.Reuse.release(prevRound)
+      prevRound = ranks
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
+  /** WEIGHTED directed PageRank — [[pageRankDirected]] with each
+    * outlink's share of its source's rank proportional to the edge
+    * weight instead of uniform (the natural upgrade when the crawl
+    * tier knows HOW OFTEN one host links another: edge weight = anchor
+    * count, so a host linked by 50 anchors from `u` receives 50× the
+    * rank share of a host `u` links once):
+    *
+    *   r'(v) = (1-d)/n + d * ( Σ_{u→v} r(u)·w(u,v)/W(u)  +  D/n ),
+    *   W(u) = Σ_out w(u,·),  D = Σ_{W(u)=0} r(u)
+    *
+    * Parallel (src, dst) edges merge ADDITIVELY (their weights sum —
+    * the anchor-count semantics); non-positive and NULL weights are
+    * dropped (a zero-weight edge is "no link"), so a node whose every
+    * outlink is dropped becomes a genuine dangling sink. Σ r = 1 holds
+    * exactly, same argument as the uniform form. With all weights
+    * equal it reduces to [[pageRankDirected]] (spec'd).
+    *
+    * Scale shape identical to [[pageRankDirected]]: weight-pre-joined
+    * adjacency shuffled once, per-round node-registry frames, dangling
+    * mass as an in-plan 1-row broadcast riding the round's materialize
+    * action. Output: (node, rank). */
+  def pageRankDirectedWeighted(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && damping > 0 && damping < 1)
+    val arcs = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("double").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .filter(col("src") =!= col("dst"))
+      .filter(col("w") > 0.0)
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+    val wout = arcs.groupBy("src").agg(sum(col("w")).as("wout"))
+    val e = arcs.join(wout, Seq("src"))
+      .repartition(col("src"))
+      .materialized // edge-sized; shuffled once, read every round
+    val nodes = arcs.select(col("src").as("node"))
+      .unionAll(arcs.select(col("dst").as("node")))
+      .distinct()
+      .join(wout.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("wout"), lit(0.0)).as("wout"))
+      .repartition(col("node"))
+      .materialized // node-registry-sized; read every round
+    val n = nodes.count()
+    require(n > 0,
+      "pageRankDirectedWeighted: no positive-weight non-self-loop edges")
+    var ranks = nodes.select(col("node"), col("wout"),
+      lit(1.0 / n).as("rank")).materialized
+    var prevRound: DataFrame = ranks
+    for (i <- 1 to iterations) {
+      // in-plan 1-row dangling broadcast over the previous round's
+      // LEAF — see pageRankDirected
+      val dmDf = ranks.filter(col("wout") === 0.0)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+      val contribs = e
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .select(col("dst").as("node"),
+          (col("rank") * col("w") / col("wout")).as("c"))
+      ranks = nodes
+        .join(contribs.groupBy("node").agg(sum(col("c")).as("s")),
+          Seq("node"), "left")
+        .crossJoin(broadcast(dmDf)) // 1 row by construction
+        .select(col("node"), col("wout"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("s"), lit(0.0)) + col("__dm") / n)).as("rank"))
+        .materialized
       graft.Reuse.release(prevRound)
       prevRound = ranks
     }
@@ -279,19 +354,21 @@ object Analytics {
       p.as("rank")).materialized
     var prevRound: DataFrame = ranks
     for (i <- 1 to iterations) {
-      // driver-side dangling scalar — same single-branch-per-round
-      // discipline as pageRankDirected (persist mode cuts no lineage)
-      val dm = ranks.filter(col("odeg") === 0L)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      // in-plan 1-row dangling broadcast over the previous round's
+      // LEAF — same fold-the-scalar-into-the-materialize-action shape
+      // as pageRankDirected (see the comment there)
+      val dmDf = ranks.filter(col("odeg") === 0L)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
       val contribs = e
         .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
         .select(col("dst").as("node"), (col("rank") / col("odeg")).as("c"))
       ranks = nodes
         .join(contribs.groupBy("node").agg(sum(col("c")).as("s")),
           Seq("node"), "left")
+        .crossJoin(broadcast(dmDf)) // 1 row by construction
         .select(col("node"), col("odeg"), col("is_seed"),
           (lit(1.0 - damping) * p + lit(damping) *
-            (coalesce(col("s"), lit(0.0)) + lit(dm) * p)).as("rank"))
+            (coalesce(col("s"), lit(0.0)) + col("__dm") * p)).as("rank"))
         .materialized
       graft.Reuse.release(prevRound)
       prevRound = ranks
@@ -331,31 +408,31 @@ object Analytics {
     var prevH: DataFrame = hub
     var prevA: DataFrame = null
     for (i <- 1 to iterations) {
-      // each half-step: materialize the raw sums ONCE, read the L2
-      // norm back as a driver scalar, divide by the literal. The
-      // in-plan norm (crossJoin of an aggregate over the same frame)
-      // would reference the half-step twice — persist mode cuts no
-      // lineage, so that doubles the analyzed tree per half-step
-      // (4^iterations for the pair): the scalar keeps the whole
-      // recursion a single-branch chain
+      // each half-step: materialize the raw sums ONCE, then divide by
+      // the L2 norm as an IN-PLAN 1-row broadcast over that
+      // materialized LEAF (Reuse.materialize cuts the logical lineage
+      // in every mode since r14, so the double reference duplicates an
+      // O(1) leaf, not a growing subtree). The r14 form read the norm
+      // back as a driver scalar — one extra per-half-step job whose
+      // scheduling floor dominated the suite's HITS cost at local[32]
       val aRaw = eByDst
         .join(hub.select(col("node").as("src"), col("h")), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a0"))
         .materialized
-      val na = aRaw.agg(sqrt(sum(col("a0") * col("a0"))))
-        .head().getDouble(0)
+      val naDf = aRaw.agg(sqrt(sum(col("a0") * col("a0"))).as("__na"))
       auth = nodes.join(aRaw, Seq("node"), "left")
+        .crossJoin(broadcast(naDf)) // 1 row by construction
         .select(col("node"),
-          (coalesce(col("a0"), lit(0.0)) / na).as("a"))
+          (coalesce(col("a0"), lit(0.0)) / col("__na")).as("a"))
       val hRaw = eBySrc
         .join(auth.select(col("node").as("dst"), col("a")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("h0"))
         .materialized
-      val nh = hRaw.agg(sqrt(sum(col("h0") * col("h0"))))
-        .head().getDouble(0)
+      val nhDf = hRaw.agg(sqrt(sum(col("h0") * col("h0"))).as("__nh"))
       hub = nodes.join(hRaw, Seq("node"), "left")
+        .crossJoin(broadcast(nhDf)) // 1 row by construction
         .select(col("node"),
-          (coalesce(col("h0"), lit(0.0)) / nh).as("h"))
+          (coalesce(col("h0"), lit(0.0)) / col("__nh")).as("h"))
       graft.Reuse.release(prevH)
       if (prevA != null) graft.Reuse.release(prevA)
       prevH = hRaw; prevA = aRaw

@@ -1,7 +1,6 @@
 package graft.operators
 
 import java.util.concurrent.ConcurrentHashMap
-import java.util.function.{Function => JFunction}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -37,16 +36,35 @@ import graft.Reuse.ReuseOps
   */
 object PairGraph {
   private val cache = new ConcurrentHashMap[String, DataFrame]()
+  private val deriveLock = new Object
 
   /** Return the memoized pair graph for `key`, deriving and
     * materializing it on first use. Keyed by session identity too, so a
-    * frame checkpointed in a dead session is never served to a new one. */
-  def of(spark: SparkSession, key: String)(derive: => DataFrame): DataFrame =
-    cache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$key",
-      new JFunction[String, DataFrame] {
-        override def apply(k: String): DataFrame = derive.materialized
-      })
+    * frame checkpointed in a dead session is never served to a new one.
+    *
+    * REENTRANT: a derivation may itself call `of` for a different key
+    * (the rank registry derives its rank frames FROM the registry's
+    * edge frames), which `ConcurrentHashMap.computeIfAbsent` forbids
+    * ("Recursive update" whenever the nested insert lands in the bin
+    * the outer compute holds). Derivations therefore run under one
+    * JVM-wide reentrant monitor with a double-checked cache read: hits
+    * stay lock-free, misses serialize (a derivation is a Spark job —
+    * serializing driver-side closure setup costs nothing next to it),
+    * and nested calls re-enter the monitor on the same thread. */
+  def of(spark: SparkSession, key: String)(derive: => DataFrame): DataFrame = {
+    val k = s"${System.identityHashCode(spark)}:$key"
+    val hit = cache.get(k)
+    if (hit != null) hit
+    else deriveLock.synchronized {
+      val again = cache.get(k)
+      if (again != null) again
+      else {
+        val v = derive.materialized
+        cache.put(k, v)
+        v
+      }
+    }
+  }
 
   /** Test hook: forget everything (e.g. between probe corpora). */
   def clear(): Unit = cache.clear()

@@ -256,6 +256,58 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(v - und(k)) < 1e-12, s"node $k") }
   }
 
+  test("pageRankDirectedWeighted ≡ driver power iteration; uniform weights ≡ pageRankDirected") {
+    def reference(edges: Seq[(Long, Long, Double)], iters: Int,
+        d: Double): Map[Long, Double] = {
+      val arcs = edges.filter(e => e._1 != e._2 && e._3 > 0)
+        .groupBy(e => (e._1, e._2))
+        .map { case ((s, t), es) => (s, t, es.map(_._3).sum) }.toSeq
+      val wout = arcs.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum }
+      val in = arcs.groupBy(_._2)
+      val nodes = (arcs.map(_._1) ++ arcs.map(_._2)).distinct.sorted
+      val n = nodes.size
+      var r = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to iters) {
+        val dm = nodes.filter(v => !wout.contains(v)).map(r).sum
+        r = nodes.map { v =>
+          val s = in.getOrElse(v, Seq.empty)
+            .map(e => r(e._1) * e._3 / wout(e._1)).sum
+          v -> ((1.0 - d) / n + d * (s + dm / n))
+        }.toMap
+      }
+      r
+    }
+    // 5 is a sink; the 1→2 edge carries 9× the weight of 1→3, so 2
+    // must strictly outrank 3; a parallel (2,4) pair merges additively;
+    // a zero-weight edge is dropped entirely (6→7 vanishes with 7)
+    val edges = Seq((1L, 2L, 9.0), (1L, 3L, 1.0), (2L, 4L, 1.0),
+      (2L, 4L, 2.0), (3L, 4L, 1.0), (4L, 5L, 2.0), (6L, 1L, 1.0),
+      (6L, 7L, 0.0))
+    val got = Analytics.pageRankDirectedWeighted(
+        edges.toDF("s", "t", "w"), "s", "t", "w", iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = reference(edges, 10, 0.85)
+    assert(got.keySet === ref.keySet)
+    assert(!got.keySet.contains(7L), "zero-weight edge must not add a node")
+    got.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-10, s"$k") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    assert(got(2L) > got(3L), "9:1 weight split must rank 2 over 3")
+    // reduction theorem: all-equal weights ≡ the uniform directed form
+    // (weight 2.0 keeps the comparison bit-exact: 2r and 2k are exact
+    // doubles and (2r)/(2k) rounds the same quotient as r/k)
+    val uni = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 5L),
+      (6L, 5L), (6L, 1L))
+    val w1 = Analytics.pageRankDirectedWeighted(
+        uni.map(e => (e._1, e._2, 2.0)).toDF("s", "t", "w"), "s", "t", "w",
+        iterations = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prd = Analytics.pageRankDirected(uni.toDF("s", "t"), "s", "t",
+        iterations = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w1.keySet === prd.keySet)
+    w1.foreach { case (k, v) => assert(math.abs(v - prd(k)) < 1e-12, s"$k") }
+  }
+
   test("personalizedPageRank ≡ driver power iteration; uniform seeds ≡ pageRankDirected") {
     def reference(edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int,
         d: Double): Map[Long, Double] = {

@@ -68,6 +68,31 @@ class PairGraphSpec extends SparkSpec {
     PairGraph.clear()
   }
 
+  test("of() is reentrant: a derivation may read another registry key (rank-from-edges)") {
+    // the rank registry's shape: the rank frame's derivation calls
+    // of() for the EDGE frame. computeIfAbsent would throw "Recursive
+    // update" here (found live: q_directed_pagerank nested its edge
+    // lookup inside its rank lookup) — the monitor form must serve it
+    PairGraph.clear()
+    val edgeDerived = new AtomicInteger(0)
+    val rankDerived = new AtomicInteger(0)
+    def edges() = PairGraph.of(spark, "spec:re:edges") {
+      edgeDerived.incrementAndGet()
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    }
+    def rank() = PairGraph.of(spark, "spec:re:rank") {
+      rankDerived.incrementAndGet()
+      edges().groupBy("dst").count()
+    }
+    assert(rank().count() === 2L)
+    assert(rank().count() === 2L)
+    // the nested edge entry is a first-class registry citizen
+    assert(edges().count() === 2L)
+    assert(edgeDerived.get === 1 && rankDerived.get === 1)
+    assert(PairGraph.size === 2)
+    PairGraph.clear()
+  }
+
   test("of() is race-safe: one derivation per key under concurrent callers") {
     import spark.implicits._
     PairGraph.clear()
