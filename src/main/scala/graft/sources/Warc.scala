@@ -4,6 +4,8 @@ import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.GZIPOutputStream
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1019,17 +1021,34 @@ object Warc {
     * headers, error (each optional).
     *
     * File naming is `part-{partitionId}.warc.gz` — deterministic for a
-    * given partitioning; empty partitions write nothing. Returns the
-    * written file count.
+    * given partitioning; empty (or all-quarantined) partitions write
+    * nothing. Returns the written file count.
     *
-    * Atomicity: `fs.create(overwrite=true)` makes task RETRIES
-    * idempotent (the retry rewrites the same path), but there is no
-    * output committer — a job that dies mid-write leaves whichever
-    * part files finished. Write to a staging directory and rename on
-    * success (the manifest-commit discipline of
-    * [[IncrementalFiles.readNewParquet]]) when the output feeds a
-    * standing corpus. */
-  def writeWarcFiles(records: DataFrame, outDir: String): Long = {
+    * Atomicity (task-level commit): every attempt streams into an
+    * ATTEMPT-UNIQUE staging file under `_temporary/` (the `_` prefix
+    * keeps Spark's file listing blind to it) and renames into place
+    * only after the partition completes — a task that dies mid-write
+    * leaves no visible partial file, and two racing attempts of the
+    * same partition (speculation, a zombie racing a retry) each commit
+    * a COMPLETE identical file via atomic rename instead of
+    * interleaving bytes in one open stream. Failed-attempt staging
+    * files are swept by the job-end `_temporary` cleanup of the next
+    * successful run. Job-level atomicity is the caller's manifest
+    * ledger: [[writeWarcFilesManifest]] returns one row per committed
+    * file (path, n_records, bytes, sha256 of the file bytes) — join it
+    * against the directory listing before trusting a resumed output
+    * dir (the manifest-commit discipline of
+    * [[IncrementalFiles.readNewParquet]]). */
+  def writeWarcFiles(records: DataFrame, outDir: String): Long =
+    writeWarcFilesManifest(records, outDir).count()
+
+  /** [[writeWarcFiles]] returning the commit manifest instead of a bare
+    * count: one row per committed segment — (path, n_records, bytes,
+    * sha256). The write executes EAGERLY here (the returned frame is a
+    * small local one, file-registry-sized); acting on it twice never
+    * re-writes. */
+  def writeWarcFilesManifest(records: DataFrame, outDir: String)
+      : DataFrame = {
     val spark = records.sparkSession
     val cols = records.columns.toSet
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -1043,14 +1062,23 @@ object Warc {
         (if (hasHeaders) Seq(col("headers")) else Nil) ++
         (if (withError) Seq(col("error")) else Nil) :+
         col("payload")): _*)
-    val written = spark.sparkContext.longAccumulator("warc_files_written")
+    // one entry per SUCCESSFUL task (Spark applies action-stage
+    // accumulator updates once per partition, from the first completed
+    // attempt only) — file-registry-sized metadata, not corpus data
+    val manifest = spark.sparkContext
+      .collectionAccumulator[(String, Long, Long, String)]("warc_manifest")
     proj.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val p = new org.apache.hadoop.fs.Path(outDir,
-          f"part-$pid%05d.warc.gz")
-        val fs = p.getFileSystem(conf.value)
-        val out = fs.create(p, true)
+        val tc = org.apache.spark.TaskContext.get()
+        val name = f"part-${tc.partitionId()}%05d.warc.gz"
+        val finalPath = new org.apache.hadoop.fs.Path(outDir, name)
+        val tmpPath = new org.apache.hadoop.fs.Path(outDir,
+          s"_temporary/$name.attempt-${tc.taskAttemptId()}.tmp")
+        val fs = finalPath.getFileSystem(conf.value)
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        var n = 0L
+        var bytes = 0L
+        val out = fs.create(tmpPath, true)
         try {
           it.foreach { row =>
             def str(c: String): String =
@@ -1077,14 +1105,44 @@ object Warc {
                 }
               val version = Option(str("warc_version")).getOrElse("WARC/1.0")
               // member-sized buffer: build + gzip ONE record, stream it
-              out.write(gzip(buildRecord(version, hdrs, payload)))
+              val member = gzip(buildRecord(version, hdrs, payload))
+              md.update(member)
+              out.write(member)
+              n += 1
+              bytes += member.length
             }
           }
         } finally out.close()
-        written.add(1L)
+        if (n == 0) {
+          // all rows quarantined: nothing to commit, drop the stage
+          fs.delete(tmpPath, false)
+          ()
+        } else {
+          // commit: atomic whole-file rename. If a racing attempt of
+          // this partition already committed (rename refuses because
+          // the destination exists), replace it — both attempts hold
+          // the same complete content, so last-complete-file-wins is
+          // safe where interleaved writes into one stream were not
+          if (!fs.rename(tmpPath, finalPath)) {
+            fs.delete(finalPath, false)
+            if (!fs.rename(tmpPath, finalPath) && !fs.exists(finalPath))
+              throw new java.io.IOException(
+                s"writeWarcFiles: commit failed: $tmpPath -> $finalPath")
+          }
+          manifest.add((finalPath.toString, n, bytes,
+            md.digest.map(b => f"$b%02x").mkString))
+        }
       }
     }
-    written.value
+    // job succeeded: sweep the staging dir (failed/zombie attempt
+    // files; a FAILED job leaves its stage behind for the next
+    // successful run's sweep — `_`-prefixed, so readers never see it)
+    val stage = new org.apache.hadoop.fs.Path(outDir, "_temporary")
+    stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(stage, true)
+    import spark.implicits._
+    manifest.value.asScala.toSeq.sortBy(_._1)
+      .toDF("path", "n_records", "bytes", "sha256")
   }
 
   // ---- fixture/writer side (tests and deterministic oracles) ----

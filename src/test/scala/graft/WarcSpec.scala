@@ -687,6 +687,68 @@ class WarcSpec extends SparkSpec {
       "payload one")
   }
 
+  test("writeWarcFilesManifest: staged attempt-unique commit — manifest ≡ files; mid-write failure leaves no visible partial") {
+    val dir = Files.createTempDirectory("warc_commit").toString
+    val good = spark.range(40).repartition(4)
+      .select(
+        concat(lit("https://m.example.com/p"), col("id")).as("target_uri"),
+        lit("response").as("warc_type"),
+        concat(lit("<urn:m:"), col("id"), lit(">")).as("record_id"),
+        lit("2026-08-17T00:00:00Z").as("warc_date"),
+        lit("application/octet-stream").as("content_type"),
+        encode(col("id").cast("string"), "UTF-8").as("payload"))
+    val man = Warc.writeWarcFilesManifest(good, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(man.length === 4)
+    // manifest ≡ directory: same file set, byte sizes, content hashes,
+    // and the record counts sum to the input
+    val onDisk = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".warc.gz")).map(f => f.getName).toSet
+    assert(man.map(m => new java.io.File(m._1).getName).toSet === onDisk)
+    man.foreach { case (p, _, bytes, sha) =>
+      val f = new java.io.File(p)
+      assert(f.length === bytes, f.getName)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      assert(md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+        .map(b => f"$b%02x").mkString === sha, f.getName)
+    }
+    assert(man.map(_._2).sum === 40L)
+    // the staging dir is swept on success and never visible to readers
+    assert(!new java.io.File(dir, "_temporary").exists)
+    assert(Warc.readWarcFiles(spark, dir)
+      .filter(col("error").isNotNull).count() === 0L)
+
+    // poison one partition mid-iterator: the write dies AFTER opening
+    // its staging file — no partial part-NNNNN.warc.gz may become
+    // visible, and every file that IS visible must read back complete
+    val dir2 = Files.createTempDirectory("warc_commit_fail").toString
+    val boom = udf { (id: Long) =>
+      if (id == 7L) throw new RuntimeException("injected mid-write failure")
+      id.toString.getBytes(UTF_8)
+    }
+    val bad = spark.range(10).repartition(2, col("id") % 2)
+      .select(
+        concat(lit("https://m.example.com/q"), col("id")).as("target_uri"),
+        lit("response").as("warc_type"),
+        concat(lit("<urn:q:"), col("id"), lit(">")).as("record_id"),
+        lit("2026-08-17T00:00:00Z").as("warc_date"),
+        lit("application/octet-stream").as("content_type"),
+        boom(col("id")).as("payload"))
+    intercept[org.apache.spark.SparkException](
+      Warc.writeWarcFilesManifest(bad, dir2))
+    val visible = Option(new java.io.File(dir2).listFiles).toSeq.flatten
+      .filter(_.getName.endsWith(".warc.gz"))
+    assert(visible.size < 2, "poisoned partition must not commit a file")
+    if (visible.nonEmpty) {
+      // the survivor (the healthy partition, if its task finished
+      // before the job aborted) is a COMPLETE segment
+      val back = Warc.readWarcFiles(spark, dir2)
+      assert(back.filter(col("error").isNotNull).count() === 0L)
+      assert(back.count() === 5L)
+    }
+  }
+
   test("adversarial Content-Length near Int.MaxValue quarantines — never throws or loops") {
     val good = Warc.buildRecord("WARC/1.0",
       Seq("WARC-Type" -> "response", "WARC-Target-URI" -> "http://x/ok"),
