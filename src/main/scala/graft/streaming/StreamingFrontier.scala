@@ -39,6 +39,59 @@ object StreamingFrontier {
   final case class UrlEvent(url: String, is_capture: Boolean)
   final case class Discovery(url: String)
 
+  final case class ScheduledFetch(url: String, host: String,
+      fetch_offset_ms: Long)
+
+  /** [[frontierDeltas]] composed with the politeness tier INSIDE the
+    * micro-batch: each batch's newly-discovered urls come out as a
+    * priced fetch wave — `(url, host, fetch_offset_ms)` with offsets
+    * `(position − 1) × crawl_delay` within each host, positions in
+    * sha52(url) order (the batch `q_fetch_schedule` pricing rule, on
+    * the url identity a stream naturally has). `delays` is the parsed
+    * robots registry ([[graft.functions.UrlOps.robotsCrawlDelays]]:
+    * host, crawl_delay_s) joined stream-static and broadcastable;
+    * hosts without a declared delay default to 1 s, exactly like the
+    * batch schedule.
+    *
+    * Each micro-batch is its own fetch WAVE (offsets restart at 0 per
+    * batch): the fetcher executes a wave, the captures come back
+    * through the stream, the next wave prices the next hop — so
+    * feeding a corpus hop-by-hop reproduces the batch per-hop schedule
+    * exactly (spec'd, including across a checkpoint restart). Scale
+    * shape: the discovery pass's url-keyed shuffle plus one host-keyed
+    * shuffle of the DELTA (new urls only — registry-sized, not
+    * corpus-sized); the wave grouper writes no state. */
+  def scheduledDeltas(pages: DataFrame, urlCol: String, htmlCol: String,
+      delays: DataFrame): Dataset[ScheduledFetch] = {
+    implicit val rowEnc: Encoder[(String, String, Double, Long)] =
+      Encoders.product[(String, String, Double, Long)]
+    implicit val outEnc: Encoder[ScheduledFetch] =
+      Encoders.product[ScheduledFetch]
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    frontierDeltas(pages, urlCol, htmlCol).toDF()
+      .withColumn("host", graft.functions.UrlOps.hostNoPort(col("url")))
+      .join(broadcast(delays.select(col("host"),
+        col("crawl_delay_s").cast("double").as("__delay"))),
+        Seq("host"), "left")
+      .select(col("url"), col("host"),
+        coalesce(col("__delay"), lit(1.0)).as("__d"),
+        graft.functions.Kmv.sha52(col("url")).as("__h"))
+      .as[(String, String, Double, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, ScheduledFetch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (host: String, rows: Iterator[(String, String, Double, Long)],
+            _state: GroupState[Boolean]) =>
+          // per-batch grouping only — state is never written, so the
+          // operator carries nothing across waves
+          rows.toSeq.sortBy(r => (r._4, r._1)).iterator.zipWithIndex
+            .map { case (r, i) =>
+              ScheduledFetch(r._1, host, (i * r._3 * 1000.0).toLong)
+            }
+      }
+  }
+
   /** Frontier deltas from a stream of fetched pages `(urlCol,
     * htmlCol)`. flatMapGroupsWithState declares Append — pair with an
     * append sink; each emitted row is a url seen for the first time. */

@@ -288,4 +288,98 @@ class StreamingCrawlTierSpec extends SparkSpec {
     runOnceF()
     assert(sinkUrls() === bfs.keySet -- Set(u("a"), u("b")))
   }
+
+  test("streaming frontier × politeness: per-wave schedule ≡ batch pricing per hop, across a restart") {
+    import graft.streaming.StreamingFrontier
+    import org.apache.spark.sql.expressions.Window
+    // three hosts: fast declares 0.5 s (the * group), slow 2 s (the
+    // graftbot group), nd declares nothing → the 1 s default
+    def uf(s: String) = s"http://fast.example.com/$s"
+    def us(s: String) = s"http://slow.example.com/$s"
+    def un(s: String) = s"http://nd.example.com/$s"
+    val delays = graft.functions.UrlOps.robotsCrawlDelays(
+      Seq(
+        ("fast.example.com", "User-agent: *\nCrawl-delay: 0.5"),
+        ("slow.example.com", "User-agent: graftbot\nCrawl-delay: 2"))
+        .toDF("host", "text"),
+      "host", "text", "graftbot")
+    def page(links: String*): String =
+      "<html><body>" +
+        links.map(l => s"""<a href="$l">x</a>""").mkString +
+        "</body></html>"
+    // seeds a@fast, b@slow; hop-1 = {c@fast, f@fast, d@slow, e@nd};
+    // hop-2 = {g@fast, i@fast, h@slow} (g linked twice — emits once)
+    val corpus = Map(
+      uf("a") -> page(uf("c"), us("d"), un("e")),
+      us("b") -> page(us("d"), uf("f")),
+      uf("c") -> page(uf("g")),
+      us("d") -> page(us("h"), uf("i")),
+      uf("f") -> page(uf("g")))
+    // the batch pricing contract, applied to ONE hop's frontier: per
+    // host, (sha52(url) rank − 1) × delay — the q_fetch_schedule rule
+    // on the url identity
+    def priceHop(urls: Set[String]): Set[(String, String, Long)] = {
+      val w = Window.partitionBy("host")
+        .orderBy(graft.functions.Kmv.sha52(col("url")), col("url"))
+      urls.toSeq.toDF("url")
+        .withColumn("host", graft.functions.UrlOps.hostNoPort(col("url")))
+        .join(broadcast(delays), Seq("host"), "left")
+        .withColumn("__r", row_number().over(w))
+        .select(col("url"), col("host"),
+          ((col("__r") - 1) * coalesce(col("crawl_delay_s"), lit(1.0))
+            * 1000).cast("long").as("fetch_offset_ms"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2))).toSet
+    }
+    val hop1 = Set(uf("c"), uf("f"), us("d"), un("e"))
+    val hop2 = Set(uf("g"), uf("i"), us("h"))
+
+    val (in, out, cp) = (tmp("sp_in"), tmp("sp_out"), tmp("sp_cp"))
+    val pageSchema2 = StructType(Seq(
+      StructField("url", StringType), StructField("html", StringType)))
+    var landed = 0
+    def land(urls: Seq[String]): Unit = {
+      landed += 1
+      val staging = Files.createTempDirectory("sp_stage").toString
+      urls.map(k => (k, corpus(k))).toDF("url", "html")
+        .coalesce(1).write.mode("overwrite").json(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".json")).head
+      Files.move(part.toPath, in.resolve(f"cap_$landed%04d.json"))
+    }
+    def runOnceS(): Unit = {
+      val stream = spark.readStream.schema(pageSchema2)
+        .option("maxFilesPerTrigger", "1").json(in.toString)
+      val q = StreamingFrontier
+        .scheduledDeltas(stream, "url", "html", delays)
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", cp.toString)
+        .outputMode(OutputMode.Append())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def waves(): Set[(String, String, Long)] =
+      spark.read.parquet(out.toString).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+    land(Seq(uf("a"), us("b"))) // the seed wave
+    runOnceS()
+    val w1 = waves()
+    assert(w1 === priceHop(hop1),
+      "wave 1 must be the batch-priced hop-1 schedule")
+    // offsets are really politeness-priced: the two fast-host urls sit
+    // 500 ms apart, the single urls of slow/nd start at 0
+    assert(w1.filter(_._2 == "fast.example.com").map(_._3) === Set(0L, 500L))
+    assert(w1.filter(_._2 == "slow.example.com").map(_._3) === Set(0L))
+    // checkpoint restart between waves: the seen registry survives, so
+    // wave 2 prices ONLY the new discoveries (g once despite 2 links)
+    land(Seq(uf("c"), us("d"), uf("f")))
+    runOnceS()
+    assert(waves() -- w1 === priceHop(hop2))
+    // re-landing fetched pages discovers nothing: no third wave
+    land(Seq(uf("a"), uf("c")))
+    runOnceS()
+    assert(waves() -- w1 === priceHop(hop2))
+  }
 }
