@@ -132,6 +132,30 @@ object SparkEntry {
         .filter(col("src_host") =!= col("dst_host"))
     }
 
+  /** Registry-served directed PageRank over [[directedHostEdges]] —
+    * shared by q_directed_pagerank and q_spam_mass (same key ⇒ one
+    * derivation per session/corpus). */
+  private def directedHostRank(s: SparkSession, dir: String): DataFrame =
+    PairGraph.of(s, s"rank:directed:i10:d0.85:hostedges-mod3out:$dir") {
+      Analytics.pageRankDirected(directedHostEdges(s, dir),
+        "src_host", "dst_host", iterations = 10, damping = 0.85)
+    }
+
+  /** Registry-served TrustRank (personalized PageRank from the
+    * %4==1 trusted-seed hosts) over the same graph — shared by
+    * q_personalized_pagerank and q_spam_mass. */
+  private def trustedHostRank(s: SparkSession, dir: String): DataFrame =
+    PairGraph.of(s,
+        s"rank:ppr:i10:d0.85:seeds-mod4eq1:hostedges-mod3out:$dir") {
+      val seeds = Tables.documents(s, dir).select(col("source"))
+        .distinct()
+        .filter(substring(col("source"), 4, 10).cast("int") % 4 === 1)
+        .select(concat(col("source"), lit(".example.com")).as("seed"))
+      Analytics.personalizedPageRank(directedHostEdges(s, dir),
+        "src_host", "dst_host", seeds, "seed", iterations = 10,
+        damping = 0.85)
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ----- reference parity: Pipeline B (M1/K1/R1, DataStreamJob.java:123-136)
@@ -4013,10 +4037,7 @@ object SparkEntry {
     // oracle unrolls the directed recurrence including the per-round
     // dangling aggregate (pageRankDirectedOracleCtes)
     "q_directed_pagerank" -> ((s, dir) => {
-      PairGraph.of(s, s"rank:directed:i10:d0.85:hostedges-mod3out:$dir") {
-          Analytics.pageRankDirected(directedHostEdges(s, dir),
-            "src_host", "dst_host", iterations = 10, damping = 0.85)
-        }
+      directedHostRank(s, dir)
         .select(col("node"), col("rank").as("pagerank"))
         .orderBy("node")
     }),
@@ -4044,17 +4065,28 @@ object SparkEntry {
     // as q_directed_pagerank, so the dangling mass (teleporting to the
     // SEEDS here, not uniformly) is load-bearing on both sides
     "q_personalized_pagerank" -> ((s, dir) => {
-      PairGraph.of(s,
-          s"rank:ppr:i10:d0.85:seeds-mod4eq1:hostedges-mod3out:$dir") {
-          val seeds = Tables.documents(s, dir).select(col("source"))
-            .distinct()
-            .filter(substring(col("source"), 4, 10).cast("int") % 4 === 1)
-            .select(concat(col("source"), lit(".example.com")).as("seed"))
-          Analytics.personalizedPageRank(directedHostEdges(s, dir),
-            "src_host", "dst_host", seeds, "seed", iterations = 10,
-            damping = 0.85)
-        }
+      trustedHostRank(s, dir)
         .select(col("node"), col("rank").as("pagerank"))
+        .orderBy("node")
+    }),
+    // SPAM MASS (Gyöngyi et al. '04): the share of a host's PageRank
+    // NOT explainable from the trusted seed set — pagerank minus
+    // TrustRank, and the relative form 1 − trustrank/pagerank. The
+    // standard link-spam demotion signal a curation pipeline reads
+    // next to raw authority. BOTH rank frames come from the write-once
+    // registry (the same keys q_directed_pagerank /
+    // q_personalized_pagerank serve), so this query derives NOTHING —
+    // it is the registry's consumer story: rank once, read many
+    "q_spam_mass" -> ((s, dir) => {
+      val pr = directedHostRank(s, dir)
+        .select(col("node"), col("rank").as("pagerank"))
+      val tr = trustedHostRank(s, dir)
+        .select(col("node"), col("rank").as("trustrank"))
+      pr.join(tr, Seq("node"))
+        .select(col("node"), col("pagerank"), col("trustrank"),
+          (col("pagerank") - col("trustrank")).as("spam_mass"),
+          (lit(1.0) - col("trustrank") / col("pagerank"))
+            .as("spam_frac"))
         .orderBy("node")
     }),
     // HITS hubs-and-authorities over the directed host graph — the
@@ -8286,6 +8318,35 @@ object SparkEntry {
                 WHERE CAST(substring(source, 4) AS INT) % 4 = 1),
          """ + pprOracleCtes(10) + """
          SELECT node, pagerank FROM qr10 ORDER BY node"""),
+    // spam mass: the directed and seeded recurrences composed over ONE
+    // shared edge prelude (both families' CTEs are prefix-disjoint),
+    // differenced per node
+    "q_spam_mass" ->
+      ("""WITH nn0 AS (SELECT count(*) AS n FROM documents),
+         t AS (SELECT d.source,
+                 CAST((d.doc_id + 1) % nn0.n AS BIGINT) AS a1,
+                 CAST((d.doc_id * 7 + 3) % nn0.n AS BIGINT) AS a2
+               FROM documents d, nn0
+               WHERE CAST(substring(d.source, 4) AS INT) % 3 <> 0),
+         l AS (SELECT t.source AS s0, d2.source AS sa, d3.source AS sb
+               FROM t JOIN documents d2 ON d2.doc_id = t.a1
+                      JOIN documents d3 ON d3.doc_id = t.a2),
+         e0 AS (SELECT s0 || '.example.com' AS src,
+                  sa || '.example.com' AS dst FROM l
+                UNION ALL
+                SELECT s0 || '.example.com', sb || '.example.com' FROM l),
+         e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+         sd AS (SELECT DISTINCT source || '.example.com' AS s
+                FROM documents
+                WHERE CAST(substring(source, 4) AS INT) % 4 = 1),
+         """ + pageRankDirectedOracleCtes(10) + ",\n         " +
+        pprOracleCtes(10) + """
+         SELECT r10.node, r10.pagerank,
+                qr10.pagerank AS trustrank,
+                r10.pagerank - qr10.pagerank AS spam_mass,
+                1.0::DOUBLE - qr10.pagerank / r10.pagerank AS spam_frac
+         FROM r10 JOIN qr10 ON qr10.node = r10.node
+         ORDER BY r10.node"""),
     // HITS: the L2-normalized hub/authority recursion over the same
     // directed host graph, 8 unrolled double-steps
     "q_hits_authority" ->

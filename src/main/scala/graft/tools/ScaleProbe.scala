@@ -1047,6 +1047,74 @@ object ScaleProbe {
         f"bigpage=${pageKb}%.0fKB extract=$te%.1fs($ne%d links, " +
         f"${scannedMb / te}%.0f MB/s)")
     }
+    // Round-15: the web-authority rank family. Per-iteration cost must
+    // be flat in ROUND INDEX (every round materializes to a leaf — no
+    // plan growth, the r14 lesson) and ~linear in EDGES at the top end
+    // (adjacency shuffled once; per-round frames node-registry-sized;
+    // the low end measures the per-job scheduling floor, not data).
+    // Host graph grown k×: two thirds of hosts publish 6 modular
+    // outlinks each; non-publishers are genuine dangling sinks, so the
+    // redistribution term stays load-bearing at every k.
+    if (on("rank")) {
+      // JIT/codegen warmup on a toy graph so the first timed family
+      // doesn't absorb whole-stage compilation (the k=1 first column
+      // read 2–3× hot-steady-state without this)
+      val w = spark.range(100)
+        .select(concat(lit("h"), col("id")).as("src"),
+          concat(lit("h"), pmod(col("id") * 7 + 1, lit(100))).as("dst"))
+      Analytics.pageRankDirected(w, "src", "dst", iterations = 2).count()
+      Analytics.personalizedPageRank(w, "src", "dst",
+        spark.range(10).select(concat(lit("h"), col("id")).as("s")), "s",
+        iterations = 2).count()
+      Analytics.hits(w, "src", "dst", iterations = 2).count()
+      Analytics.pageRankDirectedWeighted(
+        w.withColumn("wt", lit(2.0)), "src", "dst", "wt",
+        iterations = 2).count()
+    }
+    for (k <- Seq(1, 2, 4, 8) if on("rank")) {
+      val hosts = 50000 * k
+      val ids = spark.range(hosts.toLong)
+      val edges = ids.filter(col("id") % 3 =!= 0)
+        .select(col("id"), explode(sequence(lit(1), lit(6))).as("j"))
+        .select(concat(lit("h"), col("id")).as("src"),
+          concat(lit("h"),
+            pmod(col("id") * 7919 + col("j") * 104729, lit(hosts)))
+            .as("dst"))
+        .persist()
+      val ne = edges.count()
+      def timeS(f: => Unit): Double = {
+        // every round localCheckpoints its state; the superseded
+        // blocks are reclaimed by the ContextCleaner only after
+        // driver GC notices the dead references — without the nudge,
+        // stale round frames from PRIOR measurements pile into
+        // storage memory and the later, larger ks measure eviction
+        // thrash instead of the operator
+        System.gc(); Thread.sleep(500)
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val t5 = timeS(Analytics.pageRankDirected(edges, "src", "dst",
+        iterations = 5).count())
+      val t10 = timeS(Analytics.pageRankDirected(edges, "src", "dst",
+        iterations = 10).count())
+      val seeds = ids.filter(col("id") % 4 === 1)
+        .select(concat(lit("h"), col("id")).as("seed"))
+      val tp = timeS(Analytics.personalizedPageRank(edges, "src", "dst",
+        seeds, "seed", iterations = 10).count())
+      val th = timeS(Analytics.hits(edges, "src", "dst",
+        iterations = 8).count())
+      val we = edges.groupBy("src", "dst")
+        .agg(count(lit(1)).cast("double").as("w"))
+      val tw = timeS(Analytics.pageRankDirectedWeighted(we, "src", "dst",
+        "w", iterations = 10).count())
+      edges.unpersist()
+      // marginal = (t10 − t5)/5: the cost of ONE MORE round once the
+      // setup (distinct/degree/repartition/materialize) is paid — the
+      // number that must stay flat in round index and ~linear in edges
+      println(f"RANKPROBE k=$k%d hosts=$hosts%d edges=$ne%d " +
+        f"directed5=$t5%.1fs directed10=$t10%.1fs " +
+        f"marginal_iter=${(t10 - t5) / 5}%.2fs " +
+        f"ppr10=$tp%.1fs hits8=$th%.1fs weighted10=$tw%.1fs")
+    }
     spark.stop()
   }
 }
