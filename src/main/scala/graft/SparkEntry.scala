@@ -90,6 +90,23 @@ object SparkEntry {
         bitsPerTable = 3, numTables = 12, multiProbe = true, dim = 64)
     }
 
+  /** Market-basket co-purchase graph (mod-4 order slice, support ≥ 2)
+    * — the edge list EIGHT graph-metric queries consume
+    * (q_copurchase_pairs/_degree/_triangles, q_pagerank,
+    * q_label_propagation, q_kcore, q_degree_assortativity,
+    * q_bfs_hops). Each used to pay the per-order self-join derivation
+    * itself — eight identical corpus derivations per suite, the exact
+    * shape the write-once registry exists for (guide §2.4: remove the
+    * repeated shuffle outright; the round-4/round-15 PairGraph
+    * precedent). Derived once per (session, corpus); every consumer
+    * composes over the materialized edge list. */
+  private def coPurchaseGraph(s: SparkSession, dir: String): DataFrame =
+    PairGraph.of(s, s"copurchase:mod4:min2:$dir") {
+      Analytics.coOccurrencePairs(
+        Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
+        "l_orderkey", "l_partkey", minCount = 2L)
+    }
+
   // ----- write-once RANK registry (the PairGraph pattern extended to
   // host-graph authority, round-15 verdict #2). Edge frames and rank
   // frames are both registry entries, keyed on the DERIVATION RULE plus
@@ -540,61 +557,44 @@ object SparkEntry {
     // order slice (same precedent as q_simhash_neardup_wide): the
     // fixture's small part universe makes the per-order self-join the
     // whole cost at full volume while teaching nothing extra about the
-    // operator — counts over the slice are still exact, and all three
-    // consumers read the same graph.
+    // operator — counts over the slice are still exact, and all EIGHT
+    // consumers read the same write-once registry graph
+    // ([[coPurchaseGraph]], round-15 optimization).
     "q_copurchase_pairs" -> ((s, dir) =>
-      Analytics.coOccurrencePairs(
-          Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
-          "l_orderkey", "l_partkey", minCount = 2L)
+      coPurchaseGraph(s, dir)
         .orderBy("item_a", "item_b")),
     "q_copurchase_degree" -> ((s, dir) =>
-      Analytics.degrees(
-          Analytics.coOccurrencePairs(
-            Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
-            "l_orderkey", "l_partkey", minCount = 2L), "item_a", "item_b")
+      Analytics.degrees(coPurchaseGraph(s, dir), "item_a", "item_b")
         .orderBy("node")),
     "q_copurchase_triangles" -> ((s, dir) =>
-      Analytics.triangleCount(
-        Analytics.coOccurrencePairs(
-          Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
-          "l_orderkey", "l_partkey", minCount = 2L), "item_a", "item_b")),
+      Analytics.triangleCount(coPurchaseGraph(s, dir),
+        "item_a", "item_b")),
     // fixed-iteration PageRank over the same co-purchase graph; the
     // oracle unrolls the 10 iterations as chained CTEs (generated by
     // pageRankOracleSql so both sides agree on the exact recurrence)
     "q_pagerank" -> ((s, dir) =>
-      Analytics.pageRank(
-          Analytics.coOccurrencePairs(
-            Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
-            "l_orderkey", "l_partkey", minCount = 2L),
+      Analytics.pageRank(coPurchaseGraph(s, dir),
           "item_a", "item_b", iterations = 10, damping = 0.85)
         .select(col("node"), col("rank").as("pagerank"))
         .orderBy("node")),
     // synchronous LPA over the same graph, 4 fixed rounds (the unroll
     // the oracle replays); deterministic (max votes, min label) adopt
     "q_label_propagation" -> ((s, dir) =>
-      Analytics.labelPropagation(
-          Analytics.coOccurrencePairs(
-            Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
-            "l_orderkey", "l_partkey", minCount = 2L),
+      Analytics.labelPropagation(coPurchaseGraph(s, dir),
           "item_a", "item_b", iterations = 4)
         .orderBy("node")),
     // 2-core of the co-purchase graph: synchronous peeling to the
     // fixpoint (converges in ≤ 7 rounds at every SF; loop fails loudly
     // if the cap were too small)
     "q_kcore" -> ((s, dir) =>
-      Analytics.kCore(
-          Analytics.coOccurrencePairs(
-            Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
-            "l_orderkey", "l_partkey", minCount = 2L),
+      Analytics.kCore(coPurchaseGraph(s, dir),
           "item_a", "item_b", k = 2, rounds = 10)
         .orderBy("node")),
     // degree assortativity: Pearson over edge-endpoint degrees (both
     // directions — the undirected convention), same raw-co-moment
     // formula as q_numeric_corr
     "q_degree_assortativity" -> ((s, dir) => {
-      val g = Analytics.coOccurrencePairs(
-        Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
-        "l_orderkey", "l_partkey", minCount = 2L)
+      val g = coPurchaseGraph(s, dir)
       val deg = Analytics.degrees(g, "item_a", "item_b")
       val und = g.select(col("item_a").as("x"), col("item_b").as("y"))
         .unionAll(g.select(col("item_b").as("x"), col("item_a").as("y")))
@@ -635,9 +635,7 @@ object SparkEntry {
     // capped at 4 hops. Frontier expansion ≡ the oracle's recursive
     // CTE with the same depth guard.
     "q_bfs_hops" -> ((s, dir) => {
-      val g = Analytics.coOccurrencePairs(
-        Tables.lineitem(s, dir).filter(col("l_orderkey") % 4 === 0),
-        "l_orderkey", "l_partkey", minCount = 2L)
+      val g = coPurchaseGraph(s, dir)
       val nodes = g.select(col("item_a").as("node"))
         .unionAll(g.select(col("item_b").as("node"))).distinct()
       Analytics.hopDistance(g, "item_a", "item_b",
