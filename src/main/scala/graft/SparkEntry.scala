@@ -4267,23 +4267,29 @@ object SparkEntry {
         .filter(col("resolved"))
         .select(col("url").as("__ru"), col("final_url"))
       // WET lane: row-local verdicts at parse time — the raw text is
-      // projected away before any join/aggregation touches the rows
+      // projected away before any join/aggregation touches the rows.
+      // ALL THREE text verdicts (content digest, gopher gate,
+      // classifier gate) ride ONE conversion-payload scan: the
+      // classifier score is the shipped-artifact ClassifierScore
+      // codegen column (score-identical to the qualityClassifier join
+      // form under the dense fixture table — the q_classifier_apply
+      // parity contract), so the r14 form's SECOND full decode+
+      // featurize pass over the segment, plus its explode + two keyed
+      // aggregations + broadcast join + per-record gate join, all
+      // collapse into the projection (guide §1.2 "don't compute things
+      // you throw away", §2.3 "project before the exchange")
       val wet = Warc.documentsFrame(
         recs.filter(col("warc_type") === "conversion"))
-      val capt = wet.select(col("url"), col("record_id"),
+      val warr = TextAnalysis.classifierWeightArray(
+        TextAnalysis.classifierFixtureWeights(s), buckets = 4096)
+      val clsc = graft.expressions.ClassifierScore
+        .score(col("text"), warr.toSeq)
+      val scored = wet.select(col("url"), col("record_id"),
         col("warc_date"), sha2(col("text"), 256).as("__tsha"),
-        TextAnalysis.gopherRules(col("text"), minStopHits = 1)
-          .getField("pass").as("__gopher"))
-      val pos = TextAnalysis.qualityClassifier(
-          wet.select(col("record_id"), col("text")), "record_id", "text",
-          TextAnalysis.classifierFixtureWeights(s), buckets = 4096)
-        .filter(col("label"))
-        .select(col("doc_id").as("__pid"))
-      val scored = capt.join(pos, capt("record_id") === col("__pid"),
-          "left")
-        .select(col("url"), col("record_id"), col("warc_date"),
-          col("__tsha"),
-          (col("__gopher") && col("__pid").isNotNull).as("__pass"))
+        (TextAnalysis.gopherRules(col("text"), minStopHits = 1)
+          .getField("pass") &&
+          clsc.isNotNull && clsc.getField("n_feats") > 0 &&
+          clsc.getField("score_sum") > 0).as("__pass"))
       // redirect rewrite: url-registry-sized map — NOT broadcast, AQE
       // picks the strategy (the q_redirected_dedup discipline)
       val rewritten = scored.join(rd, scored("url") === col("__ru"),
@@ -4291,7 +4297,18 @@ object SparkEntry {
         .select(coalesce(col("final_url"), scored("url")).as("url"),
           col("record_id"), col("warc_date"), col("__tsha"),
           col("__pass"))
-      val rv = recs.filter(col("warc_type") === "revisit")
+      // ENVELOPE lane: ONE more parse of the segment serves every
+      // header-level consumer (the revisit-freshness rollup here AND
+      // resolveRevisits' two internal passes below) — materialized
+      // WITHOUT the payload column, so the pinned blocks are
+      // registry-sized. The r14 form re-parsed the gzip segment per
+      // consumer: 3 extra full decode passes per run (guide §1.2 —
+      // remove unnecessary passes; §8 — decide on small rows)
+      val env = recs.select(col("warc_type"), col("target_uri"),
+          col("record_id"), col("warc_date"), col("headers"),
+          col("error"))
+        .materialized
+      val rv = env.filter(col("warc_type") === "revisit")
         .select(col("target_uri").as("url"), col("record_id"),
           col("warc_date"))
       val kept = Warc.latestWithRevisits(rewritten, rv)
@@ -4347,7 +4364,7 @@ object SparkEntry {
               coalesce(col("n_link_sources"), lit(0L))).as("w"))
       val mm = Scale.matchMixture(cur, "source",
         weights.select("source", "w"))
-      val rvs = Warc.resolveRevisits(recs)
+      val rvs = Warc.resolveRevisits(env)
         .select(regexp_extract(col("url"),
           "https://([a-z0-9]+)\\.example\\.com/", 1).as("source"),
           col("resolved_via"))

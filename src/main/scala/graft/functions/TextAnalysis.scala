@@ -1546,8 +1546,16 @@ object TextAnalysis {
     * explode + 2 keyed aggregations + broadcast join the trainable form
     * pays. Output ≡ [[qualityClassifier]]: (doc_id, n_feats, score_sum,
     * label); featureless docs absent. */
-  def classifierApplyTable(docs: DataFrame, idCol: String, textCol: String,
-      weights: DataFrame, buckets: Int): DataFrame = {
+  /** Collect a DENSE (bucket, w) weight artifact into the Array[Long]
+    * [[graft.expressions.ClassifierScore]] ships to tasks — the
+    * driver-side half of [[classifierApplyTable]], exposed so a
+    * pipeline that already scans the text for other row-local verdicts
+    * (digest, gopher) can fold the classifier score into the SAME scan
+    * as one more codegen column instead of paying a second corpus
+    * pass. Hard `buckets` cap by construction (model-sized, never
+    * corpus-sized); density required — a sparse table would silently
+    * drop features from `n_feats`. */
+  def classifierWeightArray(weights: DataFrame, buckets: Int): Array[Long] = {
     require(buckets >= 2 && buckets <= (1 << 20),
       s"need 2 <= buckets <= 2^20, got $buckets")
     require(Set("bucket", "w").subsetOf(weights.columns.toSet),
@@ -1562,6 +1570,12 @@ object TextAnalysis {
         s"${rows.length} rows; a sparse table would silently drop features")
     val arr = new Array[Long](buckets)
     rows.foreach { case (b, w) => arr(b) = w }
+    arr
+  }
+
+  def classifierApplyTable(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int): DataFrame = {
+    val arr = classifierWeightArray(weights, buckets)
     docs
       .select(col(idCol).as("doc_id"), graft.expressions.ClassifierScore
         .score(col(textCol), arr.toSeq).as("__s"))
