@@ -1574,8 +1574,13 @@ object SparkEntry {
           regexp_replace(col("text"), "\n", " ").as("text"),
           col("n_lines"), col("n_dropped"))
         .materialized // feeds the classifier AND the final gate
-      val pos = TextAnalysis.qualityClassifier(cleaned, "doc_id", "text",
-          TextAnalysis.classifierFixtureWeights(s), buckets = 4096)
+      // shipped-artifact apply path (ClassifierScore codegen — one
+      // scan-local pass, zero shuffles; score-identical to the
+      // qualityClassifier join form under the dense fixture table, the
+      // q_classifier_apply parity contract). The trainable-join form
+      // stays adjudicated by q_quality_classifier itself
+      val pos = TextAnalysis.classifierApplyTable(cleaned, "doc_id",
+          "text", TextAnalysis.classifierFixtureWeights(s), buckets = 4096)
         .filter(col("label")).select("doc_id")
       cleaned
         .filter(length(trim(col("text"))) > 0 &&
@@ -1606,7 +1611,8 @@ object SparkEntry {
     }),
     "q_curated_corpus_v4" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
-      val pos = TextAnalysis.qualityClassifier(docs, "doc_id", "text",
+      // shipped-artifact apply path — see q_curated_corpus_v5's note
+      val pos = TextAnalysis.classifierApplyTable(docs, "doc_id", "text",
           TextAnalysis.classifierFixtureWeights(s), buckets = 4096)
         .filter(col("label")).select("doc_id")
       val meta = docs.select(col("doc_id"), col("n_chars"))
@@ -2907,7 +2913,8 @@ object SparkEntry {
       // materialize the scored frame: globalRank reads it twice (the
       // approxQuantile cut pass + the bucketing pass) and the sha256
       // feature hashing is the expensive half of this query
-      val clf = TextAnalysis.qualityClassifier(docs, "doc_id", "text",
+      // shipped-artifact apply path — see q_curated_corpus_v5's note
+      val clf = TextAnalysis.classifierApplyTable(docs, "doc_id", "text",
           TextAnalysis.classifierFixtureWeights(s), buckets = 4096)
         .select(col("doc_id"), (-col("score_sum")).as("neg"))
         .materialized
