@@ -1948,12 +1948,22 @@ object TextAnalysis {
   def tokenizerFertility(df: DataFrame, textCol: String, numMerges: Int,
       uniRounds: Int, maxPieceLen: Int, seedSize: Int,
       vocabSize: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val merges = bpeTrainMerges(df, textCol, numMerges).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     val uni = unigramTrain(df, textCol, uniRounds, maxPieceLen, seedSize,
       vocabSize)
+    tokenizerFertility(df, textCol, merges, uni)
+  }
+
+  /** [[tokenizerFertility]] under PRE-TRAINED artifacts (the shipped-
+    * artifact form): both learners' outputs are model-sized tables a
+    * pipeline trains once per corpus snapshot — passing them in lets a
+    * registry-served caller skip retraining both models per evaluation
+    * pass while measuring the identical segmentations. */
+  def tokenizerFertility(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], uni: Seq[(String, Long)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val words = termCounts(df, textCol)
       .select(col("term").as("word"), col("n")).materialized
     def measure(name: String, pieces: Column): DataFrame =
