@@ -140,6 +140,25 @@ object SparkEntry {
     unigramVocabTrained(s, dir).select("piece", "cnt").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
 
+  /** Write-once trained IVF coarse quantizer (the FAISS train-then-
+    * store shape): the mini-batch Lloyd rounds are driver-paced jobs
+    * keyed purely on (training corpus, k, iters, batchPerCell, seed),
+    * and the output is a MODEL-sized table — registry it like the
+    * tokenizer artifacts and serve every pass from the stored table.
+    * The (cell, v, n) frame round-trips the exact doubles; rows are
+    * re-sorted by cell on read to restore the trainer's array order. */
+  private def ivfCentroidsTrained(s: SparkSession, key: String,
+      train: => Array[(Int, Array[Double], Double)])
+      : Array[(Int, Array[Double], Double)] = {
+    import s.implicits._
+    PairGraph.of(s, key) {
+      train.toSeq.toDF("cell", "v", "n")
+    }.collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+  }
+
   // ----- write-once RANK registry (the PairGraph pattern extended to
   // host-graph authority, round-15 verdict #2). Edge frames and rank
   // frames are both registry entries, keyed on the DERIVATION RULE plus
@@ -2500,8 +2519,13 @@ object SparkEntry {
     // dup-clustered corpora probe far fewer of their cells)
     "q_ivf_topk_bigk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopKBig(emb, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, numCentroids = 256, nProbe = 224)
+      // coarse quantizer served from the write-once index-artifact
+      // registry (train once per corpus snapshot — ivfCentroidsTrained)
+      val cents = ivfCentroidsTrained(s, s"ivfcents:k256:i4:b8:s42:$dir",
+        Similarity.trainCentroidsMiniBatch(emb, "vec_id", "embedding",
+          k = 256))
+      Similarity.ivfTopKServe(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 224, cents = cents)
         .orderBy("query_id", "rank")
     }),
     // index MAINTENANCE: centroids trained on the even-id HALF of the
@@ -2516,9 +2540,19 @@ object SparkEntry {
     // shares the exhaustive full-corpus oracle
     "q_ivf_extend_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.ivfTopKIncremental(emb.filter(col("vec_id") % 2 === 0),
-          emb, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, numCentroids = 256, nProbe = 224)
+      // the frozen half-corpus-trained quantizer is exactly the stored
+      // index artifact the add-after-train story ships — registry key
+      // distinct from q_ivf_topk_bigk's (different training snapshot)
+      val cents = ivfCentroidsTrained(s,
+        s"ivfcents:k256:i4:b8:s42:mod2eq0:$dir",
+        Similarity.trainCentroidsMiniBatch(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          k = 256))
+      require(cents.nonEmpty,
+        "trainCorpus has no non-zero vectors — cannot build an IVF index " +
+          "(check the snapshot predicate)")
+      Similarity.ivfTopKServe(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 224, cents = cents)
         .orderBy("query_id", "rank")
     }),
     // multi-probe (Hamming-1) halves-and-then-some the table count the

@@ -477,6 +477,22 @@ object Similarity {
       math.min(nProbe, cents.length))
   }
 
+  /** IVF serving under a PRE-TRAINED centroid table — the shipped-
+    * index-artifact form of [[ivfTopKBig]]/[[ivfTopKIncremental]]: a
+    * production index trains its coarse quantizer once per corpus
+    * snapshot and persists it (FAISS `train` then store); every serving
+    * pass loads the model-sized table and pays only assignment + probe.
+    * Serving shape identical to [[ivfTopKBig]]. */
+  def ivfTopKServe(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int,
+      cents: Array[(Int, Array[Double], Double)]): DataFrame = {
+    require(nProbe >= 1)
+    require(cents.nonEmpty,
+      "empty centroid table — cannot serve an IVF index")
+    ivfServe(corpus, queries, idCol, vecCol, cents, k,
+      math.min(nProbe, cents.length))
+  }
+
   /** Incremental IVF serving — the index-MAINTENANCE shape a growing
     * corpus needs: coarse centroids are trained ONCE (on the reference
     * corpus that existed when the index was built) and a grown corpus —
