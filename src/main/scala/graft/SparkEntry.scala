@@ -159,6 +159,29 @@ object SparkEntry {
       .sortBy(_._1)
   }
 
+  /** Write-once trained PQ codebooks (m=16 × ksub=32 over the
+    * embeddings corpus) — q_pq_topk and q_ivfpq_topk train the
+    * IDENTICAL model (same deterministic sample, same params); the
+    * (subspace, codeword, vec) frame round-trips the exact doubles. */
+  private def pqCodebooksTrained(s: SparkSession,
+      dir: String): Array[Array[Array[Double]]] = {
+    import s.implicits._
+    val rows = PairGraph.of(s, s"pqcb:m16:k32:i10:t16384:$dir") {
+      Similarity.pqCodebooks(Tables.embeddings(s, dir), "vec_id",
+          "embedding", m = 16, ksub = 32, iters = 10)
+        .zipWithIndex.flatMap { case (sub, j) =>
+          sub.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
+        }.toSeq.toDF("j", "c", "v")
+    }.collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    val out = Array.ofDim[Array[Double]](m, ksub)
+    rows.foreach { r =>
+      out(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    out.map(_.toArray)
+  }
+
   // ----- write-once RANK registry (the PairGraph pattern extended to
   // host-graph authority, round-15 verdict #2). Edge frames and rank
   // frames are both registry entries, keyed on the DERIVATION RULE plus
@@ -2578,7 +2601,8 @@ object SparkEntry {
     "q_pq_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, m = 16, ksub = 32, rerank = 256)
+          "vec_id", "embedding", k = 5, m = 16, ksub = 32, rerank = 256,
+          codebooks = Some(pqCodebooksTrained(s, dir)))
         .orderBy("query_id", "rank")
     }),
     // the composed serving index (coarse cells bound reads, PQ codes
@@ -2588,7 +2612,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, numCentroids = 16, nProbe = 14,
-          m = 16, ksub = 32, rerank = 256)
+          m = 16, ksub = 32, rerank = 256,
+          codebooks = Some(pqCodebooksTrained(s, dir)))
         .orderBy("query_id", "rank")
     }),
     // the LSH-bucketed pair generator IS the registered path — the

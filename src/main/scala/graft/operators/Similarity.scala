@@ -664,9 +664,13 @@ object Similarity {
     * `rerank × queries` rows only. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
-      rerank: Int = 64, iters: Int = 10): DataFrame = {
+      rerank: Int = 64, iters: Int = 10,
+      codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     require(rerank >= k, s"rerank $rerank must cover k = $k")
-    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub, iters)
+    // `codebooks` = the stored model artifact (FAISS train-then-store):
+    // pass it to serve without retraining; None trains here
+    val cbs = codebooks.getOrElse(
+      pqCodebooks(corpus, idCol, vecCol, m, ksub, iters))
     val c = corpusSide(corpus, idCol, vecCol)
     val codes = c.select(col("neighbor_id"),
       graft.expressions.PqExpressions
@@ -711,13 +715,16 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, numCentroids: Int = 16, nProbe: Int = 14,
       m: Int = 16, ksub: Int = 32, rerank: Int = 256,
-      refineIters: Int = 2, pqIters: Int = 10): DataFrame = {
+      refineIters: Int = 2, pqIters: Int = 10,
+      codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     require(nProbe >= 1 && nProbe <= numCentroids && rerank >= k)
     val init = forgyInit(corpus, idCol, vecCol, numCentroids)
     val cents =
       if (refineIters > 0) refineCentroids(corpus, vecCol, init, refineIters)
       else init
-    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub, pqIters)
+    // shared stored-artifact hook — see pqTopK
+    val cbs = codebooks.getOrElse(
+      pqCodebooks(corpus, idCol, vecCol, m, ksub, pqIters))
 
     val c = corpusSide(corpus, idCol, vecCol)
       .withColumn("cell", graft.expressions.CentroidExpressions
