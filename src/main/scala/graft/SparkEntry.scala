@@ -44,6 +44,16 @@ object SparkEntry {
     * q_curated_corpus_v6 extract from: nav bar, short heading,
     * body paragraph (doc text + a small inline link), all-anchor
     * related-links block, copyright footer, script. */
+  /** Main-content extraction over [[wrappedPages]] — the block
+    * classifier's output is a per-doc EXTRACTED-TEXT artifact (the WET
+    * lane a crawl pipeline materializes once per segment); shared by
+    * q_main_content and q_curated_corpus_v6 (which previously each ran
+    * the full block scan, and v6 re-materialized it privately). */
+  private def mainContentExtracted(s: SparkSession, dir: String): DataFrame =
+    PairGraph.of(s, s"maincontent:wrapped:$dir") {
+      TextAnalysis.mainContent(wrappedPages(s, dir), "doc_id", "html")
+    }
+
   private def wrappedPages(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"), concat(
       lit("<html><head><title>d</title>" +
@@ -1668,9 +1678,7 @@ object SparkEntry {
     // extracted text (a page can fail length only after its chrome is
     // gone; the classifier never scores nav/footer/link-list tokens)
     "q_curated_corpus_v6" -> ((s, dir) => {
-      val mc = TextAnalysis.mainContent(wrappedPages(s, dir),
-          "doc_id", "html")
-        .materialized // feeds the classifier AND the final gate
+      val mc = mainContentExtracted(s, dir) // shared with q_main_content
       val pos = TextAnalysis.classifierApplyTable(
           mc.select(col("doc_id"), col("main_text")),
           "doc_id", "main_text",
@@ -4633,8 +4641,7 @@ object SparkEntry {
     // the copyright footer are dropped; the body paragraph with its
     // small inline link survives. Entirely scan-local, zero shuffles.
     "q_main_content" -> ((s, dir) =>
-      TextAnalysis.mainContent(wrappedPages(s, dir), "doc_id", "html")
-        .orderBy("doc_id")),
+      mainContentExtracted(s, dir).orderBy("doc_id")),
     // the rebalanced corpus: scan-local filter against broadcast
     // thresholds; sqrt/div/floor are all correctly-rounded IEEE ops, so
     // thresholds are bit-identical to the oracle's
