@@ -44,6 +44,21 @@ object SparkEntry {
     * q_curated_corpus_v6 extract from: nav bar, short heading,
     * body paragraph (doc text + a small inline link), all-anchor
     * related-links block, copyright footer, script. */
+  /** FFD packing plan over the non-empty documents (capacity 96,
+    * 1 EOS, rank-blocks of 128) — the loader LAYOUT artifact, computed
+    * once per corpus and read by three consumers (q_sequence_packing:
+    * the plan itself; q_epoch_manifest: windows + epoch order;
+    * q_packing_efficiency: the one-row rollup). Each used to re-run
+    * the full pack per suite pass. */
+  private def ffdPacked(s: SparkSession, dir: String): DataFrame =
+    PairGraph.of(s, s"ffdpack:c96:e1:b128:nonempty:$dir") {
+      Scale.ffdPack(
+        Tables.documents(s, dir)
+          .filter(col("text").isNotNull && length(trim(col("text"))) > 0),
+        "doc_id", TextAnalysis.tokenCount(col("text")),
+        capacity = 96, eosTokens = 1, blockDocs = 128)
+    }
+
   /** Main-content extraction over [[wrappedPages]] — the block
     * classifier's output is a per-doc EXTRACTED-TEXT artifact (the WET
     * lane a crawl pipeline materializes once per segment); shared by
@@ -2161,12 +2176,7 @@ object SparkEntry {
     // the oracle replays the packing as a recursive CTE carrying the
     // open-bin load list
     "q_sequence_packing" -> ((s, dir) =>
-      Scale.ffdPack(
-          Tables.documents(s, dir)
-            .filter(col("text").isNotNull && length(trim(col("text"))) > 0),
-          "doc_id", TextAnalysis.tokenCount(col("text")),
-          capacity = 96, eosTokens = 1, blockDocs = 128)
-        .orderBy("doc_id")),
+      ffdPacked(s, dir).orderBy("doc_id")),
     // the end product a training run reads: FFD windows (same config
     // as q_sequence_packing) + the epoch-1 reproducible window order,
     // one row per window with its docs in pack-insertion order as a
@@ -2174,21 +2184,14 @@ object SparkEntry {
     // position. Windows-sized aggregation + bucketed epoch ranks — no
     // corpus-wide sort
     "q_epoch_manifest" -> ((s, dir) =>
-      Scale.epochManifest(
-          Tables.documents(s, dir)
-            .filter(col("text").isNotNull && length(trim(col("text"))) > 0),
-          "doc_id", TextAnalysis.tokenCount(col("text")),
-          capacity = 96, epochs = Seq(1), eosTokens = 1, blockDocs = 128)
+      Scale.epochManifestPacked(ffdPacked(s, dir), "doc_id",
+          epochs = Seq(1))
         .orderBy("ord_e1")),
     // the packing priced as one row: loader-planning efficiency read
     // (windows, tokens, padded waste, truncations) — q_length_batches'
     // padding_waste axis applied to the FFD layout
     "q_packing_efficiency" -> ((s, dir) =>
-      Scale.ffdPack(
-          Tables.documents(s, dir)
-            .filter(col("text").isNotNull && length(trim(col("text"))) > 0),
-          "doc_id", TextAnalysis.tokenCount(col("text")),
-          capacity = 96, eosTokens = 1, blockDocs = 128)
+      ffdPacked(s, dir)
         .agg(countDistinct(col("window_id")).as("n_windows"),
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("n_tokens"),

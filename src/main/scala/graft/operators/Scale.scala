@@ -1070,8 +1070,23 @@ object Scale {
       .contains(idType),
       s"epochManifest: id column '$idCol' must be an integral type " +
         s"(doc_list renders ids as longs), got $idType")
-    val packed = ffdPack(df, idCol, tokenCount, capacity, eosTokens,
-      blockDocs)
+    epochManifestPacked(
+      ffdPack(df, idCol, tokenCount, capacity, eosTokens, blockDocs),
+      idCol, epochs)
+  }
+
+  /** [[epochManifest]] over an ALREADY-PACKED frame (the [[ffdPack]]
+    * output) — the packing plan is a per-corpus loader artifact several
+    * consumers read (window list, efficiency rollup, epoch order), so a
+    * caller that materializes it once passes it here instead of
+    * re-packing per consumer. */
+  def epochManifestPacked(packed: DataFrame, idCol: String,
+      epochs: Seq[Int]): DataFrame = {
+    val idType = packed.schema(idCol).dataType
+    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+      .contains(idType),
+      s"epochManifestPacked: id column '$idCol' must be an integral " +
+        s"type (doc_list renders ids as longs), got $idType")
     val windows = packed.groupBy(col("window_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("fill_tokens"),
