@@ -44,6 +44,19 @@ object SparkEntry {
     * q_curated_corpus_v6 extract from: nav bar, short heading,
     * body paragraph (doc text + a small inline link), all-anchor
     * related-links block, copyright footer, script. */
+  /** Min-label component labeling over the capped-Jaccard pair graph —
+    * the dedup registry's CLUSTER artifact (id → component), shared by
+    * q_neardup_components, q_dup_cluster_sizes and q_best_of_cluster
+    * (whose keepBestPerComponent previously re-ran the label loop
+    * internally). The star-contraction variant
+    * (q_neardup_components_star) stays a fresh derivation — it
+    * adjudicates the alternative ALGORITHM, not this artifact. */
+  private def jaccardComponentLabels(s: SparkSession, dir: String): DataFrame =
+    PairGraph.of(s, s"components:minlabel:jaccard-df$shingleDfCap:$dir") {
+      Dedup.nearDupComponents(Tables.documents(s, dir), "doc_id",
+        jaccardPairs(s, dir))
+    }
+
   /** FFD packing plan over the non-empty documents (capacity 96,
     * 1 EOS, rank-blocks of 128) — the loader LAYOUT artifact, computed
     * once per corpus and read by three consumers (q_sequence_packing:
@@ -1924,20 +1937,14 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     }),
-    "q_neardup_components" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Dedup.nearDupComponents(docs, "doc_id", jaccardPairs(s, dir))
-        .orderBy("doc_id")
-    }),
+    "q_neardup_components" -> ((s, dir) =>
+      jaccardComponentLabels(s, dir).orderBy("doc_id")),
     // cluster-SIZE histogram over the same labeling: the governance
     // read ("is dedup a 2% trim or a 40% cut") — rides the cached pair
     // graph, marginal cost two label-sized aggregations
-    "q_dup_cluster_sizes" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Dedup.componentSizeProfile(
-          Dedup.nearDupComponents(docs, "doc_id", jaccardPairs(s, dir)))
-        .orderBy("cluster_size")
-    }),
+    "q_dup_cluster_sizes" -> ((s, dir) =>
+      Dedup.componentSizeProfile(jaccardComponentLabels(s, dir))
+        .orderBy("cluster_size")),
     // the O(log²)-round star-contraction alternative over the SAME pair
     // graph — hash-adjudicated against the same recursive-CTE oracle
     // (previously property-spec'd ≡ min-label only)
@@ -1968,7 +1975,10 @@ object SparkEntry {
         Dedup.jaccardNearDupPairs(old, "doc_id", "text", n = 3,
           threshold = 0.6)
       }
-      val baseLabels = Dedup.nearDupComponents(old, "doc_id", oldWithin)
+      // standing labels are the dedup registry's STORED artifact (the
+      // mergeComponents premise) — derived once per session/corpus
+      val baseLabels = PairGraph.of(s, s"components:minlabel:uncapped:mod5ne0:$dir")(
+        Dedup.nearDupComponents(old, "doc_id", oldWithin))
       val withinNew = PairGraph.of(s, s"jaccard:n3:t0.6:uncapped:mod5eq0:$dir") {
         Dedup.jaccardNearDupPairs(fresh, "doc_id", "text",
           n = 3, threshold = 0.6)
@@ -2019,7 +2029,10 @@ object SparkEntry {
         Dedup.jaccardNearDupPairs(old, "doc_id", "text", n = 3,
           threshold = 0.6)
       }
-      val baseLabels = Dedup.nearDupComponents(old, "doc_id", oldWithin)
+      // standing labels are the dedup registry's STORED artifact (the
+      // mergeComponents premise) — derived once per session/corpus
+      val baseLabels = PairGraph.of(s, s"components:minlabel:cur:old:$dir")(
+        Dedup.nearDupComponents(old, "doc_id", oldWithin))
       val withinNew = PairGraph.of(s, s"jaccard:cur:n3:t0.6:new:$dir") {
         Dedup.jaccardNearDupPairs(fresh, "doc_id", "text", n = 3,
           threshold = 0.6)
@@ -2067,7 +2080,10 @@ object SparkEntry {
         Dedup.jaccardNearDupPairs(old, "doc_id", "text", n = 3,
           threshold = 0.6)
       }
-      val baseLabels = Dedup.nearDupComponents(old, "doc_id", oldWithin)
+      // standing labels are the dedup registry's STORED artifact (the
+      // mergeComponents premise) — derived once per session/corpus
+      val baseLabels = PairGraph.of(s, s"components:minlabel:warcinc:old:$dir")(
+        Dedup.nearDupComponents(old, "doc_id", oldWithin))
       val withinNew = PairGraph.of(s, s"jaccard:warcinc:n3:t0.6:new:$dir") {
         Dedup.jaccardNearDupPairs(fresh, "doc_id", "text", n = 3,
           threshold = 0.6)
@@ -2092,8 +2108,8 @@ object SparkEntry {
     // first.
     "q_best_of_cluster" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.keepBestPerComponent(docs, "doc_id", jaccardPairs(s, dir),
-          col("n_chars"))
+      Dedup.keepBestPerComponentLabeled(docs, "doc_id",
+          jaccardComponentLabels(s, dir), col("n_chars"))
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     }),

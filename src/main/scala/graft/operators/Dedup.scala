@@ -1248,12 +1248,22 @@ object Dedup {
     * sort. Requires a numeric id (the tie-break negates it); the
     * registered corpus ids are bare longs. */
   def keepBestPerComponent(df: DataFrame, idCol: String, pairs: DataFrame,
-      quality: Column): DataFrame = {
+      quality: Column): DataFrame =
+    keepBestPerComponentLabeled(df, idCol,
+      nearDupComponents(df, idCol, pairs), quality)
+
+  /** [[keepBestPerComponent]] over an ALREADY-DERIVED labeling (a
+    * prior [[nearDupComponents]] output): the labeling is a per-corpus
+    * dedup-registry artifact several governance reads share — a caller
+    * holding it materialized passes it here instead of re-running the
+    * label loop per consumer. */
+  def keepBestPerComponentLabeled(df: DataFrame, idCol: String,
+      labels: DataFrame, quality: Column): DataFrame = {
     require(Set[org.apache.spark.sql.types.DataType](LongType, IntegerType,
         ShortType, ByteType, DoubleType, FloatType)(df.schema(idCol).dataType),
       s"keepBestPerComponent needs a numeric id for the min-id tie-break; " +
         s"$idCol is ${df.schema(idCol).dataType}")
-    val labeled = df.join(nearDupComponents(df, idCol, pairs), Seq(idCol))
+    val labeled = df.join(labels, Seq(idCol))
     val payload = df.columns.toSeq
     labeled
       .groupBy(col("component_id"))
