@@ -635,6 +635,12 @@ object Analytics {
       .groupBy("k")
       .agg(array_sort(collect_list(struct(col("i"), col("v")))).as("cs"))
       .select(col("k"), transform(col("cs"), s => s("v")).as("cuts"))
+      // key-count-sized frame read by THREE consumers (both bucketed()
+      // sides + the grid) — without the barrier each re-runs the
+      // full per-key rank sort over the reference side (the
+      // q_countmin_joinsize duplicate-subtree defect; AnalyticsSpec's
+      // psiDrift cases pin the semantics)
+      .materialized
     def bucketed(df: DataFrame): DataFrame =
       df.join(broadcast(cuts), Seq("k"))
         .withColumn("b", size(filter(col("cuts"), cut => col("v") > cut)))
