@@ -57,14 +57,19 @@ class PairGraphSpec extends SparkSpec {
 
   test("registered family queries share one derivation per corpus (integration)") {
     PairGraph.clear()
-    // two jaccard-family queries on the same dir: the second must hit
-    // the cache (size stays 1 for the jaccard key; minhash adds its own)
+    // jaccard-family queries on the same dir: q_neardup_components
+    // reads the SAME jaccard pair graph (no second pair derivation —
+    // it adds only its own components:minlabel labeling artifact on
+    // top), and a repeat run derives nothing new; minhash then adds
+    // its own graph
     SparkEntry.queries("q_jaccard_neardup")(spark, sf).count()
     val afterFirst = PairGraph.size
     SparkEntry.queries("q_neardup_components")(spark, sf).count()
-    assert(PairGraph.size === afterFirst) // no new graph derived
+    assert(PairGraph.size === afterFirst + 1) // labeling artifact only
+    SparkEntry.queries("q_neardup_components")(spark, sf).count()
+    assert(PairGraph.size === afterFirst + 1) // repeat derives nothing
     SparkEntry.queries("q_leakage_split")(spark, sf).count()
-    assert(PairGraph.size === afterFirst + 1) // minhash graph, once
+    assert(PairGraph.size === afterFirst + 2) // minhash graph, once
     PairGraph.clear()
   }
 

@@ -114,7 +114,13 @@ class PlanShapeSpec extends SparkSpec {
     // self-join) with the bit_count Hamming filter BELOW the distinct
     // aggregate — the two historical post-candidate sig joins (which
     // shuffled every bucket collision twice more) must not reappear
-    val lp = SparkEntry.queries("q_simhash_neardup_wide")(spark, sf)
+    // the registered query now serves the write-once registry artifact
+    // (a LogicalRDD read) — the guard targets the OPERATOR's join
+    // shape, so inspect the derivation itself, same call as the
+    // registry key's
+    val lp = graft.operators.Dedup.simhashNearDupPairs(
+        Tables.documents(spark, sf), "doc_id", "text", maxDist = 5,
+        tokenHash = graft.operators.Dedup.PortableSha)
       .queryExecution.optimizedPlan
     val joins = lp.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
