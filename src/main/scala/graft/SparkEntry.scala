@@ -3012,10 +3012,17 @@ object SparkEntry {
     // corpus' top-1000 bigram vocabulary (count-exact cut; the log-sum
     // of a real perplexity is library-dependent, the OOV fraction
     // isn't)
-    "q_oov_rate" -> ((s, dir) =>
+    "q_oov_rate" -> ((s, dir) => {
+      // train/apply split: the top-1000 bigram vocabulary is a shipped
+      // model artifact (the unigram/classifier apply-table precedent) —
+      // write-once registry; per pass only the apply scan runs
+      val vocab = PairGraph.of(s, s"oovvocab:bg:k1000:$dir") {
+        TextAnalysis.oovVocab(Tables.documents(s, dir), "text", 1000)
+      }
       TextAnalysis.oovRate(Tables.documents(s, dir), "doc_id", "text",
-          vocabK = 1000)
-        .orderBy("doc_id")),
+          vocab)
+        .orderBy("doc_id")
+    }),
     // corpus-as-LM unigram cross-entropy — the CCNet/pile-style LM
     // quality feature; token-keyed score join (NOT broadcast: a 100 TB
     // vocabulary can exceed broadcast limits; AQE broadcasts when small)

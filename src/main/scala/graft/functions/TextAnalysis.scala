@@ -1262,6 +1262,36 @@ object TextAnalysis {
     val vocab = perDoc.groupBy("bg").agg(sum(col("c")).as("n"))
       .orderBy(desc("n"), asc("bg")).limit(vocabK)
       .select(col("bg"), lit(1).as("in_vocab"))
+    scoreOov(perDoc, vocab)
+  }
+
+  /** TRAIN half of the oovRate split — the top-k bigram vocabulary as
+    * a shippable model table ((bg, in_vocab=1), ≤ k rows): summing
+    * per-doc counts per bigram IS the corpus count, so this is the
+    * exact vocabulary the one-shot [[oovRate]] derives internally.
+    * Same deterministic (count desc, bigram asc) cut. */
+  def oovVocab(df: DataFrame, textCol: String, vocabK: Int): DataFrame =
+    df.select(explode(wordNgrams(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bg")).limit(vocabK)
+      .select(col("bg"), lit(1).as("in_vocab"))
+
+  /** APPLY half — score against a SHIPPED vocabulary table (the
+    * unigramApplyTable/classifierApplyTable precedent: production
+    * trains the vocabulary once per corpus snapshot and scores many
+    * times). One explode + per-doc aggregation + broadcast join; no
+    * reuse barrier needed because the vocabulary no longer derives
+    * from the same subtree. ≡ the one-shot form when `vocab` =
+    * [[oovVocab]] over the same corpus (TextAnalysisSpec pins it). */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame =
+    scoreOov(
+      df.select(col(idCol).as("doc_id"),
+          explode(wordNgrams(col(textCol), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c")),
+      vocab)
+
+  private def scoreOov(perDoc: DataFrame, vocab: DataFrame): DataFrame =
     perDoc.join(broadcast(vocab), Seq("bg"), "left")
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_bigrams"),
@@ -1269,7 +1299,6 @@ object TextAnalysis {
           .as("n_oov"))
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_bigrams"))
-  }
 
   /** Per-document unigram cross-entropy under the corpus's OWN unigram
     * LM: bits_per_token = −(1/|d|) Σ_t log₂(count(t)/N). The CCNet/

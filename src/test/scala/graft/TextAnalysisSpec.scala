@@ -405,6 +405,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(3L) === ((3L, 2L, 2.0 / 3.0)))
   }
 
+  test("oovRate train/apply split ≡ the one-shot form on the same corpus") {
+    // the shipped-vocabulary apply path (oovVocab + the vocab overload)
+    // must land on exactly the one-shot rows — the registry-served
+    // q_oov_rate path's equivalence contract
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "a b x y"),
+      (4L, "solo"), (5L, "")
+    ).toDF("doc_id", "text")
+    val oneShot = TextAnalysis.oovRate(docs, "doc_id", "text", vocabK = 2)
+      .orderBy("doc_id").collect().toSeq
+    val vocab = TextAnalysis.oovVocab(docs, "text", vocabK = 2)
+    assert(vocab.count() === 2)
+    val split = TextAnalysis.oovRate(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id").collect().toSeq
+    assert(split === oneShot)
+  }
+
   test("oovRate vocabulary cut is deterministic under count ties") {
     // two bigrams tie at count 1; (count desc, bigram asc) must keep
     // the lexicographically smaller one for any partitioning
