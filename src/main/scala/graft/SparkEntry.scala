@@ -3033,10 +3033,19 @@ object SparkEntry {
     // interpolated bigram LM (KenLM-shaped, CCNet-style quality
     // score) — model tables are ngram-keyed shuffle joins, never
     // broadcast-assumed
-    "q_bigram_logprob" -> ((s, dir) =>
+    "q_bigram_logprob" -> ((s, dir) => {
+      // train/apply split: the interpolated LM's bits table is the
+      // shipped .arpa-analog artifact (trained once per corpus
+      // snapshot) — write-once registry; per pass only the per-doc
+      // apply scan + one bigram-keyed join run
+      val bits = PairGraph.of(s, s"lmbits:bigram:l0.7:$dir") {
+        TextAnalysis.bigramBitsTable(Tables.documents(s, dir), "text",
+          lambda = 0.7)
+      }
       TextAnalysis.bigramCrossEntropy(Tables.documents(s, dir),
-          "doc_id", "text", lambda = 0.7)
-        .orderBy("doc_id")),
+          "doc_id", "text", bits)
+        .orderBy("doc_id")
+    }),
     // DSIR importance weights against the English slice as the target
     // distribution — hashed-ngram models are ≤4096 rows by
     // construction, so the score join broadcasts at any corpus size

@@ -1385,6 +1385,59 @@ object TextAnalysis {
       .join(ugCounts, Seq("w2"))
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"), (-log2(p)).as("__b"))
+    scoreBigramBits(perDocBg, bits)
+  }
+
+  /** TRAIN half of the bigram-LM split — the interpolated model
+    * collapsed to its shippable bits table ((w1, w2, __b = −log₂ p),
+    * one row per OBSERVED bigram type): the .arpa-analog artifact a
+    * pipeline trains once per corpus snapshot. Corpus bigram counts
+    * are derived directly (≡ summing [[bigramCrossEntropy]]'s per-doc
+    * counts per type), the unigram/context/N chain is identical, so
+    * the table is bit-for-bit the one the one-shot form builds
+    * internally (TextAnalysisSpec pins it). */
+  def bigramBitsTable(df: DataFrame, textCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"need 0 < lambda < 1, got $lambda")
+    val bgCounts = df
+      .select(explode(wordNgrams(col(textCol), 2)).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+      .materialized // context counts and the bits table both read it
+    val ctxCounts = bgCounts.groupBy("w1").agg(sum(col("c_bg")).as("c_ctx"))
+    val ugCounts = df
+      .filter(length(trim(col(textCol))) > 0)
+      .select(explode(tokens(col(textCol))).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("c_ug"))
+    val total = ugCounts.agg(sum(col("c_ug")).as("__N"))
+    val p = lit(lambda) * (col("c_bg").cast("double") / col("c_ctx")) +
+      lit(1.0 - lambda) * (col("c_ug").cast("double") / col("__N"))
+    bgCounts
+      .join(ctxCounts, Seq("w1"))
+      .join(ugCounts, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), (-log2(p)).as("__b"))
+  }
+
+  /** APPLY half — score documents against a SHIPPED bits table (the
+    * oovRate/unigramApplyTable precedent): one explode + per-doc
+    * aggregation + one bigram-keyed join; no reuse barrier because the
+    * model no longer derives from the same subtree. ≡ the one-shot
+    * form when `bits` = [[bigramBitsTable]] over the same corpus. */
+  def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
+      bits: DataFrame): DataFrame =
+    scoreBigramBits(
+      df.select(col(idCol).as("doc_id"),
+          explode(wordNgrams(col(textCol), 2)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .select(col("doc_id"),
+          substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"), col("c")),
+      bits)
+
+  private def scoreBigramBits(perDocBg: DataFrame,
+      bits: DataFrame): DataFrame =
     perDocBg
       .join(bits, Seq("w1", "w2"))
       .groupBy("doc_id")
@@ -1392,7 +1445,6 @@ object TextAnalysis {
         sum(col("c").cast("double") * col("__b")).as("__bits"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("__bits") / col("n_bigrams")).as("bits_per_token"))
-  }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): featurize each

@@ -433,6 +433,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1).getLong(2) === 1L && out(1).getDouble(3) === 1.0)
   }
 
+  test("bigramCrossEntropy train/apply split ≡ the one-shot form") {
+    // the shipped bits-table apply path (bigramBitsTable + the bits
+    // overload) must land on the one-shot rows — exact counts, the
+    // float column within summation-order ulps (the registry-served
+    // q_bigram_logprob path's equivalence contract)
+    val docs = Seq(
+      (1L, "a b a"), (2L, "b a"), (3L, "solo"), (4L, "")
+    ).toDF("doc_id", "text")
+    val oneShot = TextAnalysis.bigramCrossEntropy(docs, "doc_id", "text",
+        lambda = 0.5)
+      .orderBy("doc_id").collect().toSeq
+    val bits = TextAnalysis.bigramBitsTable(docs, "text", lambda = 0.5)
+    val split = TextAnalysis.bigramCrossEntropy(docs, "doc_id", "text",
+        bits)
+      .orderBy("doc_id").collect().toSeq
+    assert(split.map(r => (r.getLong(0), r.getLong(1))) ===
+      oneShot.map(r => (r.getLong(0), r.getLong(1))))
+    split.zip(oneShot).foreach { case (a, b) =>
+      assert(math.abs(a.getDouble(2) - b.getDouble(2)) < 1e-12) }
+  }
+
   test("unigramCrossEntropy: hand-computed bits under the corpus LM") {
     // corpus tokens: a×2 (doc 1), b×2 (docs 1,2), c×1 (doc 2) → N=5
     // p(a)=p(b)=2/5, p(c)=1/5
