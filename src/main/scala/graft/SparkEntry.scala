@@ -3049,10 +3049,19 @@ object SparkEntry {
     // DSIR importance weights against the English slice as the target
     // distribution — hashed-ngram models are ≤4096 rows by
     // construction, so the score join broadcasts at any corpus size
-    "q_dsir_weights" -> ((s, dir) =>
+    "q_dsir_weights" -> ((s, dir) => {
+      // train/apply split: the fitted importance estimator (≤4096-row
+      // bucket table) is the DSIR paper's train-once artifact —
+      // write-once registry; per pass only the featurize scan + the
+      // bounded broadcast join run
+      val model = PairGraph.of(s, s"dsirmodel:en:b4096:$dir") {
+        TextAnalysis.dsirModelTable(Tables.documents(s, dir), "text",
+          col("lang") === "en", buckets = 4096)
+      }
       TextAnalysis.dsirLogWeights(Tables.documents(s, dir),
-          "doc_id", "text", col("lang") === "en", buckets = 4096)
-        .orderBy("doc_id")),
+          "doc_id", "text", model, buckets = 4096)
+        .orderBy("doc_id")
+    }),
     // fastText-architecture quality classifier (hashed uni+bigram
     // linear model) with the deterministic integer weight fixture —
     // BIGINT scoring end-to-end, so the oracle is hash-exact with no

@@ -1501,12 +1501,77 @@ object TextAnalysis {
       .join(tgt, Seq("bucket"), "left")
       .crossJoin(totals)
       .select(col("bucket"), logRatio.as("__lr"))
-    feats
+    scoreDsir(feats.select(col("doc_id"), col("bucket"), col("c")),
+      scores)
+  }
+
+  /** TRAIN half of the DSIR split — the fitted importance estimator as
+    * a shippable model table ((bucket, __lr = ln p̂_t/p̂_r), ≤ `buckets`
+    * rows): the paper's estimator is fit once per (target, corpus
+    * snapshot) and scores many candidate pools. Bucket counts derive
+    * directly from the feature stream (≡ summing [[dsirLogWeights]]'s
+    * per-doc counts per bucket — same sha52 hash, same add-one
+    * smoothing chain), so the table is bit-for-bit the one the
+    * one-shot form builds internally (TextAnalysisSpec pins it). */
+  def dsirModelTable(df: DataFrame, textCol: String, targetPred: Column,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"need 2 <= buckets <= 2^20, got $buckets")
+    val fb = df.select(targetPred.as("__tgt"),
+        explode(concat(
+          transform(tokens(col(textCol)), t => concat(lit("u:"), t)),
+          transform(wordNgrams(col(textCol), 2),
+            g => concat(lit("b:"), g)))).as("__f"))
+      .filter(col("__f") =!= "u:")
+      .select(col("__tgt"),
+        (conv(substring(sha2(col("__f"), 256), 1, 13), 16, 10)
+          .cast("long") % buckets).as("bucket"))
+      .groupBy("__tgt", "bucket").agg(count(lit(1)).as("c"))
+      .materialized // ≤ 2·buckets rows; feeds both model aggregations
+    val tgt = fb.filter(col("__tgt"))
+      .groupBy("bucket").agg(sum(col("c")).as("c_t"))
+    val raw = fb.groupBy("bucket").agg(sum(col("c")).as("c_r"))
+    val totals = raw.agg(sum(col("c_r")).as("__Cr")).crossJoin(
+      tgt.agg(coalesce(sum(col("c_t")), lit(0L)).as("__Ct")))
+    val logRatio =
+      log((coalesce(col("c_t"), lit(0L)) + lit(1L)).cast("double") /
+          (col("__Ct") + lit(buckets.toLong))) -
+      log((col("c_r") + lit(1L)).cast("double") /
+          (col("__Cr") + lit(buckets.toLong)))
+    raw
+      .join(tgt, Seq("bucket"), "left")
+      .crossJoin(totals)
+      .select(col("bucket"), logRatio.as("__lr"))
+  }
+
+  /** APPLY half — score documents against a SHIPPED model table (the
+    * oovRate/bigramBitsTable precedent): one featurize pass + per-doc
+    * aggregation + the bounded broadcast join; no reuse barrier
+    * because the model no longer derives from the same subtree. ≡ the
+    * one-shot form when `model` = [[dsirModelTable]] over the same
+    * corpus/target (the `buckets` used to build the model must match —
+    * the bucket ids are the join key). */
+  def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, buckets: Int): DataFrame =
+    scoreDsir(
+      df.select(col(idCol).as("doc_id"),
+          explode(concat(
+            transform(tokens(col(textCol)), t => concat(lit("u:"), t)),
+            transform(wordNgrams(col(textCol), 2),
+              g => concat(lit("b:"), g)))).as("__f"))
+        .filter(col("__f") =!= "u:")
+        .select(col("doc_id"),
+          (conv(substring(sha2(col("__f"), 256), 1, 13), 16, 10)
+            .cast("long") % buckets).as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c")),
+      model)
+
+  private def scoreDsir(perDoc: DataFrame, scores: DataFrame): DataFrame =
+    perDoc
       .join(broadcast(scores), Seq("bucket"))
       .groupBy("doc_id")
       .agg(sum(col("c")).as("n_feats"),
         sum(col("c").cast("double") * col("__lr")).as("log_weight"))
-  }
 
   /** Token-distribution drift between two corpus snapshots — the TEXT
     * counterpart of [[graft.operators.Analytics.psiDrift]] (which

@@ -433,6 +433,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1).getLong(2) === 1L && out(1).getDouble(3) === 1.0)
   }
 
+  test("dsirLogWeights train/apply split ≡ the one-shot form") {
+    // the shipped model-table apply path (dsirModelTable + the model
+    // overload) must land on the one-shot rows — exact n_feats, the
+    // float column within summation-order ulps (the registry-served
+    // q_dsir_weights path's equivalence contract)
+    val docs = Seq(
+      (1L, "the quick brown fox", "en"),
+      (2L, "le renard brun rapide", "fr"),
+      (3L, "the lazy dog sleeps", "en"),
+      (4L, "", "en")
+    ).toDF("doc_id", "text", "lang")
+    val oneShot = TextAnalysis.dsirLogWeights(docs, "doc_id", "text",
+        col("lang") === "en", buckets = 64)
+      .orderBy("doc_id").collect().toSeq
+    val model = TextAnalysis.dsirModelTable(docs, "text",
+      col("lang") === "en", buckets = 64)
+    val split = TextAnalysis.dsirLogWeights(docs, "doc_id", "text",
+        model, buckets = 64)
+      .orderBy("doc_id").collect().toSeq
+    assert(split.map(r => (r.getLong(0), r.getLong(1))) ===
+      oneShot.map(r => (r.getLong(0), r.getLong(1))))
+    split.zip(oneShot).foreach { case (a, b) =>
+      assert(math.abs(a.getDouble(2) - b.getDouble(2)) < 1e-12) }
+  }
+
   test("bigramCrossEntropy train/apply split ≡ the one-shot form") {
     // the shipped bits-table apply path (bigramBitsTable + the bits
     // overload) must land on the one-shot rows — exact counts, the
