@@ -234,9 +234,15 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q_oov_rate: vocabulary broadcasts into the per-doc side") {
-    val p = plan("q_oov_rate")
-    assert(p.contains("TakeOrderedAndProject"),
+    // the registered query serves the vocabulary from the write-once
+    // registry, so the vocab-cut shape is asserted on the TRAIN
+    // derivation (oovVocab) and the broadcast on the registered apply
+    val pv = graft.functions.TextAnalysis
+      .oovVocab(Tables.documents(spark, sf), "text", 1000)
+      .queryExecution.explainString(FormattedMode)
+    assert(pv.contains("TakeOrderedAndProject"),
       "vocabulary cut must be a local-top-k, not a global sort")
+    val p = plan("q_oov_rate")
     assert(p.contains("BroadcastHashJoin"),
       "k-row vocabulary must broadcast, not shuffle the per-doc counts")
   }
